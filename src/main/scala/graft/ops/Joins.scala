@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join operators ClickHouse has but Spark lacks natively
+  * (SURVEY.md §2.3): ASOF JOIN and ANY JOIN, built Spark-first.
+  */
+object Joins {
+
+  /** ASOF join: for each left row, the single latest right row with the
+    * same keys and `rightTs <= leftTs` (ClickHouse `ASOF JOIN`,
+    * semantics per the public SQL reference; upstream anchor
+    * src/Interpreters/HashJoin — see SURVEY.md §2.3).
+    *
+    * Implementation is the union+window trick, NOT a range join: tag
+    * both sides, union, then one window pass per key ordered by
+    * (ts, side) carrying the last non-null right-row struct forward.
+    * Cost = ONE shuffle on `keys` + a per-partition sort — identical
+    * shape to a sort-merge join, so it scales to 100 TB the same way
+    * SMJ does (no nested-loop blowup, no per-row probe). Skewed keys
+    * behave like any skewed SMJ — AQE skew handling applies.
+    *
+    * Right rows sort before left rows at equal ts, so an exact-ts match
+    * is taken (`<=`, not `<`). The right row's columns are carried as
+    * one struct, so matched values are row-atomic.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lSchema = left.schema
+    val rSchema = StructType(rightCols.map(c => right.schema(c)))
+    val kCols = keys.map(col)
+
+    val l2 = left.select(kCols ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rSchema).as("__r")): _*)
+    val r2 = right.select(kCols ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lSchema).as("__l"),
+      struct(rightCols.map(col).toIndexedSeq: _*).as("__r")): _*)
+
+    val w = Window.partitionBy(kCols: _*).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
+        rightCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** ClickHouse `LEFT ANY JOIN`: at most one right match per left row.
+    * CH picks an arbitrary match; we make it deterministic with an
+    * explicit per-key ordering (first row wins). One window pass on the
+    * right side, then a plain left equi-join — broadcastable when the
+    * deduped right side is small.
+    */
+  def anyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      firstBy: Seq[Column],
+      joinType: String = "left"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(firstBy: _*)
+    val one = right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    left.join(one, keys, joinType)
+  }
+}
