@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[QDef] =
-    CoreQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs
+    CoreQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
+      AggQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,6 +26,11 @@ object Joins {
     * Right rows sort before left rows at equal ts, so an exact-ts match
     * is taken (`<=`, not `<`). The right row's columns are carried as
     * one struct, so matched values are row-atomic.
+    *
+    * If multiple right rows share (keys, ts), pass `tieBreak` (a unique
+    * right column) to make the pick deterministic — the row with the
+    * GREATEST tie-break value wins. Without it the result is only
+    * deterministic when (keys, rightTs) is unique on the right side.
     */
   def asofJoin(
       left: DataFrame,
@@ -34,9 +39,11 @@ object Joins {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val lSchema = left.schema
-    val rSchema = StructType(rightCols.map(c => right.schema(c)))
+    val rFields = (rightCols ++ tieBreak).distinct
+    val rSchema = StructType(rFields.map(c => right.schema(c)))
     val kCols = keys.map(col)
 
     val l2 = left.select(kCols ++ Seq(
@@ -46,9 +53,14 @@ object Joins {
     val r2 = right.select(kCols ++ Seq(
       col(rightTs).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lSchema).as("__l"),
-      struct(rightCols.map(col).toIndexedSeq: _*).as("__r")): _*)
+      struct(rFields.map(col).toIndexedSeq: _*).as("__r")): _*)
 
-    val w = Window.partitionBy(kCols: _*).orderBy(col("__ts"), col("__side"))
+    // Tie-break columns ride in the __r struct; left rows carry nulls
+    // there, which sort first and so never reorder across the
+    // right-before-left boundary established by __side.
+    val order = Seq(col("__ts"), col("__side")) ++
+      tieBreak.map(c => col("__r").getField(c).asc_nulls_first)
+    val w = Window.partitionBy(kCols: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l2.unionByName(r2)

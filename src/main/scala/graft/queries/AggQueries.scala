@@ -1,0 +1,435 @@
+package graft.queries
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 aggregation depth: DISTINCT aggregates, exact
+  * quantiles, argMin/argMax, collect (groupArray), moments,
+  * ROLLUP/CUBE/GROUPING SETS, WITH TOTALS, combinator rewrites
+  * (`-If`, avgWeighted, deltaSum, entropy, uniqUpTo, retention,
+  * boundingRatio, maxIntersections), bit aggregates, sumMap, topK
+  * (exact rewrite), histogram, regression.
+  *
+  * Everything here is a Spark builtin or a rewrite — ClickHouse's
+  * aggregator machinery (partial/final phases, spill, two-level hash)
+  * is HashAggregateExec, which Catalyst supplies. Custom
+  * Aggregator-based functions (windowFunnel/sequenceMatch/topK-sketch)
+  * live in FunnelQueries.
+  *
+  * Determinism at any executor count: every double SUM goes through
+  * DECIMAL(22,6) (exact, associative — see [[graft.Det]]); variance /
+  * covariance are computed FROM those exact decimal sums with plain
+  * double arithmetic, evaluated identically by Spark and DuckDB, so
+  * results are bit-stable no matter how Spark splits partial aggs.
+  */
+object AggQueries {
+
+  /** Exact decimal sum cast back to double (no rounding) — building
+    * block for moment formulas. Identical text works in both dialects.
+    */
+  private def sqlSumD(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(22,6))) AS DOUBLE)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // uniqExact / multi-distinct (§2.4): two-level distinct agg —
+    // Catalyst's RewriteDistinctAggregates expands this to a
+    // partial-agg-friendly plan (scale-safe, no driver collect).
+    QDef("agg_count_distinct", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_suppkey").as("u_supp"),
+          countDistinct($"l_partkey").as("u_part"),
+          countDistinct($"l_suppkey", $"l_partkey").as("u_pair"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS u_supp,
+             count(DISTINCT l_partkey) AS u_part,
+             count(DISTINCT (l_suppkey, l_partkey)) AS u_pair
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // uniqUpTo(N): distinct count saturating at N.
+    QDef("agg_uniq_upto", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(least(countDistinct($"event_type"), lit(3)).as("types_upto3"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id,
+             least(count(DISTINCT event_type), 3) AS types_upto3
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // quantile/quantiles/median — exact interpolated percentiles
+    // (ClickHouse quantileExact*; Spark `percentile` ≡ DuckDB
+    // `quantile_cont`).
+    QDef("agg_quantiles", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          expr("transform(percentile(l_extendedprice, array(0.25, 0.5, 0.75)), x -> round(x, 4))")
+            .as("price_quartiles"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+             list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                            x -> round(x, 4)) AS price_quartiles
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // argMin/argMax → min_by/max_by. Balances have 2dp resolution, so
+    // bal*1e7 + custkey is a collision-free numeric tie-break (exactly
+    // representable in a double up to custkey ~1e5) that both engines
+    // order identically — DuckDB 1.0 arg_max can't order by a struct.
+    QDef("agg_argminmax", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(expr("max_by(c_custkey, c_acctbal * 10000000 + c_custkey)").as("richest"),
+          expr("min_by(c_custkey, c_acctbal * 10000000 + c_custkey)").as("poorest"),
+          round(max($"c_acctbal"), 4).as("max_bal"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      SELECT c_nationkey,
+             arg_max(c_custkey, c_acctbal * 10000000 + c_custkey) AS richest,
+             arg_min(c_custkey, c_acctbal * 10000000 + c_custkey) AS poorest,
+             round(max(c_acctbal), 4) AS max_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // any/anyLast (first/last in event-time order) + boundingRatio:
+    // deterministic because events.ts is unique per user (FIXTURES.md).
+    QDef("agg_any_bounding", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(expr("min_by(event_type, ts)").as("first_type"),
+          expr("max_by(event_type, ts)").as("last_type"),
+          round((expr("max_by(value, ts)") - expr("min_by(value, ts)")) /
+            ((unix_micros(max($"ts")) - unix_micros(min($"ts"))) / lit(86400000000.0)),
+            4).as("bounding_ratio_per_day"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id,
+             arg_min(event_type, ts) AS first_type,
+             arg_max(event_type, ts) AS last_type,
+             round((arg_max(value, ts) - arg_min(value, ts)) /
+                   ((epoch_us(CAST(max(ts) AS TIMESTAMP))
+                     - epoch_us(CAST(min(ts) AS TIMESTAMP))) / 86400000000.0),
+                   4) AS bounding_ratio_per_day
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // groupArray / groupUniqArray → sorted collect_list / collect_set.
+    QDef("agg_collect", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "nation")
+        .groupBy($"n_regionkey")
+        .agg(sort_array(collect_list($"n_name")).as("nations"),
+          sort_array(collect_set(substring($"n_name", 1, 1))).as("initials"))
+        .orderBy($"n_regionkey")
+    }, Some("""
+      SELECT n_regionkey,
+             list_sort(list(n_name)) AS nations,
+             list_sort(list(DISTINCT substring(n_name, 1, 1))) AS initials
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // Moments: stddev/var/covar from EXACT decimal sums + identical
+    // double arithmetic both sides (order-independent at any scale);
+    // corr/regr_* are scale-free ratios where builtin precision is
+    // safe at 4dp.
+    QDef("agg_moments", (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val D = "decimal(22,6)"
+      val n = count(lit(1)).cast("double")
+      val sx = sum($"l_quantity".cast(D)).cast("double")
+      val sxx = sum(($"l_quantity" * $"l_quantity").cast(D)).cast("double")
+      val sy = sum($"l_extendedprice".cast(D)).cast("double")
+      val sxy = sum(($"l_quantity" * $"l_extendedprice").cast(D)).cast("double")
+      li.groupBy($"l_returnflag")
+        .agg(
+          round((sxx - sx * sx / n) / (n - lit(1.0)), 4).as("var_qty"),
+          round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 4).as("sd_qty"),
+          round((sxy - sx * sy / n) / (n - lit(1.0)), 4).as("covar_qp"),
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"))
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag,
+        round((${sqlSumD("l_quantity * l_quantity")}
+               - ${sqlSumD("l_quantity")} * ${sqlSumD("l_quantity")} / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1.0), 4) AS var_qty,
+        round(sqrt((${sqlSumD("l_quantity * l_quantity")}
+               - ${sqlSumD("l_quantity")} * ${sqlSumD("l_quantity")} / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1.0)), 4) AS sd_qty,
+        round((${sqlSumD("l_quantity * l_extendedprice")}
+               - ${sqlSumD("l_quantity")} * ${sqlSumD("l_extendedprice")} / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1.0), 4) AS covar_qp,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // GROUP BY ... WITH ROLLUP (+ grouping_id to disambiguate levels).
+    QDef("agg_rollup", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), Det.dsum($"l_quantity").as("qty"),
+          grouping_id().as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             ${Det.sqlSum("l_quantity")} AS qty,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // GROUP BY ... WITH CUBE.
+    QDef("agg_cube", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), Det.dsum($"o_totalprice").as("total"),
+          grouping_id().as("gid"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             ${Det.sqlSum("o_totalprice")} AS total,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // GROUPING SETS (Spark SQL text; DataFrame API has no direct form).
+    QDef("agg_grouping_sets", (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               ${Det.sqlSum("o_totalprice")} AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             ${Det.sqlSum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // WITH TOTALS emulation: per-group rows + a grand-total row
+    // (ClickHouse sends totals as a side block; relationally it is the
+    // union of the agg with its own grand total).
+    QDef("agg_with_totals", (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val per = li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("cnt"), Det.dsum($"l_extendedprice").as("price"))
+      val tot = li.groupBy()
+        .agg(count(lit(1)).as("cnt"), Det.dsum($"l_extendedprice").as("price"))
+        .select(lit(null).cast("string").as("l_returnflag"), $"cnt", $"price")
+      per.unionByName(tot).orderBy($"l_returnflag".asc_nulls_last)
+    }, Some(s"""
+      SELECT l_returnflag, count(*) AS cnt, ${Det.sqlSum("l_extendedprice")} AS price
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT NULL AS l_returnflag, count(*) AS cnt, ${Det.sqlSum("l_extendedprice")} AS price
+      FROM lineitem
+      ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    // -If combinator family: sumIf/countIf/avgIf as conditional
+    // rewrites (SURVEY §2.4 maps them to sum(CASE...)).
+    QDef("agg_if_combinator", (s, dir) => {
+      import s.implicits._
+      val hi = $"l_quantity" > 25
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          Det.dsum(when(hi, $"l_extendedprice")).as("sum_hi"),
+          count(when(hi, lit(1))).as("cnt_hi"),
+          round(sum(when(hi, $"l_extendedprice").cast("decimal(22,6)")).cast("double") /
+            count(when(hi, lit(1))), 4).as("avg_hi"))
+        .orderBy($"l_linestatus")
+    }, Some(s"""
+      SELECT l_linestatus,
+        ${Det.sqlSum("CASE WHEN l_quantity > 25 THEN l_extendedprice END")} AS sum_hi,
+        count(CASE WHEN l_quantity > 25 THEN 1 END) AS cnt_hi,
+        round(${sqlSumD("CASE WHEN l_quantity > 25 THEN l_extendedprice END")}
+              / count(CASE WHEN l_quantity > 25 THEN 1 END), 4) AS avg_hi
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // avgWeighted(x, w) = sum(x*w)/sum(w), exact decimal sums.
+    QDef("agg_avg_weighted", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(
+          sum(($"l_extendedprice" * $"l_quantity").cast("decimal(22,6)")).cast("double") /
+            sum($"l_quantity".cast("decimal(22,6)")).cast("double"), 4)
+          .as("wavg_price"))
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag,
+             round(${sqlSumD("l_extendedprice * l_quantity")}
+                   / ${sqlSumD("l_quantity")}, 4) AS wavg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // deltaSum: sum of positive deltas in event-time order (window lag
+    // + greatest(x-lag,0); one shuffle on user_id — scale-clean).
+    QDef("agg_delta_sum", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("delta", greatest($"value" - lag($"value", 1).over(w), lit(0.0)))
+        .groupBy($"user_id")
+        .agg(Det.dsum(coalesce($"delta", lit(0.0))).as("delta_sum"))
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id, ${Det.sqlSum("coalesce(delta, 0.0)")} AS delta_sum
+      FROM (SELECT user_id,
+                   greatest(value - lag(value, 1) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta
+            FROM events)
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // entropy: counts per (user,type), then H = log2(n) - sum(c*log2(c))/n
+    // from exact integer counts (algebraically identical to
+    // -sum(p*log2 p) but needs no per-row total join).
+    QDef("agg_entropy", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(round(log2(sum($"c")) - sum($"c" * log2($"c")) / sum($"c"), 4)
+          .as("entropy"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+      FROM (SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // retention(view, click, purchase): condition-hit vector per user;
+    // elements 2..n are ANDed with element 1 (ClickHouse semantics).
+    QDef("agg_retention", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "view", 1).otherwise(0)).as("r_view"),
+          (max(when($"event_type" === "view", 1).otherwise(0)) *
+            max(when($"event_type" === "click", 1).otherwise(0))).as("r_click"),
+          (max(when($"event_type" === "view", 1).otherwise(0)) *
+            max(when($"event_type" === "purchase", 1).otherwise(0))).as("r_purchase"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r_view,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r_click,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r_purchase
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // groupBitAnd/Or/Xor.
+    QDef("agg_bitops", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("bit_and(l_linenumber)").as("b_and"),
+          expr("bit_or(l_linenumber)").as("b_or"),
+          expr("bit_xor(l_linenumber)").as("b_xor"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             bit_and(l_linenumber) AS b_and,
+             bit_or(l_linenumber) AS b_or,
+             bit_xor(l_linenumber) AS b_xor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // sumMap: element-wise sum of per-row maps. Explode → two-key agg
+    // → re-assemble as a k-sorted entry array (map with deterministic
+    // entry order for the compare).
+    QDef("agg_sum_map", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"user_id", map($"event_type", $"value").as("m"))
+        .select($"user_id", explode($"m").as(Seq("k", "v")))
+        .groupBy($"user_id", $"k").agg(Det.dsum($"v").as("v"))
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"k", $"v"))).as("value_by_type"))
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id,
+             list_sort(list({'k': k, 'v': v})) AS value_by_type
+      FROM (SELECT user_id, event_type AS k, ${Det.sqlSum("value")} AS v
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // topK exact rewrite (heavy hitters with deterministic tie-break).
+    QDef("agg_topk_exact", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"l_partkey")
+        .limit(10)
+    }, Some("""
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+      ORDER BY cnt DESC, l_partkey LIMIT 10""")),
+
+    // Fixed-bucket histogram via a two-pass global min/max + bucket
+    // groupBy — the scale-safe way to bucket globally (contrast with a
+    // global ntile window, which single-threads).
+    QDef("agg_histogram", (s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      val mm = cust.agg(min($"c_acctbal").as("lo"), max($"c_acctbal").as("hi"))
+      cust.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(greatest(floor(($"c_acctbal" - $"lo") / ($"hi" - $"lo") * 10), lit(0)), lit(9)))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("cnt"), Det.dsum($"c_acctbal").as("bal"))
+        .orderBy($"bucket")
+    }, Some(s"""
+      SELECT least(greatest(CAST(floor((c_acctbal - lo) / (hi - lo) * 10) AS BIGINT), 0), 9) AS bucket,
+             count(*) AS cnt, ${Det.sqlSum("c_acctbal")} AS bal
+      FROM customer,
+           (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+      GROUP BY bucket ORDER BY bucket""")),
+
+    // maxIntersections: max number of concurrently-open 30-day order
+    // windows per priority class — +1/−1 events, running sum, max.
+    QDef("agg_max_intersections", (s, dir) => {
+      import s.implicits._
+      val ord = Tables(s, dir, "orders")
+      val starts = ord.select($"o_orderpriority", $"o_orderdate".as("t"),
+        lit(1).as("d"), $"o_orderkey")
+      val ends = ord.select($"o_orderpriority",
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("t"),
+        lit(-1).as("d"), $"o_orderkey")
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"t", $"d", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      starts.unionByName(ends)
+        .withColumn("open", sum($"d").over(w))
+        .groupBy($"o_orderpriority")
+        .agg(max($"open").as("max_concurrent"))
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, max(open) AS max_concurrent
+      FROM (
+        SELECT o_orderpriority,
+               sum(d) OVER (PARTITION BY o_orderpriority ORDER BY t, d, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        FROM (
+          SELECT o_orderpriority, o_orderdate AS t, 1 AS d, o_orderkey FROM orders
+          UNION ALL
+          SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY AS t, -1 AS d, o_orderkey
+          FROM orders))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
+}

@@ -189,8 +189,8 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum($"sq").as("sum_sq"),
           sum(when($"id" % 7 === 0, $"id")).as("sum_mult7"))
     }, Some("""
-      SELECT count(*) AS n, sum(i * i) AS sum_sq,
-             sum(CASE WHEN i % 7 = 0 THEN i END) AS sum_mult7
+      SELECT count(*) AS n, CAST(sum(i * i) AS BIGINT) AS sum_sq,
+             CAST(sum(CASE WHEN i % 7 = 0 THEN i END) AS BIGINT) AS sum_mult7
       FROM (SELECT CAST(range AS BIGINT) AS i FROM range(1, 1001))"""))
   )
 }

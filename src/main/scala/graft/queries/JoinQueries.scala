@@ -109,14 +109,20 @@ object JoinQueries {
       SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
       FROM region CROSS JOIN nation ORDER BY r_name, n_name""")),
 
-    // Theta (non-equi) join — the one BroadcastNestedLoop demonstrator;
-    // kept on bounded sides (supplier × customer) by design.
+    // Theta (non-equi) join, band-bucketed: the range predicate spans
+    // at most 5 units, so bucketing both sides by floor(acctbal/5) and
+    // equi-joining on the bucket (supplier exploded to its two
+    // reachable buckets) turns an O(n×m) nested loop into a hash join
+    // + residual filter — the plan that survives a 100× scale-up.
     QDef("join_theta", (s, dir) => {
       import s.implicits._
-      val sup = broadcast(Tables(s, dir, "supplier"))
+      val sup = Tables(s, dir, "supplier")
+        .withColumn("bucket", explode(array(
+          floor($"s_acctbal" / 5) - 1, floor($"s_acctbal" / 5))))
       val cust = Tables(s, dir, "customer")
-      cust.join(sup,
-          $"c_acctbal" > $"s_acctbal" - 5 && $"c_acctbal" <= $"s_acctbal")
+        .withColumn("bucket", floor($"c_acctbal" / 5))
+      cust.join(broadcast(sup), Seq("bucket"))
+        .filter($"c_acctbal" > $"s_acctbal" - 5 && $"c_acctbal" <= $"s_acctbal")
         .groupBy($"s_suppkey")
         .agg(count(lit(1)).as("n_close"), Det.dsum($"c_acctbal").as("bal_sum"))
         .orderBy($"s_suppkey")

@@ -105,23 +105,27 @@ object WindowQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
       GROUP BY user_id ORDER BY user_id""")),
 
-    // ntile / percent_rank / cume_dist over customer balances.
+    // ntile / percent_rank / cume_dist over customer balances,
+    // PARTITIONED by nation: a global (unpartitioned) window would
+    // funnel every row into one task at 100× scale. Global quantile
+    // buckets, when needed, are a two-pass width_bucket aggregation —
+    // see agg_histogram in AggQueries.
     QDef("window_ntile", (s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal", $"c_custkey")
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
       Tables(s, dir, "customer")
-        .select($"c_custkey",
+        .select($"c_custkey", $"c_nationkey",
           ntile(4).over(w).as("quartile"),
           round(percent_rank().over(w), 4).as("pr"),
           round(cume_dist().over(w), 4).as("cd"))
         .orderBy($"c_custkey")
     }, Some("""
-      SELECT c_custkey,
+      SELECT c_custkey, c_nationkey,
              ntile(4) OVER w AS quartile,
              round(percent_rank() OVER w, 4) AS pr,
              round(cume_dist() OVER w, 4) AS cd
       FROM customer
-      WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_custkey""")),
 
     // QUALIFY emulation (§2.2): post-window filter — top spender per nation.
