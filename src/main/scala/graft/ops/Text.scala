@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for LLM-training-data curation over the
+  * `documents` fixture (BASELINE north-star: dedup, text analysis).
+  *
+  * Everything is built from codegen'd builtins + higher-order
+  * functions — no UDFs — and every hash is md5-based so the DuckDB
+  * oracle can reproduce values bit-for-bit ('0x'||hex cast on the
+  * DuckDB side, conv(hex,16,10) here; verified identical).
+  *
+  * Scale design: all per-document work is embarrassingly parallel
+  * projections; candidate generation for near-dup detection goes
+  * through LSH band buckets (groupBy/join on band key — one shuffle),
+  * NEVER an all-pairs cross join.
+  */
+object Text {
+
+  /** Whitespace tokenizer (documents.text is space-separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** 60-bit md5-derived hash of `s`, salted by `seed` — the shared
+    * cross-engine hash primitive (DuckDB twin:
+    * CAST('0x'||substring(md5(seed||'|'||s),1,15) AS BIGINT)).
+    */
+  def mh60(seed: Column, s: Column): Column =
+    conv(substring(md5(concat_ws("|", seed, s)), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: k independent min-hashes over a shingle set.
+    * Standard estimator: P(sig_a[i]==sig_b[i]) = Jaccard(a,b).
+    */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(sh, x => mh60(s, x))))
+
+  /** LSH band keys: signature split into `b` bands of `r` rows;
+    * documents sharing any band key become candidates. Key strings are
+    * "band:csvOfSigSlice" — grouping on them IS the LSH bucketing.
+    */
+  def bandKeys(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      i => concat_ws(":", i, concat_ws(",", slice(sig, i * lit(r) + lit(1), lit(r)))))
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SQL text computing a 32-bit SimHash over the distinct-token array
+    * column named `tokset`: bit b is the majority vote of bit b across
+    * token hashes. Built as SQL because shiftleft/shiftright need a
+    * column shift amount, which the Scala functions API doesn't expose.
+    * DuckDB twin uses the same structure with `>>`/`<<` and list_sum.
+    */
+  def simhash32Sql(tokset: String): String = {
+    val mh = s"CAST(conv(substring(md5(concat('0|', t)), 1, 15), 16, 10) AS BIGINT)"
+    s"""aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+       |  CASE WHEN 2 * aggregate($tokset, 0L, (a, t) -> a + (shiftright($mh, b) % 2))
+       |            > size($tokset)
+       |       THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{Det, QDef, Tables}
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 MergeTree-family query-time semantics +
+  * §2.6 DISTINCT ON / WITH FILL / LIMIT BY + §2.1 I/O formats.
+  * MergeTree "merge-time" behaviors (replace/collapse/sum) are
+  * query-time rewrites here — Spark's immutable parquet needs no
+  * background merges for correctness (SURVEY §3.3).
+  */
+object MergeTreeQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // ReplacingMergeTree: latest state per (user, event_type), version
+    // = event time (unique per user in the fixture).
+    QDef("mt_replacing", (s, dir) => {
+      import s.implicits._
+      Relational.replacingLatest(
+        Tables(s, dir, "events"), Seq("user_id", "event_type"),
+        Seq($"ts", $"event_id"))
+        .select($"user_id", $"event_type", $"event_id".as("last_event"),
+          round($"value", 4).as("last_value"))
+        .orderBy($"user_id", $"event_type")
+    }, Some("""
+      SELECT user_id, event_type, event_id AS last_event,
+             round(value, 4) AS last_value
+      FROM (SELECT user_id, event_type, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // CollapsingMergeTree: ±1 sign rows net out per key; cancelled
+    // groups vanish. Sign synthesized deterministically from event_id.
+    QDef("mt_collapsing", (s, dir) => {
+      import s.implicits._
+      val signed = Tables(s, dir, "events")
+        .withColumn("sign", when($"event_id" % 3 === 0, -1).otherwise(1))
+      Relational.collapse(signed, Seq("user_id"), $"sign")
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id, net_sign, n_rows FROM (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END) AS BIGINT) AS net_sign,
+               count(*) AS n_rows
+        FROM events GROUP BY user_id)
+      WHERE net_sign <> 0 ORDER BY user_id""")),
+
+    // SummingMergeTree: pre-aggregated rows per sort key ≡ plain
+    // GROUP BY sum at query time.
+    QDef("mt_summing", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(Det.dsum($"value").as("value_sum"), count(lit(1)).as("n"))
+        .orderBy($"user_id", $"event_type")
+    }, Some(s"""
+      SELECT user_id, event_type, ${Det.sqlSum("value")} AS value_sum,
+             count(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""")),
+
+    // DISTINCT ON (nation): the top-balance customer row per nation —
+    // deterministic ordered pick, unlike bare dropDuplicates.
+    QDef("rel_distinct_on", (s, dir) => {
+      import s.implicits._
+      Relational.distinctOn(Tables(s, dir, "customer"),
+        Seq("c_nationkey"), Seq($"c_acctbal".desc, $"c_custkey".asc))
+        .select($"c_nationkey", $"c_custkey", $"c_mktsegment")
+        .orderBy($"c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, c_custkey, c_mktsegment
+      FROM (SELECT c_nationkey, c_custkey, c_mktsegment,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer)
+      WHERE rn = 1 ORDER BY c_nationkey""")),
+
+    // LIMIT 2 BY brand: general per-group limit (n>1 — the r1 gap).
+    QDef("rel_limit_by", (s, dir) => {
+      import s.implicits._
+      Relational.limitBy(Tables(s, dir, "part"), Seq("p_brand"), 2,
+        Seq($"p_retailprice".desc, $"p_partkey".asc))
+        .select($"p_brand", $"p_partkey", $"p_retailprice")
+        .orderBy($"p_brand", $"p_retailprice".desc, $"p_partkey")
+    }, Some("""
+      SELECT p_brand, p_partkey, p_retailprice
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn <= 2 ORDER BY p_brand, p_retailprice DESC, p_partkey""")),
+
+    // ORDER BY day WITH FILL: calendar gap-fill of daily event counts
+    // (generate series + broadcast left join; zero-filled).
+    QDef("rel_with_fill", (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Relational.withFillDays(daily, "day", Map("n" -> lit(0L)))
+        .orderBy($"day")
+    }, Some("""
+      SELECT day, coalesce(n, 0) AS n
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM (SELECT min(day) AS lo, max(day) AS hi
+                  FROM (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+                        FROM events)))
+      LEFT JOIN (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                        count(*) AS n
+                 FROM events GROUP BY 1) USING (day)
+      ORDER BY day""")),
+
+    // I/O formats (§2.1): csv / json / orc round-trips of the nation
+    // table — write, read back, prove contents identical per format.
+    QDef("mt_formats", (s, dir) => {
+      import s.implicits._
+      val nation = Tables(s, dir, "nation")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_formats"
+      val out = Seq("csv", "json", "orc").map { fmt =>
+        val path = s"$tmp/$fmt"
+        val w = nation.write.mode("overwrite")
+        (fmt match {
+          case "csv" => w.option("header", "true")
+          case _ => w
+        }).format(fmt).save(path)
+        val r = s.read
+        val back = (fmt match {
+          case "csv" => r.option("header", "true").schema(nation.schema)
+          case _ => r.schema(nation.schema)
+        }).format(fmt).load(path)
+        back.agg(count(lit(1)).as("n"), sum($"n_nationkey").as("key_sum"))
+          .select(lit(fmt).as("fmt"), $"n", $"key_sum")
+      }
+      out.reduce(_ unionByName _).orderBy($"fmt")
+    }, Some("""
+      SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation, (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+      GROUP BY fmt ORDER BY fmt"""))
+  )
+}

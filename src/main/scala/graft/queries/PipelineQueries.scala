@@ -1,0 +1,285 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` (BASELINE
+  * north star): exact + near-duplicate detection, SimHash, text
+  * analysis, language ID, fingerprinting, multimodal-column stub.
+  *
+  * Scale invariants (the 100 TB contract):
+  *  - near-dup candidates come from LSH band buckets or blocking keys
+  *    (equi-join shuffles), never an all-pairs cross join;
+  *  - every per-document feature is a parallel projection;
+  *  - all hashes are md5-derived so DuckDB reproduces them exactly.
+  */
+object PipelineQueries {
+
+  val textDefs: Seq[QDef] = Seq(
+
+    // Exact dedup (hash-groupBy): corpus-level duplicate accounting.
+    QDef("pipe_dedup_exact", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("u_text"),
+        countDistinct(md5(lower($"text"))).as("u_norm"))
+    }, Some("""
+      SELECT count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS u_text,
+             count(DISTINCT md5(lower(text))) AS u_norm
+      FROM documents""")),
+
+    // MinHash + LSH near-duplicate pairs — THE bucketed near-dup
+    // pipeline: 3-word shingles → 16 min-hashes → 8 bands × 2 →
+    // band-bucket self-join → exact Jaccard on candidates only.
+    // Identical md5-based hashes on the DuckDB side make even the
+    // LSH candidate set oracle-checkable.
+    QDef("pipe_minhash_lsh", (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("toks", Text.tokens($"text"))
+        .withColumn("sh", array_distinct(Text.shingles($"toks", 3)))
+        .withColumn("sig", Text.minhashSig($"sh", 16))
+      val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val shs = docs.select($"doc_id", $"sh")
+      cand
+        .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .withColumn("jac", Text.jaccard($"sh_a", $"sh_b"))
+        .filter($"jac" >= 0.35)
+        .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      sig AS (
+        SELECT doc_id, list_transform(range(0, 16), s ->
+                 list_min(list_transform(sh, x ->
+                   CAST('0x' || substring(md5(s || '|' || x), 1, 15) AS BIGINT)))) AS sig
+        FROM d),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(range(0, 8), i ->
+                 i || ':' || array_to_string(sig[i*2+1:i*2+2], ','))) AS bk
+        FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                   len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      FROM cand JOIN d x ON cand.doc_a = x.doc_id
+                JOIN d y ON cand.doc_b = y.doc_id
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+            len(list_distinct(list_concat(x.sh, y.sh))) >= 0.35
+      ORDER BY doc_a, doc_b""")),
+
+    // Blocked n-gram Jaccard near-dup (compose-existing-ops baseline):
+    // candidates share (lang, first token) — a cheap blocking key —
+    // then exact bigram-shingle Jaccard.
+    QDef("pipe_ngram_jaccard", (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("toks", Text.tokens($"text"))
+        .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
+        .withColumn("blk", concat_ws("|", $"lang", element_at($"toks", 1)))
+        .select($"doc_id", $"blk", $"sh")
+      docs.as("a").join(docs.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jac", Text.jaccard(col("a.sh"), col("b.sh")))
+        .filter($"jac" >= 0.25)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round($"jac", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang || '|' || toks[1] AS blk,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks), 1)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS sh
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.25
+      ORDER BY doc_a, doc_b""")),
+
+    // SimHash document fingerprints (bitwise majority over token
+    // hashes) — near-dup docs land at small Hamming distance.
+    QDef("pipe_simhash", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 20 === 0)
+        .withColumn("tokset", array_distinct(Text.tokens($"text")))
+        .withColumn("simhash", expr(Text.simhash32Sql("tokset")))
+        .select($"doc_id", $"simhash",
+          expr("shiftright(simhash, 24)").as("bucket"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN 2 * list_sum(list_transform(tokset, t ->
+                      (CAST('0x' || substring(md5('0|' || t), 1, 15) AS BIGINT) >> b) % 2))
+                    > len(tokset)
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN 2 * list_sum(list_transform(tokset, t ->
+                      (CAST('0x' || substring(md5('0|' || t), 1, 15) AS BIGINT) >> b) % 2))
+                    > len(tokset)
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) >> 24 AS bucket
+      FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+            FROM documents WHERE doc_id % 20 = 0)
+      ORDER BY doc_id""")),
+
+    // Text quality stats per language: token counts, type-token
+    // ratio, mean token length, filler-token ratio — the standard
+    // corpus-quality heuristics.
+    QDef("pipe_text_stats", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(18,6)"
+      Tables(s, dir, "documents")
+        .withColumn("toks", Text.tokens($"text"))
+        .select($"lang",
+          size($"toks").as("n_tok"),
+          (size(array_distinct($"toks")).cast("double") / size($"toks"))
+            .cast(D).as("ttr"),
+          (length($"text").cast("double") / size($"toks")).cast(D).as("tok_len"),
+          (size(expr("filter(toks, t -> t IN ('a', 'big', 'data'))")).cast("double") /
+            size($"toks")).cast(D).as("filler"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          sum($"n_tok").as("tokens"),
+          round((sum($"ttr") / count(lit(1))).cast("double"), 4).as("avg_ttr"),
+          round((sum($"tok_len") / count(lit(1))).cast("double"), 4).as("avg_tok_len"),
+          round((sum($"filler") / count(lit(1))).cast("double"), 4).as("avg_filler"))
+        .orderBy($"lang")
+    }, Some("""
+      SELECT lang, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+             round(CAST(sum(ttr) / count(*) AS DOUBLE), 4) AS avg_ttr,
+             round(CAST(sum(tok_len) / count(*) AS DOUBLE), 4) AS avg_tok_len,
+             round(CAST(sum(filler) / count(*) AS DOUBLE), 4) AS avg_filler
+      FROM (SELECT lang, len(toks) AS n_tok,
+                   CAST(len(list_distinct(toks))::DOUBLE / len(toks) AS DECIMAL(18,6)) AS ttr,
+                   CAST(length(text)::DOUBLE / len(toks) AS DECIMAL(18,6)) AS tok_len,
+                   CAST(len(list_filter(toks, t -> t IN ('a', 'big', 'data')))::DOUBLE
+                        / len(toks) AS DECIMAL(18,6)) AS filler
+            FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM documents))
+      GROUP BY lang ORDER BY lang""")),
+
+    // Language ID as a naive-Bayes token-profile classifier, fully
+    // relational: profiles = groupBy(lang, token); scoring = tokens ×
+    // langs left-joined to profiles; argmax per doc via window.
+    // Laplace-smoothed; 6dp-rounded decimal log-probs keep the sums
+    // order-independent. Output: confusion matrix.
+    QDef("pipe_lang_id", (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
+      val langs = toks.select($"lang".as("plang")).distinct()
+      val prof = toks.groupBy($"lang".as("plang"), $"tok").agg(count(lit(1)).as("c"))
+      val totals = toks.groupBy($"lang".as("plang")).agg(count(lit(1)).as("n_l"))
+      val vocab = toks.agg(countDistinct($"tok").as("v"))
+      val scored = toks
+        .crossJoin(broadcast(langs))
+        .join(broadcast(prof), Seq("plang", "tok"), "left")
+        .join(broadcast(totals), Seq("plang"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp",
+          round(log((coalesce($"c", lit(0L)) + lit(1)) / ($"n_l" + $"v").cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy($"doc_id", $"lang", $"plang")
+        .agg(sum($"logp").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"lang", $"plang".as("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      langs AS (SELECT DISTINCT lang AS plang FROM toks),
+      prof AS (SELECT lang AS plang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      totals AS (SELECT lang AS plang, count(*) AS n_l FROM toks GROUP BY 1),
+      vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      scored AS (
+        SELECT t.doc_id, t.lang, l.plang,
+               sum(CAST(round(ln((coalesce(p.c, 0) + 1) /
+                     CAST(tt.n_l + vocab.v AS DOUBLE)), 6) AS DECIMAL(18,6))) AS score
+        FROM toks t
+        CROSS JOIN langs l
+        LEFT JOIN prof p ON p.plang = l.plang AND p.tok = t.tok
+        JOIN totals tt ON tt.plang = l.plang
+        CROSS JOIN vocab
+        GROUP BY 1, 2, 3),
+      pred AS (SELECT doc_id, lang, plang,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, plang) AS rn
+               FROM scored)
+      SELECT lang, plang AS predicted, count(*) AS n
+      FROM pred WHERE rn = 1 GROUP BY lang, predicted
+      ORDER BY lang, predicted""")),
+
+    // Rolling-hash document fingerprint + shard assignment — the
+    // deterministic doc-identity primitive used for incremental dedup.
+    QDef("pipe_fingerprint", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 20 === 0)
+        .select($"doc_id",
+          substring(md5($"text"), 1, 8).as("fp"),
+          (Text.mh60(lit(7), $"text") % 64).as("shard"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, substring(md5(text), 1, 8) AS fp,
+             CAST('0x' || substring(md5('7|' || text), 1, 15) AS BIGINT) % 64 AS shard
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
+
+    // SQL-lambda UDF surface (§2.10): CREATE FUNCTION analog via
+    // spark.udf.register — integer arithmetic so results are exact.
+    QDef("pipe_udf_quality", (s, dir) => {
+      import s.implicits._
+      s.udf.register("quality_score",
+        (text: String) => text.split(" ").length * 2 + text.length % 7)
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 20 === 0)
+        .selectExpr("doc_id", "quality_score(text) AS q")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, len(string_split(text, ' ')) * 2 + length(text) % 7 AS q
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
+
+    // Multimodal columns: opaque binary payload + typed metadata
+    // struct; "decode" is the documented deterministic stub (real
+    // decoders aren't in this container — the Spark-side schema,
+    // partitioning and batch plumbing are the real artifact; see
+    // graft.ops.Multimodal for the mapPartitions batch path).
+    QDef("pipe_multimodal", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("payload", $"text".cast("binary"))
+        .withColumn("meta", struct($"lang", $"n_chars"))
+        .withColumn("thumb", substring(md5($"text"), 1, 8))
+        .groupBy($"meta.lang".as("lang"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(octet_length($"payload")).as("total_bytes"),
+          min($"thumb").as("first_thumb"))
+        .orderBy($"lang")
+    }, Some("""
+      SELECT lang, count(*) AS n_assets,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             min(substring(md5(text), 1, 8)) AS first_thumb
+      FROM documents GROUP BY lang ORDER BY lang"""))
+  )
+
+  def defs: Seq[QDef] = textDefs
+}
