@@ -1,0 +1,64 @@
+package graft.ops
+
+/** Vector-search primitives for the `embeddings` fixture (BASELINE
+  * north star: similarity search). The scale story:
+  *
+  *  - brute-force exact top-k (the baseline) broadcasts a SMALL query
+  *    set against the corpus — each corpus partition scores locally,
+  *    one shuffle on query id for the per-query top-k window;
+  *  - hyperplane LSH (the scale path) assigns every vector an n-bit
+  *    bucket from sign(plane · v); probes equi-join their bucket —
+  *    candidate generation is a hash join, never all-pairs.
+  *
+  * The hyperplanes are md5-seeded ±1 vectors generated here ONCE and
+  * inlined as literals into both the Spark expression and the DuckDB
+  * oracle, so both engines use identical planes.
+  */
+object Vectors {
+
+  /** Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff
+    * the 60-bit md5 hash of "p,d" is even — reproducible anywhere.
+    */
+  def planeMatrix(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (1 to dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$p,$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** SQL literal text of [[planeMatrix]] — `array(array(1.0,...),...)`
+    * for Spark, `[[1.0,...],...]` for DuckDB.
+    */
+  def planesSparkSql(nPlanes: Int, dim: Int): String =
+    planeMatrix(nPlanes, dim)
+      .map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+
+  def planesDuckSql(nPlanes: Int, dim: Int): String =
+    planeMatrix(nPlanes, dim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Spark SQL expression computing the LSH bucket of `vecCol`:
+    * bit p = (plane_p · v > 0), folded to a BIGINT. The inner dot is
+    * an ascending-index sequential fold, matching DuckDB list_sum.
+    */
+  def bucketSparkSql(vecCol: String, nPlanes: Int, dim: Int): String = {
+    val planes = planesSparkSql(nPlanes, dim)
+    s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) -> acc +
+       |  CASE WHEN aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
+       |         (a, d) -> a + element_at(element_at($planes, p + 1), d)
+       |                       * CAST(element_at($vecCol, d) AS DOUBLE)) > 0
+       |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin
+  }
+
+  /** DuckDB twin of [[bucketSparkSql]]. */
+  def bucketDuckSql(vecCol: String, nPlanes: Int, dim: Int): String = {
+    val planes = planesDuckSql(nPlanes, dim)
+    s"""CAST(list_sum(list_transform(range(0, $nPlanes), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |         d -> ($planes)[p + 1][d] * $vecCol[d]::DOUBLE)) > 0
+       |       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin
+  }
+}

@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.ops.Text
+import graft.functions.GraftFunctions
+import graft.ops.{Text, Vectors}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` (BASELINE
@@ -281,5 +283,97 @@ object PipelineQueries {
       FROM documents GROUP BY lang ORDER BY lang"""))
   )
 
-  def defs: Seq[QDef] = textDefs
+  val vectorDefs: Seq[QDef] = Seq(
+
+    // Exact cosine top-k (brute-force ANN baseline): a small query set
+    // broadcast against the corpus, scored by the codegen'd
+    // cosine_sim Catalyst expression (graft.functions), per-query
+    // top-3 via window. The one intentional nested-loop join in the
+    // repo: brute-force scoring IS all-pairs against the (small)
+    // query set, and each corpus partition scores locally.
+    QDef("pipe_sim_topk", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" % 200 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+      emb.join(broadcast(q), $"vec_id" =!= $"qid")
+        .withColumn("sim", expr("cosine_sim(embedding, qv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"vec_id".as("neighbor"), round($"sim", 4).as("sim"))
+        .orderBy($"qid", $"rank")
+    }, Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                 FROM embeddings WHERE vec_id % 200 = 0),
+      sims AS (SELECT qid, vec_id AS neighbor,
+                      list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS sim
+               FROM q JOIN embeddings ON vec_id <> qid),
+      r AS (SELECT qid, neighbor, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, neighbor) AS rank
+            FROM sims)
+      SELECT qid, rank, neighbor, round(sim, 4) AS sim
+      FROM r WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // Hyperplane-LSH bucketed ANN (the scale path): 8 md5-seeded ±1
+    // planes → 8-bit bucket per vector; queries equi-join their
+    // bucket and rank candidates exactly. Candidate generation is a
+    // hash join on the bucket — no all-pairs scan.
+    QDef("pipe_ann_lsh", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("bucket", expr(Vectors.bucketSparkSql("embedding", 8, 64)))
+      val q = emb.filter($"vec_id" % 200 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"), $"bucket")
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+      q.join(emb, Seq("bucket")).filter($"vec_id" =!= $"qid")
+        .withColumn("sim", expr("cosine_sim(embedding, qv)"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"qid")))
+        .filter($"rank" === 1)
+        .select($"qid", $"bucket", $"n_cand",
+          $"vec_id".as("best_match"), round($"sim", 4).as("sim"))
+        .orderBy($"qid")
+    }, Some(s"""
+      WITH b AS (SELECT vec_id, embedding,
+                        ${Vectors.bucketDuckSql("embedding", 8, 64)} AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qv, bucket
+            FROM b WHERE vec_id % 200 = 0),
+      cand AS (SELECT q.qid, q.bucket, b.vec_id,
+                      list_cosine_similarity(q.qv::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+               FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid),
+      r AS (SELECT qid, bucket, vec_id, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id) AS rank,
+                   count(*) OVER (PARTITION BY qid) AS n_cand
+            FROM cand)
+      SELECT qid, bucket, n_cand, vec_id AS best_match, round(sim, 4) AS sim
+      FROM r WHERE rank = 1 ORDER BY qid""")),
+
+    // Per-label embedding centroids (first 8 dims): posexplode →
+    // exact decimal mean per (label, dim) — one shuffle, element-wise
+    // array aggregation at any scale.
+    QDef("pipe_embed_centroid", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .filter($"pos" < 8)
+        .groupBy($"label", $"pos")
+        .agg(round((sum($"v".cast("double").cast("decimal(22,9)")).cast("double") /
+          count(lit(1))), 4).as("centroid"))
+        .orderBy($"label", $"pos")
+    }, Some("""
+      SELECT label, pos, round(CAST(sum(CAST(v::DOUBLE AS DECIMAL(22,9))) AS DOUBLE)
+                               / count(*), 4) AS centroid
+      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos"""))
+  )
+
+  def defs: Seq[QDef] = textDefs ++ vectorDefs
 }
