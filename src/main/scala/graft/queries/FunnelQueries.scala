@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.ops.Aggregates
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 "A"-row signature aggregates over the events
+  * fixture (its view→click→purchase chains are purpose-built for
+  * this): windowFunnel, sequenceMatch, topK — all custom
+  * `Aggregator[IN,BUF,OUT]`s from [[graft.ops.Aggregates]], run
+  * through Spark's normal partial/final two-phase aggregation.
+  *
+  * The DuckDB oracles restate the semantics relationally
+  * (exists-chain joins / exact top-k) — two independent
+  * implementations agreeing is the point of the gate. Timestamps
+  * compare in µs on both sides (events.ts is ns in parquet; Spark
+  * truncates to µs, the oracle casts identically).
+  */
+object FunnelQueries {
+
+  private val stepExpr =
+    when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+      .otherwise(0)
+
+  val defs: Seq[QDef] = Seq(
+
+    // windowFunnel(7 days)(view → click → purchase) per user.
+    QDef("funnel_window", (s, dir) => {
+      import s.implicits._
+      val wf = udaf(new Aggregates.WindowFunnel(7L * 86400L * 1000000L, 3))
+      Tables(s, dir, "events")
+        .withColumn("step", stepExpr)
+        .filter($"step" > 0)
+        .select($"user_id", unix_micros($"ts").as("tsUs"), $"step")
+        .groupBy($"user_id")
+        .agg(wf($"tsUs", $"step").as("depth"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                 FROM events),
+      v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+      c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+      d1 AS (SELECT DISTINCT user_id FROM v),
+      d2 AS (SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+             AND c.us >= v.us AND c.us - v.us <= 604800000000),
+      d3 AS (SELECT DISTINCT v.user_id FROM v
+             JOIN c ON c.user_id = v.user_id AND c.us >= v.us
+             JOIN p ON p.user_id = v.user_id AND p.us >= c.us
+             AND p.us - v.us <= 604800000000)
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                  ELSE 0 END AS depth
+      FROM (SELECT DISTINCT user_id FROM e
+            WHERE event_type IN ('view', 'click', 'purchase')) u
+      ORDER BY u.user_id""")),
+
+    // sequenceMatch('(?view).*(?signup).*(?purchase)') per user —
+    // strict temporal order, no window bound.
+    QDef("funnel_sequence", (s, dir) => {
+      import s.implicits._
+      val sm = udaf(new Aggregates.SequenceMatch(3))
+      val step = when($"event_type" === "view", 1)
+        .when($"event_type" === "signup", 2)
+        .when($"event_type" === "purchase", 3)
+        .otherwise(0)
+      Tables(s, dir, "events")
+        .withColumn("step", step)
+        .filter($"step" > 0)
+        .select($"user_id", unix_micros($"ts").as("tsUs"), $"step")
+        .groupBy($"user_id")
+        .agg(sm($"tsUs", $"step").as("matched"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                 FROM events)
+      SELECT u.user_id,
+             EXISTS (SELECT 1 FROM e v
+                     JOIN e s2 ON s2.user_id = v.user_id
+                       AND s2.event_type = 'signup' AND s2.us > v.us
+                     JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > s2.us
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view')
+               AS matched
+      FROM (SELECT DISTINCT user_id FROM e
+            WHERE event_type IN ('view', 'signup', 'purchase')) u
+      ORDER BY u.user_id""")),
+
+    // topK(2) event types per user via the SpaceSaving sketch —
+    // capacity 8 ≥ the 5 distinct types, so the sketch is exact and
+    // the exact-rewrite oracle applies.
+    QDef("funnel_topk", (s, dir) => {
+      import s.implicits._
+      val tk = udaf(new Aggregates.TopK(2, 8))
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(tk($"event_type").as("top"))
+        .select($"user_id", posexplode($"top").as(Seq("i", "e")))
+        .select($"user_id", ($"i" + 1).as("rank"), $"e.v".as("etype"), $"e.c".as("cnt"))
+        .orderBy($"user_id", $"rank")
+    }, Some("""
+      SELECT user_id, rank, etype, cnt FROM (
+        SELECT user_id, event_type AS etype, count(*) AS cnt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rank
+        FROM events GROUP BY user_id, event_type)
+      WHERE rank <= 2 ORDER BY user_id, rank"""))
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Aggregates
+import graft.ops.Aggregates.StepEvent
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the custom Aggregators (SURVEY §5.2.3): the
+  * partial-aggregation laws Spark relies on (merge associativity /
+  * commutativity under finish) plus semantic equivalence against
+  * brute-force reference implementations. ScalaCheck is driven
+  * directly (no scalatestplus bridge in the offline cache).
+  */
+class AggregatorSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val W = 20L
+  private val funnel = new Aggregates.WindowFunnel(W, 3)
+  private val seqm = new Aggregates.SequenceMatch(3)
+
+  private val evGen: Gen[StepEvent] = for {
+    ts <- Gen.choose(0L, 50L)
+    st <- Gen.choose(1, 3)
+  } yield StepEvent(ts, st)
+  private val evsGen: Gen[List[StepEvent]] = Gen.listOfN(10, evGen)
+
+  /** Brute force: deepest k with an existential chain t1≤…≤tk,
+    * tk−t1≤W (the windowFunnel contract).
+    */
+  private def bruteDepth(evs: Seq[StepEvent], w: Long, n: Int): Int = {
+    def chainExists(k: Int): Boolean = {
+      def go(st: Int, prev: Long, start: Long): Boolean =
+        if (st > k) true
+        else evs.exists(e => e.step == st && e.tsUs >= prev &&
+          (st == 1 || e.tsUs - start <= w) &&
+          go(st + 1, e.tsUs, if (st == 1) e.tsUs else start))
+      go(1, Long.MinValue, 0L)
+    }
+    (1 to n).reverse.find(chainExists).getOrElse(0)
+  }
+
+  private def bruteSeq(evs: Seq[StepEvent], n: Int): Boolean = {
+    def go(st: Int, prev: Long): Boolean =
+      if (st > n) true
+      else evs.exists(e => e.step == st && e.tsUs > prev && go(st + 1, e.tsUs))
+    go(1, Long.MinValue)
+  }
+
+  test("windowFunnel DP equals brute-force exists-chain") {
+    check(Prop.forAll(evsGen) { evs =>
+      funnel.finish(evs) == bruteDepth(evs, W, 3)
+    })
+  }
+
+  test("windowFunnel merge is associative and commutative under finish") {
+    check(Prop.forAll(evsGen, evsGen, evsGen) { (a, b, c) =>
+      val abc1 = funnel.finish(funnel.merge(funnel.merge(a, b), c))
+      val abc2 = funnel.finish(funnel.merge(a, funnel.merge(b, c)))
+      val cba = funnel.finish(funnel.merge(c, funnel.merge(b, a)))
+      abc1 == abc2 && abc1 == cba
+    })
+  }
+
+  test("windowFunnel depth is monotone in window size") {
+    check(Prop.forAll(evsGen) { evs =>
+      val small = new Aggregates.WindowFunnel(5L, 3).finish(evs)
+      val large = new Aggregates.WindowFunnel(50L, 3).finish(evs)
+      small <= large
+    })
+  }
+
+  test("sequenceMatch greedy equals brute force (strict order)") {
+    check(Prop.forAll(evsGen) { evs =>
+      seqm.finish(evs) == bruteSeq(evs, 3)
+    })
+  }
+
+  test("sequenceMatch merge is associative/commutative under finish") {
+    check(Prop.forAll(evsGen, evsGen) { (a, b) =>
+      seqm.finish(seqm.merge(a, b)) == seqm.finish(seqm.merge(b, a))
+    })
+  }
+
+  private val strGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+
+  test("topK is exact when distinct count fits capacity") {
+    check(Prop.forAll(strGen) { xs =>
+      val agg = new Aggregates.TopK(3, 8)
+      val out = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val exact = xs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+        .toSeq.sortBy { case (v, c) => (-c, v) }.take(3)
+      out.map(c => (c.v, c.c)) == exact
+    })
+  }
+
+  test("topK merge equals single-pass build when within capacity") {
+    check(Prop.forAll(strGen, strGen) { (xs, ys) =>
+      val agg = new Aggregates.TopK(3, 8)
+      val merged = agg.merge(
+        xs.foldLeft(agg.zero)(agg.reduce), ys.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(merged) == agg.finish((xs ++ ys).foldLeft(agg.zero)(agg.reduce))
+    })
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the custom join operators (SURVEY §2.3): the edge
+  * cases the oracle queries don't reach — equal-ts ties, no-match
+  * nulls, multi-key grouping, tie-break determinism.
+  */
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin takes an exact-ts match (<=, not <)") {
+    val l = Seq((1L, 100L)).toDF("k", "ts")
+    val r = Seq((1L, 100L, "atTs"), (1L, 50L, "before")).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(l, r, Seq("k"), "ts", "ts", Seq("v"))
+    assert(out.select("asof_v").as[String].collect().toSeq == Seq("atTs"))
+  }
+
+  test("asofJoin yields null when no right row precedes") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 50L, "later")).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(l, r, Seq("k"), "ts", "ts", Seq("v"))
+    assert(out.select("asof_v").collect().toSeq == Seq(Row(null)))
+  }
+
+  test("asofJoin matches only within the same key group") {
+    val l = Seq((1L, "a", 100L), (1L, "b", 100L), (2L, "a", 100L)).toDF("k1", "k2", "ts")
+    val r = Seq((1L, "a", 90L, "r1a"), (1L, "b", 80L, "r1b")).toDF("k1", "k2", "ts", "v")
+    val out = Joins.asofJoin(l, r, Seq("k1", "k2"), "ts", "ts", Seq("v"))
+      .orderBy("k1", "k2")
+    assert(out.select("asof_v").as[String].collect().toSeq == Seq("r1a", "r1b", null))
+  }
+
+  test("asofJoin picks latest preceding, and tieBreak resolves equal-ts rights") {
+    val l = Seq((1L, 100L)).toDF("k", "ts")
+    val r = Seq((1L, 90L, "x", 1L), (1L, 90L, "y", 2L), (1L, 10L, "old", 3L))
+      .toDF("k", "ts", "v", "uid")
+    val out = Joins.asofJoin(l, r, Seq("k"), "ts", "ts", Seq("v"),
+      tieBreak = Seq("uid"))
+    // greatest tie-break value wins
+    assert(out.select("asof_v").as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("anyJoin returns exactly one deterministic match per left row") {
+    val l = Seq(1L, 2L, 3L).toDF("k")
+    val r = Seq((1L, 10, "a"), (1L, 20, "b"), (2L, 5, "c")).toDF("k", "p", "v")
+    val out = Joins.anyJoin(l, r, Seq("k"), Seq($"p".desc, $"v".asc))
+      .orderBy("k")
+    assert(out.count() == 3)
+    assert(out.select("v").as[String].collect().toSeq == Seq("b", "c", null))
+  }
+}

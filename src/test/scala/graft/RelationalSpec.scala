@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the relational helpers (SURVEY §2.1/§2.6). */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("replacingLatest keeps exactly the newest version per key") {
+    val df = Seq((1L, 1, "old"), (1L, 3, "new"), (1L, 2, "mid"), (2L, 1, "only"))
+      .toDF("k", "ver", "v")
+    val out = Relational.replacingLatest(df, Seq("k"), Seq($"ver")).orderBy("k")
+    assert(out.select("v").as[String].collect().toSeq == Seq("new", "only"))
+  }
+
+  test("collapse drops cancelled sign groups") {
+    val df = Seq((1L, 1), (1L, -1), (2L, 1), (2L, 1), (2L, -1)).toDF("k", "sign")
+    val out = Relational.collapse(df, Seq("k"), $"sign")
+    assert(out.select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("limitBy keeps first n per group in order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "x")
+    val out = Relational.limitBy(df, Seq("g"), 2, Seq($"x".asc)).orderBy("g", "x")
+    assert(out.select("x").as[Int].collect().toSeq == Seq(1, 2, 9))
+  }
+
+  test("distinctOn is a deterministic ordered pick") {
+    val df = Seq(("a", 3, "z"), ("a", 3, "y"), ("b", 1, "w")).toDF("g", "x", "t")
+    val out = Relational.distinctOn(df, Seq("g"), Seq($"x".desc, $"t".asc)).orderBy("g")
+    assert(out.select("t").as[String].collect().toSeq == Seq("y", "w"))
+  }
+
+  test("withFillDays fills calendar gaps with the given default") {
+    val df = Seq(("2024-01-01", 5L), ("2024-01-04", 7L))
+      .toDF("d", "n").select(to_date($"d").as("day"), $"n")
+    val out = Relational.withFillDays(df, "day", Map("n" -> lit(0L))).orderBy("day")
+    assert(out.count() == 4)
+    assert(out.select("n").as[Long].collect().toSeq == Seq(5L, 0L, 0L, 7L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.StreamDemo
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.9 / §5.2.4: batch≡stream equivalence. The same transform
+  * runs over the static events table and over a file-stream replay of
+  * the same parquet; the final streamed state must equal the batch
+  * answer (ClickHouse MV-pipeline-at-rest semantics).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def stageStreamDir(): String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("tumbling daily counts: streamed result equals batch result") {
+    val batch = StreamDemo.dailyCounts(
+      Tables(spark, "/root/testdata/sf0.001", "events"))
+    val expected = canon(batch)
+
+    val stream = StreamDemo.dailyCounts(
+      StreamDemo.readEventStream(spark, stageStreamDir()))
+    val q = stream.writeStream.format("memory")
+      .queryName("daily_counts").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = canon(spark.table("daily_counts"))
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows: streamed sessionization equals batch") {
+    val batch = StreamDemo.userSessions(
+      Tables(spark, "/root/testdata/sf0.001", "events"))
+    val expected = canon(batch)
+
+    val stream = StreamDemo.userSessions(
+      StreamDemo.readEventStream(spark, stageStreamDir()))
+    val q = stream.writeStream.format("memory")
+      .queryName("sessions").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(canon(spark.table("sessions")) == expected)
+    } finally q.stop()
+  }
+}
