@@ -40,10 +40,15 @@ object PipelineQueries {
     // LSH candidate set oracle-checkable.
     QDef("pipe_minhash_lsh", (s, dir) => {
       import s.implicits._
+      // localCheckpoint: the shingled+signed frame feeds three plan
+      // branches (bands + both sides of the candidate join) — cut the
+      // lineage so shingling/hashing runs once, not four times.
       val docs = Tables(s, dir, "documents")
         .withColumn("toks", Text.tokens($"text"))
         .withColumn("sh", array_distinct(Text.shingles($"toks", 3)))
         .withColumn("sig", Text.minhashSig($"sh", 16))
+        .select($"doc_id", $"sh", $"sig")
+        .localCheckpoint()
       val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -63,11 +68,16 @@ object PipelineQueries {
                  range(1, greatest(len(toks) - 1, 1)),
                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      hp AS (
+        SELECT doc_id, list_transform(sh, x -> struct_pack(
+                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT),
+                 h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
+                       % 36028797018963968)) AS hp
+        FROM d),
       sig AS (
         SELECT doc_id, list_transform(range(0, 16), s ->
-                 list_min(list_transform(sh, x ->
-                   CAST('0x' || substring(md5(s || '|' || x), 1, 15) AS BIGINT)))) AS sig
-        FROM d),
+                 list_min(list_transform(hp, p -> p.h1 + s * p.h2))) AS sig
+        FROM hp),
       bands AS (
         SELECT doc_id, unnest(list_transform(range(0, 8), i ->
                  i || ':' || array_to_string(sig[i*2+1:i*2+2], ','))) AS bk
@@ -89,11 +99,16 @@ object PipelineQueries {
     // then exact bigram-shingle Jaccard.
     QDef("pipe_ngram_jaccard", (s, dir) => {
       import s.implicits._
+      // Blocking key = (lang, first two tokens, length bucket): tight
+      // enough that block sizes stay O(1) as the corpus grows — the
+      // within-block pair count is what must not go quadratic.
       val docs = Tables(s, dir, "documents")
         .withColumn("toks", Text.tokens($"text"))
         .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
-        .withColumn("blk", concat_ws("|", $"lang", element_at($"toks", 1)))
+        .withColumn("blk", concat_ws("|", $"lang",
+          element_at($"toks", 1), element_at($"toks", 2), expr("size(toks) div 20")))
         .select($"doc_id", $"blk", $"sh")
+        .localCheckpoint()
       docs.as("a").join(docs.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("jac", Text.jaccard(col("a.sh"), col("b.sh")))
@@ -103,7 +118,9 @@ object PipelineQueries {
         .orderBy($"doc_a", $"doc_b")
     }, Some("""
       WITH d AS (
-        SELECT doc_id, lang || '|' || toks[1] AS blk,
+        SELECT doc_id,
+               lang || '|' || toks[1] || '|' || toks[2] || '|'
+                    || CAST(len(toks) // 20 AS BIGINT) AS blk,
                list_distinct(list_transform(
                  range(1, greatest(len(toks), 1)),
                  i -> array_to_string(toks[i:i+1], ' '))) AS sh
