@@ -12,7 +12,7 @@ object SparkEntry {
   private def registries: Seq[QDef] =
     CoreQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       AggQueries.defs ++ ScalarQueries.defs ++ MergeTreeQueries.defs ++
-      PipelineQueries.defs ++ FunnelQueries.defs
+      PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

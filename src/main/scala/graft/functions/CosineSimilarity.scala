@@ -74,8 +74,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * so registration happens at query-build time, idempotently).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    fr.createOrReplaceTempFunction(
       "cosine_sim", (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "shingle_rows", (children: Seq[Expression]) =>
+        ShingleRows(children(0), children(1)), "built-in")
+  }
 }
