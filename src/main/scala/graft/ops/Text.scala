@@ -35,20 +35,25 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: k min-hashes over a shingle set via the
-    * standard two-hash scheme h_i = h1 + i·h2 (one md5 per shingle
-    * instead of k): h1 = md5 hex chars 1-15, h2 = chars 16-30 mod
-    * 2^55, so h1 + 15·h2 < 2^61 — no BIGINT overflow in either
-    * engine. Estimator: P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b).
+  /** Per-shingle hash pairs for the two-hash minhash scheme: one md5
+    * per shingle, h1 = hex chars 1-15, h2 = chars 16-30 mod 2^55 (so
+    * h1 + 15·h2 < 2^61 — no BIGINT overflow in either engine).
     */
-  def minhashSig(sh: Column, k: Int): Column = {
-    val hp = transform(sh, x => struct(
+  def hashPairs(sh: Column): Column =
+    transform(sh, x => struct(
       conv(substring(md5(x), 1, 15), 16, 10).cast("long").as("h1"),
       (conv(substring(md5(x), 16, 15), 16, 10).cast("long")
         % lit(36028797018963968L)).as("h2")))
+
+  /** MinHash signature over hash pairs: sig_i = min(h1 + i·h2).
+    * Estimator: P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b).
+    */
+  def minhashSigFromPairs(hp: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       s => array_min(transform(hp, p => p.getField("h1") + s * p.getField("h2"))))
-  }
+
+  /** MinHash signature straight from a shingle array. */
+  def minhashSig(sh: Column, k: Int): Column = minhashSigFromPairs(hashPairs(sh), k)
 
   /** LSH band keys: signature split into `b` bands of `r` rows;
     * documents sharing any band key become candidates. Key strings are

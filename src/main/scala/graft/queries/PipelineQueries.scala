@@ -40,13 +40,17 @@ object PipelineQueries {
     // LSH candidate set oracle-checkable.
     QDef("pipe_minhash_lsh", (s, dir) => {
       import s.implicits._
-      // localCheckpoint: the shingled+signed frame feeds three plan
-      // branches (bands + both sides of the candidate join) — cut the
-      // lineage so shingling/hashing runs once, not four times.
+      // One md5 per shingle, then everything downstream works on the
+      // 60-bit hashes: the exact-Jaccard step intersects long sets
+      // instead of shingle strings (same result — both engines see
+      // identical hashes — far less shuffle). localCheckpoint: the
+      // frame feeds three plan branches (bands + both candidate-join
+      // sides); cut the lineage so hashing runs once, not four times.
       val docs = Tables(s, dir, "documents")
         .withColumn("toks", Text.tokens($"text"))
-        .withColumn("sh", array_distinct(Text.shingles($"toks", 3)))
-        .withColumn("sig", Text.minhashSig($"sh", 16))
+        .withColumn("hp", Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
+        .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
+        .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
         .select($"doc_id", $"sh", $"sig")
         .localCheckpoint()
       val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
@@ -74,22 +78,24 @@ object PipelineQueries {
                  h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
                        % 36028797018963968)) AS hp
         FROM d),
-      sig AS (
-        SELECT doc_id, list_transform(range(0, 16), s ->
+      hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(hp, p -> p.h1)) AS sh,
+               list_transform(range(0, 16), s ->
                  list_min(list_transform(hp, p -> p.h1 + s * p.h2))) AS sig
         FROM hp),
       bands AS (
         SELECT doc_id, unnest(list_transform(range(0, 8), i ->
                  i || ':' || array_to_string(sig[i*2+1:i*2+2], ','))) AS bk
-        FROM sig),
+        FROM hs),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b,
              round(len(list_intersect(x.sh, y.sh))::DOUBLE /
                    len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
-      FROM cand JOIN d x ON cand.doc_a = x.doc_id
-                JOIN d y ON cand.doc_b = y.doc_id
+      FROM cand JOIN hs x ON cand.doc_a = x.doc_id
+                JOIN hs y ON cand.doc_b = y.doc_id
       WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
             len(list_distinct(list_concat(x.sh, y.sh))) >= 0.35
       ORDER BY doc_a, doc_b""")),
