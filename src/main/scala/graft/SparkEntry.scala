@@ -12,7 +12,8 @@ object SparkEntry {
   private def registries: Seq[QDef] =
     CoreQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       AggQueries.defs ++ ScalarQueries.defs ++ MergeTreeQueries.defs ++
-      PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs
+      PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs ++
+      Extras2Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second coverage-closer pack: remaining combinators (-Distinct,
+  * -OrNull), moving-window aggregates (groupArrayMovingSum/Avg),
+  * array cumulative functions, WITH FILL … INTERPOLATE, and the
+  * salted skew-join technique (result-identical to the plain join —
+  * the salt is pure physical-plan insurance for hot keys at 100 TB).
+  */
+object Extras2Queries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // -Distinct and -OrNull combinators: sumDistinct / avgOrNull over
+    // an empty-group condition (OrNull = NULL instead of 0/NaN on
+    // empty input — Spark's sum/avg already return NULL there; the
+    // CASE makes the empty group explicit).
+    QDef("agg_combinators2", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum_distinct($"l_quantity").cast("long").as("sum_dist_qty"),
+          expr("count_if(l_discount > 0.05)").as("cnt_hi_disc"),
+          Det.dsum(when($"l_quantity" > 100, $"l_extendedprice")).as("sum_or_null"))
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag,
+             CAST(sum(DISTINCT l_quantity) AS BIGINT) AS sum_dist_qty,
+             count(CASE WHEN l_discount > 0.05 THEN 1 END) AS cnt_hi_disc,
+             ${Det.sqlSum("CASE WHEN l_quantity > 100 THEN l_extendedprice END")}
+               AS sum_or_null
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // groupArrayMovingSum/MovingAvg: per-user 3-event moving sum/avg
+    // of event values in time order.
+    QDef("window_moving", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-2, 0)
+      Tables(s, dir, "events")
+        .select($"user_id", $"event_id",
+          round(sum($"value".cast("decimal(22,6)")).over(w).cast("double"), 4)
+            .as("mov_sum3"),
+          round((sum($"value".cast("decimal(22,6)")).over(w) /
+            count(lit(1)).over(w)).cast("double"), 4).as("mov_avg3"))
+        .orderBy($"user_id", $"event_id")
+    }, Some("""
+      SELECT user_id, event_id,
+             round(CAST(sum(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE), 4) AS mov_sum3,
+             round(CAST(sum(CAST(value AS DECIMAL(22,6))) OVER w / count(*) OVER w AS DOUBLE), 4) AS mov_avg3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""")),
+
+    // arrayCumSum / arrayDifference / arrayEnumerate over bounded
+    // per-row arrays (higher-order lambdas; O(n²) fold is fine at
+    // n≤8 — these are per-row scalars, not aggregations).
+    QDef("scalar_array_cum", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .filter($"vec_id" % 100 === 0)
+        .withColumn("a", expr(
+          "transform(slice(embedding, 1, 6), x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
+        .select($"vec_id",
+          expr("transform(sequence(1, size(a)), i -> aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x))")
+            .as("cum_sum"),
+          expr("transform(sequence(1, size(a)), i -> IF(i = 1, a[0], a[i-1] - a[i-2]))")
+            .as("diffs"),
+          expr("transform(sequence(1, size(a)), i -> i)").as("enum"))
+        .orderBy($"vec_id")
+    }, Some("""
+      SELECT vec_id,
+             list_transform(range(1, len(a) + 1),
+               i -> list_sum(a[1:i])) AS cum_sum,
+             list_transform(range(1, len(a) + 1),
+               i -> CASE WHEN i = 1 THEN a[1] ELSE a[i] - a[i-1] END) AS diffs,
+             list_transform(range(1, len(a) + 1), i -> i) AS enum
+      FROM (SELECT vec_id,
+                   list_transform(embedding[1:6],
+                     x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS a
+            FROM embeddings WHERE vec_id % 100 = 0)
+      ORDER BY vec_id""")),
+
+    // WITH FILL … INTERPOLATE: gap-filled daily series where filled
+    // rows linearly interpolate between the surrounding real values
+    // (ClickHouse INTERPOLATE clause).
+    QDef("rel_fill_interpolate", (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(Det.dsum($"value").as("v"))
+      val mm = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val cal = mm.select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("day"))
+      val joined = broadcast(cal).join(daily, Seq("day"), "left")
+      // Global window is safe here: it runs over the AGGREGATED daily
+      // series, bounded by the calendar span (≈30 rows per month of
+      // data), not by input row count.
+      val wAll = Window.orderBy($"day")
+      val prevW = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // fraction of the gap covered, from day distances (exact ints)
+      joined
+        .withColumn("pv", last($"v", ignoreNulls = true).over(prevW))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(nextW))
+        .withColumn("pd", last(when($"v".isNotNull, $"day"), ignoreNulls = true).over(prevW))
+        .withColumn("nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(nextW))
+        .withColumn("filled", when($"v".isNotNull, $"v").otherwise(
+          round($"pv" + ($"nv" - $"pv") *
+            (datediff($"day", $"pd").cast("double") / datediff($"nd", $"pd")), 4)))
+        .select($"day", $"filled")
+        .orderBy($"day")
+    }, Some(s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               ${Det.sqlSum("value")} AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM (SELECT min(day) AS lo, max(day) AS hi FROM daily)),
+      j AS (SELECT cal.day, daily.v FROM cal LEFT JOIN daily USING (day)),
+      x AS (
+        SELECT day, v,
+               last_value(v IGNORE NULLS) OVER
+                 (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               first_value(v IGNORE NULLS) OVER
+                 (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+                 (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+                 (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT day,
+             CASE WHEN v IS NOT NULL THEN v
+                  ELSE round(pv + (nv - pv) *
+                         (date_diff('day', pd, day)::DOUBLE / date_diff('day', pd, nd)), 4)
+             END AS filled
+      FROM x ORDER BY day""")),
+
+    // Salted skew join: explode a tiny dim ×8, spread the fact's hot
+    // keys over 8 sub-keys — same result as the plain join (the
+    // oracle IS the plain join), but no single reducer takes a whole
+    // hot key at scale. The technique AQE skew-join automates; shown
+    // explicitly here.
+    QDef("join_skew_salted", (s, dir) => {
+      import s.implicits._
+      val S = 8
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("hot", ($"l_orderkey" % 3).cast("int"))
+        .withColumn("salt", ($"l_linenumber" % S).cast("int"))
+      val dim = Tables(s, dir, "region")
+        .withColumn("hot", ($"r_regionkey" % 3).cast("int"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      li.join(dim, Seq("hot", "salt"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n"), Det.dsum($"l_quantity").as("qty"))
+        .orderBy($"r_name")
+    }, Some(s"""
+      SELECT r_name, count(*) AS n, ${Det.sqlSum("l_quantity")} AS qty
+      FROM (SELECT l_quantity, l_orderkey % 3 AS hot FROM lineitem) li
+      JOIN (SELECT r_name, r_regionkey % 3 AS hot FROM region) r USING (hot)
+      GROUP BY r_name ORDER BY r_name"""))
+  )
+}
