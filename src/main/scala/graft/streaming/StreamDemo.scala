@@ -28,6 +28,17 @@ object StreamDemo {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("event_type"), col("n"))
 
+  /** Hopping (sliding) windows: 2-day windows advancing daily — the
+    * CH WindowView `hop(t, slide, size)` shape; each event lands in
+    * size/slide windows.
+    */
+  def hopCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
   /** Sessionization: gap-based session windows per user (Spark
     * exceeds ClickHouse here — CH has no session windows).
     */

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL front door: a ClickHouse user's interface is SQL over
+  * named tables — Graft.init registers views + custom functions so
+  * plain spark.sql works end to end.
+  */
+class GraftSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("plain SQL over registered views, including custom functions") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val top = Graft.sql(spark, """
+      SELECT l_returnflag, count(*) AS n,
+             round(sum(CAST(l_quantity AS DECIMAL(22,6))), 1) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus <> 'X'
+      GROUP BY l_returnflag ORDER BY l_returnflag""").collect()
+    assert(top.length == 3)
+    assert(top.map(_.getLong(1)).sum == 6000L)
+
+    val sim = Graft.sql(spark, """
+      SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS s
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 3 ORDER BY a.vec_id""").collect()
+    assert(sim.length == 3)
+    assert(sim.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+
+    val gen = Graft.sql(spark, """
+      SELECT doc_id, pos, shingle
+      FROM documents LATERAL VIEW shingle_rows(split(text, ' '), 3) AS pos, shingle
+      WHERE doc_id = 0 ORDER BY pos LIMIT 5""").collect()
+    assert(gen.length == 5)
+    assert(gen.head.getInt(1) == 0)
+  }
+}

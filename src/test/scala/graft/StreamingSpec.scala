@@ -40,6 +40,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping windows: streamed sliding counts equal batch") {
+    val batch = StreamDemo.hopCounts(
+      Tables(spark, "/root/testdata/sf0.001", "events"))
+    val expected = canon(batch)
+
+    val stream = StreamDemo.hopCounts(
+      StreamDemo.readEventStream(spark, stageStreamDir()))
+    val q = stream.writeStream.format("memory")
+      .queryName("hops").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(canon(spark.table("hops")) == expected)
+    } finally q.stop()
+  }
+
   test("session windows: streamed sessionization equals batch") {
     val batch = StreamDemo.userSessions(
       Tables(spark, "/root/testdata/sf0.001", "events"))
