@@ -86,6 +86,34 @@ object Aggregates {
     def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
 
+  /** ClickHouse `sequenceCount('(?1).*(?2)…')`: number of
+    * NON-OVERLAPPING occurrences of the linear pattern in ts order.
+    * finish() is the classic greedy earliest-completion scan, which
+    * is optimal for maximizing disjoint matches (interval-scheduling
+    * argument; property-tested against exhaustive search).
+    */
+  class SequenceCount(nSteps: Int)
+      extends Aggregator[StepEvent, Seq[StepEvent], Long] with Serializable {
+    def zero: Seq[StepEvent] = Nil
+    def reduce(b: Seq[StepEvent], e: StepEvent): Seq[StepEvent] =
+      if (e.step >= 1 && e.step <= nSteps) b :+ e else b
+    def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] = a ++ b
+    def finish(b: Seq[StepEvent]): Long = {
+      var cur = 1
+      var lastTs = Long.MinValue
+      var n = 0L
+      b.sortBy(e => (e.tsUs, e.step)).foreach { e =>
+        if (e.step == cur && e.tsUs > lastTs) {
+          lastTs = e.tsUs
+          if (cur == nSteps) { n += 1; cur = 1 } else cur += 1
+        }
+      }
+      n
+    }
+    def bufferEncoder: Encoder[Seq[StepEvent]] = enc[Seq[StepEvent]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   case class Counted(v: String, c: Long)
 
   /** ClickHouse `topK(k)`: heavy hitters via the SpaceSaving sketch

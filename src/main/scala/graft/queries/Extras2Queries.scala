@@ -142,6 +142,25 @@ object Extras2Queries {
              END AS filled
       FROM x ORDER BY day""")),
 
+    // anyHeavy / mode: exact rewrite (two-level count + deterministic
+    // argmax) — the tie-safe form of Spark's mode().
+    QDef("agg_mode", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"c".desc, $"l_linenumber".asc)
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linenumber").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"l_returnflag", $"l_linenumber".as("mode_linenumber"), $"c".as("freq"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, l_linenumber AS mode_linenumber, c AS freq
+      FROM (SELECT l_returnflag, l_linenumber, count(*) AS c,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY count(*) DESC, l_linenumber) AS rn
+            FROM lineitem GROUP BY l_returnflag, l_linenumber)
+      WHERE rn = 1 ORDER BY l_returnflag""")),
+
     // Salted skew join: explode a tiny dim ×8, spread the fact's hot
     // keys over 8 sub-keys — same result as the plain join (the
     // oracle IS the plain join), but no single reducer takes a whole

@@ -306,6 +306,85 @@ object PipelineQueries {
       FROM documents GROUP BY lang ORDER BY lang"""))
   )
 
+  // End-to-end curation pipeline (the north-star composition): score
+  // quality → find near-dup pairs (minhash LSH, same parameters as
+  // pipe_minhash_lsh at threshold 0.5) → drop each pair's higher
+  // doc_id → report kept / dropped-as-dup / dropped-low-quality per
+  // language. Every stage is the bucketed/blocked form — the whole
+  // pipeline is shuffle-bounded at any corpus size.
+  val curationDef: QDef = QDef("pipe_curation_e2e", (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("q", size($"toks") * 2 + length($"text") % 7)
+      .withColumn("hp", Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
+      .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
+      .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
+      .select($"doc_id", $"lang", $"q", $"sh", $"sig")
+      .localCheckpoint()
+    val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+    val shs = docs.select($"doc_id", $"sh")
+    val losers = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
+    docs.join(losers.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+      .withColumn("status",
+        when($"is_dup" === 1, "dup")
+          .when($"q" < 100, "low_quality")
+          .otherwise("kept"))
+      .groupBy($"lang")
+      .agg(count(when($"status" === "kept", 1)).as("kept"),
+        count(when($"status" === "dup", 1)).as("dropped_dup"),
+        count(when($"status" === "low_quality", 1)).as("dropped_quality"))
+      .orderBy($"lang")
+  }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               len(toks) * 2 + length(text) % 7 AS q,
+               list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS shs
+        FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+              FROM documents)),
+      hp AS (
+        SELECT doc_id, lang, q, list_transform(shs, x -> struct_pack(
+                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT),
+                 h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
+                       % 36028797018963968)) AS hp
+        FROM d),
+      hs AS (
+        SELECT doc_id, lang, q,
+               list_distinct(list_transform(hp, p -> p.h1)) AS sh,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(hp, p -> p.h1 + s * p.h2))) AS sig
+        FROM hp),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(range(0, 8), i ->
+                 i || ':' || array_to_string(sig[i*2+1:i*2+2], ','))) AS bk
+        FROM hs),
+      losers AS (
+        SELECT DISTINCT doc_b AS doc_id FROM (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id) c
+        JOIN hs x ON c.doc_a = x.doc_id
+        JOIN hs y ON c.doc_b = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+              len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)
+      SELECT lang,
+             count(CASE WHEN status = 'kept' THEN 1 END) AS kept,
+             count(CASE WHEN status = 'dup' THEN 1 END) AS dropped_dup,
+             count(CASE WHEN status = 'low_quality' THEN 1 END) AS dropped_quality
+      FROM (SELECT hs.lang,
+                   CASE WHEN losers.doc_id IS NOT NULL THEN 'dup'
+                        WHEN hs.q < 100 THEN 'low_quality'
+                        ELSE 'kept' END AS status
+            FROM hs LEFT JOIN losers ON hs.doc_id = losers.doc_id)
+      GROUP BY lang ORDER BY lang"""))
+
   val vectorDefs: Seq[QDef] = Seq(
 
     // Exact cosine top-k (brute-force ANN baseline): a small query set
@@ -398,5 +477,5 @@ object PipelineQueries {
       WHERE pos < 8 GROUP BY label, pos ORDER BY label, pos"""))
   )
 
-  def defs: Seq[QDef] = textDefs ++ vectorDefs
+  def defs: Seq[QDef] = textDefs ++ vectorDefs :+ curationDef
 }

@@ -85,6 +85,29 @@ class AggregatorSpec extends AnyFunSuite {
     })
   }
 
+  test("sequenceCount greedy equals exhaustive max-disjoint-matches") {
+    val sc = new Aggregates.SequenceCount(2)
+    // exhaustive under the sequential non-overlap contract: each match
+    // must start strictly after the previous match's completion ts
+    // (matches can't interleave in time — ClickHouse scan semantics).
+    def brute(evs: List[StepEvent]): Long = {
+      def go(minTs: Long): Long = {
+        val opts = for {
+          a <- evs if a.step == 1 && a.tsUs > minTs
+          b <- evs if b.step == 2 && b.tsUs > a.tsUs
+        } yield 1L + go(b.tsUs)
+        if (opts.isEmpty) 0L else opts.max
+      }
+      go(Long.MinValue)
+    }
+    val smallGen = Gen.listOfN(7, for {
+      ts <- Gen.choose(0L, 12L); st <- Gen.choose(1, 2)
+    } yield StepEvent(ts, st))
+    check(Prop.forAll(smallGen) { evs =>
+      sc.finish(evs) == brute(evs)
+    })
+  }
+
   private val strGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
 
   test("topK is exact when distinct count fits capacity") {
