@@ -210,11 +210,15 @@ object PipelineQueries {
       import s.implicits._
       val toks = Tables(s, dir, "documents")
         .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
+      // Pre-aggregate per-doc token multiplicities: the ×|langs| join
+      // then touches one row per DISTINCT (doc, token), not per token
+      // occurrence — the fan-out that matters at corpus scale.
+      val docToks = toks.groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("tf"))
       val langs = toks.select($"lang".as("plang")).distinct()
       val prof = toks.groupBy($"lang".as("plang"), $"tok").agg(count(lit(1)).as("c"))
       val totals = toks.groupBy($"lang".as("plang")).agg(count(lit(1)).as("n_l"))
       val vocab = toks.agg(countDistinct($"tok").as("v"))
-      val scored = toks
+      val scored = docToks
         .crossJoin(broadcast(langs))
         .join(broadcast(prof), Seq("plang", "tok"), "left")
         .join(broadcast(totals), Seq("plang"))
@@ -223,7 +227,7 @@ object PipelineQueries {
           round(log((coalesce($"c", lit(0L)) + lit(1)) / ($"n_l" + $"v").cast("double")), 6)
             .cast("decimal(18,6)"))
         .groupBy($"doc_id", $"lang", $"plang")
-        .agg(sum($"logp").as("score"))
+        .agg(sum($"logp" * $"tf").as("score"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -232,6 +236,7 @@ object PipelineQueries {
     }, Some("""
       WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
                     FROM documents),
+      dt AS (SELECT doc_id, lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
       langs AS (SELECT DISTINCT lang AS plang FROM toks),
       prof AS (SELECT lang AS plang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
       totals AS (SELECT lang AS plang, count(*) AS n_l FROM toks GROUP BY 1),
@@ -239,8 +244,9 @@ object PipelineQueries {
       scored AS (
         SELECT t.doc_id, t.lang, l.plang,
                sum(CAST(round(ln((coalesce(p.c, 0) + 1) /
-                     CAST(tt.n_l + vocab.v AS DOUBLE)), 6) AS DECIMAL(18,6))) AS score
-        FROM toks t
+                     CAST(tt.n_l + vocab.v AS DOUBLE)), 6) AS DECIMAL(18,6)) * t.tf)
+                 AS score
+        FROM dt t
         CROSS JOIN langs l
         LEFT JOIN prof p ON p.plang = l.plang AND p.tok = t.tok
         JOIN totals tt ON tt.plang = l.plang
