@@ -142,6 +142,62 @@ object Extras2Queries {
              END AS filled
       FROM x ORDER BY day""")),
 
+    // parseDateTimeBestEffort: multi-format timestamp parsing via a
+    // try_to_timestamp coalesce chain (CH's best-effort parser as a
+    // deterministic format cascade).
+    QDef("scalar_parse_datetime", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 97 === 0)
+        .withColumn("raw", when($"o_orderkey" % 3 === 0, date_format($"o_orderdate", "yyyy-MM-dd"))
+          .when($"o_orderkey" % 3 === 1, date_format($"o_orderdate", "dd/MM/yyyy"))
+          .otherwise(date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss")))
+        .select($"o_orderkey", $"raw",
+          coalesce(
+            expr("try_to_timestamp(raw, 'dd/MM/yyyy')"),
+            expr("try_to_timestamp(raw, 'yyyy-MM-dd HH:mm:ss')"),
+            expr("try_to_timestamp(raw, 'yyyy-MM-dd')"))
+            .cast("date").as("parsed"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, raw,
+             CAST(coalesce(
+               try_strptime(raw, '%d/%m/%Y'),
+               try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(raw, '%Y-%m-%d')) AS DATE) AS parsed
+      FROM (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+                        ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
+            FROM orders WHERE o_orderkey % 97 = 0)
+      ORDER BY o_orderkey""")),
+
+    // arrays_zip + zip_with: the lambda-composed dot product (the
+    // "compose existing ops" form of cosine_sim; same fold order, so
+    // the same exact doubles).
+    QDef("scalar_array_zip", (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val a = e.filter($"vec_id" % 100 === 0)
+        .select($"vec_id", $"embedding".as("va"))
+      val b = e.filter($"vec_id" % 100 === 1)
+        .select(($"vec_id" - 1).as("vec_id"), $"embedding".as("vb"))
+      a.join(b, "vec_id")
+        .select($"vec_id",
+          round(expr("""aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""), 4).as("dot"),
+          size(expr("arrays_zip(va, vb)")).as("n_dims"))
+        .orderBy($"vec_id")
+    }, Some("""
+      SELECT a.vec_id,
+             round(list_sum(list_transform(range(1, len(a.va) + 1),
+                     i -> a.va[i]::DOUBLE * b.vb[i]::DOUBLE)), 4) AS dot,
+             len(a.va) AS n_dims
+      FROM (SELECT vec_id, embedding AS va FROM embeddings WHERE vec_id % 100 = 0) a
+      JOIN (SELECT vec_id - 1 AS vec_id, embedding AS vb
+            FROM embeddings WHERE vec_id % 100 = 1) b USING (vec_id)
+      ORDER BY a.vec_id""")),
+
     // anyHeavy / mode: exact rewrite (two-level count + deterministic
     // argmax) — the tie-safe form of Spark's mode().
     QDef("agg_mode", (s, dir) => {

@@ -9,6 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftSqlSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("driver contract: entry() returns rows and all queries have oracle names") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+    assert(qs == os, s"queries without oracle: ${qs.diff(os)}")
+  }
+
   test("plain SQL over registered views, including custom functions") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val top = Graft.sql(spark, """
