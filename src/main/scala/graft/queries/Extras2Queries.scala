@@ -142,6 +142,29 @@ object Extras2Queries {
              END AS filled
       FROM x ORDER BY day""")),
 
+    // Subquery surface (§4 decorrelation; §2.8 IN-subquery): a
+    // correlated scalar subquery + an IN subquery through the SQL
+    // path — Catalyst rewrites both into joins (no per-row execution).
+    QDef("sql_subquery", (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("sq_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT max(o_totalprice) FROM sq_orders
+                WHERE o_custkey = c_custkey) AS max_price
+        FROM sq_customer
+        WHERE c_custkey IN (SELECT o_custkey FROM sq_orders
+                            WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey,
+             (SELECT max(o_totalprice) FROM orders
+              WHERE o_custkey = c_custkey) AS max_price
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+
     // parseDateTimeBestEffort: multi-format timestamp parsing via a
     // try_to_timestamp coalesce chain (CH's best-effort parser as a
     // deterministic format cascade).
