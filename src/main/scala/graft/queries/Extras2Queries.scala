@@ -142,6 +142,64 @@ object Extras2Queries {
              END AS filled
       FROM x ORDER BY day""")),
 
+    // largestTriangleThreeBuckets (time-series downsampling), in the
+    // fixed-anchor relational variant: anchors are the NEIGHBOR BUCKET
+    // MEANS rather than the previously-selected point (the sequential
+    // dependence of classic LTTB doesn't distribute; with mean anchors
+    // every bucket picks independently — two scans + one 20-row
+    // window, scale-safe at any series length). Endpoint buckets keep
+    // their first/last point.
+    QDef("agg_lttb", (s, dir) => {
+      import s.implicits._
+      val nB = 20
+      val ev = Tables(s, dir, "events")
+        .select($"event_id", unix_micros($"ts").as("x"), $"value".as("y"))
+      val mm = ev.agg(min($"x").as("lo"), max($"x").as("hi"))
+      val pts = ev.crossJoin(broadcast(mm))
+        .withColumn("w", expr(s"(hi - lo) div $nB + 1")) // integer div — matches DuckDB //
+        .withColumn("bucket", expr("(x - lo) div w"))
+      val bm = pts.groupBy($"bucket")
+        .agg((sum($"x".cast("decimal(30,6)")) / count(lit(1))).cast("double").as("mx"),
+          (sum($"y".cast("decimal(22,6)")) / count(lit(1))).cast("double").as("my"))
+      val wb = Window.orderBy($"bucket") // 20 rows — bounded
+      val anchors = bm
+        .withColumn("pmx", lag($"mx", 1).over(wb)).withColumn("pmy", lag($"my", 1).over(wb))
+        .withColumn("nmx", lead($"mx", 1).over(wb)).withColumn("nmy", lead($"my", 1).over(wb))
+      val ranked = pts.join(broadcast(anchors), Seq("bucket"))
+        .withColumn("area", abs(($"pmx" - $"nmx") * ($"y" - $"pmy") -
+          ($"pmx" - $"x") * ($"nmy" - $"pmy")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"bucket").orderBy($"area".desc_nulls_last,
+            when($"bucket" === nB - 1, -$"event_id").otherwise($"event_id").asc)))
+      ranked.filter($"rn" === 1)
+        .select($"bucket", $"x".as("ts_us"), round($"y", 4).as("value"))
+        .orderBy($"bucket")
+    }, Some("""
+      WITH ev AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS x, value AS y
+                  FROM events),
+      mm AS (SELECT min(x) AS lo, max(x) AS hi FROM ev),
+      pts AS (SELECT event_id, x, y, (x - lo) // ((hi - lo) // 20 + 1) AS bucket
+              FROM ev, mm),
+      bm AS (SELECT bucket,
+                    CAST(sum(CAST(x AS DECIMAL(30,6))) / count(*) AS DOUBLE) AS mx,
+                    CAST(sum(CAST(y AS DECIMAL(22,6))) / count(*) AS DOUBLE) AS my
+             FROM pts GROUP BY bucket),
+      anchors AS (SELECT bucket,
+                         lag(mx) OVER (ORDER BY bucket) AS pmx,
+                         lag(my) OVER (ORDER BY bucket) AS pmy,
+                         lead(mx) OVER (ORDER BY bucket) AS nmx,
+                         lead(my) OVER (ORDER BY bucket) AS nmy
+                  FROM bm),
+      ranked AS (
+        SELECT p.bucket, p.x, p.y,
+               row_number() OVER (PARTITION BY p.bucket ORDER BY
+                 abs((a.pmx - a.nmx) * (p.y - a.pmy)
+                     - (a.pmx - p.x) * (a.nmy - a.pmy)) DESC NULLS LAST,
+                 CASE WHEN p.bucket = 19 THEN -p.event_id ELSE p.event_id END) AS rn
+        FROM pts p JOIN anchors a USING (bucket))
+      SELECT bucket, x AS ts_us, round(y, 4) AS value
+      FROM ranked WHERE rn = 1 ORDER BY bucket""")),
+
     // Subquery surface (§4 decorrelation; §2.8 IN-subquery): a
     // correlated scalar subquery + an IN subquery through the SQL
     // path — Catalyst rewrites both into joins (no per-row execution).
