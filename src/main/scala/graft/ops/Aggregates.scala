@@ -114,6 +114,47 @@ object Aggregates {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  case class Bin(lower: Double, upper: Double, height: Double)
+
+  /** ClickHouse `histogram(n)`: adaptive-binning histogram via
+    * streaming centroid merge (the classic streaming-histogram
+    * algorithm CH uses): keep ≤ maxBins (center, count) centroids,
+    * merging the closest pair on overflow. Approximate and
+    * merge-order-sensitive by nature (like CH's); the tests pin the
+    * invariants that ARE guaranteed: bin count ≤ n, total mass
+    * preserved, bins ordered and bounded by the data range.
+    */
+  class AdaptiveHistogram(maxBins: Int)
+      extends Aggregator[Double, Seq[(Double, Long)], Seq[Bin]] with Serializable {
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], x: Double): Seq[(Double, Long)] =
+      compact((b :+ (x, 1L)).sortBy(_._1))
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      compact((a ++ b).sortBy(_._1))
+    private def compact(sorted: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      // coalesce identical centers first (a centroid per distinct value)
+      var bins = sorted.foldLeft(Vector.empty[(Double, Long)]) {
+        case (acc :+ ((c, n)), (c2, n2)) if c == c2 => acc :+ (c, n + n2)
+        case (acc, b) => acc :+ b
+      }
+      while (bins.size > maxBins) {
+        val i = bins.indices.init.minBy(j => bins(j + 1)._1 - bins(j)._1)
+        val (c1, n1) = bins(i); val (c2, n2) = bins(i + 1)
+        val merged = ((c1 * n1 + c2 * n2) / (n1 + n2), n1 + n2)
+        bins = (bins.take(i) :+ merged) ++ bins.drop(i + 2)
+      }
+      bins
+    }
+    def finish(b: Seq[(Double, Long)]): Seq[Bin] =
+      b.indices.map { i =>
+        val lo = if (i == 0) b(i)._1 else (b(i - 1)._1 + b(i)._1) / 2
+        val hi = if (i == b.size - 1) b(i)._1 else (b(i)._1 + b(i + 1)._1) / 2
+        Bin(lo, hi, b(i)._2.toDouble)
+      }
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] = enc[Seq[(Double, Long)]]
+    def outputEncoder: Encoder[Seq[Bin]] = enc[Seq[Bin]]
+  }
+
   case class Counted(v: String, c: Long)
 
   /** ClickHouse `topK(k)`: heavy hitters via the SpaceSaving sketch

@@ -108,6 +108,49 @@ class AggregatorSpec extends AnyFunSuite {
     })
   }
 
+  test("adaptiveHistogram keeps invariants: bins ≤ n, mass preserved, ordered") {
+    val gen = Gen.listOf(Gen.choose(-100.0, 100.0))
+    check(Prop.forAll(gen) { xs =>
+      val h = new Aggregates.AdaptiveHistogram(8)
+      val bins = h.finish(xs.foldLeft(h.zero)(h.reduce))
+      val massOk = bins.map(_.height).sum == xs.size.toDouble
+      val sizeOk = bins.size <= 8 && (xs.isEmpty || bins.nonEmpty)
+      val orderedOk = bins.sliding(2).forall {
+        case Seq(a, b) => a.upper <= b.lower + 1e-9
+        case _ => true
+      }
+      // centroid bins live WITHIN the data range (centers are convex
+      // combinations of inputs); they don't necessarily cover it
+      val rangeOk = xs.isEmpty ||
+        (bins.head.lower >= xs.min - 1e-9 && bins.last.upper <= xs.max + 1e-9)
+      massOk && sizeOk && orderedOk && rangeOk
+    })
+  }
+
+  test("adaptiveHistogram exact when distinct values fit the bin budget") {
+    val h = new Aggregates.AdaptiveHistogram(8)
+    val xs = List(1.0, 1.0, 2.0, 5.0, 5.0, 5.0)
+    val bins = h.finish(xs.foldLeft(h.zero)(h.reduce))
+    assert(bins.map(_.height) == Seq(2.0, 1.0, 3.0))
+  }
+
+  test("adaptiveHistogram runs through Spark's partial/final agg path") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    val hist = udaf(new Aggregates.AdaptiveHistogram(5))
+    val df = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .repartition(3)
+      .groupBy($"c_mktsegment")
+      .agg(hist($"c_acctbal").as("bins"))
+    val rows = df.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val bins = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(bins.size <= 5 && bins.nonEmpty)
+    }
+  }
+
   private val strGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
 
   test("topK is exact when distinct count fits capacity") {
