@@ -142,6 +142,23 @@ object Extras2Queries {
              END AS filled
       FROM x ORDER BY day""")),
 
+    // numbers(N) as a real DataSource V2 table (planning-time range
+    // splits → per-task synthesis, no driver materialization).
+    QDef("numbers_dsv2", (s, _) => {
+      import s.implicits._
+      s.read.format("graft.sources.NumbersSource")
+        .option("n", "100000").option("partitions", "8").load()
+        .filter($"id" % 3 === 0)
+        .agg(count(lit(1)).as("n"),
+          sum($"id").as("total"),
+          max($"id").as("max_id"))
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(sum(i) AS BIGINT) AS total,
+             max(i) AS max_id
+      FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 100000))
+      WHERE i % 3 = 0""")),
+
     // largestTriangleThreeBuckets (time-series downsampling), in the
     // fixed-anchor relational variant: anchors are the NEIGHBOR BUCKET
     // MEANS rather than the previously-selected point (the sequential
