@@ -26,6 +26,25 @@ object Aggregates {
     */
   case class StepEvent(tsUs: Long, step: Int)
 
+  /** The windowFunnel DP, shared by the batch Aggregator and the
+    * streaming mapGroupsWithState path (graft.streaming).
+    */
+  def funnelDepth(events: Seq[StepEvent], windowUs: Long, nSteps: Int): Int = {
+    val sorted = events.sortBy(e => (e.tsUs, e.step))
+    val none = Long.MinValue
+    val best = Array.fill(nSteps + 1)(none)
+    sorted.foreach { e =>
+      if (e.step == 1) best(1) = math.max(best(1), e.tsUs)
+      else if (e.step >= 2 && e.step <= nSteps &&
+        best(e.step - 1) != none && e.tsUs - best(e.step - 1) <= windowUs)
+        best(e.step) = math.max(best(e.step), best(e.step - 1))
+    }
+    var depth = 0
+    var j = 1
+    while (j <= nSteps && best(j) != none) { depth = j; j += 1 }
+    depth
+  }
+
   /** ClickHouse `windowFunnel(window)(ts, cond1..condN)`: the deepest
     * k such that SOME chain e1 ≤ … ≤ ek matches steps 1..k in order
     * with ts_k − ts_1 ≤ windowUs ("exists-chain" semantics, events
@@ -41,20 +60,7 @@ object Aggregates {
     def reduce(b: Seq[StepEvent], e: StepEvent): Seq[StepEvent] =
       if (e.step >= 1 && e.step <= nSteps) b :+ e else b
     def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] = a ++ b
-    def finish(b: Seq[StepEvent]): Int = {
-      val sorted = b.sortBy(e => (e.tsUs, e.step))
-      val none = Long.MinValue
-      val best = Array.fill(nSteps + 1)(none)
-      sorted.foreach { e =>
-        if (e.step == 1) best(1) = math.max(best(1), e.tsUs)
-        else if (best(e.step - 1) != none && e.tsUs - best(e.step - 1) <= windowUs)
-          best(e.step) = math.max(best(e.step), best(e.step - 1))
-      }
-      var depth = 0
-      var j = 1
-      while (j <= nSteps && best(j) != none) { depth = j; j += 1 }
-      depth
-    }
+    def finish(b: Seq[StepEvent]): Int = funnelDepth(b, windowUs, nSteps)
     def bufferEncoder: Encoder[Seq[StepEvent]] = enc[Seq[StepEvent]]
     def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Aggregates
+import graft.ops.Aggregates.StepEvent
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** SURVEY.md §2.9: ClickHouse's streaming surface (Kafka engine + MV
@@ -49,6 +52,35 @@ object StreamDemo {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
+
+  /** Live windowFunnel over a stream via mapGroupsWithState — the
+    * stateful-processing surface (SURVEY §2.9 last row; CH has no
+    * user-facing analog). Per-user state = the (ts, step) buffer; the
+    * DP from the batch Aggregator recomputes depth on every update,
+    * so the streamed final state is definitionally the batch answer
+    * over the same events (asserted in StreamingSpec). State is
+    * bounded by matched events per user — same bound as the batch
+    * buffer.
+    */
+  def streamingFunnel(events: DataFrame, windowUs: Long): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    val steps = events
+      .withColumn("step",
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0))
+      .filter(col("step") > 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"), col("step"))
+      .as[(Long, Long, Int)]
+    steps.groupByKey(_._1)
+      .mapGroupsWithState[Seq[StepEvent], (Long, Int)](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Seq[StepEvent]]) =>
+          val buf = state.getOption.getOrElse(Nil) ++
+            it.map(t => StepEvent(t._2, t._3))
+          state.update(buf)
+          (uid, Aggregates.funnelDepth(buf, windowUs, 3))
+      }
+  }
 
   /** Raw schema of the events parquet when read as a stream (ts is
     * ns-int64 under nanosAsLong; normalize exactly like graft.Tables).

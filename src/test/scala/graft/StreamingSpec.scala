@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming funnel: final per-user depths equal batch windowFunnel") {
+    import spark.implicits._
+    val W = 7L * 86400L * 1000000L
+    // batch truth from the declared funnel query
+    val expected = SparkEntry.queries("funnel_window")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int)].collect().toMap
+
+    val stream = StreamDemo.streamingFunnel(
+      StreamDemo.readEventStream(spark, stageStreamDir()), W)
+    val q = stream.toDF("user_id", "depth").writeStream.format("memory")
+      .queryName("funnel_state").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // update mode: keep the latest row per user
+      val got = spark.table("funnel_state").as[(Long, Int)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows: streamed sessionization equals batch") {
     val batch = StreamDemo.userSessions(
       Tables(spark, "/root/testdata/sf0.001", "events"))
