@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Det, QDef, Tables}
+import graft.ops.Text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,6 +142,36 @@ object Extras2Queries {
                          (date_diff('day', pd, day)::DOUBLE / date_diff('day', pd, nd)), 4)
              END AS filled
       FROM x ORDER BY day""")),
+
+    // Array predicates + regex extraction + ILIKE: has/hasAll/hasAny/
+    // indexOf/countEqual (§2.8 array family) and extractAll/ilike
+    // (string family) over document tokens.
+    QDef("scalar_array_pred", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 50 === 0)
+        .withColumn("toks", Text.tokens($"text"))
+        .select($"doc_id",
+          array_contains($"toks", "data").as("has_data"),
+          expr("forall(array('a', 'big'), x -> array_contains(toks, x))").as("has_all"),
+          arrays_overlap($"toks", array(lit("spark"), lit("flink"))).as("has_any"),
+          array_position($"toks", "batch").as("idx_batch"),
+          size(expr("filter(toks, t -> t = 'a')")).as("count_a"),
+          size(expr("regexp_extract_all(text, '[a-z]*ta[a-z]*', 0)")).as("n_ta_words"),
+          $"text".ilike("%Batch%").as("ilike_batch"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             list_contains(toks, 'data') AS has_data,
+             list_has_all(toks, ['a', 'big']) AS has_all,
+             list_has_any(toks, ['spark', 'flink']) AS has_any,
+             CAST(coalesce(list_position(toks, 'batch'), 0) AS BIGINT) AS idx_batch,
+             len(list_filter(toks, t -> t = 'a')) AS count_a,
+             len(regexp_extract_all(text, '[a-z]*ta[a-z]*', 0)) AS n_ta_words,
+             text ILIKE '%Batch%' AS ilike_batch
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id % 50 = 0)
+      ORDER BY doc_id""")),
 
     // numbers(N) as a real DataSource V2 table (planning-time range
     // splits → per-task synthesis, no driver materialization).
