@@ -1,5 +1,10 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Vector-search primitives for the `embeddings` fixture (BASELINE
   * north star: similarity search). The scale story:
   *
@@ -51,6 +56,25 @@ object Vectors {
        |         (a, d) -> a + element_at(element_at($planes, p + 1), d)
        |                       * CAST(element_at($vecCol, d) AS DOUBLE)) > 0
        |       THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin
+  }
+
+  /** IVF index: k-means over the corpus (the one legitimate iterative
+    * index-BUILD job — queries never iterate), then every vector
+    * carries its nearest-centroid id as `cell`. An ANN probe searches
+    * only its own cell's vectors (equi-join on `cell`), optionally
+    * multi-probing neighbor cells for recall — same shuffle shape as
+    * the LSH path, with data-adaptive cells instead of random planes.
+    *
+    * Returns (assignments with a `cell` column, centroid arrays by id).
+    */
+  def ivfIndex(emb: DataFrame, vecCol: String, k: Int, seed: Long)
+      : (DataFrame, Array[Array[Double]]) = {
+    val feat = emb.withColumn("__fv",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(feat)
+    (model.transform(feat).drop("__fv"), model.clusterCenters.map(_.toArray))
   }
 
   /** DuckDB twin of [[bucketSparkSql]]. */
