@@ -35,22 +35,32 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Per-shingle hash pairs for the two-hash minhash scheme: one md5
-    * per shingle, h1 = hex chars 1-15, h2 = chars 16-30 mod 2^55 (so
-    * h1 + 15·h2 < 2^61 — no BIGINT overflow in either engine).
+  /** Modulus for the two-hash minhash scheme: 2^55, so even
+    * h1 + 127·h2 < 2^62 — no BIGINT overflow in either
+    * engine, while i·h2 wraps the modulus many times (the wraparound
+    * is what decorrelates the k hash functions; without it the min is
+    * dominated by h1 and the k estimators collapse toward one —
+    * caught by the estimator property test).
+    */
+  val MinhashMod: Long = 36028797018963968L // 2^55
+
+  /** Per-shingle hash pairs: one md5 per shingle, h1 = hex chars
+    * 1-15, h2 = chars 16-30, both reduced mod 2^55.
     */
   def hashPairs(sh: Column): Column =
     transform(sh, x => struct(
-      conv(substring(md5(x), 1, 15), 16, 10).cast("long").as("h1"),
+      (conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+        % lit(MinhashMod)).as("h1"),
       (conv(substring(md5(x), 16, 15), 16, 10).cast("long")
-        % lit(36028797018963968L)).as("h2")))
+        % lit(MinhashMod)).as("h2")))
 
-  /** MinHash signature over hash pairs: sig_i = min(h1 + i·h2).
-    * Estimator: P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b).
+  /** MinHash signature over hash pairs: sig_i = min((h1 + i·h2) mod
+    * 2^55). Estimator: P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b).
     */
   def minhashSigFromPairs(hp: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(hp, p => p.getField("h1") + s * p.getField("h2"))))
+      s => array_min(transform(hp,
+        p => (p.getField("h1") + s * p.getField("h2")) % lit(MinhashMod))))
 
   /** MinHash signature straight from a shingle array. */
   def minhashSig(sh: Column, k: Int): Column = minhashSigFromPairs(hashPairs(sh), k)

@@ -74,7 +74,8 @@ object PipelineQueries {
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
       hp AS (
         SELECT doc_id, list_transform(sh, x -> struct_pack(
-                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT),
+                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                       % 36028797018963968,
                  h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
                        % 36028797018963968)) AS hp
         FROM d),
@@ -82,7 +83,7 @@ object PipelineQueries {
         SELECT doc_id,
                list_distinct(list_transform(hp, p -> p.h1)) AS sh,
                list_transform(range(0, 16), s ->
-                 list_min(list_transform(hp, p -> p.h1 + s * p.h2))) AS sig
+                 list_min(list_transform(hp, p -> (p.h1 + s * p.h2) % 36028797018963968))) AS sig
         FROM hp),
       bands AS (
         SELECT doc_id, unnest(list_transform(range(0, 8), i ->
@@ -358,7 +359,8 @@ object PipelineQueries {
               FROM documents)),
       hp AS (
         SELECT doc_id, lang, q, list_transform(shs, x -> struct_pack(
-                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT),
+                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                       % 36028797018963968,
                  h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
                        % 36028797018963968)) AS hp
         FROM d),
@@ -366,7 +368,7 @@ object PipelineQueries {
         SELECT doc_id, lang, q,
                list_distinct(list_transform(hp, p -> p.h1)) AS sh,
                list_transform(range(0, 16), s ->
-                 list_min(list_transform(hp, p -> p.h1 + s * p.h2))) AS sig
+                 list_min(list_transform(hp, p -> (p.h1 + s * p.h2) % 36028797018963968))) AS sig
         FROM hp),
       bands AS (
         SELECT doc_id, unnest(list_transform(range(0, 8), i ->

@@ -31,6 +31,21 @@ class TextVectorSpec extends AnyFunSuite {
     assert(sigs(0) != sigs(2))
   }
 
+  test("minhash signature agreement estimates Jaccard (the LSH contract)") {
+    import org.apache.spark.sql.functions._
+    // word sets with known overlap: |A∩B|/|A∪B| = 10/30
+    val a = (0 until 20).map(i => s"w$i")
+    val b = (10 until 30).map(i => s"w$i")
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(Text.minhashSig(col("a"), 128).as("sa"),
+        Text.minhashSig(col("b"), 128).as("sb"))
+      .select(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), m -> m))").as("agree"))
+    val agree = df.as[Int].head() / 128.0
+    val trueJ = 10.0 / 30.0
+    assert(math.abs(agree - trueJ) < 0.12,
+      f"minhash estimate $agree%.3f too far from true Jaccard $trueJ%.3f")
+  }
+
   test("jaccard on distinct arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Text.jaccard($"x", $"y").as("j"))
