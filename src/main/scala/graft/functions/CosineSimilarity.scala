@@ -82,5 +82,11 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "shingle_rows", (children: Seq[Expression]) =>
         ShingleRows(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "graft_gcd", (children: Seq[Expression]) =>
+        Gcd(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "graft_lcm", (children: Seq[Expression]) =>
+        Lcm(children(0), children(1)), "built-in")
   }
 }

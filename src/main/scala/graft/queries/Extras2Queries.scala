@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Det, QDef, Tables}
+import graft.functions.GraftFunctions
 import graft.ops.Text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,6 +143,23 @@ object Extras2Queries {
                          (date_diff('day', pd, day)::DOUBLE / date_diff('day', pd, nd)), 4)
              END AS filled
       FROM x ORDER BY day""")),
+
+    // gcd/lcm as custom codegen expressions (CH math family members
+    // Spark lacks); DuckDB's native gcd/lcm oracle them.
+    QDef("scalar_gcd_lcm", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 101 === 0)
+        .selectExpr("o_orderkey",
+          "graft_gcd(o_orderkey, o_custkey) AS g",
+          "graft_lcm(o_orderkey % 24, o_custkey % 36) AS l")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             gcd(o_orderkey, o_custkey) AS g,
+             lcm(o_orderkey % 24, o_custkey % 36) AS l
+      FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""")),
 
     // Array predicates + regex extraction + ILIKE: has/hasAll/hasAny/
     // indexOf/countEqual (§2.8 array family) and extractAll/ilike
