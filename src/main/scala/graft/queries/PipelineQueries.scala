@@ -41,7 +41,7 @@ object PipelineQueries {
     QDef("pipe_minhash_lsh", (s, dir) => {
       import s.implicits._
       // One md5 per shingle, then everything downstream works on the
-      // 60-bit hashes: the exact-Jaccard step intersects long sets
+      // mod-2^55 hashes: the exact-Jaccard step intersects long sets
       // instead of shingle strings (same result — both engines see
       // identical hashes — far less shuffle). localCheckpoint: the
       // frame feeds three plan branches (bands + both candidate-join
