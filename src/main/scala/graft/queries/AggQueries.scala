@@ -65,21 +65,25 @@ object AggQueries {
 
     // quantile/quantiles/median — exact interpolated percentiles
     // (ClickHouse quantileExact*; Spark `percentile` ≡ DuckDB
-    // `quantile_cont`).
+    // `quantile_cont`). The quartile LIST is serialized to a joined
+    // string: the driver's pandas gate can't sort/hash array cells.
     QDef("agg_quantiles", (s, dir) => {
       import s.implicits._
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-          expr("transform(percentile(l_extendedprice, array(0.25, 0.5, 0.75)), x -> round(x, 4))")
+          expr("""array_join(transform(
+                    percentile(l_extendedprice, array(0.25, 0.5, 0.75)),
+                    x -> CAST(round(x, 4) AS STRING)), ',')""")
             .as("price_quartiles"))
         .orderBy($"l_returnflag")
     }, Some("""
       SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
-             list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                            x -> round(x, 4)) AS price_quartiles
+             array_to_string(list_transform(
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+               x -> CAST(round(x, 4) AS VARCHAR)), ',') AS price_quartiles
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // argMin/argMax → min_by/max_by. Balances have 2dp resolution, so
@@ -123,18 +127,20 @@ object AggQueries {
                    4) AS bounding_ratio_per_day
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
-    // groupArray / groupUniqArray → sorted collect_list / collect_set.
+    // groupArray / groupUniqArray → sorted collect_list / collect_set,
+    // serialized to '|'-joined strings for the pandas gate (array cells
+    // are unhashable there; the sorted-join is a bijection anyway).
     QDef("agg_collect", (s, dir) => {
       import s.implicits._
       Tables(s, dir, "nation")
         .groupBy($"n_regionkey")
-        .agg(sort_array(collect_list($"n_name")).as("nations"),
-          sort_array(collect_set(substring($"n_name", 1, 1))).as("initials"))
+        .agg(array_join(sort_array(collect_list($"n_name")), "|").as("nations"),
+          array_join(sort_array(collect_set(substring($"n_name", 1, 1))), "|").as("initials"))
         .orderBy($"n_regionkey")
     }, Some("""
       SELECT n_regionkey,
-             list_sort(list(n_name)) AS nations,
-             list_sort(list(DISTINCT substring(n_name, 1, 1))) AS initials
+             array_to_string(list_sort(list(n_name)), '|') AS nations,
+             array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 1))), '|') AS initials
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
     // Moments: stddev/var/covar from EXACT decimal sums + identical
@@ -352,21 +358,28 @@ object AggQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // sumMap: element-wise sum of per-row maps. Explode → two-key agg
-    // → re-assemble as a k-sorted entry array (map with deterministic
-    // entry order for the compare).
+    // → re-assemble as a k-sorted "k:v" entry string (deterministic
+    // order + the pandas gate can't hash array/struct cells). Sums stay
+    // in DECIMAL(22,6) end-to-end: the string render is exact and
+    // identical in both engines (no double formatting involved).
     QDef("agg_sum_map", (s, dir) => {
       import s.implicits._
       Tables(s, dir, "events")
         .select($"user_id", map($"event_type", $"value").as("m"))
         .select($"user_id", explode($"m").as(Seq("k", "v")))
-        .groupBy($"user_id", $"k").agg(Det.dsum($"v").as("v"))
+        .groupBy($"user_id", $"k")
+        .agg(sum($"v".cast("decimal(22,6)")).cast("decimal(22,6)").as("v"))
         .groupBy($"user_id")
-        .agg(array_sort(collect_list(struct($"k", $"v"))).as("value_by_type"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"k", $"v"))),
+            x => concat(x.getField("k"), lit(":"), x.getField("v").cast("string"))),
+          "|").as("value_by_type"))
         .orderBy($"user_id")
-    }, Some(s"""
+    }, Some("""
       SELECT user_id,
-             list_sort(list({'k': k, 'v': v})) AS value_by_type
-      FROM (SELECT user_id, event_type AS k, ${Det.sqlSum("value")} AS v
+             string_agg(k || ':' || CAST(v AS VARCHAR), '|' ORDER BY k) AS value_by_type
+      FROM (SELECT user_id, event_type AS k,
+                   CAST(sum(CAST(value AS DECIMAL(22,6))) AS DECIMAL(22,6)) AS v
             FROM events GROUP BY user_id, event_type)
       GROUP BY user_id ORDER BY user_id""")),
 
@@ -420,7 +433,9 @@ object AggQueries {
         .agg(max($"open").as("max_concurrent"))
         .orderBy($"o_orderpriority")
     }, Some("""
-      SELECT o_orderpriority, max(open) AS max_concurrent
+      -- CAST: DuckDB sum(INTEGER) OVER (...) yields HUGEINT, which the
+      -- driver's hasher sees as a different dtype than Spark's BIGINT.
+      SELECT o_orderpriority, CAST(max(open) AS BIGINT) AS max_concurrent
       FROM (
         SELECT o_orderpriority,
                sum(d) OVER (PARTITION BY o_orderpriority ORDER BY t, d, o_orderkey

@@ -61,7 +61,11 @@ object Extras2Queries {
 
     // arrayCumSum / arrayDifference / arrayEnumerate over bounded
     // per-row arrays (higher-order lambdas; O(n²) fold is fine at
-    // n≤8 — these are per-row scalars, not aggregations).
+    // n≤8 — these are per-row scalars, not aggregations). The integer
+    // arrays are serialized to ','-joined strings: the driver's pandas
+    // gate can't sort/hash array cells, and integer→string rendering
+    // is identical in both engines (also erases DuckDB's
+    // list_sum→HUGEINT widening).
     QDef("scalar_array_cum", (s, dir) => {
       import s.implicits._
       Tables(s, dir, "embeddings")
@@ -69,19 +73,23 @@ object Extras2Queries {
         .withColumn("a", expr(
           "transform(slice(embedding, 1, 6), x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
         .select($"vec_id",
-          expr("transform(sequence(1, size(a)), i -> aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x))")
+          expr("""array_join(transform(sequence(1, size(a)),
+                    i -> CAST(aggregate(slice(a, 1, i), 0L, (acc, x) -> acc + x) AS STRING)), ',')""")
             .as("cum_sum"),
-          expr("transform(sequence(1, size(a)), i -> IF(i = 1, a[0], a[i-1] - a[i-2]))")
+          expr("""array_join(transform(sequence(1, size(a)),
+                    i -> CAST(IF(i = 1, a[0], a[i-1] - a[i-2]) AS STRING)), ',')""")
             .as("diffs"),
-          expr("transform(sequence(1, size(a)), i -> i)").as("enum"))
+          expr("array_join(transform(sequence(1, size(a)), i -> CAST(i AS STRING)), ',')")
+            .as("enum"))
         .orderBy($"vec_id")
     }, Some("""
       SELECT vec_id,
-             list_transform(range(1, len(a) + 1),
-               i -> list_sum(a[1:i])) AS cum_sum,
-             list_transform(range(1, len(a) + 1),
-               i -> CASE WHEN i = 1 THEN a[1] ELSE a[i] - a[i-1] END) AS diffs,
-             list_transform(range(1, len(a) + 1), i -> i) AS enum
+             array_to_string(list_transform(range(1, len(a) + 1),
+               i -> CAST(list_sum(a[1:i]) AS VARCHAR)), ',') AS cum_sum,
+             array_to_string(list_transform(range(1, len(a) + 1),
+               i -> CAST(CASE WHEN i = 1 THEN a[1] ELSE a[i] - a[i-1] END AS VARCHAR)), ',') AS diffs,
+             array_to_string(list_transform(range(1, len(a) + 1),
+               i -> CAST(i AS VARCHAR)), ',') AS enum
       FROM (SELECT vec_id,
                    list_transform(embedding[1:6],
                      x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS a

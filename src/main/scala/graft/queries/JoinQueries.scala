@@ -132,14 +132,27 @@ object JoinQueries {
         ON c_acctbal > s_acctbal - 5 AND c_acctbal <= s_acctbal
       GROUP BY s_suppkey ORDER BY s_suppkey""")),
 
-    // JOIN ... USING (coalesced key column).
+    // JOIN ... USING (coalesced key column). The naive form is a
+    // many-to-many join on a 25-value key — output grows as
+    // |customer|×|supplier|/25, quadratic with scale. The aggregates
+    // are factorizable, so pre-aggregate EACH side per key and join 25
+    // tiny rows instead: pairs = n_c·n_s and
+    // sum(c+s over the cross) = n_s·sum_c + n_c·sum_s. Same result,
+    // two partial aggs + a broadcast join — scale-flat. (The oracle
+    // keeps the naive join: DuckDB's cost is irrelevant at sf0.01 and
+    // it independently re-derives the semantics.)
     QDef("join_using", (s, dir) => {
       import s.implicits._
-      val c = Tables(s, dir, "customer").select($"c_nationkey".as("nationkey"), $"c_acctbal")
-      val sup = Tables(s, dir, "supplier").select($"s_nationkey".as("nationkey"), $"s_acctbal")
-      c.join(sup, Seq("nationkey"))
-        .groupBy($"nationkey")
-        .agg(count(lit(1)).as("pairs"), Det.dsum($"c_acctbal" + $"s_acctbal").as("bal"))
+      val D = "decimal(22,6)"
+      val c = Tables(s, dir, "customer")
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_c"), sum($"c_acctbal".cast(D)).as("sum_c"))
+      val sup = Tables(s, dir, "supplier")
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_s"), sum($"s_acctbal".cast(D)).as("sum_s"))
+      c.join(broadcast(sup), Seq("nationkey"))
+        .select($"nationkey", ($"n_c" * $"n_s").as("pairs"),
+          round(($"n_s" * $"sum_c" + $"n_c" * $"sum_s").cast("double"), 4).as("bal"))
         .orderBy($"nationkey")
     }, Some(s"""
       SELECT nationkey, count(*) AS pairs, ${Det.sqlSum("c_acctbal + s_acctbal")} AS bal

@@ -5,6 +5,7 @@ import graft.functions.GraftFunctions
 import graft.ops.{Text, Vectors}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** LLM-training-data pipeline operators over `documents` (BASELINE
   * north star): exact + near-duplicate detection, SimHash, text
@@ -43,16 +44,18 @@ object PipelineQueries {
       // One md5 per shingle, then everything downstream works on the
       // mod-2^55 hashes: the exact-Jaccard step intersects long sets
       // instead of shingle strings (same result — both engines see
-      // identical hashes — far less shuffle). localCheckpoint: the
+      // identical hashes — far less shuffle). persist(DISK_ONLY): the
       // frame feeds three plan branches (bands + both candidate-join
-      // sides); cut the lineage so hashing runs once, not four times.
+      // sides), so materialize hashing once, not four times. DISK_ONLY
+      // (not localCheckpoint) keeps lineage: on a real cluster a lost
+      // executor recomputes its partitions instead of killing the job.
       val docs = Tables(s, dir, "documents")
         .withColumn("toks", Text.tokens($"text"))
         .withColumn("hp", Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
         .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
         .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
         .select($"doc_id", $"sh", $"sig")
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
       val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -115,7 +118,7 @@ object PipelineQueries {
         .withColumn("blk", concat_ws("|", $"lang",
           element_at($"toks", 1), element_at($"toks", 2), expr("size(toks) div 20")))
         .select($"doc_id", $"blk", $"sh")
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
       docs.as("a").join(docs.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("jac", Text.jaccard(col("a.sh"), col("b.sh")))
@@ -221,7 +224,10 @@ object PipelineQueries {
       val vocab = toks.agg(countDistinct($"tok").as("v"))
       val scored = docToks
         .crossJoin(broadcast(langs))
-        .join(broadcast(prof), Seq("plang", "tok"), "left")
+        // No broadcast hint on prof: it is vocab×|langs| rows, which at
+        // web-corpus vocabulary exceeds broadcast limits. Let AQE pick —
+        // at small scale it still broadcasts; at 100 TB it shuffles.
+        .join(prof, Seq("plang", "tok"), "left")
         .join(broadcast(totals), Seq("plang"))
         .crossJoin(broadcast(vocab))
         .withColumn("logp",
@@ -328,7 +334,7 @@ object PipelineQueries {
       .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
       .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
       .select($"doc_id", $"lang", $"q", $"sh", $"sig")
-      .localCheckpoint()
+      .persist(StorageLevel.DISK_ONLY)
     val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
     val shs = docs.select($"doc_id", $"sh")
     val losers = bands.as("a").join(bands.as("b"),

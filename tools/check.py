@@ -1,11 +1,27 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run DuckDB oracle SQL
 against the fixture parquet and compare with the Spark results that
-graft.Verify wrote. Usage:
+graft.Verify wrote.
+
+This mirrors the DRIVER's compare path (CORRECTNESS_r*.json): both
+result sets are loaded into pandas, columns sorted by name, rows sorted
+with DataFrame.sort_values over ALL columns, then cell-wise hashed.
+Crucially that means:
+  * array/map/struct-typed result columns make sort_values raise
+    `TypeError: unhashable type: 'numpy.ndarray'` — reported here as an
+    `err`, exactly like the driver. Queries must serialize non-scalar
+    columns to strings on both sides.
+  * dtype differences survive into the hash (int64 `2` vs float64 `2.0`
+    hash differently), so e.g. DuckDB's sum→HUGEINT widening is caught
+    locally instead of only at the gate.
+
+Usage:
     python3 tools/check.py [sfDir] [verifyOutDir]
 """
-import sys, os, json, math
+import sys, os, json, math, hashlib
 import duckdb
+import numpy as np
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
@@ -18,25 +34,44 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def canon(val):
-    if val is None:
-        return "NULL"
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "NaN"
-        return repr(round(val, 9))
-    if isinstance(val, bool):
-        return str(bool(val))
-    if hasattr(val, "isoformat"):
-        return val.isoformat()
-    if isinstance(val, (list, tuple)):
-        return "[" + ",".join(canon(v) for v in val) + "]"
-    return str(val)
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+def canon_cell(v):
+    """Dtype-preserving canonical string for one cell (int 2 != float 2.0)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(round(f, 9))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if v is pd.NaT:
+        return "NULL"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def frame_digest(df):
+    """Sort columns by name, sort rows via sort_values on all columns
+    (raises on unhashable/array cells, like the driver), hash cells."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    h = hashlib.md5()
+    for c in cols:
+        for v in df[c].tolist():
+            h.update(canon_cell(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return cols, h.hexdigest(), len(df)
+
 
 n_pass = n_fail = 0
 fails = []
@@ -44,28 +79,44 @@ for name in sorted(oracle):
     sql = oracle[name]
     try:
         sdf = con.execute(
-            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
-        scols = [d[0] for d in sdf.description]
-        srows = sdf.fetchall()
-        ddf = con.execute(sql)
-        dcols = [d[0] for d in ddf.description]
-        drows = ddf.fetchall()
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        ddf = con.execute(sql).df()
+        scols, shash, srows = frame_digest(sdf)
+        dcols, dhash, drows = frame_digest(ddf)
     except Exception as e:
         n_fail += 1
-        fails.append((name, f"EXEC ERROR: {e}"))
+        fails.append((name, f"ERR {type(e).__name__}: {e}"))
         continue
-    sc, sr = canon_rows(scols, srows)
-    dc, dr = canon_rows(dcols, drows)
-    if sc != dc:
+    if scols != dcols:
         n_fail += 1
-        fails.append((name, f"SCHEMA spark={sc} duck={dc}"))
-    elif sr != dr:
+        fails.append((name, f"SCHEMA spark={scols} duck={dcols}"))
+    elif srows != drows:
         n_fail += 1
-        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr + [None]*len(dr), dr + [None]*len(sr))) if a != b)
-        fails.append((name, f"ROWS spark_n={len(sr)} duck_n={len(dr)} first_diff@{diff[0]}:\n    spark={diff[1]}\n    duck ={diff[2]}"))
+        fails.append((name, f"ROWS spark_n={srows} duck_n={drows}"))
+    elif shash != dhash:
+        # Re-derive a first-differing-row hint for debugging.
+        hint = ""
+        try:
+            s2 = sdf[sorted(sdf.columns)].sort_values(
+                by=sorted(sdf.columns), kind="mergesort").reset_index(drop=True)
+            d2 = ddf[sorted(ddf.columns)].sort_values(
+                by=sorted(ddf.columns), kind="mergesort").reset_index(drop=True)
+            for i in range(len(s2)):
+                a = tuple(canon_cell(v) for v in s2.iloc[i].tolist())
+                b = tuple(canon_cell(v) for v in d2.iloc[i].tolist())
+                if a != b:
+                    hint = f" first_diff@{i}:\n    spark={a}\n    duck ={b}"
+                    break
+            if not hint:
+                hint = (f" (cells equal after canon → dtype-only diff:"
+                        f" spark={list(s2.dtypes)} duck={list(d2.dtypes)})")
+        except Exception:
+            pass
+        n_fail += 1
+        fails.append((name, f"HASH spark={shash} duck={dhash}{hint}"))
     else:
         n_pass += 1
-        print(f"PASS {name} ({len(sr)} rows)")
+        print(f"PASS {name} ({srows} rows)")
 
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
