@@ -120,6 +120,60 @@ object Aggregates {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** ClickHouse `sequenceMatch` with TIME-BOUND transitions — the
+    * pattern dialect's `(?t<=N)` / `(?t>N)` conditions between steps
+    * (e.g. `'(?1)(?t<=3600)(?2)'`), the most-used pattern feature in
+    * product analytics. Matches "exists events e1 < … < eN at strictly
+    * increasing timestamps, step i+1 within (minGap_i, maxGap_i] of
+    * step i" (other events may interleave, like `.*`).
+    *
+    * `maxGapUs(i)` bounds ts_{i+2} − ts_{i+1} from above (`Long
+    * .MaxValue` = unbounded, plain `.*`); `minGapUs(i)` strictly from
+    * below (`(?t>N)`; −1 = none). Greedy earliest-per-prefix is NOT
+    * sound under gap bounds (a later step-k occurrence can satisfy a
+    * max-gap a sooner one misses), so finish() keeps ALL feasible
+    * chain-end timestamps per prefix length — O(n²·k) worst case over
+    * the per-group events, the same per-group bound ClickHouse's
+    * pattern automaton carries.
+    */
+  class SequenceMatchTimed(nSteps: Int, maxGapUs: Seq[Long], minGapUs: Seq[Long])
+      extends Aggregator[StepEvent, Seq[StepEvent], Boolean] with Serializable {
+    require(maxGapUs.size == nSteps - 1 && minGapUs.size == nSteps - 1,
+      s"need ${nSteps - 1} per-transition gap bounds")
+    def zero: Seq[StepEvent] = Nil
+    def reduce(b: Seq[StepEvent], e: StepEvent): Seq[StepEvent] =
+      if (e.step >= 1 && e.step <= nSteps) b :+ e else b
+    def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] = a ++ b
+    def finish(b: Seq[StepEvent]): Boolean = {
+      val sorted = b.sortBy(e => (e.tsUs, e.step))
+      // ends(j): timestamps of all feasible chains of length j, in scan
+      // (= ascending-ts) order.
+      val ends = Array.fill(nSteps + 1)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      var matched = false
+      val it = sorted.iterator
+      while (it.hasNext && !matched) {
+        val e = it.next()
+        val ok =
+          if (e.step == 1) true
+          else {
+            val maxG = maxGapUs(e.step - 2)
+            val minG = minGapUs(e.step - 2)
+            // feasible predecessor ts': strictly before e, within the
+            // gap window: e.ts − ts' ≤ maxG  and  e.ts − ts' > minG.
+            ends(e.step - 1).exists(t =>
+              t < e.tsUs && e.tsUs - t <= maxG && e.tsUs - t > minG)
+          }
+        if (ok) {
+          if (e.step == nSteps) matched = true
+          else ends(e.step) += e.tsUs
+        }
+      }
+      matched
+    }
+    def bufferEncoder: Encoder[Seq[StepEvent]] = enc[Seq[StepEvent]]
+    def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+  }
+
   case class Bin(lower: Double, upper: Double, height: Double)
 
   /** ClickHouse `histogram(n)`: adaptive-binning histogram via
@@ -188,5 +242,109 @@ object Aggregates {
         .map { case (v, c) => Counted(v, c) }
     def bufferEncoder: Encoder[Map[String, Long]] = enc[Map[String, Long]]
     def outputEncoder: Encoder[Seq[Counted]] = enc[Seq[Counted]]
+  }
+
+  /** One weighted heavy-hitter input: value + its weight (bytes,
+    * revenue, quantity…).
+    */
+  case class Weighted(v: String, w: Long)
+
+  /** ClickHouse `topKWeighted(k)(x, weight)`: heavy hitters by TOTAL
+    * WEIGHT via weighted SpaceSaving — the commoner production form
+    * (top pages by bytes, top products by revenue). Exact whenever the
+    * group's distinct count ≤ capacity (the declared query guarantees
+    * it, keeping the exact groupBy/sum oracle applicable); otherwise
+    * the classic SpaceSaving overestimate bound scaled by total weight.
+    * Deterministic eviction: smallest weight, then lexicographic value.
+    */
+  class TopKWeighted(k: Int, capacity: Int)
+      extends Aggregator[Weighted, Map[String, Long], Seq[Counted]] with Serializable {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], x: Weighted): Map[String, Long] =
+      bump(b, x.v, x.w)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (v, c)) => bump(m, v, c) }
+    private def bump(b: Map[String, Long], v: String, by: Long): Map[String, Long] =
+      if (b.contains(v) || b.size < capacity)
+        b.updatedWith(v)(c => Some(c.getOrElse(0L) + by))
+      else {
+        val (ev, minC) = b.minBy { case (value, c) => (c, value) }
+        (b - ev).updated(v, minC + by)
+      }
+    def finish(b: Map[String, Long]): Seq[Counted] =
+      b.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+        .map { case (v, c) => Counted(v, c) }
+    def bufferEncoder: Encoder[Map[String, Long]] = enc[Map[String, Long]]
+    def outputEncoder: Encoder[Seq[Counted]] = enc[Seq[Counted]]
+  }
+
+  /** One t-digest centroid: mean + count. */
+  case class Centroid(mean: Double, count: Long)
+
+  /** ClickHouse `quantileTDigest`: a MERGEABLE quantile sketch (the
+    * merging t-digest of Dunning & Ertl, "Computing extremely accurate
+    * quantiles using t-digests", arXiv:1902.04023). The buffer is a
+    * mean-sorted centroid list compacted under the k1-style size bound
+    * count(c) ≤ max(1, 4·N·q(1−q)/δ) — tight at the tails (accurate
+    * extreme quantiles), loose in the middle, which is the whole trick.
+    *
+    * Size is O(δ) regardless of N, so partial aggregation ships tiny
+    * buffers at any scale; `merge` concat+compacts, associative up to
+    * the sketch's own approximation (like ClickHouse's). Accuracy is
+    * pinned by rank-error tests in ApproxSpec — by nature it cannot be
+    * hash-checked against an exact oracle.
+    */
+  class TDigestQuantiles(qs: Seq[Double], delta: Int = 100)
+      extends Aggregator[Double, Seq[Centroid], Seq[Double]] with Serializable {
+    def zero: Seq[Centroid] = Nil
+    def reduce(b: Seq[Centroid], x: Double): Seq[Centroid] = {
+      val appended = b :+ Centroid(x, 1L)
+      // Lazy compaction: amortize the sort (classic merging-digest
+      // buffering) instead of compressing per row.
+      if (appended.size > 8 * delta) compact(appended) else appended
+    }
+    def merge(a: Seq[Centroid], b: Seq[Centroid]): Seq[Centroid] = compact(a ++ b)
+    private def compact(cs: Seq[Centroid]): Seq[Centroid] = {
+      if (cs.size <= 1) return cs
+      val sorted = cs.sortBy(c => (c.mean, c.count))
+      val total = sorted.iterator.map(_.count).sum
+      val out = scala.collection.mutable.ArrayBuffer.empty[Centroid]
+      var cm = sorted.head.mean
+      var cn = sorted.head.count
+      var before = 0L // mass strictly before the current centroid
+      sorted.tail.foreach { c =>
+        val q = (before + (cn + c.count) / 2.0) / total
+        val limit = math.max(1.0, 4.0 * total * q * (1 - q) / delta)
+        if (cn + c.count <= limit) {
+          cm = (cm * cn + c.mean * c.count) / (cn + c.count)
+          cn += c.count
+        } else {
+          out += Centroid(cm, cn); before += cn
+          cm = c.mean; cn = c.count
+        }
+      }
+      out += Centroid(cm, cn)
+      out.toSeq
+    }
+    def finish(b: Seq[Centroid]): Seq[Double] = {
+      val cs = compact(b)
+      if (cs.isEmpty) return qs.map(_ => Double.NaN)
+      val total = cs.iterator.map(_.count).sum.toDouble
+      // Cumulative mid-point ranks, linear interpolation between them.
+      val mids = cs.scanLeft(0.0)((acc, c) => acc + c.count)
+        .zip(cs).map { case (before, c) => (before + c.count / 2.0, c.mean) }
+      qs.map { q =>
+        val target = q * total
+        if (target <= mids.head._1) cs.head.mean
+        else if (target >= mids.last._1) cs.last.mean
+        else {
+          val i = mids.lastIndexWhere(_._1 <= target)
+          val (r0, m0) = mids(i); val (r1, m1) = mids(i + 1)
+          m0 + (m1 - m0) * ((target - r0) / (r1 - r0))
+        }
+      }
+    }
+    def bufferEncoder: Encoder[Seq[Centroid]] = enc[Seq[Centroid]]
+    def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
   }
 }

@@ -90,6 +90,83 @@ object FunnelQueries {
             WHERE event_type IN ('view', 'signup', 'purchase')) u
       ORDER BY u.user_id""")),
 
+    // sequenceMatch with TIME-BOUND transitions — the pattern
+    // dialect's `(?t<=N)` / `(?t>N)` conditions:
+    //   matched:        '(?view)(?t<=3d)(?click)(?t<=10d)(?purchase)'
+    //   matched_spaced: '(?view)(?t>1d)(?purchase)'
+    // The oracle restates both as exists-chain joins with explicit
+    // µs gap predicates.
+    QDef("funnel_sequence_timed", (s, dir) => {
+      import s.implicits._
+      val d = 86400000000L // one day in µs
+      val timed = udaf(new Aggregates.SequenceMatchTimed(3,
+        Seq(3 * d, 10 * d), Seq(-1L, -1L)))
+      val spaced = udaf(new Aggregates.SequenceMatchTimed(2,
+        Seq(Long.MaxValue), Seq(d)))
+      val step3 = when($"event_type" === "view", 1)
+        .when($"event_type" === "click", 2)
+        .when($"event_type" === "purchase", 3)
+        .otherwise(0)
+      val step2 = when($"event_type" === "view", 1)
+        .when($"event_type" === "purchase", 2)
+        .otherwise(0)
+      Tables(s, dir, "events")
+        .withColumn("step3", step3).withColumn("step2", step2)
+        .filter($"step3" > 0)
+        .select($"user_id", unix_micros($"ts").as("tsUs"), $"step3", $"step2")
+        .groupBy($"user_id")
+        .agg(timed($"tsUs", $"step3").as("matched"),
+          spaced($"tsUs", $"step2").as("matched_spaced"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                 FROM events)
+      SELECT u.user_id,
+             EXISTS (SELECT 1 FROM e v
+                     JOIN e c ON c.user_id = v.user_id
+                       AND c.event_type = 'click' AND c.us > v.us
+                       AND c.us - v.us <= 259200000000
+                     JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > c.us
+                       AND p.us - c.us <= 864000000000
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view')
+               AS matched,
+             EXISTS (SELECT 1 FROM e v
+                     JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase'
+                       AND p.us - v.us > 86400000000
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view')
+               AS matched_spaced
+      FROM (SELECT DISTINCT user_id FROM e
+            WHERE event_type IN ('view', 'click', 'purchase')) u
+      ORDER BY u.user_id""")),
+
+    // topKWeighted(2)(priority, revenue-cents): heavy hitters by TOTAL
+    // WEIGHT via weighted SpaceSaving — capacity 16 ≥ the 5 distinct
+    // priorities, so the sketch is exact and the groupBy/sum oracle
+    // applies. Weights are o_totalprice in integer cents (2dp money →
+    // exact BIGINT on both engines, no FP sum-order dependence).
+    QDef("funnel_topk_weighted", (s, dir) => {
+      import s.implicits._
+      val tkw = udaf(new Aggregates.TopKWeighted(2, 16))
+      Tables(s, dir, "orders")
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .groupBy($"o_orderstatus")
+        .agg(tkw($"o_orderpriority", $"cents").as("top"))
+        .select($"o_orderstatus", posexplode($"top").as(Seq("i", "e")))
+        .select($"o_orderstatus", ($"i" + 1).as("rank"),
+          $"e.v".as("priority"), $"e.c".as("cents"))
+        .orderBy($"o_orderstatus", $"rank")
+    }, Some("""
+      SELECT o_orderstatus, rank, priority, cents FROM (
+        SELECT o_orderstatus, o_orderpriority AS priority,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) DESC,
+                          o_orderpriority) AS rank
+        FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      WHERE rank <= 2 ORDER BY o_orderstatus, rank""")),
+
     // topK(2) event types per user via the SpaceSaving sketch —
     // capacity 8 ≥ the 5 distinct types, so the sketch is exact and
     // the exact-rewrite oracle applies.

@@ -151,7 +151,57 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceMatchTimed equals brute-force chain with gap bounds") {
+    // pattern: (?1)(?t<=7)(?2)(?t>2)(?3) over small-ts events
+    val timed = new Aggregates.SequenceMatchTimed(3, Seq(7L, Long.MaxValue), Seq(-1L, 2L))
+    def brute(evs: Seq[StepEvent]): Boolean =
+      evs.exists(a => a.step == 1 &&
+        evs.exists(b => b.step == 2 && b.tsUs > a.tsUs && b.tsUs - a.tsUs <= 7 &&
+          evs.exists(c => c.step == 3 && c.tsUs > b.tsUs && c.tsUs - b.tsUs > 2)))
+    check(Prop.forAll(evsGen) { evs =>
+      timed.finish(evs) == brute(evs)
+    })
+  }
+
+  test("sequenceMatchTimed with unbounded gaps degenerates to sequenceMatch") {
+    val unbounded = new Aggregates.SequenceMatchTimed(3,
+      Seq(Long.MaxValue, Long.MaxValue), Seq(-1L, -1L))
+    check(Prop.forAll(evsGen) { evs =>
+      unbounded.finish(evs) == seqm.finish(evs)
+    })
+  }
+
+  test("sequenceMatchTimed merge is associative/commutative under finish") {
+    val timed = new Aggregates.SequenceMatchTimed(3, Seq(7L, 9L), Seq(-1L, 1L))
+    check(Prop.forAll(evsGen, evsGen) { (a, b) =>
+      timed.finish(timed.merge(a, b)) == timed.finish(timed.merge(b, a))
+    })
+  }
+
   private val strGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+  private val wGen = Gen.listOf(for {
+    v <- Gen.oneOf("a", "b", "c", "d", "e")
+    w <- Gen.choose(1L, 50L)
+  } yield Aggregates.Weighted(v, w))
+
+  test("topKWeighted is exact when distinct count fits capacity") {
+    check(Prop.forAll(wGen) { xs =>
+      val agg = new Aggregates.TopKWeighted(3, 8)
+      val out = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val exact = xs.groupBy(_.v).map { case (v, g) => (v, g.map(_.w).sum) }
+        .toSeq.sortBy { case (v, c) => (-c, v) }.take(3)
+      out.map(c => (c.v, c.c)) == exact
+    })
+  }
+
+  test("topKWeighted merge equals single-pass build when within capacity") {
+    check(Prop.forAll(wGen, wGen) { (xs, ys) =>
+      val agg = new Aggregates.TopKWeighted(3, 8)
+      val merged = agg.merge(
+        xs.foldLeft(agg.zero)(agg.reduce), ys.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(merged) == agg.finish((xs ++ ys).foldLeft(agg.zero)(agg.reduce))
+    })
+  }
 
   test("topK is exact when distinct count fits capacity") {
     check(Prop.forAll(strGen) { xs =>

@@ -30,6 +30,59 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) <= 2.0, s"exact=$exact approx=$approx")
   }
 
+  test("t-digest quantiles land within 1% rank error of exact") {
+    import graft.ops.Aggregates
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val td = new Aggregates.TDigestQuantiles(qs, 100)
+    val xs = Tables(spark, dir, "lineitem")
+      .select($"l_extendedprice".cast("double")).as[Double].collect().toSeq
+    val est = td.finish(xs.foldLeft(td.zero)(td.reduce))
+    val sorted = xs.sorted
+    qs.zip(est).foreach { case (q, v) =>
+      // rank error: where the estimate falls in the exact CDF
+      val rank = sorted.count(_ <= v).toDouble / sorted.size
+      assert(math.abs(rank - q) < 0.01, s"q=$q est=$v rank=$rank")
+    }
+  }
+
+  test("t-digest buffers stay O(delta) and merge ≈ single-pass build") {
+    import graft.ops.Aggregates
+    val qs = Seq(0.1, 0.5, 0.9)
+    val td = new Aggregates.TDigestQuantiles(qs, 100)
+    val xs = (1 to 20000).map(i => (i * 2654435761L % 100000).toDouble)
+    // simulate Spark's partial aggregation: 8 partitions, tree-merge
+    val parts = xs.grouped(2500).map(_.foldLeft(td.zero)(td.reduce)).toSeq
+    val merged = parts.reduce(td.merge)
+    // k1-bound size: ~δ/4·∫dq/(q(1−q)) ≈ 400 centroids at δ=100,
+    // N=20000 — O(δ·log N), independent of further growth in N.
+    assert(merged.size <= 600, s"buffer grew to ${merged.size}")
+    val single = td.finish(xs.foldLeft(td.zero)(td.reduce))
+    val multi = td.finish(merged)
+    val range = xs.max - xs.min
+    qs.indices.foreach { i =>
+      assert(math.abs(single(i) - multi(i)) / range < 0.01,
+        s"q=${qs(i)} single=${single(i)} merged=${multi(i)}")
+    }
+    // mass preserved through compaction
+    assert(merged.map(_.count).sum == xs.size.toLong)
+  }
+
+  test("t-digest runs through Spark's partial/final agg path") {
+    import graft.ops.Aggregates
+    import org.apache.spark.sql.functions.udaf
+    val tdq = udaf(new Aggregates.TDigestQuantiles(Seq(0.5), 100))
+    val rows = Tables(spark, dir, "lineitem")
+      .repartition(7)
+      .groupBy($"l_returnflag")
+      .agg(tdq($"l_quantity".cast("double")).as("med"))
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val med = r.getSeq[Double](1).head
+      assert(med > 10 && med < 40, s"median out of range: $med")
+    }
+  }
+
   test("SAMPLE is deterministic under a fixed seed and ~fraction sized") {
     val li = Tables(spark, dir, "lineitem")
     val a = li.sample(withReplacement = false, 0.1, seed = 42)
