@@ -88,5 +88,11 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "graft_lcm", (children: Seq[Expression]) =>
         Lcm(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "sip_hash64", (children: Seq[Expression]) =>
+        SipHash64(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "int_hash64", (children: Seq[Expression]) =>
+        IntHash64(children(0)), "built-in")
   }
 }

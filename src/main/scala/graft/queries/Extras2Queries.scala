@@ -169,6 +169,23 @@ object Extras2Queries {
              lcm(o_orderkey % 24, o_custkey % 36) AS l
       FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""")),
 
+    // ClickHouse bit-parity hashes sipHash64/intHash64 as custom
+    // codegen expressions (functions/Hashes.scala). No DuckDB oracle —
+    // DuckDB has no SipHash — so this is a rows-only declared entry;
+    // the bit-level contract is pinned by the published SipHash-2-4
+    // test vectors in HashesSpec.
+    QDef("scalar_ch_hashes", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 50 === 0)
+        .selectExpr("doc_id",
+          "sip_hash64(text) AS sip",
+          "int_hash64(doc_id) AS ih",
+          "pmod(sip_hash64(text), 64) AS shard")
+        .orderBy($"doc_id")
+    }, None),
+
     // Array predicates + regex extraction + ILIKE: has/hasAll/hasAny/
     // indexOf/countEqual (§2.8 array family) and extractAll/ilike
     // (string family) over document tokens.

@@ -13,8 +13,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
+    // Oracle-free entries get the driver's weaker rows-only check; each
+    // needs an explicit justification here (and a non-gate test pinning
+    // its semantics elsewhere).
+    val rowsOnly = Set(
+      "scalar_ch_hashes" // DuckDB has no SipHash; pinned by HashesSpec vectors
+    )
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
-    assert(qs == os, s"queries without oracle: ${qs.diff(os)}")
+    assert(qs.diff(os) == rowsOnly,
+      s"unjustified oracle-free queries: ${qs.diff(os).diff(rowsOnly)}")
   }
 
   test("plain SQL over registered views, including custom functions") {

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{CHash, GraftFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the ClickHouse bit-parity hashes: the
+  * SipHash-2-4 reference test vectors published with the algorithm
+  * (key bytes 00..0f, message = first n bytes of 00,01,02,…), plus
+  * the worked example from the paper's appendix (15-byte message →
+  * 0xa129ca6149be45e5, which exercises the full-block path). intHash64
+  * is pinned by the fmix64 algebra (0 → 0, bijective on samples) and
+  * interpreted-vs-codegen agreement.
+  */
+class HashesSpec extends AnyFunSuite {
+
+  private val k0 = 0x0706050403020100L
+  private val k1 = 0x0f0e0d0c0b0a0908L
+  private def msg(n: Int): Array[Byte] = Array.tabulate(n)(_.toByte)
+
+  test("sipHash64 matches the published SipHash-2-4 test vectors") {
+    val expected = Seq( // vectors_sip64[0..7]: message lengths 0..7
+      0x726fdb47dd0e0e31L, 0x74f839c593dc67fdL, 0x0d6c8009d9a94f5aL,
+      0x85676696d7fb7e2dL, 0xcf2794e0277187b7L, 0x18765564cd99a68dL,
+      0xcbc9466e58fee3ceL, 0xab0200f58b01d137L)
+    expected.zipWithIndex.foreach { case (want, n) =>
+      assert(CHash.sipHash64(msg(n), k0, k1) == want, s"len=$n")
+    }
+    // the paper's Appendix A worked example: 15-byte message
+    assert(CHash.sipHash64(msg(15), k0, k1) == 0xa129ca6149be45e5L)
+  }
+
+  test("intHash64 is the fmix64 mixer: 0 fixed point, injective on samples") {
+    assert(CHash.intHash64(0L) == 0L)
+    val xs = (0L until 10000L) ++ Seq(Long.MaxValue, Long.MinValue, -1L)
+    assert(xs.map(CHash.intHash64).distinct.size == xs.size)
+  }
+
+  test("sip_hash64/int_hash64 expressions agree with CHash through codegen") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq(("", 0L), ("a", 1L), ("graft", 42L),
+      ("The quick brown fox jumps over the lazy dog", -7L))
+      .toDF("s", "x")
+      .selectExpr("s", "x", "sip_hash64(s) AS hs", "int_hash64(x) AS hx")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) ==
+        CHash.sipHash64(r.getString(0).getBytes("UTF-8")), r.getString(0))
+      assert(r.getLong(3) == CHash.intHash64(r.getLong(1)))
+    }
+  }
+
+  test("sip_hash64 accepts binary input and matches string input bytes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq("payload").toDF("s")
+      .selectExpr("sip_hash64(s) AS a", "sip_hash64(CAST(s AS BINARY)) AS b")
+      .as[(Long, Long)].head()
+    assert(r._1 == r._2)
+  }
+}
