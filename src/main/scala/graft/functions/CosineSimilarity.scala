@@ -94,5 +94,11 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "int_hash64", (children: Seq[Expression]) =>
         IntHash64(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "point_in_polygon", (children: Seq[Expression]) =>
+        PointInPolygon(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "geohash_encode", (children: Seq[Expression]) =>
+        GeohashEncode(children(0), children(1), children(2)), "built-in")
   }
 }

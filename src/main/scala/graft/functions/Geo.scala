@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ClickHouse geo family (SURVEY §2.8): `pointInPolygon` and
+  * `geohashEncode` as native expressions (both need loops, so they
+  * compile to static calls — the same codegen shape as sip_hash64);
+  * `greatCircleDistance` needs no custom code — it composes from
+  * codegen'd builtins in the declared query (haversine, mirrored
+  * verbatim in the DuckDB oracle).
+  */
+object GeoMath {
+
+  /** Ray casting (even–odd rule) with boundary points counted inside —
+    * the classic crossing-number algorithm. xs/ys are the polygon
+    * vertices in order (closing edge implied).
+    */
+  def pointInPolygon(px: Double, py: Double, xs: ArrayData, ys: ArrayData): Boolean = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = xs.getDouble(i); val yi = ys.getDouble(i)
+      val xj = xs.getDouble(j); val yj = ys.getDouble(j)
+      // on-vertex / on-horizontal-edge short circuit: exact hit counts in
+      if (xi == px && yi == py) return true
+      if ((yi > py) != (yj > py)) {
+        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        if (px == xCross) return true
+        if (px < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash (Niemeyer's public algorithm): interleave
+    * longitude/latitude interval halvings, 5 bits per base32 char.
+    * Argument order (lon, lat) matches ClickHouse `geohashEncode`.
+    */
+  def geohashEncode(lon: Double, lat: Double, precision: Int): UTF8String = {
+    val p = math.max(1, math.min(12, precision))
+    val sb = new java.lang.StringBuilder(p)
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    var bits = 0
+    var ch = 0
+    while (sb.length < p) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bits += 1
+      if (bits == 5) { sb.append(base32.charAt(ch)); bits = 0; ch = 0 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `point_in_polygon(px, py, polygon)` with polygon as
+  * `array<struct<x:double, y:double>>` — ClickHouse's
+  * `pointInPolygon((x, y), [(x1, y1), …])`.
+  */
+case class PointInPolygon(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_polygon"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val polyOk = third.dataType match {
+      case ArrayType(StructType(fields), _) =>
+        fields.length == 2 && fields.forall(_.dataType == DoubleType)
+      case _ => false
+    }
+    if (first.dataType == DoubleType && second.dataType == DoubleType && polyOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "point_in_polygon expects (double, double, array<struct<double,double>>)")
+  }
+  private def split(poly: ArrayData): (ArrayData, ArrayData) = {
+    val n = poly.numElements()
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = poly.getStruct(i, 2)
+      xs(i) = row.getDouble(0); ys(i) = row.getDouble(1)
+      i += 1
+    }
+    (ArrayData.toArrayData(xs), ArrayData.toArrayData(ys))
+  }
+  override def nullSafeEval(px: Any, py: Any, poly: Any): Any = {
+    val (xs, ys) = split(poly.asInstanceOf[ArrayData])
+    GeoMath.pointInPolygon(px.asInstanceOf[Double], py.asInstanceOf[Double], xs, ys)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, py, poly) => {
+      s"""
+         |int n = $poly.numElements();
+         |double[] xs = new double[n]; double[] ys = new double[n];
+         |for (int i = 0; i < n; i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow r = $poly.getStruct(i, 2);
+         |  xs[i] = r.getDouble(0); ys[i] = r.getDouble(1);
+         |}
+         |${ev.value} = graft.functions.GeoMath.pointInPolygon($px, $py,
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs),
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ys));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PointInPolygon =
+    copy(first = f, second = s, third = t)
+}
+
+/** `geohash_encode(lon, lat, precision)` — ClickHouse argument order. */
+case class GeohashEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "geohash_encode expects (double lon, double lat, int precision)")
+  override def nullSafeEval(lon: Any, lat: Any, p: Any): Any =
+    GeoMath.geohashEncode(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      p.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, p) =>
+      s"${ev.value} = graft.functions.GeoMath.geohashEncode($lon, $lat, $p);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GeohashEncode =
+    copy(first = f, second = s, third = t)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, QDef, Tables}
 import graft.functions.GraftFunctions
-import graft.ops.Text
+import graft.ops.{Aggregates, External, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,6 +411,114 @@ object Extras2Queries {
       SELECT r_name, count(*) AS n, ${Det.sqlSum("l_quantity")} AS qty
       FROM (SELECT l_quantity, l_orderkey % 3 AS hot FROM lineitem) li
       JOIN (SELECT r_name, r_regionkey % 3 AS hot FROM region) r USING (hot)
-      GROUP BY r_name ORDER BY r_name"""))
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // Executable (external-process) UDF — ClickHouse `executable` UDF
+    // analog via RDD.pipe (ops/External.scala): one `sed` process per
+    // partition, TSV line protocol. The oracle re-derives the
+    // transform relationally (replace), proving round-trip fidelity.
+    QDef("udf_executable", (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .filter($"doc_id" % 20 === 0).select($"doc_id", $"text")
+      External.pipeLines(docs, "\t", Seq("sed", "s/a/A/g"))
+        .map { line =>
+          val i = line.indexOf('\t')
+          (line.substring(0, i).toLong, line.substring(i + 1))
+        }
+        .toDF("doc_id", "subst")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, replace(text, 'a', 'A') AS subst
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
+
+    // groupBitmap: exact distinct count via two-level bitmap containers
+    // (ops/Aggregates.GroupBitmap) — merge is word-wise OR, so the
+    // partial-agg tree ships fixed-size container pages instead of
+    // value sets. The oracle is the exact rewrite.
+    QDef("agg_group_bitmap", (s, dir) => {
+      import s.implicits._
+      val gb = udaf(new Aggregates.GroupBitmap)
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(gb($"o_custkey").as("uniq_cust"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS uniq_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // -State/-Merge combinator surface (uniqState → uniqMerge):
+    // Spark's Datasketches HLL functions make the sketch a real
+    // materializable column — partial sketches per (nation, segment),
+    // unioned per nation, estimated at the end. Rows-only gate entry
+    // (DuckDB can't reproduce the sketch bytes); the estimate-vs-exact
+    // tolerance is pinned in ApproxSpec.
+    QDef("agg_uniq_state_merge", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(expr("hll_sketch_agg(c_custkey)").as("state"))
+        .groupBy($"c_nationkey")
+        .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(state)) AS BIGINT)")
+          .as("uniq_est"))
+        .orderBy($"c_nationkey")
+    }, None),
+
+    // Geo family: greatCircleDistance as the haversine composition of
+    // codegen'd builtins — the SAME expression text runs in DuckDB, so
+    // it is oracle-checkable to integer meters. Pseudo-coordinates are
+    // derived arithmetically from fixture keys (the fixtures carry no
+    // lat/lon), identically on both sides.
+    QDef("scalar_geo", (s, dir) => {
+      import s.implicits._
+      val dist = """
+        CAST(round(2 * 6371000 * asin(sqrt(
+          pow(sin(radians(lat2 - lat1) / 2), 2) +
+          cos(radians(lat1)) * cos(radians(lat2)) *
+          pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS BIGINT)"""
+      Tables(s, dir, "customer")
+        .filter($"c_custkey" % 10 === 0)
+        .selectExpr("c_custkey",
+          "(c_custkey % 1700) / 10.0 - 85.0 AS lat1",
+          "(c_custkey % 3500) / 10.0 - 175.0 AS lon1",
+          "c_nationkey * 6.8 - 85.0 AS lat2",
+          "c_nationkey * 14.0 - 175.0 AS lon2")
+        .selectExpr("c_custkey", s"$dist AS meters")
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+             CAST(round(2 * 6371000 * asin(sqrt(
+               pow(sin(radians(lat2 - lat1) / 2), 2) +
+               cos(radians(lat1)) * cos(radians(lat2)) *
+               pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS BIGINT) AS meters
+      FROM (SELECT c_custkey,
+                   (c_custkey % 1700) / 10.0 - 85.0 AS lat1,
+                   (c_custkey % 3500) / 10.0 - 175.0 AS lon1,
+                   c_nationkey * 6.8 - 85.0 AS lat2,
+                   c_nationkey * 14.0 - 175.0 AS lon2
+            FROM customer WHERE c_custkey % 10 = 0)
+      ORDER BY c_custkey""")),
+
+    // geohashEncode + pointInPolygon (custom expressions,
+    // functions/Geo.scala) over the same pseudo-coordinates. Rows-only
+    // gate entry — DuckDB has neither function; the algorithms are
+    // pinned by known-answer tests in GeoSpec.
+    QDef("scalar_geo_encode", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "customer")
+        .filter($"c_custkey" % 10 === 0)
+        .selectExpr("c_custkey",
+          "CAST((c_custkey % 1700) / 10.0 - 85.0 AS DOUBLE) AS lat",
+          "CAST((c_custkey % 3500) / 10.0 - 175.0 AS DOUBLE) AS lon")
+        .selectExpr("c_custkey",
+          "geohash_encode(lon, lat, 8) AS gh",
+          """point_in_polygon(lon, lat, array(
+               struct(CAST(-90.0 AS DOUBLE), CAST(-45.0 AS DOUBLE)),
+               struct(CAST( 90.0 AS DOUBLE), CAST(-45.0 AS DOUBLE)),
+               struct(CAST( 90.0 AS DOUBLE), CAST( 45.0 AS DOUBLE)),
+               struct(CAST(-90.0 AS DOUBLE), CAST( 45.0 AS DOUBLE)))) AS in_band""")
+        .orderBy($"c_custkey")
+    }, None)
   )
 }

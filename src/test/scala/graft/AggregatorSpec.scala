@@ -194,6 +194,18 @@ class AggregatorSpec extends AnyFunSuite {
     })
   }
 
+  test("groupBitmap counts exactly and merge is OR (incl. negatives)") {
+    val gen = Gen.listOf(Gen.choose(-100000L, 100000L))
+    check(Prop.forAll(gen, gen) { (xs, ys) =>
+      val gb = new Aggregates.GroupBitmap
+      val a = xs.foldLeft(gb.zero)(gb.reduce)
+      val b = ys.foldLeft(gb.zero)(gb.reduce)
+      gb.finish(a) == xs.distinct.size.toLong &&
+        gb.finish(gb.merge(a, b)) == (xs ++ ys).distinct.size.toLong &&
+        gb.finish(gb.merge(a, b)) == gb.finish(gb.merge(b, a))
+    })
+  }
+
   test("topKWeighted merge equals single-pass build when within capacity") {
     check(Prop.forAll(wGen, wGen) { (xs, ys) =>
       val agg = new Aggregates.TopKWeighted(3, 8)

@@ -83,6 +83,24 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("uniqState→uniqMerge (HLL sketch column) lands within 5% of exact") {
+    val cust = Tables(spark, dir, "customer")
+    val est = cust
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("state"))
+      .groupBy($"c_nationkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(state))").as("est"))
+    val exact = cust.groupBy($"c_nationkey")
+      .agg(countDistinct($"c_custkey").as("exact"))
+    val joined = est.join(exact, "c_nationkey")
+      .select($"est".cast("double"), $"exact".cast("double"))
+      .as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (e, x) =>
+      assert(math.abs(e - x) / x < 0.05, s"est=$e exact=$x")
+    }
+  }
+
   test("SAMPLE is deterministic under a fixed seed and ~fraction sized") {
     val li = Tables(spark, dir, "lineitem")
     val a = li.sample(withReplacement = false, 0.1, seed = 42)

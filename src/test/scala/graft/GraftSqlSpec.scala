@@ -17,7 +17,9 @@ class GraftSqlSpec extends AnyFunSuite {
     // needs an explicit justification here (and a non-gate test pinning
     // its semantics elsewhere).
     val rowsOnly = Set(
-      "scalar_ch_hashes" // DuckDB has no SipHash; pinned by HashesSpec vectors
+      "scalar_ch_hashes", // DuckDB has no SipHash; pinned by HashesSpec vectors
+      "scalar_geo_encode", // DuckDB has no geohash/PIP; pinned by GeoSpec
+      "agg_uniq_state_merge" // sketch bytes aren't reproducible; ApproxSpec tolerance
     )
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     assert(qs.diff(os) == rowsOnly,
