@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Det, QDef, Tables}
 import graft.ops.Relational
+import graft.plans.Projections
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 MergeTree-family query-time semantics +
@@ -139,6 +140,41 @@ object MergeTreeQueries {
     }, Some("""
       SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
       FROM nation, (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
-      GROUP BY fmt ORDER BY fmt"""))
+      GROUP BY fmt ORDER BY fmt""")),
+
+    // MergeTree PROJECTION: materialize a pre-aggregate, install the
+    // ProjectionRewrite optimizer rule, then query the BASE table —
+    // Catalyst transparently answers from the projection (sum of
+    // partial sums, sum of partial counts, min/max of partials; exact
+    // because the money sum is decimal). The oracle aggregates the
+    // base table directly, so a hash match proves the rewritten plan
+    // is result-identical. ProjectionSpec asserts the plan actually
+    // scans the projection parquet.
+    QDef("mt_projection", (s, dir) => {
+      import s.implicits._
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Projections.materialize(s, s"orders_by_status_$tag",
+        s"$dir/orders.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_proj/$tag/orders_by_status",
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(Projections.Measure("sum", "CAST(o_totalprice AS DECIMAL(22,6))", "sum_price"),
+          Projections.Measure("count", "1", "cnt"),
+          Projections.Measure("min", "o_totalprice", "min_price"),
+          Projections.Measure("max", "o_totalprice", "max_price")))
+      Projections.install(s)
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(22,6)")).cast("double"), 4).as("rev"),
+          round(min($"o_totalprice"), 4).as("lo"),
+          round(max($"o_totalprice"), 4).as("hi"))
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             ${Det.sqlSum("o_totalprice")} AS rev,
+             round(min(o_totalprice), 4) AS lo,
+             round(max(o_totalprice), 4) AS hi
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority"""))
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.Projections
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MergeTree-projection auto-rewrite: the optimizer must answer a
+  * matching base-table aggregate from the materialized pre-aggregate
+  * (plan proof), with results identical to the un-rewritten query
+  * (value proof), and must NOT fire for non-derivable aggregates.
+  */
+class ProjectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private val projPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/orders_by_status"
+
+  private def query() = Tables(spark, dir, "orders")
+    .groupBy($"o_orderstatus")
+    .agg(count(lit(1)).as("n"),
+      sum($"o_totalprice".cast("decimal(22,6)")).as("rev"),
+      min($"o_totalprice").as("lo"),
+      max($"o_totalprice").as("hi"))
+    .orderBy($"o_orderstatus")
+
+  test("aggregate over the base table is answered from the projection") {
+    val before = query().collect() // rule not installed yet for this def
+    Projections.materialize(spark, "spec_orders_by_status",
+      s"$dir/orders.parquet", projPath,
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(Projections.Measure("sum", "CAST(o_totalprice AS DECIMAL(22,6))", "sum_price"),
+        Projections.Measure("count", "1", "cnt"),
+        Projections.Measure("min", "o_totalprice", "min_price"),
+        Projections.Measure("max", "o_totalprice", "max_price")))
+    Projections.install(spark)
+
+    val df = query()
+    // the logical plan prints relations without paths; the partial
+    // columns prove the swap, and the executed plan shows the location
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("sum_price") && plan.contains("cnt"),
+      s"expected projection scan in plan:\n$plan")
+    assert(df.queryExecution.executedPlan.toString.contains("orders_by_status"))
+    assert(df.collect().toSeq == before.toSeq)
+  }
+
+  test("filters on projection dims are remapped onto the projection") {
+    Projections.install(spark)
+    val df = Tables(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+    assert(df.queryExecution.optimizedPlan.toString.contains("cnt"))
+    assert(df.queryExecution.executedPlan.toString.contains("orders_by_status"))
+    val expected = Tables(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_orderstatus").count().orderBy($"o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
+  }
+
+  test("non-derivable aggregates leave the base scan untouched") {
+    Projections.install(spark)
+    // avg isn't a stored partial; distinct isn't derivable; a filter on
+    // a non-dim column blocks the rewrite
+    val avgQ = Tables(spark, dir, "orders")
+      .groupBy($"o_orderstatus").agg(avg($"o_totalprice").as("a"))
+    assert(!avgQ.queryExecution.executedPlan.toString.contains("orders_by_status"))
+    val distinctQ = Tables(spark, dir, "orders")
+      .groupBy($"o_orderstatus").agg(countDistinct($"o_custkey").as("u"))
+    assert(!distinctQ.queryExecution.executedPlan.toString.contains("orders_by_status"))
+    val filterQ = Tables(spark, dir, "orders")
+      .filter($"o_custkey" > 100)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!filterQ.queryExecution.executedPlan.toString.contains("orders_by_status"))
+  }
+}
