@@ -53,6 +53,20 @@ object StreamDemo {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact deduplication — the streaming face of the
+    * pipeline dedup operators: drop repeats of a content fingerprint,
+    * with the watermark bounding the dedup state (CH users do this
+    * with ReplacingMergeTree + FINAL; Structured Streaming does it at
+    * ingest). `dropDuplicatesWithinWatermark` keeps state only for
+    * one watermark delay — on an unbounded stream, state is O(events
+    * per delay window), independent of history.
+    */
+  def dedupByFingerprint(events: DataFrame): DataFrame =
+    events
+      .withColumn("fp", md5(concat_ws("|", col("user_id"), col("event_type"))))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Live windowFunnel over a stream via mapGroupsWithState — the
     * stateful-processing surface (SURVEY §2.9 last row; CH has no
     * user-facing analog). Per-user state = the (ts, step) buffer; the

@@ -76,6 +76,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: one row per fingerprint, fp set equals batch distinct") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(md5(concat_ws("|", $"user_id", $"event_type")).as("fp"))
+      .distinct().as[String].collect().toSet
+
+    val stream = StreamDemo.dedupByFingerprint(
+      StreamDemo.readEventStream(spark, stageStreamDir()))
+    val q = stream.writeStream.format("memory")
+      .queryName("dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("fp").as[String].collect()
+      assert(got.length == got.distinct.length, "emitted duplicate fingerprints")
+      assert(got.toSet == expected)
+    } finally q.stop()
+  }
+
   test("session windows: streamed sessionization equals batch") {
     val batch = StreamDemo.userSessions(
       Tables(spark, "/root/testdata/sf0.001", "events"))
