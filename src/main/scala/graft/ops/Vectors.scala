@@ -71,11 +71,25 @@ object Vectors {
       : (DataFrame, Array[Array[Double]]) = {
     val feat = emb.withColumn("__fv",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(k).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(feat)
     (model.transform(feat).drop("__fv"), model.clusterCenters.map(_.toArray))
   }
+
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
+
+  /** [[ivfIndex]] built once per (corpus key, column, k, seed) and
+    * persisted — index BUILD is amortized across queries, exactly how
+    * a production ANN index is used (queries never re-run k-means).
+    */
+  def ivfIndexCached(emb: DataFrame, key: String, vecCol: String, k: Int, seed: Long)
+      : (DataFrame, Array[Array[Double]]) =
+    ivfCache.getOrElseUpdate((key, vecCol, k, seed), {
+      val (a, c) = ivfIndex(emb, vecCol, k, seed)
+      (a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), c)
+    })
 
   /** DuckDB twin of [[bucketSparkSql]]. */
   def bucketDuckSql(vecCol: String, nPlanes: Int, dim: Int): String = {

@@ -52,9 +52,16 @@ object Projections {
 
   def registered: Seq[ProjectionDef] = catalog.values.toSeq
 
-  /** Build the pre-aggregate parquet and register the projection. */
+  /** Build the pre-aggregate parquet and register the projection.
+    * Idempotent per (name, basePath): repeat calls in the same JVM
+    * (bench reruns, Verify's sequential queries) skip the rewrite —
+    * like ClickHouse, the projection is maintained by the table, not
+    * rebuilt per query.
+    */
   def materialize(spark: SparkSession, name: String, basePath: String,
       projPath: String, dims: Seq[String], measures: Seq[Measure]): Unit = {
+    if (catalog.get(name).exists(d => d.basePath == basePath && d.projPath == projPath))
+      return
     val base = spark.read.parquet(basePath)
     val aggs = measures.map { m =>
       m.kind match {

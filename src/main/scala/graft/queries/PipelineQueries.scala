@@ -296,6 +296,28 @@ object PipelineQueries {
       SELECT doc_id, len(string_split(text, ' ')) * 2 + length(text) % 7 AS q
       FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
 
+    // IVF ANN (data-adaptive cells): k-means index build — the one
+    // legitimate iterative job, and it's INDEX BUILD, not query — then
+    // probes equi-join their own cell and scan ~1/k of the corpus.
+    // Same bucket-join shuffle shape as pipe_ann_lsh with learned
+    // cells. Rows-only gate entry (k-means cells aren't reproducible
+    // in DuckDB); recall vs exact top-k is pinned in IvfSpec.
+    QDef("pipe_ann_ivf", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      val (assigned, _) = Vectors.ivfIndexCached(emb, dir, "embedding", 8, seed = 42L)
+      val probes = assigned.filter($"vec_id" % 400 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("sim", expr("cosine_sim(embedding, q_vec)"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"q_id", $"rn".as("rank"), $"vec_id", round($"sim", 4).as("sim"))
+        .orderBy($"q_id", $"rank")
+    }, None),
+
     // Multimodal columns: opaque binary payload + typed metadata
     // struct; "decode" is the documented deterministic stub (real
     // decoders aren't in this container — the Spark-side schema,

@@ -19,7 +19,8 @@ class GraftSqlSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "scalar_ch_hashes", // DuckDB has no SipHash; pinned by HashesSpec vectors
       "scalar_geo_encode", // DuckDB has no geohash/PIP; pinned by GeoSpec
-      "agg_uniq_state_merge" // sketch bytes aren't reproducible; ApproxSpec tolerance
+      "agg_uniq_state_merge", // sketch bytes aren't reproducible; ApproxSpec tolerance
+      "pipe_ann_ivf" // k-means cells aren't reproducible in DuckDB; IvfSpec recall
     )
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     assert(qs.diff(os) == rowsOnly,
