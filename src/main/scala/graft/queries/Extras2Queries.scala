@@ -519,6 +519,39 @@ object Extras2Queries {
                struct(CAST( 90.0 AS DOUBLE), CAST( 45.0 AS DOUBLE)),
                struct(CAST(-90.0 AS DOUBLE), CAST( 45.0 AS DOUBLE)))) AS in_band""")
         .orderBy($"c_custkey")
-    }, None)
+    }, None),
+
+    // multiSearchAny / multiSearchAllPositions-count /
+    // positionCaseInsensitive (string family) + arrayEnumerateUniq
+    // (occurrence index per element) — higher-order rewrites with
+    // exact DuckDB twins; counts cast to BIGINT on the Spark side
+    // (Spark size() is INT, DuckDB len() is BIGINT).
+    QDef("scalar_multisearch", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .withColumn("a", expr("slice(split(text, ' '), 1, 8)"))
+        .select($"doc_id",
+          expr("exists(array('data', 'spark'), n -> contains(text, n))")
+            .as("multi_any"),
+          expr("CAST(size(filter(array('data', 'spark', 'a'), n -> contains(text, n))) AS BIGINT)")
+            .as("multi_count"),
+          expr("CAST(instr(lower(text), 'data') AS BIGINT)").as("pos_ci"),
+          expr("""array_join(transform(a, (x, i) ->
+                    CAST(size(filter(slice(a, 1, i + 1), y -> y = x)) AS STRING)), ',')""")
+            .as("enum_uniq"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             len(list_filter(['data', 'spark'], n -> contains(text, n))) > 0 AS multi_any,
+             CAST(len(list_filter(['data', 'spark', 'a'], n -> contains(text, n))) AS BIGINT)
+               AS multi_count,
+             CAST(strpos(lower(text), 'data') AS BIGINT) AS pos_ci,
+             array_to_string(list_transform(range(1, len(a) + 1),
+               i -> CAST(len(list_filter(a[1:i], y -> y = a[i])) AS VARCHAR)), ',')
+               AS enum_uniq
+      FROM (SELECT doc_id, text, string_split(text, ' ')[1:8] AS a
+            FROM documents WHERE doc_id % 25 = 0)
+      ORDER BY doc_id"""))
   )
 }
