@@ -14,9 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
-  /** Register all fixture tables as temp views + custom functions. */
+  /** Register all fixture tables as temp views + custom functions +
+    * the ClickHouse-spelled function dialect (sipHash64, toStartOfDay,
+    * lengthUTF8, multiIf, … — see [[graft.functions.ChDialect]]).
+    */
   def init(spark: SparkSession, dir: String): Unit = {
     GraftFunctions.register(spark)
+    graft.functions.ChDialect.register(spark)
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)
     }

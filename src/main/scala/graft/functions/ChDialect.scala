@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+
+/** ClickHouse-spelled SQL function names, so a ClickHouse user's query
+  * text runs unchanged through `Graft.sql` (registered by
+  * `Graft.init`). Three mechanisms:
+  *
+  *  1. alias → Spark builtin (same builder, CH name);
+  *  2. small compositions of existing Catalyst expressions (still
+  *     fully codegen'd — e.g. `toStartOfDay`, `empty`, `multiIf`,
+  *     `greatCircleDistance` as the haversine tree);
+  *  3. our custom expressions under their CH spellings (`sipHash64`,
+  *     `geohashEncode`, `pointInPolygon`, `cosineDistance`).
+  *
+  * Only dialect SPELLING is mapped here; semantics stay Spark's
+  * (documented per entry where they differ, e.g. toStartOfWeek
+  * truncates to Monday like ClickHouse mode 1).
+  */
+object ChDialect {
+
+  /** CH name → Spark builtin with identical argument semantics. */
+  private val builtinAliases: Map[String, String] = Map(
+    "lengthUTF8" -> "length",
+    "lowerUTF8" -> "lower",
+    "upperUTF8" -> "upper",
+    "toDate" -> "to_date",
+    "toDateTime" -> "to_timestamp",
+    "modulo" -> "mod",
+    "intDiv" -> "div",
+    "ifNull" -> "ifnull",
+    "nullIf" -> "nullif",
+    "arraySort" -> "array_sort",
+    "arrayReverse" -> "reverse",
+    "arrayConcat" -> "concat",
+    "has" -> "array_contains",
+    "indexOf" -> "array_position",
+    "arrayStringConcat" -> "array_join",
+    "uniq" -> "approx_count_distinct",
+    "splitByString" -> "split_part",
+    "position" -> "instr",
+    "toString" -> "string",
+    "toInt64" -> "bigint",
+    "toFloat64" -> "double",
+    "rand" -> "rand",
+    "least" -> "least",
+    "greatest" -> "greatest")
+
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+
+    builtinAliases.foreach { case (chName, sparkName) =>
+      FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier(sparkName))
+        .foreach(b => fr.createOrReplaceTempFunction(chName, b, "built-in"))
+    }
+
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      fr.createOrReplaceTempFunction(name, b, "built-in")
+
+    // compositions (codegen'd Catalyst trees)
+    reg("toStartOfDay")(c => TruncTimestamp(Literal("DAY"), c.head))
+    reg("toStartOfHour")(c => TruncTimestamp(Literal("HOUR"), c.head))
+    reg("toStartOfMonth")(c => TruncDate(Cast(c.head, DateType), Literal("MONTH")))
+    // ClickHouse toStartOfWeek(d, 1) semantics: truncate to Monday
+    reg("toStartOfWeek")(c => TruncDate(Cast(c.head, DateType), Literal("WEEK")))
+    reg("toYear")(c => Year(Cast(c.head, DateType)))
+    reg("toMonth")(c => Month(Cast(c.head, DateType)))
+    reg("toDayOfMonth")(c => DayOfMonth(Cast(c.head, DateType)))
+    reg("toHour")(c => Hour(c.head))
+    reg("toYYYYMM")(c =>
+      Cast(DateFormatClass(Cast(c.head, DateType), Literal("yyyyMM")), IntegerType))
+    reg("empty")(c => EqualTo(Length(c.head), Literal(0)))
+    reg("notEmpty")(c => GreaterThan(Length(c.head), Literal(0)))
+    reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))
+    reg("splitByChar")(c => StringSplit(c(1), c(0), Literal(-1))) // CH order: (sep, s)
+    reg("multiIf") { c =>
+      // multiIf(c1, v1, c2, v2, …, else)
+      val branches = c.dropRight(1).grouped(2).map { case Seq(p, v) => (p, v) }.toSeq
+      CaseWhen(branches, Some(c.last))
+    }
+    reg("toUnixTimestamp")(c => Cast(UnixTimestamp(c.head, Literal("yyyy-MM-dd HH:mm:ss")), LongType))
+
+    // haversine meters; ClickHouse argument order (lon1, lat1, lon2, lat2)
+    reg("greatCircleDistance") { c =>
+      val Seq(lon1, lat1, lon2, lat2) = c.map(e => Cast(e, org.apache.spark.sql.types.DoubleType))
+      def rad(e: Expression) = ToRadians(e)
+      val dLat = Divide(rad(Subtract(lat2, lat1)), Literal(2.0))
+      val dLon = Divide(rad(Subtract(lon2, lon1)), Literal(2.0))
+      val h = Add(
+        Multiply(Sin(dLat), Sin(dLat)),
+        Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+          Multiply(Sin(dLon), Sin(dLon))))
+      Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(h)))
+    }
+
+    // custom expressions under their CH spellings
+    reg("sipHash64")(c => SipHash64(c.head))
+    reg("intHash64")(c => IntHash64(c.head))
+    reg("geohashEncode")(c => GeohashEncode(c(0), c(1),
+      if (c.size > 2) c(2) else Literal(12)))
+    reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
+    reg("cosineDistance")(c =>
+      Subtract(Literal(1.0), CosineSimilarity(c(0), c(1))))
+  }
+}

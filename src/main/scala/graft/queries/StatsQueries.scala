@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates (SURVEY §2.4 stats rows): intervalLengthSum
+  * (union length of overlapping intervals — the classic
+  * sort + running-max island construction, fully relational so it
+  * distributes and oracle-checks), Welch's t-test, and Cramér's V —
+  * both derived from exact decimal sums / exact counts with identical
+  * double arithmetic on the DuckDB side.
+  */
+object StatsQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // intervalLengthSum: union length of [orderdate, orderdate+30d)
+    // per priority. Islands: a row starts a new island iff its start
+    // exceeds the running max end of all PRECEDING rows (per group,
+    // start-ordered); island id = running count of starts; union
+    // length = Σ islands (max end − min start). One shuffle on the
+    // group key; windows are per-group, never global.
+    QDef("agg_interval_union", (s, dir) => {
+      import s.implicits._
+      val ord = Tables(s, dir, "orders")
+        .select($"o_orderpriority".as("p"),
+          // orderdate is TIMESTAMP_NTZ; cast under the UTC session tz
+          unix_micros($"o_orderdate".cast("timestamp")).as("st"),
+          (unix_micros($"o_orderdate".cast("timestamp")) + lit(2592000000000L)).as("en"),
+          $"o_orderkey")
+      val byStart = Window.partitionBy($"p")
+        .orderBy($"st", $"en", $"o_orderkey")
+      val prevMax = max($"en").over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1))
+      val withIsland = ord
+        .withColumn("new_island",
+          when(prevMax.isNull || $"st" > prevMax, 1).otherwise(0))
+        .withColumn("island", sum($"new_island").over(
+          byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withIsland.groupBy($"p", $"island")
+        .agg((max($"en") - min($"st")).as("len"))
+        .groupBy($"p")
+        .agg(sum($"len").as("covered_us"), count(lit(1)).as("n_islands"))
+        .select($"p".as("o_orderpriority"), $"covered_us", $"n_islands")
+        .orderBy($"o_orderpriority")
+    }, Some("""
+      WITH iv AS (
+        SELECT o_orderpriority AS p, epoch_us(o_orderdate) AS st,
+               epoch_us(o_orderdate) + 2592000000000 AS en, o_orderkey
+        FROM orders),
+      isl AS (
+        SELECT p, st, en,
+               CASE WHEN max(en) OVER (PARTITION BY p ORDER BY st, en, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR st > max(en) OVER (PARTITION BY p ORDER BY st, en, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island,
+               o_orderkey
+        FROM iv),
+      num AS (
+        SELECT p, st, en,
+               sum(new_island) OVER (PARTITION BY p ORDER BY st, en, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      per AS (SELECT p, island, max(en) - min(st) AS len
+              FROM num GROUP BY p, island)
+      SELECT p AS o_orderpriority,
+             CAST(sum(len) AS BIGINT) AS covered_us,
+             count(*) AS n_islands
+      FROM per GROUP BY p ORDER BY o_orderpriority""")),
+
+    // Welch's t-test (unequal variances): quantity of returned ('R')
+    // vs accepted ('A') lineitems. Means/variances from exact decimal
+    // sums, the t statistic and Welch–Satterthwaite df with identical
+    // double arithmetic both sides, 4dp-rounded.
+    QDef("agg_welch_ttest", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(22,6)"
+      val st = Tables(s, dir, "lineitem")
+        .filter($"l_returnflag".isin("A", "R"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast(D)).cast("double").as("sx"),
+          sum(($"l_quantity" * $"l_quantity").cast(D)).cast("double").as("sxx"))
+        .withColumn("m", $"sx" / $"n")
+        .withColumn("v", ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))
+      val a = st.filter($"l_returnflag" === "A")
+        .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
+      val r = st.filter($"l_returnflag" === "R")
+        .select($"n".as("n2"), $"m".as("m2"), $"v".as("v2"))
+      a.crossJoin(r)
+        .select(
+          round(($"m1" - $"m2") / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 4).as("t_stat"),
+          round(pow($"v1" / $"n1" + $"v2" / $"n2", 2) /
+            (pow($"v1" / $"n1", 2) / ($"n1" - 1) + pow($"v2" / $"n2", 2) / ($"n2" - 1)),
+            4).as("df"))
+    }, Some("""
+      WITH st AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sxx
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY l_returnflag),
+      m AS (SELECT l_returnflag, n, sx / n AS m, (sxx - sx * sx / n) / (n - 1) AS v
+            FROM st)
+      SELECT round((a.m - r.m) / sqrt(a.v / a.n + r.v / r.n), 4) AS t_stat,
+             round(pow(a.v / a.n + r.v / r.n, 2) /
+                   (pow(a.v / a.n, 2) / (a.n - 1) + pow(r.v / r.n, 2) / (r.n - 1)),
+                   4) AS df
+      FROM (SELECT * FROM m WHERE l_returnflag = 'A') a,
+           (SELECT * FROM m WHERE l_returnflag = 'R') r""")),
+
+    // Cramér's V association between order status and priority:
+    // contingency table → χ² → V = sqrt(χ² / (n·(min(r,c)−1))).
+    // Pure count arithmetic (exact) until the final double ratio.
+    QDef("agg_cramers_v", (s, dir) => {
+      import s.implicits._
+      val ord = Tables(s, dir, "orders")
+      val cells = ord.groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("nij"))
+      val rows = ord.groupBy($"o_orderstatus").agg(count(lit(1)).as("ni"))
+      val cols = ord.groupBy($"o_orderpriority").agg(count(lit(1)).as("nj"))
+      val tot = ord.agg(count(lit(1)).as("n"),
+        countDistinct($"o_orderstatus").as("r"),
+        countDistinct($"o_orderpriority").as("c"))
+      cells.join(broadcast(rows), "o_orderstatus")
+        .join(broadcast(cols), "o_orderpriority")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", $"ni".cast("double") * $"nj" / $"n")
+        .withColumn("chi", ($"nij" - $"e") * ($"nij" - $"e") / $"e")
+        .groupBy($"n", $"r", $"c")
+        .agg(sum($"chi").as("chi2"))
+        .select(round(sqrt($"chi2" / ($"n" * (least($"r", $"c") - 1))), 4).as("cramers_v"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderstatus, o_orderpriority, count(*) AS nij
+                     FROM orders GROUP BY 1, 2),
+      rws AS (SELECT o_orderstatus, count(*) AS ni FROM orders GROUP BY 1),
+      cls AS (SELECT o_orderpriority, count(*) AS nj FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, count(DISTINCT o_orderstatus) AS r,
+                     count(DISTINCT o_orderpriority) AS c FROM orders)
+      SELECT round(sqrt(sum((nij - e) * (nij - e) / e) /
+                        (n * (least(r, c) - 1))), 4) AS cramers_v
+      FROM (SELECT nij, CAST(ni AS DOUBLE) * nj / n AS e, n, r, c
+            FROM cells JOIN rws USING (o_orderstatus)
+                       JOIN cls USING (o_orderpriority)
+                       CROSS JOIN tot)
+      GROUP BY n, r, c"""))
+  )
+}

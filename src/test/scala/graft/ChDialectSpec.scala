@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClickHouse-spelled SQL runs unchanged: each dialect function must
+  * equal its Spark-spelled twin on fixture data.
+  */
+class ChDialectSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CH-spelled scalar functions equal their Spark twins") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val rows = Graft.sql(spark, """
+      SELECT
+        lengthUTF8(n_name) = length(n_name) AS a,
+        modulo(n_nationkey, 7) = n_nationkey % 7 AS b,
+        ifNull(NULL, n_nationkey) = n_nationkey AS c,
+        empty('') AND notEmpty(n_name) AS d,
+        multiIf(n_nationkey < 5, 'lo', n_nationkey < 15, 'mid', 'hi') =
+          CASE WHEN n_nationkey < 5 THEN 'lo'
+               WHEN n_nationkey < 15 THEN 'mid' ELSE 'hi' END AS e,
+        has(splitByChar(' ', n_name || ' X'), 'X') AS f,
+        arrayUniq(array(1, 1, 2)) = 2 AS g,
+        sipHash64(n_name) = sip_hash64(n_name) AS h
+      FROM nation""").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i in $r"))
+    }
+  }
+
+  test("CH date functions truncate as documented") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT toStartOfDay(o_orderdate) = date_trunc('DAY', o_orderdate) AS a,
+             toStartOfMonth(o_orderdate) = trunc(CAST(o_orderdate AS DATE), 'MONTH') AS b,
+             toYear(o_orderdate) = year(o_orderdate) AS c,
+             toYYYYMM(o_orderdate) = CAST(date_format(o_orderdate, 'yyyyMM') AS INT) AS d
+      FROM orders LIMIT 100""").collect()
+    r.foreach { row =>
+      (0 until row.length).foreach(i => assert(row.getBoolean(i), s"col $i"))
+    }
+  }
+
+  test("greatCircleDistance: CH argument order, ~111 km per degree of latitude") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val d = Graft.sql(spark,
+      "SELECT greatCircleDistance(0.0D, 0.0D, 0.0D, 1.0D) AS m")
+      .collect().head.getDouble(0)
+    assert(math.abs(d - 111195.0) < 100.0, s"got $d")
+  }
+}
