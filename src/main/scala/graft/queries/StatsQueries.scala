@@ -146,6 +146,57 @@ object StatsQueries {
             FROM cells JOIN rws USING (o_orderstatus)
                        JOIN cls USING (o_orderpriority)
                        CROSS JOIN tot)
-      GROUP BY n, r, c"""))
+      GROUP BY n, r, c""")),
+
+    // PASTE JOIN (positional): align the i-th region with the i-th
+    // nation-per-region summary row. Positional semantics need a
+    // DEFINED order — both sides number rows over an explicit sort
+    // (CH PASTE JOIN documents the same caveat for parallel input).
+    QDef("join_paste", (s, dir) => {
+      import s.implicits._
+      // global windows justified: region is a 5-row bounded dim and
+      // the other side is a 25-group pre-aggregate
+      val wR = Window.orderBy($"r_regionkey")
+      val wN = Window.orderBy($"n_regionkey")
+      val a = Tables(s, dir, "region")
+        .select($"r_name", row_number().over(wR).as("rn"))
+      val b = Tables(s, dir, "nation").groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n_nations"))
+        .select($"n_nations", row_number().over(wN).as("rn"))
+      a.join(b, "rn").select($"rn", $"r_name", $"n_nations").orderBy($"rn")
+    }, Some("""
+      SELECT rn, r_name, n_nations
+      FROM (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn
+            FROM region) a
+      JOIN (SELECT n_nations, row_number() OVER (ORDER BY n_regionkey) AS rn
+            FROM (SELECT n_regionkey, count(*) AS n_nations
+                  FROM nation GROUP BY n_regionkey)) b USING (rn)
+      ORDER BY rn""")),
+
+    // Window frame EXCLUDE CURRENT ROW: Spark has no EXCLUDE clause,
+    // so the frame sum minus the current row's value emulates it —
+    // and the ORACLE uses DuckDB's NATIVE `EXCLUDE CURRENT ROW`, so a
+    // hash match proves the emulation implements the standard
+    // semantics exactly.
+    QDef("window_exclude_current", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_orderkey")
+        .rowsBetween(-2, 2)
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 20 === 0)
+        .select($"o_orderkey",
+          // round-then-cast: Spark's double→long cast truncates while
+          // DuckDB's rounds — round(…, 0) first makes them agree
+          (sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).over(w) -
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("neighbor_cents"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                          EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_cents
+      FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey"""))
   )
 }
