@@ -118,6 +118,23 @@ for name in sorted(oracle):
         n_pass += 1
         print(f"PASS {name} ({srows} rows)")
 
+# Rows-only queries (declared without an oracle): the driver records a
+# weaker check; locally we at least require non-empty, loadable output.
+for name in sorted(os.listdir(OUT)):
+    if name in oracle or not os.path.isdir(os.path.join(OUT, name)):
+        continue
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
+        if n > 0:
+            print(f"ROWS-ONLY {name} ({n} rows)")
+        else:
+            n_fail += 1
+            fails.append((name, "ROWS-ONLY query produced 0 rows"))
+    except Exception as e:
+        n_fail += 1
+        fails.append((name, f"ROWS-ONLY ERR: {e}"))
+
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total")
