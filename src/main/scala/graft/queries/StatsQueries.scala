@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
+import graft.ops.Quantiles
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,6 +148,30 @@ object StatsQueries {
                        JOIN cls USING (o_orderpriority)
                        CROSS JOIN tot)
       GROUP BY n, r, c""")),
+
+    // Distributed exact quantiles: the SAME interpolated quantiles as
+    // agg_quantiles, but from the value-count distribution
+    // (ops/Quantiles) instead of Spark's row-buffering `percentile` —
+    // the form whose per-group working set is O(distinct values), the
+    // one that survives hot groups at 100 TB. DuckDB's quantile_cont
+    // is the oracle, so the hash match proves the rank/interpolation
+    // algebra is exact, not just close.
+    QDef("agg_quantiles_dist", (s, dir) => {
+      import s.implicits._
+      Quantiles.exactQuantiles(Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+        .select($"l_returnflag", $"q", round($"quantile", 4).as("quantile"))
+        .orderBy($"l_returnflag", $"q")
+    }, Some("""
+      WITH g AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS vals
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             CAST([0.25, 0.5, 0.75][i] AS DOUBLE) AS q,
+             round(vals[i], 4) AS quantile
+      FROM g, (SELECT unnest([1, 2, 3]) AS i)
+      ORDER BY l_returnflag, q""")),
 
     // PASTE JOIN (positional): align the i-th region with the i-th
     // nation-per-region summary row. Positional semantics need a
