@@ -49,4 +49,59 @@ object Multimodal {
         height = (a.n_chars % 480).toInt + 1,
         lang = a.lang)
     }
+
+  /** One sampled video frame: asset id, frame index, timestamp, and
+    * the (stub-)resized thumbnail payload.
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long, thumb: Array[Byte])
+
+  private implicit val frameEnc: Encoder[Frame] = ExpressionEncoder[Frame]()
+
+  /** Frame sampling: each asset expands to one row per `intervalMs`
+    * of its (metadata-declared) duration — a flatMap GENERATOR shape:
+    * one→many with no shuffle, output fan-out bounded by
+    * duration/interval per asset, pipelined within the partition.
+    * The "decoder" seek+decode is the deterministic stub; a real
+    * binding replaces only `sampleOne`.
+    */
+  def frameSample(ds: Dataset[Asset], intervalMs: Long, maxFrames: Int = 32)
+      : Dataset[Frame] =
+    ds.flatMap { a =>
+      val durationMs = a.n_chars * 40 // stub: metadata-derived duration
+      val n = math.min(maxFrames, math.max(1L, durationMs / intervalMs).toInt)
+      (0 until n).map(i => sampleOne(a, i, i * intervalMs))
+    }
+
+  private def sampleOne(a: Asset, idx: Int, tsMs: Long): Frame = {
+    // stub seek+decode+resize: an 8-byte deterministic "thumbnail"
+    val crc = new java.util.zip.CRC32()
+    crc.update(a.payload)
+    crc.update(idx)
+    val v = crc.getValue
+    Frame(a.doc_id, idx, tsMs,
+      (0 until 8).map(b => ((v >> (8 * (b % 8))) & 0xff).toByte).toArray)
+  }
+
+  /** Stub feature-extraction to a fixed-dim embedding — the REAL part
+    * is the output schema (`Array[Float]` of `dim`, unit-normalized),
+    * which is exactly what the ANN operators consume downstream; swap
+    * the hash-fold for a model call and the pipeline is unchanged.
+    */
+  def extractEmbeddings(ds: Dataset[Asset], dim: Int = 16)
+      : Dataset[(Long, Array[Float])] = {
+    implicit val enc: Encoder[(Long, Array[Float])] =
+      ExpressionEncoder[(Long, Array[Float])]()
+    ds.mapPartitions { it =>
+      it.map { a =>
+        val raw = Array.tabulate(dim) { d =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(a.payload)
+          crc.update(d)
+          ((crc.getValue % 2000L) - 1000L).toFloat / 1000.0f
+        }
+        val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+        (a.doc_id, raw.map(x => if (norm == 0) 0.0f else x / norm))
+      }
+    }
+  }
 }

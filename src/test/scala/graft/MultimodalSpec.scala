@@ -30,4 +30,33 @@ class MultimodalSpec extends AnyFunSuite {
     val tiny = Multimodal.decodeFeatures(ds, batchSize = 1).collect().sortBy(_.doc_id)
     assert(big.toSeq == tiny.toSeq)
   }
+
+  test("frameSample fans out per duration, bounded, no shuffle in plan") {
+    val ds = spark.createDataset(assets)
+    val frames = Multimodal.frameSample(ds, intervalMs = 1000, maxFrames = 5)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = frames.collect()
+    // duration stub = n_chars*40ms = ~4s → 4 frames, capped at 5
+    val byDoc = rows.groupBy(_.doc_id)
+    assert(byDoc.keySet.size == 10)
+    byDoc.values.foreach { fs =>
+      assert(fs.length >= 1 && fs.length <= 5)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      fs.foreach(f => assert(f.thumb.length == 8))
+    }
+    // determinism
+    assert(frames.collect().map(f => (f.doc_id, f.frame_idx, f.thumb.toSeq)).sortBy(x => (x._1, x._2)).toSeq ==
+      rows.map(f => (f.doc_id, f.frame_idx, f.thumb.toSeq)).sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("extractEmbeddings yields unit-normalized fixed-dim vectors for ANN") {
+    val ds = spark.createDataset(assets)
+    val embs = Multimodal.extractEmbeddings(ds, dim = 16).collect()
+    assert(embs.length == 10)
+    embs.foreach { case (_, v) =>
+      assert(v.length == 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
 }
