@@ -41,8 +41,11 @@ object ChDialect {
     "indexOf" -> "array_position",
     "arrayStringConcat" -> "array_join",
     "uniq" -> "approx_count_distinct",
-    "splitByString" -> "split_part",
-    "position" -> "instr",
+    // NOTE: CH `position(haystack, needle)` is NOT aliased — Spark's
+    // builtin `position(needle, str)` has the reversed order and
+    // shadowing it would silently flip Spark-spelled queries in the
+    // same session. `positionUTF8` (no Spark collision) covers it.
+    "positionUTF8" -> "instr",
     "toString" -> "string",
     "toInt64" -> "bigint",
     "toFloat64" -> "double",
@@ -77,9 +80,21 @@ object ChDialect {
     reg("empty")(c => EqualTo(Length(c.head), Literal(0)))
     reg("notEmpty")(c => GreaterThan(Length(c.head), Literal(0)))
     reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))
-    reg("splitByChar")(c => StringSplit(c(1), c(0), Literal(-1))) // CH order: (sep, s)
+    // CH splits on LITERAL separators; Spark's split takes a regex, so
+    // quote the (foldable) separator — splitByChar('.', s) must split
+    // on dots, not on every character. CH argument order: (sep, s).
+    def quotedSep(e: Expression, fn: String): Expression = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Literal(java.util.regex.Pattern.quote(s.toString))
+      case _ => throw new IllegalArgumentException(
+        s"$fn requires a literal separator (got ${e.sql})")
+    }
+    reg("splitByChar")(c => StringSplit(c(1), quotedSep(c(0), "splitByChar"), Literal(-1)))
+    reg("splitByString")(c => StringSplit(c(1), quotedSep(c(0), "splitByString"), Literal(-1)))
     reg("multiIf") { c =>
       // multiIf(c1, v1, c2, v2, …, else)
+      require(c.size >= 3 && c.size % 2 == 1,
+        s"multiIf expects cond1, val1, …, condN, valN, else (odd arity >= 3); got ${c.size} args")
       val branches = c.dropRight(1).grouped(2).map { case Seq(p, v) => (p, v) }.toSeq
       CaseWhen(branches, Some(c.last))
     }

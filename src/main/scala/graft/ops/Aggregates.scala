@@ -293,20 +293,27 @@ object Aggregates {
     private def bucket(v: Long): Long = v >> 12 // container id (floor for negatives)
     private def bit(v: Long): Int = (v & 4095L).toInt
     def zero: Map[Long, Array[Long]] = Map.empty
-    def reduce(b: Map[Long, Array[Long]], v: Long): Map[Long, Array[Long]] = {
-      val words = b.getOrElse(bucket(v), new Array[Long](64)).clone()
-      words(bit(v) >> 6) |= 1L << (bit(v) & 63)
-      b.updated(bucket(v), words)
-    }
+    // The buffer is partition-private between serialization points, so
+    // containers are mutated IN PLACE — no 512-byte clone per row; the
+    // immutable Map only changes when a new container appears.
+    def reduce(b: Map[Long, Array[Long]], v: Long): Map[Long, Array[Long]] =
+      b.get(bucket(v)) match {
+        case Some(words) =>
+          words(bit(v) >> 6) |= 1L << (bit(v) & 63)
+          b
+        case None =>
+          val words = new Array[Long](64)
+          words(bit(v) >> 6) |= 1L << (bit(v) & 63)
+          b.updated(bucket(v), words)
+      }
     def merge(a: Map[Long, Array[Long]], b: Map[Long, Array[Long]]): Map[Long, Array[Long]] =
       b.foldLeft(a) { case (m, (k, words)) =>
         m.get(k) match {
           case None => m.updated(k, words)
           case Some(mine) =>
-            val out = mine.clone()
             var i = 0
-            while (i < 64) { out(i) |= words(i); i += 1 }
-            m.updated(k, out)
+            while (i < 64) { mine(i) |= words(i); i += 1 }
+            m
         }
       }
     def finish(b: Map[Long, Array[Long]]): Long =

@@ -23,7 +23,11 @@ object External {
   def pipeLines(df: DataFrame, sep: String, cmd: Seq[String]): Dataset[String] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lines = df.select(concat_ws(sep, df.columns.map(col): _*).as("line")).as[String]
+    // coalesce each field: concat_ws SKIPS null values, which would
+    // drop fields and shift the line protocol — a NULL must serialize
+    // as an empty field, not a missing one.
+    val fields = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
+    val lines = df.select(concat_ws(sep, fields: _*).as("line")).as[String]
     spark.createDataset(lines.rdd.pipe(cmd))
   }
 }

@@ -65,12 +65,17 @@ object Multimodal {
     * binding replaces only `sampleOne`.
     */
   def frameSample(ds: Dataset[Asset], intervalMs: Long, maxFrames: Int = 32)
-      : Dataset[Frame] =
+      : Dataset[Frame] = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     ds.flatMap { a =>
       val durationMs = a.n_chars * 40 // stub: metadata-derived duration
-      val n = math.min(maxFrames, math.max(1L, durationMs / intervalMs).toInt)
+      // cap in Long space BEFORE narrowing — a huge ratio must clamp
+      // to maxFrames, not overflow Int and go negative
+      val n = math.min(maxFrames.toLong, math.max(1L, durationMs / intervalMs)).toInt
       (0 until n).map(i => sampleOne(a, i, i * intervalMs))
     }
+  }
 
   private def sampleOne(a: Asset, idx: Int, tsMs: Long): Frame = {
     // stub seek+decode+resize: an 8-byte deterministic "thumbnail"

@@ -33,7 +33,10 @@ object Quantiles {
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
       qs: Seq[Double]): DataFrame = {
     val grp = groupCols.map(col)
+    // NULLs are excluded before counting — percentile and quantile_cont
+    // both ignore NULL inputs; counting them would shift every rank.
     val vc = df.select(grp :+ value.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .groupBy(grp :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
     val byVal = Window.partitionBy(grp: _*).orderBy(col("__v"))
     val whole = Window.partitionBy(grp: _*)

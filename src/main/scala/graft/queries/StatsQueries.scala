@@ -208,13 +208,16 @@ object StatsQueries {
       val w = Window.partitionBy($"o_orderpriority")
         .orderBy($"o_orderkey")
         .rowsBetween(-2, 2)
+      val cents = expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
       Tables(s, dir, "orders")
         .filter($"o_orderkey" % 20 === 0)
         .select($"o_orderkey",
           // round-then-cast: Spark's double→long cast truncates while
-          // DuckDB's rounds — round(…, 0) first makes them agree
-          (sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).over(w) -
-            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("neighbor_cents"))
+          // DuckDB's rounds — round(…, 0) first makes them agree.
+          // The count() guard matches EXCLUDE's NULL-on-empty-frame:
+          // a single-row partition must yield NULL, not 0.
+          when(count(lit(1)).over(w) > 1, sum(cents).over(w) - cents)
+            .as("neighbor_cents"))
         .orderBy($"o_orderkey")
     }, Some("""
       SELECT o_orderkey,

@@ -42,6 +42,25 @@ class ChDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("splitByChar/splitByString treat separators literally, not as regex") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark,
+      "SELECT splitByChar('.', 'a.b.c') AS p, splitByString('||', 'x||y') AS q")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("x", "y"))
+  }
+
+  test("multiIf rejects even arity with a clear message") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val e = intercept[Exception] {
+      Graft.sql(spark, "SELECT multiIf(true, 1, false, 2)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiIf")), messages(e).mkString(" | "))
+  }
+
   test("greatCircleDistance: CH argument order, ~111 km per degree of latitude") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val d = Graft.sql(spark,

@@ -39,6 +39,15 @@ class QuantilesSpec extends AnyFunSuite {
     compare("l_extendedprice")
   }
 
+  test("NULL values are ignored, matching percentile/quantile_cont") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(5.0)), ("a", None))
+      .toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, Seq("g"), col("v"), Seq(0.5))
+      .collect().head.getDouble(2)
+    assert(got == 3.0, s"median should ignore NULLs, got $got")
+  }
+
   test("plan: heavy reduction is a partial-aggregated count, not a row buffer") {
     val li = Tables(spark, dir, "lineitem")
     val plan = Quantiles.exactQuantiles(li, Seq("l_returnflag"), col("l_quantity"), Seq(0.5))
