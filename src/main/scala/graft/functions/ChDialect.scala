@@ -51,7 +51,24 @@ object ChDialect {
     "toFloat64" -> "double",
     "rand" -> "rand",
     "least" -> "least",
-    "greatest" -> "greatest")
+    "greatest" -> "greatest",
+    // aggregate spellings (identical argument semantics).
+    // NOTE: CH `any` is NOT aliased — Spark's builtin `any` is
+    // bool_or, and shadowing it would flip Spark-spelled queries;
+    // any_value covers the semantics under a collision-free name.
+    "argMax" -> "max_by",
+    "argMin" -> "min_by",
+    "quantileExact" -> "percentile",
+    "medianExact" -> "median",
+    "countIf" -> "count_if",
+    "groupArray" -> "collect_list",
+    "groupUniqArray" -> "collect_set",
+    "stddevPop" -> "stddev_pop",
+    "stddevSamp" -> "stddev_samp",
+    "varPop" -> "var_pop",
+    "varSamp" -> "var_samp",
+    "covarPop" -> "covar_pop",
+    "covarSamp" -> "covar_samp")
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
@@ -99,6 +116,20 @@ object ChDialect {
       CaseWhen(branches, Some(c.last))
     }
     reg("toUnixTimestamp")(c => Cast(UnixTimestamp(c.head, Literal("yyyy-MM-dd HH:mm:ss")), LongType))
+
+    // -If aggregate combinators: agg only over rows where cond holds.
+    // CH argument order (x, cond); a no-else CASE yields NULL for
+    // non-matching rows, which every Spark aggregate ignores.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Max, Min, Sum}
+    def onlyIf(x: Expression, cond: Expression): Expression =
+      CaseWhen(Seq((cond, x)), None)
+    reg("sumIf")(c => Sum(onlyIf(c(0), c(1))))
+    reg("avgIf")(c => Average(onlyIf(c(0), c(1))))
+    reg("minIf")(c => Min(onlyIf(c(0), c(1))))
+    reg("maxIf")(c => Max(onlyIf(c(0), c(1))))
+    // uniqExact(x) ≡ count(DISTINCT x): the distinct flag lives on the
+    // AggregateExpression, not in any registry name
+    reg("uniqExact")(c => Count(c).toAggregateExpression(isDistinct = true))
 
     // haversine meters; ClickHouse argument order (lon1, lat1, lon2, lat2)
     reg("greatCircleDistance") { c =>

@@ -29,6 +29,26 @@ class ChDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("CH aggregate spellings equal their Spark twins") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        argMax(n_name, n_nationkey) = max_by(n_name, n_nationkey) AS a,
+        argMin(n_name, n_nationkey) = min_by(n_name, n_nationkey) AS b,
+        countIf(n_regionkey = 0) = count_if(n_regionkey = 0) AS c,
+        sumIf(n_nationkey, n_regionkey = 0) =
+          sum(CASE WHEN n_regionkey = 0 THEN n_nationkey END) AS d,
+        avgIf(n_nationkey, n_regionkey = 0) =
+          avg(CASE WHEN n_regionkey = 0 THEN n_nationkey END) AS e,
+        maxIf(n_nationkey, n_regionkey = 1) =
+          max(CASE WHEN n_regionkey = 1 THEN n_nationkey END) AS f,
+        uniqExact(n_regionkey) = count(DISTINCT n_regionkey) AS g,
+        quantileExact(n_nationkey, 0.5) = percentile(n_nationkey, 0.5) AS h,
+        size(groupUniqArray(n_regionkey)) = 5 AS i
+      FROM nation""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("CH date functions truncate as documented") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val r = Graft.sql(spark, """
