@@ -115,6 +115,40 @@ object MergeTreeQueries {
                  FROM events GROUP BY 1) USING (day)
       ORDER BY day""")),
 
+    // WITH FILL + LOCF (last observation carried forward): gap days
+    // take the most recent real daily sum — the other common fill mode
+    // next to rel_fill_interpolate's linear one. Spark: last_value
+    // with ignoreNulls over the calendar-joined series; DuckDB: native
+    // IGNORE NULLS. The window runs over the AGGREGATED daily series
+    // (bounded by the calendar span), not raw rows.
+    QDef("rel_fill_locf", (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(Det.dsum($"value").as("v"))
+      val mm = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val cal = mm.select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("day"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      broadcast(cal).join(daily, Seq("day"), "left")
+        .withColumn("v_locf", last($"v", ignoreNulls = true).over(w))
+        .select($"day", $"v_locf")
+        .orderBy($"day")
+    }, Some("""
+      SELECT day,
+             last_value(v IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+      FROM (SELECT day, v
+            FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                  FROM (SELECT min(day) AS lo, max(day) AS hi
+                        FROM (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+                              FROM events WHERE event_type = 'purchase')))
+            LEFT JOIN (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                              round(CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 4) AS v
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1) USING (day))
+      ORDER BY day""")),
+
     // I/O formats (§2.1): csv / json / orc round-trips of the nation
     // table — write, read back, prove contents identical per format.
     QDef("mt_formats", (s, dir) => {
