@@ -88,10 +88,19 @@ object ChDialect {
     reg("toStartOfMonth")(c => TruncDate(Cast(c.head, DateType), Literal("MONTH")))
     // ClickHouse toStartOfWeek(d, 1) semantics: truncate to Monday
     reg("toStartOfWeek")(c => TruncDate(Cast(c.head, DateType), Literal("WEEK")))
+    reg("toStartOfYear")(c => TruncDate(Cast(c.head, DateType), Literal("YEAR")))
+    reg("toStartOfQuarter")(c => TruncDate(Cast(c.head, DateType), Literal("QUARTER")))
     reg("toYear")(c => Year(Cast(c.head, DateType)))
+    reg("toQuarter")(c => Quarter(Cast(c.head, DateType)))
     reg("toMonth")(c => Month(Cast(c.head, DateType)))
     reg("toDayOfMonth")(c => DayOfMonth(Cast(c.head, DateType)))
+    // ClickHouse numbering: Monday = 1 … Sunday = 7 (ISO), unlike
+    // Spark's dayofweek (Sunday = 1) — weekday() is the 0-based ISO
+    // form, so +1 matches CH exactly
+    reg("toDayOfWeek")(c => Add(WeekDay(Cast(c.head, DateType)), Literal(1)))
     reg("toHour")(c => Hour(c.head))
+    reg("toMinute")(c => Minute(c.head))
+    reg("toSecond")(c => Second(c.head))
     reg("toYYYYMM")(c =>
       Cast(DateFormatClass(Cast(c.head, DateType), Literal("yyyyMM")), IntegerType))
     reg("empty")(c => EqualTo(Length(c.head), Literal(0)))

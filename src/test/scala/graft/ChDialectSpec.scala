@@ -55,7 +55,11 @@ class ChDialectSpec extends AnyFunSuite {
       SELECT toStartOfDay(o_orderdate) = date_trunc('DAY', o_orderdate) AS a,
              toStartOfMonth(o_orderdate) = trunc(CAST(o_orderdate AS DATE), 'MONTH') AS b,
              toYear(o_orderdate) = year(o_orderdate) AS c,
-             toYYYYMM(o_orderdate) = CAST(date_format(o_orderdate, 'yyyyMM') AS INT) AS d
+             toYYYYMM(o_orderdate) = CAST(date_format(o_orderdate, 'yyyyMM') AS INT) AS d,
+             toStartOfQuarter(o_orderdate) = trunc(CAST(o_orderdate AS DATE), 'QUARTER') AS e,
+             toQuarter(o_orderdate) = quarter(o_orderdate) AS f,
+             toDayOfWeek(o_orderdate) = weekday(o_orderdate) + 1 AS g,
+             toDayOfWeek(DATE '2026-08-10') = 1 AS h -- a Monday, ISO numbering
       FROM orders LIMIT 100""").collect()
     r.foreach { row =>
       (0 until row.length).foreach(i => assert(row.getBoolean(i), s"col $i"))
