@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
   *     `geohashEncode`, `pointInPolygon`, `cosineDistance`).
   *
   * Only dialect SPELLING is mapped here; semantics stay Spark's
-  * (documented per entry where they differ, e.g. toStartOfWeek
-  * truncates to Monday like ClickHouse mode 1).
+  * (documented per entry where they differ — known residual drift:
+  * `rand` returns a double in [0,1) not a UInt32, and `uniq` maps to
+  * Spark's HLL++ sketch, which can differ from CH's uniq estimate on
+  * the same data; use `uniqExact` for engine-identical counts).
   */
 object ChDialect {
 
@@ -74,9 +76,13 @@ object ChDialect {
     val fr = spark.sessionState.functionRegistry
 
     builtinAliases.foreach { case (chName, sparkName) =>
-      FunctionRegistry.builtin
+      // Fail fast on a typo'd Spark name — a silently-skipped alias
+      // would surface much later as "undefined function" at query time.
+      val b = FunctionRegistry.builtin
         .lookupFunctionBuilder(FunctionIdentifier(sparkName))
-        .foreach(b => fr.createOrReplaceTempFunction(chName, b, "built-in"))
+        .getOrElse(throw new IllegalStateException(
+          s"ChDialect: no Spark builtin '$sparkName' for CH alias '$chName'"))
+      fr.createOrReplaceTempFunction(chName, b, "built-in")
     }
 
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
@@ -86,8 +92,24 @@ object ChDialect {
     reg("toStartOfDay")(c => TruncTimestamp(Literal("DAY"), c.head))
     reg("toStartOfHour")(c => TruncTimestamp(Literal("HOUR"), c.head))
     reg("toStartOfMonth")(c => TruncDate(Cast(c.head, DateType), Literal("MONTH")))
-    // ClickHouse toStartOfWeek(d, 1) semantics: truncate to Monday
-    reg("toStartOfWeek")(c => TruncDate(Cast(c.head, DateType), Literal("WEEK")))
+    // ClickHouse toStartOfWeek(d[, mode]): mode defaults to 0 = week
+    // starts SUNDAY; odd modes start Monday, even modes Sunday (the
+    // first-day bit of CH's 0–9 week-mode table). Spark's trunc(WEEK)
+    // is Monday, so Sunday-start is day-of-week arithmetic instead.
+    reg("toStartOfWeek") { c =>
+      val mode: Int = c.drop(1).headOption match {
+        case None => 0
+        case Some(e) if e.foldable =>
+          val m = e.eval().asInstanceOf[Number].intValue()
+          require(m >= 0 && m <= 9, s"toStartOfWeek mode must be 0..9, got $m")
+          m
+        case Some(e) => throw new IllegalArgumentException(
+          s"toStartOfWeek requires a literal mode (got ${e.sql})")
+      }
+      val d = Cast(c.head, DateType)
+      if (mode % 2 == 1) TruncDate(d, Literal("WEEK"))
+      else DateSub(d, Subtract(DayOfWeek(d), Literal(1)))
+    }
     reg("toStartOfYear")(c => TruncDate(Cast(c.head, DateType), Literal("YEAR")))
     reg("toStartOfQuarter")(c => TruncDate(Cast(c.head, DateType), Literal("QUARTER")))
     reg("toYear")(c => Year(Cast(c.head, DateType)))

@@ -28,8 +28,12 @@ object GeoMath {
     while (i < n) {
       val xi = xs.getDouble(i); val yi = ys.getDouble(i)
       val xj = xs.getDouble(j); val yj = ys.getDouble(j)
-      // on-vertex / on-horizontal-edge short circuit: exact hit counts in
+      // boundary points count inside: vertices, horizontal edges (the
+      // crossing test below never fires when yi == yj == py), and
+      // crossing edges (exact px == xCross hit)
       if (xi == px && yi == py) return true
+      if (yi == py && yj == py &&
+        px >= math.min(xi, xj) && px <= math.max(xi, xj)) return true
       if ((yi > py) != (yj > py)) {
         val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
         if (px == xCross) return true

@@ -46,21 +46,45 @@ object Projections {
       basePath: String,
       projPath: String,
       dims: Seq[String],
-      measures: Seq[Measure])
+      measures: Seq[Measure],
+      baseMtime: Long)
 
   private val catalog = TrieMap.empty[String, ProjectionDef]
 
   def registered: Seq[ProjectionDef] = catalog.values.toSeq
 
+  /** Modification time of the base table's root path (file or dir).
+    * The rewrite checks this per query: a projection built from an
+    * older snapshot of the base MUST NOT answer queries after the base
+    * is rewritten — stale entries are dropped instead.
+    */
+  private[plans] def mtimeOf(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+    } catch { case _: Exception => -1L }
+
+  /** Invalidate and return true if the base changed since materialize. */
+  private[plans] def staleAndDrop(spark: SparkSession, d: ProjectionDef): Boolean = {
+    val cur = mtimeOf(spark, d.basePath)
+    val stale = cur != d.baseMtime
+    if (stale) catalog.remove(d.name)
+    stale
+  }
+
   /** Build the pre-aggregate parquet and register the projection.
-    * Idempotent per (name, basePath): repeat calls in the same JVM
-    * (bench reruns, Verify's sequential queries) skip the rewrite —
-    * like ClickHouse, the projection is maintained by the table, not
-    * rebuilt per query.
+    * Idempotent per (name, basePath, base mtime): repeat calls in the
+    * same JVM (bench reruns, Verify's sequential queries) skip the
+    * rebuild — like ClickHouse, the projection is maintained by the
+    * table, not rebuilt per query. If the base was rewritten since,
+    * the projection IS rebuilt.
     */
   def materialize(spark: SparkSession, name: String, basePath: String,
       projPath: String, dims: Seq[String], measures: Seq[Measure]): Unit = {
-    if (catalog.get(name).exists(d => d.basePath == basePath && d.projPath == projPath))
+    val mtime = mtimeOf(spark, basePath)
+    if (catalog.get(name).exists(d => d.basePath == basePath &&
+      d.projPath == projPath && d.baseMtime == mtime))
       return
     val base = spark.read.parquet(basePath)
     val aggs = measures.map { m =>
@@ -81,7 +105,8 @@ object Projections {
     }
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(projPath)
-    catalog.put(name, ProjectionDef(name, basePath, projPath, dims, measures))
+    catalog.put(name,
+      ProjectionDef(name, basePath, projPath, dims, measures, mtime))
   }
 
   /** Install the rewrite on an EXISTING session (extensions can only be
@@ -127,6 +152,9 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val (baseLr, filters) = strip(agg.child, Nil).getOrElse(return None)
     if (!pathsOf(baseLr).exists(p => p == d.basePath || p.endsWith(d.basePath)))
       return None
+    // Staleness gate: never answer from a projection whose base table
+    // was rewritten after materialize — drop the entry and scan base.
+    if (staleAndDrop(spark, d)) return None
 
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a

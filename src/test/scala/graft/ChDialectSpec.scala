@@ -59,7 +59,12 @@ class ChDialectSpec extends AnyFunSuite {
              toStartOfQuarter(o_orderdate) = trunc(CAST(o_orderdate AS DATE), 'QUARTER') AS e,
              toQuarter(o_orderdate) = quarter(o_orderdate) AS f,
              toDayOfWeek(o_orderdate) = weekday(o_orderdate) + 1 AS g,
-             toDayOfWeek(DATE '2026-08-10') = 1 AS h -- a Monday, ISO numbering
+             toDayOfWeek(DATE '2026-08-10') = 1 AS h, -- a Monday, ISO numbering
+             -- CH default mode 0: week starts Sunday ('2026-08-12' is a Wednesday)
+             toStartOfWeek(DATE '2026-08-12') = DATE '2026-08-09' AS i,
+             toStartOfWeek(DATE '2026-08-09') = DATE '2026-08-09' AS j, -- Sunday fixpoint
+             toStartOfWeek(DATE '2026-08-12', 1) = DATE '2026-08-10' AS k, -- mode 1: Monday
+             toStartOfWeek(DATE '2026-08-10', 3) = DATE '2026-08-10' AS l -- odd mode: Monday
       FROM orders LIMIT 100""").collect()
     r.foreach { row =>
       (0 until row.length).foreach(i => assert(row.getBoolean(i), s"col $i"))

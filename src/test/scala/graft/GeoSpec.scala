@@ -34,6 +34,10 @@ class GeoSpec extends AnyFunSuite {
     assert(!pip(5, 2, sq: _*))
     assert(!pip(-1, -1, sq: _*))
     assert(pip(0, 0, sq: _*)) // vertex counts inside
+    assert(pip(2, 4, sq: _*)) // on the top horizontal edge counts inside
+    assert(pip(2, 0, sq: _*)) // on the bottom horizontal edge
+    assert(pip(4, 2, sq: _*)) // on a vertical edge (crossing hit)
+    assert(!pip(5, 4, sq: _*)) // collinear with the top edge but past it
     // concave "C" shape: notch cut from the right side
     val c = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0),
       (1.0, 3.0), (4.0, 3.0), (4.0, 4.0), (0.0, 4.0))

@@ -61,6 +61,32 @@ class ProjectionSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
   }
 
+  test("a rewritten base table invalidates the projection (staleness gate)") {
+    val tmpBase = s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/stale_base"
+    val tmpProj = s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/stale_proj"
+    Tables(spark, dir, "orders").write.mode("overwrite").parquet(tmpBase)
+    Projections.materialize(spark, "spec_stale", tmpBase, tmpProj,
+      Seq("o_orderstatus"),
+      Seq(Projections.Measure("count", "1", "cnt")))
+    Projections.install(spark)
+    def q() = spark.read.parquet(tmpBase)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(q().queryExecution.executedPlan.toString.contains("stale_proj"))
+    // rewrite the base: half the rows — the old projection is now wrong
+    Thread.sleep(1100) // directory mtime granularity can be 1 s
+    spark.read.parquet(tmpBase).filter($"o_orderkey" % 2 === 0)
+      .write.mode("overwrite").parquet(tmpBase + "_next")
+    // overwrite in place via a second write (mtime bumps on rewrite)
+    spark.read.parquet(tmpBase + "_next").write.mode("overwrite").parquet(tmpBase)
+    val after = q()
+    assert(!after.queryExecution.executedPlan.toString.contains("stale_proj"),
+      "stale projection must not answer after base rewrite")
+    // and the answer reflects the NEW base, not the snapshot
+    val total = after.collect().map(_.getLong(1)).sum
+    val base = spark.read.parquet(tmpBase).count()
+    assert(total == base)
+  }
+
   test("non-derivable aggregates leave the base scan untouched") {
     Projections.install(spark)
     // avg isn't a stored partial; distinct isn't derivable; a filter on

@@ -42,6 +42,12 @@ def canon_cell(v):
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
+            # NaN canonicalizes to NULL deliberately: both result sets
+            # reach the comparison through pandas float columns (ours
+            # via duckdb .df(), the driver's likewise), where SQL NULL
+            # in a DOUBLE column *is* np.nan — the distinction is
+            # unobservable at the driver, so distinguishing it locally
+            # would only create false-red local runs.
             return "NULL"
         return repr(round(f, 9))
     if isinstance(v, (bool, np.bool_)):
