@@ -174,6 +174,98 @@ object Aggregates {
     def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
 
+  /** ClickHouse `windowFunnel(window, 'strict_increase'|'strict_order'|
+    * 'strict_dedup')`: the funnel modes, in their DECLARATIVE reading —
+    * depth k iff there EXISTS a chain e1…ek matching steps 1..k at
+    * non-decreasing timestamps with ts_j − ts_1 ≤ window at every
+    * prefix, where additionally
+    *   - strictIncrease: chain timestamps strictly increase;
+    *   - strictOrder:    no event of ANY kind (step 0 interrupters
+    *                     included) lies at a timestamp strictly between
+    *                     consecutive chain events — the chain is
+    *                     contiguous in the user's event stream;
+    *   - strictDedup:    no event matching an ALREADY-SATISFIED
+    *                     condition (step ≤ j) lies strictly between
+    *                     chain events e_j and e_{j+1} — a repeat of a
+    *                     met condition interrupts.
+    * ClickHouse's single-pass scan keeps one candidate chain per depth
+    * and so can miss interleaved solutions the declarative semantics
+    * admit; the exists-chain reading is order-insensitive, which is
+    * what lets a relational DuckDB oracle restate it exactly.
+    *
+    * finish() runs the maxStart DP: per (depth j, event i) keep the
+    * MAXIMUM chain-start timestamp over valid chains of length j ending
+    * at i — the window check ts_i − start ≤ W is monotone in start, and
+    * the mode constraints are pairwise on consecutive events, so the
+    * max-start chain dominates. O(n²·k) per group over the ts-sorted
+    * events, the same per-group bound the un-moded funnel's DP carries.
+    */
+  class WindowFunnelModes(windowUs: Long, nSteps: Int,
+      strictOrder: Boolean = false, strictDedup: Boolean = false,
+      strictIncrease: Boolean = false)
+      extends Aggregator[StepEvent, Seq[StepEvent], Int] with Serializable {
+    def zero: Seq[StepEvent] = Nil
+    // step-0 events matter only as strict_order interrupters — don't
+    // buffer them otherwise (bounded buffers at scale).
+    def reduce(b: Seq[StepEvent], e: StepEvent): Seq[StepEvent] =
+      if (e.step >= 1 && e.step <= nSteps) b :+ e
+      else if (e.step == 0 && strictOrder) b :+ e
+      else b
+    def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] = a ++ b
+    def finish(b: Seq[StepEvent]): Int = {
+      val ev = b.sortBy(e => (e.tsUs, e.step)).toArray
+      val n = ev.length
+      if (n == 0) return 0
+      val allTs: Array[Long] = ev.map(_.tsUs)
+      // per-step sorted timestamps for the dedup betweenness check
+      val tsByStep: Array[Array[Long]] =
+        Array.tabulate(nSteps + 1)(s => ev.filter(_.step == s).map(_.tsUs))
+      def anyIn(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+        // exists t with lo < t < hi
+        var l = 0; var r = sorted.length
+        while (l < r) { val m = (l + r) >>> 1
+          if (sorted(m) <= lo) l = m + 1 else r = m }
+        l < sorted.length && sorted(l) < hi
+      }
+      val none = Long.MinValue
+      // maxStart(i) for the current depth; rolled per level
+      var cur = Array.tabulate(n)(i => if (ev(i).step == 1) ev(i).tsUs else none)
+      var depth = if (cur.exists(_ != none)) 1 else 0
+      var j = 2
+      while (j <= nSteps && depth == j - 1) {
+        val next = Array.fill(n)(none)
+        var i = 0
+        while (i < n) {
+          if (ev(i).step == j) {
+            var m = 0
+            var best = none
+            while (m < n) {
+              if (ev(m).step == j - 1 && cur(m) != none) {
+                val ok =
+                  (if (strictIncrease) ev(m).tsUs < ev(i).tsUs
+                   else ev(m).tsUs <= ev(i).tsUs) &&
+                  ev(i).tsUs - cur(m) <= windowUs &&
+                  (!strictOrder || !anyIn(allTs, ev(m).tsUs, ev(i).tsUs)) &&
+                  (!strictDedup || !(1 until j).exists(s =>
+                    anyIn(tsByStep(s), ev(m).tsUs, ev(i).tsUs)))
+                if (ok && cur(m) > best) best = cur(m)
+              }
+              m += 1
+            }
+            next(i) = best
+          }
+          i += 1
+        }
+        if (next.exists(_ != none)) depth = j
+        cur = next
+        j += 1
+      }
+      depth
+    }
+    def bufferEncoder: Encoder[Seq[StepEvent]] = enc[Seq[StepEvent]]
+    def outputEncoder: Encoder[Int] = Encoders.scalaInt
+  }
+
   case class Bin(lower: Double, upper: Double, height: Double)
 
   /** ClickHouse `histogram(n)`: adaptive-binning histogram via

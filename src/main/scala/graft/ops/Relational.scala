@@ -46,6 +46,55 @@ object Relational {
   def distinctOn(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     limitBy(df, keys, 1, order)
 
+  /** VersionedCollapsingMergeTree analog (FINAL): rows carry a
+    * `version` and a ±1 `sign`; a cancel row must mirror the insert it
+    * cancels (same key, version, payload — upstream
+    * VersionedCollapsingSortedAlgorithm's contract). Per (key,
+    * version) the signs net out; the LIVE state per key is the
+    * highest version whose net is positive. Payload columns (all
+    * others) are taken with max — exact under the mirror contract.
+    * Shape: one groupBy + one per-key window over the few surviving
+    * versions — two shuffles on the same key set.
+    */
+  def versionedCollapse(df: DataFrame, keys: Seq[String],
+      versionCol: String, signCol: String): DataFrame = {
+    val payload = df.columns.filterNot(c =>
+      keys.contains(c) || c == versionCol || c == signCol)
+    val net = df.groupBy((keys :+ versionCol).map(col): _*)
+      .agg(sum(col(signCol)).as("__net"),
+        payload.map(c => max(col(c)).as(c)): _*)
+      .filter(col("__net") > 0)
+    distinctOn(net, keys, Seq(col(versionCol).desc)).drop("__net")
+  }
+
+  /** MergeTree `TTL expr` at query time: row TTL drops rows whose
+    * `ts` is older than `now − keepLast`, where "now" is the frame's
+    * own max(ts) — deterministic, unlike wall-clock TTL, and exactly
+    * what a merge would have applied at the moment the newest part was
+    * written. The max is a 1-row broadcast scalar, so the filter stays
+    * a pushed-down scan predicate shape at any size.
+    */
+  def applyRowTtl(df: DataFrame, tsCol: String, keepLast: String): DataFrame = {
+    val mx = df.agg(max(col(tsCol)).as("__now"))
+    df.crossJoin(broadcast(mx))
+      .filter(col(tsCol) > col("__now") - expr(s"INTERVAL $keepLast"))
+      .drop("__now")
+  }
+
+  /** MergeTree COLUMN TTL: past the horizon the column reverts to its
+    * default (NULL here) while the row survives — `TTL ts + INTERVAL n
+    * ... TO COLUMN` semantics.
+    */
+  def applyColumnTtl(df: DataFrame, tsCol: String, keepLast: String,
+      cols: Seq[String]): DataFrame = {
+    val mx = df.agg(max(col(tsCol)).as("__now"))
+    val horizoned = df.crossJoin(broadcast(mx))
+    cols.foldLeft(horizoned) { (d, c) =>
+      d.withColumn(c,
+        when(col(tsCol) > col("__now") - expr(s"INTERVAL $keepLast"), col(c)))
+    }.drop("__now")
+  }
+
   /** `ORDER BY date WITH FILL STEP 1 day` over an aggregated frame:
     * generates the full calendar between the frame's min and max date
     * (one 1-row cross join, then explode) and left-joins the data in,

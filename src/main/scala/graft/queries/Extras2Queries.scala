@@ -464,6 +464,68 @@ object Extras2Queries {
         .orderBy($"c_nationkey")
     }, None),
 
+    // GEO RADIUS JOIN, cell-bucketed — the scale answer to "all
+    // (customer, supplier) pairs within 100 km" without an all-pairs
+    // cross join (and the working replacement for h3/s2 cell indexes):
+    // points bucket into a 2°×2° grid; 2° ≥ 157 km of longitude at the
+    // |lat| ≤ 45 band cap and 222 km of latitude, so every 100 km pair
+    // lands in the same or an adjacent cell. The probe side explodes
+    // to its 3×3 neighborhood (longitude cells wrap mod 180) and the
+    // join is a plain equi-join on the cell key — one shuffle at any
+    // scale, broadcast here because supplier is a dim. Each pair
+    // matches at most once (the build side's home cell is unique), so
+    // no dedup pass. The oracle is the brute-force quadratic join —
+    // bit-equal haversine meters prove the cell pruning loses nothing.
+    QDef("geo_cell_join", (s, dir) => {
+      import s.implicits._
+      val dist = """
+        CAST(round(2 * 6371000 * asin(sqrt(
+          pow(sin(radians(lat2 - lat1) / 2), 2) +
+          cos(radians(lat1)) * cos(radians(lat2)) *
+          pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS BIGINT)"""
+      val cust = Tables(s, dir, "customer")
+        .selectExpr("c_custkey", "c_nationkey",
+          "CAST((c_custkey % 900) / 10.0 - 45.0 AS DOUBLE) AS lat1",
+          "CAST((c_custkey % 3600) / 10.0 - 180.0 AS DOUBLE) AS lon1")
+        .withColumn("clat", floor(($"lat1" + 45.0) / 2.0))
+        .withColumn("clon", floor(($"lon1" + 180.0) / 2.0))
+      val supp = Tables(s, dir, "supplier")
+        .selectExpr("s_suppkey",
+          "CAST((s_suppkey % 900) / 10.0 - 45.0 AS DOUBLE) AS lat2",
+          "CAST((s_suppkey % 3600) / 10.0 - 180.0 AS DOUBLE) AS lon2")
+        .withColumn("jlat", floor(($"lat2" + 45.0) / 2.0))
+        .withColumn("jlon", floor(($"lon2" + 180.0) / 2.0))
+      val nbrs = array((for { dy <- -1 to 1; dx <- -1 to 1 } yield
+        struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+      val probes = cust.withColumn("d", explode(nbrs))
+        .select($"c_custkey", $"c_nationkey", $"lat1", $"lon1",
+          ($"clat" + $"d.dy").as("jlat"),
+          pmod($"clon" + $"d.dx", lit(180)).as("jlon"))
+      probes.join(broadcast(supp), Seq("jlat", "jlon"))
+        .selectExpr("c_nationkey", s"$dist AS meters")
+        .filter($"meters" <= 100000L)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("pairs"), min($"meters").as("min_m"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey,
+                        (c_custkey % 900) / 10.0 - 45.0 AS lat1,
+                        (c_custkey % 3600) / 10.0 - 180.0 AS lon1
+                 FROM customer),
+      s AS (SELECT s_suppkey,
+                   (s_suppkey % 900) / 10.0 - 45.0 AS lat2,
+                   (s_suppkey % 3600) / 10.0 - 180.0 AS lon2
+            FROM supplier),
+      p AS (SELECT c_nationkey,
+                   CAST(round(2 * 6371000 * asin(sqrt(
+                     pow(sin(radians(lat2 - lat1) / 2), 2) +
+                     cos(radians(lat1)) * cos(radians(lat2)) *
+                     pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS BIGINT) AS meters
+            FROM c, s)
+      SELECT c_nationkey, count(*) AS pairs, min(meters) AS min_m
+      FROM p WHERE meters <= 100000 GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
+
     // Geo family: greatCircleDistance as the haversine composition of
     // codegen'd builtins — the SAME expression text runs in DuckDB, so
     // it is oracle-checkable to integer meters. Pseudo-coordinates are

@@ -141,6 +141,95 @@ object FunnelQueries {
             WHERE event_type IN ('view', 'click', 'purchase')) u
       ORDER BY u.user_id""")),
 
+    // windowFunnel STRICT MODES (7-day window, view → click →
+    // purchase): depth under 'strict_increase' (chain timestamps
+    // strictly increase), 'strict_order' (no event of any kind
+    // between consecutive chain events — contiguous in the stream;
+    // step-0 "other" events interrupt too), and 'strict_dedup' (a
+    // repeat of an already-matched condition between chain events
+    // interrupts). The oracle restates each mode as exists-chains
+    // with NOT EXISTS interrupter predicates on open µs intervals.
+    QDef("funnel_window_strict", (s, dir) => {
+      import s.implicits._
+      val W = 7L * 86400L * 1000000L
+      val inc = udaf(new Aggregates.WindowFunnelModes(W, 3, strictIncrease = true))
+      val ord = udaf(new Aggregates.WindowFunnelModes(W, 3, strictOrder = true))
+      val ded = udaf(new Aggregates.WindowFunnelModes(W, 3, strictDedup = true))
+      Tables(s, dir, "events")
+        .withColumn("step", stepExpr) // others → 0, kept as interrupters
+        .select($"user_id", unix_micros($"ts").as("tsUs"), $"step")
+        .groupBy($"user_id")
+        .agg(inc($"tsUs", $"step").as("d_inc"),
+          ord($"tsUs", $"step").as("d_order"),
+          ded($"tsUs", $"step").as("d_dedup"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                                        WHEN 'purchase' THEN 3 ELSE 0 END AS step
+                 FROM events),
+      W AS (SELECT 604800000000 AS w)
+      SELECT u.user_id,
+        CASE WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
+                            AND c.step = 2 AND c.us > v.us
+                          JOIN e p ON p.user_id = v.user_id AND p.step = 3
+                            AND p.us > c.us AND p.us - v.us <= (SELECT w FROM W)
+                          WHERE v.user_id = u.user_id AND v.step = 1
+                            AND c.us - v.us <= (SELECT w FROM W)) THEN 3
+             WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
+                            AND c.step = 2 AND c.us > v.us
+                            AND c.us - v.us <= (SELECT w FROM W)
+                          WHERE v.user_id = u.user_id AND v.step = 1) THEN 2
+             WHEN EXISTS (SELECT 1 FROM e v WHERE v.user_id = u.user_id
+                            AND v.step = 1) THEN 1
+             ELSE 0 END AS d_inc,
+        CASE WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
+                            AND c.step = 2 AND c.us > v.us
+                            AND c.us - v.us <= (SELECT w FROM W)
+                          JOIN e p ON p.user_id = v.user_id AND p.step = 3
+                            AND p.us > c.us AND p.us - v.us <= (SELECT w FROM W)
+                          WHERE v.user_id = u.user_id AND v.step = 1
+                            AND NOT EXISTS (SELECT 1 FROM e x
+                              WHERE x.user_id = v.user_id
+                                AND x.us > v.us AND x.us < c.us)
+                            AND NOT EXISTS (SELECT 1 FROM e x
+                              WHERE x.user_id = v.user_id
+                                AND x.us > c.us AND x.us < p.us)) THEN 3
+             WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
+                            AND c.step = 2 AND c.us > v.us
+                            AND c.us - v.us <= (SELECT w FROM W)
+                          WHERE v.user_id = u.user_id AND v.step = 1
+                            AND NOT EXISTS (SELECT 1 FROM e x
+                              WHERE x.user_id = v.user_id
+                                AND x.us > v.us AND x.us < c.us)) THEN 2
+             WHEN EXISTS (SELECT 1 FROM e v WHERE v.user_id = u.user_id
+                            AND v.step = 1) THEN 1
+             ELSE 0 END AS d_order,
+        CASE WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
+                            AND c.step = 2 AND c.us > v.us
+                            AND c.us - v.us <= (SELECT w FROM W)
+                          JOIN e p ON p.user_id = v.user_id AND p.step = 3
+                            AND p.us > c.us AND p.us - v.us <= (SELECT w FROM W)
+                          WHERE v.user_id = u.user_id AND v.step = 1
+                            AND NOT EXISTS (SELECT 1 FROM e x
+                              WHERE x.user_id = v.user_id AND x.step = 1
+                                AND x.us > v.us AND x.us < c.us)
+                            AND NOT EXISTS (SELECT 1 FROM e x
+                              WHERE x.user_id = v.user_id AND x.step IN (1, 2)
+                                AND x.us > c.us AND x.us < p.us)) THEN 3
+             WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
+                            AND c.step = 2 AND c.us > v.us
+                            AND c.us - v.us <= (SELECT w FROM W)
+                          WHERE v.user_id = u.user_id AND v.step = 1
+                            AND NOT EXISTS (SELECT 1 FROM e x
+                              WHERE x.user_id = v.user_id AND x.step = 1
+                                AND x.us > v.us AND x.us < c.us)) THEN 2
+             WHEN EXISTS (SELECT 1 FROM e v WHERE v.user_id = u.user_id
+                            AND v.step = 1) THEN 1
+             ELSE 0 END AS d_dedup
+      FROM (SELECT DISTINCT user_id FROM e) u
+      ORDER BY u.user_id""")),
+
     // topKWeighted(2)(priority, revenue-cents): heavy hitters by TOTAL
     // WEIGHT via weighted SpaceSaving — capacity 16 ≥ the 5 distinct
     // priorities, so the sketch is exact and the groupBy/sum oracle

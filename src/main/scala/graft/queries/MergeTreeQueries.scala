@@ -149,6 +149,90 @@ object MergeTreeQueries {
                        FROM events WHERE event_type = 'purchase' GROUP BY 1) USING (day))
       ORDER BY day""")),
 
+    // VersionedCollapsingMergeTree (FINAL): a versioned ±sign stream
+    // synthesized deterministically from orders — v1 insert for every
+    // key; even keys get a v1 cancel + v2 insert at an updated price
+    // (the mirror contract: a cancel row repeats the payload it
+    // cancels); keys % 6 == 0 additionally cancel v2 → fully deleted.
+    // Live state = highest version with positive net sign per key
+    // (ops/Relational.versionedCollapse). The oracle restates the
+    // whole pipeline relationally.
+    QDef("mt_versioned_collapsing", (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("p"))
+      def mk(f: org.apache.spark.sql.DataFrame, price: org.apache.spark.sql.Column,
+          ver: Int, sign: Int) =
+        f.select($"k", $"st", price.as("price"), lit(ver).as("version"),
+          lit(sign).as("sign"))
+      val even = base.filter($"k" % 2 === 0)
+      // +10% in INTEGER CENTS: round(p·1.1, 2) straddles double-
+      // rounding edges differently per engine; integer cent arithmetic
+      // followed by one exact division is bit-identical everywhere
+      val bumped = expr(
+        "CAST(CAST(round(p * 100, 0) AS BIGINT) * 11 DIV 10 AS DOUBLE) / 100.0")
+      val stream = mk(base, $"p", 1, 1)
+        .union(mk(even, $"p", 1, -1))
+        .union(mk(even, bumped, 2, 1))
+        .union(mk(base.filter($"k" % 6 === 0), bumped, 2, -1))
+      Relational.versionedCollapse(stream, Seq("k"), "version", "sign")
+        .groupBy($"st")
+        .agg(count(lit(1)).as("live_rows"),
+          Det.dsum($"price").as("live_value"),
+          sum(when($"version" === 2, 1L).otherwise(0L)).as("v2_rows"))
+        .select($"st".as("o_orderstatus"), $"live_rows", $"live_value", $"v2_rows")
+        .orderBy($"o_orderstatus")
+    }, Some(s"""
+      WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                           o_totalprice AS p FROM orders),
+      stream AS (
+        SELECT k, st, p AS price, 1 AS version, 1 AS sign FROM base
+        UNION ALL SELECT k, st, p, 1, -1 FROM base WHERE k % 2 = 0
+        UNION ALL SELECT k, st, (CAST(round(p * 100, 0) AS BIGINT) * 11 // 10) / 100.0,
+                   2, 1 FROM base WHERE k % 2 = 0
+        UNION ALL SELECT k, st, (CAST(round(p * 100, 0) AS BIGINT) * 11 // 10) / 100.0,
+                   2, -1 FROM base WHERE k % 6 = 0),
+      net AS (SELECT k, version, max(st) AS st, max(price) AS price,
+                     sum(sign) AS net
+              FROM stream GROUP BY k, version),
+      live AS (SELECT k, st, price, version,
+                      row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+               FROM net WHERE net > 0)
+      SELECT st AS o_orderstatus, count(*) AS live_rows,
+             ${Det.sqlSum("price")} AS live_value,
+             CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2_rows
+      FROM live WHERE rn = 1 GROUP BY st ORDER BY o_orderstatus""")),
+
+    // MergeTree TTL at query time: ROW TTL keeps the last 365 days
+    // relative to the table's own max(o_orderdate) (deterministic
+    // "now" — what a merge would have applied when the newest part
+    // landed); COLUMN TTL nulls o_custkey past a tighter 180-day
+    // horizon while the row survives. Both helpers broadcast the 1-row
+    // max, so the row filter remains a scan predicate at any scale.
+    QDef("mt_ttl", (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val kept = Relational.applyRowTtl(o, "o_orderdate", "365 DAY")
+      val masked = Relational.applyColumnTtl(kept, "o_orderdate", "180 DAY",
+        Seq("o_custkey"))
+      masked.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("kept_rows"),
+          count($"o_custkey").as("cust_live"),
+          Det.dsum($"o_totalprice").as("kept_value"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      WITH mx AS (SELECT max(o_orderdate) AS now FROM orders),
+      kept AS (SELECT o_orderpriority, o_totalprice,
+                      CASE WHEN o_orderdate > (SELECT now FROM mx) - INTERVAL 180 DAY
+                           THEN o_custkey END AS o_custkey
+               FROM orders
+               WHERE o_orderdate > (SELECT now FROM mx) - INTERVAL 365 DAY)
+      SELECT o_orderpriority, count(*) AS kept_rows,
+             count(o_custkey) AS cust_live,
+             ${Det.sqlSum("o_totalprice")} AS kept_value
+      FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // I/O formats (§2.1): csv / json / orc round-trips of the nation
     // table — write, read back, prove contents identical per format.
     QDef("mt_formats", (s, dir) => {

@@ -492,6 +492,46 @@ object PipelineQueries {
       SELECT qid, bucket, n_cand, vec_id AS best_match, round(sim, 4) AS sim
       FROM r WHERE rank = 1 ORDER BY qid""")),
 
+    // EMBEDDING-COSINE NEAR-DUP: the vector analog of minhash dedup —
+    // all pairs with cosine ≥ 0.98, candidates generated by the
+    // hyperplane-LSH bucket equi-join (one shuffle), NEVER all-pairs.
+    // The fixture's vectors are mutually far (max pairwise cosine
+    // ≈ 0.51), so deterministic near-dups are planted: every 5th
+    // vector gets a ×1.5-scaled copy — colinear, hence cosine ≈ 1 AND
+    // guaranteed same LSH bucket (positive scaling preserves every
+    // plane-dot sign), making the bucket join structurally lossless
+    // here. The oracle is the brute-force quadratic pairing, so the
+    // hash match PROVES the bucketed path found every qualifying pair.
+    QDef("pipe_embed_neardup", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val base = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val planted = base.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 1.5 AS FLOAT))").as("embedding"))
+      val corpus = base.unionByName(planted)
+        .withColumn("bucket", expr(Vectors.bucketSparkSql("embedding", 8, 64)))
+      val a = corpus.select($"bucket", $"vec_id".as("i"), $"embedding".as("va"))
+      val b = corpus.select($"bucket", $"vec_id".as("j"), $"embedding".as("vb"))
+      a.join(b, Seq("bucket")).filter($"i" < $"j")
+        .withColumn("sim", expr("cosine_sim(va, vb)"))
+        .filter($"sim" >= 0.98)
+        .select($"i", $"j", round($"sim", 4).as("sim"))
+        .orderBy($"i", $"j")
+    }, Some("""
+      WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      planted AS (SELECT vec_id + 100000 AS vec_id,
+                         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+                           AS embedding
+                  FROM base WHERE vec_id % 5 = 0),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      SELECT i, j, round(sim, 4) AS sim FROM p WHERE sim >= 0.98
+      ORDER BY i, j""")),
+
     // Per-label embedding centroids (first 8 dims): posexplode →
     // exact decimal mean per (label, dim) — one shuffle, element-wise
     // array aggregation at any scale.

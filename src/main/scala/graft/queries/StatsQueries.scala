@@ -173,6 +173,177 @@ object StatsQueries {
       FROM g, (SELECT unnest([1, 2, 3]) AS i)
       ORDER BY l_returnflag, q""")),
 
+    // rankCorr (Spearman) between quantity and discount per return
+    // flag. Ranks come from the VALUE-COUNT distribution, not a row
+    // window: avg rank of value v = #less + (#eq+1)/2, doubled to stay
+    // integral (2r = 2·#less + #eq + 1 — Spearman is scale-invariant).
+    // The rank tables are O(distinct values) per group (≤ 50 rows), so
+    // the windows are bounded and the joins broadcast; exact
+    // decimal/HUGEINT sums feed one double formula evaluated
+    // identically on both engines. The 100 TB shape: two tiny
+    // pre-aggregations + a fact re-join on (group, value) keys.
+    QDef("agg_rank_corr", (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_returnflag".as("g"), $"l_quantity".as("x"), $"l_discount".as("y"))
+      def ranks(c: String, out: String) = {
+        val cnt = li.groupBy($"g", col(c)).agg(count(lit(1)).as("cnt"))
+        // bounded window: one row per distinct value per group (≤ 50)
+        val w = Window.partitionBy($"g").orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cnt.withColumn(out,
+          lit(2) * coalesce(sum($"cnt").over(w), lit(0L)) + $"cnt" + 1)
+          .select($"g", col(c), col(out))
+      }
+      val D0 = "decimal(38,0)"
+      val joint = li.groupBy($"g", $"x", $"y").agg(count(lit(1)).as("n"))
+      joint
+        .join(broadcast(ranks("x", "r2x")), Seq("g", "x"))
+        .join(broadcast(ranks("y", "r2y")), Seq("g", "y"))
+        .groupBy($"g")
+        .agg(
+          sum($"n".cast(D0)).cast("double").as("sn"),
+          sum(($"n".cast(D0) * $"r2x")).cast("double").as("sx"),
+          sum(($"n".cast(D0) * $"r2y")).cast("double").as("sy"),
+          sum(($"n".cast(D0) * $"r2x" * $"r2x")).cast("double").as("sxx"),
+          sum(($"n".cast(D0) * $"r2y" * $"r2y")).cast("double").as("syy"),
+          sum(($"n".cast(D0) * $"r2x" * $"r2y")).cast("double").as("sxy"))
+        .select($"g".as("l_returnflag"),
+          round(($"sn" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"sn" * $"sxx" - $"sx" * $"sx") *
+                 ($"sn" * $"syy" - $"sy" * $"sy")), 4).as("spearman"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      WITH li AS (SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
+                  FROM lineitem),
+      cx AS (SELECT g, x, count(*) AS cnt FROM li GROUP BY g, x),
+      rx AS (SELECT g, x, 2 * coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+               AS r2x FROM cx),
+      cy AS (SELECT g, y, count(*) AS cnt FROM li GROUP BY g, y),
+      ry AS (SELECT g, y, 2 * coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+               AS r2y FROM cy),
+      j AS (SELECT g, x, y, count(*) AS n FROM li GROUP BY g, x, y),
+      p AS (SELECT j.g AS g, CAST(n AS HUGEINT) AS n, r2x, r2y
+            FROM j JOIN rx ON rx.g = j.g AND rx.x = j.x
+                   JOIN ry ON ry.g = j.g AND ry.y = j.y),
+      sums AS (SELECT g,
+                 CAST(sum(n) AS DOUBLE) AS sn,
+                 CAST(sum(n * r2x) AS DOUBLE) AS sx,
+                 CAST(sum(n * r2y) AS DOUBLE) AS sy,
+                 CAST(sum(n * r2x * r2x) AS DOUBLE) AS sxx,
+                 CAST(sum(n * r2y * r2y) AS DOUBLE) AS syy,
+                 CAST(sum(n * r2x * r2y) AS DOUBLE) AS sxy
+               FROM p GROUP BY g)
+      SELECT g AS l_returnflag,
+             round((sn * sxy - sx * sy) /
+                   sqrt((sn * sxx - sx * sx) * (sn * syy - sy * sy)), 4)
+               AS spearman
+      FROM sums ORDER BY l_returnflag""")),
+
+    // mannWhitneyUTest: U and tie-corrected normal z for quantity of
+    // returned ('R') vs accepted ('A') lineitems. Average ranks over
+    // the COMBINED sample from the value-count distribution (doubled →
+    // integral); U = ΣR_A − n_A(n_A+1)/2; σ² carries the standard tie
+    // correction Σ(t³−t). Everything before the final formula is exact
+    // integer arithmetic (decimal/HUGEINT), so the double z matches
+    // bit-for-bit across engines.
+    QDef("agg_mann_whitney", (s, dir) => {
+      import s.implicits._
+      val D0 = "decimal(38,0)"
+      val c = Tables(s, dir, "lineitem")
+        .filter($"l_returnflag".isin("A", "R"))
+        .groupBy($"l_quantity".as("x"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when($"l_returnflag" === "A", 1L).otherwise(0L)).as("cnta"))
+      // bounded window: one row per distinct quantity (≤ 50)
+      val w = Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, -1)
+      val r = c.withColumn("r2",
+        lit(2) * coalesce(sum($"cnt").over(w), lit(0L)) + $"cnt" + 1)
+      r.agg(
+          sum($"cnta".cast(D0)).cast("double").as("na"),
+          sum(($"cnt" - $"cnta").cast(D0)).cast("double").as("nb"),
+          sum(($"cnta".cast(D0) * $"r2")).cast("double").as("two_ra"),
+          sum(($"cnt".cast(D0) * $"cnt" * $"cnt" - $"cnt")).cast("double").as("ties"))
+        .select(
+          round(($"two_ra" - $"na" * ($"na" + 1)) / 2.0, 1).as("u_stat"),
+          round((($"two_ra" - $"na" * ($"na" + 1)) / 2.0 - $"na" * $"nb" / 2.0) /
+            sqrt($"na" * $"nb" / 12.0 *
+              (($"na" + $"nb" + 1) - $"ties" /
+                (($"na" + $"nb") * ($"na" + $"nb" - 1)))), 4).as("z_score"))
+    }, Some("""
+      WITH c AS (SELECT l_quantity AS x, count(*) AS cnt,
+                        sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cnta
+                 FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY x),
+      r AS (SELECT x, cnt, cnta,
+              2 * coalesce(sum(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+                AS r2 FROM c),
+      sums AS (SELECT
+                 CAST(sum(CAST(cnta AS HUGEINT)) AS DOUBLE) AS na,
+                 CAST(sum(CAST(cnt - cnta AS HUGEINT)) AS DOUBLE) AS nb,
+                 CAST(sum(CAST(cnta AS HUGEINT) * r2) AS DOUBLE) AS two_ra,
+                 CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS ties
+               FROM r)
+      SELECT round((two_ra - na * (na + 1)) / 2.0, 1) AS u_stat,
+             round(((two_ra - na * (na + 1)) / 2.0 - na * nb / 2.0) /
+                   sqrt(na * nb / 12.0 *
+                        ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))),
+                   4) AS z_score
+      FROM sums""")),
+
+    // skewPop / kurtPop per return flag from EXACT power sums (the
+    // -Pop forms, matching ClickHouse: g1 = μ3/σ³, kurt = μ4/σ⁴, no
+    // excess). Σx..Σx⁴ accumulate in DECIMAL(38,6) — order-independent
+    // at any executor count — and one double formula, written
+    // identically on both sides, produces the statistics.
+    QDef("agg_skew_kurt", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(38,6)"
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast(D)).cast("double").as("s1"),
+          sum(($"l_quantity" * $"l_quantity").cast(D)).cast("double").as("s2"),
+          sum(($"l_quantity" * $"l_quantity" * $"l_quantity").cast(D))
+            .cast("double").as("s3"),
+          sum(($"l_quantity" * $"l_quantity" * $"l_quantity" * $"l_quantity")
+            .cast(D)).cast("double").as("s4"))
+        .withColumn("m", $"s1" / $"n")
+        .withColumn("m2", $"s2" / $"n" - $"m" * $"m")
+        .select($"l_returnflag",
+          // + 0.0 canonicalizes IEEE −0.0 (a tiny negative skew can
+          // round to the negative zero) — mirrored in the oracle
+          (round(($"s3" / $"n" - lit(3.0) * $"m" * ($"s2" / $"n") +
+            lit(2.0) * $"m" * $"m" * $"m") / pow($"m2", 1.5), 4) + 0.0)
+            .as("skew_pop"),
+          (round(($"s4" / $"n" - lit(4.0) * $"m" * ($"s3" / $"n") +
+            lit(6.0) * $"m" * $"m" * ($"s2" / $"n") -
+            lit(3.0) * $"m" * $"m" * $"m" * $"m") / ($"m2" * $"m2"), 4) + 0.0)
+            .as("kurt_pop"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      WITH st AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                 AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        FROM lineitem GROUP BY l_returnflag),
+      m AS (SELECT l_returnflag, n, s1, s2, s3, s4,
+                   s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS m2
+            FROM st)
+      SELECT l_returnflag,
+             round((s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m)
+                   / pow(m2, 1.5), 4) + 0.0 AS skew_pop,
+             round((s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n)
+                    - 3.0 * m * m * m * m) / (m2 * m2), 4) + 0.0 AS kurt_pop
+      FROM m ORDER BY l_returnflag""")),
+
     // PASTE JOIN (positional): align the i-th region with the i-th
     // nation-per-region summary row. Positional semantics need a
     // DEFINED order — both sides number rows over an explicit sort

@@ -151,6 +151,96 @@ class AggregatorSpec extends AnyFunSuite {
     }
   }
 
+  // events incl. step 0 (no condition matched — strict_order interrupters)
+  private val evGen0: Gen[StepEvent] = for {
+    ts <- Gen.choose(0L, 30L)
+    st <- Gen.choose(0, 3)
+  } yield StepEvent(ts, st)
+  private val evsGen0: Gen[List[StepEvent]] = Gen.listOfN(9, evGen0)
+
+  /** Brute force for the funnel MODES: deepest k with an exists-chain
+    * under the declarative mode constraints (pairwise on consecutive
+    * chain events; see WindowFunnelModes scaladoc).
+    */
+  private def bruteModeDepth(evs: Seq[StepEvent], w: Long, n: Int,
+      sOrd: Boolean, sDed: Boolean, sInc: Boolean): Int = {
+    def ok(prev: StepEvent, cur: StepEvent, level: Int): Boolean = {
+      val incOk = if (sInc) prev.tsUs < cur.tsUs else prev.tsUs <= cur.tsUs
+      val ordOk = !sOrd || !evs.exists(x =>
+        x.tsUs > prev.tsUs && x.tsUs < cur.tsUs)
+      val dedOk = !sDed || !evs.exists(x =>
+        x.step >= 1 && x.step <= level &&
+          x.tsUs > prev.tsUs && x.tsUs < cur.tsUs)
+      incOk && ordOk && dedOk
+    }
+    def chainExists(k: Int): Boolean = {
+      def go(st: Int, prev: Option[StepEvent], start: Long): Boolean =
+        if (st > k) true
+        else evs.exists(e => e.step == st &&
+          prev.forall(p => ok(p, e, st - 1)) &&
+          (st == 1 || e.tsUs - start <= w) &&
+          go(st + 1, Some(e), if (st == 1) e.tsUs else start))
+      go(1, None, 0L)
+    }
+    (1 to n).reverse.find(chainExists).getOrElse(0)
+  }
+
+  test("windowFunnelModes equals brute force for each mode and combined") {
+    val combos = Seq((false, false, true), (true, false, false),
+      (false, true, false), (true, true, true))
+    check(Prop.forAll(evsGen0) { evs =>
+      combos.forall { case (so, sd, si) =>
+        val agg = new Aggregates.WindowFunnelModes(W, 3,
+          strictOrder = so, strictDedup = sd, strictIncrease = si)
+        agg.finish(evs.foldLeft(agg.zero)(agg.reduce)) ==
+          bruteModeDepth(evs, W, 3, so, sd, si)
+      }
+    })
+  }
+
+  test("windowFunnelModes merge is associative/commutative under finish") {
+    val agg = new Aggregates.WindowFunnelModes(W, 3,
+      strictOrder = true, strictDedup = true)
+    check(Prop.forAll(evsGen0, evsGen0) { (a, b) =>
+      def bld(xs: Seq[StepEvent]) = xs.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(bld(a), bld(b))) ==
+        agg.finish(agg.merge(bld(b), bld(a)))
+    })
+  }
+
+  test("windowFunnelModes strict_order: CH doc example A→B→D→C stops at 2") {
+    // conditions [A=1, B=2, C=3]; D matches none (step 0) and
+    // interrupts the contiguous chain between B and C
+    val agg = new Aggregates.WindowFunnelModes(1000L, 3, strictOrder = true)
+    val evs = Seq(StepEvent(1, 1), StepEvent(2, 2), StepEvent(3, 0), StepEvent(4, 3))
+    assert(agg.finish(evs.foldLeft(agg.zero)(agg.reduce)) == 2)
+    // without the interrupter the same stream completes
+    val evs2 = Seq(StepEvent(1, 1), StepEvent(2, 2), StepEvent(4, 3))
+    assert(agg.finish(evs2.foldLeft(agg.zero)(agg.reduce)) == 3)
+  }
+
+  test("windowFunnelModes strict_dedup: repeated met condition interrupts") {
+    val agg = new Aggregates.WindowFunnelModes(1000L, 3, strictDedup = true)
+    // view, view-again, click, purchase: the second view sits between
+    // the FIRST view and the click — but chaining from the SECOND view
+    // is clean, so depth 3 (exists-chain semantics)
+    val clean = Seq(StepEvent(1, 1), StepEvent(2, 1), StepEvent(3, 2), StepEvent(4, 3))
+    assert(agg.finish(clean.foldLeft(agg.zero)(agg.reduce)) == 3)
+    // view, click, view-again, purchase: every view→click pair has the
+    // stray view either before click (blocking 1-between) or the chain
+    // must pass over it between click and purchase — depth 2
+    val blocked = Seq(StepEvent(1, 1), StepEvent(2, 2), StepEvent(3, 1), StepEvent(4, 3))
+    assert(agg.finish(blocked.foldLeft(agg.zero)(agg.reduce)) == 2)
+  }
+
+  test("windowFunnelModes strict_increase: equal timestamps don't chain") {
+    val agg = new Aggregates.WindowFunnelModes(1000L, 3, strictIncrease = true)
+    val equal = Seq(StepEvent(5, 1), StepEvent(5, 2), StepEvent(5, 3))
+    assert(agg.finish(equal.foldLeft(agg.zero)(agg.reduce)) == 1)
+    val base = new Aggregates.WindowFunnel(1000L, 3)
+    assert(base.finish(equal) == 3) // the un-moded funnel allows ties
+  }
+
   test("sequenceMatchTimed equals brute-force chain with gap bounds") {
     // pattern: (?1)(?t<=7)(?2)(?t>2)(?3) over small-ts events
     val timed = new Aggregates.SequenceMatchTimed(3, Seq(7L, Long.MaxValue), Seq(-1L, 2L))

@@ -25,6 +25,7 @@ import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
+ONLY = set(sys.argv[3:])  # optional: restrict to named queries
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -82,6 +83,8 @@ def frame_digest(df):
 n_pass = n_fail = 0
 fails = []
 for name in sorted(oracle):
+    if ONLY and name not in ONLY:
+        continue
     sql = oracle[name]
     try:
         sdf = con.execute(
@@ -128,6 +131,8 @@ for name in sorted(oracle):
 # weaker check; locally we at least require non-empty, loadable output.
 for name in sorted(os.listdir(OUT)):
     if name in oracle or not os.path.isdir(os.path.join(OUT, name)):
+        continue
+    if ONLY and name not in ONLY:
         continue
     try:
         n = con.execute(
