@@ -26,6 +26,21 @@ object Graft {
     }
   }
 
-  /** SQL entry point (sugar; views must be registered via init). */
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+  /** ClickHouse's `dateDiff('day', a, b)` cannot be a registry
+    * function: Spark's PARSER special-cases 3-arg datediff as
+    * timestampdiff and rejects quoted units before resolution ever
+    * runs. The front door rewrites the CH spelling (quoted unit ⇒
+    * unambiguously CH — Spark's own 2-arg datediff has no string
+    * literal first argument) to the registry-resolvable chDateDiff.
+    */
+  private val chDateDiff =
+    """(?i)\bdate_?diff\s*\(\s*('[a-z]+')""".r
+
+  /** SQL entry point (sugar; views must be registered via init).
+    * Applies the few CH spellings that need PARSER-level rewriting —
+    * everything else resolves through the function registry
+    * ([[graft.functions.ChDialect]]).
+    */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    spark.sql(chDateDiff.replaceAllIn(query, m => s"chDateDiff(${m.group(1)}"))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType}
 
 /** ClickHouse-spelled SQL function names, so a ClickHouse user's query
   * text runs unchanged through `Graft.sql` (registered by
@@ -70,7 +70,36 @@ object ChDialect {
     "varPop" -> "var_pop",
     "varSamp" -> "var_samp",
     "covarPop" -> "covar_pop",
-    "covarSamp" -> "covar_samp")
+    "covarSamp" -> "covar_samp",
+    // string family
+    "leftPad" -> "lpad",
+    "rightPad" -> "rpad",
+    "trimBoth" -> "trim",
+    "trimLeft" -> "ltrim",
+    "trimRight" -> "rtrim",
+    "base64Encode" -> "base64",
+    // numeric casts / rounding
+    "toInt32" -> "int",
+    "toInt16" -> "smallint",
+    "toInt8" -> "tinyint",
+    "toFloat32" -> "float",
+    "roundBankers" -> "bround",
+    "bitCount" -> "bit_count",
+    // array family (arraySlice needs Spark's 3-arg form — CH's 2-arg
+    // "to the end" variant is not expressible via the alias)
+    "arrayFlatten" -> "flatten",
+    "arrayDistinct" -> "array_distinct",
+    "arraySlice" -> "slice",
+    "arrayIntersect" -> "array_intersect",
+    "arrayMin" -> "array_min",
+    "arrayMax" -> "array_max",
+    // map family
+    "mapKeys" -> "map_keys",
+    "mapValues" -> "map_values",
+    "mapContains" -> "map_contains_key",
+    // aggregate: CH anyLast picks an arbitrary "last seen" value —
+    // Spark's last() is the same contract (execution-order dependent)
+    "anyLast" -> "last")
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
@@ -125,6 +154,135 @@ object ChDialect {
     reg("toSecond")(c => Second(c.head))
     reg("toYYYYMM")(c =>
       Cast(DateFormatClass(Cast(c.head, DateType), Literal("yyyyMM")), IntegerType))
+    reg("toYYYYMMDD")(c =>
+      Cast(DateFormatClass(Cast(c.head, DateType), Literal("yyyyMMdd")), IntegerType))
+    reg("toDayOfYear")(c => DayOfYear(Cast(c.head, DateType)))
+    // Spark's weekofyear IS the ISO week number
+    reg("toISOWeek")(c => WeekOfYear(Cast(c.head, DateType)))
+    reg("toLastDayOfMonth")(c => LastDay(Cast(c.head, DateType)))
+
+    // add/subtract date arithmetic. DATE granularity (inputs are cast
+    // to DATE, like the toStartOf* family) — CH's DateTime overloads
+    // keep time-of-day, which this mapping intentionally does not.
+    reg("addDays")(c => DateAdd(Cast(c.head, DateType), c(1)))
+    reg("subtractDays")(c => DateSub(Cast(c.head, DateType), c(1)))
+    reg("addWeeks")(c => DateAdd(Cast(c.head, DateType), Multiply(c(1), Literal(7))))
+    reg("subtractWeeks")(c => DateSub(Cast(c.head, DateType), Multiply(c(1), Literal(7))))
+    reg("addMonths")(c => AddMonths(Cast(c.head, DateType), c(1)))
+    reg("subtractMonths")(c => AddMonths(Cast(c.head, DateType), UnaryMinus(c(1))))
+    reg("addYears")(c => AddMonths(Cast(c.head, DateType), Multiply(c(1), Literal(12))))
+    reg("subtractYears")(c =>
+      AddMonths(Cast(c.head, DateType), Multiply(UnaryMinus(c(1)), Literal(12))))
+
+    // chDateDiff('unit', start, end) — ClickHouse dateDiff with its
+    // BOUNDARY-CROSSING semantics (both ends truncate to the unit,
+    // then diff), which is NOT Spark timestampdiff's complete-units
+    // count: CH dateDiff('day', '…23:00', next-day '…01:00') = 1,
+    // timestampdiff = 0. Registered under chDateDiff because Spark's
+    // PARSER owns the name datediff (3-arg form → timestampdiff,
+    // quoted units rejected pre-resolution); Graft.sql rewrites the CH
+    // spelling to this name. 'week' is intentionally unsupported (CH
+    // counts Sunday boundaries via toRelativeWeekNum — a drift trap).
+    reg("chDateDiff") { c =>
+      val unit = c.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString.toLowerCase(java.util.Locale.ROOT)
+        case e => throw new IllegalArgumentException(
+          s"chDateDiff requires a literal unit (got ${e.sql})")
+      }
+      val (a, b) = (c(1), c(2))
+      def day(e: Expression) = Cast(e, DateType)
+      def secs(e: Expression) =
+        Cast(UnixTimestamp(e, Literal("yyyy-MM-dd HH:mm:ss")), LongType)
+      // truncate to the unit first; the truncated diff divides exactly
+      def truncDiff(fmt: String, divisor: Long) =
+        Cast(Divide(
+          Cast(Subtract(secs(TruncTimestamp(Literal(fmt), b)),
+            secs(TruncTimestamp(Literal(fmt), a))), DoubleType),
+          Literal(divisor.toDouble)), LongType)
+      def months(e: Expression) =
+        Add(Multiply(Year(day(e)), Literal(12)), Month(day(e)))
+      def quarters(e: Expression) =
+        Add(Multiply(Year(day(e)), Literal(4)), Quarter(day(e)))
+      unit match {
+        case "second" => Subtract(secs(b), secs(a))
+        case "minute" => truncDiff("MINUTE", 60L)
+        case "hour"   => truncDiff("HOUR", 3600L)
+        case "day"    => Cast(DateDiff(day(b), day(a)), LongType)
+        case "month"  => Cast(Subtract(months(b), months(a)), LongType)
+        case "quarter" => Cast(Subtract(quarters(b), quarters(a)), LongType)
+        case "year"   => Cast(Subtract(Year(day(b)), Year(day(a))), LongType)
+        case u => throw new IllegalArgumentException(
+          s"chDateDiff: unsupported unit '$u' (second/minute/hour/day/month/quarter/year)")
+      }
+    }
+
+    // formatDateTime(d, '%Y-%m-%d …'): translate the CH/MySQL % codes
+    // to a Spark datetime pattern. Conservative subset — codes whose
+    // meaning shifted between CH versions (notably %M) are REJECTED
+    // rather than silently drifting.
+    reg("formatDateTime") { c =>
+      val fmt = c(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case e => throw new IllegalArgumentException(
+          s"formatDateTime requires a literal format (got ${e.sql})")
+      }
+      val out = new StringBuilder
+      val lit = new StringBuilder
+      def flush(): Unit = if (lit.nonEmpty) {
+        out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+        lit.setLength(0)
+      }
+      var i = 0
+      while (i < fmt.length) {
+        if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+          fmt.charAt(i + 1) match {
+            case '%' => lit.append('%')
+            case code =>
+              val mapped = code match {
+                case 'Y' => "yyyy"; case 'y' => "yy"
+                case 'm' => "MM";   case 'c' => "M"
+                case 'd' => "dd";   case 'j' => "DDD"
+                case 'H' => "HH";   case 'I' => "hh"
+                case 'i' => "mm";   case 'S' => "ss"
+                case 'p' => "a"
+                case 'F' => "yyyy-MM-dd"
+                case 'T' => "HH:mm:ss"
+                case other => throw new IllegalArgumentException(
+                  s"formatDateTime: unsupported code %$other")
+              }
+              flush(); out.append(mapped)
+          }
+          i += 2
+        } else { lit.append(fmt.charAt(i)); i += 1 }
+      }
+      flush()
+      DateFormatClass(c(0), Literal(out.toString))
+    }
+
+    // JSONExtract family: literal key path → get_json_object's $.path
+    def jsonPath(keys: Seq[Expression], fn: String): Expression = {
+      require(keys.nonEmpty, s"$fn needs at least one key")
+      val parts = keys.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case e => throw new IllegalArgumentException(
+          s"$fn requires literal keys (got ${e.sql})")
+      }
+      Literal("$." + parts.mkString("."))
+    }
+    reg("JSONExtractString")(c =>
+      GetJsonObject(c.head, jsonPath(c.tail, "JSONExtractString")))
+    reg("JSONExtractInt")(c =>
+      Cast(GetJsonObject(c.head, jsonPath(c.tail, "JSONExtractInt")), LongType))
+    reg("JSONExtractFloat")(c =>
+      Cast(GetJsonObject(c.head, jsonPath(c.tail, "JSONExtractFloat")),
+        org.apache.spark.sql.types.DoubleType))
+    reg("JSONHas")(c =>
+      IsNotNull(GetJsonObject(c.head, jsonPath(c.tail, "JSONHas"))))
+
+    // CH base64Decode returns String (Spark's unbase64 returns binary)
+    reg("base64Decode")(c =>
+      Cast(UnBase64(c.head), org.apache.spark.sql.types.StringType))
     reg("empty")(c => EqualTo(Length(c.head), Literal(0)))
     reg("notEmpty")(c => GreaterThan(Length(c.head), Literal(0)))
     reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))

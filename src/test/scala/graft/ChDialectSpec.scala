@@ -71,6 +71,68 @@ class ChDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("CH date arithmetic, dateDiff boundary semantics, formatDateTime") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        addDays(DATE '2026-02-27', 2) = DATE '2026-03-01' AS a,
+        subtractDays(DATE '2026-03-01', 1) = DATE '2026-02-28' AS b,
+        addMonths(DATE '2026-01-31', 1) = DATE '2026-02-28' AS c,
+        addYears(DATE '2024-02-29', 1) = DATE '2025-02-28' AS d,
+        addWeeks(DATE '2026-08-01', 2) = DATE '2026-08-15' AS e,
+        toYYYYMMDD(DATE '2026-08-12') = 20260812 AS f,
+        toDayOfYear(DATE '2026-02-01') = 32 AS g,
+        toLastDayOfMonth(DATE '2026-02-10') = DATE '2026-02-28' AS h,
+        -- boundary-crossing dateDiff: 23:00 → next day 01:00 is 1 day
+        dateDiff('day', TIMESTAMP '2026-01-01 23:00:00',
+                        TIMESTAMP '2026-01-02 01:00:00') = 1 AS i,
+        dateDiff('hour', TIMESTAMP '2026-01-01 10:59:00',
+                         TIMESTAMP '2026-01-01 12:01:00') = 2 AS j,
+        dateDiff('month', DATE '2025-12-15', DATE '2026-01-02') = 1 AS k,
+        dateDiff('second', TIMESTAMP '2026-01-01 00:00:00',
+                           TIMESTAMP '2026-01-01 00:01:30') = 90 AS l,
+        formatDateTime(TIMESTAMP '2026-08-12 09:05:07', '%Y-%m-%d %H:%i:%S')
+          = '2026-08-12 09:05:07' AS m,
+        formatDateTime(DATE '2026-08-12', '%F') = '2026-08-12' AS n,
+        formatDateTime(TIMESTAMP '2026-08-12 09:05:07', '100%% %T')
+          = '100% 09:05:07' AS o""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
+  test("CH string/array/map/json aliases equal their Spark twins") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        leftPad('7', 3, '0') = '007' AS a,
+        trimBoth('  x  ') = 'x' AS b,
+        base64Decode(base64Encode('graft')) = 'graft' AS c,
+        arrayFlatten(array(array(1, 2), array(3))) = array(1, 2, 3) AS d,
+        arrayMin(array(3, 1, 2)) = 1 AND arrayMax(array(3, 1, 2)) = 3 AS e,
+        arraySlice(array(1, 2, 3, 4), 2, 2) = array(2, 3) AS f,
+        mapContains(map('k', 1), 'k') AS g,
+        JSONExtractString('{"a": {"b": "v"}}', 'a', 'b') = 'v' AS h,
+        JSONExtractInt('{"n": 42}', 'n') = 42 AS i,
+        JSONHas('{"n": 42}', 'n') AND NOT JSONHas('{"n": 42}', 'z') AS j,
+        roundBankers(2.5) = 2 AND roundBankers(3.5) = 4 AS k,
+        toInt32('11') = 11 AND toFloat32('1.5') = CAST(1.5 AS FLOAT) AS l,
+        bitCount(7) = 3 AS m""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
+  test("formatDateTime rejects drift-prone and unknown codes") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] {
+      Graft.sql(spark, "SELECT formatDateTime(now(), '%M')").collect()
+    }
+    assert(messages(e).exists(_.contains("unsupported code")), messages(e).mkString(" | "))
+    val e2 = intercept[Exception] {
+      Graft.sql(spark, "SELECT dateDiff('week', DATE '2026-01-01', DATE '2026-02-01')").collect()
+    }
+    assert(messages(e2).exists(_.contains("unsupported unit")), messages(e2).mkString(" | "))
+  }
+
   test("splitByChar/splitByString treat separators literally, not as regex") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val r = Graft.sql(spark,
