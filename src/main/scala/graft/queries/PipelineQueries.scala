@@ -509,8 +509,12 @@ object PipelineQueries {
       val planted = base.filter($"vec_id" % 5 === 0)
         .select(($"vec_id" + 100000L).as("vec_id"),
           expr("transform(embedding, x -> CAST(x * 1.5 AS FLOAT))").as("embedding"))
+      // the bucketed corpus feeds both self-join sides — materialize
+      // the 512-term bucket expression once (DISK_ONLY keeps lineage:
+      // a lost executor recomputes instead of killing the job)
       val corpus = base.unionByName(planted)
         .withColumn("bucket", expr(Vectors.bucketSparkSql("embedding", 8, 64)))
+        .persist(StorageLevel.DISK_ONLY)
       val a = corpus.select($"bucket", $"vec_id".as("i"), $"embedding".as("va"))
       val b = corpus.select($"bucket", $"vec_id".as("j"), $"embedding".as("vb"))
       a.join(b, Seq("bucket")).filter($"i" < $"j")

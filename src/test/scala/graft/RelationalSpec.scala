@@ -34,6 +34,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.select("t").as[String].collect().toSeq == Seq("y", "w"))
   }
 
+  test("versionedCollapse keeps the highest positive-net version per key") {
+    // key 1: v1 live; key 2: v1 cancelled, v2 live (updated payload);
+    // key 3: both versions cancelled — fully deleted
+    val df = Seq(
+      (1L, 1, 1, "a1"),
+      (2L, 1, 1, "b1"), (2L, 1, -1, "b1"), (2L, 2, 1, "b2"),
+      (3L, 1, 1, "c1"), (3L, 1, -1, "c1"), (3L, 2, 1, "c2"), (3L, 2, -1, "c2"))
+      .toDF("k", "ver", "sign", "v")
+    val out = Relational.versionedCollapse(df, Seq("k"), "ver", "sign").orderBy("k")
+    assert(out.select($"k", $"ver", $"v").as[(Long, Int, String)].collect().toSeq ==
+      Seq((1L, 1, "a1"), (2L, 2, "b2")))
+  }
+
+  test("versionedCollapse nets duplicate (key, version) inserts") {
+    // two +1 rows and one -1 at the same version: net +1 → still live
+    val df = Seq((1L, 1, 1, "x"), (1L, 1, 1, "x"), (1L, 1, -1, "x"))
+      .toDF("k", "ver", "sign", "v")
+    val out = Relational.versionedCollapse(df, Seq("k"), "ver", "sign")
+    assert(out.count() == 1)
+  }
+
+  test("row TTL keeps the trailing window relative to the frame's own max") {
+    val df = Seq("2024-01-01", "2024-03-01", "2024-03-20", "2024-04-01")
+      .toDF("d").select(to_timestamp($"d").as("ts"))
+    val out = Relational.applyRowTtl(df, "ts", "20 DAY")
+    assert(out.count() == 2) // cutoff 03-12: only 03-20 and 04-01 survive
+  }
+
+  test("column TTL nulls past the horizon while the row survives") {
+    val df = Seq(("2024-01-01", "old"), ("2024-04-01", "new"))
+      .toDF("d", "c").select(to_timestamp($"d").as("ts"), $"c")
+    val out = Relational.applyColumnTtl(df, "ts", "30 DAY", Seq("c"))
+    assert(out.count() == 2)
+    assert(out.orderBy("ts").select("c").as[String].collect().toSeq
+      .map(Option(_)) == Seq(None, Some("new")))
+  }
+
   test("withFillDays fills calendar gaps with the given default") {
     val df = Seq(("2024-01-01", 5L), ("2024-01-04", 7L))
       .toDF("d", "n").select(to_date($"d").as("day"), $"n")
