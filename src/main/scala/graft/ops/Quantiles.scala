@@ -60,4 +60,36 @@ object Quantiles {
         col("__xf") + (col("__rr") - floor(col("__rr"))) * (col("__xc") - col("__xf")))
       .select(grp ++ Seq(col("q"), col("quantile")): _*)
   }
+
+  /** ClickHouse `quantileExactWeighted(level)(x, w)`: the smallest
+    * value whose CUMULATIVE WEIGHT reaches level·totalWeight (discrete
+    * selection — no interpolation, per upstream's QuantileExactWeighted
+    * scan). Same scale shape as [[exactQuantiles]]: one weighted
+    * value-count shuffle, then per-group windows over the DISTINCT
+    * values only. One output row per group and q.
+    */
+  def exactQuantilesWeighted(df: DataFrame, groupCols: Seq[String],
+      value: Column, weight: Column, qs: Seq[Double]): DataFrame = {
+    val grp = groupCols.map(col)
+    val vc = df.select(grp ++ Seq(value.cast("double").as("__v"),
+        weight.cast("long").as("__w")): _*)
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+      .groupBy(grp :+ col("__v"): _*).agg(sum(col("__w")).as("__w"))
+    val byVal = Window.partitionBy(grp: _*).orderBy(col("__v"))
+    val whole = Window.partitionBy(grp: _*)
+    val cum = vc
+      .withColumn("__cw", sum(col("__w")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(whole))
+    val qdf = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      qs.toDF("q")
+    }
+    cum.crossJoin(broadcast(qdf))
+      .groupBy(grp :+ col("q"): _*)
+      .agg(min(when(col("__cw") >= col("q") * col("__tw"), col("__v")))
+        .as("quantile"))
+      .select(grp ++ Seq(col("q"), col("quantile")): _*)
+  }
 }

@@ -344,6 +344,103 @@ object StatsQueries {
                     - 3.0 * m * m * m * m) / (m2 * m2), 4) + 0.0 AS kurt_pop
       FROM m ORDER BY l_returnflag""")),
 
+    // quantileExactWeighted: revenue-weighted quantity quantiles per
+    // return flag — the smallest value whose cumulative weight reaches
+    // level·totalWeight (CH's discrete weighted selection, no
+    // interpolation). Weights are integer cents; the value-count
+    // construction keeps per-group windows at O(distinct values).
+    QDef("agg_quantiles_weighted", (s, dir) => {
+      import s.implicits._
+      Quantiles.exactQuantilesWeighted(
+          Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+          Seq(0.25, 0.5, 0.75))
+        .orderBy($"l_returnflag", $"q")
+    }, Some("""
+      WITH vc AS (SELECT l_returnflag, l_quantity AS v,
+                         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                              AS BIGINT) AS w
+                  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      cum AS (SELECT l_returnflag, v, w,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tw
+              FROM vc),
+      p AS (SELECT * FROM cum, (SELECT unnest([0.25, 0.5, 0.75]) AS q))
+      SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+             min(CASE WHEN cw >= q * tw THEN v END) AS quantile
+      FROM p GROUP BY l_returnflag, q
+      ORDER BY l_returnflag, q""")),
+
+    // studentTTest (pooled equal-variance t): same exact sums as the
+    // Welch query, pooled sp² = ((n1−1)v1 + (n2−1)v2)/(n1+n2−2),
+    // df = n1+n2−2 — identical double algebra on both engines.
+    QDef("agg_student_ttest", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(22,6)"
+      val st = Tables(s, dir, "lineitem")
+        .filter($"l_returnflag".isin("A", "R"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast(D)).cast("double").as("sx"),
+          sum(($"l_quantity" * $"l_quantity").cast(D)).cast("double").as("sxx"))
+        .withColumn("m", $"sx" / $"n")
+        .withColumn("v", ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))
+      val a = st.filter($"l_returnflag" === "A")
+        .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
+      val r = st.filter($"l_returnflag" === "R")
+        .select($"n".as("n2"), $"m".as("m2"), $"v".as("v2"))
+      a.crossJoin(r)
+        .withColumn("sp2",
+          (($"n1" - 1) * $"v1" + ($"n2" - 1) * $"v2") / ($"n1" + $"n2" - 2))
+        .select(
+          round(($"m1" - $"m2") /
+            sqrt($"sp2" * (lit(1.0) / $"n1" + lit(1.0) / $"n2")), 4).as("t_stat"),
+          ($"n1" + $"n2" - 2).as("df"))
+    }, Some("""
+      WITH st AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sxx
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY l_returnflag),
+      m AS (SELECT l_returnflag, n, sx / n AS m, (sxx - sx * sx / n) / (n - 1) AS v
+            FROM st),
+      j AS (SELECT a.n AS n1, a.m AS m1, a.v AS v1, r.n AS n2, r.m AS m2, r.v AS v2
+            FROM (SELECT * FROM m WHERE l_returnflag = 'A') a,
+                 (SELECT * FROM m WHERE l_returnflag = 'R') r)
+      SELECT round((m1 - m2) /
+                   sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+                        * (1.0 / n1 + 1.0 / n2)), 4) AS t_stat,
+             n1 + n2 - 2 AS df
+      FROM j""")),
+
+    // LIMIT n WITH TIES: top-10 retail prices INCLUDING every row tied
+    // with the 10th. No global window over raw rows — the threshold is
+    // a TakeOrderedAndProject (orderBy.limit) folded to one broadcast
+    // scalar, then a plain filter. The oracle restates WITH TIES as
+    // rank() ≤ n (DuckDB 1.0 has no native WITH TIES clause), an
+    // independent formulation of the same semantics.
+    QDef("rel_limit_ties", (s, dir) => {
+      import s.implicits._
+      val th = Tables(s, dir, "part")
+        .select($"p_retailprice")
+        .orderBy($"p_retailprice".desc)
+        .limit(10)
+        .agg(min($"p_retailprice").as("th"))
+      Tables(s, dir, "part")
+        .crossJoin(broadcast(th))
+        .filter($"p_retailprice" >= $"th")
+        .select($"p_partkey", round($"p_retailprice", 2).as("p_retailprice"))
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+    }, Some("""
+      SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice
+      FROM (SELECT p_partkey, p_retailprice FROM part
+            QUALIFY rank() OVER (ORDER BY p_retailprice DESC) <= 10)
+      ORDER BY p_retailprice DESC, p_partkey""")),
+
     // PASTE JOIN (positional): align the i-th region with the i-th
     // nation-per-region summary row. Positional semantics need a
     // DEFINED order — both sides number rows over an explicit sort

@@ -67,6 +67,21 @@ object StreamDemo {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-static dictionary enrichment — the CH `Kafka engine → MV
+    * with dictGet(...)` shape: each streamed event joins a SMALL static
+    * dimension (broadcast — no stream-side shuffle, no streaming
+    * state) and rolls up per enriched key. At 100 TB/day of stream the
+    * static side is still a broadcast; only the rollup keeps
+    * (watermark-bounded) state.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("seg", pmod(col("user_id"), lit(5)))
+      .join(broadcast(dim), Seq("seg"))
+      .withWatermark("ts", "1 day")
+      .groupBy(col("seg_name"))
+      .agg(count(lit(1)).as("n"))
+
   /** Live windowFunnel over a stream via mapGroupsWithState — the
     * stateful-processing surface (SURVEY §2.9 last row; CH has no
     * user-facing analog). Per-user state = the (ts, step) buffer; the

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim join + rollup equals batch") {
+    import spark.implicits._
+    val dim = Seq((0L, "seg_a"), (1L, "seg_b"), (2L, "seg_c"),
+      (3L, "seg_d"), (4L, "seg_e")).toDF("seg", "seg_name")
+    val batch = StreamDemo.enrichedCounts(
+      Tables(spark, "/root/testdata/sf0.001", "events"), dim)
+    val expected = canon(batch)
+
+    val stream = StreamDemo.enrichedCounts(
+      StreamDemo.readEventStream(spark, stageStreamDir()), dim)
+    val q = stream.writeStream.format("memory")
+      .queryName("enriched").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = canon(spark.table("enriched"))
+      assert(got == expected)
+      assert(got.size == 5)
+    } finally q.stop()
+  }
+
   test("stateful streaming funnel: final per-user depths equal batch windowFunnel") {
     import spark.implicits._
     val W = 7L * 86400L * 1000000L
