@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, QDef, Tables}
-import graft.ops.Relational
+import graft.ops.{Relational, Text}
 import graft.plans.Projections
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,28 @@ object MergeTreeQueries {
              count(o_custkey) AS cust_live,
              ${Det.sqlSum("o_totalprice")} AS kept_value
       FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // SAMPLE the ClickHouse way: not pseudo-random but a DETERMINISTIC
+    // hash threshold on the sampling key (CH's `SAMPLE 0.1` keeps rows
+    // with intHash64(key) in the bottom tenth of the hash space) —
+    // repeatable across runs, engines, and cluster sizes, which is why
+    // it's oracle-checkable where rand()-based sampling is not. The
+    // md5-derived mh60 is the repo's cross-engine hash primitive.
+    QDef("rel_sample_hash", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter(Text.mh60(lit("smp"), $"l_orderkey") % 100 < 10)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          Det.dsum($"l_quantity").as("qty_sum"))
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag, count(*) AS n_sampled,
+             ${Det.sqlSum("l_quantity")} AS qty_sum
+      FROM lineitem
+      WHERE CAST('0x' || substring(md5('smp|' || l_orderkey), 1, 15) AS BIGINT)
+              % 100 < 10
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // I/O formats (§2.1): csv / json / orc round-trips of the nation
     // table — write, read back, prove contents identical per format.

@@ -492,6 +492,32 @@ object PipelineQueries {
       SELECT qid, bucket, n_cand, vec_id AS best_match, round(sim, 4) AS sim
       FROM r WHERE rank = 1 ORDER BY qid""")),
 
+    // TOKEN COUNTING for pretraining-cost estimation: whitespace
+    // tokens, characters, and a BPE-ish pretokenizer count (the GPT-2
+    // pretokenizer shape: contraction suffixes, space-prefixed letter
+    // runs, digit runs, punctuation runs). Pure per-row projection —
+    // embarrassingly parallel at any scale. The regex uses only
+    // alternation + classes, identical leftmost-first semantics in
+    // Java (Spark) and RE2 (DuckDB) — no lookarounds.
+    QDef("pipe_token_count", (s, dir) => {
+      import s.implicits._
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws_tokens"),
+          size(regexp_extract_all($"text", lit(pat), lit(0)))
+            .cast("long").as("bpe_tokens"),
+          length($"text").cast("long").as("chars"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+               AS bpe_tokens,
+             length(text) AS chars
+      FROM documents ORDER BY doc_id""")),
+
     // EMBEDDING-COSINE NEAR-DUP: the vector analog of minhash dedup —
     // all pairs with cosine ≥ 0.98, candidates generated by the
     // hyperplane-LSH bucket equi-join (one shuffle), NEVER all-pairs.
