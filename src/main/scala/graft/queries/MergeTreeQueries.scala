@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, QDef, Tables}
 import graft.ops.{Relational, Text}
-import graft.plans.Projections
+import graft.plans.{LimitByPlan, Projections}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 MergeTree-family query-time semantics +
@@ -85,6 +85,26 @@ object MergeTreeQueries {
       import s.implicits._
       Relational.limitBy(Tables(s, dir, "part"), Seq("p_brand"), 2,
         Seq($"p_retailprice".desc, $"p_partkey".asc))
+        .select($"p_brand", $"p_partkey", $"p_retailprice")
+        .orderBy($"p_brand", $"p_retailprice".desc, $"p_partkey")
+    }, Some("""
+      SELECT p_brand, p_partkey, p_retailprice
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn <= 2 ORDER BY p_brand, p_retailprice DESC, p_partkey""")),
+
+    // LIMIT 2 BY brand through the CUSTOM PHYSICAL OPERATOR
+    // (plans/LimitByPlan.scala — LogicalPlan + Strategy + two
+    // SparkPlans): map-side bounded-heap pruning BEFORE the exchange,
+    // so the shuffle carries O(keys·n) rows per partition instead of
+    // O(rows). Same answer as rel_limit_by's window form (and the
+    // same oracle), different — and at scale far cheaper — plan.
+    QDef("rel_limit_by_exec", (s, dir) => {
+      import s.implicits._
+      LimitByPlan.limitBy(Tables(s, dir, "part"), Seq("p_brand"), 2,
+        Seq(("p_retailprice", false), ("p_partkey", true)))
         .select($"p_brand", $"p_partkey", $"p_retailprice")
         .orderBy($"p_brand", $"p_retailprice".desc, $"p_partkey")
     }, Some("""

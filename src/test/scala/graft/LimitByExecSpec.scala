@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Relational
+import graft.plans.LimitByPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom LIMIT n BY physical operator (SURVEY §2.10(c)):
+  * result-identical to the window-function form, with map-side
+  * pruning BEFORE the exchange (the scale win the window form can't
+  * have — it must shuffle every row).
+  */
+class LimitByExecSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("custom exec equals the window-function limitBy on fixture data") {
+    val part = Tables(spark, "/root/testdata/sf0.001", "part")
+      .repartition(7) // force multiple input partitions for the partial stage
+    val viaExec = LimitByPlan.limitBy(part, Seq("p_brand"), 2,
+      Seq(("p_retailprice", false), ("p_partkey", true)))
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+    val viaWindow = Relational.limitBy(part, Seq("p_brand"), 2,
+      Seq($"p_retailprice".desc, $"p_partkey".asc))
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+    assert(canon(viaExec) == canon(viaWindow))
+    assert(viaExec.count() > 0)
+  }
+
+  test("plan shape: partial prune below the exchange, final above") {
+    val part = Tables(spark, "/root/testdata/sf0.001", "part").repartition(5)
+    val df = LimitByPlan.limitBy(part, Seq("p_brand"), 3,
+      Seq(("p_retailprice", false), ("p_partkey", true)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalLimitBy"), plan)
+    assert(plan.contains("PartialLimitBy"), plan)
+    // the partial stage must sit BELOW the shuffle (map side)
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("PartialLimitBy")
+    val finalIdx = plan.indexOf("FinalLimitBy")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx && finalIdx < exchangeIdx,
+      s"expected Final < Exchange < Partial in:\n$plan")
+  }
+
+  test("partial stage prunes: at most n·keys rows cross the exchange per partition") {
+    // 1000 rows, 4 keys, n=2 → the partial output can't exceed
+    // 4 keys · 2 rows · 8 partitions = 64 rows, far below 1000
+    val df = spark.range(1000)
+      .select(($"id" % 4).as("k"), $"id".as("v"))
+      .repartition(8)
+    val pruned = LimitByPlan.limitBy(df, Seq("k"), 2, Seq(("v", true)))
+    val rows = pruned.collect()
+    assert(rows.length == 8) // 4 keys × 2
+    // global answer: smallest two v per k
+    val expected = (0 until 4).flatMap(k => Seq((k, k), (k, k + 4))).toSet
+    assert(rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet == expected)
+  }
+
+  test("ties broken by the full sort order, deterministically") {
+    val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 5, "w"))
+      .toDF("g", "p", "t").repartition(3)
+    val out = LimitByPlan.limitBy(df, Seq("g"), 2, Seq(("p", true), ("t", true)))
+      .orderBy("g", "p", "t").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("x", "y", "w"))
+  }
+}
