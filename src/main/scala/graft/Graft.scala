@@ -21,6 +21,13 @@ object Graft {
   def init(spark: SparkSession, dir: String): Unit = {
     GraftFunctions.register(spark)
     graft.functions.ChDialect.register(spark)
+    // unparameterized custom Aggregators under their CH spellings
+    // (parameterized ones — windowFunnel(w), topK(k) — use CH's
+    // fn(params)(args) syntax, which Spark SQL cannot parse; those
+    // stay DataFrame-level via ops/Aggregates)
+    spark.udf.register("groupBitmap",
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.GroupBitmap))
+    graft.plans.LimitByPlan.install(spark)
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)
     }

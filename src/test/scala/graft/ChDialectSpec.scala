@@ -43,6 +43,7 @@ class ChDialectSpec extends AnyFunSuite {
         maxIf(n_nationkey, n_regionkey = 1) =
           max(CASE WHEN n_regionkey = 1 THEN n_nationkey END) AS f,
         uniqExact(n_regionkey) = count(DISTINCT n_regionkey) AS g,
+        groupBitmap(n_regionkey) = count(DISTINCT n_regionkey) AS g2,
         quantileExact(n_nationkey, 0.5) = percentile(n_nationkey, 0.5) AS h,
         size(groupUniqArray(n_regionkey)) = 5 AS i
       FROM nation""").collect().head
