@@ -77,6 +77,71 @@ object CompositeQueries {
       WHERE r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // Q17 shape (small-quantity-order revenue): average yearly loss if
+    // small orders (below 20% of the part's mean quantity) stopped.
+    // The correlated scalar subquery DECORRELATES into a per-part
+    // pre-aggregate joined back to the fact — the form that scales
+    // (one extra shuffle on partkey instead of a per-row subquery).
+    // The threshold avg comes from exact decimal sums so the filter
+    // boundary is bit-identical on both engines.
+    QDef("tpch_q17_small_qty", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(22,6)"
+      val part = Tables(s, dir, "part")
+        .filter($"p_brand".isin("Brand#11", "Brand#12", "Brand#13"))
+        .select($"p_partkey")
+      val th = Tables(s, dir, "lineitem")
+        .groupBy($"l_partkey".as("t_partkey"))
+        .agg((lit(0.2) * (sum($"l_quantity".cast(D)).cast("double") /
+          count(lit(1)))).as("qty_threshold"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(th, $"l_partkey" === $"t_partkey")
+        .filter($"l_quantity" < $"qty_threshold")
+        .agg(round(sum($"l_extendedprice".cast(D)).cast("double") / 7.0, 4)
+          .as("avg_yearly"))
+    }, Some("""
+      WITH th AS (SELECT l_partkey AS t_partkey,
+                         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE)
+                                / count(*)) AS qty_threshold
+                  FROM lineitem GROUP BY l_partkey)
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE)
+                   / 7.0, 4) AS avg_yearly
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN th ON l_partkey = t_partkey
+      WHERE p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+        AND l_quantity < qty_threshold""")),
+
+    // Q18 shape (large-volume customers): orders whose total quantity
+    // exceeds the threshold, with customer context — the HAVING
+    // pre-filter runs as its own partial-agg shuffle BEFORE the joins,
+    // so only qualifying orders (a tiny fraction) reach the 3-way
+    // join; fused top-100.
+    QDef("tpch_q18_large_orders", (s, dir) => {
+      import s.implicits._
+      val big = Tables(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(Det.dsum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 150.0)
+      val ord = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_name")
+      big.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+          $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(100)
+    }, Some(s"""
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+      FROM (SELECT l_orderkey, ${Det.sqlSum("l_quantity")} AS total_qty
+            FROM lineitem GROUP BY l_orderkey) big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE total_qty > 150.0
+      ORDER BY total_qty DESC, o_orderkey LIMIT 100""")),
+
     // Q10 shape (returned-item reporting): top 20 customers by revenue
     // lost to returns, with their nation — join + agg + fused top-k.
     QDef("tpch_q10_returns", (s, dir) => {
