@@ -283,6 +283,50 @@ object ChDialect {
     // CH base64Decode returns String (Spark's unbase64 returns binary)
     reg("base64Decode")(c =>
       Cast(UnBase64(c.head), org.apache.spark.sql.types.StringType))
+
+    // Higher-order array spellings, defined as SQL MACROS: the body is
+    // parsed once and the placeholder attribute is substituted with
+    // the call's argument tree — everything stays builtin higher-order
+    // functions (codegen'd), no UDFs. `element_at(a,1)*0` is the
+    // type-preserving zero (0 for int arrays, 0.0 for doubles), and
+    // the empty-array guard avoids sequence(1,0)'s DESCENDING range.
+    def macroFn(name: String, argNames: Seq[String], body: String): Unit = {
+      reg(name) { c =>
+        require(c.size == argNames.size,
+          s"$name expects ${argNames.size} argument(s), got ${c.size}")
+        // inside lambda bodies the parser wraps EVERY identifier as
+        // UnresolvedNamedLambdaVariable (it can't know which are
+        // lambda parameters yet) — match both node shapes; the __-
+        // prefixed placeholder names can't collide with lambda params
+        spark.sessionState.sqlParser.parseExpression(body).transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if argNames.contains(ua.name) => c(argNames.indexOf(ua.name))
+          case lv: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+              if lv.nameParts.length == 1 && argNames.contains(lv.nameParts.head) =>
+            c(argNames.indexOf(lv.nameParts.head))
+        }
+      }
+    }
+    macroFn("arrayCumSum", Seq("__a"),
+      """CASE WHEN size(__a) = 0 THEN __a ELSE
+           transform(sequence(1, size(__a)),
+             i -> aggregate(slice(__a, 1, i), element_at(__a, 1) * 0,
+                            (acc, x) -> acc + x)) END""")
+    // first element maps to the type-preserving zero, like CH
+    macroFn("arrayDifference", Seq("__a"),
+      """CASE WHEN size(__a) = 0 THEN __a ELSE
+           transform(__a, (x, i) ->
+             CASE WHEN i = 0 THEN x * 0 ELSE x - element_at(__a, i) END) END""")
+    // CH arrayCompact removes CONSECUTIVE duplicates (it is NOT
+    // Spark's array_compact, which strips nulls — that name is left
+    // unaliased precisely because the semantics differ)
+    macroFn("arrayCompact", Seq("__a"),
+      "filter(__a, (x, i) -> i = 0 OR NOT (x <=> element_at(__a, i)))")
+    // -If combinator for any_value (ignoreNulls = true, so rows
+    // failing the condition — which become NULL — are skipped)
+    reg("anyIf")(c =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(
+        CaseWhen(Seq((c(1), c(0))), None), true))
     reg("empty")(c => EqualTo(Length(c.head), Literal(0)))
     reg("notEmpty")(c => GreaterThan(Length(c.head), Literal(0)))
     reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))

@@ -101,6 +101,21 @@ object Relational {
     * filling absent rows with `fillValue`. The generate side is tiny
     * (one row per step), so the join broadcasts.
     */
+  /** `ORDER BY x WITH FILL FROM lo TO hi STEP s` over a NUMERIC axis
+    * (CH's other fill form next to the calendar one): generate the
+    * arithmetic series [from, to) and left-join the frame in — the
+    * series side is tiny, so it broadcasts.
+    */
+  def withFillStep(df: DataFrame, numCol: String, from: Long, to: Long,
+      step: Long, fill: Map[String, Column]): DataFrame = {
+    val series = df.sparkSession.range(from, to, step)
+      .select(col("id").cast(df.schema(numCol).dataType).as(numCol))
+    val joined = broadcast(series).join(df, Seq(numCol), "left")
+    fill.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), v))
+    }
+  }
+
   def withFillDays(df: DataFrame, dateCol: String, fill: Map[String, Column]): DataFrame = {
     val mm = df.agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
     val cal = mm.select(explode(sequence(col("__lo"), col("__hi"),

@@ -135,6 +135,26 @@ object MergeTreeQueries {
                  FROM events GROUP BY 1) USING (day)
       ORDER BY day""")),
 
+    // WITH FILL over a NUMERIC axis (FROM 1 TO 51 STEP 1): quantity
+    // histogram of a sparse lineitem subset — missing quantities
+    // appear as zero-count rows. The CH numeric-fill form next to the
+    // calendar fill above; the generated series broadcasts.
+    QDef("rel_fill_step", (s, dir) => {
+      import s.implicits._
+      val sparse = Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" % 97 === 0)
+        .groupBy($"l_quantity").agg(count(lit(1)).as("n"))
+      Relational.withFillStep(sparse, "l_quantity", 1L, 51L, 1L,
+        Map("n" -> lit(0L)))
+        .orderBy($"l_quantity")
+    }, Some("""
+      SELECT l_quantity, coalesce(n, 0) AS n
+      FROM (SELECT CAST(unnest(generate_series(1, 50, 1)) AS DOUBLE) AS l_quantity)
+      LEFT JOIN (SELECT l_quantity, count(*) AS n
+                 FROM lineitem WHERE l_orderkey % 97 = 0
+                 GROUP BY l_quantity) USING (l_quantity)
+      ORDER BY l_quantity""")),
+
     // WITH FILL + LOCF (last observation carried forward): gap days
     // take the most recent real daily sum — the other common fill mode
     // next to rel_fill_interpolate's linear one. Spark: last_value

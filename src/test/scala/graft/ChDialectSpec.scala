@@ -120,6 +120,22 @@ class ChDialectSpec extends AnyFunSuite {
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("higher-order array macros: cumSum, difference, compact") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        arrayCumSum(array(1, 2, 3)) = array(1, 3, 6) AS a,
+        arrayCumSum(array(1.5D, 0.5D)) = array(1.5D, 2.0D) AS b,
+        size(arrayCumSum(array())) = 0 AS c,
+        arrayDifference(array(1, 4, 9)) = array(0, 3, 5) AS d,
+        arrayDifference(array(5.0D)) = array(0.0D) AS e,
+        arrayCompact(array(1, 1, 2, 2, 2, 1)) = array(1, 2, 1) AS f,
+        arrayCompact(array('x', 'x')) = array('x') AS g,
+        anyIf(n_nationkey, n_regionkey = 1) IS NOT NULL AS h
+      FROM nation LIMIT 1""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("formatDateTime rejects drift-prone and unknown codes") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def messages(t: Throwable): Seq[String] =
