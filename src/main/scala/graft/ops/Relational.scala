@@ -102,18 +102,22 @@ object Relational {
     * (one row per step), so the join broadcasts.
     */
   /** `ORDER BY x WITH FILL FROM lo TO hi STEP s` over a NUMERIC axis
-    * (CH's other fill form next to the calendar one): generate the
-    * arithmetic series [from, to) and left-join the frame in — the
-    * series side is tiny, so it broadcasts.
+    * (CH's other fill form next to the calendar one). ClickHouse
+    * semantics: ORIGINAL rows all survive (even off the step grid);
+    * grid points absent from the data are ADDED with fill defaults.
+    * Shape: a broadcast anti-join finds the missing grid points, then
+    * a union — no shuffle of the data side at all.
     */
   def withFillStep(df: DataFrame, numCol: String, from: Long, to: Long,
       step: Long, fill: Map[String, Column]): DataFrame = {
     val series = df.sparkSession.range(from, to, step)
       .select(col("id").cast(df.schema(numCol).dataType).as(numCol))
-    val joined = broadcast(series).join(df, Seq(numCol), "left")
-    fill.foldLeft(joined) { case (d, (c, v)) =>
-      d.withColumn(c, coalesce(col(c), v))
-    }
+    val missing = series.join(broadcast(df.select(numCol)), Seq(numCol), "left_anti")
+    val added = missing.select(df.columns.map { c =>
+      if (c == numCol) col(c)
+      else fill.getOrElse(c, lit(null)).cast(df.schema(c).dataType).as(c)
+    }.toIndexedSeq: _*)
+    df.unionByName(added)
   }
 
   def withFillDays(df: DataFrame, dateCol: String, fill: Map[String, Column]): DataFrame = {

@@ -59,6 +59,19 @@ class LimitByExecSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet == expected)
   }
 
+  test("randomized: custom exec equals window form across data shapes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val rows = Seq.fill(200)((rnd.nextInt(6), rnd.nextInt(40), rnd.nextInt(1000)))
+      val df = rows.toDF("g", "p", "t").repartition(1 + rnd.nextInt(9))
+      val n = 1 + rnd.nextInt(4)
+      val viaExec = LimitByPlan.limitBy(df, Seq("g"), n,
+        Seq(("p", true), ("t", true)))
+      val viaWindow = Relational.limitBy(df, Seq("g"), n, Seq($"p".asc, $"t".asc))
+      assert(canon(viaExec) == canon(viaWindow), s"trial $trial n=$n")
+    }
+  }
+
   test("ties broken by the full sort order, deterministically") {
     val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 5, "w"))
       .toDF("g", "p", "t").repartition(3)

@@ -48,6 +48,42 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got == 3.0, s"median should ignore NULLs, got $got")
   }
 
+  test("weighted quantiles equal the brute-force cumulative-weight scan") {
+    // brute force: sort (value, weight) pairs, pick the first value
+    // whose cumulative weight reaches q·W — the CH
+    // QuantileExactWeighted contract the operator implements
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(300)((rnd.nextInt(20).toDouble, rnd.nextInt(9) + 1L))
+    val probes = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    def brute(q: Double): Double = {
+      val sorted = data.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; cum >= q * total }.get._1
+    }
+    val df = data.toDF("v", "w").withColumn("g", lit("all"))
+    val got = Quantiles.exactQuantilesWeighted(df, Seq("g"), col("v"), col("w"), probes)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    probes.foreach { q =>
+      assert(got(q) == brute(q), s"q=$q: got ${got(q)} want ${brute(q)}")
+    }
+  }
+
+  test("weighted quantiles: unit weights degenerate to the discrete quantile") {
+    val li = Tables(spark, dir, "lineitem")
+    val w1 = Quantiles.exactQuantilesWeighted(li, Seq("l_returnflag"),
+      col("l_quantity"), lit(1L), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // quantile_disc semantics: first value with cumcount >= 0.5·n
+    val want = li.groupBy($"l_returnflag")
+      .agg(expr("percentile_approx(l_quantity, 0.5, 100000)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    w1.foreach { case (g, v) =>
+      assert(math.abs(v - want(g)) <= 1.0, s"$g: $v vs ${want(g)}")
+    }
+  }
+
   test("plan: heavy reduction is a partial-aggregated count, not a row buffer") {
     val li = Tables(spark, dir, "lineitem")
     val plan = Quantiles.exactQuantiles(li, Seq("l_returnflag"), col("l_quantity"), Seq(0.5))

@@ -71,6 +71,15 @@ class RelationalSpec extends AnyFunSuite {
       .map(Option(_)) == Seq(None, Some("new")))
   }
 
+  test("withFillStep adds missing grid points and keeps off-grid rows (CH contract)") {
+    val df = Seq((2L, 10L), (5L, 20L)).toDF("x", "n")
+    val out = Relational.withFillStep(df, "x", 1L, 7L, 2L, Map("n" -> lit(0L)))
+      .orderBy("x")
+    // grid = 1,3,5; x=2 is off-grid but SURVIVES; 1 and 3 are added
+    assert(out.select("x", "n").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 0L), (2L, 10L), (3L, 0L), (5L, 20L)))
+  }
+
   test("withFillDays fills calendar gaps with the given default") {
     val df = Seq(("2024-01-01", 5L), ("2024-01-04", 7L))
       .toDF("d", "n").select(to_date($"d").as("day"), $"n")
