@@ -43,6 +43,11 @@ object ChDialect {
     "indexOf" -> "array_position",
     "arrayStringConcat" -> "array_join",
     "uniq" -> "approx_count_distinct",
+    // CH's other approximate-distinct sketches — all map to Spark's
+    // HLL++ (same documented estimate-drift caveat as `uniq`)
+    "uniqCombined" -> "approx_count_distinct",
+    "uniqCombined64" -> "approx_count_distinct",
+    "uniqHLL12" -> "approx_count_distinct",
     // NOTE: CH `position(haystack, needle)` is NOT aliased — Spark's
     // builtin `position(needle, str)` has the reversed order and
     // shadowing it would silently flip Spark-spelled queries in the
@@ -363,6 +368,12 @@ object ChDialect {
     // uniqExact(x) ≡ count(DISTINCT x): the distinct flag lives on the
     // AggregateExpression, not in any registry name
     reg("uniqExact")(c => Count(c).toAggregateExpression(isDistinct = true))
+    // argMin/argMax -If combinators: min_by/max_by skip rows whose
+    // ORDERING value is NULL, so masking the ordering column with the
+    // condition is exactly the -If contract (CH arg order: x, ord, cond)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
+    reg("argMaxIf")(c => MaxBy(c(0), onlyIf(c(1), c(2))))
+    reg("argMinIf")(c => MinBy(c(0), onlyIf(c(1), c(2))))
 
     // haversine meters; ClickHouse argument order (lon1, lat1, lon2, lat2)
     reg("greatCircleDistance") { c =>

@@ -383,6 +383,40 @@ object AggQueries {
             FROM events GROUP BY user_id, event_type)
       GROUP BY user_id ORDER BY user_id""")),
 
+    // minMap / maxMap (the other -Map combinators next to sumMap):
+    // per-key extrema over map entries, reassembled as a sorted
+    // serialized map. Same explode→agg→reassemble shape as sumMap —
+    // one shuffle, map-side combine.
+    QDef("agg_min_max_map", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"user_id", map($"event_type", round($"value", 4)).as("m"))
+        .select($"user_id", explode($"m").as(Seq("k", "v")))
+        .groupBy($"user_id", $"k")
+        // extrema serialize through DECIMAL(22,6) — double→string
+        // rendering differs across engines, decimal's doesn't
+        .agg(min($"v").cast("decimal(22,6)").as("lo"),
+          max($"v").cast("decimal(22,6)").as("hi"))
+        .groupBy($"user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"k", $"lo"))),
+            x => concat(x.getField("k"), lit(":"), x.getField("lo").cast("string"))),
+          "|").as("min_by_type"),
+          array_join(
+            transform(array_sort(collect_list(struct($"k", $"hi"))),
+              x => concat(x.getField("k"), lit(":"), x.getField("hi").cast("string"))),
+            "|").as("max_by_type"))
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id,
+             string_agg(k || ':' || CAST(lo AS VARCHAR), '|' ORDER BY k) AS min_by_type,
+             string_agg(k || ':' || CAST(hi AS VARCHAR), '|' ORDER BY k) AS max_by_type
+      FROM (SELECT user_id, event_type AS k,
+                   CAST(min(round(value, 4)) AS DECIMAL(22,6)) AS lo,
+                   CAST(max(round(value, 4)) AS DECIMAL(22,6)) AS hi
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id ORDER BY user_id""")),
+
     // topK exact rewrite (heavy hitters with deterministic tie-break).
     QDef("agg_topk_exact", (s, dir) => {
       import s.implicits._

@@ -45,6 +45,13 @@ class ChDialectSpec extends AnyFunSuite {
         uniqExact(n_regionkey) = count(DISTINCT n_regionkey) AS g,
         groupBitmap(n_regionkey) = count(DISTINCT n_regionkey) AS g2,
         quantileExact(n_nationkey, 0.5) = percentile(n_nationkey, 0.5) AS h,
+        argMaxIf(n_name, n_nationkey, n_regionkey = 1) =
+          max_by(CASE WHEN n_regionkey = 1 THEN n_name END,
+                 CASE WHEN n_regionkey = 1 THEN n_nationkey END) AS h2,
+        argMinIf(n_name, n_nationkey, n_regionkey = 1) =
+          min_by(CASE WHEN n_regionkey = 1 THEN n_name END,
+                 CASE WHEN n_regionkey = 1 THEN n_nationkey END) AS h3,
+        uniqCombined(n_regionkey) = uniq(n_regionkey) AS h4,
         size(groupUniqArray(n_regionkey)) = 5 AS i
       FROM nation""").collect().head
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
