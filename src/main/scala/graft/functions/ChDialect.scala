@@ -189,6 +189,11 @@ object ChDialect {
     // spelling to this name. 'week' is intentionally unsupported (CH
     // counts Sunday boundaries via toRelativeWeekNum — a drift trap).
     reg("chDateDiff") { c =>
+      // CH also has a 4-arg form with a trailing timezone; silently
+      // dropping it would change results, so fail loudly like 'week'.
+      require(c.size == 3,
+        s"chDateDiff takes exactly ('unit', start, end) — got ${c.size} args" +
+          " (the timezone form is unsupported)")
       val unit = c.head match {
         case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
           s.toString.toLowerCase(java.util.Locale.ROOT)

@@ -112,7 +112,14 @@ object Relational {
       step: Long, fill: Map[String, Column]): DataFrame = {
     val series = df.sparkSession.range(from, to, step)
       .select(col("id").cast(df.schema(numCol).dataType).as(numCol))
-    val missing = series.join(broadcast(df.select(numCol)), Seq(numCol), "left_anti")
+    // Only the generated series is guaranteed small — df may be any
+    // size. Broadcast the series twice: a semi-join bounds the present
+    // grid points (≤ series size), then the anti-join against that
+    // bounded set finds the missing ones. Neither join ever builds a
+    // hash table from the data side.
+    val present = df.select(numCol)
+      .join(broadcast(series), Seq(numCol), "left_semi").distinct()
+    val missing = series.join(broadcast(present), Seq(numCol), "left_anti")
     val added = missing.select(df.columns.map { c =>
       if (c == numCol) col(c)
       else fill.getOrElse(c, lit(null)).cast(df.schema(c).dataType).as(c)

@@ -30,7 +30,8 @@ import scala.collection.mutable
   *           +- child
   */
 case class LimitByNode(keys: Seq[Attribute], order: Seq[SortOrder], n: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeys: Int = LimitByPlan.defaultMaxKeys) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LimitByNode =
     copy(child = newChild)
@@ -38,23 +39,29 @@ case class LimitByNode(keys: Seq[Attribute], order: Seq[SortOrder], n: Int,
 
 object LimitByStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case LimitByNode(keys, order, n, child) =>
+    case LimitByNode(keys, order, n, child, maxKeys) =>
       val planned = planLater(child)
       FinalLimitByExec(keys, order, n,
-        PartialLimitByExec(keys, order, n, planned)) :: Nil
+        PartialLimitByExec(keys, order, n, planned, maxKeys)) :: Nil
     case _ => Nil
   }
 }
 
 /** Map-side pruning: per input partition, keep the first n rows per
   * key in `order` (a bounded max-heap per key — evict the worst kept
-  * row when a better one arrives). Memory is O(keys-per-partition · n)
-  * rows, the same working-set contract as partial hash aggregation.
-  * Emits pruned rows in no particular order — the final stage re-sorts
-  * after the exchange.
+  * row when a better one arrives). Memory is O(min(keys-per-partition,
+  * maxKeys) · n) rows: once a partition has seen `maxKeys` distinct
+  * keys, rows of NEW keys pass through un-pruned (already-tracked keys
+  * keep pruning). Pruning here is best-effort by construction — the
+  * final stage re-applies the limit after the exchange — so the cap
+  * trades shuffle volume for a HARD memory bound on high-cardinality
+  * keys, the same fallback contract as partial hash aggregation's
+  * spill path. Emits pruned rows in no particular order — the final
+  * stage re-sorts after the exchange.
   */
 case class PartialLimitByExec(keys: Seq[Attribute], order: Seq[SortOrder],
-    n: Int, child: SparkPlan) extends UnaryExecNode {
+    n: Int, child: SparkPlan,
+    maxKeys: Int = LimitByPlan.defaultMaxKeys) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: SparkPlan): PartialLimitByExec =
     copy(child = newChild)
@@ -62,25 +69,31 @@ case class PartialLimitByExec(keys: Seq[Attribute], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = n
+    val cap = maxKeys
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord: Ordering[InternalRow] =
         RowOrdering.create(sortOrder, childOutput)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val passThrough = iter.filter { row =>
         val k = keyProj(row)
         heaps.get(k) match {
           case Some(h) =>
             if (h.size < limit) h += row.copy()
             else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
-          case None =>
+            false
+          case None if heaps.size < cap =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             h += row.copy()
             heaps.put(k.copy(), h)
+            false
+          case None => true // over the cap: ship un-pruned, final stage prunes
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // `++` is lazy in its second operand: the heaps drain only after
+      // the pass-through scan has consumed the input.
+      passThrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 }
@@ -119,6 +132,13 @@ case class FinalLimitByExec(keys: Seq[Attribute], order: Seq[SortOrder],
 
 object LimitByPlan {
 
+  /** Partial-stage distinct-key cap: 64k keys · n rows per partition
+    * is the memory ceiling; beyond it new keys stream through to the
+    * exchange un-pruned (correctness unaffected — see
+    * [[PartialLimitByExec]]).
+    */
+  val defaultMaxKeys: Int = 1 << 16
+
   /** Install the strategy on an existing session (idempotent). */
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(LimitByStrategy))
@@ -130,7 +150,8 @@ object LimitByPlan {
     * are (name, ascending).
     */
   def limitBy(df: DataFrame, keys: Seq[String], n: Int,
-      order: Seq[(String, Boolean)]): DataFrame = {
+      order: Seq[(String, Boolean)],
+      maxKeys: Int = defaultMaxKeys): DataFrame = {
     val spark = df.sparkSession
     install(spark)
     val analyzed = df.queryExecution.analyzed
@@ -144,6 +165,6 @@ object LimitByPlan {
         else org.apache.spark.sql.catalyst.expressions.Descending)
     }
     GraftDatasetBridge.ofRows(spark,
-      LimitByNode(keys.map(attr), sortOrder, n, analyzed))
+      LimitByNode(keys.map(attr), sortOrder, n, analyzed, maxKeys))
   }
 }

@@ -148,11 +148,14 @@ object MergeTreeQueries {
         Map("n" -> lit(0L)))
         .orderBy($"l_quantity")
     }, Some("""
-      SELECT l_quantity, coalesce(n, 0) AS n
-      FROM (SELECT CAST(unnest(generate_series(1, 50, 1)) AS DOUBLE) AS l_quantity)
-      LEFT JOIN (SELECT l_quantity, count(*) AS n
-                 FROM lineitem WHERE l_orderkey % 97 = 0
-                 GROUP BY l_quantity) USING (l_quantity)
+      WITH data AS (SELECT l_quantity, count(*) AS n
+                    FROM lineitem WHERE l_orderkey % 97 = 0
+                    GROUP BY l_quantity),
+      grid AS (SELECT CAST(unnest(generate_series(1, 50, 1)) AS DOUBLE) AS l_quantity)
+      SELECT l_quantity, n FROM data
+      UNION ALL
+      SELECT g.l_quantity, CAST(0 AS BIGINT) AS n FROM grid g
+      WHERE NOT EXISTS (SELECT 1 FROM data d WHERE d.l_quantity = g.l_quantity)
       ORDER BY l_quantity""")),
 
     // WITH FILL + LOCF (last observation carried forward): gap days

@@ -423,17 +423,19 @@ object PipelineQueries {
 
   val vectorDefs: Seq[QDef] = Seq(
 
-    // Exact cosine top-k (brute-force ANN baseline): a small query set
-    // broadcast against the corpus, scored by the codegen'd
-    // cosine_sim Catalyst expression (graft.functions), per-query
-    // top-3 via window. The one intentional nested-loop join in the
-    // repo: brute-force scoring IS all-pairs against the (small)
-    // query set, and each corpus partition scores locally.
+    // Exact cosine top-k (brute-force ANN baseline): a FIXED-SIZE
+    // query set (vec_id < 8 — O(1) in the corpus size, so the
+    // broadcast nested-loop compare count stays O(N) per query batch
+    // at any scale) broadcast against the corpus, scored by the
+    // codegen'd cosine_sim Catalyst expression (graft.functions),
+    // per-query top-3 via window. The one intentional nested-loop
+    // join in the repo: brute-force scoring IS all-pairs against the
+    // (constant) query set, and each corpus partition scores locally.
     QDef("pipe_sim_topk", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
       val emb = Tables(s, dir, "embeddings")
-      val q = emb.filter($"vec_id" % 200 === 0)
+      val q = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
       emb.join(broadcast(q), $"vec_id" =!= $"qid")
@@ -444,7 +446,7 @@ object PipelineQueries {
         .orderBy($"qid", $"rank")
     }, Some("""
       WITH q AS (SELECT vec_id AS qid, embedding AS qv
-                 FROM embeddings WHERE vec_id % 200 = 0),
+                 FROM embeddings WHERE vec_id < 8),
       sims AS (SELECT qid, vec_id AS neighbor,
                       list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]) AS sim
                FROM q JOIN embeddings ON vec_id <> qid),

@@ -72,6 +72,32 @@ class LimitByExecSpec extends AnyFunSuite {
     }
   }
 
+  test("high-cardinality keys under a tiny maxKeys cap: correct, memory-bounded") {
+    // 5000 distinct keys with cap=8: each partition tracks at most 8
+    // heaps; the other keys' rows ship un-pruned and the final stage
+    // prunes them. Answer must equal the window form exactly.
+    val df = spark.range(10000)
+      .select(($"id" % 5000).as("k"), ($"id" * 37 % 101).as("v"), $"id".as("t"))
+      .repartition(8)
+    val viaExec = LimitByPlan.limitBy(df, Seq("k"), 1,
+      Seq(("v", true), ("t", true)), maxKeys = 8)
+    val viaWindow = Relational.limitBy(df, Seq("k"), 1, Seq($"v".asc, $"t".asc))
+    assert(viaExec.count() == 5000)
+    assert(canon(viaExec) == canon(viaWindow))
+  }
+
+  test("cap pass-through keeps pruning for already-tracked keys") {
+    // keys arrive skewed: key 0 dominates; with cap=1 only the first
+    // key seen per partition is pruned, everything else passes through
+    // — still exact.
+    val rows = (0 until 2000).map(i => (i % 3, i, s"r$i"))
+    val df = rows.toDF("g", "p", "t").repartition(4)
+    val viaExec = LimitByPlan.limitBy(df, Seq("g"), 2,
+      Seq(("p", true)), maxKeys = 1)
+    val viaWindow = Relational.limitBy(df, Seq("g"), 2, Seq($"p".asc))
+    assert(canon(viaExec) == canon(viaWindow))
+  }
+
   test("ties broken by the full sort order, deterministically") {
     val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 5, "w"))
       .toDF("g", "p", "t").repartition(3)
