@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Relational
+import graft.plans.LimitByPlan
+
+import scala.util.matching.Regex
+
+/** Clause-level ClickHouse SQL: the clauses Spark's parser has no
+  * syntax for are parsed out of a verbatim CH query string here and
+  * routed onto the already-proven operators
+  * (ClickHouse/docs/en/sql-reference/statements/select — LIMIT BY,
+  * ORDER BY WITH FILL, SAMPLE, GROUP BY WITH TOTALS):
+  *
+  *   - `FROM t SAMPLE f`          → deterministic md5-hash threshold
+  *     subquery (same contract as `rel_sample_hash`: bottom `f` of the
+  *     60-bit hash space of the table's sampling key — repeatable
+  *     across runs, engines and cluster sizes, unlike rand()).
+  *   - `GROUP BY k… WITH TOTALS`  → `GROUP BY GROUPING SETS ((k…),
+  *     ())` — the totals block as one extra all-NULL-keys row,
+  *     matching `agg_with_totals`' relational emulation.
+  *   - `ORDER BY x WITH FILL [FROM a TO b STEP s]`
+  *                                → [[Relational.withFillStep]] on a
+  *     numeric axis / [[Relational.withFillDays]] on a bare DATE axis;
+  *     non-axis columns fill with their type defaults (0 / '' /
+  *     false), CH's default-value fill.
+  *   - `LIMIT n BY k…`            → [[LimitByPlan.limitBy]] (the
+  *     custom partial/final physical operator), ordered by the
+  *     query's ORDER BY — CH applies LIMIT BY after ORDER BY.
+  *   - trailing `LIMIT m`         → `.limit(m)` after the above.
+  *
+  * Scope (documented, loud failures otherwise): the CH clauses are
+  * recognized at the top level of a single SELECT; ORDER BY items
+  * routed to LIMIT BY / WITH FILL must be plain column references
+  * (alias complex sort expressions in the SELECT list, then sort by
+  * the alias). Queries using none of the DataFrame-level clauses go
+  * through `spark.sql` untouched, so the whole registry-level dialect
+  * ([[graft.functions.ChDialect]]) keeps working unchanged.
+  *
+  * Everything here is string → logical plan rewriting on the driver;
+  * the executed plans are exactly the operators' plans, so the scale
+  * story (broadcast series joins, partial limit-by below the
+  * exchange, hash-threshold scan predicate) is unchanged.
+  */
+object ChSql {
+
+  // ---- lexical scanning ------------------------------------------
+
+  /** mask(i) = char i is at paren depth 0 and outside a '…' literal. */
+  private def topLevelMask(s: String): Array[Boolean] = {
+    val ok = new Array[Boolean](s.length)
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        ok(i) = false
+        if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; ok(i) = false
+        case '(' => depth += 1; ok(i) = false
+        case ')' => depth -= 1; ok(i) = depth == 0
+        case _ => ok(i) = depth == 0
+      }
+      i += 1
+    }
+    ok
+  }
+
+  private def lastTopLevel(s: String, re: Regex): Option[Regex.Match] = {
+    val mask = topLevelMask(s)
+    re.findAllMatchIn(s).filter(m => mask(m.start)).foldLeft(
+      Option.empty[Regex.Match])((_, m) => Some(m))
+  }
+
+  /** Split on commas at depth 0 (relative to the fragment). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val mask = topLevelMask(s)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ',' && mask(i)) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  // ---- textual pre-rewrites (stay inside Spark SQL) ----------------
+
+  /** ClickHouse's `dateDiff('day', a, b)` cannot be a registry
+    * function: Spark's PARSER special-cases 3-arg datediff as
+    * timestampdiff and rejects quoted units before resolution ever
+    * runs, so the quoted-unit spelling (unambiguously CH) is rewritten
+    * to the registry-resolvable chDateDiff.
+    */
+  private val dateDiffRe = """(?i)\bdate_?diff\s*\(\s*('[a-z]+')""".r
+
+  /** `GROUP BY k… WITH TOTALS` — the `(?!…GROUP BY…)` guard pins the
+    * match to the LAST `GROUP BY` before each `WITH TOTALS`, so
+    * subquery GROUP BYs without TOTALS are never swallowed.
+    */
+  private val totalsRe =
+    """(?is)\bGROUP\s+BY\s+((?:(?!\bGROUP\s+BY\b).)+?)\s+WITH\s+TOTALS\b""".r
+
+  /** `FROM t SAMPLE 0.1` / `FROM t SAMPLE 1/10`. */
+  private val sampleRe =
+    """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)""".r
+
+  /** CH declares the sampling key in the table's DDL (`SAMPLE BY
+    * intHash32(key)`); the fixture tables' natural keys stand in.
+    * Extend via [[registerSampleKey]] for user tables.
+    */
+  private val sampleKeys = scala.collection.concurrent.TrieMap(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  def registerSampleKey(table: String, key: String): Unit =
+    sampleKeys.put(table.toLowerCase(java.util.Locale.ROOT), key)
+
+  private def parseFraction(s: String): Double = s.split('/') match {
+    case Array(one) => one.trim.toDouble
+    case Array(num, den) => num.trim.toDouble / den.trim.toDouble
+  }
+
+  private def rewriteSample(q: String): String =
+    sampleRe.replaceAllIn(q, { m =>
+      val table = m.group(1)
+      val f = parseFraction(m.group(2))
+      require(f > 0 && f <= 1, s"SAMPLE fraction must be in (0, 1], got $f")
+      val key = sampleKeys.getOrElse(table.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"no sampling key registered for table '$table' — ChSql.registerSampleKey first"))
+      val threshold = math.round(f * 1000000d)
+      // Text.mh60(lit("smp"), key) spelled in SQL — identical bits to
+      // rel_sample_hash's oracle-proven predicate.
+      Regex.quoteReplacement(
+        s"FROM (SELECT * FROM $table WHERE " +
+          s"CAST(conv(substring(md5(concat('smp|', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+          s" % 1000000 < $threshold) $table")
+    })
+
+  private def preRewrite(q: String): String = {
+    val a = dateDiffRe.replaceAllIn(q, m => s"chDateDiff(${m.group(1)}")
+    val b = totalsRe.replaceAllIn(a,
+      m => Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
+    rewriteSample(b)
+  }
+
+  // ---- DataFrame-level clause extraction ---------------------------
+
+  private case class FillSpec(from: Option[Long], to: Option[Long], step: Option[Long])
+  private case class OrderItem(name: String, asc: Boolean, fill: Option[FillSpec])
+
+  private val finalLimitRe = """(?i)\bLIMIT\s+(\d+)\s*$""".r
+  private val limitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
+  private val orderByRe = """(?i)\bORDER\s+BY\b""".r
+  private val withFillRe = """(?i)\bWITH\s+FILL\b""".r
+
+  private val orderItemRe =
+    ("""(?is)^([A-Za-z_][\w.]*)(?:\s+(ASC|DESC))?""" +
+      """(?:\s+WITH\s+FILL(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?)?$""").r
+
+  private def parseOrderItem(raw: String): OrderItem = raw.trim match {
+    case orderItemRe(name, dir, from, to, step) =>
+      val fillGiven = withFillRe.findFirstIn(raw).isDefined
+      OrderItem(name, dir == null || dir.equalsIgnoreCase("ASC"),
+        if (fillGiven) Some(FillSpec(Option(from).map(_.toLong),
+          Option(to).map(_.toLong), Option(step).map(_.toLong)))
+        else None)
+    case other =>
+      throw new IllegalArgumentException(
+        s"ORDER BY item '$other' not routable: CH clause routing needs plain " +
+          "column references (alias the expression in SELECT, sort by the alias)")
+  }
+
+  /** CH fills unmentioned columns with their type's default value. */
+  private def chDefault(dt: DataType): Column = dt match {
+    case _: NumericType => lit(0).cast(dt)
+    case StringType => lit("")
+    case BooleanType => lit(false)
+    case other => lit(null).cast(other)
+  }
+
+  // ---- entry -------------------------------------------------------
+
+  def run(spark: SparkSession, query: String): DataFrame = {
+    val q = preRewrite(query.trim)
+
+    val needsRouting =
+      lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined
+    if (!needsRouting) return spark.sql(q)
+
+    // Peel trailing clauses back to front: LIMIT m, LIMIT n BY k…,
+    // ORDER BY items.
+    var rest = q
+    val finalLimit = lastTopLevel(rest, finalLimitRe).map { m =>
+      rest = rest.substring(0, m.start); m.group(1).toInt
+    }
+    val limitBy = lastTopLevel(rest, limitByRe).map { m =>
+      val keysRaw = rest.substring(m.end).trim
+      rest = rest.substring(0, m.start)
+      val inner = if (keysRaw.startsWith("(") && keysRaw.endsWith(")"))
+        keysRaw.substring(1, keysRaw.length - 1) else keysRaw
+      (m.group(1).toInt, splitTopLevel(inner))
+    }
+    val orderItems = lastTopLevel(rest, orderByRe) match {
+      case Some(m) =>
+        val section = rest.substring(m.end)
+        rest = rest.substring(0, m.start)
+        splitTopLevel(section).map(parseOrderItem)
+      case None => Seq.empty
+    }
+
+    var df = spark.sql(rest)
+
+    // Post-hoc routing can only sort by columns the core query emits
+    // (CH itself can sort by any source column; the workaround is the
+    // same as for expressions — put the column in the SELECT list).
+    orderItems.find(i => !df.columns.contains(i.name)).foreach { i =>
+      throw new IllegalArgumentException(
+        s"ORDER BY column '${i.name}' must appear in the SELECT list " +
+          "for CH clause routing (add it, or alias the expression)")
+    }
+
+    for ((n, keys) <- limitBy) {
+      require(orderItems.nonEmpty,
+        "LIMIT n BY needs ORDER BY for deterministic per-group rows")
+      df = LimitByPlan.limitBy(df, keys, n, orderItems.map(i => (i.name, i.asc)))
+    }
+
+    for (item <- orderItems if item.fill.isDefined) {
+      val FillSpec(from, to, step) = item.fill.get
+      val fills = df.columns.filterNot(_ == item.name)
+        .map(c => c -> chDefault(df.schema(c).dataType)).toMap
+      df.schema(item.name).dataType match {
+        case (DateType | TimestampType | TimestampNTZType)
+            if from.isEmpty && to.isEmpty =>
+          // bare WITH FILL on a calendar axis (DATE or a day-truncated
+          // timestamp, e.g. toStartOfDay(…)): daily grid min→max
+          df = Relational.withFillDays(df, item.name, fills)
+        case _: NumericType =>
+          require(from.isDefined && to.isDefined,
+            s"WITH FILL on numeric '${item.name}' needs FROM and TO")
+          df = Relational.withFillStep(df, item.name, from.get, to.get,
+            step.getOrElse(1L), fills)
+        case other =>
+          throw new IllegalArgumentException(
+            s"WITH FILL unsupported on ${item.name}: $other (numeric " +
+              "FROM/TO/STEP, or bare fill on a DATE/day-truncated timestamp)")
+      }
+    }
+
+    if (orderItems.nonEmpty)
+      df = df.orderBy(orderItems.map(i =>
+        if (i.asc) col(i.name).asc else col(i.name).desc): _*)
+    finalLimit.foreach(m => df = df.limit(m))
+    df
+  }
+}

@@ -33,21 +33,13 @@ object Graft {
     }
   }
 
-  /** ClickHouse's `dateDiff('day', a, b)` cannot be a registry
-    * function: Spark's PARSER special-cases 3-arg datediff as
-    * timestampdiff and rejects quoted units before resolution ever
-    * runs. The front door rewrites the CH spelling (quoted unit ⇒
-    * unambiguously CH — Spark's own 2-arg datediff has no string
-    * literal first argument) to the registry-resolvable chDateDiff.
-    */
-  private val chDateDiff =
-    """(?i)\bdate_?diff\s*\(\s*('[a-z]+')""".r
-
   /** SQL entry point (sugar; views must be registered via init).
-    * Applies the few CH spellings that need PARSER-level rewriting —
+    * [[ChSql]] handles the spellings and clauses that need
+    * PARSER-level routing — `dateDiff('unit', …)`, `SAMPLE f`,
+    * `GROUP BY … WITH TOTALS`, `ORDER BY … WITH FILL`, `LIMIT n BY` —
     * everything else resolves through the function registry
     * ([[graft.functions.ChDialect]]).
     */
   def sql(spark: SparkSession, query: String): DataFrame =
-    spark.sql(chDateDiff.replaceAllIn(query, m => s"chDateDiff(${m.group(1)}"))
+    ChSql.run(spark, query)
 }

@@ -13,7 +13,8 @@ object SparkEntry {
     CoreQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       AggQueries.defs ++ ScalarQueries.defs ++ MergeTreeQueries.defs ++
       PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs ++
-      Extras2Queries.defs ++ StatsQueries.defs ++ CompositeQueries.defs
+      Extras2Queries.defs ++ StatsQueries.defs ++ CompositeQueries.defs ++
+      ChSqlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

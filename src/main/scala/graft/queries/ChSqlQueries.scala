@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{Graft, QDef}
+
+/** Clause-level CH SQL front door (SURVEY §2.6/§2.1/§2.4 syntax):
+  * each entry feeds a VERBATIM ClickHouse query string through
+  * [[graft.Graft.sql]] — `LIMIT n BY`, `ORDER BY … WITH FILL FROM/TO/
+  * STEP`, `SAMPLE f`, `GROUP BY … WITH TOTALS`, and all of them
+  * combined — and hash-matches a DuckDB oracle. The routing itself
+  * ([[graft.ChSql]]) only rearranges strings on the driver; the
+  * executed plans are the proven operators' plans (partial/final
+  * limit-by, broadcast series fill join, hash-threshold scan
+  * predicate, grouping sets), so these entries prove TEXT-level
+  * compatibility on top of the operator-level rows already graded.
+  */
+object ChSqlQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // LIMIT n BY k — CH applies it after ORDER BY; the routing lands
+    // on LimitByPlan.limitBy (map-side bounded-heap pruning below the
+    // exchange). Same oracle as rel_limit_by_exec's window form.
+    QDef("sql_ch_limit_by", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT p_brand, p_partkey, p_retailprice
+        FROM part
+        ORDER BY p_brand ASC, p_retailprice DESC, p_partkey ASC
+        LIMIT 2 BY p_brand""")
+    }, Some("""
+      SELECT p_brand, p_partkey, p_retailprice
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn <= 2
+      ORDER BY p_brand, p_retailprice DESC, p_partkey""")),
+
+    // ORDER BY x WITH FILL FROM a TO b STEP s on a numeric axis —
+    // routed to Relational.withFillStep; unmentioned columns take
+    // their type default (0 for the count), CH's default-value fill.
+    QDef("sql_ch_with_fill", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_quantity, count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey % 97 = 0
+        GROUP BY l_quantity
+        ORDER BY l_quantity ASC WITH FILL FROM 1 TO 51 STEP 1""")
+    }, Some("""
+      WITH data AS (SELECT l_quantity, count(*) AS n
+                    FROM lineitem WHERE l_orderkey % 97 = 0
+                    GROUP BY l_quantity),
+      grid AS (SELECT CAST(unnest(generate_series(1, 50, 1)) AS DOUBLE) AS l_quantity)
+      SELECT l_quantity, n FROM data
+      UNION ALL
+      SELECT g.l_quantity, CAST(0 AS BIGINT) AS n FROM grid g
+      WHERE NOT EXISTS (SELECT 1 FROM data d WHERE d.l_quantity = g.l_quantity)
+      ORDER BY l_quantity""")),
+
+    // FROM t SAMPLE 0.1 — rewritten to the deterministic mh60
+    // threshold predicate on the table's sampling key (pushed to the
+    // scan), bit-identical to rel_sample_hash's contract. min/max/
+    // count aggregates keep the result FP-order independent.
+    QDef("sql_ch_sample", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_returnflag, count(*) AS n_sampled,
+               min(l_quantity) AS q_min, max(l_quantity) AS q_max
+        FROM lineitem SAMPLE 0.1
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n_sampled,
+             min(l_quantity) AS q_min, max(l_quantity) AS q_max
+      FROM lineitem
+      WHERE CAST('0x' || substring(md5('smp|' || l_orderkey), 1, 15) AS BIGINT)
+              % 1000000 < 100000
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // GROUP BY … WITH TOTALS — rewritten to GROUPING SETS ((k), ()):
+    // per-group rows plus one all-NULL-keys grand-total row (the
+    // relational form of CH's totals side block).
+    QDef("sql_ch_totals", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT o_orderstatus, count(*) AS cnt,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY o_orderstatus WITH TOTALS
+        ORDER BY o_orderstatus""")
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS cnt,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST""")),
+
+    // All clauses in ONE verbatim CH query: SAMPLE + GROUP BY +
+    // ORDER BY + LIMIT BY + final LIMIT, exercising the full peel
+    // order (LIMIT m, then LIMIT n BY, then ORDER BY) and proving the
+    // clauses compose the way CH executes them.
+    QDef("sql_ch_combo", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_quantity, l_returnflag, count(*) AS n
+        FROM lineitem SAMPLE 0.5
+        GROUP BY l_quantity, l_returnflag
+        ORDER BY l_quantity ASC, l_returnflag ASC
+        LIMIT 2 BY l_quantity
+        LIMIT 30""")
+    }, Some("""
+      WITH smp AS (SELECT * FROM lineitem
+                   WHERE CAST('0x' || substring(md5('smp|' || l_orderkey), 1, 15) AS BIGINT)
+                           % 1000000 < 500000),
+      agg AS (SELECT l_quantity, l_returnflag, count(*) AS n
+              FROM smp GROUP BY l_quantity, l_returnflag),
+      lb AS (SELECT *, row_number() OVER (PARTITION BY l_quantity
+                                          ORDER BY l_returnflag) AS rn
+             FROM agg)
+      SELECT l_quantity, l_returnflag, n FROM lb WHERE rn <= 2
+      ORDER BY l_quantity, l_returnflag LIMIT 30"""))
+  )
+}

@@ -176,6 +176,81 @@ class ChDialectSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("multiIf")), messages(e).mkString(" | "))
   }
 
+  test("clause routing: verbatim CH text equals the operator form") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.DataFrame
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+
+    // LIMIT n BY → LimitByPlan; equals the window form
+    val viaText = Graft.sql(spark, """
+      SELECT p_brand, p_partkey, p_retailprice FROM part
+      ORDER BY p_brand ASC, p_retailprice DESC, p_partkey ASC
+      LIMIT 3 BY p_brand""")
+    val viaOp = graft.ops.Relational.limitBy(
+      Tables(spark, "/root/testdata/sf0.001", "part"), Seq("p_brand"), 3,
+      Seq(org.apache.spark.sql.functions.col("p_retailprice").desc,
+        org.apache.spark.sql.functions.col("p_partkey").asc))
+      .select("p_brand", "p_partkey", "p_retailprice")
+    assert(canon(viaText) == canon(viaOp))
+
+    // SAMPLE f → the mh60 threshold predicate, bit-identical
+    val sText = Graft.sql(spark,
+      "SELECT count(*) AS n FROM lineitem SAMPLE 0.1")
+      .collect().head.getLong(0)
+    val sPred = Graft.sql(spark, """
+      SELECT count(*) AS n FROM lineitem
+      WHERE CAST(conv(substring(md5(concat('smp|', CAST(l_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)
+              % 1000000 < 100000""").collect().head.getLong(0)
+    assert(sText == sPred && sText > 0 && sText < 6000)
+    // and the 1/10 spelling is the same fraction
+    assert(Graft.sql(spark, "SELECT count(*) AS n FROM lineitem SAMPLE 1/10")
+      .collect().head.getLong(0) == sText)
+
+    // WITH TOTALS → GROUPING SETS: group rows + one all-NULL row
+    val tot = Graft.sql(spark, """
+      SELECT n_regionkey, count(*) AS c FROM nation
+      GROUP BY n_regionkey WITH TOTALS ORDER BY n_regionkey""").collect()
+    assert(tot.length == 6)
+    assert(tot.count(_.isNullAt(0)) == 1)
+    assert(tot.filter(_.isNullAt(0)).head.getLong(1) == 25L)
+
+    // bare WITH FILL on a DATE axis → withFillDays (calendar fill,
+    // zero default for the count)
+    val fill = Graft.sql(spark, """
+      SELECT toStartOfDay(CAST(o_orderdate AS DATE)) AS day, count(*) AS n
+      FROM orders WHERE o_orderkey % 1000 = 1
+      GROUP BY day ORDER BY day WITH FILL""")
+    val days = fill.collect()
+    assert(days.length > 2)
+    // contiguous daily axis: every consecutive gap is exactly 1 day
+    val ms = days.map(_.getTimestamp(0).getTime)
+    assert(ms.sliding(2).forall(p => p(1) - p(0) == 86400000L))
+    assert(days.exists(_.getLong(1) == 0L)) // filled gap rows present
+  }
+
+  test("clause routing fails loudly outside its documented scope") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // LIMIT BY without ORDER BY is nondeterministic — rejected
+    val e1 = intercept[Exception] {
+      Graft.sql(spark, "SELECT p_brand FROM part LIMIT 2 BY p_brand").collect()
+    }
+    assert(messages(e1).exists(_.contains("ORDER BY")), messages(e1).mkString(" | "))
+    // expression sort keys can't be routed — rejected with guidance
+    val e2 = intercept[Exception] {
+      Graft.sql(spark,
+        "SELECT p_brand FROM part ORDER BY length(p_brand) LIMIT 2 BY p_brand").collect()
+    }
+    assert(messages(e2).exists(_.contains("alias")), messages(e2).mkString(" | "))
+    // SAMPLE on a table with no registered key — rejected
+    val e3 = intercept[Exception] {
+      Graft.sql(spark, "SELECT 1 FROM unknown_tbl SAMPLE 0.5").collect()
+    }
+    assert(messages(e3).exists(_.contains("sampling key")), messages(e3).mkString(" | "))
+  }
+
   test("greatCircleDistance: CH argument order, ~111 km per degree of latitude") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val d = Graft.sql(spark,
