@@ -174,6 +174,153 @@ object Aggregates {
     def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
 
+  /** Parsed form of ClickHouse's sequenceMatch/sequenceCount pattern
+    * DSL (`'(?1)(?t<=3600)(?2).*(?3)'`): `steps(j)` is the condition
+    * number at chain position j; per transition j→j+1,
+    * `maxGapUs`/`minGapUs` bound ts_{j+1} − ts_j (µs; MaxValue/−1 =
+    * unbounded) and `contiguous` carries CH's skip rule — WITHOUT
+    * `.*`, events matching ANY declared condition may not lie between
+    * the two chain events (the documented `(?1)(?2)` vs `(?1).*(?2)`
+    * distinction); undeclared events are always invisible.
+    */
+  case class SeqPattern(steps: IndexedSeq[Int], maxGapUs: IndexedSeq[Long],
+      minGapUs: IndexedSeq[Long], contiguous: IndexedSeq[Boolean]) {
+    def nPositions: Int = steps.length
+  }
+
+  object SeqPattern {
+    private val token =
+      """\(\?(\d+)\)|\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)|\.\*""".r
+
+    /** Parse the CH pattern dialect; rejects anything outside it
+      * loudly (unknown tokens, gap/`.*` with no step on both sides).
+      */
+    def parse(pattern: String): SeqPattern = {
+      val steps = IndexedSeq.newBuilder[Int]
+      val maxG = IndexedSeq.newBuilder[Long]
+      val minG = IndexedSeq.newBuilder[Long]
+      val contig = IndexedSeq.newBuilder[Boolean]
+      var pendingMax = Long.MaxValue
+      var pendingMin = -1L
+      var pendingContig = true
+      var pendingTrans = false // tokens seen since the last step
+      var nSteps = 0
+      var pos = 0
+      for (m <- token.findAllMatchIn(pattern)) {
+        require(pattern.substring(pos, m.start).trim.isEmpty,
+          s"sequenceMatch pattern: unrecognized text " +
+            s"'${pattern.substring(pos, m.start)}' in '$pattern'")
+        pos = m.end
+        if (m.group(1) != null) { // (?N)
+          if (nSteps > 0) {
+            maxG += pendingMax; minG += pendingMin; contig += pendingContig
+          } else require(!pendingTrans,
+            s"sequenceMatch pattern starts with a transition token: '$pattern'")
+          require(m.group(1).toInt >= 1,
+            s"sequenceMatch condition numbers are 1-based: '$pattern'")
+          steps += m.group(1).toInt
+          nSteps += 1
+          pendingMax = Long.MaxValue; pendingMin = -1L
+          pendingContig = true; pendingTrans = false
+        } else if (m.group(2) != null) { // (?t op seconds)
+          val us = m.group(3).toLong * 1000000L
+          m.group(2) match {
+            case "<=" => pendingMax = us
+            case "<" => pendingMax = us - 1
+            case ">" => pendingMin = us
+            case ">=" => pendingMin = us - 1
+            case "==" => pendingMax = us; pendingMin = us - 1
+          }
+          pendingTrans = true
+        } else { // .*
+          pendingContig = false
+          pendingTrans = true
+        }
+      }
+      require(pattern.substring(pos).trim.isEmpty,
+        s"sequenceMatch pattern: unrecognized trailing text " +
+          s"'${pattern.substring(pos)}' in '$pattern'")
+      require(nSteps >= 1, s"sequenceMatch pattern has no (?N) steps: '$pattern'")
+      require(!pendingTrans,
+        s"sequenceMatch pattern ends with a dangling transition: '$pattern'")
+      SeqPattern(steps.result(), maxG.result(), minG.result(), contig.result())
+    }
+  }
+
+  /** The pattern-matching DP, shared by the Aggregator and the
+    * brute-force property test: exists indices at strictly increasing
+    * timestamps matching `p.steps` with every transition's gap and
+    * contiguity constraint satisfied. All constraints are pairwise on
+    * consecutive chain events, so the set of feasible chain-END
+    * timestamps per prefix length is a complete state — O(n²·L) worst
+    * case per group, the same bound the timed matcher carries.
+    */
+  def patternMatches(events: Seq[StepEvent], p: SeqPattern): Boolean = {
+    val sorted = events.filter(e => e.step >= 1)
+      .sortBy(e => (e.tsUs, e.step)).toArray
+    if (sorted.isEmpty) return false
+    val allTs: Array[Long] = sorted.map(_.tsUs) // declared events, sorted
+    def declaredBetween(lo: Long, hi: Long): Boolean = {
+      var l = 0; var r = allTs.length
+      while (l < r) { val m = (l + r) >>> 1
+        if (allTs(m) <= lo) l = m + 1 else r = m }
+      l < allTs.length && allTs(l) < hi
+    }
+    val L = p.nPositions
+    val ends = Array.fill(L + 1)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    var matched = false
+    val it = sorted.iterator
+    while (it.hasNext && !matched) {
+      val e = it.next()
+      // try every chain position this condition can fill, deepest
+      // first (a position never feeds itself: predecessors are < e.ts)
+      var j = L
+      while (j >= 1 && !matched) {
+        if (p.steps(j - 1) == e.step) {
+          val ok =
+            if (j == 1) true
+            else {
+              val maxG = p.maxGapUs(j - 2)
+              val minG = p.minGapUs(j - 2)
+              val needAdj = p.contiguous(j - 2)
+              ends(j - 1).exists(t =>
+                t < e.tsUs && e.tsUs - t <= maxG && e.tsUs - t > minG &&
+                  (!needAdj || !declaredBetween(t, e.tsUs)))
+            }
+          if (ok) {
+            if (j == L) matched = true else ends(j) += e.tsUs
+          }
+        }
+        j -= 1
+      }
+    }
+    matched
+  }
+
+  /** ClickHouse `sequenceMatch('<pattern>')(ts, cond1…condN)` driven
+    * by the VERBATIM pattern string — the DSL front door over the
+    * timed/contiguity machinery. Input rows carry the matched
+    * condition number (1-based; undeclared events need not be fed —
+    * they are invisible to the pattern). `nConds` is the number of
+    * declared condition args: conditions not used by the pattern
+    * still interrupt adjacent (non-`.*`) transitions, exactly CH's
+    * documented no-skip rule.
+    */
+  class SequenceMatchPattern(pattern: String, nConds: Int = -1)
+      extends Aggregator[StepEvent, Seq[StepEvent], Boolean] with Serializable {
+    private val p = SeqPattern.parse(pattern)
+    private val nc = if (nConds > 0) nConds else p.steps.max
+    require(nc >= p.steps.max,
+      s"pattern '$pattern' references condition ${p.steps.max} but only $nc declared")
+    def zero: Seq[StepEvent] = Nil
+    def reduce(b: Seq[StepEvent], e: StepEvent): Seq[StepEvent] =
+      if (e.step >= 1 && e.step <= nc) b :+ e else b
+    def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] = a ++ b
+    def finish(b: Seq[StepEvent]): Boolean = patternMatches(b, p)
+    def bufferEncoder: Encoder[Seq[StepEvent]] = enc[Seq[StepEvent]]
+    def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
+  }
+
   /** ClickHouse `windowFunnel(window, 'strict_increase'|'strict_order'|
     * 'strict_dedup')`: the funnel modes, in their DECLARATIVE reading —
     * depth k iff there EXISTS a chain e1…ek matching steps 1..k at

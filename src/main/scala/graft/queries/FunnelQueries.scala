@@ -149,6 +149,59 @@ object FunnelQueries {
     // repeat of an already-matched condition between chain events
     // interrupts). The oracle restates each mode as exists-chains
     // with NOT EXISTS interrupter predicates on open µs intervals.
+    // sequenceMatch driven by VERBATIM pattern-DSL strings — the
+    // parser front door over the timed/contiguity machinery
+    // (ops/Aggregates.SeqPattern). Three dialect features on the
+    // (view=1, purchase=2) conditions:
+    //   pat_adjacent '(?1)(?2)'        — CH's no-skip rule: no event
+    //     matching a DECLARED condition between the chain events
+    //   pat_skip     '(?1).*(?2)'      — skipping allowed
+    //   pat_timed    '(?1)(?t<=86400)(?2)' — adjacency + ≤1 day gap
+    // The oracle restates each as exists-chains with NOT EXISTS
+    // betweenness where adjacency applies.
+    QDef("funnel_sequence_pattern", (s, dir) => {
+      import s.implicits._
+      val adj = udaf(new Aggregates.SequenceMatchPattern("(?1)(?2)", 2))
+      val skip = udaf(new Aggregates.SequenceMatchPattern("(?1).*(?2)", 2))
+      val timed = udaf(new Aggregates.SequenceMatchPattern("(?1)(?t<=86400)(?2)", 2))
+      val step2 = when($"event_type" === "view", 1)
+        .when($"event_type" === "purchase", 2)
+        .otherwise(0)
+      Tables(s, dir, "events")
+        .withColumn("step", step2)
+        .filter($"step" > 0)
+        .select($"user_id", unix_micros($"ts").as("tsUs"), $"step")
+        .groupBy($"user_id")
+        .agg(adj($"tsUs", $"step").as("pat_adjacent"),
+          skip($"tsUs", $"step").as("pat_skip"),
+          timed($"tsUs", $"step").as("pat_timed"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      u AS (SELECT DISTINCT user_id FROM e)
+      SELECT u.user_id,
+             EXISTS (SELECT 1 FROM e v JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > v.us
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view'
+                       AND NOT EXISTS (SELECT 1 FROM e m
+                                       WHERE m.user_id = v.user_id
+                                         AND m.us > v.us AND m.us < p.us))
+               AS pat_adjacent,
+             EXISTS (SELECT 1 FROM e v JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > v.us
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view')
+               AS pat_skip,
+             EXISTS (SELECT 1 FROM e v JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > v.us
+                       AND p.us - v.us <= 86400000000
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view'
+                       AND NOT EXISTS (SELECT 1 FROM e m
+                                       WHERE m.user_id = v.user_id
+                                         AND m.us > v.us AND m.us < p.us))
+               AS pat_timed
+      FROM u ORDER BY u.user_id""")),
+
     QDef("funnel_window_strict", (s, dir) => {
       import s.implicits._
       val W = 7L * 86400L * 1000000L
