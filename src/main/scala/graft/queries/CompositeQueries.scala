@@ -77,6 +77,110 @@ object CompositeQueries {
       WHERE r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // Q6 shape (forecasting revenue change): pure single-pass scan —
+    // every predicate pushes to the parquet reader, no join, one
+    // partial/final agg over a 1-row group. The plan IS the filter
+    // pushdown demonstrator at 100 TB: only (shipdate, discount,
+    // quantity, extendedprice) columns are read.
+    QDef("tpch_q6_forecast", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01" &&
+          $"l_discount".between(0.04, 0.06) && $"l_quantity" < 24)
+        .agg(Det.dsum($"l_extendedprice" * $"l_discount").as("revenue"))
+    }, Some(s"""
+      SELECT ${Det.sqlSum("l_extendedprice * l_discount")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""")),
+
+    // Q12 shape (shipping-mode priority classes; fixture carries no
+    // l_shipmode/commitdate/receiptdate, so l_linestatus stands in for
+    // the group key and "shipped >30 days after ordering" for the
+    // late-receipt predicate — same plan: big-big shuffle join on
+    // orderkey, CASE-counted priority classes, tiny group-by).
+    QDef("tpch_q12_priority", (s, dir) => {
+      import s.implicits._
+      val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      val li = Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+        .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAY"))
+        .groupBy($"l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy($"l_linestatus")
+    }, Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Q14 shape (promotion effect): one month of lineitem against the
+    // broadcast part dim; promo share of revenue via conditional
+    // decimal sums — a single 2-column ratio row.
+    QDef("tpch_q14_promo", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(22,6)"
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1996-09-01" && $"l_shipdate" < "1996-10-01")
+        .join(broadcast(Tables(s, dir, "part").select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .agg(round(lit(100.0) *
+          sum(when($"p_type" === "PROMO", rev).otherwise(0.0).cast(D)).cast("double") /
+          sum(rev.cast(D)).cast("double"), 4).as("promo_revenue"))
+    }, Some("""
+      SELECT round(100.0 *
+               CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1.0 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE) /
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(22,6))) AS DOUBLE), 4) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'""")),
+
+    // Q19 shape (discounted revenue, disjunctive brand/size/quantity
+    // ranges; p_container is absent so p_size ranges stand in): the
+    // OR-of-conjunctions stays a post-join filter on a broadcast part
+    // join — one lineitem pass, no shuffle.
+    QDef("tpch_q19_discount", (s, dir) => {
+      import s.implicits._
+      val cond =
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20, 30))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .select($"p_partkey", $"p_brand", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .filter(cond)
+        .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+    }, Some(s"""
+      SELECT ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)""")),
+
     // Q17 shape (small-quantity-order revenue): average yearly loss if
     // small orders (below 20% of the part's mean quantity) stopped.
     // The correlated scalar subquery DECORRELATES into a per-part
