@@ -3,20 +3,187 @@ package graft.ops
 import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 
-/** Multimodal-column processing plumbing (BASELINE north star): treat
+/** Multimodal-column processing (BASELINE north star): treat
   * image/audio/video as opaque `binary` payloads with typed metadata,
   * decoded in fixed-size batches per partition — the Scala analog of a
   * `mapInPandas` batch UDF, and the one place `mapPartitions` is the
   * right tool (imperative per-batch work a codec library would do).
   *
-  * The decode itself is a DETERMINISTIC STUB — codec libraries aren't
-  * in this container — but everything around it is the real artifact:
-  * the typed schema, the per-partition batch iteration (bounded
-  * memory: `batchSize` assets in flight per partition), and the
-  * parallel, shuffle-free shape (#output rows == #input rows,
-  * pipelined within each partition).
+  * [[decodeMedia]] is a REAL decoder for two self-describing formats
+  * a container without codec libraries can still carry end-to-end:
+  * binary PPM (P6) images — header parsing incl. `#` comments, exact
+  * integer luminance accumulation — and RIFF/PCM16 WAV audio — chunk
+  * walking (unknown chunks skipped), sample-rate/duration extraction,
+  * RMS amplitude. Heavier codecs (JPEG/MP4) would slot behind the
+  * same sniff-and-dispatch without touching the Spark plumbing:
+  * typed schema, bounded per-partition batches (`batchSize` assets in
+  * flight), shuffle-free one-row-per-asset shape.
+  *
+  * [[decodeFeatures]]/[[frameSample]]/[[extractEmbeddings]] remain
+  * the format-agnostic byte-feature paths (checksums, stub thumbs /
+  * hash embeddings standing in for model calls).
   */
 object Multimodal {
+
+  // ---- real codecs: PPM (P6) images, RIFF/PCM16 WAV audio ---------
+
+  /** Decoded-media row: one per asset; image fields zero for audio
+    * and vice versa. `mean_level` = mean Rec.709 luminance (image) /
+    * RMS sample amplitude (audio) — both from exact integer sums, so
+    * results are partition-order independent.
+    */
+  case class Media(doc_id: Long, kind: String, width: Int, height: Int,
+      channels: Int, sample_rate: Int, duration_ms: Long, mean_level: Double)
+
+  private implicit val mediaEnc: Encoder[Media] = ExpressionEncoder[Media]()
+
+  /** Binary PPM writer (P6): ASCII header + RGB payload. */
+  def encodePpm(width: Int, height: Int, maxval: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"P6 payload must be w*h*3 = ${width * height * 3} bytes, got ${pixels.length}")
+    require(maxval > 0 && maxval < 65536, s"bad maxval $maxval")
+    s"P6\n$width $height\n$maxval\n".getBytes("US-ASCII") ++ pixels
+  }
+
+  case class PpmImage(width: Int, height: Int, maxval: Int, meanLuma: Double)
+
+  /** Binary PPM (P6) parser: whitespace/`#`-comment tolerant header,
+    * strict payload length, mean Rec.709 luminance from an exact
+    * integer sum (2126 r + 7152 g + 722 b per pixel, /10000 once).
+    */
+  def decodePpm(bytes: Array[Byte]): PpmImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go) {
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+        if (i < bytes.length && bytes(i) == '#')
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
+        s"PPM: expected integer at byte $i")
+      var v = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(i < bytes.length && isWs(bytes(i)), "PPM: missing payload separator")
+    i += 1 // exactly ONE whitespace byte before the payload (spec)
+    require(bytes.length - i == w * h * 3,
+      s"PPM: payload ${bytes.length - i} bytes, expected ${w * h * 3}")
+    var lumaSum = 0L
+    var p = i
+    while (p < bytes.length) {
+      lumaSum += 2126L * (bytes(p) & 0xff) + 7152L * (bytes(p + 1) & 0xff) +
+        722L * (bytes(p + 2) & 0xff)
+      p += 3
+    }
+    PpmImage(w, h, maxval, lumaSum / (10000.0 * w * h))
+  }
+
+  /** Canonical RIFF/WAVE writer: PCM16, little-endian. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0, "bad WAV params")
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  case class WavAudio(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nFrames: Long, durationMs: Long, rms: Double)
+
+  /** RIFF/WAVE parser: walks chunks (skipping unknown ones, honoring
+    * odd-size padding) to `fmt ` + `data`; PCM16 only. Duration from
+    * byte rate; RMS from an exact Σ s² integer sum.
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(bytes.length >= 44, "WAV: too short")
+    require(fourcc() == "RIFF", "not a RIFF file")
+    bb.getInt // riff size (trust chunk walk, not this)
+    require(fourcc() == "WAVE", "not a WAVE file")
+    var channels = -1; var sampleRate = -1; var bits = -1; var byteRate = -1
+    var dataOff = -1; var dataLen = -1
+    while (bb.remaining() >= 8 && dataOff < 0) {
+      val id = fourcc(); val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(), s"WAV: bad chunk size $size for '$id'")
+      id match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort
+          require(audioFormat == 1, s"WAV: only PCM supported, got format $audioFormat")
+          channels = bb.getShort
+          sampleRate = bb.getInt
+          byteRate = bb.getInt
+          bb.getShort // block align
+          bits = bb.getShort
+          require(bits == 16, s"WAV: only 16-bit PCM supported, got $bits")
+          bb.position(fmtStart + size + (size & 1))
+        case "data" =>
+          dataOff = bb.position(); dataLen = size
+        case _ => // unknown chunk: skip (size + pad byte if odd)
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(channels > 0 && sampleRate > 0, "WAV: no fmt chunk before data")
+    require(dataOff >= 0, "WAV: no data chunk")
+    val nSamples = dataLen / 2
+    var sqSum = 0L // max 2^31 samples * (2^15)^2 < 2^62 — no overflow
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(dataOff + 2 * i).toLong
+      sqSum += s * s
+      i += 1
+    }
+    val nFrames = nSamples / channels
+    WavAudio(channels, sampleRate, bits, nFrames,
+      dataLen.toLong * 1000L / byteRate,
+      if (nSamples == 0) 0.0 else math.sqrt(sqSum.toDouble / nSamples))
+  }
+
+  /** Sniff-and-dispatch single-asset decode: P6 magic → PPM, RIFF →
+    * WAV. Loud failure on anything else — silent skips would hide
+    * corrupt corpus shards.
+    */
+  def decodeOne(id: Long, bytes: Array[Byte]): Media =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
+      val img = decodePpm(bytes)
+      Media(id, "image", img.width, img.height, 0, 0, 0L, img.meanLuma)
+    } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') {
+      val au = decodeWav(bytes)
+      Media(id, "audio", 0, 0, au.channels, au.sampleRate, au.durationMs, au.rms)
+    } else throw new IllegalArgumentException(
+      s"asset $id: unrecognized payload (${bytes.take(4).mkString(",")}…)")
+
+  /** Batched media decode over (id, payload) rows: the same bounded
+    * per-partition batch shape as [[decodeFeatures]], with the real
+    * codecs doing the per-batch work.
+    */
+  def decodeMedia(ds: Dataset[(Long, Array[Byte])], batchSize: Int = 64): Dataset[Media] =
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { case (id, bytes) => decodeOne(id, bytes) })
+    }
 
   /** An asset row: opaque payload + typed metadata. */
   case class Asset(doc_id: Long, payload: Array[Byte], lang: String, n_chars: Long)

@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.{QDef, Tables}
+import graft.{Det, QDef, Tables}
 import graft.functions.GraftFunctions
-import graft.ops.{Text, Vectors}
+import graft.ops.{Multimodal, Text, Vectors}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -338,7 +338,62 @@ object PipelineQueries {
       SELECT lang, count(*) AS n_assets,
              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              min(substring(md5(text), 1, 8)) AS first_thumb
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // REAL multimodal decode end-to-end: every document becomes a
+    // genuine binary asset — even ids a binary PPM (P6) image whose
+    // dimensions derive from n_chars and whose constant pixel value is
+    // doc_id % 251; odd ids a RIFF/PCM16 WAV whose sample count
+    // derives from n_chars at constant amplitude doc_id % 1000 — then
+    // ops/Multimodal's codecs parse the bytes back (header/chunk
+    // walking, exact luma/RMS sums) in bounded per-partition batches.
+    // The oracle recomputes every decoded quantity in closed form
+    // from (doc_id, n_chars): any parser drift (dimensions, duration
+    // rounding, luma weights, sample scaling) breaks the hash. The
+    // encode→decode pair is self-inverse, so agreement proves BOTH
+    // directions parse/emit the formats correctly.
+    QDef("pipe_multimodal_decode", (s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars")
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val bytes =
+            if (id % 2 == 0) {
+              val w = (nc % 64).toInt + 8
+              val h = (nc % 48).toInt + 6
+              Multimodal.encodePpm(w, h, 255,
+                Array.fill(w * h * 3)((id % 251).toByte))
+            } else {
+              val n = (nc % 16000).toInt + 100
+              Multimodal.encodeWav(8000, 1, Array.fill(n)((id % 1000).toShort))
+            }
+          (id, bytes)
+        }
+      Multimodal.decodeMedia(media, batchSize = 64)
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_assets"),
+          sum($"width".cast("long")).as("w_sum"),
+          sum($"height".cast("long")).as("h_sum"),
+          sum($"duration_ms").as("dur_sum"),
+          Det.dsum($"mean_level").as("level_sum"))
+        .orderBy($"kind")
+    }, Some(s"""
+      WITH m AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CASE WHEN doc_id % 2 = 0 THEN (n_chars % 64) + 8 ELSE 0 END AS width,
+               CASE WHEN doc_id % 2 = 0 THEN (n_chars % 48) + 6 ELSE 0 END AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 0
+                    ELSE (((n_chars % 16000) + 100) * 2 * 1000) // 16000 END AS duration_ms,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 251 AS DOUBLE)
+                    ELSE CAST(doc_id % 1000 AS DOUBLE) END AS mean_level
+        FROM documents)
+      SELECT kind, count(*) AS n_assets,
+             CAST(sum(width) AS BIGINT) AS w_sum,
+             CAST(sum(height) AS BIGINT) AS h_sum,
+             CAST(sum(duration_ms) AS BIGINT) AS dur_sum,
+             ${Det.sqlSum("mean_level")} AS level_sum
+      FROM m GROUP BY kind ORDER BY kind"""))
   )
 
   // End-to-end curation pipeline (the north-star composition): score

@@ -15,6 +15,83 @@ class MultimodalSpec extends AnyFunSuite {
     Asset(i.toLong, s"payload-$i-${"x" * i}".getBytes("UTF-8"), "en", 100L + i)
   }
 
+  test("PPM codec: round-trip, comment headers, exact gradient luminance") {
+    // 2x2 gradient with known per-pixel luma
+    val px = Array[Int](
+      255, 0, 0, /**/ 0, 255, 0,
+      0, 0, 255, /**/ 10, 20, 30).map(_.toByte)
+    val img = Multimodal.decodePpm(Multimodal.encodePpm(2, 2, 255, px))
+    assert(img.width == 2 && img.height == 2 && img.maxval == 255)
+    // Rec.709 integer weights: (2126*255 + 7152*255 + 722*255 +
+    //   2126*10 + 7152*20 + 722*30) / (10000 * 4)
+    val expected = (2126L * 255 + 7152L * 255 + 722L * 255 +
+      2126L * 10 + 7152L * 20 + 722L * 30) / (10000.0 * 4)
+    assert(img.meanLuma == expected)
+
+    // header with comments and loose whitespace parses identically
+    val withComments = ("P6\n# a comment\n2 # inline\n 2\n# more\n255\n"
+      .getBytes("US-ASCII") ++ px)
+    val img2 = Multimodal.decodePpm(withComments)
+    assert(img2 == img)
+
+    // constant-value image: mean luma IS the value (weights sum to 10000)
+    val const = Multimodal.decodePpm(
+      Multimodal.encodePpm(3, 5, 255, Array.fill(45)(200.toByte)))
+    assert(const.meanLuma == 200.0)
+
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P5\n1 1\n255\n".getBytes ++ Array[Byte](0)))
+    intercept[IllegalArgumentException]( // truncated payload
+      Multimodal.decodePpm("P6\n2 2\n255\n".getBytes ++ Array[Byte](1, 2, 3)))
+  }
+
+  test("WAV codec: round-trip, unknown chunks skipped, exact RMS/duration") {
+    val samples = Array[Short](1000, -1000, 1000, -1000, 0, 0, 0, 0)
+    val au = Multimodal.decodeWav(Multimodal.encodeWav(8000, 1, samples))
+    assert(au.channels == 1 && au.sampleRate == 8000 && au.bitsPerSample == 16)
+    assert(au.nFrames == 8)
+    assert(au.durationMs == 8L * 2 * 1000 / 16000)
+    assert(au.rms == math.sqrt(4.0 * 1000 * 1000 / 8))
+
+    // constant amplitude: RMS IS the amplitude
+    val const = Multimodal.decodeWav(
+      Multimodal.encodeWav(44100, 2, Array.fill(100)(321.toShort)))
+    assert(const.rms == 321.0 && const.channels == 2 && const.nFrames == 50)
+
+    // an unknown chunk (odd-sized, padded) between WAVE and fmt is skipped
+    val canonical = Multimodal.encodeWav(8000, 1, samples)
+    val bb = java.nio.ByteBuffer.allocate(canonical.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(canonical, 0, 12) // RIFF<size>WAVE
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](7, 8, 9, 0)) // 3 bytes + pad
+    bb.put(canonical, 12, canonical.length - 12)
+    val withExtra = bb.array()
+    val au2 = Multimodal.decodeWav(withExtra)
+    assert(au2.copy() == au)
+
+    intercept[IllegalArgumentException]( // not RIFF
+      Multimodal.decodeWav(Array.fill[Byte](48)(0)))
+  }
+
+  test("decodeMedia: sniff-dispatch over a Dataset, batch-size independent") {
+    val rows = Seq.tabulate(12) { i =>
+      val bytes =
+        if (i % 2 == 0)
+          Multimodal.encodePpm(4, 3, 255, Array.fill(36)((i * 17 % 251).toByte))
+        else Multimodal.encodeWav(8000, 1, Array.fill(64 + i)((i * 31).toShort))
+      (i.toLong, bytes)
+    }
+    val ds = spark.createDataset(rows).repartition(3)
+    val a = Multimodal.decodeMedia(ds, batchSize = 64).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeMedia(ds, batchSize = 1).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 12)
+    assert(a.count(_.kind == "image") == 6)
+    a.filter(_.kind == "image").foreach(m => assert(m.width == 4 && m.height == 3))
+    a.filter(_.kind == "audio").foreach(m => assert(m.sample_rate == 8000))
+  }
+
   test("decodeFeatures preserves rows and derives deterministic features") {
     val ds = spark.createDataset(assets).repartition(3)
     val out1 = Multimodal.decodeFeatures(ds).collect().sortBy(_.doc_id)
