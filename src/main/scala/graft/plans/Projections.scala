@@ -203,7 +203,21 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val cnt = d.measures.find(_.kind == "count").flatMap(m => projAttr.get(m.projCol))
 
     def rewriteAE(ae: AggregateExpression): Option[AggregateExpression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) {
+        // count(DISTINCT dim…) survives the swap unchanged: the
+        // projection has exactly one row per dims combination, so the
+        // distinct set of any dim subset is preserved (children are
+        // remapped to projection attrs by the caller's second pass).
+        val distinctOnDims = ae.aggregateFunction match {
+          case c: Count => c.children.forall {
+            case a: AttributeReference => d.dims.contains(a.name)
+            case _ => false
+          }
+          case _ => false
+        }
+        return if (distinctOnDims) Some(ae) else None
+      }
       val newFn: AggregateFunction = ae.aggregateFunction match {
         case s: Sum =>
           val pc = sums.find(_._1.semanticEquals(s.child)).getOrElse(return None)._2
@@ -226,6 +240,22 @@ case class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       var ok = true
       val step1 = ne.transformUp {
+        // avg(x) derives as sum(sum_x) / sum(cnt) when both partials
+        // exist — restricted to DOUBLE children (a decimal Average's
+        // widened result type can't be reproduced by a Divide without
+        // re-rounding; double division is exactly Average's own math).
+        case ae: AggregateExpression
+            if ae.aggregateFunction.isInstanceOf[Average] &&
+              !ae.isDistinct && ae.filter.isEmpty =>
+          val child = ae.aggregateFunction.asInstanceOf[Average].child
+          (child.dataType, sums.find(_._1.semanticEquals(child)), cnt) match {
+            case (org.apache.spark.sql.types.DoubleType, Some((_, pc)), Some(c))
+                if pc.dataType == org.apache.spark.sql.types.DoubleType =>
+              Divide(Sum(pc).toAggregateExpression(),
+                Cast(Sum(c).toAggregateExpression(),
+                  org.apache.spark.sql.types.DoubleType))
+            case _ => ok = false; ae
+          }
         case ae: AggregateExpression =>
           rewriteAE(ae) match {
             case Some(x) => x

@@ -358,6 +358,34 @@ object MergeTreeQueries {
              round(min(o_totalprice), 4) AS lo,
              round(max(o_totalprice), 4) AS hi
       FROM orders GROUP BY o_orderstatus, o_orderpriority
-      ORDER BY o_orderstatus, o_orderpriority"""))
+      ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // Projection DERIVED aggregates: avg is not stored — the rule
+    // derives it as sum(sum_x)/sum(cnt) from the stored partials — and
+    // count(DISTINCT dim) survives because the projection keeps one
+    // row per dims combination. Grouping by a SUBSET of the dims
+    // (o_orderstatus only) exercises partial-merge over the other dim.
+    // Oracle computed from the base table; ProjectionSpec asserts the
+    // plan scans the projection parquet.
+    QDef("mt_projection_derived", (s, dir) => {
+      import s.implicits._
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Projections.materialize(s, s"orders_derived_$tag",
+        s"$dir/orders.parquet",
+        s"${System.getProperty("java.io.tmpdir")}/graft_proj/$tag/orders_derived",
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(Projections.Measure("sum", "o_totalprice", "sum_price_d"),
+          Projections.Measure("count", "1", "cnt")))
+      Projections.install(s)
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(round(avg($"o_totalprice"), 4).as("avg_price"),
+          countDistinct($"o_orderpriority").as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, round(avg(o_totalprice), 4) AS avg_price,
+             count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

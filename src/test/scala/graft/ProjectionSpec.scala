@@ -61,6 +61,50 @@ class ProjectionSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
   }
 
+  test("avg and count(DISTINCT dim) derive from stored partials") {
+    val base = Tables(spark, dir, "orders")
+    def derived() = base.groupBy($"o_orderstatus")
+      .agg(avg($"o_totalprice").as("avg_price"),
+        countDistinct($"o_orderpriority").as("n_prio"))
+      .orderBy($"o_orderstatus")
+    val before = derived().collect() // may be pre-rewrite or not; values only
+    Projections.materialize(spark, "spec_orders_derived",
+      s"$dir/orders.parquet",
+      s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/orders_derived",
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(Projections.Measure("sum", "o_totalprice", "sum_price_d"),
+        Projections.Measure("count", "1", "cnt")))
+    Projections.install(spark)
+    val df = derived()
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("sum_price_d"), s"avg not derived:\n$plan")
+    assert(df.queryExecution.executedPlan.toString.contains("orders_derived"))
+    val got = df.collect()
+    assert(got.length == before.length)
+    before.zip(got).foreach { case (b, g) =>
+      assert(b.getString(0) == g.getString(0))
+      assert(math.abs(b.getDouble(1) - g.getDouble(1)) < 1e-6)
+      assert(b.getLong(2) == g.getLong(2))
+    }
+  }
+
+  test("avg does NOT derive when the count partial is missing") {
+    Projections.materialize(spark, "spec_orders_nocnt",
+      s"$dir/orders.parquet",
+      s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/orders_nocnt",
+      Seq("o_orderstatus"),
+      Seq(Projections.Measure("sum", "o_totalprice", "s_only")))
+    Projections.install(spark)
+    // group ONLY by this projection's dim so only spec_orders_nocnt
+    // could match; avg needs cnt → no rewrite, base scan stays
+    val df = Tables(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F") // filter col is the dim too
+      .groupBy($"o_orderstatus")
+      .agg(avg($"o_totalprice").as("a"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("s_only"), s"avg must not derive without cnt:\n$plan")
+  }
+
   test("a rewritten base table invalidates the projection (staleness gate)") {
     val tmpBase = s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/stale_base"
     val tmpProj = s"${System.getProperty("java.io.tmpdir")}/graft_proj_spec/stale_proj"
