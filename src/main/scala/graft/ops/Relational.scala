@@ -46,26 +46,39 @@ object Relational {
   def distinctOn(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     limitBy(df, keys, 1, order)
 
-  /** VersionedCollapsingMergeTree analog (FINAL): rows carry a
-    * `version` and a ±1 `sign`; a cancel row must mirror the insert it
-    * cancels (same key, version, payload — upstream
-    * VersionedCollapsingSortedAlgorithm's contract). Per (key,
-    * version) the signs net out; the LIVE state per key is the
-    * highest version whose net is positive. Payload columns (all
-    * others) are taken with max — exact under the mirror contract.
-    * Shape: one groupBy + one per-key window over the few surviving
-    * versions — two shuffles on the same key set.
+  /** VersionedCollapsingMergeTree FINAL: rows carry a `version` and a
+    * ±1 `sign`; a cancel row must mirror the insert it cancels (same
+    * key, version, payload — upstream
+    * VersionedCollapsingSortedAlgorithm's contract). FINAL retains
+    * EVERY (key, version) whose signs net positive — keys with several
+    * live versions keep them all, exactly upstream's read-time
+    * collapse. Payload columns (all others) are taken with max — exact
+    * under the mirror contract. One groupBy shuffle on (keys,
+    * version).
     */
-  def versionedCollapse(df: DataFrame, keys: Seq[String],
+  def versionedCollapseFinal(df: DataFrame, keys: Seq[String],
       versionCol: String, signCol: String): DataFrame = {
     val payload = df.columns.filterNot(c =>
       keys.contains(c) || c == versionCol || c == signCol)
-    val net = df.groupBy((keys :+ versionCol).map(col): _*)
+    df.groupBy((keys :+ versionCol).map(col): _*)
       .agg(sum(col(signCol)).as("__net"),
         payload.map(c => max(col(c)).as(c)): _*)
       .filter(col("__net") > 0)
-    distinctOn(net, keys, Seq(col(versionCol).desc)).drop("__net")
+      .drop("__net")
   }
+
+  /** LATEST-STATE view over [[versionedCollapseFinal]]: one row per
+    * key — the HIGHEST net-positive version. This is the common
+    * "current state" query on a versioned stream, NOT what upstream
+    * FINAL returns when several versions of a key are live (use
+    * [[versionedCollapseFinal]] for that). Adds one per-key window
+    * over the few surviving versions — a second shuffle on the same
+    * key set.
+    */
+  def versionedCollapse(df: DataFrame, keys: Seq[String],
+      versionCol: String, signCol: String): DataFrame =
+    distinctOn(versionedCollapseFinal(df, keys, versionCol, signCol),
+      keys, Seq(col(versionCol).desc))
 
   /** MergeTree `TTL expr` at query time: row TTL drops rows whose
     * `ts` is older than `now − keepLast`, where "now" is the frame's

@@ -236,11 +236,16 @@ object FunnelQueries {
              WHEN EXISTS (SELECT 1 FROM e v WHERE v.user_id = u.user_id
                             AND v.step = 1) THEN 1
              ELSE 0 END AS d_inc,
+        -- strict_order/strict_dedup allow TIED chain timestamps
+        -- (only strict_increase forbids them — WindowFunnelModes'
+        -- declarative reading, property-tested vs brute force), so
+        -- these chains join on >=; the betweenness interrupts stay
+        -- strict, which is vacuously satisfied inside a tie.
         CASE WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
-                            AND c.step = 2 AND c.us > v.us
+                            AND c.step = 2 AND c.us >= v.us
                             AND c.us - v.us <= (SELECT w FROM W)
                           JOIN e p ON p.user_id = v.user_id AND p.step = 3
-                            AND p.us > c.us AND p.us - v.us <= (SELECT w FROM W)
+                            AND p.us >= c.us AND p.us - v.us <= (SELECT w FROM W)
                           WHERE v.user_id = u.user_id AND v.step = 1
                             AND NOT EXISTS (SELECT 1 FROM e x
                               WHERE x.user_id = v.user_id
@@ -249,7 +254,7 @@ object FunnelQueries {
                               WHERE x.user_id = v.user_id
                                 AND x.us > c.us AND x.us < p.us)) THEN 3
              WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
-                            AND c.step = 2 AND c.us > v.us
+                            AND c.step = 2 AND c.us >= v.us
                             AND c.us - v.us <= (SELECT w FROM W)
                           WHERE v.user_id = u.user_id AND v.step = 1
                             AND NOT EXISTS (SELECT 1 FROM e x
@@ -259,10 +264,10 @@ object FunnelQueries {
                             AND v.step = 1) THEN 1
              ELSE 0 END AS d_order,
         CASE WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
-                            AND c.step = 2 AND c.us > v.us
+                            AND c.step = 2 AND c.us >= v.us
                             AND c.us - v.us <= (SELECT w FROM W)
                           JOIN e p ON p.user_id = v.user_id AND p.step = 3
-                            AND p.us > c.us AND p.us - v.us <= (SELECT w FROM W)
+                            AND p.us >= c.us AND p.us - v.us <= (SELECT w FROM W)
                           WHERE v.user_id = u.user_id AND v.step = 1
                             AND NOT EXISTS (SELECT 1 FROM e x
                               WHERE x.user_id = v.user_id AND x.step = 1
@@ -271,7 +276,7 @@ object FunnelQueries {
                               WHERE x.user_id = v.user_id AND x.step IN (1, 2)
                                 AND x.us > c.us AND x.us < p.us)) THEN 3
              WHEN EXISTS (SELECT 1 FROM e v JOIN e c ON c.user_id = v.user_id
-                            AND c.step = 2 AND c.us > v.us
+                            AND c.step = 2 AND c.us >= v.us
                             AND c.us - v.us <= (SELECT w FROM W)
                           WHERE v.user_id = u.user_id AND v.step = 1
                             AND NOT EXISTS (SELECT 1 FROM e x

@@ -247,6 +247,51 @@ object MergeTreeQueries {
              CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2_rows
       FROM live WHERE rn = 1 GROUP BY st ORDER BY o_orderstatus""")),
 
+    // VersionedCollapsing FINAL proper: when a key has SEVERAL
+    // uncancelled versions, upstream FINAL keeps them all (the query
+    // above is the latest-state view). Stream: v1 insert everywhere,
+    // v2 insert for even keys (v1 NOT cancelled — two live versions),
+    // v2 cancelled again for k % 6 == 0. versionedCollapseFinal must
+    // return both live versions of even keys.
+    QDef("mt_versioned_final", (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("p"))
+      def mk(f: org.apache.spark.sql.DataFrame, price: org.apache.spark.sql.Column,
+          ver: Int, sign: Int) =
+        f.select($"k", $"st", price.as("price"), lit(ver).as("version"),
+          lit(sign).as("sign"))
+      val even = base.filter($"k" % 2 === 0)
+      val bumped = expr(
+        "CAST(CAST(round(p * 100, 0) AS BIGINT) * 11 DIV 10 AS DOUBLE) / 100.0")
+      val stream = mk(base, $"p", 1, 1)
+        .union(mk(even, bumped, 2, 1))
+        .union(mk(base.filter($"k" % 6 === 0), bumped, 2, -1))
+      Relational.versionedCollapseFinal(stream, Seq("k"), "version", "sign")
+        .groupBy($"st")
+        .agg(count(lit(1)).as("live_rows"),
+          Det.dsum($"price").as("live_value"),
+          sum(when($"version" === 2, 1L).otherwise(0L)).as("v2_rows"))
+        .select($"st".as("o_orderstatus"), $"live_rows", $"live_value", $"v2_rows")
+        .orderBy($"o_orderstatus")
+    }, Some(s"""
+      WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                           o_totalprice AS p FROM orders),
+      stream AS (
+        SELECT k, st, p AS price, 1 AS version, 1 AS sign FROM base
+        UNION ALL SELECT k, st, (CAST(round(p * 100, 0) AS BIGINT) * 11 // 10) / 100.0,
+                   2, 1 FROM base WHERE k % 2 = 0
+        UNION ALL SELECT k, st, (CAST(round(p * 100, 0) AS BIGINT) * 11 // 10) / 100.0,
+                   2, -1 FROM base WHERE k % 6 = 0),
+      net AS (SELECT k, version, max(st) AS st, max(price) AS price,
+                     sum(sign) AS net
+              FROM stream GROUP BY k, version)
+      SELECT st AS o_orderstatus, count(*) AS live_rows,
+             ${Det.sqlSum("price")} AS live_value,
+             CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2_rows
+      FROM net WHERE net > 0 GROUP BY st ORDER BY o_orderstatus""")),
+
     // MergeTree TTL at query time: ROW TTL keeps the last 365 days
     // relative to the table's own max(o_orderdate) (deterministic
     // "now" — what a merge would have applied when the newest part

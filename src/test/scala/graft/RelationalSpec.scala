@@ -47,6 +47,22 @@ class RelationalSpec extends AnyFunSuite {
       Seq((1L, 1, "a1"), (2L, 2, "b2")))
   }
 
+  test("versionedCollapseFinal keeps EVERY uncancelled version (upstream FINAL)") {
+    // key 1: v1 and v2 both live → FINAL returns both, latest-state
+    // view returns only v2; key 2: v2 cancelled → v1 only
+    val df = Seq(
+      (1L, 1, 1, "a1"), (1L, 2, 1, "a2"),
+      (2L, 1, 1, "b1"), (2L, 2, 1, "b2"), (2L, 2, -1, "b2"))
+      .toDF("k", "ver", "sign", "v")
+    val fin = Relational.versionedCollapseFinal(df, Seq("k"), "ver", "sign")
+      .orderBy("k", "ver")
+    assert(fin.select($"k", $"ver", $"v").as[(Long, Int, String)].collect().toSeq ==
+      Seq((1L, 1, "a1"), (1L, 2, "a2"), (2L, 1, "b1")))
+    val latest = Relational.versionedCollapse(df, Seq("k"), "ver", "sign").orderBy("k")
+    assert(latest.select($"k", $"ver").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 2), (2L, 1)))
+  }
+
   test("versionedCollapse nets duplicate (key, version) inserts") {
     // two +1 rows and one -1 at the same version: net +1 → still live
     val df = Seq((1L, 1, 1, "x"), (1L, 1, 1, "x"), (1L, 1, -1, "x"))
