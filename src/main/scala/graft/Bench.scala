@@ -50,7 +50,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // total appears at BOTH ends of the line: tooling that keeps only
+    // the head or only the tail of a long line still sees it (r5
+    // verdict had to reconstruct totals from truncated JSON tails).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 }
