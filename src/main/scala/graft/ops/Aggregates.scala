@@ -174,6 +174,35 @@ object Aggregates {
     def outputEncoder: Encoder[Boolean] = Encoders.scalaBoolean
   }
 
+  /** uniqTheta-style KMV sketch as an Aggregator (§2.4 -State family;
+    * see [[Sketches]] for the estimator + set operations): the buffer
+    * accumulates raw 60-bit hashes and compacts to the k smallest
+    * distinct values only when it exceeds 4k — O(1) amortized per row,
+    * O(k) state. Trimming a PARTIAL stream to its k-min set loses
+    * nothing (k-min is a mergeable summary), so merge is plain concat
+    * + lazy compact: associative/commutative under finish, Spark's
+    * partial-aggregation law. Output: the sorted k-min hash array — a
+    * storable, unionable sketch column (exact set algebra below
+    * capacity; θ-scaled estimates above, ThetaSketchSpec).
+    */
+  class ThetaSketch(k: Int, seed: String = "th")
+      extends Aggregator[String, Seq[Long], Array[Long]] with Serializable {
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    private def compact(b: Seq[Long]): Seq[Long] = b.distinct.sorted.take(k)
+    def zero: Seq[Long] = Nil
+    def reduce(b: Seq[Long], x: String): Seq[Long] = {
+      val nb = b :+ Sketches.hash60(seed, x)
+      if (nb.length > 4 * k) compact(nb) else nb
+    }
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val m = a ++ b
+      if (m.length > 4 * k) compact(m) else m
+    }
+    def finish(b: Seq[Long]): Array[Long] = compact(b).toArray
+    def bufferEncoder: Encoder[Seq[Long]] = enc[Seq[Long]]
+    def outputEncoder: Encoder[Array[Long]] = enc[Array[Long]]
+  }
+
   /** Parsed form of ClickHouse's sequenceMatch/sequenceCount pattern
     * DSL (`'(?1)(?t<=3600)(?2).*(?3)'`): `steps(j)` is the condition
     * number at chain position j; per transition j→j+1,

@@ -464,6 +464,35 @@ object Extras2Queries {
         .orderBy($"c_nationkey")
     }, None),
 
+    // uniqTheta surface: KMV theta sketches with SET OPERATIONS
+    // (ops/Sketches + Aggregates.ThetaSketch — no sketch library,
+    // md5-based 60-bit hashes). k = 4096 exceeds the fixtures'
+    // distinct-user counts at every gate scale, so the sketches are
+    // in their EXACT regime and the set algebra (union / intersect /
+    // difference of viewer and purchaser user sets) hash-matches a
+    // COUNT(DISTINCT) oracle; the θ-scaled approximate regime is
+    // property-tested in ThetaSketchSpec. The crossJoin is two 1-row
+    // aggregated frames — a bounded scalar fold.
+    QDef("agg_theta_sketch", (s, dir) => {
+      import s.implicits._
+      val sk = udaf(new Aggregates.ThetaSketch(4096))
+      val ev = Tables(s, dir, "events")
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_type", $"user_id".cast("string").as("uid"))
+      val sketches = ev.groupBy($"event_type").agg(sk($"uid").as("sk"))
+      val v = sketches.filter($"event_type" === "view").select($"sk".as("sv"))
+      val p = sketches.filter($"event_type" === "purchase").select($"sk".as("sp"))
+      v.crossJoin(p).select(
+        size(array_union($"sv", $"sp")).cast("long").as("u_users"),
+        size(array_intersect($"sv", $"sp")).cast("long").as("i_users"),
+        size(array_except($"sv", $"sp")).cast("long").as("d_users"))
+    }, Some("""
+      WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      SELECT (SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM p)) AS u_users,
+             (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS i_users,
+             (SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)) AS d_users""")),
+
     // GEO RADIUS JOIN, cell-bucketed — the scale answer to "all
     // (customer, supplier) pairs within 100 km" without an all-pairs
     // cross join (and the working replacement for h3/s2 cell indexes):
