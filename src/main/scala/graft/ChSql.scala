@@ -26,10 +26,15 @@ import scala.util.matching.Regex
   *     numeric axis / [[Relational.withFillDays]] on a bare DATE axis;
   *     non-axis columns fill with their type defaults (0 / '' /
   *     false), CH's default-value fill.
-  *   - `LIMIT n BY k…`            → [[LimitByPlan.limitBy]] (the
+  *   - `LIMIT [o,] n BY k…`       → [[LimitByPlan.limitBy]] (the
   *     custom partial/final physical operator), ordered by the
-  *     query's ORDER BY — CH applies LIMIT BY after ORDER BY.
-  *   - trailing `LIMIT m`         → `.limit(m)` after the above.
+  *     query's ORDER BY — CH applies LIMIT BY after ORDER BY; the
+  *     offset form routes to the window implementation.
+  *   - `… WITH FILL … INTERPOLATE (c…)` → fill those columns with
+  *     NULL, then carry the previous value forward (LOCF) over the
+  *     bounded filled series.
+  *   - trailing `LIMIT n` / `LIMIT n OFFSET o` / CH's `LIMIT o, n`
+  *     → `.offset(o).limit(n)` after the above.
   *
   * Scope (documented, loud failures otherwise): the CH clauses are
   * recognized at the top level of a single SELECT; ORDER BY items
@@ -147,11 +152,20 @@ object ChSql {
           s" % 1000000 < $threshold) $table")
     })
 
+  /** CH's comma limit `LIMIT o, n` → ANSI `LIMIT n OFFSET o` (Spark's
+    * parser speaks the latter). The lookahead keeps `LIMIT o, n BY`
+    * intact — that form is routed, not parsed by Spark.
+    */
+  private val commaLimitRe =
+    """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)\b(?!\s*BY\b)""".r
+
   private def preRewrite(q: String): String = {
     val a = dateDiffRe.replaceAllIn(q, m => s"chDateDiff(${m.group(1)}")
     val b = totalsRe.replaceAllIn(a,
       m => Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
-    rewriteSample(b)
+    val c = commaLimitRe.replaceAllIn(b,
+      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    rewriteSample(c)
   }
 
   // ---- DataFrame-level clause extraction ---------------------------
@@ -159,10 +173,13 @@ object ChSql {
   private case class FillSpec(from: Option[Long], to: Option[Long], step: Option[Long])
   private case class OrderItem(name: String, asc: Boolean, fill: Option[FillSpec])
 
-  private val finalLimitRe = """(?i)\bLIMIT\s+(\d+)\s*$""".r
-  private val limitByRe = """(?i)\bLIMIT\s+(\d+)\s+BY\b""".r
+  private val finalLimitRe =
+    """(?i)\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*$""".r
+  private val limitByRe =
+    """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
   private val withFillRe = """(?i)\bWITH\s+FILL\b""".r
+  private val interpolateRe = """(?is)\bINTERPOLATE\s*\(([^()]*)\)\s*$""".r
 
   private val orderItemRe =
     ("""(?is)^([A-Za-z_][\w.]*)(?:\s+(ASC|DESC))?""" +
@@ -198,23 +215,39 @@ object ChSql {
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined
     if (!needsRouting) return spark.sql(q)
 
-    // Peel trailing clauses back to front: LIMIT m, LIMIT n BY k…,
-    // ORDER BY items.
+    // Peel trailing clauses back to front: LIMIT n [OFFSET o],
+    // LIMIT [o,] n BY k…, [INTERPOLATE (cols)], ORDER BY items.
     var rest = q
     val finalLimit = lastTopLevel(rest, finalLimitRe).map { m =>
-      rest = rest.substring(0, m.start); m.group(1).toInt
+      rest = rest.substring(0, m.start)
+      (Option(m.group(2)).map(_.toInt).getOrElse(0), m.group(1).toInt)
     }
     val limitBy = lastTopLevel(rest, limitByRe).map { m =>
       val keysRaw = rest.substring(m.end).trim
       rest = rest.substring(0, m.start)
       val inner = if (keysRaw.startsWith("(") && keysRaw.endsWith(")"))
         keysRaw.substring(1, keysRaw.length - 1) else keysRaw
-      (m.group(1).toInt, splitTopLevel(inner))
+      // CH: LIMIT n BY …  or  LIMIT offset, n BY …
+      val (off, n) = Option(m.group(2)) match {
+        case Some(g2) => (m.group(1).toInt, g2.toInt)
+        case None => (0, m.group(1).toInt)
+      }
+      (off, n, splitTopLevel(inner))
     }
+    var interpolateCols: Seq[String] = Nil
     val orderItems = lastTopLevel(rest, orderByRe) match {
       case Some(m) =>
-        val section = rest.substring(m.end)
+        var section = rest.substring(m.end)
         rest = rest.substring(0, m.start)
+        interpolateRe.findFirstMatchIn(section).foreach { im =>
+          interpolateCols = splitTopLevel(im.group(1)).map { c =>
+            require(c.matches("[A-Za-z_][\\w.]*"),
+              s"INTERPOLATE supports bare column lists here, got '$c' " +
+                "(compute the expression in SELECT instead)")
+            c
+          }
+          section = section.substring(0, im.start)
+        }
         splitTopLevel(section).map(parseOrderItem)
       case None => Seq.empty
     }
@@ -230,16 +263,26 @@ object ChSql {
           "for CH clause routing (add it, or alias the expression)")
     }
 
-    for ((n, keys) <- limitBy) {
+    for ((offset, n, keys) <- limitBy) {
       require(orderItems.nonEmpty,
         "LIMIT n BY needs ORDER BY for deterministic per-group rows")
-      df = LimitByPlan.limitBy(df, keys, n, orderItems.map(i => (i.name, i.asc)))
+      df =
+        if (offset == 0)
+          LimitByPlan.limitBy(df, keys, n, orderItems.map(i => (i.name, i.asc)))
+        else // the offset form skips o rows per group — window route
+          Relational.limitBy(df, keys, n,
+            orderItems.map(i => if (i.asc) col(i.name).asc else col(i.name).desc),
+            offset)
     }
 
     for (item <- orderItems if item.fill.isDefined) {
       val FillSpec(from, to, step) = item.fill.get
+      // INTERPOLATE columns fill with NULL (then LOCF below); others
+      // take their type default — CH's default-value fill.
       val fills = df.columns.filterNot(_ == item.name)
-        .map(c => c -> chDefault(df.schema(c).dataType)).toMap
+        .map(c => c -> (if (interpolateCols.contains(c))
+          lit(null).cast(df.schema(c).dataType)
+        else chDefault(df.schema(c).dataType))).toMap
       df.schema(item.name).dataType match {
         case (DateType | TimestampType | TimestampNTZType)
             if from.isEmpty && to.isEmpty =>
@@ -258,10 +301,28 @@ object ChSql {
       }
     }
 
+    if (interpolateCols.nonEmpty) {
+      val axis = orderItems.find(_.fill.isDefined).getOrElse(
+        throw new IllegalArgumentException("INTERPOLATE requires WITH FILL")).name
+      // CH INTERPOLATE (c): inserted rows repeat the previous value.
+      // The frame here is the FILLED series — bounded by the fill
+      // grid, not raw rows — so the global LOCF window is justified
+      // (same contract as rel_fill_locf). Rows whose interpolate
+      // column is genuinely NULL are treated as fill rows; aggregated
+      // series don't produce NULL measures.
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(axis))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      for (c <- interpolateCols)
+        df = df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
     if (orderItems.nonEmpty)
       df = df.orderBy(orderItems.map(i =>
         if (i.asc) col(i.name).asc else col(i.name).desc): _*)
-    finalLimit.foreach(m => df = df.limit(m))
+    for ((o, n) <- finalLimit) {
+      if (o > 0) df = df.offset(o)
+      df = df.limit(n)
+    }
     df
   }
 }

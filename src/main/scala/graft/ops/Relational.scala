@@ -32,12 +32,14 @@ object Relational {
       .agg(sum(sign).as("net_sign"), count(lit(1)).as("n_rows"))
       .filter(col("net_sign") =!= 0)
 
-  /** ClickHouse `LIMIT n BY keys`: first n rows per key group in the
-    * given order.
+  /** ClickHouse `LIMIT [offset,] n BY keys`: rows offset+1 … offset+n
+    * per key group in the given order.
     */
-  def limitBy(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column]): DataFrame = {
+  def limitBy(df: DataFrame, keys: Seq[String], n: Int, order: Seq[Column],
+      offset: Int = 0): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > offset && col("__rn") <= offset + n).drop("__rn")
   }
 
   /** `DISTINCT ON (keys)` with explicit ordering (deterministic,

@@ -118,6 +118,54 @@ object ChSqlQueries {
                                           ORDER BY l_returnflag) AS rn
              FROM agg)
       SELECT l_quantity, l_returnflag, n FROM lb WHERE rn <= 2
-      ORDER BY l_quantity, l_returnflag LIMIT 30"""))
+      ORDER BY l_quantity, l_returnflag LIMIT 30""")),
+
+    // CH offset spellings: LIMIT o, n BY k (skip o rows per group —
+    // window route) and the trailing comma limit LIMIT o, n
+    // (→ offset+limit). Both offsets exercised in one verbatim query.
+    QDef("sql_ch_limit_offset", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT p_brand, p_partkey, p_retailprice
+        FROM part
+        ORDER BY p_brand ASC, p_retailprice DESC, p_partkey ASC
+        LIMIT 1, 2 BY p_brand
+        LIMIT 5, 10""")
+    }, Some("""
+      SELECT p_brand, p_partkey, p_retailprice
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn > 1 AND rn <= 3
+      ORDER BY p_brand, p_retailprice DESC, p_partkey
+      LIMIT 10 OFFSET 5""")),
+
+    // WITH FILL + INTERPOLATE: inserted grid rows carry the previous
+    // count forward (LOCF over the bounded filled series) instead of
+    // the type default. Grid points before the first data row stay
+    // NULL on both engines.
+    QDef("sql_ch_fill_interpolate", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_quantity, count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey % 97 = 0 AND l_quantity >= 5
+        GROUP BY l_quantity
+        ORDER BY l_quantity ASC WITH FILL FROM 1 TO 51 STEP 1 INTERPOLATE (n)""")
+    }, Some("""
+      WITH data AS (SELECT l_quantity, count(*) AS n
+                    FROM lineitem WHERE l_orderkey % 97 = 0 AND l_quantity >= 5
+                    GROUP BY l_quantity),
+      grid AS (SELECT CAST(unnest(generate_series(1, 50, 1)) AS DOUBLE) AS l_quantity),
+      filled AS (
+        SELECT l_quantity, n FROM data
+        UNION ALL
+        SELECT g.l_quantity, NULL AS n FROM grid g
+        WHERE NOT EXISTS (SELECT 1 FROM data d WHERE d.l_quantity = g.l_quantity))
+      SELECT l_quantity,
+             last_value(n IGNORE NULLS) OVER (ORDER BY l_quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM filled ORDER BY l_quantity"""))
   )
 }

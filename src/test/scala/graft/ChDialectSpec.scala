@@ -229,6 +229,16 @@ class ChDialectSpec extends AnyFunSuite {
     assert(days.exists(_.getLong(1) == 0L)) // filled gap rows present
   }
 
+  test("comma limit rewrites to OFFSET in the un-routed path") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val viaComma = Graft.sql(spark,
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3, 4").collect()
+    val viaAnsi = Graft.sql(spark,
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 4 OFFSET 3").collect()
+    assert(viaComma.map(_.getInt(0)).toSeq == Seq(3, 4, 5, 6))
+    assert(viaComma.map(_.getInt(0)).toSeq == viaAnsi.map(_.getInt(0)).toSeq)
+  }
+
   test("clause routing fails loudly outside its documented scope") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def messages(t: Throwable): Seq[String] =
