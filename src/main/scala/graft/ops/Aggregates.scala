@@ -284,10 +284,16 @@ object Aggregates {
     * timestamps per prefix length is a complete state — O(n²·L) worst
     * case per group, the same bound the timed matcher carries.
     */
-  def patternMatches(events: Seq[StepEvent], p: SeqPattern): Boolean = {
-    val sorted = events.filter(e => e.step >= 1)
-      .sortBy(e => (e.tsUs, e.step)).toArray
-    if (sorted.isEmpty) return false
+  def patternMatches(events: Seq[StepEvent], p: SeqPattern): Boolean =
+    firstMatchEnd(events.filter(_.step >= 1)
+      .sortBy(e => (e.tsUs, e.step)).toArray, p).isDefined
+
+  /** Scan the ts-sorted declared events; return the timestamp of the
+    * FIRST completing match (events are processed in ascending ts, so
+    * this is the earliest possible completion) or None.
+    */
+  private def firstMatchEnd(sorted: Array[StepEvent], p: SeqPattern): Option[Long] = {
+    if (sorted.isEmpty) return None
     val allTs: Array[Long] = sorted.map(_.tsUs) // declared events, sorted
     def declaredBetween(lo: Long, hi: Long): Boolean = {
       var l = 0; var r = allTs.length
@@ -297,14 +303,14 @@ object Aggregates {
     }
     val L = p.nPositions
     val ends = Array.fill(L + 1)(scala.collection.mutable.ArrayBuffer.empty[Long])
-    var matched = false
+    var matchEnd: Option[Long] = None
     val it = sorted.iterator
-    while (it.hasNext && !matched) {
+    while (it.hasNext && matchEnd.isEmpty) {
       val e = it.next()
       // try every chain position this condition can fill, deepest
       // first (a position never feeds itself: predecessors are < e.ts)
       var j = L
-      while (j >= 1 && !matched) {
+      while (j >= 1 && matchEnd.isEmpty) {
         if (p.steps(j - 1) == e.step) {
           val ok =
             if (j == 1) true
@@ -317,13 +323,56 @@ object Aggregates {
                   (!needAdj || !declaredBetween(t, e.tsUs)))
             }
           if (ok) {
-            if (j == L) matched = true else ends(j) += e.tsUs
+            if (j == L) matchEnd = Some(e.tsUs) else ends(j) += e.tsUs
           }
         }
         j -= 1
       }
     }
-    matched
+    matchEnd
+  }
+
+  /** sequenceCount semantics over the pattern DSL: GREEDY
+    * non-overlapping matching — find the earliest-completing match,
+    * then rescan only the events strictly after its end (CH's
+    * automaton-reset counting; contiguity checks see only the
+    * remaining stream, exactly as a rescan would). "Non-overlapping"
+    * is the TIME-window sense: a later match must start after the
+    * previous one ENDS. Among such time-disjoint matches,
+    * earliest-completion repetition is maximal (interval scheduling);
+    * property-tested against SequenceCount on linear `.*` patterns.
+    */
+  def patternCountNonOverlap(events: Seq[StepEvent], p: SeqPattern): Long = {
+    var remaining = events.filter(_.step >= 1)
+      .sortBy(e => (e.tsUs, e.step)).toArray
+    var cnt = 0L
+    var go = true
+    while (go) firstMatchEnd(remaining, p) match {
+      case Some(end) =>
+        cnt += 1
+        remaining = remaining.filter(_.tsUs > end)
+      case None => go = false
+    }
+    cnt
+  }
+
+  /** ClickHouse `sequenceCount('<pattern>')(ts, cond1…condN)` driven
+    * by the verbatim pattern string (see [[SequenceMatchPattern]] for
+    * the input contract).
+    */
+  class SequenceCountPattern(pattern: String, nConds: Int = -1)
+      extends Aggregator[StepEvent, Seq[StepEvent], Long] with Serializable {
+    private val p = SeqPattern.parse(pattern)
+    private val nc = if (nConds > 0) nConds else p.steps.max
+    require(nc >= p.steps.max,
+      s"pattern '$pattern' references condition ${p.steps.max} but only $nc declared")
+    def zero: Seq[StepEvent] = Nil
+    def reduce(b: Seq[StepEvent], e: StepEvent): Seq[StepEvent] =
+      if (e.step >= 1 && e.step <= nc) b :+ e else b
+    def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] = a ++ b
+    def finish(b: Seq[StepEvent]): Long = patternCountNonOverlap(b, p)
+    def bufferEncoder: Encoder[Seq[StepEvent]] = enc[Seq[StepEvent]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
   /** ClickHouse `sequenceMatch('<pattern>')(ts, cond1…condN)` driven

@@ -111,6 +111,49 @@ class SequencePatternSpec extends AnyFunSuite {
     })
   }
 
+  test("patternCount on linear .* patterns equals SequenceCount") {
+    val sc = new Aggregates.SequenceCount(3)
+    val p = SeqPattern.parse("(?1).*(?2).*(?3)")
+    check(Prop.forAll(evsGen) { evs =>
+      Aggregates.patternCountNonOverlap(evs, p) ==
+        sc.finish(evs.foldLeft(sc.zero)(sc.reduce))
+    })
+  }
+
+  test("patternCount known answers: adjacency and gaps bound the count") {
+    def ev(pairs: (Long, Int)*) = pairs.map { case (t, s) => StepEvent(t * 1000000L, s) }
+    // three clean 1→2 alternations, skips allowed
+    assert(Aggregates.patternCountNonOverlap(
+      ev(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2, 5L -> 1, 6L -> 2),
+      SeqPattern.parse("(?1).*(?2)")) == 3)
+    // adjacency: the stray cond-1 event between 1 and 2 breaks the
+    // middle occurrence (1@3 → 1@5 interrupts 1@3..2@6)
+    assert(Aggregates.patternCountNonOverlap(
+      ev(1L -> 1, 2L -> 2, 3L -> 1, 5L -> 1, 6L -> 2),
+      SeqPattern.parse("(?1)(?2)")) == 2)
+    // gap bound: only pairs within 2s count; (1,2) and (5,6) qualify,
+    // the leftover 1@9 with 2@20 does not
+    assert(Aggregates.patternCountNonOverlap(
+      ev(1L -> 1, 2L -> 2, 5L -> 1, 6L -> 2, 9L -> 1, 20L -> 2),
+      SeqPattern.parse("(?1)(?t<=2)(?2)")) == 2)
+    // non-overlap is the TIME-window sense (CH rescans after the
+    // match end): 1,1,2,2 yields ONE match — after 1@1..2@3 completes
+    // only 2@4 remains, even though two event-disjoint pairs exist
+    assert(Aggregates.patternCountNonOverlap(
+      ev(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2),
+      SeqPattern.parse("(?1).*(?2)")) == 1)
+  }
+
+  test("count aggregator: merge order never changes the answer") {
+    val agg = new Aggregates.SequenceCountPattern("(?1)(?t<=5)(?2)", 2)
+    check(Prop.forAll(evsGen, evsGen) { (a, b) =>
+      agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))) ==
+        agg.finish(agg.merge(
+          b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce)))
+    })
+  }
+
   test("declared-but-unused conditions interrupt adjacency (CH no-skip rule)") {
     // view(1) then click(2) then purchase(3); pattern (?1)(?3) with 3
     // declared conditions: the cond-2 event between them breaks
