@@ -159,7 +159,107 @@ object ChSql {
   private val commaLimitRe =
     """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)\b(?!\s*BY\b)""".r
 
-  private def preRewrite(q: String): String = {
+  /** Clause boundary keywords — where an embedded CH clause's
+    * expression list ends if no explicit terminator appears first.
+    */
+  private val boundaryRe =
+    """(?i)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b""".r
+
+  private def firstTopLevel(s: String, re: Regex): Option[Regex.Match] = {
+    val mask = topLevelMask(s)
+    re.findAllMatchIn(s).find(m => mask(m.start))
+  }
+
+  /** `[LEFT] ARRAY JOIN <arrayExpr> AS <alias>` → `LATERAL VIEW
+    * explode[_outer](<arrayExpr>) AS <alias>` — the expression runs to
+    * the LAST top-level `AS` before the next clause boundary (CAST's
+    * inner AS sits behind parens, so the mask skips it). CH's
+    * multi-array zip form (comma list) is rejected loudly.
+    */
+  private val arrayJoinRe = """(?i)\b(LEFT\s+)?ARRAY\s+JOIN\b""".r
+  private val asRe = """(?i)\bAS\b""".r
+
+  private def rewriteArrayJoin(q0: String): String = {
+    var q = q0
+    var m = firstTopLevel(q, arrayJoinRe)
+    while (m.isDefined) {
+      val mm = m.get
+      val outer = mm.group(1) != null
+      val after = q.substring(mm.end)
+      val end = firstTopLevel(after, boundaryRe).map(_.start).getOrElse(after.length)
+      val segment = after.substring(0, end)
+      val mask = topLevelMask(segment)
+      val asM = asRe.findAllMatchIn(segment).filter(x => mask(x.start)).toSeq
+      require(asM.nonEmpty,
+        s"ARRAY JOIN needs 'expr AS alias', got '${segment.trim}'")
+      val lastAs = asM.last
+      val arrExpr = segment.substring(0, lastAs.start).trim
+      val alias = segment.substring(lastAs.end).trim
+      require(alias.matches("[A-Za-z_]\\w*"),
+        s"ARRAY JOIN alias must be an identifier, got '$alias'")
+      require(!arrExpr.contains(",") || topLevelMask(arrExpr).zipWithIndex
+        .forall { case (top, i) => !(top && arrExpr.charAt(i) == ',') },
+        s"multi-array ARRAY JOIN (zip form) is unsupported — use zip_with/arrayZip")
+      val fn = if (outer) "explode_outer" else "explode"
+      q = q.substring(0, mm.start) +
+        s"LATERAL VIEW $fn($arrExpr) AS $alias " + after.substring(end)
+      m = firstTopLevel(q, arrayJoinRe)
+    }
+    q
+  }
+
+  /** `PREWHERE a [WHERE b]` → `WHERE (a) AND (b)` — Spark's own scan
+    * pushdown IS the PREWHERE optimization, so only the spelling needs
+    * translating.
+    */
+  private val prewhereRe = """(?i)\bPREWHERE\b""".r
+  private val whereRe = """(?i)\bWHERE\b""".r
+
+  private def rewritePrewhere(q: String): String =
+    firstTopLevel(q, prewhereRe) match {
+      case None => q
+      case Some(m) =>
+        val after = q.substring(m.end)
+        val end = firstTopLevel(after, boundaryRe).map(_.start).getOrElse(after.length)
+        val cond = after.substring(0, end).trim
+        val tail = after.substring(end)
+        firstTopLevel(tail, whereRe) match {
+          case Some(w) => // PREWHERE a WHERE b → WHERE (a) AND (b)
+            val afterW = tail.substring(w.end)
+            val wEnd = firstTopLevel(afterW, boundaryRe).map(_.start)
+              .getOrElse(afterW.length)
+            q.substring(0, m.start) +
+              s"WHERE ($cond) AND (${afterW.substring(0, wEnd).trim}) " +
+              afterW.substring(wEnd)
+          case None =>
+            q.substring(0, m.start) + s"WHERE $cond " + tail
+        }
+    }
+
+  /** Distribution/strictness modifiers Spark's planner owns: GLOBAL
+    * (shuffle-vs-broadcast is the optimizer's call) and the ALL join
+    * qualifier (standard join semantics) are stripped; ANY JOIN
+    * changes semantics and fails loudly toward the library operator.
+    */
+  private val globalRe =
+    """(?i)\bGLOBAL\s+(?=(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT)\b)""".r
+  private val allJoinRe = """(?i)\bALL\s+(?=(INNER|LEFT|RIGHT|FULL)\b)""".r
+  private val anyJoinRe = """(?i)\bANY\s+(INNER|LEFT|RIGHT|FULL|JOIN)\b""".r
+
+  /** Trailing `FORMAT <name>` (output formatting is the caller's
+    * concern — a DataFrame has no serialization format).
+    */
+  private val formatRe = """(?i)\bFORMAT\s+\w+\s*$""".r
+
+  private def preRewrite(q0: String): String = {
+    var q = q0
+    lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
+    require(firstTopLevel(q, anyJoinRe).isEmpty,
+      "ANY JOIN changes join semantics — use graft.ops.Joins.anyJoin")
+    q = globalRe.replaceAllIn(q, "")
+    q = allJoinRe.replaceAllIn(q, "")
+    q = rewriteArrayJoin(q)
+    q = rewritePrewhere(q)
     val a = dateDiffRe.replaceAllIn(q, m => s"chDateDiff(${m.group(1)}")
     val b = totalsRe.replaceAllIn(a,
       m => Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))

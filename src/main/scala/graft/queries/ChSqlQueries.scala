@@ -166,6 +166,45 @@ object ChSqlQueries {
       SELECT l_quantity,
              last_value(n IGNORE NULLS) OVER (ORDER BY l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
-      FROM filled ORDER BY l_quantity"""))
+      FROM filled ORDER BY l_quantity""")),
+
+    // ARRAY JOIN — CH's explode clause, rewritten to LATERAL VIEW
+    // explode; the array expression itself is CH-spelled
+    // (splitByChar resolves through the dialect registry).
+    QDef("sql_ch_array_join", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT doc_id, tok
+        FROM documents
+        ARRAY JOIN splitByChar(' ', text) AS tok
+        WHERE doc_id < 5 AND tok != ''
+        ORDER BY doc_id, tok""")
+    }, Some("""
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 5)
+      WHERE tok != ''
+      ORDER BY doc_id, tok""")),
+
+    // PREWHERE — CH's early-filter clause; Spark's scan pushdown IS
+    // that optimization, so it folds into WHERE (conjunction when both
+    // appear). GLOBAL/ALL join modifiers strip (the planner owns
+    // distribution), and a trailing FORMAT clause is dropped.
+    QDef("sql_ch_prewhere", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        GLOBAL ALL INNER JOIN orders ON l_orderkey = o_orderkey
+        PREWHERE l_quantity > 45
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        FORMAT JSONEachRow""")
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity > 45 AND o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

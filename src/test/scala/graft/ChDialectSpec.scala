@@ -229,6 +229,34 @@ class ChDialectSpec extends AnyFunSuite {
     assert(days.exists(_.getLong(1) == 0L)) // filled gap rows present
   }
 
+  test("ARRAY JOIN / PREWHERE / GLOBAL IN / FORMAT spellings route correctly") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // LEFT ARRAY JOIN keeps rows with empty arrays (explode_outer)
+    val left = Graft.sql(spark, """
+      SELECT n_nationkey, x
+      FROM nation
+      LEFT ARRAY JOIN filter(array(5, 10), v -> v > n_nationkey) AS x
+      WHERE n_nationkey >= 9 AND n_nationkey <= 11
+      ORDER BY n_nationkey, x""").collect()
+    // key 9 → [10], key 10/11 → [] but the row survives with NULL
+    assert(left.length == 3)
+    assert(left.count(_.isNullAt(1)) == 2)
+
+    // GLOBAL IN strips; FORMAT clause drops
+    val g = Graft.sql(spark, """
+      SELECT count(*) AS n FROM nation
+      WHERE n_regionkey GLOBAL IN (SELECT r_regionkey FROM region WHERE r_regionkey < 2)
+      FORMAT Pretty""").collect()
+    assert(g.head.getLong(0) == 10L)
+
+    // ANY JOIN is a semantic change — loud failure pointing at the op
+    val e = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "SELECT 1 FROM nation ANY LEFT JOIN region ON n_regionkey = r_regionkey")
+    }
+    assert(e.getMessage.contains("Joins.anyJoin"))
+  }
+
   test("comma limit rewrites to OFFSET in the un-routed path") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val viaComma = Graft.sql(spark,
