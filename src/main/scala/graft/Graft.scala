@@ -27,6 +27,10 @@ object Graft {
     // stay DataFrame-level via ops/Aggregates)
     spark.udf.register("groupBitmap",
       org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.GroupBitmap))
+    // uniqTheta at the default capacity: the sketch column (k-min hash
+    // array) — combine with size/array_union/… for set estimates
+    spark.udf.register("uniqTheta",
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ThetaSketch(4096)))
     graft.plans.LimitByPlan.install(spark)
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)

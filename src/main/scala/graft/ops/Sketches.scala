@@ -28,14 +28,26 @@ object Sketches {
   /** Hash space size: mh60 values lie in [0, 16^15) = [0, 2^60). */
   val HashSpace: Double = math.pow(2.0, 60)
 
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** JVM twin of Text.mh60(seed, x): first 15 md5 hex chars as a
-    * long — same values the SQL/DuckDB sides would compute.
+    * long — same values the SQL/DuckDB sides would compute. Hot path:
+    * the first 15 hex chars are the top 60 bits of the first 8 digest
+    * bytes, so a big-endian read + logical shift replaces the hex
+    * round-trip (equality with the hex form pinned in
+    * ThetaSketchSpec); the digest instance is thread-local.
     */
   def hash60(seed: String, x: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$seed|$x".getBytes(StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString // 16 hex chars ⊇ first 15
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$seed|$x".getBytes(StandardCharsets.UTF_8))
+    val be = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
   }
 
   /** A theta sketch: `values` = ascending distinct hashes, all below

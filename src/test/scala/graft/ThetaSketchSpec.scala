@@ -18,6 +18,18 @@ class ThetaSketchSpec extends AnyFunSuite {
   private val setGen: Gen[Set[Int]] =
     Gen.listOf(Gen.choose(0, 400)).map(_.toSet)
 
+  test("hash60 fast path equals the 15-hex-char parse (mh60 contract)") {
+    def viaHex(seed: String, x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed|$x".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      Sketches.hash60("th", s) == viaHex("th", s)
+    })
+  }
+
   test("exact regime: estimates and set operations are exact") {
     check(Prop.forAll(setGen, setGen) { (xa, xb) =>
       val k = 1024 // > 401 possible values → always exact
