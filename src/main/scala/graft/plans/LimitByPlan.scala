@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, RowOrdering, SortOr
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 import scala.collection.mutable
 
@@ -65,18 +66,35 @@ case class PartialLimitByExec(keys: Seq[Attribute], order: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: SparkPlan): PartialLimitByExec =
     copy(child = newChild)
+
+  // Real SQLMetrics: pruning effectiveness is THE point of this
+  // operator — surfacing it in the UI/plan makes shuffle-volume
+  // regressions observable, and the spec asserts on it.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "prunedRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows pruned before exchange"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through over the key cap"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = n
     val cap = maxKeys
     val childOutput = child.output
+    val outRows = longMetric("numOutputRows")
+    val pruned = longMetric("prunedRows")
+    val passed = longMetric("passThroughRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord: Ordering[InternalRow] =
         RowOrdering.create(sortOrder, childOutput)
+      var seen = 0L
+      var passedLocal = 0L
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       val passThrough = iter.filter { row =>
+        seen += 1
         val k = keyProj(row)
         heaps.get(k) match {
           case Some(h) =>
@@ -88,12 +106,23 @@ case class PartialLimitByExec(keys: Seq[Attribute], order: Seq[SortOrder],
             h += row.copy()
             heaps.put(k.copy(), h)
             false
-          case None => true // over the cap: ship un-pruned, final stage prunes
+          case None =>
+            passedLocal += 1; passed += 1
+            true // over the cap: final stage prunes
         }
       }
       // `++` is lazy in its second operand: the heaps drain only after
-      // the pass-through scan has consumed the input.
-      passThrough ++ heaps.valuesIterator.flatMap(_.iterator)
+      // the pass-through scan has consumed the input (so `seen` and
+      // the heaps are complete when each later stage begins) — the
+      // drain MUST stay inside the by-name operand, not a hoisted val.
+      (passThrough ++ heaps.valuesIterator.flatMap(_.iterator)).map { r =>
+        outRows += 1
+        r
+      } ++ {
+        // runs after everything else: rows dropped = seen − kept
+        pruned += seen - heaps.valuesIterator.map(_.size).sum - passedLocal
+        Iterator.empty
+      }
     }
   }
 }

@@ -59,6 +59,42 @@ class LimitByExecSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet == expected)
   }
 
+  test("SQL metrics account for every input row: pruned + kept + passed") {
+    // 1000 rows, 4 keys, n=2, no cap hit: prunedRows must be
+    // 1000 − (partial output rows); passThroughRows 0
+    val df = spark.range(1000)
+      .select(($"id" % 4).as("k"), $"id".as("v"))
+      .repartition(8)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps completed stages in leaf nodes — recurse through them
+    def findPartial(p: SparkPlan): Option[graft.plans.PartialLimitByExec] = p match {
+      case x: graft.plans.PartialLimitByExec => Some(x)
+      case a: AdaptiveSparkPlanExec => findPartial(a.executedPlan)
+      case s: QueryStageExec => findPartial(s.plan)
+      case other => other.children.flatMap(findPartial(_)).headOption
+    }
+    val limited = LimitByPlan.limitBy(df, Seq("k"), 2, Seq(("v", true)))
+    limited.collect()
+    val partial = findPartial(limited.queryExecution.executedPlan).get
+    val out = partial.metrics("numOutputRows").value
+    assert(partial.metrics("prunedRows").value == 1000 - out)
+    assert(partial.metrics("passThroughRows").value == 0)
+    assert(out >= 8 && out <= 64) // ≥ n·keys, ≤ n·keys·partitions
+
+    // tiny cap: pass-through rows appear, accounting still exact
+    val many = spark.range(2000)
+      .select(($"id" % 500).as("k"), $"id".as("v")).repartition(4)
+    val capped = LimitByPlan.limitBy(many, Seq("k"), 1, Seq(("v", true)), maxKeys = 16)
+    capped.collect()
+    val p2 = findPartial(capped.queryExecution.executedPlan).get
+    val passed = p2.metrics("passThroughRows").value
+    assert(passed > 0, "expected over-cap pass-through")
+    assert(p2.metrics("prunedRows").value ==
+      2000 - p2.metrics("numOutputRows").value,
+      "pruned must equal input minus emitted (pass-through rows are emitted)")
+  }
+
   test("randomized: custom exec equals window form across data shapes") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {
