@@ -236,6 +236,63 @@ object ChSql {
         }
     }
 
+  /** CH's SCALAR WITH (`WITH 3600 AS period SELECT …`): constant
+    * expression aliases usable anywhere in the query — not SQL CTEs
+    * (`WITH name AS (SELECT …)`, which Spark parses natively and we
+    * leave untouched). Each alias substitutes as a parenthesized
+    * expression at every identifier occurrence outside string
+    * literals, which is exactly CH's alias-precedence behavior.
+    */
+  private val withStartRe = """(?is)^\s*WITH\b""".r
+  private val selectKwRe = """(?i)\bSELECT\b""".r
+
+  private def rewriteScalarWith(q: String): String = {
+    val withKw = withStartRe.findFirstMatchIn(q).getOrElse(return q)
+    // the body starts at the first TOP-LEVEL SELECT (a scalar-subquery
+    // alias like `(SELECT max(x) FROM t) AS m` hides its SELECT behind
+    // the paren mask)
+    val sel = firstTopLevel(q, selectKwRe).getOrElse(return q)
+    val items = q.substring(withKw.end, sel.start).trim
+    val body = q.substring(sel.start)
+    if (items.isEmpty) q
+    else {
+      val parts = splitTopLevel(items)
+      // An item is scalar iff it ENDS with `AS <ident>` — true CTEs
+      // (`ident AS (SELECT …)`) end with ')' and fall through to
+      // Spark's own WITH. A scalar-subquery alias
+      // (`(SELECT max(x) FROM t) AS m`) substitutes like any scalar.
+      val itemRe = """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)$""".r
+      val scalars = parts.map {
+        case itemRe(expr, ident) => Some(ident -> expr.trim)
+        case _ => None
+      }
+      if (scalars.exists(_.isEmpty)) q // CTE list — Spark handles it
+      else scalars.flatten.foldLeft(body) { case (acc, (ident, expr)) =>
+        // whole-word replacement outside string literals
+        val inStr = {
+          val f = new Array[Boolean](acc.length)
+          var s = false
+          var i = 0
+          while (i < acc.length) {
+            if (acc.charAt(i) == '\'') s = !s
+            f(i) = s
+            i += 1
+          }
+          f
+        }
+        val re = s"""(?i)\\b${Regex.quote(ident)}\\b""".r
+        val sb = new StringBuilder
+        var last = 0
+        for (m <- re.findAllMatchIn(acc) if !inStr(m.start)) {
+          sb.append(acc.substring(last, m.start)).append(s"($expr)")
+          last = m.end
+        }
+        sb.append(acc.substring(last))
+        sb.toString
+      }
+    }
+  }
+
   /** Distribution/strictness modifiers Spark's planner owns: GLOBAL
     * (shuffle-vs-broadcast is the optimizer's call) and the ALL join
     * qualifier (standard join semantics) are stripped; ANY JOIN
@@ -252,7 +309,7 @@ object ChSql {
   private val formatRe = """(?i)\bFORMAT\s+\w+\s*$""".r
 
   private def preRewrite(q0: String): String = {
-    var q = q0
+    var q = rewriteScalarWith(q0)
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
     require(firstTopLevel(q, anyJoinRe).isEmpty,
       "ANY JOIN changes join semantics — use graft.ops.Joins.anyJoin")
@@ -282,7 +339,7 @@ object ChSql {
   private val interpolateRe = """(?is)\bINTERPOLATE\s*\(([^()]*)\)\s*$""".r
 
   private val orderItemRe =
-    ("""(?is)^([A-Za-z_][\w.]*)(?:\s+(ASC|DESC))?""" +
+    ("""(?is)^([A-Za-z_][\w.]*|\d+)(?:\s+(ASC|DESC))?""" +
       """(?:\s+WITH\s+FILL(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?)?$""").r
 
   private def parseOrderItem(raw: String): OrderItem = raw.trim match {
@@ -335,7 +392,7 @@ object ChSql {
       (off, n, splitTopLevel(inner))
     }
     var interpolateCols: Seq[String] = Nil
-    val orderItems = lastTopLevel(rest, orderByRe) match {
+    val orderItems0 = lastTopLevel(rest, orderByRe) match {
       case Some(m) =>
         var section = rest.substring(m.end)
         rest = rest.substring(0, m.start)
@@ -353,6 +410,17 @@ object ChSql {
     }
 
     var df = spark.sql(rest)
+
+    // ORDER BY ordinals (`ORDER BY 1, 2`) resolve positionally now
+    // that the core's schema is known.
+    val orderItems = orderItems0.map { i =>
+      if (i.name.forall(_.isDigit)) {
+        val pos = i.name.toInt
+        require(pos >= 1 && pos <= df.columns.length,
+          s"ORDER BY ordinal $pos out of range (1..${df.columns.length})")
+        i.copy(name = df.columns(pos - 1))
+      } else i
+    }
 
     // Post-hoc routing can only sort by columns the core query emits
     // (CH itself can sort by any source column; the workaround is the

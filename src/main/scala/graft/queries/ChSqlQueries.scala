@@ -205,6 +205,28 @@ object ChSqlQueries {
       SELECT l_returnflag, count(*) AS n
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_quantity > 45 AND o_orderpriority = '1-URGENT'
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // CH scalar WITH: constant and scalar-subquery aliases usable
+    // anywhere in the query (not CTEs — those pass through to
+    // Spark's native WITH untouched). Plus positional GROUP BY/
+    // ORDER BY ordinals.
+    QDef("sql_ch_scalar_with", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        WITH 25 AS qty_cut,
+             (SELECT max(o_totalprice) FROM orders) AS price_max
+        SELECT l_returnflag, count(*) AS n,
+               round(max(l_extendedprice) / price_max, 6) AS price_ratio
+        FROM lineitem
+        WHERE l_quantity > qty_cut
+        GROUP BY 1
+        ORDER BY 1""")
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(max(l_extendedprice) /
+                   (SELECT max(o_totalprice) FROM orders), 6) AS price_ratio
+      FROM lineitem WHERE l_quantity > 25
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

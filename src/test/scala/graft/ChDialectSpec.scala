@@ -257,6 +257,32 @@ class ChDialectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Joins.anyJoin"))
   }
 
+  test("scalar WITH substitutes; CTE WITH passes through; routed ordinals resolve") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // scalar aliases in both WHERE and SELECT
+    val r = Graft.sql(spark, """
+      WITH 2 AS cut SELECT n_nationkey, cut AS c FROM nation
+      WHERE n_nationkey < cut ORDER BY n_nationkey""").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((0, 2), (1, 2)))
+    // a true CTE is untouched and still works
+    val cte = Graft.sql(spark, """
+      WITH big AS (SELECT n_nationkey FROM nation WHERE n_nationkey > 20)
+      SELECT count(*) AS n FROM big""").collect()
+    assert(cte.head.getLong(0) == 4L)
+    // ORDER BY ordinal through the ROUTED path (LIMIT BY present)
+    val routed = Graft.sql(spark, """
+      SELECT p_brand, p_partkey FROM part
+      ORDER BY 1 ASC, 2 DESC
+      LIMIT 1 BY p_brand""").collect()
+    val viaNames = Graft.sql(spark, """
+      SELECT p_brand, p_partkey FROM part
+      ORDER BY p_brand ASC, p_partkey DESC
+      LIMIT 1 BY p_brand""").collect()
+    assert(routed.map(_.toString).sorted.toSeq ==
+      viaNames.map(_.toString).sorted.toSeq)
+    assert(routed.nonEmpty)
+  }
+
   test("comma limit rewrites to OFFSET in the un-routed path") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val viaComma = Graft.sql(spark,
