@@ -276,6 +276,69 @@ object CompositeQueries {
       JOIN nation ON c_nationkey = n_nationkey
       WHERE l_returnflag = 'R'
       GROUP BY c_custkey, c_name, n_name
-      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- ClickBench-style web-analytics shapes over `events` (the
+    // reference's OTHER famous benchmark is exactly this workload:
+    // hits/visits aggregations, daily trends, per-user depth
+    // distributions, URL-parameter extraction) ----
+
+    // top event types by hits + uniq users + mean value — the
+    // "top referrers" shape: one scan, hash agg, fused top-k.
+    QDef("cb_top_types", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("hits"),
+          countDistinct($"user_id").as("uniq_users"),
+          Det.davg($"value").as("mean_value"))
+        .orderBy($"hits".desc, $"event_type")
+        .limit(10)
+    }, Some(s"""
+      SELECT event_type, count(*) AS hits,
+             count(DISTINCT user_id) AS uniq_users,
+             ${Det.sqlAvg("value")} AS mean_value
+      FROM events GROUP BY event_type
+      ORDER BY hits DESC, event_type LIMIT 10""")),
+
+    // daily PV/UV trend — the dashboard timeseries: day-truncated
+    // scan, count + distinct per day (two-phase: partial counts
+    // merge; the distinct forces the usual expand).
+    QDef("cb_daily_pv_uv", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("pv"), countDistinct($"user_id").as("uv"))
+        .orderBy($"day")
+    }, Some("""
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             count(*) AS pv, count(DISTINCT user_id) AS uv
+      FROM events GROUP BY day ORDER BY day""")),
+
+    // per-user engagement-depth distribution — the two-level
+    // aggregation shape (events per user, then users per depth).
+    QDef("cb_user_depth", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+        .groupBy($"n_events").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_events")
+    }, Some("""
+      SELECT n_events, count(*) AS n_users
+      FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      GROUP BY n_events ORDER BY n_events""")),
+
+    // JSON-parameter bucketing — CB's URL-parameter extraction shape:
+    // per-row JSON path extract feeding a hash agg, all codegen.
+    QDef("cb_json_param", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select((get_json_object($"props", "$.k").cast("int") % 10).as("k_bucket"))
+        .groupBy($"k_bucket").agg(count(lit(1)).as("hits"))
+        .orderBy($"k_bucket")
+    }, Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+             count(*) AS hits
+      FROM events GROUP BY k_bucket ORDER BY k_bucket"""))
   )
 }
