@@ -365,7 +365,49 @@ object ChSql {
 
   // ---- entry -------------------------------------------------------
 
+  // ---- CH mutations: ALTER TABLE t DELETE/UPDATE --------------------
+
+  private val alterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(DELETE|UPDATE)\b(.*)$""".r
+  private val mutationSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `ALTER TABLE t DELETE WHERE cond` / `ALTER TABLE t UPDATE c = e,
+    * … WHERE cond` → [[graft.ops.Relational]]-style copy-on-write
+    * snapshot via [[graft.ops.Mutations]]; the temp view repoints to
+    * the snapshot (upstream's part-rewrite model) and the mutated
+    * frame is returned.
+    */
+  private def runAlter(spark: SparkSession, table: String, verb: String,
+      bodyRaw: String): DataFrame = {
+    val body = bodyRaw.trim
+    val df = spark.table(table)
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${table}_${mutationSeq.incrementAndGet()}"
+    val out = verb.toUpperCase(java.util.Locale.ROOT) match {
+      case "DELETE" =>
+        require(body.toUpperCase(java.util.Locale.ROOT).startsWith("WHERE"),
+          s"ALTER TABLE … DELETE needs WHERE, got '$body'")
+        graft.ops.Mutations.deleteWhere(df, expr(body.substring(5)), dest)
+      case "UPDATE" =>
+        val w = firstTopLevel(body, whereRe).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE … UPDATE needs WHERE, got '$body'"))
+        val assignRe = """(?is)^([A-Za-z_]\w*)\s*=\s*(.+)$""".r
+        val set = splitTopLevel(body.substring(0, w.start)).map {
+          case assignRe(c, e) => c -> expr(e.trim)
+          case other => throw new IllegalArgumentException(
+            s"bad UPDATE assignment '$other' (want col = expr)")
+        }.toMap
+        graft.ops.Mutations.updateWhere(df, expr(body.substring(w.end)), set, dest)
+    }
+    out.createOrReplaceTempView(table)
+    out
+  }
+
   def run(spark: SparkSession, query: String): DataFrame = {
+    alterRe.findFirstMatchIn(query).foreach { m =>
+      return runAlter(spark, m.group(1), m.group(2), m.group(3))
+    }
     val q = preRewrite(query.trim)
 
     val needsRouting =

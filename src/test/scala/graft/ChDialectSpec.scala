@@ -283,6 +283,25 @@ class ChDialectSpec extends AnyFunSuite {
     assert(routed.nonEmpty)
   }
 
+  test("ALTER TABLE DELETE/UPDATE text routes to copy-on-write mutations") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val before = Graft.sql(spark, "SELECT count(*) AS n FROM region")
+      .collect().head.getLong(0)
+    val afterDelete = Graft.sql(spark,
+      "ALTER TABLE region DELETE WHERE r_regionkey >= 3")
+    assert(afterDelete.count() == before - 2)
+    // the view now points at the snapshot
+    assert(Graft.sql(spark, "SELECT count(*) AS n FROM region")
+      .collect().head.getLong(0) == before - 2)
+    val updated = Graft.sql(spark,
+      "ALTER TABLE region UPDATE r_name = concat(r_name, '!') WHERE r_regionkey = 0")
+    assert(updated.filter("r_regionkey = 0").collect().head
+      .getAs[String]("r_name").endsWith("!"))
+    // the BASE fixture is untouched (copy-on-write)
+    assert(Tables(spark, "/root/testdata/sf0.001", "region").count() == before)
+    Graft.init(spark, "/root/testdata/sf0.001") // restore views
+  }
+
   test("comma limit rewrites to OFFSET in the un-routed path") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val viaComma = Graft.sql(spark,
