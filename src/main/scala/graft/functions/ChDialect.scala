@@ -332,6 +332,50 @@ object ChDialect {
     // unaliased precisely because the semantics differ)
     macroFn("arrayCompact", Seq("__a"),
       "filter(__a, (x, i) -> i = 0 OR NOT (x <=> element_at(__a, i)))")
+    // CH's higher-order family puts the LAMBDA FIRST
+    // (arrayMap(x -> x*2, arr)); Spark's equivalents take it last.
+    // The parser hands the lambda through as an unresolved
+    // LambdaFunction in any argument position, so these are pure
+    // argument reorders onto the codegen'd builtins.
+    reg("arrayMap")(c => ArrayTransform(c(1), c(0)))
+    reg("arrayFilter")(c => ArrayFilter(c(1), c(0)))
+    reg("arrayExists")(c => ArrayExists(c(1), c(0)))
+    reg("arrayAll")(c => ArrayForAll(c(1), c(0)))
+    // arrayCount can't be Size(filter(...)): the analyzer requires a
+    // builder that RECEIVES lambda arguments to RETURN a higher-order
+    // function at the root. ArrayAggregate is that root; the user's
+    // lambda body splices into the merge lambda (its own argument
+    // variable kept, an accumulator prepended).
+    reg("arrayCount") { c =>
+      require(c.size == 2, "arrayCount(fn, arr) — the 1-arg form counts " +
+        "non-zero elements; spell it arrayCount(x -> x <> 0, arr)")
+      val f = c(0) match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"arrayCount needs a lambda first (CH argument order), got ${other.sql}")
+      }
+      val acc = org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("__acc"))
+      val idv = org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("__id"))
+      ArrayAggregate(c(1), Literal(0),
+        LambdaFunction(Add(acc, If(f.function, Literal(1), Literal(0))),
+          acc +: f.arguments),
+        LambdaFunction(idv, Seq(idv)))
+    }
+    // CH arraySum/arrayAvg: empty arrays yield 0 (not NULL) — the
+    // type-preserving zero comes from the guard branch
+    macroFn("arraySum", Seq("__a"),
+      """CASE WHEN size(__a) = 0 THEN 0
+              ELSE aggregate(__a, element_at(__a, 1) * 0, (acc, x) -> acc + x) END""")
+    macroFn("arrayAvg", Seq("__a"),
+      """CASE WHEN size(__a) = 0 THEN 0.0
+              ELSE aggregate(__a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+                   / size(__a) END""")
+    macroFn("countEqual", Seq("__a", "__x"),
+      "size(filter(__a, v -> v <=> __x))")
+    // arrayStringConcat(arr[, sep]) — CH defaults sep to ''
+    reg("arrayStringConcat")(c =>
+      ArrayJoin(c.head, if (c.size > 1) c(1) else Literal(""), None))
+
     // -If combinator for any_value (ignoreNulls = true, so rows
     // failing the condition — which become NULL — are skipped)
     reg("anyIf")(c =>

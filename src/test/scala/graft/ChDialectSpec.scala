@@ -127,6 +127,27 @@ class ChDialectSpec extends AnyFunSuite {
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("CH lambda-first higher-order spellings reorder onto Spark builtins") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        arrayMap(x -> x * 2, array(1, 2, 3)) = array(2, 4, 6) AS a,
+        arrayFilter(x -> x > 1, array(1, 2, 3)) = array(2, 3) AS b,
+        arrayExists(x -> x = 2, array(1, 2, 3))
+          AND NOT arrayExists(x -> x = 9, array(1, 2, 3)) AS c,
+        arrayAll(x -> x > 0, array(1, 2, 3))
+          AND NOT arrayAll(x -> x > 1, array(1, 2, 3)) AS d,
+        arrayCount(x -> x % 2 = 0, array(1, 2, 3, 4)) = 2 AS e,
+        arraySum(array(1, 2, 3)) = 6 AND arraySum(array()) = 0 AS f,
+        arraySum(array(1.5D, 2.5D)) = 4.0D AS g,
+        arrayAvg(array(2, 4)) = 3.0 AS h,
+        countEqual(array(1, 2, 2, 3), 2) = 2 AS i,
+        arrayStringConcat(array('a', 'b')) = 'ab'
+          AND arrayStringConcat(array('a', 'b'), '-') = 'a-b' AS j""")
+      .collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("higher-order array macros: cumSum, difference, compact") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val r = Graft.sql(spark, """
