@@ -35,6 +35,16 @@ import scala.util.matching.Regex
   *     bounded filled series.
   *   - trailing `LIMIT n` / `LIMIT n OFFSET o` / CH's `LIMIT o, n`
   *     → `.offset(o).limit(n)` after the above.
+  *   - scalar `WITH 3600 AS period SELECT …` (constant and
+  *     scalar-subquery aliases) → substituted as parenthesized
+  *     expressions; true CTEs pass through to Spark's WITH.
+  *   - `[LEFT] ARRAY JOIN e AS x` → `LATERAL VIEW explode[_outer]`;
+  *     `PREWHERE` → WHERE conjunction; `GLOBAL`/`ALL` join modifiers
+  *     strip (ANY JOIN fails loudly toward ops/Joins.anyJoin);
+  *     trailing `FORMAT x` drops; `ORDER BY` ordinals resolve
+  *     positionally.
+  *   - `ALTER TABLE t DELETE/UPDATE … WHERE …` → copy-on-write
+  *     snapshot ([[graft.ops.Mutations]]), temp view repointed.
   *
   * Scope (documented, loud failures otherwise): the CH clauses are
   * recognized at the top level of a single SELECT; ORDER BY items
