@@ -189,9 +189,13 @@ object Aggregates {
       extends Aggregator[String, Seq[Long], Array[Long]] with Serializable {
     require(k >= 2, s"theta sketch needs k >= 2, got $k")
     private def compact(b: Seq[Long]): Seq[Long] = b.distinct.sorted.take(k)
-    def zero: Seq[Long] = Nil
+    def zero: Seq[Long] = Vector.empty
     def reduce(b: Seq[Long], x: String): Seq[Long] = {
-      val nb = b :+ Sketches.hash60(seed, x)
+      // Vector: O(1) append AND O(1) length — a List buffer would make
+      // both linear per row (quadratic per group). toVector is a no-op
+      // on the hot path and one copy after a spill deserializes to a
+      // different Seq runtime class.
+      val nb = b.toVector :+ Sketches.hash60(seed, x)
       if (nb.length > 4 * k) compact(nb) else nb
     }
     def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
