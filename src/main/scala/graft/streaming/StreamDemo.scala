@@ -111,6 +111,35 @@ object StreamDemo {
       }
   }
 
+  /** Live sequenceMatch over a stream, driven by a VERBATIM CH
+    * pattern-DSL string ('(?1)(?t<=N)(?2)…' — round-6 parser): same
+    * mapGroupsWithState shape as [[streamingFunnel]], recomputing the
+    * shared chain DP per update so the streamed final state equals
+    * the batch SequenceMatchPattern over the same events
+    * (StreamingSpec). Condition mapping: view=1, click=2, purchase=3.
+    */
+  def streamingSequenceMatch(events: DataFrame, pattern: String)
+      : Dataset[(Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    val p = Aggregates.SeqPattern.parse(pattern)
+    val steps = events
+      .withColumn("step",
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0))
+      .filter(col("step") > 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"), col("step"))
+      .as[(Long, Long, Int)]
+    steps.groupByKey(_._1)
+      .mapGroupsWithState[Seq[StepEvent], (Long, Boolean)](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Seq[StepEvent]]) =>
+          val buf = state.getOption.getOrElse(Nil) ++
+            it.map(t => StepEvent(t._2, t._3))
+          state.update(buf)
+          (uid, Aggregates.patternMatches(buf, p))
+      }
+  }
+
   /** Raw schema of the events parquet when read as a stream (ts is
     * ns-int64 under nanosAsLong; normalize exactly like graft.Tables).
     */

@@ -96,6 +96,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sequenceMatch (pattern DSL): final per-user matches equal batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pattern = "(?1).*(?t<=3600)(?2)" // view → click within 1h (5/15 users)
+    // batch truth via the same parser-driven Aggregator
+    val sm = udaf(new graft.ops.Aggregates.SequenceMatchPattern(pattern, 3))
+    val step = when($"event_type" === "view", 1)
+      .when($"event_type" === "click", 2)
+      .when($"event_type" === "purchase", 3).otherwise(0)
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("step", step).filter($"step" > 0)
+      .select($"user_id", unix_micros($"ts").as("tsUs"), $"step")
+      .groupBy($"user_id").agg(sm($"tsUs", $"step").as("m"))
+      .as[(Long, Boolean)].collect().toMap
+
+    val stream = StreamDemo.streamingSequenceMatch(
+      StreamDemo.readEventStream(spark, stageStreamDir()), pattern)
+    val q = stream.toDF("user_id", "matched").writeStream.format("memory")
+      .queryName("seq_state").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("seq_state").as[(Long, Boolean)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+      assert(got == expected)
+      assert(got.exists(_._2) && got.exists(!_._2), "want both outcomes present")
+    } finally q.stop()
+  }
+
   test("streaming dedup: one row per fingerprint, fp set equals batch distinct") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
