@@ -104,7 +104,15 @@ object ChDialect {
     "mapContains" -> "map_contains_key",
     // aggregate: CH anyLast picks an arbitrary "last seen" value —
     // Spark's last() is the same contract (execution-order dependent)
-    "anyLast" -> "last")
+    "anyLast" -> "last",
+    // set-membership / string predicates (same argument order)
+    "hasAny" -> "arrays_overlap",
+    "startsWith" -> "startswith",
+    "endsWith" -> "endswith",
+    "substringUTF8" -> "substring",
+    // bit shifts
+    "bitShiftLeft" -> "shiftleft",
+    "bitShiftRight" -> "shiftright")
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
@@ -372,6 +380,29 @@ object ChDialect {
                    / size(__a) END""")
     macroFn("countEqual", Seq("__a", "__x"),
       "size(filter(__a, v -> v <=> __x))")
+    // hasAll = subset test (dedup-insensitive, like CH)
+    macroFn("hasAll", Seq("__a", "__b"),
+      "size(array_except(__b, __a)) = 0")
+    macroFn("arrayEnumerate", Seq("__a"),
+      "CASE WHEN size(__a) = 0 THEN CAST(array() AS ARRAY<INT>) " +
+        "ELSE CAST(sequence(1, size(__a)) AS ARRAY<INT>) END")
+    macroFn("arrayPushBack", Seq("__a", "__x"), "concat(__a, array(__x))")
+    macroFn("arrayPushFront", Seq("__a", "__x"), "concat(array(__x), __a)")
+    macroFn("arrayPopBack", Seq("__a"), "slice(__a, 1, greatest(size(__a) - 1, 0))")
+    macroFn("arrayPopFront", Seq("__a"),
+      "CASE WHEN size(__a) <= 1 THEN slice(__a, 1, 0) ELSE slice(__a, 2, size(__a) - 1) END")
+    // CH arithmetic-as-function spellings
+    macroFn("plus", Seq("__a", "__b"), "__a + __b")
+    macroFn("minus", Seq("__a", "__b"), "__a - __b")
+    macroFn("multiply", Seq("__a", "__b"), "__a * __b")
+    macroFn("divide", Seq("__a", "__b"), "__a / __b")
+    macroFn("negate", Seq("__a"), "-__a")
+    // sub-hour truncations (toStartOfHour/Day/… live above)
+    reg("toStartOfMinute")(c => TruncTimestamp(Literal("MINUTE"), c.head))
+    macroFn("toStartOfFiveMinutes", Seq("__t"),
+      "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 300) * 300)")
+    macroFn("toStartOfFifteenMinutes", Seq("__t"),
+      "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 900) * 900)")
     // arrayStringConcat(arr[, sep]) — CH defaults sep to ''
     reg("arrayStringConcat")(c =>
       ArrayJoin(c.head, if (c.size > 1) c(1) else Literal(""), None))

@@ -127,6 +127,33 @@ class ChDialectSpec extends AnyFunSuite {
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("array push/pop/enumerate, hasAll/hasAny, arithmetic spellings, sub-hour truncs") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        hasAll(array(1, 2, 3), array(2, 3)) AND NOT hasAll(array(1, 2), array(3)) AS a,
+        hasAny(array(1, 2), array(2, 9)) AND NOT hasAny(array(1, 2), array(8, 9)) AS b,
+        arrayEnumerate(array('x', 'y', 'z')) = array(1, 2, 3)
+          AND size(arrayEnumerate(array())) = 0 AS c,
+        arrayPushBack(array(1, 2), 3) = array(1, 2, 3) AS d,
+        arrayPushFront(array(2, 3), 1) = array(1, 2, 3) AS e,
+        arrayPopBack(array(1, 2, 3)) = array(1, 2)
+          AND size(arrayPopBack(array())) = 0 AS f,
+        arrayPopFront(array(1, 2, 3)) = array(2, 3)
+          AND size(arrayPopFront(array(7))) = 0 AS g,
+        plus(2, 3) = 5 AND minus(2, 3) = -1 AND multiply(4, 5) = 20
+          AND divide(7, 2) = 3.5 AND negate(4) = -4 AS h,
+        startsWith('clickhouse', 'click') AND endsWith('clickhouse', 'house') AS i,
+        bitShiftLeft(1, 4) = 16 AND bitShiftRight(16, 4) = 1 AS j,
+        toStartOfMinute(TIMESTAMP '2026-08-12 09:05:42')
+          = TIMESTAMP '2026-08-12 09:05:00' AS k,
+        toStartOfFiveMinutes(TIMESTAMP '2026-08-12 09:07:42')
+          = TIMESTAMP '2026-08-12 09:05:00' AS l,
+        toStartOfFifteenMinutes(TIMESTAMP '2026-08-12 09:22:42')
+          = TIMESTAMP '2026-08-12 09:15:00' AS m""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("CH lambda-first higher-order spellings reorder onto Spark builtins") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val r = Graft.sql(spark, """
