@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Relational
+import graft.plans.LimitByPlan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systematic grid over the ChSql clause combinations: every subset of
+  * {SAMPLE, WITH TOTALS, final LIMIT} × {plain / LIMIT BY / WITH FILL}
+  * built as verbatim CH text AND as the equivalent DataFrame pipeline,
+  * compared row-for-row. This pins the peel ORDER (FORMAT → LIMIT →
+  * LIMIT BY → ORDER BY/FILL) and the textual rewrites against the
+  * operator semantics, beyond the single-point oracle entries.
+  */
+class ChSqlComboSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq // ORDER-sensitive compare
+
+  private def sampled(base: DataFrame): DataFrame = {
+    import spark.implicits._
+    base.filter(graft.ops.Text.mh60(lit("smp"), $"l_orderkey") % 1000000 < 200000)
+  }
+
+  test("clause grid: text == DataFrame pipeline for every combination") {
+    import spark.implicits._
+    Graft.init(spark, dir)
+    val base = Tables(spark, dir, "lineitem")
+
+    for {
+      sample <- Seq(false, true)
+      tail <- Seq("plain", "limitBy", "fill")
+      finalLimit <- Seq(false, true)
+    } {
+      val sampleSql = if (sample) " SAMPLE 0.2" else ""
+      val limitSql = if (finalLimit) "\nLIMIT 7" else ""
+      val (tailSql, expected) = tail match {
+        case "plain" =>
+          ("ORDER BY l_quantity ASC, l_returnflag ASC", {
+            val src = if (sample) sampled(base) else base
+            src.groupBy($"l_quantity", $"l_returnflag")
+              .agg(count(lit(1)).as("n"))
+              .orderBy($"l_quantity", $"l_returnflag")
+          })
+        case "limitBy" =>
+          ("ORDER BY l_quantity ASC, l_returnflag ASC\nLIMIT 2 BY l_quantity", {
+            val src = if (sample) sampled(base) else base
+            val agg = src.groupBy($"l_quantity", $"l_returnflag")
+              .agg(count(lit(1)).as("n"))
+            LimitByPlan.limitBy(agg, Seq("l_quantity"), 2,
+              Seq(("l_quantity", true), ("l_returnflag", true)))
+              .orderBy($"l_quantity", $"l_returnflag")
+          })
+        case "fill" =>
+          ("ORDER BY l_quantity ASC WITH FILL FROM 1 TO 51 STEP 1", {
+            val src = if (sample) sampled(base) else base
+            val agg = src.groupBy($"l_quantity").agg(count(lit(1)).as("n"))
+            Relational.withFillStep(agg, "l_quantity", 1L, 51L, 1L,
+              Map("n" -> lit(0L))).orderBy($"l_quantity")
+          })
+      }
+      val groupCols =
+        if (tail == "fill") "l_quantity" else "l_quantity, l_returnflag"
+      val selectCols = groupCols
+      val text =
+        s"""SELECT $selectCols, count(*) AS n
+           |FROM lineitem$sampleSql
+           |GROUP BY $groupCols
+           |$tailSql$limitSql
+           |FORMAT TabSeparated""".stripMargin
+      val viaText = Graft.sql(spark, text)
+      val viaDf = if (finalLimit) expected.limit(7) else expected
+      assert(canon(viaText) == canon(viaDf),
+        s"mismatch for sample=$sample tail=$tail limit=$finalLimit:\n$text")
+    }
+  }
+
+  test("WITH TOTALS composes with SAMPLE and final LIMIT") {
+    import spark.implicits._
+    Graft.init(spark, dir)
+    val viaText = Graft.sql(spark, """
+      SELECT l_returnflag, count(*) AS n
+      FROM lineitem SAMPLE 0.2
+      GROUP BY l_returnflag WITH TOTALS
+      ORDER BY l_returnflag
+      LIMIT 3""")
+    val src = sampled(Tables(spark, dir, "lineitem"))
+    val per = src.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    val tot = src.agg(count(lit(1)).as("n"))
+      .select(lit(null).cast("string").as("l_returnflag"), $"n")
+    val viaDf = per.unionByName(tot)
+      .orderBy($"l_returnflag".asc_nulls_first).limit(3)
+    assert(canon(viaText) == canon(viaDf))
+  }
+}
