@@ -473,6 +473,7 @@ object ChDialect {
     reg("intHash64")(c => IntHash64(c.head))
     reg("geohashEncode")(c => GeohashEncode(c(0), c(1),
       if (c.size > 2) c(2) else Literal(12)))
+    reg("geohashDecode")(c => GeohashDecode(c.head))
     reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
     reg("cosineDistance")(c =>
       Subtract(Literal(1.0), CosineSimilarity(c(0), c(1))))

@@ -100,5 +100,8 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "geohash_encode", (children: Seq[Expression]) =>
         GeohashEncode(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "geohash_decode", (children: Seq[Expression]) =>
+        GeohashDecode(children(0)), "built-in")
   }
 }

@@ -75,6 +75,39 @@ object GeoMath {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Inverse of [[geohashEncode]]: un-interleave the base32 bits back
+    * into interval halvings and return the CELL CENTER as (lon, lat)
+    * — ClickHouse `geohashDecode`'s tuple order.
+    */
+  def geohashDecode(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    var i = 0
+    while (i < str.length) {
+      val idx = base32.indexOf(Character.toLowerCase(str.charAt(i)))
+      if (idx < 0) throw new IllegalArgumentException(
+        s"geohash_decode: invalid base32 char '${str.charAt(i)}' in '$str'")
+      var b = 4
+      while (b >= 0) {
+        val one = ((idx >> b) & 1) == 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (one) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (one) latLo = mid else latHi = mid
+        }
+        isLon = !isLon
+        b -= 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((lonLo + lonHi) / 2, (latLo + latHi) / 2))
+  }
 }
 
 /** `point_in_polygon(px, py, polygon)` with polygon as
@@ -149,4 +182,25 @@ case class GeohashEncode(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): GeohashEncode =
     copy(first = f, second = s, third = t)
+}
+
+/** `geohash_decode(hash)` → struct<lon double, lat double> (cell
+  * center) — ClickHouse tuple order, inverse of [[GeohashEncode]].
+  */
+case class GeohashDecode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = new StructType()
+    .add("lon", DoubleType, nullable = false)
+    .add("lat", DoubleType, nullable = false)
+  override def prettyName: String = "geohash_decode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("geohash_decode expects a string")
+  override def nullSafeEval(s: Any): Any =
+    GeoMath.geohashDecode(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GeoMath.geohashDecode($s);")
+  override protected def withNewChildInternal(c: Expression): GeohashDecode =
+    copy(child = c)
 }

@@ -23,6 +23,33 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("geohashDecode inverts encode to within the cell half-width") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // classic example: ezs42 decodes to the published cell center
+    val r = GeoMath.geohashDecode(UTF8String.fromString("ezs42"))
+    assert(math.abs(r.getDouble(0) - (-5.60302734375)) < 1e-9) // lon
+    assert(math.abs(r.getDouble(1) - 42.60498046875) < 1e-9) // lat
+    // round-trip: decode(encode(p, prec)) lands within the cell
+    val pts = Seq((10.40744, 57.64911), (-122.41942, 37.77493),
+      (151.20699, -33.86785), (0.0, 0.0), (-179.9, 89.9))
+    for ((lon, lat) <- pts; prec <- Seq(6, 9, 12)) {
+      val h = GeoMath.geohashEncode(lon, lat, prec)
+      val back = GeoMath.geohashDecode(h)
+      // cell half-widths: lon bits = ceil(5p/2), lat bits = floor(5p/2)
+      val lonBits = (5 * prec + 1) / 2
+      val latBits = 5 * prec / 2
+      assert(math.abs(back.getDouble(0) - lon) <= 180.0 / (1L << lonBits),
+        s"lon drift at $h")
+      assert(math.abs(back.getDouble(1) - lat) <= 90.0 / (1L << latBits),
+        s"lat drift at $h")
+      // re-encoding the center reproduces the hash exactly
+      assert(GeoMath.geohashEncode(back.getDouble(0), back.getDouble(1), prec)
+        .toString == h.toString)
+    }
+    intercept[IllegalArgumentException](
+      GeoMath.geohashDecode(UTF8String.fromString("ezsa2"))) // 'a' not in base32
+  }
+
   private def pip(px: Double, py: Double, pts: (Double, Double)*): Boolean =
     GeoMath.pointInPolygon(px, py,
       ArrayData.toArrayData(pts.map(_._1).toArray),
@@ -61,5 +88,12 @@ class GeoSpec extends AnyFunSuite {
       .as[(String, Boolean)].head()
     assert(r._1 == "u4pruydqqvj")
     assert(r._2)
+
+    // decode through codegen (+ the CH spelling through Graft.sql)
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val d = Graft.sql(spark,
+      "SELECT geohashDecode('u4pruydqqvj').lon AS lon, geohash_decode('u4pruydqqvj').lat AS lat")
+      .as[(Double, Double)].head()
+    assert(math.abs(d._1 - 10.40744) < 1e-4 && math.abs(d._2 - 57.64911) < 1e-4)
   }
 }
