@@ -112,7 +112,12 @@ object ChDialect {
     "substringUTF8" -> "substring",
     // bit shifts
     "bitShiftLeft" -> "shiftleft",
-    "bitShiftRight" -> "shiftright")
+    "bitShiftRight" -> "shiftright",
+    // tuple/zip family (identical argument order)
+    "tuple" -> "struct",
+    "arrayZip" -> "arrays_zip",
+    "arrayElement" -> "element_at",
+    "mapFromArrays" -> "map_from_arrays")
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
@@ -397,6 +402,13 @@ object ChDialect {
     macroFn("multiply", Seq("__a", "__b"), "__a * __b")
     macroFn("divide", Seq("__a", "__b"), "__a / __b")
     macroFn("negate", Seq("__a"), "-__a")
+    // CH range(N) = [0, N) — Spark's sequence is inclusive, and
+    // sequence(0, -1) would count DOWN, so guard the empty case
+    macroFn("range", Seq("__n"),
+      "CASE WHEN __n <= 0 THEN CAST(array() AS ARRAY<BIGINT>) " +
+        "ELSE sequence(CAST(0 AS BIGINT), CAST(__n AS BIGINT) - 1) END")
+    // arrayWithConstant(n, x) — Spark's array_repeat takes (x, n)
+    reg("arrayWithConstant")(c => ArrayRepeat(c(1), c(0)))
     // sub-hour truncations (toStartOfHour/Day/… live above)
     reg("toStartOfMinute")(c => TruncTimestamp(Literal("MINUTE"), c.head))
     macroFn("toStartOfFiveMinutes", Seq("__t"),

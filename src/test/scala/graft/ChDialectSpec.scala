@@ -150,7 +150,14 @@ class ChDialectSpec extends AnyFunSuite {
         toStartOfFiveMinutes(TIMESTAMP '2026-08-12 09:07:42')
           = TIMESTAMP '2026-08-12 09:05:00' AS l,
         toStartOfFifteenMinutes(TIMESTAMP '2026-08-12 09:22:42')
-          = TIMESTAMP '2026-08-12 09:15:00' AS m""").collect().head
+          = TIMESTAMP '2026-08-12 09:15:00' AS m,
+        tuple(1, 'x') = struct(1, 'x') AS n,
+        arrayZip(array(1, 2), array('a', 'b'))
+          = array(struct(1, 'a'), struct(2, 'b')) AS o,
+        arrayElement(array(10, 20, 30), 2) = 20 AS p,
+        range(3) = array(0L, 1L, 2L) AND size(range(0)) = 0 AS q,
+        arrayWithConstant(3, 'z') = array('z', 'z', 'z') AS r,
+        mapFromArrays(array('k'), array(1))['k'] = 1 AS s""").collect().head
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
