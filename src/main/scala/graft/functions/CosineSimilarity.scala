@@ -103,5 +103,11 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "geohash_decode", (children: Seq[Expression]) =>
         GeohashDecode(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "quadkey_encode", (children: Seq[Expression]) =>
+        QuadkeyEncode(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "quadkey_decode", (children: Seq[Expression]) =>
+        QuadkeyDecode(children(0)), "built-in")
   }
 }

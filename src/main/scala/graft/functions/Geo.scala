@@ -108,6 +108,74 @@ object GeoMath {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any]((lonLo + lonHi) / 2, (latLo + latHi) / 2))
   }
+
+  // ---- quadkey: hierarchical mercator cell index (h3/s2-class) ----
+
+  /** Web-Mercator tile coordinates at `zoom` (Bing tile system — the
+    * published algorithm): 2^zoom × 2^zoom grid, latitude clamped to
+    * the mercator domain.
+    */
+  def lonLatToTile(lon: Double, lat: Double, zoom: Int): (Long, Long) = {
+    val n = 1L << zoom
+    val la = math.max(-85.05112878, math.min(85.05112878, lat))
+    val x = math.min(n - 1, math.max(0L,
+      math.floor((lon + 180.0) / 360.0 * n).toLong))
+    val latRad = math.toRadians(la)
+    val y = math.min(n - 1, math.max(0L, math.floor(
+      (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi)
+        / 2.0 * n).toLong))
+    (x, y)
+  }
+
+  /** Interleave tile bits into the base-4 quadkey string: digit i
+    * (MSB first) = 2·y_bit + x_bit. The PREFIX of length p is exactly
+    * the containing tile at zoom p — the parent/child property that
+    * makes quadkeys a drop-in hierarchical cell index for cell-join
+    * blocking and rollups (the h3/s2 role in this engine).
+    */
+  def quadkeyFromTile(x: Long, y: Long, zoom: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(zoom)
+    var i = zoom - 1
+    while (i >= 0) {
+      val d = (((y >> i) & 1L) << 1) | ((x >> i) & 1L)
+      sb.append(('0' + d).toChar)
+      i -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def quadkeyEncode(lon: Double, lat: Double, zoom: Int): UTF8String = {
+    val p = math.max(1, math.min(23, zoom))
+    val (x, y) = lonLatToTile(lon, lat, p)
+    quadkeyFromTile(x, y, p)
+  }
+
+  /** Decode a quadkey back to its tile (x, y, zoom = length). */
+  def quadkeyToTile(qk: UTF8String): (Long, Long, Int) = {
+    val s = qk.toString
+    var x = 0L; var y = 0L
+    var i = 0
+    while (i < s.length) {
+      val d = s.charAt(i) - '0'
+      if (d < 0 || d > 3) throw new IllegalArgumentException(
+        s"quadkey_decode: invalid digit '${s.charAt(i)}' in '$s'")
+      x = (x << 1) | (d & 1L)
+      y = (y << 1) | ((d >> 1) & 1L)
+      i += 1
+    }
+    (x, y, s.length)
+  }
+
+  /** Cell-center (lon, lat) of a quadkey's tile. */
+  def quadkeyDecode(qk: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (x, y, zoom) = quadkeyToTile(qk)
+    val n = (1L << zoom).toDouble
+    val lon = (x + 0.5) / n * 360.0 - 180.0
+    val yc = 0.5 - (y + 0.5) / n
+    val lat = 90.0 - 360.0 * math.atan(math.exp(-yc * 2.0 * math.Pi)) / math.Pi
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lon, lat))
+  }
 }
 
 /** `point_in_polygon(px, py, polygon)` with polygon as
@@ -182,6 +250,49 @@ case class GeohashEncode(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): GeohashEncode =
     copy(first = f, second = s, third = t)
+}
+
+/** `quadkey_encode(lon, lat, zoom)` — hierarchical Web-Mercator cell
+  * id (Bing tile system). Fills the h3/s2 role: prefix = parent cell,
+  * equi-join on (truncated) quadkeys = cell blocking.
+  */
+case class QuadkeyEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "quadkey_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "quadkey_encode expects (double lon, double lat, int zoom)")
+  override def nullSafeEval(lon: Any, lat: Any, z: Any): Any =
+    GeoMath.quadkeyEncode(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      z.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, z) =>
+      s"${ev.value} = graft.functions.GeoMath.quadkeyEncode($lon, $lat, $z);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): QuadkeyEncode =
+    copy(first = f, second = s, third = t)
+}
+
+/** `quadkey_decode(qk)` → struct<lon double, lat double> (cell center). */
+case class QuadkeyDecode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = new StructType()
+    .add("lon", DoubleType, nullable = false)
+    .add("lat", DoubleType, nullable = false)
+  override def prettyName: String = "quadkey_decode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("quadkey_decode expects a string")
+  override def nullSafeEval(s: Any): Any =
+    GeoMath.quadkeyDecode(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GeoMath.quadkeyDecode($s);")
+  override protected def withNewChildInternal(c: Expression): QuadkeyDecode =
+    copy(child = c)
 }
 
 /** `geohash_decode(hash)` → struct<lon double, lat double> (cell

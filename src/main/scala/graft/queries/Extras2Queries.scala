@@ -493,6 +493,44 @@ object Extras2Queries {
              (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS i_users,
              (SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)) AS d_users""")),
 
+    // QUADKEY hierarchical cell index (the h3/s2-class surface, built
+    // on the published Bing Web-Mercator tile algorithm): zoom-8 cell
+    // ids whose 4-char PREFIX is exactly the containing zoom-4 cell —
+    // the parent/child property that powers cell-join blocking and
+    // hierarchical rollups. The oracle recomputes the mercator tile
+    // math and bit interleaving in SQL (floor/ln/tan + >>/& +
+    // string_agg), so Spark's codegen expression is pinned digit for
+    // digit; the rollup groups zoom-8 cells under their zoom-4
+    // parents. Synthetic coordinates on a 0.1° grid (tile edges are
+    // transcendental, so grid points never sit on a boundary).
+    QDef("geo_quadkey_cells", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "events")
+        .selectExpr(
+          "CAST((event_id % 3600) / 10.0 - 180.0 AS DOUBLE) AS lon",
+          "CAST((event_id % 1400) / 10.0 - 70.0 AS DOUBLE) AS lat")
+        .selectExpr("quadkey_encode(lon, lat, 8) AS qk")
+        .groupBy(substring($"qk", 1, 4).as("parent"))
+        .agg(count(lit(1)).as("n"), countDistinct($"qk").as("n_cells"))
+        .orderBy($"parent")
+    }, Some("""
+      WITH pts AS (SELECT (event_id % 3600) / 10.0 - 180.0 AS lon,
+                          (event_id % 1400) / 10.0 - 70.0 AS lat
+                   FROM events),
+      t AS (SELECT CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT) AS x,
+                   CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                               / pi()) / 2.0 * 256) AS BIGINT) AS y
+            FROM pts),
+      qk AS (SELECT (SELECT string_agg(
+                       CAST(((y >> (8 - i)) & 1) * 2 + ((x >> (8 - i)) & 1) AS VARCHAR),
+                       '' ORDER BY i)
+                     FROM generate_series(1, 8) AS g(i)) AS qk
+             FROM t)
+      SELECT substring(qk, 1, 4) AS parent, count(*) AS n,
+             count(DISTINCT qk) AS n_cells
+      FROM qk GROUP BY parent ORDER BY parent""")),
+
     // GEO RADIUS JOIN, cell-bucketed — the scale answer to "all
     // (customer, supplier) pairs within 100 km" without an all-pairs
     // cross join (and the working replacement for h3/s2 cell indexes):

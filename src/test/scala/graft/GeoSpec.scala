@@ -50,6 +50,35 @@ class GeoSpec extends AnyFunSuite {
       GeoMath.geohashDecode(UTF8String.fromString("ezsa2"))) // 'a' not in base32
   }
 
+  test("quadkey: Bing tile-system known answers, prefix hierarchy, round-trip") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the canonical Bing documentation example: tile (3, 5) at level 3
+    // has quadkey "213"
+    assert(GeoMath.quadkeyFromTile(3, 5, 3).toString == "213")
+    assert(GeoMath.quadkeyToTile(UTF8String.fromString("213")) == ((3L, 5L, 3)))
+    // prefix property: the level-p prefix IS the parent tile's quadkey
+    val pts = Seq((10.40744, 57.64911), (-122.41942, 37.77493),
+      (151.20699, -33.86785), (0.05, 0.05))
+    for ((lon, lat) <- pts) {
+      val deep = GeoMath.quadkeyEncode(lon, lat, 16).toString
+      (1 to 15).foreach { z =>
+        assert(deep.startsWith(GeoMath.quadkeyEncode(lon, lat, z).toString))
+      }
+      // decode lands in the same tile: re-encoding the center
+      // reproduces the quadkey
+      val c = GeoMath.quadkeyDecode(UTF8String.fromString(deep))
+      assert(GeoMath.quadkeyEncode(c.getDouble(0), c.getDouble(1), 16)
+        .toString == deep)
+    }
+    // quadrant layout at zoom 1: 0=NW 1=NE 2=SW 3=SE
+    assert(GeoMath.quadkeyEncode(-90, 45, 1).toString == "0")
+    assert(GeoMath.quadkeyEncode(90, 45, 1).toString == "1")
+    assert(GeoMath.quadkeyEncode(-90, -45, 1).toString == "2")
+    assert(GeoMath.quadkeyEncode(90, -45, 1).toString == "3")
+    intercept[IllegalArgumentException](
+      GeoMath.quadkeyToTile(UTF8String.fromString("0132x")))
+  }
+
   private def pip(px: Double, py: Double, pts: (Double, Double)*): Boolean =
     GeoMath.pointInPolygon(px, py,
       ArrayData.toArrayData(pts.map(_._1).toArray),
