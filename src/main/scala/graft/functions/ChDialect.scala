@@ -117,7 +117,11 @@ object ChDialect {
     "tuple" -> "struct",
     "arrayZip" -> "arrays_zip",
     "arrayElement" -> "element_at",
-    "mapFromArrays" -> "map_from_arrays")
+    "mapFromArrays" -> "map_from_arrays",
+    // string replace family (identical argument order)
+    "replaceAll" -> "replace",
+    "replaceRegexpAll" -> "regexp_replace",
+    "extractAll" -> "regexp_extract_all")
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
@@ -409,6 +413,48 @@ object ChDialect {
         "ELSE sequence(CAST(0 AS BIGINT), CAST(__n AS BIGINT) - 1) END")
     // arrayWithConstant(n, x) — Spark's array_repeat takes (x, n)
     reg("arrayWithConstant")(c => ArrayRepeat(c(1), c(0)))
+    // arrayReduce('agg', arr): a literal aggregate name dispatched to
+    // the array-space implementations (CH's array aggregation without
+    // exploding). Delegation goes through UnresolvedFunction so the
+    // dialect's own arraySum/arrayAvg macros are reused.
+    reg("arrayReduce") { c =>
+      val fname = c.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString.toLowerCase(java.util.Locale.ROOT)
+        case e => throw new IllegalArgumentException(
+          s"arrayReduce needs a literal aggregate name, got ${e.sql}")
+      }
+      def fn(n: String, args: Expression*): Expression =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq(n), args.toSeq, isDistinct = false)
+      fname match {
+        case "sum" => fn("arraySum", c(1))
+        case "min" => fn("array_min", c(1))
+        case "max" => fn("array_max", c(1))
+        case "avg" => fn("arrayAvg", c(1))
+        case "count" => fn("size", c(1))
+        case "uniqexact" | "uniq" => fn("size", fn("array_distinct", c(1)))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other' " +
+            "(sum/min/max/avg/count/uniqExact)")
+      }
+    }
+    // URL family over parse_url (CH names; HOST/PATH/QUERY/REF parts)
+    macroFn("domain", Seq("__u"), "parse_url(__u, 'HOST')")
+    macroFn("path", Seq("__u"), "parse_url(__u, 'PATH')")
+    macroFn("queryString", Seq("__u"), "parse_url(__u, 'QUERY')")
+    macroFn("fragment", Seq("__u"), "parse_url(__u, 'REF')")
+    macroFn("topLevelDomain", Seq("__u"),
+      "element_at(split(parse_url(__u, 'HOST'), '\\\\.'), -1)")
+    macroFn("cutQueryString", Seq("__u"),
+      "regexp_replace(__u, '\\\\?.*$', '')")
+    // text processing: alnum tokenizer + character n-grams
+    macroFn("tokens", Seq("__s"),
+      "filter(split(__s, '[^a-zA-Z0-9]+'), x -> x != '')")
+    macroFn("ngrams", Seq("__s", "__n"),
+      "CASE WHEN length(__s) < __n THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, length(__s) - __n + 1), " +
+        "i -> substring(__s, i, __n)) END")
     // sub-hour truncations (toStartOfHour/Day/… live above)
     reg("toStartOfMinute")(c => TruncTimestamp(Literal("MINUTE"), c.head))
     macroFn("toStartOfFiveMinutes", Seq("__t"),

@@ -161,6 +161,39 @@ class ChDialectSpec extends AnyFunSuite {
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("arrayReduce, URL family, tokens/ngrams, replace family") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        arrayReduce('sum', array(1, 2, 3)) = 6 AS a,
+        arrayReduce('min', array(3, 1, 2)) = 1
+          AND arrayReduce('max', array(3, 1, 2)) = 3 AS b,
+        arrayReduce('avg', array(2, 4)) = 3.0 AS c,
+        arrayReduce('count', array(1, 1, 2)) = 3
+          AND arrayReduce('uniqExact', array(1, 1, 2)) = 2 AS d,
+        domain('https://example.com/a/b?q=1#f') = 'example.com' AS e,
+        path('https://example.com/a/b?q=1') = '/a/b' AS f,
+        queryString('https://example.com/a?q=1&r=2') = 'q=1&r=2' AS g,
+        fragment('https://example.com/a#sec') = 'sec' AS h,
+        topLevelDomain('https://www.example.co') = 'co' AS i,
+        cutQueryString('https://e.com/a?q=1') = 'https://e.com/a' AS j,
+        tokens('Hello, world! 42') = array('Hello', 'world', '42') AS k,
+        ngrams('abcd', 2) = array('ab', 'bc', 'cd')
+          AND size(ngrams('ab', 3)) = 0 AS l,
+        replaceAll('a-b-c', '-', '+') = 'a+b+c' AS m,
+        replaceRegexpAll('a1b22c', '[0-9]+', '#') = 'a#b#c' AS n,
+        extractAll('k=1, v=22', '[0-9]+', 0) = array('1', '22') AS o""")
+      .collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+    val e = intercept[Exception] {
+      Graft.sql(spark, "SELECT arrayReduce('median', array(1))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unsupported aggregate")),
+      messages(e).mkString(" | "))
+  }
+
   test("CH lambda-first higher-order spellings reorder onto Spark builtins") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val r = Graft.sql(spark, """
