@@ -414,9 +414,34 @@ object ChSql {
     out
   }
 
+  private val truncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
+  private val optimizeRe =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+([A-Za-z_]\w*)(\s+FINAL)?\s*$""".r
+
   def run(spark: SparkSession, query: String): DataFrame = {
     alterRe.findFirstMatchIn(query).foreach { m =>
       return runAlter(spark, m.group(1), m.group(2), m.group(3))
+    }
+    truncateRe.findFirstMatchIn(query).foreach { m =>
+      // TRUNCATE TABLE t → empty snapshot, view repointed
+      return runAlter(spark, m.group(1), "DELETE", "WHERE true")
+    }
+    optimizeRe.findFirstMatchIn(query).foreach { m =>
+      // OPTIMIZE TABLE t = merge parts → one compacted snapshot.
+      // FINAL additionally collapses engine-specific duplicates, which
+      // needs the table's (absent here) key metadata — fail toward the
+      // explicit operators rather than silently skipping the dedup.
+      require(m.group(2) == null,
+        "OPTIMIZE ... FINAL needs engine key metadata — use " +
+          "Relational.replacingLatest / versionedCollapseFinal explicitly")
+      val table = m.group(1)
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+        s"${table}_opt_${mutationSeq.incrementAndGet()}"
+      spark.table(table).coalesce(1).write.mode("overwrite").parquet(dest)
+      val out = spark.read.parquet(dest)
+      out.createOrReplaceTempView(table)
+      return out
     }
     val q = preRewrite(query.trim)
 

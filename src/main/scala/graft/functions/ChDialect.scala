@@ -448,6 +448,21 @@ object ChDialect {
       "element_at(split(parse_url(__u, 'HOST'), '\\\\.'), -1)")
     macroFn("cutQueryString", Seq("__u"),
       "regexp_replace(__u, '\\\\?.*$', '')")
+    // dashboard display helpers (CH's console charting family)
+    macroFn("bar", Seq("__x", "__lo", "__hi", "__w"),
+      "repeat('█', greatest(0, CAST(round((__x - __lo) / (__hi - __lo) * __w, 0) AS INT)))")
+    macroFn("formatReadableSize", Seq("__b"),
+      """CASE WHEN __b >= 1073741824 THEN concat(round(__b / 1073741824.0, 2), ' GiB')
+              WHEN __b >= 1048576 THEN concat(round(__b / 1048576.0, 2), ' MiB')
+              WHEN __b >= 1024 THEN concat(round(__b / 1024.0, 2), ' KiB')
+              ELSE concat(CAST(CAST(__b AS BIGINT) AS STRING), ' B') END""")
+    macroFn("formatReadableQuantity", Seq("__q"),
+      """CASE WHEN __q >= 1000000000 THEN concat(round(__q / 1000000000.0, 2), ' billion')
+              WHEN __q >= 1000000 THEN concat(round(__q / 1000000.0, 2), ' million')
+              WHEN __q >= 1000 THEN concat(round(__q / 1000.0, 2), ' thousand')
+              ELSE CAST(CAST(__q AS BIGINT) AS STRING) END""")
+    // sumCount(x) → (sum, count) tuple — the mergeable avg state
+    macroFn("sumCount", Seq("__x"), "struct(sum(__x) AS sum, count(__x) AS count)")
     // text processing: alnum tokenizer + character n-grams
     macroFn("tokens", Seq("__s"),
       "filter(split(__s, '[^a-zA-Z0-9]+'), x -> x != '')")

@@ -371,6 +371,46 @@ class ChDialectSpec extends AnyFunSuite {
     assert(routed.nonEmpty)
   }
 
+  test("bar/formatReadable display helpers and sumCount") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        bar(5.0, 0.0, 10.0, 10) = repeat('█', 5) AS a,
+        bar(-1.0, 0.0, 10.0, 10) = '' AS b,
+        -- CH prints two decimals ("1.50 KiB") — the DECIMAL scale from
+        -- round(x, 2) reproduces that exactly
+        formatReadableSize(1536) = '1.50 KiB' AS c,
+        formatReadableSize(3221225472) = '3.00 GiB' AS d,
+        formatReadableSize(512) = '512 B' AS e,
+        formatReadableQuantity(1500000) = '1.50 million' AS f,
+        formatReadableQuantity(42) = '42' AS g""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+    val sc = Graft.sql(spark,
+      "SELECT sumCount(n_nationkey) AS s FROM nation").collect().head
+      .getStruct(0)
+    assert(sc.getLong(0) == 300L && sc.getLong(1) == 25L)
+  }
+
+  test("TRUNCATE and OPTIMIZE statements route to snapshots") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // OPTIMIZE compacts without changing rows
+    val before = Graft.sql(spark, "SELECT count(*) AS n FROM region")
+      .collect().head.getLong(0)
+    val opt = Graft.sql(spark, "OPTIMIZE TABLE region")
+    assert(opt.count() == before)
+    assert(opt.rdd.getNumPartitions == 1)
+    // FINAL without key metadata is a loud failure, not a silent skip
+    val e = intercept[IllegalArgumentException](
+      Graft.sql(spark, "OPTIMIZE TABLE region FINAL"))
+    assert(e.getMessage.contains("replacingLatest"))
+    // TRUNCATE empties the view, base untouched
+    assert(Graft.sql(spark, "TRUNCATE TABLE region").count() == 0)
+    assert(Graft.sql(spark, "SELECT count(*) AS n FROM region")
+      .collect().head.getLong(0) == 0)
+    assert(Tables(spark, "/root/testdata/sf0.001", "region").count() == before)
+    Graft.init(spark, "/root/testdata/sf0.001") // restore views
+  }
+
   test("ALTER TABLE DELETE/UPDATE text routes to copy-on-write mutations") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val before = Graft.sql(spark, "SELECT count(*) AS n FROM region")
