@@ -414,6 +414,35 @@ object ChSql {
     out
   }
 
+  private val insertSelectRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+((?:SELECT|WITH)\b.*)$""".r
+  private val insertValuesRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s+(.*)$""".r
+
+  /** `INSERT INTO t SELECT …` / `INSERT INTO t VALUES (…), (…)` —
+    * append as a copy-on-write snapshot (immutable parts + repoint,
+    * like every mutation here). The SELECT body goes back through
+    * [[run]], so CH clauses work inside an INSERT; VALUES rows are
+    * positional and adopt the target's column names.
+    */
+  private def runInsert(spark: SparkSession, table: String, body: String,
+      positional: Boolean): DataFrame = {
+    val cur = spark.table(table)
+    val add0 = run(spark, body)
+    val add = if (positional) {
+      require(add0.columns.length == cur.columns.length,
+        s"INSERT VALUES arity ${add0.columns.length} != table ${cur.columns.length}")
+      add0.toDF(cur.columns.toIndexedSeq: _*)
+    } else add0
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${table}_ins_${mutationSeq.incrementAndGet()}"
+    cur.unionByName(add.select(cur.columns.map(col).toIndexedSeq: _*))
+      .write.mode("overwrite").parquet(dest)
+    val out = spark.read.parquet(dest)
+    out.createOrReplaceTempView(table)
+    out
+  }
+
   private val truncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
   private val optimizeRe =
@@ -426,6 +455,13 @@ object ChSql {
     truncateRe.findFirstMatchIn(query).foreach { m =>
       // TRUNCATE TABLE t → empty snapshot, view repointed
       return runAlter(spark, m.group(1), "DELETE", "WHERE true")
+    }
+    insertSelectRe.findFirstMatchIn(query).foreach { m =>
+      return runInsert(spark, m.group(1), m.group(2), positional = false)
+    }
+    insertValuesRe.findFirstMatchIn(query).foreach { m =>
+      return runInsert(spark, m.group(1),
+        s"SELECT * FROM VALUES ${m.group(2)}", positional = true)
     }
     optimizeRe.findFirstMatchIn(query).foreach { m =>
       // OPTIMIZE TABLE t = merge parts → one compacted snapshot.

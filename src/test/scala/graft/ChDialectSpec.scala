@@ -411,6 +411,27 @@ class ChDialectSpec extends AnyFunSuite {
     Graft.init(spark, "/root/testdata/sf0.001") // restore views
   }
 
+  test("INSERT INTO SELECT/VALUES appends as copy-on-write snapshots") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val before = Graft.sql(spark, "SELECT count(*) AS n FROM region")
+      .collect().head.getLong(0)
+    // VALUES form: positional, adopts the target's column names
+    val afterValues = Graft.sql(spark,
+      "INSERT INTO region VALUES (90, 'NEWLAND'), (91, 'OTHERLAND')")
+    assert(afterValues.count() == before + 2)
+    // SELECT form: self-append doubles the originals (runs through the
+    // full front door, so dialect spellings work in the body)
+    val afterSelect = Graft.sql(spark,
+      "INSERT INTO region SELECT r_regionkey + 100 AS r_regionkey, upperUTF8(r_name) AS r_name FROM region WHERE r_regionkey < 2")
+    assert(afterSelect.count() == before + 4)
+    assert(Graft.sql(spark,
+      "SELECT count(*) AS n FROM region WHERE r_regionkey >= 90")
+      .collect().head.getLong(0) == 4) // 90, 91, 100, 101
+    // base fixture untouched
+    assert(Tables(spark, "/root/testdata/sf0.001", "region").count() == before)
+    Graft.init(spark, "/root/testdata/sf0.001") // restore views
+  }
+
   test("ALTER TABLE DELETE/UPDATE text routes to copy-on-write mutations") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val before = Graft.sql(spark, "SELECT count(*) AS n FROM region")
