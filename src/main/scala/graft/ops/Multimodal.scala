@@ -109,11 +109,11 @@ object Multimodal {
   case class WavAudio(channels: Int, sampleRate: Int, bitsPerSample: Int,
       nFrames: Long, durationMs: Long, rms: Double)
 
-  /** RIFF/WAVE parser: walks chunks (skipping unknown ones, honoring
-    * odd-size padding) to `fmt ` + `data`; PCM16 only. Duration from
-    * byte rate; RMS from an exact Σ s² integer sum.
+  /** Chunk-walk core shared by [[decodeWav]] and [[decodeWavSamples]]:
+    * (channels, sampleRate, bits, byteRate, dataOffset, dataLen, buf).
     */
-  def decodeWav(bytes: Array[Byte]): WavAudio = {
+  private def wavInfo(bytes: Array[Byte])
+      : (Int, Int, Int, Int, Int, Int, java.nio.ByteBuffer) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
@@ -147,6 +147,15 @@ object Multimodal {
     }
     require(channels > 0 && sampleRate > 0, "WAV: no fmt chunk before data")
     require(dataOff >= 0, "WAV: no data chunk")
+    (channels, sampleRate, bits, byteRate, dataOff, dataLen, bb)
+  }
+
+  /** RIFF/WAVE parser: walks chunks (skipping unknown ones, honoring
+    * odd-size padding) to `fmt ` + `data`; PCM16 only. Duration from
+    * byte rate; RMS from an exact Σ s² integer sum.
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    val (channels, sampleRate, bits, byteRate, dataOff, dataLen, bb) = wavInfo(bytes)
     val nSamples = dataLen / 2
     var sqSum = 0L // max 2^31 samples * (2^15)^2 < 2^62 — no overflow
     var i = 0
@@ -159,6 +168,67 @@ object Multimodal {
     WavAudio(channels, sampleRate, bits, nFrames,
       dataLen.toLong * 1000L / byteRate,
       if (nSamples == 0) 0.0 else math.sqrt(sqSum.toDouble / nSamples))
+  }
+
+  /** Decode header AND raw PCM16 samples (interleaved if stereo). */
+  def decodeWavSamples(bytes: Array[Byte]): (WavAudio, Array[Short]) = {
+    val au = decodeWav(bytes)
+    val (_, _, _, _, dataOff, dataLen, bb) = wavInfo(bytes)
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
+    (au, out)
+  }
+
+  /** Per-asset windowed audio features: one full `windowMs` window at
+    * a time (trailing partial window dropped), per window the RMS
+    * (exact integer square sums) and the zero-crossing RATE
+    * (sign-change count / (window−1) — the classic voicing/noisiness
+    * feature). Returns per-asset window count and window-mean values —
+    * real DSP replacing the hash-stub feature path for audio.
+    */
+  case class AudioWindows(doc_id: Long, n_windows: Int,
+      rms_mean: Double, zcr_mean: Double)
+
+  private implicit val audioWinEnc: Encoder[AudioWindows] =
+    ExpressionEncoder[AudioWindows]()
+
+  def audioWindowFeatures(ds: Dataset[(Long, Array[Byte])], windowMs: Int,
+      batchSize: Int = 64): Dataset[AudioWindows] = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val (au, samples) = decodeWavSamples(bytes)
+        val win = math.max(1, au.sampleRate * au.channels * windowMs / 1000)
+        val nW = samples.length / win
+        var rmsSum = 0.0
+        var zcrSum = 0.0
+        var w = 0
+        while (w < nW) {
+          var sq = 0L
+          var crossings = 0
+          var i = w * win
+          val end = i + win
+          var prev = 0
+          var first = true
+          while (i < end) {
+            val s = samples(i).toInt
+            sq += s.toLong * s
+            if (!first && (s < 0) != (prev < 0) && s != 0 && prev != 0)
+              crossings += 1
+            if (s != 0) { prev = s; first = false }
+            i += 1
+          }
+          rmsSum += math.sqrt(sq.toDouble / win)
+          zcrSum += (if (win > 1) crossings.toDouble / (win - 1) else 0.0)
+          w += 1
+        }
+        AudioWindows(id, nW,
+          if (nW == 0) 0.0 else rmsSum / nW,
+          if (nW == 0) 0.0 else zcrSum / nW)
+      })
+    }
   }
 
   /** Sniff-and-dispatch single-asset decode: P6 magic → PPM, RIFF →

@@ -393,7 +393,43 @@ object PipelineQueries {
              CAST(sum(height) AS BIGINT) AS h_sum,
              CAST(sum(duration_ms) AS BIGINT) AS dur_sum,
              ${Det.sqlSum("mean_level")} AS level_sum
-      FROM m GROUP BY kind ORDER BY kind"""))
+      FROM m GROUP BY kind ORDER BY kind""")),
+
+    // REAL audio feature extraction: square-wave PCM16 assets
+    // (alternating ±(doc_id % 1000), sample count from n_chars) run
+    // through the windowed DSP path — per-250ms-window RMS from exact
+    // integer square sums and zero-crossing rate. Closed forms: a
+    // square wave's every window has RMS = amplitude exactly and ZCR
+    // = 1 (every consecutive pair crosses); silence has 0/0 — so the
+    // oracle recomputes every decoded feature from (doc_id, n_chars)
+    // alone and any windowing/DSP drift breaks the hash.
+    QDef("pipe_audio_features", (s, dir) => {
+      import s.implicits._
+      val wavs = Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars")
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val n = (nc % 16000).toInt + 100
+          val a = (id % 1000).toShort
+          val samples = Array.tabulate(n)(i =>
+            if (i % 2 == 0) a else (-a).toShort)
+          (id, Multimodal.encodeWav(8000, 1, samples))
+        }
+      Multimodal.audioWindowFeatures(wavs, windowMs = 250)
+        .toDF()
+        .agg(count(lit(1)).as("n_assets"),
+          sum($"n_windows".cast("long")).as("windows_sum"),
+          Det.dsum(when($"n_windows" > 0, $"rms_mean")).as("rms_sum"),
+          Det.dsum(when($"n_windows" > 0, $"zcr_mean")).as("zcr_sum"))
+    }, Some(s"""
+      WITH m AS (SELECT doc_id % 1000 AS a,
+                        ((n_chars % 16000) + 100) // 2000 AS n_w
+                 FROM documents)
+      SELECT count(*) AS n_assets,
+             CAST(sum(n_w) AS BIGINT) AS windows_sum,
+             ${Det.sqlSum("CASE WHEN n_w > 0 THEN CAST(a AS DOUBLE) END")} AS rms_sum,
+             ${Det.sqlSum("CASE WHEN n_w > 0 AND a > 0 THEN 1.0 WHEN n_w > 0 THEN 0.0 END")} AS zcr_sum
+      FROM m"""))
   )
 
   // End-to-end curation pipeline (the north-star composition): score

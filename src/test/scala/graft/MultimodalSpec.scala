@@ -74,6 +74,27 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeWav(Array.fill[Byte](48)(0)))
   }
 
+  test("audioWindowFeatures: exact RMS/ZCR on constant, square, and short waves") {
+    // 8000 Hz mono, 250ms windows → 2000 samples per window
+    val const = Multimodal.encodeWav(8000, 1, Array.fill(4100)(700.toShort))
+    val square = Multimodal.encodeWav(8000, 1,
+      Array.tabulate(6000)(i => if (i % 2 == 0) 300.toShort else (-300).toShort))
+    val short = Multimodal.encodeWav(8000, 1, Array.fill(1999)(5.toShort))
+    val ds = spark.createDataset(Seq(
+      (1L, const), (2L, square), (3L, short)))
+    val out = Multimodal.audioWindowFeatures(ds, windowMs = 250)
+      .collect().map(f => f.doc_id -> f).toMap
+    // constant: 2 full windows (trailing 100 samples dropped), RMS =
+    // amplitude exactly, no crossings
+    assert(out(1L).n_windows == 2)
+    assert(out(1L).rms_mean == 700.0 && out(1L).zcr_mean == 0.0)
+    // square wave: RMS = amplitude, every consecutive pair crosses
+    assert(out(2L).n_windows == 3)
+    assert(out(2L).rms_mean == 300.0 && out(2L).zcr_mean == 1.0)
+    // below one window: no features
+    assert(out(3L).n_windows == 0 && out(3L).rms_mean == 0.0)
+  }
+
   test("decodeMedia: sniff-dispatch over a Dataset, batch-size independent") {
     val rows = Seq.tabulate(12) { i =>
       val bytes =
