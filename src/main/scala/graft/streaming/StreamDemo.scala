@@ -140,6 +140,29 @@ object StreamDemo {
       }
   }
 
+  /** Live distinct-user counts per event type with BOUNDED state: the
+    * per-key state IS a KMV theta sketch (graft.ops.Sketches — ≤ k
+    * longs regardless of stream length), merged incrementally per
+    * micro-batch. Below capacity the running estimate is exact
+    * (batch-equal to COUNT(DISTINCT) — StreamingSpec); past it the
+    * state stays O(k) where a naive distinct-set state grows without
+    * bound — the streaming answer to the -State sketch family.
+    */
+  def streamingUniq(events: DataFrame, k: Int = 4096): Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (String, Long)](GroupStateTimeout.NoTimeout) {
+        case (eventType, it, state: GroupState[Seq[Long]]) =>
+          val hashes = state.getOption.getOrElse(Vector.empty) ++
+            it.map(t => graft.ops.Sketches.hash60("th", t._2))
+          val sketch = graft.ops.Sketches.fromHashes(k, hashes)
+          state.update(sketch.values.toVector)
+          (eventType, math.round(sketch.estimate))
+      }
+  }
+
   /** Raw schema of the events parquet when read as a stream (ts is
     * ns-int64 under nanosAsLong; normalize exactly like graft.Tables).
     */

@@ -124,6 +124,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming uniq: KMV-sketch state, final estimates equal batch COUNT DISTINCT") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("u"))
+      .as[(String, Long)].collect().toMap
+
+    val stream = StreamDemo.streamingUniq(
+      StreamDemo.readEventStream(spark, stageStreamDir()))
+    val q = stream.toDF("event_type", "uniq").writeStream.format("memory")
+      .queryName("uniq_state").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("uniq_state").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (t, rows) => t -> rows.last._2 }
+      assert(got == expected) // below capacity: sketch estimates are exact
+      assert(got.size == 5)
+    } finally q.stop()
+  }
+
   test("streaming dedup: one row per fingerprint, fp set equals batch distinct") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
