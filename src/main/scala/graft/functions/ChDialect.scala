@@ -121,7 +121,10 @@ object ChDialect {
     // string replace family (identical argument order)
     "replaceAll" -> "replace",
     "replaceRegexpAll" -> "regexp_replace",
-    "extractAll" -> "regexp_extract_all")
+    "extractAll" -> "regexp_extract_all",
+    // clock functions (CH spellings; now() already matches Spark's)
+    "today" -> "current_date",
+    "fromUnixTimestamp" -> "timestamp_seconds")
 
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
@@ -474,8 +477,17 @@ object ChDialect {
     reg("toStartOfMinute")(c => TruncTimestamp(Literal("MINUTE"), c.head))
     macroFn("toStartOfFiveMinutes", Seq("__t"),
       "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 300) * 300)")
+    macroFn("toStartOfTenMinutes", Seq("__t"),
+      "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 600) * 600)")
     macroFn("toStartOfFifteenMinutes", Seq("__t"),
       "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 900) * 900)")
+    macroFn("yesterday", Seq(),
+      "date_add(current_date(), -1)")
+    // zero-divisor-safe arithmetic (CH's OrZero family)
+    macroFn("intDivOrZero", Seq("__a", "__b"),
+      "CASE WHEN __b = 0 THEN 0 ELSE __a DIV __b END")
+    macroFn("moduloOrZero", Seq("__a", "__b"),
+      "CASE WHEN __b = 0 THEN 0 ELSE __a % __b END")
     // arrayStringConcat(arr[, sep]) — CH defaults sep to ''
     reg("arrayStringConcat")(c =>
       ArrayJoin(c.head, if (c.size > 1) c(1) else Literal(""), None))

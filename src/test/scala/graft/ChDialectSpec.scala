@@ -151,6 +151,12 @@ class ChDialectSpec extends AnyFunSuite {
           = TIMESTAMP '2026-08-12 09:05:00' AS l,
         toStartOfFifteenMinutes(TIMESTAMP '2026-08-12 09:22:42')
           = TIMESTAMP '2026-08-12 09:15:00' AS m,
+        toStartOfTenMinutes(TIMESTAMP '2026-08-12 09:22:42')
+          = TIMESTAMP '2026-08-12 09:20:00' AS m2,
+        today() = current_date() AND yesterday() = date_add(current_date(), -1) AS m3,
+        fromUnixTimestamp(0) = TIMESTAMP '1970-01-01 00:00:00' AS m4,
+        intDivOrZero(7, 2) = 3 AND intDivOrZero(7, 0) = 0 AS m5,
+        moduloOrZero(7, 4) = 3 AND moduloOrZero(7, 0) = 0 AS m6,
         tuple(1, 'x') = struct(1, 'x') AS n,
         arrayZip(array(1, 2), array('a', 'b'))
           = array(struct(1, 'a'), struct(2, 'b')) AS o,
