@@ -14,7 +14,7 @@ object SparkEntry {
       AggQueries.defs ++ ScalarQueries.defs ++ MergeTreeQueries.defs ++
       PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs ++
       Extras2Queries.defs ++ StatsQueries.defs ++ CompositeQueries.defs ++
-      ChSqlQueries.defs
+      TpchQueries.defs ++ ChSqlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
