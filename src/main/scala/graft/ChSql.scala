@@ -40,9 +40,12 @@ import scala.util.matching.Regex
   *     expressions; true CTEs pass through to Spark's WITH.
   *   - `[LEFT] ARRAY JOIN e AS x` → `LATERAL VIEW explode[_outer]`;
   *     `PREWHERE` → WHERE conjunction; `GLOBAL`/`ALL` join modifiers
-  *     strip (ANY JOIN fails loudly toward ops/Joins.anyJoin);
-  *     trailing `FORMAT x` drops; `ORDER BY` ordinals resolve
+  *     strip; trailing `FORMAT x` drops; `ORDER BY` ordinals resolve
   *     positionally.
+  *   - `ASOF [LEFT] JOIN … ON a.k = b.k AND a.ts >= b.ts` and
+  *     `[LEFT] ANY JOIN … ON a.k = b.k` → [[graft.ops.Joins]]
+  *     (union+window ASOF, right-dedup ANY) via a temp view, with
+  *     `alias.col` references re-targeted (see rewriteSpecialJoins).
   *   - `ALTER TABLE t DELETE/UPDATE … WHERE …` → copy-on-write
   *     snapshot ([[graft.ops.Mutations]]), temp view repointed.
   *
@@ -373,6 +376,228 @@ object ChSql {
     case other => lit(null).cast(other)
   }
 
+  // ---- ASOF / ANY JOIN routing --------------------------------------
+
+  /** CH spells both modifier orders: `ASOF LEFT JOIN` / `LEFT ASOF
+    * JOIN`, `ANY LEFT JOIN` / `LEFT ANY JOIN`; bare `ASOF JOIN` /
+    * `ANY JOIN` are INNER.
+    */
+  private val specialJoinRe =
+    """(?i)\b(?:(LEFT|INNER|RIGHT|FULL)\s+)?(ASOF|ANY)\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN\b""".r
+  private val fromKwRe = """(?i)\bFROM\b""".r
+  private val onKwRe = """(?i)\bON\b""".r
+  private val usingKwRe = """(?i)\bUSING\b""".r
+  private val andKwRe = """(?i)\bAND\b""".r
+  private val anyJoinKwRe = """(?i)\bJOIN\b""".r
+
+  /** Where the ON condition list of a routed join ends: the next
+    * top-level clause keyword, set operator, or follow-on join.
+    */
+  private val onBoundaryRe =
+    ("""(?i)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|""" +
+      """LIMIT|SETTINGS|UNION|INTERSECT|EXCEPT|FORMAT|""" +
+      """(?:(?:LEFT|RIGHT|FULL|INNER|CROSS|GLOBAL|ALL|ANY|ASOF|SEMI|ANTI)\s+)*JOIN)\b""").r
+
+  private val joinSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One join side: `name [[AS] alias]` or `(subquery) [AS] alias`.
+    * Subqueries recurse through [[run]], so CH clauses nest inside a
+    * routed join's sides.
+    */
+  private def parseFactor(spark: SparkSession, raw: String): (DataFrame, String) = {
+    val t = raw.trim
+    require(t.nonEmpty, "empty join side")
+    if (t.startsWith("(")) {
+      var depth = 0; var inStr = false; var end = -1; var i = 0
+      while (i < t.length && end < 0) {
+        val c = t.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > 0, s"unbalanced parens in join side '$t'")
+      val alias = t.substring(end + 1).trim.replaceFirst("(?i)^AS\\s+", "")
+      require(alias.matches("[A-Za-z_]\\w*"),
+        s"subquery join side needs an alias: (SELECT …) x, got '$alias'")
+      (run(spark, t.substring(1, end)), alias)
+    } else {
+      val parts = t.split("\\s+").toSeq.filterNot(_.equalsIgnoreCase("AS"))
+      require(parts.nonEmpty && parts.size <= 2 &&
+        parts.forall(_.matches("[A-Za-z_]\\w*")),
+        s"join side '$t' not routable — use a table name or (subquery) alias; " +
+          "ASOF/ANY JOIN must be the first join in its FROM")
+      (spark.table(parts.head), parts.last)
+    }
+  }
+
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val mask = topLevelMask(s)
+    val cuts = andKwRe.findAllMatchIn(s).filter(m => mask(m.start)).toSeq
+    val bounds = (0 +: cuts.flatMap(m => Seq(m.start, m.end))) :+ s.length
+    bounds.grouped(2).map { case Seq(a, b) => s.substring(a, b).trim }.toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** `alias.col` → f(col) everywhere outside string literals. */
+  private def replaceQualRefs(text: String, alias: String,
+      f: String => String): String = {
+    val re = s"""(?i)\\b${Regex.quote(alias)}\\.([A-Za-z_]\\w*)""".r
+    val inStr = {
+      val flags = new Array[Boolean](text.length)
+      var s = false; var i = 0
+      while (i < text.length) {
+        if (text.charAt(i) == '\'') s = !s
+        flags(i) = s
+        i += 1
+      }
+      flags
+    }
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(text) if !inStr(m.start)) {
+      sb.append(text.substring(last, m.start)).append(f(m.group(1)))
+      last = m.end
+    }
+    sb.append(text.substring(last))
+    sb.toString
+  }
+
+  /** Routes verbatim `ASOF [LEFT] JOIN` / `[LEFT] ANY JOIN` text onto
+    * [[graft.ops.Joins]]: the join runs as the proven operator (one
+    * shuffle union+window for ASOF, right-side dedup + equi-join for
+    * ANY), the result registers as a temp view, and the rest of the
+    * query re-targets that view with `alias.col` references rewritten
+    * (ASOF right columns surface under their `asof_` names; join-key
+    * references coalesce to the left name, as with USING).
+    *
+    * Scope (loud failures otherwise): the special join is the first
+    * join in its FROM; sides are table names or (subquery) alias; ON
+    * is an AND-list of `a.x = b.y` equalities — plus, for ASOF,
+    * exactly one `a.ts >= b.ts` / `b.ts <= a.ts` inequality (CH's
+    * default closest-match direction; strict forms are rejected
+    * because the operator pins `<=` semantics).
+    */
+  private def rewriteSpecialJoins(spark: SparkSession, q0: String): String = {
+    var q = q0
+    var matched = firstTopLevel(q, specialJoinRe)
+    while (matched.isDefined) {
+      val mm = matched.get
+      val kind = mm.group(2).toUpperCase(java.util.Locale.ROOT)
+      val mods = Seq(Option(mm.group(1)), Option(mm.group(3))).flatten
+        .map(_.toUpperCase(java.util.Locale.ROOT))
+      require(mods.size <= 1, s"conflicting $kind JOIN modifiers: $mods")
+      val joinType = mods.headOption.getOrElse("INNER")
+      require(joinType == "LEFT" || joinType == "INNER",
+        s"$joinType $kind JOIN is not routable — swap the sides and use " +
+          s"LEFT $kind JOIN (RIGHT/FULL strictness needs the library operator)")
+
+      val mask = topLevelMask(q)
+      val fromM = fromKwRe.findAllMatchIn(q)
+        .filter(x => mask(x.start) && x.end <= mm.start).toSeq.lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"$kind JOIN needs a FROM <table|(subquery)> left side"))
+      val leftRaw = q.substring(fromM.end, mm.start)
+
+      val after = q.substring(mm.end)
+      val onM = firstTopLevel(after, onKwRe).getOrElse(
+        throw new IllegalArgumentException(
+          if (firstTopLevel(after, usingKwRe).isDefined)
+            s"$kind JOIN … USING: spell the keys as ON a.k = b.k (qualified)"
+          else s"$kind JOIN needs ON conditions"))
+      val rightRaw = after.substring(0, onM.start)
+      val afterOn = after.substring(onM.end)
+      val condEnd = firstTopLevel(afterOn, onBoundaryRe).map(_.start)
+        .getOrElse(afterOn.length)
+      val condRaw = afterOn.substring(0, condEnd)
+
+      val (lDf, lAlias) = parseFactor(spark, leftRaw)
+      val (rDf0, rAlias) = parseFactor(spark, rightRaw)
+      require(lAlias.toLowerCase != rAlias.toLowerCase,
+        s"join sides need distinct aliases, both are '$lAlias'")
+
+      val condRe =
+        """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
+      // (leftCol, op, rightCol) with the left table's column first
+      val conds = splitTopLevelAnd(condRaw).map {
+        case condRe(q1, c1, op, q2, c2) =>
+          val flip = Map(">=" -> "<=", "<=" -> ">=", ">" -> "<", "<" -> ">",
+            "=" -> "=")
+          if (q1.equalsIgnoreCase(lAlias) && q2.equalsIgnoreCase(rAlias))
+            (c1, op, c2)
+          else if (q1.equalsIgnoreCase(rAlias) && q2.equalsIgnoreCase(lAlias))
+            (c2, flip(op), c1)
+          else throw new IllegalArgumentException(
+            s"ON condition '$q1.$c1 $op $q2.$c2' must reference both sides " +
+              s"('$lAlias' and '$rAlias')")
+        case other => throw new IllegalArgumentException(
+          s"ON condition '$other' not routable — $kind JOIN routing takes " +
+            "qualified `a.x <op> b.y` conjuncts only")
+      }
+
+      val eqs = conds.filter(_._2 == "=")
+      // Right key columns adopt the left name (USING-style coalesce).
+      val renames = eqs.collect { case (lc, _, rc) if lc != rc => rc -> lc }.toMap
+      val rDf = renames.foldLeft(rDf0) { case (df, (rc, lc)) =>
+        df.withColumnRenamed(rc, lc)
+      }
+      val keys = eqs.map(_._1)
+      require(keys.nonEmpty, s"$kind JOIN needs at least one equality key")
+
+      val viewName = s"__graft_sj_${joinSeq.incrementAndGet()}"
+      // rewrite of a right-side reference `rAlias.c` after the join
+      var rightRef: String => String = identity
+
+      val joined = kind match {
+        case "ASOF" =>
+          val ineqs = conds.filterNot(_._2 == "=")
+          require(ineqs.size == 1,
+            s"ASOF JOIN needs exactly one inequality, got ${ineqs.size}")
+          val (lts, op, rts) = ineqs.head
+          require(op == ">=",
+            s"ASOF inequality '$lts $op $rts' unsupported: the operator " +
+              "implements CH's default l.ts >= r.ts (latest right at-or-" +
+              "before); strict or reversed forms need ops.Joins directly")
+          val rightCols = rDf.columns.toSeq.filterNot(keys.contains)
+          val out = graft.ops.Joins.asofJoin(lDf, rDf, keys, lts, rts, rightCols)
+          rightRef = c => {
+            val nc = renames.getOrElse(c, c)
+            if (keys.contains(nc)) nc else s"asof_$nc"
+          }
+          if (joinType == "INNER") out.filter(col(s"asof_$rts").isNotNull)
+          else out
+        case "ANY" =>
+          require(conds.forall(_._2 == "="),
+            "ANY JOIN takes equality conditions only")
+          val rest = rDf.columns.toSeq.filterNot(keys.contains)
+          val clash = rest.toSet.intersect(lDf.columns.toSet)
+          require(clash.isEmpty,
+            s"ANY JOIN column clash on ${clash.mkString(", ")} — alias them " +
+              "apart in a (subquery) side")
+          // deterministic "any": first row per key by the remaining
+          // right columns (CH's pick is arbitrary; ours is pinned)
+          val firstBy = if (rest.nonEmpty) rest.map(col(_).asc)
+            else Seq(col(keys.head).asc)
+          rightRef = c => renames.getOrElse(c, c)
+          graft.ops.Joins.anyJoin(lDf, rDf, keys, firstBy,
+            joinType.toLowerCase(java.util.Locale.ROOT))
+      }
+      joined.createOrReplaceTempView(viewName)
+
+      var next = q.substring(0, fromM.start) + "FROM " + viewName + " " +
+        afterOn.substring(condEnd)
+      next = replaceQualRefs(next, rAlias, rightRef)
+      next = replaceQualRefs(next, lAlias, identity)
+      q = next
+      matched = firstTopLevel(q, specialJoinRe)
+    }
+    q
+  }
+
   // ---- entry -------------------------------------------------------
 
   // ---- CH mutations: ALTER TABLE t DELETE/UPDATE --------------------
@@ -479,7 +704,7 @@ object ChSql {
       out.createOrReplaceTempView(table)
       return out
     }
-    val q = preRewrite(query.trim)
+    val q = preRewrite(rewriteSpecialJoins(spark, query.trim))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

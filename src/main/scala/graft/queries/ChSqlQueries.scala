@@ -227,6 +227,56 @@ object ChSqlQueries {
              round(max(l_extendedprice) /
                    (SELECT max(o_totalprice) FROM orders), 6) AS price_ratio
       FROM lineitem WHERE l_quantity > 25
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Verbatim CH ASOF LEFT JOIN text → ops/Joins.asofJoin (the
+    // union+window one-shuffle operator); DuckDB's native ASOF JOIN
+    // is the oracle. Timestamps compared in epoch-µs (the events ns/µs
+    // trap, FIXTURES.md).
+    QDef("sql_ch_asof_join", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l.user_id, l.event_id,
+               unix_micros(l.ts) AS err_us,
+               unix_micros(r.ts) AS purch_us,
+               r.value AS purch_value
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY user_id, err_us""")
+    }, Some("""
+      SELECT l.user_id AS user_id, l.event_id AS event_id,
+             epoch_us(CAST(l.ts AS TIMESTAMP)) AS err_us,
+             epoch_us(CAST(r.ts AS TIMESTAMP)) AS purch_us,
+             r.value AS purch_value
+      FROM (SELECT * FROM events WHERE event_type = 'error') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY user_id, err_us""")),
+
+    // Verbatim CH LEFT ANY JOIN text → ops/Joins.anyJoin (right side
+    // deduped to one row per key BEFORE the join — broadcastable).
+    // CH picks an arbitrary match; the router pins first-by-remaining-
+    // right-columns, mirrored in the oracle's row_number ordering.
+    QDef("sql_ch_any_join", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT c.c_custkey, o.o_orderkey AS first_order,
+               o.o_totalprice AS first_price
+        FROM customer c
+        LEFT ANY JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+                       FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, o_orderkey AS first_order, o_totalprice AS first_price
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey, o_totalprice) AS rn
+        FROM orders) o ON c_custkey = o_custkey AND rn = 1
+      ORDER BY c_custkey"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ClickHouse-spelled SQL runs unchanged: each dialect function must
@@ -343,12 +344,77 @@ class ChDialectSpec extends AnyFunSuite {
       FORMAT Pretty""").collect()
     assert(g.head.getLong(0) == 10L)
 
-    // ANY JOIN is a semantic change — loud failure pointing at the op
+    // ANY JOIN with unqualified ON conds can't route — loud failure
+    // with guidance (the routable spelling is qualified a.x = b.y)
     val e = intercept[IllegalArgumentException] {
       Graft.sql(spark,
         "SELECT 1 FROM nation ANY LEFT JOIN region ON n_regionkey = r_regionkey")
     }
-    assert(e.getMessage.contains("Joins.anyJoin"))
+    assert(e.getMessage.contains("qualified"))
+  }
+
+  test("ASOF/ANY JOIN text routes onto ops.Joins (operator-equal)") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val ev = spark.table("events")
+
+    // ASOF LEFT JOIN text ≡ Joins.asofJoin
+    val txt = Graft.sql(spark, """
+      SELECT l.user_id, l.event_id, r.ts AS p_ts, r.value AS p_value
+      FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                      WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.user_id, l.event_id""")
+    assert(txt.columns.toSeq == Seq("user_id", "event_id", "p_ts", "p_value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val op = graft.ops.Joins.asofJoin(errors, purchases, Seq("user_id"),
+        "ts", "ts", Seq("ts", "value"))
+      .select(col("user_id"), col("event_id"), col("asof_ts").as("p_ts"),
+        col("asof_value").as("p_value"))
+      .orderBy(col("user_id"), col("event_id"))
+    assert(txt.collect().toSeq == op.collect().toSeq)
+
+    // bare ASOF JOIN is INNER: unmatched left rows drop
+    val inner = Graft.sql(spark, """
+      SELECT l.user_id, l.event_id
+      FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') l
+      ASOF JOIN (SELECT user_id, ts, value FROM events
+                 WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.user_id, l.event_id""")
+    val matchedOnly = op.filter(col("p_ts").isNotNull).count()
+    assert(inner.count() == matchedOnly && matchedOnly < op.count())
+
+    // LEFT ANY JOIN text ≡ Joins.anyJoin with the pinned first-by
+    // ordering (remaining right columns ascending)
+    val anyTxt = Graft.sql(spark, """
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c
+      LEFT ANY JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) o
+        ON c.c_custkey = o.o_custkey
+      ORDER BY c.c_custkey""")
+    val anyOp = graft.ops.Joins.anyJoin(
+        spark.table("customer"),
+        spark.table("orders")
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+            col("o_totalprice")),
+        Seq("c_custkey"), Seq(col("o_orderkey").asc, col("o_totalprice").asc))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"))
+    assert(anyTxt.collect().toSeq == anyOp.collect().toSeq)
+
+    // a strict ASOF inequality is a semantic change — loud failure
+    val strict = intercept[IllegalArgumentException] {
+      Graft.sql(spark, """
+        SELECT l.event_id FROM
+        (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') l
+        ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts > r.ts""")
+    }
+    assert(strict.getMessage.contains("ASOF inequality"))
   }
 
   test("scalar WITH substitutes; CTE WITH passes through; routed ordinals resolve") {
