@@ -673,7 +673,55 @@ object ChSql {
   private val optimizeRe =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+([A-Za-z_]\w*)(\s+FINAL)?\s*$""".r
 
+  /** `CREATE FUNCTION f AS (a, b) -> body` / `AS x -> body` — the CH
+    * SQL-lambda UDF, registered as a parse-once macro
+    * ([[graft.functions.ChDialect.createFunction]]): call sites expand
+    * to builtin expression trees, fully codegen'd.
+    */
+  private val createFnRe =
+    """(?is)^\s*CREATE\s+FUNCTION\s+([A-Za-z_]\w*)\s+AS\s+(?:\(([^)]*)\)|([A-Za-z_]\w*))\s*->\s*(.+)$""".r
+  private val dropFnRe =
+    """(?is)^\s*DROP\s+FUNCTION\s+([A-Za-z_]\w*)\s*$""".r
+
+  /** CH `EXPLAIN [AST|SYNTAX|PLAN|PIPELINE] q` → the matching Spark
+    * plan as rows (AST/SYNTAX ≈ parsed/analyzed, PLAN ≈ optimized
+    * logical, PIPELINE ≈ formatted physical — CH's pipeline is its
+    * physical operator graph). The inner query goes back through
+    * [[run]], so routed CH clauses explain too.
+    */
+  private val explainRe =
+    """(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE))?\s+((?:SELECT|WITH)\b.*)$""".r
+
   def run(spark: SparkSession, query: String): DataFrame = {
+    createFnRe.findFirstMatchIn(query).foreach { m =>
+      val args = Option(m.group(2))
+        .map(splitTopLevel(_)).getOrElse(Seq(m.group(3)))
+      args.foreach(a => require(a.matches("[A-Za-z_]\\w*"),
+        s"CREATE FUNCTION parameter '$a' must be an identifier"))
+      graft.functions.ChDialect.createFunction(spark, m.group(1), args,
+        m.group(4).trim)
+      import spark.implicits._
+      return Seq(m.group(1)).toDF("created")
+    }
+    dropFnRe.findFirstMatchIn(query).foreach { m =>
+      graft.functions.ChDialect.dropFunction(spark, m.group(1))
+      import spark.implicits._
+      return Seq(m.group(1)).toDF("dropped")
+    }
+    explainRe.findFirstMatchIn(query).foreach { m =>
+      val qe = run(spark, m.group(2)).queryExecution
+      val text = Option(m.group(1)).map(_.toUpperCase(java.util.Locale.ROOT)) match {
+        case Some("AST") => qe.logical.treeString
+        case Some("SYNTAX") => qe.analyzed.treeString
+        case Some("PLAN") | None => qe.optimizedPlan.treeString
+        case Some("PIPELINE") => qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        case Some(other) => throw new IllegalArgumentException(
+          s"EXPLAIN $other unsupported")
+      }
+      import spark.implicits._
+      return text.linesIterator.toSeq.toDF("explain")
+    }
     alterRe.findFirstMatchIn(query).foreach { m =>
       return runAlter(spark, m.group(1), m.group(2), m.group(3))
     }

@@ -126,6 +126,37 @@ object ChDialect {
     "today" -> "current_date",
     "fromUnixTimestamp" -> "timestamp_seconds")
 
+  /** CH `CREATE FUNCTION name AS (args) -> body` [public docs:
+    * sql-reference/statements/create/function]: registered as a SQL
+    * MACRO — the body is parsed ONCE and each call site substitutes
+    * its argument trees for the parameter placeholders, so the
+    * expansion stays builtin (codegen'd) expressions end to end; no
+    * UDF, no interpretation. Non-parameter identifiers resolve as
+    * columns at the call site, like any SQL expression.
+    */
+  def createFunction(spark: SparkSession, name: String, argNames: Seq[String],
+      body: String): Unit = {
+    val template = spark.sessionState.sqlParser.parseExpression(body)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, { c =>
+      require(c.size == argNames.size,
+        s"$name expects ${argNames.size} argument(s), got ${c.size}")
+      // inside lambda bodies the parser wraps EVERY identifier as
+      // UnresolvedNamedLambdaVariable (it can't know which are
+      // lambda parameters yet) — match both node shapes
+      template.transformUp {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if argNames.contains(ua.name) => c(argNames.indexOf(ua.name))
+        case lv: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+            if lv.nameParts.length == 1 && argNames.contains(lv.nameParts.head) =>
+          c(argNames.indexOf(lv.nameParts.head))
+      }
+    }, "built-in")
+  }
+
+  /** CH `DROP FUNCTION name`. */
+  def dropFunction(spark: SparkSession, name: String): Unit =
+    spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
 
@@ -320,23 +351,8 @@ object ChDialect {
     // functions (codegen'd), no UDFs. `element_at(a,1)*0` is the
     // type-preserving zero (0 for int arrays, 0.0 for doubles), and
     // the empty-array guard avoids sequence(1,0)'s DESCENDING range.
-    def macroFn(name: String, argNames: Seq[String], body: String): Unit = {
-      reg(name) { c =>
-        require(c.size == argNames.size,
-          s"$name expects ${argNames.size} argument(s), got ${c.size}")
-        // inside lambda bodies the parser wraps EVERY identifier as
-        // UnresolvedNamedLambdaVariable (it can't know which are
-        // lambda parameters yet) — match both node shapes; the __-
-        // prefixed placeholder names can't collide with lambda params
-        spark.sessionState.sqlParser.parseExpression(body).transformUp {
-          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if argNames.contains(ua.name) => c(argNames.indexOf(ua.name))
-          case lv: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
-              if lv.nameParts.length == 1 && argNames.contains(lv.nameParts.head) =>
-            c(argNames.indexOf(lv.nameParts.head))
-        }
-      }
-    }
+    def macroFn(name: String, argNames: Seq[String], body: String): Unit =
+      createFunction(spark, name, argNames, body)
     macroFn("arrayCumSum", Seq("__a"),
       """CASE WHEN size(__a) = 0 THEN __a ELSE
            transform(sequence(1, size(__a)),

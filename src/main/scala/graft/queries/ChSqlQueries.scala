@@ -277,6 +277,28 @@ object ChSqlQueries {
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderkey, o_totalprice) AS rn
         FROM orders) o ON c_custkey = o_custkey AND rn = 1
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // CH `CREATE FUNCTION f AS (args) -> body` (the SQL-lambda UDF,
+    // §2.10a) through the front door: registered as a parse-once
+    // macro, so every call site expands to builtin codegen'd
+    // expressions — zero UDF overhead at any scale. The oracle inlines
+    // the same body.
+    QDef("sql_ch_create_function", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s,
+        "CREATE FUNCTION disc_price AS (p, d) -> CAST(p * (1.0 - d) AS DECIMAL(22,6))")
+      Graft.sql(s, """
+        SELECT l_returnflag,
+               round(CAST(sum(disc_price(l_extendedprice, l_discount)) AS DOUBLE), 4)
+                 AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(22,6))) AS DOUBLE), 4) AS revenue
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -417,6 +417,42 @@ class ChDialectSpec extends AnyFunSuite {
     assert(strict.getMessage.contains("ASOF inequality"))
   }
 
+  test("CREATE FUNCTION registers a codegen macro; DROP removes; EXPLAIN rows") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+
+    // CH's doc example: CREATE FUNCTION linear_equation AS (x,k,b) -> k*x+b
+    Graft.sql(spark,
+      "CREATE FUNCTION linear_equation AS (x, k, b) -> k * x + b")
+    val r = Graft.sql(spark, """
+      SELECT n_nationkey, linear_equation(n_nationkey, 2, 1) AS y
+      FROM nation ORDER BY n_nationkey LIMIT 3""").collect()
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 3, 5))
+
+    // single-parameter arrow form, non-parameter identifiers resolve
+    // as columns at the call site
+    Graft.sql(spark, "CREATE FUNCTION double_it AS x -> x * 2")
+    val r2 = Graft.sql(spark,
+      "SELECT double_it(n_nationkey) AS d FROM nation WHERE n_nationkey = 7")
+      .collect()
+    assert(r2.head.getInt(0) == 14)
+
+    Graft.sql(spark, "DROP FUNCTION double_it")
+    assertThrows[Exception] {
+      Graft.sql(spark, "SELECT double_it(1)").collect()
+    }
+
+    // EXPLAIN kinds return plan rows; PIPELINE is the physical plan
+    val plan = Graft.sql(spark,
+      "EXPLAIN PIPELINE SELECT count(*) FROM nation").collect()
+    assert(plan.nonEmpty &&
+      plan.exists(_.getString(0).contains("HashAggregate")))
+    val opt = Graft.sql(spark, """
+      EXPLAIN SELECT l_returnflag, l_quantity FROM lineitem
+      ORDER BY l_quantity LIMIT 2 BY l_returnflag""").collect()
+    // the routed query explains through the custom LIMIT BY node path
+    assert(opt.nonEmpty)
+  }
+
   test("scalar WITH substitutes; CTE WITH passes through; routed ordinals resolve") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // scalar aliases in both WHERE and SELECT
