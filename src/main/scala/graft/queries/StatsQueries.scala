@@ -149,6 +149,106 @@ object StatsQueries {
                        CROSS JOIN tot)
       GROUP BY n, r, c""")),
 
+    // The other two CH categorical-association coefficients over the
+    // same contingency table: contingency(a,b) = sqrt(χ²/(χ²+n)) and
+    // theilsU(a,b) = (H(X) − H(X|Y)) / H(X) (uncertainty coefficient,
+    // entropy from exact counts). Same 100 TB shape as cramersV: one
+    // fact pass for cells + two broadcast marginals + a 1-row total —
+    // every later stage is O(distinct pairs), never O(rows).
+    QDef("agg_contingency_theilsu", (s, dir) => {
+      import s.implicits._
+      val ord = Tables(s, dir, "orders")
+      val cells = ord.groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("nij"))
+      val rws = ord.groupBy($"o_orderstatus").agg(count(lit(1)).as("ni"))
+      val cls = ord.groupBy($"o_orderpriority").agg(count(lit(1)).as("nj"))
+      val tot = ord.agg(count(lit(1)).as("n"))
+      val a = cells.join(broadcast(rws), "o_orderstatus")
+        .join(broadcast(cls), "o_orderpriority")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", $"ni".cast("double") * $"nj" / $"n")
+        .withColumn("chi", ($"nij" - $"e") * ($"nij" - $"e") / $"e")
+        .withColumn("hxy",
+          -($"nij".cast("double") / $"n") * log($"nij".cast("double") / $"nj"))
+        .groupBy($"n")
+        .agg(sum($"chi").as("chi2"), sum($"hxy").as("h_x_given_y"))
+      val hx = rws.crossJoin(broadcast(tot))
+        .agg(sum(-($"ni".cast("double") / $"n") *
+          log($"ni".cast("double") / $"n")).as("h_x"))
+      a.crossJoin(broadcast(hx))
+        .select(
+          round(sqrt($"chi2" / ($"chi2" + $"n")), 4).as("contingency"),
+          round(($"h_x" - $"h_x_given_y") / $"h_x", 4).as("theils_u"))
+    }, Some("""
+      WITH cells AS (SELECT o_orderstatus, o_orderpriority, count(*) AS nij
+                     FROM orders GROUP BY 1, 2),
+      rws AS (SELECT o_orderstatus, count(*) AS ni FROM orders GROUP BY 1),
+      cls AS (SELECT o_orderpriority, count(*) AS nj FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM orders),
+      a AS (SELECT n, sum((nij - e) * (nij - e) / e) AS chi2,
+                   sum(-(CAST(nij AS DOUBLE) / n) *
+                       ln(CAST(nij AS DOUBLE) / nj)) AS h_x_given_y
+            FROM (SELECT nij, nj, n, CAST(ni AS DOUBLE) * nj / n AS e
+                  FROM cells JOIN rws USING (o_orderstatus)
+                             JOIN cls USING (o_orderpriority)
+                             CROSS JOIN tot)
+            GROUP BY n),
+      hx AS (SELECT sum(-(CAST(ni AS DOUBLE) / n) *
+                        ln(CAST(ni AS DOUBLE) / n)) AS h_x
+             FROM rws CROSS JOIN tot)
+      SELECT round(sqrt(chi2 / (chi2 + n)), 4) AS contingency,
+             round((h_x - h_x_given_y) / h_x, 4) AS theils_u
+      FROM a CROSS JOIN hx""")),
+
+    // kolmogorovSmirnovTest: two-sample KS statistic D = max |ECDF_R −
+    // ECDF_N| over quantity, plus the scaled z = D·sqrt(n1·n2/(n1+n2)).
+    // ECDFs come from the VALUE-COUNT distribution — one fact pass,
+    // then cumulative sums over ≤50 distinct values (the window is
+    // bounded by the value domain, never by row count), the same
+    // O(distinct) shape as agg_rank_corr/quantileExact. Counts stay
+    // exact integers until the final double ratios.
+    QDef("agg_ks_test", (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .filter($"l_returnflag".isin("R", "N"))
+        .select($"l_returnflag".as("g"), $"l_quantity".as("v"))
+      val vc = li.groupBy($"v").agg(
+        sum(when($"g" === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when($"g" === "N", 1L).otherwise(0L)).as("cn"))
+      val tot = li.agg(
+        sum(when($"g" === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when($"g" === "N", 1L).otherwise(0L)).as("nn"))
+      // bounded window: one row per distinct quantity (≤ 50)
+      val w = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("ar", sum($"cr").over(w))
+        .withColumn("an", sum($"cn").over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy($"nr", $"nn")
+        .agg(max(abs($"ar".cast("double") / $"nr" -
+          $"an".cast("double") / $"nn")).as("d"))
+        .select(round($"d", 4).as("ks_d"),
+          round($"d" * sqrt($"nr".cast("double") * $"nn" / ($"nr" + $"nn")), 4)
+            .as("ks_z"))
+    }, Some("""
+      WITH li AS (SELECT l_returnflag AS g, l_quantity AS v
+                  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      vc AS (SELECT v,
+                    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                    CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn
+             FROM li GROUP BY v),
+      cum AS (SELECT v, sum(cr) OVER (ORDER BY v) AS ar,
+                     sum(cn) OVER (ORDER BY v) AS an FROM vc),
+      tot AS (SELECT CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                     CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+              FROM li),
+      dd AS (SELECT nr, nn,
+                    max(abs(CAST(ar AS DOUBLE) / nr - CAST(an AS DOUBLE) / nn)) AS d
+             FROM cum CROSS JOIN tot GROUP BY nr, nn)
+      SELECT round(d, 4) AS ks_d,
+             round(d * sqrt(CAST(nr AS DOUBLE) * nn / (nr + nn)), 4) AS ks_z
+      FROM dd""")),
+
     // Distributed exact quantiles: the SAME interpolated quantiles as
     // agg_quantiles, but from the value-count distribution
     // (ops/Quantiles) instead of Spark's row-buffering `percentile` —
