@@ -504,6 +504,28 @@ object ChDialect {
       "CASE WHEN __b = 0 THEN 0 ELSE __a DIV __b END")
     macroFn("moduloOrZero", Seq("__a", "__b"),
       "CASE WHEN __b = 0 THEN 0 ELSE __a % __b END")
+    // IPv4 family (CH functions/ip-address-functions): dotted-quad
+    // shifts/masks on a BIGINT address — all builtin codegen'd ops
+    macroFn("IPv4NumToString", Seq("__n"),
+      """concat_ws('.', CAST(shiftright(__n, 24) & 255 AS STRING),
+                        CAST(shiftright(__n, 16) & 255 AS STRING),
+                        CAST(shiftright(__n,  8) & 255 AS STRING),
+                        CAST(__n & 255 AS STRING))""")
+    macroFn("IPv4StringToNum", Seq("__s"),
+      """CAST(element_at(split(__s, '\\.'), 1) AS BIGINT) * 16777216 +
+         CAST(element_at(split(__s, '\\.'), 2) AS BIGINT) * 65536 +
+         CAST(element_at(split(__s, '\\.'), 3) AS BIGINT) * 256 +
+         CAST(element_at(split(__s, '\\.'), 4) AS BIGINT)""")
+    // try_cast: octet check must not throw under ANSI on non-numeric
+    // fragments (the RLIKE guard is not evaluation-ordered before it)
+    macroFn("isIPv4String", Seq("__s"),
+      """__s RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$' AND
+         forall(split(__s, '\\.'), x -> try_cast(x AS INT) <= 255)""")
+    // CIDR range as a (lo, hi) string struct — CH returns the tuple
+    macroFn("IPv4CIDRToRange", Seq("__n", "__bits"),
+      """named_struct(
+           'lo', IPv4NumToString(__n & (4294967295 - (shiftleft(1, 32 - __bits) - 1))),
+           'hi', IPv4NumToString(__n | (shiftleft(1, 32 - __bits) - 1)))""")
     // arrayStringConcat(arr[, sep]) — CH defaults sep to ''
     reg("arrayStringConcat")(c =>
       ArrayJoin(c.head, if (c.size > 1) c(1) else Literal(""), None))

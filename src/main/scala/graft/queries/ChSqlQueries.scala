@@ -299,6 +299,41 @@ object ChSqlQueries {
       SELECT l_returnflag,
              round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
                                  AS DECIMAL(22,6))) AS DOUBLE), 4) AS revenue
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // IPv4 family as CH spellings (dotted-quad codec + /16 CIDR
+    // range), all codegen'd shift/mask macros; the oracle spells the
+    // same arithmetic in DuckDB. IPs synthesized from orderkey (the
+    // scalar_bits_ip scheme — fixtures carry no address column).
+    QDef("sql_ch_ipv4", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT o_orderkey,
+               IPv4NumToString(ip) AS dotted,
+               IPv4StringToNum(IPv4NumToString(ip)) AS roundtrip,
+               isIPv4String(IPv4NumToString(ip)) AS valid,
+               IPv4CIDRToRange(ip, 20).lo AS cidr_lo,
+               IPv4CIDRToRange(ip, 20).hi AS cidr_hi
+        FROM (SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS ip
+              FROM orders WHERE o_orderkey % 101 = 0)
+        ORDER BY o_orderkey""")
+    }, Some("""
+      WITH src AS (SELECT o_orderkey,
+                          (o_orderkey * 2654435761) % 4294967296 AS ip
+                   FROM orders WHERE o_orderkey % 101 = 0),
+      d AS (SELECT o_orderkey, ip,
+                   concat_ws('.', (ip >> 24) & 255, (ip >> 16) & 255,
+                                  (ip >> 8) & 255, ip & 255) AS dotted,
+                   ip & (4294967295 - 4095) AS lo_num,
+                   ip | 4095 AS hi_num
+            FROM src)
+      SELECT o_orderkey, dotted,
+             CAST(ip AS BIGINT) AS roundtrip,
+             true AS valid,
+             concat_ws('.', (lo_num >> 24) & 255, (lo_num >> 16) & 255,
+                            (lo_num >> 8) & 255, lo_num & 255) AS cidr_lo,
+             concat_ws('.', (hi_num >> 24) & 255, (hi_num >> 16) & 255,
+                            (hi_num >> 8) & 255, hi_num & 255) AS cidr_hi
+      FROM d ORDER BY o_orderkey"""))
   )
 }

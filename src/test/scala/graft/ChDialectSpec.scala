@@ -417,6 +417,24 @@ class ChDialectSpec extends AnyFunSuite {
     assert(strict.getMessage.contains("ASOF inequality"))
   }
 
+  test("IPv4 family: known answers and roundtrip") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT IPv4NumToString(3232235777) AS a,
+             IPv4StringToNum('192.168.1.1') AS b,
+             isIPv4String('192.168.1.1') AS c,
+             isIPv4String('256.1.1.1') AS d,
+             isIPv4String('not.an.ip') AS e,
+             IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16).lo AS lo,
+             IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16).hi AS hi,
+             IPv4NumToString(IPv4StringToNum('10.0.255.3')) AS rt""").collect().head
+    assert(r.getString(0) == "192.168.1.1")
+    assert(r.getLong(1) == 3232235777L)
+    assert(r.getBoolean(2) && !r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getString(5) == "192.168.0.0" && r.getString(6) == "192.168.255.255")
+    assert(r.getString(7) == "10.0.255.3")
+  }
+
   test("CREATE FUNCTION registers a codegen macro; DROP removes; EXPLAIN rows") {
     Graft.init(spark, "/root/testdata/sf0.001")
 
