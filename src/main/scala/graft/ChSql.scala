@@ -340,7 +340,8 @@ object ChSql {
 
   // ---- DataFrame-level clause extraction ---------------------------
 
-  private case class FillSpec(from: Option[Long], to: Option[Long], step: Option[Long])
+  private case class FillSpec(from: Option[Long], to: Option[Long],
+      step: Option[Long], stepInterval: Option[String] = None)
   private case class OrderItem(name: String, asc: Boolean, fill: Option[FillSpec])
 
   private val finalLimitRe =
@@ -353,14 +354,16 @@ object ChSql {
 
   private val orderItemRe =
     ("""(?is)^([A-Za-z_][\w.]*|\d+)(?:\s+(ASC|DESC))?""" +
-      """(?:\s+WITH\s+FILL(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?)?$""").r
+      """(?:\s+WITH\s+FILL(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?""" +
+      """(?:\s+STEP\s+(?:(-?\d+)|INTERVAL\s+(\d+)\s+([A-Za-z]+)))?)?$""").r
 
   private def parseOrderItem(raw: String): OrderItem = raw.trim match {
-    case orderItemRe(name, dir, from, to, step) =>
+    case orderItemRe(name, dir, from, to, step, stepN, stepUnit) =>
       val fillGiven = withFillRe.findFirstIn(raw).isDefined
       OrderItem(name, dir == null || dir.equalsIgnoreCase("ASC"),
         if (fillGiven) Some(FillSpec(Option(from).map(_.toLong),
-          Option(to).map(_.toLong), Option(step).map(_.toLong)))
+          Option(to).map(_.toLong), Option(step).map(_.toLong),
+          Option(stepN).map(n => s"INTERVAL $n ${stepUnit.toUpperCase(java.util.Locale.ROOT)}")))
         else None)
     case other =>
       throw new IllegalArgumentException(
@@ -830,7 +833,7 @@ object ChSql {
     }
 
     for (item <- orderItems if item.fill.isDefined) {
-      val FillSpec(from, to, step) = item.fill.get
+      val FillSpec(from, to, step, stepInterval) = item.fill.get
       // INTERPOLATE columns fill with NULL (then LOCF below); others
       // take their type default — CH's default-value fill.
       val fills = df.columns.filterNot(_ == item.name)
@@ -840,10 +843,14 @@ object ChSql {
       df.schema(item.name).dataType match {
         case (DateType | TimestampType | TimestampNTZType)
             if from.isEmpty && to.isEmpty =>
-          // bare WITH FILL on a calendar axis (DATE or a day-truncated
-          // timestamp, e.g. toStartOfDay(…)): daily grid min→max
-          df = Relational.withFillDays(df, item.name, fills)
+          // calendar axis (DATE or a truncated timestamp): grid spans
+          // the data's own min→max; STEP INTERVAL n UNIT sets the
+          // stride, default daily
+          df = Relational.withFillInterval(df, item.name,
+            stepInterval.getOrElse("INTERVAL 1 DAY"), fills)
         case _: NumericType =>
+          require(stepInterval.isEmpty,
+            s"STEP INTERVAL needs a DATE/TIMESTAMP axis; '${item.name}' is numeric")
           require(from.isDefined && to.isDefined,
             s"WITH FILL on numeric '${item.name}' needs FROM and TO")
           df = Relational.withFillStep(df, item.name, from.get, to.get,

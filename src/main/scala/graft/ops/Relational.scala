@@ -142,11 +142,21 @@ object Relational {
     df.unionByName(added)
   }
 
-  def withFillDays(df: DataFrame, dateCol: String, fill: Map[String, Column]): DataFrame = {
-    val mm = df.agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+  def withFillDays(df: DataFrame, dateCol: String, fill: Map[String, Column]): DataFrame =
+    withFillInterval(df, dateCol, "INTERVAL 1 DAY", fill)
+
+  /** Calendar-axis WITH FILL at an arbitrary INTERVAL stride: the grid
+    * spans the data's own [min, max] (one 1-row aggregate), generated
+    * with `sequence()` and broadcast — grid size = span/step, never
+    * O(rows). Data rows must sit ON grid points (truncate the axis in
+    * the query, as CH expects of a time-axis WITH FILL).
+    */
+  def withFillInterval(df: DataFrame, tsCol: String, step: String,
+      fill: Map[String, Column]): DataFrame = {
+    val mm = df.agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
     val cal = mm.select(explode(sequence(col("__lo"), col("__hi"),
-      expr("INTERVAL 1 DAY"))).as(dateCol))
-    val joined = broadcast(cal).join(df, Seq(dateCol), "left")
+      expr(step))).as(tsCol))
+    val joined = broadcast(cal).join(df, Seq(tsCol), "left")
     fill.foldLeft(joined) { case (d, (c, v)) =>
       d.withColumn(c, coalesce(col(c), v))
     }

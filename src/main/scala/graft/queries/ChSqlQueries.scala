@@ -334,6 +334,33 @@ object ChSqlQueries {
                             (lo_num >> 8) & 255, lo_num & 255) AS cidr_lo,
              concat_ws('.', (hi_num >> 24) & 255, (hi_num >> 16) & 255,
                             (hi_num >> 8) & 255, hi_num & 255) AS cidr_hi
-      FROM d ORDER BY o_orderkey"""))
+      FROM d ORDER BY o_orderkey""")),
+
+    // ORDER BY … WITH FILL STEP INTERVAL 1 HOUR — the time-axis fill
+    // form (Relational.withFillInterval: grid = data's own min→max at
+    // the stride, broadcast; unmentioned count fills with 0). Sparse
+    // error events leave real hour gaps to fill. The µs/ns events.ts
+    // trap makes the compare run on epoch-µs.
+    QDef("sql_ch_fill_interval", (s, dir) => {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT toStartOfHour(ts) AS hr, count(*) AS n
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1
+        ORDER BY hr ASC WITH FILL STEP INTERVAL 1 HOUR""")
+        .select(unix_micros(col("hr")).as("hr_us"), col("n"))
+        .orderBy(col("hr_us"))
+    }, Some("""
+      WITH data AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                           count(*) AS n
+                    FROM events WHERE event_type = 'error' GROUP BY 1),
+      grid AS (SELECT unnest(generate_series((SELECT min(hr) FROM data),
+                                             (SELECT max(hr) FROM data),
+                                             INTERVAL 1 HOUR)) AS hr)
+      SELECT epoch_us(g.hr) AS hr_us, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN data d USING (hr)
+      ORDER BY hr_us"""))
   )
 }
