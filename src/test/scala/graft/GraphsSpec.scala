@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Graphs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components (ops/Graphs) vs a local union-find reference
+  * on fixed shapes and seeded random graphs (SURVEY §2 pipeline ops:
+  * near-dup clusters).
+  */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Local union-find ground truth: node -> min id of its component. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and singletons-by-edge") {
+    // 1-2-3-4 chain, {10,11,12} triangle, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L))
+    assert(run(edges) == unionFind(edges))
+  }
+
+  test("long chain needs multiple propagation rounds") {
+    val edges = (1L until 15L).map(i => (i + 1, i))
+    val got = run(edges)
+    assert(got == unionFind(edges))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("seeded random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == unionFind(edges))
+    }
+  }
+
+  test("maxIter bound still returns a label per node") {
+    val edges = (1L until 10L).map(i => (i + 1, i))
+    val out = Graphs.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 2)
+    assert(out.count() == 10)
+  }
+}
