@@ -339,6 +339,113 @@ object CompositeQueries {
     }, Some("""
       SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
              count(*) AS hits
-      FROM events GROUP BY k_bucket ORDER BY k_bucket"""))
+      FROM events GROUP BY k_bucket ORDER BY k_bucket""")),
+
+    // minutely error trend — CB's "per-minute hits over a window"
+    // shape: a pushed-down type filter feeding a truncated-timestamp
+    // hash agg; the filter reaches the parquet scan so the agg only
+    // sees the error stripe.
+    QDef("cb_minutely_errors", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .filter($"event_type" === "error")
+        .groupBy(unix_micros(date_trunc("minute", $"ts")).as("minute_us"))
+        .agg(count(lit(1)).as("errors"), Det.dsum($"value").as("err_value"))
+        .filter($"errors" >= 2)
+        .orderBy($"minute_us")
+    }, Some(s"""
+      SELECT epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us,
+             count(*) AS errors, ${Det.sqlSum("value")} AS err_value
+      FROM events WHERE event_type = 'error'
+      GROUP BY minute_us HAVING count(*) >= 2 ORDER BY minute_us""")),
+
+    // top users by hits — CB's "GROUP BY UserID ORDER BY c DESC
+    // LIMIT 10" on the high-cardinality key: partial counts merge,
+    // then the fused TakeOrderedAndProject top-k (no global sort).
+    QDef("cb_top_users", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("hits"), Det.davg($"value").as("mean_value"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"hits".desc, $"user_id")
+        .limit(10)
+    }, Some(s"""
+      SELECT user_id, count(*) AS hits, ${Det.sqlAvg("value")} AS mean_value,
+             count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+      ORDER BY hits DESC, user_id LIMIT 10""")),
+
+    // substring search scan — CB's "WHERE URL LIKE '%google%'" shape:
+    // LIKE over the props payload, count + uniq users, single scan.
+    QDef("cb_filter_like", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .filter($"props".like("%\"k\": 9%"))
+        .agg(count(lit(1)).as("hits"), countDistinct($"user_id").as("uniq_users"),
+          min($"event_id").as("first_event"))
+    }, Some("""
+      SELECT count(*) AS hits, count(DISTINCT user_id) AS uniq_users,
+             min(event_id) AS first_event
+      FROM events WHERE props LIKE '%"k": 9%'""")),
+
+    // hour-of-day engagement profile — pure codegen extract + agg
+    // (CB's "by hour" dashboards): no shuffle beyond the 24-key agg.
+    QDef("cb_hourly_profile", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(hour($"ts").cast("long").as("hr"))
+        .agg(count(lit(1)).as("pv"), countDistinct($"user_id").as("uv"),
+          Det.davg($"value").as("mean_value"))
+        .orderBy($"hr")
+    }, Some(s"""
+      SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, count(*) AS pv,
+             count(DISTINCT user_id) AS uv, ${Det.sqlAvg("value")} AS mean_value
+      FROM events GROUP BY hr ORDER BY hr""")),
+
+    // per-type latency-style exact quantiles — CH's quantiles(...)
+    // multi-q shape (exact, not sketched, so the oracle hash-matches;
+    // the sketched path is ApproxSpec territory).
+    QDef("cb_value_quantiles", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(expr("""array_join(transform(
+                       percentile(value, array(0.5, 0.9, 0.99)),
+                       q -> CAST(round(q, 4) AS STRING)), ',')""").as("value_q"))
+        .orderBy($"event_type")
+    }, Some("""
+      SELECT event_type,
+             array_to_string(list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
+                             q -> CAST(round(q, 4) AS VARCHAR)), ',') AS value_q
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // first/last event per user cohort — CB's visit bracketing
+    // (argMin/argMax by timestamp) over a modulo cohort key.
+    QDef("cb_first_last", (s, dir) => {
+      import s.implicits._
+      // Tie-break without BIGINT overflow: fixed-width zero-padded
+      // (ts µs, event_id) strings compare lexicographically = numerically
+      // (DuckDB arg_min can't order by a struct — CLAUDE.md trap).
+      val key = concat(lpad(unix_micros($"ts").cast("string"), 20, "0"),
+        lpad($"event_id".cast("string"), 10, "0"))
+      Tables(s, dir, "events")
+        .groupBy(($"user_id" % 10).as("cohort"))
+        .agg(min_by($"event_type", key).as("first_type"),
+          max_by($"event_type", key).as("last_type"),
+          (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("span_us"))
+        .orderBy($"cohort")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_type, ts,
+               lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 10, '0') AS tkey
+        FROM events)
+      SELECT user_id % 10 AS cohort,
+             arg_min(event_type, tkey) AS first_type,
+             arg_max(event_type, tkey) AS last_type,
+             epoch_us(CAST(max(ts) AS TIMESTAMP))
+               - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS span_us
+      FROM e GROUP BY cohort ORDER BY cohort"""))
   )
 }
