@@ -523,6 +523,90 @@ object StatsQueries {
     // scalar, then a plain filter. The oracle restates WITH TIES as
     // rank() ≤ n (DuckDB 1.0 has no native WITH TIES clause), an
     // independent formulation of the same semantics.
+    // CH exponentialTimeDecayedSum/Count/Avg (+ the EMA 2^-decay
+    // kernel): weight each event by 2^((t - T)/halflife) with T = the
+    // group's newest timestamp, halflife = 1 h. Order-independent
+    // closed form (decay anchored at max-t, not at scan order), so
+    // the same two-phase shape works at any executor count: one
+    // shuffle on event_type serves BOTH the window max and the final
+    // agg; per-term DECIMAL(22,6) casts make the double sums
+    // FP-order-safe. Upstream: AggregateFunctionExponentialMovingAverage.
+    QDef("agg_exp_decay", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(22,6)"
+      val byType = Window.partitionBy($"event_type")
+      val w = pow(lit(2.0),
+        ($"t_us" - max($"t_us").over(byType)).cast("double") / 3600000000.0)
+      Tables(s, dir, "events")
+        .withColumn("t_us", unix_micros($"ts"))
+        .withColumn("w", w)
+        .groupBy($"event_type")
+        .agg(
+          round(sum(($"value" * $"w").cast(D)).cast("double"), 4).as("decayed_sum"),
+          round(sum($"w".cast(D)).cast("double"), 4).as("decayed_cnt"),
+          round((sum(($"value" * $"w").cast(D)) / sum($"w".cast(D)))
+            .cast("double"), 4).as("decayed_avg"))
+        .orderBy($"event_type")
+    }, Some("""
+      WITH e AS (
+        SELECT event_type, value,
+               pow(2.0, (epoch_us(CAST(ts AS TIMESTAMP))
+                         - max(epoch_us(CAST(ts AS TIMESTAMP)))
+                             OVER (PARTITION BY event_type))
+                        / 3600000000.0) AS w
+        FROM events)
+      SELECT event_type,
+             round(CAST(sum(CAST(value * w AS DECIMAL(22,6))) AS DOUBLE), 4)
+               AS decayed_sum,
+             round(CAST(sum(CAST(w AS DECIMAL(22,6))) AS DOUBLE), 4)
+               AS decayed_cnt,
+             round(CAST(sum(CAST(value * w AS DECIMAL(22,6)))
+                        / sum(CAST(w AS DECIMAL(22,6))) AS DOUBLE), 4)
+               AS decayed_avg
+      FROM e GROUP BY event_type ORDER BY event_type""")),
+
+    // CH arrayAUC semantics at table scale: AUC of score=value for
+    // label=click via the tie-aware rank-sum identity
+    // AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg), with average
+    // ranks from the value-count distribution — the rank table is
+    // O(distinct 2dp values) (bounded by the value DOMAIN, not rows),
+    // and doubling the rank keeps every intermediate an exact BIGINT.
+    QDef("agg_auc", (s, dir) => {
+      import s.implicits._
+      val vc = Tables(s, dir, "events")
+        .groupBy($"value")
+        .agg(count(lit(1)).as("c"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("p"))
+      val byVal = Window.orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = vc.withColumn("cum", coalesce(sum($"c").over(byVal), lit(0L)))
+        .withColumn("r2", $"p" * (lit(2) * $"cum" + $"c" + lit(1)))
+      ranked.agg(sum($"p").as("n_pos"), sum($"c" - $"p").as("n_neg"),
+          sum($"r2").as("r2s"))
+        .select($"n_pos", $"n_neg",
+          round(($"r2s" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+            (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"))
+    }, Some("""
+      WITH vc AS (
+        SELECT value, count(*) AS c,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY value),
+      ranked AS (
+        SELECT p, c,
+               p * (2 * coalesce(sum(c) OVER (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c + 1) AS r2
+        FROM vc),
+      tot AS (
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(c - p) AS BIGINT) AS n_neg,
+               CAST(sum(r2) AS BIGINT) AS r2s
+        FROM ranked)
+      SELECT n_pos, n_neg,
+             round(CAST(r2s - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2.0 * n_pos * n_neg), 6) AS auc
+      FROM tot""")),
+
     QDef("rel_limit_ties", (s, dir) => {
       import s.implicits._
       val th = Tables(s, dir, "part")
