@@ -321,6 +321,42 @@ object ChSql {
     */
   private val formatRe = """(?i)\bFORMAT\s+\w+\s*$""".r
 
+  // ---- system tables / numbers() table function --------------------
+  // CH's introspection surface: `numbers(N)` and `system.numbers`
+  // rewrite onto Spark's lazy `range()` TVF (a parallel split-able
+  // source — the DSv2 NumbersSource covers the programmatic path),
+  // `system.one` onto the canonical 1-row/`dummy` relation, and
+  // `system.tables` onto a snapshot of the live catalog registered as
+  // a temp view (captured BEFORE registration so the view doesn't
+  // list itself on first use).
+  private val numbersFnRe = """(?i)\bnumbers\s*\(\s*(\d+)\s*\)""".r
+  private val systemNumbersRe = """(?i)\bsystem\.numbers\b""".r
+  private val systemOneRe = """(?i)\bsystem\.one\b""".r
+  private val systemTablesRe = """(?i)\bsystem\.tables\b""".r
+  private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def rewriteSystemTables(spark: SparkSession, q0: String): String = {
+    var q = q0
+    if (systemTablesRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      spark.catalog.listTables().collect().toSeq
+        .map(t => (Option(t.database).getOrElse(""), t.name,
+          Option(t.tableType).getOrElse("TEMPORARY"), t.isTemporary))
+        .toDF("database", "name", "engine", "is_temporary")
+        .createOrReplaceTempView("graft_system_tables")
+      q = systemTablesRe.replaceAllIn(q, "graft_system_tables")
+    }
+    q = numbersFnRe.replaceAllIn(q, m => Regex.quoteReplacement(
+      s"(SELECT id AS number FROM range(${m.group(1)})) graft_nums_${sysSeq.incrementAndGet()}"))
+    // system.numbers is unbounded in CH too — range() generates
+    // lazily, so a LIMIT (or any short-circuit) bounds the scan.
+    q = systemNumbersRe.replaceAllIn(q, Regex.quoteReplacement(
+      s"(SELECT id AS number FROM range(9223372036854775807)) graft_nums_${sysSeq.incrementAndGet()}"))
+    q = systemOneRe.replaceAllIn(q, Regex.quoteReplacement(
+      s"(SELECT CAST(0 AS TINYINT) AS dummy) graft_one_${sysSeq.incrementAndGet()}"))
+    q
+  }
+
   private def preRewrite(q0: String): String = {
     var q = rewriteScalarWith(q0)
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
@@ -755,7 +791,8 @@ object ChSql {
       out.createOrReplaceTempView(table)
       return out
     }
-    val q = preRewrite(rewriteSpecialJoins(spark, query.trim))
+    val q = preRewrite(rewriteSpecialJoins(spark,
+      rewriteSystemTables(spark, query.trim)))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

@@ -361,6 +361,24 @@ object ChSqlQueries {
                                              INTERVAL 1 HOUR)) AS hr)
       SELECT epoch_us(g.hr) AS hr_us, CAST(coalesce(d.n, 0) AS BIGINT) AS n
       FROM grid g LEFT JOIN data d USING (hr)
-      ORDER BY hr_us"""))
+      ORDER BY hr_us""")),
+
+    // CH introspection surface as verbatim text: the numbers(N) table
+    // function (→ Spark's lazy, split-able range() TVF), system.one
+    // (scalar subquery), and — spec-covered, environment-specific —
+    // system.tables. The agg over numbers stays a parallel range scan
+    // with partial aggregation; nothing materializes 100k rows.
+    QDef("sql_ch_system", (s, dir) => {
+      Graft.sql(s, """
+        SELECT number % 7 AS bucket, count(*) AS n,
+               CAST(sum(number) AS BIGINT) AS total,
+               (SELECT dummy FROM system.one) AS dummy
+        FROM numbers(100000)
+        GROUP BY bucket ORDER BY bucket""")
+    }, Some("""
+      SELECT range % 7 AS bucket, count(*) AS n,
+             CAST(sum(range) AS BIGINT) AS total,
+             CAST(0 AS TINYINT) AS dummy
+      FROM range(100000) GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -616,4 +616,23 @@ class ChDialectSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(math.abs(d - 111195.0) < 100.0, s"got $d")
   }
+
+  test("system tables: numbers(), system.numbers LIMIT, system.one, system.tables") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val n = Graft.sql(spark,
+      "SELECT CAST(sum(number) AS BIGINT) AS s FROM numbers(1000)")
+      .collect().head.getLong(0)
+    assert(n == 499500L)
+    // unbounded source, bounded by LIMIT (lazy range — must terminate)
+    val lim = Graft.sql(spark,
+      "SELECT number FROM system.numbers LIMIT 5").collect().map(_.getLong(0))
+    assert(lim.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val one = Graft.sql(spark, "SELECT dummy FROM system.one").collect()
+    assert(one.length == 1 && one.head.getByte(0) == 0)
+    // catalog snapshot: the fixture views registered by init are listed
+    val tbls = Graft.sql(spark,
+      "SELECT name FROM system.tables WHERE is_temporary ORDER BY name")
+      .collect().map(_.getString(0)).toSet
+    assert(tbls.contains("lineitem") && tbls.contains("events"))
+  }
 }
