@@ -220,6 +220,78 @@ object PipelineQueries {
             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.25
       ORDER BY doc_a, doc_b""")),
 
+    // Stratified sampling — rebalancing a training corpus by
+    // downsampling overrepresented strata (per-language rates here).
+    // The keep decision is a deterministic per-row hash threshold
+    // (mh60 of doc_id, salted per stratum), so the SAME rows are kept
+    // at any executor count / retry — no rand(), fully oracle-able,
+    // and a pure projection + agg at any scale.
+    QDef("pipe_stratified_sample", (s, dir) => {
+      import s.implicits._
+      val M = 36028797018963968L // 2^55: below it mh60 is uniform
+      val rate = when($"lang" === "en", 0.1)
+        .when($"lang" === "de", 0.25).otherwise(0.5)
+      Tables(s, dir, "documents")
+        .withColumn("keep",
+          (Text.mh60(lit("strat"), $"doc_id".cast("string")) % M)
+            < (rate * M).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          round(Det.davg(when($"keep", 1.0).otherwise(0.0)), 4).as("kept_frac"))
+        .orderBy($"lang")
+    }, Some(s"""
+      WITH d AS (
+        SELECT lang,
+               CAST('0x' || substring(md5('strat' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 36028797018963968 AS h,
+               CASE WHEN lang = 'en' THEN 0.1
+                    WHEN lang = 'de' THEN 0.25 ELSE 0.5 END AS rate
+        FROM documents),
+      k AS (SELECT lang, CASE WHEN h < CAST(rate * 36028797018963968 AS BIGINT)
+                              THEN 1 ELSE 0 END AS keep FROM d)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_kept,
+             round(${Det.sqlAvg("CASE WHEN keep = 1 THEN 1.0 ELSE 0.0 END")}, 4)
+               AS kept_frac
+      FROM k GROUP BY lang ORDER BY lang""")),
+
+    // Sequence packing — the GPT-style concatenate-and-chunk layout:
+    // docs are sharded (hash mod 16), ordered within their shard, laid
+    // end-to-end by token offset, and cut into fixed 512-token bins
+    // (bin = offset div budget — a doc straddles at most one
+    // boundary). The window is PARTITIONED BY shard (never global):
+    // per-shard row counts are set by the sharding scheme, not the
+    // corpus, and shards scale out with executors.
+    QDef("pipe_seq_pack", (s, dir) => {
+      import s.implicits._
+      val byShard = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 16).as("shard"),
+          size(Text.tokens($"text")).cast("long").as("toks"))
+        .withColumn("off", coalesce(sum($"toks").over(byShard), lit(0L)))
+        .withColumn("bin", expr("off div 512"))
+        .groupBy($"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("bin_toks"),
+          min($"doc_id").as("first_doc"))
+        .orderBy($"shard", $"bin")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               len(string_split(text, ' ')) AS toks
+        FROM documents),
+      o AS (
+        SELECT doc_id, shard, toks,
+               CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM d)
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(off // 512 AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS bin_toks,
+             CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM o GROUP BY shard, bin ORDER BY shard, bin""")),
+
     // SimHash document fingerprints (bitwise majority over token
     // hashes) — near-dup docs land at small Hamming distance.
     QDef("pipe_simhash", (s, dir) => {
