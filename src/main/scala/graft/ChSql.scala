@@ -698,14 +698,75 @@ object ChSql {
         s"INSERT VALUES arity ${add0.columns.length} != table ${cur.columns.length}")
       add0.toDF(cur.columns.toIndexedSeq: _*)
     } else add0
+    // Materialize the inserted block BEFORE repointing the view: the
+    // SELECT body may read the target table itself, and the MV trigger
+    // below must see the block as-of insert time, not the new state.
+    val blockDest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${table}_blk_${mutationSeq.incrementAndGet()}"
+    add.select(cur.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(blockDest)
+    val block = spark.read.parquet(blockDest)
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
       s"${table}_ins_${mutationSeq.incrementAndGet()}"
-    cur.unionByName(add.select(cur.columns.map(col).toIndexedSeq: _*))
-      .write.mode("overwrite").parquet(dest)
+    cur.unionByName(block).write.mode("overwrite").parquet(dest)
     val out = spark.read.parquet(dest)
     out.createOrReplaceTempView(table)
+    fireMaterializedViews(spark, table, block)
     out
   }
+
+  // ---- materialized views ------------------------------------------
+  // CH MV semantics: an MV is an INSERT TRIGGER — its SELECT runs over
+  // each newly inserted BLOCK of the source table and the result is
+  // APPENDED to the MV's storage (so an aggregating MV holds one
+  // partial row-set per block; readers re-aggregate, exactly like
+  // AggregatingMergeTree targets upstream). `POPULATE` additionally
+  // materializes the pre-existing data at creation. Joined dimension
+  // tables inside the MV query still read their full current state —
+  // only the FROM-source is block-scoped (CH behaves the same way).
+  private val createMvRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)(\s+POPULATE)?\s+AS\s+((?:SELECT|WITH)\b.*)$""".r
+  private val dropTableRe = """(?is)^\s*DROP\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
+  /** mv name → (source table, MV query text). */
+  private val mvRegistry =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def firstFromTable(q: String): String = {
+    val m = fromKwRe.findAllMatchIn(q)
+      .find(mm => topLevelMask(q)(mm.start))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MATERIALIZED VIEW query needs a FROM table: $q"))
+    val rest = q.substring(m.end).trim
+    val id = rest.takeWhile(c => c.isLetterOrDigit || c == '_')
+    require(id.nonEmpty && id.head.isLetter,
+      s"MATERIALIZED VIEW source must be a named table (got '$rest')")
+    id
+  }
+
+  private def snapshot(spark: SparkSession, df: DataFrame,
+      name: String): DataFrame = {
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${name}_${mutationSeq.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(dest)
+    val out = spark.read.parquet(dest)
+    out.createOrReplaceTempView(name)
+    out
+  }
+
+  /** Run each MV registered on `table` over the freshly inserted
+    * `block` and append the result to the MV's snapshot.
+    */
+  private def fireMaterializedViews(spark: SparkSession, table: String,
+      block: DataFrame): Unit =
+    mvRegistry.toSeq.filter(_._2._1 == table).foreach { case (mv, (_, qtext)) =>
+      val blockView = s"graft_mv_block_${mutationSeq.incrementAndGet()}"
+      block.createOrReplaceTempView(blockView)
+      val rebound = qtext.replaceAll("(?i)\\bFROM\\s+" + table + "\\b",
+        "FROM " + blockView)
+      val delta = run(spark, rebound)
+      snapshot(spark, spark.table(mv).unionByName(delta), mv)
+      spark.catalog.dropTempView(blockView)
+    }
 
   private val truncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
@@ -760,6 +821,28 @@ object ChSql {
       }
       import spark.implicits._
       return text.linesIterator.toSeq.toDF("explain")
+    }
+    createMvRe.findFirstMatchIn(query).foreach { m =>
+      val (mv, qtext) = (m.group(1), m.group(3).trim)
+      val base = firstFromTable(qtext)
+      require(spark.catalog.tableExists(base),
+        s"MATERIALIZED VIEW source table '$base' does not exist")
+      val initial =
+        if (m.group(2) != null) run(spark, qtext)
+        else run(spark, qtext).limit(0)
+      snapshot(spark, initial, mv)
+      mvRegistry(mv) = (base, qtext)
+      import spark.implicits._
+      return Seq(mv).toDF("created_mv")
+    }
+    dropTableRe.findFirstMatchIn(query).foreach { m =>
+      val name = m.group(1)
+      require(mvRegistry.remove(name).isDefined,
+        s"DROP TABLE only manages materialized views here; '$name' is not one" +
+          " — temp views drop via spark.catalog.dropTempView")
+      spark.catalog.dropTempView(name)
+      import spark.implicits._
+      return Seq(name).toDF("dropped")
     }
     alterRe.findFirstMatchIn(query).foreach { m =>
       return runAlter(spark, m.group(1), m.group(2), m.group(3))

@@ -607,6 +607,41 @@ object StatsQueries {
                    / (2.0 * n_pos * n_neg), 6) AS auc
       FROM tot""")),
 
+    // CH categoricalInformationValue: per-category Information Value
+    // of a binary outcome — IV_k = (g_k/G - b_k/B) * ln((g_k/G)/(b_k/B))
+    // summed over categories (the credit-scoring feature-selection
+    // statistic). Category = event_type, outcome = value above the
+    // global median (broadcast 1-row scalar). One contingency pass,
+    // all O(|categories|) after the agg; ln() on ratios of exact
+    // integer counts is FP-identical across engines, 6dp-rounded.
+    QDef("agg_cat_iv", (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val med = ev.agg(expr("percentile(value, 0.5)").as("m"))
+      val cells = ev.crossJoin(broadcast(med))
+        .groupBy($"event_type")
+        .agg(sum(when($"value" > $"m", 1L).otherwise(0L)).as("g"),
+          sum(when($"value" <= $"m", 1L).otherwise(0L)).as("b"))
+      val tot = cells.agg(sum($"g").as("tg"), sum($"b").as("tb"))
+      cells.crossJoin(broadcast(tot))
+        .select($"event_type", $"g", $"b",
+          round((($"g" / $"tg") - ($"b" / $"tb")) *
+            log(($"g" / $"tg") / ($"b" / $"tb")), 6).as("iv_term"))
+        .orderBy($"event_type")
+    }, Some("""
+      WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+      cells AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS g,
+               CAST(sum(CASE WHEN value <= (SELECT m FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM events GROUP BY event_type),
+      tot AS (SELECT CAST(sum(g) AS BIGINT) AS tg, CAST(sum(b) AS BIGINT) AS tb FROM cells)
+      SELECT event_type, g, b,
+             round((g / CAST(tg AS DOUBLE) - b / CAST(tb AS DOUBLE))
+                   * ln((g / CAST(tg AS DOUBLE)) / (b / CAST(tb AS DOUBLE))), 6)
+               AS iv_term
+      FROM cells, tot ORDER BY event_type""")),
+
     QDef("rel_limit_ties", (s, dir) => {
       import s.implicits._
       val th = Tables(s, dir, "part")

@@ -617,6 +617,34 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(d - 111195.0) < 100.0, s"got $d")
   }
 
+  test("MATERIALIZED VIEW: POPULATE, insert-triggered block appends, DROP") {
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+      .createOrReplaceTempView("mv_base")
+    Graft.sql(spark,
+      """CREATE MATERIALIZED VIEW mv_sums POPULATE AS
+         SELECT k, count(*) AS n, sum(v) AS sv FROM mv_base GROUP BY k""")
+    assert(spark.table("mv_sums").count() == 2) // populated
+    Graft.sql(spark,
+      "INSERT INTO mv_base VALUES (CAST(3 AS BIGINT), 'a', 5.0), (CAST(4 AS BIGINT), 'a', 7.0)")
+    // block-scoped trigger: ONE new partial row for the 'a' block
+    assert(spark.table("mv_sums").filter($"k" === "a").count() == 2)
+    // read-side re-aggregation (the AggregatingMergeTree contract)
+    val tot = spark.table("mv_sums").groupBy($"k")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"),
+        org.apache.spark.sql.functions.sum($"sv").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(tot("a") == ((3L, 14.0)) && tot("b") == ((1L, 3.0)))
+    // base table itself saw the append too
+    assert(spark.table("mv_base").count() == 4)
+    Graft.sql(spark, "DROP TABLE mv_sums")
+    assert(!spark.catalog.tableExists("mv_sums"))
+    // dropping a non-MV fails loudly
+    intercept[IllegalArgumentException] {
+      Graft.sql(spark, "DROP TABLE mv_base")
+    }
+  }
+
   test("system tables: numbers(), system.numbers LIMIT, system.one, system.tables") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val n = Graft.sql(spark,
