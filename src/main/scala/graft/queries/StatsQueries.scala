@@ -642,6 +642,90 @@ object StatsQueries {
                AS iv_term
       FROM cells, tot ORDER BY event_type""")),
 
+    // CH quantileTiming: the fixed timing histogram — values land in
+    // 1 ms bins below 1024 ms (exact there), 16 ms bins from 1024 to
+    // 30 000 ms, and clamp at 30 000 (upstream QuantileTiming.h bucket
+    // layout). Quantile = nearest-rank selection over the cumulative
+    // histogram. Everything after the first agg is O(bucket domain)
+    // (≤ ~2800 buckets), never O(rows); the per-partition window runs
+    // over that bounded bucket table.
+    QDef("agg_quantile_timing", (s, dir) => {
+      import s.implicits._
+      val ms = round($"value" * 10).cast("long")
+      val bucket = when(ms < 1024L, ms)
+        .when(ms < 30000L, ms - ((ms - 1024L) % 16L))
+        .otherwise(30000L)
+      val vc = Tables(s, dir, "events")
+        .select($"event_type", bucket.as("b"))
+        .groupBy($"event_type", $"b").agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy($"event_type").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy($"event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = vc.withColumn("cum", sum($"c").over(byType))
+        .withColumn("tot", sum($"c").over(all))
+      def q(p: Double) = min(when($"cum" >= ceil(lit(p) * $"tot"), $"b"))
+      cum.groupBy($"event_type")
+        .agg(q(0.5).as("t_p50"), q(0.9).as("t_p90"), q(0.99).as("t_p99"))
+        .orderBy($"event_type")
+    }, Some("""
+      WITH vc AS (
+        SELECT event_type,
+               CASE WHEN ms < 1024 THEN ms
+                    WHEN ms < 30000 THEN ms - ((ms - 1024) % 16)
+                    ELSE 30000 END AS b,
+               count(*) AS c
+        FROM (SELECT event_type,
+                     CAST(round(value * 10, 0) AS BIGINT) AS ms FROM events)
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, b,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot
+        FROM vc)
+      SELECT event_type,
+             min(CASE WHEN cum >= ceil(0.5 * tot) THEN b END) AS t_p50,
+             min(CASE WHEN cum >= ceil(0.9 * tot) THEN b END) AS t_p90,
+             min(CASE WHEN cum >= ceil(0.99 * tot) THEN b END) AS t_p99
+      FROM cum GROUP BY event_type ORDER BY event_type""")),
+
+    // CH sparkbar: the ▁▂▃▄▅▆▇█ inline histogram string — hour-of-day
+    // activity profile per event type, 24 buckets, bar level =
+    // ceil(8·cnt/max) computed in exact integer arithmetic so both
+    // engines pick identical glyphs.
+    QDef("agg_sparkbar", (s, dir) => {
+      import s.implicits._
+      val glyphs = array(Seq("▁", "▂", "▃", "▄",
+        "▅", "▆", "▇", "█").map(lit): _*)
+      val byHr = Tables(s, dir, "events")
+        .groupBy($"event_type", hour($"ts").cast("long").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val mx = Window.partitionBy($"event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byHr.withColumn("lvl",
+          (($"c" * 8L + max($"c").over(mx) - 1L) / max($"c").over(mx))
+            .cast("long"))
+        .groupBy($"event_type")
+        .agg(array_join(transform(array_sort(collect_list(struct($"hr", $"lvl"))),
+          x => element_at(glyphs, x.getField("lvl").cast("int"))), "").as("spark_bar"))
+        .orderBy($"event_type")
+    }, Some("""
+      WITH byhr AS (
+        SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      lv AS (
+        SELECT event_type, hr,
+               CAST((c * 8 + max(c) OVER (PARTITION BY event_type) - 1)
+                    // max(c) OVER (PARTITION BY event_type) AS INT) AS lvl
+        FROM byhr)
+      SELECT event_type,
+             string_agg(['▁','▂','▃','▄','▅','▆','▇','█'][lvl],
+                        '' ORDER BY hr) AS spark_bar
+      FROM lv GROUP BY event_type ORDER BY event_type""")),
+
     QDef("rel_limit_ties", (s, dir) => {
       import s.implicits._
       val th = Tables(s, dir, "part")
