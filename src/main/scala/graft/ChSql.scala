@@ -125,9 +125,13 @@ object ChSql {
   private val totalsRe =
     """(?is)\bGROUP\s+BY\s+((?:(?!\bGROUP\s+BY\b).)+?)\s+WITH\s+TOTALS\b""".r
 
-  /** `FROM t SAMPLE 0.1` / `FROM t SAMPLE 1/10`. */
+  /** `FROM t SAMPLE 0.1` / `FROM t SAMPLE 1/10` /
+    * `FROM t SAMPLE 0.1 OFFSET 0.5` — OFFSET shifts the hash window,
+    * so disjoint offsets give disjoint samples (CH's split-traffic
+    * idiom, e.g. A/B halves).
+    */
   private val sampleRe =
-    """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)""".r
+    """(?i)\bFROM\s+([A-Za-z_]\w*)\s+SAMPLE\s+(\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?)(?:\s+OFFSET\s+(\d+(?:\.\d+)?(?:\s*/\s*\d+(?:\.\d+)?)?))?""".r
 
   /** CH declares the sampling key in the table's DDL (`SAMPLE BY
     * intHash32(key)`); the fixture tables' natural keys stand in.
@@ -152,17 +156,22 @@ object ChSql {
     sampleRe.replaceAllIn(q, { m =>
       val table = m.group(1)
       val f = parseFraction(m.group(2))
+      val off = Option(m.group(3)).map(parseFraction).getOrElse(0.0)
       require(f > 0 && f <= 1, s"SAMPLE fraction must be in (0, 1], got $f")
+      require(off >= 0 && off + f <= 1,
+        s"SAMPLE OFFSET window [$off, ${off + f}) must fit in [0, 1)")
       val key = sampleKeys.getOrElse(table.toLowerCase(java.util.Locale.ROOT),
         throw new IllegalArgumentException(
           s"no sampling key registered for table '$table' — ChSql.registerSampleKey first"))
-      val threshold = math.round(f * 1000000d)
+      val lo = math.round(off * 1000000d)
+      val hi = math.round((off + f) * 1000000d)
       // Text.mh60(lit("smp"), key) spelled in SQL — identical bits to
       // rel_sample_hash's oracle-proven predicate.
+      val h = s"CAST(conv(substring(md5(concat('smp|', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+        s" % 1000000"
+      val pred = if (lo == 0L) s"$h < $hi" else s"$h >= $lo AND $h < $hi"
       Regex.quoteReplacement(
-        s"FROM (SELECT * FROM $table WHERE " +
-          s"CAST(conv(substring(md5(concat('smp|', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
-          s" % 1000000 < $threshold) $table")
+        s"FROM (SELECT * FROM $table WHERE $pred) $table")
     })
 
   /** CH's comma limit `LIMIT o, n` → ANSI `LIMIT n OFFSET o` (Spark's

@@ -617,6 +617,30 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(d - 111195.0) < 100.0, s"got $d")
   }
 
+  test("SAMPLE OFFSET: disjoint windows partition the table") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def ids(q: String): Set[Long] =
+      Graft.sql(spark, q).collect().map(_.getLong(0)).toSet
+    val a = ids("SELECT o_orderkey FROM orders SAMPLE 0.5")
+    val b = ids("SELECT o_orderkey FROM orders SAMPLE 0.5 OFFSET 0.5")
+    val all = ids("SELECT o_orderkey FROM orders")
+    assert(a.intersect(b).isEmpty)
+    assert(a.union(b) == all)
+    intercept[IllegalArgumentException] {
+      Graft.sql(spark, "SELECT count(*) AS c FROM orders SAMPLE 0.6 OFFSET 0.5")
+    }
+  }
+
+  test("GROUP BY ALL / ORDER BY ALL pass through (CH spellings Spark owns)") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val df = Graft.sql(spark,
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS c
+         FROM orders GROUP BY ALL ORDER BY ALL""").collect()
+    assert(df.length > 1)
+    val pairs = df.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs == pairs.sorted)
+  }
+
   test("MATERIALIZED VIEW: POPULATE, insert-triggered block appends, DROP") {
     import spark.implicits._
     Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "k", "v")
