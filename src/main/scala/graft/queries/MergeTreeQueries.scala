@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, QDef, Tables}
-import graft.ops.{Relational, Text}
+import graft.ops.{Relational, SkipIndex, Text}
 import graft.plans.{LimitByPlan, Projections}
 import org.apache.spark.sql.functions._
 
@@ -431,6 +431,30 @@ object MergeTreeQueries {
     }, Some("""
       SELECT o_orderstatus, round(avg(o_totalprice), 4) AS avg_price,
              count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // MergeTree data-skipping (secondary) index: minmax + set(N) at
+    // FILE granularity (ops/SkipIndex — range-clustered layout, side
+    // manifest, lossless prune-then-scan; SkipIndexSpec proves ≥half
+    // the files skip on point lookups and that overflow degrades to
+    // minmax-only). The query answers three point lookups on the
+    // NON-sort-key l_partkey reading only manifest-surviving files;
+    // the oracle is the plain filter — identical results prove the
+    // pruning lossless end-to-end at the gate scale too.
+    QDef("mt_skip_index", (s, dir) => {
+      import s.implicits._
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft_skipidx_" +
+        math.abs(dir.hashCode).toString
+      if (!new java.io.File(s"$dest/_skipidx").exists())
+        SkipIndex.build(Tables(s, dir, "lineitem"), dest, "l_partkey", 16)
+      Seq(1L, 50L, 99L).map { k =>
+        SkipIndex.scanEq(s, dest, "l_partkey", k)
+          .groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n"), Det.dsum($"l_quantity").as("qty"))
+      }.reduce(_ unionByName _).orderBy($"l_partkey")
+    }, Some(s"""
+      SELECT l_partkey, count(*) AS n, ${Det.sqlSum("l_quantity")} AS qty
+      FROM lineitem WHERE l_partkey IN (1, 50, 99)
+      GROUP BY l_partkey ORDER BY l_partkey"""))
   )
 }
