@@ -801,7 +801,52 @@ object ChSql {
   private val explainRe =
     """(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE))?\s+((?:SELECT|WITH)\b.*)$""".r
 
+  // ---- SETTINGS clause + query cache -------------------------------
+  // CH queries routinely end with `SETTINGS k = v, …`. The clause is
+  // peeled off and parsed; `use_query_cache = 1` engages a result
+  // cache keyed by the settings-stripped query text (entries persist
+  // MEMORY_AND_DISK and live until `SYSTEM DROP QUERY CACHE`, the
+  // upstream eviction statement — like CH's cache, staleness after
+  // table mutations is the user's contract). Unknown settings are
+  // accepted and ignored, which is exactly CH's behavior for
+  // tuning-only settings an engine doesn't act on.
+  private val settingsRe =
+    """(?is)\bSETTINGS\s+([A-Za-z_]\w*\s*=\s*[^,\s]+(?:\s*,\s*[A-Za-z_]\w*\s*=\s*[^,\s]+)*)\s*$""".r
+  private val dropCacheRe =
+    """(?is)^\s*SYSTEM\s+DROP\s+QUERY\s+CACHE\s*$""".r
+  private val queryCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def peelSettings(q: String): (String, Map[String, String]) =
+    lastTopLevel(q, settingsRe) match {
+      case Some(m) =>
+        val kv = splitTopLevel(m.group(1)).map { pair =>
+          val Array(k, v) = pair.split("=", 2)
+          k.trim.toLowerCase(java.util.Locale.ROOT) ->
+            v.trim.stripPrefix("'").stripSuffix("'")
+        }.toMap
+        (q.substring(0, m.start).trim, kv)
+      case None => (q, Map.empty)
+    }
+
   def run(spark: SparkSession, query: String): DataFrame = {
+    dropCacheRe.findFirstMatchIn(query).foreach { _ =>
+      queryCache.values.foreach(_.unpersist())
+      queryCache.clear()
+      import spark.implicits._
+      return Seq("query cache dropped").toDF("status")
+    }
+    val (queryNoSettings, settings) = peelSettings(query)
+    if (settings.get("use_query_cache").exists(v => v == "1" || v == "true"))
+      return queryCache.getOrElseUpdate(queryNoSettings, {
+        val df = run(spark, queryNoSettings)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+    runStatement(spark, queryNoSettings)
+  }
+
+  private def runStatement(spark: SparkSession, query: String): DataFrame = {
     createFnRe.findFirstMatchIn(query).foreach { m =>
       val args = Option(m.group(2))
         .map(splitTopLevel(_)).getOrElse(Seq(m.group(3)))

@@ -71,4 +71,68 @@ object SkipIndex {
     else spark.read.schema(all.schema).parquet(files: _*)
       .filter(col(indexCol) === lit(value))
   }
+
+  // ---- bloom_filter skip index -------------------------------------
+  // CH's third skip-index kind, for high-cardinality columns where a
+  // set(N) always overflows. Per file: an m-bit bloom (k md5-derived
+  // hash positions per value, the cross-engine mh60 primitive) stored
+  // SPARSELY as (word index → 64-bit word) pairs — built relationally
+  // (explode k positions → groupBy(file, word) bit_or(mask) → one
+  // map per file), so index construction is one shuffle at any scale
+  // and the manifest stays O(files · set-bits/64).
+
+  private val bloomBits = 1 << 15 // m = 32768 bits per file
+  private val bloomK = 4
+
+  /** Bit positions of `v` — mh60 with k salts, mod m. Pure function of
+    * the value, so build and probe agree anywhere.
+    */
+  private def bloomPositions(v: String): Seq[Int] =
+    (0 until bloomK).map { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$s|$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % bloomBits).toInt
+    }
+
+  def buildBloom(df: DataFrame, dest: String, indexCol: String,
+                 nParts: Int): Unit = {
+    val spark = df.sparkSession
+    df.repartition(nParts).write.mode("overwrite").parquet(s"$dest/data")
+    // positions spelled with the same md5 bits as bloomPositions
+    val posCols = (0 until bloomK).map { s =>
+      (conv(substring(md5(concat(lit(s"$s|"), col(indexCol).cast("string"))),
+        1, 15), 16, 10).cast("long") % bloomBits).cast("int")
+    }
+    spark.read.parquet(s"$dest/data")
+      .select(input_file_name().as("file"),
+        explode(array(posCols: _*)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(1L, pos % 64)").as("mask"))
+      .groupBy("file", "word").agg(bit_or(col("mask")).as("bits"))
+      .groupBy("file")
+      .agg(map_from_arrays(collect_list(col("word")),
+        collect_list(col("bits"))).as("words"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/_bloomidx")
+  }
+
+  /** Files whose bloom cannot rule out `indexCol = value`. */
+  def candidateFilesBloom(spark: SparkSession, dest: String,
+                          value: String): Seq[String] = {
+    val need = bloomPositions(value).map(p => (p / 64, 1L << (p % 64)))
+    val pred = need.map { case (w, m) =>
+      (element_at(col("words"), lit(w)).bitwiseAND(lit(m))) === lit(m)
+    }.reduce(_ && _)
+    spark.read.parquet(s"$dest/_bloomidx")
+      .filter(pred).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  def scanEqBloom(spark: SparkSession, dest: String, indexCol: String,
+                  value: String): DataFrame = {
+    val files = candidateFilesBloom(spark, dest, value)
+    val all = spark.read.parquet(s"$dest/data")
+    if (files.isEmpty) all.limit(0)
+    else spark.read.schema(all.schema).parquet(files: _*)
+      .filter(col(indexCol) === lit(value))
+  }
 }

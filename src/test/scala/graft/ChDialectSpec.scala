@@ -617,6 +617,24 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(d - 111195.0) < 100.0, s"got $d")
   }
 
+  test("SETTINGS clause peels; use_query_cache caches until SYSTEM DROP") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("qc_base")
+    // unknown settings are accepted and ignored
+    assert(Graft.sql(spark,
+      "SELECT count(*) AS c FROM qc_base SETTINGS max_threads = 8")
+      .collect().head.getLong(0) == 2L)
+    val q = "SELECT CAST(sum(v) AS DOUBLE) AS sv FROM qc_base SETTINGS use_query_cache = 1"
+    assert(Graft.sql(spark, q).collect().head.getDouble(0) == 30.0)
+    // mutate the base; cached entry still serves the old answer…
+    Graft.sql(spark, "INSERT INTO qc_base VALUES (CAST(3 AS BIGINT), 12.0)")
+    assert(Graft.sql(spark, q).collect().head.getDouble(0) == 30.0)
+    // …until the cache drops
+    Graft.sql(spark, "SYSTEM DROP QUERY CACHE")
+    assert(Graft.sql(spark, q).collect().head.getDouble(0) == 42.0)
+  }
+
   test("SAMPLE OFFSET: disjoint windows partition the table") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def ids(q: String): Set[Long] =

@@ -48,6 +48,29 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(out.schema.fieldNames.contains("l_quantity"))
   }
 
+  test("bloom index: lossless on present values, prunes hard on absent ones") {
+    val d3 = s"${System.getProperty("java.io.tmpdir")}/graft_skipidx_bloom"
+    SkipIndex.buildBloom(Tables(spark, "/root/testdata/sf0.001", "customer"),
+      d3, "c_name", nParts = 8)
+    val total = spark.read.parquet(s"$d3/data").inputFiles.length
+    for (name <- Seq("Customer#000000000", "Customer#000000042",
+        "Customer#000000149")) {
+      val viaIdx = SkipIndex.scanEqBloom(spark, d3, "c_name", name)
+        .select("c_custkey").as[Long].collect().toSeq
+      val direct = Tables(spark, "/root/testdata/sf0.001", "customer")
+        .filter($"c_name" === name).select("c_custkey").as[Long].collect().toSeq
+      assert(viaIdx == direct && viaIdx.nonEmpty, name)
+      // unique value → ~1 true file; allow a couple of false positives
+      val cand = SkipIndex.candidateFilesBloom(spark, d3, name)
+      assert(cand.length * 2 <= total, s"$name: ${cand.length} of $total")
+    }
+    // absent value: expect (near-)total pruning and an empty result
+    val ghost = SkipIndex.candidateFilesBloom(spark, d3, "Customer#999999999")
+    assert(ghost.length * 2 <= total)
+    assert(SkipIndex.scanEqBloom(spark, d3, "c_name", "Customer#999999999")
+      .count() == 0)
+  }
+
   test("set overflow degrades to minmax-only, still lossless") {
     val d2 = s"${System.getProperty("java.io.tmpdir")}/graft_skipidx_spec2"
     SkipIndex.build(Tables(spark, "/root/testdata/sf0.001", "lineitem"),
