@@ -366,8 +366,53 @@ object ChSql {
     q
   }
 
+  /** CH `SELECT TOP n …` ≡ `SELECT … LIMIT n` (the T-SQL-ism CH
+    * accepts). Rewritten to LIMIT so the rest of the pipeline (incl.
+    * LIMIT-BY routing) sees one canonical spelling.
+    */
+  private val topNRe = """(?i)\bSELECT\s+TOP\s+(\d+)\s+""".r
+
+  private def rewriteTopN(q: String): String =
+    topNRe.findFirstMatchIn(q) match {
+      case Some(m) if topLevelMask(q)(m.start) =>
+        require(lastTopLevel(q, finalLimitRe).isEmpty,
+          "TOP n and LIMIT cannot be combined")
+        q.substring(0, m.start) + "SELECT " + q.substring(m.end) +
+          s" LIMIT ${m.group(1)}"
+      case _ => q
+    }
+
+  // ---- FROM t FINAL ------------------------------------------------
+  // CH's read-time merge: `FROM t FINAL` applies the table engine's
+  // collapse (Replacing latest / Collapsing net / VersionedCollapsing)
+  // before the query sees rows. The engine key metadata doesn't exist
+  // on a bare view, so — like sampling keys — it's registered
+  // explicitly; unregistered tables fail loudly toward the operators.
+  private val finalSpecs =
+    scala.collection.concurrent.TrieMap[String, DataFrame => DataFrame]()
+
+  def registerFinal(table: String, collapse: DataFrame => DataFrame): Unit =
+    finalSpecs.put(table.toLowerCase(java.util.Locale.ROOT), collapse)
+
+  private val fromFinalRe = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+FINAL\b""".r
+
+  private def rewriteFinal(spark: SparkSession, q: String): String =
+    fromFinalRe.replaceAllIn(q, { m =>
+      val t = m.group(1)
+      val fn = finalSpecs.getOrElse(t.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"FROM $t FINAL needs engine key metadata — " +
+            s"""ChSql.registerFinal("$t", df => …) first (e.g. """ +
+            "Relational.replacingLatest / versionedCollapseFinal)"))
+      val v = s"graft_final_${sysSeq.incrementAndGet()}"
+      fn(spark.table(t)).createOrReplaceTempView(v)
+      // alias the collapsed view back to the table name so qualified
+      // column references in the rest of the query keep resolving
+      Regex.quoteReplacement(s"FROM $v $t")
+    })
+
   private def preRewrite(q0: String): String = {
-    var q = rewriteScalarWith(q0)
+    var q = rewriteTopN(rewriteScalarWith(q0))
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
     require(firstTopLevel(q, anyJoinRe).isEmpty,
       "ANY JOIN changes join semantics — use graft.ops.Joins.anyJoin")
@@ -929,7 +974,7 @@ object ChSql {
       return out
     }
     val q = preRewrite(rewriteSpecialJoins(spark,
-      rewriteSystemTables(spark, query.trim)))
+      rewriteFinal(spark, rewriteSystemTables(spark, query.trim))))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

@@ -379,6 +379,29 @@ object ChSqlQueries {
       SELECT range % 7 AS bucket, count(*) AS n,
              CAST(sum(range) AS BIGINT) AS total,
              CAST(0 AS TINYINT) AS dummy
-      FROM range(100000) GROUP BY bucket ORDER BY bucket"""))
+      FROM range(100000) GROUP BY bucket ORDER BY bucket""")),
+
+    // Named WINDOW clause + CH's TOP n spelling, as verbatim text:
+    // one window definition shared by two functions (Spark owns the
+    // WINDOW clause; TOP rewrites to LIMIT in the front door). Total
+    // ORDER BY inside the window keeps the running count exact.
+    QDef("sql_ch_named_window", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT TOP 40 o_orderkey, o_orderstatus,
+               rank() OVER w AS rnk,
+               CAST(count(*) OVER w AS BIGINT) AS running
+        FROM orders WHERE o_orderkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             rank() OVER w AS rnk,
+             count(*) OVER w AS running
+      FROM orders WHERE o_orderkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey LIMIT 40"""))
   )
 }

@@ -455,6 +455,30 @@ object MergeTreeQueries {
     }, Some(s"""
       SELECT l_partkey, count(*) AS n, ${Det.sqlSum("l_quantity")} AS qty
       FROM lineitem WHERE l_partkey IN (1, 50, 99)
-      GROUP BY l_partkey ORDER BY l_partkey"""))
+      GROUP BY l_partkey ORDER BY l_partkey""")),
+
+    // bloom_filter skip index (CH's third skip-index kind) on the
+    // high-cardinality c_name: per-file 32k-bit blooms (sparse
+    // word→bits manifest, md5-position parity between build and
+    // probe), point lookups read only bloom-surviving files. The
+    // plain-filter oracle proves the pruning lossless; SkipIndexSpec
+    // pins the pruning RATE and the absent-value short-circuit.
+    QDef("mt_bloom_index", (s, dir) => {
+      import s.implicits._
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_" +
+        math.abs(dir.hashCode).toString
+      if (!new java.io.File(s"$dest/_bloomidx").exists())
+        SkipIndex.buildBloom(Tables(s, dir, "customer"), dest, "c_name", 8)
+      Seq("Customer#000000003", "Customer#000000077", "Customer#000000119")
+        .map { n =>
+          SkipIndex.scanEqBloom(s, dest, "c_name", n)
+            .select($"c_name", $"c_custkey", $"c_nationkey")
+        }.reduce(_ unionByName _).orderBy($"c_name")
+    }, Some("""
+      SELECT c_name, c_custkey, c_nationkey
+      FROM customer
+      WHERE c_name IN ('Customer#000000003', 'Customer#000000077',
+                       'Customer#000000119')
+      ORDER BY c_name"""))
   )
 }

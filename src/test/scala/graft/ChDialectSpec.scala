@@ -617,6 +617,26 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(d - 111195.0) < 100.0, s"got $d")
   }
 
+  test("FROM t FINAL applies the registered engine collapse; unregistered fails") {
+    import spark.implicits._
+    Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c")).toDF("k", "ver", "v")
+      .createOrReplaceTempView("fin_t")
+    intercept[IllegalArgumentException] {
+      Graft.sql(spark, "SELECT * FROM fin_t FINAL")
+    }
+    ChSql.registerFinal("fin_t", df =>
+      graft.ops.Relational.replacingLatest(df, Seq("k"), Seq(col("ver"))))
+    val rows = Graft.sql(spark,
+      "SELECT k, v FROM fin_t FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "b"), (2L, "c")))
+    // TOP n spelling rewrites to LIMIT through the same front door
+    val top = Graft.sql(spark,
+      "SELECT TOP 1 k FROM fin_t FINAL ORDER BY k DESC")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(2L))
+  }
+
   test("SETTINGS clause peels; use_query_cache caches until SYSTEM DROP") {
     import spark.implicits._
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
