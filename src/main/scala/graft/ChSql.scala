@@ -411,6 +411,65 @@ object ChSql {
       Regex.quoteReplacement(s"FROM $v $t")
     })
 
+  // ---- star modifiers: * REPLACE, * APPLY, COLUMNS('re') -----------
+  // CH's column-selector sugar. Spark owns `* EXCEPT (…)` natively;
+  // the other three expand here against the FROM table's schema
+  // (simple named-table FROM — subquery sources fail loudly).
+  // APPLY names results `f(col)` exactly as CH prints them.
+  private val starReplaceRe = """(?i)\*\s+REPLACE\s*\(""".r
+  private val starApplyRe = """(?i)\*\s+APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+  private val columnsFnRe = """(?i)\bCOLUMNS\s*\(\s*'([^']*)'\s*\)""".r
+
+  /** Index of the close paren matching the open paren at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens after $open in: $s")
+  }
+
+  private def rewriteStarMods(spark: SparkSession, q0: String): String = {
+    var q = q0
+    def sourceCols(s: String): Seq[String] =
+      spark.table(firstFromTable(s)).columns.toSeq
+    starReplaceRe.findFirstMatchIn(q).filter(m => topLevelMask(q)(m.start))
+      .foreach { m =>
+        val close = matchParen(q, m.end - 1)
+        val repl = splitTopLevel(q.substring(m.end, close)).map { item =>
+          val mm = asRe.findAllMatchIn(item).toSeq.lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"* REPLACE items must be 'expr AS name': $item"))
+          item.substring(mm.end).trim -> item.substring(0, mm.start).trim
+        }.toMap
+        val cols = sourceCols(q)
+        val unknown = repl.keySet.diff(cols.toSet)
+        require(unknown.isEmpty, s"* REPLACE of non-existent column(s) $unknown")
+        val expand = cols.map(c => repl.get(c).map(e => s"$e AS $c").getOrElse(c))
+        q = q.substring(0, m.start) + expand.mkString(", ") + q.substring(close + 1)
+      }
+    starApplyRe.findFirstMatchIn(q).filter(m => topLevelMask(q)(m.start))
+      .foreach { m =>
+        val f = m.group(1)
+        val expand = sourceCols(q).map(c => s"$f($c) AS `$f($c)`")
+        q = q.substring(0, m.start) + expand.mkString(", ") + q.substring(m.end)
+      }
+    columnsFnRe.findFirstMatchIn(q).filter(m => topLevelMask(q)(m.start))
+      .foreach { m =>
+        val re = m.group(1).r
+        val keep = sourceCols(q).filter(c => re.findFirstIn(c).isDefined)
+        require(keep.nonEmpty, s"COLUMNS('${m.group(1)}') matches no column")
+        q = q.substring(0, m.start) + keep.mkString(", ") + q.substring(m.end)
+      }
+    q
+  }
+
   private def preRewrite(q0: String): String = {
     var q = rewriteTopN(rewriteScalarWith(q0))
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
@@ -789,7 +848,7 @@ object ChSql {
     val m = fromKwRe.findAllMatchIn(q)
       .find(mm => topLevelMask(q)(mm.start))
       .getOrElse(throw new IllegalArgumentException(
-        s"MATERIALIZED VIEW query needs a FROM table: $q"))
+        s"this rewrite needs a named FROM table: $q"))
     val rest = q.substring(m.end).trim
     val id = rest.takeWhile(c => c.isLetterOrDigit || c == '_')
     require(id.nonEmpty && id.head.isLetter,
@@ -973,8 +1032,8 @@ object ChSql {
       out.createOrReplaceTempView(table)
       return out
     }
-    val q = preRewrite(rewriteSpecialJoins(spark,
-      rewriteFinal(spark, rewriteSystemTables(spark, query.trim))))
+    val q = preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
+      rewriteFinal(spark, rewriteSystemTables(spark, query.trim)))))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

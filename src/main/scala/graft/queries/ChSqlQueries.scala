@@ -402,6 +402,31 @@ object ChSqlQueries {
       FROM orders WHERE o_orderkey % 50 = 0
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey)
-      ORDER BY o_orderkey LIMIT 40"""))
+      ORDER BY o_orderkey LIMIT 40""")),
+
+    // Star modifiers as verbatim CH text: * REPLACE rewrites one
+    // column in place, COLUMNS('re') selects by name regex (both
+    // expanded against the FROM table's schema in the front door;
+    // * EXCEPT is Spark-native). DuckDB speaks the same modifiers,
+    // so the oracle is nearly the identical query.
+    QDef("sql_ch_star_mods", (s, dir) => {
+      graft.Graft.init(s, dir)
+      val a = graft.Graft.sql(s, """
+        SELECT * REPLACE (upper(n_name) AS n_name) FROM nation
+        WHERE n_nationkey < 10 ORDER BY n_nationkey""")
+      val b = graft.Graft.sql(s, """
+        SELECT COLUMNS('n_.*key') FROM nation
+        WHERE n_name = 'NATION_7'""")
+      a.crossJoin(org.apache.spark.sql.functions.broadcast(
+        b.withColumnRenamed("n_nationkey", "ref_key")
+          .withColumnRenamed("n_regionkey", "ref_region")))
+        .orderBy("n_nationkey")
+    }, Some("""
+      SELECT * FROM
+        (SELECT * REPLACE (upper(n_name) AS n_name) FROM nation
+         WHERE n_nationkey < 10),
+        (SELECT n_nationkey AS ref_key, n_regionkey AS ref_region
+         FROM nation WHERE n_name = 'NATION_7')
+      ORDER BY n_nationkey"""))
   )
 }

@@ -637,6 +637,28 @@ class ChDialectSpec extends AnyFunSuite {
     assert(top == Seq(2L))
   }
 
+  test("star modifiers: * REPLACE / * APPLY / COLUMNS('re') / native * EXCEPT") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val rep = Graft.sql(spark,
+      "SELECT * REPLACE (n_nationkey * 100 AS n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 1")
+    assert(rep.columns.toSeq ==
+      spark.table("nation").columns.toSeq)
+    assert(rep.collect().head.getAs[Number](
+      rep.columns.indexOf("n_nationkey")).longValue() == 0L)
+    val app = Graft.sql(spark,
+      "SELECT * APPLY (max) FROM region")
+    assert(app.columns.forall(_.startsWith("max(")))
+    val cols = Graft.sql(spark,
+      "SELECT COLUMNS('r_.*') FROM region LIMIT 1")
+    assert(cols.columns.toSeq == spark.table("region").columns.toSeq)
+    val exc = Graft.sql(spark,
+      "SELECT * EXCEPT (n_name) FROM nation LIMIT 1")
+    assert(!exc.columns.contains("n_name"))
+    intercept[IllegalArgumentException] {
+      Graft.sql(spark, "SELECT * REPLACE (1 AS no_such_col) FROM nation")
+    }
+  }
+
   test("SETTINGS clause peels; use_query_cache caches until SYSTEM DROP") {
     import spark.implicits._
     Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
