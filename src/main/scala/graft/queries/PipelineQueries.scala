@@ -292,6 +292,100 @@ object PipelineQueries {
              CAST(min(doc_id) AS BIGINT) AS first_doc
       FROM o GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // Benchmark decontamination — the eval-overlap scrub every
+    // training corpus needs: flag training docs sharing any 5-token
+    // shingle with the eval set (deterministic stand-in: doc_id%97=0
+    // is "the benchmark"). Candidates come from a shingle-hash
+    // equi-join (train side exploded once, eval side distinct-small),
+    // so the overlap test is a hash join at any corpus size — never
+    // an all-pairs text comparison. Same md5 shingle hashes both
+    // engines, so even the join is oracle-exact.
+    QDef("pipe_decontaminate", (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("sh", array_distinct(transform(
+          Text.hashPairs(array_distinct(
+            Text.shingles(Text.tokens($"text"), 5))),
+          p => p.getField("h1"))))
+      val eval_ = docs.filter($"doc_id" % 97 === 0)
+        .select(explode($"sh").as("h")).distinct()
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", $"lang", explode($"sh").as("h"))
+      val hits = train.join(eval_, "h")
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_shared"))
+      hits.groupBy($"lang")
+        .agg(count(lit(1)).as("contaminated_docs"),
+          sum($"n_shared").as("shared_shingles"),
+          max($"n_shared").as("worst_overlap"))
+        .orderBy($"lang")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang, list_distinct(list_transform(
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1)),
+                   i -> array_to_string(toks[i:i+4], ' '))),
+                 x -> CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                      % 36028797018963968)) AS sh
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+      ev AS (SELECT DISTINCT unnest(sh) AS h FROM d WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, lang, unnest(sh) AS h FROM d WHERE doc_id % 97 <> 0),
+      hits AS (
+        SELECT doc_id, lang, count(*) AS n_shared
+        FROM tr JOIN ev USING (h) GROUP BY doc_id, lang)
+      SELECT lang, count(*) AS contaminated_docs,
+             CAST(sum(n_shared) AS BIGINT) AS shared_shingles,
+             CAST(max(n_shared) AS BIGINT) AS worst_overlap
+      FROM hits GROUP BY lang ORDER BY lang""")),
+
+    // Gopher-style quality rules (public Rae et al. 2021 heuristics,
+    // fixture-scaled thresholds): word count bounds, mean word length
+    // band, max-word-length cap, and a repetition proxy (distinct
+    // token ratio). Pure per-row projections + one agg — embarrassing
+    // parallel at any scale; per-lang keep rates for the curation
+    // dashboard.
+    QDef("pipe_gopher_rules", (s, dir) => {
+      import s.implicits._
+      val toks = Text.tokens($"text")
+      val nWords = size(toks).cast("long")
+      val meanWlen = (length(regexp_replace($"text", " ", ""))
+        .cast("double") / nWords)
+      val maxWlen = array_max(transform(toks, t => length(t)))
+      val distinctRatio = (size(array_distinct(toks)).cast("double") / nWords)
+      Tables(s, dir, "documents")
+        .withColumn("r_count", nWords.between(5L, 5000L))
+        .withColumn("r_mwl", meanWlen.between(2.0, 12.0))
+        .withColumn("r_maxw", maxWlen <= 30)
+        .withColumn("r_rep", distinctRatio >= 0.2)
+        .withColumn("keep",
+          $"r_count" && $"r_mwl" && $"r_maxw" && $"r_rep")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+          sum(when($"r_rep", 0L).otherwise(1L)).as("fail_repetition"),
+          sum(when($"r_mwl", 0L).otherwise(1L)).as("fail_word_len"))
+        .orderBy($"lang")
+    }, Some("""
+      WITH f AS (
+        SELECT lang,
+               len(toks) AS n_words,
+               length(replace(text, ' ', ''))::DOUBLE / len(toks) AS mwl,
+               list_max(list_transform(toks, t -> length(t))) AS maxw,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS dr
+        FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM documents)),
+      r AS (
+        SELECT lang,
+               (n_words BETWEEN 5 AND 5000) AND (mwl BETWEEN 2.0 AND 12.0)
+                 AND (maxw <= 30) AND (dr >= 0.2) AS keep,
+               (mwl BETWEEN 2.0 AND 12.0) AS r_mwl,
+               dr >= 0.2 AS r_rep
+        FROM f)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(sum(CASE WHEN r_rep THEN 0 ELSE 1 END) AS BIGINT) AS fail_repetition,
+             CAST(sum(CASE WHEN r_mwl THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_len
+      FROM r GROUP BY lang ORDER BY lang""")),
+
     // SimHash document fingerprints (bitwise majority over token
     // hashes) — near-dup docs land at small Hamming distance.
     QDef("pipe_simhash", (s, dir) => {
