@@ -470,6 +470,193 @@ object ChSql {
     q
   }
 
+  // ---- parametric aggregate combinators: f(params)(args) -----------
+
+  /** [[matchParen]] that also skips parens inside '…' literals —
+    * needed here because parametric payloads carry pattern strings
+    * with parens, e.g. `sequenceMatch('(?1)(?2)')(ts, c1, c2)`.
+    */
+  private def matchParenStr(s: String, open: Int): Int = {
+    var depth = 0
+    var inStr = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens after $open in: $s")
+  }
+
+  /** mask(i) = char i is inside a '…' literal. */
+  private def inStringMask(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { in(i) = true; inStr = !inStr }
+      else in(i) = inStr
+      i += 1
+    }
+    in
+  }
+
+  // longest-prefix names first so e.g. `quantiles` never half-matches
+  // as `quantile`
+  private val paramAggRe =
+    ("""(?i)\b(quantilesExact|quantileExact|quantiles|quantile|uniqUpTo|""" +
+      """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
+      """\s*\(""").r
+
+  /** ClickHouse's parametric-aggregate call syntax `f(params)(args)`
+    * [public docs: sql-reference/aggregate-functions/parametric-
+    * functions]. Spark's parser has no two-group call form, so the
+    * parametric shape is rewritten here:
+    *
+    *   - `quantile[Exact](p)(x)`   → `percentile(x, p)` (exact rank
+    *     interpolation; CH's plain `quantile` is sampling-based —
+    *     documented estimate drift, exactness is the safer default)
+    *   - `quantiles[Exact](p…)(x)` → `percentile(x, array(p…))`
+    *   - `uniqUpTo(n)(x)`          → `least(count(DISTINCT x), n+1)`
+    *   - `topK(k)(x)` / `topKWeighted(k)(x, w)` / `histogram(n)(x)` /
+    *     `windowFunnel(w[, 'mode'…])(ts, c…)` / `sequenceMatch('pat')
+    *     (ts, c…)` / `sequenceCount('pat')(ts, c…)` → a UDAF over the
+    *     proven Aggregator is registered ON DEMAND under a
+    *     parameter-mangled name (`__ch_topk_5`, …) and the call text
+    *     is rewritten onto it. Registration is driver-side and
+    *     idempotent; the executed plan is the same two-phase
+    *     partial/final aggregation the library entries run.
+    *
+    * windowFunnel/sequence* require a TIMESTAMP first argument and
+    * take window/gap parameters in SECONDS (CH semantics on a
+    * DateTime column); conditions are null-safe-coalesced to false.
+    */
+  private def rewriteParametric(spark: SparkSession, q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      go = false
+      val inStr = inStringMask(q)
+      // first match whose shape really is f(params)(args); a plain
+      // one-group call (e.g. Spark-spelled percentile) passes through
+      val hit = paramAggRe.findAllMatchIn(q).filterNot(m => inStr(m.start))
+        .flatMap { m =>
+          val p1open = m.end - 1
+          val p1close = matchParenStr(q, p1open)
+          var j = p1close + 1
+          while (j < q.length && q.charAt(j).isWhitespace) j += 1
+          if (j < q.length && q.charAt(j) == '(')
+            Some((m, p1open, p1close, j, matchParenStr(q, j)))
+          else None
+        }.take(1).toList.headOption
+      hit.foreach { case (m, p1open, p1close, p2open, p2close) =>
+        val params = splitTopLevel(q.substring(p1open + 1, p1close))
+        val args = splitTopLevel(q.substring(p2open + 1, p2close))
+        val repl = expandParametric(spark, m.group(1), params, args)
+        q = q.substring(0, m.start) + repl + q.substring(p2close + 1)
+        go = true
+      }
+    }
+    q
+  }
+
+  private def expandParametric(spark: SparkSession, name0: String,
+      params: Seq[String], args: Seq[String]): String = {
+    import graft.ops.Aggregates
+    val name = name0.toLowerCase(java.util.Locale.ROOT)
+    def intParam(i: Int): Int = {
+      require(i < params.size && params(i).matches("""\d+"""),
+        s"$name0: parameter ${i + 1} must be an integer literal, " +
+          s"got ${params.lift(i).getOrElse("<missing>")}")
+      params(i).toInt
+    }
+    def strParam(i: Int): String = {
+      val p = params.lift(i).getOrElse("")
+      require(p.length >= 2 && p.head == '\'' && p.last == '\'',
+        s"$name0: parameter ${i + 1} must be a string literal, got '$p'")
+      p.substring(1, p.length - 1)
+    }
+    def nArgs(n: Int): Unit = require(args.size == n,
+      s"$name0 takes $n argument(s), got ${args.size}")
+    // windowFunnel/sequence* conditions: null-safe booleans, CH treats
+    // NULL conditions as not-matched
+    def condArray: String = args.tail
+      .map(c => s"coalesce(CAST(($c) AS BOOLEAN), false)").mkString(", ")
+    name match {
+      case "quantile" | "quantileexact" =>
+        require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
+        s"percentile(${args.head}, ${params.head})"
+      case "quantiles" | "quantilesexact" =>
+        require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
+        s"percentile(${args.head}, array(${params.mkString(", ")}))"
+      case "uniqupto" =>
+        nArgs(1)
+        s"least(count(DISTINCT ${args.head}), CAST(${intParam(0)} AS BIGINT) + 1)"
+      case "topk" =>
+        nArgs(1)
+        val k = intParam(0)
+        val fn = s"__ch_topk_$k"
+        spark.udf.register(fn, udaf(new Aggregates.TopK(k, math.max(64, 8 * k))))
+        s"transform($fn(CAST(${args.head} AS STRING)), __e -> __e.v)"
+      case "topkweighted" =>
+        nArgs(2)
+        val k = intParam(0)
+        val fn = s"__ch_topkw_$k"
+        spark.udf.register(fn,
+          udaf(new Aggregates.TopKWeighted(k, math.max(64, 8 * k))))
+        s"transform($fn(CAST(${args(0)} AS STRING), CAST(${args(1)} AS BIGINT)), " +
+          "__e -> __e.v)"
+      case "histogram" =>
+        nArgs(1)
+        val n = intParam(0)
+        val fn = s"__ch_histogram_$n"
+        spark.udf.register(fn, udaf(new Aggregates.AdaptiveHistogram(n)))
+        s"$fn(CAST(${args.head} AS DOUBLE))"
+      case "windowfunnel" =>
+        require(args.size >= 2, "windowFunnel(w)(ts, cond1…) needs a " +
+          "timestamp and at least one condition")
+        val w = intParam(0) // seconds — the ts argument is cast to TIMESTAMP
+        val modes = params.drop(1).indices.map(i => strParam(i + 1)).toSet
+        val bad = modes.diff(Set("strict_order", "strict_deduplication", "strict_increase"))
+        require(bad.isEmpty, s"windowFunnel: unknown mode(s) $bad")
+        val n = args.size - 1
+        val wUs = w.toLong * 1000000L
+        val inner =
+          if (modes.isEmpty) new Aggregates.WindowFunnel(wUs, n)
+          else new Aggregates.WindowFunnelModes(wUs, n,
+            strictOrder = modes("strict_order"),
+            strictDedup = modes("strict_deduplication"),
+            strictIncrease = modes("strict_increase"))
+        val fn = s"__ch_funnel_${w}_${n}_" +
+          modes.toSeq.sorted.map(_.charAt(7)).mkString
+        spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(inner, n)))
+        s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
+      case "sequencematch" | "sequencecount" =>
+        require(params.size == 1, s"$name0 takes one pattern parameter")
+        require(args.size >= 2, s"$name0('pat')(ts, cond1…) needs a " +
+          "timestamp and at least one condition")
+        val pat = strParam(0)
+        val n = args.size - 1
+        val fn = s"__ch_seq${name.drop(8)}_${n}_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(pat.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        if (name == "sequencematch")
+          spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(
+            new Aggregates.SequenceMatchPattern(pat, n), n)))
+        else
+          spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(
+            new Aggregates.SequenceCountPattern(pat, n), n)))
+        s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
+      case other => throw new IllegalStateException(s"unhandled parametric $other")
+    }
+  }
+
   private def preRewrite(q0: String): String = {
     var q = rewriteTopN(rewriteScalarWith(q0))
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
@@ -1033,7 +1220,8 @@ object ChSql {
       return out
     }
     val q = preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
-      rewriteFinal(spark, rewriteSystemTables(spark, query.trim)))))
+      rewriteFinal(spark, rewriteSystemTables(spark,
+        rewriteParametric(spark, query.trim))))))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** ClickHouse-spelled SQL function names, so a ClickHouse user's query
   * text runs unchanged through `Graft.sql` (registered by
@@ -590,6 +590,185 @@ object ChDialect {
           Multiply(Sin(dLon), Sin(dLon))))
       Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(h)))
     }
+
+    // regex match under the CH name (same (haystack, pattern) order
+    // as Spark's rlike; RE2-subset patterns portable between engines)
+    reg("match")(c => RLike(c(0), c(1)))
+
+    // bit ops as function spellings (CH functions/bit-functions)
+    macroFn("bitAnd", Seq("__a", "__b"), "__a & __b")
+    macroFn("bitOr", Seq("__a", "__b"), "__a | __b")
+    macroFn("bitXor", Seq("__a", "__b"), "__a ^ __b")
+    macroFn("bitNot", Seq("__a"), "~__a")
+    macroFn("bitTest", Seq("__a", "__i"),
+      "CAST(shiftright(__a, CAST(__i AS INT)) & 1 AS TINYINT)")
+
+    // exponent family; intExp2 via shift for bit-exactness at 2^53+
+    macroFn("exp2", Seq("__x"), "power(2.0, __x)")
+    macroFn("exp10", Seq("__x"), "power(10.0, __x)")
+    macroFn("intExp2", Seq("__x"),
+      "shiftleft(CAST(1 AS BIGINT), CAST(__x AS INT))")
+
+    // finiteness predicates (CH functions/other: isFinite & friends)
+    macroFn("isFinite", Seq("__x"),
+      "NOT isnan(__x) AND abs(__x) <> CAST('Infinity' AS DOUBLE)")
+    macroFn("isInfinite", Seq("__x"),
+      "abs(__x) = CAST('Infinity' AS DOUBLE)")
+    macroFn("ifNotFinite", Seq("__x", "__y"),
+      "CASE WHEN isnan(__x) OR abs(__x) = CAST('Infinity' AS DOUBLE) " +
+        "THEN __y ELSE __x END")
+    // type plumbing no-ops: Spark columns are already nullable values
+    macroFn("assumeNotNull", Seq("__x"), "__x")
+    macroFn("toNullable", Seq("__x"), "__x")
+    reg("toTypeName")(c =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("typeof"), c.toSeq, isDistinct = false))
+
+    // web-analytics rounding (CH functions/rounding-functions):
+    // fixed bucket ladders — greatest ladder value ≤ x
+    macroFn("roundDuration", Seq("__x"),
+      """coalesce(array_max(filter(
+           array(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+                 3600, 7200, 18000, 36000),
+           v -> v <= __x)), 0)""")
+    macroFn("roundAge", Seq("__x"),
+      """CASE WHEN __x < 1 THEN 0 WHEN __x < 18 THEN 17
+              WHEN __x < 25 THEN 18 WHEN __x < 35 THEN 25
+              WHEN __x < 45 THEN 35 WHEN __x < 55 THEN 45 ELSE 55 END""")
+    macroFn("roundToExp2", Seq("__x"),
+      """CASE WHEN __x < 1 THEN 0
+              ELSE shiftleft(CAST(1 AS BIGINT),
+                             CAST(floor(log2(__x)) AS INT)) END""")
+
+    // half-hour slot + Monday truncation (traffic reports)
+    macroFn("timeSlot", Seq("__t"),
+      "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 1800) * 1800)")
+    reg("toMonday")(c => TruncDate(Cast(c.head, DateType), Literal("WEEK")))
+
+    // sub-day add/subtract on TIMESTAMPS (the day-and-up family above
+    // is DATE-granular, CH's DateTime overloads keep time-of-day)
+    macroFn("addHours", Seq("__t", "__n"),
+      "CAST(__t AS TIMESTAMP) + make_interval(0, 0, 0, 0, CAST(__n AS INT), 0, 0)")
+    macroFn("subtractHours", Seq("__t", "__n"),
+      "CAST(__t AS TIMESTAMP) - make_interval(0, 0, 0, 0, CAST(__n AS INT), 0, 0)")
+    macroFn("addMinutes", Seq("__t", "__n"),
+      "CAST(__t AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, CAST(__n AS INT), 0)")
+    macroFn("subtractMinutes", Seq("__t", "__n"),
+      "CAST(__t AS TIMESTAMP) - make_interval(0, 0, 0, 0, 0, CAST(__n AS INT), 0)")
+    macroFn("addSeconds", Seq("__t", "__n"),
+      "CAST(__t AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, 0, CAST(__n AS DOUBLE))")
+    macroFn("subtractSeconds", Seq("__t", "__n"),
+      "CAST(__t AS TIMESTAMP) - make_interval(0, 0, 0, 0, 0, 0, CAST(__n AS DOUBLE))")
+
+    // CH `age('unit', a, b)` counts COMPLETE elapsed units — exactly
+    // Spark's timestampdiff, whose parser-reserved spelling can't take
+    // a quoted unit; the Catalyst node can. (Boundary-crossing
+    // dateDiff lives above as chDateDiff — the two differ by design.)
+    reg("age") { c =>
+      require(c.size == 3, s"age('unit', start, end) — got ${c.size} args")
+      val unit = c.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString.toUpperCase(java.util.Locale.ROOT)
+        case e => throw new IllegalArgumentException(
+          s"age requires a literal unit (got ${e.sql})")
+      }
+      require(Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+        "QUARTER", "YEAR")(unit), s"age: unsupported unit '$unit'")
+      TimestampDiff(unit, Cast(c(1), TimestampType), Cast(c(2), TimestampType))
+    }
+
+    // dateName('unit', d) → the PART as a STRING (CH returns names
+    // for month/weekday, digits otherwise)
+    reg("dateName") { c =>
+      require(c.size == 2, s"dateName('unit', d) — got ${c.size} args")
+      val unit = c.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString.toLowerCase(java.util.Locale.ROOT)
+        case e => throw new IllegalArgumentException(
+          s"dateName requires a literal unit (got ${e.sql})")
+      }
+      val d = Cast(c(1), DateType)
+      unit match {
+        case "year" | "quarter" | "month" | "day" | "hour" | "minute" | "second" =>
+          val part = unit match {
+            case "year" => Year(d); case "quarter" => Quarter(d)
+            case "month" => Month(d); case "day" => DayOfMonth(d)
+            case "hour" => Hour(Cast(c(1), TimestampType))
+            case "minute" => Minute(Cast(c(1), TimestampType))
+            case "second" => Second(Cast(c(1), TimestampType))
+          }
+          if (unit == "month") DateFormatClass(d, Literal("MMMM"))
+          else Cast(part, StringType)
+        case "weekday" => DateFormatClass(d, Literal("EEEE"))
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported unit '$other'")
+      }
+    }
+
+    // toStartOfInterval(t, INTERVAL n unit) — CH's generalized
+    // truncation. The INTERVAL literal arrives as a foldable
+    // (Calendar)Interval expression; dispatch on which field is set.
+    reg("toStartOfInterval") { c =>
+      require(c.size == 2,
+        s"toStartOfInterval(t, INTERVAL n unit) — got ${c.size} args")
+      require(c(1).foldable, "toStartOfInterval needs a literal INTERVAL")
+      val t = Cast(c.head, TimestampType)
+      def floorSeconds(secs: Long): Expression = {
+        val unixS = Cast(UnixTimestamp(t, Literal("yyyy-MM-dd HH:mm:ss")), LongType)
+        val floored = Multiply(
+          Cast(Floor(Divide(Cast(unixS, DoubleType), Literal(secs.toDouble))), LongType),
+          Literal(secs))
+        SecondsToTimestamp(floored)
+      }
+      val (months, days, micros) = c(1).dataType match {
+        case _: org.apache.spark.sql.types.DayTimeIntervalType =>
+          (0, 0L, c(1).eval().asInstanceOf[Long])
+        case _: org.apache.spark.sql.types.YearMonthIntervalType =>
+          (c(1).eval().asInstanceOf[Int], 0L, 0L)
+        case org.apache.spark.sql.types.CalendarIntervalType =>
+          val ci = c(1).eval()
+            .asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+          (ci.months, ci.days.toLong, ci.microseconds)
+        case other => throw new IllegalArgumentException(
+          s"toStartOfInterval: second argument must be an INTERVAL, got $other")
+      }
+      if (months > 0) {
+        require(days == 0 && micros == 0,
+          "toStartOfInterval: mixed month/day intervals unsupported")
+        // floor months-since-epoch to the stride, rebuild a DATE
+        val m0 = Add(Multiply(Subtract(Year(Cast(c.head, DateType)), Literal(1970)),
+          Literal(12)), Subtract(Month(Cast(c.head, DateType)), Literal(1)))
+        val fl = Multiply(
+          Cast(Floor(Divide(Cast(m0, DoubleType), Literal(months.toDouble))),
+            IntegerType),
+          Literal(months))
+        AddMonths(Cast(Literal("1970-01-01"), DateType), fl)
+      } else if (days > 0) {
+        require(micros == 0,
+          "toStartOfInterval: mixed day/time intervals unsupported")
+        floorSeconds(days * 86400L)
+      } else {
+        require(micros > 0 && micros % 1000000L == 0,
+          "toStartOfInterval: sub-second strides unsupported")
+        floorSeconds(micros / 1000000L)
+      }
+    }
+
+    // string-family aliases with identical argument order
+    fr.createOrReplaceTempFunction("concatWithSeparator",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("concat_ws")).get, "built-in")
+    fr.createOrReplaceTempFunction("substringIndex",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("substring_index")).get, "built-in")
+    fr.createOrReplaceTempFunction("translateUTF8",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("translate")).get, "built-in")
+
+    // integer gcd/lcm under the CH names (no Spark builtins to shadow;
+    // the codegen'd expressions from functions/IntMath)
+    reg("gcd")(c => Gcd(Cast(c(0), LongType), Cast(c(1), LongType)))
+    reg("lcm")(c => Lcm(Cast(c(0), LongType), Cast(c(1), LongType)))
 
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))

@@ -65,6 +65,37 @@ object Aggregates {
     def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
+  /** Adapter from ClickHouse's `(timestamp, cond1..condN)` calling
+    * convention onto the StepEvent aggregators, in a SQL-registrable
+    * UDAF shape (ChSql's parametric rewrite registers these): a row
+    * matching several conditions contributes one StepEvent per
+    * matching condition, exactly like CH's per-condition expansion.
+    * The buffer and all aggregation laws are the inner aggregator's —
+    * this only translates the input row shape.
+    */
+  class CondsAdapter[OUT](inner: Aggregator[StepEvent, Seq[StepEvent], OUT],
+      nConds: Int)
+      extends Aggregator[(Long, Seq[Boolean]), Seq[StepEvent], OUT]
+      with Serializable {
+    def zero: Seq[StepEvent] = inner.zero
+    def reduce(b: Seq[StepEvent], in: (Long, Seq[Boolean])): Seq[StepEvent] = {
+      val conds = in._2
+      var cur = b
+      var i = 0
+      val n = math.min(nConds, if (conds == null) 0 else conds.size)
+      while (i < n) {
+        if (conds(i)) cur = inner.reduce(cur, StepEvent(in._1, i + 1))
+        i += 1
+      }
+      cur
+    }
+    def merge(a: Seq[StepEvent], b: Seq[StepEvent]): Seq[StepEvent] =
+      inner.merge(a, b)
+    def finish(b: Seq[StepEvent]): OUT = inner.finish(b)
+    def bufferEncoder: Encoder[Seq[StepEvent]] = inner.bufferEncoder
+    def outputEncoder: Encoder[OUT] = inner.outputEncoder
+  }
+
   /** ClickHouse `sequenceMatch('(?1).*(?2)…')` for a linear pattern:
     * do events matching steps 1..N occur at STRICTLY increasing
     * timestamps? finish() greedily keeps the earliest achievable ts

@@ -427,6 +427,205 @@ object ChSqlQueries {
          WHERE n_nationkey < 10),
         (SELECT n_nationkey AS ref_key, n_regionkey AS ref_region
          FROM nation WHERE n_name = 'NATION_7')
-      ORDER BY n_nationkey"""))
+      ORDER BY n_nationkey""")),
+
+    // Parametric-aggregate call syntax `f(params)(args)` as verbatim
+    // CH text: quantile[s][Exact](p…) → percentile, uniqUpTo(n) →
+    // capped count(DISTINCT). Round-4 on interpolated quantiles, the
+    // same FP-dust guard agg_quantiles carries.
+    QDef("sql_ch_parametric", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT o_orderpriority,
+               round(quantileExact(0.5)(o_totalprice), 4) AS med_price,
+               round(arrayElement(quantiles(0.25, 0.75)(o_totalprice), 2), 4) AS p75,
+               uniqUpTo(10)(o_orderstatus) AS status_upto
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             least(count(DISTINCT o_orderstatus), CAST(11 AS BIGINT)) AS status_upto
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // topK(k)(x) / topKWeighted(k)(x, w) through the parametric
+    // rewrite: an on-demand UDAF over the SpaceSaving Aggregator.
+    // orders has 5 priorities / lineitem 3 return flags — well under
+    // the sketch capacity, so the result is EXACT and the groupBy/
+    // count oracle applies (same contract as funnel_topk). Arrays
+    // join to strings so both engines hash identical scalars; the
+    // weighted form weighs by per-row quantity cast to BIGINT on
+    // both sides (l_quantity is integral in the fixture).
+    QDef("sql_ch_topk", (s, dir) => {
+      graft.Graft.init(s, dir)
+      val a = graft.Graft.sql(s, """
+        SELECT arrayStringConcat(topK(3)(o_orderpriority), ',') AS top_prios
+        FROM orders""")
+      val b = graft.Graft.sql(s, """
+        SELECT arrayStringConcat(topKWeighted(2)(l_returnflag, l_quantity), ',') AS top_flags
+        FROM lineitem""")
+      a.crossJoin(org.apache.spark.sql.functions.broadcast(b))
+    }, Some("""
+      SELECT (SELECT string_agg(o_orderpriority, ',' ORDER BY c DESC, o_orderpriority)
+              FROM (SELECT o_orderpriority, count(*) AS c FROM orders GROUP BY 1
+                    ORDER BY c DESC, o_orderpriority LIMIT 3)) AS top_prios,
+             (SELECT string_agg(l_returnflag, ',' ORDER BY w DESC, l_returnflag)
+              FROM (SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS w
+                    FROM lineitem GROUP BY 1
+                    ORDER BY w DESC, l_returnflag LIMIT 2)) AS top_flags""")),
+
+    // windowFunnel(window)(ts, cond…) as verbatim CH text (7-day
+    // window in SECONDS on the timestamp column, CH's DateTime
+    // convention) — routed onto the proven WindowFunnel Aggregator
+    // through the CondsAdapter UDAF. Same exists-chain oracle as
+    // funnel_window, aggregated to depth counts; the universe is ALL
+    // users (unmatched users report depth 0).
+    QDef("sql_ch_funnel_text", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT depth, count(*) AS users FROM (
+          SELECT user_id,
+                 windowFunnel(604800)(ts, event_type = 'view',
+                   event_type = 'click', event_type = 'purchase') AS depth
+          FROM events
+          GROUP BY user_id)
+        GROUP BY depth
+        ORDER BY depth""")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                 FROM events),
+      v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+      c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+      d1 AS (SELECT DISTINCT user_id FROM v),
+      d2 AS (SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+             AND c.us >= v.us AND c.us - v.us <= 604800000000),
+      d3 AS (SELECT DISTINCT v.user_id FROM v
+             JOIN c ON c.user_id = v.user_id AND c.us >= v.us
+             JOIN p ON p.user_id = v.user_id AND p.us >= c.us
+             AND p.us - v.us <= 604800000000),
+      per AS (SELECT u.user_id,
+                     CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                          WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                          WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                          ELSE 0 END AS depth
+              FROM (SELECT DISTINCT user_id FROM e) u)
+      SELECT depth, count(*) AS users FROM per
+      GROUP BY depth ORDER BY depth""")),
+
+    // sequenceMatch('pattern')(ts, cond…) as verbatim CH text — the
+    // pattern-DSL parser (SeqPattern) + CondsAdapter behind the
+    // parametric rewrite. Timed-adjacent and skip forms, counted over
+    // users; same exists-chain + NOT-EXISTS-betweenness oracle as
+    // funnel_sequence_pattern (betweenness is over events matching a
+    // DECLARED condition — CH's no-skip rule).
+    QDef("sql_ch_seq_text", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT countIf(m1) AS n_adjacent, countIf(m2) AS n_skip FROM (
+          SELECT user_id,
+                 sequenceMatch('(?1)(?t<=86400)(?2)')(ts,
+                   event_type = 'view', event_type = 'purchase') AS m1,
+                 sequenceMatch('(?1).*(?2)')(ts,
+                   event_type = 'view', event_type = 'purchase') AS m2
+          FROM events
+          GROUP BY user_id)""")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      u AS (SELECT DISTINCT user_id FROM e),
+      flags AS (SELECT u.user_id,
+             EXISTS (SELECT 1 FROM e v JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > v.us
+                       AND p.us - v.us <= 86400000000
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view'
+                       AND NOT EXISTS (SELECT 1 FROM e m
+                                       WHERE m.user_id = v.user_id
+                                         AND m.us > v.us AND m.us < p.us))
+               AS m1,
+             EXISTS (SELECT 1 FROM e v JOIN e p ON p.user_id = v.user_id
+                       AND p.event_type = 'purchase' AND p.us > v.us
+                     WHERE v.user_id = u.user_id AND v.event_type = 'view')
+               AS m2
+      FROM u)
+      SELECT count(*) FILTER (WHERE m1) AS n_adjacent,
+             count(*) FILTER (WHERE m2) AS n_skip
+      FROM flags""")),
+
+    // Dialect-breadth batch as verbatim CH text: bit-function
+    // spellings, exponent/rounding ladders (roundDuration/roundAge/
+    // roundToExp2 — CH's web-analytics bucketing), gcd/lcm, Monday
+    // truncation, dateName, sub-day timestamp arithmetic, timeSlot /
+    // toStartOfInterval epoch bucketing, complete-units age(), and
+    // regex match() — every value hash-checked against DuckDB.
+    QDef("sql_ch_dialect_batch", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT o_orderkey,
+               bitAnd(o_orderkey, 255) AS band,
+               bitXor(o_orderkey, 129) AS bxor,
+               bitTest(o_orderkey, 3) AS btest,
+               intExp2(modulo(o_orderkey, 20)) AS iexp2,
+               roundDuration(modulo(o_orderkey, 40000)) AS rdur,
+               roundAge(modulo(o_orderkey, 90)) AS rage,
+               roundToExp2(modulo(o_orderkey, 5000)) AS rexp2,
+               gcd(o_orderkey, 36) AS g,
+               lcm(modulo(o_orderkey, 12) + 1, 8) AS l,
+               toMonday(o_orderdate) AS monday,
+               dateName('month', o_orderdate) AS mname,
+               dateName('weekday', o_orderdate) AS wname,
+               addHours(o_orderdate, 7) AS plus7h,
+               timeSlot(addMinutes(o_orderdate, modulo(o_orderkey, 97))) AS slot,
+               toStartOfInterval(addMinutes(o_orderdate, modulo(o_orderkey, 1440)),
+                                 INTERVAL 15 MINUTE) AS bucket15,
+               age('day', o_orderdate,
+                   date_add(CAST(o_orderdate AS DATE),
+                            CAST(modulo(o_orderkey, 50) AS INT))) AS aged,
+               match(o_orderpriority, '^[12]') AS prio_hot
+        FROM orders
+        WHERE modulo(o_orderkey, 13) = 0
+        ORDER BY o_orderkey
+        LIMIT 200""")
+    }, Some("""
+      SELECT o_orderkey,
+             o_orderkey & 255 AS band,
+             xor(o_orderkey, 129) AS bxor,
+             CAST((o_orderkey >> 3) & 1 AS TINYINT) AS btest,
+             (CAST(1 AS BIGINT) << CAST(o_orderkey % 20 AS INT)) AS iexp2,
+             COALESCE(list_max(list_filter(
+               [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+                3600, 7200, 18000, 36000],
+               v -> v <= o_orderkey % 40000)), 0) AS rdur,
+             CASE WHEN o_orderkey % 90 < 1 THEN 0
+                  WHEN o_orderkey % 90 < 18 THEN 17
+                  WHEN o_orderkey % 90 < 25 THEN 18
+                  WHEN o_orderkey % 90 < 35 THEN 25
+                  WHEN o_orderkey % 90 < 45 THEN 35
+                  WHEN o_orderkey % 90 < 55 THEN 45 ELSE 55 END AS rage,
+             CASE WHEN o_orderkey % 5000 < 1 THEN 0
+                  ELSE (CAST(1 AS BIGINT) <<
+                        CAST(floor(log2(o_orderkey % 5000)) AS INT)) END AS rexp2,
+             gcd(o_orderkey, 36) AS g,
+             lcm(o_orderkey % 12 + 1, 8) AS l,
+             CAST(date_trunc('week', o_orderdate) AS DATE) AS monday,
+             monthname(o_orderdate) AS mname,
+             dayname(o_orderdate) AS wname,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 HOUR AS plus7h,
+             make_timestamp(CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 97) * INTERVAL 1 MINUTE) / 1800) * 1800
+               AS BIGINT) * 1000000) AS slot,
+             make_timestamp(CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 1440) * INTERVAL 1 MINUTE) / 900) * 900
+               AS BIGINT) * 1000000) AS bucket15,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(o_orderdate AS DATE) + CAST(o_orderkey % 50 AS INT))
+               AS aged,
+             regexp_matches(o_orderpriority, '^[12]') AS prio_hot
+      FROM orders
+      WHERE o_orderkey % 13 = 0
+      ORDER BY o_orderkey
+      LIMIT 200"""))
   )
 }

@@ -747,4 +747,123 @@ class ChDialectSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(tbls.contains("lineitem") && tbls.contains("events"))
   }
+
+  test("parametric aggregates: f(params)(args) text equals the library form") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // quantile/quantiles/uniqUpTo are pure text expansions
+    val q = Graft.sql(spark, """
+      SELECT quantileExact(0.5)(l_quantity) AS med,
+             arrayElement(quantiles(0.25, 0.75)(l_quantity), 1) AS p25,
+             uniqUpTo(3)(l_returnflag) AS flags_upto,
+             uniqUpTo(1)(l_returnflag) AS flags_capped
+      FROM lineitem""").collect().head
+    val tw = spark.sql("""
+      SELECT percentile(l_quantity, 0.5) AS med,
+             percentile(l_quantity, 0.25) AS p25,
+             count(DISTINCT l_returnflag) AS n
+      FROM lineitem""").collect().head
+    assert(q.getDouble(0) == tw.getDouble(0))
+    assert(q.getDouble(1) == tw.getDouble(1))
+    assert(q.getLong(2) == tw.getLong(2)) // 3 distinct ≤ 3+1 → exact
+    assert(q.getLong(3) == 2L)            // capped at 1+1
+    // histogram(n)(x): the on-demand UDAF is the same AdaptiveHistogram
+    // Aggregator the library entry runs — bins must agree exactly
+    import org.apache.spark.sql.functions.udaf
+    val hText = Graft.sql(spark,
+      "SELECT histogram(5)(l_extendedprice) AS h FROM lineitem")
+      .selectExpr("explode(h) AS b").selectExpr("b.lower", "b.upper", "b.height")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val hAgg = udaf(new ops.Aggregates.AdaptiveHistogram(5))
+    val hLib = spark.table("lineitem")
+      .select(org.apache.spark.sql.functions.col("l_extendedprice").as("x"))
+      .agg(hAgg(col("x")).as("h"))
+      .selectExpr("explode(h) AS b").selectExpr("b.lower", "b.upper", "b.height")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(hText.toSeq == hLib.toSeq)
+    // windowFunnel with a strict mode routes to WindowFunnelModes —
+    // equal to the library aggregation on the same step conditions
+    val fText = Graft.sql(spark, """
+      SELECT user_id,
+             windowFunnel(604800, 'strict_increase')(ts,
+               event_type = 'view', event_type = 'click',
+               event_type = 'purchase') AS d
+      FROM events GROUP BY user_id ORDER BY user_id""").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val wf = udaf(new ops.Aggregates.CondsAdapter(
+      new ops.Aggregates.WindowFunnelModes(604800000000L, 3,
+        strictIncrease = true), 3))
+    val fLib = spark.table("events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "array(event_type = 'view', event_type = 'click', event_type = 'purchase') AS cs")
+      .groupBy("user_id").agg(wf(col("us"), col("cs")).as("d"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(fText.toSeq == fLib.toSeq)
+    // sequenceCount through the pattern DSL: at least parses + runs,
+    // and the skip form can never undercount the adjacent form
+    val sc = Graft.sql(spark, """
+      SELECT CAST(sum(c2) AS BIGINT) >= CAST(sum(c1) AS BIGINT) AS ok FROM (
+        SELECT sequenceCount('(?1)(?2)')(ts, event_type = 'view',
+                 event_type = 'purchase') AS c1,
+               sequenceCount('(?1).*(?2)')(ts, event_type = 'view',
+                 event_type = 'purchase') AS c2
+        FROM events GROUP BY user_id)""").collect().head
+    assert(sc.getBoolean(0))
+    // loud failures: non-literal/malformed parameters
+    intercept[IllegalArgumentException] {
+      Graft.sql(spark, "SELECT topK(x)(l_returnflag) FROM lineitem")
+    }
+    intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "SELECT windowFunnel(10, 'bogus_mode')(ts, event_type = 'view') FROM events")
+    }
+    // a plain one-group call is NOT the parametric form — untouched
+    val plain = spark.sql("SELECT percentile(l_quantity, 0.5) AS p FROM lineitem")
+      .collect().head.getDouble(0)
+    assert(plain == q.getDouble(0))
+  }
+
+  test("dialect batch: finiteness, exponents, intervals, age, dateName") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        isFinite(1.5) AND NOT isFinite(CAST('Infinity' AS DOUBLE))
+          AND NOT isFinite(CAST('NaN' AS DOUBLE)) AS a,
+        isInfinite(CAST('-Infinity' AS DOUBLE)) AND NOT isInfinite(2.0) AS b,
+        ifNotFinite(CAST('NaN' AS DOUBLE), 42.0) = 42.0
+          AND ifNotFinite(7.0, 42.0) = 7.0 AS c,
+        assumeNotNull(5) = 5 AND toNullable(5) = 5 AS d,
+        toTypeName(CAST(1.5 AS DOUBLE)) = 'double'
+          AND toTypeName('x') = 'string' AS e,
+        exp2(10) = 1024.0 AND exp10(3) = 1000.0 AS f,
+        substringIndex('a.b.c', '.', 2) = 'a.b' AS g,
+        concatWithSeparator('-', 'x', 'y') = 'x-y' AS h,
+        translateUTF8('abc', 'ab', 'xy') = 'xyc' AS i,
+        -- complete-units semantics: one day short of a month → 0
+        age('month', CAST('2024-01-15' AS TIMESTAMP),
+                     CAST('2024-02-14' AS TIMESTAMP)) = 0 AND
+        age('month', CAST('2024-01-15' AS TIMESTAMP),
+                     CAST('2024-02-15' AS TIMESTAMP)) = 1 AS j,
+        -- vs boundary-crossing dateDiff: same pair crosses 1 boundary
+        dateDiff('month', CAST('2024-01-15' AS TIMESTAMP),
+                          CAST('2024-02-14' AS TIMESTAMP)) = 1 AS k,
+        dateName('month', CAST('2024-04-09' AS DATE)) = 'April' AND
+        dateName('weekday', CAST('2024-04-09' AS DATE)) = 'Tuesday' AND
+        dateName('year', CAST('2024-04-09' AS DATE)) = '2024' AS l,
+        -- month-stride interval truncation (day/time strides are
+        -- oracle-checked in sql_ch_dialect_batch)
+        toStartOfInterval(CAST('2024-05-20' AS TIMESTAMP), INTERVAL 2 MONTH)
+          = CAST('2024-05-01' AS DATE) AS m,
+        toStartOfInterval(CAST('2024-05-20 13:47:00' AS TIMESTAMP), INTERVAL 1 DAY)
+          = CAST('2024-05-20 00:00:00' AS TIMESTAMP) AS n,
+        match('hello123', '^[a-z]+[0-9]+$') AND NOT match('x', '^y') AS o
+      FROM system.one""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+    // loud failures on out-of-scope units
+    intercept[Exception] {
+      Graft.sql(spark, "SELECT age('fortnight', now(), now()) FROM system.one").collect()
+    }
+    intercept[Exception] {
+      Graft.sql(spark, "SELECT dateName('era', now()) FROM system.one").collect()
+    }
+  }
 }
