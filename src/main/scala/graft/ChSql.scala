@@ -483,7 +483,11 @@ object ChSql {
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
-      else c match {
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        // `--` line comment: apostrophes inside must not open a string
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        i -= 1 // the ++ below lands on the newline
+      } else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
@@ -494,15 +498,20 @@ object ChSql {
     throw new IllegalArgumentException(s"unbalanced parens after $open in: $s")
   }
 
-  /** mask(i) = char i is inside a '…' literal. */
+  /** mask(i) = char i is inside a '…' literal or a `--` comment. */
   private def inStringMask(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
     var inStr = false
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') { in(i) = true; inStr = !inStr }
-      else in(i) = inStr
-      i += 1
+      if (!inStr && s.charAt(i) == '-' && i + 1 < s.length &&
+        s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { in(i) = true; i += 1 }
+      } else {
+        if (s.charAt(i) == '\'') { in(i) = true; inStr = !inStr }
+        else in(i) = inStr
+        i += 1
+      }
     }
     in
   }
@@ -510,7 +519,8 @@ object ChSql {
   // longest-prefix names first so e.g. `quantiles` never half-matches
   // as `quantile`
   private val paramAggRe =
-    ("""(?i)\b(quantilesExact|quantileExact|quantiles|quantile|uniqUpTo|""" +
+    ("""(?i)\b(quantilesExact|quantileExact|quantileTiming|quantileTDigest|""" +
+      """quantiles|quantile|uniqUpTo|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
       """\s*\(""").r
 
@@ -589,7 +599,11 @@ object ChSql {
     def condArray: String = args.tail
       .map(c => s"coalesce(CAST(($c) AS BOOLEAN), false)").mkString(", ")
     name match {
-      case "quantile" | "quantileexact" =>
+      // quantileTiming/TDigest map to the exact percentile too: CH's
+      // forms are approximations whose error envelopes include the
+      // exact answer, so exactness is the conservative substitution
+      // (the bucketed timing histogram itself is agg_quantile_timing)
+      case "quantile" | "quantileexact" | "quantiletiming" | "quantiletdigest" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
         s"percentile(${args.head}, ${params.head})"
       case "quantiles" | "quantilesexact" =>

@@ -14,24 +14,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  // function registrations are per-SESSION idempotent state that no
+  // statement (DML, CREATE/DROP FUNCTION on user names) un-registers —
+  // do them once; re-registering ~170 names + parsing ~30 macro bodies
+  // on every init was a measurable fixed cost per SQL-front-door query
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register all fixture tables as temp views + custom functions +
     * the ClickHouse-spelled function dialect (sipHash64, toStartOfDay,
     * lengthUTF8, multiIf, … — see [[graft.functions.ChDialect]]).
+    *
+    * Views are RE-POINTED on every call (cheap: schema reads cache in
+    * the session's FileIndex) so a prior ALTER/INSERT/TRUNCATE
+    * snapshot never leaks into the next caller's fixture state;
+    * parameterized aggregates — windowFunnel(w)(…), topK(k)(…) — need
+    * no registration here: ChSql's parametric rewrite registers their
+    * UDAFs on demand per (function, parameters).
     */
   def init(spark: SparkSession, dir: String): Unit = {
-    GraftFunctions.register(spark)
-    graft.functions.ChDialect.register(spark)
-    // unparameterized custom Aggregators under their CH spellings
-    // (parameterized ones — windowFunnel(w), topK(k) — use CH's
-    // fn(params)(args) syntax, which Spark SQL cannot parse; those
-    // stay DataFrame-level via ops/Aggregates)
-    spark.udf.register("groupBitmap",
-      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.GroupBitmap))
-    // uniqTheta at the default capacity: the sketch column (k-min hash
-    // array) — combine with size/array_union/… for set estimates
-    spark.udf.register("uniqTheta",
-      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ThetaSketch(4096)))
-    graft.plans.LimitByPlan.install(spark)
+    if (registeredSessions.add(spark)) {
+      GraftFunctions.register(spark)
+      graft.functions.ChDialect.register(spark)
+      // unparameterized custom Aggregators under their CH spellings
+      spark.udf.register("groupBitmap",
+        org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.GroupBitmap))
+      // uniqTheta at the default capacity: the sketch column (k-min
+      // hash array) — combine with size/array_union/… for estimates
+      spark.udf.register("uniqTheta",
+        org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ThetaSketch(4096)))
+      graft.plans.LimitByPlan.install(spark)
+    }
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)
     }

@@ -770,6 +770,69 @@ object ChDialect {
     reg("gcd")(c => Gcd(Cast(c(0), LongType), Cast(c(1), LongType)))
     reg("lcm")(c => Lcm(Cast(c(0), LongType), Cast(c(1), LongType)))
 
+    // CH `transform(x, from_array, to_array[, default])` — the value
+    // remapper (web-analytics classic). The name collides with
+    // Spark's higher-order transform(arr, lambda), so the builder
+    // DISPATCHES on arity/shape: 2-arg lambda form stays Spark's
+    // ArrayTransform; 3/4-arg form becomes a map lookup over
+    // map_from_arrays (foldable literal arrays → Catalyst folds the
+    // map construction to a constant).
+    reg("transform") { c =>
+      c.size match {
+        case 2 => ArrayTransform(c(0), c(1))
+        case 3 | 4 =>
+          val lookup = ElementAt(MapFromArrays(c(1), c(2)), c(0))
+          val dflt = if (c.size == 4) c(3) else c(0)
+          Coalesce(Seq(lookup, dflt))
+        case n => throw new IllegalArgumentException(
+          s"transform takes (arr, lambda) or (x, from, to[, default]); got $n args")
+      }
+    }
+    // arrayJoin(arr) — CH's row-exploding function form
+    fr.createOrReplaceTempFunction("arrayJoin",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("explode")).get, "built-in")
+    // arrayFold(acc_lambda, arr, init) — CH argument order; the merge
+    // lambda is (acc, x), same as Spark's aggregate
+    reg("arrayFold") { c =>
+      require(c.size == 3, s"arrayFold(lambda, arr, init) — got ${c.size} args")
+      val idv = UnresolvedNamedLambdaVariable(Seq("__id"))
+      ArrayAggregate(c(1), c(2), c(0) match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"arrayFold needs a lambda first (CH argument order), got ${other.sql}")
+      }, LambdaFunction(idv, Seq(idv)))
+    }
+    // arrayFirstIndex(f, arr): 1-based position of the first match,
+    // 0 when none. Like arrayCount, a lambda-receiving builder must
+    // return a higher-order ROOT, so the scan is an ArrayAggregate
+    // with a (counter, position) struct accumulator the user lambda
+    // splices into.
+    reg("arrayFirstIndex") { c =>
+      require(c.size == 2, "arrayFirstIndex(fn, arr) — lambda first (CH order)")
+      val f = c(0) match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"arrayFirstIndex needs a lambda first (CH argument order), got ${other.sql}")
+      }
+      val acc = UnresolvedNamedLambdaVariable(Seq("__acc"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__fin"))
+      def fld(e: Expression, n: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(n))
+      val zero = CreateNamedStruct(Seq(
+        Literal("i"), Literal(0), Literal("pos"), Literal(0)))
+      val merge = LambdaFunction(
+        CreateNamedStruct(Seq(
+          Literal("i"), Add(fld(acc, "i"), Literal(1)),
+          Literal("pos"), If(
+            And(EqualTo(fld(acc, "pos"), Literal(0)), f.function),
+            Add(fld(acc, "i"), Literal(1)),
+            fld(acc, "pos")))),
+        acc +: f.arguments)
+      ArrayAggregate(c(1), zero, merge,
+        LambdaFunction(fld(fin, "pos"), Seq(fin)))
+    }
+
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
     reg("intHash64")(c => IntHash64(c.head))

@@ -866,4 +866,27 @@ class ChDialectSpec extends AnyFunSuite {
       Graft.sql(spark, "SELECT dateName('era', now()) FROM system.one").collect()
     }
   }
+
+  test("transform arity dispatch, arrayFold, arrayFirstIndex, arrayJoin") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        -- CH 4-arg value remapper with default
+        transform(2, array(1, 2, 3), array(10, 20, 30), -1) = 20 AS a,
+        transform(9, array(1, 2, 3), array(10, 20, 30), -1) = -1 AS b,
+        -- CH 3-arg form: unmapped values pass through
+        transform(9, array(1, 2), array(10, 20)) = 9 AS c,
+        -- Spark's 2-arg higher-order form still resolves
+        transform(array(1, 2, 3), x -> x * 2) = array(2, 4, 6) AS d,
+        arrayFold((acc, x) -> acc + x, array(1, 2, 3), CAST(10 AS BIGINT)) = 16 AS e,
+        arrayFirstIndex(x -> x > 25, array(10, 20, 30, 40)) = 3 AS f,
+        arrayFirstIndex(x -> x > 99, array(10, 20)) = 0 AS g,
+        quantileTiming(0.5)(x) = 2.0 AS h
+      FROM (SELECT explode(array(1.0, 2.0, 3.0)) AS x)""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+    // arrayJoin explodes rows like CH's function form
+    val n = Graft.sql(spark,
+      "SELECT arrayJoin(array(1, 2, 3)) AS v FROM system.one").count()
+    assert(n == 3)
+  }
 }
