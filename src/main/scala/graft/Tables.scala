@@ -23,9 +23,21 @@ object Tables {
     * a double division would lose precision at 1e18 ns — matching
     * DuckDB's `CAST(ts AS TIMESTAMP)` truncation (FIXTURES.md trap).
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  // The fixture files are immutable, so the (session, dir, table)
+  // DataFrame — really just its analyzed plan + resolved FileIndex —
+  // is reusable across queries. Re-running spark.read.parquet for
+  // every query re-listed files and re-read footers: a measurable
+  // per-query driver cost once a session runs hundreds of queries.
+  // (Mutation statements snapshot into NEW paths and re-point the
+  // temp view; they never invalidate these source frames.)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { key =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 }
