@@ -342,10 +342,25 @@ object ChSql {
   private val systemNumbersRe = """(?i)\bsystem\.numbers\b""".r
   private val systemOneRe = """(?i)\bsystem\.one\b""".r
   private val systemTablesRe = """(?i)\bsystem\.tables\b""".r
+  private val systemColumnsRe = """(?i)\bsystem\.columns\b""".r
   private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def rewriteSystemTables(spark: SparkSession, q0: String): String = {
     var q = q0
+    if (systemColumnsRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      // catalog snapshot of every listable table's columns, CH's
+      // (database, table, name, type, position) shape
+      spark.catalog.listTables().collect().toSeq.flatMap { t =>
+        scala.util.Try(spark.catalog.listColumns(t.name).collect().toSeq)
+          .getOrElse(Nil).zipWithIndex.map { case (c, i) =>
+            (Option(t.database).getOrElse(""), t.name, c.name, c.dataType,
+              i + 1)
+          }
+      }.toDF("database", "table", "name", "type", "position")
+        .createOrReplaceTempView("graft_system_columns")
+      q = systemColumnsRe.replaceAllIn(q, "graft_system_columns")
+    }
     if (systemTablesRe.findFirstIn(q).isDefined) {
       import spark.implicits._
       spark.catalog.listTables().collect().toSeq
@@ -519,8 +534,8 @@ object ChSql {
   // longest-prefix names first so e.g. `quantiles` never half-matches
   // as `quantile`
   private val paramAggRe =
-    ("""(?i)\b(quantilesExact|quantileExact|quantileTiming|quantileTDigest|""" +
-      """quantiles|quantile|uniqUpTo|""" +
+    ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExact|""" +
+      """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
       """\s*\(""").r
 
@@ -609,6 +624,10 @@ object ChSql {
       case "quantiles" | "quantilesexact" =>
         require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
         s"percentile(${args.head}, array(${params.mkString(", ")}))"
+      case "quantileexactweighted" =>
+        require(params.size == 1, s"$name0 takes one level parameter"); nArgs(2)
+        // Spark's percentile takes the weight as its frequency column
+        s"percentile(${args(0)}, ${params.head}, CAST(${args(1)} AS BIGINT))"
       case "uniqupto" =>
         nArgs(1)
         s"least(count(DISTINCT ${args.head}), CAST(${intParam(0)} AS BIGINT) + 1)"

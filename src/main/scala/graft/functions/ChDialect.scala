@@ -833,6 +833,74 @@ object ChDialect {
         LambdaFunction(fld(fin, "pos"), Seq(fin)))
     }
 
+    // aggregate spellings expressible as builtin compositions
+    // (avgWeighted yields NaN on zero total weight, CH's contract —
+    // a bare division would throw under ANSI)
+    // sums stay in the INPUT type (pass decimals for FP-order-exact
+    // totals, the Det.dsum convention); only the ratio is Float64
+    macroFn("avgWeighted", Seq("__x", "__w"),
+      """CASE WHEN sum(__w) = 0 THEN CAST('NaN' AS DOUBLE)
+              ELSE CAST(sum(__x * __w) / sum(__w) AS DOUBLE) END""")
+    // CH argument order (x, y); Spark's regr_* take (y, x)
+    macroFn("simpleLinearRegression", Seq("__x", "__y"),
+      "named_struct('k', regr_slope(__y, __x), 'b', regr_intercept(__y, __x))")
+    macroFn("boundingRatio", Seq("__x", "__y"),
+      """CASE WHEN max(__x) = min(__x) THEN CAST('NaN' AS DOUBLE)
+              ELSE (max_by(CAST(__y AS DOUBLE), __x) -
+                    min_by(CAST(__y AS DOUBLE), __x)) /
+                   (max(__x) - min(__x)) END""")
+
+    // string search family
+    macroFn("countSubstrings", Seq("__h", "__n"),
+      "(length(__h) - length(replace(__h, __n, ''))) DIV length(__n)")
+    macroFn("positionCaseInsensitive", Seq("__h", "__n"),
+      "instr(lower(__h), lower(__n))")
+    fr.createOrReplaceTempFunction("countMatches",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("regexp_count")).get, "built-in")
+
+    // decimal casts with a literal scale (type parameters cannot live
+    // in a parse-once macro body — the DecimalType is built here)
+    def toDec(name: String, precision: Int): Unit = reg(name) { c =>
+      require(c.size == 2, s"$name(x, scale) — got ${c.size} args")
+      val s = c(1) match {
+        case Literal(i: Int, _) => i
+        case e => throw new IllegalArgumentException(
+          s"$name requires a literal scale (got ${e.sql})")
+      }
+      require(s >= 0 && s <= precision, s"$name scale must be 0..$precision")
+      Cast(c.head, org.apache.spark.sql.types.DecimalType(precision, s))
+    }
+    toDec("toDecimal32", 9)
+    toDec("toDecimal64", 18)
+    toDec("toDecimal128", 38)
+
+    // unsigned spellings map onto the next-size signed type (Spark
+    // has no unsigned integers; documented range drift above 2^63-1)
+    fr.createOrReplaceTempFunction("toUInt8",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("smallint")).get, "built-in")
+    fr.createOrReplaceTempFunction("toUInt16",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("int")).get, "built-in")
+    fr.createOrReplaceTempFunction("toUInt32",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("bigint")).get, "built-in")
+    fr.createOrReplaceTempFunction("toUInt64",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("bigint")).get, "built-in")
+
+    // random-family spellings (nondeterministic by nature, like rand)
+    fr.createOrReplaceTempFunction("generateUUIDv4",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("uuid")).get, "built-in")
+    fr.createOrReplaceTempFunction("randCanonical",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("rand")).get, "built-in")
+    fr.createOrReplaceTempFunction("randNormal",
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("randn")).get, "built-in")
+
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
     reg("intHash64")(c => IntHash64(c.head))

@@ -554,6 +554,71 @@ object ChSqlQueries {
              count(*) FILTER (WHERE m2) AS n_skip
       FROM flags""")),
 
+    // Aggregate spellings as verbatim CH text: weighted exact
+    // quantile (Spark percentile's frequency arg; oracle re-expands
+    // the multiset), avgWeighted over DECIMALS (FP-order-exact sums,
+    // the Det convention), simpleLinearRegression / boundingRatio.
+    // All over orders: o_orderkey is UNIQUE at every SF (verified;
+    // lineitem carries duplicate (orderkey, linenumber) rows), so the
+    // arg-extreme picks are deterministic on both engines.
+    QDef("sql_ch_agg_spellings", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT o_orderpriority,
+               quantileExactWeighted(0.5)(o_totalprice,
+                                          modulo(o_orderkey, 7) + 1) AS wmed,
+               round(avgWeighted(toDecimal64(o_totalprice, 2),
+                                 toDecimal64(modulo(o_custkey, 13) + 1, 2)), 4) AS wavg,
+               round(simpleLinearRegression(o_orderkey, o_totalprice).k, 4) AS slope,
+               round(simpleLinearRegression(o_orderkey, o_totalprice).b, 4) AS icept,
+               round(boundingRatio(o_orderkey, o_totalprice), 6) AS bratio
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }, Some("""
+      WITH expanded AS (SELECT o_orderpriority, o_totalprice,
+                               unnest(generate_series(1, o_orderkey % 7 + 1))
+                        FROM orders)
+      SELECT o.o_orderpriority,
+             (SELECT quantile_cont(e.o_totalprice, 0.5) FROM expanded e
+              WHERE e.o_orderpriority = o.o_orderpriority) AS wmed,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+                            CAST(o_custkey % 13 + 1 AS DECIMAL(18,2))) /
+                        sum(CAST(o_custkey % 13 + 1 AS DECIMAL(18,2))) AS DOUBLE),
+                   4) AS wavg,
+             round(regr_slope(o_totalprice, o_orderkey), 4) AS slope,
+             round(regr_intercept(o_totalprice, o_orderkey), 4) AS icept,
+             round((arg_max(o_totalprice, o_orderkey) -
+                    arg_min(o_totalprice, o_orderkey)) /
+                   (max(o_orderkey) - min(o_orderkey)), 6) AS bratio
+      FROM orders o
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""")),
+
+    // String-search spellings over real document text, every value
+    // hash-checked: countSubstrings (non-overlapping needle count),
+    // case-insensitive position, regex match count.
+    QDef("sql_ch_string_search", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT doc_id,
+               countSubstrings(text, 'data') AS n_data,
+               positionCaseInsensitive(text, 'THE') AS p_the,
+               countMatches(text, '[0-9]+') AS n_nums
+        FROM documents
+        WHERE doc_id % 37 = 0
+        ORDER BY doc_id
+        LIMIT 300""")
+    }, Some("""
+      SELECT doc_id,
+             (length(text) - length(replace(text, 'data', ''))) // 4 AS n_data,
+             position(lower('THE') IN lower(text)) AS p_the,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums
+      FROM documents
+      WHERE doc_id % 37 = 0
+      ORDER BY doc_id
+      LIMIT 300""")),
+
     // Dialect-breadth batch as verbatim CH text: bit-function
     // spellings, exponent/rounding ladders (roundDuration/roundAge/
     // roundToExp2 — CH's web-analytics bucketing), gcd/lcm, Monday

@@ -889,4 +889,27 @@ class ChDialectSpec extends AnyFunSuite {
       "SELECT arrayJoin(array(1, 2, 3)) AS v FROM system.one").count()
     assert(n == 3)
   }
+
+  test("system.columns, toDecimal/toUInt casts, random spellings") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val cols = Graft.sql(spark, """
+      SELECT name, type, position FROM system.columns
+      WHERE table = 'nation' ORDER BY position""").collect()
+    assert(cols.map(_.getString(0)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(cols.head.getInt(2) == 1)
+    val r = Graft.sql(spark, """
+      SELECT
+        toDecimal64(3.14159, 2) = CAST(3.14 AS DECIMAL(18,2)) AS a,
+        toTypeName(toDecimal32(1.5, 1)) = 'decimal(9,1)' AS b,
+        toUInt32(200) = 200 AND toTypeName(toUInt32(5)) = 'bigint' AS c,
+        length(generateUUIDv4()) = 36 AS d,
+        randCanonical() >= 0.0 AND randCanonical() < 1.0 AS e,
+        abs(randNormal()) < 100.0 AS f
+      FROM system.one""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+    intercept[Exception] {
+      Graft.sql(spark, "SELECT toDecimal32(1.5, 20) FROM system.one").collect()
+    }
+  }
 }
