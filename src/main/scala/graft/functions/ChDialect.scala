@@ -833,6 +833,19 @@ object ChDialect {
         LambdaFunction(fld(fin, "pos"), Seq(fin)))
     }
 
+    // retention(cond1, …, condN): array of per-group flags — r[0] =
+    // max(cond1), r[i] = max(cond1 AND condi) — CH's cohort-retention
+    // aggregate as one CreateArray of Max aggregates (the analyzer
+    // splits them into ordinary agg expressions)
+    reg("retention") { c =>
+      require(c.nonEmpty, "retention needs at least one condition")
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Max
+      CreateArray(c.zipWithIndex.map { case (cond, i) =>
+        val hit = if (i == 0) c.head else And(c.head, cond)
+        Max(If(hit, Literal(1), Literal(0))).toAggregateExpression()
+      })
+    }
+
     // aggregate spellings expressible as builtin compositions
     // (avgWeighted yields NaN on zero total weight, CH's contract —
     // a bare division would throw under ANSI)

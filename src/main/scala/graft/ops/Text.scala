@@ -54,6 +54,15 @@ object Text {
       (conv(substring(md5(x), 16, 15), 16, 10).cast("long")
         % lit(MinhashMod)).as("h2")))
 
+  /** Single 55-bit hash per array element (h1 of [[hashPairs]] without
+    * the second hash or the struct) — for overlap joins that only
+    * need ONE hash per shingle, e.g. decontamination. DuckDB twin:
+    * `CAST('0x'||substring(md5(x),1,15) AS BIGINT) % 2^55`.
+    */
+  def hash55(sh: Column): Column =
+    transform(sh, x =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long") % lit(MinhashMod))
+
   /** MinHash signature over hash pairs: sig_i = min((h1 + i·h2) mod
     * 2^55). Estimator: P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b).
     */

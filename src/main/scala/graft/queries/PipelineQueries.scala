@@ -303,10 +303,8 @@ object PipelineQueries {
     QDef("pipe_decontaminate", (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-        .withColumn("sh", array_distinct(transform(
-          Text.hashPairs(array_distinct(
-            Text.shingles(Text.tokens($"text"), 5))),
-          p => p.getField("h1"))))
+        .withColumn("sh", array_distinct(Text.hash55(array_distinct(
+          Text.shingles(Text.tokens($"text"), 5)))))
       val eval_ = docs.filter($"doc_id" % 97 === 0)
         .select(explode($"sh").as("h")).distinct()
       val train = docs.filter($"doc_id" % 97 =!= 0)
@@ -672,7 +670,55 @@ object PipelineQueries {
              CAST(sum(n_w) AS BIGINT) AS windows_sum,
              ${Det.sqlSum("CASE WHEN n_w > 0 THEN CAST(a AS DOUBLE) END")} AS rms_sum,
              ${Det.sqlSum("CASE WHEN n_w > 0 AND a > 0 THEN 1.0 WHEN n_w > 0 THEN 0.0 END")} AS zcr_sum
-      FROM m"""))
+      FROM m""")),
+
+    // PII redaction — the standard compliance pass before training:
+    // count + mask emails, dotted-quad IPs, and long digit runs
+    // (account-number shaped). Deterministic PII is SPIKED into each
+    // doc from its id (the fixture corpus carries none), then both
+    // engines count (non-overlapping regex matches) and redact
+    // (email → ip → digit-run order, so partial overlaps resolve
+    // identically) with the SAME RE2-portable patterns; the md5 of
+    // the redacted text pins every replacement byte. Pure per-row
+    // projection — scale-safe at any corpus size.
+    QDef("pipe_pii_redact", (s, dir) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+      val digits = "[0-9]{6,}"
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 11 === 0)
+        .withColumn("t", concat($"text", lit(" contact: user"),
+          $"doc_id".cast("string"), lit("@example.com from 10.0."),
+          ($"doc_id" % 256).cast("string"), lit(".7 acct 4111"),
+          $"doc_id".cast("string")))
+        .select(
+          $"doc_id",
+          regexp_count($"t", lit(email)).as("n_email"),
+          regexp_count($"t", lit(ipv4)).as("n_ip"),
+          regexp_count($"t", lit(digits)).as("n_digit_runs"),
+          md5(regexp_replace(regexp_replace(regexp_replace($"t",
+            email, "<EMAIL>"), ipv4, "<IP>"), digits, "<NUM>"))
+            .as("redacted_md5"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH spiked AS (
+        SELECT doc_id,
+               text || ' contact: user' || doc_id || '@example.com from 10.0.'
+                    || (doc_id % 256) || '.7 acct 4111' || doc_id AS t
+        FROM documents WHERE doc_id % 11 = 0)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(t,
+               '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS INT) AS n_ip,
+             CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS INT) AS n_digit_runs,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+      FROM spiked
+      ORDER BY doc_id"""))
   )
 
   // End-to-end curation pipeline (the north-star composition): score

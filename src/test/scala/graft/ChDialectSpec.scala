@@ -912,4 +912,20 @@ class ChDialectSpec extends AnyFunSuite {
       Graft.sql(spark, "SELECT toDecimal32(1.5, 20) FROM system.one").collect()
     }
   }
+
+  test("retention spelling equals its flag-max expansion") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val rows = Graft.sql(spark, """
+      SELECT user_id,
+             retention(event_type = 'view', event_type = 'click',
+                       event_type = 'purchase') AS r,
+             array(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                   max(CASE WHEN event_type = 'view' AND event_type = 'click'
+                       THEN 1 ELSE 0 END),
+                   max(CASE WHEN event_type = 'view' AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END)) AS tw
+      FROM events GROUP BY user_id""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"$r"))
+  }
 }
