@@ -446,6 +446,85 @@ object CompositeQueries {
              arg_max(event_type, tkey) AS last_type,
              epoch_us(CAST(max(ts) AS TIMESTAMP))
                - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS span_us
-      FROM e GROUP BY cohort ORDER BY cohort"""))
+      FROM e GROUP BY cohort ORDER BY cohort""")),
+
+    // gap-rule sessionization — the canonical web-analytics batch
+    // shape ClickHouse users run daily: a 30-minute inactivity gap
+    // opens a new session (lag + running sum over the per-user
+    // window — partitioned by user, never global), then exact
+    // integer session stats. (event_id breaks ts ties so the lag
+    // order is total; all outputs are integer sums — no FP.)
+    QDef("cb_sessionize", (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us", $"event_id")
+      val gap = ($"us" - lag($"us", 1).over(w)) > 1800000000L
+      val sess = Tables(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn("new_s", when(gap.isNull || gap, 1).otherwise(0))
+        .withColumn("sid", sum($"new_s").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"us", $"event_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_ev"), (max($"us") - min($"us")).as("dur_us"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum($"n_ev").as("n_events"),
+        sum($"dur_us").as("total_dur_us"),
+        max($"n_ev").as("busiest_session"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                 FROM events),
+      marked AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                         > 1800000000 THEN 1
+                    WHEN lag(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) IS NULL THEN 1
+                    ELSE 0 END AS new_s,
+               event_id
+        FROM e),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid,
+               us
+        FROM marked),
+      stats AS (
+        SELECT user_id, sid, count(*) AS n_ev, max(us) - min(us) AS dur_us
+        FROM sess GROUP BY user_id, sid)
+      SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(n_ev) AS BIGINT) AS n_events,
+             CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+             CAST(max(n_ev) AS BIGINT) AS busiest_session
+      FROM stats""")),
+
+    // week-over-week returning users — cohort retention over the
+    // DISTINCT (user, week) table (small: users × weeks), self-joined
+    // one week forward. The distinct collapses the fact table before
+    // any join, CH's recommended shape for retention dashboards.
+    QDef("cb_week_retention", (s, dir) => {
+      import s.implicits._
+      val weeks = Tables(s, dir, "events")
+        .select($"user_id", trunc($"ts".cast("date"), "week").as("wk"))
+        .distinct()
+      weeks.as("a")
+        .join(weeks.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"b.wk" === date_add($"a.wk", 7))
+        .groupBy($"a.wk".as("week"))
+        .agg(count(lit(1)).as("returning_users"))
+        .orderBy($"week")
+    }, Some("""
+      WITH weeks AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events)
+      SELECT a.wk AS week, count(*) AS returning_users
+      FROM weeks a JOIN weeks b
+        ON b.user_id = a.user_id AND b.wk = a.wk + 7
+      GROUP BY a.wk ORDER BY a.wk"""))
   )
 }
