@@ -1011,6 +1011,105 @@ object ChSql {
     out
   }
 
+  // ---- CH DDL: ALTER TABLE t ADD/DROP/MODIFY/RENAME COLUMN ---------
+
+  private val alterColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(ADD|DROP|MODIFY|RENAME)\s+COLUMN\s+(.*?)\s*$""".r
+
+  /** ClickHouse type spellings → Spark SQL types (unsigned widths map
+    * to the next-size signed type, the toUInt* convention).
+    */
+  private[graft] def chType(t: String): DataType = {
+    val norm = t.trim
+    val decRe = """(?i)^Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+    val fixRe = """(?i)^FixedString\s*\(\s*\d+\s*\)$""".r
+    norm match {
+      case decRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case fixRe() => StringType
+      case _ => norm.toLowerCase(java.util.Locale.ROOT) match {
+        case "string" => StringType
+        case "int8" => ByteType
+        case "int16" | "uint8" => ShortType
+        case "int32" | "uint16" => IntegerType
+        case "int64" | "uint32" | "uint64" => LongType
+        case "float32" => FloatType
+        case "float64" => DoubleType
+        case "date" | "date32" => DateType
+        case "datetime" | "datetime64" => TimestampType
+        case "bool" | "boolean" => BooleanType
+        case other =>
+          // accept Spark-spelled types verbatim (fails loudly if bogus)
+          org.apache.spark.sql.types.DataType.fromDDL(other)
+      }
+    }
+  }
+
+  /** Column DDL as copy-on-write snapshots (the same part-rewrite
+    * model as DELETE/UPDATE; at warehouse scale ADD/RENAME are
+    * metadata-only — the fixture-scale snapshot keeps the semantics
+    * testable). ADD without DEFAULT fills with the TYPE DEFAULT
+    * (0 / '' / false), CH's non-Nullable contract.
+    */
+  private def runAlterColumn(spark: SparkSession, table: String,
+      verb: String, bodyRaw: String): DataFrame = {
+    val body = bodyRaw.trim
+    val df = spark.table(table)
+    val out = verb.toUpperCase(java.util.Locale.ROOT) match {
+      case "ADD" =>
+        val addRe =
+          """(?is)^(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?)(?:\s+DEFAULT\s+(.+))?$""".r
+        body match {
+          case addRe(ifne, name, tpe, dflt) =>
+            if (df.columns.contains(name)) {
+              require(ifne != null, s"column '$name' already exists in $table" +
+                " (ADD COLUMN IF NOT EXISTS to ignore)")
+              df
+            } else {
+              val dt = chType(tpe)
+              val v = Option(dflt).map(d => expr(d).cast(dt))
+                .getOrElse(chDefault(dt))
+              df.withColumn(name, v)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"ADD COLUMN wants 'name Type [DEFAULT expr]', got '$body'")
+        }
+      case "DROP" =>
+        val dropRe = """(?is)^(IF\s+EXISTS\s+)?([A-Za-z_]\w*)$""".r
+        body match {
+          case dropRe(ife, name) =>
+            require(df.columns.contains(name) || ife != null,
+              s"no column '$name' in $table (DROP COLUMN IF EXISTS to ignore)")
+            df.drop(name)
+          case _ => throw new IllegalArgumentException(
+            s"DROP COLUMN wants a column name, got '$body'")
+        }
+      case "MODIFY" =>
+        val modRe = """(?is)^([A-Za-z_]\w*)\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?)$""".r
+        body match {
+          case modRe(name, tpe) =>
+            require(df.columns.contains(name), s"no column '$name' in $table")
+            df.withColumn(name, col(name).cast(chType(tpe)))
+          case _ => throw new IllegalArgumentException(
+            s"MODIFY COLUMN wants 'name Type', got '$body'")
+        }
+      case "RENAME" =>
+        val renRe = """(?is)^([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$""".r
+        body match {
+          case renRe(a, b) =>
+            require(df.columns.contains(a), s"no column '$a' in $table")
+            df.withColumnRenamed(a, b)
+          case _ => throw new IllegalArgumentException(
+            s"RENAME COLUMN wants 'a TO b', got '$body'")
+        }
+    }
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${table}_ddl_${mutationSeq.incrementAndGet()}"
+    out.write.mode("overwrite").parquet(dest)
+    val snap = spark.read.parquet(dest)
+    snap.createOrReplaceTempView(table)
+    snap
+  }
+
   private val insertSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+((?:SELECT|WITH)\b.*)$""".r
   private val insertValuesRe =
@@ -1221,6 +1320,9 @@ object ChSql {
       spark.catalog.dropTempView(name)
       import spark.implicits._
       return Seq(name).toDF("dropped")
+    }
+    alterColRe.findFirstMatchIn(query).foreach { m =>
+      return runAlterColumn(spark, m.group(1), m.group(2), m.group(3))
     }
     alterRe.findFirstMatchIn(query).foreach { m =>
       return runAlter(spark, m.group(1), m.group(2), m.group(3))

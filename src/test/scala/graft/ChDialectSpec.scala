@@ -913,6 +913,40 @@ class ChDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD/DROP/MODIFY/RENAME COLUMN snapshot semantics") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    try {
+      // ADD with DEFAULT expr; type default when absent
+      Graft.sql(spark,
+        "ALTER TABLE region ADD COLUMN head_nation Int64 DEFAULT r_regionkey * 5")
+      Graft.sql(spark, "ALTER TABLE region ADD COLUMN note String")
+      val r1 = spark.table("region").orderBy("r_regionkey").collect()
+      assert(r1.head.getAs[Long]("head_nation") == 0L &&
+        r1(2).getAs[Long]("head_nation") == 10L)
+      assert(r1.forall(_.getAs[String]("note") == ""))
+      // MODIFY casts in place; RENAME renames; DROP removes
+      Graft.sql(spark, "ALTER TABLE region MODIFY COLUMN head_nation Float64")
+      assert(spark.table("region").schema("head_nation").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      Graft.sql(spark, "ALTER TABLE region RENAME COLUMN note TO comment2")
+      assert(spark.table("region").columns.contains("comment2"))
+      Graft.sql(spark, "ALTER TABLE region DROP COLUMN comment2")
+      Graft.sql(spark, "ALTER TABLE region DROP COLUMN head_nation")
+      assert(!spark.table("region").columns.contains("head_nation"))
+      // guards: dup add, missing drop; IF EXISTS variants pass
+      intercept[Exception] {
+        Graft.sql(spark, "ALTER TABLE region ADD COLUMN r_name String")
+      }
+      intercept[Exception] {
+        Graft.sql(spark, "ALTER TABLE region DROP COLUMN nope")
+      }
+      Graft.sql(spark, "ALTER TABLE region ADD COLUMN IF NOT EXISTS r_name String")
+      Graft.sql(spark, "ALTER TABLE region DROP COLUMN IF EXISTS nope")
+      assert(spark.table("region").columns.sameElements(
+        Seq("r_regionkey", "r_name")))
+    } finally Graft.init(spark, "/root/testdata/sf0.001") // restore views
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
