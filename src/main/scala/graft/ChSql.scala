@@ -1110,6 +1110,115 @@ object ChSql {
     snap
   }
 
+  // ---- CH CTAS: CREATE TABLE t ENGINE = … AS SELECT ----------------
+
+  private val createTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+""" +
+      """ENGINE\s*=\s*([A-Za-z]+)\s*(?:\(([^)]*)\))?(.*?)\bAS\s+((?:SELECT|WITH)\b.*)$""").r
+  private val orderByClauseRe =
+    """(?is)\bORDER\s+BY\s+(\([^)]*\)|[A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)""".r
+  private val sampleByClauseRe = """(?is)\bSAMPLE\s+BY\s+([A-Za-z_]\w*)""".r
+  private val partitionByClauseRe = """(?is)\bPARTITION\s+BY\s+(\S+)""".r
+
+  /** `CREATE TABLE t ENGINE = <MergeTree family>[(args)] [PARTITION
+    * BY col] [ORDER BY (k…)] [SAMPLE BY c] AS SELECT …`: the SELECT
+    * snapshots to parquet SORTED WITHIN PARTITIONS by the ORDER BY
+    * keys (the MergeTree part-ordering analog — row-group min/max
+    * stats become the sparse index), a plain-column PARTITION BY
+    * writes hive-partitioned directories (real partition pruning;
+    * expressions: alias them in the SELECT first), SAMPLE BY
+    * registers the table's sampling key for `FROM t SAMPLE f`
+    * routing, and the collapsing engines register their FINAL
+    * collapse for `FROM t FINAL`:
+    *
+    *   - ReplacingMergeTree(ver): latest row per key by ver
+    *     (the version argument is REQUIRED here — upstream's
+    *     "last inserted" default depends on physical order, which a
+    *     distributed snapshot cannot honor deterministically);
+    *   - SummingMergeTree([cols]): sums the listed (default: all
+    *     numeric non-key) columns per key, drops the rest (upstream
+    *     keeps an arbitrary value — dropping is the deterministic
+    *     subset);
+    *   - CollapsingMergeTree(sign) / VersionedCollapsingMergeTree
+    *     (sign, ver): net-positive (key[, version]) survivors.
+    */
+  private def runCreateTable(spark: SparkSession, m: Regex.Match): DataFrame = {
+    val (name, engine, engineArgsRaw, clauses, select) =
+      (m.group(1), m.group(2), Option(m.group(3)).getOrElse(""),
+        m.group(4), m.group(5))
+    val engineArgs = splitTopLevel(engineArgsRaw)
+    val orderKeys: Seq[String] = orderByClauseRe.findFirstMatchIn(clauses)
+      .map(g => splitTopLevel(g.group(1).stripPrefix("(").stripSuffix(")")))
+      .getOrElse(Nil)
+    val sampleKey = sampleByClauseRe.findFirstMatchIn(clauses).map(_.group(1))
+    val partCol = partitionByClauseRe.findFirstMatchIn(clauses).map(_.group(1))
+    partCol.foreach(p => require(p.matches("[A-Za-z_]\\w*"),
+      s"PARTITION BY here takes a plain column (alias the expression " +
+        s"in the SELECT first), got '$p'"))
+
+    var df = run(spark, select)
+    orderKeys.foreach(k => require(df.columns.contains(k),
+      s"ORDER BY key '$k' is not a column of the SELECT"))
+    if (orderKeys.nonEmpty)
+      df = df.sortWithinPartitions(orderKeys.map(col): _*)
+
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${name}_ctas_${mutationSeq.incrementAndGet()}"
+    val writer = df.write.mode("overwrite")
+    partCol match {
+      case Some(p) => writer.partitionBy(p).parquet(dest)
+      case None => writer.parquet(dest)
+    }
+    val snap = spark.read.parquet(dest)
+    snap.createOrReplaceTempView(name)
+    ctasTables.add(name)
+
+    sampleKey.foreach(k => registerSampleKey(name, k))
+    def needKeys(): Seq[String] = {
+      require(orderKeys.nonEmpty, s"$engine needs ORDER BY keys")
+      orderKeys
+    }
+    engine.toLowerCase(java.util.Locale.ROOT) match {
+      case "mergetree" => ()
+      case "replacingmergetree" =>
+        val keys = needKeys()
+        require(engineArgs.size == 1,
+          "ReplacingMergeTree needs an explicit version argument here — " +
+            "upstream's last-inserted default depends on physical row order")
+        val ver = engineArgs.head
+        registerFinal(name, d => Relational.replacingLatest(d, keys, Seq(col(ver))))
+      case "summingmergetree" =>
+        val keys = needKeys()
+        registerFinal(name, { d =>
+          val sumCols =
+            if (engineArgs.nonEmpty) engineArgs
+            else d.schema.fields.filter(f => !keys.contains(f.name) &&
+              f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+          require(sumCols.nonEmpty, s"SummingMergeTree($name): nothing to sum")
+          d.groupBy(keys.map(col): _*)
+            .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+            .toDF(keys ++ sumCols: _*)
+        })
+      case "collapsingmergetree" =>
+        val keys = needKeys()
+        require(engineArgs.size == 1, "CollapsingMergeTree needs (sign)")
+        val sign = engineArgs.head
+        registerFinal(name, d =>
+          Relational.versionedCollapseFinal(
+            d.withColumn("__ver", lit(1)), keys, "__ver", sign).drop("__ver"))
+      case "versionedcollapsingmergetree" =>
+        val keys = needKeys()
+        require(engineArgs.size == 2,
+          "VersionedCollapsingMergeTree needs (sign, version)")
+        registerFinal(name, d =>
+          Relational.versionedCollapseFinal(d, keys, engineArgs(1), engineArgs(0)))
+      case other => throw new IllegalArgumentException(
+        s"ENGINE $other unsupported (MergeTree / Replacing / Summing / " +
+          "Collapsing / VersionedCollapsing)")
+    }
+    snap
+  }
+
   private val insertSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+((?:SELECT|WITH)\b.*)$""".r
   private val insertValuesRe =
@@ -1162,6 +1271,10 @@ object ChSql {
   /** mv name → (source table, MV query text). */
   private val mvRegistry =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** tables created by `CREATE TABLE … ENGINE = … AS SELECT`. */
+  private val ctasTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def firstFromTable(q: String): String = {
     val m = fromKwRe.findAllMatchIn(q)
@@ -1299,6 +1412,9 @@ object ChSql {
       import spark.implicits._
       return text.linesIterator.toSeq.toDF("explain")
     }
+    createTableRe.findFirstMatchIn(query).foreach { m =>
+      return runCreateTable(spark, m)
+    }
     createMvRe.findFirstMatchIn(query).foreach { m =>
       val (mv, qtext) = (m.group(1), m.group(3).trim)
       val base = firstFromTable(qtext)
@@ -1314,9 +1430,15 @@ object ChSql {
     }
     dropTableRe.findFirstMatchIn(query).foreach { m =>
       val name = m.group(1)
-      require(mvRegistry.remove(name).isDefined,
-        s"DROP TABLE only manages materialized views here; '$name' is not one" +
-          " — temp views drop via spark.catalog.dropTempView")
+      val wasMv = mvRegistry.remove(name).isDefined
+      val wasCtas = ctasTables.remove(name)
+      require(wasMv || wasCtas,
+        s"DROP TABLE only manages MVs and CTAS tables here; '$name' is " +
+          "neither — temp views drop via spark.catalog.dropTempView")
+      if (wasCtas) {
+        finalSpecs.remove(name.toLowerCase(java.util.Locale.ROOT))
+        sampleKeys.remove(name.toLowerCase(java.util.Locale.ROOT))
+      }
       spark.catalog.dropTempView(name)
       import spark.implicits._
       return Seq(name).toDF("dropped")

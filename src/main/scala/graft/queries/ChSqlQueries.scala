@@ -619,6 +619,33 @@ object ChSqlQueries {
       ORDER BY doc_id
       LIMIT 300""")),
 
+    // CTAS + engine metadata end-to-end: CREATE TABLE … ENGINE =
+    // ReplacingMergeTree(ver) ORDER BY k AS SELECT builds a sorted
+    // snapshot and registers the FINAL collapse; the follow-up query
+    // reads FROM t FINAL. The oracle recomputes the same
+    // latest-version state straight from orders.
+    QDef("sql_ch_ctas_final", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        CREATE TABLE graft_order_state ENGINE = ReplacingMergeTree(ver)
+        ORDER BY (o_orderkey) AS
+        SELECT o_orderkey, o_orderstatus, 1 AS ver FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X' AS o_orderstatus, 2 AS ver
+        FROM orders WHERE o_orderkey % 3 = 0""")
+      graft.Graft.sql(s, """
+        SELECT o_orderstatus, count(*) AS n
+        FROM graft_order_state FINAL
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }, Some("""
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_orderstatus""")),
+
     // Dialect-breadth batch as verbatim CH text: bit-function
     // spellings, exponent/rounding ladders (roundDuration/roundAge/
     // roundToExp2 — CH's web-analytics bucketing), gcd/lcm, Monday

@@ -947,6 +947,52 @@ class ChDialectSpec extends AnyFunSuite {
     } finally Graft.init(spark, "/root/testdata/sf0.001") // restore views
   }
 
+  test("CREATE TABLE ENGINE=... AS SELECT wires FINAL, SAMPLE BY, DROP") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // ReplacingMergeTree: FINAL dedups to the latest version per key
+    Graft.sql(spark, """
+      CREATE TABLE cust_versions ENGINE = ReplacingMergeTree(ver)
+      ORDER BY (c_custkey) SAMPLE BY c_custkey AS
+      SELECT c_custkey, c_name, 1 AS ver FROM customer
+      UNION ALL
+      SELECT c_custkey, upper(c_name) AS c_name, 2 AS ver
+      FROM customer WHERE c_custkey % 2 = 0""")
+    val total = spark.table("cust_versions").count()
+    val fin = Graft.sql(spark,
+      "SELECT c_custkey, c_name FROM cust_versions FINAL ORDER BY c_custkey")
+    val finRows = fin.collect()
+    val nCust = spark.table("customer").count()
+    assert(finRows.length == nCust && total > nCust)
+    assert(finRows.filter(_.getLong(0) % 2 == 0)
+      .forall(r => r.getString(1) == r.getString(1).toUpperCase))
+    // SAMPLE BY key registered: SAMPLE 0.5 routes (deterministic subset)
+    val half = Graft.sql(spark,
+      "SELECT count(*) AS n FROM cust_versions SAMPLE 0.5").collect().head.getLong(0)
+    assert(half > 0 && half < total)
+    // Summing engine: FINAL sums numeric non-keys, drops the rest
+    Graft.sql(spark, """
+      CREATE TABLE nat_sums ENGINE = SummingMergeTree ORDER BY (n_regionkey)
+      AS SELECT n_regionkey, n_nationkey FROM nation""")
+    val sums = Graft.sql(spark,
+      "SELECT * FROM nat_sums FINAL ORDER BY n_regionkey").collect()
+    assert(sums.length == 5 && sums.map(_.getLong(1)).sum == (0 until 25).sum)
+    // DROP TABLE cleans registries; FINAL on the dropped name fails
+    Graft.sql(spark, "DROP TABLE cust_versions")
+    Graft.sql(spark, "DROP TABLE nat_sums")
+    intercept[Exception] {
+      Graft.sql(spark, "SELECT * FROM cust_versions FINAL").collect()
+    }
+    // engine guards: Replacing without version, unknown engine
+    intercept[Exception] {
+      Graft.sql(spark, """CREATE TABLE x ENGINE = ReplacingMergeTree
+        ORDER BY (c_custkey) AS SELECT c_custkey FROM customer""")
+    }
+    intercept[Exception] {
+      Graft.sql(spark, """CREATE TABLE x ENGINE = Log AS
+        SELECT c_custkey FROM customer""")
+    }
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
