@@ -535,7 +535,7 @@ object ChSql {
   // as `quantile`
   private val paramAggRe =
     ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExact|""" +
-      """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|""" +
+      """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
       """\s*\(""").r
 
@@ -631,6 +631,14 @@ object ChSql {
       case "uniqupto" =>
         nArgs(1)
         s"least(count(DISTINCT ${args.head}), CAST(${intParam(0)} AS BIGINT) + 1)"
+      case "uniqcombined" =>
+        // HLL precision p → Spark's rsd ≈ 1.04 / sqrt(2^p), the
+        // standard-error identity both sketches share
+        nArgs(1)
+        val p = intParam(0)
+        require(p >= 4 && p <= 20, s"uniqCombined precision must be 4..20, got $p")
+        val rsd = 1.04 / math.sqrt(math.pow(2.0, p.toDouble))
+        s"approx_count_distinct(${args.head}, $rsd)"
       case "topk" =>
         nArgs(1)
         val k = intParam(0)
@@ -1119,6 +1127,8 @@ object ChSql {
     """(?is)\bORDER\s+BY\s+(\([^)]*\)|[A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)""".r
   private val sampleByClauseRe = """(?is)\bSAMPLE\s+BY\s+([A-Za-z_]\w*)""".r
   private val partitionByClauseRe = """(?is)\bPARTITION\s+BY\s+(\S+)""".r
+  private val ttlClauseRe =
+    """(?is)\bTTL\s+([A-Za-z_]\w*)\s*\+\s*INTERVAL\s+(\d+)\s+([A-Za-z]+)""".r
 
   /** `CREATE TABLE t ENGINE = <MergeTree family>[(args)] [PARTITION
     * BY col] [ORDER BY (k…)] [SAMPLE BY c] AS SELECT …`: the SELECT
@@ -1178,43 +1188,60 @@ object ChSql {
       require(orderKeys.nonEmpty, s"$engine needs ORDER BY keys")
       orderKeys
     }
-    engine.toLowerCase(java.util.Locale.ROOT) match {
-      case "mergetree" => ()
-      case "replacingmergetree" =>
-        val keys = needKeys()
-        require(engineArgs.size == 1,
-          "ReplacingMergeTree needs an explicit version argument here — " +
-            "upstream's last-inserted default depends on physical row order")
-        val ver = engineArgs.head
-        registerFinal(name, d => Relational.replacingLatest(d, keys, Seq(col(ver))))
-      case "summingmergetree" =>
-        val keys = needKeys()
-        registerFinal(name, { d =>
-          val sumCols =
-            if (engineArgs.nonEmpty) engineArgs
-            else d.schema.fields.filter(f => !keys.contains(f.name) &&
-              f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-          require(sumCols.nonEmpty, s"SummingMergeTree($name): nothing to sum")
-          d.groupBy(keys.map(col): _*)
-            .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
-            .toDF(keys ++ sumCols: _*)
-        })
-      case "collapsingmergetree" =>
-        val keys = needKeys()
-        require(engineArgs.size == 1, "CollapsingMergeTree needs (sign)")
-        val sign = engineArgs.head
-        registerFinal(name, d =>
-          Relational.versionedCollapseFinal(
+    val engineCollapse: Option[DataFrame => DataFrame] =
+      engine.toLowerCase(java.util.Locale.ROOT) match {
+        case "mergetree" => None
+        case "replacingmergetree" =>
+          val keys = needKeys()
+          require(engineArgs.size == 1,
+            "ReplacingMergeTree needs an explicit version argument here — " +
+              "upstream's last-inserted default depends on physical row order")
+          val ver = engineArgs.head
+          Some(d => Relational.replacingLatest(d, keys, Seq(col(ver))))
+        case "summingmergetree" =>
+          val keys = needKeys()
+          Some { d =>
+            val sumCols =
+              if (engineArgs.nonEmpty) engineArgs
+              else d.schema.fields.filter(f => !keys.contains(f.name) &&
+                f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+            require(sumCols.nonEmpty, s"SummingMergeTree($name): nothing to sum")
+            d.groupBy(keys.map(col): _*)
+              .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+              .toDF(keys ++ sumCols: _*)
+          }
+        case "collapsingmergetree" =>
+          val keys = needKeys()
+          require(engineArgs.size == 1, "CollapsingMergeTree needs (sign)")
+          val sign = engineArgs.head
+          Some(d => Relational.versionedCollapseFinal(
             d.withColumn("__ver", lit(1)), keys, "__ver", sign).drop("__ver"))
-      case "versionedcollapsingmergetree" =>
-        val keys = needKeys()
-        require(engineArgs.size == 2,
-          "VersionedCollapsingMergeTree needs (sign, version)")
-        registerFinal(name, d =>
-          Relational.versionedCollapseFinal(d, keys, engineArgs(1), engineArgs(0)))
-      case other => throw new IllegalArgumentException(
-        s"ENGINE $other unsupported (MergeTree / Replacing / Summing / " +
-          "Collapsing / VersionedCollapsing)")
+        case "versionedcollapsingmergetree" =>
+          val keys = needKeys()
+          require(engineArgs.size == 2,
+            "VersionedCollapsingMergeTree needs (sign, version)")
+          Some(d =>
+            Relational.versionedCollapseFinal(d, keys, engineArgs(1), engineArgs(0)))
+        case other => throw new IllegalArgumentException(
+          s"ENGINE $other unsupported (MergeTree / Replacing / Summing / " +
+            "Collapsing / VersionedCollapsing)")
+      }
+    // `TTL ts + INTERVAL n unit` composes in front of the engine
+    // collapse at FINAL time: expired rows drop first, then the
+    // survivors collapse — deterministic "now" = the frame's max(ts)
+    // (Relational.applyRowTtl's contract).
+    val ttlCollapse: Option[DataFrame => DataFrame] =
+      ttlClauseRe.findFirstMatchIn(clauses).map { t =>
+        val (tsCol, keep) = (t.group(1), s"${t.group(2)} ${t.group(3)}")
+        require(snap.columns.contains(tsCol),
+          s"TTL column '$tsCol' is not a column of the SELECT")
+        d => Relational.applyRowTtl(d, tsCol, keep)
+      }
+    (ttlCollapse, engineCollapse) match {
+      case (Some(t), Some(e)) => registerFinal(name, d => e(t(d)))
+      case (Some(t), None) => registerFinal(name, t)
+      case (None, Some(e)) => registerFinal(name, e)
+      case (None, None) => ()
     }
     snap
   }

@@ -51,7 +51,10 @@ object Multimodal {
     * strict payload length, mean Rec.709 luminance from an exact
     * integer sum (2126 r + 7152 g + 722 b per pixel, /10000 once).
     */
-  def decodePpm(bytes: Array[Byte]): PpmImage = {
+  /** Header scan shared by decode and resize: (w, h, maxval,
+    * payload offset), strict payload-length check.
+    */
+  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
     var i = 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
@@ -79,14 +82,44 @@ object Multimodal {
     i += 1 // exactly ONE whitespace byte before the payload (spec)
     require(bytes.length - i == w * h * 3,
       s"PPM: payload ${bytes.length - i} bytes, expected ${w * h * 3}")
+    (w, h, maxval, i)
+  }
+
+  def decodePpm(bytes: Array[Byte]): PpmImage = {
+    val (w, h, maxval, off) = ppmHeader(bytes)
     var lumaSum = 0L
-    var p = i
+    var p = off
     while (p < bytes.length) {
       lumaSum += 2126L * (bytes(p) & 0xff) + 7152L * (bytes(p + 1) & 0xff) +
         722L * (bytes(p + 2) & 0xff)
       p += 3
     }
     PpmImage(w, h, maxval, lumaSum / (10000.0 * w * h))
+  }
+
+  /** Nearest-neighbor P6 resize: destination pixel (X, Y) samples the
+    * source at (X·w div newW, Y·h div newH) — pure integer sampling,
+    * so the resized payload is bit-reproducible on any engine (the
+    * closed-form oracle in pipe_image_resize recomputes every byte).
+    */
+  def resizePpm(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    require(newW > 0 && newH > 0, s"bad resize target ${newW}x$newH")
+    val (w, h, maxval, off) = ppmHeader(bytes)
+    val out = new Array[Byte](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val sy = y * h / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x * w / newW
+        val s = off + (sy * w + sx) * 3
+        val d = (y * newW + x) * 3
+        out(d) = bytes(s); out(d + 1) = bytes(s + 1); out(d + 2) = bytes(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    encodePpm(newW, newH, maxval, out)
   }
 
   /** Canonical RIFF/WAVE writer: PCM16, little-endian. */

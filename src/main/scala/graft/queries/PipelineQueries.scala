@@ -672,6 +672,48 @@ object PipelineQueries {
              ${Det.sqlSum("CASE WHEN n_w > 0 AND a > 0 THEN 1.0 WHEN n_w > 0 THEN 0.0 END")} AS zcr_sum
       FROM m""")),
 
+    // REAL image resize on the multimodal path: synthetic gradient
+    // PPMs (pixel (x,y,ch) = (7x + 13y + id + 31ch) mod 256) are
+    // nearest-neighbor downsampled to 8×6 with pure integer source
+    // sampling (X·w div 8), then every byte of the resized payload is
+    // pinned by an integer checksum the oracle recomputes from the
+    // closed form alone — any sampling/rounding drift breaks the
+    // hash. Typed per-row map, embarrassingly parallel at any scale.
+    QDef("pipe_image_resize", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 7 === 0)
+        .select($"doc_id")
+        .as[Long]
+        .map { id =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 3).toInt
+          val px = Array.tabulate(w * h * 3) { k =>
+            val p = k / 3; val x = p % w; val y = p / w; val ch = k % 3
+            ((7L * x + 13L * y + id + 31L * ch) % 256).toByte
+          }
+          val resized = Multimodal.resizePpm(
+            Multimodal.encodePpm(w, h, 255, px), 8, 6)
+          val img = Multimodal.decodePpm(resized)
+          val payload = resized.drop(resized.length - 8 * 6 * 3)
+          val checksum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+          (id, img.width, img.height, checksum)
+        }
+        .toDF("doc_id", "w2", "h2", "checksum")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH g AS (SELECT unnest(generate_series(0, 7)) AS x),
+      gy AS (SELECT unnest(generate_series(0, 5)) AS y),
+      gc AS (SELECT unnest(generate_series(0, 2)) AS ch),
+      d AS (SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 3 AS h
+            FROM documents WHERE doc_id % 7 = 0)
+      SELECT doc_id, 8 AS w2, 6 AS h2,
+             CAST(sum((7 * ((x * w) // 8) + 13 * ((y * h) // 6)
+                       + doc_id + 31 * ch) % 256) AS BIGINT) AS checksum
+      FROM d, g, gy, gc
+      GROUP BY doc_id
+      ORDER BY doc_id""")),
+
     // PII redaction — the standard compliance pass before training:
     // count + mask emails, dotted-quad IPs, and long digit runs
     // (account-number shaped). Deterministic PII is SPIKED into each

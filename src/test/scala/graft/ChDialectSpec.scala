@@ -993,6 +993,48 @@ class ChDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS TTL clause, uniqCombined precision, parametric+clause composition") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // TTL composes in front of the engine collapse at FINAL time
+    Graft.sql(spark, """
+      CREATE TABLE recent_orders ENGINE = MergeTree
+      ORDER BY (o_orderkey) TTL o_orderdate + INTERVAL 365 DAY AS
+      SELECT o_orderkey, o_orderdate FROM orders""")
+    val all = spark.table("recent_orders").count()
+    val kept = Graft.sql(spark,
+      "SELECT count(*) AS n FROM recent_orders FINAL").collect().head.getLong(0)
+    val expect = spark.sql("""
+      SELECT count(*) FROM recent_orders
+      WHERE o_orderdate > (SELECT max(o_orderdate) FROM recent_orders)
+                          - INTERVAL 365 DAY""").collect().head.getLong(0)
+    assert(kept == expect && kept < all)
+    Graft.sql(spark, "DROP TABLE recent_orders")
+    // uniqCombined(p)(x): tight precision lands within ~3 rsd of exact
+    val Array(est, exact) = Graft.sql(spark, """
+      SELECT uniqCombined(14)(o_custkey) AS est,
+             uniqExact(o_custkey) AS exact
+      FROM orders""").collect().head.toSeq.map(_.toString.toLong).toArray
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"$est vs $exact")
+    // parametric call inside a clause-routed query (LIMIT n BY):
+    // both rewrites compose on the same text
+    val routed = Graft.sql(spark, """
+      SELECT o_orderpriority, o_orderstatus,
+             round(quantileExact(0.5)(o_totalprice), 4) AS med
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY o_orderpriority ASC, med DESC
+      LIMIT 1 BY o_orderpriority""").collect()
+    assert(routed.length == 5) // one row per priority
+    val twin = spark.sql("""
+      SELECT o_orderpriority, max(med) AS med FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               round(percentile(o_totalprice, 0.5), 4) AS med
+        FROM orders GROUP BY o_orderpriority, o_orderstatus)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""").collect()
+    assert(routed.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      twin.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
