@@ -122,6 +122,83 @@ object Multimodal {
     encodePpm(newW, newH, maxval, out)
   }
 
+  /** Minimal YUV4MPEG2 (y4m) writer, Cmono colorspace: the plain-text
+    * stream header, then `FRAME\n` + one w·h luma plane per frame —
+    * the public fixed-rate uncompressed video container (mjpegtools
+    * y4m spec), trivial to parse and exact to verify.
+    */
+  def encodeY4m(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0, "bad y4m dims")
+    frames.foreach(f => require(f.length == width * height,
+      s"y4m mono frame must be w*h = ${width * height} bytes, got ${f.length}"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII"))
+    frames.foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  case class Y4mVideo(width: Int, height: Int, nFrames: Int,
+      sampledFrames: Seq[Int], frameLumaSums: Seq[Long])
+
+  /** y4m reader + every-k-th frame sampler: parses the stream header
+    * (tag-tolerant — unknown parameters skip; only Cmono payloads are
+    * accepted, loud failure otherwise), walks FRAME markers (frame
+    * parameters after `FRAME` skip to the newline), keeps frames
+    * 0, k, 2k, …, and returns each KEPT frame's exact integer luma
+    * sum — the frame-sampling decimation a video training pipeline
+    * runs before feature extraction.
+    */
+  def sampleY4mFrames(bytes: Array[Byte], k: Int): Y4mVideo = {
+    require(k >= 1, s"bad sampling stride $k")
+    var i = 0
+    def readLine(): String = {
+      val start = i
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      require(i < bytes.length, "y4m: unterminated header line")
+      i += 1
+      new String(bytes, start, i - 1 - start, "US-ASCII")
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    var (w, h) = (0, 0)
+    var cs = "420jpeg" // the spec default when no C tag is present
+    header.split(' ').drop(1).foreach { tag =>
+      if (tag.nonEmpty) tag.charAt(0) match {
+        case 'W' => w = tag.substring(1).toInt
+        case 'H' => h = tag.substring(1).toInt
+        case 'C' => cs = tag.substring(1)
+        case _ => () // F/I/A/X parameters don't affect the payload walk
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing W/H in '$header'")
+    require(cs == "mono", s"y4m: only Cmono supported here, got C$cs")
+    val frameBytes = w * h
+    val sampled = Seq.newBuilder[Int]
+    val sums = Seq.newBuilder[Long]
+    var n = 0
+    while (i < bytes.length) {
+      val marker = readLine()
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"y4m: expected FRAME marker, got '$marker'")
+      require(bytes.length - i >= frameBytes, "y4m: truncated frame payload")
+      if (n % k == 0) {
+        var s = 0L
+        var p = i
+        val end = i + frameBytes
+        while (p < end) { s += (bytes(p) & 0xff); p += 1 }
+        sampled += n
+        sums += s
+      }
+      i += frameBytes
+      n += 1
+    }
+    Y4mVideo(w, h, n, sampled.result(), sums.result())
+  }
+
   /** Canonical RIFF/WAVE writer: PCM16, little-endian. */
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(channels > 0 && sampleRate > 0, "bad WAV params")

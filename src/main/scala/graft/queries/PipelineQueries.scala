@@ -714,6 +714,52 @@ object PipelineQueries {
       GROUP BY doc_id
       ORDER BY doc_id""")),
 
+    // REAL video frame sampling: synthetic y4m clips (mono frames,
+    // pixel (x,y) of frame f = (x + 7y + 3f + id) mod 256) are walked
+    // through the YUV4MPEG2 reader keeping every 3rd frame, and each
+    // kept frame's exact integer luma sum is pinned by a closed-form
+    // oracle over the (frame, x, y) grid — decimation arithmetic,
+    // header parsing, and payload walking all break the hash if they
+    // drift. Typed per-row map, embarrassingly parallel.
+    QDef("pipe_video_frames", (s, dir) => {
+      import s.implicits._
+      val W = 8; val H = 6
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 13 === 0)
+        .select($"doc_id")
+        .as[Long]
+        .map { id =>
+          val nF = (id % 12 + 2).toInt
+          val frames = Seq.tabulate(nF) { f =>
+            Array.tabulate(W * H) { p =>
+              val x = p % W; val y = p / W
+              ((x + 7L * y + 3L * f + id) % 256).toByte
+            }
+          }
+          val v = Multimodal.sampleY4mFrames(
+            Multimodal.encodeY4m(W, H, frames), 3)
+          (id, v.nFrames, v.sampledFrames.length, v.frameLumaSums.sum)
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "luma_total")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id % 12 + 2 AS nf
+                 FROM documents WHERE doc_id % 13 = 0),
+      fr AS (SELECT doc_id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 3)) AS f
+             FROM d),
+      px AS (SELECT doc_id, nf, f,
+                    unnest(generate_series(0, 7)) AS x
+             FROM fr),
+      cell AS (SELECT doc_id, nf, f, x, unnest(generate_series(0, 5)) AS y
+               FROM px)
+      SELECT doc_id,
+             CAST(max(nf) AS INT) AS n_frames,
+             CAST(count(DISTINCT f) AS INT) AS n_sampled,
+             CAST(sum((x + 7 * y + 3 * f + doc_id) % 256) AS BIGINT) AS luma_total
+      FROM cell
+      GROUP BY doc_id
+      ORDER BY doc_id""")),
+
     // PII redaction — the standard compliance pass before training:
     // count + mask emails, dotted-quad IPs, and long digit runs
     // (account-number shaped). Deterministic PII is SPIKED into each

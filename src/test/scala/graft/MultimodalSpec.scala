@@ -157,4 +157,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(norm - 1.0) < 1e-5)
     }
   }
+
+  test("PPM resize: integer nearest-neighbor sampling, exact bytes") {
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h * 3)(k => ((k * 11) % 256).toByte)
+    val src = Multimodal.encodePpm(w, h, 255, px)
+    val rs = Multimodal.resizePpm(src, 2, 2)
+    val (rw, rh) = (Multimodal.decodePpm(rs).width, Multimodal.decodePpm(rs).height)
+    assert(rw == 2 && rh == 2)
+    val pay = rs.drop(rs.length - 2 * 2 * 3)
+    // dest (X,Y) samples src (X*5/2, Y*4/2): (0,0) (2,0) (0,2) (2,2)
+    for ((srcIdx, d) <- Seq((0, 0), (2, 1), (2 * 5, 2), (2 * 5 + 2, 3)))
+      for (c <- 0 to 2)
+        assert(pay(d * 3 + c) == px(srcIdx * 3 + c), s"pixel $d ch $c")
+    // upscale repeats source pixels, never reads out of bounds
+    val up = Multimodal.resizePpm(src, 11, 9)
+    assert(Multimodal.decodePpm(up).width == 11)
+  }
+
+  test("y4m codec: header tags, frame sampling, loud failures") {
+    val frames = Seq.tabulate(7)(f => Array.tabulate(6)(p => (f * 10 + p).toByte))
+    val v = Multimodal.sampleY4mFrames(Multimodal.encodeY4m(3, 2, frames), 3)
+    assert(v.width == 3 && v.height == 2 && v.nFrames == 7)
+    assert(v.sampledFrames == Seq(0, 3, 6))
+    assert(v.frameLumaSums == Seq(0 + 1 + 2 + 3 + 4 + 5,
+      30 + 31 + 32 + 33 + 34 + 35, 60 + 61 + 62 + 63 + 64 + 65))
+    // stride 1 keeps everything; stride > n keeps only frame 0
+    assert(Multimodal.sampleY4mFrames(
+      Multimodal.encodeY4m(3, 2, frames), 1).sampledFrames.length == 7)
+    assert(Multimodal.sampleY4mFrames(
+      Multimodal.encodeY4m(3, 2, frames), 99).sampledFrames == Seq(0))
+    // non-mono colorspace and truncated payload fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleY4mFrames(
+        "YUV4MPEG2 W2 H2 C420jpeg\nFRAME\nabcd".getBytes("US-ASCII"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleY4mFrames(
+        "YUV4MPEG2 W2 H2 Cmono\nFRAME\nab".getBytes("US-ASCII"), 1)
+    }
+  }
 }
