@@ -1246,6 +1246,15 @@ object ChSql {
     snap
   }
 
+  // ---- small DDL statements ----------------------------------------
+
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+((?:SELECT|WITH)\b.*)$""".r
+  private val existsTableRe =
+    """(?is)^\s*EXISTS\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
+  private val renameTableRe =
+    """(?is)^\s*RENAME\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$""".r
+
   private val insertSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+((?:SELECT|WITH)\b.*)$""".r
   private val insertValuesRe =
@@ -1441,6 +1450,37 @@ object ChSql {
     }
     createTableRe.findFirstMatchIn(query).foreach { m =>
       return runCreateTable(spark, m)
+    }
+    // CH `CREATE VIEW v AS SELECT` — a logical view: the query text
+    // re-plans on every read (so it tracks later mutations of its
+    // base tables), routed through run() so CH clauses work inside
+    createViewRe.findFirstMatchIn(query).foreach { m =>
+      val (name, body) = (m.group(1), m.group(2))
+      run(spark, body).createOrReplaceTempView(name)
+      import spark.implicits._
+      return Seq(name).toDF("created_view")
+    }
+    existsTableRe.findFirstMatchIn(query).foreach { m =>
+      import spark.implicits._
+      return Seq(if (spark.catalog.tableExists(m.group(1))) 1 else 0)
+        .toDF("result")
+    }
+    renameTableRe.findFirstMatchIn(query).foreach { m =>
+      val (a, b) = (m.group(1), m.group(2))
+      require(spark.catalog.tableExists(a), s"RENAME TABLE: no table '$a'")
+      require(!spark.catalog.tableExists(b), s"RENAME TABLE: '$b' already exists")
+      spark.table(a).createOrReplaceTempView(b)
+      spark.catalog.dropTempView(a)
+      // carry engine metadata (FINAL collapse, sampling key, CTAS
+      // bookkeeping, MV registration) to the new name
+      val (al, bl) = (a.toLowerCase(java.util.Locale.ROOT),
+        b.toLowerCase(java.util.Locale.ROOT))
+      finalSpecs.remove(al).foreach(f => finalSpecs.put(bl, f))
+      sampleKeys.remove(al).foreach(k => sampleKeys.put(bl, k))
+      if (ctasTables.remove(a)) ctasTables.add(b)
+      mvRegistry.remove(a).foreach(v => mvRegistry.put(b, v))
+      import spark.implicits._
+      return Seq(s"$a -> $b").toDF("renamed")
     }
     createMvRe.findFirstMatchIn(query).foreach { m =>
       val (mv, qtext) = (m.group(1), m.group(3).trim)

@@ -1035,6 +1035,38 @@ class ChDialectSpec extends AnyFunSuite {
       twin.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("CREATE VIEW, EXISTS TABLE, RENAME TABLE") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // logical view: re-plans per read, CH clauses work inside
+    Graft.sql(spark, """
+      CREATE VIEW top_nations AS
+      SELECT n_regionkey, n_name FROM nation
+      ORDER BY n_regionkey ASC, n_name DESC
+      LIMIT 2 BY n_regionkey""")
+    assert(spark.table("top_nations").count() == 10)
+    assert(Graft.sql(spark, "EXISTS TABLE top_nations")
+      .collect().head.getInt(0) == 1)
+    assert(Graft.sql(spark, "EXISTS TABLE nope_nope")
+      .collect().head.getInt(0) == 0)
+    // rename carries engine metadata: a CTAS Replacing table keeps
+    // its FINAL collapse and sampling key under the new name
+    Graft.sql(spark, """
+      CREATE TABLE rn_src ENGINE = ReplacingMergeTree(v)
+      ORDER BY (r_regionkey) SAMPLE BY r_regionkey AS
+      SELECT r_regionkey, 1 AS v FROM region
+      UNION ALL SELECT r_regionkey, 2 AS v FROM region""")
+    Graft.sql(spark, "RENAME TABLE rn_src TO rn_dst")
+    assert(!spark.catalog.tableExists("rn_src"))
+    assert(Graft.sql(spark, "SELECT * FROM rn_dst FINAL").count() == 5)
+    assert(Graft.sql(spark, "SELECT count(*) AS n FROM rn_dst SAMPLE 1")
+      .collect().head.getLong(0) == 10)
+    Graft.sql(spark, "DROP TABLE rn_dst")
+    intercept[Exception] {
+      Graft.sql(spark, "RENAME TABLE nope_nope TO x")
+    }
+    spark.catalog.dropTempView("top_nations")
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
