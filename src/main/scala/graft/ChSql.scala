@@ -1529,16 +1529,23 @@ object ChSql {
     }
     optimizeRe.findFirstMatchIn(query).foreach { m =>
       // OPTIMIZE TABLE t = merge parts → one compacted snapshot.
-      // FINAL additionally collapses engine-specific duplicates, which
-      // needs the table's (absent here) key metadata — fail toward the
-      // explicit operators rather than silently skipping the dedup.
-      require(m.group(2) == null,
-        "OPTIMIZE ... FINAL needs engine key metadata — use " +
-          "Relational.replacingLatest / versionedCollapseFinal explicitly")
+      // FINAL additionally collapses engine-specific duplicates; the
+      // collapse comes from the table's registered engine metadata
+      // (CTAS ENGINE clause / registerFinal). Unregistered tables
+      // fail loudly toward the explicit operators.
       val table = m.group(1)
+      val isFinal = m.group(2) != null
+      val collapse: DataFrame => DataFrame =
+        if (!isFinal) identity
+        else finalSpecs.getOrElse(table.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            "OPTIMIZE ... FINAL needs engine key metadata — CREATE TABLE " +
+              "with a collapsing ENGINE (or registerFinal), or use " +
+              "Relational.replacingLatest / versionedCollapseFinal explicitly"))
       val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
         s"${table}_opt_${mutationSeq.incrementAndGet()}"
-      spark.table(table).coalesce(1).write.mode("overwrite").parquet(dest)
+      collapse(spark.table(table)).coalesce(1)
+        .write.mode("overwrite").parquet(dest)
       val out = spark.read.parquet(dest)
       out.createOrReplaceTempView(table)
       return out

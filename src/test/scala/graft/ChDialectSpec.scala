@@ -1060,9 +1060,16 @@ class ChDialectSpec extends AnyFunSuite {
     assert(Graft.sql(spark, "SELECT * FROM rn_dst FINAL").count() == 5)
     assert(Graft.sql(spark, "SELECT count(*) AS n FROM rn_dst SAMPLE 1")
       .collect().head.getLong(0) == 10)
+    // OPTIMIZE ... FINAL applies the registered engine collapse and
+    // REWRITES the table (reads after it see the collapsed rows)
+    Graft.sql(spark, "OPTIMIZE TABLE rn_dst FINAL")
+    assert(spark.table("rn_dst").count() == 5)
     Graft.sql(spark, "DROP TABLE rn_dst")
     intercept[Exception] {
       Graft.sql(spark, "RENAME TABLE nope_nope TO x")
+    }
+    intercept[Exception] { // no engine metadata registered
+      Graft.sql(spark, "OPTIMIZE TABLE nation FINAL")
     }
     spark.catalog.dropTempView("top_nations")
   }
