@@ -66,7 +66,11 @@ object ChSql {
 
   // ---- lexical scanning ------------------------------------------
 
-  /** mask(i) = char i is at paren depth 0 and outside a '…' literal. */
+  /** mask(i) = char i is at paren depth 0, outside a '…' literal and
+    * outside a `--` line comment (SQL lexes `--` as a comment even
+    * mid-expression, so apostrophes inside one must not open a
+    * string and keywords inside one must not route).
+    */
   private def topLevelMask(s: String): Array[Boolean] = {
     val ok = new Array[Boolean](s.length)
     var depth = 0
@@ -77,13 +81,18 @@ object ChSql {
       if (inStr) {
         ok(i) = false
         if (c == '\'') inStr = false
-      } else c match {
-        case '\'' => inStr = true; ok(i) = false
-        case '(' => depth += 1; ok(i) = false
-        case ')' => depth -= 1; ok(i) = depth == 0
-        case _ => ok(i) = depth == 0
+        i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { ok(i) = false; i += 1 }
+      } else {
+        c match {
+          case '\'' => inStr = true; ok(i) = false
+          case '(' => depth += 1; ok(i) = false
+          case ')' => depth -= 1; ok(i) = depth == 0
+          case _ => ok(i) = depth == 0
+        }
+        i += 1
       }
-      i += 1
     }
     ok
   }
@@ -1401,7 +1410,31 @@ object ChSql {
       case None => (q, Map.empty)
     }
 
-  def run(spark: SparkSession, query: String): DataFrame = {
+  /** Strip `--` line comments (string-aware) before any routing: the
+    * clause peeler hands text fragments to expr()/parseOrderItem,
+    * which must not see comment tails; Spark itself would accept
+    * them, so stripping is semantics-preserving.
+    */
+  private def stripLineComments(s: String): String = {
+    if (!s.contains("--")) return s
+    val out = new StringBuilder(s.length)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out.append(c); if (c == '\'') inStr = false; i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else {
+        out.append(c); if (c == '\'') inStr = true; i += 1
+      }
+    }
+    out.toString
+  }
+
+  def run(spark: SparkSession, query0: String): DataFrame = {
+    val query = stripLineComments(query0)
     dropCacheRe.findFirstMatchIn(query).foreach { _ =>
       queryCache.values.foreach(_.unpersist())
       queryCache.clear()

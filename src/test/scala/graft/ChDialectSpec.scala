@@ -1074,6 +1074,22 @@ class ChDialectSpec extends AnyFunSuite {
     spark.catalog.dropTempView("top_nations")
   }
 
+  test("clause routing survives -- comments with apostrophes") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT n_regionkey, n_name -- that's the nation's name
+      FROM nation
+      ORDER BY n_regionkey ASC, n_name DESC -- don't reorder this
+      LIMIT 2 BY n_regionkey""").collect()
+    assert(r.length == 10)
+    // a commented-out LIMIT BY must NOT route
+    val r2 = Graft.sql(spark, """
+      SELECT n_regionkey FROM nation
+      -- LIMIT 2 BY n_regionkey
+      ORDER BY n_regionkey""").collect()
+    assert(r2.length == 25)
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
