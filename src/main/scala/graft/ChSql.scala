@@ -1410,13 +1410,14 @@ object ChSql {
       case None => (q, Map.empty)
     }
 
-  /** Strip `--` line comments (string-aware) before any routing: the
-    * clause peeler hands text fragments to expr()/parseOrderItem,
-    * which must not see comment tails; Spark itself would accept
-    * them, so stripping is semantics-preserving.
+  /** Strip `--` line and `/* */` block comments (string-aware) before
+    * any routing: the clause peeler hands text fragments to
+    * expr()/parseOrderItem, which must not see comment tails; Spark
+    * itself would accept them, so stripping is semantics-preserving
+    * (a block comment becomes one space so tokens never fuse).
     */
   private def stripLineComments(s: String): String = {
-    if (!s.contains("--")) return s
+    if (!s.contains("--") && !s.contains("/*")) return s
     val out = new StringBuilder(s.length)
     var inStr = false
     var i = 0
@@ -1426,6 +1427,11 @@ object ChSql {
         out.append(c); if (c == '\'') inStr = false; i += 1
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        require(end >= 0, "unterminated /* comment")
+        out.append(' ')
+        i = end + 2
       } else {
         out.append(c); if (c == '\'') inStr = true; i += 1
       }

@@ -1088,6 +1088,14 @@ class ChDialectSpec extends AnyFunSuite {
       -- LIMIT 2 BY n_regionkey
       ORDER BY n_regionkey""").collect()
     assert(r2.length == 25)
+    // block comments strip too (string literals with /* survive)
+    val r3 = Graft.sql(spark, """
+      SELECT n_regionkey, /* the region's
+        key, isn't it */ count(*) AS n, '/*x' AS lit
+      FROM nation GROUP BY n_regionkey
+      ORDER BY n_regionkey ASC
+      LIMIT 1 BY n_regionkey""").collect()
+    assert(r3.length == 5 && r3.forall(_.getString(2) == "/*x"))
   }
 
   test("retention spelling equals its flag-max expansion") {
