@@ -545,6 +545,7 @@ object ChSql {
   private val paramAggRe =
     ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExact|""" +
       """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|uniqCombined|""" +
+      """groupArraySorted|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
       """\s*\(""").r
 
@@ -640,6 +641,11 @@ object ChSql {
       case "uniqupto" =>
         nArgs(1)
         s"least(count(DISTINCT ${args.head}), CAST(${intParam(0)} AS BIGINT) + 1)"
+      case "grouparraysorted" =>
+        // N smallest values, ascending — deterministic at any
+        // executor count (unlike bare groupArray's encounter order)
+        nArgs(1)
+        s"slice(array_sort(collect_list(${args.head})), 1, ${intParam(0)})"
       case "uniqcombined" =>
         // HLL precision p → Spark's rsd ≈ 1.04 / sqrt(2^p), the
         // standard-error identity both sketches share

@@ -571,6 +571,13 @@ object ChDialect {
     // uniqExact(x) ≡ count(DISTINCT x): the distinct flag lives on the
     // AggregateExpression, not in any registry name
     reg("uniqExact")(c => Count(c).toAggregateExpression(isDistinct = true))
+    // -If combinator on the exact distinct count (CH arg order x, cond)
+    reg("uniqExactIf")(c =>
+      Count(Seq(onlyIf(c(0), c(1)))).toAggregateExpression(isDistinct = true))
+    // sumKahan: compensated summation — the decimal-lattice sum is
+    // order-exact (stronger than Kahan), cast back to Float64
+    macroFn("sumKahan", Seq("__x"),
+      "CAST(sum(CAST(__x AS DECIMAL(38,6))) AS DOUBLE)")
     // argMin/argMax -If combinators: min_by/max_by skip rows whose
     // ORDERING value is NULL, so masking the ordering column with the
     // condition is exactly the -If contract (CH arg order: x, ord, cond)

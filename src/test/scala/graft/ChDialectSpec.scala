@@ -1098,6 +1098,21 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r3.length == 5 && r3.forall(_.getString(2) == "/*x"))
   }
 
+  test("groupArraySorted, uniqExactIf, sumKahan spellings") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT groupArraySorted(3)(n_nationkey) AS low3,
+             uniqExactIf(n_regionkey, n_nationkey < 10) AS regs,
+             round(sumKahan(n_nationkey / 3.0), 4) AS ks
+      FROM nation""").collect().head
+    assert(r.getSeq[Long](0) == Seq(0L, 1L, 2L))
+    assert(r.getLong(1) ==
+      spark.sql("""SELECT count(DISTINCT CASE WHEN n_nationkey < 10
+                   THEN n_regionkey END) FROM nation""").collect().head.getLong(0))
+    val exact = (0 until 25).sum / 3.0 // 300/3 = 100 exactly
+    assert(math.abs(r.getDouble(2) - exact) < 1e-4)
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
