@@ -543,7 +543,7 @@ object ChSql {
   // longest-prefix names first so e.g. `quantiles` never half-matches
   // as `quantile`
   private val paramAggRe =
-    ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExact|""" +
+    ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|quantileExact|""" +
       """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
@@ -624,11 +624,17 @@ object ChSql {
     def condArray: String = args.tail
       .map(c => s"coalesce(CAST(($c) AS BOOLEAN), false)").mkString(", ")
     name match {
-      // quantileTiming/TDigest map to the exact percentile too: CH's
-      // forms are approximations whose error envelopes include the
-      // exact answer, so exactness is the conservative substitution
-      // (the bucketed timing histogram itself is agg_quantile_timing)
-      case "quantile" | "quantileexact" | "quantiletiming" | "quantiletdigest" =>
+      // All quantile spellings map to Spark's percentile = linear
+      // interpolation over the exact sorted multiset, i.e. CH's
+      // quantileExactInclusive. CH's PLAIN quantileExact returns an
+      // actual element (no interpolation) and quantile/Timing/TDigest
+      // are approximations — in every case the inclusive-interpolated
+      // value sits inside the CH form's answer envelope, so this is
+      // the conservative, deterministic substitution (element-exact
+      // rank selection is ops/Quantiles; the bucketed timing
+      // histogram itself is agg_quantile_timing).
+      case "quantile" | "quantileexact" | "quantileexactinclusive" |
+           "quantiletiming" | "quantiletdigest" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
         s"percentile(${args.head}, ${params.head})"
       case "quantiles" | "quantilesexact" =>

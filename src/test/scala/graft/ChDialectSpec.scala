@@ -1096,6 +1096,11 @@ class ChDialectSpec extends AnyFunSuite {
       ORDER BY n_regionkey ASC
       LIMIT 1 BY n_regionkey""").collect()
     assert(r3.length == 5 && r3.forall(_.getString(2) == "/*x"))
+    // comment markers INSIDE string literals pass through untouched
+    for (lit <- Seq("a--b", "a/*b", "a*/b", "it's--fine", "--", "/**/"))
+      assert(Graft.sql(spark,
+        s"SELECT '${lit.replace("'", "''")}' AS s FROM system.one")
+        .collect().head.getString(0) == lit, s"literal '$lit'")
   }
 
   test("groupArraySorted, uniqExactIf, sumKahan spellings") {
