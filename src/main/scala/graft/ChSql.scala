@@ -1267,6 +1267,96 @@ object ChSql {
     snap
   }
 
+  // ---- data-skipping indexes: ALTER TABLE t ADD INDEX ---------------
+
+  private val addIndexRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+INDEX\s+([A-Za-z_]\w*)\s+""" +
+      """([A-Za-z_]\w*)\s+TYPE\s+(minmax|set|bloom_filter)""" +
+      """(?:\s*\(\s*\d+\s*\))?(?:\s+GRANULARITY\s+(\d+))?\s*$""").r
+
+  /** table → (manifest dir, indexed column, type). */
+  private val skipIndexes =
+    scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+
+  /** how many queries routed through a skip index (observable for tests). */
+  private[graft] val indexRoutedCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `ALTER TABLE t ADD INDEX idx col TYPE minmax|set|bloom_filter
+    * [GRANULARITY g]` → [[graft.ops.SkipIndex]]: the table rewrites
+    * range-partitioned on the indexed column (the MergeTree
+    * granule-reorganization analog; GRANULARITY g sets the file
+    * count, default 8) with a per-file manifest (min/max + capped
+    * value set, or a bloom bitmap). The view repoints to the
+    * reorganized data — identical rows — and top-level
+    * `WHERE col = literal` queries on the table transparently prune
+    * files through the manifest (see the read-path rewrite in
+    * runStatement).
+    */
+  private def runAddIndex(spark: SparkSession, m: Regex.Match): DataFrame = {
+    val (table, col0, typ) = (m.group(1), m.group(3), m.group(4))
+    val parts = Option(m.group(5)).map(_.toInt).getOrElse(8)
+    val df = spark.table(table)
+    require(df.columns.contains(col0), s"no column '$col0' in $table")
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
+      s"${table}_idx_${mutationSeq.incrementAndGet()}"
+    if (typ == "bloom_filter") graft.ops.SkipIndex.buildBloom(df, dest, col0, parts)
+    else graft.ops.SkipIndex.build(df, dest, col0, parts)
+    val snap = spark.read.parquet(s"$dest/data")
+    snap.createOrReplaceTempView(table)
+    skipIndexes.put(table.toLowerCase(java.util.Locale.ROOT), (dest, col0, typ))
+    import spark.implicits._
+    Seq(s"$table.${m.group(2)}").toDF("added_index")
+  }
+
+  /** Transparent index read path, deliberately conservative: fires
+    * only when the query's single FROM names an indexed table with no
+    * join/comma after it, and the top-level WHERE carries the
+    * conjunct `col = <literal>` for that table's indexed column. The
+    * FROM then retargets to the manifest-pruned file scan
+    * ([[graft.ops.SkipIndex.scanEq]]); the WHERE stays in the query,
+    * so the rewrite can only prune, never change results. Anything
+    * outside that shape runs the normal full scan.
+    */
+  private def rewriteIndexScan(spark: SparkSession, q: String): String = {
+    if (skipIndexes.isEmpty) return q
+    val mask = topLevelMask(q)
+    val fromRe = """(?i)\bFROM\s+([A-Za-z_]\w*)(\s*(,|JOIN|ASOF|ANY)\b)?""".r
+    val froms = fromRe.findAllMatchIn(q).filter(m => mask(m.start)).toList
+    froms match {
+      case m :: Nil if m.group(2) == null =>
+        val table = m.group(1).toLowerCase(java.util.Locale.ROOT)
+        skipIndexes.get(table) match {
+          case Some((dest, col0, typ)) =>
+            val eqRe = ("""(?i)\b""" + java.util.regex.Pattern.quote(col0) +
+              """\s*=\s*('(?:[^'])*'|-?\d+(?:\.\d+)?)""").r
+            val whereM = firstTopLevel(q, whereRe)
+            val hit = whereM.flatMap(w =>
+              eqRe.findAllMatchIn(q).filter(_.start > w.end)
+                .find(e => mask(e.start)))
+            hit match {
+              case Some(e) =>
+                val raw = e.group(1)
+                val value: Any =
+                  if (raw.startsWith("'")) raw.substring(1, raw.length - 1)
+                  else if (raw.contains('.')) raw.toDouble
+                  else raw.toLong
+                val pruned =
+                  if (typ == "bloom_filter")
+                    graft.ops.SkipIndex.scanEqBloom(spark, dest, col0,
+                      value.toString)
+                  else graft.ops.SkipIndex.scanEq(spark, dest, col0, value)
+                val vw = s"${m.group(1)}__viaidx_${sysSeq.incrementAndGet()}"
+                pruned.createOrReplaceTempView(vw)
+                indexRoutedCount.incrementAndGet()
+                q.substring(0, m.start) + s"FROM $vw" + q.substring(m.end)
+              case None => q
+            }
+          case None => q
+        }
+      case _ => q
+    }
+  }
+
   // ---- small DDL statements ----------------------------------------
 
   private val createViewRe =
@@ -1528,6 +1618,7 @@ object ChSql {
         b.toLowerCase(java.util.Locale.ROOT))
       finalSpecs.remove(al).foreach(f => finalSpecs.put(bl, f))
       sampleKeys.remove(al).foreach(k => sampleKeys.put(bl, k))
+      skipIndexes.remove(al).foreach(x => skipIndexes.put(bl, x))
       if (ctasTables.remove(a)) ctasTables.add(b)
       mvRegistry.remove(a).foreach(v => mvRegistry.put(b, v))
       import spark.implicits._
@@ -1557,9 +1648,13 @@ object ChSql {
         finalSpecs.remove(name.toLowerCase(java.util.Locale.ROOT))
         sampleKeys.remove(name.toLowerCase(java.util.Locale.ROOT))
       }
+      skipIndexes.remove(name.toLowerCase(java.util.Locale.ROOT))
       spark.catalog.dropTempView(name)
       import spark.implicits._
       return Seq(name).toDF("dropped")
+    }
+    addIndexRe.findFirstMatchIn(query).foreach { m =>
+      return runAddIndex(spark, m)
     }
     alterColRe.findFirstMatchIn(query).foreach { m =>
       return runAlterColumn(spark, m.group(1), m.group(2), m.group(3))
@@ -1601,9 +1696,10 @@ object ChSql {
       out.createOrReplaceTempView(table)
       return out
     }
-    val q = preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
-      rewriteFinal(spark, rewriteSystemTables(spark,
-        rewriteParametric(spark, query.trim))))))
+    val q = rewriteIndexScan(spark,
+      preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
+        rewriteFinal(spark, rewriteSystemTables(spark,
+          rewriteParametric(spark, query.trim)))))))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

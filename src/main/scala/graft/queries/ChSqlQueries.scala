@@ -646,6 +646,31 @@ object ChSqlQueries {
       GROUP BY 1
       ORDER BY o_orderstatus""")),
 
+    // ALTER TABLE ADD INDEX end-to-end: the CTAS snapshot reorganizes
+    // range-partitioned on the indexed column with a bloom manifest,
+    // and the equality query transparently prunes files through it
+    // (read-path rewrite; the WHERE stays, so pruning is lossless by
+    // construction). The oracle recomputes from the base table — a
+    // hash match proves the pruned scan returned every matching row.
+    QDef("sql_ch_add_index", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        CREATE TABLE graft_li_indexed ENGINE = MergeTree ORDER BY (l_partkey) AS
+        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem""")
+      graft.Graft.sql(s, """
+        ALTER TABLE graft_li_indexed ADD INDEX pk l_partkey TYPE bloom_filter
+        GRANULARITY 8""")
+      graft.Graft.sql(s, """
+        SELECT l_orderkey, l_quantity, l_extendedprice
+        FROM graft_li_indexed
+        WHERE l_partkey = 449
+        ORDER BY l_orderkey, l_quantity, l_extendedprice""")
+    }, Some("""
+      SELECT l_orderkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_partkey = 449
+      ORDER BY l_orderkey, l_quantity, l_extendedprice""")),
+
     // Dialect-breadth batch as verbatim CH text: bit-function
     // spellings, exponent/rounding ladders (roundDuration/roundAge/
     // roundToExp2 — CH's web-analytics bucketing), gcd/lcm, Monday

@@ -1118,6 +1118,48 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - exact) < 1e-4)
   }
 
+  test("ALTER TABLE ADD INDEX: transparent pruned reads, exact results") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    Graft.sql(spark, """
+      CREATE TABLE li_idx ENGINE = MergeTree ORDER BY (l_suppkey) AS
+      SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem""")
+    val expected = spark.sql("""
+      SELECT CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM li_idx WHERE l_suppkey = 7""").collect().head
+    Graft.sql(spark,
+      "ALTER TABLE li_idx ADD INDEX sk l_suppkey TYPE bloom_filter GRANULARITY 6")
+    val before = ChSql.indexRoutedCount.get()
+    val got = Graft.sql(spark, """
+      SELECT CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM li_idx WHERE l_suppkey = 7""").collect().head
+    assert(ChSql.indexRoutedCount.get() == before + 1, "index path not taken")
+    assert(got == expected)
+    // minmax+set index variant, numeric literal, and a non-eq query
+    // (must NOT route; full scan still correct)
+    Graft.sql(spark,
+      "ALTER TABLE li_idx ADD INDEX sk2 l_suppkey TYPE minmax")
+    val got2 = Graft.sql(spark, """
+      SELECT count(*) AS n FROM li_idx WHERE l_suppkey = 7""")
+      .collect().head.getLong(0)
+    assert(got2 == expected.getLong(1))
+    val b2 = ChSql.indexRoutedCount.get()
+    val rangeN = Graft.sql(spark,
+      "SELECT count(*) AS n FROM li_idx WHERE l_suppkey > 7")
+      .collect().head.getLong(0)
+    assert(ChSql.indexRoutedCount.get() == b2, "range predicate must not route")
+    assert(rangeN > 0)
+    // join shape must not route either
+    val j = Graft.sql(spark, """
+      SELECT count(*) AS n FROM li_idx JOIN supplier
+      ON li_idx.l_suppkey = supplier.s_suppkey
+      WHERE l_suppkey = 7""").collect().head.getLong(0)
+    assert(ChSql.indexRoutedCount.get() == b2)
+    assert(j == expected.getLong(1))
+    Graft.sql(spark, "DROP TABLE li_idx")
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
