@@ -1036,6 +1036,7 @@ object ChSql {
         }.toMap
         graft.ops.Mutations.updateWhere(df, expr(body.substring(w.end)), set, dest)
     }
+    invalidateIndex(table)
     out.createOrReplaceTempView(table)
     out
   }
@@ -1135,6 +1136,7 @@ object ChSql {
       s"${table}_ddl_${mutationSeq.incrementAndGet()}"
     out.write.mode("overwrite").parquet(dest)
     val snap = spark.read.parquet(dest)
+    invalidateIndex(table)
     snap.createOrReplaceTempView(table)
     snap
   }
@@ -1201,6 +1203,7 @@ object ChSql {
       case None => writer.parquet(dest)
     }
     val snap = spark.read.parquet(dest)
+    invalidateIndex(name)
     snap.createOrReplaceTempView(name)
     ctasTables.add(name)
 
@@ -1273,6 +1276,8 @@ object ChSql {
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+INDEX\s+([A-Za-z_]\w*)\s+""" +
       """([A-Za-z_]\w*)\s+TYPE\s+(minmax|set|bloom_filter)""" +
       """(?:\s*\(\s*\d+\s*\))?(?:\s+GRANULARITY\s+(\d+))?\s*$""").r
+  private val dropIndexRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+INDEX\s+([A-Za-z_]\w*)\s*$""".r
 
   /** table → (manifest dir, indexed column, type). */
   private val skipIndexes =
@@ -1280,6 +1285,15 @@ object ChSql {
 
   /** how many queries routed through a skip index (observable for tests). */
   private[graft] val indexRoutedCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Any statement that REPOINTS a table's view (DELETE/UPDATE,
+    * column DDL, INSERT, TRUNCATE, OPTIMIZE, CTAS over the same name)
+    * must drop its skip index: the manifest describes the OLD files,
+    * and routing through it would resurrect pre-mutation rows.
+    * Re-run ADD INDEX after mutating to reindex.
+    */
+  private def invalidateIndex(table: String): Unit =
+    skipIndexes.remove(table.toLowerCase(java.util.Locale.ROOT))
 
   /** `ALTER TABLE t ADD INDEX idx col TYPE minmax|set|bloom_filter
     * [GRANULARITY g]` → [[graft.ops.SkipIndex]]: the table rewrites
@@ -1398,6 +1412,7 @@ object ChSql {
       s"${table}_ins_${mutationSeq.incrementAndGet()}"
     cur.unionByName(block).write.mode("overwrite").parquet(dest)
     val out = spark.read.parquet(dest)
+    invalidateIndex(table)
     out.createOrReplaceTempView(table)
     fireMaterializedViews(spark, table, block)
     out
@@ -1656,6 +1671,13 @@ object ChSql {
     addIndexRe.findFirstMatchIn(query).foreach { m =>
       return runAddIndex(spark, m)
     }
+    dropIndexRe.findFirstMatchIn(query).foreach { m =>
+      // reads fall back to the (still correct) full scan; the
+      // reorganized data keeps serving the view
+      invalidateIndex(m.group(1))
+      import spark.implicits._
+      return Seq(s"${m.group(1)}.${m.group(2)}").toDF("dropped_index")
+    }
     alterColRe.findFirstMatchIn(query).foreach { m =>
       return runAlterColumn(spark, m.group(1), m.group(2), m.group(3))
     }
@@ -1693,6 +1715,7 @@ object ChSql {
       collapse(spark.table(table)).coalesce(1)
         .write.mode("overwrite").parquet(dest)
       val out = spark.read.parquet(dest)
+      invalidateIndex(table)
       out.createOrReplaceTempView(table)
       return out
     }

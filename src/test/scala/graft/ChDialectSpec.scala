@@ -1157,6 +1157,22 @@ class ChDialectSpec extends AnyFunSuite {
       WHERE l_suppkey = 7""").collect().head.getLong(0)
     assert(ChSql.indexRoutedCount.get() == b2)
     assert(j == expected.getLong(1))
+    // a MUTATION invalidates the index: the routed path must not
+    // resurrect deleted rows
+    Graft.sql(spark, "ALTER TABLE li_idx DELETE WHERE l_suppkey = 7")
+    val b3 = ChSql.indexRoutedCount.get()
+    val afterDel = Graft.sql(spark,
+      "SELECT count(*) AS n FROM li_idx WHERE l_suppkey = 7")
+      .collect().head.getLong(0)
+    assert(afterDel == 0L, "stale index resurrected deleted rows")
+    assert(ChSql.indexRoutedCount.get() == b3, "mutated table must not route")
+    // DROP INDEX unregisters; reads fall back to the full scan
+    Graft.sql(spark, "ALTER TABLE li_idx ADD INDEX sk3 l_suppkey TYPE minmax")
+    Graft.sql(spark, "ALTER TABLE li_idx DROP INDEX sk3")
+    val b4 = ChSql.indexRoutedCount.get()
+    Graft.sql(spark,
+      "SELECT count(*) AS n FROM li_idx WHERE l_suppkey = 3").collect()
+    assert(ChSql.indexRoutedCount.get() == b4)
     Graft.sql(spark, "DROP TABLE li_idx")
   }
 
