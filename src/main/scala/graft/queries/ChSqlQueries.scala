@@ -655,21 +655,21 @@ object ChSqlQueries {
     QDef("sql_ch_add_index", (s, dir) => {
       graft.Graft.init(s, dir)
       graft.Graft.sql(s, """
-        CREATE TABLE graft_li_indexed ENGINE = MergeTree ORDER BY (l_partkey) AS
-        SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem""")
+        CREATE TABLE graft_ord_indexed ENGINE = MergeTree ORDER BY (o_custkey) AS
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
       graft.Graft.sql(s, """
-        ALTER TABLE graft_li_indexed ADD INDEX pk l_partkey TYPE bloom_filter
+        ALTER TABLE graft_ord_indexed ADD INDEX ck o_custkey TYPE bloom_filter
         GRANULARITY 8""")
       graft.Graft.sql(s, """
-        SELECT l_orderkey, l_quantity, l_extendedprice
-        FROM graft_li_indexed
-        WHERE l_partkey = 449
-        ORDER BY l_orderkey, l_quantity, l_extendedprice""")
+        SELECT o_orderkey, o_totalprice
+        FROM graft_ord_indexed
+        WHERE o_custkey = 421
+        ORDER BY o_orderkey""")
     }, Some("""
-      SELECT l_orderkey, l_quantity, l_extendedprice
-      FROM lineitem
-      WHERE l_partkey = 449
-      ORDER BY l_orderkey, l_quantity, l_extendedprice""")),
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = 421
+      ORDER BY o_orderkey""")),
 
     // Dialect-breadth batch as verbatim CH text: bit-function
     // spellings, exponent/rounding ladders (roundDuration/roundAge/
