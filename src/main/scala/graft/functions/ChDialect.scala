@@ -571,6 +571,11 @@ object ChDialect {
     // uniqExact(x) ≡ count(DISTINCT x): the distinct flag lives on the
     // AggregateExpression, not in any registry name
     reg("uniqExact")(c => Count(c).toAggregateExpression(isDistinct = true))
+    // CH's bare `count()` — Spark requires an argument. The builder
+    // dispatches: zero args → count(1); otherwise exactly the builtin
+    // (returning the bare AggregateFunction keeps the analyzer's
+    // DISTINCT and count(*) handling intact).
+    reg("count")(c => if (c.isEmpty) Count(Seq(Literal(1))) else Count(c))
     // -If combinator on the exact distinct count (CH arg order x, cond)
     reg("uniqExactIf")(c =>
       Count(Seq(onlyIf(c(0), c(1)))).toAggregateExpression(isDistinct = true))

@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A compatibility corpus: realistic, tutorial-style ClickHouse
+  * queries (the shapes the public docs and ClickBench teach people to
+  * write) run VERBATIM through `Graft.sql` against the fixture
+  * schema. Individual features have their own oracle-checked gate
+  * entries; this spec proves they hold up COMPOSED the way real query
+  * text composes them — every query must run and return a sane,
+  * non-degenerate result.
+  */
+class ChCompatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(q: String): Array[org.apache.spark.sql.Row] = {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    Graft.sql(spark, q).collect()
+  }
+
+  test("web-analytics dashboard queries") {
+    // hourly traffic with quantiles and heavy hitters
+    val r1 = run("""
+      SELECT toStartOfHour(ts) AS h,
+             count() AS hits,
+             uniqExact(user_id) AS users,
+             quantile(0.9)(value) AS p90,
+             topK(3)(event_type) AS top_events
+      FROM events
+      GROUP BY h
+      ORDER BY h
+      LIMIT 24""")
+    assert(r1.nonEmpty && r1.forall(_.getLong(1) > 0))
+    // shadowing count must keep count(*) / count(x) / DISTINCT intact
+    val c = run("""
+      SELECT count() AS a, count(*) AS b, count(user_id) AS c,
+             count(DISTINCT user_id) AS d
+      FROM events""").head
+    assert(c.getLong(0) == c.getLong(1) && c.getLong(1) >= c.getLong(2) &&
+      c.getLong(2) >= c.getLong(3) && c.getLong(3) > 0)
+    // per-type daily trend with totals row
+    val r2 = run("""
+      SELECT event_type, toStartOfDay(ts) AS d, count() AS c
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY event_type, d WITH TOTALS
+      ORDER BY event_type NULLS FIRST, d NULLS FIRST""")
+    assert(r2.count(r => r.isNullAt(0)) == 1) // exactly one totals row
+    // funnel by cohort, CH-style
+    val r3 = run("""
+      SELECT user_id % 4 AS cohort,
+             countIf(depth >= 2) AS reached_click,
+             countIf(depth >= 3) AS reached_purchase
+      FROM (
+        SELECT user_id,
+               windowFunnel(604800)(ts, event_type = 'view',
+                 event_type = 'click', event_type = 'purchase') AS depth
+        FROM events GROUP BY user_id)
+      GROUP BY cohort ORDER BY cohort""")
+    assert(r3.length == 4 &&
+      r3.forall(r => r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("TPC-H-ish business queries in CH dialect") {
+    val r1 = run("""
+      SELECT o_orderpriority,
+             count() AS n,
+             round(avgWeighted(o_totalprice, 1), 2) AS avg_price,
+             argMax(o_orderkey, o_totalprice) AS biggest_order
+      FROM orders
+      WHERE toYear(o_orderdate) >= 1992
+      GROUP BY o_orderpriority
+      HAVING count() > 0
+      ORDER BY o_orderpriority""")
+    assert(r1.length == 5)
+    // dictionary-style enrichment + multiIf banding
+    val r2 = run("""
+      SELECT multiIf(o_totalprice < 50000, 'small',
+                     o_totalprice < 200000, 'mid', 'large') AS band,
+             count() AS n,
+             uniqUpTo(100)(o_custkey) AS custs
+      FROM orders
+      GROUP BY band
+      ORDER BY band""")
+    assert(r2.map(_.getString(0)).toSet.subsetOf(Set("small", "mid", "large")))
+    // PREWHERE + sample + top-n
+    val r3 = run("""
+      SELECT o_custkey, sum(o_totalprice) AS spend
+      FROM orders SAMPLE 1/2
+      PREWHERE o_orderstatus != 'X'
+      GROUP BY o_custkey
+      ORDER BY spend DESC, o_custkey
+      LIMIT 10""")
+    assert(r3.length == 10)
+  }
+
+  test("array / string / date function composition") {
+    val r = run("""
+      SELECT arrayStringConcat(arrayMap(x -> upper(x),
+               arrayFilter(x -> length(x) > 0,
+                 splitByChar('_', n_name))), '-') AS slug,
+             arraySum(range(modulo(n_nationkey, 5) + 1)) AS tri,
+             formatDateTime(toDate('2024-03-09'), '%Y/%m/%d') AS fmt,
+             dateDiff('month', toDate('2024-01-31'), toDate('2024-02-01')) AS m,
+             if(match(n_name, '^NATION'), 'fixture', 'other') AS kind
+      FROM nation
+      ORDER BY n_nationkey
+      LIMIT 5""")
+    assert(r.length == 5)
+    assert(r.forall(_.getString(2) == "2024/03/09"))
+    assert(r.forall(_.getLong(1) >= 0L))
+    assert(r.forall(_.getLong(3) == 1L)) // boundary-crossing semantics
+    assert(r.forall(_.getString(4) == "fixture"))
+  }
+
+  test("sessionized retention report, all front-door features at once") {
+    val r = run("""
+      SELECT toMonday(CAST(ts AS DATE)) AS wk,
+             uniqExact(user_id) AS wau,
+             round(quantileExactWeighted(0.5)(value, 1), 4) AS med_value,
+             countIf(event_type = 'purchase') AS purchases
+      FROM events
+      WHERE event_type != ''
+      GROUP BY wk
+      ORDER BY wk ASC WITH FILL STEP INTERVAL 7 DAY
+      LIMIT 20""")
+    assert(r.nonEmpty)
+    // filled gap weeks (if any) carry zero counts, real weeks positive
+    assert(r.forall(row => row.getLong(1) >= 0))
+  }
+
+  test("DDL lifecycle: CTAS, mutate, reindex, query, drop") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def sql(q: String) = Graft.sql(spark, q)
+    sql("""CREATE TABLE compat_t ENGINE = ReplacingMergeTree(v)
+           ORDER BY (k) AS
+           SELECT n_nationkey AS k, n_name AS name, 1 AS v FROM nation""")
+    sql("INSERT INTO compat_t SELECT n_nationkey AS k, lower(n_name) AS name, 2 AS v FROM nation WHERE n_nationkey < 5")
+    sql("ALTER TABLE compat_t ADD COLUMN score Float64 DEFAULT k * 1.5")
+    sql("ALTER TABLE compat_t ADD INDEX ki k TYPE minmax GRANULARITY 4")
+    val latest = sql("SELECT name FROM compat_t FINAL WHERE k = 3 ORDER BY name")
+      .collect()
+    // FINAL picks v=2 (the lowercase insert) for k=3
+    assert(latest.length == 1 && latest.head.getString(0) == latest.head.getString(0).toLowerCase)
+    val one = sql("SELECT count() AS n FROM compat_t WHERE k = 3")
+      .collect().head.getLong(0)
+    assert(one == 2L) // both versions present pre-FINAL
+    sql("ALTER TABLE compat_t DELETE WHERE k = 3")
+    assert(sql("SELECT count() AS n FROM compat_t WHERE k = 3")
+      .collect().head.getLong(0) == 0L)
+    sql("DROP TABLE compat_t")
+  }
+}
