@@ -535,8 +535,9 @@ object ChDialect {
     reg("anyIf")(c =>
       org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(
         CaseWhen(Seq((c(1), c(0))), None), true))
-    reg("empty")(c => EqualTo(Length(c.head), Literal(0)))
-    reg("notEmpty")(c => GreaterThan(Length(c.head), Literal(0)))
+    // polymorphic like CH: strings (bytes), binary, arrays, maps
+    reg("empty")(c => EqualTo(PolySize(c.head), Literal(0)))
+    reg("notEmpty")(c => GreaterThan(PolySize(c.head), Literal(0)))
     reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))
     // CH splits on LITERAL separators; Spark's split takes a regex, so
     // quote the (foldable) separator — splitByChar('.', s) must split

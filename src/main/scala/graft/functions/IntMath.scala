@@ -65,3 +65,45 @@ case class Lcm(left: Expression, right: Expression) extends LongBinaryMath {
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Lcm =
     copy(left = l, right = r)
 }
+
+/** Polymorphic element/byte count behind ClickHouse's `empty` /
+  * `notEmpty` / `length`-style predicates: strings count BYTES (CH's
+  * `length(String)` contract), binary counts bytes, arrays and maps
+  * count elements. One codegen'd expression because Spark splits this
+  * across `length` (strings) and `size` (collections), and a registry
+  * BUILDER cannot dispatch on types it has not resolved yet.
+  */
+case class PolySize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = "poly_size"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | _: ArrayType | _: MapType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string/binary/array/map, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType =>
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numBytes()
+    case BinaryType => v.asInstanceOf[Array[Byte]].length
+    case _: ArrayType =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
+    case _: MapType =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData].numElements()
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => child.dataType match {
+      case StringType => s"${ev.value} = $v.numBytes();"
+      case BinaryType => s"${ev.value} = $v.length;"
+      case _ => s"${ev.value} = $v.numElements();"
+    })
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): PolySize =
+    copy(child = c)
+}

@@ -94,6 +94,16 @@ class ChCompatSpec extends AnyFunSuite {
     assert(r3.length == 10)
   }
 
+  test("empty/notEmpty are polymorphic like CH") {
+    val r = run("""
+      SELECT empty('') AND notEmpty('x') AS s,
+             empty(array()) AND notEmpty(array(1)) AS a,
+             empty(map()) AND notEmpty(map('k', 'v')) AS m,
+             empty(CAST('' AS BINARY)) AND notEmpty(CAST('ab' AS BINARY)) AS b
+      FROM system.one""").head
+    (0 until 4).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("array / string / date function composition") {
     val r = run("""
       SELECT arrayStringConcat(arrayMap(x -> upper(x),
