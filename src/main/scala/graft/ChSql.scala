@@ -394,6 +394,122 @@ object ChSql {
     * accepts). Rewritten to LIMIT so the rest of the pipeline (incl.
     * LIMIT-BY routing) sees one canonical spelling.
     */
+  // ---- CH bracket syntax -------------------------------------------
+  // CH text uses `[1,2,3]` array literals (Spark's parser rejects
+  // them) and 1-BASED subscripts `arr[i]` (Spark's native subscript
+  // is 0-based — the worst kind of breakage: a verbatim CH query
+  // would run and be silently off by one). Both rewrite here, scoped
+  // to text routed through this front door, so Spark-spelled queries
+  // via spark.sql are untouched. Literals become array(…); subscripts
+  // become try_element_at(expr, i) — 1-based, negative-from-end, NULL
+  // out of range (CH's Nullable contract; cannot throw under ANSI),
+  // and it subscripts maps with the same spelling, like CH.
+  // A `[` is a subscript iff the previous token can END an
+  // expression: `)`, `]`, a string literal, or an identifier that is
+  // not a SQL keyword.
+  private val bracketKeywords: Set[String] = Set(
+    "select", "from", "where", "and", "or", "not", "in", "by", "as",
+    "on", "when", "then", "else", "end", "join", "all", "distinct",
+    "union", "intersect", "except", "having", "limit", "offset",
+    "case", "between", "like", "ilike", "rlike", "is", "null", "asc",
+    "desc", "group", "order", "with", "values", "using", "interval",
+    "over", "partition", "rows", "range", "exists", "escape", "any",
+    "some", "cast", "prewhere", "sample", "totals", "fill", "step")
+
+  private def matchBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var inStr = false
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced [ at $open in: $s")
+  }
+
+  /** One forward pass tracking where the CURRENT primary expression
+    * started in the output, so a subscript can wrap exactly its base
+    * (`f(x)[1][2]` → try_element_at(try_element_at(f(x), 1), 2)).
+    * Parens push/pop the primary start; a call's primary starts at
+    * the function identifier, a plain group at its `(`.
+    */
+  private def rewriteBrackets(s: String): String = {
+    if (!s.contains('[')) return s
+    val out = new StringBuilder(s.length + 16)
+    var primaryStart = 0
+    val groupStarts = scala.collection.mutable.Stack[Int]()
+    var inStr = false
+    var i = 0
+    def prevChar: Char = if (out.isEmpty) ' ' else out.charAt(out.length - 1)
+    def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    def continuing: Boolean = identChar(prevChar) || prevChar == '.'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { out.append(c); if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' =>
+          if (!continuing) primaryStart = out.length
+          out.append(c); inStr = true; i += 1
+        case '(' =>
+          if (!continuing) primaryStart = out.length
+          groupStarts.push(primaryStart)
+          out.append(c); i += 1
+        case ')' =>
+          if (groupStarts.nonEmpty) primaryStart = groupStarts.pop()
+          out.append(c); i += 1
+        case '[' =>
+          val close = matchBracket(s, i)
+          val inner = rewriteBrackets(s.substring(i + 1, close))
+          var j = out.length - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          val p = if (j < 0) ' ' else out.charAt(j)
+          val isSub =
+            if (p == ')' || p == ']' || p == '\'') true
+            else if (identChar(p)) {
+              val e = j
+              while (j >= 0 && identChar(out.charAt(j))) j -= 1
+              !bracketKeywords.contains(
+                out.substring(j + 1, e + 1).toLowerCase(java.util.Locale.ROOT))
+            } else false
+          if (isSub) {
+            val base = out.substring(primaryStart)
+            out.setLength(primaryStart)
+            out.append("try_element_at(").append(base).append(", ")
+              .append(inner).append(')')
+            // primaryStart unchanged: the wrapped call is the new base
+          } else {
+            primaryStart = out.length
+            out.append("array(").append(inner).append(')')
+          }
+          i = close + 1
+        case _ =>
+          if (identChar(c) && !continuing) primaryStart = out.length
+          out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // CH tuple ordinal access `t.1` (1-based) — Spark has no dot-digit
+  // syntax, so it rewrites to the tupleElement builder. String-masked:
+  // 'file_1.2' style literals must not match.
+  private val tupleDotRe = """\b([A-Za-z_]\w*)\.(\d+)""".r
+
+  private def rewriteTupleDots(q: String): String = {
+    if (!tupleDotRe.findFirstIn(q).isDefined) return q
+    val mask = inStringMask(q)
+    tupleDotRe.replaceAllIn(q, m =>
+      if (mask(m.start)) Regex.quoteReplacement(m.matched)
+      else s"tupleElement(${m.group(1)}, ${m.group(2)})")
+  }
+
   private val topNRe = """(?i)\bSELECT\s+TOP\s+(\d+)\s+""".r
 
   private def rewriteTopN(q: String): String =
@@ -1722,7 +1838,8 @@ object ChSql {
     val q = rewriteIndexScan(spark,
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
         rewriteFinal(spark, rewriteSystemTables(spark,
-          rewriteParametric(spark, query.trim)))))))
+          rewriteParametric(spark,
+            rewriteTupleDots(rewriteBrackets(query.trim)))))))))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

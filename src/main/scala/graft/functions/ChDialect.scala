@@ -539,6 +539,23 @@ object ChDialect {
     reg("empty")(c => EqualTo(PolySize(c.head), Literal(0)))
     reg("notEmpty")(c => GreaterThan(PolySize(c.head), Literal(0)))
     reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))
+    // CH tupleElement(t, n | 'name') — 1-BASED ordinal or field name.
+    // The ordinal form must pick positionally whatever the fields are
+    // called, so it compiles straight to GetStructField; the name
+    // form resolves like `t.name` would.
+    reg("tupleElement")(c => {
+      require(c.size == 2, "tupleElement(tuple, index | 'name')")
+      c(1) match {
+        case Literal(i: Int, IntegerType) => GetStructField(c(0), i - 1)
+        case Literal(i: Long, LongType) => GetStructField(c(0), i.toInt - 1)
+        case Literal(s, StringType) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            c(0), Literal(s.toString))
+        case other => throw new IllegalArgumentException(
+          "tupleElement needs a literal ordinal or field name, got " +
+            other.sql)
+      }
+    })
     // CH splits on LITERAL separators; Spark's split takes a regex, so
     // quote the (foldable) separator — splitByChar('.', s) must split
     // on dots, not on every character. CH argument order: (sep, s).

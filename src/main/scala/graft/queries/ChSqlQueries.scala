@@ -743,6 +743,39 @@ object ChSqlQueries {
       FROM orders
       WHERE o_orderkey % 13 = 0
       ORDER BY o_orderkey
-      LIMIT 200"""))
+      LIMIT 200""")),
+
+    // CH bracket syntax through the front door: `[…]` array literals
+    // (Spark's parser rejects them) and 1-BASED subscripts (Spark's
+    // native subscript is 0-based — verbatim CH text would otherwise
+    // run silently off by one). ChSql.rewriteBrackets lexes them
+    // string-aware into array(…)/try_element_at(…); tuple ordinal
+    // access `t.1` and tupleElement(t, n) compile to GetStructField.
+    // DuckDB's list syntax is natively 1-based, so the oracle writes
+    // the SAME subscripts and must agree element for element.
+    QDef("sql_ch_brackets", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT k, num_part, first_of_pair, band, mapped,
+               tupleElement(tup, 2) AS tname, tup.1 AS tkey
+        FROM (
+          SELECT n_nationkey AS k,
+                 splitByChar('_', n_name)[2] AS num_part,
+                 [n_nationkey, n_regionkey][1] AS first_of_pair,
+                 ['low','high'][if(n_regionkey >= 2, 2, 1)] AS band,
+                 map('r', n_regionkey)['r'] AS mapped,
+                 tuple(n_nationkey, n_name) AS tup
+          FROM nation)
+        ORDER BY k""")
+    }, Some("""
+      SELECT n_nationkey AS k,
+             string_split(n_name, '_')[2] AS num_part,
+             [n_nationkey, n_regionkey][1] AS first_of_pair,
+             ['low','high'][CASE WHEN n_regionkey >= 2 THEN 2 ELSE 1 END] AS band,
+             n_regionkey AS mapped,
+             n_name AS tname,
+             n_nationkey AS tkey
+      FROM nation
+      ORDER BY k"""))
   )
 }

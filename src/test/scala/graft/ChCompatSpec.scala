@@ -104,6 +104,27 @@ class ChCompatSpec extends AnyFunSuite {
     (0 until 4).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("bracket syntax: literals, 1-based subscripts, tuple ordinals") {
+    // CH-style quarter banding via a literal lookup table — the
+    // subscript MUST be 1-based or every row lands in the wrong band
+    val r = run("""
+      SELECT ['q1','q2','q3','q4'][toQuarter(o_orderdate)] AS q,
+             count() AS n
+      FROM orders
+      GROUP BY q
+      ORDER BY q""")
+    assert(r.map(_.getString(0)).toSeq == Seq("q1", "q2", "q3", "q4"))
+    assert(r.forall(_.getLong(1) > 0))
+    val one = run("""
+      SELECT [10,20,30][1] AS first, [10,20,30][-1] AS last,
+             [[1,2],[3]][1][2] AS nested, [5][9] AS oob,
+             map('k', 7)['k'] AS mv, t.1 AS t1, tupleElement(t, 2) AS t2
+      FROM (SELECT tuple(42, 'x') AS t FROM system.one)""").head
+    assert(one.getInt(0) == 10 && one.getInt(1) == 30 && one.getInt(2) == 2)
+    assert(one.isNullAt(3) && one.getInt(4) == 7)
+    assert(one.getInt(5) == 42 && one.getString(6) == "x")
+  }
+
   test("array / string / date function composition") {
     val r = run("""
       SELECT arrayStringConcat(arrayMap(x -> upper(x),
