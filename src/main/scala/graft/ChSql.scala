@@ -497,6 +497,108 @@ object ChSql {
     out.toString
   }
 
+  // ---- same-name, different-semantics builtins ---------------------
+  // Three CH function names collide with Spark builtins that mean
+  // something ELSE: `position` flips its arguments (silent off-by-N
+  // answers), `any` is Spark's bool_or (loud type error), `extract`
+  // is Spark's date-part syntax. Shadowing the registry would flip
+  // Spark-spelled queries in the same session (the documented
+  // position/any decision in ChDialect), so the NAME rewrites here —
+  // string-masked and scoped to text routed through this front door.
+  private val chPositionRe = """(?i)\bposition\s*\(""".r
+  private val chAnyRe = """(?i)\bany\s*\(""".r
+  private val chExtractRe = """(?i)\bextract\s*\(""".r
+  private val inKwRe = """(?i)\bIN\b""".r
+
+  private def renameMasked(q: String, re: Regex, to: String): String = {
+    if (re.findFirstIn(q).isEmpty) return q
+    val mask = inStringMask(q)
+    re.replaceAllIn(q, m =>
+      if (mask(m.start)) Regex.quoteReplacement(m.matched) else to)
+  }
+
+  /** CH `position(haystack, needle[, start])` → the collision-free
+    * chPosition builder (CH argument order). The ANSI spelling
+    * `position(needle IN haystack)` — a top-level IN inside the
+    * parens — is Spark's own syntax and passes through untouched.
+    */
+  private def rewritePosition(q0: String): String = {
+    var q = q0
+    var search = 0
+    while (true) {
+      val mask = inStringMask(q)
+      chPositionRe.findFirstMatchIn(q.substring(search)) match {
+        case None => return q
+        case Some(m0) =>
+          val start = search + m0.start
+          if (mask(start)) { search = start + 1 }
+          else {
+            val open = search + m0.end - 1
+            val close = matchParenStr(q, open)
+            if (firstTopLevel(q.substring(open + 1, close), inKwRe).isDefined)
+              search = close
+            else {
+              q = q.substring(0, start) + "chPosition" + q.substring(open)
+              search = start + "chPosition".length
+            }
+          }
+      }
+    }
+    q
+  }
+
+  /** CH `extract(haystack, 'pattern')` → regexp_extract; group index
+    * 1 when the pattern has a capturing group (CH uses the first
+    * subpattern), else 0 (whole match). Spark's own
+    * `EXTRACT(field FROM ts)` has a FROM inside the parens and passes
+    * through untouched.
+    */
+  private def rewriteExtract(q0: String): String = {
+    var q = q0
+    var search = 0
+    while (true) {
+      val mask = inStringMask(q)
+      chExtractRe.findFirstMatchIn(q.substring(search)) match {
+        case None => return q
+        case Some(m0) =>
+          val start = search + m0.start
+          if (mask(start)) { search = start + 1 }
+          else {
+            val open = search + m0.end - 1
+            val close = matchParenStr(q, open)
+            val parts = splitTopLevel(q.substring(open + 1, close))
+            val isRegexForm = parts.size == 2 && {
+              val p = parts(1).trim
+              p.startsWith("'") && p.endsWith("'")
+            }
+            if (!isRegexForm) { search = close } // EXTRACT(x FROM y) et al
+            else {
+              val pat = parts(1).trim
+              // capturing group present? '(' not escaped, not '(?'
+              val body = pat.substring(1, pat.length - 1)
+              var hasGroup = false
+              var i = 0
+              while (i < body.length) {
+                if (body.charAt(i) == '\\') i += 2
+                else {
+                  if (body.charAt(i) == '(' &&
+                    (i + 1 >= body.length || body.charAt(i + 1) != '?'))
+                    hasGroup = true
+                  i += 1
+                }
+              }
+              val idx = if (hasGroup) 1 else 0
+              q = q.substring(0, start) +
+                s"regexp_extract(${parts(0).trim}, $pat, $idx)" +
+                q.substring(close + 1)
+              search = start
+            }
+          }
+      }
+    }
+    q
+  }
+
   // CH tuple ordinal access `t.1` (1-based) — Spark has no dot-digit
   // syntax, so it rewrites to the tupleElement builder. String-masked:
   // 'file_1.2' style literals must not match.
@@ -508,6 +610,17 @@ object ChSql {
     tupleDotRe.replaceAllIn(q, m =>
       if (mask(m.start)) Regex.quoteReplacement(m.matched)
       else s"tupleElement(${m.group(1)}, ${m.group(2)})")
+  }
+
+  /** The character-level CH→Spark passes, applied before any clause
+    * routing: bracket syntax, tuple dots, colliding builtin renames.
+    */
+  private def rewriteLexical(q0: String): String = {
+    var q = rewriteBrackets(q0)
+    q = rewriteTupleDots(q)
+    q = rewritePosition(q)
+    q = renameMasked(q, chAnyRe, "any_value(")
+    rewriteExtract(q)
   }
 
   private val topNRe = """(?i)\bSELECT\s+TOP\s+(\d+)\s+""".r
@@ -1838,8 +1951,7 @@ object ChSql {
     val q = rewriteIndexScan(spark,
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
         rewriteFinal(spark, rewriteSystemTables(spark,
-          rewriteParametric(spark,
-            rewriteTupleDots(rewriteBrackets(query.trim)))))))))
+          rewriteParametric(spark, rewriteLexical(query.trim))))))))
 
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined

@@ -124,6 +124,7 @@ object ChDialect {
     "extractAll" -> "regexp_extract_all",
     // clock functions (CH spellings; now() already matches Spark's)
     "today" -> "current_date",
+    "toTypeName" -> "typeof",
     "fromUnixTimestamp" -> "timestamp_seconds")
 
   /** CH `CREATE FUNCTION name AS (args) -> body` [public docs:
@@ -539,6 +540,36 @@ object ChDialect {
     reg("empty")(c => EqualTo(PolySize(c.head), Literal(0)))
     reg("notEmpty")(c => GreaterThan(PolySize(c.head), Literal(0)))
     reg("arrayUniq")(c => Size(ArrayDistinct(c.head)))
+    // CH position(haystack, needle[, start]) — Spark's builtin
+    // `position` takes (needle, haystack): ChSql renames the call
+    // site to this collision-free spelling so verbatim CH text gets
+    // CH argument order without shadowing the Spark builtin.
+    reg("chPosition")(c => {
+      require(c.size == 2 || c.size == 3,
+        "position(haystack, needle[, start])")
+      StringLocate(c(1), c(0), if (c.size == 3) c(2) else Literal(1))
+    })
+    // CH's block-order-dependent running functions have no sound
+    // distributed equivalent (their value depends on physical row
+    // order within a processing block — nondeterministic on any
+    // multi-partition engine, including upstream CH with
+    // max_threads > 1). Fail loudly toward the deterministic window
+    // spelling instead of silently picking an order.
+    def blockOrderDependent(name: String, instead: String): Unit =
+      reg(name)(_ => throw new IllegalArgumentException(
+        s"$name is block-order dependent in ClickHouse (nondeterministic " +
+          s"at any parallelism); write the explicit window instead: $instead"))
+    blockOrderDependent("runningDifference",
+      "x - lag(x, 1, x) OVER (ORDER BY …)")
+    blockOrderDependent("runningAccumulate",
+      "sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)")
+    blockOrderDependent("neighbor",
+      "lag(x, n) / lead(x, n) OVER (ORDER BY …)")
+    // CH nullability adapters: Spark columns are all nullable, so
+    // both are identity on the value (assumeNotNull's contract is
+    // "trust me", not a runtime check)
+    reg("assumeNotNull")(c => c.head)
+    reg("toNullable")(c => c.head)
     // CH tupleElement(t, n | 'name') — 1-BASED ordinal or field name.
     // The ordinal form must pick positionally whatever the fields are
     // called, so it compiles straight to GetStructField; the name

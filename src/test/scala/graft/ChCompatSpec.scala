@@ -125,6 +125,31 @@ class ChCompatSpec extends AnyFunSuite {
     assert(one.getInt(5) == 42 && one.getString(6) == "x")
   }
 
+  test("colliding builtin names get CH semantics through the front door") {
+    val r = run("""
+      SELECT position('Hello world', 'world') AS p,
+             position('Hello world', 'o', 6) AS p2,
+             position('l' IN 'Hello') AS ansi,
+             any(n_name) AS some_name,
+             extract('key=742;', '(\\d+)') AS grp,
+             extract('key=742;', '\\d+') AS whole,
+             extract('nope', '(\\d+)') AS miss
+      FROM nation""").head
+    assert(r.getInt(0) == 7 && r.getInt(1) == 8 && r.getInt(2) == 3)
+    assert(r.getString(3).startsWith("NATION"))
+    assert(r.getString(4) == "742" && r.getString(5) == "742")
+    assert(r.getString(6) == "")
+    // EXTRACT(field FROM ts) is Spark's own syntax — must pass through
+    val dp = run(
+      "SELECT EXTRACT(YEAR FROM toDate('2024-03-09')) AS y FROM system.one")
+      .head
+    assert(dp.get(0).toString == "2024")
+    // block-order-dependent functions fail loudly toward windows
+    val e = intercept[Exception](
+      run("SELECT runningDifference(n_nationkey) FROM nation"))
+    assert(e.getMessage.contains("window"))
+  }
+
   test("array / string / date function composition") {
     val r = run("""
       SELECT arrayStringConcat(arrayMap(x -> upper(x),
