@@ -806,7 +806,67 @@ object PipelineQueries {
                '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
                '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
       FROM spiked
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1, token
+    // variant): per doc, the fraction of bigrams that are repeats of
+    // an earlier bigram and the fraction claimed by the single most
+    // frequent bigram; a doc is kept when both sit under the paper's
+    // style of thresholds. All work is per-row bounded (O(tokens²)
+    // worst case on the distinct-bigram scan, with tokens capped by
+    // doc length) — no shuffle until the final per-lang rollup, so
+    // the filter runs at any corpus size. Fractions go through
+    // DECIMAL before averaging (FP-order independence).
+    QDef("pipe_gopher_repetition", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("grams", expr(
+          """transform(sequence(1, size(toks) - 1),
+                       i -> concat(element_at(toks, i), ' ',
+                                   element_at(toks, i + 1)))"""))
+        .withColumn("n2", size($"grams"))
+        .withColumn("dup_frac", ((($"n2" - size(array_distinct($"grams")))
+          .cast("double")) / $"n2").cast("decimal(18,6)"))
+        .withColumn("top_frac", (expr(
+          """array_max(transform(array_distinct(grams),
+                       g -> size(filter(grams, x -> x = g))))""")
+          .cast("double") / $"n2").cast("decimal(18,6)"))
+        .withColumn("keep",
+          ($"dup_frac" < 0.60 && $"top_frac" < 0.08).cast("int"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          sum($"keep").as("kept"),
+          round((sum($"dup_frac") / count(lit(1))).cast("double"), 4)
+            .as("avg_dup_frac"),
+          round((sum($"top_frac") / count(lit(1))).cast("double"), 4)
+            .as("avg_top_frac"))
+        .orderBy($"lang")
+    }, Some("""
+      SELECT lang, count(*) AS docs, CAST(sum(keep) AS BIGINT) AS kept,
+             round(CAST(sum(dup_frac) / count(*) AS DOUBLE), 4) AS avg_dup_frac,
+             round(CAST(sum(top_frac) / count(*) AS DOUBLE), 4) AS avg_top_frac
+      FROM (
+        SELECT lang,
+               CAST((n2 - len(list_distinct(grams)))::DOUBLE / n2
+                    AS DECIMAL(18,6)) AS dup_frac,
+               CAST(list_max(list_transform(list_distinct(grams),
+                      g -> len(list_filter(grams, x -> x = g))))::DOUBLE / n2
+                    AS DECIMAL(18,6)) AS top_frac,
+               CASE WHEN (n2 - len(list_distinct(grams)))::DOUBLE / n2 < 0.60
+                     AND list_max(list_transform(list_distinct(grams),
+                           g -> len(list_filter(grams, x -> x = g))))::DOUBLE
+                         / n2 < 0.08
+                    THEN 1 ELSE 0 END AS keep
+        FROM (
+          SELECT lang, grams, len(grams) AS n2
+          FROM (
+            SELECT lang,
+                   list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]) AS grams
+            FROM (SELECT lang, string_split(text, ' ') AS toks
+                  FROM documents))))
+      GROUP BY lang ORDER BY lang"""))
   )
 
   // End-to-end curation pipeline (the north-star composition): score
