@@ -973,6 +973,8 @@ object ChSql {
 
   private val finalLimitRe =
     """(?i)\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*$""".r
+  private val limitTiesRe =
+    """(?i)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$""".r
   private val limitByRe =
     """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
@@ -1954,12 +1956,19 @@ object ChSql {
           rewriteParametric(spark, rewriteLexical(query.trim))))))))
 
     val needsRouting =
-      lastTopLevel(q, limitByRe).isDefined || lastTopLevel(q, withFillRe).isDefined
+      lastTopLevel(q, limitByRe).isDefined ||
+        lastTopLevel(q, withFillRe).isDefined ||
+        lastTopLevel(q, limitTiesRe).isDefined
     if (!needsRouting) return spark.sql(q)
 
-    // Peel trailing clauses back to front: LIMIT n [OFFSET o],
-    // LIMIT [o,] n BY k…, [INTERPOLATE (cols)], ORDER BY items.
+    // Peel trailing clauses back to front: LIMIT n WITH TIES |
+    // LIMIT n [OFFSET o], LIMIT [o,] n BY k…, [INTERPOLATE (cols)],
+    // ORDER BY items.
     var rest = q
+    val limitTies = lastTopLevel(rest, limitTiesRe).map { m =>
+      rest = rest.substring(0, m.start)
+      m.group(1).toInt
+    }
     val finalLimit = lastTopLevel(rest, finalLimitRe).map { m =>
       rest = rest.substring(0, m.start)
       (Option(m.group(2)).map(_.toInt).getOrElse(0), m.group(1).toInt)
@@ -2073,6 +2082,13 @@ object ChSql {
         df = df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
 
+    for (n <- limitTies) {
+      require(orderItems.nonEmpty, "LIMIT n WITH TIES needs ORDER BY")
+      require(orderItems.forall(_.fill.isEmpty),
+        "LIMIT WITH TIES does not combine with WITH FILL")
+      df = limitWithTies(df, orderItems, n)
+    }
+
     if (orderItems.nonEmpty)
       df = df.orderBy(orderItems.map(i =>
         if (i.asc) col(i.name).asc else col(i.name).desc): _*)
@@ -2081,5 +2097,42 @@ object ChSql {
       df = df.limit(n)
     }
     df
+  }
+
+  /** CH `LIMIT n WITH TIES`: the first n rows in the query's order
+    * plus every row tied with the n-th on ALL the ORDER BY keys. No
+    * global rank window (that would single-partition the raw rows):
+    * the n-th row's key tuple is computed distributed — sort.limit(n)
+    * then reverse-sort.limit(1), both TakeOrdered — and broadcast as
+    * a one-row threshold; the keep set is a lexicographic comparison
+    * against it, a plain scan filter at any scale (the same
+    * broadcast-scalar shape as rel_limit_ties). NULL ordering mirrors
+    * the sort defaults used below: ASC = NULLS FIRST, DESC = NULLS
+    * LAST.
+    */
+  private def limitWithTies(df0: DataFrame, items: Seq[OrderItem],
+      n: Int): DataFrame = {
+    val df = df0
+    val sortCols = items.map(i =>
+      if (i.asc) col(i.name).asc else col(i.name).desc)
+    val revCols = items.map(i =>
+      if (i.asc) col(i.name).desc else col(i.name).asc)
+    val nth = df.sort(sortCols: _*).limit(n).sort(revCols: _*).limit(1)
+      .select(items.zipWithIndex.map { case (it, i) =>
+        col(it.name).as(s"__ties_t$i") }: _*)
+    def cmp(idx: Int): Column = {
+      val it = items(idx)
+      val k = col(it.name)
+      val t = col(s"__ties_t$idx")
+      val eq = k <=> t
+      val precedes =
+        if (it.asc) when(t.isNull, lit(false)).otherwise(k.isNull || k < t)
+        else when(t.isNull, k.isNotNull).otherwise(k > t)
+      if (idx == items.size - 1) precedes || eq
+      else precedes || (eq && cmp(idx + 1))
+    }
+    df.crossJoin(broadcast(nth))
+      .filter(cmp(0))
+      .drop(items.indices.map(i => s"__ties_t$i"): _*)
   }
 }

@@ -125,6 +125,7 @@ object ChDialect {
     // clock functions (CH spellings; now() already matches Spark's)
     "today" -> "current_date",
     "toTypeName" -> "typeof",
+    "toJSONString" -> "to_json",
     "fromUnixTimestamp" -> "timestamp_seconds")
 
   /** CH `CREATE FUNCTION name AS (args) -> body` [public docs:

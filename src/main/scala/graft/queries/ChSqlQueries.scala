@@ -776,6 +776,26 @@ object ChSqlQueries {
              n_name AS tname,
              n_nationkey AS tkey
       FROM nation
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    // LIMIT n WITH TIES as verbatim text — Spark has no native WITH
+    // TIES; ChSql routes it as a distributed two-TakeOrdered
+    // threshold + broadcast lexicographic filter (no global rank
+    // window). Ties are real here: rank 10 lands mid-tie on
+    // o_orderpriority, so the result is the whole first priority
+    // class. The outer orderBy exists only to make the dump total —
+    // the tie semantics come from the routed ORDER BY.
+    QDef("sql_ch_limit_ties", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders
+        ORDER BY o_orderpriority
+        LIMIT 10 WITH TIES""")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderpriority FROM orders
+      QUALIFY rank() OVER (ORDER BY o_orderpriority) <= 10
+      ORDER BY o_orderpriority, o_orderkey"""))
   )
 }

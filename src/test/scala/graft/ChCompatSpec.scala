@@ -150,6 +150,24 @@ class ChCompatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("window"))
   }
 
+  test("LIMIT WITH TIES edge shapes") {
+    // mid-tie cut: every nation in region 0 comes along
+    val tied = run("""
+      SELECT n_regionkey FROM nation
+      ORDER BY n_regionkey LIMIT 3 WITH TIES""")
+    assert(tied.length == 5 && tied.forall(_.getInt(0) == 0))
+    // unique multi-key order: exactly n rows
+    val exact = run("""
+      SELECT n_regionkey, n_name FROM nation
+      ORDER BY n_regionkey, n_name LIMIT 6 WITH TIES""")
+    assert(exact.length == 6)
+    // n larger than the data: everything
+    val all = run("""
+      SELECT r_regionkey FROM region
+      ORDER BY r_regionkey DESC LIMIT 99 WITH TIES""")
+    assert(all.length == 5)
+  }
+
   test("array / string / date function composition") {
     val r = run("""
       SELECT arrayStringConcat(arrayMap(x -> upper(x),
