@@ -302,9 +302,12 @@ object PipelineQueries {
     // engines, so even the join is oracle-exact.
     QDef("pipe_decontaminate", (s, dir) => {
       import s.implicits._
+      // shingle hashing feeds BOTH join sides — materialize it once
+      // (same DISK_ONLY contract as the minhash pipelines above)
       val docs = Tables(s, dir, "documents")
         .withColumn("sh", array_distinct(Text.hash55(array_distinct(
           Text.shingles(Text.tokens($"text"), 5)))))
+        .persist(StorageLevel.DISK_ONLY)
       val eval_ = docs.filter($"doc_id" % 97 === 0)
         .select(explode($"sh").as("h")).distinct()
       val train = docs.filter($"doc_id" % 97 =!= 0)
