@@ -612,14 +612,58 @@ object ChSql {
       else s"tupleElement(${m.group(1)}, ${m.group(2)})")
   }
 
+  // CH type names in cast positions (`CAST(x AS UInt64)`,
+  // `x::Float32`, optionally Nullable-wrapped) — Spark's parser
+  // rejects the CH spellings, so they map to the same Spark types as
+  // the DDL mapper [[chType]]. Scoped to `AS <type>` / `:: <type>`
+  // context so identifiers that merely look like type names are
+  // untouched; Spark columns are always nullable, so the Nullable
+  // wrapper just unwraps.
+  private val chCastTypes: Map[String, String] = Map(
+    "int8" -> "TINYINT", "int16" -> "SMALLINT", "int32" -> "INT",
+    "int64" -> "BIGINT", "uint8" -> "SMALLINT", "uint16" -> "INT",
+    "uint32" -> "BIGINT", "uint64" -> "BIGINT", "float32" -> "FLOAT",
+    "float64" -> "DOUBLE", "datetime" -> "TIMESTAMP",
+    "date32" -> "DATE")
+  private val chNullableCastRe =
+    """(?i)(\bAS\s+|::\s*)Nullable\s*\(\s*([^()]*?)\s*\)""".r
+  private val chCastRe =
+    ("""(?i)(\bAS\s+|::\s*)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|""" +
+      """Int32|Int64|Float32|Float64|DateTime64(?:\s*\(\s*\d+\s*\))?|""" +
+      """DateTime|Date32|FixedString\s*\(\s*\d+\s*\))(?!\w)""").r
+
+  private def rewriteChCastTypes(q0: String): String = {
+    var q = q0
+    if (chNullableCastRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = chNullableCastRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(m.group(1) + m.group(2)))
+    }
+    if (chCastRe.findFirstIn(q).isEmpty) return q
+    val mask = inStringMask(q)
+    chCastRe.replaceAllIn(q, m =>
+      if (mask(m.start)) Regex.quoteReplacement(m.matched)
+      else {
+        val raw = m.group(2).toLowerCase(java.util.Locale.ROOT)
+        val mapped =
+          if (raw.startsWith("datetime64")) "TIMESTAMP"
+          else if (raw.startsWith("fixedstring")) "STRING"
+          else chCastTypes(raw)
+        Regex.quoteReplacement(m.group(1) + mapped)
+      })
+  }
+
   /** The character-level CH→Spark passes, applied before any clause
-    * routing: bracket syntax, tuple dots, colliding builtin renames.
+    * routing: bracket syntax, tuple dots, colliding builtin renames,
+    * cast-position type names.
     */
   private def rewriteLexical(q0: String): String = {
     var q = rewriteBrackets(q0)
     q = rewriteTupleDots(q)
     q = rewritePosition(q)
     q = renameMasked(q, chAnyRe, "any_value(")
+    q = rewriteChCastTypes(q)
     rewriteExtract(q)
   }
 

@@ -126,6 +126,11 @@ object ChDialect {
     "today" -> "current_date",
     "toTypeName" -> "typeof",
     "toJSONString" -> "to_json",
+    // CH window-frame spellings of lag/lead (CH reserves the bare
+    // names for the deprecated block-order forms; the InFrame pair is
+    // the documented window function — semantics identical to Spark's)
+    "lagInFrame" -> "lag",
+    "leadInFrame" -> "lead",
     "fromUnixTimestamp" -> "timestamp_seconds")
 
   /** CH `CREATE FUNCTION name AS (args) -> body` [public docs:
@@ -501,6 +506,18 @@ object ChDialect {
       "timestamp_seconds(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 900) * 900)")
     macroFn("yesterday", Seq(),
       "date_add(current_date(), -1)")
+    // CH parse-or-default cast family: OrNull = try_cast, OrZero
+    // falls back to the type's zero (CH's non-Nullable default)
+    for ((ch, sp) <- Seq("Int8" -> "tinyint", "Int16" -> "smallint",
+        "Int32" -> "int", "Int64" -> "bigint", "UInt8" -> "smallint",
+        "UInt16" -> "int", "UInt32" -> "bigint", "UInt64" -> "bigint",
+        "Float32" -> "float", "Float64" -> "double")) {
+      macroFn(s"to${ch}OrNull", Seq("__x"), s"try_cast(__x AS $sp)")
+      macroFn(s"to${ch}OrZero", Seq("__x"),
+        s"coalesce(try_cast(__x AS $sp), cast(0 AS $sp))")
+    }
+    macroFn("toDateOrNull", Seq("__x"), "try_cast(__x AS DATE)")
+    macroFn("toDateTimeOrNull", Seq("__x"), "try_cast(__x AS TIMESTAMP)")
     // zero-divisor-safe arithmetic (CH's OrZero family)
     macroFn("intDivOrZero", Seq("__a", "__b"),
       "CASE WHEN __b = 0 THEN 0 ELSE __a DIV __b END")

@@ -168,6 +168,31 @@ class ChCompatSpec extends AnyFunSuite {
     assert(all.length == 5)
   }
 
+  test("CH type names in cast positions; parse-or-default casts") {
+    val r = run("""
+      SELECT CAST(value AS UInt64) AS v,
+             value::UInt32 AS v32,
+             '3.5'::Float64 AS f,
+             CAST(7 AS Nullable(Int32)) AS nn,
+             CAST('abc' AS FixedString(3)) AS fs,
+             CAST('2024-03-09 10:00:00' AS DateTime64(3)) AS dt64,
+             toFloat64OrZero('x') AS z,
+             toInt64OrNull('abc') AS miss,
+             toUInt8OrZero('300') AS u,
+             'AS Int64 stays literal' AS lit_guard
+      FROM events ORDER BY ts LIMIT 1""").head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getDouble(2) == 3.5 && r.getInt(3) == 7 && r.getString(4) == "abc")
+    assert(r.getDouble(6) == 0.0 && r.isNullAt(7) && r.getShort(8) == 300)
+    assert(r.getString(9) == "AS Int64 stays literal")
+    val w = run("""
+      SELECT o_orderkey,
+             lagInFrame(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      FROM orders ORDER BY o_orderkey LIMIT 5""")
+    assert(w.length == 5)
+  }
+
   test("array / string / date function composition") {
     val r = run("""
       SELECT arrayStringConcat(arrayMap(x -> upper(x),
