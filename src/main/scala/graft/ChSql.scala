@@ -1019,6 +1019,8 @@ object ChSql {
     """(?i)\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*$""".r
   private val limitTiesRe =
     """(?i)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$""".r
+  private val distinctOnRe =
+    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
   private val limitByRe =
     """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
@@ -1994,15 +1996,28 @@ object ChSql {
       out.createOrReplaceTempView(table)
       return out
     }
-    val q = rewriteIndexScan(spark,
+    var q = rewriteIndexScan(spark,
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
         rewriteFinal(spark, rewriteSystemTables(spark,
           rewriteParametric(spark, rewriteLexical(query.trim))))))))
 
+    // CH `SELECT DISTINCT ON (k…)` — first row per key group in the
+    // query's order (CH documents it as `LIMIT 1 BY`). Spark cannot
+    // parse it, so the keys peel off the head here and land on the
+    // same LimitByPlan route as LIMIT 1 BY below.
+    var distinctOnKeys: Seq[String] = Nil
+    distinctOnRe.findFirstMatchIn(q).foreach { m =>
+      val close = matchParenStr(q, m.end - 1)
+      distinctOnKeys = splitTopLevel(q.substring(m.end, close)).map(_.trim)
+      require(distinctOnKeys.nonEmpty, "DISTINCT ON needs at least one key")
+      q = "SELECT " + q.substring(close + 1)
+    }
+
     val needsRouting =
       lastTopLevel(q, limitByRe).isDefined ||
         lastTopLevel(q, withFillRe).isDefined ||
-        lastTopLevel(q, limitTiesRe).isDefined
+        lastTopLevel(q, limitTiesRe).isDefined ||
+        distinctOnKeys.nonEmpty
     if (!needsRouting) return spark.sql(q)
 
     // Peel trailing clauses back to front: LIMIT n WITH TIES |
@@ -2067,6 +2082,17 @@ object ChSql {
       throw new IllegalArgumentException(
         s"ORDER BY column '${i.name}' must appear in the SELECT list " +
           "for CH clause routing (add it, or alias the expression)")
+    }
+
+    if (distinctOnKeys.nonEmpty) {
+      require(orderItems.nonEmpty,
+        "DISTINCT ON needs ORDER BY for a deterministic representative row")
+      distinctOnKeys.find(k => !df.columns.contains(k)).foreach { k =>
+        throw new IllegalArgumentException(
+          s"DISTINCT ON key '$k' must appear in the SELECT list")
+      }
+      df = LimitByPlan.limitBy(df, distinctOnKeys, 1,
+        orderItems.map(i => (i.name, i.asc)))
     }
 
     for ((offset, n, keys) <- limitBy) {

@@ -796,6 +796,26 @@ object ChSqlQueries {
     }, Some("""
       SELECT o_orderkey, o_orderpriority FROM orders
       QUALIFY rank() OVER (ORDER BY o_orderpriority) <= 10
-      ORDER BY o_orderpriority, o_orderkey"""))
+      ORDER BY o_orderpriority, o_orderkey""")),
+
+    // SELECT DISTINCT ON (k) as verbatim text — CH's spelling of
+    // "first row per key in this order" (documented equivalent of
+    // LIMIT 1 BY). Routed onto LimitByPlan, so the plan is the
+    // partial/final bounded-heap operator, not a window.
+    QDef("sql_ch_distinct_on", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT DISTINCT ON (o_custkey)
+               o_custkey, o_orderkey, o_orderdate
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn = 1
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
   )
 }

@@ -150,6 +150,20 @@ class ChCompatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("window"))
   }
 
+  test("DISTINCT ON routes through the bounded-heap limit-by") {
+    val r = run("""
+      SELECT DISTINCT ON (event_type) event_type, ts, user_id
+      FROM events
+      WHERE event_type != ''
+      ORDER BY event_type, ts, user_id
+      LIMIT 3""")
+    assert(r.length == 3)
+    assert(r.map(_.getString(0)).distinct.length == 3)
+    val e = intercept[Exception](
+      run("SELECT DISTINCT ON (event_type) event_type FROM events"))
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
   test("LIMIT WITH TIES edge shapes") {
     // mid-tie cut: every nation in region 0 comes along
     val tied = run("""
