@@ -1483,6 +1483,7 @@ object ChSql {
     invalidateIndex(name)
     snap.createOrReplaceTempView(name)
     ctasTables.add(name)
+    ctasDdl(name) = m.matched.trim
 
     sampleKey.foreach(k => registerSampleKey(name, k))
     def needKeys(): Seq[String] = {
@@ -1654,6 +1655,10 @@ object ChSql {
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+((?:SELECT|WITH)\b.*)$""".r
   private val existsTableRe =
     """(?is)^\s*EXISTS\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
+  private val showCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val deleteFromRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+(WHERE\s+.*?)\s*$""".r
   private val renameTableRe =
     """(?is)^\s*RENAME\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$""".r
 
@@ -1715,6 +1720,33 @@ object ChSql {
   private val ctasTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** verbatim CREATE statements, for SHOW CREATE TABLE. */
+  private val ctasDdl =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Spark → ClickHouse type spellings (the inverse of [[chType]]),
+    * for synthesizing SHOW CREATE TABLE on tables that were not
+    * created through the front door (fixture views).
+    */
+  private def sparkTypeToCh(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "String"
+    case BooleanType => "Bool"
+    case DateType => "Date"
+    case TimestampType | TimestampNTZType => "DateTime"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case a: org.apache.spark.sql.types.ArrayType =>
+      s"Array(${sparkTypeToCh(a.elementType)})"
+    case m: org.apache.spark.sql.types.MapType =>
+      s"Map(${sparkTypeToCh(m.keyType)}, ${sparkTypeToCh(m.valueType)})"
+    case other => other.simpleString // loud enough: non-CH spelling
+  }
+
   private def firstFromTable(q: String): String = {
     val m = fromKwRe.findAllMatchIn(q)
       .find(mm => topLevelMask(q)(mm.start))
@@ -1774,7 +1806,7 @@ object ChSql {
     * [[run]], so routed CH clauses explain too.
     */
   private val explainRe =
-    """(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE))?\s+((?:SELECT|WITH)\b.*)$""".r
+    """(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+((?:SELECT|WITH)\b.*)$""".r
 
   // ---- SETTINGS clause + query cache -------------------------------
   // CH queries routinely end with `SETTINGS k = v, …`. The clause is
@@ -1869,6 +1901,16 @@ object ChSql {
     }
     explainRe.findFirstMatchIn(query).foreach { m =>
       val qe = run(spark, m.group(2)).queryExecution
+      if (Option(m.group(1)).exists(_.equalsIgnoreCase("ESTIMATE"))) {
+        // CH EXPLAIN ESTIMATE reports expected scan volume; the Spark
+        // equivalent is the optimizer's plan statistics (CBO row
+        // counts when stats exist, size propagation always)
+        val st = qe.optimizedPlan.stats
+        import spark.implicits._
+        return Seq((st.rowCount.map(_.toLong).getOrElse(-1L),
+          st.sizeInBytes.toLong))
+          .toDF("estimated_rows", "estimated_bytes")
+      }
       val text = Option(m.group(1)).map(_.toUpperCase(java.util.Locale.ROOT)) match {
         case Some("AST") => qe.logical.treeString
         case Some("SYNTAX") => qe.analyzed.treeString
@@ -1898,6 +1940,26 @@ object ChSql {
       return Seq(if (spark.catalog.tableExists(m.group(1))) 1 else 0)
         .toDF("result")
     }
+    showCreateRe.findFirstMatchIn(query).foreach { m =>
+      val name = m.group(1)
+      import spark.implicits._
+      ctasDdl.get(name).foreach(d => return Seq(d).toDF("statement"))
+      require(spark.catalog.tableExists(name),
+        s"SHOW CREATE TABLE: no table '$name'")
+      // not created through the front door: synthesize CH-spelled DDL
+      // from the schema (fixture views read as plain MergeTree)
+      val cols = spark.table(name).schema.fields
+        .map(f => s"  ${f.name} ${sparkTypeToCh(f.dataType)}")
+        .mkString(",\n")
+      return Seq(s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = MergeTree")
+        .toDF("statement")
+    }
+    // CH lightweight DELETE (`DELETE FROM t WHERE …`) — same
+    // copy-on-write snapshot as ALTER TABLE DELETE (upstream's
+    // lightweight variant only differs in WHEN rows disappear)
+    deleteFromRe.findFirstMatchIn(query).foreach { m =>
+      return runAlter(spark, m.group(1), "DELETE", m.group(2))
+    }
     renameTableRe.findFirstMatchIn(query).foreach { m =>
       val (a, b) = (m.group(1), m.group(2))
       require(spark.catalog.tableExists(a), s"RENAME TABLE: no table '$a'")
@@ -1912,6 +1974,7 @@ object ChSql {
       sampleKeys.remove(al).foreach(k => sampleKeys.put(bl, k))
       skipIndexes.remove(al).foreach(x => skipIndexes.put(bl, x))
       if (ctasTables.remove(a)) ctasTables.add(b)
+      ctasDdl.remove(a).foreach(d => ctasDdl.put(b, d))
       mvRegistry.remove(a).foreach(v => mvRegistry.put(b, v))
       import spark.implicits._
       return Seq(s"$a -> $b").toDF("renamed")
@@ -1939,6 +2002,7 @@ object ChSql {
       if (wasCtas) {
         finalSpecs.remove(name.toLowerCase(java.util.Locale.ROOT))
         sampleKeys.remove(name.toLowerCase(java.util.Locale.ROOT))
+        ctasDdl.remove(name)
       }
       skipIndexes.remove(name.toLowerCase(java.util.Locale.ROOT))
       spark.catalog.dropTempView(name)

@@ -261,6 +261,18 @@ class ChCompatSpec extends AnyFunSuite {
     sql("ALTER TABLE compat_t DELETE WHERE k = 3")
     assert(sql("SELECT count() AS n FROM compat_t WHERE k = 3")
       .collect().head.getLong(0) == 0L)
+    // lightweight DELETE — CH's newer spelling of the same mutation
+    sql("DELETE FROM compat_t WHERE k = 4")
+    assert(sql("SELECT count() AS n FROM compat_t WHERE k = 4")
+      .collect().head.getLong(0) == 0L)
+    // SHOW CREATE TABLE echoes the verbatim CTAS for front-door
+    // tables and synthesizes CH-typed DDL for fixture views
+    val ddl = sql("SHOW CREATE TABLE compat_t").collect().head.getString(0)
+    assert(ddl.contains("ReplacingMergeTree"))
+    val synth = sql("SHOW CREATE TABLE nation").collect().head.getString(0)
+    assert(synth.contains("n_nationkey Int32") && synth.contains("n_name String"))
+    val est = sql("EXPLAIN ESTIMATE SELECT * FROM compat_t").collect().head
+    assert(est.getLong(1) > 0L) // size estimate always propagates
     sql("DROP TABLE compat_t")
   }
 }
