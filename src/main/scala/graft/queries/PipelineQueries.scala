@@ -811,6 +811,56 @@ object PipelineQueries {
       FROM spiked
       ORDER BY doc_id""")),
 
+    // Unigram-LM quality score — the relational form of the KenLM-
+    // style perplexity filter (CCNet/RedPajama): train token
+    // frequencies over the corpus itself (one shuffle), score each
+    // doc by its Laplace-smoothed mean log-likelihood, flag the low
+    // tail. The doc×token join is per-DISTINCT-token (tf pre-agg, the
+    // same fan-out bound as pipe_lang_id); the freq table is a plain
+    // equi-join — AQE broadcasts it while vocab fits and shuffles
+    // beyond. Log-probs go through round(…,6)+DECIMAL before any sum
+    // (the established FP-order-independence convention).
+    QDef("pipe_unigram_logprob", (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
+      val docToks = toks.groupBy($"doc_id", $"lang", $"tok")
+        .agg(count(lit(1)).as("tf"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n"), countDistinct($"tok").as("v"))
+      val scored = docToks
+        .join(freq, Seq("tok")) // every token has a freq (self-trained)
+        .crossJoin(broadcast(tot))
+        .withColumn("logp",
+          round(log(($"c" + lit(1)) / ($"n" + $"v").cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy($"doc_id", $"lang")
+        .agg(round(sum($"logp" * $"tf").cast("double") / sum($"tf"), 4)
+          .as("avg_logp"))
+      scored.groupBy($"lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(($"avg_logp" < -3.45).cast("long")).as("flagged"),
+          Det.dsum($"avg_logp").as("sum_logp"))
+        .orderBy($"lang")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      dt AS (SELECT doc_id, lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM toks),
+      scored AS (
+        SELECT dt.doc_id, dt.lang,
+               round(CAST(sum(CAST(round(ln((f.c + 1) /
+                       CAST(t.n + t.v AS DOUBLE)), 6) AS DECIMAL(18,6))
+                     * dt.tf) AS DOUBLE) / sum(dt.tf), 4) AS avg_logp
+        FROM dt JOIN freq f USING (tok) CROSS JOIN tot t
+        GROUP BY 1, 2)
+      SELECT lang, count(*) AS docs,
+             CAST(sum(CASE WHEN avg_logp < -3.45 THEN 1 ELSE 0 END) AS BIGINT)
+               AS flagged,
+             ${graft.Det.sqlSum("avg_logp")} AS sum_logp
+      FROM scored GROUP BY lang ORDER BY lang""")),
+
     // Gopher-style repetition filter (Rae et al. 2021 §A1.1, token
     // variant): per doc, the fraction of bigrams that are repeats of
     // an earlier bigram and the fraction claimed by the single most
