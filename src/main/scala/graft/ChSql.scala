@@ -1021,6 +1021,8 @@ object ChSql {
     """(?i)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$""".r
   private val distinctOnRe =
     """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
+  private val intoOutfileRe =
+    """(?is)\bINTO\s+OUTFILE\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*$""".r
   private val limitByRe =
     """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
@@ -1330,9 +1332,20 @@ object ChSql {
     val norm = t.trim
     val decRe = """(?i)^Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
     val fixRe = """(?i)^FixedString\s*\(\s*\d+\s*\)$""".r
+    val wrapRe = """(?i)^(?:Nullable|LowCardinality)\s*\((.*)\)$""".r
+    val arrRe = """(?i)^Array\s*\((.*)\)$""".r
+    val mapRe = """(?i)^Map\s*\((.*)\)$""".r
     norm match {
+      case wrapRe(inner) => chType(inner) // Spark cols are all nullable
+      case arrRe(inner) =>
+        org.apache.spark.sql.types.ArrayType(chType(inner))
+      case mapRe(inner) =>
+        val kv = splitTopLevel(inner)
+        require(kv.size == 2, s"Map type needs (K, V), got '$norm'")
+        org.apache.spark.sql.types.MapType(chType(kv(0)), chType(kv(1)))
       case decRe(p, s) => DecimalType(p.toInt, s.toInt)
       case fixRe() => StringType
+      case dt64 if dt64.matches("(?i)^DateTime64\\s*\\(.*\\)$") => TimestampType
       case _ => norm.toLowerCase(java.util.Locale.ROOT) match {
         case "string" => StringType
         case "int8" => ByteType
@@ -1423,6 +1436,40 @@ object ChSql {
   private val createTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+""" +
       """ENGINE\s*=\s*([A-Za-z]+)\s*(?:\(([^)]*)\))?(.*?)\bAS\s+((?:SELECT|WITH)\b.*)$""").r
+
+  // CH's most common DDL: an explicit-schema EMPTY table,
+  // `CREATE TABLE t (k Int64, v String DEFAULT '…') ENGINE = … ORDER
+  // BY …`. It rewrites onto the CTAS path with a zero-row typed
+  // SELECT, so every engine clause (ORDER BY/PARTITION BY/SAMPLE BY/
+  // TTL) reuses the proven handling; DEFAULT expressions register so
+  // later INSERTs may omit those columns.
+  private val createEmptyTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""" +
+      """\((.*)\)\s*ENGINE\s*=\s*(.*)$""").r
+  private val colDefRe =
+    """(?is)^([A-Za-z_]\w*)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$""".r
+
+  /** table → (column → DEFAULT expression text). */
+  private val ctasDefaults =
+    scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+
+  private def runCreateEmptyTable(spark: SparkSession,
+      m: Regex.Match): DataFrame = {
+    val (name, colsRaw, engineTail) = (m.group(1), m.group(2), m.group(3))
+    val defs = splitTopLevel(colsRaw).map { d =>
+      colDefRe.findFirstMatchIn(d.trim).getOrElse(throw
+        new IllegalArgumentException(s"cannot parse column definition '$d'"))
+    }
+    val selectCols = defs.map { cm =>
+      val spark_t = chType(cm.group(2)).catalogString
+      s"CAST(NULL AS $spark_t) AS ${cm.group(1)}"
+    }.mkString(", ")
+    val defaults = defs.flatMap(cm =>
+      Option(cm.group(3)).map(e => cm.group(1) -> e.trim)).toMap
+    if (defaults.nonEmpty) ctasDefaults(name) = defaults
+    run(spark, s"CREATE TABLE $name ENGINE = $engineTail AS " +
+      s"SELECT $selectCols FROM system.one WHERE false")
+  }
   private val orderByClauseRe =
     """(?is)\bORDER\s+BY\s+(\([^)]*\)|[A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)""".r
   private val sampleByClauseRe = """(?is)\bSAMPLE\s+BY\s+([A-Za-z_]\w*)""".r
@@ -1453,9 +1500,12 @@ object ChSql {
     *     (sign, ver): net-positive (key[, version]) survivors.
     */
   private def runCreateTable(spark: SparkSession, m: Regex.Match): DataFrame = {
-    val (name, engine, engineArgsRaw, clauses, select) =
+    val (name, engine, engineArgsRaw, clauses0, select) =
       (m.group(1), m.group(2), Option(m.group(3)).getOrElse(""),
         m.group(4), m.group(5))
+    // `ORDER BY tuple()` is CH's canonical "no sort key"
+    val clauses = clauses0.replaceAll(
+      """(?is)\bORDER\s+BY\s+tuple\s*\(\s*\)""", "")
     val engineArgs = splitTopLevel(engineArgsRaw)
     val orderKeys: Seq[String] = orderByClauseRe.findFirstMatchIn(clauses)
       .map(g => splitTopLevel(g.group(1).stripPrefix("(").stripSuffix(")")))
@@ -1662,10 +1712,14 @@ object ChSql {
   private val renameTableRe =
     """(?is)^\s*RENAME\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$""".r
 
+  // the optional column list MUST be captured here: letting a
+  // column-list INSERT fall through to Spark's native path would
+  // append files behind the view without firing MV triggers or
+  // invalidating skip indexes
   private val insertSelectRe =
-    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+((?:SELECT|WITH)\b.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|WITH)\b.*)$""".r
   private val insertValuesRe =
-    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s+(.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$""".r
 
   /** `INSERT INTO t SELECT …` / `INSERT INTO t VALUES (…), (…)` —
     * append as a copy-on-write snapshot (immutable parts + repoint,
@@ -1673,15 +1727,34 @@ object ChSql {
     * [[run]], so CH clauses work inside an INSERT; VALUES rows are
     * positional and adopt the target's column names.
     */
+  private def colList(g: String): Option[Seq[String]] =
+    Option(g).map(splitTopLevel(_).map(_.trim))
+
   private def runInsert(spark: SparkSession, table: String, body: String,
-      positional: Boolean): DataFrame = {
+      positional: Boolean, cols: Option[Seq[String]] = None): DataFrame = {
     val cur = spark.table(table)
     val add0 = run(spark, body)
-    val add = if (positional) {
-      require(add0.columns.length == cur.columns.length,
-        s"INSERT VALUES arity ${add0.columns.length} != table ${cur.columns.length}")
-      add0.toDF(cur.columns.toIndexedSeq: _*)
-    } else add0
+    val named = cols match {
+      case Some(cs) => // explicit column list: positional w.r.t. it
+        require(add0.columns.length == cs.size,
+          s"INSERT provides ${add0.columns.length} values for " +
+            s"${cs.size} listed columns")
+        add0.toDF(cs.toIndexedSeq: _*)
+      case None if positional =>
+        require(add0.columns.length == cur.columns.length,
+          s"INSERT VALUES arity ${add0.columns.length} != table ${cur.columns.length}")
+        add0.toDF(cur.columns.toIndexedSeq: _*)
+      case None => add0
+    }
+    // omitted columns take their registered DEFAULT (which may
+    // reference the provided columns, CH-style) or NULL
+    val have = named.columns.toSet
+    val defaults = ctasDefaults.getOrElse(table, Map.empty)
+    val add = cur.schema.fields.filterNot(f => have.contains(f.name))
+      .foldLeft(named) { (d, f) =>
+        val e = defaults.get(f.name).map(expr).getOrElse(lit(null))
+        d.withColumn(f.name, e.cast(f.dataType))
+      }
     // Materialize the inserted block BEFORE repointing the view: the
     // SELECT body may read the target table itself, and the MV trigger
     // below must see the block as-of insert time, not the new state.
@@ -1926,6 +1999,12 @@ object ChSql {
     createTableRe.findFirstMatchIn(query).foreach { m =>
       return runCreateTable(spark, m)
     }
+    createEmptyTableRe.findFirstMatchIn(query).foreach { m =>
+      require(!"""(?is)\bAS\s+SELECT\b""".r.findFirstIn(m.group(3)).isDefined,
+        "CREATE TABLE (schema) … AS SELECT: drop the column list " +
+          "(CTAS derives the schema from the SELECT)")
+      return runCreateEmptyTable(spark, m)
+    }
     // CH `CREATE VIEW v AS SELECT` — a logical view: the query text
     // re-plans on every read (so it tracks later mutations of its
     // base tables), routed through run() so CH clauses work inside
@@ -1975,6 +2054,7 @@ object ChSql {
       skipIndexes.remove(al).foreach(x => skipIndexes.put(bl, x))
       if (ctasTables.remove(a)) ctasTables.add(b)
       ctasDdl.remove(a).foreach(d => ctasDdl.put(b, d))
+      ctasDefaults.remove(a).foreach(d => ctasDefaults.put(b, d))
       mvRegistry.remove(a).foreach(v => mvRegistry.put(b, v))
       import spark.implicits._
       return Seq(s"$a -> $b").toDF("renamed")
@@ -2003,6 +2083,7 @@ object ChSql {
         finalSpecs.remove(name.toLowerCase(java.util.Locale.ROOT))
         sampleKeys.remove(name.toLowerCase(java.util.Locale.ROOT))
         ctasDdl.remove(name)
+        ctasDefaults.remove(name)
       }
       skipIndexes.remove(name.toLowerCase(java.util.Locale.ROOT))
       spark.catalog.dropTempView(name)
@@ -2030,11 +2111,13 @@ object ChSql {
       return runAlter(spark, m.group(1), "DELETE", "WHERE true")
     }
     insertSelectRe.findFirstMatchIn(query).foreach { m =>
-      return runInsert(spark, m.group(1), m.group(2), positional = false)
+      return runInsert(spark, m.group(1), m.group(3),
+        positional = false, colList(m.group(2)))
     }
     insertValuesRe.findFirstMatchIn(query).foreach { m =>
       return runInsert(spark, m.group(1),
-        s"SELECT * FROM VALUES ${m.group(2)}", positional = true)
+        s"SELECT * FROM VALUES ${m.group(3)}", positional = true,
+        colList(m.group(2)))
     }
     optimizeRe.findFirstMatchIn(query).foreach { m =>
       // OPTIMIZE TABLE t = merge parts → one compacted snapshot.
@@ -2060,6 +2143,29 @@ object ChSql {
       out.createOrReplaceTempView(table)
       return out
     }
+    // CH `SELECT … INTO OUTFILE 'path' [FORMAT f]` — the inner query
+    // re-routes (so CH clauses work), then writes as a Spark
+    // directory of part files (the distributed-native shape; CH's
+    // single file does not survive parallel writers either).
+    lastTopLevel(query, intoOutfileRe).foreach { m =>
+      val df = run(spark, query.substring(0, m.start)).coalesce(1)
+      val path = m.group(1)
+      val w = df.write.mode("overwrite")
+      Option(m.group(2)).map(_.toLowerCase(java.util.Locale.ROOT))
+        .getOrElse("csv") match {
+        case "csv" => w.csv(path)
+        case "csvwithnames" => w.option("header", "true").csv(path)
+        case "tsv" | "tabseparated" => w.option("sep", "\t").csv(path)
+        case "jsoneachrow" | "ndjson" => w.json(path)
+        case "parquet" => w.parquet(path)
+        case other => throw new IllegalArgumentException(
+          s"INTO OUTFILE FORMAT $other unsupported here " +
+            "(CSV/CSVWithNames/TSV/JSONEachRow/Parquet)")
+      }
+      import spark.implicits._
+      return Seq(path).toDF("outfile")
+    }
+
     var q = rewriteIndexScan(spark,
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
         rewriteFinal(spark, rewriteSystemTables(spark,

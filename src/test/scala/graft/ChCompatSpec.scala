@@ -242,6 +242,39 @@ class ChCompatSpec extends AnyFunSuite {
     assert(r.forall(row => row.getLong(1) >= 0))
   }
 
+  test("explicit-schema CREATE TABLE, DEFAULT fill, tuple() key, OUTFILE") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def sql(q: String) = Graft.sql(spark, q)
+    sql("""CREATE TABLE compat_schema (
+             k Int64,
+             v Nullable(String),
+             score Float64 DEFAULT k * 2.5,
+             tags Array(Int32))
+           ENGINE = MergeTree ORDER BY k""")
+    assert(sql("SELECT count() AS n FROM compat_schema")
+      .collect().head.getLong(0) == 0L)
+    // positional insert provides everything; named insert omits
+    // `score`, which fills from its DEFAULT (referencing k)
+    sql("INSERT INTO compat_schema VALUES (1, 'a', 0.5, array(1, 2))")
+    sql("INSERT INTO compat_schema (k, v, tags) SELECT 4, 'd', array(9)")
+    val rows = sql("SELECT k, v, score, tags FROM compat_schema ORDER BY k")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(2) == 0.5 && rows(1).getDouble(2) == 10.0)
+    // ORDER BY tuple() = no sort key — CH's most common DDL spelling
+    sql("""CREATE TABLE compat_nokey ENGINE = MergeTree ORDER BY tuple()
+           AS SELECT r_regionkey, r_name FROM region""")
+    assert(sql("SELECT count() AS n FROM compat_nokey")
+      .collect().head.getLong(0) == 5L)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_outfile_spec"
+    sql(s"SELECT k, v FROM compat_schema ORDER BY k " +
+      s"INTO OUTFILE '$out' FORMAT CSVWithNames")
+    val back = spark.read.option("header", "true").csv(out).collect()
+    assert(back.length == 2)
+    sql("DROP TABLE compat_schema")
+    sql("DROP TABLE compat_nokey")
+  }
+
   test("DDL lifecycle: CTAS, mutate, reindex, query, drop") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def sql(q: String) = Graft.sql(spark, q)
