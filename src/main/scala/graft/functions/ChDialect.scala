@@ -131,6 +131,11 @@ object ChDialect {
     // the documented window function — semantics identical to Spark's)
     "lagInFrame" -> "lag",
     "leadInFrame" -> "lead",
+    "editDistance" -> "levenshtein",
+    "fromUnixTimestamp64Milli" -> "timestamp_millis",
+    "fromUnixTimestamp64Micro" -> "timestamp_micros",
+    "toUnixTimestamp64Milli" -> "unix_millis",
+    "toUnixTimestamp64Micro" -> "unix_micros",
     "fromUnixTimestamp" -> "timestamp_seconds")
 
   /** CH `CREATE FUNCTION name AS (args) -> body` [public docs:
@@ -477,6 +482,44 @@ object ChDialect {
     // dashboard display helpers (CH's console charting family)
     macroFn("bar", Seq("__x", "__lo", "__hi", "__w"),
       "repeat('█', greatest(0, CAST(round((__x - __lo) / (__hi - __lo) * __w, 0) AS INT)))")
+    // dialect sweep batch: split/search/array/bit/time spellings
+    reg("splitByRegexp")(c => { // CH order: (pattern, s)
+      require(c.size == 2, "splitByRegexp(pattern, s)")
+      StringSplit(c(1), c(0), Literal(-1))
+    })
+    // CH tokenizes on non-alphanumeric boundaries for hasToken
+    macroFn("hasToken", Seq("__h", "__t"),
+      "array_contains(split(__h, '[^A-Za-z0-9]+'), __t)")
+    macroFn("multiSearchAllPositions", Seq("__h", "__ns"),
+      "transform(__ns, n -> instr(__h, n))")
+    macroFn("timeDiff", Seq("__a", "__b"),
+      """unix_seconds(CAST(__b AS TIMESTAMP)) -
+         unix_seconds(CAST(__a AS TIMESTAMP))""")
+    macroFn("arrayResize", Seq("__a", "__n", "__f"),
+      """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
+              ELSE concat(__a, array_repeat(__f, __n - size(__a))) END""")
+    macroFn("arrayRotateLeft", Seq("__a", "__n"),
+      """concat(slice(__a, pmod(__n, size(__a)) + 1,
+                      size(__a) - pmod(__n, size(__a))),
+                slice(__a, 1, pmod(__n, size(__a))))""")
+    macroFn("arrayShingles", Seq("__a", "__k"),
+      "transform(sequence(1, size(__a) - __k + 1), i -> slice(__a, i, __k))")
+    macroFn("bitHammingDistance", Seq("__a", "__b"),
+      "bit_count(__a ^ __b)")
+    // CH stringJaccardIndex works over the byte SETS of both strings
+    macroFn("stringJaccardIndex", Seq("__a", "__b"),
+      """size(array_intersect(transform(sequence(1, length(__a)), i -> substring(__a, i, 1)),
+                              transform(sequence(1, length(__b)), i -> substring(__b, i, 1))))
+         / CAST(size(array_union(transform(sequence(1, length(__a)), i -> substring(__a, i, 1)),
+                                 transform(sequence(1, length(__b)), i -> substring(__b, i, 1))))
+                AS DOUBLE)""")
+    macroFn("currentDatabase", Seq(), "'default'")
+    macroFn("hostName", Seq(), "'localhost'")
+    macroFn("formatReadableDecimalSize", Seq("__b"),
+      """CASE WHEN __b >= 1000000000 THEN concat(round(__b / 1000000000.0, 2), ' GB')
+              WHEN __b >= 1000000 THEN concat(round(__b / 1000000.0, 2), ' MB')
+              WHEN __b >= 1000 THEN concat(round(__b / 1000.0, 2), ' KB')
+              ELSE concat(CAST(CAST(__b AS BIGINT) AS STRING), ' B') END""")
     macroFn("formatReadableSize", Seq("__b"),
       """CASE WHEN __b >= 1073741824 THEN concat(round(__b / 1073741824.0, 2), ' GiB')
               WHEN __b >= 1048576 THEN concat(round(__b / 1048576.0, 2), ' MiB')

@@ -1176,6 +1176,39 @@ class ChDialectSpec extends AnyFunSuite {
     Graft.sql(spark, "DROP TABLE li_idx")
   }
 
+  test("dialect sweep: split/search/array/bit/time spellings") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT splitByRegexp('[0-9]+', 'a1b22c') AS sr,
+             hasToken('hello big world', 'world') AS tok_t,
+             hasToken('hello', 'ell') AS tok_f,
+             multiSearchAllPositions('hello', ['l', 'o', 'z']) AS msp,
+             timeDiff(toDateTime('2024-01-01 00:00:00'),
+                      toDateTime('2024-01-01 01:00:00')) AS td,
+             toUnixTimestamp64Milli(
+               fromUnixTimestamp64Milli(1704067200123)) AS ms_rt,
+             arrayResize([1,2], 4, 0) AS grow,
+             arrayResize([1,2,3], 2, 0) AS shrink,
+             arrayRotateLeft([1,2,3], 5) AS rot,
+             arrayShingles([1,2,3,4], 2) AS sh,
+             bitHammingDistance(7, 1) AS hd,
+             round(stringJaccardIndex('apple', 'applet') * 1000) AS jac,
+             editDistance('abc', 'abd') AS ed,
+             formatReadableDecimalSize(1500000) AS frs
+      FROM system.one""").collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getSeq[Int](3) == Seq(3, 5, 0))
+    assert(r.getLong(4) == 3600L && r.getLong(5) == 1704067200123L)
+    assert(r.getSeq[Int](6) == Seq(1, 2, 0, 0) && r.getSeq[Int](7) == Seq(1, 2))
+    assert(r.getSeq[Int](8) == Seq(3, 1, 2)) // 5 mod 3 = 2 positions
+    assert(r.getSeq[Seq[Int]](9) == Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    assert(r.getInt(10) == 2)
+    assert(r.getDouble(11) == 800.0) // {a,p,l,e} vs {a,p,l,e,t} = 4/5
+    assert(r.getInt(12) == 1)
+    assert(r.getString(13) == "1.50 MB")
+  }
+
   test("retention spelling equals its flag-max expansion") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val rows = Graft.sql(spark, """
