@@ -352,6 +352,7 @@ object ChSql {
   private val systemOneRe = """(?i)\bsystem\.one\b""".r
   private val systemTablesRe = """(?i)\bsystem\.tables\b""".r
   private val systemColumnsRe = """(?i)\bsystem\.columns\b""".r
+  private val systemPartsRe = """(?i)\bsystem\.parts\b""".r
   private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def rewriteSystemTables(spark: SparkSession, q0: String): String = {
@@ -369,6 +370,21 @@ object ChSql {
       }.toDF("database", "table", "name", "type", "position")
         .createOrReplaceTempView("graft_system_columns")
       q = systemColumnsRe.replaceAllIn(q, "graft_system_columns")
+    }
+    if (systemPartsRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      // CH system.parts: one row per storage part. The Spark analog
+      // is one row per backing file, with on-disk bytes from the FS
+      // (row counts would need a footer read per file — omitted).
+      spark.catalog.listTables().collect().toSeq.flatMap { t =>
+        scala.util.Try(spark.table(t.name).inputFiles.toSeq)
+          .getOrElse(Nil).map { f =>
+            val p = new java.io.File(new java.net.URI(f).getPath)
+            ("default", t.name, p.getName, p.length(), 1)
+          }
+      }.toDF("database", "table", "name", "bytes_on_disk", "active")
+        .createOrReplaceTempView("graft_system_parts")
+      q = systemPartsRe.replaceAllIn(q, "graft_system_parts")
     }
     if (systemTablesRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -1860,7 +1876,7 @@ object ChSql {
   private val truncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
   private val optimizeRe =
-    """(?is)^\s*OPTIMIZE\s+TABLE\s+([A-Za-z_]\w*)(\s+FINAL)?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+([A-Za-z_]\w*)(\s+FINAL)?(\s+DEDUPLICATE)?\s*$""".r
 
   /** `CREATE FUNCTION f AS (a, b) -> body` / `AS x -> body` — the CH
     * SQL-lambda UDF, registered as a parse-once macro
@@ -2134,9 +2150,12 @@ object ChSql {
             "OPTIMIZE ... FINAL needs engine key metadata — CREATE TABLE " +
               "with a collapsing ENGINE (or registerFinal), or use " +
               "Relational.replacingLatest / versionedCollapseFinal explicitly"))
+      // DEDUPLICATE drops fully identical rows (CH's whole-row form)
+      val dedup: DataFrame => DataFrame =
+        if (m.group(3) != null) _.distinct() else identity
       val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
         s"${table}_opt_${mutationSeq.incrementAndGet()}"
-      collapse(spark.table(table)).coalesce(1)
+      dedup(collapse(spark.table(table))).coalesce(1)
         .write.mode("overwrite").parquet(dest)
       val out = spark.read.parquet(dest)
       invalidateIndex(table)

@@ -271,6 +271,18 @@ class ChCompatSpec extends AnyFunSuite {
       s"INTO OUTFILE '$out' FORMAT CSVWithNames")
     val back = spark.read.option("header", "true").csv(out).collect()
     assert(back.length == 2)
+    // OPTIMIZE … DEDUPLICATE drops whole-row duplicates
+    sql("INSERT INTO compat_nokey SELECT r_regionkey, r_name FROM region")
+    assert(sql("SELECT count() AS n FROM compat_nokey")
+      .collect().head.getLong(0) == 10L)
+    sql("OPTIMIZE TABLE compat_nokey DEDUPLICATE")
+    assert(sql("SELECT count() AS n FROM compat_nokey")
+      .collect().head.getLong(0) == 5L)
+    // system.parts exposes the backing files with on-disk bytes
+    val parts = sql("""SELECT table, count() AS files, sum(bytes_on_disk) AS b
+                       FROM system.parts WHERE table = 'compat_nokey'
+                       GROUP BY table""").collect()
+    assert(parts.length == 1 && parts.head.getLong(2) > 0L)
     sql("DROP TABLE compat_schema")
     sql("DROP TABLE compat_nokey")
   }
