@@ -1462,8 +1462,10 @@ object ChSql {
   private val createEmptyTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""" +
       """\((.*)\)\s*ENGINE\s*=\s*(.*)$""").r
+  // MATERIALIZED is treated as DEFAULT (fill when omitted on insert);
+  // CH's always-recompute nuance does not arise on immutable snapshots
   private val colDefRe =
-    """(?is)^([A-Za-z_]\w*)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$""".r
+    """(?is)^([A-Za-z_]\w*)\s+(.+?)(?:\s+(?:DEFAULT|MATERIALIZED)\s+(.+))?$""".r
 
   /** table → (column → DEFAULT expression text). */
   private val ctasDefaults =
@@ -1538,6 +1540,17 @@ object ChSql {
     if (orderKeys.nonEmpty)
       df = df.sortWithinPartitions(orderKeys.map(col): _*)
 
+    // validate the engine (and TTL column) BEFORE any state mutates:
+    // a failed CREATE must not leave a half-registered table behind
+    val engineCollapse = engineCollapseFor(name, engine, engineArgs, orderKeys)
+    val ttlCollapse: Option[DataFrame => DataFrame] =
+      ttlClauseRe.findFirstMatchIn(clauses).map { t =>
+        val (tsCol, keep) = (t.group(1), s"${t.group(2)} ${t.group(3)}")
+        require(df.columns.contains(tsCol),
+          s"TTL column '$tsCol' is not a column of the SELECT")
+        d => Relational.applyRowTtl(d, tsCol, keep)
+      }
+
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft_mutations/" +
       s"${name}_ctas_${mutationSeq.incrementAndGet()}"
     val writer = df.write.mode("overwrite")
@@ -1552,12 +1565,25 @@ object ChSql {
     ctasDdl(name) = m.matched.trim
 
     sampleKey.foreach(k => registerSampleKey(name, k))
+    (ttlCollapse, engineCollapse) match {
+      case (Some(t), Some(e)) => registerFinal(name, d => e(t(d)))
+      case (Some(t), None) => registerFinal(name, t)
+      case (None, Some(e)) => registerFinal(name, e)
+      case (None, None) => ()
+    }
+    snap
+  }
+
+  private def engineCollapseFor(name: String, engine: String,
+      engineArgs: Seq[String],
+      orderKeys: Seq[String]): Option[DataFrame => DataFrame] = {
     def needKeys(): Seq[String] = {
       require(orderKeys.nonEmpty, s"$engine needs ORDER BY keys")
       orderKeys
     }
-    val engineCollapse: Option[DataFrame => DataFrame] =
-      engine.toLowerCase(java.util.Locale.ROOT) match {
+    engine.toLowerCase(java.util.Locale.ROOT) match {
+        // non-merging engines: a plain snapshot, no FINAL collapse
+        case "memory" | "log" | "tinylog" | "stripelog" => None
         case "mergetree" => None
         case "replacingmergetree" =>
           val keys = needKeys()
@@ -1592,26 +1618,8 @@ object ChSql {
             Relational.versionedCollapseFinal(d, keys, engineArgs(1), engineArgs(0)))
         case other => throw new IllegalArgumentException(
           s"ENGINE $other unsupported (MergeTree / Replacing / Summing / " +
-            "Collapsing / VersionedCollapsing)")
+            "Collapsing / VersionedCollapsing / Memory / Log)")
       }
-    // `TTL ts + INTERVAL n unit` composes in front of the engine
-    // collapse at FINAL time: expired rows drop first, then the
-    // survivors collapse — deterministic "now" = the frame's max(ts)
-    // (Relational.applyRowTtl's contract).
-    val ttlCollapse: Option[DataFrame => DataFrame] =
-      ttlClauseRe.findFirstMatchIn(clauses).map { t =>
-        val (tsCol, keep) = (t.group(1), s"${t.group(2)} ${t.group(3)}")
-        require(snap.columns.contains(tsCol),
-          s"TTL column '$tsCol' is not a column of the SELECT")
-        d => Relational.applyRowTtl(d, tsCol, keep)
-      }
-    (ttlCollapse, engineCollapse) match {
-      case (Some(t), Some(e)) => registerFinal(name, d => e(t(d)))
-      case (Some(t), None) => registerFinal(name, t)
-      case (None, Some(e)) => registerFinal(name, e)
-      case (None, None) => ()
-    }
-    snap
   }
 
   // ---- data-skipping indexes: ALTER TABLE t ADD INDEX ---------------
@@ -2126,11 +2134,15 @@ object ChSql {
       // TRUNCATE TABLE t → empty snapshot, view repointed
       return runAlter(spark, m.group(1), "DELETE", "WHERE true")
     }
-    insertSelectRe.findFirstMatchIn(query).foreach { m =>
+    // CH CLI spelling `INSERT INTO t [(cols)] FORMAT Values (…)` ≡
+    // the VALUES form
+    val query2 = """(?is)^(\s*INSERT\s+INTO\s+[A-Za-z_]\w*\s*(?:\([^)]*\)\s*)?)FORMAT\s+Values\s+"""
+      .r.replaceFirstIn(query, "$1VALUES ")
+    insertSelectRe.findFirstMatchIn(query2).foreach { m =>
       return runInsert(spark, m.group(1), m.group(3),
         positional = false, colList(m.group(2)))
     }
-    insertValuesRe.findFirstMatchIn(query).foreach { m =>
+    insertValuesRe.findFirstMatchIn(query2).foreach { m =>
       return runInsert(spark, m.group(1),
         s"SELECT * FROM VALUES ${m.group(3)}", positional = true,
         colList(m.group(2)))

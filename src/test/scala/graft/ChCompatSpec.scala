@@ -285,6 +285,18 @@ class ChCompatSpec extends AnyFunSuite {
     assert(parts.length == 1 && parts.head.getLong(2) > 0L)
     sql("DROP TABLE compat_schema")
     sql("DROP TABLE compat_nokey")
+    // Memory engine + MATERIALIZED column + CLI-style FORMAT Values
+    sql("""CREATE TABLE compat_mem (k Int64,
+             twice Int64 MATERIALIZED k * 2) ENGINE = Memory""")
+    sql("INSERT INTO compat_mem (k) FORMAT Values (21), (40)")
+    val mat = sql("SELECT k, twice FROM compat_mem ORDER BY k").collect()
+    assert(mat.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((21L, 42L), (40L, 80L)))
+    // a failed CREATE must not leave a half-registered table
+    intercept[Exception](sql(
+      "CREATE TABLE compat_bad (k Int64) ENGINE = NoSuchEngine"))
+    assert(!spark.catalog.tableExists("compat_bad"))
+    sql("DROP TABLE compat_mem")
   }
 
   test("DDL lifecycle: CTAS, mutate, reindex, query, drop") {

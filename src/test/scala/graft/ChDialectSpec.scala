@@ -988,9 +988,15 @@ class ChDialectSpec extends AnyFunSuite {
         ORDER BY (c_custkey) AS SELECT c_custkey FROM customer""")
     }
     intercept[Exception] {
-      Graft.sql(spark, """CREATE TABLE x ENGINE = Log AS
+      Graft.sql(spark, """CREATE TABLE x ENGINE = Kafka AS
         SELECT c_custkey FROM customer""")
     }
+    // Log/Memory are accepted non-merging engines: plain snapshot, no FINAL
+    Graft.sql(spark, """CREATE TABLE log_snap ENGINE = Log AS
+      SELECT c_custkey FROM customer""")
+    assert(Graft.sql(spark, "SELECT count(*) AS c FROM log_snap")
+      .head.getLong(0) > 0)
+    Graft.sql(spark, "DROP TABLE log_snap")
   }
 
   test("CTAS TTL clause, uniqCombined precision, parametric+clause composition") {
