@@ -656,6 +656,24 @@ object ChSql {
         if (mask(m.start)) Regex.quoteReplacement(m.matched)
         else Regex.quoteReplacement(m.group(1) + m.group(2)))
     }
+    // compound Array(…)/Map(…) types in cast position — paren-matched
+    // (nested types carry commas and parens a regex can't scope) and
+    // mapped through the DDL type mapper
+    val compoundCastRe = """(?i)(\bAS\s+|::\s*)(Array|Map)\s*\(""".r
+    var go = true
+    while (go) {
+      go = false
+      val mask2 = inStringMask(q)
+      compoundCastRe.findAllMatchIn(q).filterNot(m => mask2(m.start))
+        .take(1).foreach { m =>
+          val open = m.end - 1
+          val close = matchParenStr(q, open)
+          val typeTxt = m.group(2) + q.substring(open, close + 1)
+          q = q.substring(0, m.start) + m.group(1) + chType(typeTxt).sql +
+            q.substring(close + 1)
+          go = true
+        }
+    }
     if (chCastRe.findFirstIn(q).isEmpty) return q
     val mask = inStringMask(q)
     chCastRe.replaceAllIn(q, m =>
@@ -670,6 +688,53 @@ object ChSql {
       })
   }
 
+  // CH `CAST((keys, vals) AS Map(K, V))` — a tuple-of-arrays to map
+  // conversion Spark's CAST can't express; rewrite onto
+  // map_from_arrays with the element types mapped through [[chType]].
+  private val castOpenRe = """(?i)\bCAST\s*\(""".r
+  private val mapTypeRe = """(?i)^Map\s*\((.*)\)$""".r
+
+  private def rewriteTupleMapCast(q0: String): String = {
+    var q = q0
+    var go = true
+    while (go) {
+      go = false
+      val mask = inStringMask(q)
+      castOpenRe.findAllMatchIn(q).filterNot(m => mask(m.start))
+        .map { m =>
+          val open = m.end - 1
+          (m, open, matchParenStr(q, open))
+        }.flatMap { case (m, open, close) =>
+          val inner = q.substring(open + 1, close)
+          val innerMask = topLevelMask(inner)
+          """(?i)\bAS\b""".r.findAllMatchIn(inner)
+            .filter(a => innerMask(a.start)).toSeq.lastOption
+            .flatMap { a =>
+              val operand = inner.substring(0, a.start).trim
+              val tpe = inner.substring(a.end).trim
+              mapTypeRe.findFirstMatchIn(tpe).flatMap { t =>
+                val kv = splitTopLevel(t.group(1))
+                if (kv.size == 2 && operand.startsWith("(") &&
+                  matchParenStr(operand, 0) == operand.length - 1) {
+                  val parts = splitTopLevel(
+                    operand.substring(1, operand.length - 1))
+                  if (parts.size == 2)
+                    Some((m.start, close,
+                      s"map_from_arrays(" +
+                        s"CAST((${parts(0)}) AS ARRAY<${chType(kv(0)).sql}>), " +
+                        s"CAST((${parts(1)}) AS ARRAY<${chType(kv(1)).sql}>))"))
+                  else None
+                } else None
+              }
+            }
+        }.take(1).foreach { case (start, close, repl) =>
+          q = q.substring(0, start) + repl + q.substring(close + 1)
+          go = true
+        }
+    }
+    q
+  }
+
   /** The character-level CH→Spark passes, applied before any clause
     * routing: bracket syntax, tuple dots, colliding builtin renames,
     * cast-position type names.
@@ -679,6 +744,7 @@ object ChSql {
     q = rewriteTupleDots(q)
     q = rewritePosition(q)
     q = renameMasked(q, chAnyRe, "any_value(")
+    q = rewriteTupleMapCast(q)
     q = rewriteChCastTypes(q)
     rewriteExtract(q)
   }
@@ -773,13 +839,36 @@ object ChSql {
         val expand = sourceCols(q).map(c => s"$f($c) AS `$f($c)`")
         q = q.substring(0, m.start) + expand.mkString(", ") + q.substring(m.end)
       }
-    columnsFnRe.findFirstMatchIn(q).filter(m => topLevelMask(q)(m.start))
-      .foreach { m =>
-        val re = m.group(1).r
-        val keep = sourceCols(q).filter(c => re.findFirstIn(c).isDefined)
-        require(keep.nonEmpty, s"COLUMNS('${m.group(1)}') matches no column")
-        q = q.substring(0, m.start) + keep.mkString(", ") + q.substring(m.end)
-      }
+    // COLUMNS('re') [APPLY(f)]… — expand the regex against the FROM
+    // schema, then wrap each column in the APPLY chain (innermost
+    // first), naming results `f(col)` exactly as CH prints them
+    val applyTailRe = """(?is)^\s*APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    var more = true
+    while (more) {
+      more = false
+      columnsFnRe.findFirstMatchIn(q).filter(m => topLevelMask(q)(m.start))
+        .foreach { m =>
+          val re = m.group(1).r
+          val keep = sourceCols(q).filter(c => re.findFirstIn(c).isDefined)
+          require(keep.nonEmpty, s"COLUMNS('${m.group(1)}') matches no column")
+          var end = m.end
+          val fns = scala.collection.mutable.ArrayBuffer.empty[String]
+          var chain = applyTailRe.findFirstMatchIn(q.substring(end))
+          while (chain.isDefined) {
+            fns += chain.get.group(1)
+            end += chain.get.end
+            chain = applyTailRe.findFirstMatchIn(q.substring(end))
+          }
+          val expand =
+            if (fns.isEmpty) keep.mkString(", ")
+            else keep.map { c =>
+              val e = fns.foldLeft(c)((x, f) => s"$f($x)")
+              s"$e AS `$e`"
+            }.mkString(", ")
+          q = q.substring(0, m.start) + expand + q.substring(end)
+          more = true
+        }
+    }
     q
   }
 
@@ -830,13 +919,15 @@ object ChSql {
   }
 
   // longest-prefix names first so e.g. `quantiles` never half-matches
-  // as `quantile`
+  // as `quantile`; the optional trailing `If` is CH's -If combinator
+  // on a parametric aggregate (`quantileIf(0.5)(x, cond)`) and becomes
+  // a FILTER clause on the expanded call
   private val paramAggRe =
     ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|quantileExact|""" +
       """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
-      """\s*\(""").r
+      """(If)?\s*\(""").r
 
   /** ClickHouse's parametric-aggregate call syntax `f(params)(args)`
     * [public docs: sql-reference/aggregate-functions/parametric-
@@ -881,8 +972,19 @@ object ChSql {
         }.take(1).toList.headOption
       hit.foreach { case (m, p1open, p1close, p2open, p2close) =>
         val params = splitTopLevel(q.substring(p1open + 1, p1close))
-        val args = splitTopLevel(q.substring(p2open + 1, p2close))
-        val repl = expandParametric(spark, m.group(1), params, args)
+        var args = splitTopLevel(q.substring(p2open + 1, p2close))
+        // -If combinator: the trailing condition becomes a FILTER
+        // clause on the expanded aggregate call — correct for every
+        // form incl. the on-demand UDAFs (rows are dropped BEFORE the
+        // aggregate sees them, exactly CH's contract)
+        var filt = ""
+        if (m.group(2) != null) {
+          require(args.size >= 2,
+            s"${m.group(1)}If(params)(args…, cond) needs a trailing condition")
+          filt = s" FILTER (WHERE coalesce(CAST((${args.last}) AS BOOLEAN), false))"
+          args = args.init
+        }
+        val repl = expandParametric(spark, m.group(1), params, args, filt)
         q = q.substring(0, m.start) + repl + q.substring(p2close + 1)
         go = true
       }
@@ -891,7 +993,7 @@ object ChSql {
   }
 
   private def expandParametric(spark: SparkSession, name0: String,
-      params: Seq[String], args: Seq[String]): String = {
+      params: Seq[String], args: Seq[String], filt: String): String = {
     import graft.ops.Aggregates
     val name = name0.toLowerCase(java.util.Locale.ROOT)
     def intParam(i: Int): Int = {
@@ -925,22 +1027,22 @@ object ChSql {
       case "quantile" | "quantileexact" | "quantileexactinclusive" |
            "quantiletiming" | "quantiletdigest" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
-        s"percentile(${args.head}, ${params.head})"
+        s"percentile(${args.head}, ${params.head})$filt"
       case "quantiles" | "quantilesexact" =>
         require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
-        s"percentile(${args.head}, array(${params.mkString(", ")}))"
+        s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"
       case "quantileexactweighted" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(2)
         // Spark's percentile takes the weight as its frequency column
-        s"percentile(${args(0)}, ${params.head}, CAST(${args(1)} AS BIGINT))"
+        s"percentile(${args(0)}, ${params.head}, CAST(${args(1)} AS BIGINT))$filt"
       case "uniqupto" =>
         nArgs(1)
-        s"least(count(DISTINCT ${args.head}), CAST(${intParam(0)} AS BIGINT) + 1)"
+        s"least(count(DISTINCT ${args.head})$filt, CAST(${intParam(0)} AS BIGINT) + 1)"
       case "grouparraysorted" =>
         // N smallest values, ascending — deterministic at any
         // executor count (unlike bare groupArray's encounter order)
         nArgs(1)
-        s"slice(array_sort(collect_list(${args.head})), 1, ${intParam(0)})"
+        s"slice(array_sort(collect_list(${args.head})$filt), 1, ${intParam(0)})"
       case "uniqcombined" =>
         // HLL precision p → Spark's rsd ≈ 1.04 / sqrt(2^p), the
         // standard-error identity both sketches share
@@ -948,28 +1050,29 @@ object ChSql {
         val p = intParam(0)
         require(p >= 4 && p <= 20, s"uniqCombined precision must be 4..20, got $p")
         val rsd = 1.04 / math.sqrt(math.pow(2.0, p.toDouble))
-        s"approx_count_distinct(${args.head}, $rsd)"
+        s"approx_count_distinct(${args.head}, $rsd)$filt"
       case "topk" =>
         nArgs(1)
         val k = intParam(0)
         val fn = s"__ch_topk_$k"
         spark.udf.register(fn, udaf(new Aggregates.TopK(k, math.max(64, 8 * k))))
-        s"transform($fn(CAST(${args.head} AS STRING)), __e -> __e.v)"
+        s"transform($fn(CAST(${args.head} AS STRING))$filt, __e -> __e.v)"
       case "topkweighted" =>
         nArgs(2)
         val k = intParam(0)
         val fn = s"__ch_topkw_$k"
         spark.udf.register(fn,
           udaf(new Aggregates.TopKWeighted(k, math.max(64, 8 * k))))
-        s"transform($fn(CAST(${args(0)} AS STRING), CAST(${args(1)} AS BIGINT)), " +
+        s"transform($fn(CAST(${args(0)} AS STRING), CAST(${args(1)} AS BIGINT))$filt, " +
           "__e -> __e.v)"
       case "histogram" =>
         nArgs(1)
         val n = intParam(0)
         val fn = s"__ch_histogram_$n"
         spark.udf.register(fn, udaf(new Aggregates.AdaptiveHistogram(n)))
-        s"$fn(CAST(${args.head} AS DOUBLE))"
+        s"$fn(CAST(${args.head} AS DOUBLE))$filt"
       case "windowfunnel" =>
+        require(filt.isEmpty, "windowFunnelIf is not a ClickHouse form")
         require(args.size >= 2, "windowFunnel(w)(ts, cond1…) needs a " +
           "timestamp and at least one condition")
         val w = intParam(0) // seconds — the ts argument is cast to TIMESTAMP
@@ -989,6 +1092,7 @@ object ChSql {
         spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(inner, n)))
         s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
       case "sequencematch" | "sequencecount" =>
+        require(filt.isEmpty, s"${name0}If is not a ClickHouse form")
         require(params.size == 1, s"$name0 takes one pattern parameter")
         require(args.size >= 2, s"$name0('pat')(ts, cond1…) needs a " +
           "timestamp and at least one condition")
@@ -1006,6 +1110,29 @@ object ChSql {
         s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
       case other => throw new IllegalStateException(s"unhandled parametric $other")
     }
+  }
+
+  // ---- generic aggregate combinators (on-demand registration) ------
+  // CH glues combinator suffixes onto ANY aggregate name. Rather than
+  // pre-register the cross product, scan the query for function-call
+  // names nothing resolves yet and ask ChDialect to peel them
+  // (`groupArrayIf`, `countDistinctIf`, `sumArrayIf`, `uniqOrNull`,
+  // …). Registration is a driver-side side effect; the text passes
+  // through unchanged and unpeelable names still fail as unresolved.
+  private val fnCallRe = """(?i)\b([A-Za-z_]\w{2,})\s*\(""".r
+
+  private def registerCombinators(spark: SparkSession, q: String): String = {
+    val inStr = inStringMask(q)
+    val fr = spark.sessionState.functionRegistry
+    fnCallRe.findAllMatchIn(q).filterNot(m => inStr(m.start))
+      .map(_.group(1)).toSeq.distinct
+      .filterNot(n => fr.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+      .foreach { n =>
+        graft.functions.ChDialect.combinatorBuilder(spark, n).foreach(b =>
+          fr.createOrReplaceTempFunction(n, b, "built-in"))
+      }
+    q
   }
 
   private def preRewrite(q0: String): String = {
@@ -2197,10 +2324,10 @@ object ChSql {
       return Seq(path).toDF("outfile")
     }
 
-    var q = rewriteIndexScan(spark,
+    var q = registerCombinators(spark, rewriteIndexScan(spark,
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
         rewriteFinal(spark, rewriteSystemTables(spark,
-          rewriteParametric(spark, rewriteLexical(query.trim))))))))
+          rewriteParametric(spark, rewriteLexical(query.trim)))))))))
 
     // CH `SELECT DISTINCT ON (k…)` — first row per key group in the
     // query's order (CH documents it as `LIMIT 1 BY`). Spark cannot

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** ClickHouse-spelled SQL function names, so a ClickHouse user's query
   * text runs unchanged through `Graft.sql` (registered by
@@ -36,8 +36,8 @@ object ChDialect {
     "intDiv" -> "div",
     "ifNull" -> "ifnull",
     "nullIf" -> "nullif",
-    "arraySort" -> "array_sort",
     "arrayReverse" -> "reverse",
+    "mid" -> "substring",
     "arrayConcat" -> "concat",
     "has" -> "array_contains",
     "indexOf" -> "array_position",
@@ -1036,6 +1036,121 @@ object ChDialect {
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("randn")).get, "built-in")
 
+    // CH arraySort/arrayReverseSort: the optional KEY lambda comes
+    // FIRST (Spark's array_sort takes a two-argument COMPARATOR, so
+    // the alias alone would reject CH text). The key form compiles
+    // Schwartzian: decorate each element with (key, position), sort by
+    // the default struct ordering (key, then position — stable by
+    // construction), then strip. The reverse form NEGATES the position
+    // so that after the final reverse, equal keys keep their original
+    // order — CH documents both sorts as stable.
+    def sortByKey(c: Seq[Expression], rev: Boolean): Expression = c match {
+      case Seq(arr) =>
+        if (rev) Reverse(new ArraySort(arr)) else new ArraySort(arr)
+      case Seq(f: LambdaFunction, arr) =>
+        require(f.arguments.size == 1,
+          "arraySort(fn, arr): the key lambda takes one element argument")
+        val v = UnresolvedNamedLambdaVariable(Seq("__sv"))
+        val i = UnresolvedNamedLambdaVariable(Seq("__si"))
+        val argName = f.arguments.head
+          .asInstanceOf[UnresolvedNamedLambdaVariable].nameParts
+        val key = f.function.transformUp {
+          case u: UnresolvedNamedLambdaVariable if u.nameParts == argName => v
+        }
+        val pos = if (rev) Subtract(Literal(0), i) else (i: Expression)
+        val deco = ArrayTransform(arr, LambdaFunction(
+          CreateNamedStruct(Seq(Literal("k"), key, Literal("i"), pos,
+            Literal("v"), v)), Seq(v, i)))
+        val sorted = new ArraySort(deco)
+        val s = UnresolvedNamedLambdaVariable(Seq("__ss"))
+        ArrayTransform(if (rev) Reverse(sorted) else (sorted: Expression),
+          LambdaFunction(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+      case other => throw new IllegalArgumentException(
+        s"arraySort takes (arr) or (keyFn, arr), got ${other.size} args")
+    }
+    reg("arraySort")(c => sortByKey(c, rev = false))
+    reg("arrayReverseSort")(c => sortByKey(c, rev = true))
+
+    // CH -ForEach combinator family: the aggregate applied ELEMENTWISE
+    // across rows at each array position (docs: aggregate-functions/
+    // combinators#-foreach). countForEach rides sumForEach over
+    // indicator arrays.
+    Seq("sum", "min", "max", "avg").foreach { op =>
+      spark.udf.register(op + "ForEach",
+        org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ForEachNum(op)))
+    }
+    macroFn("countForEach", Seq("__a"),
+      """CAST(sumForEach(transform(__a,
+           __x -> CAST(IF(__x IS NULL, 0, 1) AS DOUBLE))) AS ARRAY<BIGINT>)""")
+
+    // CH sumMap/minMap/maxMap: two-array form `sumMap(keys, vals)` and
+    // one-arg Map-column form `sumMap(m)` both dispatch onto a shared
+    // UDAF (result = CH's (sorted keys, aggregated values) pair). The
+    // builder emits an UnresolvedFunction so the dispatch-by-arity
+    // happens before resolution; keys normalize to DOUBLE.
+    Seq("sum" -> "sumMap", "min" -> "minMap", "max" -> "maxMap")
+      .foreach { case (op, nm) =>
+        val inner = "__ch_" + nm.toLowerCase(java.util.Locale.ROOT)
+        spark.udf.register(inner,
+          org.apache.spark.sql.functions.udaf(
+            new graft.ops.Aggregates.MapCombine(op)))
+        def darr(e: Expression): Expression =
+          Cast(e, org.apache.spark.sql.types.ArrayType(DoubleType))
+        reg(nm) {
+          case Seq(m) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+              inner, Seq(darr(MapKeys(m)), darr(MapValues(m))),
+              isDistinct = false)
+          case Seq(k, v) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+              inner, Seq(darr(k), darr(v)), isDistinct = false)
+          case other => throw new IllegalArgumentException(
+            s"$nm takes (map) or (keys, values), got ${other.size} args")
+        }
+      }
+
+    // CH toWeek(d) (default mode 0 = MySQL WEEK(d,0)): Sunday-start
+    // weeks, week 1 begins at the year's first Sunday, earlier days
+    // are week 0. toISOWeek is the ISO 8601 week number.
+    macroFn("toWeek", Seq("__d"),
+      """IF(dayofyear(CAST(__d AS DATE)) <=
+            (8 - dayofweek(trunc(CAST(__d AS DATE), 'YEAR'))) % 7,
+          0,
+          CAST(floor((dayofyear(CAST(__d AS DATE)) - 1 -
+              (8 - dayofweek(trunc(CAST(__d AS DATE), 'YEAR'))) % 7) / 7)
+            AS INT) + 1)""")
+    macroFn("toISOWeek", Seq("__d"), "weekofyear(CAST(__d AS DATE))")
+
+    // CH anyHeavy: an approximate heavy hitter. Spark's Mode is the
+    // dialect-level stand-in (exact most-frequent value); the
+    // tie-safe exact form is the agg_any_bounding query's operator.
+    reg("anyHeavy")(c =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Mode(c.head))
+
+    // CH untuple(t) expands a tuple into columns. Inline over a
+    // one-element array is Spark's generator form of exactly that —
+    // usable where generators are (top-level SELECT), like CH's own
+    // select-clause restriction.
+    reg("untuple") { c =>
+      require(c.size == 1, "untuple takes one tuple argument")
+      Inline(CreateArray(c))
+    }
+
+    // CH formatRow('Format', v…): one row rendered as text
+    reg("formatRow") { c =>
+      require(c.size >= 2 && c.head.foldable,
+        "formatRow('CSV'|'TSV'|'JSONEachRow', v…)")
+      val fmt = c.head.eval().toString.toLowerCase(java.util.Locale.ROOT)
+      fmt match {
+        case "csv" => StructsToCsv(Map.empty, CreateStruct(c.tail))
+        case "tsv" | "tabseparated" =>
+          ConcatWs(Literal("\t") +: c.tail.map(Cast(_, StringType)))
+        case "jsoneachrow" => StructsToJson(Map.empty, CreateStruct(c.tail))
+        case other => throw new IllegalArgumentException(
+          s"formatRow: unsupported format '$other' (CSV/TSV/JSONEachRow)")
+      }
+    }
+
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
     reg("intHash64")(c => IntHash64(c.head))
@@ -1045,5 +1160,108 @@ object ChDialect {
     reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
     reg("cosineDistance")(c =>
       Subtract(Literal(1.0), CosineSimilarity(c(0), c(1))))
+  }
+
+  /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,
+    * `groupArrayIf`, `uniqOrNull`, `countDistinctIf`, `sumArrayIf`, …)
+    * [public docs: sql-reference/aggregate-functions/combinators].
+    * The fixed spellings in [[register]] cover the hot ones; this
+    * peels -If / -OrNull / -Distinct / -Array chains off an
+    * UNRESOLVED name recursively and composes a builder over the
+    * registered base: -If null-masks every value argument with the
+    * trailing condition (null inputs never contribute to any Spark
+    * aggregate), -OrNull strips to the base (Spark aggregates are
+    * already NULL on the empty set) except the count family which
+    * null-ifs its 0, -Distinct sets the distinct flag, -Array maps a
+    * known base over array contents. None = "not a combinator
+    * spelling"; the caller leaves the name to fail as unresolved.
+    */
+  def combinatorBuilder(spark: SparkSession,
+      name: String): Option[Seq[Expression] => Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, AggregateFunction, CollectList, CollectSet,
+      Max, Min, Sum}
+    val fr = spark.sessionState.functionRegistry
+    def lookup(n: String): Option[Seq[Expression] => Expression] =
+      fr.lookupFunctionBuilder(FunctionIdentifier(n))
+        .orElse(FunctionRegistry.builtin
+          .lookupFunctionBuilder(FunctionIdentifier(n)))
+        .map(b => (args: Seq[Expression]) => b(args))
+    def asAggExpr(e: Expression): Expression = e match {
+      case af: AggregateFunction => af.toAggregateExpression()
+      case other => other
+    }
+    // a combinator chain must bottom out on an aggregate — silently
+    // null-masking a SCALAR base's arguments would change semantics
+    def mustAgg(e: Expression): Expression = {
+      require(e.find {
+        case _: AggregateFunction | _: AggregateExpression => true
+        case _ => false
+      }.isDefined, s"$name: combinator suffix on a non-aggregate base")
+      e
+    }
+    def arrayComb(base: String): Option[Seq[Expression] => Expression] = {
+      def one(args: Seq[Expression]): Expression = {
+        require(args.size == 1,
+          s"$name: the -Array combinator takes one array argument")
+        args.head
+      }
+      base.toLowerCase(java.util.Locale.ROOT) match {
+        case "count" => Some(a => Sum(Cast(Size(one(a)), LongType)))
+        case "min" => Some(a => Min(ArrayMin(one(a))))
+        case "max" => Some(a => Max(ArrayMax(one(a))))
+        case "sum" => lookup("arraySum").map(as =>
+          (a: Seq[Expression]) => Sum(as(Seq(one(a)))))
+        case "avg" => lookup("arraySum").map { as => (a: Seq[Expression]) =>
+          val arr = one(a)
+          // mean over ALL elements = total / total element count —
+          // NOT avg of per-row means
+          Divide(Cast(asAggExpr(Sum(as(Seq(arr)))), DoubleType),
+            Cast(asAggExpr(Sum(Cast(Size(arr), LongType))), DoubleType))
+        }
+        case "grouparray" => Some(a => Flatten(asAggExpr(CollectList(one(a)))))
+        case "groupuniqarray" =>
+          Some(a => ArrayDistinct(Flatten(asAggExpr(CollectSet(one(a))))))
+        case "uniq" | "uniqexact" => Some(a =>
+          Cast(Size(ArrayDistinct(Flatten(asAggExpr(CollectSet(one(a)))))),
+            LongType))
+        case _ => None
+      }
+    }
+    def peel(n: String): Option[Seq[Expression] => Expression] = {
+      val l = n.toLowerCase(java.util.Locale.ROOT)
+      lookup(n).orElse {
+        if (l.endsWith("if") && l.length > 2)
+          peel(n.dropRight(2)).map { inner => (args: Seq[Expression]) =>
+            require(args.size >= 2, s"$name: -If needs a trailing condition")
+            val cond =
+              Coalesce(Seq(Cast(args.last, BooleanType), Literal(false)))
+            mustAgg(inner(args.init.map(a => CaseWhen(Seq((cond, a)), None))))
+          }
+        else if (l.endsWith("ornull") && l.length > 6)
+          peel(n.dropRight(6)).map { inner => (args: Seq[Expression]) =>
+            val e = mustAgg(inner(args))
+            // the count family yields 0 on the empty set where CH's
+            // -OrNull wants NULL; every other aggregate is already NULL
+            if (l.startsWith("count") || l.startsWith("uniq"))
+              new NullIf(asAggExpr(e), Literal(0L))
+            else e
+          }
+        else if (l.endsWith("distinct") && l.length > 8)
+          peel(n.dropRight(8)).map { inner => (args: Seq[Expression]) =>
+            inner(args) match {
+              case af: AggregateFunction =>
+                af.toAggregateExpression(isDistinct = true)
+              case ae: AggregateExpression => ae.copy(isDistinct = true)
+              case other => throw new IllegalArgumentException(
+                s"$name: -Distinct needs a plain aggregate root, " +
+                  s"got ${other.sql}")
+            }
+          }
+        else if (l.endsWith("array") && l.length > 5) arrayComb(n.dropRight(5))
+        else None
+      }
+    }
+    if (lookup(name).isDefined) None else peel(name)
   }
 }

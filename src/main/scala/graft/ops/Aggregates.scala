@@ -743,4 +743,96 @@ object Aggregates {
     def bufferEncoder: Encoder[Seq[Centroid]] = enc[Seq[Centroid]]
     def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
   }
+
+  /** CH sumMap/minMap/maxMap [public docs: sql-reference/
+    * aggregate-functions/reference/summap]: per-key aggregation of
+    * parallel key/value arrays across rows; the result is the
+    * (sorted keys, aggregated values) pair CH prints. Keys are
+    * normalized to DOUBLE (CH's dominant numeric-key use; string-keyed
+    * maps fail loudly at analysis instead of silently casting).
+    * Buffer is a hash map keyed by the key value, so the state is
+    * O(distinct keys), not O(rows).
+    */
+  class MapCombine(op: String)
+      extends Aggregator[(Seq[Double], Seq[Double]), Map[Double, Double],
+        (Seq[Double], Seq[Double])] with Serializable {
+    require(Set("sum", "min", "max")(op), s"MapCombine: bad op $op")
+    private def comb(a: Double, b: Double): Double = op match {
+      case "min" => math.min(a, b)
+      case "max" => math.max(a, b)
+      case _ => a + b
+    }
+    def zero: Map[Double, Double] = Map.empty
+    def reduce(b: Map[Double, Double],
+        x: (Seq[Double], Seq[Double])): Map[Double, Double] =
+      if (x == null || x._1 == null || x._2 == null) b
+      else {
+        require(x._1.length == x._2.length,
+          s"${op}Map: keys(${x._1.length}) and values(${x._2.length}) differ")
+        x._1.zip(x._2).foldLeft(b) { case (m, (k, v)) =>
+          m.updatedWith(k)(c => Some(c.fold(v)(comb(_, v))))
+        }
+      }
+    def merge(a: Map[Double, Double],
+        b: Map[Double, Double]): Map[Double, Double] =
+      b.foldLeft(a) { case (m, (k, v)) =>
+        m.updatedWith(k)(c => Some(c.fold(v)(comb(_, v))))
+      }
+    def finish(r: Map[Double, Double]): (Seq[Double], Seq[Double]) = {
+      val sorted = r.toSeq.sortBy(_._1)
+      (sorted.map(_._1), sorted.map(_._2))
+    }
+    def bufferEncoder: Encoder[Map[Double, Double]] = enc[Map[Double, Double]]
+    def outputEncoder: Encoder[(Seq[Double], Seq[Double])] =
+      enc[(Seq[Double], Seq[Double])]
+  }
+
+  /** CH's `-ForEach` aggregate combinator [public docs: sql-reference/
+    * aggregate-functions/combinators#-foreach]: apply the aggregate
+    * ELEMENTWISE across rows at each array position. Output length =
+    * the longest input array; positions a shorter array doesn't reach
+    * simply contribute nothing there (CH semantics). Buffer is
+    * (values, counts) per position so `avg` shares the class; sums of
+    * integral inputs stay exact in double (< 2^53), so results are
+    * partition-order independent for the integral inputs the oracle
+    * checks. Registered by ChDialect as sum/min/max/avgForEach;
+    * countForEach is a macro over sumForEach of indicator arrays.
+    */
+  class ForEachNum(op: String)
+      extends Aggregator[Seq[Double], (Seq[Double], Seq[Long]), Seq[Double]]
+      with Serializable {
+    require(Set("sum", "min", "max", "avg")(op), s"ForEachNum: bad op $op")
+    def zero: (Seq[Double], Seq[Long]) = (Nil, Nil)
+    private def comb(a: Double, b: Double): Double = op match {
+      case "min" => math.min(a, b)
+      case "max" => math.max(a, b)
+      case _ => a + b // sum and avg both accumulate sums
+    }
+    private def combine(av: Seq[Double], ac: Seq[Long],
+        bv: Seq[Double], bc: Seq[Long]): (Seq[Double], Seq[Long]) = {
+      val n = math.max(av.length, bv.length)
+      val v = Array.tabulate(n) { i =>
+        val hasA = i < av.length && ac(i) > 0L
+        val hasB = i < bv.length && bc(i) > 0L
+        if (hasA && hasB) comb(av(i), bv(i))
+        else if (hasA) av(i)
+        else if (hasB) bv(i) else 0.0
+      }
+      val c = Array.tabulate(n) { i =>
+        (if (i < ac.length) ac(i) else 0L) + (if (i < bc.length) bc(i) else 0L)
+      }
+      (v.toIndexedSeq, c.toIndexedSeq)
+    }
+    def reduce(b: (Seq[Double], Seq[Long]), x: Seq[Double]): (Seq[Double], Seq[Long]) =
+      if (x == null) b
+      else combine(b._1, b._2, x, Seq.fill(x.length)(1L))
+    def merge(a: (Seq[Double], Seq[Long]),
+        b: (Seq[Double], Seq[Long])): (Seq[Double], Seq[Long]) =
+      combine(a._1, a._2, b._1, b._2)
+    def finish(r: (Seq[Double], Seq[Long])): Seq[Double] =
+      if (op == "avg") r._1.zip(r._2).map { case (s, c) => s / c }
+      else r._1
+    def bufferEncoder: Encoder[(Seq[Double], Seq[Long])] = enc[(Seq[Double], Seq[Long])]
+    def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
+  }
 }

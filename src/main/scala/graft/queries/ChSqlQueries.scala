@@ -816,6 +816,86 @@ object ChSqlQueries {
                                       ORDER BY o_orderdate, o_orderkey) AS rn
             FROM orders)
       WHERE rn = 1
-      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+      ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // Generic aggregate-combinator chains as verbatim text: CH glues
+    // -If / -OrNull / -Distinct / -Array onto ANY aggregate name;
+    // ChDialect.combinatorBuilder peels unresolved names on demand
+    // (registered fixed spellings cover only the hot ones). Also the
+    // parametric+If form `quantileIf(p)(x, cond)` → FILTER clause.
+    QDef("sql_ch_combinators", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_returnflag,
+               arrayStringConcat(arraySort(
+                 groupUniqArrayIf(l_linenumber, l_quantity > 45)), '|') AS lines_hi,
+               countDistinctIf(l_suppkey, l_quantity > 45) AS supp_hi,
+               uniqExactOrNullIf(l_partkey, l_discount > 0.2) AS none_match,
+               sumArrayIf([l_linenumber, 2 * l_linenumber], l_quantity > 45) AS arr_sum,
+               round(avgArray([l_linenumber, l_linenumber + 3]), 6) AS arr_avg,
+               round(quantileIf(0.5)(l_quantity, l_discount > 0.02), 4) AS med_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag,
+             array_to_string(list_sort(list(DISTINCT l_linenumber)
+               FILTER (WHERE l_quantity > 45)), '|') AS lines_hi,
+             count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 45) AS supp_hi,
+             nullif(count(DISTINCT l_partkey)
+               FILTER (WHERE l_discount > 0.2), 0) AS none_match,
+             CAST(sum(3 * l_linenumber)
+               FILTER (WHERE l_quantity > 45) AS BIGINT) AS arr_sum,
+             round((CAST(sum(l_linenumber) AS DOUBLE) + sum(l_linenumber + 3))
+               / (2 * count(*)), 6) AS arr_avg,
+             round(quantile_cont(l_quantity, 0.5)
+               FILTER (WHERE l_discount > 0.02), 4) AS med_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // -ForEach combinator: elementwise aggregation across rows at each
+    // array position (the per-position sums/counts UDAF). Integral
+    // inputs keep the double sums exact, so results are
+    // partition-order independent and hash-comparable.
+    QDef("sql_ch_foreach", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_returnflag,
+               arrayStringConcat(
+                 CAST(sumForEach([toFloat64(l_linenumber), 1.0]) AS Array(Int64)),
+                 '|') AS s_each,
+               arrayStringConcat(
+                 countForEach([l_linenumber, l_linenumber]), '|') AS c_each,
+               round(avgForEach([toFloat64(l_linenumber), toFloat64(l_quantity)])[1], 6) AS avg_line,
+               round(avgForEach([toFloat64(l_linenumber), toFloat64(l_quantity)])[2], 6) AS avg_qty,
+               minForEach([toFloat64(l_quantity), 2.0])[1] AS min_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag,
+             array_to_string([CAST(sum(l_linenumber) AS BIGINT),
+                              CAST(count(*) AS BIGINT)], '|') AS s_each,
+             array_to_string([count(*), count(*)], '|') AS c_each,
+             round(CAST(sum(l_linenumber) AS DOUBLE) / count(*), 6) AS avg_line,
+             round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 6) AS avg_qty,
+             min(l_quantity) AS min_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // COLUMNS('re') APPLY(f) [APPLY(g)] — CH's column-selector sugar
+    // expanded against the FROM schema, results named `f(col)` exactly
+    // as CH prints them (the chain wraps innermost-first).
+    QDef("sql_ch_apply", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT COLUMNS('_(order|part|supp)key$') APPLY(max) FROM lineitem""")
+    }, Some("""
+      SELECT max(l_orderkey) AS "max(l_orderkey)",
+             max(l_partkey)  AS "max(l_partkey)",
+             max(l_suppkey)  AS "max(l_suppkey)"
+      FROM lineitem"""))
   )
 }

@@ -299,6 +299,75 @@ class ChCompatSpec extends AnyFunSuite {
     sql("DROP TABLE compat_mem")
   }
 
+  test("generic combinators, ForEach, map aggregates, sort lambdas") {
+    // combinator chains nothing pre-registers: peeled on demand
+    val c = run("""
+      SELECT countDistinctIf(n_regionkey, n_nationkey > 3) AS cd,
+             uniqExactOrNullIf(n_regionkey, n_nationkey < 0) AS empty_null,
+             sumOrNull(n_nationkey) AS s,
+             avgDistinct(n_regionkey) AS ad,
+             sumArray([n_nationkey, 10]) AS sa,
+             maxArray([n_nationkey, 7]) AS mx
+      FROM nation""").head
+    assert(c.getLong(0) == 5 && c.isNullAt(1) &&
+      c.getLong(2) == (0 until 25).sum && c.getDouble(3) == 2.0 &&
+      c.getLong(4) == (0 until 25).sum + 250 && c.getInt(5) == 24)
+    // a combinator suffix on a scalar base must fail loudly
+    val e = intercept[Exception](run("SELECT upperIf('a', true) AS x"))
+    assert(e.getMessage.contains("non-aggregate base"))
+    // parametric + If: FILTER semantics incl. the UDAF forms
+    val p = run("""
+      SELECT round(quantileIf(0.5)(n_nationkey, n_regionkey = 0), 2) AS q,
+             topKIf(1)(n_name, n_regionkey = 0) AS t
+      FROM nation""").head
+    assert(p.getDouble(0) > 0 && p.getSeq[String](1).size == 1)
+    // -ForEach family: elementwise across rows
+    val f = run("""
+      SELECT sumForEach([toFloat64(n_regionkey), 1.0]) AS s,
+             countForEach([n_regionkey]) AS c,
+             minForEach([toFloat64(n_nationkey)]) AS mn
+      FROM nation""").head
+    assert(f.getSeq[Double](0) == Seq(50.0, 25.0) &&
+      f.getSeq[Long](1) == Seq(25L) && f.getSeq[Double](2) == Seq(0.0))
+    // sumMap/maxMap: two-array and Map-column forms, sorted-key output
+    val m = run("""
+      SELECT sumMap([n_nationkey % 2, 5], [1, 1]) AS sm,
+             maxMap(map(1, n_nationkey)) AS mm
+      FROM nation""").head
+    val sm = m.getStruct(0)
+    assert(sm.getSeq[Double](0) == Seq(0.0, 1.0, 5.0) &&
+      sm.getSeq[Double](1) == Seq(13.0, 12.0, 25.0))
+    assert(m.getStruct(1).getSeq[Double](1) == Seq(24.0))
+    // lambda-first arraySort/arrayReverseSort: stable Schwartzian
+    val srt = run("""
+      SELECT arraySort(x -> -x, [3, 1, 2]) AS a,
+             arrayReverseSort([3, 1, 2]) AS r,
+             arrayReverseSort(x -> x % 10, [21, 12, 33, 41]) AS rk""").head
+    assert(srt.getSeq[Int](0) == Seq(3, 2, 1) &&
+      srt.getSeq[Int](1) == Seq(3, 2, 1) &&
+      srt.getSeq[Int](2) == Seq(33, 12, 21, 41))
+    // toWeek (MySQL mode-0 weeks), untuple, formatRow, mid,
+    // tuple→Map cast, Array(...) cast
+    val misc = run("""
+      SELECT toWeek(toDate('2024-03-07')) AS w,
+             toWeek(toDate('2024-01-06')) AS w0,
+             toWeek(toDate('2024-01-07')) AS w1,
+             toISOWeek(toDate('2024-03-07')) AS iw,
+             mid('hello', 2, 3) AS m,
+             formatRow('CSV', 1, 'a,b') AS fr,
+             CAST(([1, 2], ['a', 'b']) AS Map(Int64, String)) AS tm,
+             CAST(['7', '8'] AS Array(Int64)) AS arr""").head
+    assert(misc.getInt(0) == 9 && misc.getInt(1) == 0 && misc.getInt(2) == 1 &&
+      misc.getInt(3) == 10 && misc.getString(4) == "ell")
+    assert(misc.getString(5) == "1,\"a,b\"")
+    assert(misc.getMap[Long, String](6) == Map(1L -> "a", 2L -> "b") &&
+      misc.getSeq[Long](7) == Seq(7L, 8L))
+    val u = run("SELECT untuple(tuple(1, 'a'))").head
+    assert(u.getInt(0) == 1 && u.getString(1) == "a")
+    val h = run("SELECT anyHeavy(l_returnflag) AS h FROM lineitem").head
+    assert(Set("A", "N", "R")(h.getString(0)))
+  }
+
   test("DDL lifecycle: CTAS, mutate, reindex, query, drop") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def sql(q: String) = Graft.sql(spark, q)
