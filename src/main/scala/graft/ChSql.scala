@@ -739,6 +739,16 @@ object ChSql {
     * routing: bracket syntax, tuple dots, colliding builtin renames,
     * cast-position type names.
     */
+  // CH dateSub(DAY, 3, d): the bare unit keyword cannot resolve as an
+  // expression child, so it becomes a string literal before parsing.
+  // Only the *Sub spellings need this — dateAdd/date_add/timestampAdd
+  // are special-cased in Spark's own grammar with UNQUOTED units (and
+  // quoting would break them); 2-arg date_sub(date, days) never
+  // matches the unit-keyword shape.
+  private val dateArithUnitRe =
+    ("""(?i)\b(dateSub|timestampSub|date_sub)""" +
+      """\s*\(\s*(year|quarter|month|week|day|hour|minute|second)\s*,""").r
+
   private def rewriteLexical(q0: String): String = {
     var q = rewriteBrackets(q0)
     q = rewriteTupleDots(q)
@@ -746,6 +756,13 @@ object ChSql {
     q = renameMasked(q, chAnyRe, "any_value(")
     q = rewriteTupleMapCast(q)
     q = rewriteChCastTypes(q)
+    if (dateArithUnitRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = dateArithUnitRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(
+          s"${m.group(1)}('${m.group(2).toLowerCase(java.util.Locale.ROOT)}',"))
+    }
     rewriteExtract(q)
   }
 
@@ -924,7 +941,8 @@ object ChSql {
   // a FILTER clause on the expanded call
   private val paramAggRe =
     ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|quantileExact|""" +
-      """quantileTiming|quantileTDigest|quantiles|quantile|uniqUpTo|uniqCombined|""" +
+      """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
+      """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
       """(If)?\s*\(""").r
@@ -1025,13 +1043,18 @@ object ChSql {
       // rank selection is ops/Quantiles; the bucketed timing
       // histogram itself is agg_quantile_timing).
       case "quantile" | "quantileexact" | "quantileexactinclusive" |
-           "quantiletiming" | "quantiletdigest" =>
+           "quantiletiming" | "quantiletdigest" | "quantilebfloat16" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
         s"percentile(${args.head}, ${params.head})$filt"
       case "quantiles" | "quantilesexact" =>
         require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
         s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"
-      case "quantileexactweighted" =>
+      case "quantiledeterministic" =>
+        // the determinator argument only seeds CH's reservoir sampling;
+        // the exact interpolated quantile ignores it
+        require(params.size == 1, s"$name0 takes one level parameter"); nArgs(2)
+        s"percentile(${args.head}, ${params.head})$filt"
+      case "quantileinterpolatedweighted" | "quantileexactweighted" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(2)
         // Spark's percentile takes the weight as its frequency column
         s"percentile(${args(0)}, ${params.head}, CAST(${args(1)} AS BIGINT))$filt"
@@ -2169,6 +2192,12 @@ object ChSql {
       import spark.implicits._
       return Seq(if (spark.catalog.tableExists(m.group(1))) 1 else 0)
         .toDF("result")
+    }
+    // SHOW PROCESSLIST — single-session engine: nothing concurrent to
+    // report, but the statement must parse (CH CLI habit)
+    if (query.trim.matches("(?is)^SHOW\\s+PROCESSLIST\\s*;?\\s*$")) {
+      import spark.implicits._
+      return Seq.empty[(String, Double)].toDF("query", "elapsed")
     }
     showCreateRe.findFirstMatchIn(query).foreach { m =>
       val name = m.group(1)

@@ -1151,6 +1151,84 @@ object ChDialect {
       }
     }
 
+    // Unicode normalization forms (java.text.Normalizer, codegen'd)
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
+      reg("normalizeUTF8" + form)(c => UnicodeNormalize(c.head, form))
+    }
+    // Spark strings are valid UTF-8 by construction — identity
+    macroFn("toValidUTF8", Seq("__s"), "__s")
+
+    // stability-suffixed moment aggregates: CH's *Stable variants are
+    // the same statistics with a summation-order guarantee; Spark's
+    // builtins are the mapping (our DECIMAL-sum determinism convention
+    // covers the order concern in oracle-checked entries)
+    Seq("corrStable" -> "corr", "covarPopStable" -> "covar_pop",
+      "covarSampStable" -> "covar_samp", "stddevPopStable" -> "stddev_pop",
+      "stddevSampStable" -> "stddev_samp", "varPopStable" -> "var_pop",
+      "varSampStable" -> "var_samp").foreach { case (ch, sp) =>
+      fr.createOrReplaceTempFunction(ch, FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier(sp)).get, "built-in")
+    }
+    fr.createOrReplaceTempFunction("reverseUTF8", FunctionRegistry.builtin
+      .lookupFunctionBuilder(FunctionIdentifier("reverse")).get, "built-in")
+
+    macroFn("isZeroOrNull", Seq("__x"), "coalesce(__x = 0, true)")
+    macroFn("ifNotFinite", Seq("__x", "__y"),
+      "IF(isnan(__x) OR abs(__x) = double('inf'), __y, __x)")
+    reg("toStartOfSecond")(c => TruncTimestamp(Literal("SECOND"), c.head))
+
+    // CH groupConcat(x[, sep]): concatenated group values (encounter
+    // order, like CH — sort upstream for determinism)
+    reg("groupConcat") { c =>
+      require(c.nonEmpty && c.size <= 2, "groupConcat(x[, separator])")
+      import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+      val sep = c.drop(1).headOption.getOrElse(Literal(""))
+      ArrayJoin(CollectList(Cast(c.head, StringType)).toAggregateExpression(),
+        sep, None)
+    }
+
+    // CH dateAdd/dateSub(unit, n, x): sugar over the add*/subtract*
+    // family above; the unit arrives as a bare identifier or a string
+    def chUnit(e: Expression): String = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase(java.util.Locale.ROOT)
+      case Literal(s, StringType) => s.toString.toLowerCase(java.util.Locale.ROOT)
+      case other => throw new IllegalArgumentException(
+        s"dateAdd/dateSub: unit must be a bare keyword, got ${other.sql}")
+    }
+    def dateArith(pre: String)(c: Seq[Expression]): Expression = {
+      require(c.size == 3, s"${pre}…(unit, n, date) takes three arguments")
+      val u = chUnit(c.head)
+      val fn = pre + u.capitalize + "s"
+      fr.lookupFunctionBuilder(FunctionIdentifier(fn)).getOrElse(
+        throw new IllegalArgumentException(
+          s"dateAdd/dateSub: unsupported unit '$u'"))(Seq(c(2), c(1)))
+    }
+    // the *Add spellings (dateAdd/date_add/timestampAdd) are handled
+    // by Spark's own grammar with unquoted units; only the *Sub forms
+    // need builders (units pre-quoted by the front door's lexical pass)
+    reg("dateSub")(dateArith("subtract"))
+    reg("timestampSub")(dateArith("subtract"))
+    val nativeDateSub = FunctionRegistry.builtin
+      .lookupFunctionBuilder(FunctionIdentifier("date_sub")).get
+    reg("date_sub")(c =>
+      if (c.size == 3) dateArith("subtract")(c) else nativeDateSub(c))
+
+    // CH accurateCast[OrNull](x, 'Type') with CH type names; OrNull is
+    // try_cast semantics (NULL on failure instead of an error)
+    def accCast(c: Seq[Expression], tryMode: Boolean): Expression = {
+      require(c.size == 2, "accurateCast(x, 'Type')")
+      val t = c(1) match {
+        case Literal(s, _) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"accurateCast: type must be a string literal, got ${other.sql}")
+      }
+      val dt = graft.ChSql.chType(t)
+      if (tryMode) Cast(c.head, dt, None, EvalMode.TRY) else Cast(c.head, dt)
+    }
+    reg("accurateCast")(accCast(_, tryMode = false))
+    reg("accurateCastOrNull")(accCast(_, tryMode = true))
+
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
     reg("intHash64")(c => IntHash64(c.head))

@@ -368,6 +368,59 @@ class ChCompatSpec extends AnyFunSuite {
     assert(Set("A", "N", "R")(h.getString(0)))
   }
 
+  test("dialect batch 3: normalize, stable stats, date arith, casts") {
+    // Unicode normalization (codegen'd java.text.Normalizer)
+    val n = run("""
+      SELECT normalizeUTF8NFC('é') AS c, normalizeUTF8NFD('é') AS d,
+             normalizeUTF8NFKC('ﬁ') AS k, toValidUTF8('ok') AS v,
+             reverseUTF8('abc') AS r""").head
+    assert(n.getString(0) == "é" && n.getString(1).length == 2 &&
+      n.getString(2) == "fi" && n.getString(3) == "ok" &&
+      n.getString(4) == "cba")
+    // *Stable moment aliases, isZeroOrNull, ifNotFinite
+    val st = run("""
+      SELECT round(corrStable(n_regionkey, n_nationkey), 4) AS c,
+             round(varPopStable(n_regionkey), 4) AS v,
+             isZeroOrNull(0) AS z0, isZeroOrNull(NULL) AS zn,
+             isZeroOrNull(3) AS z3,
+             ifNotFinite(double('inf'), 42e0) AS inf_sub,
+             ifNotFinite(2.5e0, 42e0) AS fin
+      FROM nation""").head
+    assert(st.getDouble(1) == 2.0 && st.getBoolean(2) && st.getBoolean(3) &&
+      !st.getBoolean(4) && st.getDouble(5) == 42.0 && st.getDouble(6) == 2.5)
+    // accurateCast family with CH type names
+    val ac = run("""
+      SELECT accurateCastOrNull('12', 'Int64') AS a,
+             accurateCastOrNull('xx', 'Int64') AS b,
+             accurateCast(5, 'String') AS c""").head
+    assert(ac.getLong(0) == 12L && ac.isNullAt(1) && ac.getString(2) == "5")
+    // date arithmetic: native *Add grammar + routed *Sub spellings
+    val d = run("""
+      SELECT dateSub(DAY, 3, toDate('2024-01-10')) AS d1,
+             timestampSub(MONTH, 1, toDate('2024-03-10')) AS d2,
+             date_sub(toDate('2024-01-10'), 3) AS d3,
+             CAST(dateAdd(MONTH, 1, toDate('2024-01-31')) AS Date) AS d4,
+             toStartOfSecond(toDateTime('2024-01-01 10:10:10')) AS s""").head
+    assert(d.getDate(0).toString == "2024-01-07" &&
+      d.getDate(1).toString == "2024-02-10" &&
+      d.getDate(2).toString == "2024-01-07" &&
+      d.getDate(3).toString == "2024-02-29")
+    // groupConcat + more quantile spellings + sumCount
+    val g = run("""
+      SELECT groupConcat(n_name, ',') AS g,
+             round(quantileBFloat16(0.5)(n_nationkey), 2) AS qb,
+             round(quantileDeterministic(0.5)(n_nationkey, n_regionkey), 2) AS qd,
+             round(quantileInterpolatedWeighted(0.5)(n_nationkey, 2), 2) AS qw,
+             sumCount(n_regionkey) AS sc
+      FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 5)""").head
+    assert(g.getString(0).split(",").length == 5 && g.getDouble(1) == 2.0 &&
+      g.getDouble(2) == 2.0 && g.getDouble(3) == 2.0 &&
+      g.getStruct(4).getLong(1) == 5L)
+    // statement surface: SET / USE / SHOW PROCESSLIST parse and run
+    run("SET max_threads = 8")
+    run("SHOW PROCESSLIST")
+  }
+
   test("DDL lifecycle: CTAS, mutate, reindex, query, drop") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def sql(q: String) = Graft.sql(spark, q)
