@@ -156,6 +156,81 @@ object ChSql {
   def registerSampleKey(table: String, key: String): Unit =
     sampleKeys.put(table.toLowerCase(java.util.Locale.ROOT), key)
 
+  /** Base directory for relative `file('…')` table-function paths —
+    * the analog of CH's `user_files_path`. `Graft.init` points it at
+    * the fixture dir; absolute paths bypass it.
+    */
+  private val dataDirs =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
+
+  def setDataDir(spark: SparkSession, dir: String): Unit =
+    dataDirs.put(spark, dir)
+
+  // ---- CH external dictionaries ------------------------------------
+  // CH dictionaries are fully in-RAM key→attribute structures
+  // refreshed from a source table [ClickHouse/docs dictGet]; the
+  // faithful Spark analog is a literal map baked into the expression
+  // tree — the dictionary itself ships with the plan to every
+  // executor, exactly as CH replicates dictionaries to every server.
+  // Capped (CH RAM-bounds dictionaries too); larger lookups belong on
+  // the broadcast-join pattern (scalar_dictget).
+  case class DictSpec(source: String, keyCol: String,
+    keyType: DataType,
+    keysLit: org.apache.spark.sql.catalyst.expressions.Literal,
+    attrs: Map[String, (DataType,
+      org.apache.spark.sql.catalyst.expressions.Literal)])
+
+  private[graft] val dictionaries =
+    scala.collection.concurrent.TrieMap[String, DictSpec]()
+
+  private val dictCap = 1000000
+
+  private val createDictRe =
+    ("""(?is)^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """([A-Za-z_]\w*)\s*\((.*?)\)\s*PRIMARY\s+KEY\s+([A-Za-z_]\w*)\b(.*)$""").r
+  private val dropDictRe =
+    """(?is)^\s*DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val dictSourceTableRe =
+    """(?i)SOURCE\s*\(\s*\w+\s*\([^)]*?TABLE\s+'?([A-Za-z_]\w*)'?""".r
+
+  private[graft] def runCreateDictionary(spark: SparkSession,
+      m: Regex.Match): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val name = m.group(1)
+    val keyCol = m.group(3)
+    val src = dictSourceTableRe.findFirstMatchIn(m.group(4)).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE DICTIONARY needs SOURCE(…(TABLE 'name'))"))
+    val colRe = """^([A-Za-z_]\w*)\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?)""".r
+    val specs = splitTopLevel(m.group(2)).map { item =>
+      colRe.findFirstMatchIn(item.trim).map(mm =>
+        mm.group(1) -> chType(mm.group(2))).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE DICTIONARY column spec 'name Type' expected, got '$item'"))
+    }
+    require(specs.exists(_._1 == keyCol),
+      s"PRIMARY KEY $keyCol is not among the dictionary columns")
+    val attrCols = specs.filterNot(_._1 == keyCol)
+    // cast to the DECLARED types so the literal map's values match
+    // its MapType exactly
+    val ordered = specs.find(_._1 == keyCol).get +: attrCols
+    val rows = spark.table(src)
+      .select(ordered.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+      .na.drop(Seq(keyCol)).take(dictCap + 1)
+    require(rows.length <= dictCap,
+      s"dictionary $name exceeds $dictCap entries — use the broadcast-join " +
+        "pattern (LEFT JOIN the source table) for lookups at that size")
+    val keyType = specs.find(_._1 == keyCol).get._2
+    val keysLit = Literal.create(rows.map(_.get(0)).toSeq, ArrayType(keyType))
+    val attrs = attrCols.zipWithIndex.map { case ((aName, aType), i) =>
+      val lookup = rows.iterator.map(r => r.get(0) -> r.get(i + 1)).toMap
+      aName -> (aType, Literal.create(lookup, MapType(keyType, aType)))
+    }.toMap
+    dictionaries.put(name, DictSpec(src, keyCol, keyType, keysLit, attrs))
+    import spark.implicits._
+    Seq((name, src, rows.length)).toDF("dictionary", "source", "entries")
+  }
+
   private def parseFraction(s: String): Double = s.split('/') match {
     case Array(one) => one.trim.toDouble
     case Array(num, den) => num.trim.toDouble / den.trim.toDouble
@@ -347,7 +422,8 @@ object ChSql {
   // `system.tables` onto a snapshot of the live catalog registered as
   // a temp view (captured BEFORE registration so the view doesn't
   // list itself on first use).
-  private val numbersFnRe = """(?i)\bnumbers\s*\(\s*(\d+)\s*\)""".r
+  private val numbersFnRe =
+    """(?i)\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   private val systemNumbersRe = """(?i)\bsystem\.numbers\b""".r
   private val systemOneRe = """(?i)\bsystem\.one\b""".r
   private val systemTablesRe = """(?i)\bsystem\.tables\b""".r
@@ -355,8 +431,130 @@ object ChSql {
   private val systemPartsRe = """(?i)\bsystem\.parts\b""".r
   private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // file('path'[, 'Format']) — CH's local-file table function. The
+  // path resolves against the registered data dir (CH's
+  // user_files_path analog) unless absolute; format comes from the
+  // explicit argument or the extension. Reads register as temp views
+  // so the source is a normal pruned/pushed-down scan.
+  private val fileFnRe =
+    """(?i)\bfile\s*\(\s*'([^']+)'\s*(?:,\s*'([A-Za-z]+)'\s*)?\)""".r
+
+  // generateRandom('a Int64, b String'[, seed]) — CH's synthetic-data
+  // table function. Deterministic md5-derived values (seed + column +
+  // row id), never rand(): identical output at any parallelism. Like
+  // CH, the stream is unbounded — callers LIMIT it; range() generates
+  // lazily so the limit short-circuits.
+  private val generateRandomRe =
+    """(?i)\bgenerateRandom\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?[^()]*\)""".r
+
+  private def generateColumnSql(name: String, chT: String, seed: Long): String = {
+    val h = s"md5(concat('g${seed}_${name}_', id))"
+    def hex(n: Int) = s"conv(substring($h, 1, $n), 16, 10)"
+    chType(chT) match {
+      case ByteType => s"CAST(CAST(${hex(2)} AS INT) - 128 AS TINYINT)"
+      case ShortType => s"CAST(CAST(${hex(3)} AS INT) - 2048 AS SMALLINT)"
+      case IntegerType => s"CAST(CAST(${hex(7)} AS BIGINT) - 134217728 AS INT)"
+      case LongType => s"CAST(${hex(15)} AS BIGINT)"
+      case FloatType => s"CAST(CAST(${hex(6)} AS DOUBLE) / 1024.0 AS FLOAT)"
+      case DoubleType => s"CAST(${hex(8)} AS DOUBLE) / 65536.0"
+      case StringType => s"substring($h, 1, 10)"
+      case BooleanType => s"CAST(${hex(1)} AS INT) % 2 = 1"
+      case DateType =>
+        s"date_add(DATE'2000-01-01', CAST(${hex(3)} AS INT))"
+      case TimestampType =>
+        s"timestamp_seconds(946684800 + CAST(${hex(7)} AS BIGINT))"
+      case other => throw new IllegalArgumentException(
+        s"generateRandom: unsupported type $chT for column $name " +
+          "(scalar Int/UInt/Float/String/Bool/Date/DateTime only)")
+    }
+  }
+
   private def rewriteSystemTables(spark: SparkSession, q0: String): String = {
     var q = q0
+    if (fileFnRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = fileFnRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement {
+          val p0 = m.group(1)
+          val path =
+            if (p0.startsWith("/")) p0
+            else dataDirs.get(spark).map(d => s"$d/$p0").getOrElse(p0)
+          val fmt = Option(m.group(2))
+            .map(_.toLowerCase(java.util.Locale.ROOT))
+            .getOrElse(p0.replaceAll(".*\\.", "").toLowerCase(java.util.Locale.ROOT))
+          val df = fmt match {
+            case "parquet" => spark.read.parquet(path)
+            case "orc" => spark.read.orc(path)
+            case "csv" => spark.read.csv(path)
+            case "csvwithnames" =>
+              spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+            case "tsv" | "tabseparated" =>
+              spark.read.option("sep", "\t").csv(path)
+            case "tsvwithnames" | "tabseparatedwithnames" =>
+              spark.read.option("sep", "\t").option("header", "true")
+                .option("inferSchema", "true").csv(path)
+            case "jsoneachrow" | "ndjson" | "json" => spark.read.json(path)
+            case other => throw new IllegalArgumentException(
+              s"file(): unsupported format '$other' " +
+                "(Parquet/ORC/CSV[WithNames]/TSV[WithNames]/JSONEachRow)")
+          }
+          val view = s"graft_file_${sysSeq.incrementAndGet()}"
+          df.createOrReplaceTempView(view)
+          s"$view"
+        })
+    }
+    if (generateRandomRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = generateRandomRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement {
+          val seed = Option(m.group(2)).map(_.toLong).getOrElse(0L)
+          val cols = splitTopLevel(m.group(1)).map { item =>
+            val t = item.trim
+            val cut = t.indexWhere(_.isWhitespace)
+            require(cut > 0, s"generateRandom: column spec 'name Type' expected, got '$t'")
+            val name = t.substring(0, cut)
+            s"${generateColumnSql(name, t.substring(cut).trim, seed)} AS $name"
+          }
+          s"(SELECT ${cols.mkString(", ")} FROM range(9223372036854775807))" +
+            s" graft_gen_${sysSeq.incrementAndGet()}"
+        })
+    }
+    // CH `VALUES('a UInt8, s String', (1, 'x'), …)` table function —
+    // the schema string names and types positional columns. Rewrites
+    // onto Spark's inline VALUES with per-column casts.
+    val valuesFnRe = """(?i)\bVALUES\s*\(\s*'""".r
+    var vm = valuesFnRe.findFirstMatchIn(q)
+      .filter(m => !inStringMask(q)(m.start))
+    while (vm.isDefined) {
+      val m = vm.get
+      val open = q.indexOf('(', m.start)
+      val close = matchParenStr(q, open)
+      val body = q.substring(open + 1, close)
+      val q1 = body.indexOf('\'')
+      val q2 = body.indexOf('\'', q1 + 1)
+      require(q2 > q1, "VALUES('schema', …): unterminated schema string")
+      val rows = body.substring(body.indexOf(',', q2) + 1).trim
+      require(rows.nonEmpty, "VALUES('schema', …) needs at least one row")
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val casted = splitTopLevel(body.substring(q1 + 1, q2)).zipWithIndex
+        .map { case (item, i) =>
+          val t = item.trim
+          val cut = t.indexWhere(_.isWhitespace)
+          require(cut > 0, s"VALUES: column spec 'name Type' expected, got '$t'")
+          val name = t.substring(0, cut)
+          names += name
+          s"CAST(c$i AS ${chType(t.substring(cut).trim).sql}) AS $name"
+        }
+      val n = sysSeq.incrementAndGet()
+      q = q.substring(0, m.start) +
+        s"(SELECT ${casted.mkString(", ")} FROM VALUES $rows AS " +
+        s"graft_vals_$n(${casted.indices.map("c" + _).mkString(", ")}))" +
+        q.substring(close + 1)
+      vm = valuesFnRe.findFirstMatchIn(q)
+        .filter(mm => mm.start > m.start && !inStringMask(q)(mm.start))
+    }
     if (systemColumnsRe.findFirstIn(q).isDefined) {
       import spark.implicits._
       // catalog snapshot of every listable table's columns, CH's
@@ -395,8 +593,14 @@ object ChSql {
         .createOrReplaceTempView("graft_system_tables")
       q = systemTablesRe.replaceAllIn(q, "graft_system_tables")
     }
-    q = numbersFnRe.replaceAllIn(q, m => Regex.quoteReplacement(
-      s"(SELECT id AS number FROM range(${m.group(1)})) graft_nums_${sysSeq.incrementAndGet()}"))
+    q = numbersFnRe.replaceAllIn(q, m => Regex.quoteReplacement {
+      // 1-arg = count; 2-arg CH form = (offset, count)
+      val (lo, hi) = Option(m.group(2)) match {
+        case Some(n) => (m.group(1).toLong, m.group(1).toLong + n.toLong)
+        case None => (0L, m.group(1).toLong)
+      }
+      s"(SELECT id AS number FROM range($lo, $hi)) graft_nums_${sysSeq.incrementAndGet()}"
+    })
     // system.numbers is unbounded in CH too — range() generates
     // lazily, so a LIMIT (or any short-circuit) bounds the scan.
     q = systemNumbersRe.replaceAllIn(q, Regex.quoteReplacement(
@@ -628,6 +832,55 @@ object ChSql {
       else s"tupleElement(${m.group(1)}, ${m.group(2)})")
   }
 
+  // CH ordinal access on a CALL result — `tuple(1, 'x').1`. The
+  // identifier form above can't see it (the receiver is a paren
+  // group), so this pass walks back from `).N` to the matching open
+  // paren plus the callee name and wraps the whole call.
+  private val callDotRe = """\)\s*\.(\d+)\b""".r
+
+  private def rewriteCallDots(q0: String): String = {
+    var q = q0
+    var guard = 0
+    var continue = true
+    while (continue && guard < 64) {
+      guard += 1
+      val mask = inStringMask(q)
+      callDotRe.findAllMatchIn(q).find(m => !mask(m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          var depth = 0; var i = m.start; var open = -1
+          while (i >= 0 && open < 0) {
+            if (!mask(i)) q.charAt(i) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) open = i
+              case _ =>
+            }
+            i -= 1
+          }
+          require(open >= 0, s"unbalanced parens before '.${m.group(1)}'")
+          var s = open
+          while (s > 0 && (q.charAt(s - 1).isLetterOrDigit ||
+            q.charAt(s - 1) == '_')) s -= 1
+          val callee = q.substring(s, m.start + 1)
+          q = q.substring(0, s) +
+            s"tupleElement($callee, ${m.group(1)})" + q.substring(m.end)
+      }
+    }
+    q
+  }
+
+  // CH tolerates a trailing comma in the SELECT list (`SELECT a, b,
+  // FROM t`); Spark rejects it.
+  private val trailingCommaRe = """,(\s*)(?=(?i:FROM)\b)""".r
+
+  private def rewriteTrailingComma(q: String): String = {
+    if (!trailingCommaRe.findFirstIn(q).isDefined) return q
+    val mask = inStringMask(q)
+    trailingCommaRe.replaceAllIn(q, m =>
+      if (mask(m.start)) Regex.quoteReplacement(m.matched)
+      else " " + m.group(1))
+  }
+
   // CH type names in cast positions (`CAST(x AS UInt64)`,
   // `x::Float32`, optionally Nullable-wrapped) — Spark's parser
   // rejects the CH spellings, so they map to the same Spark types as
@@ -752,6 +1005,8 @@ object ChSql {
   private def rewriteLexical(q0: String): String = {
     var q = rewriteBrackets(q0)
     q = rewriteTupleDots(q)
+    q = rewriteCallDots(q)
+    q = rewriteTrailingComma(q)
     q = rewritePosition(q)
     q = renameMasked(q, chAnyRe, "any_value(")
     q = rewriteTupleMapCast(q)
@@ -813,7 +1068,9 @@ object ChSql {
   // (simple named-table FROM — subquery sources fail loudly).
   // APPLY names results `f(col)` exactly as CH prints them.
   private val starReplaceRe = """(?i)\*\s+REPLACE\s*\(""".r
-  private val starApplyRe = """(?i)\*\s+APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+  // both CH spellings: `* APPLY(f)` and `* APPLY f`
+  private val starApplyRe =
+    """(?i)\*\s+APPLY\s*(?:\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))""".r
   private val columnsFnRe = """(?i)\bCOLUMNS\s*\(\s*'([^']*)'\s*\)""".r
 
   /** Index of the close paren matching the open paren at `open`. */
@@ -852,14 +1109,15 @@ object ChSql {
       }
     starApplyRe.findFirstMatchIn(q).filter(m => topLevelMask(q)(m.start))
       .foreach { m =>
-        val f = m.group(1)
+        val f = Option(m.group(1)).getOrElse(m.group(2))
         val expand = sourceCols(q).map(c => s"$f($c) AS `$f($c)`")
         q = q.substring(0, m.start) + expand.mkString(", ") + q.substring(m.end)
       }
     // COLUMNS('re') [APPLY(f)]… — expand the regex against the FROM
     // schema, then wrap each column in the APPLY chain (innermost
     // first), naming results `f(col)` exactly as CH prints them
-    val applyTailRe = """(?is)^\s*APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    val applyTailRe =
+      """(?is)^\s*APPLY\s*(?:\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))""".r
     var more = true
     while (more) {
       more = false
@@ -872,7 +1130,7 @@ object ChSql {
           val fns = scala.collection.mutable.ArrayBuffer.empty[String]
           var chain = applyTailRe.findFirstMatchIn(q.substring(end))
           while (chain.isDefined) {
-            fns += chain.get.group(1)
+            fns += Option(chain.get.group(1)).getOrElse(chain.get.group(2))
             end += chain.get.end
             chain = applyTailRe.findFirstMatchIn(q.substring(end))
           }
@@ -1328,6 +1586,60 @@ object ChSql {
     * default closest-match direction; strict forms are rejected
     * because the operator pins `<=` semantics).
     */
+  // ---- CH clauses inside subqueries --------------------------------
+  // The clause peel below only sees the TOP level; a `(SELECT … LIMIT
+  // 3 BY k)` in FROM/IN/scalar position would otherwise reach
+  // spark.sql verbatim and fail to parse. Any parenthesized SELECT
+  // whose text carries a CH-only clause routes through [[run]]
+  // recursively into a temp view; the group is replaced by
+  // `(SELECT * FROM view)`, which is valid in every subquery
+  // position. Correlated subqueries can't be routed standalone — the
+  // recursive run fails, the text is left untouched, and the outer
+  // parse reports the real error.
+  private val chSubMarkerRe =
+    ("""(?i)\b(LIMIT\s+\d+(?:\s*,\s*\d+)?\s+BY\b|WITH\s+FILL\b|""" +
+      """WITH\s+TOTALS\b|WITH\s+TIES\b|DISTINCT\s+ON\b|""" +
+      """SAMPLE\s+[\d.]|ASOF\s+(?:LEFT\s+)?JOIN\b)""").r
+
+  private def rewriteChSubqueries(spark: SparkSession, q0: String): String = {
+    var q = q0
+    var from = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val mask = inStringMask(q)
+      val openSel = """\(\s*(?i:SELECT)\b""".r.findAllMatchIn(q)
+        .find(m => m.start >= from && !mask(m.start))
+      openSel match {
+        case None => return q
+        case Some(m) =>
+          val close = matchParenStr(q, m.start)
+          val inner = q.substring(m.start + 1, close)
+          val innerMask = inStringMask(inner)
+          val marked = chSubMarkerRe.findAllMatchIn(inner)
+            .exists(mm => !innerMask(mm.start))
+          if (!marked) { from = m.start + 1 } // descend into it next scan
+          else scala.util.Try {
+            val view = s"graft_sub_${sysSeq.incrementAndGet()}"
+            run(spark, inner).createOrReplaceTempView(view)
+            view
+          } match {
+            case scala.util.Success(view) =>
+              q = q.substring(0, m.start) +
+                s"(SELECT * FROM $view)" + q.substring(close + 1)
+              from = m.start + 1
+            // our own loud guidance (missing ORDER BY etc.) must
+            // surface, not degrade into the outer parse error;
+            // analysis failures mean correlation — leave the text for
+            // the outer parse to report properly
+            case scala.util.Failure(e: IllegalArgumentException) => throw e
+            case scala.util.Failure(_) => from = m.start + 1
+          }
+      }
+    }
+    q
+  }
+
   private def rewriteSpecialJoins(spark: SparkSession, q0: String): String = {
     var q = q0
     var matched = firstTopLevel(q, specialJoinRe)
@@ -2170,6 +2482,14 @@ object ChSql {
       import spark.implicits._
       return text.linesIterator.toSeq.toDF("explain")
     }
+    createDictRe.findFirstMatchIn(query).foreach { m =>
+      return runCreateDictionary(spark, m)
+    }
+    dropDictRe.findFirstMatchIn(query).foreach { m =>
+      dictionaries.remove(m.group(1))
+      import spark.implicits._
+      return Seq(m.group(1)).toDF("dropped")
+    }
     createTableRe.findFirstMatchIn(query).foreach { m =>
       return runCreateTable(spark, m)
     }
@@ -2355,8 +2675,9 @@ object ChSql {
 
     var q = registerCombinators(spark, rewriteIndexScan(spark,
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
-        rewriteFinal(spark, rewriteSystemTables(spark,
-          rewriteParametric(spark, rewriteLexical(query.trim)))))))))
+        rewriteChSubqueries(spark, rewriteFinal(spark,
+          rewriteSystemTables(spark,
+            rewriteParametric(spark, rewriteLexical(query.trim))))))))))
 
     // CH `SELECT DISTINCT ON (k…)` — first row per key group in the
     // query's order (CH documents it as `LIMIT 1 BY`). Spark cannot
@@ -2430,6 +2751,28 @@ object ChSql {
           s"ORDER BY ordinal $pos out of range (1..${df.columns.length})")
         i.copy(name = df.columns(pos - 1))
       } else i
+    }
+
+    // CH can sort / DISTINCT ON by any SOURCE column, not just the
+    // SELECT list. Post-hoc routing needs those columns in the frame,
+    // so missing plain-column names re-run the core with hidden
+    // trailing columns (dropped at the end). Queries where injection
+    // can't work (grouped cores, expressions) keep the loud error.
+    var injected: Seq[String] = Nil
+    val missingCols = (orderItems.map(_.name) ++ distinctOnKeys).distinct
+      .filterNot(df.columns.contains)
+    if (missingCols.nonEmpty && missingCols.forall(_.matches("[A-Za-z_]\\w*"))) {
+      """(?i)\bFROM\b""".r.findAllMatchIn(rest)
+        .find(m => topLevelMask(rest)(m.start)).foreach { m =>
+          val rest2 = rest.substring(0, m.start) + ", " +
+            missingCols.mkString(", ") + " " + rest.substring(m.start)
+          scala.util.Try(spark.sql(rest2)) match {
+            case scala.util.Success(d2)
+                if missingCols.forall(d2.columns.contains) =>
+              df = d2; injected = missingCols
+            case _ => ()
+          }
+        }
     }
 
     // Post-hoc routing can only sort by columns the core query emits
@@ -2523,6 +2866,7 @@ object ChSql {
       if (o > 0) df = df.offset(o)
       df = df.limit(n)
     }
+    if (injected.nonEmpty) df = df.drop(injected: _*)
     df
   }
 

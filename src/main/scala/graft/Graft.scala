@@ -49,6 +49,7 @@ object Graft {
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)
     }
+    ChSql.setDataDir(spark, dir)
   }
 
   /** SQL entry point (sugar; views must be registered via init).

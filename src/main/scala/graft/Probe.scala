@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch battery: realistic ClickHouse query texts thrown at the
+  * front door to find remaining dialect gaps. Not part of the driver
+  * contract; run with `runMain graft.Probe <sfDir>`.
+  */
+object Probe {
+  val queries: Seq[(String, String)] = Seq(
+    "tf_file" ->
+      "SELECT count() AS c FROM file('nation.parquet', 'Parquet')",
+    "tf_numbers_args" ->
+      "SELECT sum(number) AS s FROM numbers(10, 5)",
+    "tf_generate" ->
+      "SELECT count() AS c FROM (SELECT * FROM generateRandom('a Int64, b String', 42) LIMIT 10)",
+    "tf_values" ->
+      "SELECT * FROM VALUES('a UInt8, s String', (1, 'x'), (2, 'y')) ORDER BY a",
+    "with_cube_totals" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey WITH CUBE",
+    "interval_arith" ->
+      "SELECT toDate('2024-01-10') + INTERVAL 3 DAY AS d1, now() - INTERVAL 1 HOUR > toDateTime('2000-01-01 00:00:00') AS ok",
+    "case_no_else" ->
+      "SELECT CASE WHEN n_regionkey = 0 THEN 'africa' END AS r FROM nation ORDER BY n_nationkey LIMIT 3",
+    "ch_case_operand" ->
+      "SELECT caseWithExpression(n_regionkey, 0, 'a', 1, 'b', 'z') AS r FROM nation ORDER BY n_nationkey LIMIT 3",
+    "multi_if" ->
+      "SELECT multiIf(n_regionkey = 0, 'a', n_regionkey = 1, 'b', 'z') AS r FROM nation ORDER BY n_nationkey LIMIT 3",
+    "nested_agg_if" ->
+      "SELECT countIf(n_regionkey = 0) AS c0, sumIf(n_nationkey, n_regionkey = 1) AS s1 FROM nation",
+    "array_hof_chain" ->
+      "SELECT arraySum(arrayMap(x -> x * 2, arrayFilter(x -> x % 2 = 0, range(10)))) AS s",
+    "tuple_in" ->
+      "SELECT count() AS c FROM nation WHERE (n_regionkey, n_nationkey) IN ((0, 0), (1, 1))",
+    "global_in" ->
+      "SELECT count() AS c FROM nation WHERE n_regionkey GLOBAL IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')",
+    "exists_sub" ->
+      "SELECT count() AS c FROM region WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey)",
+    "having_alias" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey HAVING c > 4 ORDER BY n_regionkey",
+    "order_by_alias_expr" ->
+      "SELECT n_nationkey * 2 AS k2 FROM nation ORDER BY k2 DESC LIMIT 3",
+    "if_fn" ->
+      "SELECT if(1 > 0, 'y', 'n') AS r",
+    "string_concat_op" ->
+      "SELECT 'a' || 'b' || 'c' AS s",
+    "lambda_two_arg" ->
+      "SELECT arrayMap((x, y) -> x + y, [1,2,3], [10,20,30]) AS z",
+    "array_zip_tuples" ->
+      "SELECT arrayZip([1,2], ['a','b']) AS z",
+    "untuple_dot" ->
+      "SELECT tuple(1, 'x').1 AS a, tuple(1, 'x').2 AS b",
+    "subquery_in_from_clauses" ->
+      "SELECT sum(c) AS t FROM (SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey LIMIT 3 BY n_regionkey)",
+    "join_on_expr" ->
+      "SELECT count() AS c FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name != 'ASIA'",
+    "join_using" ->
+      "SELECT count() AS c FROM (SELECT n_regionkey AS k FROM nation) a JOIN (SELECT r_regionkey AS k FROM region) b USING (k)",
+    "cross_join_comma" ->
+      "SELECT count() AS c FROM region a, region b WHERE a.r_regionkey = b.r_regionkey",
+    "view_ddl" ->
+      "CREATE VIEW v_probe AS SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey",
+    "desc_table" ->
+      "DESCRIBE TABLE nation",
+    "exists_table" ->
+      "EXISTS TABLE nation",
+    "with_named_sub" ->
+      "WITH top AS (SELECT n_regionkey FROM nation LIMIT 2) SELECT count() AS c FROM top",
+    "select_except" ->
+      "SELECT * EXCEPT (n_name) FROM nation ORDER BY n_nationkey LIMIT 1",
+    "select_replace" ->
+      "SELECT * REPLACE (n_nationkey * 10 AS n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 1",
+    "apply_modifier" ->
+      "SELECT COLUMNS('n_.*key') APPLY max FROM nation",
+    "is_not_distinct" ->
+      "SELECT NULL IS NOT DISTINCT FROM NULL AS t",
+    "agg_state_spelling" ->
+      "SELECT uniqExact(n_regionkey) AS u, uniqHLL12(n_regionkey) AS uh, uniqCombined64(n_regionkey) AS uc FROM nation",
+    "any_respect_nulls" ->
+      "SELECT first_value(n_name) AS f FROM (SELECT * FROM nation ORDER BY n_nationkey)",
+    "trailing_comma" ->
+      "SELECT n_nationkey, n_name, FROM nation ORDER BY n_nationkey LIMIT 1",
+    "q_settings_cache" ->
+      "SELECT count() AS c FROM nation SETTINGS use_query_cache = 1, max_threads = 4",
+    "neighbor_fn" ->
+      "SELECT n_nationkey, runningDifference(n_nationkey) AS d FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5)",
+    "window_named" ->
+      "SELECT n_nationkey, sum(n_nationkey) OVER w AS s FROM nation WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey) ORDER BY n_nationkey LIMIT 5",
+    "null_safe_div" ->
+      "SELECT intDiv(7, 2) AS d, intDivOrZero(7, 0) AS z, modulo(7, 3) AS m, moduloOrZero(7, 0) AS mz",
+    "least_greatest" ->
+      "SELECT least(3, 1) AS l, greatest(3, 1) AS g",
+    "format_dt" ->
+      "SELECT formatDateTime(toDateTime('2024-03-05 07:08:09'), '%Y-%m-%d %H:%i:%S') AS s",
+    "to_unix" ->
+      "SELECT toUnixTimestamp(toDateTime('2024-01-01 00:00:00')) AS u, fromUnixTimestamp(1704067200) AS d",
+    "emptiness" ->
+      "SELECT empty('') AS e1, notEmpty('x') AS e2, empty([]) AS e3, notEmpty([1]) AS e4",
+    "map_literal" ->
+      "SELECT map('a', 1, 'b', 2)['b'] AS v",
+    "higher_order_sort" ->
+      "SELECT arrayReverseSort([3,1,2]) AS a, arrayReverseSort(x -> x, [3,1,2]) AS b",
+    "count_distinct_spelling" ->
+      "SELECT COUNT(DISTINCT n_regionkey) AS a, countDistinct(n_regionkey) AS b, uniq(n_regionkey) AS c FROM nation",
+    "not_like" ->
+      "SELECT count() AS c FROM nation WHERE n_name NOT LIKE '%A%' AND n_name NOT ILIKE 'z%'",
+    "between" ->
+      "SELECT count() AS c FROM nation WHERE n_nationkey BETWEEN 3 AND 7",
+    "in_subquery_tuple" ->
+      "SELECT count() AS c FROM nation WHERE (n_regionkey, n_nationkey) IN (SELECT r_regionkey, r_regionkey FROM region)",
+    "limit_by_offset" ->
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 1, 1 BY n_regionkey",
+    "fill_from_to" ->
+      "SELECT n_regionkey AS k, count() AS c FROM nation GROUP BY k ORDER BY k WITH FILL FROM 0 TO 10",
+    "totals_having" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey WITH TOTALS HAVING count() > 4",
+    "distinct_on" ->
+      "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation ORDER BY n_regionkey, n_nationkey",
+    "array_join_clause" ->
+      "SELECT x FROM (SELECT [1,2,3] AS xs) ARRAY JOIN xs AS x ORDER BY x",
+    "pos_args" ->
+      "SELECT position('hello', 'l') AS p, position('hello', 'l', 4) AS p2",
+    "extract_parts" ->
+      "SELECT toYear(toDate('2024-03-05')) AS y, toMonth(toDate('2024-03-05')) AS m, toDayOfMonth(toDate('2024-03-05')) AS d, toHour(toDateTime('2024-03-05 07:08:09')) AS h",
+    "now_today" ->
+      "SELECT today() >= toDate('2024-01-01') AS t, yesterday() = today() - 1 AS y",
+    "dict_create" ->
+      "CREATE DICTIONARY region_dict (r_regionkey UInt64, r_name String) PRIMARY KEY r_regionkey SOURCE(CLICKHOUSE(TABLE 'region')) LAYOUT(FLAT()) LIFETIME(300)",
+    "dict_get2" ->
+      "SELECT dictGet('region_dict', 'r_name', 0) AS n, dictGet('region_dict', 'r_name', 99) AS missing, dictGetOrNull('region_dict', 'r_name', 99) AS mnull, dictGetOrDefault('region_dict', 'r_name', 99, 'other') AS mdef, dictHas('region_dict', 0) AS h1, dictHas('region_dict', 99) AS h0",
+    "dict_join_shape" ->
+      "SELECT dictGetString('region_dict', 'r_name', n_regionkey) AS region, count() AS c FROM nation GROUP BY region ORDER BY region",
+    "gen_random" ->
+      "SELECT a, b FROM generateRandom('a Int64, b String', 42) LIMIT 3",
+    "numbers_two" ->
+      "SELECT min(number) AS lo, max(number) AS hi, count() AS c FROM numbers(10, 5)",
+    "file_tf" ->
+      "SELECT count() AS c FROM file('nation.parquet', 'Parquet')",
+    "file_tf_infer" ->
+      "SELECT count() AS c FROM file('region.parquet')",
+    "values_tf" ->
+      "SELECT a, s FROM VALUES('a UInt8, s String', (1, 'x'), (2, 'y')) ORDER BY a",
+    "call_dot" ->
+      "SELECT tuple(1, 'x').1 AS a, tuple(1, 'x').2 AS b, (tuple(tuple(5, 6), 'z').1).2 AS nested",
+    "trailing_comma2" ->
+      "SELECT n_nationkey, n_name, FROM nation ORDER BY n_nationkey LIMIT 1",
+    "apply_bare" ->
+      "SELECT COLUMNS('n_.*key') APPLY max FROM nation",
+    "sub_limit_by" ->
+      "SELECT sum(c) AS t FROM (SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LIMIT 3 BY n_regionkey)",
+    "sub_fill_in" ->
+      "SELECT count() AS c FROM (SELECT n_regionkey AS k, count() AS cc FROM nation GROUP BY k ORDER BY k WITH FILL FROM 0 TO 10)",
+    "distinct_on_auto" ->
+      "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation ORDER BY n_regionkey, n_nationkey",
+    "case_fn" ->
+      "SELECT caseWithExpression(n_regionkey, 0, 'a', 1, 'b', 'z') AS r FROM nation ORDER BY n_nationkey LIMIT 3",
+    "in_sub_routed" ->
+      "SELECT count() AS c FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1 BY r_regionkey)"
+  )
+
+  def main(argv: Array[String]): Unit = {
+    val sfDir = argv.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .appName("graft-probe").master(s"local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.init(spark, sfDir)
+    var pass, fail = 0
+    queries.foreach { case (name, q) =>
+      try {
+        val rows = Graft.sql(spark, q).collect()
+        println(s"PROBE-OK   $name rows=${rows.length} :: ${rows.take(2).mkString(" | ")}")
+        pass += 1
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.take(3).mkString(" ~ ")
+          println(s"PROBE-FAIL $name :: ${e.getClass.getSimpleName}: $msg")
+          fail += 1
+      }
+    }
+    println(s"PROBE-DONE pass=$pass fail=$fail")
+    spark.stop()
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** ClickHouse-spelled SQL function names, so a ClickHouse user's query
   * text runs unchanged through `Graft.sql` (registered by
@@ -1228,6 +1228,87 @@ object ChDialect {
     }
     reg("accurateCast")(accCast(_, tryMode = false))
     reg("accurateCastOrNull")(accCast(_, tryMode = true))
+
+    // CASE sugar spellings: caseWithExpression(x, a1, r1, …, default)
+    // is the operand form as a function; caseWithoutExpression is
+    // multiIf under its other documented name
+    reg("caseWithExpression") { c =>
+      require(c.size >= 4 && c.size % 2 == 0,
+        "caseWithExpression(x, match1, result1, …, default)")
+      val pairs = c.tail.dropRight(1).grouped(2).map {
+        case scala.collection.Seq(a, r) => (EqualTo(c.head, a), r)
+      }.toSeq
+      CaseWhen(pairs, Some(c.last))
+    }
+    reg("caseWithoutExpression") { c =>
+      require(c.size >= 3 && c.size % 2 == 1,
+        "caseWithoutExpression(cond1, result1, …, default)")
+      val pairs = c.dropRight(1).grouped(2).map {
+        case scala.collection.Seq(cond, r) => (cond, r)
+      }.toSeq
+      CaseWhen(pairs, Some(c.last))
+    }
+
+    // CH external dictionaries: the dictGet family resolves against
+    // CREATE DICTIONARY state (graft.ChSql.dictionaries). Lookups are
+    // literal-map element_at — fully codegen'd, and the dictionary
+    // ships with the serialized plan to every executor, the same
+    // distribution model as CH's replicated in-RAM dictionaries.
+    // Missing keys yield the attribute type's default value (CH's
+    // non-Nullable contract); dictGetOrNull yields NULL.
+    def dictSpec(e: Expression, fn: String): graft.ChSql.DictSpec = e match {
+      case Literal(s, StringType) if s != null =>
+        graft.ChSql.dictionaries.getOrElse(s.toString,
+          throw new IllegalArgumentException(
+            s"$fn: unknown dictionary '$s' — CREATE DICTIONARY first"))
+      case other => throw new IllegalArgumentException(
+        s"$fn: dictionary name must be a string literal, got ${other.sql}")
+    }
+    def dictLookup(c: Seq[Expression], fn: String): (Expression, DataType) = {
+      val spec = dictSpec(c(0), fn)
+      val attr = c(1) match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: attribute name must be a string literal, got ${other.sql}")
+      }
+      val (dt, mapLit) = spec.attrs.getOrElse(attr,
+        throw new IllegalArgumentException(
+          s"$fn: no attribute '$attr' (have: ${spec.attrs.keys.mkString(", ")})"))
+      (ElementAt(mapLit, Cast(c(2), spec.keyType), None, failOnError = false),
+        dt)
+    }
+    def typeDefault(dt: DataType): Expression = dt match {
+      case StringType => Literal("")
+      case BooleanType => Literal(false)
+      case _ => Cast(Literal(0), dt)
+    }
+    reg("dictGet") { c =>
+      require(c.size == 3, "dictGet('dict', 'attr', key)")
+      val (e, dt) = dictLookup(c, "dictGet")
+      Coalesce(Seq(e, typeDefault(dt)))
+    }
+    reg("dictGetOrNull") { c =>
+      require(c.size == 3, "dictGetOrNull('dict', 'attr', key)")
+      dictLookup(c, "dictGetOrNull")._1
+    }
+    reg("dictGetOrDefault") { c =>
+      require(c.size == 4, "dictGetOrDefault('dict', 'attr', key, default)")
+      Coalesce(Seq(dictLookup(c.take(3), "dictGetOrDefault")._1, c(3)))
+    }
+    reg("dictHas") { c =>
+      require(c.size == 2, "dictHas('dict', key)")
+      val spec = dictSpec(c(0), "dictHas")
+      ArrayContains(spec.keysLit, Cast(c(1), spec.keyType))
+    }
+    Seq("String" -> StringType, "Int64" -> LongType, "UInt64" -> LongType,
+      "Int32" -> IntegerType, "Float64" -> DoubleType,
+      "Date" -> DateType).foreach { case (suf, dt) =>
+      reg("dictGet" + suf) { c =>
+        require(c.size == 3, s"dictGet$suf('dict', 'attr', key)")
+        val (e, adt) = dictLookup(c, "dictGet" + suf)
+        Cast(Coalesce(Seq(e, typeDefault(adt))), dt)
+      }
+    }
 
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))

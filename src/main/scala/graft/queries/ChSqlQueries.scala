@@ -896,6 +896,125 @@ object ChSqlQueries {
       SELECT max(l_orderkey) AS "max(l_orderkey)",
              max(l_partkey)  AS "max(l_partkey)",
              max(l_suppkey)  AS "max(l_suppkey)"
-      FROM lineitem"""))
+      FROM lineitem""")),
+
+    // CREATE DICTIONARY + the dictGet family (§2.8 dictionary): the
+    // dictionary loads from its source table into a literal map baked
+    // into the expression tree — it ships with the serialized plan to
+    // every executor, the same distribution model as CH's replicated
+    // in-RAM dictionaries, and the lookup is a codegen'd element_at
+    // (no join, no shuffle). The relational oracle is the LEFT JOIN
+    // the dictionary replaces.
+    QDef("sql_ch_dictget", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        CREATE DICTIONARY nation_dict
+          (n_nationkey Int64, n_name String, n_regionkey Int64)
+        PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED()) LIFETIME(600)""")
+      Graft.sql(s, """
+        SELECT dictGet('nation_dict', 'n_name', c_nationkey) AS nation,
+               dictGetInt64('nation_dict', 'n_regionkey', c_nationkey) AS region,
+               dictGetOrDefault('nation_dict', 'n_name', c_nationkey + 100, 'none') AS fallback,
+               count(*) AS c,
+               CAST(sum(if(dictHas('nation_dict', c_nationkey), 1, 0)) AS BIGINT) AS have
+        FROM customer
+        GROUP BY nation, region, fallback
+        ORDER BY nation""")
+    }, Some("""
+      SELECT n.n_name AS nation, CAST(n.n_regionkey AS BIGINT) AS region,
+             'none' AS fallback, count(*) AS c, count(*) AS have
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY nation, region, fallback
+      ORDER BY nation""")),
+
+    // file('path') table function (§2.1 I/O): the path resolves
+    // against the registered data dir (CH user_files_path analog),
+    // format inferred from the extension; the read is a normal
+    // parquet scan — pruning and pushdown apply as on any table.
+    QDef("sql_ch_file", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT p_brand, count(*) AS n,
+               min(p_retailprice) AS lo, max(p_retailprice) AS hi
+        FROM file('part.parquet')
+        GROUP BY p_brand ORDER BY p_brand""")
+    }, Some("""
+      SELECT p_brand, count(*) AS n,
+             min(p_retailprice) AS lo, max(p_retailprice) AS hi
+      FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // CH VALUES('schema', rows…) table function joined as a small
+    // inline dimension — the rewrite casts positional columns to the
+    // declared CH types; AQE broadcasts the 5-row side.
+    QDef("sql_ch_values_tf", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT r.r_name AS region, v.mult AS mult, count(*) AS c
+        FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN VALUES('rk Int64, mult Int64',
+                    (0, 10), (1, 20), (2, 30), (3, 40), (4, 50)) v
+          ON n.n_regionkey = v.rk
+        GROUP BY region, mult ORDER BY region""")
+    }, Some("""
+      SELECT r.r_name AS region, v.mult AS mult, count(*) AS c
+      FROM nation n
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN (VALUES (0, 10), (1, 20), (2, 30), (3, 40), (4, 50)) v(rk, mult)
+        ON n.n_regionkey = v.rk
+      GROUP BY region, mult ORDER BY region""")),
+
+    // numbers(offset, count) — the 2-arg CH form onto a lazy range()
+    // scan with partial aggregation (nothing materializes the rows).
+    QDef("sql_ch_numbers2", (s, dir) => {
+      Graft.sql(s, """
+        SELECT number % 9 AS bucket, count(*) AS n,
+               CAST(sum(number) AS BIGINT) AS total
+        FROM numbers(10000, 35000)
+        GROUP BY bucket ORDER BY bucket""")
+    }, Some("""
+      SELECT range % 9 AS bucket, count(*) AS n,
+             CAST(sum(range) AS BIGINT) AS total
+      FROM range(10000, 45000) GROUP BY bucket ORDER BY bucket""")),
+
+    // CH clauses INSIDE a FROM subquery: the inner `LIMIT 2 BY` routes
+    // recursively through the front door (partial/final LimitByPlan
+    // under the outer aggregate). Decimal sum keeps the total
+    // FP-order independent.
+    QDef("sql_ch_sub_clauses", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS Decimal(22,6))) AS Float64), 4) AS total
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice
+              FROM orders
+              ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+              LIMIT 2 BY o_orderpriority)""")
+    }, Some("""
+      SELECT count(*) AS n,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 2""")),
+
+    // generateRandom('schema', seed) — CH's synthetic-data table
+    // function, made deterministic: values derive from
+    // md5(seed, column, row id), never rand(), so the same query
+    // yields identical bytes at any parallelism AND in DuckDB (the
+    // oracle recomputes the md5 arithmetic) — the property that
+    // makes synthetic data reproducible across a 1000-executor run.
+    QDef("sql_ch_generate", (s, dir) => {
+      Graft.sql(s, """
+        SELECT a, s FROM
+          (SELECT * FROM generateRandom('a Int64, s String', 7) LIMIT 20)
+        ORDER BY a""")
+    }, Some("""
+      SELECT CAST(('0x' || substring(md5('g7_a_' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS a,
+             substring(md5('g7_s_' || CAST(id AS VARCHAR)), 1, 10) AS s
+      FROM (SELECT range AS id FROM range(20))
+      ORDER BY a"""))
   )
 }

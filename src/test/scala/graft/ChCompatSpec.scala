@@ -421,6 +421,80 @@ class ChCompatSpec extends AnyFunSuite {
     run("SHOW PROCESSLIST")
   }
 
+  test("dialect batch 4: TVFs, dictionaries, lexical sugar") {
+    // trailing comma before FROM (CH tolerates it)
+    assert(run("SELECT n_nationkey, n_name, FROM nation ORDER BY n_nationkey LIMIT 1").length == 1)
+    // ordinal access on call results, nested
+    val t = run("SELECT tuple(1, 'x').1 AS a, tuple(1, 'x').2 AS b, " +
+      "(tuple(tuple(5, 6), 'z').1).2 AS n").head
+    assert(t.getInt(0) == 1 && t.getString(1) == "x" && t.getInt(2) == 6)
+    // APPLY without parens, both star and COLUMNS forms
+    assert(run("SELECT COLUMNS('n_.*key') APPLY max FROM nation").head.getInt(0) == 24)
+    // caseWithExpression / caseWithoutExpression
+    val cw = run("SELECT caseWithExpression(2, 1, 'a', 2, 'b', 'z') AS x, " +
+      "caseWithoutExpression(1 > 2, 'a', 2 > 1, 'b', 'z') AS y").head
+    assert(cw.getString(0) == "b" && cw.getString(1) == "b")
+    // numbers(offset, count)
+    val nn = run("SELECT min(number) AS lo, max(number) AS hi, count() AS c " +
+      "FROM numbers(10, 5)").head
+    assert(nn.getLong(0) == 10L && nn.getLong(1) == 14L && nn.getLong(2) == 5L)
+    // file(): explicit format and extension inference, relative path
+    assert(run("SELECT count() AS c FROM file('region.parquet', 'Parquet')").head.getLong(0) == 5L)
+    assert(run("SELECT count() AS c FROM file('region.parquet')").head.getLong(0) == 5L)
+    // VALUES('schema', …): declared types drive the positional casts
+    val v = run("SELECT a, s FROM VALUES('a UInt8, s String', (1, 'x'), (2, 'y')) ORDER BY a")
+    assert(v.length == 2 && v.head.getShort(0) == 1 && v.head.getString(1) == "x")
+    // generateRandom: md5-seeded, identical bytes across runs
+    val g1 = run("SELECT a, s FROM (SELECT * FROM generateRandom('a Int64, s String', 42) LIMIT 10) ORDER BY a")
+    val g2 = run("SELECT a, s FROM (SELECT * FROM generateRandom('a Int64, s String', 42) LIMIT 10) ORDER BY a")
+    assert(g1.map(_.toString).toSeq == g2.map(_.toString).toSeq && g1.length == 10)
+    // DISTINCT ON ordering by a column OUTSIDE the select list
+    // (auto-injected and dropped)
+    val d = run("SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name " +
+      "FROM nation ORDER BY n_regionkey, n_nationkey")
+    assert(d.length == 5 && d.head.schema.fieldNames.toSeq ==
+      Seq("n_regionkey", "n_name"))
+    // CH clauses inside FROM/IN subqueries route recursively
+    assert(run("SELECT sum(c) AS t FROM (SELECT n_regionkey, count() AS c " +
+      "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LIMIT 3 BY n_regionkey)")
+      .head.getLong(0) == 25L)
+    assert(run("SELECT count() AS c FROM nation WHERE n_regionkey IN " +
+      "(SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1 BY r_regionkey)")
+      .head.getLong(0) == 25L)
+    // …and the loud ORDER BY requirement surfaces through the nesting
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT sum(c) AS t FROM (SELECT n_regionkey, count() AS c " +
+        "FROM nation GROUP BY n_regionkey LIMIT 3 BY n_regionkey)")
+    }
+    assert(e.getMessage.contains("needs ORDER BY"))
+  }
+
+  test("dictionary DDL + dictGet family semantics") {
+    run("CREATE DICTIONARY r_dict (r_regionkey Int64, r_name String) " +
+      "PRIMARY KEY r_regionkey SOURCE(CLICKHOUSE(TABLE 'region')) " +
+      "LAYOUT(FLAT()) LIFETIME(300)")
+    val r = run("SELECT dictGet('r_dict', 'r_name', 0) AS hit, " +
+      "dictGet('r_dict', 'r_name', 99) AS miss_default, " +
+      "dictGetOrNull('r_dict', 'r_name', 99) AS miss_null, " +
+      "dictGetOrDefault('r_dict', 'r_name', 99, 'other') AS miss_given, " +
+      "dictHas('r_dict', 0) AS h1, dictHas('r_dict', 99) AS h0").head
+    assert(r.getString(0) == "AFRICA")
+    assert(r.getString(1) == "") // CH: missing key -> type default
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "other")
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    // the lookup is a literal map: no join in the plan
+    val plan = Graft.sql(spark,
+      "SELECT dictGet('r_dict', 'r_name', n_regionkey) AS x FROM nation")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    run("DROP DICTIONARY r_dict")
+    val gone = intercept[Exception] {
+      run("SELECT dictGet('r_dict', 'r_name', 0) AS x")
+    }
+    assert(gone.getMessage.contains("unknown dictionary"))
+  }
+
   test("DDL lifecycle: CTAS, mutate, reindex, query, drop") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def sql(q: String) = Graft.sql(spark, q)
