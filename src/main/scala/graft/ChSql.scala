@@ -901,8 +901,19 @@ object ChSql {
       """Int32|Int64|Float32|Float64|DateTime64(?:\s*\(\s*\d+\s*\))?|""" +
       """DateTime|Date32|FixedString\s*\(\s*\d+\s*\))(?!\w)""").r
 
+  // LowCardinality is a storage encoding, not a logical type — unwrap
+  // in cast position (one nesting level covers LowCardinality(Nullable(T)))
+  private val chLowCardCastRe =
+    """(?i)(\bAS\s+|::\s*)LowCardinality\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+
   private def rewriteChCastTypes(q0: String): String = {
     var q = q0
+    if (chLowCardCastRe.findFirstIn(q).isDefined) {
+      val maskLc = inStringMask(q)
+      q = chLowCardCastRe.replaceAllIn(q, m =>
+        if (maskLc(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(m.group(1) + m.group(2)))
+    }
     if (chNullableCastRe.findFirstIn(q).isDefined) {
       val mask = inStringMask(q)
       q = chNullableCastRe.replaceAllIn(q, m =>
@@ -1416,8 +1427,42 @@ object ChSql {
     q
   }
 
+  // ANSI OFFSET…FETCH spelling (accepted by CH) → LIMIT/OFFSET text;
+  // ORDER BY … COLLATE 'loc' → stripped (binary collation stand-in:
+  // identical order on ASCII keys, locale tailoring is not applied)
+  private val offsetFetchRe =
+    ("""(?i)\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+""" +
+      """(\d+)\s+ROWS?\s+(ONLY|WITH\s+TIES)""").r
+  private val fetchOnlyRe =
+    """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+(ONLY|WITH\s+TIES)""".r
+  private val offsetRowsRe = """(?i)\bOFFSET\s+(\d+)\s+ROWS?(?!\s*\w)""".r
+  private val collateRe = """(?i)\s+COLLATE\s+'[^']*'""".r
+
+  private def rewriteFetch(q0: String): String = {
+    def masked(q: String, re: Regex, f: Regex.Match => String): String =
+      if (re.findFirstIn(q).isEmpty) q
+      else {
+        val mask = inStringMask(q)
+        re.replaceAllIn(q, m =>
+          if (mask(m.start)) Regex.quoteReplacement(m.matched)
+          else Regex.quoteReplacement(f(m)))
+      }
+    var q = masked(q0, offsetFetchRe, { m =>
+      val ties = m.group(3).toUpperCase.startsWith("WITH")
+      require(!ties, "FETCH … WITH TIES combined with OFFSET is not supported")
+      s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
+    })
+    q = masked(q, fetchOnlyRe, { m =>
+      if (m.group(2).toUpperCase.startsWith("WITH"))
+        s"LIMIT ${m.group(1)} WITH TIES"
+      else s"LIMIT ${m.group(1)}"
+    })
+    q = masked(q, offsetRowsRe, m => s"OFFSET ${m.group(1)}")
+    masked(q, collateRe, _ => "")
+  }
+
   private def preRewrite(q0: String): String = {
-    var q = rewriteTopN(rewriteScalarWith(q0))
+    var q = rewriteTopN(rewriteScalarWith(rewriteFetch(q0)))
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
     require(firstTopLevel(q, anyJoinRe).isEmpty,
       "ANY JOIN changes join semantics — use graft.ops.Joins.anyJoin")
@@ -2796,14 +2841,17 @@ object ChSql {
     }
 
     for ((offset, n, keys) <- limitBy) {
-      require(orderItems.nonEmpty,
-        "LIMIT n BY needs ORDER BY for deterministic per-group rows")
+      // CH allows LIMIT BY with no ORDER BY (arbitrary per-group rows);
+      // the deterministic stand-in orders by every projected column — a
+      // total order on row content, stable at any partition count
+      val lbOrder =
+        if (orderItems.nonEmpty) orderItems.map(i => (i.name, i.asc))
+        else df.columns.toSeq.map(c => (c, true))
       df =
-        if (offset == 0)
-          LimitByPlan.limitBy(df, keys, n, orderItems.map(i => (i.name, i.asc)))
+        if (offset == 0) LimitByPlan.limitBy(df, keys, n, lbOrder)
         else // the offset form skips o rows per group — window route
           Relational.limitBy(df, keys, n,
-            orderItems.map(i => if (i.asc) col(i.name).asc else col(i.name).desc),
+            lbOrder.map { case (c, asc) => if (asc) col(c).asc else col(c).desc },
             offset)
     }
 

@@ -155,7 +155,89 @@ object Probe {
     "case_fn" ->
       "SELECT caseWithExpression(n_regionkey, 0, 'a', 1, 'b', 'z') AS r FROM nation ORDER BY n_nationkey LIMIT 3",
     "in_sub_routed" ->
-      "SELECT count() AS c FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1 BY r_regionkey)"
+      "SELECT count() AS c FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1 BY r_regionkey)",
+
+    // ---- wave 3: clause + function breadth ----
+    "with_scalar_const" ->
+      "WITH 100 AS k SELECT n_nationkey * k AS v FROM nation ORDER BY v LIMIT 3",
+    "with_scalar_sub" ->
+      "WITH (SELECT max(n_nationkey) FROM nation) AS mx SELECT count() AS c FROM nation WHERE n_nationkey = mx",
+    "prewhere_where" ->
+      "SELECT count() AS c FROM nation PREWHERE n_regionkey = 1 WHERE n_nationkey > 5",
+    "from_final" ->
+      "SELECT count() AS c FROM nation FINAL",
+    "intersect_setop" ->
+      "SELECT n_regionkey FROM nation INTERSECT SELECT r_regionkey FROM region ORDER BY n_regionkey",
+    "except_setop" ->
+      "SELECT n_nationkey FROM nation EXCEPT SELECT r_regionkey FROM region ORDER BY n_nationkey LIMIT 3",
+    "union_distinct" ->
+      "SELECT n_regionkey AS k FROM nation UNION DISTINCT SELECT r_regionkey AS k FROM region ORDER BY k",
+    "limit_offset_kw" ->
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3 OFFSET 2",
+    "fetch_first" ->
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY",
+    "format_clause" ->
+      "SELECT count() AS c FROM nation FORMAT JSONEachRow",
+    "group_by_all" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY ALL ORDER BY n_regionkey",
+    "order_collate" ->
+      "SELECT n_name FROM nation ORDER BY n_name COLLATE 'en' LIMIT 3",
+    "transform_fn" ->
+      "SELECT transform(n_regionkey, [0, 1], ['africa', 'america'], 'other') AS r, count() AS c FROM nation GROUP BY r ORDER BY r",
+    "array_join_fn" ->
+      "SELECT arrayJoin([1, 2, 3]) AS x, 'y' AS t ORDER BY x",
+    "to_start_of" ->
+      "SELECT toStartOfMonth(toDate('2024-03-15')) AS m, toStartOfQuarter(toDate('2024-05-15')) AS q, toStartOfYear(toDate('2024-03-15')) AS y, toStartOfWeek(toDate('2024-03-15')) AS w, toMonday(toDate('2024-03-15')) AS mo",
+    "to_start_time" ->
+      "SELECT toStartOfHour(toDateTime('2024-03-05 07:38:09')) AS h, toStartOfMinute(toDateTime('2024-03-05 07:38:09')) AS mi, toStartOfFiveMinutes(toDateTime('2024-03-05 07:38:09')) AS m5, toStartOfFifteenMinutes(toDateTime('2024-03-05 07:38:09')) AS m15, toStartOfInterval(toDateTime('2024-03-05 07:38:09'), INTERVAL 10 MINUTE) AS i10",
+    "yyyymm" ->
+      "SELECT toYYYYMM(toDate('2024-03-15')) AS a, toYYYYMMDD(toDate('2024-03-15')) AS b, toQuarter(toDate('2024-05-15')) AS q, toDayOfWeek(toDate('2024-03-15')) AS dw, toISOWeek(toDate('2024-03-15')) AS iw, toDayOfYear(toDate('2024-03-15')) AS dy",
+    "add_sub_units" ->
+      "SELECT addDays(toDate('2024-01-31'), 3) AS a, addMonths(toDate('2024-01-31'), 1) AS b, subtractYears(toDate('2024-01-31'), 1) AS c, addHours(toDateTime('2024-01-31 22:00:00'), 5) AS d, addWeeks(toDate('2024-01-01'), 2) AS e",
+    "date_name" ->
+      "SELECT dateName('month', toDate('2024-03-15')) AS m, dateName('weekday', toDate('2024-03-15')) AS wd, monthName(toDate('2024-03-15')) AS mn",
+    "url_fns" ->
+      "SELECT domain('https://img.example.co.uk:8080/a/b?q=1&r=2#f') AS d, topLevelDomain('https://img.example.co.uk/a') AS tld, protocol('https://x.io/a') AS p, path('https://x.io/a/b?q=1') AS pa, queryString('https://x.io/a/b?q=1&r=2') AS qs, extractURLParameter('https://x.io/a?q=1&r=2', 'r') AS ep, cutQueryString('https://x.io/a/b?q=1') AS cq",
+    "ip_fns" ->
+      "SELECT IPv4NumToString(3232235521) AS s, IPv4StringToNum('192.168.0.1') AS n, isIPv4String('192.168.0.1') AS ok, isIPv4String('nope') AS bad",
+    "json_extract" ->
+      "SELECT JSONExtractString('{\"a\":\"x\",\"b\":{\"c\":\"y\"}}', 'b', 'c') AS s, JSONExtractInt('{\"n\": 42}', 'n') AS i, JSONExtractFloat('{\"f\": 2.5}', 'f') AS f, JSONExtractBool('{\"t\": true}', 't') AS t, JSONHas('{\"a\":1}', 'a') AS h, JSONLength('[1,2,3]') AS l",
+    "visit_param" ->
+      "SELECT simpleJSONExtractString('{\"a\":\"x\"}', 'a') AS s, simpleJSONExtractInt('{\"n\":7}', 'n') AS n, simpleJSONHas('{\"a\":1}', 'a') AS h",
+    "array_math" ->
+      "SELECT arrayDifference([1, 4, 9]) AS d, arrayCumSum([1, 2, 3]) AS cs, arrayProduct([2, 3, 4]) AS p, arrayAvg([1, 2, 3, 4]) AS a",
+    "array_enumerate" ->
+      "SELECT arrayEnumerate([9, 8, 7]) AS e, arrayEnumerateUniq([10, 20, 10, 10]) AS eu, arrayCompact([1, 1, 2, 2, 1]) AS ac",
+    "array_preds" ->
+      "SELECT arrayCount(x -> x > 1, [1, 2, 3]) AS c, arrayExists(x -> x = 2, [1, 2, 3]) AS e, arrayAll(x -> x > 0, [1, 2, 3]) AS a, arrayFirst(x -> x > 1, [1, 2, 3]) AS f, arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS fi, arrayLast(x -> x > 1, [1, 2, 3]) AS la",
+    "bit_test" ->
+      "SELECT bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, bitTestAll(7, 0, 1, 2) AS ball, bitTestAny(4, 0, 2) AS bany, bitRotateLeft(CAST(1 AS UInt8), 1) AS rl",
+    "geo_distance" ->
+      "SELECT round(greatCircleDistance(-86.5, 38.8, -77.0, 38.9), -3) AS gc, round(geoDistance(-86.5, 38.8, -77.0, 38.9), -3) AS gd",
+    "split_fns" ->
+      "SELECT splitByChar(',', 'a,b,c') AS s1, splitByString(', ', 'a, b, c') AS s2, alphaTokens('ab12cd') AS a",
+    "str_utils" ->
+      "SELECT reverse('abc') AS r, repeat('ab', 3) AS rp, space(3) AS sp, concatWithSeparator('-', 'a', 'b', 'c') AS cw, countSubstrings('aXbXc', 'X') AS cs, translate('abca', 'ac', 'xz') AS tr",
+    "num_fns" ->
+      "SELECT sign(-5) AS sg, exp(0) AS e0, log(e()) AS l1, log2(8) AS l2, log10(1000) AS l3, sqrt(16) AS sq, cbrt(27) AS cb, pow(2, 10) AS pw, pi() > 3 AS okpi",
+    "finite_fns" ->
+      "SELECT isFinite(1.5) AS f1, isFinite(divide(1, 0)) AS f0, isInfinite(divide(1, 0)) AS i1, isNaN(divide(0, 0)) AS n1, ifNotFinite(divide(1, 0), -1) AS inf",
+    "null_fn_forms" ->
+      "SELECT isNull(NULL) AS a, isNotNull(1) AS b, assumeNotNull(toNullable(5)) AS c, coalesce(NULL, 7) AS d",
+    "round_families" ->
+      "SELECT roundDown(7.7, [0, 5, 10]) AS rd, roundAge(33) AS ra, roundDuration(95) AS rdu, roundToExp2(300) AS r2",
+    "hex_fns" ->
+      "SELECT hex(255) AS h, unhex('414243') AS u, bin(CAST(5 AS UInt8)) AS b, char(65, 66) AS ch, ascii('A') AS a",
+    "count_matches" ->
+      "SELECT countMatches('a1b22c333', '[0-9]+') AS cm, extractGroups('key=val', '(\\\\w+)=(\\\\w+)') AS eg, multiMatchAny('hello', ['^h', 'xx$']) AS mm, multiSearchAny('hello', ['ell', 'zzz']) AS ms",
+    "low_cardinality_cast" ->
+      "SELECT CAST('x' AS LowCardinality(String)) AS lc, CAST(5 AS Nullable(Int64)) AS nn, toLowCardinality('y') AS tlc, toFixedString('ab', 4) AS fs",
+    "interval_fns" ->
+      "SELECT toDate('2024-01-10') + toIntervalDay(3) AS d1, toDateTime('2024-01-10 00:00:00') + toIntervalHour(2) AS d2, date_trunc('month', toDate('2024-03-15')) AS dt",
+    "city_farm_hash" ->
+      "SELECT cityHash64('abc') >= 0 AS c1, farmHash64('abc') >= 0 AS f1, sipHash64('abc') != 0 AS s1, intHash64(42) != 0 AS i1",
+    "tuple_element_fn" ->
+      "SELECT tupleElement(tuple(7, 'x'), 1) AS a, tupleElement(tuple(7, 'x'), 2) AS b, untuple(tuple(1, 2))"
   )
 
   def main(argv: Array[String]): Unit = {

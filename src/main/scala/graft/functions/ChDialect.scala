@@ -435,7 +435,16 @@ object ChDialect {
     macroFn("plus", Seq("__a", "__b"), "__a + __b")
     macroFn("minus", Seq("__a", "__b"), "__a - __b")
     macroFn("multiply", Seq("__a", "__b"), "__a * __b")
-    macroFn("divide", Seq("__a", "__b"), "__a / __b")
+    // CH divide() ALWAYS yields Float64, with IEEE inf/nan on a zero
+    // divisor (Spark's ANSI `/` throws there instead — the bare `/`
+    // operator is left on Spark semantics; this function spelling is
+    // the CH-faithful one)
+    macroFn("divide", Seq("__a", "__b"),
+      """CASE WHEN CAST(__b AS DOUBLE) = 0.0D THEN
+              CASE WHEN CAST(__a AS DOUBLE) > 0.0D THEN CAST('Infinity' AS DOUBLE)
+                   WHEN CAST(__a AS DOUBLE) < 0.0D THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE CAST('NaN' AS DOUBLE) END
+         ELSE CAST(__a AS DOUBLE) / CAST(__b AS DOUBLE) END""")
     macroFn("negate", Seq("__a"), "-__a")
     // CH range(N) = [0, N) — Spark's sequence is inclusive, and
     // sequence(0, -1) would count DOWN, so guard the empty case
@@ -1312,13 +1321,217 @@ object ChDialect {
 
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
-    reg("intHash64")(c => IntHash64(c.head))
+    reg("intHash64")(c => IntHash64(Cast(c.head, LongType)))
     reg("geohashEncode")(c => GeohashEncode(c(0), c(1),
       if (c.size > 2) c(2) else Literal(12)))
     reg("geohashDecode")(c => GeohashDecode(c.head))
     reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
     reg("cosineDistance")(c =>
       Subtract(Literal(1.0), CosineSimilarity(c(0), c(1))))
+
+    // ---- wave-3 breadth (probe-driven gaps) -------------------------
+    def fnu(n: String, args: Expression*): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq(n), args.toSeq, isDistinct = false)
+
+    // URL family completions
+    macroFn("protocol", Seq("__u"), "parse_url(__u, 'PROTOCOL')")
+    macroFn("extractURLParameter", Seq("__u", "__p"),
+      "coalesce(parse_url(__u, 'QUERY', __p), '')")
+    macroFn("cutFragment", Seq("__u"), "regexp_replace(__u, '#.*$', '')")
+    macroFn("queryStringAndFragment", Seq("__u"),
+      """concat(coalesce(parse_url(__u, 'QUERY'), ''),
+                CASE WHEN parse_url(__u, 'REF') IS NULL THEN ''
+                     ELSE concat('#', parse_url(__u, 'REF')) END)""")
+
+    // JSON completions
+    reg("JSONExtractBool")(c =>
+      Cast(GetJsonObject(c.head, jsonPath(c.tail, "JSONExtractBool")),
+        BooleanType))
+    reg("JSONLength") { c =>
+      val tgt = if (c.size == 1) c.head
+        else GetJsonObject(c.head, jsonPath(c.tail, "JSONLength"))
+      Cast(Coalesce(Seq(fnu("json_array_length", tgt),
+        fnu("size", fnu("json_object_keys", tgt)), Literal(0))), LongType)
+    }
+    // simpleJSON*/visitParam*: CH scans for the field without a full
+    // parse; mapped to get_json_object on the TOP-LEVEL key — same
+    // answer on flat objects, documented drift on nested dup keys
+    def simpleJson(cast: Option[DataType]): Seq[Expression] => Expression =
+      c => {
+        val e = GetJsonObject(c(0), jsonPath(Seq(c(1)), "simpleJSON"))
+        cast.map(Cast(e, _)).getOrElse(e)
+      }
+    Seq("simpleJSONExtractString" -> None,
+      "simpleJSONExtractRaw" -> None,
+      "simpleJSONExtractInt" -> Some(LongType),
+      "simpleJSONExtractUInt" -> Some(LongType),
+      "simpleJSONExtractFloat" -> Some(DoubleType),
+      "simpleJSONExtractBool" -> Some(BooleanType)).foreach { case (n, t) =>
+      reg(n)(simpleJson(t))
+      reg(n.replace("simpleJSON", "visitParam"))(simpleJson(t))
+    }
+    reg("simpleJSONHas")(c =>
+      IsNotNull(GetJsonObject(c(0), jsonPath(Seq(c(1)), "simpleJSONHas"))))
+    reg("visitParamHas")(c =>
+      IsNotNull(GetJsonObject(c(0), jsonPath(Seq(c(1)), "visitParamHas"))))
+
+    // array completions
+    macroFn("arrayProduct", Seq("__a"),
+      "aggregate(__a, CAST(1.0 AS DOUBLE), (acc, x) -> acc * CAST(x AS DOUBLE))")
+    // per-element occurrence rank within its prefix (CH semantics)
+    macroFn("arrayEnumerateUniq", Seq("__a"),
+      "transform(__a, (x, i) -> size(filter(slice(__a, 1, i + 1), v -> v <=> x)))")
+    // CH returns the element-type default when nothing matches; NULL is
+    // the Spark-typed equivalent (documented drift). Like arrayCount
+    // above: a builder that RECEIVES a lambda must RETURN a higher-order
+    // function at the ROOT, so these fold with ArrayAggregate — acc is
+    // an element-typed array used as an option (empty = not found yet).
+    def chLambda(name: String, e: Expression): LambdaFunction = e match {
+      case l: LambdaFunction => l
+      case other => throw new IllegalArgumentException(
+        s"$name needs a lambda first (CH argument order), got ${other.sql}")
+    }
+    def arrayPick(name: String, reversed: Boolean): Unit = reg(name) { c =>
+      val f = chLambda(name, c(0))
+      val acc = UnresolvedNamedLambdaVariable(Seq("__acc"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__fin"))
+      val merge = LambdaFunction(
+        If(GreaterThan(Size(acc), Literal(0)), acc,
+          If(Coalesce(Seq(Cast(f.function, BooleanType), Literal(false))),
+            CreateArray(Seq(f.arguments.head)), acc)),
+        acc +: f.arguments)
+      ArrayAggregate(
+        if (reversed) Reverse(c(1)) else c(1),
+        Slice(c(1), Literal(1), Literal(0)), merge,
+        LambdaFunction(
+          ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
+    }
+    arrayPick("arrayFirst", reversed = false)
+    arrayPick("arrayLast", reversed = true)
+    // index forms fold (found_idx, position) through an int-pair acc
+    def arrayPickIndex(name: String, last: Boolean): Unit = reg(name) { c =>
+      val f = chLambda(name, c(0))
+      val acc = UnresolvedNamedLambdaVariable(Seq("__acc"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__fin"))
+      def at(a: Expression, i: Int): Expression =
+        ElementAt(a, Literal(i), None, failOnError = false)
+      val hit = Coalesce(Seq(Cast(f.function, BooleanType), Literal(false)))
+      val pos = Add(at(acc, 2), Literal(1))
+      val keepFound = if (last) hit else
+        And(hit, EqualTo(at(acc, 1), Literal(0)))
+      val merge = LambdaFunction(
+        If(keepFound, CreateArray(Seq(pos, pos)),
+          CreateArray(Seq(at(acc, 1), pos))),
+        acc +: f.arguments)
+      ArrayAggregate(c(1), CreateArray(Seq(Literal(0), Literal(0))), merge,
+        LambdaFunction(at(fin, 1), Seq(fin)))
+    }
+    arrayPickIndex("arrayFirstIndex", last = false)
+    arrayPickIndex("arrayLastIndex", last = true)
+
+    // bit-test family; rotates are 64-bit width (CH rotates within the
+    // argument's own integer width — documented drift below 64 bits)
+    def bitTestFold(name: String, or: Boolean): Unit = reg(name) { c =>
+      require(c.size >= 2, s"$name(x, bit…)")
+      c.tail.map[Expression](p => EqualTo(
+        BitwiseAnd(ShiftRight(Cast(c.head, LongType), Cast(p, IntegerType)),
+          Literal(1L)), Literal(1L)))
+        .reduce((a, b) => if (or) Or(a, b) else And(a, b))
+    }
+    bitTestFold("bitTestAll", or = false)
+    bitTestFold("bitTestAny", or = true)
+    macroFn("bitRotateLeft", Seq("__x", "__n"),
+      """shiftleft(CAST(__x AS BIGINT), CAST(__n AS INT)) |
+         shiftrightunsigned(CAST(__x AS BIGINT), 64 - CAST(__n AS INT))""")
+    macroFn("bitRotateRight", Seq("__x", "__n"),
+      """shiftrightunsigned(CAST(__x AS BIGINT), CAST(__n AS INT)) |
+         shiftleft(CAST(__x AS BIGINT), 64 - CAST(__n AS INT))""")
+
+    // CH geoDistance is ellipsoid-corrected; the haversine sphere tree
+    // (same as greatCircleDistance above) is within ~0.5% — documented
+    reg("geoDistance") { c =>
+      val Seq(lon1, lat1, lon2, lat2) = c.map(e => Cast(e, DoubleType))
+      def rad(e: Expression) = ToRadians(e)
+      val dLat = Divide(rad(Subtract(lat2, lat1)), Literal(2.0))
+      val dLon = Divide(rad(Subtract(lon2, lon1)), Literal(2.0))
+      val h = Add(
+        Multiply(Sin(dLat), Sin(dLat)),
+        Multiply(Multiply(Cos(rad(lat1)), Cos(rad(lat2))),
+          Multiply(Sin(dLon), Sin(dLon))))
+      Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(h)))
+    }
+
+    macroFn("alphaTokens", Seq("__s"),
+      "filter(split(__s, '[^A-Za-z]+'), t -> t != '')")
+    // RE2-subset regex battery over an array of patterns (CH hyperscan
+    // family — semantics here are plain per-pattern regex, documented)
+    macroFn("multiMatchAny", Seq("__s", "__ps"),
+      "exists(__ps, p -> __s RLIKE p)")
+    macroFn("multiSearchAny", Seq("__h", "__ns"),
+      "exists(__ns, n -> instr(__h, n) > 0)")
+    macroFn("multiMatchAnyIndex", Seq("__s", "__ps"),
+      """coalesce(element_at(filter(transform(__ps, (p, i) ->
+           IF(__s RLIKE p, i + 1, 0)), v -> v > 0), 1), 0)""")
+    // roundDown: greatest ladder element ≤ x, else the FIRST element
+    macroFn("roundDown", Seq("__x", "__arr"),
+      "coalesce(array_max(filter(__arr, v -> v <= __x)), element_at(__arr, 1))")
+
+    // extractGroups: group count is derived from the LITERAL pattern at
+    // plan time, so the tree stays fully codegen'd builtins
+    reg("extractGroups") { c =>
+      require(c.size == 2 && c(1).foldable,
+        "extractGroups(s, 'pattern') needs a literal pattern")
+      val pat = c(1).eval().toString
+      val n = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+      If(RLike(c.head, c(1)),
+        CreateArray((1 to n).map(i => RegExpExtract(c.head, c(1), Literal(i)))),
+        Literal.create(Array.empty[String],
+          org.apache.spark.sql.types.ArrayType(StringType)))
+    }
+
+    // toInterval* constructors (CH interval values). Date + day-time
+    // interval yields TIMESTAMP in Spark (CH keeps Date) — documented
+    macroFn("toIntervalSecond", Seq("__n"),
+      "make_dt_interval(0, 0, 0, CAST(__n AS DOUBLE))")
+    macroFn("toIntervalMinute", Seq("__n"),
+      "make_dt_interval(0, 0, CAST(__n AS INT), 0)")
+    macroFn("toIntervalHour", Seq("__n"),
+      "make_dt_interval(0, CAST(__n AS INT), 0, 0)")
+    macroFn("toIntervalDay", Seq("__n"),
+      "make_dt_interval(CAST(__n AS INT), 0, 0, 0)")
+    macroFn("toIntervalWeek", Seq("__n"),
+      "make_dt_interval(7 * CAST(__n AS INT), 0, 0, 0)")
+    macroFn("toIntervalMonth", Seq("__n"), "make_ym_interval(0, CAST(__n AS INT))")
+    macroFn("toIntervalQuarter", Seq("__n"),
+      "make_ym_interval(0, 3 * CAST(__n AS INT))")
+    macroFn("toIntervalYear", Seq("__n"), "make_ym_interval(CAST(__n AS INT), 0)")
+
+    // cityHash64/farmHash64/metroHash64: md5-derived 60-bit stand-ins
+    // under the repo's cross-engine hash convention — deterministic and
+    // well-mixed for sharding/sampling keys, NOT bit-parity with CH
+    // (sipHash64/intHash64 above are the bit-parity pair)
+    def md5Hash64(salt: String): Seq[Expression] => Expression = c => {
+      val s = ConcatWs(Literal("") +: Literal(salt) +:
+        c.map(Cast(_, StringType)))
+      Cast(Conv(Substring(Md5(Cast(s,
+        org.apache.spark.sql.types.BinaryType)),
+        Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    }
+    reg("cityHash64")(md5Hash64("city"))
+    reg("farmHash64")(md5Hash64("farm"))
+    reg("metroHash64")(md5Hash64("metro"))
+
+    // CH char(n…): one string from N code points (Spark's is 1-arg)
+    reg("char") { c =>
+      require(c.nonEmpty, "char(n, …)")
+      Concat(c.map(e => Chr(Cast(e, LongType))))
+    }
+    // toFixedString pads with NUL to width n; CH errors when the value
+    // is LONGER than n — rpad truncates instead (documented drift)
+    macroFn("toFixedString", Seq("__s", "__n"),
+      "rpad(__s, CAST(__n AS INT), chr(0))")
+    macroFn("toLowCardinality", Seq("__x"), "__x")
   }
 
   /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,

@@ -461,12 +461,11 @@ class ChCompatSpec extends AnyFunSuite {
     assert(run("SELECT count() AS c FROM nation WHERE n_regionkey IN " +
       "(SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1 BY r_regionkey)")
       .head.getLong(0) == 25L)
-    // …and the loud ORDER BY requirement surfaces through the nesting
-    val e = intercept[IllegalArgumentException] {
-      run("SELECT sum(c) AS t FROM (SELECT n_regionkey, count() AS c " +
-        "FROM nation GROUP BY n_regionkey LIMIT 3 BY n_regionkey)")
-    }
-    assert(e.getMessage.contains("needs ORDER BY"))
+    // ORDER-BY-less LIMIT BY is valid CH (arbitrary per-group rows);
+    // the deterministic stand-in orders by all projected columns
+    assert(run("SELECT sum(c) AS t FROM (SELECT n_regionkey, count() AS c " +
+      "FROM nation GROUP BY n_regionkey LIMIT 3 BY n_regionkey)")
+      .head.getLong(0) == 25L)
   }
 
   test("dictionary DDL + dictGet family semantics") {
@@ -527,5 +526,86 @@ class ChCompatSpec extends AnyFunSuite {
     val est = sql("EXPLAIN ESTIMATE SELECT * FROM compat_t").collect().head
     assert(est.getLong(1) > 0L) // size estimate always propagates
     sql("DROP TABLE compat_t")
+  }
+
+  test("wave-3 function breadth: JSON / URL / array picks / bits") {
+    val j = run("""SELECT JSONExtractBool('{"t": true}', 't') AS b,
+      JSONLength('[1,2,3]') AS la, JSONLength('{"a":1,"b":2}') AS lo,
+      simpleJSONExtractString('{"a":"x"}', 'a') AS s,
+      simpleJSONExtractInt('{"n":7}', 'n') AS n,
+      visitParamHas('{"a":1}', 'a') AS h""").head
+    assert(j.getBoolean(0) && j.getLong(1) == 3L && j.getLong(2) == 2L &&
+      j.getString(3) == "x" && j.getLong(4) == 7L && j.getBoolean(5))
+    val u = run("""SELECT protocol('https://x.io/a?q=1#f') AS p,
+      extractURLParameter('https://x.io/a?q=1&r=2', 'r') AS r,
+      extractURLParameter('https://x.io/a?q=1', 'zz') AS miss,
+      cutFragment('https://x.io/a?q=1#f') AS cf""").head
+    assert(u.getString(0) == "https" && u.getString(1) == "2" &&
+      u.getString(2) == "" && u.getString(3) == "https://x.io/a?q=1")
+    val a = run("""SELECT arrayFirst(x -> x > 1, [1, 2, 3]) AS f,
+      arrayLast(x -> x > 1, [1, 2, 3]) AS l,
+      arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS fi,
+      arrayLastIndex(x -> x > 1, [1, 2, 3]) AS li,
+      arrayFirstIndex(x -> x > 9, [1, 2, 3]) AS nomatch,
+      arrayProduct([2, 3, 4]) AS pr,
+      arrayEnumerateUniq([10, 20, 10, 10]) AS eu""").head
+    assert(a.getInt(0) == 2 && a.getInt(1) == 3 && a.getInt(2) == 2 &&
+      a.getInt(3) == 3 && a.getInt(4) == 0 && a.getDouble(5) == 24.0 &&
+      a.getSeq[Int](6) == Seq(1, 1, 2, 3))
+    assert(run("SELECT arrayFirst(x -> x > 9, [1, 2]) AS f").head.isNullAt(0))
+    val b = run("""SELECT bitTestAll(7, 0, 1, 2) AS ball,
+      bitTestAll(5, 0, 1) AS nball, bitTestAny(4, 0, 2) AS bany,
+      bitRotateLeft(1, 1) AS rl, bitRotateRight(2, 1) AS rr""").head
+    assert(b.getBoolean(0) && !b.getBoolean(1) && b.getBoolean(2) &&
+      b.getLong(3) == 2L && b.getLong(4) == 1L)
+  }
+
+  test("wave-3: regex groups, rounding ladders, intervals, divide") {
+    val g = run("""SELECT extractGroups('key=val', '(\\w+)=(\\w+)') AS eg,
+      extractGroups('no match here!', '(\\d+)x(\\d+)') AS empty,
+      multiMatchAny('hello', ['^h', 'xx$']) AS mm,
+      multiMatchAnyIndex('hello', ['xx', 'ell']) AS mi,
+      multiSearchAny('hello', ['ell', 'zzz']) AS ms,
+      alphaTokens('ab12cd') AS at""").head
+    assert(g.getSeq[String](0) == Seq("key", "val") &&
+      g.getSeq[String](1).isEmpty && g.getBoolean(2) && g.getInt(3) == 2 &&
+      g.getBoolean(4) && g.getSeq[String](5) == Seq("ab", "cd"))
+    val r = run("""SELECT roundDown(7.7, [0, 5, 10]) AS rd,
+      roundDown(-3, [0, 5]) AS below, roundToExp2(300) AS r2""").head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 0 && r.getLong(2) == 256L)
+    val d = run("""SELECT toDate('2024-01-10') + toIntervalMonth(2) AS m,
+      toDate('2024-01-10') + toIntervalDay(3) AS dd,
+      date_trunc('month', toDate('2024-03-15')) AS dt""").head
+    assert(d.getDate(0).toString == "2024-03-10" &&
+      d.getTimestamp(1).toString.startsWith("2024-01-13") &&
+      d.getTimestamp(2).toString.startsWith("2024-03-01"))
+    // CH divide(): Float64 with IEEE inf/nan on zero divisor
+    val v = run("""SELECT divide(7, 2) AS q, divide(1, 0) AS inf,
+      divide(-1, 0) AS ninf, isNaN(divide(0, 0)) AS nan""").head
+    assert(v.getDouble(0) == 3.5 && v.getDouble(1).isPosInfinity &&
+      v.getDouble(2).isNegInfinity && v.getBoolean(3))
+    // md5-derived stand-ins: deterministic, spread, non-negative 60-bit
+    val h = run("""SELECT cityHash64('abc') AS c1, cityHash64('abc') AS c2,
+      cityHash64('abd') AS c3, farmHash64('abc') AS f1""").head
+    assert(h.getLong(0) == h.getLong(1) && h.getLong(0) != h.getLong(2) &&
+      h.getLong(0) >= 0L && h.getLong(3) != h.getLong(0))
+  }
+
+  test("wave-3 clauses: FETCH FIRST, COLLATE, LowCardinality, char") {
+    val f = run("SELECT n_nationkey FROM nation ORDER BY n_nationkey " +
+      "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY")
+    assert(f.map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+    assert(run("SELECT n_nationkey FROM nation ORDER BY n_nationkey " +
+      "FETCH NEXT 2 ROWS ONLY").map(_.getInt(0)).toSeq == Seq(0, 1))
+    // COLLATE strips to binary order (identical on ASCII keys)
+    assert(run("SELECT n_name FROM nation ORDER BY n_name COLLATE 'en' " +
+      "LIMIT 2").map(_.getString(0)).toSeq == Seq("NATION_0", "NATION_1"))
+    val lc = run("""SELECT CAST('x' AS LowCardinality(String)) AS a,
+      CAST(5 AS LowCardinality(Nullable(Int64))) AS b,
+      toLowCardinality('y') AS c, toFixedString('ab', 4) AS d,
+      char(72, 105) AS ch""").head
+    assert(lc.getString(0) == "x" && lc.getLong(1) == 5L &&
+      lc.getString(2) == "y" && lc.getString(3).length == 4 &&
+      lc.getString(4) == "Hi")
   }
 }

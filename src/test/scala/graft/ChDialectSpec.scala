@@ -591,11 +591,14 @@ class ChDialectSpec extends AnyFunSuite {
     Graft.init(spark, "/root/testdata/sf0.001")
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    // LIMIT BY without ORDER BY is nondeterministic — rejected
-    val e1 = intercept[Exception] {
-      Graft.sql(spark, "SELECT p_brand FROM part LIMIT 2 BY p_brand").collect()
-    }
-    assert(messages(e1).exists(_.contains("ORDER BY")), messages(e1).mkString(" | "))
+    // LIMIT BY without ORDER BY is arbitrary-rows in CH; routed with a
+    // deterministic all-projected-columns order instead of rejected
+    val lb = Graft.sql(spark,
+      "SELECT p_brand FROM part LIMIT 2 BY p_brand").collect()
+    val lb2 = Graft.sql(spark,
+      "SELECT p_brand FROM part LIMIT 2 BY p_brand").collect()
+    assert(lb.nonEmpty && lb.map(_.getString(0)).toSeq ==
+      lb2.map(_.getString(0)).toSeq)
     // expression sort keys can't be routed — rejected with guidance
     val e2 = intercept[Exception] {
       Graft.sql(spark,
