@@ -237,7 +237,109 @@ object Probe {
     "city_farm_hash" ->
       "SELECT cityHash64('abc') >= 0 AS c1, farmHash64('abc') >= 0 AS f1, sipHash64('abc') != 0 AS s1, intHash64(42) != 0 AS i1",
     "tuple_element_fn" ->
-      "SELECT tupleElement(tuple(7, 'x'), 1) AS a, tupleElement(tuple(7, 'x'), 2) AS b, untuple(tuple(1, 2))"
+      "SELECT tupleElement(tuple(7, 'x'), 1) AS a, tupleElement(tuple(7, 'x'), 2) AS b, untuple(tuple(1, 2))",
+
+    // ---- wave 4: strings/UTF8, conversions, date spellings, vectors, misc ----
+    "pad_trim" ->
+      "SELECT leftPad('7', 3, '0') AS lp, rightPad('ab', 5, '.') AS rp, trimLeft('  x') AS tl, trimRight('x  ') AS tr, trimBoth(' x ') AS tb, trim(BOTH 'x' FROM 'xxaxx') AS tf",
+    "utf8_fns" ->
+      "SELECT lengthUTF8('héllo') AS l, lowerUTF8('HÉLLO') AS lo, upperUTF8('héllo') AS up, substringUTF8('héllo', 2, 3) AS su, leftUTF8('héllo', 2) AS le, rightUTF8('héllo', 2) AS ri, positionUTF8('héllo', 'l') AS po",
+    "left_right" ->
+      "SELECT left('hello', 2) AS l, right('hello', 2) AS r, substring('hello', 2) AS s1, substring('hello', 2, 2) AS s2, substr('hello', -3) AS s3, mid('hello', 2, 3) AS s4",
+    "replace_family" ->
+      "SELECT replaceOne('aXbXc', 'X', '-') AS r1, replaceAll('aXbXc', 'X', '-') AS r2, replaceRegexpOne('a1b2', '[0-9]', '#') AS r3, replaceRegexpAll('a1b2', '[0-9]', '#') AS r4",
+    "match_like" ->
+      "SELECT match('hello', '^h.*o$') AS m, like('hello', 'h%o') AS lk, notLike('hello', 'z%') AS nl, locate('l', 'hello') AS lo",
+    "format_fn" ->
+      "SELECT format('{}-{}', 'a', 'b') AS f1, format('{1}/{0}', 'x', 'y') AS f2, concat('a', 1, 'b') AS c1",
+    "base64" ->
+      "SELECT base64Encode('abc') AS e, base64Decode('YWJj') AS d, tryBase64Decode('!!!') AS t, tryBase64Decode('YWJj') AS t2",
+    "str_tests" ->
+      "SELECT isValidUTF8('abc') AS v, initcap('hello world') AS ic, surrogate_nothing() AS x",
+    "conv_ornull" ->
+      "SELECT toInt64OrNull('12') AS a, toInt64OrNull('abc') AS b, toFloat64OrZero('x') AS c, toUInt8OrNull('300') AS d, toInt32OrDefault('nope', 7) AS e, toDateOrNull('2024-03-05') AS f, toDateOrNull('junk') AS g",
+    "conv_decimal" ->
+      "SELECT toDecimal64('1.5', 2) AS a, toDecimal32(2.25, 1) AS b, toDecimal128('3.125', 3) AS c",
+    "conv_dt64" ->
+      "SELECT toDateTime64('2024-03-05 07:08:09.123', 3) AS a, toDate32('2024-03-05') AS b, toString(toDate('2024-03-05')) AS c, toTypeName(1) AS t1, toTypeName('x') AS t2",
+    "parse_best_effort" ->
+      "SELECT parseDateTimeBestEffortOrNull('2024-03-05') AS a, parseDateTimeBestEffortOrNull('garbage') AS b, parseDateTimeBestEffortOrZero('garbage') AS c",
+    "make_date" ->
+      "SELECT makeDate(2024, 3, 5) AS d, makeDateTime(2024, 3, 5, 7, 8, 9) AS dt",
+    "age_fn" ->
+      "SELECT age('day', toDate('2024-01-01'), toDate('2024-03-05')) AS d, age('month', toDate('2024-01-15'), toDate('2024-03-05')) AS m, toLastDayOfMonth(toDate('2024-02-15')) AS ld",
+    "date_add_kw" ->
+      "SELECT dateAdd(DAY, 3, toDate('2024-01-01')) AS a, dateAdd('day', 3, toDate('2024-01-01')) AS b, dateSub(MONTH, 1, toDate('2024-03-15')) AS c, timestampAdd(toDateTime('2024-01-01 00:00:00'), INTERVAL 2 HOUR) AS d, date_diff('day', toDate('2024-01-01'), toDate('2024-01-11')) AS e",
+    "week_fns" ->
+      "SELECT toWeek(toDate('2024-03-15')) AS w, toYearWeek(toDate('2024-03-15')) AS yw, toISOYear(toDate('2024-03-15')) AS iy, toRelativeDayNum(toDate('2024-03-15')) > 0 AS rd",
+    "vector_dist" ->
+      "SELECT L2Distance([1.0, 2.0], [4.0, 6.0]) AS l2, L1Distance([1.0, 2.0], [4.0, 6.0]) AS l1, LinfDistance([1.0, 2.0], [4.0, 6.0]) AS li, cosineDistance([1.0, 0.0], [0.0, 1.0]) AS cd, dotProduct([1, 2, 3], [4, 5, 6]) AS dp, L2Norm([3.0, 4.0]) AS n2, L1Norm([3.0, -4.0]) AS n1",
+    "array_fold" ->
+      "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], CAST(10 AS Int64)) AS f",
+    "array_extra" ->
+      "SELECT hasSubstr([1, 2, 3, 4], [2, 3]) AS hs, arrayUniq([1, 2, 1]) AS au, indexOf([9, 8, 7], 8) AS io, arrayElement([1, 2, 3], -1) AS neg, [1, 2, 3][-2] AS neg2",
+    "agg_sum_count" ->
+      "SELECT sumCount(n_nationkey) AS sc, avgIf(n_nationkey, n_regionkey = 1) AS ai, minIf(n_nationkey, n_regionkey = 1) AS mi, maxIf(n_nationkey, n_regionkey = 1) AS ma FROM nation",
+    "agg_simple_linreg" ->
+      "SELECT simpleLinearRegression(n_nationkey, n_nationkey * 2 + 1) AS kb FROM nation",
+    "agg_parametric_more" ->
+      "SELECT uniqUpTo(3)(n_regionkey) AS u3, topK(2)(n_regionkey) AS tk, quantileTiming(0.5)(n_nationkey) AS qt, quantileBFloat16(0.5)(n_nationkey) AS qb FROM nation",
+    "hash_digests" ->
+      "SELECT hex(MD5('abc')) AS m, hex(SHA1('abc')) AS s1, hex(SHA256('abc')) AS s2, xxHash64('abc') != 0 AS x64, xxHash32('abc') >= 0 AS x32, CRC32('abc') >= 0 AS crc, halfMD5('abc') >= 0 AS hm",
+    "uuid_fns" ->
+      "SELECT length(toString(generateUUIDv4())) AS l, toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS u",
+    "math_extra" ->
+      "SELECT exp2(3) AS e2, exp10(2) AS e10, intExp2(4) AS i2, intExp10(3) AS i10, erf(0) AS er, lgamma(5) AS lg, tgamma(5) AS tg, atan2(1, 1) > 0 AS at, hypot(3, 4) AS hy, log1p(0) AS l1, degrees(pi()) AS dg, radians(180) > 3 AS rd, max2(3, 5) AS mx, min2(3, 5) AS mn",
+    "introspect" ->
+      "SELECT version() != '' AS v, hostName() != '' AS h, currentDatabase() AS db, currentUser() != '' AS u, ignore(n_nationkey) AS ig, materialize(5) AS mz FROM nation LIMIT 1",
+    "system_one" ->
+      "SELECT dummy FROM system.one",
+    "system_numbers" ->
+      "SELECT number FROM system.numbers LIMIT 5",
+    "show_tables" ->
+      "SHOW TABLES",
+    "show_databases" ->
+      "SHOW DATABASES",
+    "explain_syntax" ->
+      "EXPLAIN SYNTAX SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey",
+    "explain_plan" ->
+      "EXPLAIN PLAN SELECT count() AS c FROM nation",
+    "explain_pipeline" ->
+      "EXPLAIN PIPELINE SELECT count() AS c FROM nation",
+    "top_n" ->
+      "SELECT TOP 3 n_nationkey FROM nation ORDER BY n_nationkey",
+    "group_rollup_fn" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST",
+    "with_rollup_kw" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey WITH ROLLUP",
+    "tuple_compare" ->
+      "SELECT count() AS c FROM nation WHERE (n_regionkey, n_nationkey) < (2, 10)",
+    "asof_join_text" ->
+      "SELECT count() AS c FROM (SELECT 1 AS k, 5 AS t) a ASOF JOIN (SELECT 1 AS k, 3 AS t) b ON a.k = b.k AND a.t >= b.t",
+    "semi_join_text" ->
+      "SELECT count() AS c FROM nation LEFT SEMI JOIN region ON n_regionkey = r_regionkey",
+    "anti_join_text" ->
+      "SELECT count() AS c FROM nation LEFT ANTI JOIN region ON n_regionkey = r_regionkey",
+    "paste_join_text" ->
+      "SELECT count() AS c FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5) a PASTE JOIN (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 5) b",
+    "neighbor_running" ->
+      "SELECT n_nationkey, runningAccumulate_nothing() FROM nation LIMIT 1",
+    "bitmap_scalar" ->
+      "SELECT bitmapCardinality(bitmapBuild([1, 2, 3, 2])) AS c, bitmapContains(bitmapBuild([1, 2, 3]), 2) AS has, bitmapAndCardinality(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])) AS ac, bitmapOrCardinality(bitmapBuild([1, 2]), bitmapBuild([2, 3])) AS oc, bitmapToArray(bitmapBuild([3, 1, 2])) AS arr",
+    "map_extra" ->
+      "SELECT mapKeys(map('a', 1, 'b', 2)) AS k, mapValues(map('a', 1)) AS v, mapContains(map('a', 1), 'a') AS c, mapFromArrays(['x', 'y'], [1, 2]) AS m",
+    "interval_tostartof" ->
+      "SELECT toStartOfInterval(toDateTime('2024-03-05 07:38:09'), INTERVAL 1 DAY) AS d, timeSlot(toDateTime('2024-03-05 07:38:09')) AS ts",
+    "escape_quotes" ->
+      "SELECT 'it''s' AS a, 'tab\\tx' AS b, length('a\\nb') AS c",
+    "num_literals" ->
+      "SELECT 0x1F AS h, 1e3 AS e, -0.5 AS n, inf > 1e308 AS i, isNaN(nan) AS na",
+    "backtick_alias" ->
+      "SELECT n_name AS `the name` FROM nation ORDER BY n_nationkey LIMIT 1",
+    "exp_moving_avg" ->
+      "SELECT exponentialMovingAverage(1)(n_nationkey, n_nationkey) > 0 AS ema FROM nation",
+    "running_diff_order" ->
+      "SELECT neighbor_nothing() FROM nation LIMIT 1"
   )
 
   def main(argv: Array[String]): Unit = {

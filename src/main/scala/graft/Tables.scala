@@ -17,11 +17,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is ns-precision parquet; Spark (µs-native) reads it as
-    * a long only under `spark.sql.legacy.parquet.nanosAsLong=true` (set
-    * in every session we build). Convert ns→µs with INTEGER division —
-    * a double division would lose precision at 1e18 ns — matching
-    * DuckDB's `CAST(ts AS TIMESTAMP)` truncation (FIXTURES.md trap).
+  /** `events.ts` has shipped as BOTH ns-precision int64 parquet (read
+    * as a long under `spark.sql.legacy.parquet.nanosAsLong=true`) and
+    * plain µs timestamp parquet, depending on the fixture generation.
+    * Sniff the read schema: a long is ns → convert with INTEGER
+    * division (double division would lose precision at 1e18 ns,
+    * matching DuckDB's CAST truncation); a timestamp is already µs.
     */
   // The fixture files are immutable, so the (session, dir, table)
   // DataFrame — really just its analyzed plan + resolved FileIndex —
@@ -36,7 +37,8 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), { key =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else df
     })

@@ -5,7 +5,7 @@ import graft.ops.Aggregates.StepEvent
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** SURVEY.md §2.9: ClickHouse's streaming surface (Kafka engine + MV
   * pipelines, WindowView tumble/hop) mapped to Structured Streaming.
@@ -163,18 +163,25 @@ object StreamDemo {
       }
   }
 
-  /** Raw schema of the events parquet when read as a stream (ts is
-    * ns-int64 under nanosAsLong; normalize exactly like graft.Tables).
+  /** Raw schema of the events parquet when read as a stream. The
+    * fixture has shipped with ts as BOTH ns-int64 (under nanosAsLong)
+    * and plain µs timestamp — sniff one file's footer via a batch read
+    * and normalize exactly like graft.Tables.
     */
-  def rawEventSchema: StructType = new StructType()
-    .add("event_id", LongType).add("ts", LongType)
+  def rawEventSchema(tsIsLong: Boolean): StructType = new StructType()
+    .add("event_id", LongType)
+    .add("ts", if (tsIsLong) LongType else TimestampNTZType)
     .add("user_id", LongType).add("event_type", "string")
     .add("value", "double").add("props", "string")
 
   /** File-stream replay of an events parquet directory (the Kafka-
     * engine stand-in: same unbounded-append contract).
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawEventSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsLong =
+      spark.read.parquet(dir).schema("ts").dataType == LongType
+    val raw = spark.readStream.schema(rawEventSchema(tsIsLong)).parquet(dir)
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
 }
