@@ -37,9 +37,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), { key =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (name == "events")
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampType => df
+          case _ =>
+            // tz-naive µs parquet loads as TIMESTAMP_NTZ; event-time
+            // (withWatermark/window) and unix_micros need TIMESTAMP.
+            // Session TZ is pinned to UTC so the instant is unchanged.
+            df.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        }
       else df
     })
 }

@@ -51,7 +51,10 @@ object Projections {
 
   private val catalog = TrieMap.empty[String, ProjectionDef]
 
-  def registered: Seq[ProjectionDef] = catalog.values.toSeq
+  // Sorted: the rewrite takes the FIRST matching projection, and the
+  // catalog is session-global — TrieMap iteration order would make
+  // the chosen projection depend on registration history.
+  def registered: Seq[ProjectionDef] = catalog.values.toSeq.sortBy(_.name)
 
   /** Modification time of the base table's root path (file or dir).
     * The rewrite checks this per query: a projection built from an

@@ -5,7 +5,7 @@ import graft.ops.Aggregates.StepEvent
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampType}
 
 /** SURVEY.md §2.9: ClickHouse's streaming surface (Kafka engine + MV
   * pipelines, WindowView tumble/hop) mapped to Structured Streaming.
@@ -165,23 +165,30 @@ object StreamDemo {
 
   /** Raw schema of the events parquet when read as a stream. The
     * fixture has shipped with ts as BOTH ns-int64 (under nanosAsLong)
-    * and plain µs timestamp — sniff one file's footer via a batch read
-    * and normalize exactly like graft.Tables.
+    * and plain µs timestamp — the caller sniffs one file's footer via
+    * a batch read and passes the ACTUAL on-disk ts type through, so
+    * batch (graft.Tables) and stream always agree on the raw schema
+    * whatever the fixture generation did.
     */
-  def rawEventSchema(tsIsLong: Boolean): StructType = new StructType()
+  def rawEventSchema(tsType: DataType): StructType = new StructType()
     .add("event_id", LongType)
-    .add("ts", if (tsIsLong) LongType else TimestampNTZType)
+    .add("ts", tsType)
     .add("user_id", LongType).add("event_type", "string")
     .add("value", "double").add("props", "string")
 
   /** File-stream replay of an events parquet directory (the Kafka-
-    * engine stand-in: same unbounded-append contract).
+    * engine stand-in: same unbounded-append contract). Normalizes ts
+    * exactly like graft.Tables: ns-int64 → timestamp_micros(ns/1000),
+    * tz-naive NTZ → TIMESTAMP (session TZ pinned UTC), TIMESTAMP
+    * passes through — event-time ops need TimestampType.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val tsIsLong =
-      spark.read.parquet(dir).schema("ts").dataType == LongType
-    val raw = spark.readStream.schema(rawEventSchema(tsIsLong)).parquet(dir)
-    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawEventSchema(tsType)).parquet(dir)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
