@@ -45,6 +45,7 @@ object Graft {
       spark.udf.register("uniqTheta",
         org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ThetaSketch(4096)))
       graft.plans.LimitByPlan.install(spark)
+      graft.plans.DedupAggregateCalls.install(spark)
     }
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)

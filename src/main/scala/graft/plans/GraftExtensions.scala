@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
       (children: Seq[Expression]) => ShingleRows(children(0), children(1))))
     ext.injectOptimizerRule(_ => CanonicalizeCosine)
+    ext.injectOptimizerRule(_ => DedupAggregateCalls)
     // the LIMIT n BY physical operator (partial map-side pruning) —
     // builder-configured sessions get the strategy without the
     // per-session LimitByPlan.install fallback

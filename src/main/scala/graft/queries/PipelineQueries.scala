@@ -551,7 +551,11 @@ object PipelineQueries {
       GraftFunctions.register(s)
       val emb = Tables(s, dir, "embeddings")
       val (assigned, _) = Vectors.ivfIndexCached(emb, dir, "embedding", 8, seed = 42L)
-      val probes = assigned.filter($"vec_id" % 400 === 0)
+      // Constant probe set: a modulo filter (vec_id % N == 0) makes the
+      // probe batch grow WITH the corpus — probe×cell work then scales
+      // superlinearly at 100 TB. Queries are external at scale; a fixed
+      // demo set keeps the broadcast O(1) like pipe_sim_topk.
+      val probes = assigned.filter($"vec_id" < 8)
         .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"cell")
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
       assigned.join(broadcast(probes), Seq("cell"))
