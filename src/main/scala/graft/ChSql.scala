@@ -1760,13 +1760,13 @@ object ChSql {
           val ineqs = conds.filterNot(_._2 == "=")
           require(ineqs.size == 1,
             s"ASOF JOIN needs exactly one inequality, got ${ineqs.size}")
+          // all four CH inequality forms route onto the operator:
+          // >= latest at-or-before, > latest strictly-before,
+          // <= earliest at-or-after, < earliest strictly-after
           val (lts, op, rts) = ineqs.head
-          require(op == ">=",
-            s"ASOF inequality '$lts $op $rts' unsupported: the operator " +
-              "implements CH's default l.ts >= r.ts (latest right at-or-" +
-              "before); strict or reversed forms need ops.Joins directly")
           val rightCols = rDf.columns.toSeq.filterNot(keys.contains)
-          val out = graft.ops.Joins.asofJoin(lDf, rDf, keys, lts, rts, rightCols)
+          val out = graft.ops.Joins.asofJoin(lDf, rDf, keys, lts, rts,
+            rightCols, op = op)
           rightRef = c => {
             val nc = renames.getOrElse(c, c)
             if (keys.contains(nc)) nc else s"asof_$nc"

@@ -31,6 +31,13 @@ object Joins {
     * right column) to make the pick deterministic — the row with the
     * GREATEST tie-break value wins. Without it the result is only
     * deterministic when (keys, rightTs) is unique on the right side.
+    *
+    * `op` selects the CH inequality form (the condition is
+    * `leftTs op rightTs`): ">=" latest right at-or-before (default),
+    * ">" latest strictly before, "<=" earliest right at-or-after,
+    * "<" earliest strictly after. All four are the SAME plan — only
+    * the window's sort direction (backward vs forward search) and the
+    * side order at equal ts (inclusive vs strict) change.
     */
   def asofJoin(
       left: DataFrame,
@@ -40,7 +47,9 @@ object Joins {
       rightTs: String,
       rightCols: Seq[String],
       prefix: String = "asof_",
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      op: String = ">="): DataFrame = {
+    require(Set(">=", ">", "<=", "<")(op), s"asofJoin: bad op '$op'")
     val lSchema = left.schema
     val rFields = (rightCols ++ tieBreak).distinct
     val rSchema = StructType(rFields.map(c => right.schema(c)))
@@ -55,10 +64,19 @@ object Joins {
       lit(null).cast(lSchema).as("__l"),
       struct(rFields.map(col).toIndexedSeq: _*).as("__r")): _*)
 
+    // Backward search (>=, >) scans ts ascending; forward search
+    // (<=, <) scans ts descending — "last right row seen so far" is
+    // then the nearest at-or-after. Inclusive ops put right rows
+    // BEFORE left at equal ts (an exact-ts match is visible); strict
+    // ops put them after (it is not).
+    val backward = op == ">=" || op == ">"
+    val strict = op == ">" || op == "<"
+    val tsOrd = if (backward) col("__ts").asc else col("__ts").desc
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
     // Tie-break columns ride in the __r struct; left rows carry nulls
     // there, which sort first and so never reorder across the
-    // right-before-left boundary established by __side.
-    val order = Seq(col("__ts"), col("__side")) ++
+    // right/left boundary established by __side.
+    val order = Seq(tsOrd, sideOrd) ++
       tieBreak.map(c => col("__r").getField(c).asc_nulls_first)
     val w = Window.partitionBy(kCols: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -256,6 +256,57 @@ object ChSqlQueries {
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY user_id, err_us""")),
 
+    // ASOF with the inequality REVERSED (l.ts <= r.ts): for each error
+    // the EARLIEST purchase at-or-after it — the "next action after a
+    // failure" shape. Same union+window operator, forward scan; the
+    // oracle is DuckDB's native ASOF with the same inequality.
+    QDef("sql_ch_asof_rev", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l.user_id, l.event_id,
+               unix_micros(l.ts) AS err_us,
+               unix_micros(r.ts) AS next_purch_us,
+               r.value AS purch_value
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+        ORDER BY user_id, err_us""")
+    }, Some("""
+      SELECT l.user_id AS user_id, l.event_id AS event_id,
+             epoch_us(CAST(l.ts AS TIMESTAMP)) AS err_us,
+             epoch_us(CAST(r.ts AS TIMESTAMP)) AS next_purch_us,
+             r.value AS purch_value
+      FROM (SELECT * FROM events WHERE event_type = 'error') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+      ORDER BY user_id, err_us""")),
+
+    // ASOF strict (l.ts > r.ts): latest purchase STRICTLY before each
+    // error — an exact-ts purchase must NOT match. DuckDB native ASOF
+    // with > is the oracle.
+    QDef("sql_ch_asof_strict", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l.user_id, l.event_id,
+               unix_micros(l.ts) AS err_us,
+               unix_micros(r.ts) AS prev_purch_us
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                        WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts > r.ts
+        ORDER BY user_id, err_us""")
+    }, Some("""
+      SELECT l.user_id AS user_id, l.event_id AS event_id,
+             epoch_us(CAST(l.ts AS TIMESTAMP)) AS err_us,
+             epoch_us(CAST(r.ts AS TIMESTAMP)) AS prev_purch_us
+      FROM (SELECT * FROM events WHERE event_type = 'error') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts > r.ts
+      ORDER BY user_id, err_us""")),
+
     // Verbatim CH LEFT ANY JOIN text → ops/Joins.anyJoin (right side
     // deduped to one row per key BEFORE the join — broadcastable).
     // CH picks an arbitrary match; the router pins first-by-remaining-

@@ -44,6 +44,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.select("asof_v").as[String].collect().toSeq == Seq("y"))
   }
 
+  // DuckDB 1.0 reference (probed): l=(1,5),(1,10); r=(1,5,50),(1,7,70),(1,12,120)
+  //   >= → (5→50),(10→70)   > → (5→null),(10→70)
+  //   <= → (5→50),(10→120)  < → (5→70),(10→120)
+  test("asofJoin supports all four CH inequality directions") {
+    val l = Seq((1L, 5L), (1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, 50L), (1L, 7L, 70L), (1L, 12L, 120L)).toDF("k", "ts", "v")
+    def run(op: String): Seq[Any] =
+      Joins.asofJoin(l, r, Seq("k"), "ts", "ts", Seq("v"), op = op)
+        .orderBy("ts").select("asof_v").collect().map(_.get(0)).toSeq
+    assert(run(">=") == Seq(50L, 70L))
+    assert(run(">") == Seq(null, 70L))
+    assert(run("<=") == Seq(50L, 120L))
+    assert(run("<") == Seq(70L, 120L))
+  }
+
   test("anyJoin returns exactly one deterministic match per left row") {
     val l = Seq(1L, 2L, 3L).toDF("k")
     val r = Seq((1L, 10, "a"), (1L, 20, "b"), (2L, 5, "c")).toDF("k", "p", "v")
