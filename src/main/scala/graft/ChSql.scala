@@ -1213,7 +1213,8 @@ object ChSql {
       """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
       """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|""" +
-      """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount)""" +
+      """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
+      """[A-Za-z_]\w*Resample)""" +
       """(If)?\s*\(""").r
 
   /** ClickHouse's parametric-aggregate call syntax `f(params)(args)`
@@ -1400,6 +1401,50 @@ object ChSql {
           spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(
             new Aggregates.SequenceCountPattern(pat, n), n)))
         s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
+      // -Resample combinator [public docs: sql-reference/aggregate-
+      // functions/combinators#-resample]: fResample(start, end, step)
+      // (x, key) splits [start, end) into ceil((end-start)/step)
+      // subintervals by key (last one clipped to end; keys outside the
+      // range ignored) and returns the array of per-subinterval
+      // aggregates. Buckets are known at parse time, so the rewrite is
+      // one FILTERed aggregate call per bucket — a SINGLE hash-agg
+      // pass evaluates them all (no extra shuffle, no UDAF).
+      case r if r.endsWith("resample") =>
+        require(filt.isEmpty,
+          s"$name0: compose as <agg>IfResample is not supported; " +
+            "put the condition in WHERE")
+        val inner0 = name0.substring(0, name0.length - "Resample".length)
+        require(params.size == 3, s"$name0 takes (start, end, step)")
+        def numParam(i: Int): Double = {
+          require(params(i).matches("""-?\d+(\.\d+)?"""),
+            s"$name0: parameter ${i + 1} must be a numeric literal, " +
+              s"got ${params(i)}")
+          params(i).toDouble
+        }
+        val start = numParam(0); val end = numParam(1); val step = numParam(2)
+        require(step > 0, s"$name0: step must be positive")
+        require(end > start, s"$name0: end must exceed start")
+        val nb = math.ceil((end - start) / step).toInt
+        require(nb <= 1024,
+          s"$name0: ${nb} subintervals — cap is 1024 (each bucket is an " +
+            "aggregate call in the plan)")
+        nArgs(2)
+        val x = args(0); val key = args(1)
+        def fmt(d: Double): String =
+          if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
+        val calls = (0 until nb).map { i =>
+          val lo = start + i * step
+          val hi = math.min(start + (i + 1) * step, end)
+          val cond = s"($key) >= ${fmt(lo)} AND ($key) < ${fmt(hi)}"
+          val call = inner0.toLowerCase(java.util.Locale.ROOT) match {
+            case "uniq" | "uniqexact" => s"count(DISTINCT $x)"
+            case _ => s"$inner0($x)" // count/sum/avg/min/max + any
+                                     // registered CH spelling resolve
+                                     // through the session registry
+          }
+          s"$call FILTER (WHERE $cond)"
+        }
+        s"array(${calls.mkString(", ")})"
       case other => throw new IllegalStateException(s"unhandled parametric $other")
     }
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Det, QDef, Tables}
+import graft.{Det, Graft, QDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -356,6 +356,39 @@ object AggQueries {
              bit_or(l_linenumber) AS b_or,
              bit_xor(l_linenumber) AS b_xor
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -Resample combinator: fResample(start, end, step)(x, key) →
+    // per-subinterval aggregates as an array ([1,3),[3,5),[5,7),[7,8)
+    // over l_linenumber here). ChSql expands it to one FILTERed
+    // aggregate call per bucket — a single hash-agg pass, no UDAF, no
+    // extra shuffle. Integer inputs keep every bucket value exact;
+    // the oracle writes the same bucket arithmetic longhand.
+    QDef("agg_resample", (s, dir) => {
+      Graft.init(s, dir)
+      // arrays render as '|'-joined strings (the gate can't hash array
+      // cells); every value is integral so the render is exact
+      Graft.sql(s, """
+        SELECT l_returnflag,
+               arrayStringConcat(
+                 countResample(1, 8, 2)(l_orderkey, l_linenumber), '|') AS cnts,
+               arrayStringConcat(
+                 sumResample(1, 8, 2)(l_orderkey, l_linenumber), '|') AS sums,
+               arrayStringConcat(CAST(
+                 maxResample(1, 8, 2)(l_quantity, l_linenumber) AS Array(Int64)), '|') AS maxs
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some {
+      val buckets = Seq((1, 3), (3, 5), (5, 7), (7, 8))
+      def arr(f: Int => String) = buckets.indices.map(f)
+        .mkString("array_to_string([", ", ", "], '|')")
+      def w(i: Int) = s"FILTER (WHERE l_linenumber >= ${buckets(i)._1} " +
+        s"AND l_linenumber < ${buckets(i)._2})"
+      s"""
+      SELECT l_returnflag,
+             ${arr(i => s"count(l_orderkey) ${w(i)}")} AS cnts,
+             ${arr(i => s"CAST(sum(l_orderkey) ${w(i)} AS BIGINT)")} AS sums,
+             ${arr(i => s"CAST(max(l_quantity) ${w(i)} AS BIGINT)")} AS maxs
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    }),
 
     // sumMap: element-wise sum of per-row maps. Explode → two-key agg
     // → re-assemble as a k-sorted "k:v" entry string (deterministic

@@ -406,15 +406,35 @@ class ChDialectSpec extends AnyFunSuite {
       .orderBy(col("c_custkey"))
     assert(anyTxt.collect().toSeq == anyOp.collect().toSeq)
 
-    // a strict ASOF inequality is a semantic change — loud failure
-    val strict = intercept[IllegalArgumentException] {
+    // all four ASOF inequality directions route (r7); the text form
+    // must equal the operator called with the same op
+    val strictTxt = Graft.sql(spark, """
+      SELECT l.user_id, l.event_id, r.ts AS purch_ts FROM
+      (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') l
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts > r.ts
+      ORDER BY l.user_id, l.event_id""")
+    val strictOp = graft.ops.Joins.asofJoin(
+        spark.table("events").filter(col("event_type") === "error")
+          .select("user_id", "ts", "event_id"),
+        spark.table("events").filter(col("event_type") === "purchase")
+          .select("user_id", "ts"),
+        Seq("user_id"), "ts", "ts", Seq("ts"), op = ">")
+      .select(col("user_id"), col("event_id"), col("asof_ts").as("purch_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+    assert(strictTxt.collect().toSeq == strictOp.collect().toSeq)
+
+    // RIGHT/FULL ASOF strictness still fails loudly
+    val right = intercept[IllegalArgumentException] {
       Graft.sql(spark, """
         SELECT l.event_id FROM
         (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') l
-        ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
-        ON l.user_id = r.user_id AND l.ts > r.ts""")
+        ASOF RIGHT JOIN (SELECT user_id, ts FROM events
+                         WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts""")
     }
-    assert(strict.getMessage.contains("ASOF inequality"))
+    assert(right.getMessage.contains("not routable"))
   }
 
   test("IPv4 family: known answers and roundtrip") {
@@ -1232,5 +1252,21 @@ class ChDialectSpec extends AnyFunSuite {
       FROM events GROUP BY user_id""").collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"$r"))
+  }
+
+  test("-Resample combinator: bucket bounds, clipping, out-of-range keys") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // CH doc shape: countResample(30, 75, 30) → buckets [30,60), [60,75);
+    // nationkeys 0..24 resampled by themselves over [5, 22) step 10 →
+    // [5,15) and [15,22): counts 10 and 7, keys <5 and >=22 ignored
+    val r = Graft.sql(spark, """
+      SELECT countResample(5, 22, 10)(n_name, n_nationkey) AS c,
+             sumResample(5, 22, 10)(n_nationkey, n_nationkey) AS s,
+             minResample(5, 22, 10)(n_nationkey, n_nationkey) AS lo
+      FROM nation""").head()
+    assert(r.getSeq[Long](0) == Seq(10L, 7L))
+    // sum(5..14) = 95, sum(15..21) = 126
+    assert(r.getSeq[Long](1) == Seq(95L, 126L))
+    assert(r.getSeq[Int](2) == Seq(5, 15))
   }
 }
