@@ -255,7 +255,11 @@ object Probe {
     "base64" ->
       "SELECT base64Encode('abc') AS e, base64Decode('YWJj') AS d, tryBase64Decode('!!!') AS t, tryBase64Decode('YWJj') AS t2",
     "str_tests" ->
-      "SELECT isValidUTF8('abc') AS v, initcap('hello world') AS ic, surrogate_nothing() AS x",
+      "SELECT isValidUTF8('abc') AS v, initcap('hello world') AS ic",
+    // known-unsupported placeholder isolated in its own probe so the
+    // real functions above report independently
+    "str_tests_unsupported" ->
+      "SELECT surrogate_nothing() AS x",
     "conv_ornull" ->
       "SELECT toInt64OrNull('12') AS a, toInt64OrNull('abc') AS b, toFloat64OrZero('x') AS c, toUInt8OrNull('300') AS d, toInt32OrDefault('nope', 7) AS e, toDateOrNull('2024-03-05') AS f, toDateOrNull('junk') AS g",
     "conv_decimal" ->
@@ -322,8 +326,12 @@ object Probe {
       "SELECT count() AS c FROM nation LEFT ANTI JOIN region ON n_regionkey = r_regionkey",
     "paste_join_text" ->
       "SELECT count() AS c FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5) a PASTE JOIN (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 5) b",
-    "neighbor_running" ->
-      "SELECT n_nationkey, runningAccumulate_nothing() FROM nation LIMIT 1",
+    "neighbor_plain" ->
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 1",
+    // known-unsupported placeholder isolated (was bundled with the
+    // n_nationkey select, masking its status)
+    "neighbor_running_unsupported" ->
+      "SELECT runningAccumulate_nothing() AS x",
     "bitmap_scalar" ->
       "SELECT bitmapCardinality(bitmapBuild([1, 2, 3, 2])) AS c, bitmapContains(bitmapBuild([1, 2, 3]), 2) AS has, bitmapAndCardinality(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])) AS ac, bitmapOrCardinality(bitmapBuild([1, 2]), bitmapBuild([2, 3])) AS oc, bitmapToArray(bitmapBuild([3, 1, 2])) AS arr",
     "map_extra" ->

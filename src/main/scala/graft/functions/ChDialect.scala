@@ -30,6 +30,8 @@ object ChDialect {
     "lengthUTF8" -> "length",
     "lowerUTF8" -> "lower",
     "upperUTF8" -> "upper",
+    "isValidUTF8" -> "is_valid_utf8",
+    "toValidUTF8" -> "make_valid_utf8",
     "toDate" -> "to_date",
     "toDateTime" -> "to_timestamp",
     "modulo" -> "mod",

@@ -22,7 +22,9 @@ class ChDialectSpec extends AnyFunSuite {
                WHEN n_nationkey < 15 THEN 'mid' ELSE 'hi' END AS e,
         has(splitByChar(' ', n_name || ' X'), 'X') AS f,
         arrayUniq(array(1, 1, 2)) = 2 AS g,
-        sipHash64(n_name) = sip_hash64(n_name) AS h
+        sipHash64(n_name) = sip_hash64(n_name) AS h,
+        isValidUTF8(n_name) AS i,
+        toValidUTF8(n_name) = n_name AS j
       FROM nation""").collect()
     assert(rows.length == 25)
     rows.foreach { r =>
