@@ -1029,7 +1029,88 @@ object ChSql {
         else Regex.quoteReplacement(
           s"${m.group(1)}('${m.group(2).toLowerCase(java.util.Locale.ROOT)}',"))
     }
+    // the mirror direction: CH also spells dateAdd('day', n, d) with a
+    // QUOTED unit, which Spark's own 3-arg dateadd/timestampadd
+    // grammar rejects — strip the quotes into the bare keyword
+    if (quotedUnitRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = quotedUnitRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(
+          s"${m.group(1)}(${m.group(2).toUpperCase(java.util.Locale.ROOT)},"))
+    }
+    q = rewriteHexAndSpecialLiterals(q)
+    q = rewriteTimestampAddInterval(q)
     rewriteExtract(q)
+  }
+
+  // CH 2-arg form timestampAdd(x, INTERVAL n unit) / timestampSub —
+  // Spark's builtin is the 3-arg (unit, n, ts) shape only, so the
+  // INTERVAL form becomes plain +/- arithmetic
+  private val tsAddIntervalRe =
+    """(?i)\b(timestampAdd|timestamp_add|timestampSub|timestamp_sub)\s*\(""".r
+
+  private def rewriteTimestampAddInterval(q0: String): String = {
+    var q = q0
+    var search = 0
+    while (true) {
+      val mask = inStringMask(q)
+      tsAddIntervalRe.findFirstMatchIn(q.substring(search)) match {
+        case None => return q
+        case Some(m0) =>
+          val start = search + m0.start
+          if (mask(start)) { search = start + 1 }
+          else {
+            val open = search + m0.end - 1
+            val close = matchParenStr(q, open)
+            val args = splitTopLevel(q.substring(open + 1, close))
+            if (args.size == 2 &&
+                args(1).trim.toUpperCase(java.util.Locale.ROOT)
+                  .startsWith("INTERVAL")) {
+              val op =
+                if (m0.group(1).toLowerCase(java.util.Locale.ROOT)
+                      .contains("sub")) "-" else "+"
+              val repl = s"((${args(0)}) $op ${args(1)})"
+              q = q.substring(0, start) + repl + q.substring(close + 1)
+              search = start + repl.length
+            } else search = start + m0.end - m0.start
+          }
+      }
+    }
+    q
+  }
+
+  private val quotedUnitRe =
+    ("""(?i)\b(dateAdd|date_add|timestampAdd|timestamp_add)""" +
+      """\s*\(\s*'(year|quarter|month|week|day|hour|minute|second)'\s*,""").r
+
+  // CH numeric spellings Spark's lexer lacks: 0xFF hex literals and
+  // the bare inf / nan keywords
+  private val hexLitRe = """\b0[xX][0-9a-fA-F]+\b""".r
+  private val infNanRe = """(?i)(?<![\w.'])(inf|nan)(?![\w.'])""".r
+
+  private def rewriteHexAndSpecialLiterals(q0: String): String = {
+    var q = q0
+    if (hexLitRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = hexLitRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(
+          java.lang.Long.parseLong(m.matched.substring(2), 16).toString))
+    }
+    if (infNanRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      val asBefore = """(?is).*\bAS\s*$""".r
+      q = infNanRe.replaceAllIn(q, m =>
+        // `AS inf` is an alias, not the literal
+        if (mask(m.start) ||
+            asBefore.findFirstIn(q.substring(0, m.start)).isDefined)
+          Regex.quoteReplacement(m.matched)
+        else if (m.group(1).toLowerCase(java.util.Locale.ROOT) == "inf")
+          "CAST('Infinity' AS DOUBLE)"
+        else "CAST('NaN' AS DOUBLE)")
+    }
+    q
   }
 
   private val topNRe = """(?i)\bSELECT\s+TOP\s+(\d+)\s+""".r
@@ -1214,7 +1295,7 @@ object ChSql {
       """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
-      """[A-Za-z_]\w*Resample)""" +
+      """exponentialMovingAverage|[A-Za-z_]\w*Resample)""" +
       """(If)?\s*\(""").r
 
   /** ClickHouse's parametric-aggregate call syntax `f(params)(args)`
@@ -1401,6 +1482,14 @@ object ChSql {
           spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(
             new Aggregates.SequenceCountPattern(pat, n), n)))
         s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
+      case "exponentialmovingaverage" =>
+        require(params.size == 1 && params.head.matches("""-?\d+(\.\d+)?"""),
+          s"$name0 takes one numeric halflife parameter")
+        nArgs(2)
+        val h = params.head.toDouble
+        val fn = s"__ch_ema_${java.lang.Double.doubleToLongBits(h)}"
+        spark.udf.register(fn, udaf(new Aggregates.ExpMovingAvg(h)))
+        s"$fn(CAST(${args(0)} AS DOUBLE), CAST(${args(1)} AS DOUBLE))$filt"
       // -Resample combinator [public docs: sql-reference/aggregate-
       // functions/combinators#-resample]: fResample(start, end, step)
       // (x, key) splits [start, end) into ceil((end-start)/step)
@@ -1577,7 +1666,7 @@ object ChSql {
     * `ANY JOIN` are INNER.
     */
   private val specialJoinRe =
-    """(?i)\b(?:(LEFT|INNER|RIGHT|FULL)\s+)?(ASOF|ANY)\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN\b""".r
+    """(?i)\b(?:(LEFT|INNER|RIGHT|FULL)\s+)?(ASOF|ANY|PASTE)\s+(?:(LEFT|INNER|RIGHT|FULL)\s+)?JOIN\b""".r
   private val fromKwRe = """(?i)\bFROM\b""".r
   private val onKwRe = """(?i)\bON\b""".r
   private val usingKwRe = """(?i)\bUSING\b""".r
@@ -1752,6 +1841,26 @@ object ChSql {
       val leftRaw = q.substring(fromM.end, mm.start)
 
       val after = q.substring(mm.end)
+      if (kind == "PASTE") {
+        // positional join: no ON clause, result rows = shorter side
+        require(mods.isEmpty, "PASTE JOIN takes no LEFT/RIGHT/FULL modifier")
+        require(firstTopLevel(after, onKwRe).isEmpty,
+          "PASTE JOIN is positional — it takes no ON conditions")
+        val rEnd = firstTopLevel(after, onBoundaryRe).map(_.start)
+          .getOrElse(after.length)
+        val (lDf, lAlias) = parseFactor(spark, leftRaw)
+        val (rDf, rAlias) = parseFactor(spark, after.substring(0, rEnd))
+        require(lAlias.toLowerCase != rAlias.toLowerCase,
+          s"join sides need distinct aliases, both are '$lAlias'")
+        val viewName = s"__graft_sj_${joinSeq.incrementAndGet()}"
+        graft.ops.Joins.pasteJoin(lDf, rDf).createOrReplaceTempView(viewName)
+        var next = q.substring(0, fromM.start) + "FROM " + viewName + " " +
+          after.substring(rEnd)
+        next = replaceQualRefs(next, rAlias, identity)
+        next = replaceQualRefs(next, lAlias, identity)
+        q = next
+        matched = firstTopLevel(q, specialJoinRe)
+      } else {
       val onM = firstTopLevel(after, onKwRe).getOrElse(
         throw new IllegalArgumentException(
           if (firstTopLevel(after, usingKwRe).isDefined)
@@ -1842,6 +1951,7 @@ object ChSql {
       next = replaceQualRefs(next, lAlias, identity)
       q = next
       matched = firstTopLevel(q, specialJoinRe)
+      }
     }
     q
   }

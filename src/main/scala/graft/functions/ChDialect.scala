@@ -55,6 +55,17 @@ object ChDialect {
     // shadowing it would silently flip Spark-spelled queries in the
     // same session. `positionUTF8` (no Spark collision) covers it.
     "positionUTF8" -> "instr",
+    "substringUTF8" -> "substring",
+    "leftUTF8" -> "left",
+    "rightUTF8" -> "right",
+    "replaceAll" -> "replace",
+    "replaceRegexpAll" -> "regexp_replace",
+    "makeDate" -> "make_date",
+    "makeDateTime" -> "make_timestamp",
+    "toDate32" -> "to_date",
+    "currentUser" -> "current_user",
+    "max2" -> "greatest",
+    "min2" -> "least",
     "toString" -> "string",
     "toInt64" -> "bigint",
     "toFloat64" -> "double",
@@ -171,6 +182,37 @@ object ChDialect {
   def dropFunction(spark: SparkSession, name: String): Unit =
     spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(name))
 
+  // Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7)
+  private def erfImpl(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) *
+      t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    if (x >= 0) y else -y
+  }
+
+  // Lanczos approximation, g = 7, n = 9 (double-precision standard)
+  private val lanczosG = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  private def lgammaImpl(x0: Double): Double =
+    if (x0 < 0.5)
+      // reflection: ln Γ(x) = ln(π / sin(πx)) − ln Γ(1 − x)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x0))) - lgammaImpl(1.0 - x0)
+    else {
+      val x = x0 - 1.0
+      var a = lanczosG(0)
+      val t = x + 7.5
+      for (i <- 1 until 9) a += lanczosG(i) / (x + i)
+      0.5 * math.log(2.0 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+
+  private def tgammaImpl(x: Double): Double =
+    if (x < 0.5)
+      math.Pi / (math.sin(math.Pi * x) * tgammaImpl(1.0 - x))
+    else math.exp(lgammaImpl(x))
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
 
@@ -186,6 +228,14 @@ object ChDialect {
 
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
       fr.createOrReplaceTempFunction(name, b, "built-in")
+
+    // special math with no Spark builtin — scalar UDFs (never in a
+    // per-row hot loop here; a codegen Expression would be the next
+    // step if profiling ever says so)
+    spark.udf.register("erf", (x: Double) => erfImpl(x))
+    spark.udf.register("erfc", (x: Double) => 1.0 - erfImpl(x))
+    spark.udf.register("lgamma", (x: Double) => lgammaImpl(x))
+    spark.udf.register("tgamma", (x: Double) => tgammaImpl(x))
 
     // compositions (codegen'd Catalyst trees)
     reg("toStartOfDay")(c => TruncTimestamp(Literal("DAY"), c.head))
@@ -753,6 +803,183 @@ object ChDialect {
     // type plumbing no-ops: Spark columns are already nullable values
     macroFn("assumeNotNull", Seq("__x"), "__x")
     macroFn("toNullable", Seq("__x"), "__x")
+    macroFn("materialize", Seq("__x"), "__x")
+    // CH ignore(...): evaluates and discards, returns UInt8 0
+    reg("ignore")(_ =>
+      org.apache.spark.sql.catalyst.expressions.Literal(0))
+
+    // ---- probe-battery breadth (r7): string/replace/conv/date/
+    //      vector/digest/bitmap spellings a CH user types daily ----
+    macroFn("notLike", Seq("__s", "__p"), "NOT (__s LIKE __p)")
+    // first-occurrence (non-regex) replace
+    macroFn("replaceOne", Seq("__s", "__f", "__r"),
+      """CASE WHEN locate(__f, __s) > 0 THEN
+           concat(substring(__s, 1, locate(__f, __s) - 1), __r,
+                  substring(__s, locate(__f, __s) + length(__f)))
+         ELSE __s END""")
+    // first-match regex replace via regexp_instr + regexp_extract
+    // (Java regex both; CH's \1 backrefs are $1 here — documented)
+    macroFn("replaceRegexpOne", Seq("__s", "__p", "__r"),
+      """CASE WHEN regexp_instr(__s, __p) > 0 THEN
+           concat(substring(__s, 1, regexp_instr(__s, __p) - 1), __r,
+                  substring(__s, regexp_instr(__s, __p) +
+                                 length(regexp_extract(__s, __p, 0))))
+         ELSE __s END""")
+    macroFn("tryBase64Decode", Seq("__s"),
+      "coalesce(CAST(try_to_binary(__s, 'base64') AS STRING), '')")
+    // OrDefault conversions (OrNull/OrZero families already exist)
+    macroFn("toInt32OrDefault", Seq("__s", "__d"),
+      "coalesce(try_cast(__s AS INT), __d)")
+    macroFn("toInt64OrDefault", Seq("__s", "__d"),
+      "coalesce(try_cast(__s AS BIGINT), __d)")
+    macroFn("toFloat64OrDefault", Seq("__s", "__d"),
+      "coalesce(try_cast(__s AS DOUBLE), __d)")
+    macroFn("toDateOrDefault", Seq("__s", "__d"),
+      "coalesce(try_cast(__s AS DATE), __d)")
+    // DateTime64(p): Spark timestamps are fixed µs precision — the
+    // scale parameter is accepted and the value parsed at full µs
+    macroFn("toDateTime64", Seq("__s", "__p"), "to_timestamp(__s)")
+    macroFn("intExp10", Seq("__x"),
+      "CAST(round(power(10.0, CAST(__x AS DOUBLE))) AS BIGINT)")
+    macroFn("hypot", Seq("__x", "__y"),
+      "sqrt(CAST(__x AS DOUBLE) * __x + CAST(__y AS DOUBLE) * __y)")
+    // halfMD5: first 8 bytes of the MD5, big-endian UInt64 — CH's
+    // cheap 64-bit digest; two's-complement BIGINT view (same
+    // convention as sipHash64), via conv's signed decimal mode
+    macroFn("halfMD5", Seq("__s"),
+      "CAST(conv(substring(md5(__s), 1, 16), 16, -10) AS BIGINT)")
+    // digests: CH returns raw bytes (users hex() them); Spark's
+    // sha1/sha2 return hex strings, so unhex restores CH's contract.
+    // MD5 is deliberately NOT wrapped: `md5(` appears in oracle-checked
+    // SQL texts (SAMPLE rewriting, generateRandom) that rely on Spark's
+    // hex-string builtin, and registry names are case-insensitive — an
+    // MD5 macro would shadow every md5( call site. Documented
+    // divergence: CH hex(MD5(x)) reads here as upper(md5(x)).
+    // registry names are case-insensitive: "SHA1" SHADOWS builtin
+    // sha1, so the body must go through the distinct `sha` alias or
+    // resolution recurses to max-iterations
+    macroFn("SHA1", Seq("__s"), "unhex(sha(__s))")
+    macroFn("SHA224", Seq("__s"), "unhex(sha2(__s, 224))")
+    macroFn("SHA256", Seq("__s"), "unhex(sha2(__s, 256))")
+    macroFn("SHA384", Seq("__s"), "unhex(sha2(__s, 384))")
+    macroFn("SHA512", Seq("__s"), "unhex(sha2(__s, 512))")
+    // UUIDs stay strings (Spark has no UUID type); canonical lowercase
+    macroFn("toUUID", Seq("__s"), "lower(__s)")
+    macroFn("UUIDStringToNum", Seq("__s"),
+      "unhex(replace(lower(__s), '-', ''))")
+    macroFn("UUIDNumToString", Seq("__b"),
+      """concat(substring(hex(__b), 1, 8), '-', substring(hex(__b), 9, 4),
+                '-', substring(hex(__b), 13, 4), '-',
+                substring(hex(__b), 17, 4), '-', substring(hex(__b), 21, 12))""")
+    // vector math over arrays: zip_with + aggregate stay codegen'd
+    macroFn("dotProduct", Seq("__a", "__b"),
+      """aggregate(zip_with(__a, __b, (x, y) -> CAST(x AS DOUBLE) * y),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    macroFn("L2Distance", Seq("__a", "__b"),
+      """sqrt(aggregate(zip_with(__a, __b,
+             (x, y) -> CAST(x - y AS DOUBLE) * (x - y)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v))""")
+    macroFn("L2SquaredDistance", Seq("__a", "__b"),
+      """aggregate(zip_with(__a, __b,
+             (x, y) -> CAST(x - y AS DOUBLE) * (x - y)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    macroFn("L1Distance", Seq("__a", "__b"),
+      """aggregate(zip_with(__a, __b, (x, y) -> abs(CAST(x - y AS DOUBLE))),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    macroFn("LinfDistance", Seq("__a", "__b"),
+      "array_max(zip_with(__a, __b, (x, y) -> abs(CAST(x - y AS DOUBLE))))")
+    macroFn("L2Norm", Seq("__a"),
+      """sqrt(aggregate(__a, CAST(0 AS DOUBLE),
+           (acc, x) -> acc + CAST(x AS DOUBLE) * x))""")
+    macroFn("L1Norm", Seq("__a"),
+      "aggregate(__a, CAST(0 AS DOUBLE), (acc, x) -> acc + abs(CAST(x AS DOUBLE)))")
+    // (cosineDistance is the codegen CosineSimilarity expression,
+    // registered with the other custom expressions below)
+    // contiguous-subsequence test (CH hasSubstr on arrays)
+    macroFn("hasSubstr", Seq("__a", "__b"),
+      """CASE WHEN size(__b) = 0 THEN true
+              WHEN size(__b) > size(__a) THEN false
+         ELSE exists(sequence(1, size(__a) - size(__b) + 1),
+                     i -> slice(__a, i, size(__b)) = __b) END""")
+    // roaring-bitmap role: sorted-distinct arrays ARE the bitmap
+    // value here (CH's type is opaque; ours is inspectable) — set
+    // algebra via array_intersect/union/except, all codegen'd
+    macroFn("bitmapBuild", Seq("__a"), "array_sort(array_distinct(__a))")
+    macroFn("bitmapToArray", Seq("__b"), "array_sort(__b)")
+    macroFn("bitmapCardinality", Seq("__b"), "size(__b)")
+    macroFn("bitmapContains", Seq("__b", "__x"), "array_contains(__b, __x)")
+    macroFn("bitmapAnd", Seq("__a", "__b"),
+      "array_sort(array_intersect(__a, __b))")
+    macroFn("bitmapOr", Seq("__a", "__b"), "array_sort(array_union(__a, __b))")
+    macroFn("bitmapAndnot", Seq("__a", "__b"),
+      "array_sort(array_except(__a, __b))")
+    macroFn("bitmapXor", Seq("__a", "__b"),
+      """array_sort(array_union(array_except(__a, __b),
+                                array_except(__b, __a)))""")
+    macroFn("bitmapAndCardinality", Seq("__a", "__b"),
+      "size(array_intersect(__a, __b))")
+    macroFn("bitmapOrCardinality", Seq("__a", "__b"),
+      "size(array_union(__a, __b))")
+    macroFn("bitmapXorCardinality", Seq("__a", "__b"),
+      """size(array_union(array_except(__a, __b),
+                          array_except(__b, __a)))""")
+    macroFn("bitmapAndnotCardinality", Seq("__a", "__b"),
+      "size(array_except(__a, __b))")
+    // ISO year-week spellings; toYearWeek default mode 0 = MySQL
+    // YEARWEEK(d,0): anchor at the week's Sunday so week-0 days
+    // resolve into the PREVIOUS year's numbering, like MySQL
+    macroFn("toYearWeek", Seq("__d"),
+      """year(date_sub(CAST(__d AS DATE), dayofweek(CAST(__d AS DATE)) - 1))
+           * 100 +
+         toWeek(date_sub(CAST(__d AS DATE), dayofweek(CAST(__d AS DATE)) - 1))""")
+    macroFn("toISOYear", Seq("__d"),
+      "CAST(extract(YEAROFWEEK FROM CAST(__d AS DATE)) AS INT)")
+    macroFn("toRelativeDayNum", Seq("__d"),
+      "datediff(CAST(__d AS DATE), DATE'1970-01-01')")
+    // best-effort datetime parsing as a deterministic format cascade
+    // (the same cascade the scalar_parse_datetime oracle proves)
+    val bestEffortCascade =
+      """coalesce(try_to_timestamp(__s),
+                  try_to_timestamp(__s, 'yyyy-MM-dd HH:mm:ss'),
+                  try_to_timestamp(__s, "yyyy-MM-dd'T'HH:mm:ss"),
+                  try_to_timestamp(__s, 'dd/MM/yyyy HH:mm:ss'),
+                  try_to_timestamp(__s, 'dd/MM/yyyy'),
+                  try_to_timestamp(__s, 'yyyyMMdd'),
+                  try_to_timestamp(__s, 'yyyy-MM-dd'))"""
+    macroFn("parseDateTimeBestEffort", Seq("__s"), bestEffortCascade)
+    macroFn("parseDateTimeBestEffortOrNull", Seq("__s"), bestEffortCascade)
+    macroFn("parseDateTimeBestEffortOrZero", Seq("__s"),
+      s"coalesce($bestEffortCascade, TIMESTAMP'1970-01-01 00:00:00')")
+    // CH format('{}-{}', a, b) / format('{1}/{0}', …): the pattern is
+    // a literal, so the call expands to a plain Concat at resolution
+    // time — fully codegen'd, no UDF
+    reg("format")(c => {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Literal}
+      import org.apache.spark.sql.types.StringType
+      val fmt = c.head match {
+        case Literal(v, _: StringType) if v != null => v.toString
+        case _ => throw new IllegalArgumentException(
+          "format: the pattern must be a string literal")
+      }
+      val args = c.tail
+      val parts = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.catalyst.expressions.Expression]
+      val ph = """\{(\d*)\}""".r
+      var last = 0
+      var auto = 0
+      for (m <- ph.findAllMatchIn(fmt)) {
+        if (m.start > last) parts += Literal(fmt.substring(last, m.start))
+        val idx =
+          if (m.group(1).isEmpty) { val i = auto; auto += 1; i }
+          else m.group(1).toInt
+        require(idx < args.size, s"format: placeholder {$idx} out of range " +
+          s"for ${args.size} argument(s)")
+        parts += Cast(args(idx), StringType)
+        last = m.end
+      }
+      if (last < fmt.length) parts += Literal(fmt.substring(last))
+      Concat(parts.toSeq)
+    })
     reg("toTypeName")(c =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
         Seq("typeof"), c.toSeq, isDistinct = false))
@@ -1324,12 +1551,19 @@ object ChDialect {
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
     reg("intHash64")(c => IntHash64(Cast(c.head, LongType)))
+    reg("xxHash32")(c => XxHash32Ch(c.head))
     reg("geohashEncode")(c => GeohashEncode(c(0), c(1),
       if (c.size > 2) c(2) else Literal(12)))
     reg("geohashDecode")(c => GeohashDecode(c.head))
     reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
     reg("cosineDistance")(c =>
-      Subtract(Literal(1.0), CosineSimilarity(c(0), c(1))))
+      // accept whatever numeric array the user wrote (decimal/double
+      // literals included) — the codegen expression wants array<float>
+      Subtract(Literal(1.0), CosineSimilarity(
+        Cast(c(0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+        Cast(c(1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))))
 
     // ---- wave-3 breadth (probe-driven gaps) -------------------------
     def fnu(n: String, args: Expression*): Expression =

@@ -787,6 +787,40 @@ object Aggregates {
       enc[(Seq[Double], Seq[Double])]
   }
 
+  /** CH `exponentialMovingAverage(halflife)(value, time)` [public
+    * docs: sql-reference/aggregate-functions/reference/
+    * exponentialmovingaverage]: each value weighted by
+    * 2^((t − t_latest)/halflife), result = Σ v·w / Σ w. The buffer
+    * keeps (Σw, Σv·w, t_anchor) with weights anchored at the max time
+    * SEEN IN THAT PARTIAL; merge re-anchors both sides at the newer
+    * anchor by scaling with 2^((t_a − T)/h) — order-independent and
+    * numerically safe (scales are always ≤ 1, no 2^epoch blowup).
+    */
+  class ExpMovingAvg(halflife: Double)
+      extends Aggregator[(Double, Double), (Double, Double, Double), Double]
+      with Serializable {
+    require(halflife > 0, s"exponentialMovingAverage: halflife must be > 0")
+    def zero: (Double, Double, Double) = (0.0, 0.0, Double.NegativeInfinity)
+    private def merge2(a: (Double, Double, Double),
+        b: (Double, Double, Double)): (Double, Double, Double) = {
+      if (a._1 == 0.0) return b
+      if (b._1 == 0.0) return a
+      val t = math.max(a._3, b._3)
+      val fa = math.pow(2.0, (a._3 - t) / halflife)
+      val fb = math.pow(2.0, (b._3 - t) / halflife)
+      (a._1 * fa + b._1 * fb, a._2 * fa + b._2 * fb, t)
+    }
+    def reduce(b: (Double, Double, Double),
+        x: (Double, Double)): (Double, Double, Double) =
+      merge2(b, (1.0, x._1, x._2))
+    def merge(a: (Double, Double, Double),
+        b: (Double, Double, Double)): (Double, Double, Double) = merge2(a, b)
+    def finish(r: (Double, Double, Double)): Double = r._2 / r._1
+    def bufferEncoder: Encoder[(Double, Double, Double)] =
+      enc[(Double, Double, Double)]
+    def outputEncoder: Encoder[Double] = enc[Double]
+  }
+
   /** CH's `-ForEach` aggregate combinator [public docs: sql-reference/
     * aggregate-functions/combinators#-foreach]: apply the aggregate
     * ELEMENTWISE across rows at each array position. Output length =

@@ -88,6 +88,32 @@ object Joins {
         rightCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
   }
 
+  /** ClickHouse `PASTE JOIN`: align the i-th row of each side (the
+    * result length is the SHORTER side, per CH). Positional semantics
+    * need a defined row order; CH documents the same caveat (block
+    * order) — here each side's existing order (e.g. an ORDER BY in its
+    * subquery) is frozen with RDD zipWithIndex, which numbers rows
+    * without a global single-partition window (one lightweight count
+    * job for partition offsets, then per-partition numbering).
+    */
+  def pasteJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"PASTE JOIN column clash on ${clash.mkString(", ")} — alias them " +
+        "apart in a (subquery) side")
+    def withIdx(df: DataFrame): DataFrame = {
+      val schema = df.schema.add("__pj", LongType, nullable = false)
+      val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
+    withIdx(left).join(withIdx(right), "__pj")
+      .orderBy(col("__pj")).drop("__pj")
+  }
+
   /** ClickHouse `LEFT ANY JOIN`: at most one right match per left row.
     * CH picks an arbitrary match; we make it deterministic with an
     * explicit per-key ordering (first row wins). One window pass on the

@@ -1256,6 +1256,51 @@ class ChDialectSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"$r"))
   }
 
+  test("r7 probe-driven breadth: known answers") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT replaceOne('aXbXc', 'X', '-') AS r1,
+             replaceRegexpOne('a1b2', '[0-9]', '#') AS r2,
+             format('{1}/{0}', 'x', 'y') AS f,
+             tryBase64Decode('!!!') AS tb,
+             hex(SHA256('abc')) AS sh,
+             L2Distance([1.0, 2.0], [4.0, 6.0]) AS l2,
+             dotProduct([1, 2, 3], [4, 5, 6]) AS dp,
+             cosineDistance([1.0, 0.0], [0.0, 1.0]) AS cd,
+             hasSubstr([1, 2, 3, 4], [2, 3]) AS hs,
+             hasSubstr([1, 2, 3, 4], [2, 4]) AS hs2,
+             bitmapAndCardinality(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])) AS bc,
+             toYearWeek(toDate('2024-01-01')) AS yw,
+             intExp10(3) AS ie,
+             round(tgamma(5), 6) AS tg,
+             round(erf(0), 6) AS er,
+             halfMD5('abc') AS hm,
+             0xFF + 1 AS hx,
+             isNaN(nan) AS nn
+    """).head()
+    assert(r.getString(0) == "a-bXc")
+    assert(r.getString(1) == "a#b2")
+    assert(r.getString(2) == "y/x")
+    assert(r.getString(3) == "")
+    assert(r.getString(4) ==
+      "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD")
+    assert(r.getDouble(5) == 5.0)
+    assert(r.getDouble(6) == 32.0)
+    assert(math.abs(r.getDouble(7) - 1.0) < 1e-9)
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getInt(10) == 2)
+    // 2024-01-01 is a Monday before 2024's first Sunday → MySQL
+    // YEARWEEK(d,0) = 202353 (last week of the previous year)
+    assert(r.getInt(11) == 202353, s"yw = ${r.getInt(11)}")
+    assert(r.getLong(12) == 1000L)
+    assert(math.abs(r.getDouble(13) - 24.0) < 1e-6)
+    assert(r.getDouble(14) == 0.0)
+    // halfMD5('abc'): first 8 bytes of 900150983cd24fb0… big-endian
+    assert(r.getLong(15) == java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16))
+    assert(r.getInt(16) == 256)
+    assert(r.getBoolean(17))
+  }
+
   test("-Resample combinator: bucket bounds, clipping, out-of-range keys") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // CH doc shape: countResample(30, 75, 30) → buckets [30,60), [60,75);

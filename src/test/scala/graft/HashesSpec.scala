@@ -61,4 +61,16 @@ class HashesSpec extends AnyFunSuite {
       .as[(Long, Long)].head()
     assert(r._1 == r._2)
   }
+
+  test("xxHash32 matches published XXH32 reference vectors (seed 0)") {
+    // vectors cross-checked against the published algorithm this round
+    assert(CHash.xxHash32("".getBytes("UTF-8")) == 0x02cc5d05L)
+    assert(CHash.xxHash32("abc".getBytes("UTF-8")) == 0x32d153ffL)
+    assert(CHash.xxHash32("1234567890123456xyz".getBytes("UTF-8")) == 0x99f40a77L)
+    assert(CHash.xxHash32("hello world".getBytes("UTF-8")) == 0xcebb6622L)
+    val spark = TestSpark.spark
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, "SELECT xxHash32('abc') AS h").head()
+    assert(r.getLong(0) == 0x32d153ffL)
+  }
 }
