@@ -936,6 +936,38 @@ object ChDialect {
       "CAST(extract(YEAROFWEEK FROM CAST(__d AS DATE)) AS INT)")
     macroFn("toRelativeDayNum", Seq("__d"),
       "datediff(CAST(__d AS DATE), DATE'1970-01-01')")
+    // CH WindowView time-window functions [public docs: sql-reference/
+    // functions/time-window-functions]: tumble/hop map onto Spark's
+    // window() (TimeWindow — the same expression Structured Streaming
+    // aggregates on, so these spellings work in both batch SQL and a
+    // readStream pipeline). Spark's TimeWindow takes a STRING duration
+    // literal, so the INTERVAL literal is rendered to its microsecond
+    // string at build time. NOTE arg order: CH hop(t, slide, size) vs
+    // Spark window(t, size, slide).
+    def ivStr(e: Expression): Expression = e match {
+      case Literal(micros: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"$micros microseconds"), StringType)
+      case Literal(s, _: StringType) => e
+      case _ => throw new IllegalArgumentException(
+        "tumble/hop take a day-time INTERVAL literal (months vary in " +
+          "length — a fixed window cannot use them)")
+    }
+    def winFn(t: Expression, durations: Expression*): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("window"), Cast(t, TimestampType) +: durations.map(ivStr),
+        isDistinct = false)
+    def winField(w: Expression, f: String): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        w, Literal(org.apache.spark.unsafe.types.UTF8String.fromString(f),
+          StringType))
+    reg("tumble")(c => winFn(c(0), c(1)))
+    reg("tumbleStart")(c => winField(winFn(c(0), c(1)), "start"))
+    reg("tumbleEnd")(c => winField(winFn(c(0), c(1)), "end"))
+    reg("hop")(c => winFn(c(0), c(2), c(1)))
+    reg("hopStart")(c => winField(winFn(c(0), c(2), c(1)), "start"))
+    reg("hopEnd")(c => winField(winFn(c(0), c(2), c(1)), "end"))
+
     // best-effort datetime parsing as a deterministic format cascade
     // (the same cascade the scalar_parse_datetime oracle proves)
     val bestEffortCascade =

@@ -1301,6 +1301,27 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getBoolean(17))
   }
 
+  test("tumble/hop WindowView spellings equal Spark window()") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val t = Graft.sql(spark, """
+      SELECT tumbleStart(ts, INTERVAL 1 DAY) AS day, count() AS n
+      FROM events GROUP BY tumble(ts, INTERVAL 1 DAY) ORDER BY day""").collect()
+    val tw = Graft.sql(spark, """
+      SELECT window.start AS day, count(*) AS n
+      FROM events GROUP BY window(ts, '1 day') ORDER BY day""").collect()
+    assert(t.nonEmpty && t.toSeq == tw.toSeq)
+    // hop: CH (t, slide, size) vs Spark (t, size, slide); each event
+    // lands in size/slide windows
+    val h = Graft.sql(spark, """
+      SELECT hopStart(ts, INTERVAL 1 DAY, INTERVAL 2 DAY) AS ws, count() AS n
+      FROM events GROUP BY hop(ts, INTERVAL 1 DAY, INTERVAL 2 DAY)
+      ORDER BY ws""").collect()
+    val hw = Graft.sql(spark, """
+      SELECT window.start AS ws, count(*) AS n
+      FROM events GROUP BY window(ts, '2 days', '1 day') ORDER BY ws""").collect()
+    assert(h.nonEmpty && h.toSeq == hw.toSeq)
+  }
+
   test("-Resample combinator: bucket bounds, clipping, out-of-range keys") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // CH doc shape: countResample(30, 75, 30) → buckets [30,60), [60,75);
