@@ -347,7 +347,38 @@ object Probe {
     "exp_moving_avg" ->
       "SELECT exponentialMovingAverage(1)(n_nationkey, n_nationkey) > 0 AS ema FROM nation",
     "running_diff_order" ->
-      "SELECT neighbor_nothing() FROM nation LIMIT 1"
+      "SELECT neighbor_nothing() FROM nation LIMIT 1",
+
+    // ---- wave 5: splitters, JSON depth, readable formats, array
+    //      depth, map apply, time rounding, string distance ----
+    "split_extract" ->
+      "SELECT splitByString('--', 'a--b--c') AS s1, splitByRegexp('[0-9]+', 'a1b22c') AS s2, extractAll('a1b22c', '[0-9]+') AS ea, extractGroups('k=v', '(\\\\w+)=(\\\\w+)') AS eg, ngrams('abcd', 2) AS ng, tokens('two words') AS tk",
+    "string_extra2" ->
+      "SELECT repeat('ab', 3) AS r, space(2) AS sp, reverse('abc') AS rv, concatWithSeparator('-', 'a', 'b') AS cs, regexpQuoteMeta('a.b') AS qm, countSubstrings('ababab', 'ab') AS cnt, startsWith('hello', 'he') AS sw, endsWith('hello', 'lo') AS ew",
+    "json_depth" ->
+      "SELECT JSONExtractInt('{\"a\": 7}', 'a') AS i, JSONExtractString('{\"a\": \"x\"}', 'a') AS s, JSONExtractFloat('{\"a\": 1.5}', 'a') AS f, JSONExtractBool('{\"a\": true}', 'a') AS b, JSONHas('{\"a\": 1}', 'a') AS h, JSONLength('{\"a\": [1, 2, 3]}', 'a') AS l, JSONExtractArrayRaw('{\"a\": [1, 2]}', 'a') AS ar",
+    "readable_fmt" ->
+      "SELECT formatReadableSize(1536) AS sz, formatReadableQuantity(1500000) AS q, formatReadableTimeDelta(3661) AS td",
+    "array_depth2" ->
+      "SELECT arrayCompact([1, 1, 2, 2, 1]) AS ac, arrayFlatten([[1, 2], [3]]) AS fl, arrayIntersect([1, 2, 3], [2, 3, 4]) AS ai, arrayShuffle([1]) AS sh, arrayZip([1, 2], ['a', 'b']) AS az, arrayAvg([1, 2, 3]) AS av, arrayProduct([2, 3, 4]) AS pr, arrayMin([3, 1]) AS mn, arrayMax([1, 3]) AS mx",
+    // known gap: arraySplit's N-array lambda fold has no builtin
+    // composition yet — isolated so the rest of the family reports
+    "array_split_unsupported" ->
+      "SELECT arraySplit((x, y) -> y, [1, 2, 3, 4], [0, 1, 0, 1]) AS sp",
+    "map_apply" ->
+      "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS ma, mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, mapUpdate(map('a', 1), map('a', 9, 'b', 2)) AS mu",
+    "time_rounding" ->
+      "SELECT toStartOfFifteenMinutes(toDateTime('2024-03-05 07:38:09')) AS m15, toStartOfFiveMinutes(toDateTime('2024-03-05 07:38:09')) AS m5, toStartOfTenMinutes(toDateTime('2024-03-05 07:38:09')) AS m10, toStartOfHour(toDateTime('2024-03-05 07:38:09')) AS h, toTime(toDateTime('2024-03-05 07:38:09')) AS t",
+    "string_distance" ->
+      "SELECT editDistance('kitten', 'sitting') AS ed, jaroWinklerSimilarity('martha', 'marhta') > 0.9 AS jw, stringJaccardIndex('abc', 'bcd') AS ji",
+    "encode_decode" ->
+      "SELECT hex(255) AS h, unhex('ff') AS u, bin(5) AS b, reinterpretAsUInt32(unhex('01000000')) AS r, char(65, 66) AS c, ascii('A') AS a",
+    "misc_cond" ->
+      "SELECT greatest(1, 2, 3) AS g, least(1, 2, 3) AS l, clamp(5, 1, 3) AS cl, sign(-2.5) AS sg, isNull(NULL) AS nn, isNotNull(1) AS inn, bitCount(7) AS bc",
+    "agg_extra_probe" ->
+      "SELECT uniqExact(n_regionkey) AS ue, sumCount(n_nationkey) AS sc, avgIf(n_nationkey, n_regionkey = 0) AS ai, minIf(n_nationkey, n_regionkey = 1) AS mi, anyLast(n_name) AS al FROM nation",
+    "interval_fns" ->
+      "SELECT dateName('month', toDate('2024-03-05')) AS mn, monthName(toDate('2024-03-05')) AS mo, toQuarter(toDate('2024-05-05')) AS q, toDayOfYear(toDate('2024-03-05')) AS dy, toUnixTimestamp(toDateTime('2024-03-05 00:00:00')) > 0 AS ut, fromUnixTimestamp(1700000000) AS fu"
   )
 
   def main(argv: Array[String]): Unit = {

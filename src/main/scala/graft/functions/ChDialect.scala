@@ -39,6 +39,7 @@ object ChDialect {
     "ifNull" -> "ifnull",
     "nullIf" -> "nullif",
     "arrayReverse" -> "reverse",
+    "arrayShuffle" -> "shuffle",
     "mid" -> "substring",
     "arrayConcat" -> "concat",
     "has" -> "array_contains",
@@ -134,7 +135,6 @@ object ChDialect {
     // string replace family (identical argument order)
     "replaceAll" -> "replace",
     "replaceRegexpAll" -> "regexp_replace",
-    "extractAll" -> "regexp_extract_all",
     // clock functions (CH spellings; now() already matches Spark's)
     "today" -> "current_date",
     "toTypeName" -> "typeof",
@@ -213,6 +213,68 @@ object ChDialect {
       math.Pi / (math.sin(math.Pi * x) * tgammaImpl(1.0 - x))
     else math.exp(lgammaImpl(x))
 
+  /** Classic Jaro-Winkler (Winkler prefix bonus 0.1, max prefix 4). */
+  private def jaroWinkler(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    if (a == b) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(a.length, b.length) / 2 - 1
+    val aM = new Array[Boolean](a.length)
+    val bM = new Array[Boolean](b.length)
+    var matches = 0
+    for (i <- a.indices) {
+      val lo = math.max(0, i - window); val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a(i) == b(j)) { aM(i) = true; bM(j) = true
+          matches += 1; found = true }
+        j += 1
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0; var k = 0
+    for (i <- a.indices if aM(i)) {
+      while (!bM(k)) k += 1
+      if (a(i) != b(k)) t += 1
+      k += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / a.length + m / b.length + (m - t / 2.0) / m) / 3.0
+    var prefix = 0
+    while (prefix < math.min(4, math.min(a.length, b.length)) &&
+      a(prefix) == b(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+
+  /** CH formatReadableTimeDelta: "2 hours, 7 minutes and 33 seconds". */
+  private def readableTimeDelta(secs: Double): String = {
+    val total = math.round(secs)
+    val units = Seq(
+      ("year", 31536000L), ("month", 2592000L), ("day", 86400L),
+      ("hour", 3600L), ("minute", 60L), ("second", 1L))
+    var rem = math.abs(total)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, span) <- units) {
+      val n = rem / span
+      if (n > 0 || (span == 1L && parts.isEmpty)) {
+        parts += s"$n $name" + (if (n == 1) "" else "s")
+        rem -= n * span
+      }
+    }
+    val sign = if (total < 0) "-" else ""
+    sign + (if (parts.size == 1) parts.head
+            else parts.init.mkString(", ") + " and " + parts.last)
+  }
+
+  /** Little-endian unsigned read of the first `w` bytes (zero-padded). */
+  private def leRead(b: Array[Byte], w: Int): Long = {
+    var v = 0L
+    var i = math.min(w, b.length) - 1
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+    v
+  }
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
 
@@ -236,6 +298,17 @@ object ChDialect {
     spark.udf.register("erfc", (x: Double) => 1.0 - erfImpl(x))
     spark.udf.register("lgamma", (x: Double) => lgammaImpl(x))
     spark.udf.register("tgamma", (x: Double) => tgammaImpl(x))
+    spark.udf.register("jaroWinklerSimilarity",
+      (a: String, b: String) => jaroWinkler(a, b))
+    spark.udf.register("formatReadableTimeDelta",
+      (s: Double) => readableTimeDelta(s))
+    // reinterpretAs*: little-endian fixed-width reads of the leading
+    // bytes (CH's reinterpret family on binary input)
+    spark.udf.register("reinterpretAsUInt8",
+      (b: Array[Byte]) => if (b.isEmpty) 0L else b(0) & 0xffL)
+    spark.udf.register("reinterpretAsUInt16", (b: Array[Byte]) => leRead(b, 2))
+    spark.udf.register("reinterpretAsUInt32", (b: Array[Byte]) => leRead(b, 4))
+    spark.udf.register("reinterpretAsUInt64", (b: Array[Byte]) => leRead(b, 8))
 
     // compositions (codegen'd Catalyst trees)
     reg("toStartOfDay")(c => TruncTimestamp(Literal("DAY"), c.head))
@@ -967,6 +1040,76 @@ object ChDialect {
     reg("hop")(c => winFn(c(0), c(2), c(1)))
     reg("hopStart")(c => winField(winFn(c(0), c(2), c(1)), "start"))
     reg("hopEnd")(c => winField(winFn(c(0), c(2), c(1)), "end"))
+
+    // ---- wave-5 breadth (probe-driven, r7) --------------------------
+    macroFn("regexpQuoteMeta", Seq("__s"),
+      """regexp_replace(__s, '([\\\\.^$|?*+()\\[\\]{}])', '\\\\$1')""")
+    macroFn("clamp", Seq("__x", "__lo", "__hi"),
+      "least(greatest(__x, __lo), __hi)")
+    // CH toTime: keep the time-of-day, pin the date to 1970-01-02
+    macroFn("toTime", Seq("__t"),
+      """TIMESTAMP'1970-01-02 00:00:00' +
+         (CAST(__t AS TIMESTAMP) - date_trunc('DAY', CAST(__t AS TIMESTAMP)))""")
+    // JSONExtractArrayRaw: the array's elements as raw JSON strings
+    macroFn("JSONExtractArrayRaw", Seq("__j", "__k"),
+      "from_json(get_json_object(__j, concat('$.', __k)), 'array<string>')")
+    // byte-set Jaccard over the strings' character sets
+    macroFn("stringJaccardIndex", Seq("__a", "__b"),
+      """CAST(size(array_intersect(array_distinct(split(__a, '')),
+                                   array_distinct(split(__b, ''))))
+         AS DOUBLE) /
+         size(array_union(array_distinct(split(__a, '')),
+                          array_distinct(split(__b, ''))))""")
+    // mapFilter is Spark's map_filter with CH's lambda-first order.
+    // NOTE: when a call carries a lambda argument, ResolveFunctions
+    // requires the builder's TOP node to be a HigherOrderFunction —
+    // concrete nodes, not UnresolvedFunction.
+    reg("mapFilter")(c => {
+      require(c.size == 2, "mapFilter(lambda, map)")
+      MapFilter(c(1), c(0))
+    })
+    // mapUpdate(a, b): b's entries win on key collision
+    macroFn("mapUpdate", Seq("__a", "__b"),
+      """map_from_entries(concat(
+           filter(map_entries(__a),
+                  e -> NOT array_contains(map_keys(__b), e.key)),
+           map_entries(__b)))""")
+    // mapApply((k, v) -> (k', v'), m): rebuild via entries — the
+    // 2-arg lambda body is re-bound over one entry-struct parameter
+    reg("mapApply")(c => {
+      require(c.size == 2, "mapApply(lambda, map)")
+      val lf = c.head match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"mapApply: first argument must be a lambda, got $other")
+      }
+      require(lf.arguments.size == 2, "mapApply lambda takes (key, value)")
+      val names = lf.arguments.map {
+        case v: UnresolvedNamedLambdaVariable => v.nameParts.head
+        case v => v.sql
+      }
+      val entry = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+      def fieldOf(f: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          entry, Literal(org.apache.spark.unsafe.types.UTF8String.fromString(f),
+            StringType))
+      val body = lf.function.transformUp {
+        case v: UnresolvedNamedLambdaVariable if v.nameParts.size == 1 &&
+            v.nameParts.head == names(0) => fieldOf("key")
+        case v: UnresolvedNamedLambdaVariable if v.nameParts.size == 1 &&
+            v.nameParts.head == names(1) => fieldOf("value")
+      }
+      val newLambda = LambdaFunction(body, Seq(entry))
+      // ResolveFunctions insists the top node be a HigherOrderFunction
+      // whenever the call had a lambda argument — wrap the rebuilt map
+      // in an identity transform_values to satisfy it (optimized to
+      // nothing by constant/lambda folding in practice)
+      val k2 = UnresolvedNamedLambdaVariable(Seq("__graft_k2"))
+      val v2 = UnresolvedNamedLambdaVariable(Seq("__graft_v2"))
+      TransformValues(
+        MapFromEntries(ArrayTransform(MapEntries(c(1)), newLambda)),
+        LambdaFunction(v2, Seq(k2, v2)))
+    })
 
     // best-effort datetime parsing as a deterministic format cascade
     // (the same cascade the scalar_parse_datetime oracle proves)
@@ -1744,6 +1887,23 @@ object ChDialect {
     // roundDown: greatest ladder element ≤ x, else the FIRST element
     macroFn("roundDown", Seq("__x", "__arr"),
       "coalesce(array_max(filter(__arr, v -> v <= __x)), element_at(__arr, 1))")
+
+    // extractAll: CH returns whole-pattern matches for a groupless
+    // pattern, group-1 matches otherwise — Spark's regexp_extract_all
+    // hardcodes idx 1, so pick the index from the LITERAL pattern
+    reg("extractAll") { c =>
+      require(c.size == 2 || c.size == 3,
+        "extractAll(s, 'pattern'[, groupIdx])")
+      if (c.size == 3) RegExpExtractAll(c(0), c(1), c(2))
+      else {
+        val idx =
+          if (c(1).foldable &&
+              java.util.regex.Pattern.compile(c(1).eval().toString)
+                .matcher("").groupCount() == 0) 0
+          else 1
+        RegExpExtractAll(c.head, c(1), Literal(idx))
+      }
+    }
 
     // extractGroups: group count is derived from the LITERAL pattern at
     // plan time, so the tree stays fully codegen'd builtins

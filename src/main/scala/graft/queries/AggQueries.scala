@@ -390,6 +390,23 @@ object AggQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     }),
 
+    // exponentialMovingAverage(halflife)(v, t) — the parametric UDAF
+    // with the re-anchoring order-independent merge. halflife 1 over
+    // INTEGER times makes every weight an exact power of two, so sums
+    // and the re-anchor scalings are all exact doubles: the hash
+    // compare is deterministic at any executor count without DECIMAL.
+    QDef("agg_ema", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_returnflag,
+               round(exponentialMovingAverage(1)(l_quantity, l_linenumber), 6) AS ema
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag,
+             round(sum(l_quantity * pow(2.0, l_linenumber))
+                   / sum(pow(2.0, l_linenumber)), 6) AS ema
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // sumMap: element-wise sum of per-row maps. Explode → two-key agg
     // → re-assemble as a k-sorted "k:v" entry string (deterministic
     // order + the pandas gate can't hash array/struct cells). Sums stay

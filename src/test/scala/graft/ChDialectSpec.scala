@@ -1301,6 +1301,25 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getBoolean(17))
   }
 
+  test("wave-5 map/string functions: known answers") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT mapApply((k, v) -> (k, v * 2), map('a', 1, 'b', 2)) AS ma,
+             mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf,
+             mapUpdate(map('a', 1, 'c', 3), map('a', 9, 'b', 2)) AS mu,
+             extractAll('a1b22c', '[0-9]+') AS ea,
+             clamp(5, 1, 3) AS cl,
+             round(jaroWinklerSimilarity('martha', 'marhta'), 4) AS jw,
+             formatReadableTimeDelta(7653) AS td""").head()
+    assert(r.getMap[String, Int](0) == Map("a" -> 2, "b" -> 4))
+    assert(r.getMap[String, Int](1) == Map("b" -> 2))
+    assert(r.getMap[String, Int](2) == Map("a" -> 9, "b" -> 2, "c" -> 3))
+    assert(r.getSeq[String](3) == Seq("1", "22"))
+    assert(r.getInt(4) == 3)
+    assert(r.getDouble(5) == 0.9611)
+    assert(r.getString(6) == "2 hours, 7 minutes and 33 seconds")
+  }
+
   test("tumble/hop WindowView spellings equal Spark window()") {
     Graft.init(spark, "/root/testdata/sf0.001")
     val t = Graft.sql(spark, """
