@@ -361,10 +361,8 @@ object Probe {
       "SELECT formatReadableSize(1536) AS sz, formatReadableQuantity(1500000) AS q, formatReadableTimeDelta(3661) AS td",
     "array_depth2" ->
       "SELECT arrayCompact([1, 1, 2, 2, 1]) AS ac, arrayFlatten([[1, 2], [3]]) AS fl, arrayIntersect([1, 2, 3], [2, 3, 4]) AS ai, arrayShuffle([1]) AS sh, arrayZip([1, 2], ['a', 'b']) AS az, arrayAvg([1, 2, 3]) AS av, arrayProduct([2, 3, 4]) AS pr, arrayMin([3, 1]) AS mn, arrayMax([1, 3]) AS mx",
-    // known gap: arraySplit's N-array lambda fold has no builtin
-    // composition yet — isolated so the rest of the family reports
-    "array_split_unsupported" ->
-      "SELECT arraySplit((x, y) -> y, [1, 2, 3, 4], [0, 1, 0, 1]) AS sp",
+    "array_split" ->
+      "SELECT arraySplit((x, y) -> y, [1, 2, 3, 4], [0, 1, 0, 1]) AS sp, arraySplit(x -> x % 2 = 0, [1, 2, 3, 4, 5]) AS sp1",
     "map_apply" ->
       "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS ma, mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, mapUpdate(map('a', 1), map('a', 9, 'b', 2)) AS mu",
     "time_rounding" ->

@@ -1111,6 +1111,49 @@ object ChDialect {
         LambdaFunction(v2, Seq(k2, v2)))
     })
 
+    // arraySplit(λ, a1[, a2]): split a1 into subarrays, cutting LEFT of
+    // every element where the lambda (over the zipped arrays) is
+    // nonzero; the first element never starts a new cut. Flags are the
+    // lambda applied via transform/zip_with; the splitting itself is a
+    // parsed builtin template (starts → slices), so the whole tree
+    // stays codegen'd HOFs. Top node is the outer transform —
+    // ResolveFunctions requires a HigherOrderFunction there.
+    reg("arraySplit")(c => {
+      require(c.size == 2 || c.size == 3,
+        "arraySplit(lambda, arr[, arr2])")
+      val lambda = c.head match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"arraySplit: first argument must be a lambda, got $other")
+      }
+      val flags: Expression =
+        if (c.size == 2) ArrayTransform(c(1), lambda)
+        else ZipWith(c(1), c(2), lambda)
+      val template = spark.sessionState.sqlParser.parseExpression(
+        """CASE WHEN size(__arr) = 0 THEN array(__arr) ELSE
+             transform(
+               filter(sequence(1, size(__arr)),
+                      i -> i = 1 OR coalesce(CAST(element_at(__flg, i) AS BOOLEAN), false)),
+               s -> slice(__arr, s,
+                 coalesce(array_min(filter(sequence(1, size(__arr)),
+                   j -> j > s AND coalesce(CAST(element_at(__flg, j) AS BOOLEAN), false))),
+                   size(__arr) + 1) - s))
+           END""")
+      val split = template.transformUp {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.name == "__arr" => c(1)
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.name == "__flg" => flags
+        case lv: UnresolvedNamedLambdaVariable
+            if lv.nameParts == Seq("__arr") => c(1)
+        case lv: UnresolvedNamedLambdaVariable
+            if lv.nameParts == Seq("__flg") => flags
+      }
+      // identity transform keeps a HigherOrderFunction at the top
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+      ArrayTransform(split, LambdaFunction(x, Seq(x)))
+    })
+
     // best-effort datetime parsing as a deterministic format cascade
     // (the same cascade the scalar_parse_datetime oracle proves)
     val bestEffortCascade =

@@ -1310,7 +1310,8 @@ class ChDialectSpec extends AnyFunSuite {
              extractAll('a1b22c', '[0-9]+') AS ea,
              clamp(5, 1, 3) AS cl,
              round(jaroWinklerSimilarity('martha', 'marhta'), 4) AS jw,
-             formatReadableTimeDelta(7653) AS td""").head()
+             formatReadableTimeDelta(7653) AS td,
+             arraySplit((x, y) -> y, [1, 2, 3, 4], [0, 1, 0, 1]) AS sp""").head()
     assert(r.getMap[String, Int](0) == Map("a" -> 2, "b" -> 4))
     assert(r.getMap[String, Int](1) == Map("b" -> 2))
     assert(r.getMap[String, Int](2) == Map("a" -> 9, "b" -> 2, "c" -> 3))
@@ -1318,6 +1319,7 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getInt(4) == 3)
     assert(r.getDouble(5) == 0.9611)
     assert(r.getString(6) == "2 hours, 7 minutes and 33 seconds")
+    assert(r.getSeq[Seq[Int]](7) == Seq(Seq(1), Seq(2, 3), Seq(4)))
   }
 
   test("tumble/hop WindowView spellings equal Spark window()") {
