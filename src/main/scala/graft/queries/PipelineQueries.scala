@@ -462,10 +462,20 @@ object PipelineQueries {
       // then touches one row per DISTINCT (doc, token), not per token
       // occurrence — the fan-out that matters at corpus scale.
       val docToks = toks.groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("tf"))
-      val langs = toks.select($"lang".as("plang")).distinct()
-      val prof = toks.groupBy($"lang".as("plang"), $"tok").agg(count(lit(1)).as("c"))
-      val totals = toks.groupBy($"lang".as("plang")).agg(count(lit(1)).as("n_l"))
-      val vocab = toks.agg(countDistinct($"tok").as("v"))
+      // persisted: four downstream branches read it, and Catalyst does
+      // not dedupe common subplans in one static plan — without the
+      // persist each branch re-scans + re-explodes the corpus
+      val prof = toks.groupBy($"lang".as("plang"), $"tok")
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // langs / per-lang totals / vocabulary all DERIVE from prof
+      // (vocab×|langs| rows) instead of re-scanning + re-exploding the
+      // corpus: token-level passes drop from 5 to 2 — the difference
+      // between re-reading 100 TB three extra times and aggregating a
+      // dictionary-sized table.
+      val langs = prof.select($"plang").distinct()
+      val totals = prof.groupBy($"plang").agg(sum($"c").as("n_l"))
+      val vocab = prof.agg(countDistinct($"tok").as("v"))
       val scored = docToks
         .crossJoin(broadcast(langs))
         // No broadcast hint on prof: it is vocab×|langs| rows, which at
