@@ -833,40 +833,52 @@ object Aggregates {
     * countForEach is a macro over sumForEach of indicator arrays.
     */
   class ForEachNum(op: String)
-      extends Aggregator[Seq[Double], (Seq[Double], Seq[Long]), Seq[Double]]
+      extends Aggregator[Seq[Double], (Array[Double], Array[Long]), Seq[Double]]
       with Serializable {
     require(Set("sum", "min", "max", "avg")(op), s"ForEachNum: bad op $op")
-    def zero: (Seq[Double], Seq[Long]) = (Nil, Nil)
+    def zero: (Array[Double], Array[Long]) = (Array.emptyDoubleArray, Array.emptyLongArray)
     private def comb(a: Double, b: Double): Double = op match {
       case "min" => math.min(a, b)
       case "max" => math.max(a, b)
       case _ => a + b // sum and avg both accumulate sums
     }
-    private def combine(av: Seq[Double], ac: Seq[Long],
-        bv: Seq[Double], bc: Seq[Long]): (Seq[Double], Seq[Long]) = {
-      val n = math.max(av.length, bv.length)
-      val v = Array.tabulate(n) { i =>
-        val hasA = i < av.length && ac(i) > 0L
-        val hasB = i < bv.length && bc(i) > 0L
-        if (hasA && hasB) comb(av(i), bv(i))
-        else if (hasA) av(i)
-        else if (hasB) bv(i) else 0.0
+    // The buffer arrays are MUTATED in place (grown only when a longer
+    // input row arrives) — the per-row Seq rebuilds dominated this
+    // UDAF's cost in the bench before.
+    def reduce(b: (Array[Double], Array[Long]),
+        x: Seq[Double]): (Array[Double], Array[Long]) = {
+      if (x == null) return b
+      val n = x.length
+      val (v, c) =
+        if (b._1.length >= n) b
+        else (java.util.Arrays.copyOf(b._1, n), java.util.Arrays.copyOf(b._2, n))
+      var i = 0
+      while (i < n) {
+        v(i) = if (c(i) > 0L) comb(v(i), x(i)) else x(i)
+        c(i) += 1L
+        i += 1
       }
-      val c = Array.tabulate(n) { i =>
-        (if (i < ac.length) ac(i) else 0L) + (if (i < bc.length) bc(i) else 0L)
-      }
-      (v.toIndexedSeq, c.toIndexedSeq)
+      (v, c)
     }
-    def reduce(b: (Seq[Double], Seq[Long]), x: Seq[Double]): (Seq[Double], Seq[Long]) =
-      if (x == null) b
-      else combine(b._1, b._2, x, Seq.fill(x.length)(1L))
-    def merge(a: (Seq[Double], Seq[Long]),
-        b: (Seq[Double], Seq[Long])): (Seq[Double], Seq[Long]) =
-      combine(a._1, a._2, b._1, b._2)
-    def finish(r: (Seq[Double], Seq[Long])): Seq[Double] =
-      if (op == "avg") r._1.zip(r._2).map { case (s, c) => s / c }
-      else r._1
-    def bufferEncoder: Encoder[(Seq[Double], Seq[Long])] = enc[(Seq[Double], Seq[Long])]
+    def merge(a: (Array[Double], Array[Long]),
+        b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+      val (big, small) = if (a._1.length >= b._1.length) (a, b) else (b, a)
+      val (v, c) = big
+      var i = 0
+      while (i < small._1.length) {
+        if (c(i) > 0L && small._2(i) > 0L) v(i) = comb(v(i), small._1(i))
+        else if (small._2(i) > 0L) v(i) = small._1(i)
+        c(i) += small._2(i)
+        i += 1
+      }
+      (v, c)
+    }
+    def finish(r: (Array[Double], Array[Long])): Seq[Double] =
+      if (op == "avg")
+        r._1.toIndexedSeq.zip(r._2).map { case (s, c) => s / c }
+      else r._1.toIndexedSeq
+    def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+      enc[(Array[Double], Array[Long])]
     def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
   }
 }
