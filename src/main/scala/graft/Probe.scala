@@ -376,7 +376,29 @@ object Probe {
     "agg_extra_probe" ->
       "SELECT uniqExact(n_regionkey) AS ue, sumCount(n_nationkey) AS sc, avgIf(n_nationkey, n_regionkey = 0) AS ai, minIf(n_nationkey, n_regionkey = 1) AS mi, anyLast(n_name) AS al FROM nation",
     "interval_fns" ->
-      "SELECT dateName('month', toDate('2024-03-05')) AS mn, monthName(toDate('2024-03-05')) AS mo, toQuarter(toDate('2024-05-05')) AS q, toDayOfYear(toDate('2024-03-05')) AS dy, toUnixTimestamp(toDateTime('2024-03-05 00:00:00')) > 0 AS ut, fromUnixTimestamp(1700000000) AS fu"
+      "SELECT dateName('month', toDate('2024-03-05')) AS mn, monthName(toDate('2024-03-05')) AS mo, toQuarter(toDate('2024-05-05')) AS q, toDayOfYear(toDate('2024-03-05')) AS dy, toUnixTimestamp(toDateTime('2024-03-05 00:00:00')) > 0 AS ut, fromUnixTimestamp(1700000000) AS fu",
+
+    // ---- wave 6: clause tails, star modifiers, table meta ----
+    "settings_tail" ->
+      "SELECT count() AS c FROM nation SETTINGS max_threads = 8, max_memory_usage = 10000000000",
+    "group_by_all" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY ALL ORDER BY ALL",
+    "array_join_fn" ->
+      "SELECT arrayJoin([1, 2, 3]) AS x",
+    "array_join_fn_col" ->
+      "SELECT n_nationkey, arrayJoin(splitByChar('N', n_name)) AS piece FROM nation WHERE n_nationkey = 0",
+    "star_except" ->
+      "SELECT * EXCEPT (r_name) FROM region ORDER BY r_regionkey LIMIT 2",
+    "star_replace" ->
+      "SELECT * REPLACE (r_regionkey + 100 AS r_regionkey) FROM region ORDER BY r_regionkey LIMIT 2",
+    "group_rollup_fn" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST",
+    "show_describe" ->
+      "DESCRIBE TABLE nation",
+    "system_numbers" ->
+      "SELECT sum(number) AS s FROM system.numbers LIMIT 5",
+    "system_one" ->
+      "SELECT dummy FROM system.one"
   )
 
   def main(argv: Array[String]): Unit = {

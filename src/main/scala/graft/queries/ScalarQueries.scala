@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Det, QDef, Tables}
+import graft.{Det, Graft, QDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.8 scalar function families, one declared query per
@@ -54,6 +54,44 @@ object ScalarQueries {
                    user_id
             FROM events)
       GROUP BY month ORDER BY month""")),
+
+    // Round-7 probe-driven breadth, oracle-checked: replaceOne
+    // (first-occurrence), format('{}'), clamp, SHA256 binary contract
+    // (hex'd for the compare), halfMD5 (big-endian first 8 MD5 bytes
+    // as a signed long — the DuckDB twin folds the hex in two 32-bit
+    // halves through HUGEINT and wraps to two's complement).
+    QDef("scalar_r7_breadth", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT doc_id,
+               replaceOne(text, 'a', '#') AS r1,
+               format('{}|{}', lang, source) AS fm,
+               clamp(n_chars, 150, 300) AS cl,
+               hex(SHA256(substring(text, 1, 16))) AS sh,
+               halfMD5(substring(text, 1, 16)) AS hm
+        FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               md5(substring(text, 1, 16)) AS m
+        FROM documents WHERE doc_id % 25 = 0),
+      halves AS (
+        SELECT *, CAST(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS HUGEINT)
+                    * 4294967296::HUGEINT
+                  + CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h
+        FROM base)
+      SELECT doc_id,
+             CASE WHEN strpos(text, 'a') > 0
+                  THEN substr(text, 1, strpos(text, 'a') - 1) || '#' ||
+                       substr(text, strpos(text, 'a') + 1)
+                  ELSE text END AS r1,
+             format('{}|{}', lang, source) AS fm,
+             least(greatest(n_chars, 150), 300) AS cl,
+             upper(sha256(substring(text, 1, 16))) AS sh,
+             CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                       THEN h - 18446744073709551616::HUGEINT
+                       ELSE h END AS BIGINT) AS hm
+      FROM halves ORDER BY doc_id""")),
 
     // String family: length/case/substring/position/replace/pad/trim/
     // split/reverse/translate/concat_ws over nation names (25 rows at
