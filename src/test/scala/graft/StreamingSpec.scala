@@ -40,6 +40,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CH tumble() SQL spelling runs on a STREAM and equals batch") {
+    // WindowView text parity end-to-end: the CH-spelled tumble()
+    // grouping drives a real Structured Streaming query (TimeWindow is
+    // streaming-aggregable), not just batch SQL
+    Graft.init(spark, "/root/testdata/sf0.001") // events view + dialect
+    val batch = Graft.sql(spark, """
+      SELECT tumbleStart(ts, INTERVAL 1 DAY) AS day, count() AS n
+      FROM events GROUP BY tumble(ts, INTERVAL 1 DAY)""")
+    val expected = canon(batch)
+
+    StreamDemo.readEventStream(spark, stageStreamDir())
+      .createOrReplaceTempView("events_stream")
+    val stream = Graft.sql(spark, """
+      SELECT tumbleStart(ts, INTERVAL 1 DAY) AS day, count() AS n
+      FROM events_stream GROUP BY tumble(ts, INTERVAL 1 DAY)""")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("tumble_text").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = canon(spark.table("tumble_text"))
+      assert(got.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
   test("hopping windows: streamed sliding counts equal batch") {
     val batch = StreamDemo.hopCounts(
       Tables(spark, "/root/testdata/sf0.001", "events"))
