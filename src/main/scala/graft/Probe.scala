@@ -298,6 +298,20 @@ object Probe {
       "SELECT version() != '' AS v, hostName() != '' AS h, currentDatabase() AS db, currentUser() != '' AS u, ignore(n_nationkey) AS ig, materialize(5) AS mz FROM nation LIMIT 1",
     "system_one" ->
       "SELECT dummy FROM system.one",
+
+    // ---- wave 7: State/Merge text, type wrappers, misc depth ----
+    "state_merge_text" ->
+      "SELECT uniqMerge(s) AS u FROM (SELECT n_regionkey, uniqState(n_nationkey) AS s FROM nation GROUP BY n_regionkey)",
+    "type_wrappers" ->
+      "SELECT CAST('x' AS LowCardinality(String)) AS lc, CAST(5 AS Nullable(Int64)) AS nl, toFixedString('ab', 4) AS fs, toLowCardinality('y') AS tlc",
+    "agg_if_stack" ->
+      "SELECT sumIfOrNull(n_nationkey, n_regionkey = 9) AS s9, maxIfOrNull(n_nationkey, n_regionkey = 0) AS m0 FROM nation",
+    "limit_by_offset" ->
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 1, 2 BY n_regionkey",
+    "order_by_tuple" ->
+      "SELECT n_nationkey FROM nation ORDER BY (n_regionkey, n_nationkey) DESC LIMIT 3",
+    "count_forms" ->
+      "SELECT count() AS a, count(*) AS b, COUNT(1) AS c, countIf(n_regionkey = 0) AS d FROM nation",
     "system_numbers" ->
       "SELECT number FROM system.numbers LIMIT 5",
     "show_tables" ->
@@ -398,7 +412,21 @@ object Probe {
     "system_numbers" ->
       "SELECT sum(number) AS s FROM system.numbers LIMIT 5",
     "system_one" ->
-      "SELECT dummy FROM system.one"
+      "SELECT dummy FROM system.one",
+
+    // ---- wave 7: State/Merge text, type wrappers, misc depth ----
+    "state_merge_text" ->
+      "SELECT uniqMerge(s) AS u FROM (SELECT n_regionkey, uniqState(n_nationkey) AS s FROM nation GROUP BY n_regionkey)",
+    "type_wrappers" ->
+      "SELECT CAST('x' AS LowCardinality(String)) AS lc, CAST(5 AS Nullable(Int64)) AS nl, toFixedString('ab', 4) AS fs, toLowCardinality('y') AS tlc",
+    "agg_if_stack" ->
+      "SELECT sumIfOrNull(n_nationkey, n_regionkey = 9) AS s9, maxIfOrNull(n_nationkey, n_regionkey = 0) AS m0 FROM nation",
+    "limit_by_offset" ->
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 1, 2 BY n_regionkey",
+    "order_by_tuple" ->
+      "SELECT n_nationkey FROM nation ORDER BY (n_regionkey, n_nationkey) DESC LIMIT 3",
+    "count_forms" ->
+      "SELECT count() AS a, count(*) AS b, COUNT(1) AS c, countIf(n_regionkey = 0) AS d FROM nation"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -1041,6 +1041,17 @@ object ChDialect {
     reg("hopStart")(c => winField(winFn(c(0), c(2), c(1)), "start"))
     reg("hopEnd")(c => winField(winFn(c(0), c(2), c(1)), "end"))
 
+    // -State / -Merge text spellings for uniq: Spark's native HLL
+    // sketch column IS the aggregate state (same opaque-state contract
+    // as CH's AggregateFunction(uniq, …) columns; the library query
+    // agg_uniq_state_merge proves the same pipeline)
+    macroFn("uniqState", Seq("__x"), "hll_sketch_agg(__x)")
+    macroFn("uniqCombinedState", Seq("__x"), "hll_sketch_agg(__x)")
+    macroFn("uniqMerge", Seq("__s"),
+      "CAST(hll_sketch_estimate(hll_union_agg(__s)) AS BIGINT)")
+    macroFn("uniqCombinedMerge", Seq("__s"),
+      "CAST(hll_sketch_estimate(hll_union_agg(__s)) AS BIGINT)")
+
     // ---- wave-5 breadth (probe-driven, r7) --------------------------
     macroFn("regexpQuoteMeta", Seq("__s"),
       """regexp_replace(__s, '([\\\\.^$|?*+()\\[\\]{}])', '\\\\$1')""")
