@@ -409,8 +409,10 @@ object Probe {
       "SELECT n_regionkey, count() AS c FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST",
     "show_describe" ->
       "DESCRIBE TABLE nation",
+    // (sum over bare system.numbers would be infinite in CH too —
+    // bound it in a subquery, the idiomatic CH form)
     "system_numbers" ->
-      "SELECT sum(number) AS s FROM system.numbers LIMIT 5",
+      "SELECT CAST(sum(number) AS BIGINT) AS s FROM (SELECT number FROM system.numbers LIMIT 5)",
     "system_one" ->
       "SELECT dummy FROM system.one",
 
