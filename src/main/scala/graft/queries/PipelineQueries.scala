@@ -414,6 +414,50 @@ object PipelineQueries {
             FROM documents WHERE doc_id % 20 = 0)
       ORDER BY doc_id""")),
 
+    // SimHash near-dup PAIRS by pigeonhole banding: 4 bands of 8 bits
+    // over the 32-bit simhash — a pair within hamming distance 3 has
+    // at most 3 differing bit positions, which can touch at most 3
+    // bands, so at least one band matches EXACTLY and the banded
+    // equi-join finds every such pair (lossless, no all-pairs scan).
+    // The ORACLE is the brute-force O(n²) pair scan in DuckDB, so a
+    // hash match PROVES the banding loses nothing. At 100 TB the
+    // banded join touches ~|docs|²/(4·256) candidate pairs instead of
+    // |docs|² — the standard multi-index hamming-ball search.
+    QDef("pipe_simhash_bands", (s, dir) => {
+      import s.implicits._
+      val hs = Tables(s, dir, "documents")
+        .filter($"doc_id" % 5 === 0)
+        .withColumn("tokset", array_distinct(Text.tokens($"text")))
+        .withColumn("sh", expr(Text.simhash32Sql("tokset")))
+        .select($"doc_id", $"sh")
+      val bands = hs.select($"doc_id", $"sh",
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bv", expr("(sh >> (8 * b)) & 255"))
+      val a = bands.select($"b", $"bv", $"doc_id".as("id1"), $"sh".as("sh1"))
+      val bb = bands.select($"b", $"bv", $"doc_id".as("id2"), $"sh".as("sh2"))
+      a.join(bb, Seq("b", "bv"))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2", $"sh1", $"sh2").distinct()
+        .withColumn("hd", expr("bit_count(sh1 ^ sh2)"))
+        .filter($"hd" <= 3)
+        .select($"id1", $"id2", $"hd")
+        .orderBy($"id1", $"id2")
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), b ->
+                 CASE WHEN 2 * list_sum(list_transform(tokset, t ->
+                        (CAST('0x' || substring(md5('0|' || t), 1, 15) AS BIGINT) >> b) % 2))
+                      > len(tokset)
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh
+        FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+              FROM documents WHERE doc_id % 5 = 0))
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             bit_count(xor(a.sh, b.sh)) AS hd
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY id1, id2""")),
+
     // Text quality stats per language: token counts, type-token
     // ratio, mean token length, filler-token ratio — the standard
     // corpus-quality heuristics.
