@@ -1169,6 +1169,42 @@ object PipelineQueries {
     // plane-dot sign), making the bucket join structurally lossless
     // here. The oracle is the brute-force quadratic pairing, so the
     // hash match PROVES the bucketed path found every qualifying pair.
+    // Symmetric per-vector int8 quantization (the standard embedding
+    // compression before ANN indexing): scale = max|x|/127,
+    // q = round(x/scale), plus the reconstruction MSE. Everything is
+    // elementwise or an index-order fold, so both engines compute the
+    // SAME IEEE doubles — the hash match is exact (outputs rounded to
+    // 9dp only as belt-and-braces).
+    QDef("pipe_embed_quantize", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .filter($"vec_id" % 50 === 0)
+        .withColumn("s",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s) AS INT))"))
+        .select($"vec_id",
+          round($"s", 9).as("scale"),
+          expr("array_join(q, '|')").as("q"),
+          round(expr("""aggregate(zip_with(embedding, q,
+                          (x, qi) -> (CAST(x AS DOUBLE) - qi * s) * (CAST(x AS DOUBLE) - qi * s)),
+                        CAST(0 AS DOUBLE), (a, v) -> a + v) / size(embedding)"""), 9)
+            .as("mse"))
+        .orderBy($"vec_id")
+    }, Some("""
+      SELECT vec_id, round(s, 9) AS scale,
+             array_to_string(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / s) AS INT)), '|') AS q,
+             round(list_sum(list_transform(embedding,
+               x -> (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / s) * s)
+                  * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / s) * s)))
+               / len(embedding), 9) AS mse
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+            FROM embeddings WHERE vec_id % 50 = 0)
+      ORDER BY vec_id""")),
+
     QDef("pipe_embed_neardup", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
