@@ -93,6 +93,47 @@ object ScalarQueries {
                        ELSE h END AS BIGINT) AS hm
       FROM halves ORDER BY doc_id""")),
 
+    // CH vector-distance family over real embeddings, oracle-checked:
+    // every function is an index-order fold of exact float→double
+    // terms, and the DuckDB twins spell the identical IEEE sequence
+    // (list_transform + list_sum in list order), so values match to
+    // the last bit — rounding is belt-and-braces only.
+    QDef("scalar_vector_dist", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT a.vec_id,
+               round(dotProduct(a.embedding, b.embedding), 6) AS dp,
+               round(L1Distance(a.embedding, b.embedding), 6) AS l1,
+               round(L2Distance(a.embedding, b.embedding), 6) AS l2,
+               round(LinfDistance(a.embedding, b.embedding), 6) AS linf,
+               round(L2Norm(a.embedding), 6) AS n2,
+               round(cosineDistance(a.embedding, b.embedding), 6) AS cd
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 40 = 0
+        ORDER BY a.vec_id""")
+    }, Some("""
+      SELECT a.vec_id AS vec_id,
+             round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS dp,
+             round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS l1,
+             round(sqrt(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 6) AS l2,
+             round(list_max(list_transform(list_zip(a.embedding, b.embedding),
+               p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS linf,
+             round(sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS n2,
+             round(1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cd
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 40 = 0
+      ORDER BY vec_id""")),
+
     // String family: length/case/substring/position/replace/pad/trim/
     // split/reverse/translate/concat_ws over nation names (25 rows at
     // every SF — pure projection demo).
