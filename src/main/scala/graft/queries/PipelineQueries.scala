@@ -425,11 +425,15 @@ object PipelineQueries {
     // |docs|² — the standard multi-index hamming-ball search.
     QDef("pipe_simhash_bands", (s, dir) => {
       import s.implicits._
+      // persisted: the 32×|tokens| simhash expression is the dominant
+      // cost and BOTH join sides read it — without the persist it runs
+      // twice over the corpus
       val hs = Tables(s, dir, "documents")
         .filter($"doc_id" % 5 === 0)
         .withColumn("tokset", array_distinct(Text.tokens($"text")))
         .withColumn("sh", expr(Text.simhash32Sql("tokset")))
         .select($"doc_id", $"sh")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val bands = hs.select($"doc_id", $"sh",
           explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("bv", expr("(sh >> (8 * b)) & 255"))
