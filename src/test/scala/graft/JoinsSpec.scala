@@ -59,6 +59,40 @@ class JoinsSpec extends AnyFunSuite {
     assert(run("<") == Seq(70L, 120L))
   }
 
+  test("asofJoin all four directions match brute force on seeded random data") {
+    val rnd = new scala.util.Random(421L)
+    // duplicate timestamps on both sides on purpose — the inclusive/
+    // strict boundary is where bugs live
+    val l = Seq.fill(120)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+    val r = Seq.fill(90)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+      .distinct // unique (k, ts): the operator pins determinism on it
+      .map { case (k, t) => (k, t, k * 1000 + t) }
+    val lDf = l.toDF("k", "ts")
+    val rDf = r.toDF("k", "ts", "v")
+    def brute(op: String): Map[(Long, Long), Option[Long]] =
+      l.distinct.map { case (k, t) =>
+        val cand = r.filter { case (rk, rt, _) =>
+          rk == k && (op match {
+            case ">=" => t >= rt
+            case ">" => t > rt
+            case "<=" => t <= rt
+            case "<" => t < rt
+          })
+        }
+        val pick =
+          if (op == ">=" || op == ">") cand.sortBy(_._2).lastOption
+          else cand.sortBy(_._2).headOption
+        (k, t) -> pick.map(_._3)
+      }.toMap
+    for (op <- Seq(">=", ">", "<=", "<")) {
+      val got = Joins.asofJoin(lDf, rDf, Seq("k"), "ts", "ts", Seq("v"), op = op)
+        .select("k", "ts", "asof_v").distinct().collect()
+        .map(row => (row.getLong(0), row.getLong(1)) ->
+          (if (row.isNullAt(2)) None else Some(row.getLong(2)))).toMap
+      assert(got == brute(op), s"direction $op diverged from brute force")
+    }
+  }
+
   test("anyJoin returns exactly one deterministic match per left row") {
     val l = Seq(1L, 2L, 3L).toDF("k")
     val r = Seq((1L, 10, "a"), (1L, 20, "b"), (2L, 5, "c")).toDF("k", "p", "v")
