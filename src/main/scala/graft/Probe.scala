@@ -298,21 +298,7 @@ object Probe {
       "SELECT version() != '' AS v, hostName() != '' AS h, currentDatabase() AS db, currentUser() != '' AS u, ignore(n_nationkey) AS ig, materialize(5) AS mz FROM nation LIMIT 1",
     "system_one" ->
       "SELECT dummy FROM system.one",
-
-    // ---- wave 7: State/Merge text, type wrappers, misc depth ----
-    "state_merge_text" ->
-      "SELECT uniqMerge(s) AS u FROM (SELECT n_regionkey, uniqState(n_nationkey) AS s FROM nation GROUP BY n_regionkey)",
-    "type_wrappers" ->
-      "SELECT CAST('x' AS LowCardinality(String)) AS lc, CAST(5 AS Nullable(Int64)) AS nl, toFixedString('ab', 4) AS fs, toLowCardinality('y') AS tlc",
-    "agg_if_stack" ->
-      "SELECT sumIfOrNull(n_nationkey, n_regionkey = 9) AS s9, maxIfOrNull(n_nationkey, n_regionkey = 0) AS m0 FROM nation",
-    "limit_by_offset" ->
-      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 1, 2 BY n_regionkey",
-    "order_by_tuple" ->
-      "SELECT n_nationkey FROM nation ORDER BY (n_regionkey, n_nationkey) DESC LIMIT 3",
-    "count_forms" ->
-      "SELECT count() AS a, count(*) AS b, COUNT(1) AS c, countIf(n_regionkey = 0) AS d FROM nation",
-    "system_numbers" ->
+    "system_numbers_bare" ->
       "SELECT number FROM system.numbers LIMIT 5",
     "show_tables" ->
       "SHOW TABLES",
@@ -428,7 +414,29 @@ object Probe {
     "order_by_tuple" ->
       "SELECT n_nationkey FROM nation ORDER BY (n_regionkey, n_nationkey) DESC LIMIT 3",
     "count_forms" ->
-      "SELECT count() AS a, count(*) AS b, COUNT(1) AS c, countIf(n_regionkey = 0) AS d FROM nation"
+      "SELECT count() AS a, count(*) AS b, COUNT(1) AS c, countIf(n_regionkey = 0) AS d FROM nation",
+
+    // ---- wave 8: value-map transform, date add family, array sets ----
+    "transform_valuemap" ->
+      "SELECT transform(n_regionkey, [0, 1], ['africa', 'america'], 'other') AS r FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey",
+    "has_all_any" ->
+      "SELECT hasAll([1, 2, 3, 4], [2, 4]) AS ha, hasAll([1, 2], [3]) AS hn, hasAny([1, 2], [2, 9]) AS hy, hasAny([1, 2], [8, 9]) AS h0",
+    "add_units" ->
+      "SELECT addDays(toDate('2024-01-30'), 3) AS d, addHours(toDateTime('2024-01-30 22:00:00'), 5) AS h, addMonths(toDate('2024-01-31'), 1) AS m, subtractDays(toDate('2024-01-02'), 3) AS s, addYears(toDate('2024-02-29'), 1) AS y, subtractMinutes(toDateTime('2024-01-01 00:05:00'), 10) AS mi",
+    "week_starts" ->
+      "SELECT toMonday(toDate('2024-03-07')) AS mon, toStartOfWeek(toDate('2024-03-07')) AS sun, toLastDayOfWeek(toDate('2024-03-07')) AS last",
+    "substr_index" ->
+      "SELECT substringIndex('a.b.c.d', '.', 2) AS l2, substringIndex('a.b.c.d', '.', -1) AS r1",
+    "count_matches" ->
+      "SELECT countMatches('a1b22c333', '[0-9]+') AS n, countMatches('abc', 'z') AS z",
+    "array_enumerate" ->
+      "SELECT arrayEnumerate([9, 8, 7]) AS e, arrayEnumerateDense([10, 20, 10, 30]) AS d, arrayEnumerateUniq([10, 20, 10, 10]) AS u",
+    "interval_year" ->
+      "SELECT toDate('2024-01-15') + toIntervalYear(1) AS y, toDate('2024-01-15') + toIntervalDay(10) AS d",
+    "split_ws" ->
+      "SELECT splitByWhitespace('a  b\\tc') AS s, arrayFirst(x -> x > 1, [1, 2, 3]) AS f, arrayLast(x -> x < 3, [1, 2, 3]) AS l",
+    "if_null_family" ->
+      "SELECT coalesce(NULL, NULL, 3) AS c, ifNull(NULL, 'x') AS i, nullIf(5, 5) AS n, assumeNotNull(7) AS a"
   )
 
   def main(argv: Array[String]): Unit = {

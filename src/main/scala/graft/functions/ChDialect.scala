@@ -1052,6 +1052,16 @@ object ChDialect {
     macroFn("uniqCombinedMerge", Seq("__s"),
       "CAST(hll_sketch_estimate(hll_union_agg(__s)) AS BIGINT)")
 
+    // wave-8 probe gaps
+    macroFn("toLastDayOfWeek", Seq("__d"),
+      "date_add(toStartOfWeek(__d), 6)")
+    // dense first-occurrence rank per element (array_distinct keeps
+    // first-occurrence order in Spark)
+    macroFn("arrayEnumerateDense", Seq("__a"),
+      "transform(__a, x -> CAST(array_position(array_distinct(__a), x) AS INT))")
+    macroFn("splitByWhitespace", Seq("__s"),
+      """filter(split(__s, '\\s+'), x -> x != '')""")
+
     // ---- wave-5 breadth (probe-driven, r7) --------------------------
     macroFn("regexpQuoteMeta", Seq("__s"),
       """regexp_replace(__s, '([\\\\.^$|?*+()\\[\\]{}])', '\\\\$1')""")
