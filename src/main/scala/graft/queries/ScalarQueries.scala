@@ -93,6 +93,37 @@ object ScalarQueries {
                        ELSE h END AS BIGINT) AS hm
       FROM halves ORDER BY doc_id""")),
 
+    // CH date-arithmetic spellings, oracle-checked: add/subtract-unit
+    // family (month-end clamping included), Monday/Sunday week starts,
+    // quarter — DuckDB twins via INTERVAL arithmetic and Monday-based
+    // date_trunc('week').
+    QDef("scalar_date_arith", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT o_orderkey,
+               addDays(toDate(o_orderdate), 40) AS plus40,
+               addMonths(toDate(o_orderdate), 1) AS plus1m,
+               subtractDays(toDate(o_orderdate), 7) AS minus7,
+               toMonday(toDate(o_orderdate)) AS monday,
+               toStartOfWeek(toDate(o_orderdate)) AS sunday,
+               toLastDayOfWeek(toDate(o_orderdate)) AS saturday,
+               toQuarter(toDate(o_orderdate)) AS q
+        FROM orders WHERE o_orderkey % 500 = 0
+        ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 40 DAY AS DATE) AS plus40,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus1m,
+             CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus7,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS monday,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE) + INTERVAL 1 DAY)
+                  - INTERVAL 1 DAY AS DATE) AS sunday,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE) + INTERVAL 1 DAY)
+                  + INTERVAL 5 DAY AS DATE) AS saturday,
+             CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q
+      FROM orders WHERE o_orderkey % 500 = 0
+      ORDER BY o_orderkey""")),
+
     // CH vector-distance family over real embeddings, oracle-checked:
     // every function is an index-order fold of exact float→double
     // terms, and the DuckDB twins spell the identical IEEE sequence
