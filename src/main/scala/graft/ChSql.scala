@@ -429,6 +429,8 @@ object ChSql {
   private val systemTablesRe = """(?i)\bsystem\.tables\b""".r
   private val systemColumnsRe = """(?i)\bsystem\.columns\b""".r
   private val systemPartsRe = """(?i)\bsystem\.parts\b""".r
+  private val systemFunctionsRe = """(?i)\bsystem\.functions\b""".r
+  private val systemDatabasesRe = """(?i)\bsystem\.databases\b""".r
   private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
 
   // file('path'[, 'Format']) — CH's local-file table function. The
@@ -568,6 +570,24 @@ object ChSql {
       }.toDF("database", "table", "name", "type", "position")
         .createOrReplaceTempView("graft_system_columns")
       q = systemColumnsRe.replaceAllIn(q, "graft_system_columns")
+    }
+    if (systemFunctionsRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      // CH system.functions (name, is_aggregate unknown here — origin
+      // distinguishes builtins from session registrations instead)
+      spark.catalog.listFunctions().collect().toSeq
+        .map(f => (f.name, Option(f.className).getOrElse(""), f.isTemporary))
+        .toDF("name", "class", "is_temporary")
+        .createOrReplaceTempView("graft_system_functions")
+      q = systemFunctionsRe.replaceAllIn(q, "graft_system_functions")
+    }
+    if (systemDatabasesRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      spark.catalog.listDatabases().collect().toSeq
+        .map(d => (d.name, Option(d.locationUri).map(_.toString).getOrElse("")))
+        .toDF("name", "data_path")
+        .createOrReplaceTempView("graft_system_databases")
+      q = systemDatabasesRe.replaceAllIn(q, "graft_system_databases")
     }
     if (systemPartsRe.findFirstIn(q).isDefined) {
       import spark.implicits._

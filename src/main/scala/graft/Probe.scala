@@ -436,7 +436,11 @@ object Probe {
     "split_ws" ->
       "SELECT splitByWhitespace('a  b\\tc') AS s, arrayFirst(x -> x > 1, [1, 2, 3]) AS f, arrayLast(x -> x < 3, [1, 2, 3]) AS l",
     "if_null_family" ->
-      "SELECT coalesce(NULL, NULL, 3) AS c, ifNull(NULL, 'x') AS i, nullIf(5, 5) AS n, assumeNotNull(7) AS a"
+      "SELECT coalesce(NULL, NULL, 3) AS c, ifNull(NULL, 'x') AS i, nullIf(5, 5) AS n, assumeNotNull(7) AS a",
+    "system_functions" ->
+      "SELECT count() AS c FROM system.functions WHERE name LIKE 'sip%'",
+    "system_databases" ->
+      "SELECT count() AS c FROM system.databases"
   )
 
   def main(argv: Array[String]): Unit = {

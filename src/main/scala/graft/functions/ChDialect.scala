@@ -948,19 +948,22 @@ object ChDialect {
     macroFn("dotProduct", Seq("__a", "__b"),
       """aggregate(zip_with(__a, __b, (x, y) -> CAST(x AS DOUBLE) * y),
                    CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    // NOTE: cast each element to DOUBLE BEFORE subtracting — a float
+    // subtraction then cast loses the low bits and lands on rounding
+    // boundaries the DuckDB oracle (which subtracts in double) doesn't
     macroFn("L2Distance", Seq("__a", "__b"),
       """sqrt(aggregate(zip_with(__a, __b,
-             (x, y) -> CAST(x - y AS DOUBLE) * (x - y)),
+             (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
            CAST(0 AS DOUBLE), (acc, v) -> acc + v))""")
     macroFn("L2SquaredDistance", Seq("__a", "__b"),
       """aggregate(zip_with(__a, __b,
-             (x, y) -> CAST(x - y AS DOUBLE) * (x - y)),
+             (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
            CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
     macroFn("L1Distance", Seq("__a", "__b"),
-      """aggregate(zip_with(__a, __b, (x, y) -> abs(CAST(x - y AS DOUBLE))),
+      """aggregate(zip_with(__a, __b, (x, y) -> abs(CAST(x AS DOUBLE) - y)),
            CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
     macroFn("LinfDistance", Seq("__a", "__b"),
-      "array_max(zip_with(__a, __b, (x, y) -> abs(CAST(x - y AS DOUBLE))))")
+      "array_max(zip_with(__a, __b, (x, y) -> abs(CAST(x AS DOUBLE) - y)))")
     macroFn("L2Norm", Seq("__a"),
       """sqrt(aggregate(__a, CAST(0 AS DOUBLE),
            (acc, x) -> acc + CAST(x AS DOUBLE) * x))""")
