@@ -440,7 +440,23 @@ object Probe {
     "system_functions" ->
       "SELECT count() AS c FROM system.functions WHERE name LIKE 'sip%'",
     "system_databases" ->
-      "SELECT count() AS c FROM system.databases"
+      "SELECT count() AS c FROM system.databases",
+
+    // ---- wave 9: JSON depth 2, remaining corners ----
+    "json_depth2" ->
+      "SELECT JSONExtractRaw('{\"a\": {\"b\": 1}}', 'a') AS raw, JSONType('{\"a\": [1]}', 'a') AS ty, JSONExtractKeysAndValues('{\"x\": 1, \"y\": 2}') AS kv, JSONAllPaths('{\"a\": 1, \"b\": 2}') AS ap",
+    "json_nested_path" ->
+      "SELECT JSONExtractInt('{\"a\": {\"b\": 7}}', 'a', 'b') AS i, JSONExtractString('{\"a\": [\"x\", \"y\"]}', 'a', 1) AS s",
+    "visit_param" ->
+      "SELECT visitParamExtractInt('{\"k\": 42}', 'k') AS i, visitParamExtractString('{\"k\": \"v\"}', 'k') AS s, visitParamHas('{\"k\": 1}', 'k') AS h",
+    "to_decimal_string" ->
+      "SELECT toDecimalString(3.14159, 3) AS d, formatReadableDecimalSize(1500000) AS sz",
+    "pad_utf8" ->
+      "SELECT leftPadUTF8('héllo', 7, '•') AS lp, rightPadUTF8('x', 3, 'ab') AS rp",
+    "array_fold_probe" ->
+      "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], toInt64(0)) AS f, arraySum([1.5, 2.5]) AS s, arrayAvg([2, 4]) AS a, arrayCumSumNonNegative([1, -2, 3]) AS cs",
+    "multi_match" ->
+      "SELECT multiMatchAny('hello', ['^h', 'z$']) AS m1, multiSearchAnyCaseInsensitive('HELLO', ['ell']) AS m2, multiSearchFirstIndex('hello', ['xx', 'll']) AS fi"
   )
 
   def main(argv: Array[String]): Unit = {

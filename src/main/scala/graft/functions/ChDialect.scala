@@ -458,15 +458,20 @@ object ChDialect {
       DateFormatClass(c(0), Literal(out.toString))
     }
 
-    // JSONExtract family: literal key path → get_json_object's $.path
+    // JSONExtract family: literal key path → get_json_object's $.path.
+    // CH accepts INTEGER path elements as 1-based array indices
+    // (negative = from the end, -1 last) → JSONPath [i] subscripts.
     def jsonPath(keys: Seq[Expression], fn: String): Expression = {
       require(keys.nonEmpty, s"$fn needs at least one key")
       val parts = keys.map {
-        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          "." + s.toString
+        case Literal(i: Int, _) => s"[${if (i > 0) i - 1 else i}]"
+        case Literal(i: Long, _) => s"[${if (i > 0) i - 1 else i}]"
         case e => throw new IllegalArgumentException(
           s"$fn requires literal keys (got ${e.sql})")
       }
-      Literal("$." + parts.mkString("."))
+      Literal("$" + parts.mkString)
     }
     reg("JSONExtractString")(c =>
       GetJsonObject(c.head, jsonPath(c.tail, "JSONExtractString")))
@@ -477,6 +482,8 @@ object ChDialect {
         org.apache.spark.sql.types.DoubleType))
     reg("JSONHas")(c =>
       IsNotNull(GetJsonObject(c.head, jsonPath(c.tail, "JSONHas"))))
+    reg("JSONExtractRaw")(c =>
+      GetJsonObject(c.head, jsonPath(c.tail, "JSONExtractRaw")))
 
     // CH base64Decode returns String (Spark's unbase64 returns binary)
     reg("base64Decode")(c =>
@@ -536,9 +543,32 @@ object ChDialect {
     }
     // CH arraySum/arrayAvg: empty arrays yield 0 (not NULL) — the
     // type-preserving zero comes from the guard branch
-    macroFn("arraySum", Seq("__a"),
-      """CASE WHEN size(__a) = 0 THEN 0
-              ELSE aggregate(__a, element_at(__a, 1) * 0, (acc, x) -> acc + x) END""")
+    // Decimal elements need a special zero: `element_at(a,1)*0` widens
+    // to DECIMAL(p+?,s) and every `acc + x` widens again, but Spark's
+    // higher-order aggregate REQUIRES the lambda type == zero type.
+    // DECIMAL(38, s) is the fixed point under the precision cap, so a
+    // decimal array folds with that zero; everything else keeps the
+    // type-preserving `*0` zero.
+    reg("arraySum") { c =>
+      require(c.size == 1, "arraySum(arr)")
+      val body = scala.util.Try(c.head.dataType).toOption match {
+        case Some(org.apache.spark.sql.types.ArrayType(
+            d: org.apache.spark.sql.types.DecimalType, _)) =>
+          s"""CASE WHEN size(__a) = 0 THEN CAST(0 AS DECIMAL(38, ${d.scale}))
+                   ELSE aggregate(__a, CAST(0 AS DECIMAL(38, ${d.scale})),
+                                  (acc, x) -> acc + x) END"""
+        case _ =>
+          """CASE WHEN size(__a) = 0 THEN 0
+                  ELSE aggregate(__a, element_at(__a, 1) * 0,
+                                 (acc, x) -> acc + x) END"""
+      }
+      spark.sessionState.sqlParser.parseExpression(body).transformUp {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.name == "__a" => c.head
+        case lv: UnresolvedNamedLambdaVariable
+            if lv.nameParts == Seq("__a") => c.head
+      }
+    }
     macroFn("arrayAvg", Seq("__a"),
       """CASE WHEN size(__a) = 0 THEN 0.0
               ELSE aggregate(__a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
@@ -1054,6 +1084,46 @@ object ChDialect {
       "CAST(hll_sketch_estimate(hll_union_agg(__s)) AS BIGINT)")
     macroFn("uniqCombinedMerge", Seq("__s"),
       "CAST(hll_sketch_estimate(hll_union_agg(__s)) AS BIGINT)")
+
+    // wave-9 probe gaps: JSON depth-2 helpers + misc
+    // JSONType names the value's CH type from the raw extracted text
+    macroFn("JSONType", Seq("__j", "__k"),
+      """CASE WHEN JSONExtractRaw(__j, __k) IS NULL THEN 'Null'
+              WHEN startsWith(JSONExtractRaw(__j, __k), '{') THEN 'Object'
+              WHEN startsWith(JSONExtractRaw(__j, __k), '[') THEN 'Array'
+              WHEN startsWith(JSONExtractRaw(__j, __k), '"') THEN 'String'
+              WHEN JSONExtractRaw(__j, __k) IN ('true', 'false') THEN 'Bool'
+              WHEN JSONExtractRaw(__j, __k) RLIKE '^-?[0-9]+$' THEN 'Int64'
+              ELSE 'Double' END""")
+    // shallow key/value pairs and key paths of a JSON object
+    macroFn("JSONExtractKeysAndValues", Seq("__j"),
+      "map_entries(from_json(__j, 'map<string,string>'))")
+    macroFn("JSONExtractKeys", Seq("__j"),
+      "map_keys(from_json(__j, 'map<string,string>'))")
+    macroFn("JSONAllPaths", Seq("__j"),
+      "map_keys(from_json(__j, 'map<string,string>'))")
+    macroFn("toDecimalString", Seq("__x", "__n"),
+      """format_string(concat('%.', CAST(CAST(__n AS INT) AS STRING), 'f'),
+                       CAST(__x AS DOUBLE))""")
+    macroFn("leftPadUTF8", Seq("__s", "__n", "__p"), "lpad(__s, __n, __p)")
+    macroFn("rightPadUTF8", Seq("__s", "__n", "__p"), "rpad(__s, __n, __p)")
+    // running sum clamped at zero after each step (CH semantics: the
+    // clamp feeds forward, so it is NOT a prefix-sum — a left fold
+    // carrying (array, running) state)
+    macroFn("arrayCumSumNonNegative", Seq("__a"),
+      """aggregate(__a,
+           named_struct('arr', CAST(array() AS ARRAY<DOUBLE>),
+                        'run', CAST(0 AS DOUBLE)),
+           (acc, x) -> named_struct(
+             'arr', concat(acc.arr, array(greatest(acc.run + x, CAST(0 AS DOUBLE)))),
+             'run', greatest(acc.run + x, CAST(0 AS DOUBLE))),
+           acc -> acc.arr)""")
+    macroFn("multiSearchAnyCaseInsensitive", Seq("__s", "__n"),
+      "exists(__n, x -> contains(lower(__s), lower(x)))")
+    macroFn("multiSearchFirstIndex", Seq("__s", "__n"),
+      """coalesce(array_min(filter(transform(sequence(1, size(__n)),
+           i -> IF(contains(__s, element_at(__n, i)), i, NULL)),
+           x -> x IS NOT NULL)), 0)""")
 
     // wave-8 probe gaps
     macroFn("toLastDayOfWeek", Seq("__d"),
