@@ -407,6 +407,34 @@ object AggQueries {
                    / sum(pow(2.0, l_linenumber)), 6) AS ema
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Bitmap set algebra over real user sets (the CH roaring-bitmap
+    // scalar family on bitmapBuild'd groupArrays): audience overlap
+    // between event types — and/or/andnot cardinalities, oracle via
+    // DuckDB list set operations.
+    QDef("agg_bitmap_algebra", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               bitmapAndCardinality(a.bm, b.bm) AS n_both,
+               bitmapOrCardinality(a.bm, b.bm) AS n_any,
+               bitmapAndnotCardinality(a.bm, b.bm) AS n_only1
+        FROM (SELECT event_type, bitmapBuild(groupArray(user_id)) AS bm
+              FROM events GROUP BY event_type) a
+        JOIN (SELECT event_type, bitmapBuild(groupArray(user_id)) AS bm
+              FROM events GROUP BY event_type) b
+          ON a.event_type < b.event_type
+        ORDER BY t1, t2""")
+    }, Some("""
+      WITH s AS (SELECT event_type, list_distinct(list(user_id)) AS bm
+                 FROM events GROUP BY event_type)
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(len(list_intersect(a.bm, b.bm)) AS INT) AS n_both,
+             CAST(len(list_distinct(a.bm || b.bm)) AS INT) AS n_any,
+             CAST(len(list_filter(a.bm,
+               x -> NOT list_contains(b.bm, x))) AS INT) AS n_only1
+      FROM s a JOIN s b ON a.event_type < b.event_type
+      ORDER BY t1, t2""")),
+
     // sumMap: element-wise sum of per-row maps. Explode → two-key agg
     // → re-assemble as a k-sorted "k:v" entry string (deterministic
     // order + the pandas gate can't hash array/struct cells). Sums stay
