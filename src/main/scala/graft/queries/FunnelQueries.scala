@@ -332,6 +332,48 @@ object FunnelQueries {
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY count(*) DESC, event_type) AS rank
         FROM events GROUP BY user_id, event_type)
-      WHERE rank <= 2 ORDER BY user_id, rank"""))
+      WHERE rank <= 2 ORDER BY user_id, rank""")),
+
+    // sequenceNextNode(direction, base)(ts, event_type, …): per user,
+    // the event AFTER the first consecutive view→click pair (forward/
+    // first_match) and the event chronologically BEFORE the newest
+    // click→purchase adjacency (backward/first_match). Pure HOF scan
+    // over the per-user sorted event list — no UDAF (ops/Sequences).
+    // Oracle restates both scans with DuckDB list lambdas over the
+    // same (ts, event_id)-ordered list.
+    QDef("funnel_next_node", (s, dir) => {
+      import s.implicits._
+      val evs = Tables(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type".as("et"))
+      evs.groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"us", $"event_id", $"et")))
+          .as("l"))
+        .select($"user_id",
+          graft.ops.Sequences.nextNode($"l", Seq("view", "click"),
+            "forward", "first_match").as("next_fwd"),
+          graft.ops.Sequences.nextNode($"l", Seq("purchase", "click"),
+            "backward", "first_match").as("prev_bwd"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                    event_id) AS l
+        FROM events GROUP BY user_id),
+      m AS (
+        SELECT user_id, l, list_reverse(l) AS lr,
+               list_filter(range(1, len(l)),
+                 i -> l[i] = 'view' AND l[i + 1] = 'click') AS fi,
+               list_filter(range(1, len(l)),
+                 i -> list_reverse(l)[i] = 'purchase'
+                  AND list_reverse(l)[i + 1] = 'click') AS bi
+        FROM seqs)
+      SELECT user_id,
+             CASE WHEN len(fi) > 0 AND fi[1] + 2 <= len(l)
+                  THEN l[fi[1] + 2] END AS next_fwd,
+             CASE WHEN len(bi) > 0 AND bi[1] + 2 <= len(lr)
+                  THEN lr[bi[1] + 2] END AS prev_bwd
+      FROM m ORDER BY user_id"""))
   )
 }

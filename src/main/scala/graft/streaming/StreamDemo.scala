@@ -82,6 +82,34 @@ object StreamDemo {
       .groupBy(col("seg_name"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-STREAM watermarked interval join — click attribution:
+    * each `click` joins every preceding `view` by the same user within
+    * one hour. Both sides carry watermarks and the ON clause carries
+    * the event-time range constraint, so Spark bounds BOTH sides'
+    * join state to interval + watermark — on an unbounded stream,
+    * state is O(events per hour), independent of history. (ClickHouse
+    * has no streaming join at all; its Kafka-engine users fall back to
+    * batch joins over MergeTree.) Inner-join results emit eagerly, so
+    * the streamed append output equals the batch join row set — the
+    * transform takes plain DataFrames and runs identically in both
+    * modes (StreamingSpec asserts equality).
+    */
+  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   /** Live windowFunnel over a stream via mapGroupsWithState — the
     * stateful-processing surface (SURVEY §2.9 last row; CH has no
     * user-facing analog). Per-user state = the (ts, step) buffer; the

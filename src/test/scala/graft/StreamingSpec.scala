@@ -188,6 +188,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: streamed click attribution equals batch") {
+    // Both join sides are STREAMS (a self-join of the replayed events
+    // source) with watermarks + an event-time range in the ON clause —
+    // the state-bounded stream-stream join CH cannot express. Inner
+    // joins emit eagerly, so the append-mode output must equal the
+    // batch join over the same parquet.
+    val batchEvents = Tables(spark, "/root/testdata/sf0.001", "events")
+    val expected = canon(StreamDemo.clickAttribution(batchEvents, batchEvents))
+
+    val streamEvents = StreamDemo.readEventStream(spark, stageStreamDir())
+    val q = StreamDemo.clickAttribution(streamEvents, streamEvents)
+      .writeStream.format("memory")
+      .queryName("click_attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = canon(spark.table("click_attr"))
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows: streamed sessionization equals batch") {
     val batch = StreamDemo.userSessions(
       Tables(spark, "/root/testdata/sf0.001", "events"))
