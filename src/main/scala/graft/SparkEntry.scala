@@ -13,8 +13,9 @@ object SparkEntry {
     CoreQueries.defs ++ JoinQueries.defs ++ WindowQueries.defs ++
       AggQueries.defs ++ ScalarQueries.defs ++ MergeTreeQueries.defs ++
       PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs ++
-      Extras2Queries.defs ++ StatsQueries.defs ++ CompositeQueries.defs ++
-      TpchQueries.defs ++ ChSqlQueries.defs
+      Extras2Queries.defs ++ StatsQueries.defs ++ Stats2Queries.defs ++
+      CompositeQueries.defs ++ TpchQueries.defs ++ ChSqlQueries.defs ++
+      Pipeline2Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

