@@ -344,6 +344,8 @@ object Probe {
       "SELECT 0x1F AS h, 1e3 AS e, -0.5 AS n, inf > 1e308 AS i, isNaN(nan) AS na",
     "backtick_alias" ->
       "SELECT n_name AS `the name` FROM nation ORDER BY n_nationkey LIMIT 1",
+    "min_sample_size" ->
+      "SELECT minSampleSizeConversion(0.25, 0.03, 0.80, 0.05) AS v, minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05) AS c",
     "exp_moving_avg" ->
       "SELECT exponentialMovingAverage(1)(n_nationkey, n_nationkey) > 0 AS ema FROM nation",
     "running_diff_order" ->

@@ -213,6 +213,69 @@ object ChDialect {
       math.Pi / (math.sin(math.Pi * x) * tgammaImpl(1.0 - x))
     else math.exp(lgammaImpl(x))
 
+  // Acklam's rational approximation of the inverse normal CDF
+  // (|rel err| < 1.15e-9 over (0,1)) — the probit behind CH's
+  // minSampleSize* A/B-test planners, which take arbitrary
+  // alpha/power and so genuinely need Φ⁻¹, not pinned constants.
+  private def probitImpl(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"probit: p must be in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /** CH minSampleSizeContinous(baseline, sigma, mde, power, alpha) →
+    * (minimum_sample_size, detect_range_lower, detect_range_upper).
+    * mde is RELATIVE to baseline; two-sided test, per-variant size:
+    * n = 2(z_{1−α/2} + z_pow)²σ² / (mde·baseline)².
+    */
+  private def minSampleContinuous(baseline: Double, sigma: Double,
+      mde: Double, power: Double, alpha: Double): (Double, Double, Double) = {
+    val za = probitImpl(1.0 - alpha / 2.0)
+    val zb = probitImpl(power)
+    val delta = mde * baseline
+    val n = 2.0 * (za + zb) * (za + zb) * sigma * sigma / (delta * delta)
+    (n, baseline - delta, baseline + delta)
+  }
+
+  /** CH minSampleSizeConversion(p1, mde, power, alpha) — mde is the
+    * ABSOLUTE shift in conversion rate; pooled-variance normal
+    * approximation (Fleiss):
+    * n = (z_{1−α/2}·√(2p̄q̄) + z_pow·√(p1q1 + p2q2))² / mde².
+    */
+  private def minSampleConversion(p1: Double, mde: Double,
+      power: Double, alpha: Double): (Double, Double, Double) = {
+    val za = probitImpl(1.0 - alpha / 2.0)
+    val zb = probitImpl(power)
+    val p2 = p1 + mde
+    val pBar = (p1 + p2) / 2.0
+    val s = za * math.sqrt(2.0 * pBar * (1.0 - pBar)) +
+      zb * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    (s * s / (mde * mde), p1 - mde, p1 + mde)
+  }
+
   /** Classic Jaro-Winkler (Winkler prefix bonus 0.1, max prefix 4). */
   private def jaroWinkler(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
@@ -300,6 +363,12 @@ object ChDialect {
     spark.udf.register("tgamma", (x: Double) => tgammaImpl(x))
     spark.udf.register("jaroWinklerSimilarity",
       (a: String, b: String) => jaroWinkler(a, b))
+    // A/B-test planners (CH keeps the "Continous" typo; register the
+    // corrected spelling too). Tuple return mirrors CH's
+    // (size, lower, upper).
+    spark.udf.register("minSampleSizeContinous", minSampleContinuous _)
+    spark.udf.register("minSampleSizeContinuous", minSampleContinuous _)
+    spark.udf.register("minSampleSizeConversion", minSampleConversion _)
     spark.udf.register("formatReadableTimeDelta",
       (s: Double) => readableTimeDelta(s))
     // reinterpretAs*: little-endian fixed-width reads of the leading

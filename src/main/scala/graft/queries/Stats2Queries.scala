@@ -189,6 +189,46 @@ object Stats2Queries {
       j AS (SELECT gh.event_type, gh.h, CAST(coalesce(hc.c, 0) AS BIGINT) AS c
             FROM gh LEFT JOIN hc ON hc.event_type = gh.event_type AND hc.h = gh.h)
       SELECT event_type, array_to_string(list(c ORDER BY h), '|') AS hour_counts
-      FROM j GROUP BY event_type ORDER BY event_type"""))
+      FROM j GROUP BY event_type ORDER BY event_type""")),
+
+    // nonNegativeDerivative(value, ts) — CH's monitoring-counter rate
+    // window function: per-user rate of `value` per second, clamped
+    // at zero, first row and zero-dt rows defined as 0 (deterministic
+    // tie-break on event_id). The per-row doubles are IEEE-identical
+    // across engines (one division, no reordered sums), then the
+    // per-type rollup goes through the decimal lattice as usual.
+    // Window is PARTITIONed by user_id — never global — so it scales.
+    QDef("window_nn_derivative", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      Tables(s, dir, "events")
+        .select($"event_type", $"user_id", $"event_id", $"value",
+          unix_micros($"ts").as("us"))
+        .withColumn("pv", lag($"value", 1).over(w))
+        .withColumn("pus", lag($"us", 1).over(w))
+        .withColumn("rate",
+          when($"pus".isNull || ($"us" - $"pus") <= 0, lit(0.0))
+            .otherwise(greatest(lit(0.0),
+              ($"value" - $"pv") / (($"us" - $"pus") / lit(1000000.0)))))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum($"rate").as("rate_sum"))
+        .orderBy($"event_type")
+    }, Some(s"""
+      WITH w AS (
+        SELECT event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+               lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+        FROM events),
+      r AS (
+        SELECT event_type,
+               CASE WHEN pus IS NULL OR us - pus <= 0 THEN 0.0
+                    ELSE greatest(0.0, (value - pv) / ((us - pus) / 1000000.0))
+               END AS rate
+        FROM w)
+      SELECT event_type, count(*) AS n, ${Det.sqlSum("rate")} AS rate_sum
+      FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -62,6 +62,22 @@ class Stats2Spec extends AnyFunSuite {
     assert(perDoc.count() == docs.count())
   }
 
+  test("minSampleSize planners match hand-computed normal-approximation values") {
+    Graft.init(spark, dir)
+    val r = Graft.sql(spark, """
+      SELECT minSampleSizeContinous(100.0, 10.0, 0.05, 0.80, 0.05) AS c,
+             minSampleSizeConversion(0.25, 0.03, 0.80, 0.05) AS v
+      FROM system.one""").collect().head
+    val c = r.getStruct(0)
+    val v = r.getStruct(1)
+    // n = 2(z_.975 + z_.8)²σ²/(mde·baseline)² = 2·(2.8015852)²·100/25
+    assert(math.abs(c.getDouble(0) - 62.791) < 0.01, s"continuous n ${c.getDouble(0)}")
+    assert(math.abs(c.getDouble(1) - 95.0) < 1e-9 && math.abs(c.getDouble(2) - 105.0) < 1e-9)
+    // Fleiss pooled: (1.9599640·√(2·.265·.735) + .8416212·√(.1875+.2016))²/.0009
+    assert(math.abs(v.getDouble(0) - 3396.44) < 0.5, s"conversion n ${v.getDouble(0)}")
+    assert(math.abs(v.getDouble(1) - 0.22) < 1e-9 && math.abs(v.getDouble(2) - 0.28) < 1e-9)
+  }
+
   test("pipe_shard_assign partitions the corpus exactly") {
     import spark.implicits._
     val shards = SparkEntry.queries("pipe_shard_assign")(spark, dir).collect()
