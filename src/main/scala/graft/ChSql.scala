@@ -1310,10 +1310,11 @@ object ChSql {
   // on a parametric aggregate (`quantileIf(0.5)(x, cond)`) and becomes
   // a FILTER clause on the expanded call
   private val paramAggRe =
-    ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|quantileExact|""" +
+    ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|""" +
+      """quantileExactLow|quantileExactHigh|quantileExact|""" +
       """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
       """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
-      """groupArraySorted|""" +
+      """groupArraySorted|groupArrayLast|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
       """exponentialMovingAverage|[A-Za-z_]\w*Resample)""" +
       """(If)?\s*\(""").r
@@ -1417,6 +1418,21 @@ object ChSql {
            "quantiletiming" | "quantiletdigest" | "quantilebfloat16" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
         s"percentile(${args.head}, ${params.head})$filt"
+      case "quantileexactlow" | "quantileexacthigh" =>
+        // CH's element-exact picks: index floor/ceil((n−1)·level) into
+        // the sorted multiset — an ACTUAL element, no interpolation
+        require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
+        val pick = if (name == "quantileexactlow") "floor" else "ceiling"
+        s"element_at(array_sort(collect_list(${args.head})$filt), " +
+          s"CAST($pick((count(${args.head})$filt - 1) * ${params.head}) AS INT) + 1)"
+      case "grouparraylast" =>
+        // CH keeps the LAST n in encounter order — nondeterministic on
+        // any parallel engine; the deterministic reinterpretation is
+        // the n LARGEST values ascending (mirrors groupArraySorted's
+        // n-smallest contract)
+        nArgs(1)
+        s"reverse(slice(reverse(array_sort(collect_list(${args.head})$filt)), " +
+          s"1, ${intParam(0)}))"
       case "quantiles" | "quantilesexact" =>
         require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
         s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"

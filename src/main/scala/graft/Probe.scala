@@ -344,6 +344,26 @@ object Probe {
       "SELECT 0x1F AS h, 1e3 AS e, -0.5 AS n, inf > 1e308 AS i, isNaN(nan) AS na",
     "backtick_alias" ->
       "SELECT n_name AS `the name` FROM nation ORDER BY n_nationkey LIMIT 1",
+    // ---- wave 10: subdomains, julian days, snowflake, normalize,
+    //      capture groups, jaccard, bitmask, z-test, quantile picks ----
+    "w10_url_sub" ->
+      "SELECT firstSignificantSubdomain('https://news.clickhouse.com.tr/path') AS a, cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/path') AS b, domainWithoutWWW('http://www.example.com/x') AS c",
+    "w10_days" ->
+      "SELECT toModifiedJulianDay('2020-01-01') AS mjd, fromModifiedJulianDay(58849) AS d, toDaysSinceYearZero(toDate('2023-09-08')) AS dz, fromDaysSinceYearZero(739136) AS dz2, monthName(toDate('2024-03-05')) AS mn",
+    "w10_snowflake" ->
+      "SELECT snowflakeToDateTime(1426860702823350272) AS t, dateTimeToSnowflake(toDateTime('2021-08-15 10:57:56')) > 0 AS ok",
+    "w10_normalize" ->
+      "SELECT normalizeQuery('SELECT 5 + x FROM t WHERE s = ''abc''') AS nq, normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT 2') AS same",
+    "w10_groups" ->
+      "SELECT extractAllGroupsVertical('k1=v1, k2=v2', '(\\\\w+)=(\\\\w+)') AS v, extractAllGroupsHorizontal('k1=v1, k2=v2', '(\\\\w+)=(\\\\w+)') AS h",
+    "w10_array" ->
+      "SELECT arrayJaccardIndex([1, 2, 3], [2, 3, 4]) AS j, arrayPartialSort(2, [3, 1, 2]) AS ps, bitmaskToList(50) AS bl, bitmaskToArray(6) AS ba",
+    "w10_prop_ztest" ->
+      "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS r",
+    "w10_quantile_picks" ->
+      "SELECT quantileExactLow(0.5)(n_nationkey) AS lo, quantileExactHigh(0.5)(n_nationkey) AS hi, groupArrayLast(3)(n_nationkey) AS last3 FROM nation",
+    "w10_delta_sum_ts" ->
+      "SELECT deltaSumTimestamp(value, ts) >= 0 AS ok FROM events",
     "min_sample_size" ->
       "SELECT minSampleSizeConversion(0.25, 0.03, 0.80, 0.05) AS v, minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05) AS c",
     "exp_moving_avg" ->

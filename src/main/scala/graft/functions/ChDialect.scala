@@ -2166,6 +2166,125 @@ object ChDialect {
     macroFn("toFixedString", Seq("__s", "__n"),
       "rpad(__s, CAST(__n AS INT), chr(0))")
     macroFn("toLowCardinality", Seq("__x"), "__x")
+
+    // ---- wave 10: URL subdomains, julian/era day counts, snowflake
+    //      IDs, query normalization, capture-group extraction, array
+    //      set similarity, bitmask listing, z-test for proportions ----
+    macroFn("monthName", Seq("__d"), "date_format(__d, 'MMMM')")
+    // arrayPartialSort(limit, arr): CH's contract is "first `limit`
+    // elements sorted, remainder unspecified" — the fully sorted
+    // array satisfies it and is the only deterministic choice
+    macroFn("arrayPartialSort", Seq("__k", "__a"), "array_sort(__a)")
+    macroFn("arrayJaccardIndex", Seq("__a", "__b"),
+      """CAST(size(array_intersect(__a, __b)) AS DOUBLE) /
+         CAST(size(array_union(__a, __b)) AS DOUBLE)""")
+    // firstSignificantSubdomain('https://news.clickhouse.com.tr/') =
+    // 'clickhouse' — CH's heuristic: if the second-to-last host label
+    // is a generic second-level label, step one label further left
+    def fssParts(u: String): String =
+      s"split(parse_url($u, 'HOST'), '\\\\.')"
+    val fssListed = "('com', 'net', 'org', 'co', 'biz', 'gov', 'mil', 'edu', 'info')"
+    macroFn("firstSignificantSubdomain", Seq("__u"),
+      s"""CASE WHEN size(${fssParts("__u")}) >= 3
+                AND element_at(${fssParts("__u")}, -2) IN $fssListed
+             THEN element_at(${fssParts("__u")}, -3)
+           WHEN size(${fssParts("__u")}) >= 2
+             THEN element_at(${fssParts("__u")}, -2)
+           ELSE coalesce(parse_url(__u, 'HOST'), '') END""")
+    macroFn("cutToFirstSignificantSubdomain", Seq("__u"),
+      s"""CASE WHEN size(${fssParts("__u")}) >= 3
+                AND element_at(${fssParts("__u")}, -2) IN $fssListed
+             THEN array_join(slice(${fssParts("__u")}, -3, 3), '.')
+           WHEN size(${fssParts("__u")}) >= 2
+             THEN array_join(slice(${fssParts("__u")}, -2, 2), '.')
+           ELSE coalesce(parse_url(__u, 'HOST'), '') END""")
+    macroFn("domainWithoutWWW", Seq("__u"),
+      "regexp_replace(parse_url(__u, 'HOST'), '^www\\\\.', '')")
+    // Modified Julian Day epoch 1858-11-17; year-zero day counts use
+    // the proleptic Gregorian calendar where year 0 is a leap year
+    // (366 days), hence the +/-366 against Spark's 0001-01-01 floor
+    macroFn("toModifiedJulianDay", Seq("__s"),
+      "datediff(CAST(__s AS DATE), DATE'1858-11-17')")
+    macroFn("fromModifiedJulianDay", Seq("__n"),
+      "date_add(DATE'1858-11-17', CAST(__n AS INT))")
+    macroFn("toDaysSinceYearZero", Seq("__d"),
+      "datediff(CAST(__d AS DATE), DATE'0001-01-01') + 366")
+    macroFn("fromDaysSinceYearZero", Seq("__n"),
+      "date_add(DATE'0001-01-01', CAST(__n AS INT) - 366)")
+    // Twitter snowflake: ms timestamp in bits 63..22, epoch 2010-11-04
+    macroFn("snowflakeToDateTime", Seq("__i"),
+      "timestamp_millis(shiftright(CAST(__i AS BIGINT), 22) + 1288834974657)")
+    macroFn("dateTimeToSnowflake", Seq("__t"),
+      "shiftleft(unix_millis(__t) - 1288834974657, 22)")
+    macroFn("bitmaskToList", Seq("__n"),
+      """array_join(filter(transform(sequence(0, 62),
+           __i -> CASE WHEN (shiftright(CAST(__n AS BIGINT), __i) & 1) = 1
+                       THEN CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING) END),
+           __x -> __x IS NOT NULL), ',')""")
+    macroFn("bitmaskToArray", Seq("__n"),
+      """filter(transform(sequence(0, 62),
+           __i -> CASE WHEN (shiftright(CAST(__n AS BIGINT), __i) & 1) = 1
+                       THEN shiftleft(CAST(1 AS BIGINT), __i) END),
+           __x -> __x IS NOT NULL)""")
+    // deltaSumTimestamp(v, ts): sum of positive deltas in TIMESTAMP
+    // order — the sorted-pairs fold makes CH's "merge by stored ts"
+    // semantics exact and order-independent at any executor count
+    macroFn("deltaSumTimestamp", Seq("__v", "__ts"),
+      """aggregate(
+           array_sort(collect_list(struct(__ts AS t, CAST(__v AS DOUBLE) AS v))),
+           struct(CAST(NULL AS DOUBLE) AS prev, CAST(0.0 AS DOUBLE) AS s),
+           (__acc, __e) -> struct(__e.v AS prev,
+             __acc.s + CASE WHEN __acc.prev IS NOT NULL AND __e.v > __acc.prev
+                            THEN __e.v - __acc.prev ELSE 0.0 END AS s),
+           __acc -> __acc.s)""")
+    // query-log normalization: literals (strings, then numbers) → ?
+    spark.udf.register("normalizeQuery", (q: String) =>
+      if (q == null) null
+      else q.replaceAll("'(?:[^'\\\\]|\\\\.|'')*'", "?")
+        .replaceAll("\\b\\d+(?:\\.\\d+)?\\b", "?"))
+    macroFn("normalizedQueryHash", Seq("__q"),
+      "sipHash64(normalizeQuery(__q))")
+    spark.udf.register("extractAllGroupsVertical", (s: String, re: String) => {
+      if (s == null || re == null) Seq.empty[Seq[String]]
+      else {
+        val m = java.util.regex.Pattern.compile(re).matcher(s)
+        val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+        while (m.find()) out += (1 to m.groupCount())
+          .map(g => Option(m.group(g)).getOrElse(""))
+        out.toSeq
+      }
+    })
+    spark.udf.register("extractAllGroupsHorizontal", (s: String, re: String) => {
+      if (s == null || re == null) Seq.empty[Seq[String]]
+      else {
+        val m = java.util.regex.Pattern.compile(re).matcher(s)
+        val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+        while (m.find()) rows += (1 to m.groupCount())
+          .map(g => Option(m.group(g)).getOrElse(""))
+        if (rows.isEmpty) Seq.empty[Seq[String]]
+        else (0 until rows.head.size).map(g => rows.map(_(g)).toSeq)
+      }
+    })
+    // proportionsZTest(sx, sy, tx, ty, conf, 'pooled'|'unpooled') →
+    // (z, p_two_sided, ci_lower, ci_upper); Φ from erf, Φ⁻¹ from the
+    // same Acklam probit the minSampleSize planners use
+    spark.udf.register("proportionsZTest",
+      (sx: Long, sy: Long, tx: Long, ty: Long, conf: Double, mode: String) => {
+        val p1 = sx.toDouble / tx; val p2 = sy.toDouble / ty
+        val se =
+          if (mode == "unpooled")
+            math.sqrt(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty)
+          else {
+            val pb = (sx + sy).toDouble / (tx + ty)
+            math.sqrt(pb * (1 - pb) * (1.0 / tx + 1.0 / ty))
+          }
+        val z = (p1 - p2) / se
+        val phi = 0.5 * (1.0 + erfImpl(math.abs(z) / math.sqrt(2.0)))
+        val p = 2.0 * (1.0 - phi)
+        val seU = math.sqrt(p1 * (1 - p1) / tx + p2 * (1 - p2) / ty)
+        val zc = probitImpl(1.0 - (1.0 - conf) / 2.0)
+        (z, p, (p1 - p2) - zc * seU, (p1 - p2) + zc * seU)
+      })
   }
 
   /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,
