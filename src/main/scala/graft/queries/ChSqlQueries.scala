@@ -1066,6 +1066,91 @@ object ChSqlQueries {
       SELECT CAST(('0x' || substring(md5('g7_a_' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS a,
              substring(md5('g7_s_' || CAST(id AS VARCHAR)), 1, 10) AS s
       FROM (SELECT range AS id FROM range(20))
-      ORDER BY a"""))
+      ORDER BY a""")),
+
+    // Wave-10 scalar batch through the front door: calendar bridges
+    // (Modified Julian Day, days-since-year-zero on the proleptic
+    // Gregorian +366 rule), URL significant-subdomain heuristic,
+    // snowflake-ID decode (compared in epoch-ms to stay
+    // timezone-free), query-log normalization, array Jaccard, bitmask
+    // listing, and the proportions z-test (per-field via 1-based
+    // tuple ordinals; identical double expression order both sides).
+    QDef("sql_ch_w10_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey,
+               monthName(toDate('2024-03-05')) AS mn,
+               toModifiedJulianDay('2020-01-01') + n_nationkey AS mjd,
+               toDaysSinceYearZero(toDate('2023-09-08')) AS dz,
+               arrayJaccardIndex([n_nationkey + 10, 1, 2],
+                                 [2, 3, n_nationkey + 20]) AS jac,
+               bitmaskToList(n_nationkey) AS bl,
+               normalizeQuery('SELECT ' || toString(n_nationkey) || ' FROM t') AS nq,
+               firstSignificantSubdomain('https://a.b.example.com/x') AS fss,
+               cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/p') AS ctf,
+               unix_millis(snowflakeToDateTime(1426860702823350272)) AS snow_ms,
+               round(proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled').1, 6) AS pz,
+               round(proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled').2, 6) AS pp
+        FROM nation ORDER BY n_nationkey""")
+    }, Some("""
+      WITH zc AS (
+        SELECT (10.0 / 100 - 11.0 / 101)
+               / sqrt((10.0 / 100) * (1 - 10.0 / 100) / 100
+                      + (11.0 / 101) * (1 - 11.0 / 101) / 101) AS z),
+      -- DuckDB has no erf; inline the same Abramowitz-Stegun 7.1.26
+      -- chain the Spark UDF uses (identical coefficients and order)
+      ex AS (SELECT z, 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2))) AS t,
+                    abs(z) / sqrt(2) AS x FROM zc),
+      ey AS (SELECT z,
+                    1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+                      * t - 0.284496736) * t + 0.254829592) * t * exp(-x * x) AS y
+             FROM ex)
+      SELECT n_nationkey,
+             strftime(DATE '2024-03-05', '%B') AS mn,
+             date_diff('day', DATE '1858-11-17', DATE '2020-01-01') + n_nationkey AS mjd,
+             date_diff('day', DATE '0001-01-01', DATE '2023-09-08') + 366 AS dz,
+             CAST(len(list_intersect([n_nationkey + 10, 1, 2],
+                                     [2, 3, n_nationkey + 20])) AS DOUBLE)
+               / len(list_distinct([n_nationkey + 10, 1, 2] || [2, 3, n_nationkey + 20])) AS jac,
+             concat_ws(',',
+               CASE WHEN (n_nationkey & 1) = 1 THEN '1' END,
+               CASE WHEN (n_nationkey & 2) = 2 THEN '2' END,
+               CASE WHEN (n_nationkey & 4) = 4 THEN '4' END,
+               CASE WHEN (n_nationkey & 8) = 8 THEN '8' END,
+               CASE WHEN (n_nationkey & 16) = 16 THEN '16' END) AS bl,
+             regexp_replace('SELECT ' || CAST(n_nationkey AS VARCHAR) || ' FROM t',
+                            '\b\d+(\.\d+)?\b', '?', 'g') AS nq,
+             'example' AS fss,
+             'clickhouse.com.tr' AS ctf,
+             (1426860702823350272 >> 22) + 1288834974657 AS snow_ms,
+             round(ey.z, 6) AS pz,
+             round(2.0 * (1.0 - 0.5 * (1.0 + ey.y)), 6) AS pp
+      FROM nation, ey ORDER BY n_nationkey""")),
+
+    // quantileExactLow/High element-exact picks, groupArrayLast's
+    // deterministic n-largest reinterpretation, and the sorted-fold
+    // deltaSumTimestamp — the oracle recomputes each from the sorted
+    // multiset (index arithmetic, tail slice, windowed positive
+    // deltas), so the SEMANTICS are checked, not just the values.
+    QDef("sql_ch_quantile_picks", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT quantileExactLow(0.25)(n_nationkey) AS qlo,
+               quantileExactHigh(0.25)(n_nationkey) AS qhi,
+               arrayStringConcat(groupArrayLast(3)(n_nationkey), '|') AS last3,
+               deltaSumTimestamp(n_nationkey * 2, n_nationkey) AS dst
+        FROM nation WHERE n_nationkey < 24""")
+    }, Some("""
+      WITH l AS (SELECT list_sort(list(n_nationkey)) AS l, count(*) AS n
+                 FROM nation WHERE n_nationkey < 24),
+      d AS (SELECT CAST(n_nationkey * 2 AS DOUBLE) AS v, n_nationkey AS t
+            FROM nation WHERE n_nationkey < 24),
+      w AS (SELECT v - lag(v) OVER (ORDER BY t) AS dv FROM d),
+      ds AS (SELECT COALESCE(sum(CASE WHEN dv > 0 THEN dv END), 0.0) AS dst FROM w)
+      SELECT l[CAST(floor((n - 1) * 0.25) AS INT) + 1] AS qlo,
+             l[CAST(ceil((n - 1) * 0.25) AS INT) + 1] AS qhi,
+             array_to_string(l[n - 2:n], '|') AS last3,
+             ds.dst AS dst
+      FROM l, ds"""))
   )
 }
