@@ -66,7 +66,11 @@ object Perf {
     "tpch_q20_promo", "tpch_q22_opportunity",
     // round-7 closing: banding/quantize pipelines + breadth entries
     "pipe_simhash_bands", "pipe_embed_quantize", "scalar_vector_dist",
-    "agg_ema", "scalar_r7_breadth")
+    "agg_ema", "scalar_r7_breadth",
+    // round-7 second session: stats/pipeline additions + wave 10
+    "agg_anova", "agg_mean_ztest", "agg_array_insert_at",
+    "window_nn_derivative", "pipe_chunk_sliding", "pipe_shard_assign",
+    "pipe_dedup_canonical", "sql_ch_w10_batch", "sql_ch_quantile_picks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
