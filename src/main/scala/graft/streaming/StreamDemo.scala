@@ -191,6 +191,41 @@ object StreamDemo {
       }
   }
 
+  /** Live topK per event type with BOUNDED state: the per-key state
+    * is a SpaceSaving counter map hard-capped at `cap` entries (the
+    * same guarantee as the batch topK sketch — when an unseen value
+    * arrives at capacity it inherits the minimum counter +1, so true
+    * heavy hitters can never be displaced by the tail). Below
+    * capacity the counters are exact and the emitted top-k equals the
+    * batch GROUP BY answer (StreamingSpec); past it state stays
+    * O(cap) forever. Ties break on value ascending — deterministic
+    * at any arrival order for the exact (below-cap) regime.
+    */
+  def streamingTopK(events: DataFrame, k: Int = 5,
+      cap: Int = 1024): Dataset[(String, Seq[String])] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Seq[String])](
+        GroupStateTimeout.NoTimeout) {
+        case (eventType, it, state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { case (_, uid) =>
+            m.get(uid) match {
+              case Some(c) => m = m.updated(uid, c + 1L)
+              case None if m.size < cap => m = m.updated(uid, 1L)
+              case None =>
+                val (mk, mv) = m.minBy { case (kk, vv) => (vv, kk) }
+                m = (m - mk).updated(uid, mv + 1L)
+            }
+          }
+          state.update(m)
+          (eventType, m.toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
+            .map { case (u, c) => s"$u:$c" })
+      }
+  }
+
   /** Raw schema of the events parquet when read as a stream. The
     * fixture has shipped with ts as BOTH ns-int64 (under nanosAsLong)
     * and plain µs timestamp — the caller sniffs one file's footer via

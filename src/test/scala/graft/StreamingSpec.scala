@@ -169,6 +169,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming topK: SpaceSaving state below capacity equals batch top-5") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"event_type", $"user_id".cast("string").as("uid"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.sortBy { case (_, u, c) => (-c, u) }.take(5)
+          .map { case (_, u, c) => s"$u:$c" }.toSeq
+      }
+
+    val stream = StreamDemo.streamingTopK(
+      StreamDemo.readEventStream(spark, stageStreamDir()))
+    val q = stream.toDF("event_type", "top").writeStream.format("memory")
+      .queryName("topk_state").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("topk_state").as[(String, Seq[String])].collect()
+        .groupBy(_._1).map { case (t, rows) => t -> rows.last._2 }
+      assert(got == expected) // cap 1024 >= distinct users: counters exact
+      assert(got.size == 5)
+    } finally q.stop()
+  }
+
   test("streaming dedup: one row per fingerprint, fp set equals batch distinct") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
