@@ -922,6 +922,31 @@ object ChDialect {
     // -If combinator on the exact distinct count (CH arg order x, cond)
     reg("uniqExactIf")(c =>
       Count(Seq(onlyIf(c(0), c(1)))).toAggregateExpression(isDistinct = true))
+    // corrMatrix/covarSampMatrix(x1 … xk): the full symmetric k×k
+    // matrix as Array(Array(Float64)) — one pass, k²/2 distinct
+    // moment aggregates (Catalyst dedups the mirrored cells)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Corr, CovSample}
+      def matrixOf(pair: (Expression, Expression) => Expression)
+          : Seq[Expression] => Expression = { c =>
+        require(c.size >= 2, "matrix aggregate needs at least two columns")
+        val d = c.map(Cast(_, DoubleType))
+        CreateArray(d.indices.map(i =>
+          CreateArray(d.indices.map(j => pair(d(i), d(j))))))
+      }
+      reg("corrMatrix")(matrixOf((a, b) =>
+        new Corr(a, b).toAggregateExpression()))
+      reg("covarSampMatrix")(matrixOf((a, b) =>
+        new CovSample(a, b).toAggregateExpression()))
+    }
+    // groupArrayIntersect: intersection of all array values in the
+    // group, sorted for determinism (CH leaves the order unspecified)
+    macroFn("groupArrayIntersect", Seq("__a"),
+      """CASE WHEN size(collect_list(__a)) = 0 THEN NULL
+           ELSE array_sort(aggregate(
+             slice(collect_list(__a), 2, size(collect_list(__a)) - 1),
+             element_at(collect_list(__a), 1),
+             (__acc, __x) -> array_intersect(__acc, __x))) END""")
     // sumKahan: compensated summation — the decimal-lattice sum is
     // order-exact (stronger than Kahan), cast back to Float64
     macroFn("sumKahan", Seq("__x"),

@@ -1151,6 +1151,53 @@ object ChSqlQueries {
              l[CAST(ceil((n - 1) * 0.25) AS INT) + 1] AS qhi,
              array_to_string(l[n - 2:n], '|') AS last3,
              ds.dst AS dst
-      FROM l, ds"""))
+      FROM l, ds""")),
+
+    // corrMatrix/covarSampMatrix: the k×k one-pass matrix aggregates,
+    // checked cell-by-cell via 1-based double subscripts against
+    // DuckDB's pairwise corr/covar_samp (scale-free ratios — 4dp per
+    // the repo's moments precedent). Catalyst dedups the mirrored
+    // cells, so the matrix costs k²/2 moment states, not k².
+    QDef("agg_corr_matrix", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT round(corrMatrix(l_quantity, l_extendedprice, l_discount)[1][2], 4) AS r_qp,
+               round(corrMatrix(l_quantity, l_extendedprice, l_discount)[1][3], 4) AS r_qd,
+               round(corrMatrix(l_quantity, l_extendedprice, l_discount)[2][3], 4) AS r_pd,
+               round(covarSampMatrix(l_quantity, l_discount)[1][2], 4) AS cv_qd
+        FROM lineitem""")
+    }, Some("""
+      SELECT round(corr(l_quantity, l_extendedprice), 4) AS r_qp,
+             round(corr(l_quantity, l_discount), 4) AS r_qd,
+             round(corr(l_extendedprice, l_discount), 4) AS r_pd,
+             round(covar_samp(l_quantity, l_discount), 4) AS cv_qd
+      FROM lineitem""")),
+
+    // groupArrayIntersect: per-group intersection of array values —
+    // the oracle recomputes it relationally (an element is in the
+    // intersection iff it appears in every row of the group), so the
+    // fold semantics are checked, not echoed.
+    QDef("agg_group_array_intersect", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 groupArrayIntersect(array(n_nationkey % 5, 3, 4))), '|') AS common
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }, Some("""
+      WITH a AS (SELECT n_regionkey, n_nationkey,
+                        list_distinct([n_nationkey % 5, 3, 4]) AS arr
+                 FROM nation),
+      g AS (SELECT n_regionkey, count(*) AS n FROM a GROUP BY n_regionkey),
+      e AS (SELECT n_regionkey, unnest(arr) AS el FROM a),
+      common AS (
+        SELECT e.n_regionkey, e.el
+        FROM e JOIN g USING (n_regionkey)
+        GROUP BY e.n_regionkey, e.el, g.n
+        HAVING count(*) = g.n)
+      SELECT g.n_regionkey,
+             coalesce(array_to_string(list_sort(list(common.el)), '|'), '') AS common
+      FROM g LEFT JOIN common ON g.n_regionkey = common.n_regionkey
+      GROUP BY g.n_regionkey ORDER BY g.n_regionkey"""))
   )
 }
