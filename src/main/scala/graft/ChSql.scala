@@ -506,6 +506,47 @@ object ChSql {
           s"$view"
         })
     }
+    // merge(['db',] 'tables_regexp') — CH's multi-table union view:
+    // every catalog table whose name matches the regexp, unioned, with
+    // CH's `_table` virtual column naming the source. Schemas must
+    // match exactly (loud fail — CH would common-type them; we refuse
+    // rather than silently coerce). cluster()/clusterAllReplicas()
+    // pass through to the underlying table: a single Spark cluster IS
+    // the cluster, the fan-out/merge CH does by hand is Spark's own
+    // shuffle (documented single-cluster stand-in).
+    val mergeFnRe =
+      """(?i)\bmerge\s*\(\s*(?:'([^']*)'\s*,\s*)?'([^']+)'\s*\)""".r
+    if (mergeFnRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = mergeFnRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement {
+          val re = m.group(2)
+          val names = spark.catalog.listTables().collect()
+            .map(_.name).filter(_.matches(re)).sorted.toSeq
+          require(names.nonEmpty,
+            s"merge(): no catalog table matches regexp '$re'")
+          val schemas = names.map(n => n -> spark.table(n).schema)
+          val (n0, s0) = schemas.head
+          schemas.tail.foreach { case (n, sch) =>
+            require(sch == s0,
+              s"merge(): schema of '$n' differs from '$n0' — CH would " +
+                "common-type them; align the schemas explicitly instead")
+          }
+          val branches = names.map(n => s"SELECT *, '$n' AS _table FROM $n")
+          s"(${branches.mkString(" UNION ALL ")}) " +
+            s"graft_merge_${sysSeq.incrementAndGet()}"
+        })
+    }
+    val clusterFnRe =
+      """(?i)\bcluster(?:AllReplicas)?\s*\(\s*'[^']*'\s*,\s*([A-Za-z_][\w.]*)\s*\)""".r
+    if (clusterFnRe.findFirstIn(q).isDefined) {
+      val mask = inStringMask(q)
+      q = clusterFnRe.replaceAllIn(q, m =>
+        if (mask(m.start)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(
+          m.group(1).replaceAll("^(?i)(default|currentDatabase\\(\\))\\.", "")))
+    }
     if (generateRandomRe.findFirstIn(q).isDefined) {
       val mask = inStringMask(q)
       q = generateRandomRe.replaceAllIn(q, m =>

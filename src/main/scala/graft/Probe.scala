@@ -362,6 +362,12 @@ object Probe {
       "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS r",
     "w10_quantile_picks" ->
       "SELECT quantileExactLow(0.5)(n_nationkey) AS lo, quantileExactHigh(0.5)(n_nationkey) AS hi, groupArrayLast(3)(n_nationkey) AS last3 FROM nation",
+    "w10_merge_tf" ->
+      "SELECT _table, count() AS c FROM merge('^nation$') GROUP BY _table ORDER BY _table",
+    "w10_cluster_tf" ->
+      "SELECT count() AS c FROM cluster('default', nation)",
+    "w10_format_row" ->
+      "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
     "w10_matrix_aggs" ->
       "SELECT round(corrMatrix(n_nationkey, n_regionkey)[1][2], 4) AS r, round(covarSampMatrix(n_nationkey, n_regionkey)[2][1], 4) AS cv, groupArrayIntersect(array(n_regionkey, 7, 9)) AS gi FROM nation",
     "w10_delta_sum_ts" ->

@@ -939,6 +939,33 @@ object ChDialect {
       reg("covarSampMatrix")(matrixOf((a, b) =>
         new CovSample(a, b).toAggregateExpression()))
     }
+    // formatRow('Format', x…): render one row in an output format —
+    // JSONEachRow keys come from the argument expressions' names
+    // (aliases propagate), CSV/TSV are comma/tab-joined with CH's
+    // trailing newline on formatRow (none on formatRowNoNewline)
+    locally {
+      def fmtRow(newline: Boolean): Seq[Expression] => Expression = { c =>
+        require(c.size >= 2, "formatRow('Format', x…)")
+        val fmt = c.head match {
+          case Literal(v, StringType) => v.toString.toLowerCase(java.util.Locale.ROOT)
+          case e => throw new IllegalArgumentException(
+            s"formatRow needs a literal format name, got ${e.sql}")
+        }
+        val body = fmt match {
+          case "jsoneachrow" | "json" =>
+            StructsToJson(Map.empty[String, String], CreateStruct(c.tail))
+          case "csv" | "values" =>
+            ConcatWs(Literal(",") +: c.tail.map(Cast(_, StringType)))
+          case "tsv" | "tabseparated" =>
+            ConcatWs(Literal("\t") +: c.tail.map(Cast(_, StringType)))
+          case other => throw new IllegalArgumentException(
+            s"formatRow: unsupported format '$other' (JSONEachRow/CSV/TSV)")
+        }
+        if (newline) Concat(Seq(body, Literal("\n"))) else body
+      }
+      reg("formatRow")(fmtRow(newline = true))
+      reg("formatRowNoNewline")(fmtRow(newline = false))
+    }
     // groupArrayIntersect: intersection of all array values in the
     // group, sorted for determinism (CH leaves the order unspecified)
     macroFn("groupArrayIntersect", Seq("__a"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Graft, QDef}
+import graft.{Graft, QDef, Tables}
 
 /** Clause-level CH SQL front door (SURVEY §2.6/§2.1/§2.4 syntax):
   * each entry feeds a VERBATIM ClickHouse query string through
@@ -1198,6 +1198,34 @@ object ChSqlQueries {
       SELECT g.n_regionkey,
              coalesce(array_to_string(list_sort(list(common.el)), '|'), '') AS common
       FROM g LEFT JOIN common ON g.n_regionkey = common.n_regionkey
-      GROUP BY g.n_regionkey ORDER BY g.n_regionkey"""))
+      GROUP BY g.n_regionkey ORDER BY g.n_regionkey""")),
+
+    // merge('regexp') — CH's multi-table union view with the `_table`
+    // virtual column, over two same-schema splits of orders; plus
+    // formatRow rendering checked against DuckDB's own JSON/CSV
+    // string building. The union stays a plain UNION ALL of pruned
+    // scans — no shuffle beyond the downstream aggregate.
+    QDef("sql_ch_merge_tf", (s, dir) => {
+      Graft.init(s, dir)
+      val o = Tables(s, dir, "orders")
+      o.filter(o("o_orderkey") % 2 === 0).createOrReplaceTempView("graft_ord_even")
+      o.filter(o("o_orderkey") % 2 === 1).createOrReplaceTempView("graft_ord_odd")
+      Graft.sql(s, """
+        SELECT _table, c,
+               formatRowNoNewline('JSONEachRow', lo) AS j,
+               formatRowNoNewline('CSV', c, lo) AS csv
+        FROM (SELECT _table, count() AS c, min(o_orderkey) AS lo
+              FROM merge('^graft_ord_(even|odd)$')
+              GROUP BY _table)
+        ORDER BY _table""")
+    }, Some("""
+      WITH u AS (
+        SELECT 'graft_ord_even' AS _table, o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'graft_ord_odd' AS _table, o_orderkey FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT _table, count(*) AS c,
+             '{"lo":' || CAST(min(o_orderkey) AS VARCHAR) || '}' AS j,
+             CAST(count(*) AS VARCHAR) || ',' || CAST(min(o_orderkey) AS VARCHAR) AS csv
+      FROM u GROUP BY _table ORDER BY _table"""))
   )
 }
