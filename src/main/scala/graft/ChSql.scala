@@ -431,6 +431,7 @@ object ChSql {
   private val systemPartsRe = """(?i)\bsystem\.parts\b""".r
   private val systemFunctionsRe = """(?i)\bsystem\.functions\b""".r
   private val systemDatabasesRe = """(?i)\bsystem\.databases\b""".r
+  private val systemSettingsRe = """(?i)\bsystem\.settings\b""".r
   private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
 
   // file('path'[, 'Format']) — CH's local-file table function. The
@@ -621,6 +622,16 @@ object ChSql {
         .toDF("name", "class", "is_temporary")
         .createOrReplaceTempView("graft_system_functions")
       q = systemFunctionsRe.replaceAllIn(q, "graft_system_functions")
+    }
+    if (systemSettingsRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      // CH system.settings — the live session configuration snapshot
+      // (name/value; CH's changed/description flags need conf-default
+      // metadata Spark keeps private)
+      spark.conf.getAll.toSeq.sortBy(_._1)
+        .toDF("name", "value")
+        .createOrReplaceTempView("graft_system_settings")
+      q = systemSettingsRe.replaceAllIn(q, "graft_system_settings")
     }
     if (systemDatabasesRe.findFirstIn(q).isDefined) {
       import spark.implicits._

@@ -368,6 +368,8 @@ object Probe {
       "SELECT count() AS c FROM cluster('default', nation)",
     "w10_format_row" ->
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
+    "w10_system_settings" ->
+      "SELECT count() > 0 AS has_rows FROM system.settings WHERE name = 'spark.sql.shuffle.partitions'",
     "w10_matrix_aggs" ->
       "SELECT round(corrMatrix(n_nationkey, n_regionkey)[1][2], 4) AS r, round(covarSampMatrix(n_nationkey, n_regionkey)[2][1], 4) AS cv, groupArrayIntersect(array(n_regionkey, 7, 9)) AS gi FROM nation",
     "w10_delta_sum_ts" ->
