@@ -368,6 +368,12 @@ object Probe {
       "SELECT count() AS c FROM cluster('default', nation)",
     "w10_format_row" ->
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
+    "w11_map_series" ->
+      "SELECT mapPopulateSeries([1, 4], [11, 44]) AS m2, mapPopulateSeries([1, 2], [11, 22], 4) AS m3",
+    "w11_time_slots" ->
+      "SELECT timeSlots(toDateTime('2024-03-05 10:17:00'), 2000) AS s2, size(timeSlots(toDateTime('2024-03-05 10:17:00'), 2000, 600)) AS n3",
+    "w11_lp" ->
+      "SELECT round(LpNorm([3.0, 4.0], 2), 4) AS n2, round(LpDistance([1.0, 2.0], [4.0, 6.0], 1), 4) AS d1, round(LpNorm([1.0, 1.0, 1.0], 3), 4) AS n3",
     "w10_system_settings" ->
       "SELECT count() > 0 AS has_rows FROM system.settings WHERE name = 'spark.sql.shuffle.partitions'",
     "w10_matrix_aggs" ->

@@ -855,6 +855,8 @@ object ChDialect {
           s"at any parallelism); write the explicit window instead: $instead"))
     blockOrderDependent("runningDifference",
       "x - lag(x, 1, x) OVER (ORDER BY …)")
+    blockOrderDependent("runningDifferenceStartingWithFirstValue",
+      "x - lag(x, 1, first_value(x) OVER w) OVER w")
     blockOrderDependent("runningAccumulate",
       "sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)")
     blockOrderDependent("neighbor",
@@ -939,6 +941,69 @@ object ChDialect {
       reg("covarSampMatrix")(matrixOf((a, b) =>
         new CovSample(a, b).toAggregateExpression()))
     }
+    // arity-dispatching macro: one CH name, several (argNames, body)
+    // templates — picks the variant matching the call's arg count
+    def macroFnN(name: String, variants: (Seq[String], String)*): Unit = {
+      val parsed = variants.map { case (an, b) =>
+        an -> spark.sessionState.sqlParser.parseExpression(b)
+      }
+      fr.createOrReplaceTempFunction(name, { c =>
+        parsed.find(_._1.size == c.size) match {
+          case Some((an, template)) => template.transformUp {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if an.contains(ua.name) => c(an.indexOf(ua.name))
+            case lv: UnresolvedNamedLambdaVariable
+                if lv.nameParts.length == 1 && an.contains(lv.nameParts.head) =>
+              c(an.indexOf(lv.nameParts.head))
+          }
+          case None => throw new IllegalArgumentException(
+            s"$name: unsupported arity ${c.size} " +
+              s"(accepts ${parsed.map(_._1.size).mkString("/")})")
+        }
+      }, "built-in")
+    }
+    // mapPopulateSeries(keys, vals[, max]): fill integer key gaps from
+    // min(keys) to max(keys) (or `max`) with type-zero values — the
+    // companion of sumMap's sparse series
+    macroFnN("mapPopulateSeries",
+      Seq("__k", "__v") ->
+        """map_from_arrays(
+             sequence(array_min(__k), array_max(__k)),
+             transform(sequence(array_min(__k), array_max(__k)),
+               __i -> CASE WHEN array_position(__k, __i) > 0
+                           THEN element_at(__v, CAST(array_position(__k, __i) AS INT))
+                           ELSE element_at(__v, 1) * 0 END))""",
+      Seq("__k", "__v", "__m") ->
+        """map_from_arrays(
+             sequence(array_min(__k), CAST(__m AS BIGINT)),
+             transform(sequence(array_min(__k), CAST(__m AS BIGINT)),
+               __i -> CASE WHEN array_position(__k, __i) > 0
+                           THEN element_at(__v, CAST(array_position(__k, __i) AS INT))
+                           ELSE element_at(__v, 1) * 0 END))""")
+    // timeSlots(start, duration[, size=1800]): the half-hour (or
+    // `size`-second) grid slots a [start, start+duration] interval
+    // touches — CH's sessionization helper
+    macroFnN("timeSlots",
+      Seq("__t", "__d") ->
+        """transform(
+             sequence(CAST(unix_seconds(__t) div 1800 AS BIGINT),
+                      CAST((unix_seconds(__t) + CAST(__d AS BIGINT)) div 1800 AS BIGINT)),
+             __i -> timestamp_seconds(__i * 1800))""",
+      Seq("__t", "__d", "__sz") ->
+        """transform(
+             sequence(CAST(unix_seconds(__t) div CAST(__sz AS BIGINT) AS BIGINT),
+                      CAST((unix_seconds(__t) + CAST(__d AS BIGINT))
+                           div CAST(__sz AS BIGINT) AS BIGINT)),
+             __i -> timestamp_seconds(__i * CAST(__sz AS BIGINT)))""")
+    // Lp norms/distances with arbitrary p (L1/L2/Linf already exist)
+    macroFn("LpNorm", Seq("__a", "__p"),
+      """power(aggregate(__a, CAST(0.0 AS DOUBLE),
+           (__acc, __x) -> __acc + power(abs(CAST(__x AS DOUBLE)), __p)),
+           1.0 / __p)""")
+    macroFn("LpDistance", Seq("__a", "__b", "__p"),
+      """power(aggregate(zip_with(__a, __b, (__x, __y) ->
+             power(abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)), __p)),
+           CAST(0.0 AS DOUBLE), (__acc, __e) -> __acc + __e), 1.0 / __p)""")
     // formatRow('Format', x…): render one row in an output format —
     // JSONEachRow keys come from the argument expressions' names
     // (aliases propagate), CSV/TSV are comma/tab-joined with CH's
