@@ -368,6 +368,8 @@ object Probe {
       "SELECT count() AS c FROM cluster('default', nation)",
     "w10_format_row" ->
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
+    "w12_jump_hash" ->
+      "SELECT jumpConsistentHash(n_nationkey, 8) AS b8, jumpConsistentHash(n_nationkey, 9) AS b9, wyHash64('x') != 0 AS wy FROM nation ORDER BY n_nationkey LIMIT 3",
     "w11_map_series" ->
       "SELECT mapPopulateSeries([1, 4], [11, 44]) AS m2, mapPopulateSeries([1, 2], [11, 22], 4) AS m3",
     "w11_time_slots" ->

@@ -2272,6 +2272,22 @@ object ChDialect {
     reg("cityHash64")(md5Hash64("city"))
     reg("farmHash64")(md5Hash64("farm"))
     reg("metroHash64")(md5Hash64("metro"))
+    reg("wyHash64")(md5Hash64("wy"))
+    // jumpConsistentHash(key, buckets) — Lamping & Veach's jump
+    // consistent hash, implemented EXACTLY (it is a published,
+    // fully-specified algorithm on Int64, so this is bit-parity with
+    // CH, not a stand-in). The property that matters for resharding
+    // 100 TB: growing n → n+1 moves only ~1/(n+1) of the keys.
+    spark.udf.register("jumpConsistentHash", (key: Long, buckets: Int) => {
+      require(buckets > 0, "jumpConsistentHash: buckets must be positive")
+      var k = key; var b = -1L; var j = 0L
+      while (j < buckets) {
+        b = j
+        k = k * 2862933555777941757L + 1
+        j = ((b + 1) * (2147483648L.toDouble / ((k >>> 33) + 1).toDouble)).toLong
+      }
+      b.toInt
+    })
 
     // CH char(n…): one string from N code points (Spark's is 1-arg)
     reg("char") { c =>

@@ -78,6 +78,22 @@ class Stats2Spec extends AnyFunSuite {
     assert(math.abs(v.getDouble(1) - 0.22) < 1e-9 && math.abs(v.getDouble(2) - 0.28) < 1e-9)
   }
 
+  test("jumpConsistentHash: range, determinism, minimal-movement law") {
+    Graft.init(spark, dir)
+    val rows = Graft.sql(spark, """
+      SELECT jumpConsistentHash(id, 10) AS b10,
+             jumpConsistentHash(id, 11) AS b11
+      FROM (SELECT CAST(id AS BIGINT) * 2654435761 AS id
+            FROM range(10000))""").collect()
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 11))
+    // jump hash's defining property: 10 → 11 buckets moves ~1/11 of
+    // keys (9.1%), and every moved key lands in the NEW bucket only
+    val moved = rows.count(r => r.getInt(0) != r.getInt(1))
+    assert(moved > 600 && moved < 1200, s"moved $moved of 10000")
+    assert(rows.filter(r => r.getInt(0) != r.getInt(1)).forall(_.getInt(1) == 10))
+  }
+
   test("pipe_shard_assign partitions the corpus exactly") {
     import spark.implicits._
     val shards = SparkEntry.queries("pipe_shard_assign")(spark, dir).collect()
