@@ -995,6 +995,25 @@ object ChDialect {
                       CAST((unix_seconds(__t) + CAST(__d AS BIGINT))
                            div CAST(__sz AS BIGINT) AS BIGINT)),
              __i -> timestamp_seconds(__i * CAST(__sz AS BIGINT)))""")
+    // arrayShuffle(arr[, seed]) / arrayRandomSample(arr, k[, seed]):
+    // CH's are RNG-backed; here the permutation is the md5 order of
+    // (seed, position) — a uniform-looking DETERMINISTIC shuffle, the
+    // only kind that gives identical results at any executor count
+    // (seedless calls get seed 0 rather than nondeterminism)
+    locally {
+      val shuffleBody =
+        """transform(array_sort(transform(__a, (__x, __i) ->
+             struct(substring(md5(concat(CAST(__s AS STRING), ':', CAST(__i AS STRING))), 1, 16) AS k,
+                    __x AS v))), __e -> __e.v)"""
+      macroFnN("arrayShuffle",
+        Seq("__a") -> shuffleBody.replace("__s", "0"),
+        Seq("__a", "__s") -> shuffleBody)
+      macroFnN("arrayRandomSample",
+        Seq("__a", "__k") ->
+          s"slice(${shuffleBody.replace("__s", "0")}, 1, CAST(__k AS INT))",
+        Seq("__a", "__k", "__s") ->
+          s"slice($shuffleBody, 1, CAST(__k AS INT))")
+    }
     // Lp norms/distances with arbitrary p (L1/L2/Linf already exist)
     macroFn("LpNorm", Seq("__a", "__p"),
       """power(aggregate(__a, CAST(0.0 AS DOUBLE),
