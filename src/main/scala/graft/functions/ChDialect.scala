@@ -1018,11 +1018,12 @@ object ChDialect {
     macroFn("LpNorm", Seq("__a", "__p"),
       """power(aggregate(__a, CAST(0.0 AS DOUBLE),
            (__acc, __x) -> __acc + power(abs(CAST(__x AS DOUBLE)), __p)),
-           1.0 / __p)""")
+           CAST(1.0 AS DOUBLE) / __p)""")
     macroFn("LpDistance", Seq("__a", "__b", "__p"),
       """power(aggregate(zip_with(__a, __b, (__x, __y) ->
              power(abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)), __p)),
-           CAST(0.0 AS DOUBLE), (__acc, __e) -> __acc + __e), 1.0 / __p)""")
+           CAST(0.0 AS DOUBLE), (__acc, __e) -> __acc + __e),
+           CAST(1.0 AS DOUBLE) / __p)""")
     // formatRow('Format', x…): render one row in an output format —
     // JSONEachRow keys come from the argument expressions' names
     // (aliases propagate), CSV/TSV are comma/tab-joined with CH's

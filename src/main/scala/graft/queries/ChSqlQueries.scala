@@ -1226,6 +1226,39 @@ object ChSqlQueries {
       SELECT _table, count(*) AS c,
              '{"lo":' || CAST(min(o_orderkey) AS VARCHAR) || '}' AS j,
              CAST(count(*) AS VARCHAR) || ',' || CAST(min(o_orderkey) AS VARCHAR) AS csv
-      FROM u GROUP BY _table ORDER BY _table"""))
+      FROM u GROUP BY _table ORDER BY _table""")),
+
+    // Wave-11 scalars: mapPopulateSeries gap-filling (element-picked —
+    // the oracle recomputes the gap/hit cases), timeSlots slot counts
+    // (floor arithmetic on the epoch), arbitrary-p Lp norms/distances
+    // (identical fold order, 4dp for cross-libm pow), and the
+    // arrayShuffle permutation law (sort∘shuffle = sort).
+    QDef("sql_ch_w11_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey,
+               mapPopulateSeries([1, n_nationkey % 3 + 2], [10, 20])[2] AS mp,
+               size(timeSlots(toDateTime('2024-03-05 10:17:00'),
+                              CAST(n_nationkey * 400 AS Int64))) AS nslots,
+               round(LpNorm([CAST(n_nationkey AS Float64), 3.0], 3), 4) AS lp3,
+               round(LpDistance([1.0, 2.0],
+                                [CAST(n_nationkey AS Float64), 6.0], 2.5), 4) AS lpd,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arraySort(arrayShuffle([n_nationkey + 10, 1, 2], 5))), '|') AS perm
+        FROM nation ORDER BY n_nationkey""")
+    }, Some("""
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 + 2 = 2 THEN 20 ELSE 0 END AS mp,
+             CAST(floor((epoch(TIMESTAMP '2024-03-05 10:17:00')
+                         + n_nationkey * 400) / 1800)
+                  - floor(epoch(TIMESTAMP '2024-03-05 10:17:00') / 1800)
+                  + 1 AS INT) AS nslots,
+             round(pow(pow(abs(CAST(n_nationkey AS DOUBLE)), 3) + pow(3.0, 3),
+                       1.0 / 3), 4) AS lp3,
+             round(pow(pow(abs(1.0 - CAST(n_nationkey AS DOUBLE)), 2.5)
+                       + pow(abs(2.0 - 6.0), 2.5), 1.0 / 2.5), 4) AS lpd,
+             array_to_string(list_transform(list_sort([n_nationkey + 10, 1, 2]),
+                                            x -> CAST(x AS VARCHAR)), '|') AS perm
+      FROM nation ORDER BY n_nationkey"""))
   )
 }
