@@ -608,4 +608,28 @@ class ChCompatSpec extends AnyFunSuite {
       lc.getString(2) == "y" && lc.getString(3).length == 4 &&
       lc.getString(4) == "Hi")
   }
+
+  test("round-7 surface composed: merge + element-exact quantiles + planners + formatRow") {
+    // multi-table union view feeding element-exact quantile picks
+    val r1 = run("""
+      SELECT _table,
+             quantileExactLow(0.5)(n_nationkey) AS med_lo,
+             quantileExactHigh(0.5)(n_nationkey) AS med_hi
+      FROM merge('^nation$')
+      GROUP BY _table ORDER BY _table""").head
+    assert(r1.getString(0) == "nation" &&
+      r1.getAs[Number](1).longValue == 12L && r1.getAs[Number](2).longValue == 12L)
+    // A/B planner driven by live aggregates, rendered as JSONEachRow
+    val r2 = run("""
+      SELECT formatRowNoNewline('JSONEachRow', n) AS j
+      FROM (SELECT CAST(ceiling(minSampleSizeConversion(0.25, 0.03, 0.80, 0.05).1) AS Int64) AS n)""").head
+    assert(r2.getString(0) == "{\"n\":3397}")
+    // consistent sharding + deterministic shuffle composed in one text
+    val r3 = run("""
+      SELECT jumpConsistentHash(n_nationkey, 8) AS shard,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               arrayRandomSample([n_nationkey, 1, 2, 3], 2, 42)), '|') AS pick
+      FROM nation ORDER BY n_nationkey LIMIT 1""").head
+    assert(r3.getInt(0) >= 0 && r3.getInt(0) < 8 && r3.getString(1).nonEmpty)
+  }
 }
