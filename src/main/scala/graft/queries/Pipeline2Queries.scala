@@ -72,6 +72,57 @@ object Pipeline2Queries {
              min(doc_id) AS min_doc,
              max(doc_id) AS max_doc
       FROM documents
-      GROUP BY shard ORDER BY shard"""))
+      GROUP BY shard ORDER BY shard""")),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75, Lucene's +1 idf) for a
+    // fixed 3-term query — the classic sparse-retrieval primitive a
+    // RAG corpus needs next to the ANN path. All corpus statistics
+    // (tf, df, dl, N, Σdl) are exact integers; each per-term
+    // contribution is one fixed-shape double expression rounded to
+    // 6dp into the decimal lattice, so the per-doc sum and the
+    // ranking are order-independent at any executor count. Query
+    // terms broadcast; everything else shuffles on doc_id/term.
+    QDef("pipe_bm25", (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+      val terms = Seq("scan", "merge", "hash").toDF("tok")
+      val dft = tf.join(broadcast(terms), "tok")
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(terms), "tok")
+        .join(dl, "doc_id")
+        .join(broadcast(dft), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("c",
+          round(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(1.0) - 0.75 +
+              lit(0.75) * $"dl" / ($"sumdl".cast("double") / $"n"))), 6)
+            .cast("decimal(18,6)"))
+        .groupBy($"doc_id").agg(sum($"c").as("sc"))
+        .orderBy($"sc".desc, $"doc_id")
+        .limit(10)
+        .select($"doc_id", round($"sc".cast("double"), 4).as("score"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+      terms(tok) AS (VALUES ('scan'), ('merge'), ('hash')),
+      dft AS (SELECT tok, count(*) AS df FROM tf JOIN terms USING (tok)
+              GROUP BY tok),
+      contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))),
+                 6) AS DECIMAL(18,6)) AS c
+        FROM tf JOIN terms USING (tok) JOIN dl USING (doc_id)
+             JOIN dft USING (tok) CROSS JOIN stats),
+      s AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY doc_id)
+      SELECT doc_id, round(CAST(sc AS DOUBLE), 4) AS score
+      FROM s ORDER BY sc DESC, doc_id LIMIT 10"""))
   )
 }
