@@ -368,6 +368,8 @@ object Probe {
       "SELECT count() AS c FROM cluster('default', nation)",
     "w10_format_row" ->
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
+    "w12_array_auc" ->
+      "SELECT round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc, round(arrayAUC([0.5, 0.5], [0, 1]), 4) AS tie",
     "w12_shuffle" ->
       "SELECT arraySort(arrayShuffle([1, 2, 3, 4])) AS back, arrayShuffle([1, 2, 3, 4], 7) = arrayShuffle([1, 2, 3, 4], 7) AS stable, size(arrayRandomSample([1, 2, 3, 4, 5], 3)) AS k",
     "w12_jump_hash" ->

@@ -2390,6 +2390,24 @@ object ChDialect {
              __acc.s + CASE WHEN __acc.prev IS NOT NULL AND __e.v > __acc.prev
                             THEN __e.v - __acc.prev ELSE 0.0 END AS s),
            __acc -> __acc.s)""")
+    // arrayAUC(scores, labels): tie-aware midrank AUC over one row's
+    // arrays (agg_auc is the table-scale twin). O(n²) per row — fine
+    // for the per-row eval arrays CH aims this at.
+    spark.udf.register("arrayAUC", (scores: Seq[Double], labels: Seq[Int]) => {
+      require(scores.size == labels.size, "arrayAUC: length mismatch")
+      val p = labels.count(_ != 0).toDouble
+      val n = labels.size - p
+      if (p == 0 || n == 0) Double.NaN
+      else {
+        val sumRanks = scores.indices.filter(labels(_) != 0).map { i =>
+          val s = scores(i)
+          val lt = scores.count(_ < s)
+          val eq = scores.count(_ == s)
+          lt + (eq + 1) / 2.0
+        }.sum
+        (sumRanks - p * (p + 1) / 2.0) / (p * n)
+      }
+    })
     // query-log normalization: literals (strings, then numbers) → ?
     spark.udf.register("normalizeQuery", (q: String) =>
       if (q == null) null
