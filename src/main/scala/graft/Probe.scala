@@ -368,6 +368,8 @@ object Probe {
       "SELECT count() AS c FROM cluster('default', nation)",
     "w10_format_row" ->
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
+    "w12_bytes_maps_dates" ->
+      "SELECT byteSwap(1) AS bs, mapContainsKeyLike(map('abc', 1, 'xy', 2), 'a%') AS mk, mapKeys(mapExtractKeyLike(map('abc', 1, 'xy', 2), 'a%')) AS mx, dateTrunc('month', toDate('2024-03-15')) AS dt, addDate(toDate('2024-01-01'), INTERVAL 3 DAY) AS ad, subDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS sd, toStartOfMillisecond(toDateTime64('2024-03-05 07:08:09.123456', 6)) AS ms",
     "w12_array_auc" ->
       "SELECT round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc, round(arrayAUC([0.5, 0.5], [0, 1]), 4) AS tie",
     "w12_shuffle" ->

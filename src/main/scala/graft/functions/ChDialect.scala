@@ -995,6 +995,24 @@ object ChDialect {
                       CAST((unix_seconds(__t) + CAST(__d AS BIGINT))
                            div CAST(__sz AS BIGINT) AS BIGINT)),
              __i -> timestamp_seconds(__i * CAST(__sz AS BIGINT)))""")
+    // byteSwap on the full Int64 width (CH's is typed-width; 64-bit
+    // here, documented): byteSwap(1) = 1 << 56
+    macroFn("byteSwap", Seq("__x"),
+      """aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+           (__acc, __i) -> __acc |
+             shiftleft(shiftright(CAST(__x AS BIGINT), __i * 8) & 255,
+                       (7 - __i) * 8))""")
+    macroFn("mapContainsKeyLike", Seq("__m", "__p"),
+      "size(filter(map_keys(__m), __k -> __k LIKE __p)) > 0")
+    macroFn("mapExtractKeyLike", Seq("__m", "__p"),
+      "map_filter(__m, (__k, __v) -> __k LIKE __p)")
+    macroFn("dateTrunc", Seq("__u", "__d"), "date_trunc(__u, __d)")
+    macroFn("addDate", Seq("__d", "__i"), "__d + __i")
+    macroFn("subDate", Seq("__d", "__i"), "__d - __i")
+    macroFn("toStartOfMillisecond", Seq("__t"),
+      "timestamp_micros((unix_micros(__t) div 1000) * 1000)")
+    macroFn("toStartOfMicrosecond", Seq("__t"),
+      "timestamp_micros(unix_micros(__t))")
     // arrayShuffle(arr[, seed]) / arrayRandomSample(arr, k[, seed]):
     // CH's are RNG-backed; here the permutation is the md5 order of
     // (seed, position) — a uniform-looking DETERMINISTIC shuffle, the
