@@ -1683,19 +1683,30 @@ object ChSql {
     masked(q, collateRe, _ => "")
   }
 
+  /** replaceAllIn that leaves matches INSIDE string literals or `--`
+    * comments untouched (round-7 robustness fix: `WITH TOTALS` spelled
+    * inside a literal was being rewritten).
+    */
+  private def maskedReplaceAll(q: String, re: Regex)(
+      f: Regex.Match => String): String = {
+    val mask = inStringMask(q)
+    re.replaceAllIn(q,
+      m => if (mask(m.start)) Regex.quoteReplacement(m.matched) else f(m))
+  }
+
   private def preRewrite(q0: String): String = {
     var q = rewriteTopN(rewriteScalarWith(rewriteFetch(q0)))
     lastTopLevel(q, formatRe).foreach(m => q = q.substring(0, m.start))
     require(firstTopLevel(q, anyJoinRe).isEmpty,
       "ANY JOIN changes join semantics — use graft.ops.Joins.anyJoin")
-    q = globalRe.replaceAllIn(q, "")
-    q = allJoinRe.replaceAllIn(q, "")
+    q = maskedReplaceAll(q, globalRe)(_ => "")
+    q = maskedReplaceAll(q, allJoinRe)(_ => "")
     q = rewriteArrayJoin(q)
     q = rewritePrewhere(q)
-    val a = dateDiffRe.replaceAllIn(q, m => s"chDateDiff(${m.group(1)}")
-    val b = totalsRe.replaceAllIn(a,
+    val a = maskedReplaceAll(q, dateDiffRe)(m => s"chDateDiff(${m.group(1)}")
+    val b = maskedReplaceAll(a, totalsRe)(
       m => Regex.quoteReplacement(s"GROUP BY GROUPING SETS ((${m.group(1)}), ())"))
-    val c = commaLimitRe.replaceAllIn(b,
+    val c = maskedReplaceAll(b, commaLimitRe)(
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     rewriteSample(c)
   }

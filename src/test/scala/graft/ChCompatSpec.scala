@@ -632,4 +632,30 @@ class ChCompatSpec extends AnyFunSuite {
       FROM nation ORDER BY n_nationkey LIMIT 1""").head
     assert(r3.getInt(0) >= 0 && r3.getInt(0) < 8 && r3.getString(1).nonEmpty)
   }
+
+  test("clause keywords inside string literals never trigger routing") {
+    // every routed clause spelled INSIDE a literal — the peeler's
+    // string mask must leave all of these untouched
+    val r1 = run("""
+      SELECT 'ORDER BY x WITH FILL FROM 1 TO 9' AS a,
+             'LIMIT 3 BY k SAMPLE 0.5' AS b,
+             'GROUP BY t WITH TOTALS PREWHERE z' AS c,
+             'ASOF JOIN u ON a.t >= b.t' AS d,
+             'merge(''^x$'') FORMAT JSONEachRow' AS e
+      FROM nation ORDER BY n_nationkey LIMIT 1""").head
+    assert(r1.getString(0).contains("WITH FILL") &&
+      r1.getString(1).contains("SAMPLE") &&
+      r1.getString(2).contains("TOTALS") &&
+      r1.getString(3).contains("ASOF") &&
+      r1.getString(4).contains("merge("))
+    // routed clause NEXT TO a literal containing another clause
+    val r2 = run("""
+      SELECT n_regionkey, 'DISTINCT ON (x) LIMIT 9 BY y' AS s
+      FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 2 BY n_regionkey""")
+    assert(r2.length == 10 && r2.forall(_.getString(1).contains("DISTINCT ON")))
+    // escaped quotes inside the literal keep the mask aligned
+    val r3 = run(
+      "SELECT 'it''s ORDER BY x WITH FILL here' AS s FROM system.one").head
+    assert(r3.getString(0) == "it's ORDER BY x WITH FILL here")
+  }
 }
