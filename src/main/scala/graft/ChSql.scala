@@ -237,7 +237,7 @@ object ChSql {
   }
 
   private def rewriteSample(q: String): String =
-    sampleRe.replaceAllIn(q, { m =>
+    maskedReplaceAll(q, sampleRe) { m =>
       val table = m.group(1)
       val f = parseFraction(m.group(2))
       val off = Option(m.group(3)).map(parseFraction).getOrElse(0.0)
@@ -256,7 +256,7 @@ object ChSql {
       val pred = if (lo == 0L) s"$h < $hi" else s"$h >= $lo AND $h < $hi"
       Regex.quoteReplacement(
         s"FROM (SELECT * FROM $table WHERE $pred) $table")
-    })
+    }
 
   /** CH's comma limit `LIMIT o, n` → ANSI `LIMIT n OFFSET o` (Spark's
     * parser speaks the latter). The lookahead keeps `LIMIT o, n BY`
@@ -611,7 +611,7 @@ object ChSql {
           }
       }.toDF("database", "table", "name", "type", "position")
         .createOrReplaceTempView("graft_system_columns")
-      q = systemColumnsRe.replaceAllIn(q, "graft_system_columns")
+      q = maskedReplaceAll(q, systemColumnsRe)(_ => "graft_system_columns")
     }
     if (systemFunctionsRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -621,7 +621,7 @@ object ChSql {
         .map(f => (f.name, Option(f.className).getOrElse(""), f.isTemporary))
         .toDF("name", "class", "is_temporary")
         .createOrReplaceTempView("graft_system_functions")
-      q = systemFunctionsRe.replaceAllIn(q, "graft_system_functions")
+      q = maskedReplaceAll(q, systemFunctionsRe)(_ => "graft_system_functions")
     }
     if (systemSettingsRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -631,7 +631,7 @@ object ChSql {
       spark.conf.getAll.toSeq.sortBy(_._1)
         .toDF("name", "value")
         .createOrReplaceTempView("graft_system_settings")
-      q = systemSettingsRe.replaceAllIn(q, "graft_system_settings")
+      q = maskedReplaceAll(q, systemSettingsRe)(_ => "graft_system_settings")
     }
     if (systemDatabasesRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -639,7 +639,7 @@ object ChSql {
         .map(d => (d.name, Option(d.locationUri).map(_.toString).getOrElse("")))
         .toDF("name", "data_path")
         .createOrReplaceTempView("graft_system_databases")
-      q = systemDatabasesRe.replaceAllIn(q, "graft_system_databases")
+      q = maskedReplaceAll(q, systemDatabasesRe)(_ => "graft_system_databases")
     }
     if (systemPartsRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -654,7 +654,7 @@ object ChSql {
           }
       }.toDF("database", "table", "name", "bytes_on_disk", "active")
         .createOrReplaceTempView("graft_system_parts")
-      q = systemPartsRe.replaceAllIn(q, "graft_system_parts")
+      q = maskedReplaceAll(q, systemPartsRe)(_ => "graft_system_parts")
     }
     if (systemTablesRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -663,9 +663,9 @@ object ChSql {
           Option(t.tableType).getOrElse("TEMPORARY"), t.isTemporary))
         .toDF("database", "name", "engine", "is_temporary")
         .createOrReplaceTempView("graft_system_tables")
-      q = systemTablesRe.replaceAllIn(q, "graft_system_tables")
+      q = maskedReplaceAll(q, systemTablesRe)(_ => "graft_system_tables")
     }
-    q = numbersFnRe.replaceAllIn(q, m => Regex.quoteReplacement {
+    q = maskedReplaceAll(q, numbersFnRe)(m => Regex.quoteReplacement {
       // 1-arg = count; 2-arg CH form = (offset, count)
       val (lo, hi) = Option(m.group(2)) match {
         case Some(n) => (m.group(1).toLong, m.group(1).toLong + n.toLong)
@@ -675,9 +675,9 @@ object ChSql {
     })
     // system.numbers is unbounded in CH too — range() generates
     // lazily, so a LIMIT (or any short-circuit) bounds the scan.
-    q = systemNumbersRe.replaceAllIn(q, Regex.quoteReplacement(
+    q = maskedReplaceAll(q, systemNumbersRe)(_ => Regex.quoteReplacement(
       s"(SELECT id AS number FROM range(9223372036854775807)) graft_nums_${sysSeq.incrementAndGet()}"))
-    q = systemOneRe.replaceAllIn(q, Regex.quoteReplacement(
+    q = maskedReplaceAll(q, systemOneRe)(_ => Regex.quoteReplacement(
       s"(SELECT CAST(0 AS TINYINT) AS dummy) graft_one_${sysSeq.incrementAndGet()}"))
     q
   }
@@ -1212,7 +1212,7 @@ object ChSql {
   private val fromFinalRe = """(?i)\bFROM\s+([A-Za-z_]\w*)\s+FINAL\b""".r
 
   private def rewriteFinal(spark: SparkSession, q: String): String =
-    fromFinalRe.replaceAllIn(q, { m =>
+    maskedReplaceAll(q, fromFinalRe) { m =>
       val t = m.group(1)
       val fn = finalSpecs.getOrElse(t.toLowerCase(java.util.Locale.ROOT),
         throw new IllegalArgumentException(
@@ -1224,7 +1224,7 @@ object ChSql {
       // alias the collapsed view back to the table name so qualified
       // column references in the rest of the query keep resolving
       Regex.quoteReplacement(s"FROM $v $t")
-    })
+    }
 
   // ---- star modifiers: * REPLACE, * APPLY, COLUMNS('re') -----------
   // CH's column-selector sugar. Spark owns `* EXCEPT (…)` natively;

@@ -657,5 +657,17 @@ class ChCompatSpec extends AnyFunSuite {
     val r3 = run(
       "SELECT 'it''s ORDER BY x WITH FILL here' AS s FROM system.one").head
     assert(r3.getString(0) == "it's ORDER BY x WITH FILL here")
+    // table-level rewrites (SAMPLE / FINAL / system.* / numbers())
+    // spelled inside literals survive verbatim too
+    val r4 = run("""
+      SELECT 'FROM nation SAMPLE 0.5' AS a,
+             'FROM nation FINAL' AS b,
+             'system.one and system.numbers' AS c,
+             'numbers(10)' AS d
+      FROM nation LIMIT 1""").head
+    assert(r4.getString(0) == "FROM nation SAMPLE 0.5" &&
+      r4.getString(1) == "FROM nation FINAL" &&
+      r4.getString(2) == "system.one and system.numbers" &&
+      r4.getString(3) == "numbers(10)")
   }
 }
