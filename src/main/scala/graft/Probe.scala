@@ -368,6 +368,10 @@ object Probe {
       "SELECT count() AS c FROM cluster('default', nation)",
     "w10_format_row" ->
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
+    "w13_crypto" ->
+      "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'), '0123456789abcdef') AS rt, decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'hi', '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1'), '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS rt_cbc, hex(encrypt('aes-128-ecb', 'x', '0123456789abcdef')) != '' AS nonempty",
+    "w13_base58_puny" ->
+      "SELECT base58Decode(base58Encode('Hello World!')) AS rt, base58Encode('Hello World!') AS b58, punycodeEncode('münchen.de') AS pe, punycodeDecode('xn--mnchen-3ya.de') AS pd",
     "w12_bytes_maps_dates" ->
       "SELECT byteSwap(1) AS bs, mapContainsKeyLike(map('abc', 1, 'xy', 2), 'a%') AS mk, mapKeys(mapExtractKeyLike(map('abc', 1, 'xy', 2), 'a%')) AS mx, dateTrunc('month', toDate('2024-03-15')) AS dt, addDate(toDate('2024-01-01'), INTERVAL 3 DAY) AS ad, subDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS sd, toStartOfMillisecond(toDateTime64('2024-03-05 07:08:09.123456', 6)) AS ms",
     "w12_array_auc" ->

@@ -2408,6 +2408,109 @@ object ChDialect {
              __acc.s + CASE WHEN __acc.prev IS NOT NULL AND __e.v > __acc.prev
                             THEN __e.v - __acc.prev ELSE 0.0 END AS s),
            __acc -> __acc.s)""")
+    // ---- encryption / encoding families (bit-parity: AES and the
+    //      base58/punycode codecs are fully-specified public
+    //      algorithms, so javax.crypto / java.net.IDN match CH) ----
+    locally {
+      def cipher(mode: String, encrypt: Boolean, key: Array[Byte],
+          iv: Array[Byte]): javax.crypto.Cipher = {
+        val m = mode.toLowerCase(java.util.Locale.ROOT)
+        val bits = m match {
+          case s if s.startsWith("aes-128") => 16
+          case s if s.startsWith("aes-192") => 24
+          case s if s.startsWith("aes-256") => 32
+          case other => throw new IllegalArgumentException(
+            s"encrypt/decrypt: unsupported mode '$other'")
+        }
+        require(key.length >= bits,
+          s"$mode needs a ${bits}-byte key, got ${key.length}")
+        val k = new javax.crypto.spec.SecretKeySpec(key.take(bits), "AES")
+        val dir = if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+          else javax.crypto.Cipher.DECRYPT_MODE
+        if (m.endsWith("-ecb")) {
+          val c = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+          c.init(dir, k); c
+        } else if (m.endsWith("-cbc")) {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+          require(iv != null && iv.length >= 16, s"$mode needs a 16-byte iv")
+          c.init(dir, k, new javax.crypto.spec.IvParameterSpec(iv.take(16))); c
+        } else throw new IllegalArgumentException(
+          s"encrypt/decrypt: unsupported block mode in '$mode' (ecb/cbc)")
+      }
+      def b(s: String): Array[Byte] =
+        if (s == null) null else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      spark.udf.register("graft_encrypt3",
+        (m: String, p: String, k: String) => cipher(m, true, b(k), null).doFinal(b(p)))
+      spark.udf.register("graft_encrypt4",
+        (m: String, p: String, k: String, iv: String) =>
+          cipher(m, true, b(k), b(iv)).doFinal(b(p)))
+      spark.udf.register("graft_decrypt3",
+        (m: String, c: Array[Byte], k: String) =>
+          new String(cipher(m, false, b(k), null).doFinal(c),
+            java.nio.charset.StandardCharsets.UTF_8))
+      spark.udf.register("graft_decrypt4",
+        (m: String, c: Array[Byte], k: String, iv: String) =>
+          new String(cipher(m, false, b(k), b(iv)).doFinal(c),
+            java.nio.charset.StandardCharsets.UTF_8))
+      spark.udf.register("graft_trydecrypt3",
+        (m: String, c: Array[Byte], k: String) =>
+          try new String(cipher(m, false, b(k), null).doFinal(c),
+            java.nio.charset.StandardCharsets.UTF_8)
+          catch { case _: Exception => null })
+      spark.udf.register("graft_trydecrypt4",
+        (m: String, c: Array[Byte], k: String, iv: String) =>
+          try new String(cipher(m, false, b(k), b(iv)).doFinal(c),
+            java.nio.charset.StandardCharsets.UTF_8)
+          catch { case _: Exception => null })
+      // CH signature: one name, optional trailing iv — dispatch by
+      // arity onto the internal UDF registrations
+      def arityFn(name: String, n3: String, n4: String): Unit =
+        reg(name) { c =>
+          require(c.size == 3 || c.size == 4,
+            s"$name(mode, data, key[, iv]) — got ${c.size} args")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            if (c.size == 3) n3 else n4, c, isDistinct = false)
+        }
+      arityFn("encrypt", "graft_encrypt3", "graft_encrypt4")
+      arityFn("decrypt", "graft_decrypt3", "graft_decrypt4")
+      arityFn("tryDecrypt", "graft_trydecrypt3", "graft_trydecrypt4")
+      arityFn("aes_encrypt_mysql", "graft_encrypt3", "graft_encrypt4")
+      arityFn("aes_decrypt_mysql", "graft_decrypt3", "graft_decrypt4")
+    }
+    locally {
+      val alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+      spark.udf.register("base58Encode", (s: String) => {
+        if (s == null) null
+        else {
+          val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val zeros = bytes.takeWhile(_ == 0).length
+          var n = BigInt(1, bytes)
+          val sb = new StringBuilder
+          while (n > 0) { sb += alpha(((n % 58).toInt)); n /= 58 }
+          ("1" * zeros) + sb.reverse.toString
+        }
+      })
+      spark.udf.register("base58Decode", (s: String) => {
+        if (s == null) null
+        else {
+          val zeros = s.takeWhile(_ == '1').length
+          var n = BigInt(0)
+          s.foreach { ch =>
+            val d = alpha.indexOf(ch)
+            require(d >= 0, s"base58Decode: invalid character '$ch'")
+            n = n * 58 + d
+          }
+          val body = if (n == 0) Array.empty[Byte]
+            else n.toByteArray.dropWhile(_ == 0)
+          new String(Array.fill[Byte](zeros)(0) ++ body,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+      })
+    }
+    spark.udf.register("punycodeEncode",
+      (s: String) => if (s == null) null else java.net.IDN.toASCII(s))
+    spark.udf.register("punycodeDecode",
+      (s: String) => if (s == null) null else java.net.IDN.toUnicode(s))
     // arrayAUC(scores, labels): tie-aware midrank AUC over one row's
     // arrays (agg_auc is the table-scale twin). O(n²) per row — fine
     // for the per-row eval arrays CH aims this at.

@@ -1358,4 +1358,30 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) == Seq(95L, 126L))
     assert(r.getSeq[Int](2) == Seq(5, 15))
   }
+
+  test("encryption/encoding family: AES roundtrips, base58 vector, punycode") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT decrypt('aes-128-ecb',
+               encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'),
+               '0123456789abcdef') AS ecb,
+             decrypt('aes-256-cbc',
+               encrypt('aes-256-cbc', 'hi', '0123456789abcdef0123456789abcdef',
+                       'ivivivivivivivi1'),
+               '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS cbc,
+             base58Encode('Hello World!') AS b58,
+             base58Decode('2NEpo7TZRRrLZSi2U') AS b58d,
+             punycodeEncode('münchen.de') AS pe,
+             punycodeDecode('xn--mnchen-3ya.de') AS pd
+      FROM system.one""").collect().head
+    assert(r.getString(0) == "secret text" && r.getString(1) == "hi")
+    // the published Bitcoin base58 test vector
+    assert(r.getString(2) == "2NEpo7TZRRrLZSi2U" && r.getString(3) == "Hello World!")
+    assert(r.getString(4) == "xn--mnchen-3ya.de" && r.getString(5) == "münchen.de")
+    // tryDecrypt returns NULL on garbage instead of throwing
+    val t = Graft.sql(spark,
+      "SELECT tryDecrypt('aes-128-ecb', CAST('nonsense!' AS BINARY), " +
+        "'0123456789abcdef') AS x FROM system.one").collect().head
+    assert(t.isNullAt(0))
+  }
 }
