@@ -2682,6 +2682,37 @@ object ChSql {
   private val queryCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  private val setStatementRe =
+    """(?is)^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$""".r
+
+  /** CH settings that CHANGE QUERY RESULTS — accepting and ignoring
+    * them would silently return different answers than CH, so they
+    * fail loudly. Performance-only settings are recorded (visible in
+    * system.settings) and, where a Spark session conf corresponds,
+    * applied.
+    */
+  private val semanticSettings = Set(
+    "join_use_nulls", "aggregate_functions_null_for_empty",
+    "empty_result_for_aggregation_by_empty_set", "group_by_use_nulls",
+    "final", "totals_mode", "count_distinct_implementation",
+    "distributed_product_mode", "prefer_global_in_and_join",
+    "insert_null_as_default", "union_default_mode",
+    "transform_null_in", "any_join_distinct_right_table_keys")
+
+  private def applySetting(spark: SparkSession, k0: String, v: String): Unit = {
+    val k = k0.toLowerCase(java.util.Locale.ROOT)
+    require(!semanticSettings.contains(k),
+      s"setting '$k0' changes query semantics in ClickHouse — refusing to " +
+        "accept-and-ignore it; express the behavior in the query instead")
+    k match {
+      case "max_threads" =>
+        // the one perf setting with a direct Spark analog
+        spark.conf.set("spark.sql.shuffle.partitions", v)
+      case _ => ()
+    }
+    spark.conf.set(s"graft.ch.setting.$k", v) // visible in system.settings
+  }
+
   private def peelSettings(q: String): (String, Map[String, String]) =
     lastTopLevel(q, settingsRe) match {
       case Some(m) =>
@@ -2731,7 +2762,15 @@ object ChSql {
       import spark.implicits._
       return Seq("query cache dropped").toDF("status")
     }
+    setStatementRe.findFirstMatchIn(query).foreach { m =>
+      applySetting(spark, m.group(1), m.group(2).trim.stripPrefix("'").stripSuffix("'"))
+      import spark.implicits._
+      return Seq(m.group(1)).toDF("set")
+    }
     val (queryNoSettings, settings) = peelSettings(query)
+    settings.foreach { case (k, v) =>
+      if (k != "use_query_cache") applySetting(spark, k, v)
+    }
     if (settings.get("use_query_cache").exists(v => v == "1" || v == "true"))
       return queryCache.getOrElseUpdate(queryNoSettings, {
         val df = run(spark, queryNoSettings)

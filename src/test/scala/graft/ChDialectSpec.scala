@@ -1384,4 +1384,19 @@ class ChDialectSpec extends AnyFunSuite {
         "'0123456789abcdef') AS x FROM system.one").collect().head
     assert(t.isNullAt(0))
   }
+
+  test("SETTINGS: perf-only accepted and recorded, semantic ones fail loudly") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark,
+      "SELECT count() AS c FROM nation SETTINGS max_memory_usage = 99").collect()
+    assert(r.head.getLong(0) == 25L)
+    assert(spark.conf.get("graft.ch.setting.max_memory_usage") == "99")
+    // join_use_nulls silently ignored would return DIFFERENT answers
+    // than CH — must refuse
+    val e = intercept[Exception](Graft.sql(spark,
+      "SELECT count() AS c FROM nation SETTINGS join_use_nulls = 1"))
+    assert(e.getMessage.contains("semantics"))
+    val e2 = intercept[Exception](Graft.sql(spark, "SET final = 1"))
+    assert(e2.getMessage.contains("semantics"))
+  }
 }
