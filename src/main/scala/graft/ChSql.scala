@@ -507,6 +507,33 @@ object ChSql {
           s"$view"
         })
     }
+    // FROM format('Fmt', '…inline data…') — CH's inline-data table
+    // function (the scalar format() with {} placeholders is untouched:
+    // this only fires in FROM position with a known format name)
+    val formatTfRe =
+      """(?i)\bFROM\s+format\s*\(\s*'(\w+)'\s*,\s*'((?:[^']|'')*)'\s*\)""".r
+    if (formatTfRe.findFirstIn(q).isDefined) {
+      q = maskedReplaceAll(q, formatTfRe) { m =>
+        import spark.implicits._
+        val fmt = m.group(1).toLowerCase(java.util.Locale.ROOT)
+        val data = m.group(2).replace("''", "'")
+        val lines = data.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val ds = spark.createDataset(lines)
+        val df = fmt match {
+          case "jsoneachrow" | "ndjson" => spark.read.json(ds)
+          case "csv" => spark.read.csv(ds)
+          case "csvwithnames" =>
+            spark.read.option("header", "true").option("inferSchema", "true").csv(ds)
+          case "tsv" | "tabseparated" => spark.read.option("sep", "\t").csv(ds)
+          case other => throw new IllegalArgumentException(
+            s"format() table function: unsupported format '$other' " +
+              "(JSONEachRow/CSV[WithNames]/TSV)")
+        }
+        val view = s"graft_inline_${sysSeq.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        Regex.quoteReplacement(s"FROM $view")
+      }
+    }
     // merge(['db',] 'tables_regexp') — CH's multi-table union view:
     // every catalog table whose name matches the regexp, unioned, with
     // CH's `_table` virtual column naming the source. Schemas must
