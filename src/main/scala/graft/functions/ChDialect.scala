@@ -2511,6 +2511,70 @@ object ChDialect {
       (s: String) => if (s == null) null else java.net.IDN.toASCII(s))
     spark.udf.register("punycodeDecode",
       (s: String) => if (s == null) null else java.net.IDN.toUnicode(s))
+    // ---- time-series family (CH's series* analytics) ----
+    // Tukey fences: per-point outlier score — 0 inside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR], signed distance beyond the fence
+    // otherwise (quartiles by linear interpolation over the sorted
+    // series)
+    spark.udf.register("seriesOutliersDetectTukey", (xs: Seq[Double]) => {
+      if (xs == null || xs.size < 4) Seq.empty[Double]
+      else {
+        val s = xs.sorted
+        def q(p: Double): Double = {
+          val r = p * (s.size - 1)
+          val lo = r.toInt
+          val hi = math.min(lo + 1, s.size - 1)
+          s(lo) + (r - lo) * (s(hi) - s(lo))
+        }
+        val q1 = q(0.25); val q3 = q(0.75); val iqr = q3 - q1
+        val (lo, hi) = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+        xs.map(x => if (x < lo) x - lo else if (x > hi) x - hi else 0.0)
+      }
+    })
+    // Dominant period via a naive DFT (O(n²) on one row's series —
+    // the per-array scale CH aims this at): period = n / argmax_k |X_k|
+    // over k = 1 … n/2, 0.0 when no bin dominates (flat series)
+    spark.udf.register("seriesPeriodDetectFFT", (xs: Seq[Double]) => {
+      if (xs == null || xs.size < 4) 0.0
+      else {
+        val n = xs.size
+        val mean = xs.sum / n
+        var bestK = 0; var bestMag = 0.0
+        var k = 1
+        while (k <= n / 2) {
+          var re = 0.0; var im = 0.0
+          var t = 0
+          while (t < n) {
+            val ang = 2.0 * math.Pi * k * t / n
+            re += (xs(t) - mean) * math.cos(ang)
+            im -= (xs(t) - mean) * math.sin(ang)
+            t += 1
+          }
+          val mag = re * re + im * im
+          if (mag > bestMag + 1e-12) { bestMag = mag; bestK = k }
+          k += 1
+        }
+        if (bestK == 0 || bestMag < 1e-9) 0.0 else n.toDouble / bestK
+      }
+    })
+    // arrayLevenshteinDistance: edit distance over element sequences
+    spark.udf.register("arrayLevenshteinDistance",
+      (a: Seq[String], b: Seq[String]) => {
+        if (a == null || b == null) -1
+        else {
+          val dp = Array.tabulate(b.size + 1)(identity)
+          for (i <- 1 to a.size) {
+            var prev = dp(0); dp(0) = i
+            for (j <- 1 to b.size) {
+              val cur = dp(j)
+              dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+                prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+              prev = cur
+            }
+          }
+          dp(b.size)
+        }
+      })
     // arrayAUC(scores, labels): tie-aware midrank AUC over one row's
     // arrays (agg_auc is the table-scale twin). O(n²) per row — fine
     // for the per-row eval arrays CH aims this at.
