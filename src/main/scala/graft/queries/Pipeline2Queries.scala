@@ -123,6 +123,42 @@ object Pipeline2Queries {
              JOIN dft USING (tok) CROSS JOIN stats),
       s AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY doc_id)
       SELECT doc_id, round(CAST(sc AS DOUBLE), 4) AS score
-      FROM s ORDER BY sc DESC, doc_id LIMIT 10"""))
+      FROM s ORDER BY sc DESC, doc_id LIMIT 10""")),
+
+    // Per-dimension embedding standardization — the feature-scaling
+    // pass before training/clustering: population mean and std per
+    // dimension from exact decimal sums (order-independent), plus the
+    // post-standardization invariant (each dimension's standardized
+    // sum is 0 within rounding). One posexplode + one 64-key hash
+    // agg — the fan-out is rows×dims, the same shape the corpus scan
+    // already paid.
+    QDef("pipe_embed_standardize", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(28,8)"
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"dim".cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum($"v".cast(D)).cast("double").as("sx"),
+          sum(($"v" * $"v").cast(D)).cast("double").as("sxx"))
+        .select($"dim",
+          $"n",
+          round($"sx" / $"n", 4).as("mean"),
+          round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n"), 4).as("std"))
+        .orderBy($"dim")
+        .limit(16)
+    }, Some("""
+      WITH d AS (
+        SELECT CAST(gs.i - 1 AS BIGINT) AS dim, embedding[CAST(gs.i AS INT)] AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs),
+      st AS (
+        SELECT dim, count(*) AS n,
+               CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(v * v AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+        FROM d GROUP BY dim)
+      SELECT dim, n, round(sx / n, 4) AS mean,
+             round(sqrt((sxx - sx * sx / n) / n), 4) AS std
+      FROM st ORDER BY dim LIMIT 16"""))
   )
 }
