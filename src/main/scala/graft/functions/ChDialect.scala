@@ -1013,6 +1013,33 @@ object ChDialect {
       "timestamp_micros((unix_micros(__t) div 1000) * 1000)")
     macroFn("toStartOfMicrosecond", Seq("__t"),
       "timestamp_micros(unix_micros(__t))")
+    // emptyArray<T>() constructors + array helpers
+    Seq("UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
+      "UInt64" -> "BIGINT", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
+      "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
+      "Float64" -> "DOUBLE", "String" -> "STRING", "Date" -> "DATE",
+      "DateTime" -> "TIMESTAMP").foreach { case (ch, sql) =>
+      macroFn(s"emptyArray$ch", Seq(), s"CAST(array() AS ARRAY<$sql>)")
+    }
+    macroFn("arrayWithConstant", Seq("__n", "__x"),
+      "array_repeat(__x, CAST(__n AS INT))")
+    // CH scalar range(): [0, n) / [a, b) / [a, b) by step — half-open,
+    // unlike Spark's inclusive sequence() (the FROM-position range()
+    // TVF is untouched: this registers only the scalar name)
+    macroFnN("range",
+      Seq("__n") ->
+        "CASE WHEN CAST(__n AS BIGINT) <= 0 THEN CAST(array() AS ARRAY<BIGINT>) ELSE sequence(CAST(0 AS BIGINT), CAST(__n AS BIGINT) - 1) END",
+      Seq("__a", "__b") ->
+        "CASE WHEN CAST(__b AS BIGINT) <= CAST(__a AS BIGINT) THEN CAST(array() AS ARRAY<BIGINT>) ELSE sequence(CAST(__a AS BIGINT), CAST(__b AS BIGINT) - 1) END",
+      Seq("__a", "__b", "__s") ->
+        "CASE WHEN CAST(__b AS BIGINT) <= CAST(__a AS BIGINT) THEN CAST(array() AS ARRAY<BIGINT>) ELSE sequence(CAST(__a AS BIGINT), CAST(__b AS BIGINT) - 1, CAST(__s AS BIGINT)) END")
+    // javaHash = String.hashCode — EXACT bit-parity by definition;
+    // hiveHash masks the sign bit
+    spark.udf.register("javaHash", (s: String) => if (s == null) 0 else s.hashCode)
+    spark.udf.register("hiveHash",
+      (s: String) => if (s == null) 0 else s.hashCode & 0x7fffffff)
+    macroFn("countDigits", Seq("__x"),
+      "length(CAST(abs(CAST(__x AS BIGINT)) AS STRING))")
     // arrayShuffle(arr[, seed]) / arrayRandomSample(arr, k[, seed]):
     // CH's are RNG-backed; here the permutation is the md5 order of
     // (seed, position) — a uniform-looking DETERMINISTIC shuffle, the
