@@ -131,7 +131,9 @@ object Pipeline2Queries {
     // post-standardization invariant (each dimension's standardized
     // sum is 0 within rounding). One posexplode + one 64-key hash
     // agg — the fan-out is rows×dims, the same shape the corpus scan
-    // already paid.
+    // already paid. The +0.0 after rounding canonicalizes IEEE -0.0
+    // (DuckDB keeps it where Spark's BigDecimal rounding does not —
+    // caught by the full sf0.1 ladder leg).
     QDef("pipe_embed_standardize", (s, dir) => {
       import s.implicits._
       val D = "decimal(28,8)"
@@ -143,7 +145,7 @@ object Pipeline2Queries {
           sum(($"v" * $"v").cast(D)).cast("double").as("sxx"))
         .select($"dim",
           $"n",
-          round($"sx" / $"n", 4).as("mean"),
+          (round($"sx" / $"n", 4) + lit(0.0)).as("mean"),
           round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n"), 4).as("std"))
         .orderBy($"dim")
         .limit(16)
@@ -157,7 +159,7 @@ object Pipeline2Queries {
                CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) AS sx,
                CAST(sum(CAST(v * v AS DECIMAL(28,8))) AS DOUBLE) AS sxx
         FROM d GROUP BY dim)
-      SELECT dim, n, round(sx / n, 4) AS mean,
+      SELECT dim, n, round(sx / n, 4) + 0.0 AS mean,
              round(sqrt((sxx - sx * sx / n) / n), 4) AS std
       FROM st ORDER BY dim LIMIT 16"""))
   )
