@@ -1120,8 +1120,17 @@ object ChSqlQueries {
                CASE WHEN (n_nationkey & 16) = 16 THEN '16' END) AS bl,
              regexp_replace('SELECT ' || CAST(n_nationkey AS VARCHAR) || ' FROM t',
                             '\b\d+(\.\d+)?\b', '?', 'g') AS nq,
-             'example' AS fss,
-             'clickhouse.com.tr' AS ctf,
+             CASE WHEN len(string_split('a.b.example.com', '.')) >= 3
+                       AND string_split('a.b.example.com', '.')[len(string_split('a.b.example.com', '.')) - 1]
+                           IN ('com', 'net', 'org', 'co', 'biz', 'gov', 'mil', 'edu', 'info')
+                  THEN string_split('a.b.example.com', '.')[len(string_split('a.b.example.com', '.')) - 2]
+                  ELSE string_split('a.b.example.com', '.')[len(string_split('a.b.example.com', '.')) - 1]
+             END AS fss,
+             CASE WHEN string_split('news.clickhouse.com.tr', '.')[len(string_split('news.clickhouse.com.tr', '.')) - 1]
+                       IN ('com', 'net', 'org', 'co', 'biz', 'gov', 'mil', 'edu', 'info')
+                  THEN array_to_string(string_split('news.clickhouse.com.tr', '.')[len(string_split('news.clickhouse.com.tr', '.')) - 2:], '.')
+                  ELSE array_to_string(string_split('news.clickhouse.com.tr', '.')[len(string_split('news.clickhouse.com.tr', '.')) - 1:], '.')
+             END AS ctf,
              (1426860702823350272 >> 22) + 1288834974657 AS snow_ms,
              round(ey.z, 6) AS pz,
              round(2.0 * (1.0 - 0.5 * (1.0 + ey.y)), 6) AS pp
