@@ -1390,7 +1390,7 @@ object ChSql {
   // a FILTER clause on the expanded call
   private val paramAggRe =
     ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|""" +
-      """quantileExactLow|quantileExactHigh|quantileExact|""" +
+      """quantileExactExclusive|quantileExactLow|quantileExactHigh|quantileExact|""" +
       """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
       """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|groupArrayLast|""" +
@@ -1497,6 +1497,17 @@ object ChSql {
            "quantiletiming" | "quantiletdigest" | "quantilebfloat16" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
         s"percentile(${args.head}, ${params.head})$filt"
+      case "quantileexactexclusive" =>
+        // PERCENTILE.EXC: rank h = p(n+1) over the sorted multiset,
+        // linear interpolation, clamped to [1, n]
+        require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
+        val (p, x) = (params.head, args.head)
+        val l = s"array_sort(collect_list($x)$filt)"
+        val n = s"count($x)$filt"
+        val h = s"greatest(least($p * ($n + 1), CAST($n AS DOUBLE)), 1.0)"
+        val k = s"CAST(floor($h) AS INT)"
+        s"(element_at($l, $k) + ($h - $k) * " +
+          s"(element_at($l, least($k + 1, CAST($n AS INT))) - element_at($l, $k)))"
       case "quantileexactlow" | "quantileexacthigh" =>
         // CH's element-exact picks: index floor/ceil((n−1)·level) into
         // the sorted multiset — an ACTUAL element, no interpolation
