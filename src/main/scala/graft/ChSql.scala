@@ -432,6 +432,7 @@ object ChSql {
   private val systemFunctionsRe = """(?i)\bsystem\.functions\b""".r
   private val systemDatabasesRe = """(?i)\bsystem\.databases\b""".r
   private val systemSettingsRe = """(?i)\bsystem\.settings\b""".r
+  private val queryLogRe = """(?i)\bsystem\.query_log\b""".r
   private val sysSeq = new java.util.concurrent.atomic.AtomicLong()
 
   // file('path'[, 'Format']) — CH's local-file table function. The
@@ -649,6 +650,16 @@ object ChSql {
         .toDF("name", "class", "is_temporary")
         .createOrReplaceTempView("graft_system_functions")
       q = maskedReplaceAll(q, systemFunctionsRe)(_ => "graft_system_functions")
+    }
+    if (queryLogRe.findFirstIn(q).isDefined) {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      queryLog.iterator().asScala.toSeq
+        .map { case (id, ms, text) =>
+          (id, new java.sql.Timestamp(ms), text) }
+        .toDF("query_id", "event_time", "query")
+        .createOrReplaceTempView("graft_query_log")
+      q = maskedReplaceAll(q, queryLogRe)(_ => "graft_query_log")
     }
     if (systemSettingsRe.findFirstIn(q).isDefined) {
       import spark.implicits._
@@ -2720,6 +2731,21 @@ object ChSql {
   private val queryCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  /** CH system.query_log analog: a bounded ring of the session's
+    * front-door queries (id, epoch-ms event time, verbatim text).
+    * Driver-side metadata only — never row data.
+    */
+  private val queryLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[(Long, Long, String)]()
+  private val queryLogCap = 1000
+  private val queryLogSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def logQuery(q: String): Unit = {
+    queryLog.addLast((queryLogSeq.incrementAndGet(),
+      System.currentTimeMillis(), q))
+    while (queryLog.size > queryLogCap) queryLog.pollFirst()
+  }
+
   private val setStatementRe =
     """(?is)^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$""".r
 
@@ -2794,6 +2820,9 @@ object ChSql {
 
   def run(spark: SparkSession, query0: String): DataFrame = {
     val query = stripLineComments(query0)
+    // log before routing (CH logs failed queries too); the log itself
+    // is excluded so SELECTs over it don't self-append recursively
+    if (!queryLogRe.findFirstIn(query).isDefined) logQuery(query0)
     dropCacheRe.findFirstMatchIn(query).foreach { _ =>
       queryCache.values.foreach(_.unpersist())
       queryCache.clear()
