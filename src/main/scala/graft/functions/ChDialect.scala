@@ -1096,6 +1096,9 @@ object ChDialect {
       reg("formatRow")(fmtRow(newline = true))
       reg("formatRowNoNewline")(fmtRow(newline = false))
     }
+    // singleValueOrNull: the group's value iff it is unique, else NULL
+    macroFn("singleValueOrNull", Seq("__x"),
+      "CASE WHEN count(DISTINCT __x) = 1 THEN min(__x) END")
     // groupArrayIntersect: intersection of all array values in the
     // group, sorted for determinism (CH leaves the order unspecified)
     macroFn("groupArrayIntersect", Seq("__a"),
