@@ -391,7 +391,7 @@ object Probe {
     "w13_set_stmt" ->
       "SET max_execution_time = 300",
     "w13_base58_puny" ->
-      "SELECT base58Decode(base58Encode('Hello World!')) AS rt, base58Encode('Hello World!') AS b58, punycodeEncode('münchen.de') AS pe, punycodeDecode('xn--mnchen-3ya.de') AS pd",
+      "SELECT base58Decode(base58Encode('Hello World!')) AS rt, base58Encode('Hello World!') AS b58, punycodeEncode('München') AS pe, punycodeDecode('Mnchen-3ya') AS pd, idnaEncode('münchen.de') AS ie, idnaDecode('xn--mnchen-3ya.de') AS id",
     "w12_bytes_maps_dates" ->
       "SELECT byteSwap(1) AS bs, mapContainsKeyLike(map('abc', 1, 'xy', 2), 'a%') AS mk, mapKeys(mapExtractKeyLike(map('abc', 1, 'xy', 2), 'a%')) AS mx, dateTrunc('month', toDate('2024-03-15')) AS dt, addDate(toDate('2024-01-01'), INTERVAL 3 DAY) AS ad, subDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS sd, toStartOfMillisecond(toDateTime64('2024-03-05 07:08:09.123456', 6)) AS ms",
     "w12_array_auc" ->

@@ -276,6 +276,87 @@ object ChDialect {
     (s * s / (mde * mde), p1 - mde, p1 + mde)
   }
 
+  // RFC 3492 bootstring (the raw Punycode CH's punycodeEncode/Decode
+  // speak — whole string, no 'xn--' prefix). Parameters per the RFC:
+  // base 36, tmin 1, tmax 26, skew 38, damp 700, bias 72, n 128.
+  private def punyAdapt(delta0: Int, numPoints: Int, firstTime: Boolean): Int = {
+    var delta = if (firstTime) delta0 / 700 else delta0 / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > ((36 - 1) * 26) / 2) { delta /= 36 - 1; k += 36 }
+    k + (36 * delta) / (delta + 38)
+  }
+
+  private def punycodeEncodeImpl(s: String): String = {
+    val in = s.codePoints().toArray
+    val out = new StringBuilder
+    in.foreach(c => if (c < 128) out.append(c.toChar))
+    val b = out.length
+    if (b > 0) out.append('-') // RFC 6.3: delimiter whenever basics exist
+    var n = 128; var delta = 0; var bias = 72; var h = b
+    def digit(d: Int): Char =
+      (if (d < 26) 'a' + d else '0' + d - 26).toChar
+    while (h < in.length) {
+      val m = in.filter(_ >= n).min
+      delta += (m - n) * (h + 1)
+      n = m
+      in.foreach { c =>
+        if (c < n) delta += 1
+        if (c == n) {
+          var q = delta; var k = 36
+          var done = false
+          while (!done) {
+            val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+            if (q < t) done = true
+            else {
+              out.append(digit(t + (q - t) % (36 - t)))
+              q = (q - t) / (36 - t); k += 36
+            }
+          }
+          out.append(digit(q))
+          bias = punyAdapt(delta, h + 1, h == b)
+          delta = 0; h += 1
+        }
+      }
+      delta += 1; n += 1
+    }
+    out.toString
+  }
+
+  private def punycodeDecodeImpl(s: String): String = {
+    val last = s.lastIndexOf('-')
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (last > 0) s.substring(0, last).foreach { c =>
+      require(c < 128, s"punycodeDecode: non-basic code point '$c'")
+      out += c.toInt
+    }
+    var pos = if (last >= 0) last + 1 else 0
+    var n = 128; var i = 0; var bias = 72
+    while (pos < s.length) {
+      val oldi = i; var w = 1; var k = 36
+      var done = false
+      while (!done) {
+        require(pos < s.length, "punycodeDecode: truncated input")
+        val c = s.charAt(pos); pos += 1
+        val digit =
+          if (c >= 'a' && c <= 'z') c - 'a'
+          else if (c >= 'A' && c <= 'Z') c - 'A'
+          else if (c >= '0' && c <= '9') c - '0' + 26
+          else throw new IllegalArgumentException(
+            s"punycodeDecode: invalid digit '$c'")
+        i += digit * w
+        val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+        if (digit < t) done = true else { w *= 36 - t; k += 36 }
+      }
+      bias = punyAdapt(i - oldi, out.length + 1, oldi == 0)
+      n += i / (out.length + 1)
+      i %= out.length + 1
+      out.insert(i, n)
+      i += 1
+    }
+    new String(out.toArray, 0, out.length)
+  }
+
   /** Classic Jaro-Winkler (Winkler prefix bonus 0.1, max prefix 4). */
   private def jaroWinkler(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
@@ -2504,8 +2585,38 @@ object ChDialect {
       arityFn("encrypt", "graft_encrypt3", "graft_encrypt4")
       arityFn("decrypt", "graft_decrypt3", "graft_decrypt4")
       arityFn("tryDecrypt", "graft_trydecrypt3", "graft_trydecrypt4")
-      arityFn("aes_encrypt_mysql", "graft_encrypt3", "graft_encrypt4")
-      arityFn("aes_decrypt_mysql", "graft_decrypt3", "graft_decrypt4")
+      // MySQL mode (what CH's aes_*_mysql implement): overlong keys
+      // XOR-fold cyclically into the key width, short keys zero-pad —
+      // NOT the strict exact-length contract above
+      def foldKey(key: Array[Byte], mode: String): Array[Byte] = {
+        val bits = mode.toLowerCase(java.util.Locale.ROOT) match {
+          case s0 if s0.startsWith("aes-128") => 16
+          case s0 if s0.startsWith("aes-192") => 24
+          case s0 if s0.startsWith("aes-256") => 32
+          case other => throw new IllegalArgumentException(
+            s"aes_*_mysql: unsupported mode '$other'")
+        }
+        val out = new Array[Byte](bits)
+        var i = 0
+        while (i < key.length) { out(i % bits) = (out(i % bits) ^ key(i)).toByte; i += 1 }
+        out
+      }
+      spark.udf.register("graft_encrypt_my3",
+        (m: String, p: String, k: String) =>
+          cipher(m, true, foldKey(b(k), m), null).doFinal(b(p)))
+      spark.udf.register("graft_encrypt_my4",
+        (m: String, p: String, k: String, iv: String) =>
+          cipher(m, true, foldKey(b(k), m), b(iv)).doFinal(b(p)))
+      spark.udf.register("graft_decrypt_my3",
+        (m: String, c: Array[Byte], k: String) =>
+          new String(cipher(m, false, foldKey(b(k), m), null).doFinal(c),
+            java.nio.charset.StandardCharsets.UTF_8))
+      spark.udf.register("graft_decrypt_my4",
+        (m: String, c: Array[Byte], k: String, iv: String) =>
+          new String(cipher(m, false, foldKey(b(k), m), b(iv)).doFinal(c),
+            java.nio.charset.StandardCharsets.UTF_8))
+      arityFn("aes_encrypt_mysql", "graft_encrypt_my3", "graft_encrypt_my4")
+      arityFn("aes_decrypt_mysql", "graft_decrypt_my3", "graft_decrypt_my4")
     }
     locally {
       val alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
@@ -2537,10 +2648,24 @@ object ChDialect {
         }
       })
     }
-    spark.udf.register("punycodeEncode",
+    // idnaEncode/Decode are the IDN ('xn--' labelled) forms;
+    // punycodeEncode/Decode are CH's RAW RFC 3492 bootstring over the
+    // whole string (no prefix) — implemented below to the RFC
+    // ('München' ⇄ 'Mnchen-3ya')
+    spark.udf.register("idnaEncode",
       (s: String) => if (s == null) null else java.net.IDN.toASCII(s))
-    spark.udf.register("punycodeDecode",
+    spark.udf.register("idnaDecode",
       (s: String) => if (s == null) null else java.net.IDN.toUnicode(s))
+    spark.udf.register("tryIdnaEncode", (s: String) =>
+      if (s == null) null
+      else try java.net.IDN.toASCII(s) catch { case _: Exception => "" })
+    spark.udf.register("punycodeEncode",
+      (s: String) => if (s == null) null else punycodeEncodeImpl(s))
+    spark.udf.register("punycodeDecode",
+      (s: String) => if (s == null) null else punycodeDecodeImpl(s))
+    spark.udf.register("tryPunycodeDecode", (s: String) =>
+      if (s == null) null
+      else try punycodeDecodeImpl(s) catch { case _: Exception => "" })
     // ---- time-series family (CH's series* analytics) ----
     // Tukey fences: per-point outlier score — 0 inside
     // [q1 − 1.5·IQR, q3 + 1.5·IQR], signed distance beyond the fence
@@ -2608,21 +2733,27 @@ object ChDialect {
     // arrayAUC(scores, labels): tie-aware midrank AUC over one row's
     // arrays (agg_auc is the table-scale twin). O(n²) per row — fine
     // for the per-row eval arrays CH aims this at.
-    spark.udf.register("arrayAUC", (scores: Seq[Double], labels: Seq[Int]) => {
-      require(scores.size == labels.size, "arrayAUC: length mismatch")
-      val p = labels.count(_ != 0).toDouble
-      val n = labels.size - p
-      if (p == 0 || n == 0) Double.NaN
-      else {
-        val sumRanks = scores.indices.filter(labels(_) != 0).map { i =>
-          val s = scores(i)
-          val lt = scores.count(_ < s)
-          val eq = scores.count(_ == s)
-          lt + (eq + 1) / 2.0
-        }.sum
-        (sumRanks - p * (p + 1) / 2.0) / (p * n)
+    val arrayAucFn: (Seq[Double], Seq[Int]) => java.lang.Double =
+      (scores, labels) => {
+        if (scores == null || labels == null) null
+        else {
+          require(scores.size == labels.size, "arrayAUC: length mismatch")
+          val p = labels.count(_ != 0).toDouble
+          val n = labels.size - p
+          if (p == 0 || n == 0) java.lang.Double.valueOf(Double.NaN)
+          else {
+            val sumRanks = scores.indices.filter(labels(_) != 0).map { i =>
+              val s = scores(i)
+              val lt = scores.count(_ < s)
+              val eq = scores.count(_ == s)
+              lt + (eq + 1) / 2.0
+            }.sum
+            java.lang.Double.valueOf(
+              (sumRanks - p * (p + 1) / 2.0) / (p * n))
+          }
+        }
       }
-    })
+    spark.udf.register("arrayAUC", arrayAucFn)
     // query-log normalization: literals (strings, then numbers) → ?
     spark.udf.register("normalizeQuery", (q: String) =>
       if (q == null) null

@@ -1371,13 +1371,27 @@ class ChDialectSpec extends AnyFunSuite {
                '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS cbc,
              base58Encode('Hello World!') AS b58,
              base58Decode('2NEpo7TZRRrLZSi2U') AS b58d,
-             punycodeEncode('münchen.de') AS pe,
-             punycodeDecode('xn--mnchen-3ya.de') AS pd
+             idnaEncode('münchen.de') AS ie,
+             idnaDecode('xn--mnchen-3ya.de') AS id,
+             punycodeEncode('München') AS pe,
+             punycodeDecode('Mnchen-3ya') AS pd,
+             aes_decrypt_mysql('aes-128-ecb',
+               aes_encrypt_mysql('aes-128-ecb', 'fold me', '0123456789abcdefX'),
+               '0123456789abcdefX') AS myfold,
+             aes_decrypt_mysql('aes-128-ecb',
+               aes_encrypt_mysql('aes-128-ecb', 'pad me', 'short'),
+               'short') AS mypad
       FROM system.one""").collect().head
     assert(r.getString(0) == "secret text" && r.getString(1) == "hi")
     // the published Bitcoin base58 test vector
     assert(r.getString(2) == "2NEpo7TZRRrLZSi2U" && r.getString(3) == "Hello World!")
+    // IDN form carries xn--; CH's punycode* is the RAW RFC 3492
+    // bootstring over the whole string (no prefix)
     assert(r.getString(4) == "xn--mnchen-3ya.de" && r.getString(5) == "münchen.de")
+    assert(r.getString(6) == "Mnchen-3ya" && r.getString(7) == "München")
+    // MySQL key rules: 17-byte key XOR-folds, 5-byte key zero-pads —
+    // both must roundtrip (and differ from the strict truncate path)
+    assert(r.getString(8) == "fold me" && r.getString(9) == "pad me")
     // tryDecrypt returns NULL on garbage instead of throwing
     val t = Graft.sql(spark,
       "SELECT tryDecrypt('aes-128-ecb', CAST('nonsense!' AS BINARY), " +
