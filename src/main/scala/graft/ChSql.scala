@@ -2713,7 +2713,7 @@ object ChSql {
     * [[run]], so routed CH clauses explain too.
     */
   private val explainRe =
-    """(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?\s+((?:SELECT|WITH)\b.*)$""".r
+    """(?is)^\s*EXPLAIN(?:\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE|QUERY\s+TREE))?\s+((?:SELECT|WITH)\b.*)$""".r
 
   // ---- SETTINGS clause + query cache -------------------------------
   // CH queries routinely end with `SETTINGS k = v, …`. The clause is
@@ -2877,6 +2877,9 @@ object ChSql {
       }
       val text = Option(m.group(1)).map(_.toUpperCase(java.util.Locale.ROOT)) match {
         case Some("AST") => qe.logical.treeString
+        case Some(qt) if qt.matches("(?i)QUERY\\s+TREE") =>
+          // CH's analyzer-output view: the resolved logical tree
+          qe.analyzed.treeString
         case Some("SYNTAX") => qe.analyzed.treeString
         case Some("PLAN") | None => qe.optimizedPlan.treeString
         case Some("PIPELINE") => qe.explainString(
