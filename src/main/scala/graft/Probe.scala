@@ -370,6 +370,10 @@ object Probe {
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
     "w13_crypto" ->
       "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'), '0123456789abcdef') AS rt, decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'hi', '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1'), '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS rt_cbc, hex(encrypt('aes-128-ecb', 'x', '0123456789abcdef')) != '' AS nonempty",
+    "w15_group_all" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY ALL ORDER BY ALL",
+    "w15_meta_hint" ->
+      "SELECT hasColumnInTable('nation', 'n_name') AS has1, hasColumnInTable('nation', 'nope') AS has0, count() AS c FROM nation WHERE indexHint(n_regionkey = 1)",
     "w14_explain_qt" ->
       "EXPLAIN QUERY TREE SELECT count() AS c FROM nation",
     "w14_single_value" ->

@@ -1177,6 +1177,26 @@ object ChDialect {
       reg("formatRow")(fmtRow(newline = true))
       reg("formatRowNoNewline")(fmtRow(newline = false))
     }
+    // hasColumnInTable('table', 'col') / ('db', 'table', 'col'):
+    // resolved at PLANNING time against the live catalog (both args
+    // must be literals), folding to a boolean constant
+    reg("hasColumnInTable") { c =>
+      require(c.size == 2 || c.size == 3,
+        "hasColumnInTable(['db',] 'table', 'column')")
+      val lits = c.map {
+        case Literal(v, StringType) => v.toString
+        case e => throw new IllegalArgumentException(
+          s"hasColumnInTable needs literal arguments, got ${e.sql}")
+      }
+      val (table, colName) = (lits(lits.size - 2), lits.last)
+      val exists = scala.util.Try(spark.table(table).schema.fieldNames
+        .exists(_.equalsIgnoreCase(colName))).getOrElse(false)
+      Literal(exists)
+    }
+    // indexHint(cond): CH evaluates the INDEX on cond but filters
+    // nothing — here partition pruning is Catalyst's own job, so the
+    // faithful result contract is constant true (no row filtering)
+    reg("indexHint")(_ => Literal(true))
     // singleValueOrNull: the group's value iff it is unique, else NULL
     macroFn("singleValueOrNull", Seq("__x"),
       "CASE WHEN count(DISTINCT __x) = 1 THEN min(__x) END")
