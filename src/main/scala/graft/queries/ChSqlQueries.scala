@@ -1209,6 +1209,66 @@ object ChSqlQueries {
       FROM g LEFT JOIN common ON g.n_regionkey = common.n_regionkey
       GROUP BY g.n_regionkey ORDER BY g.n_regionkey""")),
 
+    // Wave-12/13 scalars: half-open range(), arrayWithConstant,
+    // countDigits, 64-bit byteSwap (the oracle spells out all eight
+    // byte moves), calendar helpers, and the Tukey outlier scores
+    // (DuckDB recomputes quartile fences via quantile_cont — the same
+    // linear interpolation the UDF uses — over the per-row series).
+    QDef("sql_ch_w12_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 range(n_nationkey % 4)), '|') AS rng,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayWithConstant(3, n_nationkey)), '|') AS awc,
+               countDigits(n_nationkey * 137 + 1) AS cd,
+               byteSwap(n_nationkey) AS bs,
+               monthName(toDate('2024-03-05')) AS mn,
+               dateTrunc('month', toDate('2024-03-15')) AS dt,
+               round(arraySum(seriesOutliersDetectTukey(
+                 [1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0,
+                  CAST(n_nationkey * 50 AS Float64)])), 4) AS tukey_sum
+        FROM nation ORDER BY n_nationkey""")
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+               unnest([1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0,
+                       CAST(n_nationkey * 50 AS DOUBLE)]) AS v
+        FROM nation),
+      q AS (SELECT n_nationkey,
+                   quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+            FROM t GROUP BY n_nationkey),
+      sc AS (
+        SELECT t.n_nationkey,
+               round(sum(CASE
+                 WHEN v < q1 - 1.5 * (q3 - q1) THEN v - (q1 - 1.5 * (q3 - q1))
+                 WHEN v > q3 + 1.5 * (q3 - q1) THEN v - (q3 + 1.5 * (q3 - q1))
+                 ELSE 0.0 END), 4) AS tukey_sum
+        FROM t JOIN q USING (n_nationkey) GROUP BY t.n_nationkey)
+      SELECT n.n_nationkey,
+             CASE WHEN n.n_nationkey % 4 = 0 THEN ''
+                  ELSE array_to_string(list_transform(
+                    generate_series(0, n.n_nationkey % 4 - 1),
+                    x -> CAST(x AS VARCHAR)), '|') END AS rng,
+             array_to_string([CAST(n.n_nationkey AS VARCHAR),
+                              CAST(n.n_nationkey AS VARCHAR),
+                              CAST(n.n_nationkey AS VARCHAR)], '|') AS awc,
+             length(CAST(n.n_nationkey * 137 + 1 AS VARCHAR)) AS cd,
+             (((CAST(n.n_nationkey AS BIGINT) >> 0)  & 255) << 56) |
+             (((CAST(n.n_nationkey AS BIGINT) >> 8)  & 255) << 48) |
+             (((CAST(n.n_nationkey AS BIGINT) >> 16) & 255) << 40) |
+             (((CAST(n.n_nationkey AS BIGINT) >> 24) & 255) << 32) |
+             (((CAST(n.n_nationkey AS BIGINT) >> 32) & 255) << 24) |
+             (((CAST(n.n_nationkey AS BIGINT) >> 40) & 255) << 16) |
+             (((CAST(n.n_nationkey AS BIGINT) >> 48) & 255) << 8) |
+             ((CAST(n.n_nationkey AS BIGINT) >> 56)  & 255) AS bs,
+             strftime(DATE '2024-03-05', '%B') AS mn,
+             CAST(date_trunc('month', DATE '2024-03-15') AS TIMESTAMP) AS dt,
+             sc.tukey_sum
+      FROM nation n JOIN sc ON n.n_nationkey = sc.n_nationkey
+      ORDER BY n.n_nationkey""")),
+
     // merge('regexp') — CH's multi-table union view with the `_table`
     // virtual column, over two same-schema splits of orders; plus
     // formatRow rendering checked against DuckDB's own JSON/CSV
