@@ -1269,6 +1269,49 @@ object ChSqlQueries {
       FROM nation n JOIN sc ON n.n_nationkey = sc.n_nationkey
       ORDER BY n.n_nationkey""")),
 
+    // javaHash/hiveHash proven by an INDEPENDENT DuckDB fold (h·31+c
+    // with explicit 32-bit signed wrap over the code points), plus
+    // singleValueOrNull's unique-or-NULL contract and the
+    // PERCENTILE.EXC rank arithmetic, all per region group.
+    QDef("sql_ch_w13_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey,
+               singleValueOrNull(n_nationkey % 1) AS sv_one,
+               singleValueOrNull(n_nationkey) AS sv_many,
+               round(quantileExactExclusive(0.3)(n_nationkey), 4) AS qexc,
+               min(javaHash(n_name)) AS jh_min,
+               max(hiveHash(n_name)) AS hh_max
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }, Some("""
+      WITH jh AS (
+        SELECT n_regionkey, n_nationkey,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(n_name, ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> ((a * 31 + b + 2147483648) % 4294967296
+                            + 4294967296) % 4294967296 - 2147483648) AS h
+        FROM nation),
+      g AS (
+        SELECT n_regionkey,
+               list_sort(list(n_nationkey)) AS l, count(*) AS n,
+               CASE WHEN count(DISTINCT n_nationkey % 1) = 1
+                    THEN min(n_nationkey % 1) END AS sv_one,
+               CASE WHEN count(DISTINCT n_nationkey) = 1
+                    THEN min(n_nationkey) END AS sv_many,
+               CAST(min(h) AS INT) AS jh_min,
+               CAST(max(h & 2147483647) AS INT) AS hh_max
+        FROM jh GROUP BY n_regionkey)
+      SELECT n_regionkey, sv_one, sv_many,
+             round(l[CAST(floor(greatest(least(0.3 * (n + 1), CAST(n AS DOUBLE)), 1.0)) AS INT)]
+                   + (greatest(least(0.3 * (n + 1), CAST(n AS DOUBLE)), 1.0)
+                      - CAST(floor(greatest(least(0.3 * (n + 1), CAST(n AS DOUBLE)), 1.0)) AS INT))
+                   * (l[least(CAST(floor(greatest(least(0.3 * (n + 1), CAST(n AS DOUBLE)), 1.0)) AS INT) + 1, CAST(n AS INT))]
+                      - l[CAST(floor(greatest(least(0.3 * (n + 1), CAST(n AS DOUBLE)), 1.0)) AS INT)]),
+                   4) AS qexc,
+             jh_min, hh_max
+      FROM g ORDER BY n_regionkey""")),
+
     // merge('regexp') — CH's multi-table union view with the `_table`
     // virtual column, over two same-schema splits of orders; plus
     // formatRow rendering checked against DuckDB's own JSON/CSV
