@@ -1377,6 +1377,20 @@ object ChDialect {
     macroFn("bitmapXor", Seq("__a", "__b"),
       """array_sort(array_union(array_except(__a, __b),
                                 array_except(__b, __a)))""")
+    macroFn("bitmapMin", Seq("__b"), "array_min(__b)")
+    macroFn("bitmapMax", Seq("__b"), "array_max(__b)")
+    macroFn("bitmapHasAll", Seq("__a", "__b"),
+      "size(array_except(__b, __a)) = 0")
+    macroFn("bitmapHasAny", Seq("__a", "__b"),
+      "size(array_intersect(__a, __b)) > 0")
+    // CH range contract: [start, end) on VALUES
+    macroFn("bitmapSubsetInRange", Seq("__b", "__lo", "__hi"),
+      "array_sort(filter(__b, __x -> __x >= __lo AND __x < __hi))")
+    // first `limit` values >= start, ascending
+    macroFn("bitmapSubsetLimit", Seq("__b", "__lo", "__n"),
+      "slice(array_sort(filter(__b, __x -> __x >= __lo)), 1, CAST(__n AS INT))")
+    macroFn("subBitmap", Seq("__b", "__off", "__n"),
+      "slice(array_sort(__b), CAST(__off AS INT) + 1, CAST(__n AS INT))")
     macroFn("bitmapAndCardinality", Seq("__a", "__b"),
       "size(array_intersect(__a, __b))")
     macroFn("bitmapOrCardinality", Seq("__a", "__b"),
