@@ -3018,6 +3018,14 @@ object ChSql {
       // TRUNCATE TABLE t → empty snapshot, view repointed
       return runAlter(spark, m.group(1), "DELETE", "WHERE true")
     }
+    // CHECK TABLE t — CH's integrity probe; the Spark analog is a
+    // full-scan count (broken files/footers surface as an exception)
+    """(?is)^\s*CHECK\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
+      .findFirstMatchIn(query).foreach { m =>
+        val rows = spark.table(m.group(1)).count()
+        import spark.implicits._
+        return Seq((1, rows)).toDF("result", "rows_read")
+      }
     // CH CLI spelling `INSERT INTO t [(cols)] FORMAT Values (…)` ≡
     // the VALUES form
     val query2 = """(?is)^(\s*INSERT\s+INTO\s+[A-Za-z_]\w*\s*(?:\([^)]*\)\s*)?)FORMAT\s+Values\s+"""

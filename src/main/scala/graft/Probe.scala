@@ -370,6 +370,10 @@ object Probe {
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
     "w13_crypto" ->
       "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'), '0123456789abcdef') AS rt, decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'hi', '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1'), '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS rt_cbc, hex(encrypt('aes-128-ecb', 'x', '0123456789abcdef')) != '' AS nonempty",
+    "w15_check_describe" ->
+      "CHECK TABLE nation",
+    "w15_describe" ->
+      "DESCRIBE TABLE nation",
     "w15_bitmap_subset" ->
       "SELECT bitmapMin(bitmapBuild([5, 2, 9])) AS mn, bitmapMax(bitmapBuild([5, 2, 9])) AS mx, bitmapHasAll(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3])) AS hall, bitmapHasAny(bitmapBuild([1, 2]), bitmapBuild([9])) AS hany, bitmapSubsetInRange(bitmapBuild([1, 5, 7, 9]), 5, 9) AS rng, bitmapSubsetLimit(bitmapBuild([1, 5, 7, 9]), 5, 2) AS lim, subBitmap(bitmapBuild([1, 5, 7, 9]), 1, 2) AS sub, grouping(n_regionkey) >= 0 AS grp FROM nation GROUP BY ROLLUP(n_regionkey) LIMIT 1",
     "w15_group_all" ->
