@@ -370,6 +370,8 @@ object Probe {
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
     "w13_crypto" ->
       "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'), '0123456789abcdef') AS rt, decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'hi', '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1'), '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS rt_cbc, hex(encrypt('aes-128-ecb', 'x', '0123456789abcdef')) != '' AS nonempty",
+    "w15_processlist" ->
+      "SHOW PROCESSLIST",
     "w15_check_describe" ->
       "CHECK TABLE nation",
     "w15_describe" ->
