@@ -72,7 +72,7 @@ object Perf {
     "window_nn_derivative", "pipe_chunk_sliding", "pipe_shard_assign",
     "pipe_dedup_canonical", "sql_ch_w10_batch", "sql_ch_quantile_picks",
     "pipe_bm25", "sql_ch_merge_tf", "sql_ch_w11_batch", "agg_corr_matrix",
-    "pipe_embed_standardize")
+    "pipe_embed_standardize", "sql_ch_w12_batch", "sql_ch_w13_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
