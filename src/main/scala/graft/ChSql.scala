@@ -294,21 +294,39 @@ object ChSql {
       val after = q.substring(mm.end)
       val end = firstTopLevel(after, boundaryRe).map(_.start).getOrElse(after.length)
       val segment = after.substring(0, end)
-      val mask = topLevelMask(segment)
-      val asM = asRe.findAllMatchIn(segment).filter(x => mask(x.start)).toSeq
-      require(asM.nonEmpty,
-        s"ARRAY JOIN needs 'expr AS alias', got '${segment.trim}'")
-      val lastAs = asM.last
-      val arrExpr = segment.substring(0, lastAs.start).trim
-      val alias = segment.substring(lastAs.end).trim
-      require(alias.matches("[A-Za-z_]\\w*"),
-        s"ARRAY JOIN alias must be an identifier, got '$alias'")
-      require(!arrExpr.contains(",") || topLevelMask(arrExpr).zipWithIndex
-        .forall { case (top, i) => !(top && arrExpr.charAt(i) == ',') },
-        s"multi-array ARRAY JOIN (zip form) is unsupported — use zip_with/arrayZip")
-      val fn = if (outer) "explode_outer" else "explode"
-      q = q.substring(0, mm.start) +
-        s"LATERAL VIEW $fn($arrExpr) AS $alias " + after.substring(end)
+      // each top-level comma item is `expr AS alias`; multiple items
+      // ZIP positionally (CH contract: equal sizes — shorter arrays
+      // here yield NULL tails instead of CH's hard error, documented)
+      val items = splitTopLevel(segment).map { item =>
+        val imask = topLevelMask(item)
+        val asM = asRe.findAllMatchIn(item).filter(x => imask(x.start)).toSeq
+        require(asM.nonEmpty,
+          s"ARRAY JOIN needs 'expr AS alias', got '${item.trim}'")
+        val lastAs = asM.last
+        val arrExpr = item.substring(0, lastAs.start).trim
+        val alias = item.substring(lastAs.end).trim
+        require(alias.matches("[A-Za-z_]\\w*"),
+          s"ARRAY JOIN alias must be an identifier, got '$alias'")
+        (arrExpr, alias)
+      }
+      val repl =
+        if (items.size == 1) {
+          val fn = if (outer) "explode_outer" else "explode"
+          s"LATERAL VIEW $fn(${items.head._1}) AS ${items.head._2} "
+        } else {
+          // zip via ONE positional explode of the first array, then
+          // 1-element explodes materializing each other item at the
+          // shared index — chained lateral views see earlier columns
+          val fn = if (outer) "posexplode_outer" else "posexplode"
+          val idx = s"__aj_idx_${sysSeq.incrementAndGet()}"
+          val head =
+            s"LATERAL VIEW $fn(${items.head._1}) AS $idx, ${items.head._2} "
+          val rest = items.tail.map { case (e, a) =>
+            s"LATERAL VIEW explode(array(element_at($e, $idx + 1))) AS $a "
+          }.mkString
+          head + rest
+        }
+      q = q.substring(0, mm.start) + repl + after.substring(end)
       m = firstTopLevel(q, arrayJoinRe)
     }
     q

@@ -370,6 +370,12 @@ object Probe {
       "SELECT formatRowNoNewline('JSONEachRow', n_nationkey, n_name) AS j, formatRow('CSV', n_nationkey, n_regionkey) AS c FROM nation ORDER BY n_nationkey LIMIT 2",
     "w13_crypto" ->
       "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'), '0123456789abcdef') AS rt, decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'hi', '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1'), '0123456789abcdef0123456789abcdef', 'ivivivivivivivi1') AS rt_cbc, hex(encrypt('aes-128-ecb', 'x', '0123456789abcdef')) != '' AS nonempty",
+    "w16_array_join_multi" ->
+      "SELECT n_nationkey, a, i FROM (SELECT n_nationkey, [10, 20] AS arr FROM nation WHERE n_nationkey < 2) ARRAY JOIN arr AS a, arrayEnumerate(arr) AS i ORDER BY n_nationkey, i",
+    "w16_limit_by_parens" ->
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 2 BY (n_regionkey)",
+    "w16_fill_mixed_keys" ->
+      "SELECT n_regionkey AS k, count() AS c FROM nation GROUP BY k ORDER BY k WITH FILL FROM 0 TO 10",
     "w15_processlist" ->
       "SHOW PROCESSLIST",
     "w15_check_describe" ->
