@@ -1269,6 +1269,26 @@ object ChSqlQueries {
       FROM nation n JOIN sc ON n.n_nationkey = sc.n_nationkey
       ORDER BY n.n_nationkey""")),
 
+    // Multi-item ARRAY JOIN (the CH zip idiom `arr AS a,
+    // arrayEnumerate(arr) AS i`): one positional explode + indexed
+    // companions, checked against a relational grid recomputation.
+    QDef("sql_ch_array_join_zip", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey, a, i
+        FROM (SELECT n_nationkey, [n_nationkey + 100, n_nationkey * 2] AS arr
+              FROM nation WHERE n_nationkey < 5)
+        ARRAY JOIN arr AS a, arrayEnumerate(arr) AS i
+        ORDER BY n_nationkey, i""")
+    }, Some("""
+      SELECT n_nationkey,
+             CASE WHEN s.i = 1 THEN n_nationkey + 100
+                  ELSE n_nationkey * 2 END AS a,
+             CAST(s.i AS INT) AS i
+      FROM nation, (SELECT unnest(generate_series(1, 2)) AS i) s
+      WHERE n_nationkey < 5
+      ORDER BY n_nationkey, i""")),
+
     // javaHash/hiveHash proven by an INDEPENDENT DuckDB fold (h·31+c
     // with explicit 32-bit signed wrap over the code points), plus
     // singleValueOrNull's unique-or-NULL contract and the
