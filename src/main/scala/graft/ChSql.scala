@@ -295,8 +295,8 @@ object ChSql {
       val end = firstTopLevel(after, boundaryRe).map(_.start).getOrElse(after.length)
       val segment = after.substring(0, end)
       // each top-level comma item is `expr AS alias`; multiple items
-      // ZIP positionally (CH contract: equal sizes — shorter arrays
-      // here yield NULL tails instead of CH's hard error, documented)
+      // ZIP positionally (CH contract: equal sizes — a mismatched
+      // companion raises the same hard error CH does, both directions)
       val items = splitTopLevel(segment).map { item =>
         val imask = topLevelMask(item)
         val asM = asRe.findAllMatchIn(item).filter(x => imask(x.start)).toSeq
@@ -321,8 +321,19 @@ object ChSql {
           val idx = s"__aj_idx_${sysSeq.incrementAndGet()}"
           val head =
             s"LATERAL VIEW $fn(${items.head._1}) AS $idx, ${items.head._2} "
+          val first = items.head._1
           val rest = items.tail.map { case (e, a) =>
-            s"LATERAL VIEW explode(array(element_at($e, $idx + 1))) AS $a "
+            // equal-size guard BEFORE the subscript: under ANSI mode a
+            // short companion's element_at would throw an index error
+            // and a long one would silently truncate — CH raises a
+            // size-mismatch error in both directions, so we do too.
+            // NULL arrays (outer form) pass through as NULL rows.
+            s"LATERAL VIEW explode(array(CASE " +
+              s"WHEN ($first) IS NULL AND ($e) IS NULL THEN NULL " +
+              s"WHEN size($e) = size($first) THEN element_at($e, $idx + 1) " +
+              s"ELSE raise_error(concat('ARRAY JOIN: sizes of arrays do not" +
+              s" match: ', CAST(size($first) AS STRING), ' vs ', " +
+              s"CAST(size($e) AS STRING))) END)) AS $a "
           }.mkString
           head + rest
         }
@@ -1538,12 +1549,23 @@ object ChSql {
         s"(element_at($l, $k) + ($h - $k) * " +
           s"(element_at($l, least($k + 1, CAST($n AS INT))) - element_at($l, $k)))"
       case "quantileexactlow" | "quantileexacthigh" =>
-        // CH's element-exact picks: index floor/ceil((n−1)·level) into
-        // the sorted multiset — an ACTUAL element, no interpolation
+        // CH's element-exact picks (QuantileExact semantics): index
+        // floor(level·n) into the sorted multiset, clamped to n−1 —
+        // an ACTUAL element, no interpolation. level=0.5 is the one
+        // special case (lower/upper middle): the variants differ only
+        // there — on even n, Low takes n/2−1 where High takes n/2
+        // (floor(0.5·n) already equals High's pick at every n).
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
-        val pick = if (name == "quantileexactlow") "floor" else "ceiling"
-        s"element_at(array_sort(collect_list(${args.head})$filt), " +
-          s"CAST($pick((count(${args.head})$filt - 1) * ${params.head}) AS INT) + 1)"
+        val x = args.head
+        val c = s"count($x)$filt"
+        val isMedian =
+          scala.util.Try(params.head.trim.toDouble == 0.5).getOrElse(false)
+        val idx0 =
+          if (isMedian && name == "quantileexactlow")
+            s"($c DIV 2) - (CASE WHEN $c % 2 = 0 THEN 1 ELSE 0 END)"
+          else
+            s"least(CAST(floor(${params.head} * $c) AS BIGINT), $c - 1)"
+        s"element_at(array_sort(collect_list($x)$filt), CAST($idx0 AS INT) + 1)"
       case "grouparraylast" =>
         // CH keeps the LAST n in encounter order — nondeterministic on
         // any parallel engine; the deterministic reinterpretation is
@@ -2781,15 +2803,27 @@ object ChSql {
     "insert_null_as_default", "union_default_mode",
     "transform_null_in", "any_join_distinct_right_table_keys")
 
-  private def applySetting(spark: SparkSession, k0: String, v: String): Unit = {
+  private def applySetting(spark: SparkSession, k0: String, v: String,
+                           sessionScoped: Boolean = false): Unit = {
     val k = k0.toLowerCase(java.util.Locale.ROOT)
     require(!semanticSettings.contains(k),
       s"setting '$k0' changes query semantics in ClickHouse — refusing to " +
         "accept-and-ignore it; express the behavior in the query instead")
     k match {
       case "max_threads" =>
-        // the one perf setting with a direct Spark analog
-        spark.conf.set("spark.sql.shuffle.partitions", v)
+        // the one perf setting with a direct Spark analog. Validate
+        // BEFORE touching the conf (a junk value would break every
+        // later shuffle), and only mutate the session for the SET
+        // statement — CH's SET is session-scoped, but the per-query
+        // SETTINGS clause is not, and with lazy DataFrames a
+        // save/restore around run() would not bind to this query's
+        // execution anyway, so the clause form is record-only.
+        val n = scala.util.Try(v.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"max_threads must be a positive integer, got '$v'"))
+        require(n > 0, s"max_threads must be a positive integer, got '$v'")
+        if (sessionScoped)
+          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       case _ => ()
     }
     spark.conf.set(s"graft.ch.setting.$k", v) // visible in system.settings
@@ -2848,7 +2882,9 @@ object ChSql {
       return Seq("query cache dropped").toDF("status")
     }
     setStatementRe.findFirstMatchIn(query).foreach { m =>
-      applySetting(spark, m.group(1), m.group(2).trim.stripPrefix("'").stripSuffix("'"))
+      applySetting(spark, m.group(1),
+        m.group(2).trim.stripPrefix("'").stripSuffix("'"),
+        sessionScoped = true)
       import spark.implicits._
       return Seq(m.group(1)).toDF("set")
     }

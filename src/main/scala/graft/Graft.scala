@@ -34,6 +34,13 @@ object Graft {
     * UDAFs on demand per (function, parameters).
     */
   def init(spark: SparkSession, dir: String): Unit = {
+    // Pin the session timezone: the fixture's tz-naive timestamps are
+    // cast to TIMESTAMP under the session zone (Tables.scala), so a
+    // consumer-built non-UTC session would silently shift every
+    // events.ts value. CH's analog is the server timezone; this
+    // library's contract is UTC (same as all five bundled mains).
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (registeredSessions.add(spark)) {
       GraftFunctions.register(spark)
       graft.functions.ChDialect.register(spark)

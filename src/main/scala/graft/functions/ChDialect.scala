@@ -1188,10 +1188,20 @@ object ChDialect {
         case e => throw new IllegalArgumentException(
           s"hasColumnInTable needs literal arguments, got ${e.sql}")
       }
-      val (table, colName) = (lits(lits.size - 2), lits.last)
-      val exists = scala.util.Try(spark.table(table).schema.fieldNames
-        .exists(_.equalsIgnoreCase(colName))).getOrElse(false)
-      Literal(exists)
+      val colName = lits.last
+      // honor the db qualifier in the 3-arg form, and let a missing
+      // table THROW (CH errors on a nonexistent table rather than
+      // folding the lookup failure into false)
+      val qualified =
+        if (lits.size == 3) s"${lits(0)}.${lits(1)}" else lits.head
+      val schema =
+        try spark.table(qualified).schema
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"hasColumnInTable: table '$qualified' does not exist", e)
+        }
+      Literal(schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
     }
     // indexHint(cond): CH evaluates the INDEX on cond but filters
     // nothing — here partition pruning is Catalyst's own job, so the
@@ -2532,13 +2542,17 @@ object ChDialect {
       "timestamp_millis(shiftright(CAST(__i AS BIGINT), 22) + 1288834974657)")
     macroFn("dateTimeToSnowflake", Seq("__t"),
       "shiftleft(unix_millis(__t) - 1288834974657, 22)")
+    // full 64-bit enumeration: bit 63 (the Int64 sign bit) yields the
+    // component shiftleft(1,63) = Long.MIN_VALUE — the two's-complement
+    // spelling of CH's UInt64 2^63 component; (n>>i)&1 extracts every
+    // bit correctly under arithmetic shift, sign bit included
     macroFn("bitmaskToList", Seq("__n"),
-      """array_join(filter(transform(sequence(0, 62),
+      """array_join(filter(transform(sequence(0, 63),
            __i -> CASE WHEN (shiftright(CAST(__n AS BIGINT), __i) & 1) = 1
                        THEN CAST(shiftleft(CAST(1 AS BIGINT), __i) AS STRING) END),
            __x -> __x IS NOT NULL), ',')""")
     macroFn("bitmaskToArray", Seq("__n"),
-      """filter(transform(sequence(0, 62),
+      """filter(transform(sequence(0, 63),
            __i -> CASE WHEN (shiftright(CAST(__n AS BIGINT), __i) & 1) = 1
                        THEN shiftleft(CAST(1 AS BIGINT), __i) END),
            __x -> __x IS NOT NULL)""")

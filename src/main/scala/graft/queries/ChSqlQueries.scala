@@ -1146,18 +1146,23 @@ object ChSqlQueries {
       Graft.sql(s, """
         SELECT quantileExactLow(0.25)(n_nationkey) AS qlo,
                quantileExactHigh(0.25)(n_nationkey) AS qhi,
+               quantileExactLow(0.5)(n_nationkey) AS mlo,
+               quantileExactHigh(0.5)(n_nationkey) AS mhi,
                arrayStringConcat(groupArrayLast(3)(n_nationkey), '|') AS last3,
                deltaSumTimestamp(n_nationkey * 2, n_nationkey) AS dst
         FROM nation WHERE n_nationkey < 24""")
     }, Some("""
-      WITH l AS (SELECT list_sort(list(n_nationkey)) AS l, count(*) AS n
+      WITH l AS (SELECT list_sort(list(n_nationkey)) AS l,
+                        CAST(count(*) AS INT) AS n
                  FROM nation WHERE n_nationkey < 24),
       d AS (SELECT CAST(n_nationkey * 2 AS DOUBLE) AS v, n_nationkey AS t
             FROM nation WHERE n_nationkey < 24),
       w AS (SELECT v - lag(v) OVER (ORDER BY t) AS dv FROM d),
       ds AS (SELECT COALESCE(sum(CASE WHEN dv > 0 THEN dv END), 0.0) AS dst FROM w)
-      SELECT l[CAST(floor((n - 1) * 0.25) AS INT) + 1] AS qlo,
-             l[CAST(ceil((n - 1) * 0.25) AS INT) + 1] AS qhi,
+      SELECT l[least(CAST(floor(n * 0.25) AS INT), n - 1) + 1] AS qlo,
+             l[least(CAST(floor(n * 0.25) AS INT), n - 1) + 1] AS qhi,
+             l[(n // 2) - (CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) + 1] AS mlo,
+             l[(n // 2) + 1] AS mhi,
              array_to_string(l[n - 2:n], '|') AS last3,
              ds.dst AS dst
       FROM l, ds""")),
@@ -1391,6 +1396,115 @@ object ChSqlQueries {
                        + pow(abs(2.0 - 6.0), 2.5), 1.0 / 2.5), 4) AS lpd,
              array_to_string(list_transform(list_sort([n_nationkey + 10, 1, 2]),
                                             x -> CAST(x AS VARCHAR)), '|') AS perm
-      FROM nation ORDER BY n_nationkey"""))
+      FROM nation ORDER BY n_nationkey""")),
+
+    // Wave-14: GRADUATION of load-bearing probed-only spellings into
+    // the oracle gate (r7 verdict item 4) — interval arithmetic,
+    // tuple IN (literal list AND subquery), correlated EXISTS,
+    // caseWithExpression/multiIf, the numbers(start, count) and
+    // VALUES('schema', …) table-function argument forms, 3-arg
+    // position, || concat, IS NOT DISTINCT FROM, intDivOrZero/
+    // moduloOrZero, BETWEEN, and a trailing comma before FROM. The
+    // DuckDB side recomputes each semantic with its own primitives
+    // (CASE dispatch, EXISTS rewrites of tuple-IN, range(), instr
+    // offset arithmetic) — these can no longer regress silently
+    // behind a rows-only probe.
+    QDef("sql_ch_w14_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey AS k,
+               caseWithExpression(n_regionkey, 0, 'africa', 1, 'america', 'other') AS cwe,
+               multiIf(n_regionkey = 0, 'africa', n_regionkey = 1, 'america', 'other') AS mi,
+               toString(toDate('2024-01-10') + INTERVAL 3 DAY) AS d1,
+               toUnixTimestamp(toDateTime('2024-03-05 07:08:09') - INTERVAL 90 MINUTE) AS t1,
+               (n_regionkey, n_nationkey) IN ((0, 0), (1, 1)) AS tin,
+               (SELECT count() FROM nation
+                 WHERE (n_regionkey, n_nationkey)
+                       IN (SELECT r_regionkey, r_regionkey FROM region)) AS tins,
+               (SELECT count() FROM region
+                 WHERE EXISTS (SELECT 1 FROM nation n2
+                                WHERE n2.n_regionkey = r_regionkey
+                                  AND n2.n_nationkey > 20)) AS exc,
+               (SELECT sum(number) FROM numbers(10, 5)) AS nsum,
+               (SELECT count() FROM VALUES('a UInt8, s String',
+                  (1, 'x'), (2, 'y'), (3, 'z')) WHERE a > 1) AS vcnt,
+               CAST(position('hello', 'l', 4) AS Int64) AS p3,
+               'x' || '-' || n_name AS cc,
+               NULL IS NOT DISTINCT FROM NULL AS ind,
+               CAST(intDivOrZero(n_nationkey, n_regionkey) AS Int64) AS idz,
+               CAST(moduloOrZero(n_nationkey, n_regionkey) AS Int64) AS mdz,
+               n_nationkey BETWEEN 3 AND 7 AS btw,
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT n_nationkey AS k,
+             CASE n_regionkey WHEN 0 THEN 'africa' WHEN 1 THEN 'america'
+                  ELSE 'other' END AS cwe,
+             CASE WHEN n_regionkey = 0 THEN 'africa'
+                  WHEN n_regionkey = 1 THEN 'america' ELSE 'other' END AS mi,
+             CAST(CAST(DATE '2024-01-10' + INTERVAL 3 DAY AS DATE) AS VARCHAR) AS d1,
+             CAST(epoch(TIMESTAMP '2024-03-05 07:08:09' - INTERVAL 90 MINUTE) AS BIGINT) AS t1,
+             ((n_regionkey = 0 AND n_nationkey = 0)
+              OR (n_regionkey = 1 AND n_nationkey = 1)) AS tin,
+             (SELECT count(*) FROM nation n3
+               WHERE EXISTS (SELECT 1 FROM region r2
+                              WHERE r2.r_regionkey = n3.n_regionkey
+                                AND r2.r_regionkey = n3.n_nationkey)) AS tins,
+             (SELECT count(*) FROM region r3
+               WHERE EXISTS (SELECT 1 FROM nation n2
+                              WHERE n2.n_regionkey = r3.r_regionkey
+                                AND n2.n_nationkey > 20)) AS exc,
+             (SELECT CAST(sum(x) AS BIGINT) FROM range(10, 15) t(x)) AS nsum,
+             (SELECT count(*) FROM (VALUES (1), (2), (3)) v(a) WHERE a > 1) AS vcnt,
+             CAST(CASE WHEN instr(substring('hello', 4), 'l') = 0 THEN 0
+                       ELSE instr(substring('hello', 4), 'l') + 3 END AS BIGINT) AS p3,
+             'x' || '-' || n_name AS cc,
+             (NULL IS NOT DISTINCT FROM NULL) AS ind,
+             CAST(CASE WHEN n_regionkey = 0 THEN 0
+                       ELSE n_nationkey // n_regionkey END AS BIGINT) AS idz,
+             CAST(CASE WHEN n_regionkey = 0 THEN 0
+                       ELSE n_nationkey % n_regionkey END AS BIGINT) AS mdz,
+             (n_nationkey BETWEEN 3 AND 7) AS btw
+      FROM nation ORDER BY k""")),
+
+    // WITH RECURSIVE (CH 24.4+): ancestor closure over an implicit
+    // tree (parent(n) = (n−1) div 3) — anchor = every nation node,
+    // recursive step walks one level up until the root. Spark 4's
+    // native UnionLoop executes the iteration (each level is one
+    // distributed step; spark.sql.cteRecursionLevelLimit bounds
+    // runaway recursion with a loud error — spec-pinned), and the
+    // oracle is DuckDB's OWN native WITH RECURSIVE, so the fixed
+    // point itself is cross-checked, not just the final aggregate
+    // shape. CH dialect inside the recursive member (intDiv, count())
+    // proves the front door's rewrites reach recursive CTE bodies.
+    QDef("sql_ch_recursive", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        WITH RECURSIVE anc AS (
+          SELECT CAST(n_nationkey AS Int64) AS node,
+                 CAST(n_nationkey AS Int64) AS anc,
+                 0 AS depth
+          FROM nation
+          UNION ALL
+          SELECT a.node, CAST(intDiv(a.anc - 1, 3) AS Int64) AS anc,
+                 a.depth + 1 AS depth
+          FROM anc a WHERE a.anc > 0
+        )
+        SELECT node, count() AS n_anc, max(depth) AS d,
+               CAST(min(anc) AS Int64) AS root
+        FROM anc GROUP BY node ORDER BY node""")
+    }, Some("""
+      WITH RECURSIVE anc AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS node,
+               CAST(n_nationkey AS BIGINT) AS anc,
+               0 AS depth
+        FROM nation
+        UNION ALL
+        SELECT a.node, CAST((a.anc - 1) // 3 AS BIGINT) AS anc,
+               a.depth + 1 AS depth
+        FROM anc a WHERE a.anc > 0
+      )
+      SELECT node, count(*) AS n_anc, max(depth) AS d,
+             CAST(min(anc) AS BIGINT) AS root
+      FROM anc GROUP BY node ORDER BY node"""))
   )
 }

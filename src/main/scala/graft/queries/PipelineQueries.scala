@@ -1193,7 +1193,10 @@ object PipelineQueries {
       GraftFunctions.register(s)
       val emb = Tables(s, dir, "embeddings")
         .withColumn("bucket", expr(Vectors.bucketSparkSql("embedding", 8, 64)))
-      val q = emb.filter($"vec_id" % 200 === 0)
+      // CONSTANT probe set — corpus-size-independent (a %-based set
+      // grows with the data and probes×bucket-size goes quadratic at
+      // 100×; same contract as pipe_sim_topk / pipe_ann_ivf)
+      val q = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"embedding".as("qv"), $"bucket")
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
       q.join(emb, Seq("bucket")).filter($"vec_id" =!= $"qid")
@@ -1209,7 +1212,7 @@ object PipelineQueries {
                         ${Vectors.bucketDuckSql("embedding", 8, 64)} AS bucket
                  FROM embeddings),
       q AS (SELECT vec_id AS qid, embedding AS qv, bucket
-            FROM b WHERE vec_id % 200 = 0),
+            FROM b WHERE vec_id < 8),
       cand AS (SELECT q.qid, q.bucket, b.vec_id,
                       list_cosine_similarity(q.qv::DOUBLE[], b.embedding::DOUBLE[]) AS sim
                FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid),

@@ -670,4 +670,84 @@ class ChCompatSpec extends AnyFunSuite {
       r4.getString(2) == "system.one and system.numbers" &&
       r4.getString(3) == "numbers(10)")
   }
+
+  test("WITH RECURSIVE: native fixed point + loud fail on runaway recursion") {
+    // bounded recursion computes the fixed point (Spark 4 UnionLoop)
+    val r = run("""
+      WITH RECURSIVE c AS (
+        SELECT 1 AS n UNION ALL SELECT n + 1 AS n FROM c WHERE n < 10)
+      SELECT count() AS c, max(n) AS m FROM c""").head
+    assert(r.getLong(0) == 10L && r.getInt(1) == 10)
+    // CH dialect spellings reach the recursive member through the
+    // front door (intDiv rewrite inside the loop body)
+    val r2 = run("""
+      WITH RECURSIVE h AS (
+        SELECT CAST(40 AS Int64) AS n
+        UNION ALL SELECT intDiv(n, 2) AS n FROM h WHERE n > 1)
+      SELECT count() AS c, min(n) AS lo FROM h""").head
+    assert(r2.getLong(0) == 6L && r2.getLong(1) == 1L) // 40,20,10,5,2,1
+    // unbounded recursion fails LOUDLY at the recursion-level limit
+    // instead of spinning forever
+    val e = intercept[Exception] { run("""
+      WITH RECURSIVE c AS (
+        SELECT 1 AS n UNION ALL SELECT n + 1 AS n FROM c)
+      SELECT max(n) AS m FROM c""") }
+    assert(e.getMessage != null)
+  }
+
+  test("r8 advice contracts: zip size guard, hasColumnInTable, bit 63, exact picks") {
+    // multi-item ARRAY JOIN: equal sizes zip; a mismatched companion
+    // raises CH's hard size error in BOTH directions (shorter would
+    // otherwise hit ANSI element_at, longer would silently truncate)
+    val z = run("""SELECT a, b FROM system.one
+      ARRAY JOIN [1, 2] AS a, [10, 20] AS b""")
+    assert(z.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (2, 20)))
+    val eShort = intercept[Exception] { run("""SELECT a, b FROM system.one
+      ARRAY JOIN [1, 2, 3] AS a, [10, 20] AS b""") }
+    assert(eShort.getMessage != null)
+    intercept[Exception] { run("""SELECT a, b FROM system.one
+      ARRAY JOIN [1, 2] AS a, [10, 20, 30] AS b""") }
+    // hasColumnInTable: 2-arg hits the registered table; a missing
+    // table THROWS (CH contract) — and the 3-arg db form resolves
+    // db.table, so a bogus db can no longer silently fall back to the
+    // bare table name
+    val h = run("""SELECT hasColumnInTable('nation', 'n_name') AS a,
+      hasColumnInTable('nation', 'no_such_col') AS b""").head
+    assert(h.getBoolean(0) && !h.getBoolean(1))
+    intercept[Exception] {
+      run("SELECT hasColumnInTable('no_such_table', 'c') AS x") }
+    intercept[Exception] {
+      run("SELECT hasColumnInTable('no_such_db', 'nation', 'n_name') AS x") }
+    // bitmaskToArray/List reach bit 63 (the sign bit): 2^63 is
+    // Long.MIN_VALUE in two's complement, previously silently dropped
+    val b = run("""SELECT bitmaskToArray(shiftLeft(CAST(1 AS Int64), 63)) AS a,
+      bitmaskToList(-1) AS l""").head
+    assert(b.getSeq[Long](0) == Seq(Long.MinValue) &&
+      b.getString(1).split(",").length == 64)
+    // quantileExactLow/High: CH's floor(level·n) index (NOT the old
+    // (n−1)-based rank) — 24 values 0..23 at 0.25 give element 6 for
+    // both; the 0.5 special case picks lower/upper middle (11 vs 12)
+    val qp = run("""
+      SELECT quantileExactLow(0.25)(n_nationkey) AS a,
+             quantileExactHigh(0.25)(n_nationkey) AS b,
+             quantileExactLow(0.5)(n_nationkey) AS c,
+             quantileExactHigh(0.5)(n_nationkey) AS d
+      FROM nation WHERE n_nationkey < 24""").head
+    assert(qp.getInt(0) == 6 && qp.getInt(1) == 6 &&
+      qp.getInt(2) == 11 && qp.getInt(3) == 12)
+    // SETTINGS clause max_threads: validated and per-query record-only
+    // (the session's shuffle partitions must NOT change); SET is
+    // session-scoped like CH and restores cleanly
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    run("SELECT 1 AS x FROM system.one SETTINGS max_threads = 7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    intercept[Exception] {
+      run("SELECT 1 AS x FROM system.one SETTINGS max_threads = 'junk'") }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    run("SET max_threads = 16")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "16")
+    run(s"SET max_threads = $before")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
