@@ -72,7 +72,11 @@ object Perf {
     "window_nn_derivative", "pipe_chunk_sliding", "pipe_shard_assign",
     "pipe_dedup_canonical", "sql_ch_w10_batch", "sql_ch_quantile_picks",
     "pipe_bm25", "sql_ch_merge_tf", "sql_ch_w11_batch", "agg_corr_matrix",
-    "pipe_embed_standardize", "sql_ch_w12_batch", "sql_ch_w13_batch")
+    "pipe_embed_standardize", "sql_ch_w12_batch", "sql_ch_w13_batch",
+    // round-8: the three TPC-H entries the audit was missing (q10 was
+    // r7's slowest bench query) + the new gate entries
+    "tpch_q3_shipping", "tpch_q5_region", "tpch_q10_returns",
+    "sql_ch_w14_batch", "sql_ch_recursive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -105,6 +109,8 @@ object Perf {
     sb ++= "# PERF — physical-plan audit\n\n"
     sb ++= s"Generated by `runMain graft.Perf` against `$sfDir`. Regenerate after\n"
     sb ++= "any change to the audited queries; review the diff for plan regressions.\n\n"
+    sb ++= "Scale-stress evidence (1×/10×/30× synthesized runs of the heavy\n"
+    sb ++= "operator families): see `STRESS.md` (`runMain graft.Stress [mult]`).\n\n"
     sb ++= "Red-flag columns: BNLJ = BroadcastNestedLoopJoin (all-pairs — only\n"
     sb ++= "acceptable for bounded broadcast-scalar demonstrators); 1-part =\n"
     sb ++= "`Exchange SinglePartition` (a global serial point — only acceptable\n"

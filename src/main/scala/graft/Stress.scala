@@ -1,0 +1,203 @@
+package graft
+
+import graft.ops.{Aggregates, Graphs, Joins, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scale-stress leg: synthesize blown-up fixtures (~`mult` × the
+  * sf0.1 row counts) ENTIRELY from `spark.range` + deterministic
+  * arithmetic — no files written, no rand(), no wall-clock — and run
+  * the heavy operator families once, printing one JSON line per
+  * family with wall seconds, exchange (shuffle) count from the final
+  * AQE plan, and the output row count.
+  *
+  * Purpose (r7 verdict item 1): the 100 TB story must not rest on
+  * plan-shape arguments at 600 k rows alone. Running the same
+  * operator code at 1× and 10× and comparing seconds + shuffle
+  * counts shows whether each family's cost curve is linear and its
+  * plan scale-invariant. Families: MinHash-LSH near-dup pairs +
+  * connected components + canonical pick (the full dedup chain),
+  * ASOF join, windowFunnel, LIMIT n BY custom exec, BM25.
+  *
+  *   runMain graft.Stress [mult]   # default 10 (≈ sf1-equivalent)
+  */
+object Stress {
+
+  /** documents-shaped synth: ~120-word texts from a 24-word pool,
+    * deterministic per id; every 10th doc gets a near-dup twin (same
+    * text + one appended word) so LSH/CC has real cluster structure.
+    */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    // murmur3 hash(id, i, salt) picks words: ~6% BM25 query terms,
+    // the rest from a ~20k synthetic vocabulary — random docs share
+    // almost no 3-shingles (Jaccard ≈ 0.004), so the ONLY LSH pairs
+    // are the planted twins; a small-pool arithmetic pattern here
+    // made every doc a near-dup of every other (5 M pairs from 5.5 k
+    // docs) and turned the stress leg into an all-pairs test.
+    val base = spark.range(n).select($"id".as("doc_id"), expr(
+      """array_join(transform(
+           sequence(1, 40 + CAST(pmod(hash(id, 7), 161) AS INT)),
+           i -> CASE WHEN pmod(hash(id, i, 1), 17) = 0
+                THEN elt(1 + CAST(pmod(hash(id, i, 2), 3) AS INT),
+                         'scan', 'merge', 'hash')
+                ELSE concat('w', CAST(pmod(hash(id, i, 3), 20000) AS STRING))
+                END),
+         ' ')""").as("text"))
+    val dups = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + n).as("doc_id"),
+        concat($"text", lit(" extra")).as("text"))
+    base.union(dups)
+  }
+
+  /** events-shaped synth: n rows over `users` users, 2.5 s stride
+    * from a fixed epoch, 5 event types, 2-decimal values.
+    */
+  def synthEvents(spark: SparkSession, n: Long, users: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      $"id".as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 2500000L).as("ts"),
+      pmod($"id" * 2654435761L, lit(users)).as("user_id"),
+      expr("""elt(1 + CAST(pmod(id * 48271, 5) AS INT),
+        'view','click','purchase','signup','error')""").as("event_type"),
+      (pmod($"id" * 69621L, lit(10000L)) / 100.0).as("value"))
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def report(family: String, mult: Int, rows: Long, sec: Double,
+                     ex: Int, out: Long): Unit =
+    println("STRESS {\"family\":\"" + family + "\",\"mult\":" + mult +
+      ",\"rows\":" + rows + ",\"sec\":" + f"$sec%.1f" +
+      ",\"exchanges\":" + ex + ",\"out\":" + out + "}")
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .appName(s"graft-stress-${mult}x").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nDocs = 5000L * mult
+    val nEvents = 100000L * mult
+    val nUsers = 1200L * mult
+
+    // ---- dedup chain: minhash → LSH bands → pairs → CC → canonical
+    val docs = synthDocs(spark, nDocs)
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hp",
+        Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
+      .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
+      .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
+      .withColumn("n_toks", size($"toks"))
+      .select($"doc_id", $"sh", $"sig", $"n_toks")
+      .persist(StorageLevel.DISK_ONLY)
+    val (_, tHash) = timed(docs.count())
+    val bands = docs.select($"doc_id",
+      explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shs = docs.select($"doc_id", $"sh")
+    val pairs = cand
+      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("jac", Text.jaccard($"sh_a", $"sh_b"))
+      .filter($"jac" >= 0.35)
+      .select($"doc_a", $"doc_b")
+      .persist(StorageLevel.DISK_ONLY)
+    val (nPairs, tPairs) = timed(pairs.count())
+    report("lsh_pairs", mult, nDocs * 11 / 10, tHash + tPairs,
+      exchanges(pairs), nPairs)
+
+    val cc = Graphs.connectedComponents(pairs, "doc_a", "doc_b")
+      .persist(StorageLevel.DISK_ONLY)
+    val (nCc, tCc) = timed(cc.select($"component").distinct().count())
+    // canonical pick: longest doc (ties → smallest id) per cluster
+    val pick = cc.join(docs.select($"doc_id".as("id"), $"n_toks"), "id")
+      .groupBy($"component")
+      .agg(max(struct($"n_toks", -$"id")).as("m"))
+    val (nPick, tPick) = timed(pick.count())
+    report("dedup_cc_pick", mult, nPairs, tCc + tPick, exchanges(pick), nPick)
+    pairs.unpersist(); cc.unpersist()
+
+    // ---- BM25 over the same corpus (reuses the docs scan shape)
+    val toks = synthDocs(spark, nDocs)
+      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val terms = Seq("scan", "merge", "hash").toDF("tok")
+    val dft = tf.join(broadcast(terms), "tok")
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val bm25 = tf.join(broadcast(terms), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        round(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(1.0) - 0.75 +
+            lit(0.75) * $"dl" / ($"sumdl".cast("double") / $"n"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy($"doc_id").agg(sum($"c").as("sc"))
+      .orderBy($"sc".desc, $"doc_id").limit(10)
+    val (top, tBm) = timed(bm25.collect())
+    report("bm25", mult, nDocs * 11 / 10, tBm, exchanges(bm25), top.length)
+    docs.unpersist()
+
+    // ---- events families
+    val events = synthEvents(spark, nEvents, nUsers)
+      .persist(StorageLevel.DISK_ONLY)
+    events.count()
+
+    // ASOF: every event joined to the latest at-or-before "quote"
+    // (every 20th event of the same user)
+    val quotes = events.filter($"event_id" % 20 === 0)
+      .select($"user_id", $"ts", $"value".as("qv"))
+    val asof = Joins.asofJoin(
+      events.select($"user_id", $"ts", $"event_id"), quotes,
+      Seq("user_id"), "ts", "ts", Seq("qv"))
+      .agg(count(lit(1)).as("n"),
+        sum($"asof_qv".cast("decimal(22,6)")).as("s"))
+    val (asofRow, tAsof) = timed(asof.collect())
+    report("asof", mult, nEvents, tAsof, exchanges(asof),
+      asofRow.head.getLong(0))
+
+    // windowFunnel depth histogram (7-day window, 3 steps)
+    val wf = udaf(new Aggregates.WindowFunnel(7L * 86400L * 1000000L, 3))
+    val funnel = events
+      .withColumn("step", expr(
+        """CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+           WHEN 'purchase' THEN 3 ELSE 0 END"""))
+      .filter($"step" > 0)
+      .select($"user_id", unix_micros($"ts").as("tsUs"), $"step")
+      .groupBy($"user_id").agg(wf($"tsUs", $"step").as("depth"))
+      .groupBy($"depth").agg(count(lit(1)).as("users"))
+    val (fRows, tF) = timed(funnel.collect())
+    report("funnel", mult, nEvents, tF, exchanges(funnel), fRows.length)
+
+    // LIMIT 2 BY user_id through the custom partial/final exec
+    val lb = graft.plans.LimitByPlan.limitBy(events, Seq("user_id"), 2,
+      Seq(("value", false), ("event_id", true)))
+    val (nLb, tLb) = timed(lb.count())
+    report("limit_by_exec", mult, nEvents, tLb, exchanges(lb), nLb)
+
+    events.unpersist()
+    spark.stop()
+  }
+}
