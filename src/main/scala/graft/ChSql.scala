@@ -1461,6 +1461,23 @@ object ChSql {
     * take window/gap parameters in SECONDS (CH semantics on a
     * DateTime column); conditions are null-safe-coalesced to false.
     */
+  /** Parameter-mangled UDAF names already registered per session —
+    * the name encodes every parameter, so a second registration is
+    * byte-identical; skipping it saves ~1 s of Aggregator
+    * construction + registry work per query that was re-paid on
+    * every `sql_ch_parametric`-shaped run. (Sessions leak from the
+    * map only as long as they live — same contract as Graft.init's
+    * registeredSessions set.)
+    */
+  private val registeredUdafs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        java.lang.Boolean]())
+
+  private def registerOnce(spark: SparkSession, fn: String)(
+      mk: => org.apache.spark.sql.expressions.UserDefinedFunction): Unit =
+    if (registeredUdafs.add((spark, fn))) spark.udf.register(fn, mk)
+
   private def rewriteParametric(spark: SparkSession, q0: String): String = {
     var q = q0
     var go = true
@@ -1606,13 +1623,13 @@ object ChSql {
         nArgs(1)
         val k = intParam(0)
         val fn = s"__ch_topk_$k"
-        spark.udf.register(fn, udaf(new Aggregates.TopK(k, math.max(64, 8 * k))))
+        registerOnce(spark, fn)(udaf(new Aggregates.TopK(k, math.max(64, 8 * k))))
         s"transform($fn(CAST(${args.head} AS STRING))$filt, __e -> __e.v)"
       case "topkweighted" =>
         nArgs(2)
         val k = intParam(0)
         val fn = s"__ch_topkw_$k"
-        spark.udf.register(fn,
+        registerOnce(spark, fn)(
           udaf(new Aggregates.TopKWeighted(k, math.max(64, 8 * k))))
         s"transform($fn(CAST(${args(0)} AS STRING), CAST(${args(1)} AS BIGINT))$filt, " +
           "__e -> __e.v)"
@@ -1620,7 +1637,7 @@ object ChSql {
         nArgs(1)
         val n = intParam(0)
         val fn = s"__ch_histogram_$n"
-        spark.udf.register(fn, udaf(new Aggregates.AdaptiveHistogram(n)))
+        registerOnce(spark, fn)(udaf(new Aggregates.AdaptiveHistogram(n)))
         s"$fn(CAST(${args.head} AS DOUBLE))$filt"
       case "windowfunnel" =>
         require(filt.isEmpty, "windowFunnelIf is not a ClickHouse form")
@@ -1640,7 +1657,7 @@ object ChSql {
             strictIncrease = modes("strict_increase"))
         val fn = s"__ch_funnel_${w}_${n}_" +
           modes.toSeq.sorted.map(_.charAt(7)).mkString
-        spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(inner, n)))
+        registerOnce(spark, fn)(udaf(new Aggregates.CondsAdapter(inner, n)))
         s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
       case "sequencematch" | "sequencecount" =>
         require(filt.isEmpty, s"${name0}If is not a ClickHouse form")
@@ -1653,10 +1670,10 @@ object ChSql {
           java.security.MessageDigest.getInstance("MD5")
             .digest(pat.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
         if (name == "sequencematch")
-          spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(
+          registerOnce(spark, fn)(udaf(new Aggregates.CondsAdapter(
             new Aggregates.SequenceMatchPattern(pat, n), n)))
         else
-          spark.udf.register(fn, udaf(new Aggregates.CondsAdapter(
+          registerOnce(spark, fn)(udaf(new Aggregates.CondsAdapter(
             new Aggregates.SequenceCountPattern(pat, n), n)))
         s"$fn(unix_micros(CAST(${args.head} AS TIMESTAMP)), array($condArray))"
       case "exponentialmovingaverage" =>
@@ -1665,7 +1682,7 @@ object ChSql {
         nArgs(2)
         val h = params.head.toDouble
         val fn = s"__ch_ema_${java.lang.Double.doubleToLongBits(h)}"
-        spark.udf.register(fn, udaf(new Aggregates.ExpMovingAvg(h)))
+        registerOnce(spark, fn)(udaf(new Aggregates.ExpMovingAvg(h)))
         s"$fn(CAST(${args(0)} AS DOUBLE), CAST(${args(1)} AS DOUBLE))$filt"
       // -Resample combinator [public docs: sql-reference/aggregate-
       // functions/combinators#-resample]: fResample(start, end, step)

@@ -21,6 +21,27 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("uniq→HLL++ mapping: drift vs uniqExact pinned at all three SFs") {
+    // ChDialect maps CH's `uniq`/`uniqCombined`/`uniqHLL12` to Spark's
+    // approx_count_distinct (HLL++) — estimates DIFFER from CH's own
+    // uniq on identical data (documented at ChDialect.scala's scaladoc).
+    // This pins the drift the mapping actually exhibits, per SF, so the
+    // documented claim carries evidence: relative error < 5% (HLL++
+    // default rsd 0.05) on both a ~20k-key and a ~1k-key column.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      Graft.init(spark, d)
+      val r = Graft.sql(spark, """
+        SELECT uniq(l_partkey) AS u1, uniqExact(l_partkey) AS e1,
+               uniq(l_suppkey) AS u2, uniqExact(l_suppkey) AS e2
+        FROM lineitem""").head
+      val (u1, e1) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      val (u2, e2) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+      assert(math.abs(u1 - e1) / e1 < 0.05, s"$sf l_partkey: uniq=$u1 exact=$e1")
+      assert(math.abs(u2 - e2) / e2 < 0.05, s"$sf l_suppkey: uniq=$u2 exact=$e2")
+    }
+  }
+
   test("approx_percentile (GK) lands within 2 of the exact median") {
     val li = Tables(spark, dir, "lineitem")
     val (exact, approx) = li.agg(
