@@ -160,6 +160,44 @@ object Stress {
     report("bm25", mult, nDocs * 11 / 10, tBm, exchanges(bm25), top.length)
     docs.unpersist()
 
+    // ---- lang-ID (decomposed naive Bayes — the corpus joins the
+    // profile table ONCE on tok; penalty constants broadcast)
+    val ldocs = synthDocs(spark, nDocs)
+      .withColumn("lang", expr(
+        "elt(1 + CAST(pmod(hash(doc_id, 13), 4) AS INT), 'en','de','fr','zh')"))
+    val D = "decimal(18,6)"
+    val ltoks = ldocs.select($"doc_id", $"lang",
+      explode(Text.tokens($"text")).as("tok"))
+    val dt = ltoks.groupBy($"doc_id", $"lang", $"tok")
+      .agg(count(lit(1)).as("tf")).persist(StorageLevel.DISK_ONLY)
+    val prof2 = dt.groupBy($"lang".as("plang"), $"tok").agg(sum($"tf").as("c"))
+      .persist(StorageLevel.DISK_ONLY)
+    val langs2 = prof2.select($"plang").distinct()
+    val vocab2 = prof2.agg(countDistinct($"tok").as("v"))
+    val consts2 = prof2.groupBy($"plang").agg(sum($"c").as("n_l"))
+      .crossJoin(broadcast(vocab2))
+      .select($"plang",
+        round(log(($"n_l" + $"v").cast("double")), 6).cast(D).as("logd"))
+    val ntf2 = ldocs.select($"doc_id", $"lang",
+      size(Text.tokens($"text")).cast("long").as("ntf"))
+    val matched2 = dt
+      .join(prof2.select($"plang", $"tok",
+        round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
+      .groupBy($"doc_id", $"lang", $"plang")
+      .agg(sum($"logc" * $"tf").as("msum"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
+    val langId = ntf2.crossJoin(broadcast(langs2))
+      .join(matched2, Seq("doc_id", "lang", "plang"), "left")
+      .join(broadcast(consts2), Seq("plang"))
+      .withColumn("score", coalesce($"msum", lit(0).cast(D)) - $"ntf" * $"logd")
+      .withColumn("rn", row_number().over(w0)).filter($"rn" === 1)
+      .groupBy($"lang", $"plang").agg(count(lit(1)).as("n"))
+    val (lrows, tL) = timed(langId.collect())
+    report("lang_id", mult, nDocs * 11 / 10, tL, exchanges(langId),
+      lrows.length)
+    dt.unpersist(); prof2.unpersist()
+
     // ---- events families
     val events = synthEvents(spark, nEvents, nUsers)
       .persist(StorageLevel.DISK_ONLY)

@@ -582,45 +582,57 @@ object PipelineQueries {
       GROUP BY lang ORDER BY lang""")),
 
     // Language ID as a naive-Bayes token-profile classifier, fully
-    // relational: profiles = groupBy(lang, token); scoring = tokens ×
-    // langs left-joined to profiles; argmax per doc via window.
-    // Laplace-smoothed; 6dp-rounded decimal log-probs keep the sums
-    // order-independent. Output: confusion matrix.
+    // relational. The Laplace-smoothed score decomposes as
+    //   score(d, L) = Σ_matched tf·log(c+1) − ntf(d)·log(n_l + v)
+    // (unmatched tokens contribute log(1) = 0 to the first term), so
+    // the corpus-sized frame joins the profile table ONCE on tok —
+    // the old form cross-joined every (doc, tok) row with all |langs|
+    // BEFORE the profile join, an L× multiplier on the heaviest
+    // shuffle. Per-(lang) constants broadcast; 6dp-rounded decimal
+    // log terms keep every sum order-independent at any executor
+    // count. Output: confusion matrix.
     QDef("pipe_lang_id", (s, dir) => {
       import s.implicits._
+      val D = "decimal(18,6)"
       val toks = Tables(s, dir, "documents")
         .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
-      // Pre-aggregate per-doc token multiplicities: the ×|langs| join
-      // then touches one row per DISTINCT (doc, token), not per token
-      // occurrence — the fan-out that matters at corpus scale.
-      val docToks = toks.groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("tf"))
-      // persisted: four downstream branches read it, and Catalyst does
-      // not dedupe common subplans in one static plan — without the
-      // persist each branch re-scans + re-explodes the corpus
-      val prof = toks.groupBy($"lang".as("plang"), $"tok")
-        .agg(count(lit(1)).as("c"))
+      // Pre-aggregate per-doc token multiplicities: downstream joins
+      // touch one row per DISTINCT (doc, token), not per occurrence.
+      val docToks = toks.groupBy($"doc_id", $"lang", $"tok")
+        .agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // langs / per-lang totals / vocabulary all DERIVE from prof
-      // (vocab×|langs| rows) instead of re-scanning + re-exploding the
-      // corpus: token-level passes drop from 5 to 2 — the difference
-      // between re-reading 100 TB three extra times and aggregating a
-      // dictionary-sized table.
+      // profiles, per-lang totals, vocabulary all DERIVE from prof
+      // (vocab×|langs| rows) instead of re-scanning the corpus.
+      val prof = docToks.groupBy($"lang".as("plang"), $"tok")
+        .agg(sum($"tf").as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val langs = prof.select($"plang").distinct()
-      val totals = prof.groupBy($"plang").agg(sum($"c").as("n_l"))
       val vocab = prof.agg(countDistinct($"tok").as("v"))
-      val scored = docToks
-        .crossJoin(broadcast(langs))
-        // No broadcast hint on prof: it is vocab×|langs| rows, which at
-        // web-corpus vocabulary exceeds broadcast limits. Let AQE pick —
-        // at small scale it still broadcasts; at 100 TB it shuffles.
-        .join(prof, Seq("plang", "tok"), "left")
-        .join(broadcast(totals), Seq("plang"))
+      // per-lang penalty constant log(n_l + v): dictionary-sized,
+      // broadcast — every unmatched token costs exactly this
+      val consts = prof.groupBy($"plang").agg(sum($"c").as("n_l"))
         .crossJoin(broadcast(vocab))
-        .withColumn("logp",
-          round(log((coalesce($"c", lit(0L)) + lit(1)) / ($"n_l" + $"v").cast("double")), 6)
-            .cast("decimal(18,6)"))
+        .select($"plang",
+          round(log(($"n_l" + $"v").cast("double")), 6).cast(D).as("logd"))
+      // per-doc token total = size(tokens): a map-side projection of
+      // the source table — no aggregation shuffle needed
+      val ntf = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(Text.tokens($"text")).cast("long").as("ntf"))
+      // matched evidence: ONE corpus-sized join, on tok only — a
+      // (doc, tok) row meets just the profiles that contain the token.
+      // No broadcast hint on prof (vocab×|langs| exceeds broadcast
+      // limits at web scale; AQE picks broadcast while it fits).
+      val matched = docToks
+        .join(prof.select($"plang", $"tok",
+          round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
         .groupBy($"doc_id", $"lang", $"plang")
-        .agg(sum($"logp" * $"tf").as("score"))
+        .agg(sum($"logc" * $"tf").as("msum"))
+      val scored = ntf.crossJoin(broadcast(langs))
+        .join(matched, Seq("doc_id", "lang", "plang"), "left")
+        .join(broadcast(consts), Seq("plang"))
+        .withColumn("score",
+          coalesce($"msum", lit(0).cast(D)) - $"ntf" * $"logd")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -630,21 +642,31 @@ object PipelineQueries {
       WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
                     FROM documents),
       dt AS (SELECT doc_id, lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
-      langs AS (SELECT DISTINCT lang AS plang FROM toks),
-      prof AS (SELECT lang AS plang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-      totals AS (SELECT lang AS plang, count(*) AS n_l FROM toks GROUP BY 1),
-      vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
-      scored AS (
-        SELECT t.doc_id, t.lang, l.plang,
-               sum(CAST(round(ln((coalesce(p.c, 0) + 1) /
-                     CAST(tt.n_l + vocab.v AS DOUBLE)), 6) AS DECIMAL(18,6)) * t.tf)
-                 AS score
-        FROM dt t
-        CROSS JOIN langs l
-        LEFT JOIN prof p ON p.plang = l.plang AND p.tok = t.tok
-        JOIN totals tt ON tt.plang = l.plang
-        CROSS JOIN vocab
+      prof AS (SELECT lang AS plang, tok, CAST(sum(tf) AS BIGINT) AS c
+               FROM dt GROUP BY 1, 2),
+      langs AS (SELECT DISTINCT plang FROM prof),
+      vocab AS (SELECT count(DISTINCT tok) AS v FROM prof),
+      consts AS (SELECT plang,
+                        CAST(round(ln(CAST(n_l + v AS DOUBLE)), 6)
+                             AS DECIMAL(18,6)) AS logd
+                 FROM (SELECT plang, CAST(sum(c) AS BIGINT) AS n_l
+                       FROM prof GROUP BY 1) CROSS JOIN vocab),
+      ntf AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ntf
+              FROM documents),
+      matched AS (
+        SELECT t.doc_id, t.lang, p.plang,
+               sum(CAST(round(ln(p.c + 1), 6) AS DECIMAL(18,6)) * t.tf) AS msum
+        FROM dt t JOIN prof p ON p.tok = t.tok
         GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT ntf.doc_id, ntf.lang, l.plang,
+               coalesce(m.msum, CAST(0 AS DECIMAL(18,6))) - ntf.ntf * c.logd
+                 AS score
+        FROM ntf CROSS JOIN langs l
+        LEFT JOIN matched m ON m.doc_id = ntf.doc_id AND m.lang = ntf.lang
+                           AND m.plang = l.plang
+        JOIN consts c ON c.plang = l.plang),
       pred AS (SELECT doc_id, lang, plang,
                       row_number() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, plang) AS rn
