@@ -1434,6 +1434,7 @@ object ChSql {
       """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
       """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
       """groupArraySorted|groupArrayLast|""" +
+      """groupArrayMovingSum|groupArrayMovingAvg|sumMapFiltered|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
       """exponentialMovingAverage|[A-Za-z_]\w*Resample)""" +
       """(If)?\s*\(""").r
@@ -1611,6 +1612,34 @@ object ChSql {
         // executor count (unlike bare groupArray's encounter order)
         nArgs(1)
         s"slice(array_sort(collect_list(${args.head})$filt), 1, ${intParam(0)})"
+      case "grouparraymovingsum" | "grouparraymovingavg" =>
+        // windowed moving sum over the SORTED multiset (CH's block
+        // order is nondeterministic at any parallelism — same
+        // deterministic contract as the unparameterized macro):
+        // ms_i = cs_i − cs_{i−w} via a zero-padded shifted cumsum, so
+        // aggregates stay OUTSIDE the lambdas. MovingAvg divides by
+        // the window size (CH contract), in `/` DOUBLE semantics.
+        require(params.size == 1, s"$name0 takes one window parameter")
+        nArgs(1)
+        val w = intParam(0)
+        require(w > 0, s"$name0 window must be positive, got $w")
+        val cs = s"arrayCumSum(array_sort(collect_list(${args.head})$filt))"
+        val sh = s"concat(array_repeat(element_at($cs, 1) * 0, " +
+          s"least($w, size($cs))), slice($cs, 1, greatest(size($cs) - $w, 0)))"
+        val ms = s"zip_with($cs, $sh, (__ma, __mb) -> __ma - __mb)"
+        if (name == "grouparraymovingsum") ms
+        else s"transform($ms, __ms -> __ms / $w)"
+      case "summapfiltered" =>
+        // sumMap restricted to a literal key list: filter (key, value)
+        // pairs positionally, then feed the plain sumMap
+        require(params.size == 1, s"$name0 takes one key-list parameter")
+        require(filt.isEmpty, s"${name0}If is not supported")
+        nArgs(2)
+        val (k, v) = (args(0), args(1))
+        val idx = s"filter(sequence(1, size($k)), " +
+          s"__i -> array_contains(${params.head}, element_at($k, __i)))"
+        s"sumMap(transform($idx, __i -> element_at($k, __i)), " +
+          s"transform($idx, __i -> element_at($v, __i)))"
       case "uniqcombined" =>
         // HLL precision p → Spark's rsd ≈ 1.04 / sqrt(2^p), the
         // standard-error identity both sketches share

@@ -546,7 +546,64 @@ object Probe {
     "array_fold_probe" ->
       "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], toInt64(0)) AS f, arraySum([1.5, 2.5]) AS s, arrayAvg([2, 4]) AS a, arrayCumSumNonNegative([1, -2, 3]) AS cs",
     "multi_match" ->
-      "SELECT multiMatchAny('hello', ['^h', 'z$']) AS m1, multiSearchAnyCaseInsensitive('HELLO', ['ell']) AS m2, multiSearchFirstIndex('hello', ['xx', 'll']) AS fi"
+      "SELECT multiMatchAny('hello', ['^h', 'z$']) AS m1, multiSearchAnyCaseInsensitive('HELLO', ['ell']) AS m2, multiSearchFirstIndex('hello', ['xx', 'll']) AS fi",
+
+    // ---- wave 15: map algebra, moving group arrays, regexp groups,
+    //      geo angle, MySQL-order locate, shift/rotate, width buckets
+    "w15_map_algebra" ->
+      "SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS ma, mapSubtract(map('a', 5), map('a', 2, 'z', 1)) AS ms, mapSort(map('b', 2, 'a', 1)) AS srt",
+    "w15_map_from_arrays" ->
+      "SELECT mapFromArrays(['x', 'y'], [1, 2]) AS m, mapConcat(map('a', 1), map('b', 2)) AS mc",
+    "w15_moving_aggs" ->
+      "SELECT groupArrayMovingSum(n_nationkey) AS ms, groupArrayMovingAvg(toFloat64(n_nationkey)) AS mavg FROM (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)",
+    "w15_moving_aggs_n" ->
+      "SELECT groupArrayMovingSum(2)(n_nationkey) AS ms2 FROM (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)",
+    "w15_extract_groups" ->
+      "SELECT extractGroups('2024-03-05', '([0-9]+)-([0-9]+)-([0-9]+)') AS g, extractAllGroupsVertical('a=1, b=2', '([a-z])=([0-9])') AS v, extractAllGroupsHorizontal('a=1, b=2', '([a-z])=([0-9])') AS h",
+    "w15_geo_angle" ->
+      "SELECT round(greatCircleAngle(0.0, 0.0, 90.0, 0.0), 2) AS a, pointInEllipses(1.0, 1.0, 0.0, 0.0, 3.0, 3.0) AS pe",
+    "w15_locate_mysql" ->
+      "SELECT locate('l', 'hello') AS l1, locate('l', 'hello', 4) AS l2, soundex('Robert') AS sx",
+    "w15_shift_rotate" ->
+      "SELECT arrayShiftLeft([1, 2, 3], 1) AS sl, arrayShiftRight([1, 2, 3], 1) AS sr, arrayShiftLeft([1, 2, 3], 1, 9) AS sld, arrayRotateLeft([1, 2, 3], 1) AS rl",
+    "w15_width_bucket" ->
+      "SELECT widthBucket(3.5, 0, 10, 5) AS wb, width_bucket(3.5, 0, 10, 5) AS wb2",
+    "w15_topk_if" ->
+      "SELECT topKIf(2)(n_name, n_regionkey = 0) AS t FROM nation",
+    "w15_summap_filtered" ->
+      "SELECT sumMapFiltered([1, 3])([n_regionkey % 4 + 1, 3], [n_nationkey, 1]) AS sm FROM nation",
+    "w15_json_more" ->
+      "SELECT JSONLength('{\"a\":1,\"b\":2}') AS jl, JSONType('{\"a\":1}') AS jt, JSONExtractKeys('{\"a\":1,\"b\":2}') AS jk, JSONHas('{\"a\":1}', 'a') AS jh",
+    "w15_type_intros" ->
+      "SELECT toTypeName(1) AS t1, toTypeName('x') AS t2, accurateCastOrNull('12', 'Int64') AS ac, defaultValueOfTypeName('Int64') AS dv",
+    "w15_string_builtins" ->
+      "SELECT initcap('hello world') AS ic, repeat('ab', 3) AS rp, space(2) AS sp, translate('abca', 'ab', 'xy') AS tr, substringIndex('a.b.c', '.', 2) AS si",
+    "w15_split_family" ->
+      "SELECT splitByChar(',', 'a,b,c') AS s1, splitByString('::', 'a::b') AS s2, splitByRegexp('\\d+', 'a1b22c') AS s3, alphaTokens('ab12cd') AS s4",
+    "w15_date_parts2" ->
+      "SELECT toISOWeek(toDate('2024-01-01')) AS iw, toISOYear(toDate('2024-01-01')) AS iy, toQuarter(toDate('2024-05-05')) AS q, toDayOfYear(toDate('2024-02-01')) AS dy, toLastDayOfMonth(toDate('2024-02-05')) AS ld",
+    "w15_yyyymm" ->
+      "SELECT toYYYYMM(toDate('2024-03-05')) AS a, toYYYYMMDD(toDate('2024-03-05')) AS b, toYYYYMMDDhhmmss(toDateTime('2024-03-05 07:08:09')) AS c",
+    "w15_unix64" ->
+      "SELECT fromUnixTimestamp64Milli(1704067200000) AS t, toUnixTimestamp64Milli(toDateTime64('2024-01-01 00:00:00', 3)) AS u",
+    "w15_null_fns" ->
+      "SELECT ifNull(NULL, 5) AS a, nullIf(3, 3) AS b, assumeNotNull(CAST(7 AS Nullable(Int64))) AS c, toNullable(1) AS d, isNullable(toNullable(1)) AS e",
+    "w15_array_picks" ->
+      "SELECT arrayFirst(x -> x > 1, [1, 2, 3]) AS f, arrayLast(x -> x < 3, [1, 2, 3]) AS l, arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS fi, arrayLastIndex(x -> x < 3, [1, 2, 3]) AS li, indexOf([10, 20], 20) AS io",
+    "w15_bit_distance" ->
+      "SELECT bitHammingDistance(5, 6) AS h, bitCount(255) AS c",
+    "w15_round_bankers" ->
+      "SELECT roundBankers(2.5) AS a, roundBankers(3.5) AS b, roundBankers(2.345, 2) AS c, ifNotFinite(exp(710.0), -1.0) AS inf",
+    "w15_uuid" ->
+      "SELECT length(toString(generateUUIDv4())) AS l, UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0') IS NOT NULL AS ok",
+    "w15_median_alias" ->
+      "SELECT medianExact(n_nationkey) AS m, median(n_nationkey) AS m2, medianIf(n_nationkey, n_regionkey = 0) AS mi FROM nation",
+    "w15_sum_count" ->
+      "SELECT sumCount(n_nationkey) AS sc, sumCount(n_nationkey).1 AS s, sumCount(n_nationkey).2 AS c FROM nation",
+    "w15_grouparray_moving_probe" ->
+      "SELECT arrayStringConcat(arrayMap(x -> toString(x), groupArrayMovingSum(l_linenumber)), '|') AS s FROM (SELECT l_linenumber FROM lineitem WHERE l_orderkey = 1)",
+    "w15_show_misc" ->
+      "SELECT currentDatabase() AS db, version() AS v, hostName() != '' AS h, uptime() >= 0 AS u"
   )
 
   def main(argv: Array[String]): Unit = {

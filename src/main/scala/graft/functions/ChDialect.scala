@@ -1465,15 +1465,26 @@ object ChDialect {
       "CAST(hll_sketch_estimate(hll_union_agg(__s)) AS BIGINT)")
 
     // wave-9 probe gaps: JSON depth-2 helpers + misc
-    // JSONType names the value's CH type from the raw extracted text
-    macroFn("JSONType", Seq("__j", "__k"),
-      """CASE WHEN JSONExtractRaw(__j, __k) IS NULL THEN 'Null'
-              WHEN startsWith(JSONExtractRaw(__j, __k), '{') THEN 'Object'
-              WHEN startsWith(JSONExtractRaw(__j, __k), '[') THEN 'Array'
-              WHEN startsWith(JSONExtractRaw(__j, __k), '"') THEN 'String'
-              WHEN JSONExtractRaw(__j, __k) IN ('true', 'false') THEN 'Bool'
-              WHEN JSONExtractRaw(__j, __k) RLIKE '^-?[0-9]+$' THEN 'Int64'
-              ELSE 'Double' END""")
+    // JSONType names the value's CH type from the raw extracted text;
+    // the 1-arg form types the document ROOT (CH makes the path
+    // optional)
+    macroFnN("JSONType",
+      Seq("__j") ->
+        """CASE WHEN __j IS NULL THEN 'Null'
+                WHEN startsWith(trim(__j), '{') THEN 'Object'
+                WHEN startsWith(trim(__j), '[') THEN 'Array'
+                WHEN startsWith(trim(__j), '"') THEN 'String'
+                WHEN trim(__j) IN ('true', 'false') THEN 'Bool'
+                WHEN trim(__j) RLIKE '^-?[0-9]+$' THEN 'Int64'
+                ELSE 'Double' END""",
+      Seq("__j", "__k") ->
+        """CASE WHEN JSONExtractRaw(__j, __k) IS NULL THEN 'Null'
+                WHEN startsWith(JSONExtractRaw(__j, __k), '{') THEN 'Object'
+                WHEN startsWith(JSONExtractRaw(__j, __k), '[') THEN 'Array'
+                WHEN startsWith(JSONExtractRaw(__j, __k), '"') THEN 'String'
+                WHEN JSONExtractRaw(__j, __k) IN ('true', 'false') THEN 'Bool'
+                WHEN JSONExtractRaw(__j, __k) RLIKE '^-?[0-9]+$' THEN 'Int64'
+                ELSE 'Double' END""")
     // shallow key/value pairs and key paths of a JSON object
     macroFn("JSONExtractKeysAndValues", Seq("__j"),
       "map_entries(from_json(__j, 'map<string,string>'))")
@@ -2850,6 +2861,129 @@ object ChDialect {
         val zc = probitImpl(1.0 - (1.0 - conf) / 2.0)
         (z, p, (p1 - p2) - zc * seU, (p1 - p2) + zc * seU)
       })
+
+    // ---- wave 15 (probe-driven, r8): map algebra, moving group
+    //      arrays, geo angle, array shifts, type introspection ----
+    // mapAdd/mapSubtract: key-union elementwise arithmetic; v*0 is
+    // the type-preserving zero for whichever side is absent
+    macroFn("mapAdd", Seq("__a", "__b"),
+      """map_zip_with(__a, __b,
+           (__k, __v1, __v2) -> coalesce(__v1, __v2 * 0)
+                                + coalesce(__v2, __v1 * 0))""")
+    macroFn("mapSubtract", Seq("__a", "__b"),
+      """map_zip_with(__a, __b,
+           (__k, __v1, __v2) -> coalesce(__v1, __v2 * 0)
+                                - coalesce(__v2, __v1 * 0))""")
+    // mapSort/mapReverseSort by key (struct compare orders by the
+    // first entry field)
+    macroFn("mapSort", Seq("__m"),
+      "map_from_entries(array_sort(map_entries(__m)))")
+    macroFn("mapReverseSort", Seq("__m"),
+      "map_from_entries(reverse(array_sort(map_entries(__m))))")
+    // mapConcat: duplicate keys keep the FIRST occurrence (CH
+    // contract — Spark's own map_concat errors on duplicates)
+    macroFn("mapConcat", Seq("__a", "__b"),
+      """map_from_entries(
+           filter(concat(map_entries(__a), map_entries(__b)),
+             (__e, __i) -> array_position(
+               transform(concat(map_entries(__a), map_entries(__b)),
+                         __x -> __x.key), __e.key) = __i + 1))""")
+    // groupArrayMovingSum/Avg — CH fills these in BLOCK ORDER
+    // (nondeterministic at any parallelism); deterministic
+    // reinterpretation over the SORTED multiset, the same contract as
+    // groupArraySorted/groupArrayLast. MovingAvg divides the running
+    // sum by the total count — CH's whole-window default — in
+    // Spark's `/` semantics (DOUBLE; CH truncates for Int inputs —
+    // wrap in intDiv for that). Aggregates stay OUTSIDE the lambdas
+    // (zip_with formals only), which Catalyst requires.
+    macroFn("groupArrayMovingSum", Seq("__x"),
+      "arrayCumSum(array_sort(collect_list(__x)))")
+    macroFn("groupArrayMovingAvg", Seq("__x"),
+      """zip_with(arrayCumSum(array_sort(collect_list(__x))),
+                  array_repeat(count(__x), CAST(count(__x) AS INT)),
+                  (__s, __n) -> __s / __n)""")
+    // central angle of the great circle, in degrees (the distance
+    // formula with the Earth radius factored out)
+    macroFn("greatCircleAngle", Seq("__lo1", "__la1", "__lo2", "__la2"),
+      """degrees(2 * asin(sqrt(
+           pow(sin(radians(__la2 - __la1) / 2), 2) +
+           cos(radians(__la1)) * cos(radians(__la2)) *
+           pow(sin(radians(__lo2 - __lo1) / 2), 2))))""")
+    // pointInEllipses(x, y, x0, y0, a, b[, x1, y1, a1, b1]) → UInt8
+    macroFnN("pointInEllipses",
+      Seq("__x", "__y", "__x0", "__y0", "__a", "__b") ->
+        """CAST(pow(__x - __x0, 2) / pow(__a, 2)
+                + pow(__y - __y0, 2) / pow(__b, 2) <= 1.0 AS INT)""",
+      Seq("__x", "__y", "__x0", "__y0", "__a", "__b",
+          "__x1", "__y1", "__a1", "__b1") ->
+        """CAST((pow(__x - __x0, 2) / pow(__a, 2)
+                 + pow(__y - __y0, 2) / pow(__b, 2) <= 1.0)
+                OR (pow(__x - __x1, 2) / pow(__a1, 2)
+                    + pow(__y - __y1, 2) / pow(__b1, 2) <= 1.0) AS INT)""")
+    // arrayShiftLeft/Right(arr, n[, default]): drop n from one end,
+    // pad the other with the default (2-arg: numeric type-zero via
+    // element_at*0, matching CH's type default for numbers; strings
+    // need the explicit-default form). Negative n fails loudly toward
+    // the opposite direction rather than silently flipping.
+    def shiftBody(left: Boolean, d: String): String = {
+      val keep =
+        if (left) "slice(__a, CAST(__n AS INT) + 1, size(__a) - CAST(__n AS INT))"
+        else "slice(__a, 1, size(__a) - CAST(__n AS INT))"
+      val pad = s"array_repeat($d, CAST(__n AS INT))"
+      val body = if (left) s"concat($keep, $pad)" else s"concat($pad, $keep)"
+      val dir = if (left) "arrayShiftLeft" else "arrayShiftRight"
+      val other = if (left) "arrayShiftRight" else "arrayShiftLeft"
+      s"""CASE WHEN size(__a) = 0 THEN __a
+               WHEN CAST(__n AS INT) < 0
+                 THEN raise_error('$dir: negative n — use $other')
+               WHEN CAST(__n AS INT) >= size(__a)
+                 THEN transform(__a, __e -> $d)
+               ELSE $body END"""
+    }
+    macroFnN("arrayShiftLeft",
+      Seq("__a", "__n") -> shiftBody(left = true, "element_at(__a, 1) * 0"),
+      Seq("__a", "__n", "__d") -> shiftBody(left = true, "__d"))
+    macroFnN("arrayShiftRight",
+      Seq("__a", "__n") -> shiftBody(left = false, "element_at(__a, 1) * 0"),
+      Seq("__a", "__n", "__d") -> shiftBody(left = false, "__d"))
+    // CH camelCase spelling of the SQL-standard bucketing fn
+    macroFn("widthBucket", Seq("__x", "__lo", "__hi", "__n"),
+      "width_bucket(__x, __lo, __hi, __n)")
+    macroFn("toYYYYMMDDhhmmss", Seq("__t"),
+      "CAST(date_format(CAST(__t AS TIMESTAMP), 'yyyyMMddHHmmss') AS BIGINT)")
+    // type introspection: both resolve at PLAN time to constants
+    reg("isNullable")(c => Literal(c.head.nullable))
+    reg("defaultValueOfTypeName") { c =>
+      require(c.size == 1 && c.head.foldable,
+        "defaultValueOfTypeName('T') needs a literal type name")
+      val t0 = c.head.eval().toString.trim
+      val t = if (t0.startsWith("Nullable(") && t0.endsWith(")"))
+        t0.substring(9, t0.length - 1).trim else t0
+      t match {
+        case "String" | "FixedString" => Literal("")
+        case "Float32" | "Float64" => Literal(0.0)
+        case "Date" | "Date32" => Literal.create(
+          java.time.LocalDate.of(1970, 1, 1),
+          org.apache.spark.sql.types.DateType)
+        case s if s.startsWith("DateTime") => Literal.create(
+          java.time.Instant.EPOCH,
+          org.apache.spark.sql.types.TimestampType)
+        case "Bool" => Literal(false)
+        case s if s.matches("U?Int(8|16|32|64)") => Literal(0L)
+        case s if s.startsWith("Decimal") =>
+          Literal(java.math.BigDecimal.ZERO)
+        case other => throw new IllegalArgumentException(
+          s"defaultValueOfTypeName: unsupported type '$other'")
+      }
+    }
+    // server-process uptime in seconds (CH system metric; here the
+    // JVM's — resolved at plan time like now())
+    reg("uptime") { c =>
+      require(c.isEmpty, "uptime() takes no arguments")
+      Literal((System.currentTimeMillis() -
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getStartTime) / 1000L)
+    }
   }
 
   /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,

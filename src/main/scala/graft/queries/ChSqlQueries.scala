@@ -1505,6 +1505,69 @@ object ChSqlQueries {
       )
       SELECT node, count(*) AS n_anc, max(depth) AS d,
              CAST(min(anc) AS BIGINT) AS root
-      FROM anc GROUP BY node ORDER BY node"""))
+      FROM anc GROUP BY node ORDER BY node""")),
+
+    // Wave-15 graduation: map algebra (mapAdd key-union arithmetic,
+    // mapSort), moving group arrays (whole-window + parametric
+    // window, both over the SORTED multiset — deterministic
+    // reinterpretation of CH's block order), arrayShiftRight,
+    // greatCircleAngle, extractGroups, 1-arg JSONType, roundBankers,
+    // widthBucket, toYYYYMMDDhhmmss. The oracle recomputes each from
+    // DuckDB primitives (prefix-sum slices, trig identity, parity
+    // arithmetic for banker's rounding, floor bucketing).
+    QDef("sql_ch_w15_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            groupArrayMovingSum(n_nationkey)), '|') AS ms,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            groupArrayMovingSum(3)(n_nationkey)), '|') AS ms3,
+          arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+            groupArrayMovingAvg(toFloat64(n_nationkey))), '|') AS mavg,
+          min(arrayStringConcat(arrayMap(x -> toString(x),
+            mapValues(mapSort(mapAdd(map('b', n_regionkey, 'a', 1),
+                                     map('a', 10, 'c', 2))))), '|')) AS ma,
+          min(arrayStringConcat(mapKeys(mapSort(
+            mapAdd(map('b', n_regionkey, 'a', 1),
+                   map('a', 10, 'c', 2)))), '|')) AS mk,
+          min(arrayStringConcat(arrayMap(x -> toString(x),
+            arrayShiftRight([n_regionkey, 7], 1)), '|')) AS sr,
+          round(min(greatCircleAngle(0.0, 0.0,
+            toFloat64(n_regionkey * 10), 0.0)), 4) AS gca,
+          min(arrayStringConcat(extractGroups(
+            concat('r=', toString(n_regionkey)), '([a-z])=([0-9]+)'), '|')) AS eg,
+          min(JSONType(concat('{"a":', toString(n_regionkey), '}'))) AS jt,
+          min(JSONType(toString(n_regionkey))) AS jn,
+          min(CAST(roundBankers(toFloat64(n_regionkey) + 0.5) AS Int64)) AS rb,
+          min(CAST(widthBucket(toFloat64(n_nationkey), 0.0, 25.0, 5) AS Int64)) AS wb,
+          min(toYYYYMMDDhhmmss(toDateTime('2024-03-05 07:08:09'))) AS ts
+        FROM nation GROUP BY n_regionkey ORDER BY k""")
+    }, Some("""
+      WITH g AS (SELECT n_regionkey, list_sort(list(n_nationkey)) AS l,
+                        CAST(count(*) AS INT) AS n,
+                        min(n_nationkey) AS min_nk
+                 FROM nation GROUP BY 1)
+      SELECT n_regionkey AS k,
+        array_to_string(list_transform(range(1, n + 1),
+          i -> CAST(CAST(list_sum(l[1:i]) AS BIGINT) AS VARCHAR)), '|') AS ms,
+        array_to_string(list_transform(range(1, n + 1),
+          i -> CAST(CAST(list_sum(l[greatest(1, i - 2):i]) AS BIGINT)
+                    AS VARCHAR)), '|') AS ms3,
+        array_to_string(list_transform(range(1, n + 1),
+          i -> CAST(round(CAST(list_sum(l[1:i]) AS DOUBLE) / n, 4)
+                    AS VARCHAR)), '|') AS mavg,
+        '11|' || CAST(n_regionkey AS VARCHAR) || '|2' AS ma,
+        'a|b|c' AS mk,
+        '0|' || CAST(n_regionkey AS VARCHAR) AS sr,
+        round(degrees(2 * asin(abs(sin(
+          radians(CAST(n_regionkey * 10 AS DOUBLE)) / 2)))), 4) AS gca,
+        'r|' || CAST(n_regionkey AS VARCHAR) AS eg,
+        'Object' AS jt,
+        'Int64' AS jn,
+        CAST(n_regionkey + (n_regionkey % 2) AS BIGINT) AS rb,
+        CAST(floor(CAST(min_nk AS DOUBLE) / 5) + 1 AS BIGINT) AS wb,
+        CAST(20240305070809 AS BIGINT) AS ts
+      FROM g ORDER BY k"""))
   )
 }
