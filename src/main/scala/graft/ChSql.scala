@@ -1152,8 +1152,119 @@ object ChSql {
     ("""(?i)\b(dateSub|timestampSub|date_sub)""" +
       """\s*\(\s*(year|quarter|month|week|day|hour|minute|second)\s*,""").r
 
+  /** CH ternary `cond ? a : b` → `if((cond), (a), (b))`.
+    *
+    * The colon is matched at the same paren depth, skipping `::`
+    * casts; an unparenthesized nested ternary in the a-branch bumps a
+    * nesting counter so its colon is not taken. A nested ternary in
+    * the b-branch starts AFTER the matched colon and is handled on
+    * the next loop round — right-associativity for free. Operand
+    * bounds: the condition extends left, and the b-branch right, to
+    * the nearest same-depth comma/bracket or clause keyword; AND/OR
+    * and comparisons bind TIGHTER than `?:` (the C precedence CH
+    * follows), so they stay inside the operands. `?` inside string
+    * literals (sequenceMatch patterns!) is masked out.
+    */
+  private val ternaryRightKwRe =
+    """(?i)^(FROM|AS|WHERE|PREWHERE|GROUP|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|SETTINGS|HAVING|THEN|ELSE|END|WHEN|JOIN|ON|INTO|FORMAT|ASC|DESC)\b""".r
+
+  private def rewriteTernary(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = q
+      val inStr = inStringMask(s)
+      var qm = -1
+      var i = 0
+      while (i < s.length && qm < 0) {
+        if (!inStr(i) && s.charAt(i) == '?') qm = i
+        i += 1
+      }
+      if (qm >= 0) {
+        // matching ':' at the same depth (skip '::', count nested '?')
+        var depth = 0; var nest = 0; var colon = -1; var j = qm + 1
+        while (j < s.length && colon < 0) {
+          val c = s.charAt(j)
+          if (!inStr(j)) c match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case '?' if depth == 0 => nest += 1
+            case ':' if depth == 0 =>
+              if (j + 1 < s.length && s.charAt(j + 1) == ':') j += 1
+              else if (nest > 0) nest -= 1
+              else colon = j
+            case _ => ()
+          }
+          if (colon < 0) j += 1
+        }
+        require(colon > 0,
+          s"ternary '?' at position $qm has no matching ':' — " +
+            "write if(cond, a, b) explicitly if this is not a ternary")
+        // left bound of the condition
+        var lb = 0; var k = qm - 1; var depthL = 0; var doneL = false
+        while (k >= 0 && !doneL) {
+          val c = s.charAt(k)
+          if (!inStr(k)) {
+            if (c == ')' || c == ']') depthL += 1
+            else if (c == '(' || c == '[') {
+              if (depthL == 0) { lb = k + 1; doneL = true } else depthL -= 1
+            } else if (c == ',' && depthL == 0) { lb = k + 1; doneL = true }
+          }
+          if (!doneL) k -= 1
+        }
+        // the LAST same-depth clause keyword inside [lb, qm) bounds
+        // the condition (e.g. `SELECT a ? b : c` → cond is just `a`)
+        val condRegion = s.substring(lb, qm)
+        val kwScan = """(?i)\b(SELECT|WHERE|PREWHERE|HAVING|WHEN|THEN|ELSE|ON|SETTINGS|DISTINCT)\b""".r
+        var condStart = lb
+        locally {
+          val regMask = inStringMask(condRegion)
+          val ends = scala.collection.mutable.ArrayBuffer[Int]()
+          kwScan.findAllMatchIn(condRegion).foreach { m =>
+            var dd = 0; var t = 0
+            while (t < m.start) {
+              if (!regMask(t)) {
+                val ch = condRegion.charAt(t)
+                if (ch == '(' || ch == '[') dd += 1
+                else if (ch == ')' || ch == ']') dd -= 1
+              }
+              t += 1
+            }
+            if (dd == 0 && !regMask(m.start)) ends += m.end
+          }
+          if (ends.nonEmpty) condStart = lb + ends.last
+        }
+        // right bound of the b-branch
+        var rb = s.length; var m2 = colon + 1; var depthR = 0
+        while (m2 < s.length && rb == s.length) {
+          val c = s.charAt(m2)
+          if (!inStr(m2)) {
+            if (c == '(' || c == '[') depthR += 1
+            else if (c == ')' || c == ']') {
+              if (depthR == 0) rb = m2 else depthR -= 1
+            } else if (c == ',' && depthR == 0) rb = m2
+            else if (depthR == 0 && (m2 == 0 || !s.charAt(m2 - 1).isLetterOrDigit) &&
+              ternaryRightKwRe.findFirstIn(s.substring(m2)).isDefined) rb = m2
+          }
+          if (rb == s.length) m2 += 1
+        }
+        val cond = s.substring(condStart, qm).trim
+        val aBr = s.substring(qm + 1, colon).trim
+        val bBr = s.substring(colon + 1, rb).trim
+        require(cond.nonEmpty && aBr.nonEmpty && bBr.nonEmpty,
+          s"ternary: empty operand in '${s.substring(condStart, rb)}'")
+        q = s.substring(0, condStart) + s" if(($cond), ($aBr), ($bBr)) " +
+          s.substring(rb)
+        changed = true
+      }
+    }
+    q
+  }
+
   private def rewriteLexical(q0: String): String = {
     var q = rewriteBrackets(q0)
+    q = rewriteTernary(q)
     q = rewriteTupleDots(q)
     q = rewriteCallDots(q)
     q = rewriteTrailingComma(q)
@@ -1432,7 +1543,8 @@ object ChSql {
     ("""(?i)\b(quantilesExact|quantileExactWeighted|quantileExactInclusive|""" +
       """quantileExactExclusive|quantileExactLow|quantileExactHigh|quantileExact|""" +
       """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
-      """quantileInterpolatedWeighted|quantiles|quantile|uniqUpTo|uniqCombined|""" +
+      """quantileInterpolatedWeighted|quantilesGK|quantileGK|quantiles|quantile|""" +
+      """uniqUpTo|uniqCombined|""" +
       """groupArraySorted|groupArrayLast|""" +
       """groupArrayMovingSum|groupArrayMovingAvg|sumMapFiltered|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
@@ -1595,6 +1707,20 @@ object ChSql {
       case "quantiles" | "quantilesexact" =>
         require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
         s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"
+      case "quantilegk" | "quantilesgk" =>
+        // CH's Greenwald–Khanna sketch quantile — Spark's
+        // percentile_approx IS a GK sketch; the first parameter is
+        // the accuracy budget in both engines
+        require(params.size >= 2,
+          s"$name0(accuracy, level…)(x) needs accuracy + level(s)")
+        nArgs(1)
+        val acc = intParam(0)
+        val levels = params.tail
+        if (name == "quantilegk") {
+          require(levels.size == 1, s"$name0 takes one level")
+          s"approx_percentile(${args.head}, ${levels.head}, $acc)$filt"
+        } else
+          s"approx_percentile(${args.head}, array(${levels.mkString(", ")}), $acc)$filt"
       case "quantiledeterministic" =>
         // the determinator argument only seeds CH's reservoir sampling;
         // the exact interpolated quantile ignores it
@@ -3311,19 +3437,33 @@ object ChSql {
         orderItems.map(i => (i.name, i.asc)))
     }
 
-    for ((offset, n, keys) <- limitBy) {
+    for ((offset, n, keys0) <- limitBy) {
+      // expression keys (`LIMIT 1 BY k % 2`, `… BY domain(url)`)
+      // project into synthetic columns first — the physical operator
+      // partitions on attributes — and drop them after the limit
+      var synth = Seq.empty[String]
+      val keys = keys0.zipWithIndex.map { case (k, i) =>
+        if (df.columns.contains(k)) k
+        else {
+          val nm = s"__lb_key_$i"
+          synth :+= nm
+          df = df.withColumn(nm, expr(k))
+          nm
+        }
+      }
       // CH allows LIMIT BY with no ORDER BY (arbitrary per-group rows);
       // the deterministic stand-in orders by every projected column — a
       // total order on row content, stable at any partition count
       val lbOrder =
         if (orderItems.nonEmpty) orderItems.map(i => (i.name, i.asc))
-        else df.columns.toSeq.map(c => (c, true))
+        else df.columns.toSeq.filterNot(synth.contains).map(c => (c, true))
       df =
         if (offset == 0) LimitByPlan.limitBy(df, keys, n, lbOrder)
         else // the offset form skips o rows per group — window route
           Relational.limitBy(df, keys, n,
             lbOrder.map { case (c, asc) => if (asc) col(c).asc else col(c).desc },
             offset)
+      if (synth.nonEmpty) df = df.drop(synth: _*)
     }
 
     for (item <- orderItems if item.fill.isDefined) {

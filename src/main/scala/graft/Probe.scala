@@ -603,7 +603,39 @@ object Probe {
     "w15_grouparray_moving_probe" ->
       "SELECT arrayStringConcat(arrayMap(x -> toString(x), groupArrayMovingSum(l_linenumber)), '|') AS s FROM (SELECT l_linenumber FROM lineitem WHERE l_orderkey = 1)",
     "w15_show_misc" ->
-      "SELECT currentDatabase() AS db, version() AS v, hostName() != '' AS h, uptime() >= 0 AS u"
+      "SELECT currentDatabase() AS db, version() AS v, hostName() != '' AS h, uptime() >= 0 AS u",
+    "w16_hashes" ->
+      "SELECT murmurHash3_32('abc') AS m3_32, murmurHash3_64('a') AS m3_64, hex(murmurHash3_128('abc')) AS m3_128, farmFingerprint64('ClickHouse') AS ff, murmurHash2_32('abc') AS m2_32, murmurHash2_64('abc') AS m2_64",
+    "w16_ternary" ->
+      "SELECT n_regionkey = 0 ? 'africa' : 'other' AS r FROM nation ORDER BY n_nationkey LIMIT 3",
+    "w16_concat_mixed" ->
+      "SELECT concat('v=', 42) AS a, concat('r', n_regionkey, '/', 3.5) AS b FROM nation LIMIT 1",
+    "w16_timezones" ->
+      "SELECT toHour(toTimeZone(toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo')) AS h, timeZone() AS tz, toString(toDateTime('2024-03-05 12:00:00'), 'America/New_York') AS s",
+    "w16_now_tz" ->
+      "SELECT now('Asia/Tokyo') >= toDateTime('2024-01-01 00:00:00') AS ok",
+    "w16_quantile_gk" ->
+      "SELECT round(quantileGK(100, 0.5)(l_quantity), 2) AS m, quantilesGK(100, 0.25, 0.75)(l_quantity) AS qs FROM lineitem",
+    "w16_neg_subscript" ->
+      "SELECT [1, 2, 3][-1] AS last, [1, 2, 3][-2] AS second_last",
+    "w16_argmax_tuple" ->
+      "SELECT argMax(tuple(n_name, n_regionkey), n_nationkey) AS t FROM nation",
+    "w16_limit_by_expr" ->
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 1 BY n_regionkey % 2",
+    "w16_empty_map" ->
+      "SELECT empty(map()) AS e, notEmpty(map('a', 1)) AS ne, length(map('a', 1, 'b', 2)) AS l",
+    "w16_insert_format_values" ->
+      "CREATE TABLE graft_w16_ins (k Int64, s String) ENGINE = MergeTree ORDER BY k",
+    "w16_insert_format_values2" ->
+      "INSERT INTO graft_w16_ins FORMAT Values (1, 'a'), (2, 'b')",
+    "w16_insert_format_check" ->
+      "SELECT count() AS c, max(k) AS mk FROM graft_w16_ins",
+    "w16_interval_week" ->
+      "SELECT toDate('2024-01-01') + toIntervalWeek(2) AS d, toDate('2024-01-15') - INTERVAL 1 WEEK AS d2",
+    "w16_bit_test" ->
+      "SELECT bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, bitTestAll(7, 0, 1, 2) AS ba, bitTestAny(4, 0, 1) AS bn",
+    "w16_array_misc2" ->
+      "SELECT arrayFlatten([[1, 2], [3]]) AS f, arrayResize([1, 2], 4) AS rz, arrayResize([1, 2], 4, 9) AS rzd, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs"
   )
 
   def main(argv: Array[String]): Unit = {

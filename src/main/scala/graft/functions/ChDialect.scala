@@ -67,7 +67,6 @@ object ChDialect {
     "currentUser" -> "current_user",
     "max2" -> "greatest",
     "min2" -> "least",
-    "toString" -> "string",
     "toInt64" -> "bigint",
     "toFloat64" -> "double",
     "rand" -> "rand",
@@ -809,9 +808,16 @@ object ChDialect {
     macroFn("timeDiff", Seq("__a", "__b"),
       """unix_seconds(CAST(__b AS TIMESTAMP)) -
          unix_seconds(CAST(__a AS TIMESTAMP))""")
-    macroFn("arrayResize", Seq("__a", "__n", "__f"),
-      """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
-              ELSE concat(__a, array_repeat(__f, __n - size(__a))) END""")
+    // 2-arg form pads with the numeric type default (element_at*0,
+    // CH's default-value contract; strings need the explicit filler)
+    macroFnN("arrayResize",
+      Seq("__a", "__n") ->
+        """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
+                ELSE concat(__a, array_repeat(element_at(__a, 1) * 0,
+                                              __n - size(__a))) END""",
+      Seq("__a", "__n", "__f") ->
+        """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
+                ELSE concat(__a, array_repeat(__f, __n - size(__a))) END""")
     macroFn("arrayRotateLeft", Seq("__a", "__n"),
       """concat(slice(__a, pmod(__n, size(__a)) + 1,
                       size(__a) - pmod(__n, size(__a))),
@@ -2984,6 +2990,111 @@ object ChDialect {
         java.lang.management.ManagementFactory.getRuntimeMXBean
           .getStartTime) / 1000L)
     }
+    // ---- wave 16 (probe-driven, r8) ----
+    // toString(x) = CAST; the 2-arg DateTime form renders in the given
+    // timezone. toTimeZone shifts the WALL-CLOCK reading to the target
+    // zone (CH's toTimeZone only re-labels the display zone — the
+    // instant is unchanged there; here the session renders in UTC, so
+    // shifting the wall clock is what makes toHour/toString agree
+    // with CH for a UTC-stored instant).
+    macroFnN("toString",
+      Seq("__x") -> "CAST(__x AS STRING)",
+      Seq("__x", "__tz") ->
+        """date_format(from_utc_timestamp(CAST(__x AS TIMESTAMP), __tz),
+                       'yyyy-MM-dd HH:mm:ss')""")
+    macroFn("toTimeZone", Seq("__t", "__tz"),
+      "from_utc_timestamp(CAST(__t AS TIMESTAMP), __tz)")
+    // the session is UTC-pinned (Graft.init), so the zone metadata
+    // functions are plan-time constants
+    macroFn("timeZone", Seq(), "'UTC'")
+    macroFn("timeZoneOf", Seq("__t"), "'UTC'")
+    macroFn("serverTimeZone", Seq(), "'UTC'")
+    macroFnN("now",
+      Seq() -> "current_timestamp()",
+      Seq("__tz") -> "from_utc_timestamp(current_timestamp(), __tz)")
+    // CH length is polymorphic (strings → BYTES, arrays, maps) —
+    // PolySize is exactly that dispatch; lengthUTF8 stays the
+    // character count via the alias above
+    reg("length")(c => PolySize(c.head))
+    // ---- general-purpose hash family (CH murmur*/farm*) ----
+    // Guava ships the REFERENCE murmur3 (x86_32 / x64_128, verified
+    // against the public smhasher vectors — pinned in ChCompatSpec)
+    // and FarmHash Fingerprint64 — the exact function CH's
+    // farmFingerprint64 binds. Seed 0 everywhere, matching CH.
+    // UInt64 results are returned as the same 64 BITS in Int64 (the
+    // sipHash64 convention); murmurHash3_32 is a true UInt32 so it
+    // fits non-negative in Int64. cityHash64 is deliberately ABSENT:
+    // CH pins pre-1.1 CityHash whose short-input constants differ
+    // from every maintained implementation — a close-but-wrong hash
+    // would corrupt shard routing silently, a loud absence cannot.
+    // murmurHash2_32/64 are transcribed from the public MurmurHash2
+    // reference (seed 0); their spec vectors pin STABILITY (the
+    // algorithm is public but no independent JVM oracle exists here).
+    def mm2_64(data: Array[Byte]): Long = {
+      val m = 0xc6a4a7935bd1e995L; val r = 47
+      var h = 0L ^ (data.length * m)
+      var i = 0
+      while (i + 8 <= data.length) {
+        var k = 0L
+        var j = 7
+        while (j >= 0) { k = (k << 8) | (data(i + j) & 0xffL); j -= 1 }
+        k *= m; k ^= k >>> r; k *= m
+        h ^= k; h *= m
+        i += 8
+      }
+      var j = data.length - 1
+      while (j >= i) { h ^= (data(j) & 0xffL) << (8 * (j - i)); j -= 1 }
+      if (data.length % 8 != 0) h *= m
+      h ^= h >>> r; h *= m; h ^= h >>> r
+      h
+    }
+    def mm2_32(data: Array[Byte]): Int = {
+      val m = 0x5bd1e995; val r = 24
+      var h = 0 ^ data.length
+      var i = 0
+      while (i + 4 <= data.length) {
+        var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+          ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+        k *= m; k ^= k >>> r; k *= m
+        h *= m; h ^= k
+        i += 4
+      }
+      var j = data.length - 1
+      while (j >= i) { h ^= (data(j) & 0xff) << (8 * (j - i)); j -= 1 }
+      if (data.length % 4 != 0) h *= m
+      h ^= h >>> 13; h *= m; h ^= h >>> 15
+      h
+    }
+    spark.udf.register("murmurHash3_32", (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(java.lang.Integer.toUnsignedLong(
+        com.google.common.hash.Hashing.murmur3_32_fixed(0)
+          .hashBytes(s.getBytes("UTF-8")).asInt())))
+    spark.udf.register("murmurHash3_64", (s: String) =>
+      if (s == null) null
+      else {
+        val b = com.google.common.hash.Hashing.murmur3_128(0)
+          .hashBytes(s.getBytes("UTF-8")).asBytes()
+        var lo = 0L; var i = 7
+        while (i >= 0) { lo = (lo << 8) | (b(i) & 0xffL); i -= 1 }
+        java.lang.Long.valueOf(lo)
+      })
+    spark.udf.register("murmurHash3_128", (s: String) =>
+      if (s == null) null
+      else com.google.common.hash.Hashing.murmur3_128(0)
+        .hashBytes(s.getBytes("UTF-8")).asBytes())
+    spark.udf.register("farmFingerprint64", (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(
+        com.google.common.hash.Hashing.farmHashFingerprint64()
+          .hashBytes(s.getBytes("UTF-8")).asLong()))
+    spark.udf.register("murmurHash2_64", (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(mm2_64(s.getBytes("UTF-8"))))
+    spark.udf.register("murmurHash2_32", (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(
+        java.lang.Integer.toUnsignedLong(mm2_32(s.getBytes("UTF-8")))))
   }
 
   /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,

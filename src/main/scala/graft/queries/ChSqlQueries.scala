@@ -1568,6 +1568,49 @@ object ChSqlQueries {
         CAST(n_regionkey + (n_regionkey % 2) AS BIGINT) AS rb,
         CAST(floor(CAST(min_nk AS DOUBLE) / 5) + 1 AS BIGINT) AS wb,
         CAST(20240305070809 AS BIGINT) AS ts
-      FROM g ORDER BY k"""))
+      FROM g ORDER BY k""")),
+
+    // Wave-16 graduation: the CH ternary operator (single + chained —
+    // right-associativity pinned by the chain), timezone rendering
+    // (toTimeZone/2-arg toString — plan-constant here, recomputed as
+    // constants oracle-side), 2-arg arrayResize, bitTest family,
+    // toIntervalWeek date arithmetic, polymorphic length on maps and
+    // BYTE semantics on strings (CH: length = bytes, lengthUTF8 =
+    // code points), negative array subscripts.
+    QDef("sql_ch_w16_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey AS k,
+          n_regionkey = 0 ? 'africa' : concat('r', toString(n_regionkey)) AS tern,
+          n_regionkey = 0 ? 1 : n_regionkey = 1 ? 2 : 3 AS tern_chain,
+          toHour(toTimeZone(toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo')) AS tz_h,
+          toString(toDateTime('2024-03-05 12:00:00'), 'America/New_York') AS tz_s,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            arrayResize([n_regionkey, 5], 4)), '|') AS rz,
+          CAST(bitTest(n_nationkey, 1) AS Int64) AS bt,
+          bitTestAll(n_nationkey, 0, 1) AS bta,
+          toString(toDate(toDate('2024-01-01') + toIntervalWeek(n_regionkey))) AS wk,
+          CAST(length(map('a', 1, 'b', n_regionkey)) AS Int64) AS ml,
+          CAST(length('héllo') AS Int64) AS bytes_len,
+          CAST(lengthUTF8('héllo') AS Int64) AS char_len,
+          [10, 20, 30][-1] AS neg
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT n_nationkey AS k,
+        CASE WHEN n_regionkey = 0 THEN 'africa'
+             ELSE 'r' || CAST(n_regionkey AS VARCHAR) END AS tern,
+        CASE WHEN n_regionkey = 0 THEN 1
+             WHEN n_regionkey = 1 THEN 2 ELSE 3 END AS tern_chain,
+        21 AS tz_h,
+        '2024-03-05 07:00:00' AS tz_s,
+        CAST(n_regionkey AS VARCHAR) || '|5|0|0' AS rz,
+        CAST((n_nationkey // 2) % 2 AS BIGINT) AS bt,
+        (n_nationkey % 4) = 3 AS bta,
+        CAST(DATE '2024-01-01' + n_regionkey * 7 AS VARCHAR) AS wk,
+        CAST(2 AS BIGINT) AS ml,
+        CAST(strlen('héllo') AS BIGINT) AS bytes_len,
+        CAST(length('héllo') AS BIGINT) AS char_len,
+        30 AS neg
+      FROM nation ORDER BY k"""))
   )
 }

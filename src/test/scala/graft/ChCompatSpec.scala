@@ -695,6 +695,49 @@ class ChCompatSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("ternary operator: nesting, AND-bound condition, string immunity") {
+    // parenthesized nesting + a '?'-heavy pattern string left intact
+    val r = run("""SELECT 1 = 1 ? (2 > 1 ? 'a' : 'b') : 'c' AS x,
+      '(?1)(?t<=3600)(?2)' AS pat FROM system.one""").head
+    assert(r.getString(0) == "a" && r.getString(1) == "(?1)(?t<=3600)(?2)")
+    // AND binds tighter than ?: (C precedence) — whole conjunction is
+    // the condition; unparenthesized chain in the else-branch
+    val r2 = run("""
+      SELECT n_nationkey % 2 = 0 AND n_regionkey = 0 ? 'e0'
+             : n_regionkey = 1 ? 'r1' : 'x' AS c
+      FROM nation WHERE n_nationkey = 0""").head
+    assert(r2.getString(0) == "e0")
+    // '::' casts are not ternary colons
+    val r3 = run(
+      "SELECT n_nationkey > 0 ? '1'::Int64 : 0 AS v FROM nation WHERE n_nationkey = 5").head
+    assert(r3.getLong(0) == 1L)
+  }
+
+  test("hash family: public smhasher/FarmHash vectors, murmur2 stability") {
+    val r = run("""
+      SELECT murmurHash3_32('') AS a0, murmurHash3_32('a') AS a1,
+             murmurHash3_32('abc') AS a2,
+             murmurHash3_64('') AS b0, murmurHash3_64('a') AS b1,
+             farmFingerprint64('') AS c0, farmFingerprint64('ClickHouse') AS c1,
+             length(hex(murmurHash3_128('abc'))) AS d,
+             murmurHash2_32('abc') AS e, murmurHash2_64('abc') AS f""").head
+    // murmur3 x86_32 / x64_128 seed 0 — the public smhasher vectors
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1009084850L &&
+      r.getLong(2) == 3017643002L)
+    assert(r.getLong(3) == 0L &&
+      r.getLong(4) == java.lang.Long.parseUnsignedLong("9607679276477937801"))
+    // FarmHash Fingerprint64 — empty-input vector from the farmhash
+    // test suite (0x9ae16a3b2f90404f)
+    assert(r.getLong(5) ==
+      java.lang.Long.parseUnsignedLong("11160318154034397263") &&
+      r.getLong(6) == 4321509792407916471L)
+    assert(r.getInt(7) == 32)
+    // murmur2 transcription stability pins (no independent JVM oracle
+    // on this box — the algorithm is the public MurmurHash2 reference)
+    assert(r.getLong(8) == 324500635L &&
+      r.getLong(9) == -7148968302806999301L)
+  }
+
   test("r8 advice contracts: zip size guard, hasColumnInTable, bit 63, exact picks") {
     // multi-item ARRAY JOIN: equal sizes zip; a mismatched companion
     // raises CH's hard size error in BOTH directions (shorter would
