@@ -502,8 +502,21 @@ object ChSql {
     }
   }
 
+  // remote-source table functions need egress this environment does
+  // not have — fail with guidance instead of Spark's bare
+  // unresolved-TVF error
+  private val egressTfRe =
+    """(?i)\bFROM\s+(url|s3|s3Cluster|remote|remoteSecure|hdfs|azureBlobStorage|gcs|deltaLake|iceberg|mysql|postgresql|mongodb|redis)\s*\(""".r
+
   private def rewriteSystemTables(spark: SparkSession, q0: String): String = {
     var q = q0
+    egressTfRe.findFirstMatchIn(q).foreach { m =>
+      if (!inStringMask(q)(m.start))
+        throw new IllegalArgumentException(
+          s"table function '${m.group(1)}' needs a remote source this " +
+            "environment cannot reach — use file('path'[, 'Format']) " +
+            "against the local data directory instead")
+    }
     if (fileFnRe.findFirstIn(q).isDefined) {
       val mask = inStringMask(q)
       q = fileFnRe.replaceAllIn(q, m =>
@@ -1545,10 +1558,15 @@ object ChSql {
       """quantileTiming|quantileTDigest|quantileBFloat16|quantileDeterministic|""" +
       """quantileInterpolatedWeighted|quantilesGK|quantileGK|quantiles|quantile|""" +
       """uniqUpTo|uniqCombined|""" +
-      """groupArraySorted|groupArrayLast|""" +
       """groupArrayMovingSum|groupArrayMovingAvg|sumMapFiltered|""" +
+      """groupArraySorted|groupArrayLast|groupArray|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
-      """exponentialMovingAverage|[A-Za-z_]\w*Resample)""" +
+      """exponentialMovingAverage|[A-Za-z_]\w*Resample|""" +
+      // catch-all for the long tail of quantile spellings
+      // (quantileTimingWeighted, quantilesTDigest, …): the explicit
+      // alternatives above win first; backtracking lets (If)? still
+      // peel when the name ends in a registered base
+      """quantiles?\w*)""" +
       """(If)?\s*\(""").r
 
   /** ClickHouse's parametric-aggregate call syntax `f(params)(args)`
@@ -1733,9 +1751,11 @@ object ChSql {
       case "uniqupto" =>
         nArgs(1)
         s"least(count(DISTINCT ${args.head})$filt, CAST(${intParam(0)} AS BIGINT) + 1)"
-      case "grouparraysorted" =>
+      case "grouparraysorted" | "grouparray" =>
         // N smallest values, ascending — deterministic at any
-        // executor count (unlike bare groupArray's encounter order)
+        // executor count (unlike bare groupArray's encounter order;
+        // the parametric groupArray(n) keeps CH's size cap with the
+        // same deterministic reinterpretation)
         nArgs(1)
         s"slice(array_sort(collect_list(${args.head})$filt), 1, ${intParam(0)})"
       case "grouparraymovingsum" | "grouparraymovingavg" =>
@@ -1883,6 +1903,27 @@ object ChSql {
           s"$call FILTER (WHERE $cond)"
         }
         s"array(${calls.mkString(", ")})"
+      // generic fallback for the long tail of quantile spellings
+      // (quantileTimingWeighted, quantilesTDigest, quantileExactArray
+      // variants…): every CH quantile maps to the exact interpolated
+      // percentile (the conservative substitution documented above);
+      // a second argument is the frequency weight
+      case other if other.startsWith("quantiles") =>
+        require(params.nonEmpty, s"$name0 needs at least one level")
+        require(args.size == 1 || args.size == 2,
+          s"$name0(levels…)(x[, w]) takes one or two arguments")
+        if (args.size == 1)
+          s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"
+        else
+          s"percentile(${args(0)}, array(${params.mkString(", ")}), " +
+            s"CAST(${args(1)} AS BIGINT))$filt"
+      case other if other.startsWith("quantile") =>
+        require(params.size == 1, s"$name0 takes one level parameter")
+        require(args.size == 1 || args.size == 2,
+          s"$name0(level)(x[, w]) takes one or two arguments")
+        if (args.size == 1) s"percentile(${args.head}, ${params.head})$filt"
+        else s"percentile(${args(0)}, ${params.head}, " +
+          s"CAST(${args(1)} AS BIGINT))$filt"
       case other => throw new IllegalStateException(s"unhandled parametric $other")
     }
   }

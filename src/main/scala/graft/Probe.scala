@@ -635,7 +635,35 @@ object Probe {
     "w16_bit_test" ->
       "SELECT bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, bitTestAll(7, 0, 1, 2) AS ba, bitTestAny(4, 0, 1) AS bn",
     "w16_array_misc2" ->
-      "SELECT arrayFlatten([[1, 2], [3]]) AS f, arrayResize([1, 2], 4) AS rz, arrayResize([1, 2], 4, 9) AS rzd, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs"
+      "SELECT arrayFlatten([[1, 2], [3]]) AS f, arrayResize([1, 2], 4) AS rz, arrayResize([1, 2], 4, 9) AS rzd, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs",
+    "w17_mysql_aliases" ->
+      "SELECT ucase('ab') AS u, lcase('AB') AS l, mid('hello', 2, 3) AS m, substr('hello', 2) AS s",
+    "w17_match_fn" ->
+      "SELECT match('hello', '^h.*o$') AS m1, match('hello', 'z') AS m0",
+    "w17_multi_uniq" ->
+      "SELECT uniqExact(n_regionkey, n_nationkey % 2) AS u2, uniq(n_regionkey, n_nationkey % 2) AS ua FROM nation",
+    "w17_countif_2arg" ->
+      "SELECT countIf(n_nationkey, n_regionkey = 0) AS c FROM nation",
+    "w17_grouparray_n" ->
+      "SELECT groupArray(3)(n_nationkey) AS g FROM nation",
+    "w17_quantile_weighted_family" ->
+      "SELECT round(quantileTimingWeighted(0.5)(n_nationkey, 2), 2) AS qtw, quantilesTiming(0.25, 0.75)(n_nationkey) AS qst, round(quantileTDigestWeighted(0.5)(n_nationkey, 1), 2) AS qtd FROM nation",
+    "w17_rollup_trailing" ->
+      "SELECT n_regionkey, count() AS c FROM nation GROUP BY n_regionkey WITH ROLLUP",
+    "w17_untuple" ->
+      "SELECT untuple(tuple(1, 'x'))",
+    "w17_system_databases" ->
+      "SELECT count() >= 1 AS ok FROM system.databases",
+    "w17_show_columns" ->
+      "SHOW COLUMNS FROM nation",
+    "w17_random_strings" ->
+      "SELECT length(randomString(10)) AS a, length(randomPrintableASCII(8)) AS b, randConstant() >= 0 AS c",
+    "w17_uuid_roundtrip" ->
+      "SELECT UUIDNumToString(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS u, toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') IS NOT NULL AS ok",
+    "w17_relative_nums" ->
+      "SELECT toRelativeHourNum(toDateTime('2024-01-01 05:00:00')) AS h, toRelativeDayNum(toDate('2024-01-02')) AS d, toRelativeMinuteNum(toDateTime('1970-01-01 01:30:00')) AS m",
+    "w17_url_loud" ->
+      "SELECT count() FROM url('http://example.com/x.csv', 'CSV')"
   )
 
   def main(argv: Array[String]): Unit = {

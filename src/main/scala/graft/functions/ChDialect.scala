@@ -80,7 +80,6 @@ object ChDialect {
     "argMin" -> "min_by",
     "quantileExact" -> "percentile",
     "medianExact" -> "median",
-    "countIf" -> "count_if",
     "groupArray" -> "collect_list",
     "groupUniqArray" -> "collect_set",
     "stddevPop" -> "stddev_pop",
@@ -1000,9 +999,28 @@ object ChDialect {
     reg("avgIf")(c => Average(onlyIf(c(0), c(1))))
     reg("minIf")(c => Min(onlyIf(c(0), c(1))))
     reg("maxIf")(c => Max(onlyIf(c(0), c(1))))
-    // uniqExact(x) ≡ count(DISTINCT x): the distinct flag lives on the
-    // AggregateExpression, not in any registry name
+    // uniqExact(x…) ≡ count(DISTINCT x…): the distinct flag lives on
+    // the AggregateExpression, not in any registry name (multi-arg =
+    // distinct TUPLES, like CH)
     reg("uniqExact")(c => Count(c).toAggregateExpression(isDistinct = true))
+    // countIf: CH's 1-arg form counts rows where cond holds; the
+    // 2-arg form counts non-NULL x where cond holds
+    reg("countIf") { c =>
+      require(c.size == 1 || c.size == 2, "countIf(cond) or countIf(x, cond)")
+      if (c.size == 1)
+        Count(Seq(CaseWhen(Seq((
+          Coalesce(Seq(Cast(c.head, BooleanType), Literal(false))),
+          Literal(1))), None)))
+      else Count(Seq(onlyIf(c(0), c(1))))
+    }
+    // uniq(x…): multi-arg form sketches distinct TUPLES — wrap in a
+    // struct before the HLL++ (the 1-arg alias path can't, Spark
+    // reads a second argument as the rsd)
+    reg("uniq") { c =>
+      val child = if (c.size == 1) c.head else CreateStruct(c)
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .HyperLogLogPlusPlus(child)
+    }
     // CH's bare `count()` — Spark requires an argument. The builder
     // dispatches: zero args → count(1); otherwise exactly the builtin
     // (returning the bare AggregateFunction keeps the analyzer's
@@ -3016,6 +3034,40 @@ object ChDialect {
     // PolySize is exactly that dispatch; lengthUTF8 stays the
     // character count via the alias above
     reg("length")(c => PolySize(c.head))
+    // toRelative*Num: CH's monotone epoch/calendar counters — only
+    // DIFFERENCES are meaningful (the anchor is an implementation
+    // detail there too); day/hour/minute/second anchor at the 1970
+    // epoch exactly like CH, year/quarter/month/week at calendar zero
+    macroFn("toRelativeSecondNum", Seq("__t"),
+      "unix_seconds(CAST(__t AS TIMESTAMP))")
+    macroFn("toRelativeMinuteNum", Seq("__t"),
+      "CAST(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 60) AS BIGINT)")
+    macroFn("toRelativeHourNum", Seq("__t"),
+      "CAST(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 3600) AS BIGINT)")
+    macroFn("toRelativeDayNum", Seq("__t"),
+      "datediff(CAST(__t AS DATE), DATE'1970-01-01')")
+    macroFn("toRelativeWeekNum", Seq("__t"),
+      """CAST(floor(datediff(CAST(__t AS DATE), DATE'1970-01-01') / 7)
+         AS BIGINT)""")
+    macroFn("toRelativeMonthNum", Seq("__t"),
+      "year(CAST(__t AS DATE)) * 12 + month(CAST(__t AS DATE))")
+    macroFn("toRelativeQuarterNum", Seq("__t"),
+      "year(CAST(__t AS DATE)) * 4 + quarter(CAST(__t AS DATE))")
+    macroFn("toRelativeYearNum", Seq("__t"), "year(CAST(__t AS DATE))")
+    // random strings (CH: true-random; same contract as the rand
+    // family — rows-only testable). Hex output = printable ASCII.
+    macroFn("randomString", Seq("__n"),
+      """substring(repeat(md5(CAST(rand() AS STRING)),
+                          CAST(__n AS INT) DIV 32 + 1), 1, CAST(__n AS INT))""")
+    macroFn("randomPrintableASCII", Seq("__n"),
+      """substring(repeat(md5(CAST(rand() AS STRING)),
+                          CAST(__n AS INT) DIV 32 + 1), 1, CAST(__n AS INT))""")
+    // randConstant: one random value for the whole query — a
+    // plan-time literal (fresh per statement, constant across rows)
+    reg("randConstant") { c =>
+      require(c.size <= 1, "randConstant([x]) takes at most one argument")
+      Literal(scala.util.Random.nextInt() & 0x7fffffff)
+    }
     // ---- general-purpose hash family (CH murmur*/farm*) ----
     // Guava ships the REFERENCE murmur3 (x86_32 / x64_128, verified
     // against the public smhasher vectors — pinned in ChCompatSpec)

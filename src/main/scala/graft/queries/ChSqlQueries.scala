@@ -1611,6 +1611,47 @@ object ChSqlQueries {
         CAST(strlen('héllo') AS BIGINT) AS bytes_len,
         CAST(length('héllo') AS BIGINT) AS char_len,
         30 AS neg
-      FROM nation ORDER BY k"""))
+      FROM nation ORDER BY k""")),
+
+    // Wave-17 graduation: multi-arg uniqExact (distinct TUPLES),
+    // both countIf arities, parametric groupArray(n) (n smallest,
+    // the deterministic reinterpretation), weighted quantile through
+    // the generic parametric fallback (equal weights ≡ unweighted —
+    // pinned against DuckDB's quantile_cont), MySQL-style aliases,
+    // match(), and the epoch-anchored toRelative*Num counters.
+    QDef("sql_ch_w17_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          uniqExact(n_regionkey % 2, n_nationkey % 3) AS u2,
+          countIf(n_nationkey, n_nationkey % 2 = 0) AS ci2,
+          countIf(n_nationkey % 2 = 0) AS ci1,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            groupArray(3)(n_nationkey)), '|') AS ga,
+          round(quantileTimingWeighted(0.5)(n_nationkey, 2), 4) AS qtw,
+          min(ucase(n_name)) AS uc,
+          min(mid(n_name, 2, 3)) AS md,
+          match(min(n_name), '^NATION') AS mt,
+          min(toRelativeDayNum(toDate('2024-01-02'))) AS rd,
+          min(toRelativeHourNum(toDateTime('2024-01-01 05:00:00'))) AS rh
+        FROM nation GROUP BY n_regionkey ORDER BY k""")
+    }, Some("""
+      WITH g AS (SELECT n_regionkey, list_sort(list(n_nationkey)) AS l,
+                        count(DISTINCT CAST(n_regionkey % 2 AS VARCHAR) || ':'
+                              || CAST(n_nationkey % 3 AS VARCHAR)) AS u2,
+                        count(CASE WHEN n_nationkey % 2 = 0
+                                   THEN n_nationkey END) AS ci2,
+                        count(*) FILTER (WHERE n_nationkey % 2 = 0) AS ci1,
+                        quantile_cont(n_nationkey, 0.5) AS qtw,
+                        min(upper(n_name)) AS uc,
+                        min(substring(n_name, 2, 3)) AS md,
+                        regexp_matches(min(n_name), '^NATION') AS mt
+                 FROM nation GROUP BY n_regionkey)
+      SELECT n_regionkey AS k, u2, ci2, ci1,
+             array_to_string(list_transform(l[1:3],
+               x -> CAST(x AS VARCHAR)), '|') AS ga,
+             round(qtw, 4) AS qtw, uc, md, mt,
+             CAST(19724 AS BIGINT) AS rd, CAST(473357 AS BIGINT) AS rh
+      FROM g ORDER BY k"""))
   )
 }
