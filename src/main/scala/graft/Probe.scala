@@ -663,7 +663,11 @@ object Probe {
     "w17_relative_nums" ->
       "SELECT toRelativeHourNum(toDateTime('2024-01-01 05:00:00')) AS h, toRelativeDayNum(toDate('2024-01-02')) AS d, toRelativeMinuteNum(toDateTime('1970-01-01 01:30:00')) AS m",
     "w17_url_loud" ->
-      "SELECT count() FROM url('http://example.com/x.csv', 'CSV')"
+      "SELECT count() FROM url('http://example.com/x.csv', 'CSV')",
+    "w17_system_functions" ->
+      "SELECT count() > 50 AS ok FROM system.functions WHERE name ILIKE 'to%'",
+    "w17_show_functions" ->
+      "SHOW FUNCTIONS LIKE 'sipHash*'"
   )
 
   def main(argv: Array[String]): Unit = {
