@@ -3083,8 +3083,37 @@ object ChSql {
     out.toString
   }
 
+  /** CH query parameters: `SET param_name = value` stores the value
+    * (through the same settings store, visible in system.settings);
+    * `{name:Type}` in later query text substitutes it — strings quote,
+    * scalars go through a CAST in the CH type spelling (the cast-type
+    * pass downstream maps it), Array types substitute the raw bracket
+    * literal. Unset parameters fail loudly, like CH. Braces inside
+    * string literals (format('{}…')) are masked out.
+    */
+  private val queryParamRe = """\{(\w+):([A-Za-z][\w()' ,]*)\}""".r
+
+  private def rewriteQueryParams(spark: SparkSession, q: String): String = {
+    if (queryParamRe.findFirstIn(q).isEmpty) return q
+    val mask = inStringMask(q)
+    queryParamRe.replaceAllIn(q, m =>
+      if (mask(m.start)) Regex.quoteReplacement(m.matched)
+      else {
+        val (name, chT) = (m.group(1), m.group(2).trim)
+        val v = spark.conf.getOption(s"graft.ch.setting.param_$name")
+          .getOrElse(throw new IllegalArgumentException(
+            s"query parameter '$name' is not set — " +
+              s"run SET param_$name = <value> first"))
+        Regex.quoteReplacement(
+          if (chT.startsWith("Array")) v
+          else if (chT == "String" || chT.startsWith("FixedString"))
+            s"'${v.replace("'", "''")}'"
+          else s"CAST('$v' AS $chT)")
+      })
+  }
+
   def run(spark: SparkSession, query0: String): DataFrame = {
-    val query = stripLineComments(query0)
+    val query = rewriteQueryParams(spark, stripLineComments(query0))
     // log before routing (CH logs failed queries too); the log itself
     // is excluded so SELECTs over it don't self-append recursively
     if (!queryLogRe.findFirstIn(query).isDefined) logQuery(query0)

@@ -76,7 +76,8 @@ object Perf {
     // round-8: the three TPC-H entries the audit was missing (q10 was
     // r7's slowest bench query) + the new gate entries
     "tpch_q3_shipping", "tpch_q5_region", "tpch_q10_returns",
-    "sql_ch_w14_batch", "sql_ch_recursive")
+    "sql_ch_w14_batch", "sql_ch_recursive",
+    "sql_ch_w15_batch", "sql_ch_w16_batch", "sql_ch_w17_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

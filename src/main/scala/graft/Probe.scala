@@ -667,7 +667,15 @@ object Probe {
     "w17_system_functions" ->
       "SELECT count() > 50 AS ok FROM system.functions WHERE name ILIKE 'to%'",
     "w17_show_functions" ->
-      "SHOW FUNCTIONS LIKE 'sipHash*'"
+      "SHOW FUNCTIONS LIKE 'sipHash*'",
+    "w17_query_params_set" ->
+      "SET param_cutoff = 10",
+    "w17_query_params_set2" ->
+      "SET param_label = 'NATION_3'",
+    "w17_query_params_use" ->
+      "SELECT count() AS c FROM nation WHERE n_nationkey < {cutoff:Int64} AND n_name != {label:String}",
+    "w17_query_params_fmt" ->
+      "SELECT format('{}-{}', 'a', 'b') AS f, '{x:Int64} stays literal' AS s"
   )
 
   def main(argv: Array[String]): Unit = {

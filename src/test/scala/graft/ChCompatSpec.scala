@@ -713,6 +713,23 @@ class ChCompatSpec extends AnyFunSuite {
     assert(r3.getLong(0) == 1L)
   }
 
+  test("query parameters: SET param_ + {name:Type} substitution") {
+    run("SET param_qp_cut = 7")
+    run("SET param_qp_name = 'NATION_2'")
+    val r = run("""
+      SELECT count() AS c,
+             countIf(n_name = {qp_name:String}) AS hit
+      FROM nation WHERE n_nationkey < {qp_cut:Int64}""").head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 1L)
+    // unset parameter fails loudly, like CH
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT {never_set_param:Int64} AS x") }
+    assert(e.getMessage.contains("never_set_param"))
+    // braces inside string literals stay literal
+    val r2 = run("SELECT '{qp_cut:Int64}' AS s FROM system.one").head
+    assert(r2.getString(0) == "{qp_cut:Int64}")
+  }
+
   test("hash family: public smhasher/FarmHash vectors, murmur2 stability") {
     val r = run("""
       SELECT murmurHash3_32('') AS a0, murmurHash3_32('a') AS a1,
