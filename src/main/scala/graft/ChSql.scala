@@ -2016,7 +2016,8 @@ object ChSql {
   // ---- DataFrame-level clause extraction ---------------------------
 
   private case class FillSpec(from: Option[Long], to: Option[Long],
-      step: Option[Long], stepInterval: Option[String] = None)
+      step: Option[Long], stepInterval: Option[String] = None,
+      staleness: Option[Long] = None)
   private case class OrderItem(name: String, asc: Boolean, fill: Option[FillSpec])
 
   private val finalLimitRe =
@@ -2036,15 +2037,17 @@ object ChSql {
   private val orderItemRe =
     ("""(?is)^([A-Za-z_][\w.]*|\d+)(?:\s+(ASC|DESC))?""" +
       """(?:\s+WITH\s+FILL(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?""" +
-      """(?:\s+STEP\s+(?:(-?\d+)|INTERVAL\s+(\d+)\s+([A-Za-z]+)))?)?$""").r
+      """(?:\s+STEP\s+(?:(-?\d+)|INTERVAL\s+(\d+)\s+([A-Za-z]+)))?""" +
+      """(?:\s+STALENESS\s+(\d+))?)?$""").r
 
   private def parseOrderItem(raw: String): OrderItem = raw.trim match {
-    case orderItemRe(name, dir, from, to, step, stepN, stepUnit) =>
+    case orderItemRe(name, dir, from, to, step, stepN, stepUnit, stale) =>
       val fillGiven = withFillRe.findFirstIn(raw).isDefined
       OrderItem(name, dir == null || dir.equalsIgnoreCase("ASC"),
         if (fillGiven) Some(FillSpec(Option(from).map(_.toLong),
           Option(to).map(_.toLong), Option(step).map(_.toLong),
-          Option(stepN).map(n => s"INTERVAL $n ${stepUnit.toUpperCase(java.util.Locale.ROOT)}")))
+          Option(stepN).map(n => s"INTERVAL $n ${stepUnit.toUpperCase(java.util.Locale.ROOT)}"),
+          Option(stale).map(_.toLong)))
         else None)
     case other =>
       throw new IllegalArgumentException(
@@ -3537,7 +3540,7 @@ object ChSql {
     }
 
     for (item <- orderItems if item.fill.isDefined) {
-      val FillSpec(from, to, step, stepInterval) = item.fill.get
+      val FillSpec(from, to, step, stepInterval, staleness) = item.fill.get
       // INTERPOLATE columns fill with NULL (then LOCF below); others
       // take their type default — CH's default-value fill.
       val fills = df.columns.filterNot(_ == item.name)
@@ -3552,6 +3555,15 @@ object ChSql {
           // stride, default daily
           df = Relational.withFillInterval(df, item.name,
             stepInterval.getOrElse("INTERVAL 1 DAY"), fills)
+        case _: NumericType if staleness.isDefined =>
+          // CH forbids TO together with STALENESS; FROM is ignored
+          // there too (fill trails each ORIGINAL row only)
+          require(to.isEmpty,
+            "WITH FILL: TO and STALENESS cannot be used together (CH contract)")
+          require(stepInterval.isEmpty,
+            s"STALENESS needs a numeric axis STEP; '${item.name}'")
+          df = Relational.withFillStaleness(df, item.name,
+            step.getOrElse(1L), staleness.get, fills)
         case _: NumericType =>
           require(stepInterval.isEmpty,
             s"STEP INTERVAL needs a DATE/TIMESTAMP axis; '${item.name}' is numeric")

@@ -142,6 +142,40 @@ object Relational {
     df.unionByName(added)
   }
 
+  /** `ORDER BY x WITH FILL STEP s STALENESS st` (CH 23.12+): filler
+    * rows are generated AFTER each original row at the step stride,
+    * only while their distance from that original row stays UNDER
+    * `st`, and never at or past the next original row — there is no
+    * global grid, so an isolated original row trails at most st/s
+    * filler rows. The axis is the (bounded, already-aggregated)
+    * ORDER BY series — the one `lead` window over its DISTINCT
+    * values is the same bounded-series single-partition contract the
+    * other fill forms use.
+    */
+  def withFillStaleness(df: DataFrame, numCol: String, step: Long,
+      staleness: Long, fill: Map[String, Column]): DataFrame = {
+    require(step > 0 && staleness > 0,
+      "WITH FILL STALENESS needs positive STEP and STALENESS")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val origs = df.select(col(numCol).cast("long").as("__v")).distinct()
+      .withColumn("__next", lead(col("__v"), 1).over(w))
+    val missing = origs.select(explode(expr(
+      s"""CASE WHEN least(__v + $staleness - 1,
+                         coalesce(__next - 1, __v + $staleness - 1))
+                >= __v + $step
+          THEN sequence(__v + $step,
+                        least(__v + $staleness - 1,
+                              coalesce(__next - 1, __v + $staleness - 1)),
+                        CAST($step AS BIGINT))
+          ELSE array() END""")).as("__g"))
+      .select(col("__g").cast(df.schema(numCol).dataType).as(numCol))
+    val added = missing.select(df.columns.map { c =>
+      if (c == numCol) col(c)
+      else fill.getOrElse(c, lit(null)).cast(df.schema(c).dataType).as(c)
+    }.toIndexedSeq: _*)
+    df.unionByName(added)
+  }
+
   def withFillDays(df: DataFrame, dateCol: String, fill: Map[String, Column]): DataFrame =
     withFillInterval(df, dateCol, "INTERVAL 1 DAY", fill)
 

@@ -1613,6 +1613,30 @@ object ChSqlQueries {
         30 AS neg
       FROM nation ORDER BY k""")),
 
+    // WITH FILL … STALENESS (CH 23.12+): filler rows trail each
+    // ORIGINAL row at the STEP stride only while their distance stays
+    // under the staleness bound, and never reach the next original
+    // row — no global grid. The oracle regenerates the trailing
+    // points per original row with lead() + an exclusive range().
+    QDef("sql_ch_fill_staleness", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey * 3 AS x, count() AS c
+        FROM nation WHERE n_nationkey % 4 = 0
+        GROUP BY x
+        ORDER BY x WITH FILL STEP 5 STALENESS 11""")
+    }, Some("""
+      WITH o AS (SELECT n_nationkey * 3 AS x, count(*) AS c
+                 FROM nation WHERE n_nationkey % 4 = 0 GROUP BY 1),
+      n AS (SELECT x, c, lead(x) OVER (ORDER BY x) AS nx FROM o),
+      gen AS (SELECT unnest(range(x + 5, least(x + 11, coalesce(nx, x + 11)),
+                                  5)) AS x,
+                     CAST(0 AS BIGINT) AS c
+              FROM n)
+      SELECT CAST(x AS INT) AS x, c FROM
+        (SELECT x, c FROM o UNION ALL SELECT x, c FROM gen)
+      ORDER BY x""")),
+
     // Wave-17 graduation: multi-arg uniqExact (distinct TUPLES),
     // both countIf arities, parametric groupArray(n) (n smallest,
     // the deterministic reinterpretation), weighted quantile through

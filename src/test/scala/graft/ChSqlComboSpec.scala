@@ -95,4 +95,34 @@ class ChSqlComboSpec extends AnyFunSuite {
       .orderBy($"l_returnflag".asc_nulls_first).limit(3)
     assert(canon(viaText) == canon(viaDf))
   }
+
+  test("round-8 features composed: params + recursive + ternary + moving aggs") {
+    Graft.init(spark, dir)
+    Graft.sql(spark, "SET param_combo_lim = 4")
+    // query parameter bounds the recursive anchor set; ternary labels
+    // parity; parametric groupArray(n) + moving sum run over the
+    // recursive output — four round-8 features in ONE text
+    val rows = Graft.sql(spark, """
+      WITH RECURSIVE r AS (
+        SELECT CAST(n_nationkey AS Int64) AS n FROM nation
+        WHERE n_nationkey < {combo_lim:Int64}
+        UNION ALL
+        SELECT n + 10 AS n FROM r WHERE n < 20)
+      SELECT n % 2 = 0 ? 'even' : 'odd' AS par,
+             count() AS c,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               groupArray(3)(n)), '|') AS g3,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               groupArrayMovingSum(2)(n)), '|') AS ms2
+      FROM r GROUP BY par ORDER BY par""").collect()
+    assert(rows.length == 2)
+    val even = rows.find(_.getString(0) == "even").get
+    val odd = rows.find(_.getString(0) == "odd").get
+    // anchors 0..3, each chain +10 to 20: evens {0,10,20,2,12,22}
+    // odds {1,11,21,3,13,23}
+    assert(even.getLong(1) == 6L && odd.getLong(1) == 6L)
+    assert(even.getString(2) == "0|2|10" && odd.getString(2) == "1|3|11")
+    assert(even.getString(3).startsWith("0|2|12") ||
+      even.getString(3) == "0|2|12|22|32|42")
+  }
 }
