@@ -1471,8 +1471,12 @@ object ChSql {
     // COLUMNS('re') [APPLY(f)]… — expand the regex against the FROM
     // schema, then wrap each column in the APPLY chain (innermost
     // first), naming results `f(col)` exactly as CH prints them
-    val applyTailRe =
-      """(?is)^\s*APPLY\s*(?:\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))""".r
+    // each APPLY link is a bare name, `(name)`, or a LAMBDA
+    // `(x -> expr(x))` — the lambda's variable substitutes the column
+    // text (CH's APPLY lambda form)
+    val applyHeadRe = """(?is)^\s*APPLY\s*""".r
+    val applyNameRe = """^([A-Za-z_]\w*)""".r
+    val applyLamRe = """(?s)^([A-Za-z_]\w*)\s*->\s*(.+)$""".r
     var more = true
     while (more) {
       more = false
@@ -1482,17 +1486,39 @@ object ChSql {
           val keep = sourceCols(q).filter(c => re.findFirstIn(c).isDefined)
           require(keep.nonEmpty, s"COLUMNS('${m.group(1)}') matches no column")
           var end = m.end
-          val fns = scala.collection.mutable.ArrayBuffer.empty[String]
-          var chain = applyTailRe.findFirstMatchIn(q.substring(end))
-          while (chain.isDefined) {
-            fns += Option(chain.get.group(1)).getOrElse(chain.get.group(2))
-            end += chain.get.end
-            chain = applyTailRe.findFirstMatchIn(q.substring(end))
+          val fns =
+            scala.collection.mutable.ArrayBuffer.empty[String => String]
+          var go2 = true
+          while (go2) {
+            go2 = false
+            applyHeadRe.findPrefixMatchOf(q.substring(end)).foreach { h =>
+              val p = end + h.end
+              if (p < q.length && q.charAt(p) == '(') {
+                val close = matchParenStr(q, p)
+                q.substring(p + 1, close).trim match {
+                  case applyLamRe(v, b) =>
+                    val vre = "\\b" + java.util.regex.Pattern.quote(v) + "\\b"
+                    fns += ((x: String) =>
+                      b.replaceAll(vre, Regex.quoteReplacement(x)))
+                  case nm if nm.matches("[A-Za-z_]\\w*") =>
+                    fns += ((x: String) => s"$nm($x)")
+                  case other => throw new IllegalArgumentException(
+                    s"APPLY expects a function name or `x -> expr`: '$other'")
+                }
+                end = close + 1
+                go2 = true
+              } else applyNameRe.findPrefixMatchOf(q.substring(p)).foreach {
+                nm =>
+                  fns += ((x: String) => s"${nm.group(1)}($x)")
+                  end = p + nm.end
+                  go2 = true
+              }
+            }
           }
           val expand =
             if (fns.isEmpty) keep.mkString(", ")
             else keep.map { c =>
-              val e = fns.foldLeft(c)((x, f) => s"$f($x)")
+              val e = fns.foldLeft(c)((x, f) => f(x))
               s"$e AS `$e`"
             }.mkString(", ")
           q = q.substring(0, m.start) + expand + q.substring(end)
@@ -2797,6 +2823,8 @@ object ChSql {
     """(?is)^\s*EXISTS\s+TABLE\s+([A-Za-z_]\w*)\s*$""".r
   private val showCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val showSettingsRe =
+    """(?is)^\s*SHOW\s+SETTINGS(?:\s+LIKE\s+'([^']*)')?\s*$""".r
   private val deleteFromRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+(WHERE\s+.*?)\s*$""".r
   private val renameTableRe =
@@ -3225,6 +3253,12 @@ object ChSql {
     if (query.trim.matches("(?is)^SHOW\\s+PROCESSLIST\\s*;?\\s*$")) {
       import spark.implicits._
       return Seq.empty[(String, Double)].toDF("query", "elapsed")
+    }
+    showSettingsRe.findFirstMatchIn(query).foreach { m =>
+      val like = Option(m.group(1))
+        .map(p => s" WHERE name LIKE '$p'").getOrElse("")
+      return run(spark,
+        s"SELECT name, value FROM system.settings$like ORDER BY name")
     }
     showCreateRe.findFirstMatchIn(query).foreach { m =>
       val name = m.group(1)

@@ -675,7 +675,27 @@ object Probe {
     "w17_query_params_use" ->
       "SELECT count() AS c FROM nation WHERE n_nationkey < {cutoff:Int64} AND n_name != {label:String}",
     "w17_query_params_fmt" ->
-      "SELECT format('{}-{}', 'a', 'b') AS f, '{x:Int64} stays literal' AS s"
+      "SELECT format('{}-{}', 'a', 'b') AS f, '{x:Int64} stays literal' AS s",
+    "w18_desc_fill" ->
+      "SELECT n_regionkey * 2 AS x, count() AS c FROM nation GROUP BY x ORDER BY x DESC WITH FILL FROM 9 TO 0 STEP -2",
+    "w18_grouping_fn" ->
+      "SELECT n_regionkey, grouping(n_regionkey) AS g, count() AS c FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY g, n_regionkey",
+    "w18_apply_lambda" ->
+      "SELECT COLUMNS('n_.*key') APPLY(x -> max(x)) FROM nation",
+    "w18_stable_aliases" ->
+      "SELECT round(corrStable(n_nationkey, n_regionkey), 4) AS c, round(varPopStable(n_nationkey), 4) AS v, round(covarPopStable(n_nationkey, n_regionkey), 4) AS cv, round(stddevPopStable(n_nationkey), 4) AS sd FROM nation",
+    "w18_week_mode" ->
+      "SELECT toStartOfWeek(toDate('2024-03-07')) AS w0, toStartOfWeek(toDate('2024-03-07'), 1) AS w1, toMonday(toDate('2024-03-07')) AS m",
+    "w18_tumble_scalars" ->
+      "SELECT tumbleStart(toDateTime('2024-03-05 07:38:09'), INTERVAL 15 MINUTE) AS ts, tumbleEnd(toDateTime('2024-03-05 07:38:09'), INTERVAL 15 MINUTE) AS te",
+    "w18_array_setops2" ->
+      "SELECT arraySort(arrayUnion([1, 2], [2, 3])) AS u, arraySort(arraySymmetricDifference([1, 2, 3], [2, 3, 4])) AS sd, arraySort(arrayIntersect([1, 2, 3], [2, 3])) AS i",
+    "w18_show_settings" ->
+      "SHOW SETTINGS LIKE 'spark.sql.shuffle%'",
+    "w18_nan_ordering" ->
+      "SELECT isNaN(nan) AS n1, greatest(1.0, nan) IS NOT NULL AS g, least(0.0 / 0.0, 1.0) IS NOT NULL AS l",
+    "w18_pos_utf8" ->
+      "SELECT positionUTF8('héllo', 'llo') AS p, positionCaseInsensitiveUTF8('HÉLLO', 'llo') AS pc"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -3068,6 +3068,18 @@ object ChDialect {
       require(c.size <= 1, "randConstant([x]) takes at most one argument")
       Literal(scala.util.Random.nextInt() & 0x7fffffff)
     }
+    // array set algebra (CH 24.x spellings)
+    macroFnN("arrayUnion",
+      Seq("__a", "__b") -> "array_union(__a, __b)",
+      Seq("__a", "__b", "__c") -> "array_union(array_union(__a, __b), __c)")
+    macroFn("arraySymmetricDifference", Seq("__a", "__b"),
+      """array_distinct(concat(array_except(__a, __b),
+                               array_except(__b, __a)))""")
+    // UTF8 position variants: Spark's locate is already
+    // code-point-based, so the UTF8 spellings share it
+    macroFn("positionUTF8", Seq("__h", "__n"), "locate(__n, __h)")
+    macroFn("positionCaseInsensitiveUTF8", Seq("__h", "__n"),
+      "locate(lower(__n), lower(__h))")
     // ---- general-purpose hash family (CH murmur*/farm*) ----
     // Guava ships the REFERENCE murmur3 (x86_32 / x64_128, verified
     // against the public smhasher vectors — pinned in ChCompatSpec)
