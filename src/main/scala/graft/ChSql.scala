@@ -1229,7 +1229,7 @@ object ChSql {
         // the LAST same-depth clause keyword inside [lb, qm) bounds
         // the condition (e.g. `SELECT a ? b : c` → cond is just `a`)
         val condRegion = s.substring(lb, qm)
-        val kwScan = """(?i)\b(SELECT|WHERE|PREWHERE|HAVING|WHEN|THEN|ELSE|ON|SETTINGS|DISTINCT)\b""".r
+        val kwScan = """(?i)\b(SELECT|FROM|WHERE|PREWHERE|HAVING|WHEN|THEN|ELSE|ON|SETTINGS|DISTINCT|BY|LIMIT|JOIN|UNION|INTERSECT|EXCEPT|AS|END|ALL)\b""".r
         var condStart = lb
         locally {
           val regMask = inStringMask(condRegion)
@@ -3596,6 +3596,9 @@ object ChSql {
             "WITH FILL: TO and STALENESS cannot be used together (CH contract)")
           require(stepInterval.isEmpty,
             s"STALENESS needs a numeric axis STEP; '${item.name}'")
+          require(item.asc,
+            "WITH FILL STALENESS supports ascending axes only here — " +
+              "a DESC axis would need downward trailing fill")
           df = Relational.withFillStaleness(df, item.name,
             step.getOrElse(1L), staleness.get, fills)
         case _: NumericType =>

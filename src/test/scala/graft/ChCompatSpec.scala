@@ -711,6 +711,16 @@ class ChCompatSpec extends AnyFunSuite {
     val r3 = run(
       "SELECT n_nationkey > 0 ? '1'::Int64 : 0 AS v FROM nation WHERE n_nationkey = 5").head
     assert(r3.getLong(0) == 1L)
+    // ternary in ORDER BY / GROUP BY position: the condition must
+    // bound at the clause keyword, not swallow the FROM
+    val r4 = run("""SELECT n_regionkey FROM nation
+      ORDER BY n_regionkey = 0 ? 0 : 1, n_nationkey LIMIT 2""")
+      .map(_.getInt(0)).toSeq
+    assert(r4 == Seq(0, 0)) // region-0 nations sort first
+    val r5 = run("""SELECT n_regionkey < 2 ? 'lo' : 'hi' AS b, count() AS c
+      FROM nation GROUP BY n_regionkey < 2 ? 'lo' : 'hi' ORDER BY b""")
+    assert(r5.map(_.getString(0)).toSeq == Seq("hi", "lo") &&
+      r5.map(_.getLong(1)).sum == 25L)
   }
 
   test("query parameters: SET param_ + {name:Type} substitution") {
