@@ -1637,6 +1637,55 @@ object ChSqlQueries {
         (SELECT x, c FROM o UNION ALL SELECT x, c FROM gen)
       ORDER BY x""")),
 
+    // Wave-18 graduation: grouping() under ROLLUP, array set algebra
+    // (union / symmetric difference), UTF8 position variants, and
+    // *Stable aggregate aliases — DuckDB recomputes each (GROUPING(),
+    // list_filter algebra, corr). Desc fill and APPLY lambdas stay
+    // probe-pinned (their outputs are schema-shaped, not row-stable).
+    QDef("sql_ch_w18_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT CAST(g AS Int32) AS g, c, u, sd, p1, p2, corr4 FROM (
+          SELECT grouping(n_regionkey) AS g,
+                 count() AS c,
+                 min(arrayStringConcat(arrayMap(x -> toString(x),
+                   arraySort(arrayUnion([n_regionkey, 9], [9, 7]))), '|')) AS u,
+                 min(arrayStringConcat(arrayMap(x -> toString(x),
+                   arraySort(arraySymmetricDifference([n_regionkey, 7],
+                                                      [7, 8]))), '|')) AS sd,
+                 CAST(min(positionUTF8('héllo wörld', 'wörld')) AS Int64) AS p1,
+                 CAST(min(positionCaseInsensitiveUTF8('HÉLLO', 'éll')) AS Int64) AS p2,
+                 round(corrStable(n_nationkey, n_nationkey % 7), 4) AS corr4
+          FROM nation GROUP BY ROLLUP(n_regionkey))
+        ORDER BY g, c, u""")
+    }, Some("""
+      SELECT CAST(GROUPING(n_regionkey) AS INT) AS g,
+             count(*) AS c,
+             CASE WHEN GROUPING(n_regionkey) = 1 THEN
+               (SELECT array_to_string(list_sort(list_distinct(
+                  [min(n2.n_regionkey), 9, 7])),
+                  '|') FROM nation n2)
+             ELSE array_to_string(list_sort(list_distinct(
+               [n_regionkey, 9, 7])), '|') END AS u,
+             CASE WHEN GROUPING(n_regionkey) = 1 THEN
+               (SELECT array_to_string(list_sort(
+                  list_distinct(list_concat(
+                    list_filter([CAST(min(n3.n_regionkey) AS INT), 7],
+                                x -> x NOT IN (7, 8)),
+                    list_filter([7, 8],
+                                x -> x NOT IN (CAST(min(n3.n_regionkey) AS INT), 7))))),
+                  '|') FROM nation n3)
+             ELSE array_to_string(list_sort(
+               list_distinct(list_concat(
+                 list_filter([n_regionkey, 7], x -> x NOT IN (7, 8)),
+                 list_filter([7, 8], x -> x NOT IN (n_regionkey, 7))))),
+               '|') END AS sd,
+             CAST(7 AS BIGINT) AS p1,
+             CAST(2 AS BIGINT) AS p2,
+             round(corr(n_nationkey, n_nationkey % 7), 4) AS corr4
+      FROM nation GROUP BY ROLLUP(n_regionkey)
+      ORDER BY g, c, u""")),
+
     // Wave-17 graduation: multi-arg uniqExact (distinct TUPLES),
     // both countIf arities, parametric groupArray(n) (n smallest,
     // the deterministic reinterpretation), weighted quantile through
