@@ -156,6 +156,11 @@ object Relational {
       staleness: Long, fill: Map[String, Column]): DataFrame = {
     require(step > 0 && staleness > 0,
       "WITH FILL STALENESS needs positive STEP and STALENESS")
+    require(Set("tinyint", "smallint", "int", "bigint")(
+      df.schema(numCol).dataType.simpleString),
+      s"WITH FILL STALENESS needs an integral axis; '$numCol' is " +
+        s"${df.schema(numCol).dataType.simpleString} (a fractional axis " +
+        "would silently truncate)")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
     val origs = df.select(col(numCol).cast("long").as("__v")).distinct()
       .withColumn("__next", lead(col("__v"), 1).over(w))
