@@ -2058,7 +2058,6 @@ object ChSql {
     """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
   private val withFillRe = """(?i)\bWITH\s+FILL\b""".r
-  private val interpolateRe = """(?is)\bINTERPOLATE\s*\(([^()]*)\)\s*$""".r
 
   private val orderItemRe =
     ("""(?is)^([A-Za-z_][\w.]*|\d+)(?:\s+(ASC|DESC))?""" +
@@ -3471,18 +3470,38 @@ object ChSql {
       }
       (off, n, splitTopLevel(inner))
     }
-    var interpolateCols: Seq[String] = Nil
+    // (column, optional `AS expr`): the expression form applies expr
+    // to the PREVIOUS row's value, iterated per filled row (CH
+    // contract); bare columns repeat the previous value (LOCF)
+    var interpolateCols: Seq[(String, Option[String])] = Nil
     val orderItems0 = lastTopLevel(rest, orderByRe) match {
       case Some(m) =>
         var section = rest.substring(m.end)
         rest = rest.substring(0, m.start)
-        interpolateRe.findFirstMatchIn(section).foreach { im =>
-          interpolateCols = splitTopLevel(im.group(1)).map { c =>
-            require(c.matches("[A-Za-z_][\\w.]*"),
-              s"INTERPOLATE supports bare column lists here, got '$c' " +
-                "(compute the expression in SELECT instead)")
-            c
-          }
+        val ipOpenRe = """(?is)\bINTERPOLATE\s*\(""".r
+        ipOpenRe.findFirstMatchIn(section)
+          .filter(im => topLevelMask(section)(im.start)).foreach { im =>
+          val close = matchParenStr(section, im.end - 1)
+          require(section.substring(close + 1).trim.isEmpty,
+            "INTERPOLATE (…) must close the ORDER BY section")
+          interpolateCols =
+            splitTopLevel(section.substring(im.end, close)).map { item =>
+              val imask = topLevelMask(item)
+              val asM = asRe.findAllMatchIn(item)
+                .filter(x => imask(x.start)).toSeq
+              if (asM.isEmpty) {
+                require(item.trim.matches("[A-Za-z_][\\w.]*"),
+                  s"INTERPOLATE item must be `col` or `col AS expr`, " +
+                    s"got '${item.trim}'")
+                (item.trim, None)
+              } else {
+                val c = item.substring(0, asM.head.start).trim
+                require(c.matches("[A-Za-z_][\\w.]*"),
+                  s"INTERPOLATE item must be `col` or `col AS expr`, " +
+                    s"got '${item.trim}'")
+                (c, Some(item.substring(asM.head.end).trim))
+              }
+            }
           section = section.substring(0, im.start)
         }
         splitTopLevel(section).map(parseOrderItem)
@@ -3578,7 +3597,7 @@ object ChSql {
       // INTERPOLATE columns fill with NULL (then LOCF below); others
       // take their type default — CH's default-value fill.
       val fills = df.columns.filterNot(_ == item.name)
-        .map(c => c -> (if (interpolateCols.contains(c))
+        .map(c => c -> (if (interpolateCols.exists(_._1 == c))
           lit(null).cast(df.schema(c).dataType)
         else chDefault(df.schema(c).dataType))).toMap
       df.schema(item.name).dataType match {
@@ -3626,8 +3645,39 @@ object ChSql {
       // series don't produce NULL measures.
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(axis))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      for (c <- interpolateCols)
-        df = df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      for ((c, fxOpt) <- interpolateCols) fxOpt match {
+        case None =>
+          df = df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+        case Some(fx) =>
+          // `c AS expr`: the i-th filled row after an original gets
+          // expr applied i TIMES to the original's value (CH's
+          // previous-row chain) — a bounded fold over sequence(1, i),
+          // since i never exceeds the fill-run length. Only
+          // self-references are supported: other columns would read
+          // the CURRENT (filled) row here, not CH's previous row.
+          val others = df.columns.filter(_ != c).filter(o =>
+            ("\\b" + java.util.regex.Pattern.quote(o) + "\\b").r
+              .findFirstIn(fx).isDefined)
+          require(others.isEmpty,
+            s"INTERPOLATE ($c AS expr): only references to '$c' are " +
+              s"supported (previous-row semantics); found: " +
+              others.mkString(", "))
+          val accExpr = fx.replaceAll(
+            "\\b" + java.util.regex.Pattern.quote(c) + "\\b", "__acc")
+          val dt = df.schema(c).dataType.sql
+          df = df
+            .withColumn("__ipv", last(col(c), ignoreNulls = true).over(w))
+            .withColumn("__igrp",
+              count(when(col(c).isNotNull, lit(1))).over(w))
+          val wr = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__igrp")).orderBy(col(axis))
+          df = df.withColumn("__irun", row_number().over(wr) - 1)
+            .withColumn(c, when(col(c).isNotNull, col(c)).otherwise(expr(
+              s"""CAST(aggregate(sequence(1, __irun),
+                    CAST(__ipv AS $dt),
+                    (__acc, __ii) -> CAST(($accExpr) AS $dt)) AS $dt)""")))
+            .drop("__ipv", "__igrp", "__irun")
+      }
     }
 
     for (n <- limitTies) {

@@ -1637,6 +1637,36 @@ object ChSqlQueries {
         (SELECT x, c FROM o UNION ALL SELECT x, c FROM gen)
       ORDER BY x""")),
 
+    // INTERPOLATE (c AS expr): filled rows apply expr to the PREVIOUS
+    // row's value, chained — the i-th filled row after an original is
+    // expr applied i times (a bounded fold per fill run). The oracle
+    // re-derives the chain with run indexes + the affine closed form
+    // (c AS c + 10 iterated i times = c + 10·i).
+    QDef("sql_ch_interpolate_expr", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey * 4 AS x, CAST(count() AS Int64) AS c
+        FROM nation GROUP BY x
+        ORDER BY x WITH FILL FROM 0 TO 20 STEP 2
+        INTERPOLATE (c AS c + 10)""")
+    }, Some("""
+      WITH o AS (SELECT n_regionkey * 4 AS x, count(*) AS c
+                 FROM nation GROUP BY 1),
+      grid AS (SELECT unnest(range(0, 20, 2)) AS x),
+      u AS (SELECT g.x AS x, o.c AS c FROM grid g LEFT JOIN o USING (x)),
+      w AS (SELECT x, c,
+              count(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS grp
+            FROM u),
+      r AS (SELECT x, c, grp,
+              row_number() OVER (PARTITION BY grp ORDER BY x) - 1 AS ri,
+              last_value(c IGNORE NULLS)
+                OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS pv
+            FROM w)
+      SELECT CAST(x AS INT) AS x,
+             CAST(CASE WHEN c IS NOT NULL THEN c
+                       ELSE pv + 10 * ri END AS BIGINT) AS c
+      FROM r ORDER BY x""")),
+
     // Wave-18 graduation: grouping() under ROLLUP, array set algebra
     // (union / symmetric difference), UTF8 position variants, and
     // *Stable aggregate aliases — DuckDB recomputes each (GROUPING(),
