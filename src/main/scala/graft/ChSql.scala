@@ -239,23 +239,38 @@ object ChSql {
   private def rewriteSample(q: String): String =
     maskedReplaceAll(q, sampleRe) { m =>
       val table = m.group(1)
-      val f = parseFraction(m.group(2))
-      val off = Option(m.group(3)).map(parseFraction).getOrElse(0.0)
-      require(f > 0 && f <= 1, s"SAMPLE fraction must be in (0, 1], got $f")
-      require(off >= 0 && off + f <= 1,
-        s"SAMPLE OFFSET window [$off, ${off + f}) must fit in [0, 1)")
+      val fTxt = m.group(2).trim
+      // CH's ABSOLUTE form `SAMPLE n` (n > 1 row count): CH reads
+      // "approximately n rows" off sampling-key ranges; the
+      // deterministic reinterpretation here is the n hash-SMALLEST
+      // rows (TakeOrdered on the sampling hash, key tiebreak) —
+      // exactly n rows, identical at any parallelism, and the same
+      // subset CH's hash-range sampling converges toward.
       val key = sampleKeys.getOrElse(table.toLowerCase(java.util.Locale.ROOT),
         throw new IllegalArgumentException(
           s"no sampling key registered for table '$table' — ChSql.registerSampleKey first"))
-      val lo = math.round(off * 1000000d)
-      val hi = math.round((off + f) * 1000000d)
-      // Text.mh60(lit("smp"), key) spelled in SQL — identical bits to
-      // rel_sample_hash's oracle-proven predicate.
-      val h = s"CAST(conv(substring(md5(concat('smp|', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
-        s" % 1000000"
-      val pred = if (lo == 0L) s"$h < $hi" else s"$h >= $lo AND $h < $hi"
-      Regex.quoteReplacement(
-        s"FROM (SELECT * FROM $table WHERE $pred) $table")
+      if (m.group(3) == null && fTxt.matches("\\d+") && fTxt.toLong > 1) {
+        val n = fTxt.toLong
+        val h2 = s"CAST(conv(substring(md5(concat('smp|', " +
+          s"CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        Regex.quoteReplacement(
+          s"FROM (SELECT * FROM $table ORDER BY $h2, $key LIMIT $n) $table")
+      } else {
+        val f = parseFraction(m.group(2))
+        val off = Option(m.group(3)).map(parseFraction).getOrElse(0.0)
+        require(f > 0 && f <= 1, s"SAMPLE fraction must be in (0, 1], got $f")
+        require(off >= 0 && off + f <= 1,
+          s"SAMPLE OFFSET window [$off, ${off + f}) must fit in [0, 1)")
+        val lo = math.round(off * 1000000d)
+        val hi = math.round((off + f) * 1000000d)
+        // Text.mh60(lit("smp"), key) spelled in SQL — identical bits to
+        // rel_sample_hash's oracle-proven predicate.
+        val h = s"CAST(conv(substring(md5(concat('smp|', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+          s" % 1000000"
+        val pred = if (lo == 0L) s"$h < $hi" else s"$h >= $lo AND $h < $hi"
+        Regex.quoteReplacement(
+          s"FROM (SELECT * FROM $table WHERE $pred) $table")
+      }
     }
 
   /** CH's comma limit `LIMIT o, n` → ANSI `LIMIT n OFFSET o` (Spark's

@@ -1637,6 +1637,29 @@ object ChSqlQueries {
         (SELECT x, c FROM o UNION ALL SELECT x, c FROM gen)
       ORDER BY x""")),
 
+    // Absolute SAMPLE n (row-count form): the n hash-smallest rows by
+    // the registered sampling key — exactly n rows, deterministic at
+    // any parallelism (TakeOrdered). The oracle reproduces the same
+    // md5-hash ordering and aggregates over the same subset.
+    QDef("sql_ch_sample_n", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT count() AS c,
+               CAST(sum(o_orderkey) AS Int64) AS sk,
+               min(o_orderkey) AS lo
+        FROM orders SAMPLE 500""")
+    }, Some("""
+      WITH smp AS (
+        SELECT o_orderkey
+        FROM orders
+        ORDER BY CAST('0x' || substring(md5('smp|' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT),
+                 o_orderkey
+        LIMIT 500)
+      SELECT count(*) AS c, CAST(sum(o_orderkey) AS BIGINT) AS sk,
+             min(o_orderkey) AS lo
+      FROM smp""")),
+
     // INTERPOLATE (c AS expr): filled rows apply expr to the PREVIOUS
     // row's value, chained — the i-th filled row after an original is
     // expr applied i times (a bounded fold per fill run). The oracle
