@@ -78,7 +78,7 @@ object Perf {
     "tpch_q3_shipping", "tpch_q5_region", "tpch_q10_returns",
     "sql_ch_w14_batch", "sql_ch_recursive",
     "sql_ch_w15_batch", "sql_ch_w16_batch", "sql_ch_w17_batch",
-    "sql_ch_fill_staleness")
+    "sql_ch_fill_staleness", "sql_ch_interpolate_expr", "sql_ch_sample_n")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
