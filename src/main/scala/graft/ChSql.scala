@@ -1290,7 +1290,24 @@ object ChSql {
     q
   }
 
+  // toTimeZone here SHIFTS the wall clock (the session renders in
+  // UTC; CH re-labels the display zone without moving the instant),
+  // so display functions (toHour/toString) agree with CH but
+  // epoch-oriented consumers would silently diverge by the zone
+  // offset — reject the direct composition loudly
+  private val tzIntoEpochRe =
+    """(?i)\btoUnixTimestamp\w*\s*\(\s*toTimeZone\s*\(""".r
+
   private def rewriteLexical(q0: String): String = {
+    tzIntoEpochRe.findAllMatchIn(q0)
+      .filterNot(m => inStringMask(q0)(m.start)).take(1).foreach { _ =>
+        throw new IllegalArgumentException(
+          "toUnixTimestamp(toTimeZone(…)) is not supported: toTimeZone " +
+            "shifts the rendered wall clock here (CH only re-labels the " +
+            "display zone), so the epoch value would silently differ " +
+            "from CH by the zone offset. Take toUnixTimestamp of the " +
+            "original timestamp instead — the instant is zone-invariant.")
+      }
     var q = rewriteBrackets(q0)
     q = rewriteTernary(q)
     q = rewriteTupleDots(q)
@@ -1605,9 +1622,12 @@ object ChSql {
       """exponentialMovingAverage|[A-Za-z_]\w*Resample|""" +
       // catch-all for the long tail of quantile spellings
       // (quantileTimingWeighted, quantilesTDigest, …): the explicit
-      // alternatives above win first; backtracking lets (If)? still
-      // peel when the name ends in a registered base
-      """quantiles?\w*)""" +
+      // alternatives above win first. LAZY \w*? so a trailing `If`
+      // is captured by group 2 (the -If combinator → FILTER clause)
+      // instead of being absorbed into the name — a greedy \w* sent
+      // quantileBFloat16WeightedIf's condition into the generic
+      // fallback as a frequency weight
+      """quantiles?\w*?)""" +
       """(If)?\s*\(""").r
 
   /** ClickHouse's parametric-aggregate call syntax `f(params)(args)`

@@ -808,12 +808,16 @@ object ChDialect {
       """unix_seconds(CAST(__b AS TIMESTAMP)) -
          unix_seconds(CAST(__a AS TIMESTAMP))""")
     // 2-arg form pads with the numeric type default (element_at*0,
-    // CH's default-value contract; strings need the explicit filler)
+    // CH's default-value contract; strings need the explicit filler).
+    // try_element_at + coalesce: an EMPTY input array has no element
+    // to derive the zero from — plain element_at threw under ANSI;
+    // coalesce falls back to literal 0 (coerced to the element type)
     macroFnN("arrayResize",
       Seq("__a", "__n") ->
         """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
-                ELSE concat(__a, array_repeat(element_at(__a, 1) * 0,
-                                              __n - size(__a))) END""",
+                ELSE concat(__a,
+                  array_repeat(coalesce(try_element_at(__a, 1) * 0, 0),
+                               __n - size(__a))) END""",
       Seq("__a", "__n", "__f") ->
         """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
                 ELSE concat(__a, array_repeat(__f, __n - size(__a))) END""")
@@ -3046,8 +3050,11 @@ object ChDialect {
       "CAST(floor(unix_seconds(CAST(__t AS TIMESTAMP)) / 3600) AS BIGINT)")
     macroFn("toRelativeDayNum", Seq("__t"),
       "datediff(CAST(__t AS DATE), DATE'1970-01-01')")
+    // week counter is MONDAY-anchored like CH (epoch day 0 is a
+    // Thursday; +3 shifts the week boundary onto Mondays, so
+    // Friday→next-Monday is 1 week here as in CH)
     macroFn("toRelativeWeekNum", Seq("__t"),
-      """CAST(floor(datediff(CAST(__t AS DATE), DATE'1970-01-01') / 7)
+      """CAST(floor((datediff(CAST(__t AS DATE), DATE'1970-01-01') + 3) / 7)
          AS BIGINT)""")
     macroFn("toRelativeMonthNum", Seq("__t"),
       "year(CAST(__t AS DATE)) * 12 + month(CAST(__t AS DATE))")

@@ -1413,4 +1413,42 @@ class ChDialectSpec extends AnyFunSuite {
     val e2 = intercept[Exception](Graft.sql(spark, "SET final = 1"))
     assert(e2.getMessage.contains("semantics"))
   }
+
+  test("r9 advice fixes: quantile-If tail, empty arrayResize, week anchor") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // long-tail quantile spelling + If: the condition must become a
+    // FILTER clause (a greedy catch-all used to absorb the If into
+    // the name and feed the condition to percentile as a weight).
+    // All n_regionkey=0 nations have nationkey in {0,5,10,14,16};
+    // median = 10. With the bug the weight path would mix ALL rows.
+    val q = Graft.sql(spark, """
+      SELECT quantileBFloat16WeightedIf(0.5)(n_nationkey, n_regionkey = 0) AS m,
+             quantileTimingIf(0.5)(n_nationkey, n_regionkey < 0) AS nullq
+      FROM nation""").collect().head
+    assert(q.getDouble(0) == 10.0 && q.isNullAt(1))
+    // 2-arg arrayResize on an EMPTY array: typed-zero padding, not an
+    // ANSI ARRAY_INDEX_OUT_OF_BOUNDS throw
+    val r = Graft.sql(spark, """
+      SELECT arrayResize(arrayFilter(x -> x > 9, [1, 2]), 3) AS pad,
+             arrayResize(CAST([] AS ARRAY<DOUBLE>), 2) AS padd
+      FROM system.one""").collect().head
+    assert(r.getSeq[Int](0) == Seq(0, 0, 0))
+    assert(r.getSeq[Double](1) == Seq(0.0, 0.0))
+    // toRelativeWeekNum: Monday-anchored like CH — Friday 1970-01-02
+    // and the following Monday 1970-01-05 differ by exactly 1 week
+    val w = Graft.sql(spark, """
+      SELECT toRelativeWeekNum(toDate('1970-01-05'))
+               - toRelativeWeekNum(toDate('1970-01-02')) AS fri_to_mon,
+             toRelativeWeekNum(toDate('1970-01-04'))
+               - toRelativeWeekNum(toDate('1970-01-02')) AS fri_to_sun,
+             toRelativeWeekNum(toDate('2024-03-04'))
+               - toRelativeWeekNum(toDate('2024-03-03')) AS sun_to_mon
+      FROM system.one""").collect().head
+    assert(w.getLong(0) == 1L && w.getLong(1) == 0L && w.getLong(2) == 1L)
+    // toUnixTimestamp over toTimeZone silently diverges from CH —
+    // must refuse with guidance
+    val e = intercept[Exception](Graft.sql(spark,
+      "SELECT toUnixTimestamp(toTimeZone(now(), 'Asia/Tokyo')) AS x"))
+    assert(e.getMessage.contains("zone-invariant"))
+  }
 }
