@@ -1066,7 +1066,8 @@ object ChSql {
   private val chCastRe =
     ("""(?i)(\bAS\s+|::\s*)(UInt8|UInt16|UInt32|UInt64|Int8|Int16|""" +
       """Int32|Int64|Float32|Float64|DateTime64(?:\s*\(\s*\d+\s*\))?|""" +
-      """DateTime|Date32|FixedString\s*\(\s*\d+\s*\))(?!\w)""").r
+      """DateTime|Date32|FixedString\s*\(\s*\d+\s*\)|Dynamic|""" +
+      """Variant\s*\((?:[^()]|\([^()]*\))*\))(?!\w)""").r
 
   // LowCardinality is a storage encoding, not a logical type — unwrap
   // in cast position (one nesting level covers LowCardinality(Nullable(T)))
@@ -1086,6 +1087,38 @@ object ChSql {
       q = chNullableCastRe.replaceAllIn(q, m =>
         if (mask(m.start)) Regex.quoteReplacement(m.matched)
         else Regex.quoteReplacement(m.group(1) + m.group(2)))
+    }
+    // CH's JSON column type (24.x headline feature): CAST(x AS JSON)
+    // PARSES the string — Spark's CAST to VARIANT would wrap it as a
+    // variant STRING instead (verified), so the faithful mapping is
+    // the parse_json() call. Paren-matched because the operand can
+    // nest arbitrarily.
+    val castAsJsonRe = """(?i)\s+AS\s+JSON\s*$""".r
+    var goJ = true
+    while (goJ) {
+      goJ = false
+      val maskJ = inStringMask(q)
+      castOpenRe.findAllMatchIn(q).filterNot(m => maskJ(m.start))
+        .flatMap { m =>
+          val open = m.end - 1
+          val close = matchParenStr(q, open)
+          val inner = q.substring(open + 1, close)
+          castAsJsonRe.findFirstMatchIn(inner)
+            .filter(am => !inStringMask(inner)(am.start))
+            .map(am => (m.start, close, inner.substring(0, am.start)))
+        }.take(1).toList.foreach { case (s0, close, e) =>
+          q = q.substring(0, s0) + s"parse_json($e)" + q.substring(close + 1)
+          goJ = true
+        }
+    }
+    // the postfix spelling for simple operands: 'lit'::JSON / col::JSON
+    val postfixJsonRe =
+      """(?i)((?:'[^']*')|(?:[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))\s*::\s*JSON(?!\w)""".r
+    if (postfixJsonRe.findFirstIn(q).isDefined) {
+      val maskP = inStringMask(q)
+      q = postfixJsonRe.replaceAllIn(q, m =>
+        if (maskP(m.end - 1)) Regex.quoteReplacement(m.matched)
+        else Regex.quoteReplacement(s"parse_json(${m.group(1)})"))
     }
     // compound Array(…)/Map(…) types in cast position — paren-matched
     // (nested types carry commas and parens a regex can't scope) and
@@ -1114,6 +1147,10 @@ object ChSql {
         val mapped =
           if (raw.startsWith("datetime64")) "TIMESTAMP"
           else if (raw.startsWith("fixedstring")) "STRING"
+          // CH 24.x Dynamic / Variant(T…) union types → Spark 4's
+          // VariantType (the faithful modern mapping, SURVEY §1.2);
+          // the member list is erased — variant_get re-types on read
+          else if (raw == "dynamic" || raw.startsWith("variant")) "VARIANT"
           else chCastTypes(raw)
         Regex.quoteReplacement(m.group(1) + mapped)
       })

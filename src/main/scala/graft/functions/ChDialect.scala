@@ -3026,6 +3026,11 @@ object ChDialect {
                        'yyyy-MM-dd HH:mm:ss')""")
     macroFn("toTimeZone", Seq("__t", "__tz"),
       "from_utc_timestamp(CAST(__t AS TIMESTAMP), __tz)")
+    // CH Dynamic/Variant introspection → Spark 4 variant schema
+    // (CAST(x AS JSON/Dynamic/Variant) maps to VariantType in ChSql;
+    // these read back the runtime type the same way CH's do)
+    macroFn("dynamicType", Seq("__v"), "schema_of_variant(__v)")
+    macroFn("variantType", Seq("__v"), "schema_of_variant(__v)")
     // the session is UTC-pinned (Graft.init), so the zone metadata
     // functions are plan-time constants
     macroFn("timeZone", Seq(), "'UTC'")

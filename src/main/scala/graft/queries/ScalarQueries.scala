@@ -442,6 +442,36 @@ object ScalarQueries {
              CAST(sum(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 3
                       WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
                       ELSE 0 END) AS BIGINT) AS weight_sum
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // CH's JSON/Dynamic/Variant column types (24.x headline feature)
+    // → Spark 4's native VariantType (SURVEY §1.2): parse once into
+    // a variant column, then typed variant_get extraction, missing-
+    // path try_variant_get, and schema_of_variant introspection —
+    // all inside whole-stage codegen, no string re-parse per access.
+    // Oracle: DuckDB JSON extraction computes the same observables.
+    QDef("scalar_variant_type", (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .selectExpr("parse_json(props) AS v")
+        .selectExpr(
+          "variant_get(v, '$.k', 'bigint') AS k",
+          "CAST(try_variant_get(v, '$.missing', 'int') IS NULL AS INT) AS miss",
+          "schema_of_variant(v) AS sch",
+          "CAST(is_variant_null(parse_json('null')) AS INT) AS vnull")
+        .groupBy(($"k" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sk"),
+          sum($"miss").cast("long").as("n_missing"),
+          max($"sch").as("sch"),
+          max($"vnull").as("vn"))
+        .orderBy($"bucket")
+    }, Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk,
+             CAST(count(*) AS BIGINT) AS n_missing,
+             'OBJECT<k: BIGINT>' AS sch, 1 AS vn
+      FROM events GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -1414,6 +1414,29 @@ class ChDialectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("semantics"))
   }
 
+  test("JSON/Dynamic/Variant column types map onto Spark 4 VariantType") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // CAST(x AS JSON) must PARSE (CAST to VARIANT would wrap the
+    // string); Dynamic/Variant(T…) wrap as variant; dynamicType /
+    // variantType read the runtime schema back
+    val r = Graft.sql(spark, """
+      SELECT variant_get(CAST(props AS JSON), '$.k', 'bigint') AS k,
+             variant_get('{"a": {"b": 7}}'::JSON, '$.a.b', 'int') AS nested,
+             schema_of_variant(CAST(props AS JSON)) AS sch,
+             dynamicType(CAST(n_nationkey AS Dynamic)) AS dt,
+             variantType(CAST('x' AS Variant(String, Int64))) AS vt
+      FROM events JOIN nation ON n_nationkey = CAST(user_id AS INT)
+      ORDER BY event_id LIMIT 1""").collect().head
+    assert(r.getLong(0) == 87L && r.getInt(1) == 7)
+    assert(r.getString(2) == "OBJECT<k: BIGINT>")
+    assert(r.getString(3) == "BIGINT" && r.getString(4) == "STRING")
+    // Nullable(JSON) unwraps then parses
+    val n = Graft.sql(spark,
+      "SELECT variant_get(CAST('{\"z\": 3}' AS Nullable(JSON)), '$.z', 'int') AS z")
+      .collect().head
+    assert(n.getInt(0) == 3)
+  }
+
   test("r9 advice fixes: quantile-If tail, empty arrayResize, week anchor") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // long-tail quantile spelling + If: the condition must become a
