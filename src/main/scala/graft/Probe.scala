@@ -695,7 +695,92 @@ object Probe {
     "w18_nan_ordering" ->
       "SELECT isNaN(nan) AS n1, greatest(1.0, nan) IS NOT NULL AS g, least(0.0 / 0.0, 1.0) IS NOT NULL AS l",
     "w18_pos_utf8" ->
-      "SELECT positionUTF8('héllo', 'llo') AS p, positionCaseInsensitiveUTF8('HÉLLO', 'llo') AS pc"
+      "SELECT positionUTF8('héllo', 'llo') AS p, positionCaseInsensitiveUTF8('HÉLLO', 'llo') AS pc",
+    // ---- wave 19 (round 9): string/date/array/map long tail ----
+    "w19_trim_forms" ->
+      "SELECT trim(BOTH 'x' FROM 'xxaxx') AS b, trimLeft('  a ') AS l, trimRight('  a ') AS r, trimBoth(' a ') AS tb",
+    "w19_soundex" ->
+      "SELECT soundex('Robert') AS s1, soundex('Rupert') AS s2",
+    "w19_str_distance" ->
+      "SELECT damerauLevenshteinDistance('abc', 'acb') AS dl, round(jaroSimilarity('martha', 'marhta'), 3) AS js, round(jaroWinklerSimilarity('martha', 'marhta'), 3) AS jw",
+    "w19_initcap" ->
+      "SELECT initcap('hello wORLD') AS i, initcapUTF8('héllo wörld') AS iu",
+    "w19_count_matches" ->
+      "SELECT countMatches('aaa', 'a') AS cm, countSubstrings('aaaa', 'aa') AS cs",
+    "w19_translate" ->
+      "SELECT translate('abcab', 'ab', 'xy') AS t",
+    "w19_bin_unbin" ->
+      "SELECT bin(5) AS b, unbin('00110001') AS u",
+    "w19_byteswap" ->
+      "SELECT byteSwap(3351772109) AS bs",
+    "w19_month_day_names" ->
+      "SELECT monthName(toDate('2024-03-05')) AS mn, dateName('weekday', toDate('2024-03-05')) AS dn, dateName('month', toDate('2024-03-05')) AS dm",
+    "w19_days_since_zero" ->
+      "SELECT toDaysSinceYearZero(toDate('2024-01-01')) AS d, fromDaysSinceYearZero(739252) AS f",
+    "w19_yyyymmdd" ->
+      "SELECT toYYYYMMDD(toDate('2024-03-05')) AS a, toYYYYMMDDhhmmss(toDateTime('2024-03-05 12:30:45')) AS b, YYYYMMDDToDate(20240305) AS c, YYYYMMDDhhmmssToDateTime(20240305123045) AS d",
+    "w19_make_date" ->
+      "SELECT makeDate(2024, 3, 5) AS d, makeDateTime(2024, 3, 5, 12, 30, 0) AS dt, makeDate32(2024, 65) AS doy",
+    "w19_start_of_small" ->
+      "SELECT toStartOfFiveMinutes(toDateTime('2024-03-05 12:33:45')) AS m5, toStartOfTenMinutes(toDateTime('2024-03-05 12:33:45')) AS m10, toStartOfFifteenMinutes(toDateTime('2024-03-05 12:33:45')) AS m15, toLastDayOfMonth(toDate('2024-02-05')) AS ld",
+    "w19_start_interval" ->
+      "SELECT toStartOfInterval(toDateTime('2024-03-05 12:33:45'), INTERVAL 15 MINUTE) AS i15, toStartOfInterval(toDate('2024-03-05'), INTERVAL 2 DAY) AS i2d",
+    "w19_age_fn" ->
+      "SELECT age('day', toDate('2024-01-01'), toDate('2024-03-05')) AS d, age('hour', toDateTime('2024-01-01 10:00:00'), toDateTime('2024-01-02 09:00:00')) AS h",
+    "w19_time_slots" ->
+      "SELECT timeSlot(toDateTime('2024-03-05 12:33:45')) AS ts",
+    "w19_format_datetime" ->
+      "SELECT formatDateTime(toDateTime('2024-03-05 07:08:09'), '%Y-%m-%d %H:%i:%S') AS f, formatDateTime(toDate('2024-03-05'), '%j of %Y') AS j",
+    "w19_parse_datetime" ->
+      "SELECT parseDateTime('2024-03-05 12:00:00', '%Y-%m-%d %H:%i:%s') AS p, parseDateTimeBestEffort('2024-03-05T12:00:00Z') AS b, parseDateTimeBestEffortOrNull('garbage') AS n",
+    "w19_array_fold" ->
+      "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], toInt64(10)) AS f",
+    "w19_array_partial_sort" ->
+      "SELECT arrayPartialSort(2, [3, 1, 2]) AS ps, arrayPartialReverseSort(2, [3, 1, 2]) AS prs",
+    "w19_array_jaccard" ->
+      "SELECT round(arrayJaccardIndex([1, 2], [2, 3]), 4) AS j",
+    "w19_array_membership" ->
+      "SELECT hasAll([1, 2, 3], [1, 2]) AS ha, hasAny([1, 2], [2, 9]) AS hy, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs, indexOf([9, 8, 7], 8) AS io",
+    "w19_array_element_or_null" ->
+      "SELECT arrayElementOrNull([1, 2], 5) AS n, arrayElementOrNull([1, 2], 2) AS v",
+    "w19_map_lambdas" ->
+      "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS ma, mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, mapExists((k, v) -> v = 2, map('a', 1, 'b', 2)) AS me, mapAll((k, v) -> v > 0, map('a', 1)) AS mall",
+    "w19_map_basics" ->
+      "SELECT mapFromArrays(['a', 'b'], [1, 2]) AS m, mapContains(map('x', 1), 'x') AS c, arraySort(mapKeys(map('b', 2, 'a', 1))) AS mk, mapValues(map('a', 1)) AS mv",
+    "w19_json_utils" ->
+      "SELECT isValidJSON('{\"a\": 1}') AS v1, isValidJSON('nope') AS v0, JSONArrayLength('[1, 2, 3]') AS l, JSONMergePatch('{\"a\": 1}', '{\"b\": 2}') AS mp",
+    "w19_concat_ws" ->
+      "SELECT concatWithSeparator('-', 'a', 'b', 'c') AS c",
+    "w19_pads" ->
+      "SELECT leftPad('x', 3, '_') AS lp, rightPad('x', 3, '_') AS rp, leftPadUTF8('é', 3, 'ö') AS lpu",
+    "w19_left_right" ->
+      "SELECT left('hello', 2) AS l, right('hello', 2) AS r, substringIndex('a.b.c', '.', 2) AS si",
+    "w19_ascii_char" ->
+      "SELECT ascii('A') AS a, char(72, 73) AS c",
+    "w19_repeat_space" ->
+      "SELECT repeat('ab', 3) AS r, space(3) || 'x' AS s",
+    "w19_extract_groups" ->
+      "SELECT extractAllGroupsHorizontal('a1b2', '([a-z])(\\\\d)') AS h, extractAllGroupsVertical('a1b2', '([a-z])(\\\\d)') AS v",
+    "w19_tokenizers" ->
+      "SELECT splitByNonAlpha('a,b c') AS s, alphaTokens('abc1def') AS a, ngrams('abcd', 3) AS n, tokens('the quick fox') AS t",
+    "w19_readable_timedelta" ->
+      "SELECT formatReadableTimeDelta(3661) AS t",
+    "w19_decimal_string" ->
+      "SELECT toDecimalString(3.14159, 2) AS d",
+    "w19_kostik_loud" ->
+      "SELECT kostikConsistentHash(16045690984833335023, 2) AS h",
+    "w19_ch_transform_collision" ->
+      "SELECT transform(n_regionkey, [0, 1], ['africa', 'america'], 'other') AS t, transform([1, 2, 3], x -> x * 2) AS hof FROM nation ORDER BY n_nationkey LIMIT 3",
+    "w19_interval_ctors" ->
+      "SELECT toDate('2024-01-10') + toIntervalDay(3) AS d, toDateTime('2024-01-10 00:00:00') + toIntervalHour(2) AS h",
+    "w19_modified_julian" ->
+      "SELECT toModifiedJulianDay('2024-01-01') AS mj, fromModifiedJulianDay(60310) AS fm",
+    "w19_empty_arrays" ->
+      "SELECT emptyArrayInt64() AS e, emptyArrayString() AS es, range(1, 10, 3) AS r",
+    "w19_bit_test_all" ->
+      "SELECT bitTestAll(7, 0, 1, 2) AS ba, bitTestAny(4, 0, 1) AS bn",
+    "w19_tuple_element" ->
+      "SELECT tupleElement(tuple(1, 'x'), 2) AS te, tupleElement((10, 20), 1) AS t1"
   )
 
   def main(argv: Array[String]): Unit = {

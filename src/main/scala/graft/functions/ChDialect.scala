@@ -355,8 +355,8 @@ object ChDialect {
     new String(out.toArray, 0, out.length)
   }
 
-  /** Classic Jaro-Winkler (Winkler prefix bonus 0.1, max prefix 4). */
-  private def jaroWinkler(a: String, b: String): Double = {
+  /** Classic Jaro similarity (the matches/transpositions core). */
+  private def jaro(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
     if (a == b) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
@@ -382,11 +382,70 @@ object ChDialect {
       k += 1
     }
     val m = matches.toDouble
-    val jaro = (m / a.length + m / b.length + (m - t / 2.0) / m) / 3.0
+    (m / a.length + m / b.length + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler = Jaro + the Winkler prefix bonus (0.1, max 4). */
+  private def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    if (j == 0.0 || j == 1.0 || a == null || b == null) return j
     var prefix = 0
     while (prefix < math.min(4, math.min(a.length, b.length)) &&
       a(prefix) == b(prefix)) prefix += 1
-    jaro + prefix * 0.1 * (1.0 - jaro)
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  /** Damerau-Levenshtein in the OSA (adjacent-transposition) form —
+    * the variant CH's byte-distance family computes.
+    */
+  private def damerauLevenshtein(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var i = 0
+    while (i <= a.length) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= b.length) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= a.length) {
+      j = 1
+      while (j <= b.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+        j += 1
+      }
+      i += 1
+    }
+    d(a.length)(b.length)
+  }
+
+  /** RFC 7386 JSON merge patch over json4s trees (Spark bundles
+    * json4s-jackson): object keys merge recursively, a null patch
+    * value REMOVES the key, any non-object patch replaces wholesale.
+    */
+  private def jsonMergePatch(target: org.json4s.JValue,
+      patch: org.json4s.JValue): org.json4s.JValue = {
+    import org.json4s._
+    patch match {
+      case JObject(pf) =>
+        val tf = target match {
+          case JObject(f) => f.toMap
+          case _ => Map.empty[String, JValue]
+        }
+        val keys = (tf.keys ++ pf.map(_._1)).toSeq.distinct
+        val patchMap = pf.toMap
+        JObject(keys.flatMap { k =>
+          patchMap.get(k) match {
+            case Some(JNull) => None
+            case Some(pv) =>
+              Some(k -> jsonMergePatch(tf.getOrElse(k, JNothing), pv))
+            case None => Some(k -> tf(k))
+          }
+        }.toList)
+      case other => other
+    }
   }
 
   /** CH formatReadableTimeDelta: "2 hours, 7 minutes and 33 seconds". */
@@ -567,12 +626,7 @@ object ChDialect {
     // to a Spark datetime pattern. Conservative subset — codes whose
     // meaning shifted between CH versions (notably %M) are REJECTED
     // rather than silently drifting.
-    reg("formatDateTime") { c =>
-      val fmt = c(1) match {
-        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-        case e => throw new IllegalArgumentException(
-          s"formatDateTime requires a literal format (got ${e.sql})")
-      }
+    def mysqlToJavaPattern(fmt: String, fn: String): String = {
       val out = new StringBuilder
       val lit = new StringBuilder
       def flush(): Unit = if (lit.nonEmpty) {
@@ -590,12 +644,12 @@ object ChDialect {
                 case 'm' => "MM";   case 'c' => "M"
                 case 'd' => "dd";   case 'j' => "DDD"
                 case 'H' => "HH";   case 'I' => "hh"
-                case 'i' => "mm";   case 'S' => "ss"
+                case 'i' => "mm";   case 'S' | 's' => "ss"
                 case 'p' => "a"
                 case 'F' => "yyyy-MM-dd"
                 case 'T' => "HH:mm:ss"
                 case other => throw new IllegalArgumentException(
-                  s"formatDateTime: unsupported code %$other")
+                  s"$fn: unsupported code %$other")
               }
               flush(); out.append(mapped)
           }
@@ -603,8 +657,28 @@ object ChDialect {
         } else { lit.append(fmt.charAt(i)); i += 1 }
       }
       flush()
-      DateFormatClass(c(0), Literal(out.toString))
+      out.toString
     }
+    def litFmt(e: Expression, fn: String): String = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn requires a literal format (got ${other.sql})")
+    }
+    reg("formatDateTime") { c =>
+      DateFormatClass(c(0),
+        Literal(mysqlToJavaPattern(litFmt(c(1), "formatDateTime"),
+          "formatDateTime")))
+    }
+    // parseDateTime(s, '%Y-%m-%d …'): the MySQL-style codes parsed
+    // back. Seconds resolution like CH; unparseable input yields NULL
+    // (CH's base form throws, its OrNull form is this — documented
+    // soft spot, the OrNull contract is the safe superset).
+    for (pn <- Seq("parseDateTime", "parseDateTimeOrNull"))
+      reg(pn) { c =>
+        require(c.size == 2, s"$pn(s, format)")
+        Cast(UnixTimestamp(c(0),
+          Literal(mysqlToJavaPattern(litFmt(c(1), pn), pn))), TimestampType)
+      }
 
     // JSONExtract family: literal key path → get_json_object's $.path.
     // CH accepts INTEGER path elements as 1-based array indices
@@ -3031,6 +3105,103 @@ object ChDialect {
     // these read back the runtime type the same way CH's do)
     macroFn("dynamicType", Seq("__v"), "schema_of_variant(__v)")
     macroFn("variantType", Seq("__v"), "schema_of_variant(__v)")
+
+    // ---- wave 19 (probe-driven, r9) ----
+    // string-distance long tail (jaroWinklerSimilarity predates this)
+    spark.udf.register("jaroSimilarity", (a: String, b: String) => jaro(a, b))
+    spark.udf.register("damerauLevenshteinDistance",
+      (a: String, b: String) => damerauLevenshtein(a, b))
+    macroFn("initcapUTF8", Seq("__s"), "initcap(__s)")
+    // unbin: bit-string → bytes, a leading partial group then 8-bit
+    // chunks (inverse of CH bin over string payloads)
+    macroFn("unbin", Seq("__s"),
+      """CASE WHEN length(__s) < 8 THEN
+           CASE WHEN length(__s) = 0 THEN ''
+                ELSE char(CAST(conv(__s, 2, 10) AS INT)) END
+         ELSE concat(
+           CASE WHEN length(__s) % 8 = 0 THEN ''
+                ELSE char(CAST(conv(substring(__s, 1, length(__s) % 8),
+                                    2, 10) AS INT)) END,
+           array_join(transform(sequence(1, CAST(length(__s) DIV 8 AS INT)),
+             __i -> char(CAST(conv(substring(__s,
+                    length(__s) % 8 + (__i - 1) * 8 + 1, 8), 2, 10) AS INT))),
+             '')) END""")
+    // compact-integer date spellings
+    macroFn("YYYYMMDDToDate", Seq("__n"),
+      "to_date(CAST(CAST(__n AS BIGINT) AS STRING), 'yyyyMMdd')")
+    macroFn("YYYYMMDDToDate32", Seq("__n"),
+      "to_date(CAST(CAST(__n AS BIGINT) AS STRING), 'yyyyMMdd')")
+    macroFn("YYYYMMDDhhmmssToDateTime", Seq("__n"),
+      "to_timestamp(CAST(CAST(__n AS BIGINT) AS STRING), 'yyyyMMddHHmmss')")
+    macroFn("YYYYMMDDhhmmssToDateTime64", Seq("__n"),
+      "to_timestamp(CAST(CAST(__n AS BIGINT) AS STRING), 'yyyyMMddHHmmss')")
+    // makeDate32(y, m, d) | makeDate32(y, dayOfYear) — CH's two forms
+    macroFnN("makeDate32",
+      Seq("__y", "__m", "__d") -> "make_date(__y, __m, __d)",
+      Seq("__y", "__doy") ->
+        "date_add(make_date(__y, 1, 1), CAST(__doy AS INT) - 1)")
+    // arrayPartialSort(limit, a): CH sorts the first n positions and
+    // leaves the tail UNSPECIFIED — the deterministic instance of
+    // that contract is the full sort (its first n are the n smallest
+    // sorted, and every executor count agrees on the rest)
+    macroFn("arrayPartialSort", Seq("__n", "__a"), "array_sort(__a)")
+    macroFn("arrayPartialReverseSort", Seq("__n", "__a"),
+      "reverse(array_sort(__a))")
+    macroFn("arrayElementOrNull", Seq("__a", "__i"),
+      "try_element_at(__a, __i)")
+    macroFn("splitByNonAlpha", Seq("__s"),
+      "filter(split(__s, '[^A-Za-z0-9]+'), __x -> __x != '')")
+    macroFn("isValidJSON", Seq("__s"), "try_parse_json(__s) IS NOT NULL")
+    macroFn("JSONArrayLength", Seq("__s"), "json_array_length(__s)")
+    spark.udf.register("JSONMergePatch", (a: String, b: String) => {
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(jsonMergePatch(
+        JsonMethods.parse(a), JsonMethods.parse(b))))
+    })
+    // mapExists/mapAll: CH's (k, v) lambda re-bound over one
+    // entry-struct parameter (same rebind as mapApply), then Spark's
+    // codegen'd exists/forall over map_entries
+    def entryPredicate(c: Seq[Expression], fn: String)
+        : (Expression, LambdaFunction) = {
+      require(c.size == 2, s"$fn(lambda, map)")
+      val lf = c.head match {
+        case l: LambdaFunction => l
+        case other => throw new IllegalArgumentException(
+          s"$fn: first argument must be a lambda, got $other")
+      }
+      require(lf.arguments.size == 2, s"$fn lambda takes (key, value)")
+      val names = lf.arguments.map {
+        case v: UnresolvedNamedLambdaVariable => v.nameParts.head
+        case v => v.sql
+      }
+      val entry = UnresolvedNamedLambdaVariable(Seq("__graft_me"))
+      def fieldOf(f: String) =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          entry, Literal(org.apache.spark.unsafe.types.UTF8String.fromString(f),
+            StringType))
+      val body = lf.function.transformUp {
+        case v: UnresolvedNamedLambdaVariable if v.nameParts.size == 1 &&
+            v.nameParts.head == names(0) => fieldOf("key")
+        case v: UnresolvedNamedLambdaVariable if v.nameParts.size == 1 &&
+            v.nameParts.head == names(1) => fieldOf("value")
+      }
+      (MapEntries(c(1)), LambdaFunction(body, Seq(entry)))
+    }
+    reg("mapExists") { c =>
+      val (entries, l) = entryPredicate(c, "mapExists"); ArrayExists(entries, l)
+    }
+    reg("mapAll") { c =>
+      val (entries, l) = entryPredicate(c, "mapAll"); ArrayForAll(entries, l)
+    }
+    // kostikConsistentHash: CH's sumbur algorithm — bit-parity would
+    // require the published constants; refuse with the working
+    // alternative rather than silently drifting
+    reg("kostikConsistentHash") { _ =>
+      throw new IllegalArgumentException(
+        "kostikConsistentHash (sumbur) is not implemented; " +
+          "jumpConsistentHash(x, n) provides the same O(1) " +
+          "consistent-bucket contract")
+    }
     // the session is UTC-pinned (Graft.init), so the zone metadata
     // functions are plan-time constants
     macroFn("timeZone", Seq(), "'UTC'")

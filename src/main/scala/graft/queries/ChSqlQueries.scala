@@ -1778,6 +1778,76 @@ object ChSqlQueries {
                x -> CAST(x AS VARCHAR)), '|') AS ga,
              round(qtw, 4) AS qtw, uc, md, mt,
              CAST(19724 AS BIGINT) AS rd, CAST(473357 AS BIGINT) AS rh
-      FROM g ORDER BY k"""))
+      FROM g ORDER BY k""")),
+
+    // Wave-19 graduation: string distances (Damerau-Levenshtein OSA,
+    // Jaro, Jaro-Winkler — DuckDB ships the same three natively),
+    // initcapUTF8, unbin, compact-integer date spellings
+    // (YYYYMMDDToDate / …hhmmssToDateTime), makeDate32(y, dayOfYear),
+    // parseDateTime (MySQL % codes), arrayPartialSort (deterministic
+    // full-sort instance of CH's first-n contract), arrayElementOrNull,
+    // splitByNonAlpha, isValidJSON / JSONArrayLength / JSONMergePatch
+    // (RFC 7386), mapExists/mapAll over entry lambdas, countMatches,
+    // translate, monthName/dateName, toDaysSinceYearZero.
+    QDef("sql_ch_w19_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          CAST(min(damerauLevenshteinDistance(n_name, 'NATION_5')) AS Int64) AS dl,
+          round(max(jaroSimilarity(n_name, 'NATION_5')), 4) AS js,
+          round(max(jaroWinklerSimilarity(n_name, 'NATION_5')), 4) AS jw,
+          min(initcapUTF8(lowerUTF8(n_name))) AS ic,
+          min(unbin('0100100001001001')) AS ub,
+          min(YYYYMMDDToDate(20240110 + n_regionkey)) AS d8,
+          min(toUnixTimestamp64Micro(
+            YYYYMMDDhhmmssToDateTime(20240110123456))) AS ts8,
+          min(makeDate32(2024, n_nationkey + 1)) AS md,
+          min(toUnixTimestamp64Micro(
+            parseDateTime('2024-03-05 12:34:56', '%Y-%m-%d %H:%i:%s'))) AS pd,
+          min(arrayStringConcat(arrayMap(x -> toString(x),
+            arrayPartialSort(2, [n_regionkey, 9, 1])), '|')) AS ps,
+          min(coalesce(arrayElementOrNull([1, 2], 5), -1)) AS eon,
+          min(arrayStringConcat(splitByNonAlpha(n_name), '|')) AS sna,
+          min(CAST(isValidJSON(n_name) AS Int32)) AS vj,
+          CAST(min(JSONArrayLength('[1, 2, 3]')) AS Int64) AS jl,
+          min(JSONMergePatch('{"a": 1, "b": 2}', '{"b": null, "c": 3}')) AS mp,
+          max(mapExists((mk, mv) -> mv > n_regionkey, map('x', 3))) AS me,
+          max(mapAll((mk, mv) -> mv % 2 = 1, map('x', n_regionkey))) AS ma,
+          CAST(min(countMatches(n_name, 'N')) AS Int64) AS cm,
+          min(translate(n_name, '_', '-')) AS tr,
+          min(monthName(makeDate32(2024, 40))) AS mn,
+          min(dateName('weekday', toDate('2024-03-05'))) AS dn,
+          CAST(min(toDaysSinceYearZero(toDate('2024-01-01'))) AS Int64) AS dz
+        FROM nation GROUP BY n_regionkey ORDER BY k""")
+    }, Some("""
+      SELECT n_regionkey AS k,
+        CAST(min(damerau_levenshtein(n_name, 'NATION_5')) AS BIGINT) AS dl,
+        round(max(jaro_similarity(n_name, 'NATION_5')), 4) AS js,
+        round(max(jaro_winkler_similarity(n_name, 'NATION_5')), 4) AS jw,
+        min(upper(substring(lower(n_name), 1, 1)) ||
+            substring(lower(n_name), 2)) AS ic,
+        'HI' AS ub,
+        min(CAST(strptime(CAST(20240110 + n_regionkey AS VARCHAR),
+                          '%Y%m%d') AS DATE)) AS d8,
+        CAST(epoch_us(TIMESTAMP '2024-01-10 12:34:56') AS BIGINT) AS ts8,
+        min(DATE '2024-01-01' + n_nationkey) AS md,
+        CAST(epoch_us(TIMESTAMP '2024-03-05 12:34:56') AS BIGINT) AS pd,
+        min(array_to_string(list_transform(list_sort([n_regionkey, 9, 1]),
+          x -> CAST(x AS VARCHAR)), '|')) AS ps,
+        CAST(-1 AS INT) AS eon,
+        min(array_to_string(list_filter(
+          regexp_split_to_array(n_name, '[^A-Za-z0-9]+'), x -> x != ''),
+          '|')) AS sna,
+        CAST(0 AS INT) AS vj,
+        CAST(3 AS BIGINT) AS jl,
+        '{"a":1,"c":3}' AS mp,
+        max(3 > n_regionkey) AS me,
+        max(n_regionkey % 2 = 1) AS ma,
+        CAST(min(length(n_name) - length(replace(n_name, 'N', ''))) AS BIGINT) AS cm,
+        min(replace(n_name, '_', '-')) AS tr,
+        'February' AS mn,
+        'Tuesday' AS dn,
+        CAST(739251 AS BIGINT) AS dz
+      FROM nation GROUP BY n_regionkey ORDER BY k"""))
   )
 }
