@@ -97,8 +97,10 @@ object ClickBenchQueries {
        |          CAST(ts AS DATE) AS event_date
        |        FROM events))""".stripMargin
 
-  /** Spark spelling of the view. */
-  private def hits(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** Spark spelling of the view (exposed for ClickBenchSqlSpec's
+    * front-door run).
+    */
+  def hits(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "events")
       .selectExpr("*",
         "CAST(get_json_object(props, '$.k') AS INT) AS k",
@@ -110,13 +112,21 @@ object ClickBenchQueries {
     * view and by DuckDB over the CTE — a dialect divergence is
     * impossible by construction (the gate hash-compares anyway).
     */
-  private def cbq(name: String, sharedSql: String): QDef =
+  private val suiteBuf =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+
+  private def cbq(name: String, sharedSql: String): QDef = {
+    suiteBuf(name) = sharedSql
     QDef(name,
       (s, dir) => {
         hits(s, dir).createOrReplaceTempView("cb_hits")
         s.sql(sharedSql)
       },
       Some(s"WITH $duckHitsCte $sharedSql"))
+  }
+
+  /** name → shared query text (for the front-door equivalence spec). */
+  def suite: Map[String, String] = { val _ = defs; suiteBuf.toMap }
 
   // Q29's 90 structurally-distinct sums (sum(res_width + i)) — the
   // "many aggregates, one pass" stressor.
