@@ -78,7 +78,12 @@ object Perf {
     "tpch_q3_shipping", "tpch_q5_region", "tpch_q10_returns",
     "sql_ch_w14_batch", "sql_ch_recursive",
     "sql_ch_w15_batch", "sql_ch_w16_batch", "sql_ch_w17_batch",
-    "sql_ch_fill_staleness", "sql_ch_interpolate_expr", "sql_ch_sample_n")
+    "sql_ch_fill_staleness", "sql_ch_interpolate_expr", "sql_ch_sample_n",
+    // round-9: completed ClickBench suite's heavy shapes (q32 = full-
+    // table high-card GROUP BY, q29 = 90-sum single pass, q18 = 3-key
+    // grouped top-k, q23 = wide SELECT * sort) + w18/w19 + variant
+    "cb43_q32", "cb43_q29", "cb43_q18", "cb43_q23", "cb43_q13",
+    "sql_ch_w18_batch", "sql_ch_w19_batch", "scalar_variant_type")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

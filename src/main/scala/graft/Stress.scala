@@ -229,6 +229,29 @@ object Stress {
     val (fRows, tF) = timed(funnel.collect())
     report("funnel", mult, nEvents, tF, exchanges(funnel), fRows.length)
 
+    // ClickBench heavy shapes on the same events (cb43 suite):
+    // q32 = the FULL-TABLE high-cardinality GROUP BY (watch_id,
+    // client_ip) — CB's partial-aggregation shuffle stressor, nearly
+    // every row its own group; q29 = 90 independent sums in ONE
+    // map-side pass (plan must stay a single partial→final agg, 1
+    // exchange, regardless of scale)
+    val cbHits = events.selectExpr(
+      "event_id AS watch_id",
+      "CAST(167772160 + (user_id * 2654435761) % 1048576 AS BIGINT) AS client_ip",
+      "CAST(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_refresh",
+      "CAST(800 + (event_id % 8) * 40 AS BIGINT) AS res_width")
+    val cb32 = cbHits.groupBy($"watch_id", $"client_ip")
+      .agg(count(lit(1)).as("c"), sum($"is_refresh").as("sr"),
+        avg($"res_width").as("a"))
+      .orderBy($"c".desc, $"watch_id").limit(10)
+    val (cbRows, tCb) = timed(cb32.collect())
+    report("clickbench_q32", mult, nEvents, tCb, exchanges(cb32),
+      cbRows.length)
+    val sumCols = (0 until 90).map(i => sum($"res_width" + i).as(s"s$i"))
+    val cb29 = cbHits.agg(sumCols.head, sumCols.tail: _*)
+    val (r29, t29) = timed(cb29.collect())
+    report("clickbench_q29", mult, nEvents, t29, exchanges(cb29), r29.length)
+
     // LIMIT 2 BY user_id through the custom partial/final exec
     val lb = graft.plans.LimitByPlan.limitBy(events, Seq("user_id"), 2,
       Seq(("value", false), ("event_id", true)))
