@@ -119,6 +119,61 @@ object ChSql {
 
   // ---- textual pre-rewrites (stay inside Spark SQL) ----------------
 
+  /** CH resolves SELECT-list aliases inside WHERE/PREWHERE (the alias
+    * SHADOWS a same-named column); Spark resolves WHERE against the
+    * relation only. For a single top-level SELECT carrying a WHERE,
+    * substitute `alias` → `(expr)` for every `expr AS alias` item
+    * whose alias appears bare at the filter's top level. Subqueries
+    * and set operations are left untouched (their scopes are theirs).
+    */
+  private val selItemAliasRe =
+    """(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+  private val clauseKwRe =
+    ("""(?i)\b(SELECT|FROM|WHERE|PREWHERE|GROUP|HAVING|QUALIFY|ORDER|""" +
+      """LIMIT|SETTINGS|UNION|INTERSECT|EXCEPT|WINDOW)\b""").r
+
+  private def rewriteWhereAliases(q0: String): String = {
+    val mask = topLevelMask(q0)
+    val kws = clauseKwRe.findAllMatchIn(q0).filter(m => mask(m.start)).toList
+    def of(names: String*) = kws.filter(m =>
+      names.contains(m.group(1).toUpperCase(java.util.Locale.ROOT)))
+    val selects = of("SELECT"); val froms = of("FROM")
+    val wheres = of("WHERE", "PREWHERE")
+    if (selects.size != 1 || froms.isEmpty || wheres.isEmpty) return q0
+    if (of("UNION", "INTERSECT", "EXCEPT").nonEmpty) return q0
+    val aliases = splitTopLevel(
+      q0.substring(selects.head.end, froms.head.start)).flatMap {
+      case selItemAliasRe(expr, alias)
+        // SELF-REFERENTIAL renames (`x + 1 AS x`) stay on column
+        // semantics: substituting would turn a filter on the column
+        // into a filter on the shifted value (CH rejects the cyclic
+        // alias outright; plain-rename `x AS x` is a no-op either way)
+        if ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(alias) +
+          """(?![\w.])""").r.findFirstIn(expr).isEmpty =>
+        Some(alias -> expr.trim)
+      case _ => None
+    }.toMap
+    if (aliases.isEmpty) return q0
+    var q = q0
+    wheres.sortBy(-_.start).foreach { w =>
+      val spanEnd = kws.find(m => m.start > w.start &&
+        Set("GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT", "SETTINGS",
+          "WINDOW")(m.group(1).toUpperCase(java.util.Locale.ROOT)))
+        .map(_.start).getOrElse(q0.length)
+      var span = q0.substring(w.end, spanEnd)
+      aliases.foreach { case (a, e) =>
+        val aRe = ("""(?i)(?<![\w.])""" +
+          java.util.regex.Pattern.quote(a) + """(?![\w.(])""").r
+        val smask = topLevelMask(span)
+        span = aRe.replaceAllIn(span, m =>
+          if (smask(m.start)) Regex.quoteReplacement(s"($e)")
+          else Regex.quoteReplacement(m.matched))
+      }
+      q = q.substring(0, w.end) + span + q.substring(spanEnd)
+    }
+    q
+  }
+
   /** ClickHouse's `dateDiff('day', a, b)` cannot be a registry
     * function: Spark's PARSER special-cases 3-arg datediff as
     * timestampdiff and rejects quoted units before resolution ever
@@ -3497,7 +3552,8 @@ object ChSql {
       preRewrite(rewriteSpecialJoins(spark, rewriteStarMods(spark,
         rewriteChSubqueries(spark, rewriteFinal(spark,
           rewriteSystemTables(spark,
-            rewriteParametric(spark, rewriteLexical(query.trim))))))))))
+            rewriteParametric(spark,
+              rewriteWhereAliases(rewriteLexical(query.trim)))))))))))
 
     // CH `SELECT DISTINCT ON (k…)` — first row per key group in the
     // query's order (CH documents it as `LIMIT 1 BY`). Spark cannot

@@ -780,7 +780,62 @@ object Probe {
     "w19_bit_test_all" ->
       "SELECT bitTestAll(7, 0, 1, 2) AS ba, bitTestAny(4, 0, 1) AS bn",
     "w19_tuple_element" ->
-      "SELECT tupleElement(tuple(1, 'x'), 2) AS te, tupleElement((10, 20), 1) AS t1"
+      "SELECT tupleElement(tuple(1, 'x'), 2) AS te, tupleElement((10, 20), 1) AS t1",
+    // ---- wave 20 (round 9): syntax forms + conversion/round tails ----
+    "w20_group_by_all" ->
+      "SELECT n_regionkey, n_nationkey % 2 AS par, count() AS c FROM nation GROUP BY ALL ORDER BY n_regionkey, par",
+    "w20_order_by_all" ->
+      "SELECT n_regionkey AS a, count() AS c FROM nation GROUP BY a ORDER BY ALL",
+    "w20_limit_comma" ->
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3, 2",
+    "w20_star_except" ->
+      "SELECT * EXCEPT (r_name) FROM region ORDER BY r_regionkey LIMIT 2",
+    "w20_scalar_with" ->
+      "WITH 5 AS lim SELECT count() AS c FROM nation WHERE n_nationkey < lim",
+    "w20_scalar_with_subq" ->
+      "WITH (SELECT max(n_nationkey) FROM nation) AS mx SELECT count() AS c FROM nation WHERE n_nationkey > mx - 3",
+    "w20_where_alias" ->
+      "SELECT n_nationkey * 2 AS dbl FROM nation WHERE dbl > 40 ORDER BY dbl",
+    "w20_enumerate" ->
+      "SELECT arrayEnumerate([9, 8, 7]) AS e, arrayEnumerateDense([10, 20, 10]) AS d, arrayEnumerateUniq([5, 5, 6]) AS u",
+    "w20_array_zip_auc" ->
+      "SELECT arrayZip([1, 2], ['a', 'b']) AS z, round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc",
+    "w20_sum_count_kahan" ->
+      "SELECT sumCount(n_nationkey) AS sc, sumKahan(n_nationkey / 7.0) IS NOT NULL AS sk FROM nation",
+    "w20_count_equal_has" ->
+      "SELECT countEqual([1, 2, 1], 1) AS ce, has([1, 2], 2) AS h",
+    "w20_bitmask_list" ->
+      "SELECT bitmaskToList(50) AS bl, bitPositionsToArray(50) AS bp",
+    "w20_tuple_ops" ->
+      "SELECT tupleConcat((1, 'a'), tuple(2)) AS tc, tupleToNameValuePairs((x, y)) AS nv FROM (SELECT 7 AS x, 9 AS y)",
+    "w20_map_populate" ->
+      "SELECT mapPopulateSeries(map(1, 10, 4, 40)) AS m",
+    "w20_or_conversions" ->
+      "SELECT toInt64OrNull('12') AS a, toInt64OrNull('nope') AS b, toInt64OrZero('x') AS z, toFloat64OrNull('1.5') AS f, toDateOrNull('2024-03-05') AS d, toUInt8OrZero('300') AS u",
+    "w20_accurate_cast" ->
+      "SELECT accurateCastOrNull(300, 'UInt8') AS a, accurateCastOrNull(12, 'UInt8') AS b, accurateCast(7, 'Int64') AS c",
+    "w20_finite" ->
+      "SELECT isFinite(1.0) AS f1, isFinite(divide(1, 0)) AS f0, isInfinite(inf) AS i1, ifNotFinite(divide(1, 0), 42.0) AS nf",
+    "w20_round_family" ->
+      "SELECT roundBankers(2.5) AS rb, roundBankers(3.5) AS rb2, roundToExp2(20) AS r2, roundDown(7.7, [2, 5, 10]) AS rd, roundDuration(95) AS rdur, roundAge(35) AS ra",
+    "w20_readable_quantity" ->
+      "SELECT formatReadableQuantity(10036) AS q",
+    "w20_start_second" ->
+      "SELECT toStartOfSecond(toDateTime64('2024-03-05 12:33:45.678', 3)) AS s",
+    "w20_add_sub_units" ->
+      "SELECT addDays(toDate('2024-01-10'), 5) AS ad, subtractMonths(toDate('2024-03-10'), 2) AS sm, addHours(toDateTime('2024-01-10 00:00:00'), 3) AS ah",
+    "w20_today_yesterday" ->
+      "SELECT today() >= toDate('2024-01-01') AS t, yesterday() = today() - 1 AS y",
+    "w20_snowflake" ->
+      "SELECT snowflakeToDateTime(1426860702823350272) AS s, dateTimeToSnowflake(toDateTime('2021-08-15 10:57:56')) AS d",
+    "w20_split_max" ->
+      "SELECT splitByChar(',', 'a,b,c,d', 2) AS s2, splitByString('::', 'a::b::c') AS ss",
+    "w20_extract_kv" ->
+      "SELECT extractKeyValuePairs('name:neymar, age:31') AS kv",
+    "w20_normalize_query" ->
+      "SELECT normalizeQuery('SELECT 1 + 2 AS x FROM t WHERE id = 42') AS nq",
+    "w20_ulid_like" ->
+      "SELECT generateUUIDv4() IS NOT NULL AS u4"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -1149,6 +1149,13 @@ object ChDialect {
     // min(keys) to max(keys) (or `max`) with type-zero values — the
     // companion of sumMap's sparse series
     macroFnN("mapPopulateSeries",
+      Seq("__mm") ->
+        """map_from_arrays(
+             sequence(array_min(map_keys(__mm)), array_max(map_keys(__mm))),
+             transform(sequence(array_min(map_keys(__mm)),
+                                array_max(map_keys(__mm))),
+               __i -> coalesce(element_at(__mm, __i),
+                               element_at(map_values(__mm), 1) * 0)))""",
       Seq("__k", "__v") ->
         """map_from_arrays(
              sequence(array_min(__k), array_max(__k)),
@@ -2257,7 +2264,10 @@ object ChDialect {
       if (c.size == 3) dateArith("subtract")(c) else nativeDateSub(c))
 
     // CH accurateCast[OrNull](x, 'Type') with CH type names; OrNull is
-    // try_cast semantics (NULL on failure instead of an error)
+    // try_cast semantics (NULL on failure instead of an error).
+    // UNSIGNED targets map to wider signed Spark types, so the width
+    // cast alone would accept out-of-range values (UInt8 ← 300) and
+    // negatives — an explicit range gate restores CH's contract.
     def accCast(c: Seq[Expression], tryMode: Boolean): Expression = {
       require(c.size == 2, "accurateCast(x, 'Type')")
       val t = c(1) match {
@@ -2266,7 +2276,23 @@ object ChDialect {
           s"accurateCast: type must be a string literal, got ${other.sql}")
       }
       val dt = graft.ChSql.chType(t)
-      if (tryMode) Cast(c.head, dt, None, EvalMode.TRY) else Cast(c.head, dt)
+      val base =
+        if (tryMode) Cast(c.head, dt, None, EvalMode.TRY) else Cast(c.head, dt)
+      val uintRe = "(?i)uint(8|16|32|64)".r
+      t.trim match {
+        case uintRe(bits) =>
+          val asD = Cast(c.head, DoubleType, None, EvalMode.TRY)
+          val loOk = GreaterThanOrEqual(asD, Literal(0.0))
+          val hiOk: Expression =
+            if (bits == "64") Literal(true)
+            else LessThanOrEqual(asD, Literal(math.pow(2, bits.toInt) - 1))
+          val inRange = Or(IsNull(c.head), And(loOk, hiOk))
+          if (tryMode) If(inRange, base, Literal.create(null, dt))
+          else If(inRange, base, Cast(spark.sessionState.sqlParser
+            .parseExpression(
+              s"raise_error('accurateCast: value out of range for $t')"), dt))
+        case _ => base
+      }
     }
     reg("accurateCast")(accCast(_, tryMode = false))
     reg("accurateCastOrNull")(accCast(_, tryMode = true))
@@ -3192,6 +3218,65 @@ object ChDialect {
     }
     reg("mapAll") { c =>
       val (entries, l) = entryPredicate(c, "mapAll"); ArrayForAll(entries, l)
+    }
+    // ---- wave 20 (probe-driven, r9) ----
+    macroFn("bitPositionsToArray", Seq("__x"),
+      """filter(sequence(0, 63),
+           __i -> (shiftright(CAST(__x AS BIGINT), CAST(__i AS INT)) & 1) = 1)""")
+    // extractKeyValuePairs with CH's default delimiters (pair ',',
+    // key-value ':'); quoting support is out of scope — documented
+    macroFn("extractKeyValuePairs", Seq("__s"),
+      """map_from_entries(transform(
+           filter(split(__s, ','), __t -> contains(__t, ':')),
+           __t -> struct(trim(split_part(__t, ':', 1)),
+                         trim(split_part(__t, ':', 2)))))""")
+    // tupleConcat over literal/constructed tuples: splice the field
+    // lists at resolution time (general struct concat would need
+    // runtime schemas — CH's use is overwhelmingly literal tuples)
+    reg("tupleConcat") { c =>
+      val fields = c.flatMap {
+        case s: CreateNamedStruct => s.valExprs
+        case other => throw new IllegalArgumentException(
+          "tupleConcat expects tuple literals like (a, b) or tuple(x); " +
+            s"got ${other.sql}")
+      }
+      CreateStruct(fields)
+    }
+    // tupleToNameValuePairs((a, b)): CH needs a NAMED tuple; the
+    // Spark-side names come from the constructed struct's field names
+    // (attribute names / col1, col2 for positional)
+    reg("tupleToNameValuePairs") { c =>
+      require(c.size == 1, "tupleToNameValuePairs(tuple)")
+      c.head match {
+        case s: CreateNamedStruct =>
+          CreateArray(s.nameExprs.zip(s.valExprs).zipWithIndex.map {
+            case ((n, v), i) =>
+              // positional tuples carry NamePlaceholder — derive the
+              // name CH would use (the member expression's identifier)
+              val nm = n match {
+                case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)
+                  if u != null => u.toString
+                case _ => v match {
+                  case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                    a.nameParts.last
+                  case _ => s"_${i + 1}"
+                }
+              }
+              // uniform (name, value) field names — elements must
+              // share one struct type inside the array
+              CreateNamedStruct(Seq(
+                Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString("name"), StringType),
+                Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(nm), StringType),
+                Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString("value"), StringType),
+                v))
+          })
+        case other => throw new IllegalArgumentException(
+          "tupleToNameValuePairs expects a tuple literal like (x, y); " +
+            s"got ${other.sql}")
+      }
     }
     // kostikConsistentHash: CH's sumbur algorithm — bit-parity would
     // require the published constants; refuse with the working

@@ -1848,6 +1848,80 @@ object ChSqlQueries {
         'February' AS mn,
         'Tuesday' AS dn,
         CAST(739251 AS BIGINT) AS dz
-      FROM nation GROUP BY n_regionkey ORDER BY k"""))
+      FROM nation GROUP BY n_regionkey ORDER BY k""")),
+
+    // Wave-20 graduation — SYNTAX forms exercised by the query's own
+    // structure (scalar WITH constant feeding WHERE, SELECT-alias
+    // reused in WHERE à la CH, GROUP BY ALL, ORDER BY ALL, CH's
+    // comma LIMIT `LIMIT 1, 8`) plus the function tail: sumCount,
+    // arrayEnumerateDense, arrayZip, arrayAUC, bitPositionsToArray,
+    // 1-arg mapPopulateSeries, toInt64OrNull, accurateCastOrNull,
+    // ifNotFinite over CH divide(), roundBankers/roundToExp2,
+    // addDays, dateTimeToSnowflake, splitByString,
+    // extractKeyValuePairs, normalizeQuery, tupleConcat,
+    // tupleToNameValuePairs.
+    QDef("sql_ch_w20_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        WITH 23 AS cut
+        SELECT n_regionkey AS k, n_nationkey % 2 AS par, count() AS c,
+          CAST(tupleElement(sumCount(n_nationkey), 1) AS Int64) AS sc1,
+          CAST(tupleElement(sumCount(n_nationkey), 2) AS Int64) AS sc2,
+          min(arrayStringConcat(arrayMap(x -> toString(x),
+            arrayEnumerateDense([n_regionkey, 9, n_regionkey])), '|')) AS en,
+          min(tupleElement(arrayElement(arrayZip([1, 2], ['a', 'b']), 2), 2)) AS az,
+          round(min(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])), 4) AS auc,
+          min(arrayStringConcat(arrayMap(x -> toString(x),
+            bitPositionsToArray(n_nationkey + 1)), '|')) AS bp,
+          min(element_at(mapPopulateSeries(map(1, n_regionkey, 3, 9)), 2)) AS mps,
+          min(toInt64OrNull(concat('1', toString(n_regionkey)))) AS i64,
+          CAST(min(coalesce(accurateCastOrNull(300 + n_regionkey, 'UInt8'),
+                            -1)) AS Int64) AS acn,
+          min(ifNotFinite(divide(n_regionkey, 0), -1.0)) AS nf,
+          CAST(min(roundBankers(toFloat64(n_regionkey) + 0.5)) AS Int64) AS rb,
+          CAST(min(roundToExp2(n_regionkey + 17)) AS Int64) AS r2,
+          min(addDays(toDate('2024-01-10'), n_regionkey)) AS rd8,
+          min(dateTimeToSnowflake(toDateTime('2021-08-15 10:57:56'))) AS snf,
+          min(arrayStringConcat(splitByString('_', n_name), '|')) AS sps,
+          min(element_at(extractKeyValuePairs(
+            concat('a:', toString(n_regionkey), ', b:2')), 'a')) AS kv,
+          min(normalizeQuery('SELECT 1 + 2 AS x FROM t WHERE id = 42')) AS nq,
+          CAST(min(tupleElement(tupleConcat((1, 'a'), tuple(n_regionkey)),
+                                3)) AS Int64) AS tc,
+          CAST(min(tupleElement(arrayElement(
+            tupleToNameValuePairs(tuple(n_regionkey)), 1), 2)) AS Int64) AS nv
+        FROM nation
+        WHERE n_nationkey < cut AND par IN (0, 1)
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 1, 8""")
+    }, Some("""
+      SELECT n_regionkey AS k, n_nationkey % 2 AS par, count(*) AS c,
+        CAST(sum(n_nationkey) AS BIGINT) AS sc1,
+        CAST(count(n_nationkey) AS BIGINT) AS sc2,
+        '1|2|1' AS en, 'b' AS az, CAST(0.75 AS DOUBLE) AS auc,
+        min(array_to_string(list_transform(
+          list_filter(range(0, 64),
+                      i -> (((n_nationkey + 1) >> i) & 1) = 1),
+          x -> CAST(x AS VARCHAR)), '|')) AS bp,
+        CAST(0 AS BIGINT) AS mps,
+        min(CAST('1' || CAST(n_regionkey AS VARCHAR) AS BIGINT)) AS i64,
+        CAST(-1 AS BIGINT) AS acn,
+        CAST(-1.0 AS DOUBLE) AS nf,
+        CAST(min(CASE WHEN n_regionkey % 2 = 0 THEN n_regionkey
+                      ELSE n_regionkey + 1 END) AS BIGINT) AS rb,
+        CAST(16 AS BIGINT) AS r2,
+        min(DATE '2024-01-10' + CAST(n_regionkey AS INT)) AS rd8,
+        CAST(1426860702823350272 AS BIGINT) AS snf,
+        min(replace(n_name, '_', '|')) AS sps,
+        min(CAST(n_regionkey AS VARCHAR)) AS kv,
+        'SELECT ? + ? AS x FROM t WHERE id = ?' AS nq,
+        CAST(min(n_regionkey) AS BIGINT) AS tc,
+        CAST(min(n_regionkey) AS BIGINT) AS nv
+      FROM nation
+      WHERE n_nationkey < 23 AND (n_nationkey % 2) IN (0, 1)
+      GROUP BY ALL
+      ORDER BY ALL
+      LIMIT 8 OFFSET 1"""))
   )
 }
