@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QDef, Tables}
+import graft.{Det, QDef, Tables}
 import graft.ops.Text
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,69 @@ object Pipeline2Queries {
         FROM d GROUP BY dim)
       SELECT dim, n, round(sx / n, 4) + 0.0 AS mean,
              round(sqrt((sxx - sx * sx / n) / n), 4) AS std
-      FROM st ORDER BY dim LIMIT 16"""))
+      FROM st ORDER BY dim LIMIT 16""")),
+
+    // Unicode-script detection — the multilingual-corpus router a
+    // training pipeline runs before language-specific processing:
+    // count codepoints per script class (explicit range classes so
+    // Java regex and RE2 agree), classify by majority, report the
+    // (declared-lang × detected-script) confusion counts. The fixture
+    // text is ASCII, so the zh/fr stripes are first mapped through
+    // deterministic `translate` tables into Han / accented-Latin
+    // codepoints — giving the detector real non-ASCII content with a
+    // known answer. Per-row regex + 10-group agg: one scan, scale-safe.
+    QDef("pipe_script_detect", (s, dir) => {
+      import s.implicits._
+      val hanRange = "一-鿿"
+      val cjk26 = (0x4e00 until 0x4e1a).map(_.toChar).mkString
+      Tables(s, dir, "documents")
+        .withColumn("t2", expr(
+          s"""CASE WHEN lang = 'zh'
+                THEN translate(text, 'abcdefghijklmnopqrstuvwxyz', '$cjk26')
+              WHEN lang = 'fr'
+                THEN translate(text, 'aeiou', 'àéîöû')
+              ELSE text END"""))
+        .withColumn("han",
+          length(regexp_replace($"t2", s"[^$hanRange]", "")))
+        .withColumn("lat",
+          length(regexp_replace($"t2", "[^A-Za-zÀ-ÿ]", "")))
+        .withColumn("script",
+          when($"han" * 2 > ($"han" + $"lat"), "han")
+            .when($"lat" * 2 > ($"han" + $"lat"), "latin")
+            .otherwise("mixed"))
+        .withColumn("conf", round(greatest($"han", $"lat").cast("double") /
+          ($"han" + $"lat"), 4))
+        .groupBy($"lang", $"script")
+        .agg(count(lit(1)).as("n_docs"), Det.davg($"conf").as("avg_conf"))
+        .orderBy($"lang", $"script")
+    }, Some {
+      val hanRange = "一-鿿"
+      val cjk26 = (0x4e00 until 0x4e1a).map(_.toChar).mkString
+      s"""
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN lang = 'zh'
+                      THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                                     '$cjk26')
+                    WHEN lang = 'fr'
+                      THEN translate(text, 'aeiou',
+                                     'àéîöû')
+                    ELSE text END AS t2
+        FROM documents),
+      c AS (
+        SELECT lang,
+               length(regexp_replace(t2, '[^$hanRange]', '', 'g')) AS han,
+               length(regexp_replace(t2, '[^A-Za-zÀ-ÿ]', '', 'g')) AS lat
+        FROM t)
+      SELECT lang,
+             CASE WHEN han * 2 > (han + lat) THEN 'han'
+                  WHEN lat * 2 > (han + lat) THEN 'latin'
+                  ELSE 'mixed' END AS script,
+             count(*) AS n_docs,
+             ${Det.sqlAvg(
+               "round(CAST(greatest(han, lat) AS DOUBLE) / (han + lat), 4)")}
+               AS avg_conf
+      FROM c GROUP BY lang, script ORDER BY lang, script"""
+    })
   )
 }
