@@ -1437,6 +1437,31 @@ class ChDialectSpec extends AnyFunSuite {
     assert(n.getInt(0) == 3)
   }
 
+  test("CH WHERE-alias resolution: substitute, shadow, self-reference guard") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // alias of a computed expression is visible in WHERE (CH semantics)
+    val a = Graft.sql(spark, """
+      SELECT n_nationkey * 2 AS dbl FROM nation
+      WHERE dbl > 40 ORDER BY dbl""").collect()
+    assert(a.map(_.getAs[Number](0).longValue).toSeq == Seq(42L, 44L, 46L, 48L))
+    // alias SHADOWS a real column of a different name (CH behavior)
+    val b = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS n_regionkey FROM nation
+      WHERE n_regionkey > 120 ORDER BY n_regionkey""").collect()
+    assert(b.length == 4 && b.head.getAs[Number](0).longValue == 121L)
+    // SELF-REFERENTIAL rename keeps COLUMN semantics (no cyclic
+    // substitution): filter applies to the original column values
+    val c = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS n_nationkey FROM nation
+      WHERE n_nationkey < 2 ORDER BY n_nationkey""").collect()
+    assert(c.map(_.getAs[Number](0).longValue).toSeq == Seq(100L, 101L))
+    // PREWHERE sees aliases too
+    val d = Graft.sql(spark, """
+      SELECT n_nationkey % 5 AS m5, count() AS c FROM nation
+      PREWHERE m5 = 3 GROUP BY m5 ORDER BY m5""").collect()
+    assert(d.length == 1 && d.head.getLong(1) == 5L)
+  }
+
   test("r9 advice fixes: quantile-If tail, empty arrayResize, week anchor") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // long-tail quantile spelling + If: the condition must become a
