@@ -835,7 +835,38 @@ object Probe {
     "w20_normalize_query" ->
       "SELECT normalizeQuery('SELECT 1 + 2 AS x FROM t WHERE id = 42') AS nq",
     "w20_ulid_like" ->
-      "SELECT generateUUIDv4() IS NOT NULL AS u4"
+      "SELECT generateUUIDv4() IS NOT NULL AS u4",
+    // ---- wave 21 (round 9): vector math, bits, reinterpret, ISO dates ----
+    "w21_vector_norms" ->
+      "SELECT L1Norm([1, -2, 3]) AS l1, round(L2Norm([3, 4]), 4) AS l2, LinfNorm([1, -5, 3]) AS li, round(LpNorm([1, 2, 3], 3), 4) AS lp",
+    "w21_vector_dists" ->
+      "SELECT L1Distance([1, 2], [3, 1]) AS d1, round(L2Distance([0, 0], [3, 4]), 4) AS d2, LinfDistance([1, 2], [4, 0]) AS di, dotProduct([1, 2, 3], [4, 5, 6]) AS dp",
+    "w21_normalize_vec" ->
+      "SELECT round(arraySum(x -> x * x, L2Normalize([3, 4])), 4) AS unit",
+    "w21_tuple_math" ->
+      "SELECT tuplePlus((1, 2), (3, 4)) AS tp, tupleMinus((5, 5), (1, 2)) AS tm, tupleMultiplyByNumber((1, 2), 3) AS tmn, dotProduct((1, 2), (3, 4)) AS tdp",
+    "w21_bit_fns" ->
+      "SELECT bitCount(255) AS bc, bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, bitXor(12, 10) AS bx, bitNot(0) AS bn, bitShiftLeft(1, 4) AS sl, bitShiftRight(16, 2) AS sr, bitRotateLeft(CAST(1 AS UInt8), 1) AS rl",
+    "w21_reinterpret" ->
+      "SELECT reinterpretAsUInt64(reinterpretAsString(CAST(305419896 AS UInt64))) AS rt, hex(unhex('4142')) AS hx, reinterpretAsString(CAST(4702111234474983745 AS UInt64)) AS s8",
+    "w21_iso_dates" ->
+      "SELECT toISOYear(toDate('2017-01-01')) AS iy, toISOWeek(toDate('2017-01-01')) AS iw, toWeek(toDate('2024-03-05')) AS w0, toWeek(toDate('2024-03-05'), 1) AS w1, toYearWeek(toDate('2024-03-05')) AS yw",
+    "w21_start_iso" ->
+      "SELECT toStartOfISOYear(toDate('2017-01-01')) AS siy",
+    "w21_skew_kurt" ->
+      "SELECT round(skewPop(n_nationkey), 4) AS sp, round(skewSamp(n_nationkey), 4) AS ss, round(kurtPop(n_nationkey), 4) AS kp, round(kurtSamp(n_nationkey), 4) AS ks FROM nation",
+    "w21_sum_overflow" ->
+      "SELECT sumWithOverflow(n_nationkey) AS s FROM nation",
+    "w21_base64_url" ->
+      "SELECT base64URLEncode('https://clickhouse.com/?a=b&c=d') AS e, base64URLDecode(base64URLEncode('ab?cd/ef')) AS d",
+    "w21_deltasum_loud" ->
+      "SELECT deltaSum(n_nationkey) AS ds FROM nation",
+    "w21_delta_sum_ts" ->
+      "SELECT deltaSumTimestamp(v, t) AS ds FROM (SELECT n_nationkey AS t, CAST(n_nationkey * n_nationkey % 7 AS BIGINT) AS v FROM nation)",
+    "w21_to_fixed_string" ->
+      "SELECT toFixedString('ab', 4) AS fs, toStringCutToZero('ab cd') AS cz",
+    "w21_interval_to_sec" ->
+      "SELECT dateDiff('second', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 01:02:03')) AS dd"
   )
 
   def main(argv: Array[String]): Unit = {

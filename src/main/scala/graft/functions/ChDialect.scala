@@ -771,24 +771,52 @@ object ChDialect {
     // DECIMAL(38, s) is the fixed point under the precision cap, so a
     // decimal array folds with that zero; everything else keeps the
     // type-preserving `*0` zero.
-    reg("arraySum") { c =>
-      require(c.size == 1, "arraySum(arr)")
-      val body = scala.util.Try(c.head.dataType).toOption match {
-        case Some(org.apache.spark.sql.types.ArrayType(
-            d: org.apache.spark.sql.types.DecimalType, _)) =>
-          s"""CASE WHEN size(__a) = 0 THEN CAST(0 AS DECIMAL(38, ${d.scale}))
-                   ELSE aggregate(__a, CAST(0 AS DECIMAL(38, ${d.scale})),
-                                  (acc, x) -> acc + x) END"""
-        case _ =>
-          """CASE WHEN size(__a) = 0 THEN 0
-                  ELSE aggregate(__a, element_at(__a, 1) * 0,
-                                 (acc, x) -> acc + x) END"""
-      }
-      spark.sessionState.sqlParser.parseExpression(body).transformUp {
-        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if ua.name == "__a" => c.head
-        case lv: UnresolvedNamedLambdaVariable
-            if lv.nameParts == Seq("__a") => c.head
+    reg("arraySum") { c0 =>
+      require(c0.size == 1 || c0.size == 2, "arraySum([lambda,] arr)")
+      // CH's lambda-first form arraySum(f, arr) ≡ arraySum(arrayMap(f,
+      // arr)). A builder that RECEIVED a lambda must return a
+      // HigherOrderFunction root, so this form folds directly with
+      // ArrayAggregate (try_element_at+coalesce supplies the typed
+      // zero on empty input instead of the 1-arg form's CASE guard).
+      if (c0.size == 2) {
+        val mapped = ArrayTransform(c0(1), c0.head match {
+          case l: LambdaFunction => l
+          case other => throw new IllegalArgumentException(
+            s"arraySum: first of two arguments must be a lambda, got $other")
+        })
+        // the analyzer requires a CONCRETE HigherOrderFunction root
+        // from a builder that received a lambda — ArrayAggregate, not
+        // a parsed (still-unresolved) aggregate(…) call
+        val zero = spark.sessionState.sqlParser.parseExpression(
+          "coalesce(try_element_at(__m, 1) * 0, 0)").transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if ua.name == "__m" => mapped
+        }
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+        val xv = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        ArrayAggregate(mapped, zero,
+          LambdaFunction(Add(acc, xv), Seq(acc, xv)),
+          LambdaFunction(fin, Seq(fin)))
+      } else {
+        val c = c0
+        val body = scala.util.Try(c.head.dataType).toOption match {
+          case Some(org.apache.spark.sql.types.ArrayType(
+              d: org.apache.spark.sql.types.DecimalType, _)) =>
+            s"""CASE WHEN size(__a) = 0 THEN CAST(0 AS DECIMAL(38, ${d.scale}))
+                     ELSE aggregate(__a, CAST(0 AS DECIMAL(38, ${d.scale})),
+                                    (acc, x) -> acc + x) END"""
+          case _ =>
+            """CASE WHEN size(__a) = 0 THEN 0
+                    ELSE aggregate(__a, element_at(__a, 1) * 0,
+                                   (acc, x) -> acc + x) END"""
+        }
+        spark.sessionState.sqlParser.parseExpression(body).transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if ua.name == "__a" => c.head
+          case lv: UnresolvedNamedLambdaVariable
+              if lv.nameParts == Seq("__a") => c.head
+        }
       }
     }
     macroFn("arrayAvg", Seq("__a"),
@@ -1448,10 +1476,33 @@ object ChDialect {
       """concat(substring(hex(__b), 1, 8), '-', substring(hex(__b), 9, 4),
                 '-', substring(hex(__b), 13, 4), '-',
                 substring(hex(__b), 17, 4), '-', substring(hex(__b), 21, 12))""")
-    // vector math over arrays: zip_with + aggregate stay codegen'd
-    macroFn("dotProduct", Seq("__a", "__b"),
-      """aggregate(zip_with(__a, __b, (x, y) -> CAST(x AS DOUBLE) * y),
-                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    // vector math over arrays: zip_with + aggregate stay codegen'd.
+    // dotProduct also accepts CH's TUPLE vectors — two literal tuples
+    // splice into a flat sum-of-products at resolution time.
+    reg("dotProduct") { c =>
+      require(c.size == 2, "dotProduct(a, b)")
+      (c(0), c(1)) match {
+        case (a: CreateNamedStruct, b: CreateNamedStruct)
+          if a.valExprs.size == b.valExprs.size =>
+          a.valExprs.zip(b.valExprs)
+            .map { case (x, y) => Multiply(x, y): Expression }
+            .reduce(Add(_, _))
+        case _ =>
+          spark.sessionState.sqlParser.parseExpression(
+            """aggregate(zip_with(__da, __db, (x, y) -> CAST(x AS DOUBLE) * y),
+                         CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+            .transformUp {
+              case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if ua.name == "__da" => c(0)
+              case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  if ua.name == "__db" => c(1)
+              case lv: UnresolvedNamedLambdaVariable
+                  if lv.nameParts == Seq("__da") => c(0)
+              case lv: UnresolvedNamedLambdaVariable
+                  if lv.nameParts == Seq("__db") => c(1)
+            }
+      }
+    }
     // NOTE: cast each element to DOUBLE BEFORE subtracting — a float
     // subtraction then cast loses the low bits and lands on rounding
     // boundaries the DuckDB oracle (which subtracts in double) doesn't
@@ -1473,6 +1524,24 @@ object ChDialect {
            (acc, x) -> acc + CAST(x AS DOUBLE) * x))""")
     macroFn("L1Norm", Seq("__a"),
       "aggregate(__a, CAST(0 AS DOUBLE), (acc, x) -> acc + abs(CAST(x AS DOUBLE)))")
+    macroFn("LinfNorm", Seq("__a"),
+      "array_max(transform(__a, x -> abs(CAST(x AS DOUBLE))))")
+    macroFn("LpNorm", Seq("__a", "__p"),
+      """power(aggregate(__a, CAST(0 AS DOUBLE),
+           (acc, x) -> acc + power(abs(CAST(x AS DOUBLE)), __p)),
+         1.0 / __p)""")
+    macroFn("LpDistance", Seq("__a", "__b", "__p"),
+      """power(aggregate(zip_with(__a, __b,
+             (x, y) -> power(abs(CAST(x AS DOUBLE) - y), __p)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v), 1.0 / __p)""")
+    macroFn("L1Normalize", Seq("__a"),
+      """transform(__a, __x -> CAST(__x AS DOUBLE) /
+           aggregate(__a, CAST(0 AS DOUBLE),
+             (acc, x) -> acc + abs(CAST(x AS DOUBLE))))""")
+    macroFn("L2Normalize", Seq("__a"),
+      """transform(__a, __x -> CAST(__x AS DOUBLE) /
+           sqrt(aggregate(__a, CAST(0 AS DOUBLE),
+             (acc, x) -> acc + CAST(x AS DOUBLE) * x)))""")
     // (cosineDistance is the codegen CosineSimilarity expression,
     // registered with the other custom expressions below)
     // contiguous-subsequence test (CH hasSubstr on arrays)
@@ -2161,14 +2230,52 @@ object ChDialect {
     // CH toWeek(d) (default mode 0 = MySQL WEEK(d,0)): Sunday-start
     // weeks, week 1 begins at the year's first Sunday, earlier days
     // are week 0. toISOWeek is the ISO 8601 week number.
-    macroFn("toWeek", Seq("__d"),
-      """IF(dayofyear(CAST(__d AS DATE)) <=
-            (8 - dayofweek(trunc(CAST(__d AS DATE), 'YEAR'))) % 7,
+    // mode 0 (default) = MySQL WEEK(d,0): Sunday-start, week 1 begins
+    // at the year's first Sunday; mode 1 = Monday-start with the
+    // ≥4-days rule (ISO-aligned but 0-based at year starts); mode 3 =
+    // ISO 8601 (1–53). Other modes fail loudly.
+    def week0Of(d: String) =
+      s"""IF(dayofyear(CAST($d AS DATE)) <=
+            (8 - dayofweek(trunc(CAST($d AS DATE), 'YEAR'))) % 7,
           0,
-          CAST(floor((dayofyear(CAST(__d AS DATE)) - 1 -
-              (8 - dayofweek(trunc(CAST(__d AS DATE), 'YEAR'))) % 7) / 7)
-            AS INT) + 1)""")
+          CAST(floor((dayofyear(CAST($d AS DATE)) - 1 -
+              (8 - dayofweek(trunc(CAST($d AS DATE), 'YEAR'))) % 7) / 7)
+            AS INT) + 1)"""
+    val week0 = week0Of("__d")
+    val week1 =
+      """(CAST(datediff(
+            date_sub(CAST(__d AS DATE),
+                     (dayofweek(CAST(__d AS DATE)) + 5) % 7),
+            date_sub(trunc(CAST(__d AS DATE), 'YEAR'),
+                     (dayofweek(trunc(CAST(__d AS DATE), 'YEAR')) + 5) % 7))
+          DIV 7 AS INT) +
+        IF((dayofweek(trunc(CAST(__d AS DATE), 'YEAR')) + 5) % 7 <= 3, 1, 0))"""
+    macroFnN("toWeek",
+      Seq("__d") -> week0,
+      Seq("__d", "__m") ->
+        (s"""CASE WHEN __m = 0 THEN $week0
+             |     WHEN __m = 1 THEN $week1
+             |     WHEN __m = 3 THEN weekofyear(CAST(__d AS DATE))
+             |     ELSE CAST(raise_error(
+             |       'toWeek: only modes 0, 1, 3 are supported') AS INT)
+             |END""".stripMargin))
+    // toYearWeek (mode 0): year*100 + week, where week-0 days belong
+    // to the PREVIOUS year's final week (computed as the week number
+    // of that year's Dec 31)
+    macroFn("toYearWeek", Seq("__d0"),
+      s"""CASE WHEN (${week0Of("__d0")}) = 0 THEN
+            (year(CAST(__d0 AS DATE)) - 1) * 100 +
+            (${week0Of("date_sub(trunc(CAST(__d0 AS DATE), 'YEAR'), 1)")})
+          ELSE year(CAST(__d0 AS DATE)) * 100 +
+            (${week0Of("__d0")}) END""")
     macroFn("toISOWeek", Seq("__d"), "weekofyear(CAST(__d AS DATE))")
+    macroFn("toStartOfISOYear", Seq("__d"),
+      """date_sub(
+           make_date(CAST(extract(YEAROFWEEK FROM CAST(__d AS DATE)) AS INT),
+                     1, 4),
+           (dayofweek(make_date(
+              CAST(extract(YEAROFWEEK FROM CAST(__d AS DATE)) AS INT),
+              1, 4)) + 5) % 7)""")
 
     // CH anyHeavy: an approximate heavy hitter. Spark's Mode is the
     // dialect-level stand-in (exact most-frequent value); the
@@ -3278,6 +3385,122 @@ object ChDialect {
             s"got ${other.sql}")
       }
     }
+    // ---- wave 21 (probe-driven, r9) ----
+    // sample-moment aggregates (Spark's skewness/kurtosis are the
+    // POPULATION forms; kurtosis is EXCESS — CH kurtPop is not).
+    // Sample forms from raw power sums; DedupAggregateCalls collapses
+    // the repeated sum() calls into one pass.
+    macroFn("skewPop", Seq("__x"), "skewness(CAST(__x AS DOUBLE))")
+    macroFn("kurtPop", Seq("__x"), "kurtosis(CAST(__x AS DOUBLE)) + 3.0D")
+    def momentParts(x: String) = (
+      s"count($x)", s"avg(CAST($x AS DOUBLE))",
+      s"avg(CAST($x AS DOUBLE) * $x)",
+      s"avg(CAST($x AS DOUBLE) * $x * $x)",
+      s"avg(CAST($x AS DOUBLE) * $x * $x * $x)")
+    locally {
+      val (n, m1, m2, m3, m4) = momentParts("__x")
+      val cm2 = s"(($m2) - ($m1) * ($m1))"
+      val cm3 = s"(($m3) - 3.0D * ($m1) * ($m2) + 2.0D * ($m1) * ($m1) * ($m1))"
+      val cm4 = s"(($m4) - 4.0D * ($m1) * ($m3) + " +
+        s"6.0D * ($m1) * ($m1) * ($m2) - 3.0D * ($m1) * ($m1) * ($m1) * ($m1))"
+      val sVar = s"(($n) * $cm2 / (($n) - 1))"
+      macroFn("skewSamp", Seq("__x"), s"$cm3 / power($sVar, 1.5D)")
+      macroFn("kurtSamp", Seq("__x"), s"$cm4 / ($sVar * $sVar)")
+    }
+    // byte reinterpretation (CH's little-endian views). String→int
+    // zero-pads; int→string drops trailing NULs, like CH.
+    def leLong(b: Array[Byte]): Long = {
+      var v = 0L
+      var i = math.min(b.length, 8) - 1
+      while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+      v
+    }
+    spark.udf.register("reinterpretAsUInt64",
+      (s0: String) => if (s0 == null) null
+      else java.lang.Long.valueOf(leLong(s0.getBytes("UTF-8"))))
+    spark.udf.register("reinterpretAsInt64",
+      (s0: String) => if (s0 == null) null
+      else java.lang.Long.valueOf(leLong(s0.getBytes("UTF-8"))))
+    spark.udf.register("reinterpretAsString", (v: Long) => {
+      val b = Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xff).toByte)
+      var n = 8
+      while (n > 0 && b(n - 1) == 0) n -= 1
+      new String(b, 0, n, "ISO-8859-1")
+    })
+    // URL-safe base64 (RFC 4648 §5: '+/'→'-_', padding stripped)
+    macroFn("base64URLEncode", Seq("__s"),
+      """regexp_replace(translate(base64(CAST(__s AS BINARY)), '+/', '-_'),
+                        '=+$', '')""")
+    macroFn("base64URLDecode", Seq("__s"),
+      """CAST(unbase64(concat(translate(__s, '-_', '+/'),
+             repeat('=', (4 - length(__s) % 4) % 4))) AS STRING)""")
+    macroFn("toFixedString", Seq("__s", "__n"),
+      """CASE WHEN length(__s) > __n THEN
+           CAST(raise_error(concat('toFixedString: string longer than ',
+                                   CAST(__n AS STRING))) AS STRING)
+         ELSE rpad(__s, __n, char(0)) END""")
+    macroFn("toStringCutToZero", Seq("__s"), "split_part(__s, char(0), 1)")
+    // deltaSum is aggregation-order dependent in CH (nondeterministic
+    // at any parallelism) — route users to the timestamp-keyed form,
+    // which sorts by the key and is executor-count independent
+    reg("deltaSum") { _ =>
+      throw new IllegalArgumentException(
+        "deltaSum is aggregation-order dependent in ClickHouse " +
+          "(nondeterministic at any parallelism); use " +
+          "deltaSumTimestamp(value, ts) — it orders by ts explicitly")
+    }
+    macroFn("deltaSumTimestamp", Seq("__v", "__t"),
+      """aggregate(
+           zip_with(
+             slice(transform(array_sort(collect_list(
+                     named_struct('t', __t, 'v', __v))), __e -> __e.v),
+               2, size(collect_list(named_struct('t', __t, 'v', __v)))),
+             slice(transform(array_sort(collect_list(
+                     named_struct('t', __t, 'v', __v))), __e -> __e.v),
+               1, size(collect_list(named_struct('t', __t, 'v', __v))) - 1),
+             (__a2, __b2) -> greatest(__a2 - __b2, __a2 * 0)),
+           element_at(collect_list(named_struct('t', __t, 'v', __v)), 1).v * 0,
+           (__acc, __x2) -> __acc + __x2)""")
+    // CH sums integers in the argument's own width and lets them wrap;
+    // Spark's ANSI sum widens (and throws on real overflow) — the
+    // non-wrapping result is the safe superset, spelled through
+    macroFn("sumWithOverflow", Seq("__x"), "sum(__x)")
+    // elementwise tuple arithmetic over tuple literals (CH's vector
+    // tuples) — field lists spliced at resolution time
+    def tupleBinary(name: String)(op: (Expression, Expression) => Expression)
+        : Unit = reg(name) { c =>
+      require(c.size == 2, s"$name(t1, t2)")
+      (c(0), c(1)) match {
+        case (a: CreateNamedStruct, b: CreateNamedStruct)
+          if a.valExprs.size == b.valExprs.size =>
+          CreateStruct(a.valExprs.zip(b.valExprs).map { case (x, y) => op(x, y) })
+        case _ => throw new IllegalArgumentException(
+          s"$name expects two equal-size tuple literals like (a, b)")
+      }
+    }
+    tupleBinary("tuplePlus")(Add(_, _))
+    tupleBinary("tupleMinus")(Subtract(_, _))
+    tupleBinary("tupleMultiply")(Multiply(_, _))
+    tupleBinary("tupleDivide")(Divide(_, _))
+    reg("tupleNegate") { c =>
+      c.head match {
+        case a: CreateNamedStruct => CreateStruct(a.valExprs.map(UnaryMinus(_)))
+        case _ => throw new IllegalArgumentException(
+          "tupleNegate expects a tuple literal")
+      }
+    }
+    def tupleByNumber(name: String)(op: (Expression, Expression) => Expression)
+        : Unit = reg(name) { c =>
+      require(c.size == 2, s"$name(t, n)")
+      c.head match {
+        case a: CreateNamedStruct =>
+          CreateStruct(a.valExprs.map(op(_, c(1))))
+        case _ => throw new IllegalArgumentException(
+          s"$name expects a tuple literal first")
+      }
+    }
+    tupleByNumber("tupleMultiplyByNumber")(Multiply(_, _))
+    tupleByNumber("tupleDivideByNumber")(Divide(_, _))
     // kostikConsistentHash: CH's sumbur algorithm — bit-parity would
     // require the published constants; refuse with the working
     // alternative rather than silently drifting

@@ -1922,6 +1922,102 @@ object ChSqlQueries {
       WHERE n_nationkey < 23 AND (n_nationkey % 2) IN (0, 1)
       GROUP BY ALL
       ORDER BY ALL
-      LIMIT 8 OFFSET 1"""))
+      LIMIT 8 OFFSET 1""")),
+
+    // Wave-21 graduation: vector norms/normalization (L1/L2/Linf/Lp),
+    // tuple arithmetic + tuple dotProduct, bitCount/rotate,
+    // little-endian reinterpret roundtrip, ISO year/week + MySQL-mode
+    // toWeek/toYearWeek (known answers), SAMPLE skew/kurt from raw
+    // power sums (same formula restated in DuckDB), timestamp-keyed
+    // deltaSum, URL-safe base64, toFixedString/CutToZero roundtrip.
+    QDef("sql_ch_w21_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          round(min(L2Norm([n_nationkey, 3])), 4) AS l2n,
+          CAST(min(L1Norm([n_nationkey, -2])) AS Int64) AS l1n,
+          CAST(min(LinfNorm([n_nationkey, -2])) AS Int64) AS lin,
+          round(min(LpNorm([n_nationkey, 2], 3)), 4) AS lpn,
+          round(min(arrayElement(L2Normalize([n_nationkey, 4]), 2)), 4) AS nrm,
+          CAST(min(tupleElement(tuplePlus((n_regionkey, 2), (3, 4)), 1))
+            AS Int64) AS tp,
+          CAST(min(dotProduct((n_regionkey, 2), (3, 4))) AS Int64) AS tdp,
+          round(min(dotProduct([toFloat64(n_nationkey), 2.0], [3.0, 4.0])), 4) AS adp,
+          CAST(min(bitCount(n_nationkey)) AS Int64) AS bc,
+          CAST(min(bitRotateLeft(CAST(n_nationkey AS UInt8), 1)) AS Int64) AS brl,
+          min(reinterpretAsUInt64(reinterpretAsString(12345 + n_nationkey))) AS ri,
+          CAST(min(toISOYear(addDays(toDate('2024-01-01'), n_nationkey)))
+            AS Int64) AS iy,
+          CAST(min(toISOWeek(addDays(toDate('2024-01-01'), n_nationkey)))
+            AS Int64) AS iw,
+          CAST(min(toWeek(toDate('2024-03-05'))) AS Int64) AS w0,
+          CAST(min(toWeek(toDate('2024-03-05'), 1)) AS Int64) AS w1,
+          CAST(min(toWeek(toDate('2017-01-01'), 1)) AS Int64) AS w1z,
+          CAST(min(toYearWeek(toDate('2024-03-05'))) AS Int64) AS yw,
+          CAST(min(toYearWeek(toDate('2016-01-01'))) AS Int64) AS ywz,
+          round(skewSamp(n_nationkey), 4) AS sks,
+          round(kurtSamp(n_nationkey), 4) AS kts,
+          CAST(deltaSumTimestamp(CAST(n_nationkey * n_nationkey % 7 AS Int64),
+                                 n_nationkey) AS Int64) AS dst,
+          min(base64URLEncode('q?' || n_name)) AS b64,
+          min(toStringCutToZero(toFixedString(n_name, 12))) AS fsr
+        FROM nation GROUP BY n_regionkey ORDER BY k""")
+    }, Some("""
+      WITH m AS (
+        SELECT n_regionkey,
+               count(*) AS n,
+               avg(CAST(n_nationkey AS DOUBLE)) AS m1,
+               avg(CAST(n_nationkey AS DOUBLE) * n_nationkey) AS m2,
+               avg(CAST(n_nationkey AS DOUBLE) * n_nationkey * n_nationkey) AS m3,
+               avg(CAST(n_nationkey AS DOUBLE) * n_nationkey * n_nationkey
+                   * n_nationkey) AS m4
+        FROM nation GROUP BY n_regionkey),
+      dv AS (
+        SELECT n_regionkey, n_nationkey AS t,
+               CAST(n_nationkey * n_nationkey % 7 AS BIGINT) AS v,
+               lag(CAST(n_nationkey * n_nationkey % 7 AS BIGINT))
+                 OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pv
+        FROM nation),
+      ds AS (
+        SELECT n_regionkey,
+               CAST(sum(CASE WHEN pv IS NOT NULL AND v > pv THEN v - pv
+                             ELSE 0 END) AS BIGINT) AS dst
+        FROM dv GROUP BY n_regionkey)
+      SELECT n.n_regionkey AS k,
+        round(min(sqrt(CAST(n_nationkey * n_nationkey + 9 AS DOUBLE))), 4) AS l2n,
+        CAST(min(n_nationkey + 2) AS BIGINT) AS l1n,
+        CAST(min(greatest(n_nationkey, 2)) AS BIGINT) AS lin,
+        round(min(pow(CAST(n_nationkey AS DOUBLE) * n_nationkey * n_nationkey
+                      + 8, 1.0 / 3)), 4) AS lpn,
+        round(min(4.0 / sqrt(CAST(n_nationkey * n_nationkey + 16 AS DOUBLE))),
+              4) AS nrm,
+        CAST(min(n.n_regionkey + 3) AS BIGINT) AS tp,
+        CAST(min(n.n_regionkey * 3 + 8) AS BIGINT) AS tdp,
+        round(min(CAST(n_nationkey * 3 + 8 AS DOUBLE)), 4) AS adp,
+        CAST(min(bit_count(n_nationkey)) AS BIGINT) AS bc,
+        CAST(min(n_nationkey * 2) AS BIGINT) AS brl,
+        min(12345 + n_nationkey) AS ri,
+        CAST(min(isoyear(DATE '2024-01-01' + CAST(n_nationkey AS INT)))
+          AS BIGINT) AS iy,
+        CAST(min(weekofyear(DATE '2024-01-01' + CAST(n_nationkey AS INT)))
+          AS BIGINT) AS iw,
+        CAST(9 AS BIGINT) AS w0,
+        CAST(10 AS BIGINT) AS w1,
+        CAST(0 AS BIGINT) AS w1z,
+        CAST(202409 AS BIGINT) AS yw,
+        CAST(201552 AS BIGINT) AS ywz,
+        round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) /
+              pow(n * (m2 - m1 * m1) / (n - 1), 1.5), 4) AS sks,
+        round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) /
+              pow(n * (m2 - m1 * m1) / (n - 1), 2), 4) AS kts,
+        min(ds.dst) AS dst,
+        min(regexp_replace(translate(to_base64(
+              CAST(('q?' || n_name) AS BLOB)), '+/', '-_'), '=+$', '')) AS b64,
+        min(n_name) AS fsr
+      FROM nation n
+      JOIN m ON m.n_regionkey = n.n_regionkey
+      JOIN ds ON ds.n_regionkey = n.n_regionkey
+      GROUP BY n.n_regionkey, m.n, m.m1, m.m2, m.m3, m.m4
+      ORDER BY k"""))
   )
 }
