@@ -83,7 +83,7 @@ object Perf {
     // table high-card GROUP BY, q29 = 90-sum single pass, q18 = 3-key
     // grouped top-k, q23 = wide SELECT * sort) + w18/w19 + variant
     "cb43_q32", "cb43_q29", "cb43_q18", "cb43_q23", "cb43_q13",
-    "sql_ch_w18_batch", "sql_ch_w19_batch", "sql_ch_w20_batch", "sql_ch_w21_batch",
+    "sql_ch_w18_batch", "sql_ch_w19_batch", "sql_ch_w20_batch", "sql_ch_w21_batch", "sql_ch_w22_batch",
     "scalar_variant_type", "pipe_script_detect")
 
   def main(args: Array[String]): Unit = {

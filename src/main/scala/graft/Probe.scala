@@ -866,7 +866,44 @@ object Probe {
     "w21_to_fixed_string" ->
       "SELECT toFixedString('ab', 4) AS fs, toStringCutToZero('ab cd') AS cz",
     "w21_interval_to_sec" ->
-      "SELECT dateDiff('second', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 01:02:03')) AS dd"
+      "SELECT dateDiff('second', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 01:02:03')) AS dd",
+    // ---- wave 22 (round 9): utility/no-op/lambda-array tails ----
+    "w22_array_first_last" ->
+      "SELECT arrayFirst(x -> x > 2, [1, 3, 5]) AS f, arrayLast(x -> x > 2, [1, 3, 5]) AS l, arrayFirstIndex(x -> x > 2, [1, 3, 5]) AS fi, arrayLastIndex(x -> x > 2, [1, 3, 5]) AS li",
+    "w22_array_fill" ->
+      "SELECT arrayFill(x -> x != 0, [1, 0, 0, 5, 0]) AS af, arrayReverseFill(x -> x != 0, [1, 0, 0, 5, 0]) AS arf",
+    "w22_array_flatten_reduce" ->
+      "SELECT arrayFlatten([[1, 2], [3]]) AS fl, arrayReduce('sum', [1, 2, 3]) AS rs, arrayReduce('max', [4, 1, 2]) AS rm",
+    "w22_utf8_slices" ->
+      "SELECT substringUTF8('héllo', 2, 3) AS s, leftUTF8('héllo', 2) AS l, rightUTF8('héllo', 2) AS r, reverseUTF8('héllo') AS rv",
+    "w22_replace_family" ->
+      "SELECT replaceOne('aaa', 'a', 'b') AS r1, replaceAll('aaa', 'a', 'b') AS ra, replaceRegexpOne('a1b2', '\\\\d', 'x') AS rr1, replaceRegexpAll('a1b2', '\\\\d', 'x') AS rra",
+    "w22_position_start" ->
+      "SELECT position('hello hello', 'hello', 3) AS p3, position('hello', 'l') AS p",
+    "w22_multi_match" ->
+      "SELECT multiMatchAny('hello', ['^z', 'ell']) AS m1, multiMatchAnyIndex('hello', ['^z', 'ell']) AS mi, multiSearchAny('hello', ['xyz', 'ell']) AS ms",
+    "w22_null_fns" ->
+      "SELECT ifNull(NULL, 5) AS a, nullIf(3, 3) AS b, assumeNotNull(CAST(7 AS Nullable(Int64))) AS c, toNullable(9) AS d, isNullable(toNullable(9)) AS e",
+    "w22_int_div" ->
+      "SELECT intDiv(7, 2) AS a, intDivOrZero(7, 0) AS b, moduloOrZero(7, 0) AS c, positiveModulo(-7, 3) AS pm",
+    "w22_max2_min2" ->
+      "SELECT max2(3, 9) AS a, min2(3, 9) AS b",
+    "w22_bar" ->
+      "SELECT bar(5, 0, 10, 10) AS b, bar(10, 0, 10, 5) AS full",
+    "w22_noops" ->
+      "SELECT identity(7) AS i, materialize(8) AS m, ignore(9, 'x') AS g, indexHint(n_nationkey > 3) AS h FROM nation LIMIT 1",
+    "w22_throw_if" ->
+      "SELECT throwIf(1 > 2, 'never') AS ok",
+    "w22_server_meta" ->
+      "SELECT length(hostName()) > 0 AS h, length(version()) > 0 AS v, currentDatabase() AS db, length(currentUser()) >= 0 AS u, uptime() >= 0 AS up",
+    "w22_type_name" ->
+      "SELECT toTypeName(CAST(1 AS UInt64)) AS t1, toTypeName('x') AS t2, toTypeName(toDate('2024-01-01')) AS t3",
+    "w22_simple_json" ->
+      "SELECT simpleJSONExtractString('{\"a\": \"b\"}', 'a') AS s, visitParamExtractString('{\"a\": \"b\"}', 'a') AS v, simpleJSONHas('{\"a\": 1}', 'a') AS h",
+    "w22_transform_3arg" ->
+      "SELECT transform(n_regionkey, [0, 1], [100, 200]) AS t FROM nation ORDER BY n_nationkey LIMIT 3",
+    "w22_math_consts" ->
+      "SELECT round(pi(), 4) AS p, round(e(), 4) AS ee, sign(-5) AS sg, round(cbrt(27.0), 4) AS cb"
   )
 
   def main(argv: Array[String]): Unit = {

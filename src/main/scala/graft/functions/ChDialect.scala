@@ -1526,14 +1526,10 @@ object ChDialect {
       "aggregate(__a, CAST(0 AS DOUBLE), (acc, x) -> acc + abs(CAST(x AS DOUBLE)))")
     macroFn("LinfNorm", Seq("__a"),
       "array_max(transform(__a, x -> abs(CAST(x AS DOUBLE))))")
-    macroFn("LpNorm", Seq("__a", "__p"),
-      """power(aggregate(__a, CAST(0 AS DOUBLE),
-           (acc, x) -> acc + power(abs(CAST(x AS DOUBLE)), __p)),
-         1.0 / __p)""")
-    macroFn("LpDistance", Seq("__a", "__b", "__p"),
-      """power(aggregate(zip_with(__a, __b,
-             (x, y) -> power(abs(CAST(x AS DOUBLE) - y), __p)),
-           CAST(0 AS DOUBLE), (acc, v) -> acc + v), 1.0 / __p)""")
+    // (LpNorm / LpDistance / deltaSumTimestamp are defined ONCE, later
+    // in this file — registering a second copy here would silently
+    // replace them with differently-typed variants, which broke
+    // sql_ch_w11_batch / sql_ch_quantile_picks once)
     macroFn("L1Normalize", Seq("__a"),
       """transform(__a, __x -> CAST(__x AS DOUBLE) /
            aggregate(__a, CAST(0 AS DOUBLE),
@@ -3449,18 +3445,8 @@ object ChDialect {
           "(nondeterministic at any parallelism); use " +
           "deltaSumTimestamp(value, ts) — it orders by ts explicitly")
     }
-    macroFn("deltaSumTimestamp", Seq("__v", "__t"),
-      """aggregate(
-           zip_with(
-             slice(transform(array_sort(collect_list(
-                     named_struct('t', __t, 'v', __v))), __e -> __e.v),
-               2, size(collect_list(named_struct('t', __t, 'v', __v)))),
-             slice(transform(array_sort(collect_list(
-                     named_struct('t', __t, 'v', __v))), __e -> __e.v),
-               1, size(collect_list(named_struct('t', __t, 'v', __v))) - 1),
-             (__a2, __b2) -> greatest(__a2 - __b2, __a2 * 0)),
-           element_at(collect_list(named_struct('t', __t, 'v', __v)), 1).v * 0,
-           (__acc, __x2) -> __acc + __x2)""")
+    // (deltaSumTimestamp itself predates this wave — defined once,
+    // earlier in the file, returning DOUBLE)
     // CH sums integers in the argument's own width and lets them wrap;
     // Spark's ANSI sum widens (and throws on real overflow) — the
     // non-wrapping result is the safe superset, spelled through
@@ -3501,6 +3487,62 @@ object ChDialect {
     }
     tupleByNumber("tupleMultiplyByNumber")(Multiply(_, _))
     tupleByNumber("tupleDivideByNumber")(Divide(_, _))
+    // ---- wave 22 (probe-driven, r9) ----
+    macroFn("positiveModulo", Seq("__a", "__b"), "pmod(__a, __b)")
+    macroFn("identity", Seq("__x"), "__x")
+    macroFn("materialize", Seq("__x"), "__x")
+    reg("ignore")(_ => Literal(0))
+    // indexHint: CH evaluates the argument only for index analysis
+    // and yields 1 — partition pruning here comes from real filters
+    reg("indexHint")(_ => Literal(1))
+    macroFnN("throwIf",
+      Seq("__c") ->
+        """IF(coalesce(CAST(__c AS BOOLEAN), false),
+              CAST(raise_error('throwIf condition was true') AS INT), 0)""",
+      Seq("__c", "__m") ->
+        """IF(coalesce(CAST(__c AS BOOLEAN), false),
+              CAST(raise_error(__m) AS INT), 0)""")
+    // arrayFill/arrayReverseFill: forward/backward fill from the last
+    // (next) element where the predicate held — CH's LOCF over arrays
+    def arrayFillBuilder(name: String, reverse: Boolean): Unit =
+      reg(name) { c =>
+        require(c.size == 2, s"$name(lambda, arr)")
+        val lf = c.head match {
+          case l: LambdaFunction => l
+          case other => throw new IllegalArgumentException(
+            s"$name: first argument must be a lambda, got $other")
+        }
+        val flags = ArrayTransform(c(1), lf)
+        val pick =
+          if (reverse)
+            """transform(sequence(1, size(__arr)), i ->
+                 element_at(__arr, coalesce(
+                   array_min(filter(sequence(i, size(__arr)),
+                     j -> coalesce(CAST(element_at(__flg, j) AS BOOLEAN),
+                                   false))), i)))"""
+          else
+            """transform(sequence(1, size(__arr)), i ->
+                 element_at(__arr, coalesce(
+                   array_max(filter(sequence(1, i),
+                     j -> coalesce(CAST(element_at(__flg, j) AS BOOLEAN),
+                                   false))), i)))"""
+        val filled = spark.sessionState.sqlParser.parseExpression(pick)
+          .transformUp {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if ua.name == "__arr" => c(1)
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if ua.name == "__flg" => flags
+            case lv: UnresolvedNamedLambdaVariable
+                if lv.nameParts == Seq("__arr") => c(1)
+            case lv: UnresolvedNamedLambdaVariable
+                if lv.nameParts == Seq("__flg") => flags
+          }
+        // concrete HigherOrderFunction root for the lambda-carrying call
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_fid"))
+        ArrayTransform(filled, LambdaFunction(x, Seq(x)))
+      }
+    arrayFillBuilder("arrayFill", reverse = false)
+    arrayFillBuilder("arrayReverseFill", reverse = true)
     // kostikConsistentHash: CH's sumbur algorithm — bit-parity would
     // require the published constants; refuse with the working
     // alternative rather than silently drifting

@@ -2018,6 +2018,63 @@ object ChSqlQueries {
       JOIN m ON m.n_regionkey = n.n_regionkey
       JOIN ds ON ds.n_regionkey = n.n_regionkey
       GROUP BY n.n_regionkey, m.n, m.m1, m.m2, m.m3, m.m4
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    // Wave-22 graduation: lambda array utilities (arrayFirst/Last/
+    // Index, arrayFill LOCF, arrayReduce), 3-arg position, transform
+    // without default, null-handling spellings, positiveModulo /
+    // intDivOrZero, bar (length-checked), throwIf false path,
+    // simpleJSON aliases, replaceRegexp family, UTF8 slices,
+    // multiSearchAny, toTypeName/currentDatabase constants.
+    QDef("sql_ch_w22_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          CAST(min(arrayFirst(x -> x > n_regionkey, [1, 3, 5])) AS Int64) AS af,
+          CAST(min(arrayLastIndex(x -> x > n_regionkey, [1, 3, 5])) AS Int64) AS ali,
+          min(arrayStringConcat(arrayMap(x -> toString(x),
+            arrayFill(x -> x != 0, [n_regionkey, 0, 7, 0])), '|')) AS afl,
+          CAST(min(positiveModulo(n_regionkey - 9, 7)) AS Int64) AS pm,
+          CAST(min(intDivOrZero(n_regionkey, n_regionkey % 3)) AS Int64) AS idz,
+          CAST(min(max2(n_regionkey, 2)) AS Int64) AS mx2,
+          CAST(min(lengthUTF8(bar(n_regionkey, 0, 4, 4))) AS Int64) AS barlen,
+          CAST(min(throwIf(n_regionkey > 99, 'unreachable')) AS Int64) AS ti,
+          CAST(min(position('hello hello', 'hello', n_regionkey + 1)) AS Int64) AS p3,
+          max(multiSearchAny(n_name, ['ATION', 'zzz'])) AS msa,
+          CAST(min(ifNull(nullIf(n_regionkey, 2), -1)) AS Int64) AS nf,
+          min(simpleJSONExtractString('{"a": "' || n_name || '"}', 'a')) AS sj,
+          CAST(min(transform(n_regionkey, [0, 1], [100, 200])) AS Int64) AS tr3,
+          min(replaceRegexpAll(n_name, '[0-9]', '#')) AS rra,
+          min(substringUTF8(n_name, 2, 4)) AS su,
+          CAST(min(arrayReduce('sum', [n_regionkey, 2])) AS Int64) AS ar,
+          min(toTypeName(n_regionkey)) AS tn,
+          min(currentDatabase()) AS db
+        FROM nation GROUP BY n_regionkey ORDER BY k""")
+    }, Some("""
+      SELECT n_regionkey AS k,
+        CAST(min((list_filter([1, 3, 5], x -> x > n_regionkey))[1]) AS BIGINT) AS af,
+        CAST(3 AS BIGINT) AS ali,
+        min(CASE WHEN n_regionkey = 0 THEN '0|0|7|7'
+                 ELSE CAST(n_regionkey AS VARCHAR) || '|' ||
+                      CAST(n_regionkey AS VARCHAR) || '|7|7' END) AS afl,
+        CAST(min(((n_regionkey - 9) % 7 + 7) % 7) AS BIGINT) AS pm,
+        CAST(min(CASE WHEN n_regionkey % 3 = 0 THEN 0
+                      ELSE n_regionkey // (n_regionkey % 3) END) AS BIGINT) AS idz,
+        CAST(min(greatest(n_regionkey, 2)) AS BIGINT) AS mx2,
+        CAST(min(n_regionkey) AS BIGINT) AS barlen,
+        CAST(0 AS BIGINT) AS ti,
+        CAST(min(CASE WHEN n_regionkey = 0 THEN 1 ELSE 7 END) AS BIGINT) AS p3,
+        max(contains(n_name, 'ATION')) AS msa,
+        CAST(min(CASE WHEN n_regionkey = 2 THEN -1 ELSE n_regionkey END)
+          AS BIGINT) AS nf,
+        min(n_name) AS sj,
+        CAST(min(CASE WHEN n_regionkey = 0 THEN 100
+                      WHEN n_regionkey = 1 THEN 200
+                      ELSE n_regionkey END) AS BIGINT) AS tr3,
+        min(regexp_replace(n_name, '[0-9]', '#', 'g')) AS rra,
+        min(substring(n_name, 2, 4)) AS su,
+        CAST(min(n_regionkey + 2) AS BIGINT) AS ar,
+        'int' AS tn, 'default' AS db
+      FROM nation GROUP BY n_regionkey ORDER BY k"""))
   )
 }
