@@ -97,6 +97,48 @@ object ChSql {
     ok
   }
 
+  /** Mask for alias substitution inside a WHERE body: true where a
+    * bare identifier is substitutable — i.e. outside strings/comments
+    * AND outside subquery parens (a paren group whose first token is
+    * SELECT/WITH keeps its own scope). Plain grouping parens stay
+    * substitutable at any depth, matching CH's alias resolution.
+    */
+  private def whereSubstMask(s: String): Array[Boolean] = {
+    val ok = new Array[Boolean](s.length)
+    var inStr = false
+    var subqDepth = 0          // >0 while inside a subquery paren group
+    val stack = new scala.collection.mutable.ArrayDeque[Boolean]()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        ok(i) = false
+        if (c == '\'') inStr = false
+        i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { ok(i) = false; i += 1 }
+      } else {
+        c match {
+          case '\'' => inStr = true; ok(i) = false
+          case '(' =>
+            var j = i + 1
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            val isSubq = s.regionMatches(true, j, "SELECT", 0, 6) ||
+              s.regionMatches(true, j, "WITH", 0, 4)
+            stack.prepend(isSubq)
+            if (isSubq) subqDepth += 1
+            ok(i) = false
+          case ')' =>
+            if (stack.nonEmpty && stack.removeHead()) subqDepth -= 1
+            ok(i) = false
+          case _ => ok(i) = subqDepth == 0
+        }
+        i += 1
+      }
+    }
+    ok
+  }
+
   private def lastTopLevel(s: String, re: Regex): Option[Regex.Match] = {
     val mask = topLevelMask(s)
     re.findAllMatchIn(s).filter(m => mask(m.start)).foldLeft(
@@ -164,7 +206,13 @@ object ChSql {
       aliases.foreach { case (a, e) =>
         val aRe = ("""(?i)(?<![\w.])""" +
           java.util.regex.Pattern.quote(a) + """(?![\w.(])""").r
-        val smask = topLevelMask(span)
+        // Substitute at EVERY paren depth of the filter body —
+        // `WHERE (alias > 1 AND x)` resolves the alias in CH just
+        // like the unparenthesized form. Only strings/comments and
+        // subquery bodies are off-limits (a subquery's scope is its
+        // own). Quoted/backtick aliases are not substituted (the
+        // SELECT-item regex only captures bare identifiers).
+        val smask = whereSubstMask(span)
         span = aRe.replaceAllIn(span, m =>
           if (smask(m.start)) Regex.quoteReplacement(s"($e)")
           else Regex.quoteReplacement(m.matched))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** ClickHouse-spelled SQL function names, so a ClickHouse user's query
   * text runs unchanged through `Graft.sql` (registered by
@@ -516,6 +516,9 @@ object ChDialect {
     spark.udf.register("reinterpretAsUInt16", (b: Array[Byte]) => leRead(b, 2))
     spark.udf.register("reinterpretAsUInt32", (b: Array[Byte]) => leRead(b, 4))
     spark.udf.register("reinterpretAsUInt64", (b: Array[Byte]) => leRead(b, 8))
+    // Int64 shares the 8-byte LE read (same 64-bit pattern); shorter
+    // inputs zero-pad, so the sign bit only sets with all 8 bytes.
+    spark.udf.register("reinterpretAsInt64", (b: Array[Byte]) => leRead(b, 8))
 
     // compositions (codegen'd Catalyst trees)
     reg("toStartOfDay")(c => TruncTimestamp(Literal("DAY"), c.head))
@@ -670,14 +673,18 @@ object ChDialect {
           "formatDateTime")))
     }
     // parseDateTime(s, '%Y-%m-%d …'): the MySQL-style codes parsed
-    // back. Seconds resolution like CH; unparseable input yields NULL
-    // (CH's base form throws, its OrNull form is this — documented
-    // soft spot, the OrNull contract is the safe superset).
+    // back. Seconds resolution like CH. The plain form throws on
+    // unparseable input (ANSI UnixTimestamp — matches CH); OrNull
+    // pins failOnError=false so garbage yields NULL regardless of
+    // the session's spark.sql.ansi.enabled.
     for (pn <- Seq("parseDateTime", "parseDateTimeOrNull"))
       reg(pn) { c =>
         require(c.size == 2, s"$pn(s, format)")
-        Cast(UnixTimestamp(c(0),
-          Literal(mysqlToJavaPattern(litFmt(c(1), pn), pn))), TimestampType)
+        val fmt = Literal(mysqlToJavaPattern(litFmt(c(1), pn), pn))
+        val ux =
+          if (pn.endsWith("OrNull")) new UnixTimestamp(c(0), fmt, None, false)
+          else UnixTimestamp(c(0), fmt)
+        Cast(ux, TimestampType)
       }
 
     // JSONExtract family: literal key path → get_json_object's $.path.
@@ -2384,12 +2391,29 @@ object ChDialect {
       val uintRe = "(?i)uint(8|16|32|64)".r
       t.trim match {
         case uintRe(bits) =>
-          val asD = Cast(c.head, DoubleType, None, EvalMode.TRY)
-          val loOk = GreaterThanOrEqual(asD, Literal(0.0))
+          // Range-gate through DECIMAL, not DOUBLE: a double compare
+          // loses precision near 2^53, so UInt64-boundary values
+          // could slip through or be falsely rejected. Decimal(38,6)
+          // holds every 64-bit integer exactly and keeps enough
+          // scale to catch fractional inputs (CH rejects
+          // accurateCast(3.5, 'UInt8') — integrality is part of the
+          // contract, not just range).
+          val asDec = Cast(c.head, DecimalType(38, 6), None, EvalMode.TRY)
+          val loOk = GreaterThanOrEqual(asDec,
+            Literal(Decimal(0, 38, 6), DecimalType(38, 6)))
           val hiOk: Expression =
-            if (bits == "64") Literal(true)
-            else LessThanOrEqual(asD, Literal(math.pow(2, bits.toInt) - 1))
-          val inRange = Or(IsNull(c.head), And(loOk, hiOk))
+            if (bits == "64")
+              // UInt64 is carried as LongType: [2^63, 2^64) — which CH
+              // itself accepts — exceeds the carrier and is rejected
+              // LOUDLY here (error, never silent wraparound).
+              LessThanOrEqual(asDec, Literal(
+                Decimal(java.math.BigDecimal.valueOf(Long.MaxValue), 38, 6),
+                DecimalType(38, 6)))
+            else LessThanOrEqual(asDec, Literal(
+              Decimal(java.math.BigDecimal.valueOf(
+                (1L << bits.toInt) - 1), 38, 6), DecimalType(38, 6)))
+          val integral = EqualTo(asDec, Floor(asDec))
+          val inRange = Or(IsNull(c.head), And(And(loOk, hiOk), integral))
           if (tryMode) If(inRange, base, Literal.create(null, dt))
           else If(inRange, base, Cast(spark.sessionState.sqlParser
             .parseExpression(
@@ -3403,25 +3427,22 @@ object ChDialect {
       macroFn("skewSamp", Seq("__x"), s"$cm3 / power($sVar, 1.5D)")
       macroFn("kurtSamp", Seq("__x"), s"$cm4 / ($sVar * $sVar)")
     }
-    // byte reinterpretation (CH's little-endian views). String→int
-    // zero-pads; int→string drops trailing NULs, like CH.
-    def leLong(b: Array[Byte]): Long = {
-      var v = 0L
-      var i = math.min(b.length, 8) - 1
-      while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
-      v
-    }
-    spark.udf.register("reinterpretAsUInt64",
-      (s0: String) => if (s0 == null) null
-      else java.lang.Long.valueOf(leLong(s0.getBytes("UTF-8"))))
-    spark.udf.register("reinterpretAsInt64",
-      (s0: String) => if (s0 == null) null
-      else java.lang.Long.valueOf(leLong(s0.getBytes("UTF-8"))))
+    // reinterpretAsString(int): the little-endian bytes with trailing
+    // NULs dropped, like CH. Returned as BINARY (not a Spark STRING):
+    // CH strings are raw byte arrays, and BINARY is the only Spark
+    // type that keeps bytes >= 0x80 intact — so
+    // reinterpretAsUInt64(reinterpretAsString(x)) == x for every x,
+    // and plain-string inputs reach reinterpretAsUInt64 through
+    // Spark's string->binary coercion as raw UTF-8 bytes, which is
+    // exactly what CH reads from its (UTF-8-holding) strings. The
+    // Int64/UInt64 readers are the single Array[Byte] registrations
+    // above — no String-typed re-registration (that clobbered the
+    // binary form and broke unhex() inputs).
     spark.udf.register("reinterpretAsString", (v: Long) => {
       val b = Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xff).toByte)
       var n = 8
       while (n > 0 && b(n - 1) == 0) n -= 1
-      new String(b, 0, n, "ISO-8859-1")
+      java.util.Arrays.copyOf(b, n)
     })
     // URL-safe base64 (RFC 4648 §5: '+/'→'-_', padding stripped)
     macroFn("base64URLEncode", Seq("__s"),
@@ -3513,19 +3534,24 @@ object ChDialect {
             s"$name: first argument must be a lambda, got $other")
         }
         val flags = ArrayTransform(c(1), lf)
+        // size=0 guard: sequence(1, 0) yields [1, 0] (descending
+        // default step) and element_at then raises under ANSI — CH
+        // returns [] for an empty input, so short-circuit it.
         val pick =
           if (reverse)
-            """transform(sequence(1, size(__arr)), i ->
+            """CASE WHEN size(__arr) = 0 THEN __arr ELSE
+               transform(sequence(1, size(__arr)), i ->
                  element_at(__arr, coalesce(
                    array_min(filter(sequence(i, size(__arr)),
                      j -> coalesce(CAST(element_at(__flg, j) AS BOOLEAN),
-                                   false))), i)))"""
+                                   false))), i))) END"""
           else
-            """transform(sequence(1, size(__arr)), i ->
+            """CASE WHEN size(__arr) = 0 THEN __arr ELSE
+               transform(sequence(1, size(__arr)), i ->
                  element_at(__arr, coalesce(
                    array_max(filter(sequence(1, i),
                      j -> coalesce(CAST(element_at(__flg, j) AS BOOLEAN),
-                                   false))), i)))"""
+                                   false))), i))) END"""
         val filled = spark.sessionState.sqlParser.parseExpression(pick)
           .transformUp {
             case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute

@@ -1499,4 +1499,68 @@ class ChDialectSpec extends AnyFunSuite {
       "SELECT toUnixTimestamp(toTimeZone(now(), 'Asia/Tokyo')) AS x"))
     assert(e.getMessage.contains("zone-invariant"))
   }
+
+  test("r10 advice fixes: OrNull parse, reinterpret roundtrip, fill [], alias depth, accurateCast gate") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // parseDateTimeOrNull: garbage → NULL even under ANSI; the plain
+    // form keeps CH's throwing contract
+    val p = Graft.sql(spark, """
+      SELECT parseDateTimeOrNull('garbage', '%Y-%m-%d') AS bad,
+             parseDateTimeOrNull('2024-03-05', '%Y-%m-%d') AS ok
+      FROM system.one""").collect().head
+    assert(p.isNullAt(0) && !p.isNullAt(1))
+    intercept[Exception](Graft.sql(spark,
+      "SELECT parseDateTime('garbage', '%Y-%m-%d') AS x FROM system.one")
+      .collect())
+    // reinterpret roundtrip is byte-faithful for bytes >= 0x80 (200 =
+    // 0xC8) and for multi-byte values crossing the sign bit of a
+    // byte; unhex() binary inputs hit the same single registration
+    val ri = Graft.sql(spark, """
+      SELECT reinterpretAsUInt64(reinterpretAsString(200)) AS a,
+             reinterpretAsUInt64(reinterpretAsString(51966)) AS b,
+             reinterpretAsUInt64(unhex('C8')) AS c,
+             reinterpretAsInt64(unhex('FFFFFFFFFFFFFFFF')) AS d,
+             reinterpretAsUInt8(unhex('C8')) AS e
+      FROM system.one""").collect().head
+    assert(ri.getLong(0) == 200L && ri.getLong(1) == 51966L)
+    assert(ri.getLong(2) == 200L && ri.getLong(3) == -1L && ri.getLong(4) == 200L)
+    // arrayFill/arrayReverseFill on an empty array → [] (CH), not an
+    // ANSI INVALID_ARRAY_INDEX from sequence(1, 0)
+    val af = Graft.sql(spark, """
+      SELECT arrayFill(x -> x > 1, arrayFilter(x -> x > 9, [1, 2])) AS a,
+             arrayReverseFill(x -> x > 1, arrayFilter(x -> x > 9, [1, 2])) AS b,
+             arrayFill(x -> x > 1, [1, 2, 0, 3, 0]) AS c
+      FROM system.one""").collect().head
+    assert(af.getSeq[Int](0).isEmpty && af.getSeq[Int](1).isEmpty)
+    assert(af.getSeq[Int](2) == Seq(1, 2, 2, 3, 3))
+    // SELECT-alias resolution inside parenthesized WHERE conjuncts
+    // (CH resolves the alias at any grouping depth); subquery scopes
+    // stay untouched
+    val wa = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS shifted FROM nation
+      WHERE (shifted > 120 AND n_regionkey >= 0)""").collect()
+    assert(wa.length == 4 && wa.forall(_.getInt(0) > 120))
+    val ws = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS n_regionkey FROM nation
+      WHERE n_nationkey IN (SELECT n_regionkey FROM nation)""").collect()
+    assert(ws.length == 5) // subquery's n_regionkey is the COLUMN (0-4)
+    // accurateCast unsigned gate: decimal-exact bounds, integrality,
+    // UInt64 boundary values near/over 2^53 and 2^63
+    val ac = Graft.sql(spark, """
+      SELECT accurateCastOrNull(3.5, 'UInt8') AS frac,
+             accurateCast(255, 'UInt8') AS hi8,
+             accurateCastOrNull(256, 'UInt8') AS over8,
+             accurateCastOrNull(-1, 'UInt64') AS neg,
+             accurateCast(9007199254740993, 'UInt64') AS over53,
+             accurateCastOrNull(9223372036854775807, 'UInt64') AS maxl
+      FROM system.one""").collect().head
+    assert(ac.isNullAt(0) && ac.getAs[Number](1).longValue == 255L &&
+      ac.isNullAt(2))
+    assert(ac.isNullAt(3) && ac.getLong(4) == 9007199254740993L)
+    assert(ac.getLong(5) == Long.MaxValue)
+    intercept[Exception](Graft.sql(spark,
+      "SELECT accurateCast(3.5, 'UInt8') AS x FROM system.one").collect())
+    intercept[Exception](Graft.sql(spark,
+      "SELECT accurateCast(256, 'UInt8') AS x FROM system.one").collect())
+  }
 }
