@@ -259,6 +259,21 @@ object ChSql {
   def registerSampleKey(table: String, key: String): Unit =
     sampleKeys.put(table.toLowerCase(java.util.Locale.ROOT), key)
 
+  /** Above this n, absolute `SAMPLE n` switches from the exact-n
+    * top-k path (TakeOrdered — driver-side merge proportional to n,
+    * a scale hazard for large n) to CH's own documented semantics:
+    * APPROXIMATELY n rows via a hash-threshold scan filter. The
+    * cutoff is ceil(2^60 · n / count(*)) on the 60-bit md5 sampling
+    * hash, computed by an uncorrelated scalar subquery (one count
+    * aggregate, satisfied from parquet footers) — no TakeOrdered, no
+    * global sort, no single-partition stage, deterministic at any
+    * parallelism (the set depends only on table contents). Row count
+    * is n ± binomial noise (~√n), exactly CH's "SAMPLE n reads
+    * approximately n rows" contract; below the threshold the exact-n
+    * contract is kept since a small top-k is cheap everywhere.
+    */
+  @volatile var sampleNApproxThreshold: Long = 10000L
+
   /** Base directory for relative `file('…')` table-function paths —
     * the analog of CH's `user_files_path`. `Graft.init` points it at
     * the fixture dir; absolute paths bypass it.
@@ -356,7 +371,17 @@ object ChSql {
         val n = fTxt.toLong
         val h2 = s"CAST(conv(substring(md5(concat('smp|', " +
           s"CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-        Regex.quoteReplacement(
+        if (n > sampleNApproxThreshold) {
+          // large n: hash-threshold filter (see sampleNApproxThreshold)
+          // — 2^60 = full span of the 15-hex-digit hash. The double
+          // product/division is the same IEEE sequence an oracle
+          // engine evaluates from identical text, so the cutoff (and
+          // hence the sampled set) is engine-identical.
+          val cutoff = s"(SELECT CAST(ceil(1152921504606846976e0 * $n " +
+            s"/ count(*)) AS BIGINT) FROM $table)"
+          Regex.quoteReplacement(
+            s"FROM (SELECT * FROM $table WHERE $h2 < $cutoff) $table")
+        } else Regex.quoteReplacement(
           s"FROM (SELECT * FROM $table ORDER BY $h2, $key LIMIT $n) $table")
       } else {
         val f = parseFraction(m.group(2))

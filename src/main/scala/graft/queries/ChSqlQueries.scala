@@ -1660,6 +1660,33 @@ object ChSqlQueries {
              min(o_orderkey) AS lo
       FROM smp""")),
 
+    // Absolute SAMPLE n ABOVE the approx threshold (n=20000 >
+    // sampleNApproxThreshold=10000): the scale path — a
+    // hash-threshold scan filter with cutoff ceil(2^60·n/count(*))
+    // from one scalar-subquery count; NO TakeOrdered, no global sort
+    // (the small-n exact path's driver merge grows with n). Row count
+    // is ~n (CH's own "approximately n rows" contract): at sf0.01
+    // lineitem has 60k rows so the filter keeps ≈ a third; at sf0.001
+    // (6k rows) n > count and the cutoff passes everything — both
+    // legs hash-match because the oracle derives the identical cutoff
+    // from the identical text.
+    QDef("sql_ch_sample_n_large", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT count() AS c,
+               sum(CAST(l_quantity AS Int64)) AS sq,
+               CAST(min(l_orderkey) AS Int64) AS lo
+        FROM lineitem SAMPLE 20000""")
+    }, Some("""
+      SELECT count(*) AS c,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(min(l_orderkey) AS BIGINT) AS lo
+      FROM lineitem
+      WHERE CAST('0x' || substring(md5('smp|' ||
+              CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+            < (SELECT CAST(ceil(1152921504606846976e0 * 20000
+                 / count(*)) AS BIGINT) FROM lineitem)""")),
+
     // INTERPOLATE (c AS expr): filled rows apply expr to the PREVIOUS
     // row's value, chained — the i-th filled row after an original is
     // expr applied i times (a bounded fold per fill run). The oracle

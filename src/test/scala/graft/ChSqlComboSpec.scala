@@ -125,4 +125,31 @@ class ChSqlComboSpec extends AnyFunSuite {
     assert(even.getString(3).startsWith("0|2|12") ||
       even.getString(3) == "0|2|12|22|32|42")
   }
+
+  test("absolute SAMPLE n: exact top-k below threshold, hash-threshold scan above") {
+    Graft.init(spark, dir)
+    // small n keeps the exact contract: exactly n rows
+    val small = Graft.sql(spark,
+      "SELECT count() AS c FROM lineitem SAMPLE 100").collect().head
+    assert(small.getLong(0) == 100L)
+    // large n (above sampleNApproxThreshold): approximately n rows via
+    // the hash-cutoff filter — plan must carry NO TakeOrdered and no
+    // Sort (the scan filter IS the sample); count lands within the
+    // binomial noise band (±5σ ≈ ±5·√n) or equals the full table when
+    // n >= count
+    val prev = ChSql.sampleNApproxThreshold
+    try {
+      ChSql.sampleNApproxThreshold = 500L
+      val df = Graft.sql(spark,
+        "SELECT l_orderkey FROM lineitem SAMPLE 2000")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("TakeOrdered"), plan)
+      assert(!plan.contains("Sort "), plan)
+      val c = df.count()
+      assert(math.abs(c - 2000L) <= 5 * math.sqrt(2000).toLong,
+        s"sampled $c rows for SAMPLE 2000")
+      // determinism: identical set on re-run (hash cutoff is pure)
+      assert(df.count() == c)
+    } finally ChSql.sampleNApproxThreshold = prev
+  }
 }
