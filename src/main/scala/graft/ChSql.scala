@@ -1800,11 +1800,16 @@ object ChSql {
     * functions]. Spark's parser has no two-group call form, so the
     * parametric shape is rewritten here:
     *
-    *   - `quantile[Exact](p)(x)`   → `percentile(x, p)` (exact rank
-    *     interpolation; CH's plain `quantile` is sampling-based —
-    *     documented estimate drift, exactness is the safer default)
-    *   - `quantiles[Exact](p…)(x)` → `percentile(x, array(p…))`
-    *   - `uniqUpTo(n)(x)`          → `least(count(DISTINCT x), n+1)`
+    *   - `quantile[Exact](p)(x)`   → `graft_quantile_exact(x, p)` —
+    *     Spark-percentile-identical exact rank interpolation over a
+    *     primitive-vector state (functions/QuantileExact.scala); CH's
+    *     plain `quantile` is sampling-based — documented estimate
+    *     drift, exactness is the safer default. The weighted forms
+    *     keep Spark's `percentile(x, p, w)`.
+    *   - `quantiles[Exact](p…)(x)` → `graft_quantile_exact(x, array(p…))`
+    *   - `uniqUpTo(n)(x)`          → capped-set UDAF (exact ≤ n,
+    *     saturates at n+1; fuses into one ObjectHashAggregate pass —
+    *     no count(DISTINCT) Expand regroup)
     *   - `topK(k)(x)` / `topKWeighted(k)(x, w)` / `histogram(n)(x)` /
     *     `windowFunnel(w[, 'mode'…])(ts, c…)` / `sequenceMatch('pat')
     *     (ts, c…)` / `sequenceCount('pat')(ts, c…)` → a UDAF over the
@@ -1909,8 +1914,14 @@ object ChSql {
       // histogram itself is agg_quantile_timing).
       case "quantile" | "quantileexact" | "quantileexactinclusive" |
            "quantiletiming" | "quantiletdigest" | "quantilebfloat16" =>
+        // graft_quantile_exact (functions/QuantileExact.scala), not
+        // Spark's percentile: same interpolation arithmetic
+        // bit-for-bit, but raw primitive-vector state instead of a
+        // boxed OpenHashMap — ~10× cheaper per row (PERF.md
+        // sql_ch_parametric), and CH quantileExact's own O(n) shape
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(1)
-        s"percentile(${args.head}, ${params.head})$filt"
+        s"graft_quantile_exact(CAST(${args.head} AS DOUBLE), " +
+          s"CAST(${params.head} AS DOUBLE))$filt"
       case "quantileexactexclusive" =>
         // PERCENTILE.EXC: rank h = p(n+1) over the sorted multiset,
         // linear interpolation, clamped to [1, n]
@@ -1950,7 +1961,8 @@ object ChSql {
           s"1, ${intParam(0)}))"
       case "quantiles" | "quantilesexact" =>
         require(params.nonEmpty, s"$name0 needs at least one level"); nArgs(1)
-        s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"
+        s"graft_quantile_exact(CAST(${args.head} AS DOUBLE), " +
+          s"CAST(array(${params.mkString(", ")}) AS ARRAY<DOUBLE>))$filt"
       case "quantilegk" | "quantilesgk" =>
         // CH's Greenwald–Khanna sketch quantile — Spark's
         // percentile_approx IS a GK sketch; the first parameter is
@@ -1969,14 +1981,24 @@ object ChSql {
         // the determinator argument only seeds CH's reservoir sampling;
         // the exact interpolated quantile ignores it
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(2)
-        s"percentile(${args.head}, ${params.head})$filt"
+        s"graft_quantile_exact(CAST(${args.head} AS DOUBLE), " +
+          s"CAST(${params.head} AS DOUBLE))$filt"
       case "quantileinterpolatedweighted" | "quantileexactweighted" =>
         require(params.size == 1, s"$name0 takes one level parameter"); nArgs(2)
         // Spark's percentile takes the weight as its frequency column
         s"percentile(${args(0)}, ${params.head}, CAST(${args(1)} AS BIGINT))$filt"
       case "uniqupto" =>
+        // NOT least(count(DISTINCT x), n+1): count(DISTINCT) plans a
+        // two-level Expand regroup that breaks the single
+        // ObjectHashAggregate pass when mixed with percentile-family
+        // neighbours (3 exchanges instead of 1 — measured ~0.9 s on
+        // sql_ch_parametric, PERF.md). The capped-set Aggregator is
+        // the same value with O(n) state and no distinct expansion.
         nArgs(1)
-        s"least(count(DISTINCT ${args.head})$filt, CAST(${intParam(0)} AS BIGINT) + 1)"
+        val n = intParam(0)
+        val fn = s"__ch_uniqupto_$n"
+        registerOnce(spark, fn)(udaf(new Aggregates.UniqUpTo(n)))
+        s"$fn(CAST(${args.head} AS STRING))$filt"
       case "grouparraysorted" | "grouparray" =>
         // N smallest values, ascending — deterministic at any
         // executor count (unlike bare groupArray's encounter order;
@@ -2139,7 +2161,8 @@ object ChSql {
         require(args.size == 1 || args.size == 2,
           s"$name0(levels…)(x[, w]) takes one or two arguments")
         if (args.size == 1)
-          s"percentile(${args.head}, array(${params.mkString(", ")}))$filt"
+          s"graft_quantile_exact(CAST(${args.head} AS DOUBLE), " +
+            s"CAST(array(${params.mkString(", ")}) AS ARRAY<DOUBLE>))$filt"
         else
           s"percentile(${args(0)}, array(${params.mkString(", ")}), " +
             s"CAST(${args(1)} AS BIGINT))$filt"
@@ -2147,7 +2170,9 @@ object ChSql {
         require(params.size == 1, s"$name0 takes one level parameter")
         require(args.size == 1 || args.size == 2,
           s"$name0(level)(x[, w]) takes one or two arguments")
-        if (args.size == 1) s"percentile(${args.head}, ${params.head})$filt"
+        if (args.size == 1)
+          s"graft_quantile_exact(CAST(${args.head} AS DOUBLE), " +
+            s"CAST(${params.head} AS DOUBLE))$filt"
         else s"percentile(${args(0)}, ${params.head}, " +
           s"CAST(${args(1)} AS BIGINT))$filt"
       case other => throw new IllegalStateException(s"unhandled parametric $other")

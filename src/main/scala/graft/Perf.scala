@@ -86,7 +86,43 @@ object Perf {
     "sql_ch_w18_batch", "sql_ch_w19_batch", "sql_ch_w20_batch", "sql_ch_w21_batch", "sql_ch_w22_batch",
     "scalar_variant_type", "pipe_script_detect")
 
+  /** `runMain graft.Perf --time [sfDir [query...]]`: wall-time a
+    * query's cost split into front-door build (rewrite + analysis)
+    * vs execution (noop write), 4 warm rounds each — the attribution
+    * mode that located sql_ch_parametric's ObjectHashAggregate cost.
+    * Master/parallelism come from SPARK_GRAFT_CPUS like Bench.
+    */
+  private def timeMode(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names0 = if (args.length > 1) args.drop(1).toSeq
+                 else Seq("sql_ch_parametric")
+    val names = names0.filter(SparkEntry.queries.contains)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm up codegen/classloading before attributing anything
+    SparkEntry.queries("q1_flagship")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    for (n <- names; i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"PROF $n round $i build=${(t1 - t0) / 1e9}%.3f s " +
+        f"exec=${(t2 - t1) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--time")) return timeMode(args.drop(1))
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = (standing ++ args.drop(1)).distinct
       .filter(SparkEntry.queries.contains)

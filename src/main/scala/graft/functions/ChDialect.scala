@@ -39,13 +39,23 @@ object ChDialect {
     "ifNull" -> "ifnull",
     "nullIf" -> "nullif",
     "arrayReverse" -> "reverse",
-    "arrayShuffle" -> "shuffle",
+    // (arrayShuffle is NOT Spark's RNG `shuffle`: the deterministic
+    // md5-order macroFnN below is the real registration — identical
+    // results at any executor count. The alias that lived here was a
+    // guard-flagged shadowed duplicate.)
     "mid" -> "substring",
     "arrayConcat" -> "concat",
     "has" -> "array_contains",
     "indexOf" -> "array_position",
-    "arrayStringConcat" -> "array_join",
-    "uniq" -> "approx_count_distinct",
+    // arrayStringConcat is NOT an array_join alias: CH defaults the
+    // separator to '' (1-arg form) which bare array_join rejects —
+    // the reg(...) builder below covers both arities. (The alias
+    // lived here too until the collision guard flagged it; the later
+    // reg registration had been silently winning.)
+    // (`uniq` itself is NOT an alias: the reg(...) builder below
+    // wraps multi-arg calls in a struct before the HLL++, which the
+    // bare approx_count_distinct alias would misread as an rsd — the
+    // collision guard flagged the shadowed alias that lived here.)
     // CH's other approximate-distinct sketches — all map to Spark's
     // HLL++ (same documented estimate-drift caveat as `uniq`)
     "uniqCombined" -> "approx_count_distinct",
@@ -476,8 +486,39 @@ object ChDialect {
     v
   }
 
+  /** Names a second registration may DELIBERATELY replace, each with
+    * its justification. Kept empty on purpose: two silent-clobber
+    * incidents in two rounds (LpNorm/deltaSumTimestamp clobbered by
+    * wave-22 spellings; the Array[Byte] reinterpretAsUInt64 clobbered
+    * by a String overload) were both bugs, not overrides. Add a
+    * lowercase name + reason here only when a replacement is the
+    * intended behavior.
+    */
+  private val deliberateOverrides: Map[String, String] = Map.empty
+
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
+
+    // ---- registration-collision guard --------------------------------
+    // With ~350 names registered in one pass, a duplicate is a bug
+    // until proven deliberate: createOrReplaceTempFunction replaces
+    // silently, so the LAST registration wins and the first one's
+    // semantics vanish without a test failing. Every path below
+    // (builtin alias, reg, macroFn[N], spark.udf.register via
+    // gd(...)) records its name; a second sighting in the same pass
+    // throws AT INIT TIME — where every spec and the probe battery
+    // trips it — unless allowlisted in deliberateOverrides.
+    val seenReg = new java.util.HashMap[String, String]()
+    def guard(name: String, origin: String): Unit = {
+      val key = name.toLowerCase(java.util.Locale.ROOT)
+      val prev = seenReg.put(key, origin)
+      if (prev != null && !deliberateOverrides.contains(key))
+        throw new IllegalStateException(
+          s"ChDialect: duplicate registration of '$name' ($prev, then " +
+            s"$origin) — a silent clobber. Dedupe it, or allowlist the " +
+            "name in deliberateOverrides with a justification.")
+    }
+    def gd(name: String): String = { guard(name, "udf"); name }
 
     builtinAliases.foreach { case (chName, sparkName) =>
       // Fail fast on a typo'd Spark name — a silently-skipped alias
@@ -486,39 +527,42 @@ object ChDialect {
         .lookupFunctionBuilder(FunctionIdentifier(sparkName))
         .getOrElse(throw new IllegalStateException(
           s"ChDialect: no Spark builtin '$sparkName' for CH alias '$chName'"))
+      guard(chName, "builtin-alias")
       fr.createOrReplaceTempFunction(chName, b, "built-in")
     }
 
-    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit = {
+      guard(name, "reg")
       fr.createOrReplaceTempFunction(name, b, "built-in")
+    }
 
     // special math with no Spark builtin — scalar UDFs (never in a
     // per-row hot loop here; a codegen Expression would be the next
     // step if profiling ever says so)
-    spark.udf.register("erf", (x: Double) => erfImpl(x))
-    spark.udf.register("erfc", (x: Double) => 1.0 - erfImpl(x))
-    spark.udf.register("lgamma", (x: Double) => lgammaImpl(x))
-    spark.udf.register("tgamma", (x: Double) => tgammaImpl(x))
-    spark.udf.register("jaroWinklerSimilarity",
+    spark.udf.register(gd("erf"), (x: Double) => erfImpl(x))
+    spark.udf.register(gd("erfc"), (x: Double) => 1.0 - erfImpl(x))
+    spark.udf.register(gd("lgamma"), (x: Double) => lgammaImpl(x))
+    spark.udf.register(gd("tgamma"), (x: Double) => tgammaImpl(x))
+    spark.udf.register(gd("jaroWinklerSimilarity"),
       (a: String, b: String) => jaroWinkler(a, b))
     // A/B-test planners (CH keeps the "Continous" typo; register the
     // corrected spelling too). Tuple return mirrors CH's
     // (size, lower, upper).
-    spark.udf.register("minSampleSizeContinous", minSampleContinuous _)
-    spark.udf.register("minSampleSizeContinuous", minSampleContinuous _)
-    spark.udf.register("minSampleSizeConversion", minSampleConversion _)
-    spark.udf.register("formatReadableTimeDelta",
+    spark.udf.register(gd("minSampleSizeContinous"), minSampleContinuous _)
+    spark.udf.register(gd("minSampleSizeContinuous"), minSampleContinuous _)
+    spark.udf.register(gd("minSampleSizeConversion"), minSampleConversion _)
+    spark.udf.register(gd("formatReadableTimeDelta"),
       (s: Double) => readableTimeDelta(s))
     // reinterpretAs*: little-endian fixed-width reads of the leading
     // bytes (CH's reinterpret family on binary input)
-    spark.udf.register("reinterpretAsUInt8",
+    spark.udf.register(gd("reinterpretAsUInt8"),
       (b: Array[Byte]) => if (b.isEmpty) 0L else b(0) & 0xffL)
-    spark.udf.register("reinterpretAsUInt16", (b: Array[Byte]) => leRead(b, 2))
-    spark.udf.register("reinterpretAsUInt32", (b: Array[Byte]) => leRead(b, 4))
-    spark.udf.register("reinterpretAsUInt64", (b: Array[Byte]) => leRead(b, 8))
+    spark.udf.register(gd("reinterpretAsUInt16"), (b: Array[Byte]) => leRead(b, 2))
+    spark.udf.register(gd("reinterpretAsUInt32"), (b: Array[Byte]) => leRead(b, 4))
+    spark.udf.register(gd("reinterpretAsUInt64"), (b: Array[Byte]) => leRead(b, 8))
     // Int64 shares the 8-byte LE read (same 64-bit pattern); shorter
     // inputs zero-pad, so the sign bit only sets with all 8 bytes.
-    spark.udf.register("reinterpretAsInt64", (b: Array[Byte]) => leRead(b, 8))
+    spark.udf.register(gd("reinterpretAsInt64"), (b: Array[Byte]) => leRead(b, 8))
 
     // compositions (codegen'd Catalyst trees)
     reg("toStartOfDay")(c => TruncTimestamp(Literal("DAY"), c.head))
@@ -724,8 +768,10 @@ object ChDialect {
     // functions (codegen'd), no UDFs. `element_at(a,1)*0` is the
     // type-preserving zero (0 for int arrays, 0.0 for doubles), and
     // the empty-array guard avoids sequence(1,0)'s DESCENDING range.
-    def macroFn(name: String, argNames: Seq[String], body: String): Unit =
+    def macroFn(name: String, argNames: Seq[String], body: String): Unit = {
+      guard(name, "macro")
       createFunction(spark, name, argNames, body)
+    }
     macroFn("arrayCumSum", Seq("__a"),
       """CASE WHEN size(__a) = 0 THEN __a ELSE
            transform(sequence(1, size(__a)),
@@ -858,13 +904,12 @@ object ChDialect {
                    ELSE CAST('NaN' AS DOUBLE) END
          ELSE CAST(__a AS DOUBLE) / CAST(__b AS DOUBLE) END""")
     macroFn("negate", Seq("__a"), "-__a")
-    // CH range(N) = [0, N) — Spark's sequence is inclusive, and
-    // sequence(0, -1) would count DOWN, so guard the empty case
-    macroFn("range", Seq("__n"),
-      "CASE WHEN __n <= 0 THEN CAST(array() AS ARRAY<BIGINT>) " +
-        "ELSE sequence(CAST(0 AS BIGINT), CAST(__n AS BIGINT) - 1) END")
-    // arrayWithConstant(n, x) — Spark's array_repeat takes (x, n)
-    reg("arrayWithConstant")(c => ArrayRepeat(c(1), c(0)))
+    // (range() is the arity-dispatching macroFnN further down — its
+    // 1-arg variant is this same empty-guarded sequence; a 1-arg-only
+    // macro that lived here was a guard-flagged shadowed duplicate.)
+    // (arrayWithConstant is the macro further down — it CASTs the
+    // count to INT, which the bare ArrayRepeat builder that lived
+    // here didn't; the collision guard flagged the shadowed builder.)
     // arrayReduce('agg', arr): a literal aggregate name dispatched to
     // the array-space implementations (CH's array aggregation without
     // exploding). Delegation goes through UnresolvedFunction so the
@@ -1162,6 +1207,7 @@ object ChDialect {
     // arity-dispatching macro: one CH name, several (argNames, body)
     // templates — picks the variant matching the call's arg count
     def macroFnN(name: String, variants: (Seq[String], String)*): Unit = {
+      guard(name, "macroN")
       val parsed = variants.map { case (an, b) =>
         an -> spark.sessionState.sqlParser.parseExpression(b)
       }
@@ -1260,8 +1306,8 @@ object ChDialect {
         "CASE WHEN CAST(__b AS BIGINT) <= CAST(__a AS BIGINT) THEN CAST(array() AS ARRAY<BIGINT>) ELSE sequence(CAST(__a AS BIGINT), CAST(__b AS BIGINT) - 1, CAST(__s AS BIGINT)) END")
     // javaHash = String.hashCode — EXACT bit-parity by definition;
     // hiveHash masks the sign bit
-    spark.udf.register("javaHash", (s: String) => if (s == null) 0 else s.hashCode)
-    spark.udf.register("hiveHash",
+    spark.udf.register(gd("javaHash"), (s: String) => if (s == null) 0 else s.hashCode)
+    spark.udf.register(gd("hiveHash"),
       (s: String) => if (s == null) 0 else s.hashCode & 0x7fffffff)
     macroFn("countDigits", Seq("__x"),
       "length(CAST(abs(CAST(__x AS BIGINT)) AS STRING))")
@@ -1413,8 +1459,8 @@ object ChDialect {
       "CASE WHEN isnan(__x) OR abs(__x) = CAST('Infinity' AS DOUBLE) " +
         "THEN __y ELSE __x END")
     // type plumbing no-ops: Spark columns are already nullable values
-    macroFn("assumeNotNull", Seq("__x"), "__x")
-    macroFn("toNullable", Seq("__x"), "__x")
+    // (assumeNotNull/toNullable are identity reg(...) builders above;
+    // identity macros that lived here were guard-flagged duplicates)
     macroFn("materialize", Seq("__x"), "__x")
     // CH ignore(...): evaluates and discards, returns UInt8 0
     reg("ignore")(_ =>
@@ -1600,8 +1646,9 @@ object ChDialect {
          toWeek(date_sub(CAST(__d AS DATE), dayofweek(CAST(__d AS DATE)) - 1))""")
     macroFn("toISOYear", Seq("__d"),
       "CAST(extract(YEAROFWEEK FROM CAST(__d AS DATE)) AS INT)")
-    macroFn("toRelativeDayNum", Seq("__d"),
-      "datediff(CAST(__d AS DATE), DATE'1970-01-01')")
+    // (toRelativeDayNum lives with the rest of the toRelative*Num
+    // family below — it was registered HERE too until the collision
+    // guard flagged the duplicate)
     // CH WindowView time-window functions [public docs: sql-reference/
     // functions/time-window-functions]: tumble/hop map onto Spark's
     // window() (TimeWindow — the same expression Structured Streaming
@@ -1998,13 +2045,13 @@ object ChDialect {
     }
 
     // string-family aliases with identical argument order
-    fr.createOrReplaceTempFunction("concatWithSeparator",
+    fr.createOrReplaceTempFunction(gd("concatWithSeparator"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("concat_ws")).get, "built-in")
-    fr.createOrReplaceTempFunction("substringIndex",
+    fr.createOrReplaceTempFunction(gd("substringIndex"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("substring_index")).get, "built-in")
-    fr.createOrReplaceTempFunction("translateUTF8",
+    fr.createOrReplaceTempFunction(gd("translateUTF8"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("translate")).get, "built-in")
 
@@ -2032,7 +2079,7 @@ object ChDialect {
       }
     }
     // arrayJoin(arr) — CH's row-exploding function form
-    fr.createOrReplaceTempFunction("arrayJoin",
+    fr.createOrReplaceTempFunction(gd("arrayJoin"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("explode")).get, "built-in")
     // arrayFold(acc_lambda, arr, init) — CH argument order; the merge
@@ -2111,7 +2158,7 @@ object ChDialect {
       "(length(__h) - length(replace(__h, __n, ''))) DIV length(__n)")
     macroFn("positionCaseInsensitive", Seq("__h", "__n"),
       "instr(lower(__h), lower(__n))")
-    fr.createOrReplaceTempFunction("countMatches",
+    fr.createOrReplaceTempFunction(gd("countMatches"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("regexp_count")).get, "built-in")
 
@@ -2133,27 +2180,27 @@ object ChDialect {
 
     // unsigned spellings map onto the next-size signed type (Spark
     // has no unsigned integers; documented range drift above 2^63-1)
-    fr.createOrReplaceTempFunction("toUInt8",
+    fr.createOrReplaceTempFunction(gd("toUInt8"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("smallint")).get, "built-in")
-    fr.createOrReplaceTempFunction("toUInt16",
+    fr.createOrReplaceTempFunction(gd("toUInt16"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("int")).get, "built-in")
-    fr.createOrReplaceTempFunction("toUInt32",
+    fr.createOrReplaceTempFunction(gd("toUInt32"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("bigint")).get, "built-in")
-    fr.createOrReplaceTempFunction("toUInt64",
+    fr.createOrReplaceTempFunction(gd("toUInt64"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("bigint")).get, "built-in")
 
     // random-family spellings (nondeterministic by nature, like rand)
-    fr.createOrReplaceTempFunction("generateUUIDv4",
+    fr.createOrReplaceTempFunction(gd("generateUUIDv4"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("uuid")).get, "built-in")
-    fr.createOrReplaceTempFunction("randCanonical",
+    fr.createOrReplaceTempFunction(gd("randCanonical"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("rand")).get, "built-in")
-    fr.createOrReplaceTempFunction("randNormal",
+    fr.createOrReplaceTempFunction(gd("randNormal"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("randn")).get, "built-in")
 
@@ -2197,7 +2244,7 @@ object ChDialect {
     // combinators#-foreach). countForEach rides sumForEach over
     // indicator arrays.
     Seq("sum", "min", "max", "avg").foreach { op =>
-      spark.udf.register(op + "ForEach",
+      spark.udf.register(gd(op + "ForEach"),
         org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ForEachNum(op)))
     }
     macroFn("countForEach", Seq("__a"),
@@ -2212,7 +2259,7 @@ object ChDialect {
     Seq("sum" -> "sumMap", "min" -> "minMap", "max" -> "maxMap")
       .foreach { case (op, nm) =>
         val inner = "__ch_" + nm.toLowerCase(java.util.Locale.ROOT)
-        spark.udf.register(inner,
+        spark.udf.register(gd(inner),
           org.apache.spark.sql.functions.udaf(
             new graft.ops.Aggregates.MapCombine(op)))
         def darr(e: Expression): Expression =
@@ -2325,10 +2372,10 @@ object ChDialect {
       "covarSampStable" -> "covar_samp", "stddevPopStable" -> "stddev_pop",
       "stddevSampStable" -> "stddev_samp", "varPopStable" -> "var_pop",
       "varSampStable" -> "var_samp").foreach { case (ch, sp) =>
-      fr.createOrReplaceTempFunction(ch, FunctionRegistry.builtin
+      fr.createOrReplaceTempFunction(gd(ch), FunctionRegistry.builtin
         .lookupFunctionBuilder(FunctionIdentifier(sp)).get, "built-in")
     }
-    fr.createOrReplaceTempFunction("reverseUTF8", FunctionRegistry.builtin
+    fr.createOrReplaceTempFunction(gd("reverseUTF8"), FunctionRegistry.builtin
       .lookupFunctionBuilder(FunctionIdentifier("reverse")).get, "built-in")
 
     macroFn("isZeroOrNull", Seq("__x"), "coalesce(__x = 0, true)")
@@ -2737,7 +2784,7 @@ object ChDialect {
     // fully-specified algorithm on Int64, so this is bit-parity with
     // CH, not a stand-in). The property that matters for resharding
     // 100 TB: growing n → n+1 moves only ~1/(n+1) of the keys.
-    spark.udf.register("jumpConsistentHash", (key: Long, buckets: Int) => {
+    spark.udf.register(gd("jumpConsistentHash"), (key: Long, buckets: Int) => {
       require(buckets > 0, "jumpConsistentHash: buckets must be positive")
       var k = key; var b = -1L; var j = 0L
       while (j < buckets) {
@@ -2864,25 +2911,25 @@ object ChDialect {
       }
       def b(s: String): Array[Byte] =
         if (s == null) null else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      spark.udf.register("graft_encrypt3",
+      spark.udf.register(gd("graft_encrypt3"),
         (m: String, p: String, k: String) => cipher(m, true, b(k), null).doFinal(b(p)))
-      spark.udf.register("graft_encrypt4",
+      spark.udf.register(gd("graft_encrypt4"),
         (m: String, p: String, k: String, iv: String) =>
           cipher(m, true, b(k), b(iv)).doFinal(b(p)))
-      spark.udf.register("graft_decrypt3",
+      spark.udf.register(gd("graft_decrypt3"),
         (m: String, c: Array[Byte], k: String) =>
           new String(cipher(m, false, b(k), null).doFinal(c),
             java.nio.charset.StandardCharsets.UTF_8))
-      spark.udf.register("graft_decrypt4",
+      spark.udf.register(gd("graft_decrypt4"),
         (m: String, c: Array[Byte], k: String, iv: String) =>
           new String(cipher(m, false, b(k), b(iv)).doFinal(c),
             java.nio.charset.StandardCharsets.UTF_8))
-      spark.udf.register("graft_trydecrypt3",
+      spark.udf.register(gd("graft_trydecrypt3"),
         (m: String, c: Array[Byte], k: String) =>
           try new String(cipher(m, false, b(k), null).doFinal(c),
             java.nio.charset.StandardCharsets.UTF_8)
           catch { case _: Exception => null })
-      spark.udf.register("graft_trydecrypt4",
+      spark.udf.register(gd("graft_trydecrypt4"),
         (m: String, c: Array[Byte], k: String, iv: String) =>
           try new String(cipher(m, false, b(k), b(iv)).doFinal(c),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -2915,17 +2962,17 @@ object ChDialect {
         while (i < key.length) { out(i % bits) = (out(i % bits) ^ key(i)).toByte; i += 1 }
         out
       }
-      spark.udf.register("graft_encrypt_my3",
+      spark.udf.register(gd("graft_encrypt_my3"),
         (m: String, p: String, k: String) =>
           cipher(m, true, foldKey(b(k), m), null).doFinal(b(p)))
-      spark.udf.register("graft_encrypt_my4",
+      spark.udf.register(gd("graft_encrypt_my4"),
         (m: String, p: String, k: String, iv: String) =>
           cipher(m, true, foldKey(b(k), m), b(iv)).doFinal(b(p)))
-      spark.udf.register("graft_decrypt_my3",
+      spark.udf.register(gd("graft_decrypt_my3"),
         (m: String, c: Array[Byte], k: String) =>
           new String(cipher(m, false, foldKey(b(k), m), null).doFinal(c),
             java.nio.charset.StandardCharsets.UTF_8))
-      spark.udf.register("graft_decrypt_my4",
+      spark.udf.register(gd("graft_decrypt_my4"),
         (m: String, c: Array[Byte], k: String, iv: String) =>
           new String(cipher(m, false, foldKey(b(k), m), b(iv)).doFinal(c),
             java.nio.charset.StandardCharsets.UTF_8))
@@ -2934,7 +2981,7 @@ object ChDialect {
     }
     locally {
       val alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
-      spark.udf.register("base58Encode", (s: String) => {
+      spark.udf.register(gd("base58Encode"), (s: String) => {
         if (s == null) null
         else {
           val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -2945,7 +2992,7 @@ object ChDialect {
           ("1" * zeros) + sb.reverse.toString
         }
       })
-      spark.udf.register("base58Decode", (s: String) => {
+      spark.udf.register(gd("base58Decode"), (s: String) => {
         if (s == null) null
         else {
           val zeros = s.takeWhile(_ == '1').length
@@ -2966,18 +3013,18 @@ object ChDialect {
     // punycodeEncode/Decode are CH's RAW RFC 3492 bootstring over the
     // whole string (no prefix) — implemented below to the RFC
     // ('München' ⇄ 'Mnchen-3ya')
-    spark.udf.register("idnaEncode",
+    spark.udf.register(gd("idnaEncode"),
       (s: String) => if (s == null) null else java.net.IDN.toASCII(s))
-    spark.udf.register("idnaDecode",
+    spark.udf.register(gd("idnaDecode"),
       (s: String) => if (s == null) null else java.net.IDN.toUnicode(s))
-    spark.udf.register("tryIdnaEncode", (s: String) =>
+    spark.udf.register(gd("tryIdnaEncode"), (s: String) =>
       if (s == null) null
       else try java.net.IDN.toASCII(s) catch { case _: Exception => "" })
-    spark.udf.register("punycodeEncode",
+    spark.udf.register(gd("punycodeEncode"),
       (s: String) => if (s == null) null else punycodeEncodeImpl(s))
-    spark.udf.register("punycodeDecode",
+    spark.udf.register(gd("punycodeDecode"),
       (s: String) => if (s == null) null else punycodeDecodeImpl(s))
-    spark.udf.register("tryPunycodeDecode", (s: String) =>
+    spark.udf.register(gd("tryPunycodeDecode"), (s: String) =>
       if (s == null) null
       else try punycodeDecodeImpl(s) catch { case _: Exception => "" })
     // ---- time-series family (CH's series* analytics) ----
@@ -2985,7 +3032,7 @@ object ChDialect {
     // [q1 − 1.5·IQR, q3 + 1.5·IQR], signed distance beyond the fence
     // otherwise (quartiles by linear interpolation over the sorted
     // series)
-    spark.udf.register("seriesOutliersDetectTukey", (xs: Seq[Double]) => {
+    spark.udf.register(gd("seriesOutliersDetectTukey"), (xs: Seq[Double]) => {
       if (xs == null || xs.size < 4) Seq.empty[Double]
       else {
         val s = xs.sorted
@@ -3003,7 +3050,7 @@ object ChDialect {
     // Dominant period via a naive DFT (O(n²) on one row's series —
     // the per-array scale CH aims this at): period = n / argmax_k |X_k|
     // over k = 1 … n/2, 0.0 when no bin dominates (flat series)
-    spark.udf.register("seriesPeriodDetectFFT", (xs: Seq[Double]) => {
+    spark.udf.register(gd("seriesPeriodDetectFFT"), (xs: Seq[Double]) => {
       if (xs == null || xs.size < 4) 0.0
       else {
         val n = xs.size
@@ -3027,7 +3074,7 @@ object ChDialect {
       }
     })
     // arrayLevenshteinDistance: edit distance over element sequences
-    spark.udf.register("arrayLevenshteinDistance",
+    spark.udf.register(gd("arrayLevenshteinDistance"),
       (a: Seq[String], b: Seq[String]) => {
         if (a == null || b == null) -1
         else {
@@ -3067,15 +3114,15 @@ object ChDialect {
           }
         }
       }
-    spark.udf.register("arrayAUC", arrayAucFn)
+    spark.udf.register(gd("arrayAUC"), arrayAucFn)
     // query-log normalization: literals (strings, then numbers) → ?
-    spark.udf.register("normalizeQuery", (q: String) =>
+    spark.udf.register(gd("normalizeQuery"), (q: String) =>
       if (q == null) null
       else q.replaceAll("'(?:[^'\\\\]|\\\\.|'')*'", "?")
         .replaceAll("\\b\\d+(?:\\.\\d+)?\\b", "?"))
     macroFn("normalizedQueryHash", Seq("__q"),
       "sipHash64(normalizeQuery(__q))")
-    spark.udf.register("extractAllGroupsVertical", (s: String, re: String) => {
+    spark.udf.register(gd("extractAllGroupsVertical"), (s: String, re: String) => {
       if (s == null || re == null) Seq.empty[Seq[String]]
       else {
         val m = java.util.regex.Pattern.compile(re).matcher(s)
@@ -3085,7 +3132,7 @@ object ChDialect {
         out.toSeq
       }
     })
-    spark.udf.register("extractAllGroupsHorizontal", (s: String, re: String) => {
+    spark.udf.register(gd("extractAllGroupsHorizontal"), (s: String, re: String) => {
       if (s == null || re == null) Seq.empty[Seq[String]]
       else {
         val m = java.util.regex.Pattern.compile(re).matcher(s)
@@ -3099,7 +3146,7 @@ object ChDialect {
     // proportionsZTest(sx, sy, tx, ty, conf, 'pooled'|'unpooled') →
     // (z, p_two_sided, ci_lower, ci_upper); Φ from erf, Φ⁻¹ from the
     // same Acklam probit the minSampleSize planners use
-    spark.udf.register("proportionsZTest",
+    spark.udf.register(gd("proportionsZTest"),
       (sx: Long, sy: Long, tx: Long, ty: Long, conf: Double, mode: String) => {
         val p1 = sx.toDouble / tx; val p2 = sy.toDouble / ty
         val se =
@@ -3261,8 +3308,8 @@ object ChDialect {
 
     // ---- wave 19 (probe-driven, r9) ----
     // string-distance long tail (jaroWinklerSimilarity predates this)
-    spark.udf.register("jaroSimilarity", (a: String, b: String) => jaro(a, b))
-    spark.udf.register("damerauLevenshteinDistance",
+    spark.udf.register(gd("jaroSimilarity"), (a: String, b: String) => jaro(a, b))
+    spark.udf.register(gd("damerauLevenshteinDistance"),
       (a: String, b: String) => damerauLevenshtein(a, b))
     macroFn("initcapUTF8", Seq("__s"), "initcap(__s)")
     // unbin: bit-string → bytes, a leading partial group then 8-bit
@@ -3306,7 +3353,7 @@ object ChDialect {
       "filter(split(__s, '[^A-Za-z0-9]+'), __x -> __x != '')")
     macroFn("isValidJSON", Seq("__s"), "try_parse_json(__s) IS NOT NULL")
     macroFn("JSONArrayLength", Seq("__s"), "json_array_length(__s)")
-    spark.udf.register("JSONMergePatch", (a: String, b: String) => {
+    spark.udf.register(gd("JSONMergePatch"), (a: String, b: String) => {
       import org.json4s.jackson.JsonMethods
       JsonMethods.compact(JsonMethods.render(jsonMergePatch(
         JsonMethods.parse(a), JsonMethods.parse(b))))
@@ -3438,7 +3485,7 @@ object ChDialect {
     // Int64/UInt64 readers are the single Array[Byte] registrations
     // above — no String-typed re-registration (that clobbered the
     // binary form and broke unhex() inputs).
-    spark.udf.register("reinterpretAsString", (v: Long) => {
+    spark.udf.register(gd("reinterpretAsString"), (v: Long) => {
       val b = Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xff).toByte)
       var n = 8
       while (n > 0 && b(n - 1) == 0) n -= 1
@@ -3634,9 +3681,11 @@ object ChDialect {
     macroFn("arraySymmetricDifference", Seq("__a", "__b"),
       """array_distinct(concat(array_except(__a, __b),
                                array_except(__b, __a)))""")
-    // UTF8 position variants: Spark's locate is already
-    // code-point-based, so the UTF8 spellings share it
-    macroFn("positionUTF8", Seq("__h", "__n"), "locate(__n, __h)")
+    // UTF8 position variants: Spark's locate/instr are already
+    // code-point-based. positionUTF8 itself is the `instr` builtin
+    // alias (registered in builtinAliases — a second macro here was
+    // a guard-flagged duplicate); the case-insensitive spelling has
+    // no single builtin, so it stays a macro.
     macroFn("positionCaseInsensitiveUTF8", Seq("__h", "__n"),
       "locate(lower(__n), lower(__h))")
     // ---- general-purpose hash family (CH murmur*/farm*) ----
@@ -3688,12 +3737,12 @@ object ChDialect {
       h ^= h >>> 13; h *= m; h ^= h >>> 15
       h
     }
-    spark.udf.register("murmurHash3_32", (s: String) =>
+    spark.udf.register(gd("murmurHash3_32"), (s: String) =>
       if (s == null) null
       else java.lang.Long.valueOf(java.lang.Integer.toUnsignedLong(
         com.google.common.hash.Hashing.murmur3_32_fixed(0)
           .hashBytes(s.getBytes("UTF-8")).asInt())))
-    spark.udf.register("murmurHash3_64", (s: String) =>
+    spark.udf.register(gd("murmurHash3_64"), (s: String) =>
       if (s == null) null
       else {
         val b = com.google.common.hash.Hashing.murmur3_128(0)
@@ -3702,19 +3751,19 @@ object ChDialect {
         while (i >= 0) { lo = (lo << 8) | (b(i) & 0xffL); i -= 1 }
         java.lang.Long.valueOf(lo)
       })
-    spark.udf.register("murmurHash3_128", (s: String) =>
+    spark.udf.register(gd("murmurHash3_128"), (s: String) =>
       if (s == null) null
       else com.google.common.hash.Hashing.murmur3_128(0)
         .hashBytes(s.getBytes("UTF-8")).asBytes())
-    spark.udf.register("farmFingerprint64", (s: String) =>
+    spark.udf.register(gd("farmFingerprint64"), (s: String) =>
       if (s == null) null
       else java.lang.Long.valueOf(
         com.google.common.hash.Hashing.farmHashFingerprint64()
           .hashBytes(s.getBytes("UTF-8")).asLong()))
-    spark.udf.register("murmurHash2_64", (s: String) =>
+    spark.udf.register(gd("murmurHash2_64"), (s: String) =>
       if (s == null) null
       else java.lang.Long.valueOf(mm2_64(s.getBytes("UTF-8"))))
-    spark.udf.register("murmurHash2_32", (s: String) =>
+    spark.udf.register(gd("murmurHash2_32"), (s: String) =>
       if (s == null) null
       else java.lang.Long.valueOf(
         java.lang.Integer.toUnsignedLong(mm2_32(s.getBytes("UTF-8")))))

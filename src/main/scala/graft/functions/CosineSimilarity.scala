@@ -109,5 +109,8 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "quadkey_decode", (children: Seq[Expression]) =>
         QuadkeyDecode(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "graft_quantile_exact", (children: Seq[Expression]) =>
+        QuantileExact(children(0), children(1)), "built-in")
   }
 }

@@ -630,6 +630,39 @@ object Aggregates {
     def outputEncoder: Encoder[Seq[Counted]] = enc[Seq[Counted]]
   }
 
+  /** ClickHouse `uniqUpTo(N)(x)`: exact distinct count while the
+    * group holds ≤ N distinct values, saturating at N+1 beyond
+    * [public docs: aggregate-functions/parametric-functions#uniqupto].
+    * State is a value set HARD-CAPPED at N+1 entries — once saturated
+    * nothing more is inserted, so buffers are O(N) regardless of
+    * group size (CH's exact contract). The point of this Aggregator
+    * over `least(count(DISTINCT x), N+1)` is the PLAN: count(DISTINCT)
+    * forces Spark's two-level Expand expansion (extra exchange +
+    * whole-row regroup), while this is a plain TypedImperative
+    * aggregate that fuses into the SAME ObjectHashAggregate pass as
+    * percentile-family neighbours — one partial, one exchange, one
+    * final. NULL inputs are ignored (count-DISTINCT semantics, which
+    * the DuckDB oracle shares).
+    */
+  class UniqUpTo(n: Int)
+      extends Aggregator[String, Set[String], Long] with Serializable {
+    private val cap = n + 1
+    def zero: Set[String] = Set.empty
+    def reduce(b: Set[String], v: String): Set[String] =
+      if (v == null || b.size >= cap || b.contains(v)) b else b + v
+    def merge(a: Set[String], b: Set[String]): Set[String] = {
+      // union, stopping as soon as the cap is reached — saturation is
+      // absorbing, so any cap-sized union yields the same N+1 result
+      var m = a
+      val it = b.iterator
+      while (m.size < cap && it.hasNext) m += it.next()
+      if (m.size > cap) m.take(cap) else m
+    }
+    def finish(b: Set[String]): Long = math.min(b.size.toLong, cap.toLong)
+    def bufferEncoder: Encoder[Set[String]] = enc[Set[String]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** ClickHouse `groupBitmap` (roaring-bitmap distinct count): keyed
     * bitmap containers — values bucket by `v >> 12` into 4096-bit
     * (64-word) containers, the same two-level shape Roaring uses for
