@@ -1,6 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Best-of-2 timings per query; a query is `ok` only if BOTH runs
+    * succeed. Separated from main so BenchSpec can inject a broken
+    * query and assert the failure surfaces (r11 shipped a bench whose
+    * rc=0 total silently absorbed 24 analysis failures).
+    */
+  def runAll(spark: SparkSession, sfDir: String,
+             queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Seq[(String, Double, Boolean)] = {
+    // noop sink forces full evaluation of every projected column
+    // (count() would let Catalyst prune unreferenced expressions).
+    def run(name: String): Boolean =
+      try {
+        queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
+    // Untimed warmup: pay JVM classloading + codegen once, outside the
+    // timed loop, so per-query numbers are round-comparable. One query
+    // per heavyweight codegen family (scan+agg, grouping sets, window):
+    // a cold grouping-sets plan alone costs ~5 s of generated-class
+    // compilation that otherwise lands on the first timed run.
+    Seq("q1_flagship", "agg_rollup", "window_rank")
+      .filter(queries.contains).foreach(run)
+    // Best-of-2 per query: standard steady-state benchmarking — a
+    // single GC pause or host hiccup otherwise lands on one arbitrary
+    // query and distorts the total (observed ±15 s swings on a busy
+    // host). Codegen/data caches are warm either way; plans are
+    // rebuilt per run.
+    queries.keys.toSeq.sorted.map { name =>
+      def timed(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = run(name)
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (t1, ok1) = timed()
+      val (t2, ok2) = timed()
+      (name, math.min(t1, t2), ok1 && ok2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // The prescribed bench environment is local[32] with 32 shuffle
@@ -14,37 +54,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // noop sink forces full evaluation of every projected column
-    // (count() would let Catalyst prune unreferenced expressions).
-    def run(name: String): Boolean =
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        true
-      } catch { case _: Throwable => false }
-    // Untimed warmup: pay JVM classloading + codegen once, outside the
-    // timed loop, so per-query numbers are round-comparable. One query
-    // per heavyweight codegen family (scan+agg, grouping sets, window):
-    // a cold grouping-sets plan alone costs ~5 s of generated-class
-    // compilation that otherwise lands on the first timed run.
-    run("q1_flagship")
-    run("agg_rollup")
-    run("window_rank")
-    // Best-of-2 per query: standard steady-state benchmarking — a
-    // single GC pause or host hiccup otherwise lands on one arbitrary
-    // query and distorts the total (observed ±15 s swings on a busy
-    // host). Codegen/data caches are warm either way; plans are
-    // rebuilt per run.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      def timed(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = run(name)
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (t1, ok1) = timed()
-      val (t2, ok2) = timed()
-      (name, math.min(t1, t2), ok1 && ok2)
-    }
+    val results = runAll(spark, sfDir, SparkEntry.queries)
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s""""$k"""" }
@@ -55,5 +65,13 @@ object Bench {
     // verdict had to reconstruct totals from truncated JSON tails).
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
+    // A failing query must turn the WHOLE bench red: r11's init break
+    // made 24 queries "run" in 0.02 s (analysis failure) and the rc=0
+    // total read as a speedup. Nonzero rc makes that impossible.
+    if (results.exists(!_._3)) {
+      Console.err.println(
+        s"Bench: ${results.count(!_._3)} quer(ies) FAILED — see \"failed\" in the JSON line")
+      sys.exit(1)
+    }
   }
 }

@@ -41,18 +41,28 @@ object Graft {
     // library's contract is UTC (same as all five bundled mains).
     if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Mark the session registered only once ALL registrations succeed:
+    // a throw mid-registration (e.g. a duplicate-name guard trip) must
+    // leave the session eligible for a clean retry, never half-registered
+    // with later names missing (UNRESOLVED_ROUTINE on toString/dictGet/…).
     if (registeredSessions.add(spark)) {
-      GraftFunctions.register(spark)
-      graft.functions.ChDialect.register(spark)
-      // unparameterized custom Aggregators under their CH spellings
-      spark.udf.register("groupBitmap",
-        org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.GroupBitmap))
-      // uniqTheta at the default capacity: the sketch column (k-min
-      // hash array) — combine with size/array_union/… for estimates
-      spark.udf.register("uniqTheta",
-        org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ThetaSketch(4096)))
-      graft.plans.LimitByPlan.install(spark)
-      graft.plans.DedupAggregateCalls.install(spark)
+      try {
+        GraftFunctions.register(spark)
+        graft.functions.ChDialect.register(spark)
+        // unparameterized custom Aggregators under their CH spellings
+        spark.udf.register("groupBitmap",
+          org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.GroupBitmap))
+        // uniqTheta at the default capacity: the sketch column (k-min
+        // hash array) — combine with size/array_union/… for estimates
+        spark.udf.register("uniqTheta",
+          org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.ThetaSketch(4096)))
+        graft.plans.LimitByPlan.install(spark)
+        graft.plans.DedupAggregateCalls.install(spark)
+      } catch {
+        case t: Throwable =>
+          registeredSessions.remove(spark)
+          throw t
+      }
     }
     Tables.names.foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(t)

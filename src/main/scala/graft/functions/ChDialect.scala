@@ -66,11 +66,8 @@ object ChDialect {
     // shadowing it would silently flip Spark-spelled queries in the
     // same session. `positionUTF8` (no Spark collision) covers it.
     "positionUTF8" -> "instr",
-    "substringUTF8" -> "substring",
     "leftUTF8" -> "left",
     "rightUTF8" -> "right",
-    "replaceAll" -> "replace",
-    "replaceRegexpAll" -> "regexp_replace",
     "makeDate" -> "make_date",
     "makeDateTime" -> "make_timestamp",
     "toDate32" -> "to_date",
@@ -155,8 +152,7 @@ object ChDialect {
     "editDistance" -> "levenshtein",
     "fromUnixTimestamp64Milli" -> "timestamp_millis",
     "fromUnixTimestamp64Micro" -> "timestamp_micros",
-    "toUnixTimestamp64Milli" -> "unix_millis",
-    "toUnixTimestamp64Micro" -> "unix_micros",
+    // toUnixTimestamp64Milli/Micro are reg builders (tz-shift unwrap)
     "fromUnixTimestamp" -> "timestamp_seconds")
 
   /** CH `CREATE FUNCTION name AS (args) -> body` [public docs:
@@ -509,15 +505,23 @@ object ChDialect {
     // throws AT INIT TIME — where every spec and the probe battery
     // trips it — unless allowlisted in deliberateOverrides.
     val seenReg = new java.util.HashMap[String, String]()
+    val dupSightings = scala.collection.mutable.ListBuffer.empty[String]
     def guard(name: String, origin: String): Unit = {
       val key = name.toLowerCase(java.util.Locale.ROOT)
       val prev = seenReg.put(key, origin)
       if (prev != null && !deliberateOverrides.contains(key))
-        throw new IllegalStateException(
-          s"ChDialect: duplicate registration of '$name' ($prev, then " +
-            s"$origin) — a silent clobber. Dedupe it, or allowlist the " +
-            "name in deliberateOverrides with a justification.")
+        // Collect and throw ONCE at the end of register() so a single
+        // failed init reports EVERY collision (r11 shipped with one
+        // throw-on-first guard and a chain of 14 hidden behind it).
+        dupSightings += s"'$name' ($prev, then $origin)"
     }
+    def guardReport(): Unit =
+      if (dupSightings.nonEmpty)
+        throw new IllegalStateException(
+          s"ChDialect: ${dupSightings.size} duplicate registration(s) — " +
+            "silent clobbers. Dedupe each, or allowlist in " +
+            s"deliberateOverrides with a justification:\n  " +
+            dupSightings.mkString("\n  "))
     def gd(name: String): String = { guard(name, "udf"); name }
 
     builtinAliases.foreach { case (chName, sparkName) =>
@@ -605,7 +609,6 @@ object ChDialect {
       Cast(DateFormatClass(Cast(c.head, DateType), Literal("yyyyMMdd")), IntegerType))
     reg("toDayOfYear")(c => DayOfYear(Cast(c.head, DateType)))
     // Spark's weekofyear IS the ISO week number
-    reg("toISOWeek")(c => WeekOfYear(Cast(c.head, DateType)))
     reg("toLastDayOfMonth")(c => LastDay(Cast(c.head, DateType)))
 
     // add/subtract date arithmetic. DATE granularity (inputs are cast
@@ -983,13 +986,6 @@ object ChDialect {
       "transform(sequence(1, size(__a) - __k + 1), i -> slice(__a, i, __k))")
     macroFn("bitHammingDistance", Seq("__a", "__b"),
       "bit_count(__a ^ __b)")
-    // CH stringJaccardIndex works over the byte SETS of both strings
-    macroFn("stringJaccardIndex", Seq("__a", "__b"),
-      """size(array_intersect(transform(sequence(1, length(__a)), i -> substring(__a, i, 1)),
-                              transform(sequence(1, length(__b)), i -> substring(__b, i, 1))))
-         / CAST(size(array_union(transform(sequence(1, length(__a)), i -> substring(__a, i, 1)),
-                                 transform(sequence(1, length(__b)), i -> substring(__b, i, 1))))
-                AS DOUBLE)""")
     macroFn("currentDatabase", Seq(), "'default'")
     macroFn("hostName", Seq(), "'localhost'")
     macroFn("formatReadableDecimalSize", Seq("__b"),
@@ -1145,7 +1141,26 @@ object ChDialect {
       val branches = c.dropRight(1).grouped(2).map { case Seq(p, v) => (p, v) }.toSeq
       CaseWhen(branches, Some(c.last))
     }
-    reg("toUnixTimestamp")(c => Cast(UnixTimestamp(c.head, Literal("yyyy-MM-dd HH:mm:ss")), LongType))
+    // CH's toTimeZone only re-labels the DISPLAY zone — the instant is
+    // unchanged [CH docs: sql-reference/functions/date-time-functions
+    // #totimezone]. Our representation shifts the wall clock (the
+    // session renders UTC) so every display/extraction function agrees
+    // with CH; the EPOCH family must therefore look through that shift
+    // and read the original instant, making
+    // toUnixTimestamp*(toTimeZone(x, tz)) = toUnixTimestamp*(x) —
+    // exactly CH. Matches both the unresolved macro expansion and the
+    // already-resolved node (analyzer iteration order varies).
+    def unwrapTz(e: Expression): Expression = e match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.length == 1 &&
+            u.nameParts.head.equalsIgnoreCase("from_utc_timestamp") &&
+            u.arguments.size == 2 => u.arguments.head
+      case f: FromUTCTimestamp => f.left
+      case _ => e
+    }
+    reg("toUnixTimestamp")(c => Cast(UnixTimestamp(unwrapTz(c.head), Literal("yyyy-MM-dd HH:mm:ss")), LongType))
+    reg("toUnixTimestamp64Milli")(c => UnixMillis(Cast(unwrapTz(c.head), TimestampType)))
+    reg("toUnixTimestamp64Micro")(c => UnixMicros(Cast(unwrapTz(c.head), TimestampType)))
 
     // -If aggregate combinators: agg only over rows where cond holds.
     // CH argument order (x, cond); a no-else CASE yields NULL for
@@ -1364,7 +1379,6 @@ object ChDialect {
         }
         if (newline) Concat(Seq(body, Literal("\n"))) else body
       }
-      reg("formatRow")(fmtRow(newline = true))
       reg("formatRowNoNewline")(fmtRow(newline = false))
     }
     // hasColumnInTable('table', 'col') / ('db', 'table', 'col'):
@@ -1396,7 +1410,6 @@ object ChDialect {
     // indexHint(cond): CH evaluates the INDEX on cond but filters
     // nothing — here partition pruning is Catalyst's own job, so the
     // faithful result contract is constant true (no row filtering)
-    reg("indexHint")(_ => Literal(true))
     // singleValueOrNull: the group's value iff it is unique, else NULL
     macroFn("singleValueOrNull", Seq("__x"),
       "CASE WHEN count(DISTINCT __x) = 1 THEN min(__x) END")
@@ -1455,16 +1468,9 @@ object ChDialect {
       "NOT isnan(__x) AND abs(__x) <> CAST('Infinity' AS DOUBLE)")
     macroFn("isInfinite", Seq("__x"),
       "abs(__x) = CAST('Infinity' AS DOUBLE)")
-    macroFn("ifNotFinite", Seq("__x", "__y"),
-      "CASE WHEN isnan(__x) OR abs(__x) = CAST('Infinity' AS DOUBLE) " +
-        "THEN __y ELSE __x END")
     // type plumbing no-ops: Spark columns are already nullable values
     // (assumeNotNull/toNullable are identity reg(...) builders above;
     // identity macros that lived here were guard-flagged duplicates)
-    macroFn("materialize", Seq("__x"), "__x")
-    // CH ignore(...): evaluates and discards, returns UInt8 0
-    reg("ignore")(_ =>
-      org.apache.spark.sql.catalyst.expressions.Literal(0))
 
     // ---- probe-battery breadth (r7): string/replace/conv/date/
     //      vector/digest/bitmap spellings a CH user types daily ----
@@ -1640,10 +1646,6 @@ object ChDialect {
     // ISO year-week spellings; toYearWeek default mode 0 = MySQL
     // YEARWEEK(d,0): anchor at the week's Sunday so week-0 days
     // resolve into the PREVIOUS year's numbering, like MySQL
-    macroFn("toYearWeek", Seq("__d"),
-      """year(date_sub(CAST(__d AS DATE), dayofweek(CAST(__d AS DATE)) - 1))
-           * 100 +
-         toWeek(date_sub(CAST(__d AS DATE), dayofweek(CAST(__d AS DATE)) - 1))""")
     macroFn("toISOYear", Seq("__d"),
       "CAST(extract(YEAROFWEEK FROM CAST(__d AS DATE)) AS INT)")
     // (toRelativeDayNum lives with the rest of the toRelative*Num
@@ -1910,9 +1912,6 @@ object ChDialect {
       if (last < fmt.length) parts += Literal(fmt.substring(last))
       Concat(parts.toSeq)
     })
-    reg("toTypeName")(c =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-        Seq("typeof"), c.toSeq, isDistinct = false))
 
     // web-analytics rounding (CH functions/rounding-functions):
     // fixed bucket ladders — greatest ladder value ≤ x
@@ -2092,35 +2091,6 @@ object ChDialect {
         case other => throw new IllegalArgumentException(
           s"arrayFold needs a lambda first (CH argument order), got ${other.sql}")
       }, LambdaFunction(idv, Seq(idv)))
-    }
-    // arrayFirstIndex(f, arr): 1-based position of the first match,
-    // 0 when none. Like arrayCount, a lambda-receiving builder must
-    // return a higher-order ROOT, so the scan is an ArrayAggregate
-    // with a (counter, position) struct accumulator the user lambda
-    // splices into.
-    reg("arrayFirstIndex") { c =>
-      require(c.size == 2, "arrayFirstIndex(fn, arr) — lambda first (CH order)")
-      val f = c(0) match {
-        case l: LambdaFunction => l
-        case other => throw new IllegalArgumentException(
-          s"arrayFirstIndex needs a lambda first (CH argument order), got ${other.sql}")
-      }
-      val acc = UnresolvedNamedLambdaVariable(Seq("__acc"))
-      val fin = UnresolvedNamedLambdaVariable(Seq("__fin"))
-      def fld(e: Expression, n: String) =
-        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal(n))
-      val zero = CreateNamedStruct(Seq(
-        Literal("i"), Literal(0), Literal("pos"), Literal(0)))
-      val merge = LambdaFunction(
-        CreateNamedStruct(Seq(
-          Literal("i"), Add(fld(acc, "i"), Literal(1)),
-          Literal("pos"), If(
-            And(EqualTo(fld(acc, "pos"), Literal(0)), f.function),
-            Add(fld(acc, "i"), Literal(1)),
-            fld(acc, "pos")))),
-        acc +: f.arguments)
-      ArrayAggregate(c(1), zero, merge,
-        LambdaFunction(fld(fin, "pos"), Seq(fin)))
     }
 
     // retention(cond1, …, condN): array of per-group flags — r[0] =
@@ -2361,8 +2331,6 @@ object ChDialect {
     Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
       reg("normalizeUTF8" + form)(c => UnicodeNormalize(c.head, form))
     }
-    // Spark strings are valid UTF-8 by construction — identity
-    macroFn("toValidUTF8", Seq("__s"), "__s")
 
     // stability-suffixed moment aggregates: CH's *Stable variants are
     // the same statistics with a summation-order guarantee; Spark's
@@ -2460,7 +2428,16 @@ object ChDialect {
               Decimal(java.math.BigDecimal.valueOf(
                 (1L << bits.toInt) - 1), 38, 6), DecimalType(38, 6)))
           val integral = EqualTo(asDec, Floor(asDec))
-          val inRange = Or(IsNull(c.head), And(And(loOk, hiOk), integral))
+          // The DECIMAL(38,6) image ROUNDS at the 6th decimal, so a
+          // sub-µ fraction (255.0000004) would pass the floor check —
+          // CH rejects it. Also require the image be value-faithful:
+          // image == original under double compare (exact for every
+          // representable integral double; any rounding at cast time
+          // breaks the equality).
+          val faithful = EqualTo(Cast(asDec, DoubleType, None, EvalMode.TRY),
+            Cast(c.head, DoubleType, None, EvalMode.TRY))
+          val inRange = Or(IsNull(c.head),
+            And(And(loOk, hiOk), And(integral, faithful)))
           if (tryMode) If(inRange, base, Literal.create(null, dt))
           else If(inRange, base, Cast(spark.sessionState.sqlParser
             .parseExpression(
@@ -2802,8 +2779,6 @@ object ChDialect {
     }
     // toFixedString pads with NUL to width n; CH errors when the value
     // is LONGER than n — rpad truncates instead (documented drift)
-    macroFn("toFixedString", Seq("__s", "__n"),
-      "rpad(__s, CAST(__n AS INT), chr(0))")
     macroFn("toLowCardinality", Seq("__x"), "__x")
 
     // ---- wave 10: URL subdomains, julian/era day counts, snowflake
@@ -2813,7 +2788,6 @@ object ChDialect {
     // arrayPartialSort(limit, arr): CH's contract is "first `limit`
     // elements sorted, remainder unspecified" — the fully sorted
     // array satisfies it and is the only deterministic choice
-    macroFn("arrayPartialSort", Seq("__k", "__a"), "array_sort(__a)")
     macroFn("arrayJaccardIndex", Seq("__a", "__b"),
       """CAST(size(array_intersect(__a, __b)) AS DOUBLE) /
          CAST(size(array_union(__a, __b)) AS DOUBLE)""")
@@ -3767,6 +3741,8 @@ object ChDialect {
       if (s == null) null
       else java.lang.Long.valueOf(
         java.lang.Integer.toUnsignedLong(mm2_32(s.getBytes("UTF-8")))))
+
+    guardReport()
   }
 
   /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,

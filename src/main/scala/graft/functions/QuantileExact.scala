@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
 final class DoubleVec(var a: Array[Double], var n: Int) {
   def add(v: Double): Unit = {
     if (n == a.length) {
+      if (n >= DoubleVec.MaxN)
+        // Fail LOUDLY at the scale rules' boundary: a single serialize
+        // needs one contiguous 4+8n-byte buffer, which overflows
+        // Int.MaxValue past ~268M values — and a multi-GB per-GROUP
+        // state is a spill/OOM hazard long before that. CH documents
+        // quantileExact as O(n) memory too; past this bound the user
+        // wants quantileTDigest (bounded sketch, same spelling family).
+        throw new IllegalStateException(
+          s"quantileExact: group exceeds ${DoubleVec.MaxN} values " +
+            "(O(n) per-group state) — use quantileTDigest for groups " +
+            "this large")
       val b = new Array[Double](a.length * 2)
       System.arraycopy(a, 0, b, 0, n)
       a = b
@@ -28,6 +39,11 @@ final class DoubleVec(var a: Array[Double], var n: Int) {
     a(n) = v
     n += 1
   }
+}
+
+object DoubleVec {
+  /** Per-group value cap: 2^27 values = 1 GiB serialized state. */
+  val MaxN: Int = 1 << 27
 }
 
 /** Exact interpolated quantile(s) over the group's raw value vector —
@@ -73,6 +89,19 @@ case class QuantileExact(
     if (!percentage.foldable)
       return TypeCheckResult.TypeCheckFailure(
         "graft_quantile_exact: percentage must be a literal")
+    // Reject out-of-range levels at ANALYSIS time, like the builtin
+    // Percentile — an unvalidated p>1 would otherwise index past the
+    // sorted vector at executor runtime (ArrayIndexOutOfBounds).
+    val bad = (percentage.eval() match {
+      case null => Nil
+      case d: java.lang.Double => Seq(d.doubleValue())
+      case a: ArrayData => a.toDoubleArray().toSeq
+      case _ => Nil
+    }).filter(p => p.isNaN || p < 0.0 || p > 1.0)
+    if (bad.nonEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        s"graft_quantile_exact: percentage must be in [0, 1], got " +
+          bad.mkString(", "))
     TypeCheckResult.TypeCheckSuccess
   }
   override def nullable: Boolean = true

@@ -1567,7 +1567,8 @@ object ChSqlQueries {
         'Int64' AS jn,
         CAST(n_regionkey + (n_regionkey % 2) AS BIGINT) AS rb,
         CAST(floor(CAST(min_nk AS DOUBLE) / 5) + 1 AS BIGINT) AS wb,
-        CAST(20240305070809 AS BIGINT) AS ts
+        CAST(strftime(TIMESTAMP '2024-03-05 07:08:09',
+                      '%Y%m%d%H%M%S') AS BIGINT) AS ts
       FROM g ORDER BY k""")),
 
     // Wave-16 graduation: the CH ternary operator (single + chained —
@@ -1601,8 +1602,11 @@ object ChSqlQueries {
              ELSE 'r' || CAST(n_regionkey AS VARCHAR) END AS tern,
         CASE WHEN n_regionkey = 0 THEN 1
              WHEN n_regionkey = 1 THEN 2 ELSE 3 END AS tern_chain,
-        21 AS tz_h,
-        '2024-03-05 07:00:00' AS tz_s,
+        hour(timezone('Asia/Tokyo',
+          timezone('UTC', TIMESTAMP '2024-03-05 12:00:00'))) AS tz_h,
+        strftime(timezone('America/New_York',
+          timezone('UTC', TIMESTAMP '2024-03-05 12:00:00')),
+          '%Y-%m-%d %H:%M:%S') AS tz_s,
         CAST(n_regionkey AS VARCHAR) || '|5|0|0' AS rz,
         CAST((n_nationkey // 2) % 2 AS BIGINT) AS bt,
         (n_nationkey % 4) = 3 AS bta,
@@ -1686,6 +1690,52 @@ object ChSqlQueries {
               CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
             < (SELECT CAST(ceil(1152921504606846976e0 * 20000
                  / count(*)) AS BIGINT) FROM lineitem)""")),
+
+    // toTimeZone faithful semantics (CH: re-labels the DISPLAY zone,
+    // instant unchanged): display functions read the target-zone wall
+    // clock while the epoch family reads the ORIGINAL instant — both
+    // pinned against DuckDB's native ICU timezone math computed
+    // INDEPENDENTLY (no constants echoed from the expected output).
+    QDef("sql_ch_totimezone", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey AS k,
+          toString(toTimeZone(addMinutes(toDateTime('2024-03-05 12:00:00'),
+                                         n_nationkey), 'Asia/Tokyo')) AS wall,
+          CAST(toHour(toTimeZone(toDateTime('2024-03-05 12:00:00'),
+                                 'America/New_York')) AS Int64) AS h,
+          toUnixTimestamp(toTimeZone(addMinutes(
+            toDateTime('2024-03-05 12:00:00'), n_nationkey),
+            'Asia/Tokyo')) AS ep
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT n_nationkey AS k,
+        strftime(timezone('Asia/Tokyo', timezone('UTC',
+          TIMESTAMP '2024-03-05 12:00:00' + n_nationkey * INTERVAL 1 MINUTE)),
+          '%Y-%m-%d %H:%M:%S') AS wall,
+        CAST(hour(timezone('America/New_York', timezone('UTC',
+          TIMESTAMP '2024-03-05 12:00:00'))) AS BIGINT) AS h,
+        epoch_us(TIMESTAMP '2024-03-05 12:00:00'
+                 + n_nationkey * INTERVAL 1 MINUTE) // 1000000 AS ep
+      FROM nation ORDER BY k""")),
+
+    // Absolute SAMPLE n with n ≫ rowcount (1e12 vs 60k at sf0.01):
+    // unclamped, ceil(2^60·n/count) ≈ 1.9e25 overflows BIGINT — Spark
+    // saturates, DuckDB errors, engines diverge. The least(…, 2^60)
+    // clamp makes the cutoff the full hash span, i.e. every row
+    // passes: CH's own behavior for an oversized absolute sample.
+    // Oracle = the full table (hash < 2^60 is vacuously true for a
+    // 60-bit hash).
+    QDef("sql_ch_sample_n_over", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT count() AS c,
+               sum(CAST(l_quantity AS Int64)) AS sq
+        FROM lineitem SAMPLE 1000000000000""")
+    }, Some("""
+      SELECT count(*) AS c,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem""")),
 
     // INTERPOLATE (c AS expr): filled rows apply expr to the PREVIOUS
     // row's value, chained — the i-th filled row after an original is
@@ -1804,7 +1854,10 @@ object ChSqlQueries {
              array_to_string(list_transform(l[1:3],
                x -> CAST(x AS VARCHAR)), '|') AS ga,
              round(qtw, 4) AS qtw, uc, md, mt,
-             CAST(19724 AS BIGINT) AS rd, CAST(473357 AS BIGINT) AS rh
+             CAST(date_diff('day', DATE '1970-01-01',
+                            DATE '2024-01-02') AS BIGINT) AS rd,
+             CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            TIMESTAMP '2024-01-01 05:00:00') AS BIGINT) AS rh
       FROM g ORDER BY k""")),
 
     // Wave-19 graduation: string distances (Damerau-Levenshtein OSA,

@@ -791,6 +791,14 @@ class ChDialectSpec extends AnyFunSuite {
     assert(q.getDouble(1) == tw.getDouble(1))
     assert(q.getLong(2) == tw.getLong(2)) // 3 distinct ≤ 3+1 → exact
     assert(q.getLong(3) == 2L)            // capped at 1+1
+    // value-based distinctness, not rendering-based: -0.0 = 0.0 in
+    // SQL but the two render differently — must count as ONE
+    val zz = Graft.sql(spark, """
+      SELECT uniqUpTo(5)(v) AS u
+      FROM (SELECT CAST(0.0 AS DOUBLE) AS v
+            UNION ALL SELECT CAST(-0.0 AS DOUBLE)
+            UNION ALL SELECT CAST(1.5 AS DOUBLE))""").collect().head
+    assert(zz.getLong(0) == 2L)
     // histogram(n)(x): the on-demand UDAF is the same AdaptiveHistogram
     // Aggregator the library entry runs — bins must agree exactly
     import org.apache.spark.sql.functions.udaf
@@ -1493,11 +1501,26 @@ class ChDialectSpec extends AnyFunSuite {
                - toRelativeWeekNum(toDate('2024-03-03')) AS sun_to_mon
       FROM system.one""").collect().head
     assert(w.getLong(0) == 1L && w.getLong(1) == 0L && w.getLong(2) == 1L)
-    // toUnixTimestamp over toTimeZone silently diverges from CH —
-    // must refuse with guidance
-    val e = intercept[Exception](Graft.sql(spark,
-      "SELECT toUnixTimestamp(toTimeZone(now(), 'Asia/Tokyo')) AS x"))
-    assert(e.getMessage.contains("zone-invariant"))
+    // CH: toTimeZone re-labels the DISPLAY zone only — the instant is
+    // unchanged, so toUnixTimestamp(toTimeZone(x, tz)) = toUnixTimestamp(x).
+    // The epoch builders unwrap the wall-clock shift; display functions
+    // still see the shifted reading. Both halves pinned:
+    val tz = Graft.sql(spark, """
+      SELECT toUnixTimestamp(toTimeZone(toDateTime('2024-03-05 12:00:00'),
+                                        'Asia/Tokyo')) AS ep,
+             toUnixTimestamp(toDateTime('2024-03-05 12:00:00')) AS ep0,
+             toUnixTimestamp64Micro(toTimeZone(
+               toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo')) AS epu,
+             toHour(toTimeZone(toDateTime('2024-03-05 12:00:00'),
+                               'Asia/Tokyo')) AS h,
+             toString(toTimeZone(toDateTime('2024-03-05 12:00:00'),
+                                 'Asia/Tokyo')) AS wall
+      FROM system.one""").collect().head
+    assert(tz.getLong(0) == 1709640000L) // 12:00 UTC — NOT shifted
+    assert(tz.getLong(1) == 1709640000L)
+    assert(tz.getLong(2) == 1709640000000000L)
+    assert(tz.getInt(3) == 21)           // display reading IS Tokyo
+    assert(tz.getString(4) == "2024-03-05 21:00:00")
   }
 
   test("r10 advice fixes: OrNull parse, reinterpret roundtrip, fill [], alias depth, accurateCast gate") {
@@ -1544,6 +1567,24 @@ class ChDialectSpec extends AnyFunSuite {
       SELECT n_nationkey + 100 AS n_regionkey FROM nation
       WHERE n_nationkey IN (SELECT n_regionkey FROM nation)""").collect()
     assert(ws.length == 5) // subquery's n_regionkey is the COLUMN (0-4)
+    // an alias STARTING with a subquery keyword must still substitute:
+    // `(withdrawal …)` is a grouping paren, not a (WITH …) subquery
+    val wd = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS withdrawal FROM nation
+      WHERE (withdrawal > 120 AND n_regionkey >= 0)""").collect()
+    assert(wd.length == 4 && wd.forall(_.getInt(0) > 120))
+    val sel = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS selection FROM nation
+      WHERE (selection > 120)""").collect()
+    assert(sel.length == 4)
+    // a backtick-quoted identifier in WHERE is OPAQUE to alias
+    // substitution: `n_regionkey` names the real column even when an
+    // alias shadows the name (substituting inside the quotes would
+    // yield the garbage identifier `(n_nationkey + 100)`)
+    val bt = Graft.sql(spark, """
+      SELECT n_nationkey + 100 AS n_regionkey FROM nation
+      WHERE `n_regionkey` >= 3""").collect()
+    assert(bt.length == 10) // the COLUMN (regions 3,4 × 5 nations each)
     // accurateCast unsigned gate: decimal-exact bounds, integrality,
     // UInt64 boundary values near/over 2^53 and 2^63
     val ac = Graft.sql(spark, """
@@ -1558,6 +1599,16 @@ class ChDialectSpec extends AnyFunSuite {
       ac.isNullAt(2))
     assert(ac.isNullAt(3) && ac.getLong(4) == 9007199254740993L)
     assert(ac.getLong(5) == Long.MaxValue)
+    // sub-µ fractions must NOT slip through the DECIMAL(38,6) image's
+    // rounding: CH rejects any non-integral value, however small the
+    // fractional part
+    val sub = Graft.sql(spark, """
+      SELECT accurateCastOrNull(255.0000004, 'UInt8') AS subu,
+             accurateCastOrNull(254.9999996, 'UInt8') AS subd,
+             accurateCast(255.0, 'UInt8') AS exact
+      FROM system.one""").collect().head
+    assert(sub.isNullAt(0) && sub.isNullAt(1))
+    assert(sub.getAs[Number](2).longValue == 255L)
     intercept[Exception](Graft.sql(spark,
       "SELECT accurateCast(3.5, 'UInt8') AS x FROM system.one").collect())
     intercept[Exception](Graft.sql(spark,
