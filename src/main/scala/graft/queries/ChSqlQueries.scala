@@ -1719,6 +1719,98 @@ object ChSqlQueries {
                  + n_nationkey * INTERVAL 1 MINUTE) // 1000000 AS ep
       FROM nation ORDER BY k""")),
 
+    // Wave-23 graduation: space-filling curves (mortonEncode restated
+    // bit-by-bit in DuckDB; hilbert pinned by the decode∘encode
+    // identity + HilbertSpec known answers), 4-gram ngramDistance/
+    // ngramSearch (CH's multiset symmetric-difference formula restated
+    // with DuckDB list ops), CH percent-encoding, change<Part> family,
+    // millisecond arithmetic, UUIDv7/ULID timestamp extraction
+    // (crockford base32 restated positionally), snowflakeID roundtrip,
+    // toUTCTimestamp/fromUTCTimestamp with the epoch-invariance law,
+    // 2-arg timestamp(), makeDateTime64 fraction, arrayDotProduct.
+    QDef("sql_ch_w23_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey AS k,
+          mortonEncode(n_nationkey, n_regionkey) AS me,
+          tupleElement(mortonDecode(2, mortonEncode(n_nationkey, n_regionkey)), 1)
+              = n_nationkey AND
+            tupleElement(mortonDecode(2, mortonEncode(n_nationkey, n_regionkey)), 2)
+              = n_regionkey AS md_ok,
+          tupleElement(hilbertDecode(2, hilbertEncode(n_nationkey, n_regionkey)), 1)
+              = n_nationkey AND
+            tupleElement(hilbertDecode(2, hilbertEncode(n_nationkey, n_regionkey)), 2)
+              = n_regionkey AS hd_ok,
+          round(ngramDistance(n_name, 'NATION_5'), 4) AS ngd,
+          round(ngramSearch(n_name, 'NATION_5'), 4) AS ngs,
+          encodeURLComponent(n_name) AS ue,
+          toUnixTimestamp(changeMonth(toDateTime('2024-03-05 12:10:20'),
+                                      n_nationkey % 12 + 1)) AS cm,
+          toUnixTimestamp64Milli(addMilliseconds(
+            toDateTime('2024-01-01 00:00:00'), n_nationkey * 250)) AS am,
+          CAST(toMillisecond(addMilliseconds(
+            toDateTime('2024-01-01 00:00:00'), n_nationkey * 250)) AS Int64) AS msp,
+          toUnixTimestamp64Milli(
+            UUIDv7ToDateTime('01890a5d-ac96-774b-b9aa-111111111111')) AS u7,
+          toUnixTimestamp64Milli(
+            ULIDStringToDateTime('01ARZ3NDEKTSV4RRFFQ69G5FAV')) AS ul,
+          toUnixTimestamp(snowflakeIDToDateTime(dateTime64ToSnowflakeID(
+            addSeconds(toDateTime('2024-03-05 12:00:00'), n_nationkey)))) AS sf,
+          toUnixTimestamp(fromUTCTimestamp(
+            toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo')) AS tu,
+          toString(fromUTCTimestamp(
+            toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo')) AS fu,
+          arrayDotProduct([n_nationkey, 2], [3, n_regionkey]) AS dp,
+          toBool(n_nationkey % 2) AS tb,
+          toUnixTimestamp(timestamp('2024-01-01 00:00:00', '10:20:30')) AS ts2,
+          toUnixTimestamp64Milli(makeDateTime64(2024, 1, 2, 3, 4, 5, 250)) AS mk
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT n_nationkey AS k,
+        CAST(list_sum(list_transform(range(0, 32), i ->
+               ((n_nationkey::BIGINT >> i) & 1) << (2*i))) +
+             list_sum(list_transform(range(0, 32), i ->
+               ((n_regionkey::BIGINT >> i) & 1) << (2*i+1))) AS BIGINT) AS me,
+        true AS md_ok,
+        true AS hd_ok,
+        round((WITH g AS (SELECT
+            list_transform(range(1, greatest(length(n_name)-2, 1)),
+                           i -> n_name[i:i+3]) AS a,
+            list_transform(range(1, 6), i -> 'NATION_5'[i:i+3]) AS b)
+          SELECT list_sum(list_transform(list_distinct(list_concat(a, b)), gr ->
+                   abs(len(list_filter(a, x -> x = gr)) -
+                       len(list_filter(b, x -> x = gr)))))
+                 / CAST(len(a) + len(b) AS DOUBLE) FROM g), 4) AS ngd,
+        round((WITH g AS (SELECT
+            list_transform(range(1, greatest(length(n_name)-2, 1)),
+                           i -> n_name[i:i+3]) AS a,
+            list_transform(range(1, 6), i -> 'NATION_5'[i:i+3]) AS b)
+          SELECT list_sum(list_transform(list_distinct(b), gr ->
+                   least(len(list_filter(a, x -> x = gr)),
+                         len(list_filter(b, x -> x = gr)))))
+                 / CAST(len(b) AS DOUBLE) FROM g), 4) AS ngs,
+        replace(n_name, ' ', '%20') AS ue,
+        epoch_us(make_timestamp(2024, n_nationkey % 12 + 1, 5, 12, 10, 20))
+          // 1000000 AS cm,
+        epoch_ms(TIMESTAMP '2024-01-01 00:00:00'
+                 + (n_nationkey * 250) * INTERVAL 1 MILLISECOND) AS am,
+        CAST((n_nationkey * 250) % 1000 AS BIGINT) AS msp,
+        CAST('0x01890a5dac96' AS BIGINT) AS u7,
+        CAST(list_sum(list_transform(range(1, 11), i ->
+          (strpos('0123456789ABCDEFGHJKMNPQRSTVWXYZ',
+                  substr('01ARZ3NDEKTSV4RRFFQ69G5FAV', i, 1)) - 1)
+          * CAST(power(32, 10 - i) AS BIGINT))) AS BIGINT) AS ul,
+        epoch_us(TIMESTAMP '2024-03-05 12:00:00'
+                 + n_nationkey * INTERVAL 1 SECOND) // 1000000 AS sf,
+        epoch_us(TIMESTAMP '2024-03-05 12:00:00') // 1000000 AS tu,
+        strftime(timezone('Asia/Tokyo', timezone('UTC',
+          TIMESTAMP '2024-03-05 12:00:00')), '%Y-%m-%d %H:%M:%S') AS fu,
+        3.0 * n_nationkey + 2.0 * n_regionkey AS dp,
+        CAST(n_nationkey % 2 AS BOOLEAN) AS tb,
+        epoch_us(TIMESTAMP '2024-01-01 10:20:30') // 1000000 AS ts2,
+        epoch_ms(TIMESTAMP '2024-01-02 03:04:05.250') AS mk
+      FROM nation ORDER BY k""")),
+
     // Absolute SAMPLE n with n ≫ rowcount (1e12 vs 60k at sf0.01):
     // unclamped, ceil(2^60·n/count) ≈ 1.9e25 overflows BIGINT — Spark
     // saturates, DuckDB errors, engines diverge. The least(…, 2^60)

@@ -1614,4 +1614,48 @@ class ChDialectSpec extends AnyFunSuite {
     intercept[Exception](Graft.sql(spark,
       "SELECT accurateCast(256, 'UInt8') AS x FROM system.one").collect())
   }
+
+  test("wave 23: space-filling curves — known answers, roundtrip, curve adjacency") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // morton: x on even bit positions, y on odd — (3, 5) interleaves
+    // to 0b100111 = 39; decode inverts
+    val m = Graft.sql(spark, """
+      SELECT mortonEncode(3, 5) AS me,
+             tupleElement(mortonDecode(2, 39), 1) AS x,
+             tupleElement(mortonDecode(2, 39), 2) AS y,
+             hilbertEncode(0, 0) AS h0
+      FROM system.one""").collect().head
+    assert(m.getLong(0) == 39L && m.getLong(1) == 3L && m.getLong(2) == 5L)
+    assert(m.getLong(3) == 0L)
+    // the Hilbert curve is CONTINUOUS: consecutive d values decode to
+    // 4-neighbour cells (|Δx| + |Δy| = 1) — the property that makes it
+    // a better range-scan cell index than morton; also encode∘decode
+    // identity over the same prefix
+    val pts = Graft.sql(spark, """
+      SELECT number AS d,
+             tupleElement(hilbertDecode(2, number), 1) AS x,
+             tupleElement(hilbertDecode(2, number), 2) AS y,
+             hilbertEncode(tupleElement(hilbertDecode(2, number), 1),
+                           tupleElement(hilbertDecode(2, number), 2)) AS rt
+      FROM numbers(64) ORDER BY d""").collect()
+    assert(pts.length == 64)
+    pts.foreach(r => assert(r.getLong(3) == r.getLong(0), s"roundtrip at d=${r.getLong(0)}"))
+    pts.sliding(2).foreach { case Array(a, b) =>
+      val dist = math.abs(a.getLong(1) - b.getLong(1)) +
+        math.abs(a.getLong(2) - b.getLong(2))
+      assert(dist == 1L, s"curve jump between d=${a.getLong(0)} and ${b.getLong(0)}")
+    }
+    // ngram family: CH 4-gram multiset formulas, hand-checked answers
+    val ng = Graft.sql(spark, """
+      SELECT ngramDistance('NATIONX', 'NATION_5') AS d1,
+             ngramDistance('abc', 'abc') AS d_short,
+             ngramSearch('clickhouse spark', 'click') AS s1,
+             ngramSearch('zzzz', 'click') AS s0
+      FROM system.one""").collect().head
+    // grams(NATIONX)={NATI,ATIO,TION,IONX}, grams(NATION_5) adds ION_,ON_5
+    // minus IONX: symdiff 3 of 9 total
+    assert(math.abs(ng.getDouble(0) - 3.0 / 9) < 1e-12)
+    assert(ng.getDouble(1) == 0.0) // both under 4 chars: empty == empty
+    assert(ng.getDouble(2) == 1.0 && ng.getDouble(3) == 0.0)
+  }
 }
