@@ -69,12 +69,20 @@ object AggQueries {
     // string: the driver's pandas gate can't sort/hash array cells.
     QDef("agg_quantiles", (s, dir) => {
       import s.implicits._
+      // graft_quantile_exact: primitive-vector state with the
+      // builtin's EXACT interpolation arithmetic — hash-identical
+      // results, ~2× faster than `percentile`'s boxed OpenHashMap on
+      // this 600k-row shape (PERF.md)
+      graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          round(expr(
+            "graft_quantile_exact(CAST(l_quantity AS DOUBLE), 0.5D)"), 4)
+            .as("med_qty"),
           expr("""array_join(transform(
-                    percentile(l_extendedprice, array(0.25, 0.5, 0.75)),
+                    graft_quantile_exact(CAST(l_extendedprice AS DOUBLE),
+                                         array(0.25D, 0.5D, 0.75D)),
                     x -> CAST(round(x, 4) AS STRING)), ',')""")
             .as("price_quartiles"))
         .orderBy($"l_returnflag")

@@ -408,10 +408,14 @@ object CompositeQueries {
     // the sketched path is ApproxSpec territory).
     QDef("cb_value_quantiles", (s, dir) => {
       import s.implicits._
+      // primitive-vector quantile state (identical interpolation to
+      // the builtin; ~3× faster on this shape — see agg_quantiles)
+      graft.functions.GraftFunctions.register(s)
       Tables(s, dir, "events")
         .groupBy($"event_type")
         .agg(expr("""array_join(transform(
-                       percentile(value, array(0.5, 0.9, 0.99)),
+                       graft_quantile_exact(CAST(value AS DOUBLE),
+                                            array(0.5D, 0.9D, 0.99D)),
                        q -> CAST(round(q, 4) AS STRING)), ',')""").as("value_q"))
         .orderBy($"event_type")
     }, Some("""

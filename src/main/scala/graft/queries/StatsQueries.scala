@@ -617,7 +617,9 @@ object StatsQueries {
     QDef("agg_cat_iv", (s, dir) => {
       import s.implicits._
       val ev = Tables(s, dir, "events")
-      val med = ev.agg(expr("percentile(value, 0.5)").as("m"))
+      graft.functions.GraftFunctions.register(s)
+      val med = ev.agg(
+        expr("graft_quantile_exact(CAST(value AS DOUBLE), 0.5D)").as("m"))
       val cells = ev.crossJoin(broadcast(med))
         .groupBy($"event_type")
         .agg(sum(when($"value" > $"m", 1L).otherwise(0L)).as("g"),

@@ -233,6 +233,49 @@ object StreamDemo {
     * batch (graft.Tables) and stream always agree on the raw schema
     * whatever the fixture generation did.
     */
+  /** Streaming MinHash-LSH near-duplicate detection — the pipeline
+    * dedup operator (ops/Text, `pipe_minhash_lsh`) as an INCREMENTAL
+    * stream: every document computes its minhash signature and `b`
+    * LSH band keys stateless-ly (pure codegen'd expressions, no
+    * shuffle); band keys group into keyed state holding ONLY
+    * (anchor = min doc_id seen, count) per bucket — O(active buckets)
+    * bytes total, independent of stream length, never the documents
+    * themselves. A document sharing any bucket with an earlier
+    * (smaller-anchor) document is a near-dup CANDIDATE — exactly the
+    * batch LSH candidate rule, so final per-bucket state equals the
+    * batch `GROUP BY band` min/count at rest (StreamingSpec).
+    * On an unbounded corpus attach a watermark column and swap
+    * NoTimeout for EventTimeTimeout to expire idle buckets (the batch
+    * near-dup contract is within-corpus; the streaming contract is
+    * within-retention).
+    *
+    * Emits (band, anchor, n) per update; `anchor` is monotone
+    * non-increasing so the LAST emission per band is final.
+    */
+  def streamingNearDup(docs: DataFrame, k: Int = 12, b: Int = 4,
+      r: Int = 3): Dataset[(String, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.ops.Text.minhashSig(
+      graft.ops.Text.shingles(graft.ops.Text.tokens(lower(col("text"))), 3), k)
+    docs
+      .select(col("doc_id").cast("long"),
+        explode(graft.ops.Text.bandKeys(sig, b, r)).as("band"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (band, it, state: GroupState[(Long, Long)]) =>
+          val (anchor0, n0) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          var anchor = anchor0; var n = n0
+          it.foreach { case (doc, _) =>
+            if (doc < anchor) anchor = doc
+            n += 1L
+          }
+          state.update((anchor, n))
+          (band, anchor, n)
+      }
+  }
+
   def rawEventSchema(tsType: DataType): StructType = new StructType()
     .add("event_id", LongType)
     .add("ts", tsType)

@@ -248,4 +248,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(canon(spark.table("sessions")) == expected)
     } finally q.stop()
   }
+
+  test("streaming MinHash-LSH near-dup: final bucket state equals batch band groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch truth: the SAME signature/band expressions grouped at rest
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = graft.ops.Text.minhashSig(
+      graft.ops.Text.shingles(graft.ops.Text.tokens(lower($"text")), 3), 12)
+    val expected = docs
+      .select($"doc_id".cast("long"),
+        explode(graft.ops.Text.bandKeys(sig, 4, 3)).as("band"))
+      .groupBy($"band")
+      .agg(min($"doc_id").as("anchor"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (bd, a, n) => bd -> ((a, n)) }.toMap
+
+    val dir = Files.createTempDirectory("graft_docs_stream").toString
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docStream = spark.readStream
+      .schema(docs.schema).parquet(dir)
+    val q = StreamDemo.streamingNearDup(docStream)
+      .toDF("band", "anchor", "n").writeStream.format("memory")
+      .queryName("neardup_state").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // last emission per band is final (anchor monotone, n cumulative)
+      val got = spark.table("neardup_state").as[(String, Long, Long)]
+        .collect().zipWithIndex
+        .groupBy(_._1._1)
+        .map { case (bd, rows) => bd -> { val r = rows.maxBy(_._2)._1; (r._2, r._3) } }
+      assert(got == expected)
+      // sanity: the corpus has at least one near-dup candidate bucket
+      assert(expected.values.exists(_._2 > 1))
+    } finally q.stop()
+  }
 }
