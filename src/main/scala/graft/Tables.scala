@@ -55,7 +55,7 @@ object Tables {
       spark.sparkContext.hadoopConfiguration)
     val bytes = files.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    if (bytes > (1L << 20))
+    if (bytes > (1L << 18))
       // persist too: the sessions here run hundreds of queries over
       // the same immutable fixture, so pay the one repartition shuffle
       // once and serve every later query from parallel in-memory

@@ -534,11 +534,15 @@ object StatsQueries {
     QDef("agg_exp_decay", (s, dir) => {
       import s.implicits._
       val D = "decimal(22,6)"
-      val byType = Window.partitionBy($"event_type")
-      val w = pow(lit(2.0),
-        ($"t_us" - max($"t_us").over(byType)).cast("double") / 3600000000.0)
-      Tables(s, dir, "events")
-        .withColumn("t_us", unix_micros($"ts"))
+      // per-type max epoch via a TINY pre-aggregate broadcast back,
+      // not max() OVER (PARTITION BY event_type): a window keyed by a
+      // low-cardinality column caps parallelism at #keys (5 here) and
+      // funnels every raw row through 5 hot partitions — the classic
+      // 100 TB skew hazard. The join side is O(#types) rows.
+      val ev = Tables(s, dir, "events").withColumn("t_us", unix_micros($"ts"))
+      val mx = ev.groupBy($"event_type").agg(max($"t_us").as("m"))
+      val w = pow(lit(2.0), ($"t_us" - $"m").cast("double") / 3600000000.0)
+      ev.join(broadcast(mx), "event_type")
         .withColumn("w", w)
         .groupBy($"event_type")
         .agg(
