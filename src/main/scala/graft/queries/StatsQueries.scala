@@ -258,14 +258,19 @@ object StatsQueries {
     // algebra is exact, not just close.
     QDef("agg_quantiles_dist", (s, dir) => {
       import s.implicits._
+      // l_quantity (~50 distinct per group) is this operator's
+      // INTENDED shape: the value-count table stays tiny however many
+      // raw rows feed it. (A near-unique column like extendedprice
+      // degenerates the distribution to O(rows) — use the raw-vector
+      // graft_quantile_exact for those; agg_quantiles covers it.)
       Quantiles.exactQuantiles(Tables(s, dir, "lineitem"),
-          Seq("l_returnflag"), col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+          Seq("l_returnflag"), col("l_quantity"), Seq(0.25, 0.5, 0.75))
         .select($"l_returnflag", $"q", round($"quantile", 4).as("quantile"))
         .orderBy($"l_returnflag", $"q")
     }, Some("""
       WITH g AS (
         SELECT l_returnflag,
-               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS vals
+               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS vals
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag,
              CAST([0.25, 0.5, 0.75][i] AS DOUBLE) AS q,
