@@ -934,7 +934,30 @@ object Probe {
     "w23_utc_pair" ->
       "SELECT toUTCTimestamp(toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo') AS toU, fromUTCTimestamp(toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo') AS fromU, toUnixTimestamp(fromUTCTimestamp(toDateTime('2024-03-05 12:00:00'), 'Asia/Tokyo')) AS ep",
     "w23_now64" ->
-      "SELECT now64() <= now() + INTERVAL 1 SECOND AS ok, now64(3) IS NOT NULL AS p3, length(CAST(generateUUIDv7() AS String)) = 36 AS gu"
+      "SELECT now64() <= now() + INTERVAL 1 SECOND AS ok, now64(3) IS NOT NULL AS p3, length(CAST(generateUUIDv7() AS String)) = 36 AS gu",
+    // ---- wave 24 (r12) ----
+    "w24_array_split_rev" ->
+      "SELECT arraySplit(x -> x = 1, [0, 1, 0, 1, 0]) AS fwd, arrayReverseSplit(x -> x = 1, [0, 1, 0, 1, 0]) AS rev",
+    "w24_zip_unaligned" ->
+      "SELECT arrayZipUnaligned([1, 2, 3], ['a']) AS z",
+    "w24_utf8_predicates" ->
+      "SELECT startsWithUTF8('héllo', 'hé') AS s, endsWithUTF8('héllo', 'lo') AS e, substringIndexUTF8('a.b.c', '.', 2) AS si",
+    "w24_url_form" ->
+      "SELECT encodeURLFormComponent('a b+c') AS e, decodeURLFormComponent(encodeURLFormComponent('a b+c')) AS rt",
+    "w24_server_meta2" ->
+      "SELECT currentRoles() AS r, tcpPort() AS p, length(getOSKernelVersion()) > 0 AS k",
+    "w24_has_subsequence" ->
+      "SELECT hasSubsequence('garbage', 'grge') AS y, hasSubsequence('garbage', 'arbw') AS n",
+    "w24_ipv6" ->
+      "SELECT IPv6NumToString(unhex('20010DB8000000000000000000000001')) AS a, IPv6NumToString(unhex('00000000000000000000FFFF7F000001')) AS m",
+    "w24_tuple_names" ->
+      "SELECT tupleNames(CAST(tuple(1, 'x') AS Tuple(a Int64, s String))) AS named, tupleNames(tuple(1, 2)) AS auto",
+    "w24_group_array_sample" ->
+      "SELECT n_regionkey AS k, size(groupArraySample(3)(n_nationkey)) AS n, size(groupArraySample(3, 42)(n_nationkey)) AS ns FROM nation GROUP BY k ORDER BY k",
+    "w24_sparkbar" ->
+      "SELECT sparkbar(24)(toHour(ts), 1) AS bar FROM events",
+    "w24_group_array_last" ->
+      "SELECT arrayStringConcat(arrayMap(x -> toString(x), groupArrayLast(3)(n_nationkey)), '|') AS last3 FROM nation"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -1955,25 +1955,29 @@ object ChDialect {
     // parsed builtin template (starts → slices), so the whole tree
     // stays codegen'd HOFs. Top node is the outer transform —
     // ResolveFunctions requires a HigherOrderFunction there.
-    reg("arraySplit")(c => {
+    // arraySplit cuts BEFORE each flagged element; arrayReverseSplit
+    // cuts AFTER it (CH array-functions docs) — same machinery, the
+    // segment-start predicate just looks at flag(i) vs flag(i-1).
+    def arraySplitFn(name: String, predI: String, predJ: String): Unit =
+        reg(name)(c => {
       require(c.size == 2 || c.size == 3,
-        "arraySplit(lambda, arr[, arr2])")
+        s"$name(lambda, arr[, arr2])")
       val lambda = c.head match {
         case l: LambdaFunction => l
         case other => throw new IllegalArgumentException(
-          s"arraySplit: first argument must be a lambda, got $other")
+          s"$name: first argument must be a lambda, got $other")
       }
       val flags: Expression =
         if (c.size == 2) ArrayTransform(c(1), lambda)
         else ZipWith(c(1), c(2), lambda)
       val template = spark.sessionState.sqlParser.parseExpression(
-        """CASE WHEN size(__arr) = 0 THEN array(__arr) ELSE
+        s"""CASE WHEN size(__arr) = 0 THEN array(__arr) ELSE
              transform(
                filter(sequence(1, size(__arr)),
-                      i -> i = 1 OR coalesce(CAST(element_at(__flg, i) AS BOOLEAN), false)),
+                      i -> i = 1 OR $predI),
                s -> slice(__arr, s,
                  coalesce(array_min(filter(sequence(1, size(__arr)),
-                   j -> j > s AND coalesce(CAST(element_at(__flg, j) AS BOOLEAN), false))),
+                   j -> j > s AND $predJ)),
                    size(__arr) + 1) - s))
            END""")
       val split = template.transformUp {
@@ -1990,6 +1994,12 @@ object ChDialect {
       val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
       ArrayTransform(split, LambdaFunction(x, Seq(x)))
     })
+    arraySplitFn("arraySplit",
+      "coalesce(CAST(element_at(__flg, i) AS BOOLEAN), false)",
+      "coalesce(CAST(element_at(__flg, j) AS BOOLEAN), false)")
+    arraySplitFn("arrayReverseSplit",
+      "coalesce(CAST(element_at(__flg, i - 1) AS BOOLEAN), false)",
+      "coalesce(CAST(element_at(__flg, j - 1) AS BOOLEAN), false)")
 
     // best-effort datetime parsing as a deterministic format cascade
     // (the same cascade the scalar_parse_datetime oracle proves)
@@ -3974,6 +3984,67 @@ object ChDialect {
         "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - 1288834974657, 22)",
       Seq("__t", "__e") ->
         "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - CAST(__e AS BIGINT), 22)")
+
+    // ---- wave 24 (probe-driven, r12) ----
+    // zip with null padding to the LONGER input — exactly Spark's
+    // zip_with padding contract
+    macroFn("arrayZipUnaligned", Seq("__a", "__b"),
+      "zip_with(__a, __b, (x, y) -> struct(x, y))")
+    // Spark strings are valid UTF-8, so the byte-boundary-checked CH
+    // variants coincide with the plain predicates
+    macroFn("startsWithUTF8", Seq("__s", "__p"), "startswith(__s, __p)")
+    macroFn("endsWithUTF8", Seq("__s", "__p"), "endswith(__s, __p)")
+    macroFn("substringIndexUTF8", Seq("__s", "__d", "__n"),
+      "substring_index(__s, __d, CAST(__n AS INT))")
+    // form-encoding IS java/Spark url_encode ('+' for space)
+    macroFn("encodeURLFormComponent", Seq("__s"), "url_encode(__s)")
+    macroFn("decodeURLFormComponent", Seq("__s"), "url_decode(__s)")
+    // server-meta stubs (single-library deployment constants)
+    macroFn("currentRoles", Seq(), "array('default')")
+    macroFn("tcpPort", Seq(), "CAST(9000 AS INT)")
+    macroFn("getOSKernelVersion", Seq(),
+      s"'${System.getProperty("os.name")} ${System.getProperty("os.version")}'")
+    // tupleNames: element names off the struct TYPE (plan-time
+    // constant — see functions/TupleNames.scala)
+    reg("tupleNames")(c => TupleNames(c.head))
+    // hasSubsequence: needle chars appear in haystack in order (CH
+    // string-search-functions; two-pointer scan)
+    spark.udf.register(gd("hasSubsequence"), (h: String, n: String) => {
+      if (h == null || n == null) null
+      else {
+        var i = 0; var j = 0
+        while (i < h.length && j < n.length) {
+          if (h.charAt(i) == n.charAt(j)) j += 1
+          i += 1
+        }
+        java.lang.Boolean.valueOf(j == n.length)
+      }
+    })
+    // IPv6NumToString: 16-byte binary → RFC 5952 compressed text
+    // (Inet6Address renders the canonical form; ::ffff:a.b.c.d mapped
+    // addresses render the embedded IPv4 like CH)
+    spark.udf.register(gd("IPv6NumToString"), (b: Array[Byte]) => {
+      if (b == null || b.length != 16) null
+      else {
+        val groups = (0 until 8).map(i =>
+          ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+        // find longest zero run (≥ 2) for :: compression
+        var bestStart = -1; var bestLen = 0; var s = -1
+        for (i <- 0 to 8) {
+          if (i < 8 && groups(i) == 0) { if (s < 0) s = i }
+          else {
+            if (s >= 0 && i - s > bestLen) { bestStart = s; bestLen = i - s }
+            s = -1
+          }
+        }
+        val hex = groups.map(g => Integer.toHexString(g))
+        if (bestLen >= 2) {
+          val left = hex.take(bestStart).mkString(":")
+          val right = hex.drop(bestStart + bestLen).mkString(":")
+          left + "::" + right
+        } else hex.mkString(":")
+      }
+    })
 
     guardReport()
   }

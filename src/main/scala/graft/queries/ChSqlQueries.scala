@@ -1691,6 +1691,86 @@ object ChSqlQueries {
             < (SELECT CAST(ceil(1152921504606846976e0 * 20000
                  / count(*)) AS BIGINT) FROM lineitem)""")),
 
+    // Wave-24 graduation: arraySplit/arrayReverseSplit (cut-before vs
+    // cut-after flag semantics, pinned by segment counts + the
+    // flatten-identity), arrayZipUnaligned null padding, UTF8
+    // predicate spellings, form-style URL encoding, hasSubsequence
+    // (restated as an any-gap regex oracle), and groupArraySample —
+    // the deterministic md5-hash-order sample the oracle reproduces
+    // byte-for-byte.
+    QDef("sql_ch_w24_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          CAST(size(arraySplit(x -> x = 1,
+            [min(n_nationkey) % 2, 1, 0])) AS Int64) AS fwd_n,
+          CAST(size(arrayReverseSplit(x -> x = 1,
+            [min(n_nationkey) % 2, 1, 0])) AS Int64) AS rev_n,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            arrayFlatten(arrayReverseSplit(x -> x = 1,
+              [min(n_nationkey) % 2, 1, 0]))), ',') AS flat_id,
+          arrayStringConcat(arrayMap(t ->
+              concat(toString(t.1), ':', ifNull(toString(t.2), 'null')),
+            arrayZipUnaligned([CAST(n_regionkey AS Int64), 7],
+                              [CAST(min(n_nationkey) AS Int64)])), '|') AS zu,
+          CAST(sum(CAST(startsWithUTF8(n_name, 'NATION') AS Int8)) AS Int64) AS sw,
+          CAST(sum(CAST(endsWithUTF8(n_name, '1') AS Int8)) AS Int64) AS ew,
+          min(encodeURLFormComponent(concat(n_name, ' x'))) AS uf,
+          CAST(sum(CAST(hasSubsequence(n_name, 'NTO') AS Int8)) AS Int64) AS hs,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            groupArraySample(3, 42)(n_nationkey)), '|') AS gs
+        FROM nation GROUP BY n_regionkey ORDER BY k""")
+    }, Some("""
+      WITH h AS (
+        SELECT n_regionkey AS k, n_nationkey AS v, n_name,
+               CAST('0x' || substring(md5('gas|42|' ||
+                 CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM nation),
+      samp AS (
+        SELECT k, list(v ORDER BY hv, v)[1:3] AS sv
+        FROM h GROUP BY k)
+      SELECT k,
+        2 AS fwd_n,
+        2 + min(v) % 2 AS rev_n,
+        CAST(min(v) % 2 AS VARCHAR) || ',1,0' AS flat_id,
+        CAST(k AS VARCHAR) || ':' || CAST(min(v) AS VARCHAR)
+          || '|7:null' AS zu,
+        CAST(count(*) FILTER (WHERE n_name LIKE 'NATION%') AS BIGINT) AS sw,
+        CAST(count(*) FILTER (WHERE n_name LIKE '%1') AS BIGINT) AS ew,
+        replace(min(n_name) || ' x', ' ', '+') AS uf,
+        CAST(count(*) FILTER (WHERE regexp_matches(n_name, 'N.*T.*O'))
+             AS BIGINT) AS hs,
+        (SELECT array_to_string(list_transform(sv,
+             x -> CAST(x AS VARCHAR)), '|')
+         FROM samp WHERE samp.k = h.k) AS gs
+      FROM h GROUP BY k ORDER BY k""")),
+
+    // CH sparkbar(width)(x, y): the inline ▁▂▃▄▅▆▇█ histogram as a
+    // PARAMETRIC aggregate over pre-bucketed (hour, count) pairs —
+    // glyph level ⌈8·y/max(y)⌉, exact integer arithmetic; the oracle
+    // rebuilds the glyph string from the same levels.
+    QDef("sql_ch_sparkbar", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT event_type, sparkbar(24)(hr, c) AS bar
+        FROM (SELECT event_type, toHour(ts) AS hr, count() AS c
+              FROM events GROUP BY event_type, hr)
+        GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      WITH byhr AS (
+        SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      mx AS (SELECT event_type, max(c) AS m FROM byhr GROUP BY event_type),
+      lv AS (
+        SELECT b.event_type, b.hr,
+               ['▁','▂','▃','▄','▅','▆','▇','█'][
+                 CAST(greatest(1, (b.c * 8 + m.m - 1) // m.m) AS INT)] AS g
+        FROM byhr b JOIN mx m USING (event_type))
+      SELECT event_type,
+             string_agg(g, '' ORDER BY hr) AS bar
+      FROM lv GROUP BY event_type ORDER BY event_type""")),
+
     // toTimeZone faithful semantics (CH: re-labels the DISPLAY zone,
     // instant unchanged): display functions read the target-zone wall
     // clock while the epoch family reads the ORIGINAL instant — both

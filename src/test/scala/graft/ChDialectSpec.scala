@@ -1645,6 +1645,19 @@ class ChDialectSpec extends AnyFunSuite {
         math.abs(a.getLong(2) - b.getLong(2))
       assert(dist == 1L, s"curve jump between d=${a.getLong(0)} and ${b.getLong(0)}")
     }
+    // wave 24 non-gated pieces: RFC 5952 IPv6 rendering (zero-run
+    // compression, v4-mapped tail) and type-level tuple names
+    val w24 = Graft.sql(spark, """
+      SELECT IPv6NumToString(unhex('20010DB8000000000000000000000001')) AS a,
+             IPv6NumToString(unhex('00000000000000000000FFFF7F000001')) AS m,
+             IPv6NumToString(unhex('00000000000000000000000000000000')) AS z,
+             arrayStringConcat(tupleNames(
+               CAST(tuple(1, 'x') AS Tuple(k Int64, nm String))), '|') AS tn
+      FROM system.one""").collect().head
+    assert(w24.getString(0) == "2001:db8::1")
+    assert(w24.getString(1) == "::ffff:7f00:1")
+    assert(w24.getString(2) == "::")
+    assert(w24.getString(3) == "k|nm")
     // ngram family: CH 4-gram multiset formulas, hand-checked answers
     val ng = Graft.sql(spark, """
       SELECT ngramDistance('NATIONX', 'NATION_5') AS d1,
