@@ -229,6 +229,18 @@ object Stress {
     val (fRows, tF) = timed(funnel.collect())
     report("funnel", mult, nEvents, tF, exchanges(funnel), fRows.length)
 
+    // exact quantiles over the RAW value vector (r12's QuantileExact
+    // TypedImperativeAggregate: primitive double-vector state, concat
+    // merge, one sort at finish) — hot groups of nEvents/5 values
+    // each; the 2^27 per-group cap throws loudly far above this scale
+    graft.functions.GraftFunctions.register(spark)
+    val qe = events.groupBy($"event_type")
+      .agg(expr("graft_quantile_exact(CAST(value AS DOUBLE), " +
+        "array(0.5D, 0.99D))").as("q"))
+    val (qRows, tQ) = timed(qe.collect())
+    report("quantile_exact_raw", mult, nEvents, tQ, exchanges(qe),
+      qRows.length)
+
     // ClickBench heavy shapes on the same events (cb43 suite):
     // q32 = the FULL-TABLE high-cardinality GROUP BY (watch_id,
     // client_ip) — CB's partial-aggregation shuffle stressor, nearly
