@@ -957,7 +957,14 @@ object Probe {
     "w24_sparkbar" ->
       "SELECT sparkbar(24)(toHour(ts), 1) AS bar FROM events",
     "w24_group_array_last" ->
-      "SELECT arrayStringConcat(arrayMap(x -> toString(x), groupArrayLast(3)(n_nationkey)), '|') AS last3 FROM nation"
+      "SELECT arrayStringConcat(arrayMap(x -> toString(x), groupArrayLast(3)(n_nationkey)), '|') AS last3 FROM nation",
+    // ---- wave 25 (r12) ----
+    "w25_welch_student" ->
+      "SELECT welchTTest(toFloat64(n_nationkey), n_regionkey % 2) AS w, studentTTest(toFloat64(n_nationkey), n_regionkey % 2) AS s FROM nation",
+    "w25_mean_ztest" ->
+      "SELECT meanZTest(52.0, 52.0, 0.95)(toFloat64(n_nationkey), n_regionkey % 2) AS z FROM nation",
+    "w25_t_pvalue" ->
+      "SELECT round(studentTPValue(2.228, 10), 3) AS p05, round(studentTPValue(12.706, 1), 3) AS p05b, round(probit(0.975), 3) AS z975"
   )
 
   def main(argv: Array[String]): Unit = {

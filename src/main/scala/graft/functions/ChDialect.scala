@@ -255,6 +255,52 @@ object ChDialect {
     * mde is RELATIVE to baseline; two-sided test, per-variant size:
     * n = 2(z_{1−α/2} + z_pow)²σ² / (mde·baseline)².
     */
+  /** Regularized incomplete beta I_x(a,b) via the Lentz continued
+    * fraction [Numerical Recipes 3rd ed. §6.4, public algorithm] —
+    * enough precision for p-values (|err| < 1e-10 over the t range).
+    */
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val eps = 1e-14; val fpmin = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 200) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d; h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  private def ibeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    val lnBt = lgammaImpl(a + b) - lgammaImpl(a) - lgammaImpl(b) +
+      a * math.log(x) + b * math.log(1.0 - x)
+    val bt = math.exp(lnBt)
+    if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(a, b, x) / a
+    else 1.0 - bt * betacf(b, a, 1.0 - x) / b
+  }
+
+  /** Two-sided Student-t p-value: I_{df/(df+t²)}(df/2, 1/2). */
+  private def tPValue(t: Double, df: Double): Double =
+    if (df <= 0 || t.isNaN) Double.NaN
+    else ibeta(df / 2.0, 0.5, df / (df + t * t))
+
   private def minSampleContinuous(baseline: Double, sigma: Double,
       mde: Double, power: Double, alpha: Double): (Double, Double, Double) = {
     val za = probitImpl(1.0 - alpha / 2.0)
@@ -4045,6 +4091,40 @@ object ChDialect {
         } else hex.mkString(":")
       }
     })
+
+    // ---- wave 25 (r12): two-sample test SPELLINGS with p-values ----
+    // The library gate entries (agg_welch_ttest, …) compute the
+    // statistics relationally; these are the CH aggregate-function
+    // spellings a user types: f(sample, sample_index) over index 0/1.
+    spark.udf.register(gd("studentTPValue"),
+      (t: Double, df: Double) => tPValue(t, df))
+    spark.udf.register(gd("probit"), (p: Double) => probitImpl(p))
+    locally {
+      // per-sample moment pieces from DECIMAL-lattice sums — the same
+      // FP-order-independence convention every gated double sum uses
+      def piece(i: Int) = (
+        s"CAST(count(CASE WHEN CAST(__i AS INT) = $i THEN 1 END) AS DOUBLE)",
+        s"CAST(sum(CASE WHEN CAST(__i AS INT) = $i THEN CAST(__x AS DECIMAL(22,6)) END) AS DOUBLE)",
+        s"CAST(sum(CASE WHEN CAST(__i AS INT) = $i THEN CAST(CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE) AS DECIMAL(22,6)) END) AS DOUBLE)")
+      val (n0, s0, ss0) = piece(0)
+      val (n1, s1, ss1) = piece(1)
+      val (m0, m1) = (s"($s0 / $n0)", s"($s1 / $n1)")
+      val v0 = s"(($ss0 - $s0 * $s0 / $n0) / ($n0 - 1))"
+      val v1 = s"(($ss1 - $s1 * $s1 / $n1) / ($n1 - 1))"
+      // Welch: unequal variances, Welch–Satterthwaite df
+      val wT = s"(($m0 - $m1) / sqrt($v0 / $n0 + $v1 / $n1))"
+      val wDf = s"(pow($v0 / $n0 + $v1 / $n1, 2) / " +
+        s"(pow($v0 / $n0, 2) / ($n0 - 1) + pow($v1 / $n1, 2) / ($n1 - 1)))"
+      macroFn("welchTTest", Seq("__x", "__i"),
+        s"named_struct('t_statistic', $wT, " +
+          s"'p_value', studentTPValue($wT, $wDf))")
+      // Student: pooled variance, df = n0 + n1 − 2
+      val sp2 = s"((($n0 - 1) * $v0 + ($n1 - 1) * $v1) / ($n0 + $n1 - 2))"
+      val sT = s"(($m0 - $m1) / sqrt($sp2 * (1 / $n0 + 1 / $n1)))"
+      macroFn("studentTTest", Seq("__x", "__i"),
+        s"named_struct('t_statistic', $sT, " +
+          s"'p_value', studentTPValue($sT, $n0 + $n1 - 2))")
+    }
 
     guardReport()
   }

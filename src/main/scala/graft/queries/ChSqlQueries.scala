@@ -1745,6 +1745,43 @@ object ChSqlQueries {
          FROM samp WHERE samp.k = h.k) AS gs
       FROM h GROUP BY k ORDER BY k""")),
 
+    // Wave-25 graduation: the two-sample test aggregate SPELLINGS
+    // (welchTTest/studentTTest/meanZTest over (sample, index)) — the
+    // statistics are re-derived in DuckDB from the same decimal-sum
+    // moments; the p-value/CI halves are pinned by t-table known
+    // answers in ChDialectSpec (DuckDB has no erfc/betainc).
+    QDef("sql_ch_w25_ttests", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT
+          round(tupleElement(welchTTest(toFloat64(l_quantity),
+                                        l_linenumber % 2), 1), 4) AS wt,
+          round(tupleElement(studentTTest(toFloat64(l_quantity),
+                                          l_linenumber % 2), 1), 4) AS st,
+          round(tupleElement(meanZTest(208.0, 208.0, 0.95)(
+            toFloat64(l_quantity), l_linenumber % 2), 1), 4) AS z
+        FROM lineitem""")
+    }, Some("""
+      WITH st AS (
+        SELECT (l_linenumber % 2) AS i,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                             AS DECIMAL(22,6))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY 1),
+      m AS (SELECT i, n, sx / n AS m, (sxx - sx * sx / n) / (n - 1) AS v
+            FROM st),
+      ab AS (SELECT a.n AS n0, a.m AS m0, a.v AS v0,
+                    b.n AS n1, b.m AS m1, b.v AS v1
+             FROM (SELECT * FROM m WHERE i = 0) a,
+                  (SELECT * FROM m WHERE i = 1) b)
+      SELECT
+        round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS wt,
+        round((m0 - m1) / sqrt((((n0 - 1) * v0 + (n1 - 1) * v1)
+              / (n0 + n1 - 2)) * (1 / n0 + 1 / n1)), 4) AS st,
+        round((m0 - m1) / sqrt(208.0 / n0 + 208.0 / n1), 4) AS z
+      FROM ab""")),
+
     // CH sparkbar(width)(x, y): the inline ▁▂▃▄▅▆▇█ histogram as a
     // PARAMETRIC aggregate over pre-bucketed (hour, count) pairs —
     // glyph level ⌈8·y/max(y)⌉, exact integer arithmetic; the oracle

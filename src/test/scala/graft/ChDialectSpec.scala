@@ -1658,6 +1658,28 @@ class ChDialectSpec extends AnyFunSuite {
     assert(w24.getString(1) == "::ffff:7f00:1")
     assert(w24.getString(2) == "::")
     assert(w24.getString(3) == "k|nm")
+    // wave 25: p-value machinery pinned against t-TABLE critical
+    // values (two-sided 0.05 rows) and the standard-normal quantile —
+    // published constants, not derived from this implementation
+    val tp = Graft.sql(spark, """
+      SELECT studentTPValue(2.228, 10) AS a,
+             studentTPValue(12.706, 1) AS b,
+             studentTPValue(1.96, 1e9) AS c,
+             probit(0.975) AS z
+      FROM system.one""").collect().head
+    assert(math.abs(tp.getDouble(0) - 0.05) < 5e-4)
+    assert(math.abs(tp.getDouble(1) - 0.05) < 5e-4)
+    // huge df → normal: 2·(1−Φ(1.96)) = 0.05
+    assert(math.abs(tp.getDouble(2) - 0.05) < 5e-4)
+    assert(math.abs(tp.getDouble(3) - 1.959964) < 1e-4)
+    // meanZTest CI covers the true mean difference symmetrically
+    val mz = Graft.sql(spark, """
+      SELECT meanZTest(52.0, 52.0, 0.95)(toFloat64(n_nationkey),
+                                         n_regionkey % 2) AS r
+      FROM nation""").collect().head.getStruct(0)
+    assert(math.abs(mz.getDouble(1) - 1.0) < 1e-6)  // symmetric → p ≈ 1
+    assert(mz.getDouble(2) < 0 && mz.getDouble(3) > 0)
+    assert(math.abs(mz.getDouble(2) + mz.getDouble(3)) < 1e-9)
     // ngram family: CH 4-gram multiset formulas, hand-checked answers
     val ng = Graft.sql(spark, """
       SELECT ngramDistance('NATIONX', 'NATION_5') AS d1,
