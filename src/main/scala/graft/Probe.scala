@@ -964,7 +964,9 @@ object Probe {
     "w25_mean_ztest" ->
       "SELECT meanZTest(52.0, 52.0, 0.95)(toFloat64(n_nationkey), n_regionkey % 2) AS z FROM nation",
     "w25_t_pvalue" ->
-      "SELECT round(studentTPValue(2.228, 10), 3) AS p05, round(studentTPValue(12.706, 1), 3) AS p05b, round(probit(0.975), 3) AS z975"
+      "SELECT round(studentTPValue(2.228, 10), 3) AS p05, round(studentTPValue(12.706, 1), 3) AS p05b, round(probit(0.975), 3) AS z975",
+    "w25_mann_whitney" ->
+      "SELECT mannWhitneyUTest(toFloat64(l_quantity), l_linenumber % 2) AS mw, mannWhitneyUTest('greater')(toFloat64(l_quantity), l_linenumber % 2) AS mwg, mannWhitneyUTest('two-sided', 0)(toFloat64(l_quantity), l_linenumber % 2) AS mwnc FROM lineitem"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -4099,6 +4099,11 @@ object ChDialect {
     spark.udf.register(gd("studentTPValue"),
       (t: Double, df: Double) => tPValue(t, df))
     spark.udf.register(gd("probit"), (p: Double) => probitImpl(p))
+    // default-parameter mannWhitneyUTest(x, i); the parametric
+    // ('greater', 0)(x, i) shapes rewrite onto on-demand instances in
+    // ChSql (same registerOnce machinery as topK)
+    spark.udf.register(gd("mannWhitneyUTest"),
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.MannWhitneyU()))
     locally {
       // per-sample moment pieces from DECIMAL-lattice sums — the same
       // FP-order-independence convention every gated double sum uses

@@ -914,4 +914,74 @@ object Aggregates {
       enc[(Array[Double], Array[Long])]
     def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
   }
+
+  /** ClickHouse `mannWhitneyUTest([alternative[, continuity]])(x, i)`
+    * over sample index 0/1: rank-sum U for the FIRST sample with
+    * average-rank ties, tie-corrected normal σ, optional continuity
+    * correction, and the p-value for the chosen alternative
+    * [published MWW formulas; same algebra the relational
+    * `agg_mann_whitney` entry proves against DuckDB]. State is the
+    * group's raw values per sample (concat merge — the two-phase law);
+    * the single sort + merge-rank happens in finish.
+    */
+  class MannWhitneyU(alternative: String = "two-sided",
+      continuity: Boolean = true)
+      extends Aggregator[(Double, Long), (Vector[Double], Vector[Double]),
+        (Double, Double)] with Serializable {
+    require(Seq("two-sided", "greater", "less").contains(alternative),
+      s"mannWhitneyUTest: unknown alternative '$alternative'")
+    def zero: (Vector[Double], Vector[Double]) = (Vector.empty, Vector.empty)
+    def reduce(b: (Vector[Double], Vector[Double]), in: (Double, Long)):
+        (Vector[Double], Vector[Double]) =
+      if (in._2 == 0L) (b._1 :+ in._1, b._2) else (b._1, b._2 :+ in._1)
+    def merge(a: (Vector[Double], Vector[Double]),
+        b: (Vector[Double], Vector[Double])): (Vector[Double], Vector[Double]) =
+      (a._1 ++ b._1, a._2 ++ b._2)
+    // Abramowitz & Stegun 7.1.26 erf (|err| < 1.5e-7), for Φ tails
+    private def erfAS(x0: Double): Double = {
+      val sign = if (x0 < 0) -1.0 else 1.0
+      val x = math.abs(x0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+        * t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+      sign * y
+    }
+    private def normSf(z: Double): Double = 0.5 * (1.0 - erfAS(z / math.sqrt(2.0)))
+    def finish(b: (Vector[Double], Vector[Double])): (Double, Double) = {
+      val (xs, ys) = b
+      val n0 = xs.size.toDouble; val n1 = ys.size.toDouble
+      if (n0 == 0 || n1 == 0) return (Double.NaN, Double.NaN)
+      val all = (xs.map((_, 0)) ++ ys.map((_, 1))).sortBy(_._1)
+      // average ranks with ties; accumulate first-sample rank sum and
+      // the tie term Σ(t³ − t)
+      var i = 0; var r0 = 0.0; var ties = 0.0
+      val n = all.size
+      while (i < n) {
+        var j = i
+        while (j + 1 < n && all(j + 1)._1 == all(i)._1) j += 1
+        val t = (j - i + 1).toDouble
+        val avgRank = (i + 1 + j + 1) / 2.0
+        var k = i
+        while (k <= j) { if (all(k)._2 == 0) r0 += avgRank; k += 1 }
+        if (t > 1) ties += t * t * t - t
+        i = j + 1
+      }
+      val u = r0 - n0 * (n0 + 1) / 2.0
+      val mu = n0 * n1 / 2.0
+      val sigma = math.sqrt(n0 * n1 / 12.0 *
+        ((n0 + n1 + 1) - ties / ((n0 + n1) * (n0 + n1 - 1))))
+      val cc = if (continuity) 0.5 else 0.0
+      val p = alternative match {
+        case "two-sided" =>
+          val z = (math.abs(u - mu) - cc) / sigma
+          math.min(1.0, 2.0 * normSf(math.max(0.0, z)))
+        case "greater" => normSf((u - mu - cc) / sigma)
+        case "less" => 1.0 - normSf((u - mu + cc) / sigma)
+      }
+      (u, p)
+    }
+    def bufferEncoder: Encoder[(Vector[Double], Vector[Double])] =
+      enc[(Vector[Double], Vector[Double])]
+    def outputEncoder: Encoder[(Double, Double)] = enc[(Double, Double)]
+  }
 }

@@ -1782,6 +1782,33 @@ object ChSqlQueries {
         round((m0 - m1) / sqrt(208.0 / n0 + 208.0 / n1), 4) AS z
       FROM ab""")),
 
+    // mannWhitneyUTest SPELLING (collected-state UDAF): the U
+    // statistic hash-matches the oracle's exact average-rank algebra
+    // (the same SQL the relational agg_mann_whitney entry proves);
+    // the p-value half is pinned against the tie-corrected z in
+    // ChDialectSpec (DuckDB has no erf).
+    QDef("sql_ch_w25_mwu", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT round(tupleElement(mannWhitneyUTest(x, i), 1), 1) AS u_stat
+        FROM (SELECT toFloat64(l_quantity) AS x,
+                     CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END AS i
+              FROM lineitem WHERE l_returnflag IN ('A', 'R'))""")
+    }, Some("""
+      WITH c AS (SELECT l_quantity AS x, count(*) AS cnt,
+                        sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cnta
+                 FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY x),
+      r AS (SELECT x, cnt, cnta,
+              2 * coalesce(sum(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1
+                AS r2 FROM c),
+      sums AS (SELECT
+                 CAST(sum(CAST(cnta AS HUGEINT)) AS DOUBLE) AS na,
+                 CAST(sum(CAST(cnta AS HUGEINT) * r2) AS DOUBLE) AS two_ra
+               FROM r)
+      SELECT round((two_ra - na * (na + 1)) / 2.0, 1) AS u_stat
+      FROM sums""")),
+
     // CH sparkbar(width)(x, y): the inline ▁▂▃▄▅▆▇█ histogram as a
     // PARAMETRIC aggregate over pre-bucketed (hour, count) pairs —
     // glyph level ⌈8·y/max(y)⌉, exact integer arithmetic; the oracle

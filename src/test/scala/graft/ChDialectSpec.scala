@@ -1680,6 +1680,28 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(mz.getDouble(1) - 1.0) < 1e-6)  // symmetric → p ≈ 1
     assert(mz.getDouble(2) < 0 && mz.getDouble(3) > 0)
     assert(math.abs(mz.getDouble(2) + mz.getDouble(3)) < 1e-9)
+    // mannWhitneyUTest p-value half: must equal the two-sided normal
+    // tail of the RELATIONAL entry's tie-corrected z (the U halves
+    // already hash-match through the gate)
+    val mwRow = Graft.sql(spark, """
+      SELECT mannWhitneyUTest('two-sided', 0)(x, i) AS mw
+      FROM (SELECT toFloat64(l_quantity) AS x,
+                   CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END AS i
+            FROM lineitem WHERE l_returnflag IN ('A', 'R'))""")
+      .collect().head.getStruct(0)
+    val zRel = SparkEntry.queries("agg_mann_whitney")(spark,
+      "/root/testdata/sf0.001").collect().head.getDouble(1)
+    val pFromZ = {
+      val z = math.abs(zRel)
+      // Φ tail via the same A&S erf class of approximation
+      val t = 1.0 / (1.0 + 0.3275911 * (z / math.sqrt(2.0)))
+      val x = z / math.sqrt(2.0)
+      val erf = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+        * t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+      math.min(1.0, 2.0 * 0.5 * (1.0 - erf))
+    }
+    assert(math.abs(mwRow.getDouble(1) - pFromZ) < 1e-3,
+      s"p=${mwRow.getDouble(1)} vs fromZ=$pFromZ")
     // ngram family: CH 4-gram multiset formulas, hand-checked answers
     val ng = Graft.sql(spark, """
       SELECT ngramDistance('NATIONX', 'NATION_5') AS d1,
