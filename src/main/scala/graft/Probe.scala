@@ -966,7 +966,9 @@ object Probe {
     "w25_t_pvalue" ->
       "SELECT round(studentTPValue(2.228, 10), 3) AS p05, round(studentTPValue(12.706, 1), 3) AS p05b, round(probit(0.975), 3) AS z975",
     "w25_mann_whitney" ->
-      "SELECT mannWhitneyUTest(toFloat64(l_quantity), l_linenumber % 2) AS mw, mannWhitneyUTest('greater')(toFloat64(l_quantity), l_linenumber % 2) AS mwg, mannWhitneyUTest('two-sided', 0)(toFloat64(l_quantity), l_linenumber % 2) AS mwnc FROM lineitem"
+      "SELECT mannWhitneyUTest(toFloat64(l_quantity), l_linenumber % 2) AS mw, mannWhitneyUTest('greater')(toFloat64(l_quantity), l_linenumber % 2) AS mwg, mannWhitneyUTest('two-sided', 0)(toFloat64(l_quantity), l_linenumber % 2) AS mwnc FROM lineitem",
+    "w25_ks_test" ->
+      "SELECT kolmogorovSmirnovTest(toFloat64(l_quantity), l_linenumber % 2) AS ks, kolmogorovSmirnovTest('two-sided', 'asymptotic')(toFloat64(l_quantity), l_linenumber % 2) AS ksa FROM lineitem"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -4104,6 +4104,8 @@ object ChDialect {
     // ChSql (same registerOnce machinery as topK)
     spark.udf.register(gd("mannWhitneyUTest"),
       org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.MannWhitneyU()))
+    spark.udf.register(gd("kolmogorovSmirnovTest"),
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.KolmogorovSmirnov()))
     locally {
       // per-sample moment pieces from DECIMAL-lattice sums — the same
       // FP-order-independence convention every gated double sum uses

@@ -984,4 +984,58 @@ object Aggregates {
       enc[(Vector[Double], Vector[Double])]
     def outputEncoder: Encoder[(Double, Double)] = enc[(Double, Double)]
   }
+
+  /** ClickHouse `kolmogorovSmirnovTest([alternative[, method]])(x, i)`
+    * over sample index 0/1: two-sample D statistic (max ECDF gap via
+    * one sort + a two-pointer sweep) and the asymptotic Kolmogorov
+    * p-value Q(λ) = 2·Σ (−1)^{k−1} e^{−2k²λ²} with the
+    * finite-sample λ refinement [Numerical Recipes §14.3 probks —
+    * public]. Same collected-state shape as MannWhitneyU.
+    */
+  class KolmogorovSmirnov(alternative: String = "two-sided")
+      extends Aggregator[(Double, Long), (Vector[Double], Vector[Double]),
+        (Double, Double)] with Serializable {
+    require(alternative == "two-sided",
+      "kolmogorovSmirnovTest: only 'two-sided' is supported")
+    def zero: (Vector[Double], Vector[Double]) = (Vector.empty, Vector.empty)
+    def reduce(b: (Vector[Double], Vector[Double]), in: (Double, Long)):
+        (Vector[Double], Vector[Double]) =
+      if (in._2 == 0L) (b._1 :+ in._1, b._2) else (b._1, b._2 :+ in._1)
+    def merge(a: (Vector[Double], Vector[Double]),
+        b: (Vector[Double], Vector[Double])): (Vector[Double], Vector[Double]) =
+      (a._1 ++ b._1, a._2 ++ b._2)
+    private def probks(lambda: Double): Double = {
+      var sum = 0.0; var sign = 1.0
+      var k = 1
+      var term = 0.0
+      do {
+        term = sign * 2.0 * math.exp(-2.0 * k * k * lambda * lambda)
+        sum += term
+        sign = -sign
+        k += 1
+      } while (math.abs(term) > 1e-12 && k < 200)
+      math.max(0.0, math.min(1.0, sum))
+    }
+    def finish(b: (Vector[Double], Vector[Double])): (Double, Double) = {
+      val xs = b._1.sorted; val ys = b._2.sorted
+      val n0 = xs.size; val n1 = ys.size
+      if (n0 == 0 || n1 == 0) return (Double.NaN, Double.NaN)
+      var i = 0; var j = 0; var d = 0.0
+      while (i < n0 && j < n1) {
+        val x = xs(i); val y = ys(j)
+        val v = math.min(x, y)
+        while (i < n0 && xs(i) == v) i += 1
+        while (j < n1 && ys(j) == v) j += 1
+        d = math.max(d, math.abs(i.toDouble / n0 - j.toDouble / n1))
+      }
+      d = math.max(d, math.abs(1.0 - j.toDouble / n1))
+      d = math.max(d, math.abs(i.toDouble / n0 - 1.0))
+      val ne = n0.toDouble * n1 / (n0.toDouble + n1)
+      val lambda = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+      (d, probks(lambda))
+    }
+    def bufferEncoder: Encoder[(Vector[Double], Vector[Double])] =
+      enc[(Vector[Double], Vector[Double])]
+    def outputEncoder: Encoder[(Double, Double)] = enc[(Double, Double)]
+  }
 }

