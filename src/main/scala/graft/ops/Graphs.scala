@@ -52,7 +52,10 @@ object Graphs {
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nb")))
       .distinct()
       .persist(StorageLevel.DISK_ONLY)
+    // labels carries a third `chg` column (did THIS round lower the
+    // label) so unpersist always targets the exact persisted frame
     var labels = sym.select($"id").distinct().withColumn("lbl", $"id")
+      .withColumn("chg", lit(false))
       .persist(StorageLevel.DISK_ONLY)
     var converged = false
     var round = 0
@@ -61,15 +64,19 @@ object Graphs {
       val nbMin = sym
         .join(labels.select($"id".as("nb"), $"lbl".as("nb_lbl")), "nb")
         .groupBy($"id").agg(min($"nb_lbl").as("nb_min"))
+      // The OLD label is already on hand in this join, so the
+      // convergence flag rides along as a column — the separate
+      // next⋈labels re-join the check used to pay per round is gone.
       val nextPlan = labels
         .join(nbMin, Seq("id"), "left")
-        .select($"id", least($"lbl", coalesce($"nb_min", $"lbl")).as("lbl"))
+        .select($"id", least($"lbl", coalesce($"nb_min", $"lbl")).as("lbl"),
+          (coalesce($"nb_min", $"lbl") < $"lbl").as("chg"))
       // Lineage cut: without this the logical plan doubles per round.
       val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(StorageLevel.DISK_ONLY)
-      // One scalar to the driver per round — the convergence test.
-      val changed = next.join(labels.select($"id", $"lbl".as("prev")), "id")
-        .filter($"lbl" < $"prev").limit(1).count()
+      // One scalar to the driver per round — the convergence test
+      // (a filter over the just-persisted frame, no join).
+      val changed = next.filter($"chg").limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0L
