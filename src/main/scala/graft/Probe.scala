@@ -968,7 +968,10 @@ object Probe {
     "w25_mann_whitney" ->
       "SELECT mannWhitneyUTest(toFloat64(l_quantity), l_linenumber % 2) AS mw, mannWhitneyUTest('greater')(toFloat64(l_quantity), l_linenumber % 2) AS mwg, mannWhitneyUTest('two-sided', 0)(toFloat64(l_quantity), l_linenumber % 2) AS mwnc FROM lineitem",
     "w25_ks_test" ->
-      "SELECT kolmogorovSmirnovTest(toFloat64(l_quantity), l_linenumber % 2) AS ks, kolmogorovSmirnovTest('two-sided', 'asymptotic')(toFloat64(l_quantity), l_linenumber % 2) AS ksa FROM lineitem"
+      "SELECT kolmogorovSmirnovTest(toFloat64(l_quantity), l_linenumber % 2) AS ks, kolmogorovSmirnovTest('two-sided', 'asymptotic')(toFloat64(l_quantity), l_linenumber % 2) AS ksa FROM lineitem",
+    // ---- wave 26 (r12) ----
+    "w26_stragglers" ->
+      "SELECT JSONExtractUInt('{\"a\": 42}', 'a') AS ju, concatAssumeInjective('a', 'b') AS ci, regexpExtract('key=val', 'key=([a-z]+)') AS re, formatDateTimeInJodaSyntax(toDateTime('2024-03-05 12:34:56'), 'yyyy/MM/dd HH:mm') AS fj, fromUnixTimestampInJodaSyntax(1709640000, 'yyyy-MM-dd') AS uj, round(log1p(0.0), 4) AS l1, round(log2(8.0), 4) AS l2"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -4133,6 +4133,22 @@ object ChDialect {
           s"'p_value', studentTPValue($sT, $n0 + $n1 - 2))")
     }
 
+    // ---- wave 26 (r12): four stragglers ----
+    macroFn("JSONExtractUInt", Seq("__j", "__k"),
+      "CAST(get_json_object(__j, concat('$.', __k)) AS BIGINT)")
+    macroFn("concatAssumeInjective", Seq("__a", "__b"),
+      "concat(__a, __b)") // the CH name is an optimizer hint, not new semantics
+    macroFnN("regexpExtract",
+      Seq("__h", "__p") -> "regexp_extract(__h, __p, 1)",
+      Seq("__h", "__p", "__i") ->
+        "regexp_extract(__h, __p, CAST(__i AS INT))")
+    // Joda pattern letters for date parts coincide with Spark's
+    // java.time patterns for the symbols CH documents (y M d H m s)
+    macroFn("formatDateTimeInJodaSyntax", Seq("__t", "__f"),
+      "date_format(CAST(__t AS TIMESTAMP), __f)")
+    macroFn("fromUnixTimestampInJodaSyntax", Seq("__n", "__f"),
+      "date_format(timestamp_seconds(CAST(__n AS BIGINT)), __f)")
+
     guardReport()
   }
 

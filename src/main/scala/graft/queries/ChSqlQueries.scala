@@ -1782,6 +1782,44 @@ object ChSqlQueries {
         round((m0 - m1) / sqrt(208.0 / n0 + 208.0 / n1), 4) AS z
       FROM ab""")),
 
+    // Wave-26 graduation: the last straggler spellings —
+    // JSONExtractUInt, concatAssumeInjective (hint name, concat
+    // semantics), regexpExtract with group index, the Joda-syntax
+    // datetime formatters (pattern letters coincide for the CH-doc'd
+    // symbols), and the log1p/log2 passthroughs.
+    QDef("sql_ch_w26_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_nationkey AS k,
+          JSONExtractUInt(concat('{"v": ', toString(n_nationkey), '}'), 'v') AS ju,
+          concatAssumeInjective(n_name, toString(n_regionkey)) AS ci,
+          regexpExtract(n_name, '([0-9]+)') AS re1,
+          regexpExtract(concat(n_name, ':', toString(n_regionkey)),
+                        '([A-Z_]+)([0-9]+)', 2) AS re2,
+          formatDateTimeInJodaSyntax(
+            addMinutes(toDateTime('2024-03-05 12:00:00'), n_nationkey),
+            'yyyy/MM/dd HH:mm') AS fj,
+          fromUnixTimestampInJodaSyntax(1709640000 + n_nationkey * 60,
+                                        'yyyy-MM-dd HH:mm') AS uj,
+          round(log1p(toFloat64(n_nationkey)), 6) AS l1,
+          round(log2(toFloat64(n_nationkey) + 1), 6) AS l2
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT n_nationkey AS k,
+        CAST(n_nationkey AS BIGINT) AS ju,
+        n_name || CAST(n_regionkey AS VARCHAR) AS ci,
+        coalesce(regexp_extract(n_name, '([0-9]+)', 1), '') AS re1,
+        coalesce(regexp_extract(n_name || ':' || CAST(n_regionkey AS VARCHAR),
+                                '([A-Z_]+)([0-9]+)', 2), '') AS re2,
+        strftime(TIMESTAMP '2024-03-05 12:00:00'
+                 + n_nationkey * INTERVAL 1 MINUTE, '%Y/%m/%d %H:%M') AS fj,
+        strftime(make_timestamp(CAST(1709640000 + n_nationkey * 60 AS BIGINT)
+                                * 1000000),
+                 '%Y-%m-%d %H:%M') AS uj,
+        round(ln(1 + CAST(n_nationkey AS DOUBLE)), 6) AS l1,
+        round(log2(CAST(n_nationkey AS DOUBLE) + 1), 6) AS l2
+      FROM nation ORDER BY k""")),
+
     // mannWhitneyUTest SPELLING (collected-state UDAF): the U
     // statistic hash-matches the oracle's exact average-rank algebra
     // (the same SQL the relational agg_mann_whitney entry proves);
