@@ -84,7 +84,11 @@ object Perf {
     // grouped top-k, q23 = wide SELECT * sort) + w18/w19 + variant
     "cb43_q32", "cb43_q29", "cb43_q18", "cb43_q23", "cb43_q13",
     "sql_ch_w18_batch", "sql_ch_w19_batch", "sql_ch_w20_batch", "sql_ch_w21_batch", "sql_ch_w22_batch",
-    "scalar_variant_type", "pipe_script_detect")
+    "scalar_variant_type", "pipe_script_detect",
+    // round-12: waves 23–26, tz faithfulness, test-family UDAFs
+    "sql_ch_w23_batch", "sql_ch_w24_batch", "sql_ch_w25_ttests",
+    "sql_ch_w25_mwu", "sql_ch_w25_ks", "sql_ch_w26_batch",
+    "sql_ch_sparkbar", "sql_ch_totimezone", "sql_ch_sample_n_over")
 
   /** `runMain graft.Perf --time [sfDir [query...]]`: wall-time a
     * query's cost split into front-door build (rewrite + analysis)
