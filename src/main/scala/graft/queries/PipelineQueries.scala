@@ -429,6 +429,62 @@ object PipelineQueries {
     // token ratio). Pure per-row projections + one agg — embarrassing
     // parallel at any scale; per-lang keep rates for the curation
     // dashboard.
+    // Linear quality CLASSIFIER inference (fasttext-style): handcrafted
+    // text features → broadcast literal weights → sigmoid score, one
+    // codegen'd scan — the model-scoring shape a curation pipeline
+    // runs over every document at 100 TB (weights would arrive as a
+    // broadcast join instead of literals; the plan is identical). The
+    // score sums go through the DECIMAL lattice, so per-language
+    // averages are executor-count independent.
+    QDef("pipe_quality_classifier", (s, dir) => {
+      import s.implicits._
+      val stops = "('the','a','of','and','to','in','is','for','on','that')"
+      Tables(s, dir, "documents")
+        .withColumn("n", size(split(lower($"text"), " ")).cast("double"))
+        .withColumn("sr", expr(
+          s"size(filter(split(lower(text), ' '), __t -> __t IN $stops))")
+          .cast("double") / $"n")
+        .withColumn("mwl", length(regexp_replace($"text", " ", ""))
+          .cast("double") / $"n")
+        .withColumn("dr",
+          size(array_distinct(split(lower($"text"), " "))).cast("double") / $"n")
+        .withColumn("dgf",
+          (length($"text") - length(regexp_replace($"text", "[0-9]", "")))
+            .cast("double") / greatest(length($"text"), lit(1)).cast("double"))
+        .withColumn("score", expr(
+          """1.0 / (1.0 + exp(-(-0.5 + 3.0 * sr - 1.0 * (mwl - 5.0) / 5.0
+                               + 1.5 * dr - 4.0 * dgf)))"""))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"score" >= 0.5, 1L).otherwise(0L)).as("n_keep"),
+          round((sum($"score".cast("decimal(22,6)")) / count(lit(1)))
+            .cast("double"), 4).as("avg_score"))
+        .orderBy($"lang")
+    }, Some("""
+      WITH f AS (
+        SELECT lang,
+               len(toks)::DOUBLE AS n,
+               len(list_filter(toks, __t -> __t IN
+                 ('the','a','of','and','to','in','is','for','on','that')))::DOUBLE
+                 / len(toks) AS sr,
+               length(replace(text, ' ', ''))::DOUBLE / len(toks) AS mwl,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS dr,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                 / greatest(length(text), 1) AS dgf
+        FROM (SELECT lang, text,
+                     string_split(lower(text), ' ') AS toks FROM documents)),
+      sc AS (
+        SELECT lang,
+               1.0 / (1.0 + exp(-(-0.5 + 3.0 * sr - 1.0 * (mwl - 5.0) / 5.0
+                                  + 1.5 * dr - 4.0 * dgf))) AS score
+        FROM f)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             round(CAST(sum(CAST(score AS DECIMAL(22,6))) / count(*) AS DOUBLE),
+                   4) AS avg_score
+      FROM sc GROUP BY lang ORDER BY lang""")),
+
     QDef("pipe_gopher_rules", (s, dir) => {
       import s.implicits._
       val toks = Text.tokens($"text")
@@ -1297,6 +1353,47 @@ object PipelineQueries {
     // elementwise or an index-order fold, so both engines compute the
     // SAME IEEE doubles — the hash match is exact (outputs rounded to
     // 9dp only as belt-and-braces).
+    // Matryoshka truncation: keep the first k dims and L2-renormalize
+    // — the MRL serving trick (use a prefix of the trained embedding
+    // at 1/D of the cost). Reports the renormalized prefix and how
+    // much cosine-vs-full it preserves on a fixed probe vector; one
+    // scan, pure codegen'd array arithmetic.
+    QDef("pipe_embed_matryoshka", (s, dir) => {
+      import s.implicits._
+      val k = 8
+      Tables(s, dir, "embeddings")
+        .filter($"vec_id" % 50 === 0)
+        .withColumn("pre", expr(s"slice(embedding, 1, $k)"))
+        .withColumn("nrm", expr(
+          """sqrt(aggregate(pre, CAST(0 AS DOUBLE),
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+        .withColumn("full_nrm", expr(
+          """sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+        .select($"vec_id",
+          expr("""array_join(transform(pre,
+                    x -> CAST(round(CAST(x AS DOUBLE) / nrm, 6) AS STRING)),
+                  '|')""").as("unit_prefix"),
+          // energy retained by the prefix: ‖pre‖²/‖full‖²
+          round(($"nrm" * $"nrm") / ($"full_nrm" * $"full_nrm"), 6)
+            .as("energy_kept"))
+        .orderBy($"vec_id")
+    }, Some("""
+      SELECT vec_id,
+             array_to_string(list_transform(pre,
+               x -> CAST(round(CAST(x AS DOUBLE) / nrm, 6) AS VARCHAR)),
+               '|') AS unit_prefix,
+             round((nrm * nrm) / (full_nrm * full_nrm), 6) AS energy_kept
+      FROM (
+        SELECT vec_id, pre,
+               sqrt(list_sum(list_transform(pre,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS full_nrm
+        FROM (SELECT vec_id, embedding, embedding[1:8] AS pre
+              FROM embeddings WHERE vec_id % 50 = 0))
+      ORDER BY vec_id""")),
+
     QDef("pipe_embed_quantize", (s, dir) => {
       import s.implicits._
       Tables(s, dir, "embeddings")
