@@ -509,7 +509,11 @@ object ChDialect {
     var t = d0
     var s = 1L
     while (s < (1L << 32)) {
-      val rx = 1L & (t / 2)
+      // UNSIGNED halving/quartering: the full 32×32-bit index uses all
+      // 64 bits, so signed division would corrupt the walk once the
+      // top bit is set (caught by the 500-coordinate roundtrip
+      // property test) — logical shifts are the unsigned ops
+      val rx = 1L & (t >>> 1)
       val ry = 1L & (t ^ rx)
       if (ry == 0L) {
         if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
@@ -517,7 +521,7 @@ object ChDialect {
       }
       x += s * rx
       y += s * ry
-      t /= 4
+      t >>>= 2
       s <<= 1
     }
     (x, y)

@@ -1716,6 +1716,23 @@ class ChDialectSpec extends AnyFunSuite {
       "/root/testdata/sf0.001").collect().head.getDouble(0)
     assert(math.abs(ksRow.getDouble(0) - ksRel) < 1e-4)
     assert(ksRow.getDouble(1) > 0.0 && ksRow.getDouble(1) <= 1.0)
+    // roundtrip property over 500 deterministic pseudo-random FULL
+    // 32-bit coordinates (md5-derived — no rand()): decode∘encode is
+    // the identity for both curves across the whole domain, not just
+    // the small values the known answers pin
+    val badCurves = Graft.sql(spark, """
+      SELECT count() AS bad FROM (
+        SELECT CAST(conv(substring(md5(concat('hx', toString(number))), 1, 8),
+                         16, 10) AS BIGINT) AS x,
+               CAST(conv(substring(md5(concat('hy', toString(number))), 1, 8),
+                         16, 10) AS BIGINT) AS y
+        FROM numbers(500))
+      WHERE tupleElement(hilbertDecode(2, hilbertEncode(x, y)), 1) != x
+         OR tupleElement(hilbertDecode(2, hilbertEncode(x, y)), 2) != y
+         OR tupleElement(mortonDecode(2, mortonEncode(x, y)), 1) != x
+         OR tupleElement(mortonDecode(2, mortonEncode(x, y)), 2) != y""")
+      .collect().head.getLong(0)
+    assert(badCurves == 0L)
     // ngram family: CH 4-gram multiset formulas, hand-checked answers
     val ng = Graft.sql(spark, """
       SELECT ngramDistance('NATIONX', 'NATION_5') AS d1,
