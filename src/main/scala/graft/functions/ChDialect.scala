@@ -255,6 +255,62 @@ object ChDialect {
     * mde is RELATIVE to baseline; two-sided test, per-variant size:
     * n = 2(z_{1−α/2} + z_pow)²σ² / (mde·baseline)².
     */
+  /** Parse an IPv6 text literal (RFC 4291 forms: full groups, one
+    * `::` elision, optional dotted-IPv4 tail) to its 16 bytes, or
+    * null if malformed. No DNS — pure text.
+    */
+  private def parseIPv6(s0: String): Array[Byte] = {
+    if (s0 == null) return null
+    val s = s0.trim
+    if (s.isEmpty || s.count(_ == ':') < 2) return null
+    val dcol = s.indexOf("::")
+    if (dcol >= 0 && s.indexOf("::", dcol + 1) >= 0) return null
+    def parseGroups(part: String): Option[Vector[Int]] = {
+      if (part.isEmpty) return Some(Vector.empty)
+      val raw = part.split(":", -1)
+      if (raw.exists(_.isEmpty)) return None
+      var out = Vector.empty[Int]
+      for ((g, i) <- raw.zipWithIndex) {
+        if (g.contains('.')) {
+          // dotted-IPv4 tail — only legal as the LAST token
+          if (i != raw.length - 1) return None
+          val oct = g.split("\\.", -1)
+          if (oct.length != 4) return None
+          val vals = oct.map { o =>
+            if (o.isEmpty || o.length > 3 || !o.forall(_.isDigit)) return None
+            val v = o.toInt
+            if (v > 255) return None
+            v
+          }
+          out = out :+ (vals(0) * 256 + vals(1)) :+ (vals(2) * 256 + vals(3))
+        } else {
+          if (g.length > 4 ||
+            !g.forall(c => Character.digit(c, 16) >= 0)) return None
+          out = out :+ Integer.parseInt(g, 16)
+        }
+      }
+      Some(out)
+    }
+    val groups: Option[Vector[Int]] =
+      if (dcol >= 0) {
+        val left = parseGroups(s.substring(0, dcol))
+        val right = parseGroups(s.substring(dcol + 2))
+        (left, right) match {
+          case (Some(l), Some(r)) if l.size + r.size < 8 =>
+            Some(l ++ Vector.fill(8 - l.size - r.size)(0) ++ r)
+          case _ => None
+        }
+      } else parseGroups(s).filter(_.size == 8)
+    groups.map { gs =>
+      val b = new Array[Byte](16)
+      for (i <- 0 until 8) {
+        b(2 * i) = ((gs(i) >> 8) & 0xff).toByte
+        b(2 * i + 1) = (gs(i) & 0xff).toByte
+      }
+      b
+    }.orNull
+  }
+
   /** Regularized incomplete beta I_x(a,b) via the Lentz continued
     * fraction [Numerical Recipes 3rd ed. §6.4, public algorithm] —
     * enough precision for p-values (|err| < 1e-10 over the t range).
@@ -4136,6 +4192,64 @@ object ChDialect {
         s"named_struct('t_statistic', $sT, " +
           s"'p_value', studentTPValue($sT, $n0 + $n1 - 2))")
     }
+
+    // IPv6 text↔binary inverse pair + CIDR algebra (CH ip-address
+    // functions; NumToString's RFC 5952 output re-parses to the same
+    // bytes — roundtrip property-tested)
+    spark.udf.register(gd("IPv6StringToNum"), (s: String) => parseIPv6(s))
+    spark.udf.register(gd("toIPv6"), (s: String) => parseIPv6(s))
+    spark.udf.register(gd("isIPv6String"),
+      (s: String) => java.lang.Boolean.valueOf(parseIPv6(s) != null))
+    spark.udf.register(gd("IPv6CIDRToRange"), (b: Array[Byte], bits: Int) => {
+      if (b == null || b.length != 16 || bits < 0 || bits > 128) null
+      else {
+        val lo = b.clone(); val hi = b.clone()
+        var i = 0
+        while (i < 16) {
+          val keep = math.max(0, math.min(8, bits - 8 * i))
+          val mask = (0xff << (8 - keep)) & 0xff
+          lo(i) = (lo(i) & mask).toByte
+          hi(i) = ((hi(i) & mask) | (~mask & 0xff)).toByte
+          i += 1
+        }
+        (lo, hi)
+      }
+    })
+    spark.udf.register(gd("isIPAddressInRange"), (addr: String, cidr: String) => {
+      if (addr == null || cidr == null) null
+      else {
+        val slash = cidr.lastIndexOf('/')
+        if (slash < 0) java.lang.Boolean.FALSE
+        else {
+          val base = cidr.substring(0, slash)
+          val bits = try cidr.substring(slash + 1).toInt catch {
+            case _: NumberFormatException => -1
+          }
+          def v4(x: String): Array[Byte] = {
+            val o = x.split("\\.", -1)
+            if (o.length != 4 || o.exists(p => p.isEmpty || p.length > 3 ||
+                !p.forall(_.isDigit) || p.toInt > 255)) null
+            else o.map(_.toInt.toByte)
+          }
+          val (ab, bb, width) =
+            if (base.contains(':')) (parseIPv6(addr), parseIPv6(base), 128)
+            else (v4(addr), v4(base), 32)
+          if (ab == null || bb == null || bits < 0 || bits > width)
+            java.lang.Boolean.FALSE
+          else {
+            var ok = true
+            var i = 0
+            while (i < ab.length && ok) {
+              val keep = math.max(0, math.min(8, bits - 8 * i))
+              val mask = (0xff << (8 - keep)) & 0xff
+              if ((ab(i) & mask) != (bb(i) & mask)) ok = false
+              i += 1
+            }
+            java.lang.Boolean.valueOf(ok)
+          }
+        }
+      }
+    })
 
     // ---- wave 26 (r12): four stragglers ----
     macroFn("JSONExtractUInt", Seq("__j", "__k"),

@@ -1658,6 +1658,14 @@ class ChDialectSpec extends AnyFunSuite {
     assert(w24.getString(1) == "::ffff:7f00:1")
     assert(w24.getString(2) == "::")
     assert(w24.getString(3) == "k|nm")
+    // inverse-pair property over 300 md5-random 16-byte addresses:
+    // the RFC 5952 rendering must re-parse to the same bytes
+    val badV6 = Graft.sql(spark, """
+      SELECT count() AS bad FROM
+        (SELECT unhex(md5(toString(number))) AS b FROM numbers(300))
+      WHERE IPv6StringToNum(IPv6NumToString(b)) != b""")
+      .collect().head.getLong(0)
+    assert(badV6 == 0L)
     // wave 25: p-value machinery pinned against t-TABLE critical
     // values (two-sided 0.05 rows) and the standard-normal quantile —
     // published constants, not derived from this implementation
