@@ -970,6 +970,8 @@ object Probe {
     "w25_ks_test" ->
       "SELECT kolmogorovSmirnovTest(toFloat64(l_quantity), l_linenumber % 2) AS ks, kolmogorovSmirnovTest('two-sided', 'asymptotic')(toFloat64(l_quantity), l_linenumber % 2) AS ksa FROM lineitem",
     // ---- wave 26 (r12) ----
+    "w26_group_bitmap" ->
+      "SELECT n_regionkey AS k, groupBitmapOr(bitmapBuild([n_nationkey % 7, 3])) AS o, groupBitmapAnd(bitmapBuild([n_nationkey % 7, 3])) AS a, groupBitmapXor(bitmapBuild([CAST(n_nationkey AS Int64), 99])) AS x FROM nation GROUP BY k ORDER BY k",
     "w26_ipv6_pair" ->
       "SELECT hex(IPv6StringToNum('2001:db8::1')) AS h, IPv6NumToString(IPv6StringToNum('::ffff:127.0.0.1')) AS rt, isIPv6String('2001:db8::1') AS y, isIPv6String('not-an-ip') AS n, isIPAddressInRange('2001:db8::5', '2001:db8::/64') AS r6, isIPAddressInRange('10.1.2.3', '10.1.0.0/16') AS r4, isIPAddressInRange('10.2.0.1', '10.1.0.0/16') AS r4n, hex(tupleElement(IPv6CIDRToRange(IPv6StringToNum('2001:db8::'), 32), 1)) AS lo",
     "w26_stragglers" ->

@@ -4251,6 +4251,24 @@ object ChDialect {
       }
     })
 
+    // groupBitmapAnd/Or/Xor: fold the group's bitmap COLUMNS (sorted
+    // distinct arrays here) with set algebra, returning the
+    // cardinality like CH. The collect_list wrap mirrors CH's
+    // state-buffering; xor(a,b) = (a∪b)∖(a∩b).
+    macroFn("groupBitmapOr", Seq("__b"),
+      "size(array_distinct(flatten(collect_list(__b))))")
+    macroFn("groupBitmapAnd", Seq("__b"),
+      """element_at(transform(array(collect_list(__b)), __cl ->
+           size(aggregate(slice(__cl, 2, size(__cl)),
+                          element_at(__cl, 1),
+                          (__a, __x) -> array_intersect(__a, __x)))), 1)""")
+    macroFn("groupBitmapXor", Seq("__b"),
+      """element_at(transform(array(collect_list(__b)), __cl ->
+           size(aggregate(slice(__cl, 2, size(__cl)),
+                          element_at(__cl, 1),
+                          (__a, __x) -> array_except(array_union(__a, __x),
+                                                     array_intersect(__a, __x))))), 1)""")
+
     // ---- wave 26 (r12): four stragglers ----
     macroFn("JSONExtractUInt", Seq("__j", "__k"),
       "CAST(get_json_object(__j, concat('$.', __k)) AS BIGINT)")

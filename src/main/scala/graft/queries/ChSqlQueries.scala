@@ -1782,6 +1782,41 @@ object ChSqlQueries {
         round((m0 - m1) / sqrt(208.0 / n0 + 208.0 / n1), 4) AS z
       FROM ab""")),
 
+    // groupBitmapAnd/Or/Xor over per-row bitmaps: the oracle re-derives
+    // the three cardinalities from first principles via unnest —
+    // union = distinct values, intersection = values present in EVERY
+    // row, xor = values present in an ODD number of rows.
+    QDef("sql_ch_group_bitmap_ops", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT n_regionkey AS k,
+          CAST(groupBitmapOr(bitmapBuild([n_nationkey % 7, 3])) AS Int64) AS o,
+          CAST(groupBitmapAnd(bitmapBuild([n_nationkey % 7, 3])) AS Int64) AS a,
+          CAST(groupBitmapXor(bitmapBuild(
+            [CAST(n_nationkey AS Int64), 99])) AS Int64) AS x
+        FROM nation GROUP BY k ORDER BY k""")
+    }, Some("""
+      WITH rows_ AS (
+        SELECT n_regionkey AS k, n_nationkey AS rid,
+               list_distinct([n_nationkey % 7, 3]) AS bm,
+               list_distinct([CAST(n_nationkey AS BIGINT), 99]) AS bx
+        FROM nation),
+      n_rows AS (SELECT k, count(*) AS nr FROM rows_ GROUP BY k),
+      u AS (SELECT k, rid, unnest(bm) AS v FROM rows_),
+      ux AS (SELECT k, rid, unnest(bx) AS v FROM rows_),
+      o_ AS (SELECT k, count(DISTINCT v) AS o FROM u GROUP BY k),
+      a_ AS (SELECT u.k, count(*) AS a FROM
+               (SELECT k, v, count(DISTINCT rid) AS c FROM u GROUP BY k, v) u
+             JOIN n_rows USING (k) WHERE u.c = n_rows.nr GROUP BY u.k),
+      x_ AS (SELECT k, count(*) AS x FROM
+               (SELECT k, v, count(DISTINCT rid) AS c FROM ux GROUP BY k, v)
+             WHERE c % 2 = 1 GROUP BY k)
+      SELECT k, CAST(o AS BIGINT) AS o,
+             CAST(coalesce(a, 0) AS BIGINT) AS a,
+             CAST(coalesce(x, 0) AS BIGINT) AS x
+      FROM o_ LEFT JOIN a_ USING (k) LEFT JOIN x_ USING (k)
+      ORDER BY k""")),
+
     // Wave-26 graduation: the last straggler spellings —
     // JSONExtractUInt, concatAssumeInjective (hint name, concat
     // semantics), regexpExtract with group index, the Joda-syntax
