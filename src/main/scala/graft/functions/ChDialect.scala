@@ -4166,6 +4166,18 @@ object ChDialect {
       org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.MannWhitneyU()))
     spark.udf.register(gd("kolmogorovSmirnovTest"),
       org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.KolmogorovSmirnov()))
+    // ---- wave 27 (r12): categorical-association aggregates ----
+    // cramersV / cramersVBiasCorrected / theilsU / contingency(a, b):
+    // one collected contingency-map state (O(distinct pairs), map-sum
+    // merge) with the published χ²/entropy finals — the relational
+    // agg_cramers_v / agg_contingency_theilsu entries prove the same
+    // algebra against DuckDB; sql_ch_assoc_spellings hash-matches
+    // these spellings to that oracle.
+    for (m <- Seq("cramersV", "cramersVBiasCorrected", "theilsU",
+        "contingency"))
+      spark.udf.register(gd(m),
+        org.apache.spark.sql.functions.udaf(
+          new graft.ops.Aggregates.AssocContingency(m)))
     locally {
       // per-sample moment pieces from DECIMAL-lattice sums — the same
       // FP-order-independence convention every gated double sum uses

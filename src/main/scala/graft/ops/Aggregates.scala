@@ -1038,4 +1038,92 @@ object Aggregates {
       enc[(Vector[Double], Vector[Double])]
     def outputEncoder: Encoder[(Double, Double)] = enc[(Double, Double)]
   }
+
+  /** ClickHouse categorical-association family over two columns:
+    * `cramersV` / `cramersVBiasCorrected` / `theilsU` / `contingency`
+    * [public docs: sql-reference/aggregate-functions/reference/cramersv,
+    * cramersvbiascorrected, theilsu, contingency]. State is the exact
+    * contingency map cell→count — bounded by the DISTINCT PAIR count of
+    * the two (categorical) domains, never by row count; merge is
+    * map-sum, so the two-phase law holds at any executor count. The
+    * finals are the published formulas over χ² / entropies; the
+    * relational `agg_cramers_v` / `agg_contingency_theilsu` gate
+    * entries prove the same algebra against DuckDB, and
+    * `sql_ch_assoc_spellings` hash-matches these UDAFs to that oracle.
+    *
+    * Key packing: map keys must be atomic for the buffer encoder, so a
+    * cell key is `<len(a)>:<a><b>` — the length prefix makes the split
+    * unambiguous for ANY category content (no reserved separator).
+    */
+  class AssocContingency(mode: String)
+      extends Aggregator[(String, String),
+        (Map[String, Long], Map[String, Long], Map[String, Long]),
+        Double] with Serializable {
+    require(Seq("cramersV", "cramersVBiasCorrected", "theilsU",
+      "contingency").contains(mode), s"unknown association mode '$mode'")
+    type Buf = (Map[String, Long], Map[String, Long], Map[String, Long])
+    def zero: Buf = (Map.empty, Map.empty, Map.empty)
+    private def bump(m: Map[String, Long], k: String): Map[String, Long] =
+      m.updated(k, m.getOrElse(k, 0L) + 1L)
+    def reduce(b: Buf, in: (String, String)): Buf =
+      if (in._1 == null || in._2 == null) b
+      else (bump(b._1, s"${in._1.length}:${in._1}${in._2}"),
+        bump(b._2, in._1), bump(b._3, in._2))
+    /** Inverse of the cell-key packing: (a, b). */
+    private def unpack(k: String): (String, String) = {
+      val i = k.indexOf(':')
+      val len = k.substring(0, i).toInt
+      (k.substring(i + 1, i + 1 + len), k.substring(i + 1 + len))
+    }
+    private def msum(a: Map[String, Long], b: Map[String, Long]) =
+      b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    def merge(a: Buf, b: Buf): Buf =
+      (msum(a._1, b._1), msum(a._2, b._2), msum(a._3, b._3))
+    def finish(b: Buf): Double = {
+      val (cells, rws, cls) = b
+      val n = rws.valuesIterator.sum.toDouble
+      if (n == 0) return Double.NaN
+      val r = rws.size.toDouble
+      val c = cls.size.toDouble
+      mode match {
+        case "theilsU" =>
+          // U = (H(X) − H(X|Y)) / H(X), X = first column — the same
+          // direction agg_contingency_theilsu pins against DuckDB
+          val hX = rws.valuesIterator.map { ni =>
+            -(ni / n) * math.log(ni / n)
+          }.sum
+          if (hX == 0.0) return Double.NaN
+          val hXgY = cells.iterator.map { case (k, nij) =>
+            val nj = cls(unpack(k)._2).toDouble
+            -(nij / n) * math.log(nij / nj)
+          }.sum
+          (hX - hXgY) / hX
+        case _ =>
+          val chi2 = cells.iterator.map { case (k, nij) =>
+            val (ka, kb) = unpack(k)
+            val e = rws(ka).toDouble * cls(kb) / n
+            (nij - e) * (nij - e) / e
+          }.sum
+          mode match {
+            case "cramersV" =>
+              if (math.min(r, c) < 2) Double.NaN
+              else math.sqrt(chi2 / (n * (math.min(r, c) - 1)))
+            case "cramersVBiasCorrected" =>
+              // Bergsma's correction [public: the formula on the CH
+              // doc page]: φ̃² = max(0, φ² − (r−1)(c−1)/(n−1)),
+              // r̃ = r − (r−1)²/(n−1), c̃ = c − (c−1)²/(n−1)
+              val phi2 = chi2 / n
+              val phi2c =
+                math.max(0.0, phi2 - (r - 1) * (c - 1) / (n - 1))
+              val rC = r - (r - 1) * (r - 1) / (n - 1)
+              val cC = c - (c - 1) * (c - 1) / (n - 1)
+              if (math.min(rC, cC) <= 1.0) Double.NaN
+              else math.sqrt(phi2c / (math.min(rC, cC) - 1.0))
+            case _ => math.sqrt(chi2 / (chi2 + n)) // contingency
+          }
+      }
+    }
+    def bufferEncoder: Encoder[Buf] = enc[Buf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 }

@@ -646,6 +646,45 @@ object ChSqlQueries {
       GROUP BY o.o_orderpriority
       ORDER BY o.o_orderpriority""")),
 
+    // Wave 27: the categorical-association aggregate SPELLINGS
+    // (cramersV / cramersVBiasCorrected / theilsU / contingency) as a
+    // user types them through the front door, hash-matched against an
+    // independent DuckDB contingency-table computation (χ² + entropy
+    // algebra; Bergsma's bias correction for vbc). One collected-map
+    // UDAF pass on the Spark side — O(distinct pairs) state.
+    QDef("sql_ch_assoc_spellings", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT round(cramersV(o_orderstatus, o_orderpriority), 4) AS v,
+               round(cramersVBiasCorrected(o_orderstatus, o_orderpriority), 4) AS vbc,
+               round(theilsU(o_orderstatus, o_orderpriority), 4) AS tu,
+               round(contingency(o_orderstatus, o_orderpriority), 4) AS cg
+        FROM orders""")
+    }, Some("""
+      WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                            count(*) AS nij FROM orders GROUP BY 1, 2),
+      rws AS (SELECT a, CAST(sum(nij) AS DOUBLE) AS ni FROM cells GROUP BY 1),
+      cls AS (SELECT b, CAST(sum(nij) AS DOUBLE) AS nj FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(nij) AS DOUBLE) AS n,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM rws) AS r,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM cls) AS c
+              FROM cells),
+      x AS (SELECT sum((nij - e) * (nij - e) / e) AS chi2
+            FROM (SELECT nij, ni * nj / n AS e
+                  FROM cells JOIN rws USING (a) JOIN cls USING (b)
+                       CROSS JOIN tot)),
+      hx AS (SELECT sum(-(ni / n) * ln(ni / n)) AS h_x
+             FROM rws CROSS JOIN tot),
+      hxy AS (SELECT sum(-(nij / n) * ln(CAST(nij AS DOUBLE) / nj)) AS h_x_given_y
+              FROM cells JOIN cls USING (b) CROSS JOIN tot)
+      SELECT round(sqrt(chi2 / (n * (least(r, c) - 1))), 4) AS v,
+             round(sqrt(greatest(0, chi2 / n - (r - 1) * (c - 1) / (n - 1)) /
+                        (least(r - (r - 1) * (r - 1) / (n - 1),
+                               c - (c - 1) * (c - 1) / (n - 1)) - 1)), 4) AS vbc,
+             round((h_x - h_x_given_y) / h_x, 4) AS tu,
+             round(sqrt(chi2 / (chi2 + n)), 4) AS cg
+      FROM x CROSS JOIN hx CROSS JOIN hxy CROSS JOIN tot""")),
+
     // String-search spellings over real document text, every value
     // hash-checked: countSubstrings (non-overlapping needle count),
     // case-insensitive position, regex match count.

@@ -323,4 +323,54 @@ class AggregatorSpec extends AnyFunSuite {
       agg.finish(merged) == agg.finish((xs ++ ys).foldLeft(agg.zero)(agg.reduce))
     })
   }
+
+  // ---- wave 27: categorical-association family ----
+
+  /** 2×2 known-answer table (counts 10/20/30/40). Hand-computed:
+    * χ² = 4/12+4/18+4/28+4/42 = 0.7936…; cramersV cross-checked via
+    * the closed 2×2 form |ad−bc|/√(r₁r₂c₁c₂) = 200/√5 040 000.
+    */
+  private val assocRows: List[(String, String)] =
+    List.fill(10)(("a1", "b1")) ++ List.fill(20)(("a1", "b2")) ++
+      List.fill(30)(("a2", "b1")) ++ List.fill(40)(("a2", "b2"))
+
+  private def assocRun(mode: String, rows: List[(String, String)]): Double = {
+    val agg = new Aggregates.AssocContingency(mode)
+    agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+  }
+
+  test("assoc known answers on the 2x2 table") {
+    assert(math.abs(assocRun("cramersV", assocRows) - 0.0890871) < 1e-6)
+    assert(math.abs(assocRun("contingency", assocRows) - 0.0887357) < 1e-6)
+    // φ² < (r−1)(c−1)/(n−1) here, so the bias-corrected V clamps to 0
+    assert(assocRun("cramersVBiasCorrected", assocRows) == 0.0)
+    assert(math.abs(assocRun("theilsU", assocRows) - 0.0065840) < 1e-6)
+  }
+
+  test("assoc cell-key packing survives ':' and digits in categories") {
+    // "1:x"/"1" style values would corrupt a separator-based split;
+    // the length-prefixed key must keep the exact same answer as
+    // renamed clean categories with identical counts
+    val tricky = assocRows.map { case (a, b) =>
+      (if (a == "a1") "1:x" else "22", if (b == "b1") ":" else "9:z") }
+    for (m <- Seq("cramersV", "theilsU", "contingency"))
+      assert(math.abs(assocRun(m, tricky) - assocRun(m, assocRows)) < 1e-12)
+  }
+
+  test("assoc merge equals single-pass build") {
+    val pairGen = Gen.listOf(for {
+      a <- Gen.oneOf("x", "y", "z"); b <- Gen.oneOf("p", "q")
+    } yield (a, b))
+    check(Prop.forAll(pairGen, pairGen) { (xs, ys) =>
+      Seq("cramersV", "cramersVBiasCorrected", "theilsU", "contingency")
+        .forall { m =>
+          val agg = new Aggregates.AssocContingency(m)
+          val merged = agg.merge(xs.foldLeft(agg.zero)(agg.reduce),
+            ys.foldLeft(agg.zero)(agg.reduce))
+          val once = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+          val (f1, f2) = (agg.finish(merged), agg.finish(once))
+          (f1.isNaN && f2.isNaN) || f1 == f2
+        }
+    })
+  }
 }
