@@ -975,7 +975,53 @@ object Probe {
     "w26_ipv6_pair" ->
       "SELECT hex(IPv6StringToNum('2001:db8::1')) AS h, IPv6NumToString(IPv6StringToNum('::ffff:127.0.0.1')) AS rt, isIPv6String('2001:db8::1') AS y, isIPv6String('not-an-ip') AS n, isIPAddressInRange('2001:db8::5', '2001:db8::/64') AS r6, isIPAddressInRange('10.1.2.3', '10.1.0.0/16') AS r4, isIPAddressInRange('10.2.0.1', '10.1.0.0/16') AS r4n, hex(tupleElement(IPv6CIDRToRange(IPv6StringToNum('2001:db8::'), 32), 1)) AS lo",
     "w26_stragglers" ->
-      "SELECT JSONExtractUInt('{\"a\": 42}', 'a') AS ju, concatAssumeInjective('a', 'b') AS ci, regexpExtract('key=val', 'key=([a-z]+)') AS re, formatDateTimeInJodaSyntax(toDateTime('2024-03-05 12:34:56'), 'yyyy/MM/dd HH:mm') AS fj, fromUnixTimestampInJodaSyntax(1709640000, 'yyyy-MM-dd') AS uj, round(log1p(0.0), 4) AS l1, round(log2(8.0), 4) AS l2"
+      "SELECT JSONExtractUInt('{\"a\": 42}', 'a') AS ju, concatAssumeInjective('a', 'b') AS ci, regexpExtract('key=val', 'key=([a-z]+)') AS re, formatDateTimeInJodaSyntax(toDateTime('2024-03-05 12:34:56'), 'yyyy/MM/dd HH:mm') AS fj, fromUnixTimestampInJodaSyntax(1709640000, 'yyyy-MM-dd') AS uj, round(log1p(0.0), 4) AS l1, round(log2(8.0), 4) AS l2",
+    // ---- wave 27 (r12): categorical association ----
+    "w27_assoc" ->
+      "SELECT round(cramersV(o_orderstatus, o_orderpriority), 4) AS v, round(cramersVBiasCorrected(o_orderstatus, o_orderpriority), 4) AS vbc, round(theilsU(o_orderstatus, o_orderpriority), 4) AS tu, round(contingency(o_orderstatus, o_orderpriority), 4) AS cg FROM orders",
+    // ---- wave 28 (r12): gap sweep ----
+    "w28_math" ->
+      "SELECT exp2(3) AS e2, exp10(2) AS e10, intExp2(10) AS i2, intExp10(3) AS i10, round(cbrt(27.0), 4) AS cb, sign(-5) AS sg, round(erf(1.0), 4) AS ef, round(erfc(1.0), 4) AS efc, round(lgamma(5.0), 4) AS lg, round(tgamma(5.0), 4) AS tg, round(degrees(pi()), 2) AS dg, round(radians(180.0), 4) AS rd, factorial(5) AS fc, gcd(12, 18) AS g, lcm(4, 6) AS l",
+    "w28_float_preds" ->
+      "SELECT isNaN(sqrt(-1.0)) AS nn, isFinite(1.0) AS fi, isInfinite(exp(1000.0)) AS inf2, isNaN(1.0) AS nn0",
+    "w28_rand" ->
+      "SELECT randUniform(0, 1) BETWEEN 0 AND 1 AS u, randNormal(0, 1) IS NOT NULL AS n, randBinomial(10, 0.5) BETWEEN 0 AND 10 AS b, randExponential(2) >= 0 AS e, randPoisson(5) >= 0 AS p, randBernoulli(0.5) IN (0, 1) AS be",
+    "w28_rank_corr_anova" ->
+      "SELECT round(rankCorr(toFloat64(l_quantity), toFloat64(l_extendedprice)), 4) AS rc, analysisOfVariance(toFloat64(l_quantity), l_linenumber % 3) AS av FROM lineitem",
+    "w28_civ" ->
+      "SELECT categoricalInformationValue(n_regionkey = 0, n_nationkey % 2) AS civ FROM nation",
+    "w28_interval_length_sum" ->
+      "SELECT intervalLengthSum(toFloat64(n_nationkey), toFloat64(n_nationkey + 3)) AS ils FROM nation",
+    "w28_group_array_insert_at" ->
+      "SELECT groupArrayInsertAt('-', 10)(toString(n_nationkey), n_nationkey % 7) AS a FROM nation",
+    "w28_nonneg_derivative" ->
+      "SELECT n_nationkey AS k, nonNegativeDerivative(toFloat64(n_nationkey * n_nationkey), timestampadd(SECOND, n_nationkey * 2, toDateTime('2024-01-01 00:00:00'))) OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d FROM nation ORDER BY k LIMIT 5",
+    "w28_lag_in_frame_full" ->
+      "SELECT n_nationkey AS k, leadInFrame(n_nationkey, 1, -1) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ld FROM nation ORDER BY k LIMIT 6",
+    "w28_exp_time_decayed" ->
+      "SELECT exponentialTimeDecayedAvg(10)(toFloat64(n_nationkey), toFloat64(n_nationkey)) AS a, exponentialTimeDecayedSum(10)(toFloat64(n_nationkey), toFloat64(n_nationkey)) AS s, exponentialTimeDecayedCount(10)(toFloat64(n_nationkey)) AS c, exponentialTimeDecayedMax(10)(toFloat64(n_nationkey), toFloat64(n_nationkey)) AS m FROM nation",
+    "w28_sum_variants" ->
+      "SELECT sumCount(l_quantity) AS sc, sumKahan(l_quantity * 0.1) AS sk FROM lineitem",
+    "w28_quantile_det" ->
+      "SELECT quantileDeterministic(toFloat64(l_quantity), l_orderkey) AS qd, quantileTimingWeighted(toFloat64(l_quantity), 1) AS qtw FROM lineitem",
+    "w28_lttb" ->
+      "SELECT largestTriangleThreeBuckets(4)(toFloat64(n_nationkey), toFloat64(n_nationkey * n_nationkey)) AS pts FROM nation",
+    "w28_str_misc" ->
+      "SELECT soundex('jellyfish') AS sx, ascii('A') AS ac, tryBase58Decode('3dc8KtHrwM') AS tb58, tryBase58Decode('#bad#') IS NULL AS tb58n, arrayLevenshteinDistance([1, 2, 3], [1, 3]) AS ald",
+    "w28_json_sqljson" ->
+      "SELECT JSON_VALUE('{\"a\": {\"b\": 7}}', '$.a.b') AS jv, JSON_QUERY('{\"a\": [1, 2]}', '$.a') AS jq, JSON_EXISTS('{\"a\": 1}', '$.a') AS je, JSON_EXISTS('{\"a\": 1}', '$.b') AS jen",
+    "w28_bit_byte_slice" ->
+      "SELECT bitSlice('Hello', 2, 8) AS bs, byteSlice('Hello', 2, 3) AS ys",
+    "w28_search_utf8" ->
+      "SELECT multiSearchAllPositionsUTF8('hello world', ['l', 'world']) AS ps, countMatchesCaseInsensitive('AAaa', 'aa') AS cm",
+    "w28_window_nth" ->
+      "SELECT n_nationkey AS k, nth_value(n_name, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nv, lagInFrame(n_nationkey, 1, -1) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lg FROM nation ORDER BY k LIMIT 6",
+    "w28_variant_elem" ->
+      "SELECT variantElement(CAST(7 AS Dynamic), 'Int64') AS ve, variantElement(CAST(7 AS Dynamic), 'String') AS vn, variantElement(CAST('txt' AS Dynamic), 'String') AS vs",
+    "w28_to_decimal_string" ->
+      "SELECT toDecimalString(3.14159, 3) AS ds, toDecimalString(42, 0) AS di",
+    "w28_width_bucket_prop" ->
+      "SELECT widthBucket(5.5, 0, 10, 5) AS wb, proportionsZTest(10, 11, 100, 90, 0.95, 'unpooled') AS pz"
   )
 
   def main(argv: Array[String]): Unit = {

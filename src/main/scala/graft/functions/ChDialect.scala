@@ -2409,9 +2409,10 @@ object ChDialect {
     fr.createOrReplaceTempFunction(gd("randCanonical"),
       FunctionRegistry.builtin.lookupFunctionBuilder(
         FunctionIdentifier("rand")).get, "built-in")
-    fr.createOrReplaceTempFunction(gd("randNormal"),
-      FunctionRegistry.builtin.lookupFunctionBuilder(
-        FunctionIdentifier("randn")).get, "built-in")
+    // NOTE: randNormal is NOT an alias for Spark's randn — CH's
+    // signature is randNormal(mean, variance), and randn(seed) would
+    // silently read the mean as a seed. The faithful 2-arg UDF is
+    // registered in the wave-28 random-distribution block below.
 
     // CH arraySort/arrayReverseSort: the optional KEY lambda comes
     // FIRST (Spark's array_sort takes a two-argument COMPARATOR, so
@@ -4296,6 +4297,194 @@ object ChDialect {
       "date_format(CAST(__t AS TIMESTAMP), __f)")
     macroFn("fromUnixTimestampInJodaSyntax", Seq("__n", "__f"),
       "date_format(timestamp_seconds(CAST(__n AS BIGINT)), __f)")
+
+    // ---- wave 28 (r12): probe-found gap sweep ----
+    // Random-distribution family [public docs: sql-reference/functions/
+    // random-functions]. Nondeterministic BY CONTRACT (registered
+    // .asNondeterministic so Catalyst never folds/reorders them);
+    // gate coverage is range/support checks, not value hashes. Heavy
+    // tails use the exact loop up to a cutoff and the standard normal
+    // approximation beyond it (the CH functions document no bit-exact
+    // stream, so only the DISTRIBUTION is the contract).
+    locally {
+      import org.apache.spark.sql.functions.udf
+      def rng() = java.util.concurrent.ThreadLocalRandom.current()
+      def chi2(k: Double): Double = {
+        // k ≤ cutoff: sum of squared gaussians (exact); else Wilson–
+        // Hilferty normal approximation (published transform)
+        if (k <= 1000) {
+          var s = 0.0; var i = 0
+          while (i < k.toInt) { val g = rng().nextGaussian(); s += g * g; i += 1 }
+          val frac = k - k.floor
+          if (frac > 0) { val g = rng().nextGaussian(); s += frac * g * g }
+          s
+        } else {
+          val z = rng().nextGaussian()
+          val c = 2.0 / (9.0 * k)
+          k * math.pow(1.0 - c + z * math.sqrt(c), 3)
+        }
+      }
+      spark.udf.register(gd("randUniform"), udf((a: Double, b: Double) =>
+        a + (b - a) * rng().nextDouble()).asNondeterministic())
+      spark.udf.register(gd("randNormal"), udf((m: Double, v: Double) =>
+        m + math.sqrt(v) * rng().nextGaussian()).asNondeterministic())
+      spark.udf.register(gd("randLogNormal"), udf((m: Double, v: Double) =>
+        math.exp(m + math.sqrt(v) * rng().nextGaussian())).asNondeterministic())
+      spark.udf.register(gd("randExponential"), udf((l: Double) =>
+        -math.log(1.0 - rng().nextDouble()) / l).asNondeterministic())
+      spark.udf.register(gd("randBernoulli"), udf((p: Double) =>
+        if (rng().nextDouble() < p) 1L else 0L).asNondeterministic())
+      spark.udf.register(gd("randBinomial"), udf((n: Long, p: Double) => {
+        if (n <= 100000L) {
+          var k = 0L; var i = 0L
+          while (i < n) { if (rng().nextDouble() < p) k += 1; i += 1 }
+          k
+        } else {
+          val mu = n * p
+          val sd = math.sqrt(n * p * (1 - p))
+          math.max(0L, math.min(n, math.round(mu + sd * rng().nextGaussian())))
+        }
+      }).asNondeterministic())
+      spark.udf.register(gd("randNegativeBinomial"), udf((r: Long, p: Double) => {
+        // failures before the r-th success; exact geometric loop
+        require(p > 0.0 && p <= 1.0, "randNegativeBinomial: p must be in (0, 1]")
+        var succ = 0L; var fails = 0L
+        while (succ < r && fails < 100000000L) {
+          if (rng().nextDouble() < p) succ += 1 else fails += 1
+        }
+        fails
+      }).asNondeterministic())
+      spark.udf.register(gd("randPoisson"), udf((mean: Double) => {
+        if (mean < 500) {
+          val limit = math.exp(-mean)
+          var k = 0L; var prod = rng().nextDouble()
+          while (prod > limit) { k += 1; prod *= rng().nextDouble() }
+          k
+        } else math.max(0L, math.round(mean + math.sqrt(mean) * rng().nextGaussian()))
+      }).asNondeterministic())
+      spark.udf.register(gd("randChiSquared"),
+        udf((k: Double) => chi2(k)).asNondeterministic())
+      spark.udf.register(gd("randStudentT"), udf((dof: Double) =>
+        rng().nextGaussian() / math.sqrt(chi2(dof) / dof)).asNondeterministic())
+      spark.udf.register(gd("randFisherF"), udf((d1: Double, d2: Double) =>
+        (chi2(d1) / d1) / (chi2(d2) / d2)).asNondeterministic())
+    }
+    // tryBase58Decode: NULL on any non-alphabet character (the
+    // throwing sibling is registered in the encoding block above)
+    spark.udf.register(gd("tryBase58Decode"), (s: String) => {
+      if (s == null) null
+      else {
+        val alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+        if (s.exists(alpha.indexOf(_) < 0)) null
+        else {
+          val zeros = s.takeWhile(_ == '1').length
+          var n = BigInt(0)
+          s.foreach(ch => n = n * 58 + alpha.indexOf(ch))
+          val body = if (n == 0) Array.empty[Byte]
+            else n.toByteArray.dropWhile(_ == 0)
+          new String(Array.fill[Byte](zeros)(0) ++ body,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+      }
+    })
+    // SQL/JSON trio [public docs: sql-reference/functions/json-functions
+    // JSON_EXISTS/JSON_VALUE/JSON_QUERY] on Spark 4 VARIANT: missing
+    // paths are '' (CH contract), JSON_VALUE returns SCALARS only
+    // (objects/arrays → '' like CH), JSON_QUERY wraps every match in
+    // an array rendered as canonical JSON text.
+    macroFn("JSON_EXISTS", Seq("__j", "__p"),
+      "variant_get(try_parse_json(__j), __p) IS NOT NULL")
+    macroFn("JSON_VALUE", Seq("__j", "__p"),
+      """CASE WHEN schema_of_variant(variant_get(try_parse_json(__j), __p))
+                 RLIKE '^(OBJECT|ARRAY)' THEN ''
+         ELSE coalesce(CAST(variant_get(try_parse_json(__j), __p) AS STRING), '')
+         END""")
+    macroFn("JSON_QUERY", Seq("__j", "__p"),
+      """coalesce(concat('[',
+           to_json(variant_get(try_parse_json(__j), __p)), ']'), '')""")
+    // byteSlice/bitSlice [public docs: string-functions]: 1-based
+    // offsets, negative offsets count from the end. Byte slicing goes
+    // through BINARY so multi-byte chars split exactly like CH (the
+    // decode of a torn sequence yields replacement chars — same
+    // mojibake CH prints); bitSlice pads the tail bits with zeros and
+    // returns the byte-faithful ISO-8859-1 rendering.
+    macroFn("byteSlice", Seq("__s", "__o", "__l"),
+      """decode(substring(encode(__s, 'UTF-8'),
+           CAST(__o AS INT), CAST(__l AS INT)), 'UTF-8')""")
+    spark.udf.register(gd("bitSlice"), (s: String, off: Int, len: Int) => {
+      if (s == null) null
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val total = bytes.length * 8
+        val start = if (off > 0) off - 1 else math.max(0, total + off)
+        val n = math.max(0, math.min(len, total - math.min(start, total)))
+        val out = new Array[Byte]((n + 7) / 8)
+        var i = 0
+        while (i < n) {
+          val sb = start + i
+          if (((bytes(sb >> 3) >> (7 - (sb & 7))) & 1) != 0)
+            out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+          i += 1
+        }
+        new String(out, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    })
+    // UTF8 position variants: Spark strings are char-indexed already,
+    // so the UTF8 spellings share the char-based bodies (the BYTE
+    // flavors are the ones that need the encode() detour)
+    macroFn("multiSearchAllPositionsUTF8", Seq("__h", "__ns"),
+      "transform(__ns, n -> instr(__h, n))")
+    macroFn("countMatchesCaseInsensitive", Seq("__h", "__p"),
+      "regexp_count(__h, concat('(?i)', __p))")
+    // bare (parameterless) forms of the parametric quantile spellings
+    // default to level 0.5 like CH; the determinator/timing arguments
+    // only steer CH's sampling, the exact quantile ignores them
+    macroFn("quantileDeterministic", Seq("__x", "__d"),
+      "graft_quantile_exact(CAST(__x AS DOUBLE), CAST(0.5 AS DOUBLE))")
+    macroFn("quantileTimingWeighted", Seq("__x", "__w"),
+      "percentile(__x, 0.5, CAST(__w AS BIGINT))")
+    macroFn("quantileExactWeighted", Seq("__x", "__w"),
+      "percentile(__x, 0.5, CAST(__w AS BIGINT))")
+    macroFn("quantileInterpolatedWeighted", Seq("__x", "__w"),
+      "percentile(__x, 0.5, CAST(__w AS BIGINT))")
+    // wave-28 aggregate spellings (collected-state Aggregators —
+    // ops/Aggregates.scala has the per-class scale notes)
+    spark.udf.register(gd("rankCorr"),
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.RankCorr))
+    spark.udf.register(gd("analysisOfVariance"),
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.AnovaF))
+    spark.udf.register(gd("anova"),
+      org.apache.spark.sql.functions.udaf(new graft.ops.Aggregates.AnovaF))
+    spark.udf.register(gd("intervalLengthSum"),
+      org.apache.spark.sql.functions.udaf(
+        new graft.ops.Aggregates.IntervalLengthSum))
+    // categoricalInformationValue(cat, tag) [public docs: aggregate-
+    // functions/reference/categoricalinformationvalue]: cat and tag
+    // are 0/1 indicators; the information value is the standard
+    // weight-of-evidence sum over the two cat buckets,
+    // Σ_v (g_v/G − b_v/B)·ln((g_v/G)/(b_v/B)) with g = tag=1 counts,
+    // b = tag=0 counts; zero-count buckets contribute 0. CH returns
+    // one element per category column — the macro covers the 1- and
+    // 2-category arities.
+    locally {
+      def iv(c: String, t: String): String = {
+        def cnt(cv: String, tv: String) =
+          s"CAST(count(CASE WHEN (CAST($c AS INT) = $cv) " +
+            s"AND (CAST($t AS INT) = $tv) THEN 1 END) AS DOUBLE)"
+        val (g1, g0) = (cnt("1", "1"), cnt("0", "1"))
+        val (b1, b0) = (cnt("1", "0"), cnt("0", "0"))
+        val gT = s"($g1 + $g0)"; val bT = s"($b1 + $b0)"
+        def term(g: String, bb: String) =
+          s"CASE WHEN $g > 0 AND $bb > 0 THEN " +
+            s"($g / $gT - $bb / $bT) * ln(($g / $gT) / ($bb / $bT)) " +
+            s"ELSE 0D END"
+        s"(${term(g1, b1)} + ${term(g0, b0)})"
+      }
+      macroFnN("categoricalInformationValue",
+        Seq("__c", "__t") -> s"array(${iv("__c", "__t")})",
+        Seq("__c1", "__c2", "__t") ->
+          s"array(${iv("__c1", "__t")}, ${iv("__c2", "__t")})")
+    }
 
     guardReport()
   }

@@ -1080,7 +1080,10 @@ object Aggregates {
     def merge(a: Buf, b: Buf): Buf =
       (msum(a._1, b._1), msum(a._2, b._2), msum(a._3, b._3))
     def finish(b: Buf): Double = {
-      val (cells, rws, cls) = b
+      // key-sorted traversals: Map iteration order is construction-
+      // dependent and the double sums below must be canonical
+      val (cells0, rws, cls) = b
+      val cells = cells0.toVector.sortBy(_._1)
       val n = rws.valuesIterator.sum.toDouble
       if (n == 0) return Double.NaN
       val r = rws.size.toDouble
@@ -1089,17 +1092,17 @@ object Aggregates {
         case "theilsU" =>
           // U = (H(X) − H(X|Y)) / H(X), X = first column — the same
           // direction agg_contingency_theilsu pins against DuckDB
-          val hX = rws.valuesIterator.map { ni =>
+          val hX = rws.toVector.sortBy(_._1).map { case (_, ni) =>
             -(ni / n) * math.log(ni / n)
           }.sum
           if (hX == 0.0) return Double.NaN
-          val hXgY = cells.iterator.map { case (k, nij) =>
+          val hXgY = cells.map { case (k, nij) =>
             val nj = cls(unpack(k)._2).toDouble
-            -(nij / n) * math.log(nij / nj)
+            -(nij / n) * math.log(nij.toDouble / nj)
           }.sum
           (hX - hXgY) / hX
         case _ =>
-          val chi2 = cells.iterator.map { case (k, nij) =>
+          val chi2 = cells.map { case (k, nij) =>
             val (ka, kb) = unpack(k)
             val e = rws(ka).toDouble * cls(kb) / n
             (nij - e) * (nij - e) / e
@@ -1124,6 +1127,252 @@ object Aggregates {
       }
     }
     def bufferEncoder: Encoder[Buf] = enc[Buf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Classic sequential Largest-Triangle-Three-Buckets downsampling
+    * [Steinarsson 2013, public thesis; CH docs: aggregate-functions/
+    * reference/largestTriangleThreeBuckets]. State collects (x, y)
+    * pairs; finish() sorts by x (then y — full determinism under
+    * duplicate x) and walks the buckets picking the point that
+    * maximizes the triangle area against the PREVIOUSLY SELECTED
+    * point and the next bucket's mean. O(rows) state — intended for
+    * per-group series; the relational mean-anchor variant (agg_lttb)
+    * is the unbounded-series path.
+    */
+  class Lttb(buckets: Int)
+      extends Aggregator[(Double, Double), Vector[(Double, Double)],
+        Seq[(Double, Double)]] with Serializable {
+    require(buckets >= 2, s"lttb needs at least 2 buckets, got $buckets")
+    def zero: Vector[(Double, Double)] = Vector.empty
+    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = b :+ in
+    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = a ++ b
+    def finish(b0: Vector[(Double, Double)]): Seq[(Double, Double)] = {
+      val pts = b0.sorted
+      val n = pts.size
+      if (n <= buckets) return pts
+      // first and last points are always kept; the n−2 interior
+      // points split into buckets−2 equal ranges
+      val out = Vector.newBuilder[(Double, Double)]
+      out += pts.head
+      var prev = pts.head
+      val inner = buckets - 2
+      var bi = 0
+      while (bi < inner) {
+        val lo = 1 + bi * (n - 2) / inner
+        val hi = 1 + (bi + 1) * (n - 2) / inner // exclusive
+        // anchor: mean of the NEXT bucket (or the last point)
+        val (nLo, nHi) =
+          if (bi + 1 < inner)
+            (1 + (bi + 1) * (n - 2) / inner, 1 + (bi + 2) * (n - 2) / inner)
+          else (n - 1, n)
+        var ax = 0.0; var ay = 0.0
+        var i = nLo
+        while (i < nHi) { ax += pts(i)._1; ay += pts(i)._2; i += 1 }
+        ax /= (nHi - nLo); ay /= (nHi - nLo)
+        var best = lo; var bestArea = -1.0
+        i = lo
+        while (i < hi) {
+          val area = math.abs(
+            (prev._1 - ax) * (pts(i)._2 - prev._2) -
+              (prev._1 - pts(i)._1) * (ay - prev._2))
+          if (area > bestArea) { bestArea = area; best = i }
+          i += 1
+        }
+        out += pts(best)
+        prev = pts(best)
+        bi += 1
+      }
+      out += pts.last
+      out.result()
+    }
+    def bufferEncoder: Encoder[Vector[(Double, Double)]] =
+      enc[Vector[(Double, Double)]]
+    def outputEncoder: Encoder[Seq[(Double, Double)]] =
+      enc[Seq[(Double, Double)]]
+  }
+
+  /** Spearman rank correlation [CH docs: aggregate-functions/
+    * reference/rankCorr]: fractional (tie-averaged) ranks on both
+    * samples, then the Pearson correlation of the rank vectors.
+    * Collected-pair state; finish() is O(n log n).
+    */
+  class RankCorr
+      extends Aggregator[(Double, Double), Vector[(Double, Double)], Double]
+      with Serializable {
+    def zero: Vector[(Double, Double)] = Vector.empty
+    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = b :+ in
+    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = a ++ b
+    private def fracRanks(v: Vector[Double]): Array[Double] = {
+      val n = v.size
+      val idx = v.indices.sortBy(v(_))
+      val r = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j + 1 < n && v(idx(j + 1)) == v(idx(i))) j += 1
+        val avg = (i + 1 + j + 1) / 2.0
+        var k = i
+        while (k <= j) { r(idx(k)) = avg; k += 1 }
+        i = j + 1
+      }
+      r
+    }
+    def finish(b0: Vector[(Double, Double)]): Double = {
+      // sort first: collect order varies with partitioning, and the
+      // FP accumulation below must not (gate hashes round(…, 6))
+      val b = b0.sorted
+      val n = b.size
+      if (n < 2) return Double.NaN
+      val rx = fracRanks(b.map(_._1))
+      val ry = fracRanks(b.map(_._2))
+      val mx = rx.sum / n; val my = ry.sum / n
+      var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      var i = 0
+      while (i < n) {
+        val dx = rx(i) - mx; val dy = ry(i) - my
+        sxy += dx * dy; sxx += dx * dx; syy += dy * dy
+        i += 1
+      }
+      if (sxx == 0.0 || syy == 0.0) Double.NaN
+      else sxy / math.sqrt(sxx * syy)
+    }
+    def bufferEncoder: Encoder[Vector[(Double, Double)]] =
+      enc[Vector[(Double, Double)]]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** One-way ANOVA [CH docs: aggregate-functions/reference/
+    * analysis_of_variance]: F = (SSB/(k−1)) / (SSW/(n−k)) over the
+    * per-group moment sums, p from the F(d1, d2) survival function
+    * via the regularized incomplete beta (same Numerical Recipes
+    * continued fraction the t-test spellings use). State is the
+    * per-group (count, Σx, Σx²) map with BigDecimal sums — exact, so
+    * FP-order independent at any executor count.
+    */
+  class AnovaF
+      extends Aggregator[(Double, Long),
+        Map[Long, (Long, BigDecimal, BigDecimal)], (Double, Double)]
+      with Serializable {
+    type Buf = Map[Long, (Long, BigDecimal, BigDecimal)]
+    def zero: Buf = Map.empty
+    def reduce(b: Buf, in: (Double, Long)): Buf = {
+      val x = BigDecimal(in._1)
+      val (c, s, ss) = b.getOrElse(in._2, (0L, BigDecimal(0), BigDecimal(0)))
+      b.updated(in._2, (c + 1, s + x, ss + x * x))
+    }
+    def merge(a: Buf, b: Buf): Buf =
+      b.foldLeft(a) { case (m, (k, (c, s, ss))) =>
+        val (c0, s0, ss0) = m.getOrElse(k, (0L, BigDecimal(0), BigDecimal(0)))
+        m.updated(k, (c0 + c, s0 + s, ss0 + ss))
+      }
+    // Lentz continued fraction + Lanczos lgamma (Numerical Recipes
+    // §6.4, public algorithm) — self-contained like MannWhitneyU's erf
+    private def lgamma(x: Double): Double =
+      if (x < 0.5)
+        math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgamma(1.0 - x)
+      else {
+        val g = Array(0.99999999999980993, 676.5203681218851,
+          -1259.1392167224028, 771.32342877765313, -176.61502916214059,
+          12.507343278686905, -0.13857109526572012, 9.9843695780195716e-6,
+          1.5056327351493116e-7)
+        val z = x - 1.0
+        var a = g(0)
+        var i = 1
+        while (i < 9) { a += g(i) / (z + i); i += 1 }
+        val t = z + 7.5
+        0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+      }
+    private def betacf(a: Double, b: Double, x: Double): Double = {
+      val fpmin = 1e-300
+      val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+      var c = 1.0
+      var d = 1.0 - qab * x / qap
+      if (math.abs(d) < fpmin) d = fpmin
+      d = 1.0 / d
+      var h = d
+      var m = 1
+      while (m <= 200) {
+        val m2 = 2 * m
+        var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+        c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+        d = 1.0 / d; h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+        c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-14) return h
+        m += 1
+      }
+      h
+    }
+    private def ibeta(a: Double, b: Double, x: Double): Double = {
+      if (x <= 0.0) return 0.0
+      if (x >= 1.0) return 1.0
+      val bt = math.exp(lgamma(a + b) - lgamma(a) - lgamma(b) +
+        a * math.log(x) + b * math.log(1.0 - x))
+      if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(a, b, x) / a
+      else 1.0 - bt * betacf(b, a, 1.0 - x) / b
+    }
+    def finish(b: Buf): (Double, Double) = {
+      val k = b.size
+      val n = b.valuesIterator.map(_._1).sum
+      if (k < 2 || n <= k) return (Double.NaN, Double.NaN)
+      // key-sorted traversal: Map iteration order is construction-
+      // dependent and the ssb double-sum below must be canonical
+      val groups = b.toVector.sortBy(_._1).map(_._2)
+      val totS = groups.map(_._2).foldLeft(BigDecimal(0))(_ + _)
+      val totSS = groups.map(_._3).foldLeft(BigDecimal(0))(_ + _)
+      val grand = totS.toDouble / n
+      var ssb = 0.0
+      groups.foreach { case (c, s, _) =>
+        val d = s.toDouble / c - grand
+        ssb += c * d * d
+      }
+      val sst = totSS.toDouble - n * grand * grand
+      val ssw = sst - ssb
+      val d1 = (k - 1).toDouble
+      val d2 = (n - k).toDouble
+      val f = (ssb / d1) / (ssw / d2)
+      val p = ibeta(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+      (f, p)
+    }
+    def bufferEncoder: Encoder[Buf] = enc[Buf]
+    def outputEncoder: Encoder[(Double, Double)] = enc[(Double, Double)]
+  }
+
+  /** Total length of the UNION of [start, end) intervals [CH docs:
+    * aggregate-functions/reference/intervalLengthSum] — collected
+    * intervals, sort-by-start sweep in finish(). Zero- and
+    * negative-length intervals contribute nothing (CH ignores
+    * start ≥ end pairs).
+    */
+  class IntervalLengthSum
+      extends Aggregator[(Double, Double), Vector[(Double, Double)], Double]
+      with Serializable {
+    def zero: Vector[(Double, Double)] = Vector.empty
+    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) =
+      if (in._1 < in._2) b :+ in else b
+    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = a ++ b
+    def finish(b: Vector[(Double, Double)]): Double = {
+      if (b.isEmpty) return 0.0
+      val s = b.sorted
+      var total = 0.0
+      var lo = s.head._1; var hi = s.head._2
+      var i = 1
+      while (i < s.size) {
+        val (a2, b2) = s(i)
+        if (a2 > hi) { total += hi - lo; lo = a2; hi = b2 }
+        else if (b2 > hi) hi = b2
+        i += 1
+      }
+      total + (hi - lo)
+    }
+    def bufferEncoder: Encoder[Vector[(Double, Double)]] =
+      enc[Vector[(Double, Double)]]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 }

@@ -685,6 +685,187 @@ object ChSqlQueries {
              round(sqrt(chi2 / (chi2 + n)), 4) AS cg
       FROM x CROSS JOIN hx CROSS JOIN hxy CROSS JOIN tot""")),
 
+    // Wave 28 scalars: SQL/JSON trio on VARIANT (JSON_VALUE scalar-
+    // only, JSON_QUERY array-wrapped, JSON_EXISTS), byteSlice,
+    // UTF8-position search, case-insensitive match count, safe base58,
+    // variantElement with type-gate + default — every value computed
+    // independently by DuckDB's own json/string machinery.
+    QDef("sql_ch_w28_scalars", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+          JSON_VALUE('{"a": {"b": ' || toString(n_nationkey) || '}}', '$.a.b') AS jv,
+          JSON_QUERY('{"a": [' || toString(n_nationkey) || ', 2]}', '$.a') AS jq,
+          JSON_EXISTS(CASE WHEN n_nationkey % 2 = 0 THEN '{"a": 1}'
+                           ELSE '{"b": 1}' END, '$.a') AS je,
+          byteSlice(n_name, 2, 3) AS bs,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            multiSearchAllPositionsUTF8(n_name, ['A', 'AN'])), ',') AS msp,
+          CAST(countMatchesCaseInsensitive(n_name, 'a') AS Int64) AS cm,
+          tryBase58Decode(CASE WHEN n_nationkey % 2 = 0
+                               THEN base58Encode(n_name) ELSE '#' END) AS b58,
+          variantElement(CAST(toString(n_nationkey) AS JSON), 'Int64') AS ve,
+          variantElement(CAST(concat('"', n_name, '"') AS JSON), 'Int64',
+                         CAST(n_regionkey - 9 AS Int64)) AS vd
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        json_extract_string('{"a": {"b": ' || CAST(n_nationkey AS VARCHAR)
+          || '}}', '$.a.b') AS jv,
+        '[' || CAST(json_extract('{"a": [' || CAST(n_nationkey AS VARCHAR)
+          || ', 2]}', '$.a') AS VARCHAR) || ']' AS jq,
+        n_nationkey % 2 = 0 AS je,
+        substring(n_name, 2, 3) AS bs,
+        CAST(strpos(n_name, 'A') AS VARCHAR) || ',' ||
+          CAST(strpos(n_name, 'AN') AS VARCHAR) AS msp,
+        CAST(len(regexp_extract_all(n_name, '(?i)a')) AS BIGINT) AS cm,
+        CASE WHEN n_nationkey % 2 = 0 THEN n_name END AS b58,
+        CAST(n_nationkey AS BIGINT) AS ve,
+        CAST(n_regionkey - 9 AS BIGINT) AS vd
+      FROM nation ORDER BY k""")),
+
+    // Wave 28 aggregates: rankCorr (tie-averaged Spearman),
+    // analysisOfVariance F, categoricalInformationValue,
+    // intervalLengthSum (union sweep), the exponentialTimeDecayed
+    // family (weights at the group's latest time point), bare
+    // default-level quantile spellings, groupArrayInsertAt — each
+    // re-derived in DuckDB from first principles (rank windows, group
+    // moments, island sweep, exp weights, row-replication weighted
+    // median, series left-join).
+    QDef("sql_ch_w28_aggs", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT
+          round(rankCorr(toFloat64(l_quantity), toFloat64(l_extendedprice)), 6) AS rc,
+          round(tupleElement(analysisOfVariance(toFloat64(l_extendedprice),
+            l_linenumber % 3), 1), 6) AS af,
+          round(arrayElement(categoricalInformationValue(l_quantity > 25,
+            l_orderkey % 2), 1), 6) AS civ,
+          round(intervalLengthSum(toFloat64(l_quantity),
+            toFloat64(l_quantity + l_linenumber)), 4) AS ils,
+          round(exponentialTimeDecayedSum(100)(toFloat64(l_extendedprice) / 1000,
+            toFloat64(l_quantity)), 4) AS eds,
+          round(exponentialTimeDecayedAvg(100)(toFloat64(l_extendedprice) / 1000,
+            toFloat64(l_quantity)), 4) AS eda,
+          round(exponentialTimeDecayedCount(50)(toFloat64(l_quantity)), 4) AS edc,
+          round(exponentialTimeDecayedMax(100)(toFloat64(l_extendedprice) / 1000,
+            toFloat64(l_quantity)), 4) AS edm,
+          quantileDeterministic(toFloat64(l_quantity), l_orderkey) AS qd,
+          quantileTimingWeighted(toFloat64(l_quantity), l_linenumber) AS qtw,
+          arrayStringConcat(groupArrayInsertAt('-', 8)(toString(l_linenumber),
+            CAST(l_quantity AS Int64) % 8), '|') AS gia
+        FROM lineitem WHERE l_orderkey % 97 = 1""")
+    }, Some("""
+      WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 97 = 1),
+      rnk AS (SELECT rank() OVER (ORDER BY l_quantity) +
+                       (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+                     rank() OVER (ORDER BY l_extendedprice) +
+                       (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+              FROM src),
+      rc AS (SELECT corr(rx, ry) AS rc FROM rnk),
+      ag AS (SELECT l_linenumber % 3 AS grp, count(*) AS c,
+                    sum(l_extendedprice) AS s,
+                    sum(l_extendedprice * l_extendedprice) AS ss
+             FROM src GROUP BY 1),
+      af AS (SELECT ((sum(c * (s / c - (SELECT sum(s) FROM ag) /
+                                       (SELECT sum(c) FROM ag)) *
+                              (s / c - (SELECT sum(s) FROM ag) /
+                                       (SELECT sum(c) FROM ag))))
+                     / (count(*) - 1)) /
+                    (((SELECT sum(ss) FROM ag) -
+                      (SELECT sum(c) FROM ag) *
+                        ((SELECT sum(s) FROM ag) / (SELECT sum(c) FROM ag)) *
+                        ((SELECT sum(s) FROM ag) / (SELECT sum(c) FROM ag)) -
+                      sum(c * (s / c - (SELECT sum(s) FROM ag) /
+                                       (SELECT sum(c) FROM ag)) *
+                             (s / c - (SELECT sum(s) FROM ag) /
+                                      (SELECT sum(c) FROM ag))))
+                     / ((SELECT sum(c) FROM ag) - count(*))) AS af
+             FROM ag),
+      cv AS (SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS c,
+                    CAST(l_orderkey % 2 AS INT) AS t FROM src),
+      civg AS (SELECT
+                 CAST(count(*) FILTER (c = 1 AND t = 1) AS DOUBLE) AS g1,
+                 CAST(count(*) FILTER (c = 0 AND t = 1) AS DOUBLE) AS g0,
+                 CAST(count(*) FILTER (c = 1 AND t = 0) AS DOUBLE) AS b1,
+                 CAST(count(*) FILTER (c = 0 AND t = 0) AS DOUBLE) AS b0
+               FROM cv),
+      civ AS (SELECT
+                (CASE WHEN g1 > 0 AND b1 > 0 THEN
+                   (g1 / (g1 + g0) - b1 / (b1 + b0)) *
+                   ln((g1 / (g1 + g0)) / (b1 / (b1 + b0))) ELSE 0 END) +
+                (CASE WHEN g0 > 0 AND b0 > 0 THEN
+                   (g0 / (g1 + g0) - b0 / (b1 + b0)) *
+                   ln((g0 / (g1 + g0)) / (b0 / (b1 + b0))) ELSE 0 END) AS civ
+              FROM civg),
+      iv AS (SELECT CAST(l_quantity AS DOUBLE) AS s,
+                    CAST(l_quantity + l_linenumber AS DOUBLE) AS e FROM src),
+      isw AS (SELECT s, e, max(e) OVER (ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+              FROM iv),
+      ils AS (SELECT sum(greatest(e - greatest(s, coalesce(m, s)), 0)) AS ils
+              FROM isw),
+      etd AS (SELECT sum(l_extendedprice / 1000 *
+                         exp((l_quantity - (SELECT max(l_quantity) FROM src))
+                             / 100.0)) AS eds,
+                     sum(l_extendedprice / 1000 *
+                         exp((l_quantity - (SELECT max(l_quantity) FROM src))
+                             / 100.0)) /
+                       sum(exp((l_quantity -
+                                (SELECT max(l_quantity) FROM src)) / 100.0)) AS eda,
+                     sum(exp((l_quantity -
+                              (SELECT max(l_quantity) FROM src)) / 50.0)) AS edc,
+                     max(l_extendedprice / 1000 *
+                         exp((l_quantity - (SELECT max(l_quantity) FROM src))
+                             / 100.0)) AS edm
+              FROM src),
+      qd AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS qd FROM src),
+      qtw AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS qtw
+              FROM src JOIN (SELECT unnest(range(1, 8)) AS r) reps
+                ON reps.r <= src.l_linenumber),
+      gia AS (SELECT string_agg(coalesce(mv, '-'), '|' ORDER BY i) AS gia
+              FROM (SELECT unnest(range(8)) AS i)
+              LEFT JOIN (SELECT l_quantity % 8 AS p,
+                                min(CAST(l_linenumber AS VARCHAR)) AS mv
+                         FROM src GROUP BY 1) ON i = p)
+      SELECT round(rc, 6) AS rc, round(af, 6) AS af, round(civ, 6) AS civ,
+             round(ils, 4) AS ils, round(eds, 4) AS eds, round(eda, 4) AS eda,
+             round(edc, 4) AS edc, round(edm, 4) AS edm, qd, qtw, gia
+      FROM rc CROSS JOIN af CROSS JOIN civ CROSS JOIN ils CROSS JOIN etd
+        CROSS JOIN qd CROSS JOIN qtw CROSS JOIN gia""")),
+
+    // Wave 28 window spellings: leadInFrame/lagInFrame with the CH
+    // canonical full frame (stripped — lag/lead read only the order),
+    // nonNegativeDerivative expanded to the lag-difference quotient
+    // per the INTERVAL unit; DuckDB recomputes via its own lag/lead.
+    QDef("sql_ch_w28_window", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+          CAST(leadInFrame(n_nationkey, 1, -1) OVER (PARTITION BY n_regionkey
+            ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+            UNBOUNDED FOLLOWING) AS Int64) AS ld,
+          CAST(lagInFrame(n_nationkey, 2, -1) OVER (PARTITION BY n_regionkey
+            ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+            UNBOUNDED FOLLOWING) AS Int64) AS lg2,
+          round(nonNegativeDerivative(toFloat64(n_nationkey * n_nationkey),
+            timestampadd(SECOND, n_nationkey * 2,
+              toDateTime('2024-01-01 00:00:00')), INTERVAL 1 SECOND)
+            OVER (PARTITION BY n_regionkey ORDER BY n_nationkey), 4) AS nnd
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        CAST(lead(n_nationkey, 1, -1) OVER w AS BIGINT) AS ld,
+        CAST(lag(n_nationkey, 2, -1) OVER w AS BIGINT) AS lg2,
+        round(CASE WHEN lag(n_nationkey) OVER w IS NULL THEN 0.0
+          ELSE greatest(0.0,
+            CAST(n_nationkey * n_nationkey -
+                 lag(n_nationkey * n_nationkey) OVER w AS DOUBLE) /
+            (2.0 * (n_nationkey - lag(n_nationkey) OVER w))) END, 4) AS nnd
+      FROM nation
+      WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)
+      ORDER BY k""")),
+
     // String-search spellings over real document text, every value
     // hash-checked: countSubstrings (non-overlapping needle count),
     // case-insensitive position, regex match count.

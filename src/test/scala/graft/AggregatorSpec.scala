@@ -373,4 +373,79 @@ class AggregatorSpec extends AnyFunSuite {
         }
     })
   }
+
+  // ---- wave 28: rankCorr / ANOVA / intervalLengthSum / LTTB ----
+
+  test("rankCorr known answers") {
+    val agg = new Aggregates.RankCorr
+    def run(rows: Seq[(Double, Double)]) =
+      agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    assert(run(Seq((1, 10), (2, 20), (3, 30))) == 1.0)
+    assert(run(Seq((1, 30), (2, 20), (3, 10))) == -1.0)
+    // tie-averaged ranks: x ranks (1.5, 1.5, 3), y ranks (1, 3, 2) →
+    // Σdxdy = 0 exactly
+    assert(run(Seq((1, 5), (1, 7), (2, 6))) == 0.0)
+    assert(run(Seq((1, 1))).isNaN) // degenerate
+  }
+
+  test("anova known answer: groups [1,2,3] vs [2,4,6]") {
+    val agg = new Aggregates.AnovaF
+    val rows = Seq((1.0, 0L), (2.0, 0L), (3.0, 0L),
+      (2.0, 1L), (4.0, 1L), (6.0, 1L))
+    val (f, p) = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    // ssb = 6, ssw = 10, d1 = 1, d2 = 4 → F = 2.4 exactly;
+    // p = I_{4/6.4}(2, 0.5) = 0.196261… (closed form worked by hand)
+    assert(f == 2.4)
+    assert(math.abs(p - 0.196261) < 1e-4)
+  }
+
+  test("intervalLengthSum merges overlaps and drops degenerate intervals") {
+    val agg = new Aggregates.IntervalLengthSum
+    def run(rows: Seq[(Double, Double)]) =
+      agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    assert(run(Seq((1, 3), (2, 5), (7, 8))) == 5.0) // union [1,5)∪[7,8)
+    assert(run(Seq((5, 4), (2, 2))) == 0.0) // start ≥ end ignored
+    assert(run(Seq((0, 10), (2, 3))) == 10.0) // nested
+  }
+
+  test("lttb keeps endpoints and picks the max-area point per bucket") {
+    val id = new Aggregates.Lttb(4)
+    val small = Vector((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))
+    assert(id.finish(small) == small) // n ≤ buckets → identity
+    val agg = new Aggregates.Lttb(3)
+    val pts = Vector((0.0, 0.0), (1.0, 1.0), (2.0, 100.0), (3.0, 3.0), (4.0, 4.0))
+    // inner bucket spans x = 1..3 with the last point as anchor; the
+    // y = 100 outlier has by far the largest triangle area
+    assert(agg.finish(pts) == Seq((0.0, 0.0), (2.0, 100.0), (4.0, 4.0)))
+  }
+
+  test("wave-28 collected aggregators: merge equals single-pass build") {
+    val ptGen = Gen.listOf(for {
+      x <- Gen.choose(-50, 50); y <- Gen.choose(-50, 50)
+    } yield (x.toDouble, y.toDouble))
+    check(Prop.forAll(ptGen, ptGen) { (xs, ys) =>
+      def law[B, O](agg: org.apache.spark.sql.expressions.Aggregator[
+          (Double, Double), B, O]): Boolean = {
+        val merged = agg.merge(xs.foldLeft(agg.zero)(agg.reduce),
+          ys.foldLeft(agg.zero)(agg.reduce))
+        val once = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+        val (a, b) = (agg.finish(merged), agg.finish(once))
+        a == b || (a.isInstanceOf[Double] &&
+          a.asInstanceOf[Double].isNaN && b.asInstanceOf[Double].isNaN)
+      }
+      law(new Aggregates.RankCorr) && law(new Aggregates.IntervalLengthSum) &&
+        law(new Aggregates.Lttb(5))
+    })
+    val grpGen = Gen.listOf(for {
+      x <- Gen.choose(-50, 50); g <- Gen.choose(0L, 3L)
+    } yield (x.toDouble, g))
+    check(Prop.forAll(grpGen, grpGen) { (xs, ys) =>
+      val agg = new Aggregates.AnovaF
+      val merged = agg.merge(xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce))
+      val once = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+      val (a, b) = (agg.finish(merged), agg.finish(once))
+      (a == b) || (a._1.isNaN && b._1.isNaN)
+    })
+  }
 }

@@ -938,7 +938,7 @@ class ChDialectSpec extends AnyFunSuite {
         toUInt32(200) = 200 AND toTypeName(toUInt32(5)) = 'bigint' AS c,
         length(generateUUIDv4()) = 36 AS d,
         randCanonical() >= 0.0 AND randCanonical() < 1.0 AS e,
-        abs(randNormal()) < 100.0 AS f
+        abs(randNormal(0, 1)) < 100.0 AS f
       FROM system.one""").collect().head
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
     intercept[Exception] {
@@ -1753,5 +1753,73 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(ng.getDouble(0) - 3.0 / 9) < 1e-12)
     assert(ng.getDouble(1) == 0.0) // both under 4 chars: empty == empty
     assert(ng.getDouble(2) == 1.0 && ng.getDouble(3) == 0.0)
+  }
+
+  test("wave 28: random distributions respect their supports") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // 6k draws per function (lineitem rows at sf0.001); support checks
+    // are exact, the mean checks use generous 5-sigma-ish bands.
+    // Draws happen per row in the subquery — Spark (correctly) refuses
+    // nondeterministic expressions INSIDE aggregate arguments.
+    val r = Graft.sql(spark, """
+      SELECT
+        min(du) >= 2 AND max(du) < 3 AS u,
+        abs(avg(dn) - 10) < 1 AS n,
+        min(dbe) >= 0 AND max(dbe) <= 1 AS be,
+        min(dbi) >= 0 AND max(dbi) <= 10 AND abs(avg(dbi) - 5) < 1 AS bi,
+        min(de) >= 0 AND abs(avg(de) - 0.5) < 0.2 AS e,
+        min(dpo) >= 0 AND abs(avg(dpo) - 5) < 1 AS po,
+        min(dch) >= 0 AND abs(avg(dch) - 3) < 1 AS ch,
+        abs(avg(dst)) < 1 AS st,
+        min(dff) >= 0 AS ff,
+        min(dln) > 0 AS ln
+      FROM (SELECT randUniform(2, 3) AS du, randNormal(10, 4) AS dn,
+              randBernoulli(0.5) AS dbe, randBinomial(10, 0.5) AS dbi,
+              randExponential(2) AS de, randPoisson(5) AS dpo,
+              randChiSquared(3) AS dch, randStudentT(30) AS dst,
+              randFisherF(5, 8) AS dff, randLogNormal(0, 0.25) AS dln
+            FROM lineitem)""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
+  test("wave 28: frame-carrying window spellings route and refuse") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // the full frame strips onto plain lag/lead
+    val ok = Graft.sql(spark, """
+      SELECT lagInFrame(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lg
+      FROM nation ORDER BY n_nationkey LIMIT 2""").collect()
+    assert(ok.map(_.getInt(0)).toSeq == Seq(-1, 0))
+    // a NARROW frame would change the CH answer — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      Graft.sql(spark, """
+        SELECT leadInFrame(n_nationkey, 1) OVER (ORDER BY n_nationkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+        FROM nation""")
+    }
+    assert(e.getMessage.contains("NARROW"))
+    // nonNegativeDerivative without OVER is not a window call
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "SELECT nonNegativeDerivative(n_nationkey, n_nationkey) FROM nation")
+    }
+    assert(e2.getMessage.contains("window"))
+  }
+
+  test("wave 28: anova p on two groups equals the two-sided t p-value") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // F(1, n−2) = t²(n−2): the ANOVA p and the pooled-variance t-test
+    // p must agree — two independent code paths (ibeta in the
+    // Aggregator vs the studentTPValue UDF)
+    val r = Graft.sql(spark, """
+      SELECT tupleElement(analysisOfVariance(toFloat64(l_extendedprice),
+               l_linenumber % 2), 1) AS f,
+             tupleElement(analysisOfVariance(toFloat64(l_extendedprice),
+               l_linenumber % 2), 2) AS p,
+             tupleElement(studentTTest(toFloat64(l_extendedprice),
+               l_linenumber % 2), 2) AS tp
+      FROM lineitem""").collect().head
+    assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-6,
+      s"anova p ${r.getDouble(1)} vs t p ${r.getDouble(2)}")
   }
 }
