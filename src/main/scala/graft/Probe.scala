@@ -1021,7 +1021,18 @@ object Probe {
     "w28_to_decimal_string" ->
       "SELECT toDecimalString(3.14159, 3) AS ds, toDecimalString(42, 0) AS di",
     "w28_width_bucket_prop" ->
-      "SELECT widthBucket(5.5, 0, 10, 5) AS wb, proportionsZTest(10, 11, 100, 90, 0.95, 'unpooled') AS pz"
+      "SELECT widthBucket(5.5, 0, 10, 5) AS wb, proportionsZTest(10, 11, 100, 90, 0.95, 'unpooled') AS pz",
+    // ---- wave 29 (r12): second gap sweep ----
+    "w29_printf_strcmp" ->
+      "SELECT printf('%d-%s', 7, 'x') AS p, stringCompare('a', 'b') AS c1, stringCompare('b', 'a') AS c2, stringCompare('a', 'a') AS c0, stringCompare('hello', 1, 3, 'xellx', 1, 3) AS cs, editDistanceUTF8('abc', 'adc') AS ed",
+    "w29_base32" ->
+      "SELECT base32Encode('foobar') AS e, base32Decode(base32Encode('foobar')) AS rt, tryBase32Decode('1!') IS NULL AS bad",
+    "w29_polygon" ->
+      "SELECT round(polygonAreaCartesian([[tuple(0.0, 0.0), tuple(10.0, 0.0), tuple(10.0, 10.0), tuple(0.0, 10.0)], [tuple(4.0, 4.0), tuple(5.0, 4.0), tuple(5.0, 5.0), tuple(4.0, 5.0)]]), 4) AS a, round(polygonPerimeterCartesian([[tuple(0.0, 0.0), tuple(3.0, 0.0), tuple(3.0, 4.0)]]), 4) AS p, wkt([[tuple(0.0, 0.0), tuple(1.0, 0.0), tuple(1.0, 1.0)]]) AS w, size(readWKTPolygon('POLYGON((0 0,10 0,10 10,0 10))')) AS nr, wkt([polygonConvexHullCartesian([[tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(2.0, 2.0), tuple(4.0, 4.0), tuple(0.0, 4.0)]])]) AS hull",
+    "w29_approx_top" ->
+      "SELECT arrayStringConcat(arrayMap(t -> concat(t.item, ':', toString(t.count)), approx_top_k(2)(o_orderpriority)), '|') AS tk, arrayStringConcat(arrayMap(t -> concat(t.item, ':', toString(t.count)), approx_top_sum(2)(o_orderpriority, 3)), '|') AS ts FROM orders",
+    "w29_stem" ->
+      "SELECT stem('en', 'caresses') AS s1, stem('en', 'ponies') AS s2, stem('en', 'relational') AS s3, stem('en', 'conditional') AS s4, stem('en', 'hopping') AS s5"
   )
 
   def main(argv: Array[String]): Unit = {

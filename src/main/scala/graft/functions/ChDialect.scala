@@ -4486,7 +4486,265 @@ object ChDialect {
           s"array(${iv("__c1", "__t")}, ${iv("__c2", "__t")})")
     }
 
+    // ---- wave 29 (r12): second gap sweep ----
+    // printf IS C-style formatting in both engines
+    fr.createOrReplaceTempFunction(gd("printf"),
+      FunctionRegistry.builtin.lookupFunctionBuilder(
+        FunctionIdentifier("format_string")).get, "built-in")
+    // stringCompare [CH 25.x]: three-way compare, whole strings or
+    // (s1, off1, len1, s2, off2, len2) substrings (0-based offsets)
+    macroFnN("stringCompare",
+      Seq("__a", "__b") ->
+        "CASE WHEN __a < __b THEN -1 WHEN __a > __b THEN 1 ELSE 0 END",
+      Seq("__a", "__ao", "__al", "__b", "__bo", "__bl") ->
+        """CASE WHEN substring(__a, CAST(__ao AS INT) + 1, CAST(__al AS INT))
+                   < substring(__b, CAST(__bo AS INT) + 1, CAST(__bl AS INT))
+                THEN -1
+                WHEN substring(__a, CAST(__ao AS INT) + 1, CAST(__al AS INT))
+                   > substring(__b, CAST(__bo AS INT) + 1, CAST(__bl AS INT))
+                THEN 1 ELSE 0 END""")
+    // Spark levenshtein counts CHARs — that IS the UTF8 flavor
+    macroFn("editDistanceUTF8", Seq("__a", "__b"), "levenshtein(__a, __b)")
+    macroFn("quantileExactWeightedInterpolated", Seq("__x", "__w"),
+      "percentile(__x, 0.5, CAST(__w AS BIGINT))")
+    // session timezone is pinned UTC (Graft.init), so UTCTimestamp is
+    // the current timestamp; nowInBlock's CH-side distinction (fresh
+    // value per processed block) has no Spark analog — same instant
+    macroFn("UTCTimestamp", Seq(), "now()")
+    macroFn("nowInBlock", Seq(), "now()")
+    // base32 (RFC 4648, upper-case, padded) [public spec]
+    locally {
+      val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+      def enc32(s: String): String = {
+        val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sb = new StringBuilder
+        var buf = 0L; var bits = 0
+        in.foreach { b =>
+          buf = (buf << 8) | (b & 0xff); bits += 8
+          while (bits >= 5) { bits -= 5; sb += alpha(((buf >> bits) & 31).toInt) }
+        }
+        if (bits > 0) sb += alpha(((buf << (5 - bits)) & 31).toInt)
+        while (sb.length % 8 != 0) sb += '='
+        sb.toString
+      }
+      def dec32(s: String): String = {
+        val body = s.takeWhile(_ != '=')
+        var buf = 0L; var bits = 0
+        val out = new scala.collection.mutable.ArrayBuffer[Byte]
+        body.foreach { ch =>
+          val v = alpha.indexOf(ch.toUpper)
+          require(v >= 0, s"base32Decode: invalid character '$ch'")
+          buf = (buf << 5) | v; bits += 5
+          if (bits >= 8) { bits -= 8; out += ((buf >> bits) & 0xff).toByte }
+        }
+        new String(out.toArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      spark.udf.register(gd("base32Encode"), (s: String) =>
+        if (s == null) null else enc32(s))
+      spark.udf.register(gd("base32Decode"), (s: String) =>
+        if (s == null) null else dec32(s))
+      spark.udf.register(gd("tryBase32Decode"), (s: String) =>
+        if (s == null) null
+        else try dec32(s) catch { case _: IllegalArgumentException => null })
+    }
+    // Cartesian polygon family [CH docs: sql-reference/functions/
+    // geo/polygon]: a Polygon is Array(Ring), first ring the outer
+    // boundary, the rest holes; rings may or may not repeat the
+    // closing point (both accepted). Shoelace area, edge-sum
+    // perimeter, Andrew monotone-chain hull — all published formulas.
+    locally {
+      type Ring = Seq[(Double, Double)]
+      def pts(r: Ring): Vector[(Double, Double)] = {
+        val v = r.toVector
+        if (v.size > 1 && v.head == v.last) v.init else v
+      }
+      def shoelace(r: Vector[(Double, Double)]): Double = {
+        var s = 0.0
+        var i = 0
+        val n = r.size
+        while (i < n) {
+          val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % n)
+          s += x1 * y2 - x2 * y1
+          i += 1
+        }
+        math.abs(s) / 2.0
+      }
+      def perim(r: Vector[(Double, Double)]): Double = {
+        var s = 0.0
+        var i = 0
+        val n = r.size
+        while (i < n) {
+          val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % n)
+          s += math.hypot(x2 - x1, y2 - y1)
+          i += 1
+        }
+        s
+      }
+      spark.udf.register(gd("polygonAreaCartesian"), (poly: Seq[Seq[(Double, Double)]]) =>
+        if (poly == null || poly.isEmpty) 0.0
+        else shoelace(pts(poly.head)) - poly.tail.map(h => shoelace(pts(h))).sum)
+      spark.udf.register(gd("polygonPerimeterCartesian"), (poly: Seq[Seq[(Double, Double)]]) =>
+        if (poly == null) 0.0 else poly.map(r => perim(pts(r))).sum)
+      spark.udf.register(gd("polygonConvexHullCartesian"), (poly: Seq[Seq[(Double, Double)]]) => {
+        val all = poly.flatMap(pts).distinct.sorted.toVector
+        if (all.size <= 2) all
+        else {
+          def half(ps: Vector[(Double, Double)]) = {
+            var h = Vector.empty[(Double, Double)]
+            ps.foreach { p =>
+              while (h.size >= 2 && {
+                val (ox, oy) = h(h.size - 2); val (ax, ay) = h.last
+                (ax - ox) * (p._2 - oy) - (ay - oy) * (p._1 - ox) <= 0
+              }) h = h.init
+              h :+= p
+            }
+            h
+          }
+          half(all).init ++ half(all.reverse).init
+        }
+      })
+      spark.udf.register(gd("wkt"), (poly: Seq[Seq[(Double, Double)]]) =>
+        if (poly == null) null
+        else "POLYGON(" + poly.map { r =>
+          val v = pts(r)
+          val closed = if (v.nonEmpty) v :+ v.head else v
+          "(" + closed.map { case (x, y) =>
+            s"${fmtCoord(x)} ${fmtCoord(y)}"
+          }.mkString(",") + ")"
+        }.mkString(",") + ")")
+      spark.udf.register(gd("readWKTPolygon"), (s: String) => {
+        if (s == null) null
+        else {
+          val body = s.trim.stripPrefix("POLYGON").trim
+          require(body.startsWith("(") && body.endsWith(")"),
+            s"readWKTPolygon: not a POLYGON wkt: $s")
+          val ringsTxt = body.substring(1, body.length - 1)
+          // split top-level rings on '),(' boundaries
+          ringsTxt.split("""\)\s*,\s*\(""").map { r0 =>
+            val r = r0.stripPrefix("(").stripSuffix(")")
+            r.split(",").map { pt =>
+              val xy = pt.trim.split("""\s+""")
+              require(xy.length == 2, s"readWKTPolygon: bad point '$pt'")
+              (xy(0).toDouble, xy(1).toDouble)
+            }.toSeq
+          }.toSeq
+        }
+      })
+    }
+    // Porter stemmer [Porter 1980, public algorithm] — CH stem(lang,
+    // word) supports many Snowball languages; English is the one with
+    // a fully-specified public core algorithm, others refuse loudly.
+    spark.udf.register(gd("stem"), (lang: String, w: String) => {
+      require(lang == "en" || lang == "english",
+        s"stem: only 'en' (Porter) is implemented here, got '$lang' — " +
+          "other Snowball languages need dictionary/affix resources")
+      porterStem(w)
+    })
+    reg("lemmatize") { _ =>
+      throw new IllegalArgumentException(
+        "lemmatize needs CH-server lemma dictionaries this environment " +
+          "does not ship; stem('en', word) provides the rule-based form")
+    }
+    reg("synonyms") { _ =>
+      throw new IllegalArgumentException(
+        "synonyms needs CH-server synonym-set extensions this " +
+          "environment does not ship")
+    }
+
     guardReport()
+  }
+
+  /** Render a coordinate the WKT way: integral values without the
+    * trailing '.0' Spark's Double formatting would add.
+    */
+  private def fmtCoord(d: Double): String =
+    if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+
+  /** Porter 1980 stemmer, the published 5-step rule set. */
+  private[graft] def porterStem(w0: String): String = {
+    if (w0 == null) return null
+    var b = w0.toLowerCase(java.util.Locale.ROOT)
+    if (b.length <= 2) return b
+    def isCons(s: String, i: Int): Boolean = s.charAt(i) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => false
+      case 'y' => i == 0 || !isCons(s, i - 1)
+      case _ => true
+    }
+    def measure(s: String): Int = {
+      var m = 0; var i = 0; val n = s.length
+      while (i < n && isCons(s, i)) i += 1
+      while (i < n) {
+        while (i < n && !isCons(s, i)) i += 1
+        if (i < n) {
+          m += 1
+          while (i < n && isCons(s, i)) i += 1
+        }
+      }
+      m
+    }
+    def hasVowel(s: String) = s.indices.exists(i => !isCons(s, i))
+    def doubleC(s: String) = s.length >= 2 &&
+      s.charAt(s.length - 1) == s.charAt(s.length - 2) &&
+      isCons(s, s.length - 1)
+    def cvc(s: String) = s.length >= 3 &&
+      isCons(s, s.length - 3) && !isCons(s, s.length - 2) &&
+      isCons(s, s.length - 1) && !"wxy".contains(s.last)
+    // step 1a
+    if (b.endsWith("sses")) b = b.dropRight(2)
+    else if (b.endsWith("ies")) b = b.dropRight(2)
+    else if (!b.endsWith("ss") && b.endsWith("s")) b = b.dropRight(1)
+    // step 1b
+    var extra = false
+    if (b.endsWith("eed")) {
+      if (measure(b.dropRight(3)) > 0) b = b.dropRight(1)
+    } else if (b.endsWith("ed") && hasVowel(b.dropRight(2))) {
+      b = b.dropRight(2); extra = true
+    } else if (b.endsWith("ing") && hasVowel(b.dropRight(3))) {
+      b = b.dropRight(3); extra = true
+    }
+    if (extra) {
+      if (b.endsWith("at") || b.endsWith("bl") || b.endsWith("iz")) b += "e"
+      else if (doubleC(b) && !"lsz".contains(b.last)) b = b.dropRight(1)
+      else if (measure(b) == 1 && cvc(b)) b += "e"
+    }
+    // step 1c
+    if (b.endsWith("y") && hasVowel(b.dropRight(1))) b = b.dropRight(1) + "i"
+    // steps 2–4: (suffix → replacement) applied when measure(stem)
+    // clears the step's threshold
+    def applyList(rules: Seq[(String, String)], minM: Int): Unit = {
+      rules.find { case (suf, _) => b.endsWith(suf) }.foreach {
+        case (suf, rep) =>
+          val stem = b.dropRight(suf.length)
+          if (measure(stem) > minM) b = stem + rep
+      }
+    }
+    applyList(Seq("ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+      "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
+      "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
+      "ation" -> "ate", "ator" -> "ate", "alism" -> "al", "iveness" -> "ive",
+      "fulness" -> "ful", "ousness" -> "ous", "aliti" -> "al",
+      "iviti" -> "ive", "biliti" -> "ble"), 0)
+    applyList(Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
+      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> ""), 0)
+    applyList(Seq("al" -> "", "ance" -> "", "ence" -> "", "er" -> "",
+      "ic" -> "", "able" -> "", "ible" -> "", "ant" -> "", "ement" -> "",
+      "ment" -> "", "ent" -> "", "ou" -> "", "ism" -> "", "ate" -> "",
+      "iti" -> "", "ous" -> "", "ive" -> "", "ize" -> ""), 1)
+    // step 4's (s|t)ion special case
+    if (b.endsWith("ion")) {
+      val stem = b.dropRight(3)
+      if (stem.nonEmpty && "st".contains(stem.last) && measure(stem) > 1)
+        b = stem
+    }
+    // step 5a
+    if (b.endsWith("e")) {
+      val stem = b.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !cvc(stem))) b = stem
+    }
+    // step 5b
+    if (measure(b) > 1 && doubleC(b) && b.endsWith("l")) b = b.dropRight(1)
+    b
   }
 
   /** CH appends combinator suffixes to ANY aggregate name (`sumIf`,

@@ -834,6 +834,83 @@ object ChSqlQueries {
       FROM rc CROSS JOIN af CROSS JOIN civ CROSS JOIN ils CROSS JOIN etd
         CROSS JOIN qd CROSS JOIN qtw CROSS JOIN gia""")),
 
+    // Wave 29: printf/stringCompare/editDistanceUTF8 (DuckDB has
+    // printf and levenshtein natively — true cross-engine checks),
+    // base32 roundtrips, the Cartesian polygon family (shoelace area,
+    // edge-sum perimeter, WKT render + parse roundtrip) with
+    // row-parameterized geometry so nothing is a constant echo.
+    QDef("sql_ch_w29_batch", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+          printf('%02d|%s', n_nationkey, n_name) AS pf,
+          CAST(stringCompare(n_name, 'KENYA') AS Int64) AS sc,
+          CAST(stringCompare(n_name, 0, 3, 'KENYA', 0, 3) AS Int64) AS scs,
+          CAST(editDistanceUTF8(n_name, 'KENYA') AS Int64) AS ed,
+          base32Decode(base32Encode(n_name)) AS b32rt,
+          tryBase32Decode(CASE WHEN n_nationkey % 2 = 0
+                               THEN base32Encode(n_name) ELSE '0!' END) AS b32t,
+          round(polygonAreaCartesian([[tuple(toFloat64(0), toFloat64(0)),
+            tuple(toFloat64(n_nationkey + 1), toFloat64(0)),
+            tuple(toFloat64(n_nationkey + 1), toFloat64(2)),
+            tuple(toFloat64(0), toFloat64(2))]]), 4) AS pa,
+          round(polygonPerimeterCartesian([[tuple(toFloat64(0), toFloat64(0)),
+            tuple(toFloat64(n_nationkey + 3), toFloat64(0)),
+            tuple(toFloat64(n_nationkey + 3),
+                  toFloat64(n_nationkey + 4))]]), 4) AS pp,
+          wkt([[tuple(toFloat64(0), toFloat64(0)),
+                tuple(toFloat64(n_nationkey), toFloat64(0)),
+                tuple(toFloat64(n_nationkey), toFloat64(1))]]) AS pw,
+          round(polygonAreaCartesian(readWKTPolygon(wkt([[
+            tuple(toFloat64(0), toFloat64(0)),
+            tuple(toFloat64(n_nationkey), toFloat64(0)),
+            tuple(toFloat64(n_nationkey), toFloat64(1))]]))), 4) AS rt
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        printf('%02d|%s', n_nationkey, n_name) AS pf,
+        CASE WHEN n_name < 'KENYA' THEN -1
+             WHEN n_name > 'KENYA' THEN 1 ELSE 0 END AS sc,
+        CASE WHEN substring(n_name, 1, 3) < 'KEN' THEN -1
+             WHEN substring(n_name, 1, 3) > 'KEN' THEN 1 ELSE 0 END AS scs,
+        CAST(levenshtein(n_name, 'KENYA') AS BIGINT) AS ed,
+        n_name AS b32rt,
+        CASE WHEN n_nationkey % 2 = 0 THEN n_name END AS b32t,
+        round((n_nationkey + 1) * 2.0, 4) AS pa,
+        round((n_nationkey + 3) + (n_nationkey + 4) +
+              sqrt((n_nationkey + 3.0) * (n_nationkey + 3) +
+                   (n_nationkey + 4.0) * (n_nationkey + 4)), 4) AS pp,
+        'POLYGON((0 0,' || CAST(n_nationkey AS VARCHAR) || ' 0,' ||
+          CAST(n_nationkey AS VARCHAR) || ' 1,0 0))' AS pw,
+        round(n_nationkey / 2.0, 4) AS rt
+      FROM nation ORDER BY k""")),
+
+    // Wave 29: approx_top_k / approx_top_sum — SpaceSaving heavy
+    // hitters with (item, count, error) tuples; the order-priority
+    // domain has 5 distinct values, far under the reserved pool, so
+    // the counts are exact and the DuckDB group-by oracle applies.
+    QDef("sql_ch_w29_approx_top", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT arrayStringConcat(arrayMap(t ->
+                 concat(t.item, ':', toString(t.count), ':', toString(t.error)),
+                 approx_top_k(3)(o_orderpriority)), '|') AS tk,
+               arrayStringConcat(arrayMap(t ->
+                 concat(t.item, ':', toString(t.count)),
+                 approx_top_sum(3)(o_orderpriority, o_custkey % 3 + 2)), '|') AS ts
+        FROM orders""")
+    }, Some("""
+      WITH c AS (SELECT o_orderpriority AS v, count(*) AS n,
+                        CAST(sum(o_custkey % 3 + 2) AS BIGINT) AS w
+                 FROM orders GROUP BY 1)
+      SELECT
+        (SELECT string_agg(v || ':' || CAST(n AS VARCHAR) || ':0', '|'
+                           ORDER BY n DESC, v)
+         FROM (SELECT v, n FROM c ORDER BY n DESC, v LIMIT 3)) AS tk,
+        (SELECT string_agg(v || ':' || CAST(w AS VARCHAR), '|'
+                           ORDER BY w DESC, v)
+         FROM (SELECT v, w FROM c ORDER BY w DESC, v LIMIT 3)) AS ts""")),
+
     // Wave 28 window spellings: leadInFrame/lagInFrame with the CH
     // canonical full frame (stripped — lag/lead read only the order),
     // nonNegativeDerivative expanded to the lag-difference quotient

@@ -1806,6 +1806,61 @@ class ChDialectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("window"))
   }
 
+  test("wave 29: Porter stemmer matches the published sample vectors") {
+    import graft.functions.ChDialect.porterStem
+    // step-by-step examples from Porter 1980 (public paper) plus the
+    // standard overall vectors
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "motoring" -> "motor",
+      "sing" -> "sing", "conflated" -> "conflat", "troubled" -> "troubl",
+      "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file", "happy" -> "happi",
+      "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "adoption" -> "adopt",
+      "probate" -> "probat", "cease" -> "ceas", "controll" -> "control")
+    vectors.foreach { case (in, out) =>
+      assert(porterStem(in) == out, s"stem($in) = ${porterStem(in)} != $out")
+    }
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val e = intercept[Exception] {
+      Graft.sql(spark, "SELECT stem('de', 'laufen') FROM system.one").collect()
+    }
+    // the require fires inside the UDF — walk the Spark wrapping
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ~ ")
+    assert(msgs.contains("Porter"), msgs)
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.sql(spark, "SELECT lemmatize('en', 'running') FROM system.one")
+    }
+    assert(e2.getMessage.contains("dictionaries"))
+  }
+
+  test("wave 29: polygon family known answers") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT
+        polygonAreaCartesian([[tuple(toFloat64(0), toFloat64(0)),
+          tuple(toFloat64(10), toFloat64(0)), tuple(toFloat64(10), toFloat64(10)),
+          tuple(toFloat64(0), toFloat64(10))],
+          [tuple(toFloat64(4), toFloat64(4)), tuple(toFloat64(5), toFloat64(4)),
+           tuple(toFloat64(5), toFloat64(5)), tuple(toFloat64(4), toFloat64(5))]])
+          = 99.0 AS hole_area,
+        polygonPerimeterCartesian([[tuple(toFloat64(0), toFloat64(0)),
+          tuple(toFloat64(3), toFloat64(0)), tuple(toFloat64(3), toFloat64(4))]])
+          = 12.0 AS tri_perim,
+        wkt([polygonConvexHullCartesian([[tuple(toFloat64(0), toFloat64(0)),
+          tuple(toFloat64(4), toFloat64(0)), tuple(toFloat64(2), toFloat64(2)),
+          tuple(toFloat64(4), toFloat64(4)), tuple(toFloat64(0), toFloat64(4))]])])
+          = 'POLYGON((0 0,4 0,4 4,0 4,0 0))' AS hull,
+        base32Encode('foobar') = 'MZXW6YTBOI======' AS b32,
+        base32Decode('MZXW6YTBOI======') = 'foobar' AS b32d
+      FROM system.one""").collect().head
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("wave 28: anova p on two groups equals the two-sided t p-value") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // F(1, n−2) = t²(n−2): the ANOVA p and the pooled-variance t-test
