@@ -1032,7 +1032,14 @@ object Probe {
     "w29_approx_top" ->
       "SELECT arrayStringConcat(arrayMap(t -> concat(t.item, ':', toString(t.count)), approx_top_k(2)(o_orderpriority)), '|') AS tk, arrayStringConcat(arrayMap(t -> concat(t.item, ':', toString(t.count)), approx_top_sum(2)(o_orderpriority, 3)), '|') AS ts FROM orders",
     "w29_stem" ->
-      "SELECT stem('en', 'caresses') AS s1, stem('en', 'ponies') AS s2, stem('en', 'relational') AS s3, stem('en', 'conditional') AS s4, stem('en', 'hopping') AS s5"
+      "SELECT stem('en', 'caresses') AS s1, stem('en', 'ponies') AS s2, stem('en', 'relational') AS s3, stem('en', 'conditional') AS s4, stem('en', 'hopping') AS s5",
+    // ---- wave 30 (r12): ML regression pack ----
+    "w30_ml_linear" ->
+      "SELECT round(arrayElement(tupleElement(m, 'weights'), 1), 6) AS w1, round(arrayElement(tupleElement(m, 'weights'), 2), 6) AS w0, round(evalMLMethod(m, 10.0), 4) AS pred FROM (SELECT stochasticLinearRegression(0.1, 0.0, 32, 'SGD')(toFloat64(n_nationkey * 2 + 5), toFloat64(n_nationkey)) AS m FROM nation)",
+    "w30_ml_multi" ->
+      "SELECT round(arrayElement(tupleElement(m, 'weights'), 1), 6) AS wa, round(arrayElement(tupleElement(m, 'weights'), 2), 6) AS wb, round(arrayElement(tupleElement(m, 'weights'), 3), 6) AS w0 FROM (SELECT stochasticLinearRegressionState(0.1, 0.0)(toFloat64(2 * n_nationkey - 3 * n_regionkey + 7), toFloat64(n_nationkey), toFloat64(n_regionkey)) AS m FROM nation)",
+    "w30_ml_logistic" ->
+      "SELECT evalMLMethod(m, -2.0) < 0.5 AS lo, evalMLMethod(m, 2.0) > 0.5 AS hi, tupleElement(m, 'method') AS mth FROM (SELECT stochasticLogisticRegression(1.0, 0.0, 32, 'SGD')(CAST(n_nationkey >= 12 AS Int32), toFloat64(n_nationkey) - 12.0) AS m FROM nation)"
   )
 
   def main(argv: Array[String]): Unit = {

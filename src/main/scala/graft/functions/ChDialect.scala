@@ -4650,6 +4650,38 @@ object ChDialect {
         "synonyms needs CH-server synonym-set extensions this " +
           "environment does not ship")
     }
+    // evalMLMethod(model, x…) [CH docs: machine-learning-functions]:
+    // applies a stochastic*Regression fit. The model struct carries
+    // its link ('linear' dot product, 'logistic' sigmoid), and the
+    // weight-count guard turns a feature-arity mismatch into a loud
+    // error instead of a silently shifted intercept read.
+    locally {
+      // macro arguments are whole expressions — field access must go
+      // through tupleElement, not dotted names (the template parser
+      // would read `__m.weights` as one qualified identifier)
+      def ws = "tupleElement(__m, 'weights')"
+      def dot(n: Int): String = {
+        val terms = (1 to n).map(i =>
+          s"element_at($ws, $i) * CAST(__x$i AS DOUBLE)") :+
+          s"element_at($ws, ${n + 1})"
+        terms.mkString(" + ")
+      }
+      def body(n: Int): String =
+        s"""CASE
+              WHEN size($ws) != ${n + 1} THEN
+                raise_error(concat('evalMLMethod: model has ',
+                  CAST(size($ws) - 1 AS STRING),
+                  ' feature weight(s), call passes $n'))
+              WHEN tupleElement(__m, 'method') = 'logistic' THEN
+                CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(${dot(n)})))
+              ELSE ${dot(n)}
+            END"""
+      macroFnN("evalMLMethod",
+        Seq("__m", "__x1") -> body(1),
+        Seq("__m", "__x1", "__x2") -> body(2),
+        Seq("__m", "__x1", "__x2", "__x3") -> body(3),
+        Seq("__m", "__x1", "__x2", "__x3", "__x4") -> body(4))
+    }
 
     guardReport()
   }

@@ -1344,6 +1344,172 @@ object Aggregates {
     def outputEncoder: Encoder[(Double, Double)] = enc[(Double, Double)]
   }
 
+  /** Fitted model carried as a first-class value: `method` steers
+    * evalMLMethod's link function, `weights` is (w_1…w_d, intercept).
+    * This struct plays the role of CH's opaque -State blob for the
+    * stochastic*Regression family — except it is inspectable SQL data.
+    */
+  case class MLModel(method: String, weights: Seq[Double])
+
+  /** `stochasticLinearRegression(lr, l2, batch, method)(y, [x…])`
+    * [CH docs: aggregate-functions/reference/stochasticlinearregression].
+    * CH fits with seeded SGD whose result depends on batch order —
+    * nondeterministic on any parallel engine. The deterministic
+    * Spark-first replacement solves the SAME objective exactly:
+    * closed-form ridge via the normal equations, accumulating the
+    * augmented-design Gram matrix X'X (upper triangle) and X'y in
+    * exact BigDecimal sums — a two-phase map-sum aggregate, executor-
+    * count independent, O(d²) state for d features. The learning-rate
+    * and batch-size parameters steer only CH's optimizer and are
+    * ignored; l2 is honored (intercept unpenalized, the standard
+    * ridge convention).
+    */
+  class LinRegFit(dims: Int, l2: Double)
+      extends Aggregator[(Double, Seq[Double]),
+        (Vector[BigDecimal], Vector[BigDecimal], Long), MLModel]
+      with Serializable {
+    require(dims >= 1 && dims <= 32,
+      s"stochasticLinearRegression supports 1..32 features, got $dims")
+    private val d = dims + 1 // + intercept column
+    private val triN = d * (d + 1) / 2
+    type Buf = (Vector[BigDecimal], Vector[BigDecimal], Long)
+    def zero: Buf =
+      (Vector.fill(triN)(BigDecimal(0)), Vector.fill(d)(BigDecimal(0)), 0L)
+    @inline private def tri(i: Int, j: Int): Int = // i <= j
+      i * d - i * (i - 1) / 2 + (j - i)
+    def reduce(b: Buf, in: (Double, Seq[Double])): Buf = {
+      val (y, xs) = in
+      if (xs == null || xs.size != dims || y.isNaN) return b
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < dims) { x(i) = xs(i); i += 1 }
+      x(dims) = 1.0
+      var xtx = b._1; var xty = b._2
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          xtx = xtx.updated(tri(i, j), xtx(tri(i, j)) + BigDecimal(x(i) * x(j)))
+          j += 1
+        }
+        xty = xty.updated(i, xty(i) + BigDecimal(x(i) * y))
+        i += 1
+      }
+      (xtx, xty, b._3 + 1)
+    }
+    def merge(a: Buf, b: Buf): Buf = (
+      a._1.zip(b._1).map { case (p, q) => p + q },
+      a._2.zip(b._2).map { case (p, q) => p + q },
+      a._3 + b._3)
+    def finish(b: Buf): MLModel = {
+      val n = b._3
+      if (n == 0) return MLModel("linear", Vector.fill(d)(Double.NaN))
+      // dense (A | b), A = X'X + l2·I (intercept unpenalized)
+      val a = Array.ofDim[Double](d, d + 1)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          a(i)(j) = b._1(if (i <= j) tri(i, j) else tri(j, i)).toDouble
+          j += 1
+        }
+        if (i < dims) a(i)(i) += l2 * n
+        a(i)(d) = b._2(i).toDouble
+        i += 1
+      }
+      // Gaussian elimination with partial pivoting
+      i = 0
+      while (i < d) {
+        var p = i
+        var r = i + 1
+        while (r < d) { if (math.abs(a(r)(i)) > math.abs(a(p)(i))) p = r; r += 1 }
+        val t = a(i); a(i) = a(p); a(p) = t
+        if (math.abs(a(i)(i)) < 1e-300)
+          return MLModel("linear", Vector.fill(d)(Double.NaN))
+        r = i + 1
+        while (r < d) {
+          val f = a(r)(i) / a(i)(i)
+          var c = i
+          while (c <= d) { a(r)(c) -= f * a(i)(c); c += 1 }
+          r += 1
+        }
+        i += 1
+      }
+      val w = new Array[Double](d)
+      i = d - 1
+      while (i >= 0) {
+        var s = a(i)(d)
+        var c = i + 1
+        while (c < d) { s -= a(i)(c) * w(c); c += 1 }
+        w(i) = s / a(i)(i)
+        i -= 1
+      }
+      MLModel("linear", w.toVector)
+    }
+    def bufferEncoder: Encoder[Buf] = enc[Buf]
+    def outputEncoder: Encoder[MLModel] = enc[MLModel]
+  }
+
+  /** `stochasticLogisticRegression(...)(label, [x…])` — deterministic
+    * replacement for CH's seeded SGD: collected rows, canonical sort,
+    * then fixed-count full-batch gradient descent on the l2-penalized
+    * logistic loss (500 rounds, unit step on the mean gradient; the
+    * intercept unpenalized). CH documents its own result as batch-
+    * order dependent, so only the decision FUNCTION is contractual —
+    * specs pin side-correctness and determinism, not bit patterns.
+    * State is O(rows·d); per-group input is capped loudly.
+    */
+  class LogRegFit(dims: Int, l2: Double)
+      extends Aggregator[(Double, Seq[Double]),
+        Vector[(Double, Vector[Double])], MLModel] with Serializable {
+    require(dims >= 1 && dims <= 32,
+      s"stochasticLogisticRegression supports 1..32 features, got $dims")
+    private val cap = 1 << 22
+    def zero: Vector[(Double, Vector[Double])] = Vector.empty
+    def reduce(b: Vector[(Double, Vector[Double])], in: (Double, Seq[Double])) = {
+      require(b.size < cap,
+        s"stochasticLogisticRegression: group exceeds $cap rows — " +
+          "sample the group or fit per-partition models")
+      if (in._2 == null || in._2.size != dims) b
+      else b :+ (in._1, in._2.toVector)
+    }
+    def merge(a: Vector[(Double, Vector[Double])],
+        b: Vector[(Double, Vector[Double])]) = a ++ b
+    def finish(rows0: Vector[(Double, Vector[Double])]): MLModel = {
+      val d = dims + 1
+      if (rows0.isEmpty) return MLModel("logistic", Vector.fill(d)(Double.NaN))
+      // canonical order → deterministic FP path (any total order does)
+      val rows = rows0.sortBy(r => (r._1, r._2.mkString("|")))
+      val n = rows.size
+      val w = new Array[Double](d)
+      var it = 0
+      while (it < 500) {
+        val g = new Array[Double](d)
+        rows.foreach { case (y, xs) =>
+          var z = w(dims)
+          var i = 0
+          while (i < dims) { z += w(i) * xs(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val e = p - y
+          i = 0
+          while (i < dims) { g(i) += e * xs(i); i += 1 }
+          g(dims) += e
+        }
+        var i = 0
+        while (i < d) {
+          val reg = if (i < dims) l2 * w(i) else 0.0
+          w(i) -= (g(i) / n + reg)
+          i += 1
+        }
+        it += 1
+      }
+      MLModel("logistic", w.toVector)
+    }
+    def bufferEncoder: Encoder[Vector[(Double, Vector[Double])]] =
+      enc[Vector[(Double, Vector[Double])]]
+    def outputEncoder: Encoder[MLModel] = enc[MLModel]
+  }
+
   /** Total length of the UNION of [start, end) intervals [CH docs:
     * aggregate-functions/reference/intervalLengthSum] — collected
     * intervals, sort-by-start sweep in finish(). Zero- and

@@ -911,6 +911,43 @@ object ChSqlQueries {
                            ORDER BY w DESC, v)
          FROM (SELECT v, w FROM c ORDER BY w DESC, v LIMIT 3)) AS ts""")),
 
+    // Wave 30: the ML regression pack. stochasticLinearRegression's
+    // deterministic closed form is checked against DuckDB's own
+    // regr_slope/regr_intercept (independent covariance algebra), the
+    // ridge (l2 > 0) leg against the hand-derived shrinkage closed
+    // form slope = Sxy_c/(Sxx_c + l2·n), and evalMLMethod against the
+    // recomposed dot product.
+    QDef("sql_ch_w30_ml", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT round(arrayElement(tupleElement(m, 'weights'), 1), 6) AS slope,
+               round(arrayElement(tupleElement(m, 'weights'), 2), 6) AS icept,
+               round(evalMLMethod(m, 30.0), 6) AS pred,
+               round(arrayElement(tupleElement(mr, 'weights'), 1), 6) AS rslope,
+               round(arrayElement(tupleElement(mr, 'weights'), 2), 6) AS ricept
+        FROM (SELECT
+          stochasticLinearRegression(0.1, 0.0, 32, 'SGD')(
+            toFloat64(l_extendedprice) / 1000, toFloat64(l_quantity)) AS m,
+          stochasticLinearRegression(0.1, 2.5, 32, 'SGD')(
+            toFloat64(l_extendedprice) / 1000, toFloat64(l_quantity)) AS mr
+          FROM lineitem)""")
+    }, Some("""
+      WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                        CAST(l_extendedprice AS DOUBLE) / 1000 AS y
+                 FROM lineitem),
+      m AS (SELECT regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+                   count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                   sum((x - (SELECT avg(x) FROM s)) *
+                       (y - (SELECT avg(y) FROM s))) AS sxy,
+                   sum((x - (SELECT avg(x) FROM s)) *
+                       (x - (SELECT avg(x) FROM s))) AS sxx
+            FROM s)
+      SELECT round(slope, 6) AS slope, round(icept, 6) AS icept,
+             round(slope * 30.0 + icept, 6) AS pred,
+             round(sxy / (sxx + 2.5 * n), 6) AS rslope,
+             round(my - sxy / (sxx + 2.5 * n) * mx, 6) AS ricept
+      FROM m""")),
+
     // Wave 28 window spellings: leadInFrame/lagInFrame with the CH
     // canonical full frame (stripped — lag/lead read only the order),
     // nonNegativeDerivative expanded to the lag-difference quotient

@@ -448,4 +448,56 @@ class AggregatorSpec extends AnyFunSuite {
       (a == b) || (a._1.isNaN && b._1.isNaN)
     })
   }
+
+  // ---- wave 30: ML regression pack ----
+
+  test("linRegFit recovers exact coefficients and honors ridge shrinkage") {
+    val agg = new Aggregates.LinRegFit(2, 0.0)
+    // y = 2a − 3b + 7, noise-free → exact recovery
+    val rows = for (a <- 0 to 6; b <- 0 to 4)
+      yield (2.0 * a - 3.0 * b + 7.0, Seq(a.toDouble, b.toDouble))
+    val m = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    assert(m.method == "linear")
+    assert(m.weights.zip(Seq(2.0, -3.0, 7.0))
+      .forall { case (w, e) => math.abs(w - e) < 1e-9 })
+    // ridge shrinks the slope toward zero, intercept compensates
+    val r1 = for (x <- 1 to 20) yield (3.0 * x, Seq(x.toDouble))
+    def fit(l2: Double) = {
+      val a = new Aggregates.LinRegFit(1, l2)
+      a.finish(r1.foldLeft(a.zero)(a.reduce))
+    }
+    assert(math.abs(fit(0.0).weights.head - 3.0) < 1e-9)
+    assert(fit(10.0).weights.head < 3.0 && fit(10.0).weights.head > 0)
+  }
+
+  test("linRegFit merge equals single-pass build") {
+    val rowGen = Gen.listOf(for {
+      x <- Gen.choose(-20, 20); y <- Gen.choose(-20, 20)
+    } yield (y.toDouble, Seq(x.toDouble, (x % 5).toDouble)))
+    check(Prop.forAll(rowGen, rowGen) { (xs, ys) =>
+      val agg = new Aggregates.LinRegFit(2, 0.5)
+      val merged = agg.merge(xs.foldLeft(agg.zero)(agg.reduce),
+        ys.foldLeft(agg.zero)(agg.reduce))
+      val once = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+      val (m, o) = (agg.finish(merged), agg.finish(once))
+      // exact decimal state → identical fits; NaN != NaN under
+      // Scala's numeric boxing, so the degenerate case is explicit
+      m == o || (m.weights.forall(_.isNaN) && o.weights.forall(_.isNaN))
+    })
+  }
+
+  test("logRegFit separates separable data and is partition-invariant") {
+    val agg = new Aggregates.LogRegFit(1, 0.0)
+    val rows = (-10 to 10).filter(_ != 0)
+      .map(x => (if (x > 0) 1.0 else 0.0, Seq(x.toDouble / 5)))
+    val m = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    def pred(model: Aggregates.MLModel, x: Double) =
+      1.0 / (1.0 + math.exp(-(model.weights(0) * x + model.weights(1))))
+    assert(pred(m, -1.0) < 0.5 && pred(m, 1.0) > 0.5)
+    // the canonical sort makes the fit identical under any split
+    val (a, b) = rows.splitAt(7)
+    val merged = agg.finish(agg.merge(
+      b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged == m)
+  }
 }
