@@ -1039,7 +1039,20 @@ object Probe {
     "w30_ml_multi" ->
       "SELECT round(arrayElement(tupleElement(m, 'weights'), 1), 6) AS wa, round(arrayElement(tupleElement(m, 'weights'), 2), 6) AS wb, round(arrayElement(tupleElement(m, 'weights'), 3), 6) AS w0 FROM (SELECT stochasticLinearRegressionState(0.1, 0.0)(toFloat64(2 * n_nationkey - 3 * n_regionkey + 7), toFloat64(n_nationkey), toFloat64(n_regionkey)) AS m FROM nation)",
     "w30_ml_logistic" ->
-      "SELECT evalMLMethod(m, -2.0) < 0.5 AS lo, evalMLMethod(m, 2.0) > 0.5 AS hi, tupleElement(m, 'method') AS mth FROM (SELECT stochasticLogisticRegression(1.0, 0.0, 32, 'SGD')(CAST(n_nationkey >= 12 AS Int32), toFloat64(n_nationkey) - 12.0) AS m FROM nation)"
+      "SELECT evalMLMethod(m, -2.0) < 0.5 AS lo, evalMLMethod(m, 2.0) > 0.5 AS hi, tupleElement(m, 'method') AS mth FROM (SELECT stochasticLogisticRegression(1.0, 0.0, 32, 'SGD')(CAST(n_nationkey >= 12 AS Int32), toFloat64(n_nationkey) - 12.0) AS m FROM nation)",
+    // ---- wave 31 (r12): hierarchical dictionaries + typed JSONExtract ----
+    "w31_hier_setup" ->
+      "CREATE TABLE hier_src ENGINE = Memory AS SELECT CAST(n_nationkey + 1 AS Int64) AS node, CAST(CASE WHEN n_nationkey < 5 THEN 0 ELSE n_regionkey + 1 END AS Int64) AS parent FROM nation",
+    "w31_hier_dict" ->
+      "CREATE DICTIONARY hier_dict (node Int64, parent Int64) PRIMARY KEY node SOURCE(CLICKHOUSE(TABLE 'hier_src')) LAYOUT(FLAT()) LIFETIME(300)",
+    "w31_hier_fns" ->
+      "SELECT arrayStringConcat(arrayMap(x -> toString(x), dictGetHierarchy('hier_dict', 13)), '|') AS h, dictIsIn('hier_dict', 13, 3) AS isin3, dictIsIn('hier_dict', 13, 4) AS isin4, size(dictGetChildren('hier_dict', 3)) AS nch, size(dictGetDescendants('hier_dict', 3)) AS ndesc, size(dictGetDescendants('hier_dict', 3, 1)) AS ndesc1",
+    "w31_json_extract" ->
+      "SELECT JSONExtract('{\"a\": {\"b\": [7, 8, 9]}}', 'a', 'b', 2, 'Int64') AS i2, JSONExtract('{\"x\": 3.5}', 'x', 'Float64') AS f, JSONExtract('{}', 'missing', 'Int64') AS d0, JSONExtract('{\"s\": \"hi\"}', 's', 'String') AS s, JSONExtract('{\"a\": [1, 2]}', 'a', 'Array(Int64)') AS arr",
+    "w31_misc" ->
+      "SELECT visibleWidth(123) AS vw, toColumnTypeName(1.5) AS tn, length(queryID()) = 36 AS qid, FQDN() IS NOT NULL AS fq, size(emptyArrayString()) AS es, size(emptyArrayUInt8()) AS eu, bin('a') AS b, unbin(bin('abc')) AS ub, round(arrayROCAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc",
+    "w31_tuple_url" ->
+      "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
   )
 
   def main(argv: Array[String]): Unit = {

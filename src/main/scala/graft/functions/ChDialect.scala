@@ -2768,6 +2768,47 @@ object ChDialect {
         Cast(Coalesce(Seq(e, typeDefault(adt))), dt)
       }
     }
+    // hierarchical-dictionary family [CH docs: ext-dict-functions]:
+    // the dictionary's `parent` attribute (UInt64→UInt64) forms the
+    // forest; the map literal ships with the plan and the walks run
+    // executor-local (functions/DictHierarchy.scala)
+    def parentMap(c: Seq[Expression], fn: String) = {
+      val spec = dictSpec(c(0), fn)
+      val (pdt, mapLit) = spec.attrs.getOrElse("parent",
+        throw new IllegalArgumentException(
+          s"$fn: dictionary has no 'parent' attribute — hierarchical " +
+            "functions need a UInt64 parent column named 'parent'"))
+      require(spec.keyType == LongType && pdt == LongType,
+        s"$fn: hierarchical dictionaries need UInt64 keys and parents")
+      mapLit
+    }
+    reg("dictGetHierarchy") { c =>
+      require(c.size == 2, "dictGetHierarchy('dict', key)")
+      DictHierarchy(Cast(c(1), LongType), parentMap(c, "dictGetHierarchy"))
+    }
+    reg("dictIsIn") { c =>
+      require(c.size == 3, "dictIsIn('dict', child, ancestor)")
+      ArrayContains(
+        DictHierarchy(Cast(c(1), LongType), parentMap(c, "dictIsIn")),
+        Cast(c(2), LongType))
+    }
+    reg("dictGetChildren") { c =>
+      require(c.size == 2, "dictGetChildren('dict', key)")
+      DictDescendants(Cast(c(1), LongType),
+        parentMap(c, "dictGetChildren"), level = 1)
+    }
+    reg("dictGetDescendants") { c =>
+      require(c.size == 2 || c.size == 3,
+        "dictGetDescendants('dict', key[, level])")
+      val lvl = if (c.size == 3) c(2) match {
+        case Literal(v, _: IntegerType) => v.asInstanceOf[Int]
+        case Literal(v, _: LongType) => v.asInstanceOf[Long].toInt
+        case other => throw new IllegalArgumentException(
+          s"dictGetDescendants: level must be an integer literal, got ${other.sql}")
+      } else 0
+      DictDescendants(Cast(c(1), LongType),
+        parentMap(c, "dictGetDescendants"), lvl)
+    }
 
     // custom expressions under their CH spellings
     reg("sipHash64")(c => SipHash64(c.head))
@@ -3329,6 +3370,7 @@ object ChDialect {
         }
       }
     spark.udf.register(gd("arrayAUC"), arrayAucFn)
+    spark.udf.register(gd("arrayROCAUC"), arrayAucFn) // CH 24.x rename
     // query-log normalization: literals (strings, then numbers) → ?
     spark.udf.register(gd("normalizeQuery"), (q: String) =>
       if (q == null) null
@@ -3750,6 +3792,9 @@ object ChDialect {
     tupleBinary("tupleMinus")(Subtract(_, _))
     tupleBinary("tupleMultiply")(Multiply(_, _))
     tupleBinary("tupleDivide")(Divide(_, _))
+    tupleBinary("tupleIntDiv")((a, b) =>
+      Cast(IntegralDivide(Cast(a, LongType), Cast(b, LongType)), LongType))
+    tupleBinary("tupleModulo")((a, b) => Remainder(a, b))
     reg("tupleNegate") { c =>
       c.head match {
         case a: CreateNamedStruct => CreateStruct(a.valExprs.map(UnaryMinus(_)))
@@ -4655,6 +4700,96 @@ object ChDialect {
     // its link ('linear' dot product, 'logistic' sigmoid), and the
     // weight-count guard turns a feature-arity mismatch into a loud
     // error instead of a silently shifted intercept read.
+    // ---- wave 31 (r12): dictionaries-adjacent + introspection ----
+    // visibleWidth: CH's render width; the rendered-string length is
+    // the faithful analog under the session's byte-length `length`
+    macroFn("visibleWidth", Seq("__x"), "char_length(CAST(__x AS STRING))")
+    macroFn("toColumnTypeName", Seq("__x"), "toTypeName(__x)")
+    // query/host identity: Spark's stable analogs (the CH values are
+    // server-generated identifiers with the same uniqueness contract)
+    // one id per QUERY, not per row — minted at analysis time, the
+    // randConstant pattern (CH's queryID is constant within a query)
+    reg("queryID") { c =>
+      require(c.isEmpty, "queryID() takes no arguments")
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.util.UUID.randomUUID().toString), StringType)
+    }
+    reg("initialQueryID") { c =>
+      require(c.isEmpty, "initialQueryID() takes no arguments")
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.util.UUID.randomUUID().toString), StringType)
+    }
+    spark.udf.register(gd("FQDN"), () =>
+      java.net.InetAddress.getLocalHost.getCanonicalHostName)
+    // URL hierarchy walks [CH docs: url-functions#urlhierarchy]:
+    // progressive prefixes cut at path/query separators
+    spark.udf.register(gd("URLHierarchy"), (u: String) => {
+      if (u == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        val protoEnd = {
+          val i = u.indexOf("://")
+          if (i >= 0) i + 3 else 0
+        }
+        val hostEnd = {
+          val i = u.indexOf('/', protoEnd)
+          if (i >= 0) i else u.length
+        }
+        if (hostEnd > 0) out += u.substring(0, hostEnd) + "/"
+        var i = hostEnd + 1
+        while (i < u.length) {
+          u.charAt(i) match {
+            case '/' => out += u.substring(0, i + 1)
+            case '?' | '#' =>
+              out += u.substring(0, u.length); i = u.length
+            case _ =>
+          }
+          i += 1
+        }
+        if (out.isEmpty || (out.last != u && hostEnd < u.length &&
+            !u.endsWith("/"))) out += u
+        out.distinct.toSeq
+      }
+    })
+    spark.udf.register(gd("URLPathHierarchy"), (u: String) => {
+      if (u == null) null
+      else {
+        val protoEnd = {
+          val i = u.indexOf("://")
+          if (i >= 0) i + 3 else 0
+        }
+        val hostEnd = {
+          val i = u.indexOf('/', protoEnd)
+          if (i >= 0) i else u.length
+        }
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = hostEnd + 1
+        while (i < u.length) {
+          u.charAt(i) match {
+            case '/' => out += u.substring(hostEnd, i + 1)
+            case '?' | '#' =>
+              out += u.substring(hostEnd); i = u.length
+            case _ =>
+          }
+          i += 1
+        }
+        if (hostEnd < u.length && !u.endsWith("/") &&
+            (out.isEmpty || out.last != u.substring(hostEnd)))
+          out += u.substring(hostEnd)
+        out.distinct.toSeq
+      }
+    })
+    // bin with CH BYTE semantics (full 8-bit groups per input byte —
+    // Spark's builtin bin() is the minimal binary of a BIGINT, a
+    // different contract, so the CH spelling shadows it deliberately;
+    // the inverse unbin macro predates this, wave 19)
+    spark.udf.register(gd("bin"), (s: String) =>
+      if (s == null) null
+      else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => String.format("%8s",
+          java.lang.Integer.toBinaryString(b & 0xff)).replace(' ', '0'))
+        .mkString)
+
     locally {
       // macro arguments are whole expressions — field access must go
       // through tupleElement, not dotted names (the template parser

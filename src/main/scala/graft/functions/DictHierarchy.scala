@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+
+/** Hierarchical-dictionary walks [ClickHouse docs: sql-reference/
+  * functions/ext-dict-functions#dictgethierarchy]: a dictionary whose
+  * `parent` attribute links each key to its ancestor forms a forest;
+  * `dictGetHierarchy` returns the chain key→root (key itself first,
+  * like CH). The parent map arrives as a FOLDABLE literal — the same
+  * plan-shipped replication model the scalar dictGet family uses, so
+  * the walk is executor-local with no driver round trips.
+  *
+  * Cycle / depth guard: the walk stops after 1000 hops (CH caps
+  * hierarchy depth too); a parent of 0 or a missing key ends the
+  * chain (CH's null_value convention for UInt64 keys).
+  */
+case class DictHierarchy(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dict_get_hierarchy"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType &&
+        right.dataType == MapType(LongType, LongType) && right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("dict_get_hierarchy expects (bigint, " +
+        "foldable map<bigint,bigint>)")
+  }
+  @transient private lazy val parents: Map[Long, Long] = {
+    val md = right.eval(null).asInstanceOf[MapData]
+    val ks = md.keyArray(); val vs = md.valueArray()
+    (0 until md.numElements())
+      .map(i => ks.getLong(i) -> vs.getLong(i)).toMap
+  }
+  override def nullSafeEval(k: Any, m: Any): Any = {
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    var cur = k.asInstanceOf[Long]
+    var hops = 0
+    while (hops < 1000 && cur != 0L && !buf.contains(cur)) {
+      buf += cur
+      cur = parents.getOrElse(cur, 0L)
+      hops += 1
+    }
+    ArrayData.toArrayData(buf.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DictHierarchy = copy(left = l, right = r)
+}
+
+/** All transitive descendants of a key (`dictGetDescendants`); level
+  * 0 = every descendant, level n = exactly depth n below the key. The
+  * child index inverts the parent map ONCE per executor (transient
+  * lazy), so per-row cost is proportional to the answer, not the
+  * dictionary.
+  */
+case class DictDescendants(left: Expression, right: Expression, level: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dict_get_descendants"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType &&
+        right.dataType == MapType(LongType, LongType) && right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("dict_get_descendants expects (bigint, " +
+        "foldable map<bigint,bigint>)")
+  }
+  @transient private lazy val childIdx: Map[Long, Seq[Long]] = {
+    val md = right.eval(null).asInstanceOf[MapData]
+    val ks = md.keyArray(); val vs = md.valueArray()
+    (0 until md.numElements())
+      .map(i => ks.getLong(i) -> vs.getLong(i))
+      .groupBy(_._2).map { case (p, kv) => p -> kv.map(_._1).sorted.toSeq }
+  }
+  override def nullSafeEval(k: Any, m: Any): Any = {
+    val seen = scala.collection.mutable.Set(k.asInstanceOf[Long])
+    var frontier = childIdx.getOrElse(k.asInstanceOf[Long], Seq.empty)
+      .filter(seen.add)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var depth = 1
+    while (frontier.nonEmpty && depth <= 1000) {
+      if (level == 0 || depth == level) out ++= frontier
+      if (level != 0 && depth >= level) frontier = Seq.empty
+      else {
+        frontier = frontier.flatMap(c => childIdx.getOrElse(c, Seq.empty))
+          .filter(seen.add)
+        depth += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DictDescendants = copy(left = l, right = r)
+}

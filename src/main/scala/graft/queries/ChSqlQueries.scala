@@ -911,6 +911,74 @@ object ChSqlQueries {
                            ORDER BY w DESC, v)
          FROM (SELECT v, w FROM c ORDER BY w DESC, v LIMIT 3)) AS ts""")),
 
+    // Wave 31: hierarchical dictionaries (the forest is nation →
+    // region+1 with regions as roots, so the oracle can unroll the
+    // 2-level chains without recursion), typed JSONExtract against
+    // DuckDB's own json machinery, CH-byte-semantics bin + roundtrip,
+    // tuple intDiv/modulo, URL hierarchy walks.
+    QDef("sql_ch_w31_batch", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        CREATE TABLE w31_hier_src ENGINE = Memory AS
+        SELECT CAST(n_nationkey + 1 AS Int64) AS node,
+               CAST(CASE WHEN n_nationkey < 5 THEN 0
+                         ELSE n_regionkey + 1 END AS Int64) AS parent
+        FROM nation""")
+      Graft.sql(s, """
+        CREATE DICTIONARY w31_hier (node Int64, parent Int64)
+        PRIMARY KEY node SOURCE(CLICKHOUSE(TABLE 'w31_hier_src'))
+        LAYOUT(FLAT()) LIFETIME(300)""")
+      Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            dictGetHierarchy('w31_hier', n_nationkey + 1)), '|') AS chain,
+          dictIsIn('w31_hier', n_nationkey + 1, 3) AS in3,
+          CAST(size(dictGetChildren('w31_hier', n_nationkey + 1)) AS Int64) AS nch,
+          CAST(size(dictGetDescendants('w31_hier', n_nationkey + 1)) AS Int64) AS nd,
+          JSONExtract('{"a": {"b": [' || toString(n_nationkey) || ', 9]}}',
+                      'a', 'b', 1, 'Int64') AS jx,
+          JSONExtract('{"s": "' || n_name || '"}', 's', 'String') AS js,
+          JSONExtract('{}', 'nope', 'Int64') AS jd,
+          bin(substring(n_name, 1, 1)) AS bn,
+          unbin(bin(n_name)) AS ubrt,
+          CAST(tupleElement(tupleIntDiv(tuple(n_nationkey, 17),
+            tuple(3, 5)), 1) AS Int64) AS tid,
+          CAST(tupleElement(tupleModulo(tuple(n_nationkey, 17),
+            tuple(3, 5)), 2) AS Int64) AS tmo,
+          arrayStringConcat(URLHierarchy('https://ex.com/' || n_name || '/x'),
+            ' ') AS uh,
+          CAST(visibleWidth(n_nationkey * 100) AS Int64) AS vw
+        FROM nation ORDER BY k""")
+    }, Some("""
+      WITH ch AS (SELECT n_nationkey AS nk,
+                         CASE WHEN n_nationkey < 5
+                              THEN CAST(n_nationkey + 1 AS VARCHAR)
+                              ELSE CAST(n_nationkey + 1 AS VARCHAR) || '|' ||
+                                   CAST(n_regionkey + 1 AS VARCHAR) END AS chain,
+                         CASE WHEN n_nationkey < 5 THEN n_nationkey + 1
+                              ELSE n_regionkey + 1 END AS root
+                  FROM nation),
+      kids AS (SELECT n_regionkey + 1 AS p, count(*) AS c
+               FROM nation WHERE n_nationkey >= 5 GROUP BY 1)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS k,
+        ch.chain AS chain,
+        ch.root = 3 AS in3,
+        CAST(coalesce(k2.c, 0) AS BIGINT) AS nch,
+        CAST(coalesce(k2.c, 0) AS BIGINT) AS nd,
+        CAST(n.n_nationkey AS BIGINT) AS jx,
+        n.n_name AS js,
+        CAST(0 AS BIGINT) AS jd,
+        lpad(bin(ascii(substring(n.n_name, 1, 1))), 8, '0') AS bn,
+        n.n_name AS ubrt,
+        CAST(n.n_nationkey // 3 AS BIGINT) AS tid,
+        CAST(2 AS BIGINT) AS tmo,
+        'https://ex.com/ https://ex.com/' || n.n_name ||
+          '/ https://ex.com/' || n.n_name || '/x' AS uh,
+        CAST(length(CAST(n.n_nationkey * 100 AS VARCHAR)) AS BIGINT) AS vw
+      FROM nation n JOIN ch ON ch.nk = n.n_nationkey
+      LEFT JOIN kids k2 ON k2.p = n.n_nationkey + 1
+      ORDER BY k""")),
+
     // Wave 30: the ML regression pack. stochasticLinearRegression's
     // deterministic closed form is checked against DuckDB's own
     // regr_slope/regr_intercept (independent covariance algebra), the

@@ -1861,6 +1861,29 @@ class ChDialectSpec extends AnyFunSuite {
     (0 until r.length).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("wave 31: hierarchical dictionary walk survives cycles") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // 1 → 2 → 3 → 1 cycle plus a tail 4 → 3
+    Graft.sql(spark, """
+      CREATE TABLE cyc_src ENGINE = Memory AS
+      SELECT CAST(c AS Int64) AS node, CAST(p AS Int64) AS parent
+      FROM VALUES('c Int64, p Int64', (1, 2), (2, 3), (3, 1), (4, 3))""")
+    Graft.sql(spark, """
+      CREATE DICTIONARY cyc_dict (node Int64, parent Int64)
+      PRIMARY KEY node SOURCE(CLICKHOUSE(TABLE 'cyc_src'))
+      LAYOUT(FLAT()) LIFETIME(300)""")
+    val r = Graft.sql(spark, """
+      SELECT dictGetHierarchy('cyc_dict', 4) AS h4,
+             dictGetHierarchy('cyc_dict', 1) AS h1,
+             dictGetDescendants('cyc_dict', 3) AS d3
+      FROM system.one""").collect().head
+    assert(r.getSeq[Long](0) == Seq(4L, 3L, 1L, 2L)) // stops at the loop
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L)) // cycle visited once
+    // descendants of 3: direct {1, 4}, then 1's subtree {2} minus the
+    // cycle re-entry — every node reached exactly once
+    assert(r.getSeq[Long](2).toSet == Set(1L, 2L, 4L))
+  }
+
   test("wave 28: anova p on two groups equals the two-sided t p-value") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // F(1, n−2) = t²(n−2): the ANOVA p and the pooled-variance t-test
