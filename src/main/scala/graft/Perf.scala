@@ -88,7 +88,14 @@ object Perf {
     // round-12: waves 23–26, tz faithfulness, test-family UDAFs
     "sql_ch_w23_batch", "sql_ch_w24_batch", "sql_ch_w25_ttests",
     "sql_ch_w25_mwu", "sql_ch_w25_ks", "sql_ch_w26_batch",
-    "sql_ch_sparkbar", "sql_ch_totimezone", "sql_ch_sample_n_over")
+    "sql_ch_sparkbar", "sql_ch_totimezone", "sql_ch_sample_n_over",
+    // round-12 waves 27–31: association/stats/ML aggregates (all
+    // collected- or moment-state ObjectHashAggregate passes), the
+    // polygon/JSON scalar batches, hierarchical dictionaries
+    "sql_ch_assoc_spellings", "sql_ch_w28_aggs", "sql_ch_w28_scalars",
+    "sql_ch_w28_window", "sql_ch_w29_batch", "sql_ch_w29_approx_top",
+    "sql_ch_w30_ml", "sql_ch_w31_batch", "agg_cat_iv",
+    "agg_interval_union")
 
   /** `runMain graft.Perf --time [sfDir [query...]]`: wall-time a
     * query's cost split into front-door build (rewrite + analysis)
