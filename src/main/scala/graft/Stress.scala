@@ -264,6 +264,31 @@ object Stress {
     val (r29, t29) = timed(cb29.collect())
     report("clickbench_q29", mult, nEvents, t29, exchanges(cb29), r29.length)
 
+    // r12 waves 27–30: the collected/moment-state stats family in ONE
+    // grouped pass — rankCorr + intervalLengthSum collect O(group)
+    // pairs (hot groups of nEvents/5), ANOVA and the association
+    // family keep O(k)/O(distinct-pairs) maps, LinRegFit keeps an
+    // O(d²) Gram — the leg shows the single partial→final shape and
+    // the linear cost curve hold as groups grow 10×/100×
+    val statsDf = events
+      .withColumn("v", $"value".cast("double"))
+      .withColumn("grp", ($"event_id" % 3).cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        udaf(new Aggregates.RankCorr)
+          .apply($"v", $"user_id".cast("double")).as("rc"),
+        udaf(new Aggregates.AnovaF).apply($"v", $"grp").as("af"),
+        udaf(new Aggregates.IntervalLengthSum)
+          .apply($"v", $"v" + lit(1.5)).as("ils"),
+        udaf(new Aggregates.AssocContingency("cramersV"))
+          .apply($"event_type", ($"user_id" % 7).cast("string")).as("cv"),
+        udaf(new Aggregates.LinRegFit(2, 0.1))
+          .apply($"v", array($"user_id".cast("double"),
+            ($"event_id" % 97).cast("double"))).as("fit"))
+    val (sRows, tS) = timed(statsDf.collect())
+    report("stats_collected", mult, nEvents, tS, exchanges(statsDf),
+      sRows.length)
+
     // LIMIT 2 BY user_id through the custom partial/final exec
     val lb = graft.plans.LimitByPlan.limitBy(events, Seq("user_id"), 2,
       Seq(("value", false), ("event_id", true)))

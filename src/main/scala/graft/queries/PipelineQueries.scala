@@ -310,6 +310,98 @@ object PipelineQueries {
     // (mh60 of doc_id, salted per stratum), so the SAME rows are kept
     // at any executor count / retry — no rand(), fully oracle-able,
     // and a pure projection + agg at any scale.
+    // Domain-mixture resampling — the Pile/Dolma-style "hit a target
+    // mixture" op: each source domain gets a weight, the total budget
+    // splits proportionally, and each domain keeps EXACTLY its quota
+    // as the k hash-smallest docs (md5-order, the repo's cross-engine
+    // convention) — deterministic at any executor count, no rand().
+    // At 100 TB this is one window per domain partition (domains are
+    // the partition key, never a global sort).
+    QDef("pipe_domain_mixture", (s, dir) => {
+      import s.implicits._
+      val budget = 200
+      val w = when($"source".isin("src0", "src1", "src2"), 3.0).otherwise(1.0)
+      val totW = 3 * 3.0 + 17 * 1.0 // 20 sources in the fixture
+      val quota = floor(lit(budget) * w / totW).cast("long")
+      val ranked = Tables(s, dir, "documents")
+        .withColumn("q", quota)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"source")
+            .orderBy(Text.mh60(lit("mix"), $"doc_id".cast("string")),
+              $"doc_id")))
+      ranked.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"rn" <= $"q", 1L).otherwise(0L)).as("n_kept"),
+          max($"q").as("quota"))
+        .orderBy($"source")
+    }, Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST('0x' || substring(md5('mix' || '|' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+               CAST(floor(200 * CASE WHEN source IN ('src0', 'src1', 'src2')
+                                     THEN 3.0 ELSE 1.0 END / 26.0) AS BIGINT)
+                 AS q
+        FROM documents),
+      r AS (SELECT source, q,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS rn
+            FROM d)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rn <= q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             max(q) AS quota
+      FROM r GROUP BY source ORDER BY source""")),
+
+    // Intra-document repetition removal (FineWeb-style): the text
+    // splits into consecutive 10-word chunks, duplicate chunks within
+    // a doc drop (keep-first), and the doc is REASSEMBLED in original
+    // order — per-source totals prove the rebuild byte-for-byte
+    // against DuckDB's string_agg. Everything is per-doc generator +
+    // window work: no global state, linear at corpus scale.
+    QDef("pipe_intradoc_dedup", (s, dir) => {
+      import s.implicits._
+      val chunks = Tables(s, dir, "documents")
+        .withColumn("words", split($"text", " "))
+        .withColumn("ch", expr(
+          """transform(sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1),
+               i -> array_join(slice(words, i * 10 + 1, 10), ' '))"""))
+        .select($"doc_id", $"source", posexplode($"ch").as(Seq("pos", "chunk")))
+      val kept = chunks.groupBy($"doc_id", $"source", $"chunk")
+        .agg(min($"pos").as("first_pos"), count(lit(1)).as("occ"))
+      val rebuilt = kept.groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_unique"),
+          sum($"occ").as("n_chunks"),
+          length(array_join(transform(
+            array_sort(collect_list(struct($"first_pos", $"chunk"))),
+            c => c.getField("chunk")), " ")).as("new_chars"))
+      rebuilt.groupBy($"source")
+        .agg(count(lit(1)).as("docs"),
+          sum($"n_chunks").as("chunks"),
+          sum($"n_unique").as("uniq"),
+          sum($"new_chars").as("new_chars"))
+        .orderBy($"source")
+    }, Some("""
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+                 FROM documents),
+      ch AS (SELECT doc_id, source, i.i AS pos,
+                    array_to_string(words[i.i * 10 + 1 : i.i * 10 + 10], ' ')
+                      AS chunk
+             FROM w, (SELECT unnest(range(200)) AS i) i
+             WHERE i.i < ceil(len(words) / 10.0)),
+      kept AS (SELECT doc_id, source, chunk, min(pos) AS first_pos,
+                      count(*) AS occ
+               FROM ch GROUP BY 1, 2, 3),
+      rebuilt AS (SELECT doc_id, source, count(*) AS n_unique,
+                         CAST(sum(occ) AS BIGINT) AS n_chunks,
+                         length(string_agg(chunk, ' ' ORDER BY first_pos))
+                           AS new_chars
+                  FROM kept GROUP BY 1, 2)
+      SELECT source, count(*) AS docs,
+             CAST(sum(n_chunks) AS BIGINT) AS chunks,
+             CAST(sum(n_unique) AS BIGINT) AS uniq,
+             CAST(sum(new_chars) AS BIGINT) AS new_chars
+      FROM rebuilt GROUP BY source ORDER BY source""")),
+
     QDef("pipe_stratified_sample", (s, dir) => {
       import s.implicits._
       val M = 36028797018963968L // 2^55: below it mh60 is uniform
