@@ -1051,6 +1051,13 @@ object Probe {
       "SELECT JSONExtract('{\"a\": {\"b\": [7, 8, 9]}}', 'a', 'b', 2, 'Int64') AS i2, JSONExtract('{\"x\": 3.5}', 'x', 'Float64') AS f, JSONExtract('{}', 'missing', 'Int64') AS d0, JSONExtract('{\"s\": \"hi\"}', 's', 'String') AS s, JSONExtract('{\"a\": [1, 2]}', 'a', 'Array(Int64)') AS arr",
     "w31_misc" ->
       "SELECT visibleWidth(123) AS vw, toColumnTypeName(1.5) AS tn, length(queryID()) = 36 AS qid, FQDN() IS NOT NULL AS fq, size(emptyArrayString()) AS es, size(emptyArrayUInt8()) AS eu, bin('a') AS b, unbin(bin('abc')) AS ub, round(arrayROCAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc",
+    // ---- wave 32 (r12): series decomposition + ranking gini ----
+    "w32_stl" ->
+      "SELECT arrayMap(x -> round(x, 4), arrayElement(d, 1)) AS seasonal, arrayMap(x -> round(x, 4), arrayElement(d, 2)) AS trend, round(arraySum(arrayMap(x -> abs(x), arrayElement(d, 3))), 4) AS resid_l1 FROM (SELECT seriesDecomposeSTL(arrayMap(i -> toFloat64(i) * 0.5 + elt(1 + CAST(i % 4 AS INT), 4.0, -1.0, -2.0, -1.0), range(16)), 4) AS d)",
+    "w32_gini" ->
+      "SELECT arrayMap(x -> round(x, 4), [tupleElement(g, 1), tupleElement(g, 2), tupleElement(g, 3)]) AS gs FROM (SELECT arrayNormalizedGini([0.9, 0.1, 0.8, 0.2], [1.0, 0.0, 1.0, 0.0]) AS g)",
+    "w32_flatten_tuple" ->
+      "SELECT flattenTuple(tuple(1, tuple(2, tuple(3, 'x')), 4)) AS f",
     "w31_tuple_url" ->
       "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
   )

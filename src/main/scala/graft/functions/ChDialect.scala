@@ -3302,6 +3302,97 @@ object ChDialect {
         xs.map(x => if (x < lo) x - lo else if (x > hi) x - hi else 0.0)
       }
     })
+    // seriesDecomposeSTL(series, period) → [seasonal, trend, residual]
+    // [CH docs: time-series-functions#seriesdecomposestl]. CH runs the
+    // actual STL loess loop; the deterministic substitution here is
+    // CLASSICAL additive decomposition [published textbook method]:
+    // trend = centered moving average over one period (edges extended
+    // with the nearest computed value), seasonal = per-phase mean of
+    // the detrended series re-centered to sum 0, residual = the rest.
+    // Same contract (three equal-length arrays summing back to the
+    // series), documented numeric divergence from loess STL.
+    spark.udf.register(gd("seriesDecomposeSTL"),
+      (xs: Seq[Double], period: Int) => {
+        if (xs == null || period < 2 || xs.size < 2 * period)
+          Seq.empty[Seq[Double]]
+        else {
+          val n = xs.size
+          val half = period / 2
+          val trendCore = new Array[Double](n)
+          // the centered window spans i−half … i+half (period points
+          // for odd periods, period+1 with half-weights for even)
+          val lo0 = half
+          val hi0 = n - 1 - half
+          var i = lo0
+          while (i <= hi0) {
+            // centered MA: even periods use the standard 2×MA weights
+            var s = 0.0
+            if (period % 2 == 1) {
+              var j = i - half
+              while (j <= i + half) { s += xs(j); j += 1 }
+              trendCore(i) = s / period
+            } else {
+              s = (xs(i - half) + xs(i - half + period)) / 2.0
+              var j = i - half + 1
+              while (j < i - half + period) { s += xs(j); j += 1 }
+              trendCore(i) = s / period
+            }
+            i += 1
+          }
+          val trend = (0 until n).map(j =>
+            trendCore(math.max(lo0, math.min(hi0, j)))).toArray
+          val detr = (0 until n).map(j => xs(j) - trend(j))
+          // seasonal indices from INTERIOR positions only — the edge
+          // trend is clamped (approximate) and would bias the phases
+          val phaseMean = (0 until period).map { p =>
+            val vals = (p until n by period).filter(j => j >= lo0 && j <= hi0)
+              .map(detr)
+            if (vals.isEmpty) 0.0 else vals.sum / vals.size
+          }
+          val center = phaseMean.sum / period
+          val seasonal = (0 until n).map(j => phaseMean(j % period) - center)
+          val resid = (0 until n).map(j => xs(j) - trend(j) - seasonal(j))
+          Seq(seasonal, trend.toSeq, resid)
+        }
+      })
+    // arrayNormalizedGini(predicted, label) → (giniPred, giniLabel,
+    // normalized) [CH 25.x docs: the standard normalized-Gini used in
+    // ranking competitions, public formula]: gini(a, by) sorts `a` by
+    // `by` descending (ties by original order) and measures the
+    // cumulative-share area vs the diagonal; normalized = g(label,
+    // pred) / g(label, label).
+    spark.udf.register(gd("arrayNormalizedGini"),
+      (pred: Seq[Double], label: Seq[Double]) => {
+        def gini(actual: Seq[Double], by: Seq[Double]): Double = {
+          val n = actual.size
+          val order = actual.indices.sortBy(i => (-by(i), i))
+          val tot = actual.sum
+          var cum = 0.0; var area = 0.0
+          order.foreach { i => cum += actual(i); area += cum / tot }
+          (area - (n + 1) / 2.0) / n
+        }
+        if (pred == null || label == null || pred.size != label.size ||
+            pred.isEmpty) (Double.NaN, Double.NaN, Double.NaN)
+        else {
+          val gp = gini(label, pred)
+          val gl = gini(label, label)
+          (gp, gl, gp / gl)
+        }
+      })
+    // flattenTuple: nested tuple literals flatten to one level
+    // [CH docs: tuple-functions#flattentuple]
+    reg("flattenTuple") { c =>
+      require(c.size == 1, "flattenTuple(tuple)")
+      def flat(e: Expression): Seq[Expression] = e match {
+        case s: CreateNamedStruct => s.valExprs.flatMap(flat)
+        case other => Seq(other)
+      }
+      c.head match {
+        case s: CreateNamedStruct => CreateStruct(flat(s).toIndexedSeq)
+        case other => throw new IllegalArgumentException(
+          s"flattenTuple expects a tuple literal, got ${other.sql}")
+      }
+    }
     // Dominant period via a naive DFT (O(n²) on one row's series —
     // the per-array scale CH aims this at): period = n / argmax_k |X_k|
     // over k = 1 … n/2, 0.0 when no bin dominates (flat series)

@@ -1884,6 +1884,41 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2).toSet == Set(1L, 2L, 4L))
   }
 
+  test("wave 32: series decomposition, normalized gini, flattenTuple") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // pure linear series, no seasonality: interior seasonal ≈ 0,
+    // interior residual ≈ 0, trend = the series (classical
+    // decomposition is exact on a linear signal away from the edges)
+    val r = Graft.sql(spark, """
+      SELECT arrayElement(d, 1) AS s, arrayElement(d, 2) AS t,
+             arrayElement(d, 3) AS e
+      FROM (SELECT seriesDecomposeSTL(
+              arrayMap(i -> toFloat64(2 * i + 5), range(20)), 4) AS d)""")
+      .collect().head
+    val (seas, tr, res) = (r.getSeq[Double](0), r.getSeq[Double](1),
+      r.getSeq[Double](2))
+    (2 until 18).foreach { i =>
+      assert(math.abs(tr(i) - (2.0 * i + 5)) < 1e-9, s"trend @$i = ${tr(i)}")
+      assert(math.abs(res(i)) < 1e-9, s"resid @$i = ${res(i)}")
+    }
+    assert(math.abs(seas.sum) < 1e-9) // seasonal is centered
+    (0 until 20).foreach { i => // components recompose exactly
+      assert(math.abs(seas(i) + tr(i) + res(i) - (2.0 * i + 5)) < 1e-9)
+    }
+    // gini: perfect ranking normalizes to 1, inverted to -1
+    val g = Graft.sql(spark, """
+      SELECT round(tupleElement(arrayNormalizedGini(
+               [0.9, 0.1, 0.8, 0.2], [1.0, 0.0, 1.0, 0.0]), 3), 4) AS perfect,
+             round(tupleElement(arrayNormalizedGini(
+               [0.1, 0.9, 0.2, 0.8], [1.0, 0.0, 1.0, 0.0]), 3), 4) AS inverted
+      FROM system.one""").collect().head
+    assert(g.getDouble(0) == 1.0 && g.getDouble(1) == -1.0)
+    val f = Graft.sql(spark,
+      "SELECT flattenTuple(tuple(1, tuple(2, tuple(3, 'x')), 4)) AS f " +
+        "FROM system.one").collect().head.getStruct(0)
+    assert(f.size == 5 && f.getString(3) == "x")
+  }
+
   test("wave 28: anova p on two groups equals the two-sided t p-value") {
     Graft.init(spark, "/root/testdata/sf0.001")
     // F(1, n−2) = t²(n−2): the ANOVA p and the pooled-variance t-test
