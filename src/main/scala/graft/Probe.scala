@@ -1058,6 +1058,17 @@ object Probe {
       "SELECT arrayMap(x -> round(x, 4), [tupleElement(g, 1), tupleElement(g, 2), tupleElement(g, 3)]) AS gs FROM (SELECT arrayNormalizedGini([0.9, 0.1, 0.8, 0.2], [1.0, 0.0, 1.0, 0.0]) AS g)",
     "w32_flatten_tuple" ->
       "SELECT flattenTuple(tuple(1, tuple(2, tuple(3, 'x')), 4)) AS f",
+    // ---- wave 33 (r12): byte analysis + parse inverses + HTML ----
+    "w33_bytes_tuples" ->
+      "SELECT tupleHammingDistance(tuple(1, 2, 3), tuple(1, 9, 3)) AS thd, byteHammingDistance('karolin', 'kathrin') AS bhd, byteHammingDistance('abc', 'abcde') AS bhd2, stringBytesUniq('hello') AS sbu, round(stringBytesEntropy('aabb'), 4) AS sbe",
+    "w33_parse_inverses" ->
+      "SELECT parseReadableSize('1.5 MiB') AS prs, parseReadableSize('10 KB') AS prs2, parseReadableSizeOrZero('nope') AS prz, parseReadableSizeOrNull('nope') IS NULL AS prn, parseReadableSize(formatReadableSize(1048576)) AS rt, round(parseTimeDelta('1h 30m'), 1) AS ptd, round(parseTimeDelta('2.5s'), 2) AS ptd2",
+    "w33_uuid_snowflake" ->
+      "SELECT toUUIDOrNull('61f0c404-5cb3-11e7-907b-a6006ad3dba0') IS NOT NULL AS ok, toUUIDOrNull('nope') IS NULL AS bad, length(serverUUID()) = 36 AS su, serverUUID() = serverUUID() AS su2, generateSnowflakeID() > 0 AS sf",
+    "w33_html" ->
+      "SELECT extractTextFromHTML('<html><script>var x=1;</script><body><p>Hello &amp; <b>world</b>!</p></body></html>') AS t, decodeHTMLComponent('a &lt;tag&gt; &#65;&#x42;') AS d, encodeXMLComponent('a<b>&\"c\"') AS e",
+    "w33_paths_roles" ->
+      "SELECT basename('/opt/data/file.txt') AS b, pathFull('https://ex.com/a/b?q=1') AS pf, firstLine(concat('line1', char(10), 'line2')) AS fl, shardNum() AS sn, shardCount() AS sc, currentProfiles() AS cp, arrayFirstOrNull(x -> x > 10, [1, 2, 3]) IS NULL AS afn, arrayLastOrNull(x -> x > 1, [1, 2, 3]) AS aln, indexOfAssumeSorted([10, 20, 30], 20) AS ioa, countSubstringsCaseInsensitive('AbAb', 'ab') AS csci, hasTokenCaseInsensitive('Hello World', 'hello') AS htci, multiMatchAllIndices('hello', ['^h', 'z', 'o$']) AS mmi, toDecimal256(1.5, 2) AS td",
     "w31_tuple_url" ->
       "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
   )

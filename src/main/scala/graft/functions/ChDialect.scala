@@ -3379,6 +3379,185 @@ object ChDialect {
           (gp, gl, gp / gl)
         }
       })
+    // ---- wave 33 (r12): string/byte analysis + parse inverses ----
+    // tupleHammingDistance: positionwise inequality count (CH
+    // tuple-functions); same literal-splice model as tuplePlus
+    reg("tupleHammingDistance") { c =>
+      require(c.size == 2, "tupleHammingDistance(t1, t2)")
+      (c(0), c(1)) match {
+        case (a: CreateNamedStruct, b: CreateNamedStruct)
+            if a.valExprs.size == b.valExprs.size =>
+          a.valExprs.zip(b.valExprs)
+            .map { case (x, y) =>
+              Cast(Not(EqualTo(x, y)), IntegerType): Expression }
+            .reduce(Add(_, _))
+        case _ => throw new IllegalArgumentException(
+          "tupleHammingDistance expects two equal-size tuple literals")
+      }
+    }
+    spark.udf.register(gd("byteHammingDistance"), (a: String, b: String) => {
+      if (a == null || b == null) null
+      else {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val common = math.min(x.length, y.length)
+        var d = math.abs(x.length - y.length).toLong
+        var i = 0
+        while (i < common) { if (x(i) != y(i)) d += 1; i += 1 }
+        java.lang.Long.valueOf(d)
+      }
+    })
+    spark.udf.register(gd("stringBytesUniq"), (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(s.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8).distinct.length.toLong))
+    spark.udf.register(gd("stringBytesEntropy"), (s: String) => {
+      if (s == null) null
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.isEmpty) java.lang.Double.valueOf(0.0)
+        else {
+          val n = bytes.length.toDouble
+          val e = bytes.groupBy(identity).values.map { g =>
+            val p = g.length / n
+            -p * (math.log(p) / math.log(2))
+          }.toSeq.sorted.sum // sorted: canonical FP order
+          java.lang.Double.valueOf(e)
+        }
+      }
+    })
+    // OrNull picks: the base arrayFirst/arrayLast builders already
+    // yield NULL on no-match, so the OrNull spellings reuse them
+    // (lambdas cannot pass through a parse-once macro — these must be
+    // expression builders)
+    arrayPick("arrayFirstOrNull", reversed = false)
+    arrayPick("arrayLastOrNull", reversed = true)
+    // assume-sorted is an optimizer hint in CH — same answer
+    macroFn("indexOfAssumeSorted", Seq("__a", "__x"),
+      "coalesce(array_position(__a, __x), 0)")
+    macroFn("firstLine", Seq("__s"), "element_at(split(__s, '\\n'), 1)")
+    // parseReadableSize: inverse of formatReadableSize — binary (KiB)
+    // and decimal (KB) units, case-insensitive, fractional values
+    locally {
+      val units = Map("b" -> 1d, "kib" -> 1024d, "mib" -> 1024d * 1024,
+        "gib" -> math.pow(1024, 3), "tib" -> math.pow(1024, 4),
+        "pib" -> math.pow(1024, 5), "eib" -> math.pow(1024, 6),
+        "kb" -> 1e3, "mb" -> 1e6, "gb" -> 1e9, "tb" -> 1e12,
+        "pb" -> 1e15, "eb" -> 1e18)
+      val re = """(?i)^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$""".r
+      def parse(s: String): Option[Long] = s match {
+        case re(num, unit) =>
+          units.get(unit.toLowerCase(java.util.Locale.ROOT))
+            .map(m => math.ceil(num.toDouble * m).toLong)
+        case _ => None
+      }
+      spark.udf.register(gd("parseReadableSize"), (s: String) =>
+        if (s == null) null
+        else parse(s).map(java.lang.Long.valueOf).getOrElse(
+          throw new IllegalArgumentException(
+            s"parseReadableSize: cannot parse '$s'")))
+      spark.udf.register(gd("parseReadableSizeOrZero"), (s: String) =>
+        if (s == null) null
+        else java.lang.Long.valueOf(parse(s).getOrElse(0L)))
+      spark.udf.register(gd("parseReadableSizeOrNull"), (s: String) =>
+        if (s == null) null
+        else parse(s).map(java.lang.Long.valueOf).orNull)
+    }
+    // parseTimeDelta('1h 30m') → seconds (CH other-functions)
+    spark.udf.register(gd("parseTimeDelta"), (s: String) => {
+      if (s == null) null
+      else {
+        val re = """([0-9]*\.?[0-9]+)\s*([a-zA-Z]+)""".r
+        val m = Map("ns" -> 1e-9, "us" -> 1e-6, "ms" -> 1e-3,
+          "s" -> 1.0, "sec" -> 1.0, "second" -> 1.0, "seconds" -> 1.0,
+          "m" -> 60.0, "min" -> 60.0, "minute" -> 60.0, "minutes" -> 60.0,
+          "h" -> 3600.0, "hr" -> 3600.0, "hour" -> 3600.0, "hours" -> 3600.0,
+          "d" -> 86400.0, "day" -> 86400.0, "days" -> 86400.0,
+          "w" -> 604800.0, "week" -> 604800.0, "weeks" -> 604800.0)
+        val hits = re.findAllMatchIn(s).toSeq
+        require(hits.nonEmpty, s"parseTimeDelta: cannot parse '$s'")
+        java.lang.Double.valueOf(hits.map { h =>
+          val u = h.group(2).toLowerCase(java.util.Locale.ROOT)
+          h.group(1).toDouble * m.getOrElse(u,
+            throw new IllegalArgumentException(
+              s"parseTimeDelta: unknown unit '${h.group(2)}'"))
+        }.sum)
+      }
+    })
+    // UUID utilities + snowflake mint
+    macroFn("toUUIDOrNull", Seq("__s"),
+      """CASE WHEN __s RLIKE
+           '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'
+         THEN lower(__s) END""")
+    reg("serverUUID") { c =>
+      require(c.isEmpty, "serverUUID() takes no arguments")
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        serverUuidConst), StringType)
+    }
+    spark.udf.register(gd("generateSnowflakeID"),
+      org.apache.spark.sql.functions.udf(() => {
+        // 41-bit ms timestamp | 10-bit node | 12-bit sequence — the
+        // published snowflake layout; node+seq from thread-local
+        // randomness (uniqueness, not coordination, is the contract)
+        val ts = System.currentTimeMillis() - 1288834974657L
+        val r = java.util.concurrent.ThreadLocalRandom.current()
+        (ts << 22) | r.nextLong(1 << 22)
+      }).asNondeterministic())
+    // URL/path pieces
+    macroFn("basename", Seq("__s"),
+      "element_at(split(__s, '/'), -1)")
+    macroFn("pathFull", Seq("__u"),
+      """CASE WHEN locate('/', __u,
+              CASE WHEN locate('://', __u) > 0
+                   THEN locate('://', __u) + 3 ELSE 1 END) = 0 THEN ''
+         ELSE substring(__u, locate('/', __u,
+              CASE WHEN locate('://', __u) > 0
+                   THEN locate('://', __u) + 3 ELSE 1 END)) END""")
+    // XML/HTML component codecs + tag stripping — the HTML→text step
+    // of a pretraining pipeline (script/style dropped, entities
+    // decoded, whitespace collapsed)
+    spark.udf.register(gd("encodeXMLComponent"), (s: String) =>
+      if (s == null) null
+      else s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&apos;"))
+    def decodeEntities(s: String): String = {
+      val numRe = """&#(x?)([0-9a-fA-F]+);""".r
+      val named = Map("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&apos;" -> "'", "&nbsp;" -> " ")
+      val step1 = numRe.replaceAllIn(s, mm => {
+        val cp = Integer.parseInt(mm.group(2), if (mm.group(1).isEmpty) 10 else 16)
+        scala.util.matching.Regex.quoteReplacement(new String(Character.toChars(cp)))
+      })
+      named.foldLeft(step1) { case (acc, (k, v)) => acc.replace(k, v) }
+    }
+    spark.udf.register(gd("decodeXMLComponent"),
+      (s: String) => if (s == null) null else decodeEntities(s))
+    spark.udf.register(gd("decodeHTMLComponent"),
+      (s: String) => if (s == null) null else decodeEntities(s))
+    spark.udf.register(gd("extractTextFromHTML"), (s: String) =>
+      if (s == null) null
+      else decodeEntities(
+        s.replaceAll("(?is)<(script|style)\\b.*?</\\1\\s*>", " ")
+          .replaceAll("(?s)<!--.*?-->", " ")
+          .replaceAll("(?s)<[^>]*>", " "))
+        .replaceAll("\\s+", " ").trim)
+    toDec("toDecimal256", 38) // DECIMAL(38) is Spark's precision cap — documented
+    macroFn("countSubstringsCaseInsensitive", Seq("__h", "__n"),
+      "countSubstrings(lower(__h), lower(__n))")
+    macroFn("hasTokenCaseInsensitive", Seq("__h", "__t"),
+      "hasToken(lower(__h), lower(__t))")
+    macroFn("multiMatchAllIndices", Seq("__s", "__ps"),
+      """filter(transform(__ps, (p, i) -> IF(__s RLIKE p, i + 1, 0)),
+                v -> v > 0)""")
+    // single-process engine: one shard, the whole cluster
+    macroFn("shardNum", Seq(), "CAST(1 AS INT)")
+    macroFn("shardCount", Seq(), "CAST(1 AS INT)")
+    macroFn("currentProfiles", Seq(), "array('default')")
+    macroFn("enabledProfiles", Seq(), "array('default')")
+    macroFn("defaultProfiles", Seq(), "array('default')")
+    macroFn("enabledRoles", Seq(), "array('default')")
+    macroFn("defaultRoles", Seq(), "array('default')")
+
     // flattenTuple: nested tuple literals flatten to one level
     // [CH docs: tuple-functions#flattentuple]
     reg("flattenTuple") { c =>
@@ -4911,6 +5090,11 @@ object ChDialect {
 
     guardReport()
   }
+
+  /** One stable id per JVM — CH's serverUUID is stable per server
+    * lifetime, and this library's "server" is the driver process.
+    */
+  private val serverUuidConst = java.util.UUID.randomUUID().toString
 
   /** Render a coordinate the WKT way: integral values without the
     * trailing '.0' Spark's Double formatting would add.

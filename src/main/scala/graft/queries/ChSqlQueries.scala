@@ -979,6 +979,55 @@ object ChSqlQueries {
       LEFT JOIN kids k2 ON k2.p = n.n_nationkey + 1
       ORDER BY k""")),
 
+    // Wave 33: byte analysis (hamming/uniq/entropy vs DuckDB's own
+    // char algebra + entropy aggregate), parse inverses
+    // (parseReadableSize/parseTimeDelta recomputed arithmetically),
+    // HTML→text extraction re-derived with DuckDB regexp_replace,
+    // and multiMatchAllIndices vs per-pattern regexp_matches.
+    QDef("sql_ch_w33_batch", (s, dir) => {
+      graft.Graft.init(s, dir)
+      graft.Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+          CAST(byteHammingDistance(n_name,
+            translate(n_name, 'AEIOU', 'XXXXX')) AS Int64) AS bhd,
+          CAST(stringBytesUniq(n_name) AS Int64) AS sbu,
+          round(stringBytesEntropy(n_name), 4) AS sbe,
+          parseReadableSize(concat(toString(n_nationkey * 37), ' B')) AS prs,
+          parseReadableSize(concat(toString(n_nationkey + 1), ' KiB')) AS prs2,
+          round(parseTimeDelta(concat(toString(n_nationkey), 'm 30s')), 1) AS ptd,
+          firstLine(concat(n_name, char(10), 'rest')) AS fl,
+          basename(concat('/a/b/', n_name)) AS bn,
+          encodeXMLComponent(concat('<', n_name, '&')) AS ex,
+          extractTextFromHTML(concat('<p>', n_name,
+            ' &amp; <b>co</b></p>')) AS ht,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            multiMatchAllIndices(n_name, ['^A', 'N', 'A$'])), ',') AS mmi,
+          toUUIDOrNull(CASE WHEN n_nationkey % 2 = 0
+            THEN '61F0C404-5CB3-11E7-907B-A6006AD3DBA0'
+            ELSE n_name END) AS uu
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        CAST(len(regexp_extract_all(n_name, '[AEIOU]')) AS BIGINT) AS bhd,
+        CAST(len(list_distinct(regexp_extract_all(n_name, '.'))) AS BIGINT)
+          AS sbu,
+        round((SELECT entropy(c)
+               FROM unnest(regexp_extract_all(n_name, '.')) AS t(c)), 4) AS sbe,
+        CAST(n_nationkey * 37 AS BIGINT) AS prs,
+        CAST((n_nationkey + 1) * 1024 AS BIGINT) AS prs2,
+        round(n_nationkey * 60.0 + 30, 1) AS ptd,
+        n_name AS fl,
+        n_name AS bn,
+        '&lt;' || n_name || '&amp;' AS ex,
+        n_name || ' & co' AS ht,
+        concat_ws(',',
+          CASE WHEN regexp_matches(n_name, '^A') THEN '1' END,
+          CASE WHEN regexp_matches(n_name, 'N') THEN '2' END,
+          CASE WHEN regexp_matches(n_name, 'A$') THEN '3' END) AS mmi,
+        CASE WHEN n_nationkey % 2 = 0
+             THEN '61f0c404-5cb3-11e7-907b-a6006ad3dba0' END AS uu
+      FROM nation ORDER BY k""")),
+
     // Wave 30: the ML regression pack. stochasticLinearRegression's
     // deterministic closed form is checked against DuckDB's own
     // regr_slope/regr_intercept (independent covariance algebra), the
