@@ -1069,6 +1069,12 @@ object Probe {
       "SELECT extractTextFromHTML('<html><script>var x=1;</script><body><p>Hello &amp; <b>world</b>!</p></body></html>') AS t, decodeHTMLComponent('a &lt;tag&gt; &#65;&#x42;') AS d, encodeXMLComponent('a<b>&\"c\"') AS e",
     "w33_paths_roles" ->
       "SELECT basename('/opt/data/file.txt') AS b, pathFull('https://ex.com/a/b?q=1') AS pf, firstLine(concat('line1', char(10), 'line2')) AS fl, shardNum() AS sn, shardCount() AS sc, currentProfiles() AS cp, arrayFirstOrNull(x -> x > 10, [1, 2, 3]) IS NULL AS afn, arrayLastOrNull(x -> x > 1, [1, 2, 3]) AS aln, indexOfAssumeSorted([10, 20, 30], 20) AS ioa, countSubstringsCaseInsensitive('AbAb', 'ab') AS csci, hasTokenCaseInsensitive('Hello World', 'hello') AS htci, multiMatchAllIndices('hello', ['^h', 'z', 'o$']) AS mmi, toDecimal256(1.5, 2) AS td",
+    "w33_settings_joinget" ->
+      "SELECT getSettingOrDefault('totally_unset', 'dflt') AS d, joinGet('region', 'r_name', 2) AS jg, joinGet('region', 'r_name', 99) IS NULL AS jgn",
+    "w33_set_then_get" ->
+      "SET custom_probe_knob = 'on'",
+    "w33_get_after_set" ->
+      "SELECT getSetting('custom_probe_knob') AS v",
     "w31_tuple_url" ->
       "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
   )

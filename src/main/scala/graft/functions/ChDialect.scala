@@ -3558,6 +3558,68 @@ object ChDialect {
     macroFn("enabledRoles", Seq(), "array('default')")
     macroFn("defaultRoles", Seq(), "array('default')")
 
+    // getSetting('name'): reads the session's applied CH settings
+    // (SET / SETTINGS store under graft.ch.setting.*) at analysis
+    // time — the SET-before-SELECT reading CH documents
+    def settingLit(c: Seq[Expression], fn: String): Option[String] = {
+      val name = c.head match {
+        case Literal(s, StringType) if s != null =>
+          s.toString.toLowerCase(java.util.Locale.ROOT)
+        case other => throw new IllegalArgumentException(
+          s"$fn: the setting name must be a string literal, got ${other.sql}")
+      }
+      spark.conf.getOption(s"graft.ch.setting.$name")
+    }
+    reg("getSetting") { c =>
+      require(c.size == 1, "getSetting('name')")
+      val v = settingLit(c, "getSetting").getOrElse(
+        throw new IllegalArgumentException(
+          s"getSetting: unknown setting ${c.head.sql} — SET it first or " +
+            "use getSettingOrDefault"))
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        StringType)
+    }
+    reg("getSettingOrDefault") { c =>
+      require(c.size == 2, "getSettingOrDefault('name', default)")
+      settingLit(c, "getSettingOrDefault")
+        .map(v => Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString(v), StringType): Expression)
+        .getOrElse(c(1))
+    }
+    // joinGet('table', 'valueCol', key) [CH docs: other-functions
+    // #joinget — lookups into a Join-engine table]: here ANY named
+    // table works; the join key is the table's FIRST column (the Join
+    // engine's declared key). Same plan-shipped literal-map model as
+    // dictGet, capped (in-RAM contract both sides).
+    reg("joinGet") { c =>
+      require(c.size == 3, "joinGet('table', 'valueCol', key)")
+      def strLit(e: Expression, what: String): String = e match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"joinGet: $what must be a string literal, got ${other.sql}")
+      }
+      val tbl = strLit(c(0), "the table name")
+      val valueCol = strLit(c(1), "the value column")
+      val df = spark.table(tbl)
+      val keyCol = df.columns.headOption.getOrElse(
+        throw new IllegalArgumentException(s"joinGet: table '$tbl' has no columns"))
+      require(df.columns.contains(valueCol),
+        s"joinGet: no column '$valueCol' in '$tbl' " +
+          s"(have: ${df.columns.mkString(", ")})")
+      val cap = 100000
+      val rows = df.select(org.apache.spark.sql.functions.col(keyCol),
+          org.apache.spark.sql.functions.col(valueCol))
+        .na.drop(Seq(keyCol)).take(cap + 1)
+      require(rows.length <= cap,
+        s"joinGet: '$tbl' exceeds $cap rows — use an explicit broadcast " +
+          "join for lookups at that size")
+      val keyT = df.schema(keyCol).dataType
+      val valT = df.schema(valueCol).dataType
+      val m = Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
+        org.apache.spark.sql.types.MapType(keyT, valT))
+      ElementAt(m, Cast(c(2), keyT), None, failOnError = false)
+    }
+
     // flattenTuple: nested tuple literals flatten to one level
     // [CH docs: tuple-functions#flattentuple]
     reg("flattenTuple") { c =>

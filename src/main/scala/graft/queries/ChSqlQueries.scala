@@ -1028,6 +1028,25 @@ object ChSqlQueries {
              THEN '61f0c404-5cb3-11e7-907b-a6006ad3dba0' END AS uu
       FROM nation ORDER BY k""")),
 
+    // joinGet: Join-engine-table lookups as plan-shipped literal maps
+    // (key = the table's first column); the oracle is the LEFT JOIN
+    // the lookup replaces — missing keys NULL, exactly CH's
+    // join_use_nulls=1 contract.
+    QDef("sql_ch_joinget", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+               joinGet('region', 'r_name', n_regionkey) AS rn,
+               joinGet('region', 'r_name', n_nationkey) AS maybe
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n.n_nationkey AS BIGINT) AS k, r.r_name AS rn,
+             r2.r_name AS maybe
+      FROM nation n
+      LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      LEFT JOIN region r2 ON n.n_nationkey = r2.r_regionkey
+      ORDER BY k""")),
+
     // Wave 30: the ML regression pack. stochasticLinearRegression's
     // deterministic closed form is checked against DuckDB's own
     // regr_slope/regr_intercept (independent covariance algebra), the
