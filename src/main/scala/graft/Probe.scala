@@ -1075,6 +1075,10 @@ object Probe {
       "SET custom_probe_knob = 'on'",
     "w33_get_after_set" ->
       "SELECT getSetting('custom_probe_knob') AS v",
+    "w33_show_describe" ->
+      "SHOW TABLES",
+    "w33_describe" ->
+      "DESCRIBE TABLE nation",
     "w31_tuple_url" ->
       "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
   )
