@@ -1079,6 +1079,8 @@ object Probe {
       "SHOW TABLES",
     "w33_describe" ->
       "DESCRIBE TABLE nation",
+    "w34_quantiles_plural_concat" ->
+      "SELECT quantilesTiming(0.5, 0.9)(toFloat64(l_quantity)) AS qt, quantilesDeterministic(0.25, 0.75)(toFloat64(l_quantity), l_orderkey) AS qd, groupConcat(',')(n_name2) AS gc1, groupConcat(n_name2) AS gc0, corrStable(toFloat64(l_quantity), toFloat64(l_extendedprice)) IS NOT NULL AS cs FROM (SELECT l_quantity, l_extendedprice, l_orderkey, substring(toString(l_linenumber), 1, 1) AS n_name2 FROM lineitem LIMIT 100)",
     "w31_tuple_url" ->
       "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
   )
