@@ -1486,6 +1486,60 @@ object PipelineQueries {
               FROM embeddings WHERE vec_id % 50 = 0))
       ORDER BY vec_id""")),
 
+    // Binary-sign embedding codes + Hamming top-k (binary passage
+    // retrieval, public technique): each 64-dim vector binarizes to
+    // sign bits packed into TWO 32-bit halves (one 64-bit word would
+    // overflow ANSI long arithmetic at the top bit), distance =
+    // bit_count(xor) — integer-exact, so the DuckDB twin matches
+    // bit-for-bit. Probes are a CONSTANT 3-vector set broadcast
+    // against the corpus (the ANN scale rule: candidates never come
+    // from an unbounded cross join); top-5 per probe via a window
+    // PARTITIONED BY probe id.
+    QDef("pipe_ann_hamming", (s, dir) => {
+      import s.implicits._
+      val codes = Tables(s, dir, "embeddings")
+        .selectExpr("vec_id",
+          """aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+               (acc, i) -> acc * 2 + IF(element_at(embedding, i + 1) > 0,
+                 CAST(1 AS BIGINT), CAST(0 AS BIGINT))) AS c1""",
+          """aggregate(sequence(32, 63), CAST(0 AS BIGINT),
+               (acc, i) -> acc * 2 + IF(element_at(embedding, i + 1) > 0,
+                 CAST(1 AS BIGINT), CAST(0 AS BIGINT))) AS c2""")
+      val probes = codes.filter($"vec_id".isin(7L, 123L, 321L))
+        .select($"vec_id".as("qid"), $"c1".as("q1"), $"c2".as("q2"))
+      codes.crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("ham", expr(
+          "bit_count(c1 ^ q1) + bit_count(c2 ^ q2)"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+            .orderBy($"ham", $"vec_id")))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk", $"vec_id", $"ham".cast("long").as("ham"))
+        .orderBy($"qid", $"rnk")
+    }, Some("""
+      WITH codes AS (
+        SELECT vec_id,
+               list_sum([CASE WHEN embedding[i] > 0
+                              THEN (CAST(1 AS BIGINT) << (32 - i))
+                              ELSE 0 END FOR i IN range(1, 33)]) AS c1,
+               list_sum([CASE WHEN embedding[i + 32] > 0
+                              THEN (CAST(1 AS BIGINT) << (32 - i))
+                              ELSE 0 END FOR i IN range(1, 33)]) AS c2
+        FROM embeddings),
+      probes AS (SELECT vec_id AS qid, c1 AS q1, c2 AS q2 FROM codes
+                 WHERE vec_id IN (7, 123, 321)),
+      dist AS (SELECT p.qid, c.vec_id,
+                      bit_count(xor(c.c1, p.q1)) +
+                        bit_count(xor(c.c2, p.q2)) AS ham
+               FROM codes c CROSS JOIN probes p WHERE c.vec_id != p.qid),
+      r AS (SELECT qid, vec_id, ham,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ham, vec_id) AS rnk
+            FROM dist)
+      SELECT qid, rnk, vec_id, CAST(ham AS BIGINT) AS ham
+      FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     QDef("pipe_embed_quantize", (s, dir) => {
       import s.implicits._
       Tables(s, dir, "embeddings")
