@@ -95,7 +95,8 @@ object Perf {
     "sql_ch_assoc_spellings", "sql_ch_w28_aggs", "sql_ch_w28_scalars",
     "sql_ch_w28_window", "sql_ch_w29_batch", "sql_ch_w29_approx_top",
     "sql_ch_w30_ml", "sql_ch_w31_batch", "agg_cat_iv",
-    "agg_interval_union")
+    "agg_interval_union", "sql_ch_w33_batch", "sql_ch_joinget",
+    "pipe_ann_hamming", "pipe_domain_mixture", "pipe_intradoc_dedup")
 
   /** `runMain graft.Perf --time [sfDir [query...]]`: wall-time a
     * query's cost split into front-door build (rewrite + analysis)
@@ -174,7 +175,13 @@ object Perf {
     sb ++= "`sql_ch_parametric` exec 0.39–0.48 s warm (build ~0.1 s) on the\n"
     sb ++= "QuantileExact + UniqUpTo path — one two-phase ObjectHashAggregate\n"
     sb ++= "pass, 2 exchanges (was ~0.9 s + 3 exchanges via builtin\n"
-    sb ++= "percentile + count(DISTINCT) Expand).\n\n"
+    sb ++= "percentile + count(DISTINCT) Expand). Late-r12 wave entries, same\n"
+    sb ++= "protocol: `sql_ch_w28_aggs` (11 stats aggregates incl. collected\n"
+    sb ++= "rankCorr/ETD over ~6k filtered rows) exec 0.52 s warm,\n"
+    sb ++= "`sql_ch_w30_ml` (two 600k-row ridge fits + apply) 0.34–0.43 s,\n"
+    sb ++= "`sql_ch_assoc_spellings` (4 association aggregates, full orders\n"
+    sb ++= "scan) 0.14–0.16 s, `sql_ch_w33_batch` (13 scalar columns over\n"
+    sb ++= "nation) 0.15–0.22 s — all single-pass plans, warm builds ≤ 0.25 s.\n\n"
     sb ++= "| query | shuffles | broadcasts | BNLJ | 1-part |\n"
     sb ++= "|---|---|---|---|---|\n"
     audits.foreach { a =>

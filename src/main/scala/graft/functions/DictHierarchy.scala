@@ -51,6 +51,49 @@ case class DictHierarchy(left: Expression, right: Expression)
       l: Expression, r: Expression): DictHierarchy = copy(left = l, right = r)
 }
 
+/** CH `bin(x)`: full 8-bit groups — for strings one group per UTF-8
+  * byte, for integers the value's full width (64 bits here; every
+  * integral lands on BIGINT in this engine). Type-dispatched at
+  * analysis so a numeric argument is NEVER silently stringified
+  * (bits of "13" ≠ bits of 13).
+  */
+case class BinCh(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bin"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bin expects a string or integral argument, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any = {
+    val bits = child.dataType match {
+      case StringType =>
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+          .map(b => f"${(b & 0xff).toBinaryString.toLong}%08d"
+            .takeRight(8)).mkString
+      case _ =>
+        val x = v match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+        }
+        String.format("%64s", java.lang.Long.toBinaryString(x))
+          .replace(' ', '0')
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(bits)
+  }
+  override protected def withNewChildrenInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): BinCh =
+    copy(child = c)
+}
+
 /** All transitive descendants of a key (`dictGetDescendants`); level
   * 0 = every descendant, level n = exactly depth n below the key. The
   * child index inverts the parent map ONCE per executor (transient
