@@ -89,7 +89,7 @@ case class BinCh(child: org.apache.spark.sql.catalyst.expressions.Expression)
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(bits)
   }
-  override protected def withNewChildrenInternal(
+  override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): BinCh =
     copy(child = c)
 }
