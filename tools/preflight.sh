@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Mechanical snapshot gate. Run before ANY end-of-round commit and
+# before any commit touching src/ that claims "done". Exits non-zero
+# on the first red step; the final line is PREFLIGHT OK only if every
+# step passed. Usage: tools/preflight.sh [--fast]
+#   --fast : compile + test only (inner-loop guard)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF=${SF_DIR:-/root/testdata/sf0.001}
+OUT=target/preflight_out
+
+echo "== preflight: compile =="
+sbt -batch compile
+
+if [[ "${1:-}" != "--fast" ]]; then
+  echo "== preflight: verify dump ($SF) =="
+  sbt -batch "runMain graft.Verify $SF $OUT"
+  echo "== preflight: duckdb gate =="
+  python3 tools/check.py "$SF" "$OUT"
+fi
+
+echo "== preflight: tests =="
+sbt -batch test
+
+echo "PREFLIGHT OK"
