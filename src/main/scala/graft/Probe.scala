@@ -864,7 +864,7 @@ object Probe {
     "w21_delta_sum_ts" ->
       "SELECT deltaSumTimestamp(v, t) AS ds FROM (SELECT n_nationkey AS t, CAST(n_nationkey * n_nationkey % 7 AS BIGINT) AS v FROM nation)",
     "w21_to_fixed_string" ->
-      "SELECT toFixedString('ab', 4) AS fs, toStringCutToZero('ab cd') AS cz",
+      "SELECT toFixedString('ab', 4) AS fs, toStringCutToZero('ab\u0000cd') AS cz",
     "w21_interval_to_sec" ->
       "SELECT dateDiff('second', toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 01:02:03')) AS dd",
     // ---- wave 22 (round 9): utility/no-op/lambda-array tails ----

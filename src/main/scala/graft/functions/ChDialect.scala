@@ -5111,16 +5111,18 @@ object ChDialect {
         out.distinct.toSeq
       }
     })
-    // bin with CH BYTE semantics (full 8-bit groups per input byte —
-    // Spark's builtin bin() is the minimal binary of a BIGINT, a
-    // different contract, so the CH spelling shadows it deliberately;
-    // the inverse unbin macro predates this, wave 19)
-    spark.udf.register(gd("bin"), (s: String) =>
-      if (s == null) null
-      else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .map(b => String.format("%8s",
-          java.lang.Integer.toBinaryString(b & 0xff)).replace(' ', '0'))
-        .mkString)
+    // bin with CH semantics (full 8-bit groups per string byte; a
+    // numeric argument prints its declared type's full width, never
+    // silently stringified — Spark's builtin bin() is the minimal
+    // binary of a BIGINT, a different contract, so the CH spelling
+    // shadows it deliberately; the inverse unbin macro predates this,
+    // wave 19). Native type-dispatched expression: BinCh (spec'd in
+    // BinChSpec).
+    locally {
+      guard("bin", "reg")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bin", (c: Seq[Expression]) => BinCh(c.head), "built-in")
+    }
 
     locally {
       // macro arguments are whole expressions — field access must go

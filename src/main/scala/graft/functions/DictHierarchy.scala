@@ -52,10 +52,11 @@ case class DictHierarchy(left: Expression, right: Expression)
 }
 
 /** CH `bin(x)`: full 8-bit groups — for strings one group per UTF-8
-  * byte, for integers the value's full width (64 bits here; every
-  * integral lands on BIGINT in this engine). Type-dispatched at
-  * analysis so a numeric argument is NEVER silently stringified
-  * (bits of "13" ≠ bits of 13).
+  * byte, for integers the declared type's full width (CH prints the
+  * width of the argument type: UInt8 → 8 bits, UInt64 → 64). Spark
+  * widths map directly: TINYINT→8, SMALLINT→16, INT→32, BIGINT→64.
+  * Type-dispatched at analysis so a numeric argument is NEVER
+  * silently stringified (bits of "13" ≠ bits of 13).
   */
 case class BinCh(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -78,14 +79,14 @@ case class BinCh(child: org.apache.spark.sql.catalyst.expressions.Expression)
           .map(b => f"${(b & 0xff).toBinaryString.toLong}%08d"
             .takeRight(8)).mkString
       case _ =>
-        val x = v match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case s: Short => s.toLong
-          case b: Byte => b.toLong
+        val (x, width) = v match {
+          case l: Long => (l, 64)
+          case i: Int => (i.toLong & 0xffffffffL, 32)
+          case s: Short => (s.toLong & 0xffffL, 16)
+          case b: Byte => (b.toLong & 0xffL, 8)
         }
-        String.format("%64s", java.lang.Long.toBinaryString(x))
-          .replace(' ', '0')
+        val raw = java.lang.Long.toBinaryString(x)
+        ("0" * (width - raw.length)) + raw
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(bits)
   }

@@ -214,16 +214,24 @@ case class PointInPolygon(first: Expression, second: Expression, third: Expressi
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (px, py, poly) => {
+      // freshName every local — hardcoded names collide when two such
+      // calls share one generated function (Janino "Redefinition of
+      // local variable" → silent interpreted fallback).
+      val n = ctx.freshName("n")
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
       s"""
-         |int n = $poly.numElements();
-         |double[] xs = new double[n]; double[] ys = new double[n];
-         |for (int i = 0; i < n; i++) {
-         |  org.apache.spark.sql.catalyst.InternalRow r = $poly.getStruct(i, 2);
-         |  xs[i] = r.getDouble(0); ys[i] = r.getDouble(1);
+         |int $n = $poly.numElements();
+         |double[] $xs = new double[$n]; double[] $ys = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $r = $poly.getStruct($i, 2);
+         |  $xs[$i] = $r.getDouble(0); $ys[$i] = $r.getDouble(1);
          |}
          |${ev.value} = graft.functions.GeoMath.pointInPolygon($px, $py,
-         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs),
-         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ys));
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($xs),
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($ys));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(

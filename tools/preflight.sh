@@ -7,7 +7,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SF=${SF_DIR:-/root/testdata/sf0.001}
+# Default to sf0.01 — the driver's gate scale. sf0.001 misses
+# data-dependent divergences (ns-timestamp, cardinality traps) that
+# only surface at the gate's fixture; use SF_DIR to override for a
+# faster inner loop.
+SF=${SF_DIR:-/root/testdata/sf0.01}
 OUT=target/preflight_out
 
 echo "== preflight: compile =="
