@@ -47,6 +47,17 @@ object Tables {
     * Filters and column pruning push through Repartition, so scan
     * pruning (`PushedFilters`/`ReadSchema`) is unchanged.
     */
+  /** Decision predicate, pure for testability (TablesSpec): few files
+    * relative to cores AND big enough to matter AND small enough that
+    * an always-on MEMORY_AND_DISK cache is safe. The upper cutoff is
+    * the load-bearing scale guard: without it a single multi-GB
+    * parquet file (2 files ≤ cores holds!) would be silently
+    * repartitioned AND persisted forever — an unbounded cache this
+    * "inert at real scale" helper must never create.
+    */
+  private[graft] def shouldParallelize(files: Int, cores: Int, bytes: Long): Boolean =
+    files * 2 <= cores && bytes > (1L << 18) && bytes <= (1L << 28)
+
   private def parallelize(spark: SparkSession, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
@@ -55,13 +66,13 @@ object Tables {
       spark.sparkContext.hadoopConfiguration)
     val bytes = files.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    if (bytes > (1L << 18))
+    if (shouldParallelize(files.length, cores, bytes))
       // persist too: the sessions here run hundreds of queries over
       // the same immutable fixture, so pay the one repartition shuffle
       // once and serve every later query from parallel in-memory
       // columnar batches (DISK spillover keeps it safe; at fixture
       // scale the whole table set is ~tens of MB). At real scale the
-      // guard above means neither the shuffle nor the cache exists.
+      // guards above mean neither the shuffle nor the cache exists.
       df.repartition(cores)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df

@@ -25,6 +25,58 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DateType, Decimal, Dec
   */
 object ChDialect {
 
+  /** joinGet lookup maps, collected ONCE per (session, table, column,
+    * analyzed-plan fingerprint) instead of on every analysis of every
+    * query using the function. The fingerprint is the view's analyzed
+    * plan semanticHash: a mutation snapshots into a new path and
+    * re-points the temp view, so its hash changes and the stale map is
+    * never served. Bounded: entries are 100k-row-capped maps, and the
+    * whole cache is cleared past 256 entries (long-lived session with
+    * many DML rounds).
+    */
+  private val joinGetCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Int),
+    (Literal, DataType, DataType)]()
+
+  /** Observable build count, so a spec can assert the cache actually
+    * prevents re-collects (not part of the public surface).
+    */
+  private[graft] val joinGetBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def joinGetMapLit(spark: SparkSession, tblE: Expression,
+      colE: Expression): (Literal, DataType, DataType) = {
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"joinGet: $what must be a string literal, got ${other.sql}")
+    }
+    val tbl = strLit(tblE, "the table name")
+    val valueCol = strLit(colE, "the value column")
+    val df = spark.table(tbl)
+    val fp = df.queryExecution.analyzed.semanticHash()
+    if (joinGetCache.size > 256) joinGetCache.clear()
+    joinGetCache.computeIfAbsent((spark, tbl, valueCol, fp), { _ =>
+      joinGetBuilds.incrementAndGet()
+      val keyCol = df.columns.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"joinGet: table '$tbl' has no columns"))
+      require(df.columns.contains(valueCol),
+        s"joinGet: no column '$valueCol' in '$tbl' " +
+          s"(have: ${df.columns.mkString(", ")})")
+      val cap = 100000
+      val rows = df.select(org.apache.spark.sql.functions.col(keyCol),
+          org.apache.spark.sql.functions.col(valueCol))
+        .na.drop(Seq(keyCol)).take(cap + 1)
+      require(rows.length <= cap,
+        s"joinGet: '$tbl' exceeds $cap rows — use an explicit broadcast " +
+          "join for lookups at that size")
+      val keyT = df.schema(keyCol).dataType
+      val valT = df.schema(valueCol).dataType
+      (Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
+        org.apache.spark.sql.types.MapType(keyT, valT)), keyT, valT)
+    })
+  }
+
   /** CH name → Spark builtin with identical argument semantics. */
   private val builtinAliases: Map[String, String] = Map(
     "lengthUTF8" -> "length",
@@ -3591,32 +3643,25 @@ object ChDialect {
     // table works; the join key is the table's FIRST column (the Join
     // engine's declared key). Same plan-shipped literal-map model as
     // dictGet, capped (in-RAM contract both sides).
+    // CH contract: joinGet falls back to the value TYPE's default on a
+    // missing key (0 / '' / false — join_use_nulls off, the CH
+    // default); joinGetOrNull is the NULL-returning spelling. The
+    // collected map is cached per (session, table, column, plan
+    // fingerprint) — the builder runs on EVERY analysis of a query
+    // using it, and re-collecting up to 100k rows each time was a
+    // per-query driver cost. A mutation snapshots into a NEW path and
+    // re-points the view, changing the fingerprint, so stale maps are
+    // never served.
     reg("joinGet") { c =>
       require(c.size == 3, "joinGet('table', 'valueCol', key)")
-      def strLit(e: Expression, what: String): String = e match {
-        case Literal(s, StringType) if s != null => s.toString
-        case other => throw new IllegalArgumentException(
-          s"joinGet: $what must be a string literal, got ${other.sql}")
-      }
-      val tbl = strLit(c(0), "the table name")
-      val valueCol = strLit(c(1), "the value column")
-      val df = spark.table(tbl)
-      val keyCol = df.columns.headOption.getOrElse(
-        throw new IllegalArgumentException(s"joinGet: table '$tbl' has no columns"))
-      require(df.columns.contains(valueCol),
-        s"joinGet: no column '$valueCol' in '$tbl' " +
-          s"(have: ${df.columns.mkString(", ")})")
-      val cap = 100000
-      val rows = df.select(org.apache.spark.sql.functions.col(keyCol),
-          org.apache.spark.sql.functions.col(valueCol))
-        .na.drop(Seq(keyCol)).take(cap + 1)
-      require(rows.length <= cap,
-        s"joinGet: '$tbl' exceeds $cap rows — use an explicit broadcast " +
-          "join for lookups at that size")
-      val keyT = df.schema(keyCol).dataType
-      val valT = df.schema(valueCol).dataType
-      val m = Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
-        org.apache.spark.sql.types.MapType(keyT, valT))
+      val (m, keyT, valT) = joinGetMapLit(spark, c(0), c(1))
+      Coalesce(Seq(
+        ElementAt(m, Cast(c(2), keyT), None, failOnError = false),
+        typeDefault(valT)))
+    }
+    reg("joinGetOrNull") { c =>
+      require(c.size == 3, "joinGetOrNull('table', 'valueCol', key)")
+      val (m, keyT, _) = joinGetMapLit(spark, c(0), c(1))
       ElementAt(m, Cast(c(2), keyT), None, failOnError = false)
     }
 

@@ -21,6 +21,20 @@ object Aggregates {
 
   private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
 
+  /** Shared loud per-group cap for the collected-state aggregators
+    * (MannWhitneyU, KolmogorovSmirnov, RankCorr, Lttb,
+    * IntervalLengthSum): 2^24 collected values ≈ 256 MB of serialized
+    * buffer for pair-state — past that a hot group silently spills or
+    * OOMs an executor at scale, so fail with the bounded alternative
+    * named instead (same pattern as QuantileExact's DoubleVec.MaxN and
+    * LogRegFit's 1<<22 cap).
+    */
+  private[graft] val CollectCap: Int = 1 << 24
+
+  private[graft] def capCheck(n: Int, fn: String, alt: String): Unit =
+    require(n < CollectCap,
+      s"$fn: group exceeds $CollectCap collected values — $alt")
+
   /** One funnel/sequence input: event time (µs) + matched step
     * (1-based; emit only step>0 rows).
     */
@@ -930,13 +944,19 @@ object Aggregates {
         (Double, Double)] with Serializable {
     require(Seq("two-sided", "greater", "less").contains(alternative),
       s"mannWhitneyUTest: unknown alternative '$alternative'")
+    private def mwCap(n: Int): Unit = capCheck(n, "mannWhitneyUTest",
+      "sample the group or use meanZTest (moment-based, O(1) state)")
     def zero: (Vector[Double], Vector[Double]) = (Vector.empty, Vector.empty)
     def reduce(b: (Vector[Double], Vector[Double]), in: (Double, Long)):
-        (Vector[Double], Vector[Double]) =
+        (Vector[Double], Vector[Double]) = {
+      mwCap(b._1.size + b._2.size)
       if (in._2 == 0L) (b._1 :+ in._1, b._2) else (b._1, b._2 :+ in._1)
+    }
     def merge(a: (Vector[Double], Vector[Double]),
-        b: (Vector[Double], Vector[Double])): (Vector[Double], Vector[Double]) =
+        b: (Vector[Double], Vector[Double])): (Vector[Double], Vector[Double]) = {
+      mwCap(a._1.size + a._2.size + b._1.size + b._2.size - 1)
       (a._1 ++ b._1, a._2 ++ b._2)
+    }
     // Abramowitz & Stegun 7.1.26 erf (|err| < 1.5e-7), for Φ tails
     private def erfAS(x0: Double): Double = {
       val sign = if (x0 < 0) -1.0 else 1.0
@@ -997,13 +1017,19 @@ object Aggregates {
         (Double, Double)] with Serializable {
     require(alternative == "two-sided",
       "kolmogorovSmirnovTest: only 'two-sided' is supported")
+    private def ksCap(n: Int): Unit = capCheck(n, "kolmogorovSmirnovTest",
+      "sample the group or compare t-digest quantile sketches (quantileTDigest)")
     def zero: (Vector[Double], Vector[Double]) = (Vector.empty, Vector.empty)
     def reduce(b: (Vector[Double], Vector[Double]), in: (Double, Long)):
-        (Vector[Double], Vector[Double]) =
+        (Vector[Double], Vector[Double]) = {
+      ksCap(b._1.size + b._2.size)
       if (in._2 == 0L) (b._1 :+ in._1, b._2) else (b._1, b._2 :+ in._1)
+    }
     def merge(a: (Vector[Double], Vector[Double]),
-        b: (Vector[Double], Vector[Double])): (Vector[Double], Vector[Double]) =
+        b: (Vector[Double], Vector[Double])): (Vector[Double], Vector[Double]) = {
+      ksCap(a._1.size + a._2.size + b._1.size + b._2.size - 1)
       (a._1 ++ b._1, a._2 ++ b._2)
+    }
     private def probks(lambda: Double): Double = {
       var sum = 0.0; var sign = 1.0
       var k = 1
@@ -1144,9 +1170,15 @@ object Aggregates {
       extends Aggregator[(Double, Double), Vector[(Double, Double)],
         Seq[(Double, Double)]] with Serializable {
     require(buckets >= 2, s"lttb needs at least 2 buckets, got $buckets")
+    private def lttbCap(n: Int): Unit = capCheck(n, "lttb",
+      "pre-aggregate the series into time buckets first (the agg_lttb relational form)")
     def zero: Vector[(Double, Double)] = Vector.empty
-    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = b :+ in
-    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = a ++ b
+    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = {
+      lttbCap(b.size); b :+ in
+    }
+    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = {
+      lttbCap(a.size + b.size - 1); a ++ b
+    }
     def finish(b0: Vector[(Double, Double)]): Seq[(Double, Double)] = {
       val pts = b0.sorted
       val n = pts.size
@@ -1200,9 +1232,15 @@ object Aggregates {
   class RankCorr
       extends Aggregator[(Double, Double), Vector[(Double, Double)], Double]
       with Serializable {
+    private def rcCap(n: Int): Unit = capCheck(n, "rankCorr",
+      "sample the group or use corr over window-ranked columns")
     def zero: Vector[(Double, Double)] = Vector.empty
-    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = b :+ in
-    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = a ++ b
+    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = {
+      rcCap(b.size); b :+ in
+    }
+    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = {
+      rcCap(a.size + b.size - 1); a ++ b
+    }
     private def fracRanks(v: Vector[Double]): Array[Double] = {
       val n = v.size
       val idx = v.indices.sortBy(v(_))
@@ -1519,10 +1557,16 @@ object Aggregates {
   class IntervalLengthSum
       extends Aggregator[(Double, Double), Vector[(Double, Double)], Double]
       with Serializable {
+    private def ilsCap(n: Int): Unit = capCheck(n, "intervalLengthSum",
+      "pre-merge intervals per sub-key before aggregating")
     def zero: Vector[(Double, Double)] = Vector.empty
-    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) =
+    def reduce(b: Vector[(Double, Double)], in: (Double, Double)) = {
+      ilsCap(b.size)
       if (in._1 < in._2) b :+ in else b
-    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = a ++ b
+    }
+    def merge(a: Vector[(Double, Double)], b: Vector[(Double, Double)]) = {
+      ilsCap(a.size + b.size - 1); a ++ b
+    }
     def finish(b: Vector[(Double, Double)]): Double = {
       if (b.isEmpty) return 0.0
       val s = b.sorted

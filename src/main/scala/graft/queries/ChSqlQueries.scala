@@ -1037,11 +1037,13 @@ object ChSqlQueries {
       Graft.sql(s, """
         SELECT CAST(n_nationkey AS Int64) AS k,
                joinGet('region', 'r_name', n_regionkey) AS rn,
-               joinGet('region', 'r_name', n_nationkey) AS maybe
+               joinGetOrNull('region', 'r_name', n_nationkey) AS maybe,
+               joinGet('region', 'r_name', n_nationkey) AS dflt
         FROM nation ORDER BY k""")
     }, Some("""
       SELECT CAST(n.n_nationkey AS BIGINT) AS k, r.r_name AS rn,
-             r2.r_name AS maybe
+             r2.r_name AS maybe,
+             coalesce(r2.r_name, '') AS dflt
       FROM nation n
       LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
       LEFT JOIN region r2 ON n.n_nationkey = r2.r_regionkey

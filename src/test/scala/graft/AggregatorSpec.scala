@@ -500,4 +500,31 @@ class AggregatorSpec extends AnyFunSuite {
       b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce)))
     assert(merged == m)
   }
+
+  test("collected-state aggregators fail loudly at the shared cap, naming the bounded alternative") {
+    // The cap (2^24 values per group) exists so a hot group at scale
+    // fails with guidance instead of silently spilling/OOMing. Pin the
+    // threshold and the refusal text (the guidance IS the contract).
+    assert(Aggregates.CollectCap == (1 << 24))
+    // under the cap: no throw
+    Aggregates.capCheck(Aggregates.CollectCap - 1, "x", "y")
+    def msg(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    val m = msg(Aggregates.capCheck(Aggregates.CollectCap, "mannWhitneyUTest",
+      "sample the group or use meanZTest (moment-based, O(1) state)"))
+    assert(m.contains("mannWhitneyUTest: group exceeds 16777216 collected values"))
+    assert(m.contains("meanZTest"))
+    // the aggregators keep working under the cap (wiring sanity)
+    val mw = new Aggregates.MannWhitneyU()
+    assert(mw.finish(mw.reduce(mw.reduce(mw.zero, (1.0, 0L)), (2.0, 1L)))._1 >= 0.0)
+    val alts = Seq(
+      ("lttb", "pre-aggregate the series into time buckets"),
+      ("kolmogorovSmirnovTest", "quantileTDigest"),
+      ("rankCorr", "window-ranked columns"),
+      ("intervalLengthSum", "pre-merge intervals"))
+    alts.foreach { case (fn, alt) =>
+      assert(msg(Aggregates.capCheck(Aggregates.CollectCap, fn, alt))
+        .contains(fn) )
+    }
+  }
 }

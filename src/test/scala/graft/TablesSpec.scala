@@ -69,4 +69,18 @@ class TablesSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.TimestampType
     assert(Tables(spark, dir, "events").schema("ts").dataType == TimestampType)
   }
+
+  test("parallelize guard: bounded on BOTH sides — never caches a huge file") {
+    // lower cutoff: tiny tables aren't worth the shuffle
+    assert(!Tables.shouldParallelize(1, 32, 1L << 18))
+    assert(Tables.shouldParallelize(1, 32, (1L << 18) + 1))
+    // file-count guard: many files already parallelize for free
+    assert(!Tables.shouldParallelize(17, 32, 1L << 20))
+    assert(Tables.shouldParallelize(16, 32, 1L << 20))
+    // upper cutoff: a single multi-GB file must NOT be silently
+    // repartitioned + persisted (the unbounded-cache hazard)
+    assert(Tables.shouldParallelize(1, 32, 1L << 28))
+    assert(!Tables.shouldParallelize(1, 32, (1L << 28) + 1))
+    assert(!Tables.shouldParallelize(2, 32, 8L << 30))
+  }
 }
