@@ -1070,7 +1070,7 @@ object Probe {
     "w33_paths_roles" ->
       "SELECT basename('/opt/data/file.txt') AS b, pathFull('https://ex.com/a/b?q=1') AS pf, firstLine(concat('line1', char(10), 'line2')) AS fl, shardNum() AS sn, shardCount() AS sc, currentProfiles() AS cp, arrayFirstOrNull(x -> x > 10, [1, 2, 3]) IS NULL AS afn, arrayLastOrNull(x -> x > 1, [1, 2, 3]) AS aln, indexOfAssumeSorted([10, 20, 30], 20) AS ioa, countSubstringsCaseInsensitive('AbAb', 'ab') AS csci, hasTokenCaseInsensitive('Hello World', 'hello') AS htci, multiMatchAllIndices('hello', ['^h', 'z', 'o$']) AS mmi, toDecimal256(1.5, 2) AS td",
     "w33_settings_joinget" ->
-      "SELECT getSettingOrDefault('totally_unset', 'dflt') AS d, joinGet('region', 'r_name', 2) AS jg, joinGet('region', 'r_name', 99) IS NULL AS jgn",
+      "SELECT getSettingOrDefault('totally_unset', 'dflt') AS d, joinGet('region', 'r_name', 2) AS jg, joinGet('region', 'r_name', 99) = '' AS jgd, joinGetOrNull('region', 'r_name', 99) IS NULL AS jgn",
     "w33_set_then_get" ->
       "SET custom_probe_knob = 'on'",
     "w33_get_after_set" ->
