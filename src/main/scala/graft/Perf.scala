@@ -150,14 +150,57 @@ object Perf {
     case class Audit(name: String, shuffles: Int, broadcasts: Int,
         bnlj: Int, singlePartition: Int, plan: String)
 
+    // Count EXECUTED operator instances, not textual occurrences: a
+    // persisted subtree's defining plan prints once per
+    // InMemoryTableScan reference (with fresh expr ids, so line-dedup
+    // can't fix it) but runs ONCE — walk the tree and descend into
+    // each cached relation exactly once (identity-keyed).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, SinglePartition}
+    def nodes(root: SparkPlan): Seq[SparkPlan] = {
+      // key on the shared cacheBuilder: each reference to one cache
+      // holds its own InMemoryRelation COPY (fresh output attrs), but
+      // they all share the builder that materializes the RDD once
+      val seen = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+      val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+      def walk(p: SparkPlan): Unit = {
+        out += p
+        p match {
+          case t: InMemoryTableScanExec =>
+            if (seen.put(t.relation.cacheBuilder, t.relation.cacheBuilder) == null)
+              walk(t.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan) // AQE root/cached-plan wrapper has no children
+          case _ =>
+        }
+        p.children.foreach(walk)
+        p.subqueries.foreach(walk)
+      }
+      walk(root)
+      out.toSeq
+    }
+
     val audits = names.map { n =>
-      val plan = SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.executedPlan.toString
+      val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString
+      val ns = nodes(qe.executedPlan)
       Audit(n,
-        shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length,
-        broadcasts = "BroadcastExchange".r.findAllIn(plan).length,
-        bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length,
-        singlePartition = "Exchange SinglePartition".r.findAllIn(plan).length,
+        shuffles = ns.count {
+          case s: ShuffleExchangeExec => s.outputPartitioning match {
+            case _: HashPartitioning | _: RangePartitioning => true
+            case _ => false
+          }
+          case _ => false
+        },
+        broadcasts = ns.count(_.isInstanceOf[BroadcastExchangeExec]),
+        bnlj = ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        singlePartition = ns.count {
+          case s: ShuffleExchangeExec => s.outputPartitioning == SinglePartition
+          case _ => false
+        },
         plan = plan)
     }
 
@@ -171,6 +214,10 @@ object Perf {
     sb ++= "acceptable for bounded broadcast-scalar demonstrators); 1-part =\n"
     sb ++= "`Exchange SinglePartition` (a global serial point — only acceptable\n"
     sb ++= "on bounded aggregated series or final scalar folds).\n\n"
+    sb ++= "Counts are EXECUTED operator instances (tree walk, each persisted\n"
+    sb ++= "subtree counted once via its shared cacheBuilder) — the printed plan\n"
+    sb ++= "repeats a cached subtree per reference, which the pre-r14 regex\n"
+    sb ++= "counts double-counted.\n\n"
     sb ++= "Measured (`--time`, sf0.1, local[32], 4 warm rounds, round 12):\n"
     sb ++= "`sql_ch_parametric` exec 0.39–0.48 s warm (build ~0.1 s) on the\n"
     sb ++= "QuantileExact + UniqUpTo path — one two-phase ObjectHashAggregate\n"

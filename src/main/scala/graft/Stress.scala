@@ -172,7 +172,6 @@ object Stress {
       .agg(count(lit(1)).as("tf")).persist(StorageLevel.DISK_ONLY)
     val prof2 = dt.groupBy($"lang".as("plang"), $"tok").agg(sum($"tf").as("c"))
       .persist(StorageLevel.DISK_ONLY)
-    val langs2 = prof2.select($"plang").distinct()
     val vocab2 = prof2.agg(countDistinct($"tok").as("v"))
     val consts2 = prof2.groupBy($"plang").agg(sum($"c").as("n_l"))
       .crossJoin(broadcast(vocab2))
@@ -185,11 +184,13 @@ object Stress {
         round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
       .groupBy($"doc_id", $"lang", $"plang")
       .agg(sum($"logc" * $"tf").as("msum"))
+    // grid fan-out via broadcast consts (langs ⊂ consts — no separate
+    // distinct frame); winner via the doc_id-PARTITIONED window —
+    // same shape as the declared pipe_lang_id
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
-    val langId = ntf2.crossJoin(broadcast(langs2))
+    val langId = ntf2.crossJoin(broadcast(consts2))
       .join(matched2, Seq("doc_id", "lang", "plang"), "left")
-      .join(broadcast(consts2), Seq("plang"))
       .withColumn("score", coalesce($"msum", lit(0).cast(D)) - $"ntf" * $"logd")
       .withColumn("rn", row_number().over(w0)).filter($"rn" === 1)
       .groupBy($"lang", $"plang").agg(count(lit(1)).as("n"))

@@ -234,28 +234,44 @@ object Extras2Queries {
       WHERE i % 3 = 0""")),
 
     // largestTriangleThreeBuckets (time-series downsampling), in the
-    // fixed-anchor relational variant: anchors are the NEIGHBOR BUCKET
-    // MEANS rather than the previously-selected point (the sequential
-    // dependence of classic LTTB doesn't distribute; with mean anchors
-    // every bucket picks independently — two scans + one 20-row
-    // window, scale-safe at any series length). Endpoint buckets keep
-    // their first/last point.
+    // fixed-anchor relational variant: anchors are the bucket±1
+    // NEIGHBOR BUCKET MEANS rather than the previously-selected point
+    // (the sequential dependence of classic LTTB doesn't distribute;
+    // with mean anchors every bucket picks independently — one
+    // persisted bucket scan + tiny broadcast self-joins, scale-safe at
+    // any series length). Endpoint buckets keep their first/last point.
     QDef("agg_lttb", (s, dir) => {
       import s.implicits._
       val nB = 20
       val ev = Tables(s, dir, "events")
         .select($"event_id", unix_micros($"ts").as("x"), $"value".as("y"))
+      // 1×1-row broadcast scalar fold — the accepted bounded-BNLJ idiom
+      // (a constant-key equi-join folds back to BNLJ anyway)
       val mm = ev.agg(min($"x").as("lo"), max($"x").as("hi"))
       val pts = ev.crossJoin(broadcast(mm))
         .withColumn("w", expr(s"(hi - lo) div $nB + 1")) // integer div — matches DuckDB //
         .withColumn("bucket", expr("(x - lo) div w"))
+        .select($"event_id", $"x", $"y", $"bucket")
+        // both bm and ranked read pts: persist so the source scan +
+        // scalar fold run once (DISK_ONLY — columnar batch reuse
+        // without memory pressure)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val bm = pts.groupBy($"bucket")
         .agg((sum($"x".cast("decimal(30,6)")) / count(lit(1))).cast("double").as("mx"),
           (sum($"y".cast("decimal(22,6)")) / count(lit(1))).cast("double").as("my"))
-      val wb = Window.orderBy($"bucket") // 20 rows — bounded
+        // ≤nB rows, read by the anchor base + both neighbor shifts:
+        // persist so the bucket aggregation runs once, not three times
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      // anchors = NEIGHBOR-INDEX bucket means (bucket±1), via two tiny
+      // broadcast self-joins — no global single-partition window; an
+      // empty neighbor bucket yields NULL exactly like the oracle's
+      // bucket±1 join
       val anchors = bm
-        .withColumn("pmx", lag($"mx", 1).over(wb)).withColumn("pmy", lag($"my", 1).over(wb))
-        .withColumn("nmx", lead($"mx", 1).over(wb)).withColumn("nmy", lead($"my", 1).over(wb))
+        .join(broadcast(bm.select(($"bucket" + 1).as("bucket"),
+          $"mx".as("pmx"), $"my".as("pmy"))), Seq("bucket"), "left")
+        .join(broadcast(bm.select(($"bucket" - 1).as("bucket"),
+          $"mx".as("nmx"), $"my".as("nmy"))), Seq("bucket"), "left")
+        .select($"bucket", $"pmx", $"pmy", $"nmx", $"nmy")
       val ranked = pts.join(broadcast(anchors), Seq("bucket"))
         .withColumn("area", abs(($"pmx" - $"nmx") * ($"y" - $"pmy") -
           ($"pmx" - $"x") * ($"nmy" - $"pmy")))
@@ -275,12 +291,11 @@ object Extras2Queries {
                     CAST(sum(CAST(x AS DECIMAL(30,6))) / count(*) AS DOUBLE) AS mx,
                     CAST(sum(CAST(y AS DECIMAL(22,6))) / count(*) AS DOUBLE) AS my
              FROM pts GROUP BY bucket),
-      anchors AS (SELECT bucket,
-                         lag(mx) OVER (ORDER BY bucket) AS pmx,
-                         lag(my) OVER (ORDER BY bucket) AS pmy,
-                         lead(mx) OVER (ORDER BY bucket) AS nmx,
-                         lead(my) OVER (ORDER BY bucket) AS nmy
-                  FROM bm),
+      anchors AS (SELECT b.bucket, p.mx AS pmx, p.my AS pmy,
+                         n.mx AS nmx, n.my AS nmy
+                  FROM bm b
+                  LEFT JOIN bm p ON p.bucket = b.bucket - 1
+                  LEFT JOIN bm n ON n.bucket = b.bucket + 1),
       ranked AS (
         SELECT p.bucket, p.x, p.y,
                row_number() OVER (PARTITION BY p.bucket ORDER BY

@@ -754,7 +754,6 @@ object PipelineQueries {
       val prof = docToks.groupBy($"lang".as("plang"), $"tok")
         .agg(sum($"tf").as("c"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val langs = prof.select($"plang").distinct()
       val vocab = prof.agg(countDistinct($"tok").as("v"))
       // per-lang penalty constant log(n_l + v): dictionary-sized,
       // broadcast — every unmatched token costs exactly this
@@ -776,11 +775,16 @@ object PipelineQueries {
           round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
         .groupBy($"doc_id", $"lang", $"plang")
         .agg(sum($"logc" * $"tf").as("msum"))
-      val scored = ntf.crossJoin(broadcast(langs))
+      // grid fan-out rides the broadcast consts directly (langs ⊂
+      // consts — no separate distinct frame); the aggregation exchange
+      // on matched is reused as the join's required partitioning
+      val scored = ntf.crossJoin(broadcast(consts))
         .join(matched, Seq("doc_id", "lang", "plang"), "left")
-        .join(broadcast(consts), Seq("plang"))
         .withColumn("score",
           coalesce($"msum", lit(0).cast(D)) - $"ntf" * $"logd")
+      // winner per doc via the doc_id-PARTITIONED window (scale-safe:
+      // bounded |langs| rows per partition key; measured faster than a
+      // min(struct) SortAggregate at the 100× stress scale)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
