@@ -1082,7 +1082,38 @@ object Probe {
     "w34_quantiles_plural_concat" ->
       "SELECT quantilesTiming(0.5, 0.9)(toFloat64(l_quantity)) AS qt, quantilesDeterministic(0.25, 0.75)(toFloat64(l_quantity), l_orderkey) AS qd, groupConcat(',')(n_name2) AS gc1, groupConcat(n_name2) AS gc0, corrStable(toFloat64(l_quantity), toFloat64(l_extendedprice)) IS NOT NULL AS cs FROM (SELECT l_quantity, l_extendedprice, l_orderkey, substring(toString(l_linenumber), 1, 1) AS n_name2 FROM lineitem LIMIT 100)",
     "w31_tuple_url" ->
-      "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph"
+      "SELECT tupleIntDiv(tuple(15, 10), tuple(4, 3)) AS ti, tupleModulo(tuple(15, 10), tuple(4, 3)) AS tm, arrayStringConcat(URLHierarchy('https://example.com/browse/conv/x?q=1'), ' ') AS uh, arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv/'), ' ') AS uph",
+    // ---- wave 35 (r14 gap sweep) ----
+    "w35_start_of_minutes" ->
+      "SELECT toStartOfFiveMinutes(toDateTime('2024-03-05 10:37:21')) AS m5, toStartOfTenMinutes(toDateTime('2024-03-05 10:37:21')) AS m10, toStartOfFifteenMinutes(toDateTime('2024-03-05 10:37:21')) AS m15",
+    "w35_array_rotate_shift" ->
+      "SELECT arrayRotateLeft([1,2,3,4,5], 2) AS rl, arrayRotateRight([1,2,3,4,5], 2) AS rr, arrayShiftLeft([1,2,3,4,5], 2) AS sl, arrayShiftRight([1,2,3,4,5], 2) AS sr, arrayShiftLeft([1,2,3], 1, 9) AS slf",
+    "w35_array_fold" ->
+      "SELECT arrayFold((acc, x) -> acc + x, [1,2,3,4], toInt64(0)) AS f",
+    "w35_map_hof" ->
+      "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1, 'b', 2)) AS ma, mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, mapUpdate(map('a', 1), map('a', 9, 'b', 2)) AS mu",
+    "w35_position_variants" ->
+      "SELECT positionCaseInsensitive('Hello World', 'WORLD') AS p1, positionUTF8('héllo', 'llo') AS p2, locate('lo', 'hello') AS lc",
+    "w35_time_slots" ->
+      "SELECT timeSlot(toDateTime('2024-03-05 10:37:21')) AS ts1, length(timeSlots(toDateTime('2024-03-05 10:00:00'), toUInt32(3600))) AS n",
+    "w35_array_jaccard" ->
+      "SELECT round(arrayJaccardIndex([1,2,3], [2,3,4]), 4) AS j",
+    "w35_unix64_nano" ->
+      "SELECT toUnixTimestamp64Nano(toDateTime64('2024-03-05 10:00:00.123', 3)) AS n, fromUnixTimestamp64Milli(toInt64(1709632800123)) AS b",
+    "w35_punycode" ->
+      "SELECT punycodeEncode('münchen') AS pe, punycodeDecode('mnchen-3ya') AS pd",
+    "w35_split_variants" ->
+      "SELECT splitByNonAlpha('a,b c.d') AS s1, splitByWhitespace('a  b\tc') AS s2, arrayStringConcat(alphaTokens('ab12cd'), '-') AS at",
+    "w35_ulid_like" ->
+      "SELECT length(generateUUIDv7()) >= 0 AS u7ok, toString(generateSnowflakeID() > 0) AS sf",
+    "w35_substring_utf8" ->
+      "SELECT substringUTF8('héllo wörld', 2, 4) AS su, leftUTF8('héllo', 2) AS lu, rightUTF8('héllo', 2) AS ru, reverseUTF8('héllo') AS rv",
+    "w35_bit_slice" ->
+      "SELECT bitSlice('hello', 9, 16) AS bs, byteSlice('hello', 2, 2) AS ys",
+    "w35_enum_like" ->
+      "SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS t, caseWithExpression(2, 1, 'x', 2, 'y', 'z') AS c",
+    "w35_width_bucket" ->
+      "SELECT widthBucket(3.5, 0, 10, 5) AS wb, proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') IS NOT NULL AS pz"
   )
 
   def main(argv: Array[String]): Unit = {

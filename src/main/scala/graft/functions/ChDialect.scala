@@ -1263,6 +1263,15 @@ object ChDialect {
       """concat(slice(__a, pmod(__n, size(__a)) + 1,
                       size(__a) - pmod(__n, size(__a))),
                 slice(__a, 1, pmod(__n, size(__a))))""")
+    // ns input truncates to the µs the engine can carry (CH's own
+    // DateTime64(6) cast behavior)
+    macroFn("fromUnixTimestamp64Nano", Seq("__n"),
+      "timestamp_micros(CAST(__n DIV 1000 AS BIGINT))")
+    // rotate right by n = rotate left by size−(n mod size)
+    macroFn("arrayRotateRight", Seq("__a", "__n"),
+      """concat(slice(__a, size(__a) - pmod(__n, size(__a)) + 1,
+                      pmod(__n, size(__a))),
+                slice(__a, 1, size(__a) - pmod(__n, size(__a))))""")
     macroFn("arrayShingles", Seq("__a", "__k"),
       "transform(sequence(1, size(__a) - __k + 1), i -> slice(__a, i, __k))")
     macroFn("bitHammingDistance", Seq("__a", "__b"),
@@ -1442,6 +1451,11 @@ object ChDialect {
     reg("toUnixTimestamp")(c => Cast(UnixTimestamp(unwrapTz(c.head), Literal("yyyy-MM-dd HH:mm:ss")), LongType))
     reg("toUnixTimestamp64Milli")(c => UnixMillis(Cast(unwrapTz(c.head), TimestampType)))
     reg("toUnixTimestamp64Micro")(c => UnixMicros(Cast(unwrapTz(c.head), TimestampType)))
+    // µs is the engine's native precision (Spark TIMESTAMP): the nano
+    // spelling scales exactly — sub-µs digits are zero, same as CH
+    // reading a DateTime64(6) column at nano precision
+    reg("toUnixTimestamp64Nano")(c => Multiply(
+      UnixMicros(Cast(unwrapTz(c.head), TimestampType)), Literal(1000L)))
 
     // -If aggregate combinators: agg only over rows where cond holds.
     // CH argument order (x, cond); a no-else CASE yields NULL for

@@ -1030,8 +1030,9 @@ object ChSqlQueries {
 
     // joinGet: Join-engine-table lookups as plan-shipped literal maps
     // (key = the table's first column); the oracle is the LEFT JOIN
-    // the lookup replaces — missing keys NULL, exactly CH's
-    // join_use_nulls=1 contract.
+    // the lookup replaces. joinGet falls back to the value TYPE's
+    // default on a miss (CH's join_use_nulls=0 default — '' here);
+    // joinGetOrNull is the NULL spelling (join_use_nulls=1).
     QDef("sql_ch_joinget", (s, dir) => {
       Graft.init(s, dir)
       Graft.sql(s, """
@@ -1048,6 +1049,34 @@ object ChSqlQueries {
       LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
       LEFT JOIN region r2 ON n.n_nationkey = r2.r_regionkey
       ORDER BY k""")),
+
+    // bin/unbin with CH width semantics through the front door: a
+    // numeric argument prints its declared type's FULL width (Int8→8
+    // … Int64→64 bits, never stringified), strings one 8-bit group
+    // per UTF-8 byte; unbin inverts the string payload. The oracle
+    // recomposes each width from DuckDB's minimal-bits bin via lpad
+    // (values are non-negative so no two's-complement divergence).
+    QDef("sql_ch_bin_widths", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT CAST(n_nationkey AS Int64) AS k,
+               bin(CAST(n_nationkey AS Int8)) AS b8,
+               bin(CAST(n_nationkey AS Int16)) AS b16,
+               bin(CAST(n_nationkey AS Int32)) AS b32,
+               bin(CAST(n_nationkey AS Int64)) AS b64,
+               bin(substring(n_name, 1, 2)) AS bs,
+               unbin(bin(n_name)) AS rt
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+             lpad(bin(n_nationkey), 8, '0') AS b8,
+             lpad(bin(n_nationkey), 16, '0') AS b16,
+             lpad(bin(n_nationkey), 32, '0') AS b32,
+             lpad(bin(n_nationkey), 64, '0') AS b64,
+             lpad(bin(ascii(substring(n_name, 1, 1))), 8, '0') ||
+               lpad(bin(ascii(substring(n_name, 2, 1))), 8, '0') AS bs,
+             n_name AS rt
+      FROM nation ORDER BY k""")),
 
     // Wave 30: the ML regression pack. stochasticLinearRegression's
     // deterministic closed form is checked against DuckDB's own

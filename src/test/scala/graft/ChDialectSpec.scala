@@ -1935,4 +1935,19 @@ class ChDialectSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-6,
       s"anova p ${r.getDouble(1)} vs t p ${r.getDouble(2)}")
   }
+
+  test("wave 35: arrayRotateRight and the nano unix-timestamp pair") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT arrayRotateRight([1, 2, 3, 4, 5], 2) AS rr,
+             arrayRotateRight([1, 2, 3], 7) AS rw,
+             toUnixTimestamp64Nano(toDateTime64('2024-03-05 10:00:00.123', 3)) AS n,
+             toString(fromUnixTimestamp64Nano(toInt64(1709632800123000000))) AS b
+      """).collect().head
+    assert(r.getSeq[Int](0) == Seq(4, 5, 1, 2, 3))
+    // rotation count wraps modulo size (7 ≡ 1 mod 3)
+    assert(r.getSeq[Int](1) == Seq(3, 1, 2))
+    assert(r.getLong(2) == 1709632800123000000L) // µs precision × 1000
+    assert(r.getString(3) == "2024-03-05 10:00:00.123")
+  }
 }
