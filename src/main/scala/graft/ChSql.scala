@@ -1988,6 +1988,7 @@ object ChSql {
       """sparkbar|meanZTest|mannWhitneyUTest|kolmogorovSmirnovTest|""" +
       """groupConcat|group_concat|""" +
       """topKWeighted|topK|histogram|windowFunnel|sequenceMatch|sequenceCount|""" +
+      """largestTriangleThreeBuckets|""" +
       """exponentialMovingAverage|[A-Za-z_]\w*Resample|""" +
       // catch-all for the long tail of quantile spellings
       // (quantileTimingWeighted, quantilesTDigest, …): the explicit
@@ -2163,6 +2164,20 @@ object ChSql {
         nArgs(1)
         s"reverse(slice(reverse(array_sort(collect_list(${args.head})$filt)), " +
           s"1, ${intParam(0)}))"
+      case "largesttrianglethreebuckets" =>
+        // largestTriangleThreeBuckets(n)(x, y) → the collected-state
+        // LTTB UDAF (ops/Aggregates.Lttb): classic mean-anchor
+        // downsampling over the group's sorted series, array of (x, y)
+        // tuples out [CH docs: aggregate-functions/reference/
+        // largestTriangleThreeBuckets]; capped at 2^24 points/group
+        // with loud guidance toward the relational agg_lttb form.
+        require(params.size == 1, s"$name0 takes the bucket-count parameter")
+        require(filt.isEmpty, s"${name0}If is not supported")
+        nArgs(2)
+        val nb = intParam(0)
+        val fn = s"__ch_lttb_$nb"
+        registerOnce(spark, fn)(udaf(new Aggregates.Lttb(nb)))
+        s"$fn(CAST(${args(0)} AS DOUBLE), CAST(${args(1)} AS DOUBLE))"
       case "mannwhitneyutest" =>
         // mannWhitneyUTest(['alternative'[, continuity]])(sample, idx)
         // → the collected-state UDAF (ops/Aggregates.MannWhitneyU);

@@ -1113,7 +1113,11 @@ object Probe {
     "w35_enum_like" ->
       "SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS t, caseWithExpression(2, 1, 'x', 2, 'y', 'z') AS c",
     "w35_width_bucket" ->
-      "SELECT widthBucket(3.5, 0, 10, 5) AS wb, proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') IS NOT NULL AS pz"
+      "SELECT widthBucket(3.5, 0, 10, 5) AS wb, proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') IS NOT NULL AS pz",
+    "w35_lttb_parametric" ->
+      "SELECT length(largestTriangleThreeBuckets(4)(toFloat64(n_nationkey), toFloat64(n_regionkey))) AS n FROM nation",
+    "w35_subsequence_ci" ->
+      "SELECT hasSubsequence('garbage', 'arg') AS h, hasSubsequenceCaseInsensitive('garbage', 'ARG') AS hc, hasSubsequenceCaseInsensitiveUTF8('München', 'mn') AS hu"
   )
 
   def main(argv: Array[String]): Unit = {

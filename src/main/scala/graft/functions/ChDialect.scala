@@ -1267,6 +1267,14 @@ object ChDialect {
     // DateTime64(6) cast behavior)
     macroFn("fromUnixTimestamp64Nano", Seq("__n"),
       "timestamp_micros(CAST(__n DIV 1000 AS BIGINT))")
+    // subsequence match ignoring case (the UTF8 spellings are
+    // identical here — the engine's strings are already char-wise)
+    macroFn("hasSubsequenceCaseInsensitive", Seq("__h", "__n"),
+      "hasSubsequence(lower(__h), lower(__n))")
+    macroFn("hasSubsequenceUTF8", Seq("__h", "__n"),
+      "hasSubsequence(__h, __n)")
+    macroFn("hasSubsequenceCaseInsensitiveUTF8", Seq("__h", "__n"),
+      "hasSubsequence(lower(__h), lower(__n))")
     // rotate right by n = rotate left by size−(n mod size)
     macroFn("arrayRotateRight", Seq("__a", "__n"),
       """concat(slice(__a, size(__a) - pmod(__n, size(__a)) + 1,

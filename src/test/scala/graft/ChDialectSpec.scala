@@ -1950,4 +1950,21 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getLong(2) == 1709632800123000000L) // µs precision × 1000
     assert(r.getString(3) == "2024-03-05 10:00:00.123")
   }
+
+  test("wave 35: largestTriangleThreeBuckets parametric = the Lttb aggregator") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val got = Graft.sql(spark,
+      "SELECT largestTriangleThreeBuckets(4)(toFloat64(n_nationkey), " +
+        "toFloat64(n_regionkey)) AS s FROM nation")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val data = Graft.sql(spark,
+      "SELECT toFloat64(n_nationkey) AS x, toFloat64(n_regionkey) AS y FROM nation")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val agg = new graft.ops.Aggregates.Lttb(4)
+    val want = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    assert(got.size == 4 && got == want)
+    // endpoints always kept
+    assert(got.head._1 == 0.0 && got.last._1 == 24.0)
+  }
 }
