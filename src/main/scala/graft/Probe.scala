@@ -1117,7 +1117,32 @@ object Probe {
     "w35_lttb_parametric" ->
       "SELECT length(largestTriangleThreeBuckets(4)(toFloat64(n_nationkey), toFloat64(n_regionkey))) AS n FROM nation",
     "w35_subsequence_ci" ->
-      "SELECT hasSubsequence('garbage', 'arg') AS h, hasSubsequenceCaseInsensitive('garbage', 'ARG') AS hc, hasSubsequenceCaseInsensitiveUTF8('München', 'mn') AS hu"
+      "SELECT hasSubsequence('garbage', 'arg') AS h, hasSubsequenceCaseInsensitive('garbage', 'ARG') AS hc, hasSubsequenceCaseInsensitiveUTF8('München', 'mn') AS hu",
+    // ---- wave 36 (r14 second sweep) ----
+    "w36_make_date" ->
+      "SELECT makeDate(2024, 3, 5) AS d, makeDateTime(2024, 3, 5, 10, 30, 0) AS dt, YYYYMMDDToDate(20240305) AS y1, YYYYMMDDhhmmssToDateTime(20240305103000) AS y2",
+    "w36_last_day" ->
+      "SELECT toLastDayOfMonth(toDate('2024-02-10')) AS lm, toLastDayOfWeek(toDate('2024-03-05')) AS lw, fromModifiedJulianDay(60374) AS mj",
+    "w36_add_sub_units" ->
+      "SELECT addYears(toDate('2024-02-29'), 1) AS ay, subtractMonths(toDate('2024-03-31'), 1) AS sm, addQuarters(toDate('2024-01-15'), 2) AS aq, subtractWeeks(toDate('2024-03-05'), 2) AS sw",
+    "w36_interval_spellings" ->
+      "SELECT toDate('2024-01-10') + toIntervalMonth(2) AS m, toDateTime('2024-01-10 00:00:00') + toIntervalHour(36) AS h, dateDiff('quarter', toDate('2023-01-01'), toDate('2024-03-05')) AS q",
+    "w36_map_misc" ->
+      "SELECT mapContains(map('a', 1), 'a') AS mc, mapKeys(map('a', 1, 'b', 2)) AS mk, mapValues(map('a', 1)) AS mv, mapFromArrays(['x','y'], [1,2]) AS mf",
+    "w36_ip_checks" ->
+      "SELECT isIPv4String('1.2.3.4') AS i4, isIPv4String('nope') AS n4, isIPv6String('::1') AS i6, IPv4CIDRToRange(toIPv4('192.168.5.2'), 16) AS r4",
+    "w36_geo_more" ->
+      "SELECT round(greatCircleAngle(-1.0, 52.0, 1.0, 52.0), 4) AS a, pointInEllipses(1.0, 1.0, 0.0, 0.0, 3.0, 3.0) AS pe",
+    "w36_tokens_ngrams" ->
+      "SELECT tokens('the quick fox') AS t, ngrams('abcd', 2) AS n",
+    "w36_array_aucpr" ->
+      "SELECT round(arrayAUCPR([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS pr, arrayCompact([1, 1, 2, 2, 1]) AS ac, arrayDifference([1, 4, 9]) AS ad",
+    "w36_decimal_ops" ->
+      "SELECT divideDecimal(toDecimal64(10.5, 2), toDecimal64(2.0, 2), 4) AS dd, multiplyDecimal(toDecimal64(1.5, 2), toDecimal64(2.5, 2), 3) AS md",
+    "w36_joda_format" ->
+      "SELECT formatDateTimeInJodaSyntax(toDateTime('2024-03-05 10:30:00'), 'yyyy-MM-dd HH:mm') AS j",
+    "w36_regexp_extract" ->
+      "SELECT regexpExtract('abc123def', '([0-9]+)', 1) AS r, extractAllGroupsVertical('k=v, a=b', '(\\\\w+)=(\\\\w+)') AS g"
   )
 
   def main(argv: Array[String]): Unit = {

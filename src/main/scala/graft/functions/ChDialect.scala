@@ -904,6 +904,9 @@ object ChDialect {
     reg("addYears")(c => AddMonths(Cast(c.head, DateType), Multiply(c(1), Literal(12))))
     reg("subtractYears")(c =>
       AddMonths(Cast(c.head, DateType), Multiply(UnaryMinus(c(1)), Literal(12))))
+    reg("addQuarters")(c => AddMonths(Cast(c.head, DateType), Multiply(c(1), Literal(3))))
+    reg("subtractQuarters")(c =>
+      AddMonths(Cast(c.head, DateType), Multiply(UnaryMinus(c(1)), Literal(3))))
 
     // chDateDiff('unit', start, end) — ClickHouse dateDiff with its
     // BOUNDARY-CROSSING semantics (both ends truncate to the unit,
@@ -1354,6 +1357,15 @@ object ChDialect {
     macroFn("isIPv4String", Seq("__s"),
       """__s RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$' AND
          forall(split(__s, '\\.'), x -> try_cast(x AS INT) <= 255)""")
+    // toIPv4 family: the IPv4 TYPE is the numeric address here, so
+    // the constructor IS the string→num parse; OrZero/OrNull guard
+    // through the validity check instead of try/catch
+    macroFn("toIPv4", Seq("__s"), "IPv4StringToNum(__s)")
+    macroFn("toIPv4OrZero", Seq("__s"),
+      "CASE WHEN isIPv4String(__s) THEN IPv4StringToNum(__s) ELSE CAST(0 AS BIGINT) END")
+    macroFn("toIPv4OrNull", Seq("__s"),
+      "CASE WHEN isIPv4String(__s) THEN IPv4StringToNum(__s) END")
+    // (toIPv6 already registered as a UDF in the IPv6 block below)
     // CIDR range as a (lo, hi) string struct — CH returns the tuple
     macroFn("IPv4CIDRToRange", Seq("__n", "__bits"),
       """named_struct(
@@ -1569,6 +1581,23 @@ object ChDialect {
                __i -> CASE WHEN array_position(__k, __i) > 0
                            THEN element_at(__v, CAST(array_position(__k, __i) AS INT))
                            ELSE element_at(__v, 1) * 0 END))""")
+    // divideDecimal/multiplyDecimal(a, b, result_scale): exact decimal
+    // arithmetic at an EXPLICIT result scale (wide-intermediate, then
+    // CAST which rounds HALF_UP — Spark's decimal cast convention).
+    // The scale-less 2-arg form refuses loudly instead of guessing
+    // CH's default-scale rule (close-but-wrong corrupts silently).
+    macroFnN("divideDecimal",
+      Seq("__a", "__b") ->
+        """raise_error('divideDecimal: pass the explicit result scale —
+           divideDecimal(a, b, result_scale)')""",
+      Seq("__a", "__b", "__s") ->
+        """round(CAST(__a AS DECIMAL(38,18)) / CAST(__b AS DECIMAL(38,18)), __s)""")
+    macroFnN("multiplyDecimal",
+      Seq("__a", "__b") ->
+        """raise_error('multiplyDecimal: pass the explicit result scale —
+           multiplyDecimal(a, b, result_scale)')""",
+      Seq("__a", "__b", "__s") ->
+        """round(CAST(__a AS DECIMAL(38,15)) * CAST(__b AS DECIMAL(38,15)), __s)""")
     // timeSlots(start, duration[, size=1800]): the half-hour (or
     // `size`-second) grid slots a [start, start+duration] interval
     // touches — CH's sessionization helper
@@ -3770,6 +3799,42 @@ object ChDialect {
       }
     spark.udf.register(gd("arrayAUC"), arrayAucFn)
     spark.udf.register(gd("arrayROCAUC"), arrayAucFn) // CH 24.x rename
+    // arrayAUCPR(scores, labels): area under the precision-recall
+    // curve by the step rule Σ (R_k − R_{k−1})·P_k over score-DESC
+    // order, equal-score blocks folded together (the standard
+    // average-precision estimator; formula documented here because PR
+    // integration conventions differ — spec-pinned known answers)
+    val arrayAucPrFn: (Seq[Double], Seq[Int]) => java.lang.Double =
+      (scores, labels) => {
+        if (scores == null || labels == null) null
+        else {
+          require(scores.size == labels.size, "arrayAUCPR: length mismatch")
+          val p = labels.count(_ != 0)
+          if (p == 0) java.lang.Double.valueOf(Double.NaN)
+          else {
+            val sorted = scores.zip(labels).sortBy(-_._1)
+            var tp = 0; var fp = 0; var prevR = 0.0; var area = 0.0
+            var i = 0
+            val n = sorted.size
+            while (i < n) {
+              var j = i
+              while (j + 1 < n && sorted(j + 1)._1 == sorted(i)._1) j += 1
+              var k = i
+              while (k <= j) {
+                if (sorted(k)._2 != 0) tp += 1 else fp += 1
+                k += 1
+              }
+              val r = tp.toDouble / p
+              if (r > prevR) {
+                area += (r - prevR) * (tp.toDouble / (tp + fp)); prevR = r
+              }
+              i = j + 1
+            }
+            java.lang.Double.valueOf(area)
+          }
+        }
+      }
+    spark.udf.register(gd("arrayAUCPR"), arrayAucPrFn)
     // query-log normalization: literals (strings, then numbers) → ?
     spark.udf.register(gd("normalizeQuery"), (q: String) =>
       if (q == null) null

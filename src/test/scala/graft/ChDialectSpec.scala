@@ -1967,4 +1967,30 @@ class ChDialectSpec extends AnyFunSuite {
     // endpoints always kept
     assert(got.head._1 == 0.0 && got.last._1 == 24.0)
   }
+
+  test("wave 36: quarters, toIPv4 family, arrayAUCPR, explicit-scale decimal ops") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT toString(addQuarters(toDate('2024-01-15'), 2)) AS aq,
+             toString(subtractQuarters(toDate('2024-01-15'), 1)) AS sq,
+             toIPv4('192.168.1.1') AS ip,
+             toIPv4OrZero('nope') AS ipz,
+             toIPv4OrNull('nope') IS NULL AS ipn,
+             round(arrayAUCPR([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS pr,
+             round(arrayAUCPR([0.9, 0.8, 0.7], [1, 1, 1]), 4) AS prAll,
+             toString(divideDecimal(toDecimal64(10.5, 2), toDecimal64(2.0, 2), 4)) AS dd,
+             toString(multiplyDecimal(toDecimal64(1.5, 2), toDecimal64(2.5, 2), 3)) AS md
+      """).collect().head
+    assert(r.getString(0) == "2024-07-15" && r.getString(1) == "2023-10-15")
+    assert(r.getLong(2) == ((192L << 24) | (168L << 16) | (1L << 8) | 1L))
+    assert(r.getLong(3) == 0L && r.getBoolean(4))
+    // step-rule AP: (0.5)(1) + (0.5)(2/3) = 0.8333…; all-positive = 1
+    assert(r.getDouble(5) == 0.8333 && r.getDouble(6) == 1.0)
+    assert(r.getString(7) == "5.2500" && r.getString(8) == "3.750")
+    // the scale-less decimal forms refuse loudly instead of guessing
+    val e = intercept[Exception](Graft.sql(spark,
+      "SELECT divideDecimal(toDecimal64(1.0, 1), toDecimal64(2.0, 1)) AS x")
+      .collect())
+    assert(e.getMessage.contains("result_scale"))
+  }
 }
