@@ -1142,7 +1142,13 @@ object Probe {
     "w36_joda_format" ->
       "SELECT formatDateTimeInJodaSyntax(toDateTime('2024-03-05 10:30:00'), 'yyyy-MM-dd HH:mm') AS j",
     "w36_regexp_extract" ->
-      "SELECT regexpExtract('abc123def', '([0-9]+)', 1) AS r, extractAllGroupsVertical('k=v, a=b', '(\\\\w+)=(\\\\w+)') AS g"
+      "SELECT regexpExtract('abc123def', '([0-9]+)', 1) AS r, extractAllGroupsVertical('k=v, a=b', '(\\\\w+)=(\\\\w+)') AS g",
+    "w37_show_databases" ->
+      "SHOW DATABASES",
+    "w37_show_functions_like" ->
+      "SHOW FUNCTIONS LIKE 'to*'",
+    "w37_show_columns" ->
+      "SHOW COLUMNS FROM nation"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -2,9 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Gates the ENTIRE probe battery (Probe.queries) in `sbt test`:
-  * every probe must run, except exactly the 9 pinned intentional
-  * refusals (whose message TEXT RefusalSpec asserts separately).
+/** Gates the ENTIRE probe battery (every Probe.queries entry) in
+  * `sbt test`: every probe must run, except exactly the 9 pinned
+  * intentional refusals (whose message TEXT RefusalSpec asserts
+  * separately).
   * Before this spec the battery only ran via `runMain graft.Probe` —
   * a dialect regression could land without any test going red.
   *
