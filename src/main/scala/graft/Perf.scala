@@ -136,8 +136,11 @@ object Perf {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--time")) return timeMode(args.drop(1))
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val names = (standing ++ args.drop(1)).distinct
-      .filter(SparkEntry.queries.contains)
+    // Audit EVERY declared query (r14): standing first (stable diff
+    // order for the historical rows), then the rest of the contract —
+    // a red-flag plan can no longer hide in an unaudited entry.
+    val names = (standing ++ args.drop(1) ++ SparkEntry.queries.keys.toSeq.sorted)
+      .distinct.filter(SparkEntry.queries.contains)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
