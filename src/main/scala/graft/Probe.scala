@@ -1148,7 +1148,30 @@ object Probe {
     "w37_show_functions_like" ->
       "SHOW FUNCTIONS LIKE 'to*'",
     "w37_show_columns" ->
-      "SHOW COLUMNS FROM nation"
+      "SHOW COLUMNS FROM nation",
+    // ---- wave 38 (r14 third sweep) ----
+    "w38_bit_tests" ->
+      "SELECT bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, bitTestAll(7, 0, 1, 2) AS ba, bitTestAny(4, 0, 2) AS by, bitNot(CAST(0 AS Int8)) AS bn, bitRotateLeft(CAST(1 AS UInt8), 1) AS rl",
+    "w38_round_family" ->
+      "SELECT roundBankers(2.5) AS rb, roundBankers(3.5) AS rb2, roundToExp2(100) AS r2, roundDown(7.7, [2, 5, 10]) AS rd, roundAge(44) AS ra, roundDuration(95) AS rdu",
+    "w38_moving_aggs" ->
+      "SELECT groupArrayMovingSum(3)(n_nationkey) AS ms, groupArrayMovingAvg(2)(toFloat64(n_nationkey)) AS ma FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5)",
+    "w38_sum_misc" ->
+      "SELECT sumCount(l_quantity) AS sc, sumKahan(toFloat64(l_quantity)) > 0 AS sk, countEqual([1, 2, 1, 3, 1], 1) AS ce FROM lineitem",
+    "w38_single_value" ->
+      "SELECT singleValueOrNull(n_regionkey) AS sv1 FROM nation WHERE n_regionkey = 2",
+    "w38_format_template" ->
+      "SELECT format('{} likes {}', 'a', 'b') AS f, format('{0}-{1}-{0}', 'x', 'y') AS fi",
+    "w38_relative_nums" ->
+      "SELECT toISOYear(toDate('2017-01-01')) AS iy, toRelativeQuarterNum(toDate('2024-03-05')) > 0 AS rq, timezoneOf(now()) AS tz",
+    "w38_cum_nonneg" ->
+      "SELECT arrayCumSumNonNegative([1, -2, 3, -1]) AS c, emptyArrayToSingle(CAST([] AS Array(Int64))) AS e, emptyArrayToSingle([7]) AS e2",
+    "w38_quantile_interp" ->
+      "SELECT quantileInterpolatedWeighted(0.5)(toFloat64(l_quantity), 1) AS q FROM lineitem",
+    "w38_group_array_last" ->
+      "SELECT groupArrayLast(3)(n_nationkey) AS gl FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey)",
+    "w38_replace_regexp" ->
+      "SELECT replaceRegexpOne('aaa', 'a', 'b') AS r1, replaceRegexpAll('aaa', 'a', 'b') AS ra, countMatchesCaseInsensitive('AaA', 'a') AS cm"
   )
 
   def main(argv: Array[String]): Unit = {

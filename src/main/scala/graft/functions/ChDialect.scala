@@ -1360,6 +1360,7 @@ object ChDialect {
     // toIPv4 family: the IPv4 TYPE is the numeric address here, so
     // the constructor IS the string→num parse; OrZero/OrNull guard
     // through the validity check instead of try/catch
+    reg("emptyArrayToSingle")(c => EmptyArrayToSingle(c.head))
     macroFn("toIPv4", Seq("__s"), "IPv4StringToNum(__s)")
     macroFn("toIPv4OrZero", Seq("__s"),
       "CASE WHEN isIPv4String(__s) THEN IPv4StringToNum(__s) ELSE CAST(0 AS BIGINT) END")

@@ -141,3 +141,39 @@ case class DictDescendants(left: Expression, right: Expression, level: Int)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DictDescendants = copy(left = l, right = r)
 }
+
+/** CH `emptyArrayToSingle(arr)`: an empty array becomes the
+  * single-element array of the element type's DEFAULT value (0 / '' /
+  * false / epoch), anything else passes through unchanged [ClickHouse
+  * docs: sql-reference/functions/array-functions#emptyarraytosingle].
+  * Needs the element type at analysis (a SQL macro can't synthesize a
+  * generic default), hence a typed expression.
+  */
+case class EmptyArrayToSingle(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "emptyArrayToSingle"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"emptyArrayToSingle expects an array argument, got ${other.sql}")
+    }
+  @transient private lazy val elemDefault: Any = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    org.apache.spark.sql.catalyst.expressions.Literal.default(et).value
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() > 0) a
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](elemDefault))
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): EmptyArrayToSingle =
+    copy(child = c)
+}

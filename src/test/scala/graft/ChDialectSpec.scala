@@ -1993,4 +1993,20 @@ class ChDialectSpec extends AnyFunSuite {
       .collect())
     assert(e.getMessage.contains("result_scale"))
   }
+
+  test("wave 38: emptyArrayToSingle fills the ELEMENT type's default") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT emptyArrayToSingle(CAST([] AS Array(Int64))) AS ei,
+             emptyArrayToSingle(CAST([] AS Array(String))) AS es,
+             emptyArrayToSingle([7, 8]) AS keep
+      """).collect().head
+    assert(r.getSeq[Long](0) == Seq(0L))
+    assert(r.getSeq[String](1) == Seq(""))
+    assert(r.getSeq[Int](2) == Seq(7, 8))
+    // non-array argument is rejected at analysis
+    val e = intercept[Exception](Graft.sql(spark,
+      "SELECT emptyArrayToSingle(5) AS x").collect())
+    assert(e.getMessage.contains("expects an array"))
+  }
 }
