@@ -1171,7 +1171,9 @@ object Probe {
     "w38_group_array_last" ->
       "SELECT groupArrayLast(3)(n_nationkey) AS gl FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey)",
     "w38_replace_regexp" ->
-      "SELECT replaceRegexpOne('aaa', 'a', 'b') AS r1, replaceRegexpAll('aaa', 'a', 'b') AS ra, countMatchesCaseInsensitive('AaA', 'a') AS cm"
+      "SELECT replaceRegexpOne('aaa', 'a', 'b') AS r1, replaceRegexpAll('aaa', 'a', 'b') AS ra, countMatchesCaseInsensitive('AaA', 'a') AS cm",
+    "w38_or_default" ->
+      "SELECT sumOrDefault(n_nationkey) AS s, maxOrDefault(n_name) AS m, avgOrDefault(toFloat64(n_nationkey)) AS a FROM nation WHERE n_nationkey < 0"
   )
 
   def main(argv: Array[String]): Unit = {

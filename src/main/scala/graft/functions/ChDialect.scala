@@ -5471,6 +5471,14 @@ object ChDialect {
               new NullIf(asAggExpr(e), Literal(0L))
             else e
           }
+        else if (l.endsWith("ordefault") && l.length > 9)
+          peel(n.dropRight(9)).map { inner => (args: Seq[Expression]) =>
+            val e = asAggExpr(mustAgg(inner(args)))
+            // CH -OrDefault: the aggregate's TYPE default on the empty
+            // set instead of NULL. dataType is available here because
+            // ResolveFunctions fires once the arguments are resolved.
+            Coalesce(Seq(e, Literal.default(e.dataType)))
+          }
         else if (l.endsWith("distinct") && l.length > 8)
           peel(n.dropRight(8)).map { inner => (args: Seq[Expression]) =>
             inner(args) match {

@@ -2009,4 +2009,21 @@ class ChDialectSpec extends AnyFunSuite {
       "SELECT emptyArrayToSingle(5) AS x").collect())
     assert(e.getMessage.contains("expects an array"))
   }
+
+  test("wave 38: -OrDefault combinator returns the aggregate's type default on empty sets") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT sumOrDefault(n_nationkey) AS s, maxOrDefault(n_name) AS m,
+             avgOrDefault(toFloat64(n_nationkey)) AS a,
+             minOrDefault(n_nationkey) AS mn
+      FROM nation WHERE n_nationkey < 0""").collect().head
+    assert(String.valueOf(r.get(0)) == "0")
+    assert(r.getString(1) == "")
+    assert(r.getDouble(2) == 0.0)
+    assert(String.valueOf(r.get(3)) == "0") // min keeps the source int width
+    // non-empty sets are untouched
+    val r2 = Graft.sql(spark,
+      "SELECT sumOrDefault(n_nationkey) AS s FROM nation").collect().head
+    assert(String.valueOf(r2.get(0)) == "300") // 0+1+…+24
+  }
 }
