@@ -2748,8 +2748,9 @@ object ChSql {
     """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
   private val intoOutfileRe =
     """(?is)\bINTO\s+OUTFILE\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*$""".r
+  // both CH offset spellings: `LIMIT offset, n BY` and `LIMIT n OFFSET offset BY`
   private val limitByRe =
-    """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+))?\s+BY\b""".r
+    """(?i)\bLIMIT\s+(\d+)(?:\s*,\s*(\d+)|\s+OFFSET\s+(\d+))?\s+BY\b""".r
   private val orderByRe = """(?i)\bORDER\s+BY\b""".r
   private val withFillRe = """(?i)\bWITH\s+FILL\b""".r
 
@@ -4173,10 +4174,11 @@ object ChSql {
       rest = rest.substring(0, m.start)
       val inner = if (keysRaw.startsWith("(") && keysRaw.endsWith(")"))
         keysRaw.substring(1, keysRaw.length - 1) else keysRaw
-      // CH: LIMIT n BY …  or  LIMIT offset, n BY …
-      val (off, n) = Option(m.group(2)) match {
-        case Some(g2) => (m.group(1).toInt, g2.toInt)
-        case None => (0, m.group(1).toInt)
+      // CH: LIMIT n BY …, LIMIT offset, n BY …, LIMIT n OFFSET o BY …
+      val (off, n) = (Option(m.group(2)), Option(m.group(3))) match {
+        case (Some(g2), _) => (m.group(1).toInt, g2.toInt)
+        case (None, Some(g3)) => (g3.toInt, m.group(1).toInt)
+        case _ => (0, m.group(1).toInt)
       }
       (off, n, splitTopLevel(inner))
     }

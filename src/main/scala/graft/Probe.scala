@@ -1173,7 +1173,9 @@ object Probe {
     "w38_replace_regexp" ->
       "SELECT replaceRegexpOne('aaa', 'a', 'b') AS r1, replaceRegexpAll('aaa', 'a', 'b') AS ra, countMatchesCaseInsensitive('AaA', 'a') AS cm",
     "w38_or_default" ->
-      "SELECT sumOrDefault(n_nationkey) AS s, maxOrDefault(n_name) AS m, avgOrDefault(toFloat64(n_nationkey)) AS a FROM nation WHERE n_nationkey < 0"
+      "SELECT sumOrDefault(n_nationkey) AS s, maxOrDefault(n_name) AS m, avgOrDefault(toFloat64(n_nationkey)) AS a FROM nation WHERE n_nationkey < 0",
+    "w38_limit_by_offset" ->
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 2 OFFSET 1 BY n_regionkey"
   )
 
   def main(argv: Array[String]): Unit = {

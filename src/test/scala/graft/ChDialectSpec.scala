@@ -2026,4 +2026,15 @@ class ChDialectSpec extends AnyFunSuite {
       "SELECT sumOrDefault(n_nationkey) AS s FROM nation").collect().head
     assert(String.valueOf(r2.get(0)) == "300") // 0+1+…+24
   }
+
+  test("wave 38: LIMIT n OFFSET o BY equals the comma spelling") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def rows(q: String) = Graft.sql(spark, q).collect()
+      .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toSeq
+    val offsetForm = rows("""SELECT n_regionkey, n_nationkey FROM nation
+      ORDER BY n_regionkey, n_nationkey LIMIT 2 OFFSET 1 BY n_regionkey""")
+    val commaForm = rows("""SELECT n_regionkey, n_nationkey FROM nation
+      ORDER BY n_regionkey, n_nationkey LIMIT 1, 2 BY n_regionkey""")
+    assert(offsetForm.nonEmpty && offsetForm == commaForm)
+  }
 }
