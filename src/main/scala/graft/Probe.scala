@@ -1175,7 +1175,16 @@ object Probe {
     "w38_or_default" ->
       "SELECT sumOrDefault(n_nationkey) AS s, maxOrDefault(n_name) AS m, avgOrDefault(toFloat64(n_nationkey)) AS a FROM nation WHERE n_nationkey < 0",
     "w38_limit_by_offset" ->
-      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 2 OFFSET 1 BY n_regionkey"
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 2 OFFSET 1 BY n_regionkey",
+    // ---- wave 39 (r14 window/settings closer) ----
+    "w39_window_spellings" ->
+      "SELECT n_nationkey, nth_value(n_name, 2) OVER w AS nv, first_value(n_name) OVER w AS fv, last_value(n_name) OVER w AS lv, dense_rank() OVER w AS dr, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM nation WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey) ORDER BY n_nationkey LIMIT 5",
+    "w39_settings_clause" ->
+      "SELECT count() AS c FROM nation SETTINGS max_threads = 4, max_memory_usage = 10000000000",
+    "w39_agg_suffix_stack" ->
+      "SELECT sumIf(n_nationkey, n_regionkey = 0) AS si, countIf(n_regionkey = 1) AS ci, avgIf(toFloat64(n_nationkey), n_regionkey = 2) AS ai, groupArrayIf(n_name, n_regionkey = 3) AS gi FROM nation",
+    "w39_any_respect" ->
+      "SELECT any(n_name) AS a, anyLast(n_name) AS al, anyHeavy(n_regionkey) AS ah FROM (SELECT * FROM nation ORDER BY n_nationkey)"
   )
 
   def main(argv: Array[String]): Unit = {
