@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * contract; run with `runMain graft.Probe <sfDir>`.
   */
 object Probe {
+  /** The 9 intentional loud-fail probes (texts pinned by RefusalSpec).
+    * Shared by ProbeBatterySpec and the NoFallback codegen sweep so the
+    * two gates can never disagree about what is allowed to fail.
+    */
+  val expectedRefusals: Set[String] = Set(
+    "neighbor_fn", "from_final", "str_tests_unsupported",
+    "neighbor_running_unsupported", "w15_meta_hint", "running_diff_order",
+    "w17_url_loud", "w19_kostik_loud", "w21_deltasum_loud")
+
   val queries: Seq[(String, String)] = Seq(
     "tf_file" ->
       "SELECT count() AS c FROM file('nation.parquet', 'Parquet')",

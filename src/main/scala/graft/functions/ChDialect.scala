@@ -30,13 +30,25 @@ object ChDialect {
     * query using the function. The fingerprint is the view's analyzed
     * plan semanticHash: a mutation snapshots into a new path and
     * re-points the temp view, so its hash changes and the stale map is
-    * never served. Bounded: entries are 100k-row-capped maps, and the
-    * whole cache is cleared past 256 entries (long-lived session with
-    * many DML rounds).
+    * never served. Bounded: entries are 100k-row-capped maps held in a
+    * 256-entry access-order LRU — eviction is per-entry (never a
+    * clear-all that could race a just-inserted hot entry), and entries
+    * keyed by closed sessions or stale fingerprints age out of the LRU
+    * instead of accumulating. computeIfAbsent is atomic here:
+    * Collections.synchronizedMap overrides the default methods with
+    * synchronized variants.
     */
-  private val joinGetCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, Int),
-    (Literal, DataType, DataType)]()
+  private val joinGetCache: java.util.Map[
+      (SparkSession, String, String, Int), (Literal, DataType, DataType)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          (SparkSession, String, String, Int),
+          (Literal, DataType, DataType)](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, String, Int),
+                                   (Literal, DataType, DataType)]): Boolean =
+          size() > 256
+      })
 
   /** Observable build count, so a spec can assert the cache actually
     * prevents re-collects (not part of the public surface).
@@ -54,7 +66,6 @@ object ChDialect {
     val valueCol = strLit(colE, "the value column")
     val df = spark.table(tbl)
     val fp = df.queryExecution.analyzed.semanticHash()
-    if (joinGetCache.size > 256) joinGetCache.clear()
     joinGetCache.computeIfAbsent((spark, tbl, valueCol, fp), { _ =>
       joinGetBuilds.incrementAndGet()
       val keyCol = df.columns.headOption.getOrElse(
@@ -1262,10 +1273,13 @@ object ChDialect {
       Seq("__a", "__n", "__f") ->
         """CASE WHEN __n <= size(__a) THEN slice(__a, 1, __n)
                 ELSE concat(__a, array_repeat(__f, __n - size(__a))) END""")
+    // empty-array guard: pmod(n, 0) is NULL, which would turn [] into
+    // NULL — CH returns [] for rotates of an empty array
     macroFn("arrayRotateLeft", Seq("__a", "__n"),
-      """concat(slice(__a, pmod(__n, size(__a)) + 1,
-                      size(__a) - pmod(__n, size(__a))),
-                slice(__a, 1, pmod(__n, size(__a))))""")
+      """CASE WHEN size(__a) = 0 THEN __a ELSE
+           concat(slice(__a, pmod(__n, size(__a)) + 1,
+                        size(__a) - pmod(__n, size(__a))),
+                  slice(__a, 1, pmod(__n, size(__a)))) END""")
     // ns input truncates to the µs the engine can carry (CH's own
     // DateTime64(6) cast behavior)
     macroFn("fromUnixTimestamp64Nano", Seq("__n"),
@@ -1278,13 +1292,20 @@ object ChDialect {
       "hasSubsequence(__h, __n)")
     macroFn("hasSubsequenceCaseInsensitiveUTF8", Seq("__h", "__n"),
       "hasSubsequence(lower(__h), lower(__n))")
-    // rotate right by n = rotate left by size−(n mod size)
+    // rotate right by n = rotate left by size−(n mod size); same
+    // empty-array guard as arrayRotateLeft (CH: [] in, [] out)
     macroFn("arrayRotateRight", Seq("__a", "__n"),
-      """concat(slice(__a, size(__a) - pmod(__n, size(__a)) + 1,
-                      pmod(__n, size(__a))),
-                slice(__a, 1, size(__a) - pmod(__n, size(__a))))""")
+      """CASE WHEN size(__a) = 0 THEN __a ELSE
+           concat(slice(__a, size(__a) - pmod(__n, size(__a)) + 1,
+                        pmod(__n, size(__a))),
+                  slice(__a, 1, size(__a) - pmod(__n, size(__a)))) END""")
+    // k > size would hit sequence(1, negative) = a DESCENDING sequence
+    // in Spark — guard to the empty nested array instead ([] of the
+    // right array<array<T>> type via slice of a 1-element wrap)
     macroFn("arrayShingles", Seq("__a", "__k"),
-      "transform(sequence(1, size(__a) - __k + 1), i -> slice(__a, i, __k))")
+      """CASE WHEN size(__a) < __k THEN slice(array(__a), 1, 0)
+         ELSE transform(sequence(1, size(__a) - __k + 1),
+                        i -> slice(__a, i, __k)) END""")
     macroFn("bitHammingDistance", Seq("__a", "__b"),
       "bit_count(__a ^ __b)")
     macroFn("currentDatabase", Seq(), "'default'")
@@ -1520,15 +1541,24 @@ object ChDialect {
       Count(Seq(onlyIf(c(0), c(1)))).toAggregateExpression(isDistinct = true))
     // corrMatrix/covarSampMatrix(x1 … xk): the full symmetric k×k
     // matrix as Array(Array(Float64)) — one pass, k²/2 distinct
-    // moment aggregates (Catalyst dedups the mirrored cells)
+    // moment aggregates (Catalyst dedups the mirrored cells).
+    // KnownNullable wrapper: subscripting the matrix spells
+    // ElementAt(CreateArray(aggs…), 1), where Spark computes
+    // nullable=false (foldable valid index into non-null elements) but
+    // ElementAt's codegen template still assigns ev.isNull in its
+    // out-of-bounds branch — an UNDECLARED variable in the non-nullable
+    // nullSafeCodeGen path, so Janino fails ("isNull_x is not an
+    // rvalue") and the stage silently runs interpreted. Constant
+    // folding hides the Spark bug for literal arrays; aggregate results
+    // aren't foldable, so break the CreateArray pattern-match instead.
     locally {
       import org.apache.spark.sql.catalyst.expressions.aggregate.{Corr, CovSample}
       def matrixOf(pair: (Expression, Expression) => Expression)
           : Seq[Expression] => Expression = { c =>
         require(c.size >= 2, "matrix aggregate needs at least two columns")
         val d = c.map(Cast(_, DoubleType))
-        CreateArray(d.indices.map(i =>
-          CreateArray(d.indices.map(j => pair(d(i), d(j))))))
+        KnownNullable(CreateArray(d.indices.map(i =>
+          KnownNullable(CreateArray(d.indices.map(j => pair(d(i), d(j))))))))
       }
       reg("corrMatrix")(matrixOf((a, b) =>
         new Corr(a, b).toAggregateExpression()))
@@ -1583,22 +1613,26 @@ object ChDialect {
                            THEN element_at(__v, CAST(array_position(__k, __i) AS INT))
                            ELSE element_at(__v, 1) * 0 END))""")
     // divideDecimal/multiplyDecimal(a, b, result_scale): exact decimal
-    // arithmetic at an EXPLICIT result scale (wide-intermediate, then
-    // CAST which rounds HALF_UP — Spark's decimal cast convention).
-    // The scale-less 2-arg form refuses loudly instead of guessing
-    // CH's default-scale rule (close-but-wrong corrupts silently).
-    macroFnN("divideDecimal",
-      Seq("__a", "__b") ->
-        """raise_error('divideDecimal: pass the explicit result scale —
-           divideDecimal(a, b, result_scale)')""",
-      Seq("__a", "__b", "__s") ->
-        """round(CAST(__a AS DECIMAL(38,18)) / CAST(__b AS DECIMAL(38,18)), __s)""")
-    macroFnN("multiplyDecimal",
-      Seq("__a", "__b") ->
-        """raise_error('multiplyDecimal: pass the explicit result scale —
-           multiplyDecimal(a, b, result_scale)')""",
-      Seq("__a", "__b", "__s") ->
-        """round(CAST(__a AS DECIMAL(38,15)) * CAST(__b AS DECIMAL(38,15)), __s)""")
+    // arithmetic at an EXPLICIT result scale, on a native expression
+    // (DecimalExactArith — BigDecimal math, result DECIMAL(38, scale)).
+    // NOT a round(a/b) macro: Spark's allowPrecisionLoss rule caps the
+    // (38,18)/(38,18) quotient's scale at 6, so a macro silently loses
+    // precision for any requested scale > 6. The scale-less 2-arg form
+    // refuses loudly instead of guessing CH's default-scale rule
+    // (close-but-wrong corrupts silently).
+    def decimalArith(name: String, divide: Boolean): Unit = reg(name) { c =>
+      require(c.size == 3,
+        s"$name: pass the explicit result scale — $name(a, b, result_scale)")
+      // decimal inputs keep their own (precision, scale) — a blanket
+      // (38,18) cast would overflow wide Decimal128 values; only
+      // non-decimal numerics get widened
+      def asDec(e: Expression): Expression =
+        if (e.resolved && e.dataType.isInstanceOf[DecimalType]) e
+        else Cast(e, DecimalType(38, 18))
+      DecimalExactArith(asDec(c(0)), asDec(c(1)), c(2), divide)
+    }
+    decimalArith("divideDecimal", divide = true)
+    decimalArith("multiplyDecimal", divide = false)
     // timeSlots(start, duration[, size=1800]): the half-hour (or
     // `size`-second) grid slots a [start, start+duration] interval
     // touches — CH's sessionization helper
@@ -5254,7 +5288,10 @@ object ChDialect {
     locally {
       guard("bin", "reg")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bin", (c: Seq[Expression]) => BinCh(c.head), "built-in")
+        "bin", (c: Seq[Expression]) => {
+          require(c.size == 1, "bin(x) takes exactly one argument")
+          BinCh(c.head)
+        }, "built-in")
     }
 
     locally {

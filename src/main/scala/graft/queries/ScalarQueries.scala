@@ -472,6 +472,44 @@ object ScalarQueries {
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk,
              CAST(count(*) AS BIGINT) AS n_missing,
              'OBJECT<k: BIGINT>' AS sch, 1 AS vn
-      FROM events GROUP BY bucket ORDER BY bucket"""))
+      FROM events GROUP BY bucket ORDER BY bucket""")),
+
+    // divideDecimal/multiplyDecimal with EXPLICIT result scales PAST
+    // Spark's allowPrecisionLoss cap of 6 (the r14-ADVICE silent-loss
+    // regression, fixed by the native DecimalExactArith expression).
+    // DuckDB lacks decimal division (it degrades to DOUBLE), so the
+    // oracle emulates round-half-up at scale 10 exactly on HUGEINT
+    // unscaled values: round(A/B, s) = (2·A·10^s + B) // (2·B) for
+    // positive A, B. Multiplication is natively exact in DuckDB.
+    // l_discount > 0 keeps every output away from BigDecimal's
+    // scientific-notation zone (0E-8 vs 0.00000000).
+    QDef("scalar_decimal_exact", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               toString(divideDecimal(toDecimal64(l_extendedprice, 2),
+                                      toDecimal64(l_quantity, 2), 10)) AS dd,
+               toString(multiplyDecimal(toDecimal64(l_extendedprice, 2),
+                                        toDecimal64(l_discount, 2), 8)) AS md
+        FROM lineitem WHERE l_discount > 0
+        ORDER BY ok, ln LIMIT 25""")
+    }, Some("""
+      WITH t AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+               CAST(l_quantity AS DECIMAL(18,2)) AS q,
+               CAST(l_discount AS DECIMAL(18,2)) AS d
+        FROM lineitem WHERE l_discount > 0),
+      u AS (
+        SELECT ok, ln,
+               (2 * CAST(p * 100 AS HUGEINT) * 10000000000 +
+                CAST(q * 100 AS HUGEINT)) // (2 * CAST(q * 100 AS HUGEINT)) AS uu,
+               CAST(CAST(p * d AS DECIMAL(38,8)) AS VARCHAR) AS md
+        FROM t)
+      SELECT ok, ln,
+             concat(CAST(uu // 10000000000 AS VARCHAR), '.',
+                    lpad(CAST(uu % 10000000000 AS VARCHAR), 10, '0')) AS dd,
+             md
+      FROM u ORDER BY ok, ln LIMIT 25"""))
   )
 }

@@ -2027,6 +2027,30 @@ class ChDialectSpec extends AnyFunSuite {
     assert(String.valueOf(r2.get(0)) == "300") // 0+1+…+24
   }
 
+  test("round 15 (ADVICE): rotate/shingles empty-array guards, bin arity") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    // CH: rotating an empty array yields [] — the unguarded macro's
+    // pmod(n, 0) was NULL, turning [] into NULL
+    val r = Graft.sql(spark, """
+      SELECT size(arrayRotateRight(CAST([] AS Array(Int64)), 2)) AS rr,
+             size(arrayRotateLeft(CAST([] AS Array(Int64)), 2)) AS rl,
+             arrayRotateRight([1, 2, 3, 4], 1) AS rr4,
+             arrayRotateLeft([1, 2, 3, 4], 1) AS rl4,
+             size(arrayShingles([1, 2], 3)) AS sh
+      FROM (SELECT 1)""").collect().head
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0)
+    assert(r.getSeq[Long](2) == Seq(4L, 1L, 2L, 3L))
+    assert(r.getSeq[Long](3) == Seq(2L, 3L, 4L, 1L))
+    // k > size: Spark's sequence(1, negative) DESCENDS — guarded to []
+    assert(r.getInt(4) == 0)
+    // bin() enforces its arity instead of ignoring extra args
+    val e = intercept[Exception](
+      Graft.sql(spark, "SELECT bin(1, 2) AS b").collect())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("exactly one argument"), msg)
+  }
+
   test("wave 38: LIMIT n OFFSET o BY equals the comma spelling") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def rows(q: String) = Graft.sql(spark, q).collect()

@@ -79,4 +79,28 @@ class CodegenSpec extends AnyFunSuite {
     val interp = e.eval(null).asInstanceOf[Double]
     assert(math.abs(gen - interp) < 1e-15)
   }
+
+  test("subscripted corrMatrix compiles under codegen.fallback=false " +
+    "(ElementAt over CreateArray of aggregates — r15 KnownNullable fix)") {
+    // Without the KnownNullable wrapper in the matrix builders,
+    // ElementAt(CreateArray(aggs…), 1) computes nullable=false but its
+    // codegen still assigns ev.isNull in the out-of-bounds branch — an
+    // undeclared variable, Janino "isNull_x is not an rvalue", silent
+    // interpreted fallback. Constant folding hides the Spark bug for
+    // literal arrays; aggregate elements aren't foldable, so this exact
+    // shape (3 columns, 4 subscripted references — enough to survive
+    // subexpression elimination) is the regression.
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = withNoFallback {
+      Graft.sql(spark, """
+        SELECT round(corrMatrix(l_quantity, l_extendedprice, l_discount)[1][2], 4) AS r_qp,
+               round(corrMatrix(l_quantity, l_extendedprice, l_discount)[1][3], 4) AS r_qd,
+               round(corrMatrix(l_quantity, l_extendedprice, l_discount)[2][3], 4) AS r_pd,
+               round(covarSampMatrix(l_quantity, l_discount)[1][2], 4) AS cv_qd
+        FROM lineitem""").collect()
+    }
+    assert(r.length == 1 && !r.head.isNullAt(0) && !r.head.isNullAt(3))
+    // corr is a dimensionless ratio in [-1, 1]
+    assert(math.abs(r.head.getDouble(0)) <= 1.0)
+  }
 }

@@ -17,10 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ProbeBatterySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private val expectedFails = Set(
-    "neighbor_fn", "from_final", "str_tests_unsupported",
-    "neighbor_running_unsupported", "w15_meta_hint", "running_diff_order",
-    "w17_url_loud", "w19_kostik_loud", "w21_deltasum_loud")
+  private val expectedFails = Probe.expectedRefusals
 
   test("every probe runs green except the 9 pinned refusals") {
     Graft.init(spark, "/root/testdata/sf0.001")

@@ -22,6 +22,11 @@ if [[ "${1:-}" != "--fast" ]]; then
   sbt -batch "runMain graft.Verify $SF $OUT"
   echo "== preflight: duckdb gate =="
   python3 tools/check.py "$SF" "$OUT"
+  echo "== preflight: codegen no-fallback sweep (sf0.001) =="
+  # every probe + declared query under codegen.fallback=false AND
+  # factoryMode=CODEGEN_ONLY: a silent codegen->interpreted fallback
+  # (fast-path loss invisible to the correctness gates) goes red here
+  sbt -batch "runMain graft.NoFallback"
 fi
 
 echo "== preflight: tests =="
