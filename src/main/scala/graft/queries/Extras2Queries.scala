@@ -643,10 +643,11 @@ object Extras2Queries {
             FROM customer WHERE c_custkey % 10 = 0)
       ORDER BY c_custkey""")),
 
-    // geohashEncode + pointInPolygon (custom expressions,
-    // functions/Geo.scala) over the same pseudo-coordinates. Rows-only
-    // gate entry — DuckDB has neither function; the algorithms are
-    // pinned by known-answer tests in GeoSpec.
+    // geohashEncode (custom expression, functions/Geo.scala) over the
+    // same pseudo-coordinates. Rows-only gate entry — DuckDB core has
+    // no geohash; the algorithm is pinned by known-answer tests in
+    // GeoSpec. (pointInPolygon moved to its own HASH-CHECKED entry,
+    // scalar_geo_pip, in r15 — its ray-cast IS oracle-expressible.)
     QDef("scalar_geo_encode", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -656,14 +657,59 @@ object Extras2Queries {
           "CAST((c_custkey % 1700) / 10.0 - 85.0 AS DOUBLE) AS lat",
           "CAST((c_custkey % 3500) / 10.0 - 175.0 AS DOUBLE) AS lon")
         .selectExpr("c_custkey",
-          "geohash_encode(lon, lat, 8) AS gh",
+          "geohash_encode(lon, lat, 8) AS gh")
+        .orderBy($"c_custkey")
+    }, None),
+
+    // pointInPolygon, HASH-CHECKED (r15, verdict task 7): the oracle is
+    // a faithful SQL transcription of GeoMath.pointInPolygon's
+    // boundary-inclusive ray cast — per edge (v_i, v_{i-1}): vertex
+    // hit, horizontal-edge hit, exact px == xCross hit (all "inside"),
+    // plus the px < xCross crossing-parity toggle, with xCross spelled
+    // as the SAME (xj-xi)*(py-yi)/(yj-yi)+xi double arithmetic. The
+    // fixture lattice is integral doubles (step 1.0), so every
+    // comparison — including the lat = ±45 / lon = ±90 boundary rows
+    // the fixture really contains — is exact in both engines.
+    QDef("scalar_geo_pip", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "customer")
+        .filter($"c_custkey" % 10 === 0)
+        .selectExpr("c_custkey",
+          "CAST((c_custkey % 1700) / 10.0 - 85.0 AS DOUBLE) AS lat",
+          "CAST((c_custkey % 3500) / 10.0 - 175.0 AS DOUBLE) AS lon")
+        .selectExpr("c_custkey",
           """point_in_polygon(lon, lat, array(
                struct(CAST(-90.0 AS DOUBLE), CAST(-45.0 AS DOUBLE)),
                struct(CAST( 90.0 AS DOUBLE), CAST(-45.0 AS DOUBLE)),
                struct(CAST( 90.0 AS DOUBLE), CAST( 45.0 AS DOUBLE)),
                struct(CAST(-90.0 AS DOUBLE), CAST( 45.0 AS DOUBLE)))) AS in_band""")
         .orderBy($"c_custkey")
-    }, None),
+    }, Some("""
+      WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 1700) / 10.0 - 85.0 AS lat,
+               (c_custkey % 3500) / 10.0 - 175.0 AS lon
+        FROM customer WHERE c_custkey % 10 = 0),
+      e(xi, yi, xj, yj) AS (VALUES
+        (-90.0, -45.0, -90.0,  45.0),
+        ( 90.0, -45.0, -90.0, -45.0),
+        ( 90.0,  45.0,  90.0, -45.0),
+        (-90.0,  45.0,  90.0,  45.0)),
+      per_edge AS (
+        SELECT c_custkey,
+               (xi = lon AND yi = lat) OR
+               (yi = lat AND yj = lat AND
+                lon >= least(xi, xj) AND lon <= greatest(xi, xj)) OR
+               ((yi > lat) != (yj > lat) AND
+                lon = (xj - xi) * (lat - yi) / (yj - yi) + xi) AS on_b,
+               ((yi > lat) != (yj > lat) AND
+                lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) AS toggles
+        FROM pts CROSS JOIN e)
+      SELECT c_custkey,
+             bool_or(on_b) OR
+               (count(CASE WHEN toggles THEN 1 END) % 2 = 1) AS in_band
+      FROM per_edge GROUP BY c_custkey ORDER BY c_custkey""")),
 
     // multiSearchAny / multiSearchAllPositions-count /
     // positionCaseInsensitive (string family) + arrayEnumerateUniq

@@ -84,10 +84,22 @@ object Pipeline2Queries {
     // terms broadcast; everything else shuffles on doc_id/term.
     QDef("pipe_bm25", (s, dir) => {
       import s.implicits._
+      // r15 stage-sharing: ONE exploded-corpus shuffle total. tf is
+      // persisted and everything derives from it — dl = Σtf per doc
+      // (identical to counting raw tokens, without re-shuffling the
+      // exploded corpus a second time), stats from dl, df from the
+      // terms-matched slice of tf (a broadcast semi-join then a
+      // |terms|-key partial aggregate — map-side combine keeps common
+      // terms scale-safe; NOT a per-token window, whose partitions
+      // would be unbounded for a frequent term). Was 26 executed
+      // exchanges (the tf/dl/stats branches each re-ran the corpus
+      // scan); now the corpus is scanned and shuffled once.
       val toks = Tables(s, dir, "documents")
         .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
       val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
       val terms = Seq("scan", "merge", "hash").toDF("tok")
       val dft = tf.join(broadcast(terms), "tok")

@@ -733,12 +733,16 @@ object PipelineQueries {
     // relational. The Laplace-smoothed score decomposes as
     //   score(d, L) = Σ_matched tf·log(c+1) − ntf(d)·log(n_l + v)
     // (unmatched tokens contribute log(1) = 0 to the first term), so
-    // the corpus-sized frame joins the profile table ONCE on tok —
-    // the old form cross-joined every (doc, tok) row with all |langs|
-    // BEFORE the profile join, an L× multiplier on the heaviest
-    // shuffle. Per-(lang) constants broadcast; 6dp-rounded decimal
-    // log terms keep every sum order-independent at any executor
-    // count. Output: confusion matrix.
+    // the corpus-sized frame joins the profile table ONCE on tok.
+    // r15: the docs×|langs| grid never materializes as ROWS at all —
+    // per-doc matched evidence folds into a map column, the per-lang
+    // constants broadcast as ONE map row, and the winner is an argmax
+    // inside a single aggregate() expression (no window sort, no
+    // docs×L exchange). ntf rides along free: prof is built from this
+    // very corpus, so the doc's own-language profile matches EVERY
+    // token — sum(tf) at plang = lang IS the doc's token count.
+    // 6dp-rounded decimal log terms keep every sum order-independent
+    // at any executor count. Output: confusion matrix.
     QDef("pipe_lang_id", (s, dir) => {
       import s.implicits._
       val D = "decimal(18,6)"
@@ -755,17 +759,15 @@ object PipelineQueries {
         .agg(sum($"tf").as("c"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val vocab = prof.agg(countDistinct($"tok").as("v"))
-      // per-lang penalty constant log(n_l + v): dictionary-sized,
-      // broadcast — every unmatched token costs exactly this
+      // per-lang penalty constant log(n_l + v): dictionary-sized —
+      // folded below into a single map row and broadcast
       val consts = prof.groupBy($"plang").agg(sum($"c").as("n_l"))
         .crossJoin(broadcast(vocab))
         .select($"plang",
           round(log(($"n_l" + $"v").cast("double")), 6).cast(D).as("logd"))
-      // per-doc token total = size(tokens): a map-side projection of
-      // the source table — no aggregation shuffle needed
-      val ntf = Tables(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          size(Text.tokens($"text")).cast("long").as("ntf"))
+      val cmapRow = consts
+        .agg(map_from_entries(collect_list(struct($"plang", $"logd")))
+          .as("cmap"))
       // matched evidence: ONE corpus-sized join, on tok only — a
       // (doc, tok) row meets just the profiles that contain the token.
       // No broadcast hint on prof (vocab×|langs| exceeds broadcast
@@ -774,21 +776,30 @@ object PipelineQueries {
         .join(prof.select($"plang", $"tok",
           round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
         .groupBy($"doc_id", $"lang", $"plang")
-        .agg(sum($"logc" * $"tf").as("msum"))
-      // grid fan-out rides the broadcast consts directly (langs ⊂
-      // consts — no separate distinct frame); the aggregation exchange
-      // on matched is reused as the join's required partitioning
-      val scored = ntf.crossJoin(broadcast(consts))
-        .join(matched, Seq("doc_id", "lang", "plang"), "left")
-        .withColumn("score",
-          coalesce($"msum", lit(0).cast(D)) - $"ntf" * $"logd")
-      // winner per doc via the doc_id-PARTITIONED window (scale-safe:
-      // bounded |langs| rows per partition key; measured faster than a
-      // min(struct) SortAggregate at the 100× stress scale)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
-      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .groupBy($"lang", $"plang".as("predicted")).agg(count(lit(1)).as("n"))
+        .agg(sum($"logc" * $"tf").as("msum"), sum($"tf").as("mtf"))
+      // per-doc row: matched scores as a bounded map (≤ |langs|
+      // entries) + the free token count
+      val perdoc = matched.groupBy($"doc_id", $"lang")
+        .agg(map_from_entries(collect_list(struct($"plang", $"msum")))
+          .as("mmap"),
+          max(when($"plang" === $"lang", $"mtf")).as("ntf"))
+      // argmax over the broadcast constant map: score every language
+      // inside one expression, keep (max score, min plang) — the same
+      // (score DESC, plang ASC) winner the old window computed
+      val predicted = perdoc.crossJoin(broadcast(cmapRow))
+        .withColumn("predicted", expr("""
+          aggregate(
+            transform(map_keys(cmap),
+              k -> named_struct(
+                     's', CAST(coalesce(element_at(mmap, k), 0)
+                               - ntf * element_at(cmap, k) AS DECIMAL(38,6)),
+                     'p', k)),
+            CAST(NULL AS STRUCT<s: DECIMAL(38,6), p: STRING>),
+            (acc, e) -> CASE WHEN acc IS NULL OR e.s > acc.s
+                                  OR (e.s = acc.s AND e.p < acc.p)
+                             THEN e ELSE acc END).p"""))
+      predicted
+        .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")
     }, Some("""
       WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok

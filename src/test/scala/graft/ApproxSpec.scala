@@ -132,4 +132,21 @@ class ApproxSpec extends AnyFunSuite {
     val n = li.count().toDouble
     assert(a.size > n * 0.05 && a.size < n * 0.15)
   }
+
+  test("negative: the 5% tolerance bites — a 10%-off estimate is rejected") {
+    // agg_uniq_state_merge is an allowlisted rows-only gate entry whose
+    // correctness rests on this spec's |est - exact| / exact < 0.05
+    // predicate. Prove the predicate discriminates against a real
+    // exact count (non-zero, non-degenerate): a 10% drift must fail
+    // it, and the genuine HLL++ estimate must sit strictly closer
+    // than that drift.
+    val li = Tables(spark, dir, "lineitem")
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].head().toDouble
+    assert(exact > 100, s"degenerate fixture: $exact")
+    val drifted = exact * 1.10
+    assert(!(math.abs(drifted - exact) / exact < 0.05),
+      "tolerance predicate failed to reject a 10% drift")
+    val est = li.select(approx_count_distinct($"l_partkey")).as[Long].head().toDouble
+    assert(math.abs(est - exact) / exact < math.abs(drifted - exact) / exact)
+  }
 }

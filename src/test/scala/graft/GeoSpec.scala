@@ -125,4 +125,22 @@ class GeoSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(math.abs(d._1 - 10.40744) < 1e-4 && math.abs(d._2 - 57.64911) < 1e-4)
   }
+
+  test("negative: the known answers bite — nudged inputs break them") {
+    // scalar_geo_encode is an allowlisted rows-only gate entry: the
+    // canonical examples above ARE its correctness check, so prove
+    // they discriminate. At precision 11 a geohash cell is ~1e-6°, so
+    // a 1e-4 nudge must land in a different cell; a different
+    // precision must change the string; and pointInPolygon must flip
+    // across an edge at 1e-9.
+    assert(GeoMath.geohashEncode(10.40744, 57.64911 + 1e-4, 11).toString
+      != "u4pruydqqvj")
+    assert(GeoMath.geohashEncode(10.40744 + 1e-4, 57.64911, 11).toString
+      != "u4pruydqqvj")
+    assert(GeoMath.geohashEncode(10.40744, 57.64911, 10).toString
+      != "u4pruydqqvj")
+    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(!pip(4.0 + 1e-9, 2.0, sq: _*)) // just past the right edge
+    assert(pip(4.0 - 1e-9, 2.0, sq: _*))  // just inside it
+  }
 }

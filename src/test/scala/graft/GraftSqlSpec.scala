@@ -18,7 +18,8 @@ class GraftSqlSpec extends AnyFunSuite {
     // its semantics elsewhere).
     val rowsOnly = Set(
       "scalar_ch_hashes", // DuckDB has no SipHash; pinned by HashesSpec vectors
-      "scalar_geo_encode", // DuckDB has no geohash/PIP; pinned by GeoSpec
+      "scalar_geo_encode", // DuckDB core has no geohash; pinned by GeoSpec
+      // (pointInPolygon is hash-checked since r15 — scalar_geo_pip)
       "agg_uniq_state_merge", // sketch bytes aren't reproducible; ApproxSpec tolerance
       "pipe_ann_ivf" // k-means cells aren't reproducible in DuckDB; IvfSpec recall
     )

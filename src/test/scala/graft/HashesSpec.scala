@@ -73,4 +73,19 @@ class HashesSpec extends AnyFunSuite {
     val r = Graft.sql(spark, "SELECT xxHash32('abc') AS h").head()
     assert(r.getLong(0) == 0x32d153ffL)
   }
+
+  test("negative: the SipHash vectors bite — any single-bit drift breaks them") {
+    // scalar_ch_hashes is an allowlisted rows-only gate entry: these
+    // vectors ARE its correctness check, so prove they discriminate —
+    // a one-bit change in key, message, or length must miss the pinned
+    // answer (if the implementation ever drifts, the positive test
+    // above goes red rather than silently passing).
+    val want = 0xa129ca6149be45e5L
+    assert(CHash.sipHash64(msg(15), k0 ^ 1L, k1) != want)
+    assert(CHash.sipHash64(msg(15), k0, k1 ^ (1L << 63)) != want)
+    val m = msg(15); m(14) = (m(14) ^ 1).toByte
+    assert(CHash.sipHash64(m, k0, k1) != want)
+    assert(CHash.sipHash64(msg(14), k0, k1) != want)
+    assert(CHash.xxHash32("abd".getBytes("UTF-8")) != 0x32d153ffL)
+  }
 }

@@ -40,6 +40,22 @@ class IvfSpec extends AnyFunSuite {
     val recall = (ivf & truth).size.toDouble / truth.size
     info(f"IVF recall@3 = $recall%.2f (${ivf.size} candidates vs ${truth.size} truth)")
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
+
+    // negative: the 50% floor bites. pipe_ann_ivf is an allowlisted
+    // rows-only gate entry whose correctness rests on this recall
+    // assertion — prove the metric discriminates by scoring an
+    // adversarial "index" (the 3 FARTHEST vectors per query, i.e.
+    // what a degenerated cell assignment could return) well under
+    // the floor.
+    val wWorst = Window.partitionBy($"qid").orderBy($"sim".asc, $"vec_id".asc)
+    val worst = emb.join(broadcast(queries.select($"qid", $"qv")), $"vec_id" =!= $"qid")
+      .withColumn("sim", expr("cosine_sim(embedding, qv)"))
+      .withColumn("rn", row_number().over(wWorst)).filter($"rn" <= 3)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val antiRecall = (worst & truth).size.toDouble / truth.size
+    info(f"anti-neighbor recall@3 = $antiRecall%.2f")
+    assert(antiRecall < 0.5,
+      f"the recall floor does not discriminate: $antiRecall%.2f")
     assigned.unpersist()
   }
 }

@@ -285,4 +285,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(expected.values.exists(_._2 > 1))
     } finally q.stop()
   }
+
+  test("checkpoint restart: watermarked agg stops mid-stream, resumes, equals batch") {
+    // At real scale RECOVERY is the feature: a streaming job that can't
+    // resume from its checkpoint replays history or loses state. This
+    // spec time-splits the events table, processes the first half,
+    // STOPS the query, then starts a NEW query on the SAME checkpoint
+    // with the second half staged — the boundary day's window is
+    // partially aggregated before the stop and only correct afterwards
+    // if the state store actually came back.
+    import org.apache.spark.sql.functions._
+    val full = Tables(spark, "/root/testdata/sf0.001", "events")
+    val expected = canon(StreamDemo.dailyCounts(full))
+
+    val cutUs = full.selectExpr(
+      "CAST(percentile_approx(unix_micros(ts), 0.5, 10000) AS BIGINT) AS c")
+      .collect().head.getLong(0)
+    val firstHalf = full.filter(unix_micros(col("ts")) <= cutUs)
+    val secondHalf = full.filter(unix_micros(col("ts")) > cutUs)
+    assert(firstHalf.count() > 0 && secondHalf.count() > 0)
+
+    val dir = Files.createTempDirectory("graft_restart_src").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_restart_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    def runPhase(queryName: String): Unit = {
+      val q = StreamDemo.dailyCounts(StreamDemo.readEventStream(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    stage(firstHalf, "a.parquet")
+    runPhase("restart_phase1")
+    val partial = canon(spark.table("restart_phase1"))
+    assert(partial.nonEmpty && partial != expected,
+      "first half unexpectedly already equals the full answer")
+
+    stage(secondHalf, "b.parquet")
+    runPhase("restart_phase2")
+    val resumed = canon(spark.table("restart_phase2"))
+    assert(resumed == expected,
+      "post-restart result diverged from batch — checkpoint state lost")
+  }
 }
