@@ -133,6 +133,58 @@ object Perf {
     spark.stop()
   }
 
+  /** Count EXECUTED operator instances, not textual occurrences: a
+    * persisted subtree's defining plan prints once per
+    * InMemoryTableScan reference (with fresh expr ids, so line-dedup
+    * can't fix it) but runs ONCE — walk the tree and descend into
+    * each cached relation exactly once (identity-keyed on the shared
+    * cacheBuilder: each reference holds its own InMemoryRelation COPY
+    * with fresh output attrs, but they all share the builder that
+    * materializes the RDD once). Shared by the PERF.md audit and the
+    * STRESS exchange counter (r15 — STRESS used a raw regex before,
+    * which double-counted persisted lineage per reference).
+    */
+  def executedNodes(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    def walk(p: SparkPlan): Unit = {
+      out += p
+      p match {
+        case t: InMemoryTableScanExec =>
+          if (seen.put(t.relation.cacheBuilder, t.relation.cacheBuilder) == null)
+            walk(t.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan) // AQE root/cached-plan wrapper has no children
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          // AFTER execution AQE seals each stage behind a LEAF wrapper —
+          // descend into the materialized stage plan (once per stage;
+          // a reused stage shares the identical plan object)
+          if (seen.put(q.plan, q.plan) == null) walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          if (seen.put(r.child, r.child) == null) walk(r.child)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  /** Executed exchange count (shuffle + broadcast) for one frame —
+    * the STRESS.md "exchanges" column since r15.
+    */
+  def executedExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    executedNodes(df.queryExecution.executedPlan).count {
+      case _: ShuffleExchangeExec | _: BroadcastExchangeExec => true
+      case _ => false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--time")) return timeMode(args.drop(1))
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -152,39 +204,11 @@ object Perf {
 
     case class Audit(name: String, shuffles: Int, broadcasts: Int,
         bnlj: Int, singlePartition: Int, plan: String)
-
-    // Count EXECUTED operator instances, not textual occurrences: a
-    // persisted subtree's defining plan prints once per
-    // InMemoryTableScan reference (with fresh expr ids, so line-dedup
-    // can't fix it) but runs ONCE — walk the tree and descend into
-    // each cached relation exactly once (identity-keyed).
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, SinglePartition}
-    def nodes(root: SparkPlan): Seq[SparkPlan] = {
-      // key on the shared cacheBuilder: each reference to one cache
-      // holds its own InMemoryRelation COPY (fresh output attrs), but
-      // they all share the builder that materializes the RDD once
-      val seen = new java.util.IdentityHashMap[AnyRef, AnyRef]()
-      val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
-      def walk(p: SparkPlan): Unit = {
-        out += p
-        p match {
-          case t: InMemoryTableScanExec =>
-            if (seen.put(t.relation.cacheBuilder, t.relation.cacheBuilder) == null)
-              walk(t.relation.cachedPlan)
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            walk(a.executedPlan) // AQE root/cached-plan wrapper has no children
-          case _ =>
-        }
-        p.children.foreach(walk)
-        p.subqueries.foreach(walk)
-      }
-      walk(root)
-      out.toSeq
-    }
+    def nodes(root: org.apache.spark.sql.execution.SparkPlan) =
+      executedNodes(root)
 
     val audits = names.map { n =>
       val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution

@@ -71,8 +71,11 @@ object Stress {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def exchanges(df: DataFrame): Int =
-    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+  // EXECUTED exchanges (persisted subtrees counted once) — the raw
+  // "Exchange" regex this replaced (pre-r15) re-counted a cached
+  // lineage at every reference, so persisting MORE (the r15 bm25/
+  // lang_id stage-sharing) paradoxically printed as more exchanges
+  private def exchanges(df: DataFrame): Int = Perf.executedExchanges(df)
 
   private def report(family: String, mult: Int, rows: Long, sec: Double,
                      ex: Int, out: Long): Unit =
@@ -136,11 +139,15 @@ object Stress {
     report("dedup_cc_pick", mult, nPairs, tCc + tPick, exchanges(pick), nPick)
     pairs.unpersist(); cc.unpersist()
 
-    // ---- BM25 over the same corpus (reuses the docs scan shape)
+    // ---- BM25 over the same corpus (r15 stage-sharing, same shape
+    // as the declared pipe_bm25: ONE exploded-corpus shuffle — tf
+    // persisted, dl/stats/df all derive from it)
     val toks = synthDocs(spark, nDocs)
       .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .persist(StorageLevel.DISK_ONLY)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      .persist(StorageLevel.DISK_ONLY)
     val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val terms = Seq("scan", "merge", "hash").toDF("tok")
     val dft = tf.join(broadcast(terms), "tok")
@@ -158,7 +165,7 @@ object Stress {
       .orderBy($"sc".desc, $"doc_id").limit(10)
     val (top, tBm) = timed(bm25.collect())
     report("bm25", mult, nDocs * 11 / 10, tBm, exchanges(bm25), top.length)
-    docs.unpersist()
+    tf.unpersist(); dl.unpersist(); docs.unpersist()
 
     // ---- lang-ID (decomposed naive Bayes — the corpus joins the
     // profile table ONCE on tok; penalty constants broadcast)
@@ -177,22 +184,34 @@ object Stress {
       .crossJoin(broadcast(vocab2))
       .select($"plang",
         round(log(($"n_l" + $"v").cast("double")), 6).cast(D).as("logd"))
-    val ntf2 = ldocs.select($"doc_id", $"lang",
-      size(Text.tokens($"text")).cast("long").as("ntf"))
+    val cmapRow2 = consts2
+      .agg(map_from_entries(collect_list(struct($"plang", $"logd")))
+        .as("cmap"))
     val matched2 = dt
       .join(prof2.select($"plang", $"tok",
         round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
       .groupBy($"doc_id", $"lang", $"plang")
-      .agg(sum($"logc" * $"tf").as("msum"))
-    // grid fan-out via broadcast consts (langs ⊂ consts — no separate
-    // distinct frame); winner via the doc_id-PARTITIONED window —
-    // same shape as the declared pipe_lang_id
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
-    val langId = ntf2.crossJoin(broadcast(consts2))
-      .join(matched2, Seq("doc_id", "lang", "plang"), "left")
-      .withColumn("score", coalesce($"msum", lit(0).cast(D)) - $"ntf" * $"logd")
-      .withColumn("rn", row_number().over(w0)).filter($"rn" === 1)
+      .agg(sum($"logc" * $"tf").as("msum"), sum($"tf").as("mtf"))
+    // r15 shape (same as the declared pipe_lang_id): per-doc matched
+    // evidence folds into a map, constants broadcast as ONE map row,
+    // winner = argmax inside one aggregate() — the docs×|langs| grid
+    // never materializes as rows and there is no window sort
+    val langId = matched2.groupBy($"doc_id", $"lang")
+      .agg(map_from_entries(collect_list(struct($"plang", $"msum")))
+        .as("mmap"),
+        max(when($"plang" === $"lang", $"mtf")).as("ntf"))
+      .crossJoin(broadcast(cmapRow2))
+      .withColumn("plang", expr("""
+        aggregate(
+          transform(map_keys(cmap),
+            k -> named_struct(
+                   's', CAST(coalesce(element_at(mmap, k), 0)
+                             - ntf * element_at(cmap, k) AS DECIMAL(38,6)),
+                   'p', k)),
+          CAST(NULL AS STRUCT<s: DECIMAL(38,6), p: STRING>),
+          (acc, e) -> CASE WHEN acc IS NULL OR e.s > acc.s
+                                OR (e.s = acc.s AND e.p < acc.p)
+                           THEN e ELSE acc END).p"""))
       .groupBy($"lang", $"plang").agg(count(lit(1)).as("n"))
     val (lrows, tL) = timed(langId.collect())
     report("lang_id", mult, nDocs * 11 / 10, tL, exchanges(langId),
@@ -264,6 +283,39 @@ object Stress {
     val cb29 = cbHits.agg(sumCols.head, sumCols.tail: _*)
     val (r29, t29) = timed(cb29.collect())
     report("clickbench_q29", mult, nEvents, t29, exchanges(cb29), r29.length)
+
+    // q17/q22 analogs (r15): the remaining CB heavy half — q17 is the
+    // TWO-KEY high-cardinality grouping (user × phrase, most groups
+    // singletons) and q22 stacks LIKE filters + min(string) + COUNT
+    // DISTINCT on top of it (the distinct adds the expand/re-shuffle
+    // leg). Both must keep flat exchange counts as the table scales.
+    val cbTxt = events.selectExpr(
+      "event_id AS watch_id",
+      "user_id",
+      """CASE WHEN event_id % 5 = 0 THEN ''
+              ELSE concat('phrase ', CAST(user_id % 997 AS STRING),
+                          ' q', CAST(event_id % 13 AS STRING)) END
+         AS search_phrase""",
+      """concat('http://site', CAST(event_id % 1000 AS STRING),
+                CASE WHEN event_id % 7 = 0 THEN '.google.com/'
+                     ELSE '.example.com/' END,
+                CAST(event_id % 100 AS STRING)) AS url""",
+      """concat(CASE WHEN event_id % 3 = 0 THEN 'Google ' ELSE 'Page ' END,
+                CAST(event_id % 50 AS STRING)) AS title""")
+    val cb17 = cbTxt.groupBy($"user_id", $"search_phrase")
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"user_id", $"search_phrase").limit(10)
+    val (r17, t17) = timed(cb17.collect())
+    report("clickbench_q17", mult, nEvents, t17, exchanges(cb17), r17.length)
+    val cb22 = cbTxt
+      .filter($"title".like("%Google%") && !$"url".like("%.google.%") &&
+        $"search_phrase" =!= "")
+      .groupBy($"search_phrase")
+      .agg(min($"url").as("mu"), min($"title").as("mt"),
+        count(lit(1)).as("c"), countDistinct($"user_id").as("u"))
+      .orderBy($"c".desc, $"search_phrase").limit(10)
+    val (r22, t22) = timed(cb22.collect())
+    report("clickbench_q22", mult, nEvents, t22, exchanges(cb22), r22.length)
 
     // r12 waves 27–30: the collected/moment-state stats family in ONE
     // grouped pass — rankCorr + intervalLengthSum collect O(group)

@@ -335,4 +335,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(resumed == expected,
       "post-restart result diverged from batch — checkpoint state lost")
   }
+
+  test("checkpoint restart: CUSTOM GroupState (SpaceSaving topK) survives resume") {
+    // The harder recovery case: not a built-in windowed agg but
+    // mapGroupsWithState with a user-defined state type (the
+    // SpaceSaving counter map). Half the events are processed, the
+    // query STOPS, and a new query resumes from the checkpoint with
+    // the other half staged — the final per-type top-5 only equals
+    // the batch answer if every counter accumulated before the stop
+    // came back out of the state store.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val full = Tables(spark, "/root/testdata/sf0.001", "events")
+    val expected = full
+      .groupBy($"event_type", $"user_id".cast("string").as("uid"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.sortBy { case (_, u, c) => (-c, u) }.take(5)
+          .map { case (_, u, c) => s"$u:$c" }.toSeq
+      }
+
+    val dir = Files.createTempDirectory("graft_restart_topk_src").toString
+    val ckpt = Files.createTempDirectory("graft_restart_topk_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_restart_topk_out").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_restart_topk_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    // the memory sink can't recover an update-mode query from a
+    // checkpoint — foreachBatch CAN, and batchIds keep increasing
+    // across the restart, so max(batch) per key is the final state
+    def runPhase(): Unit = {
+      val q = StreamDemo.streamingTopK(StreamDemo.readEventStream(spark, dir))
+        .toDF("event_type", "top")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def lastPerType(): Map[String, Seq[String]] =
+      spark.read.parquet(outDir).as[(String, Seq[String], Long)].collect()
+        .groupBy(_._1).map { case (t, rows) => t -> rows.maxBy(_._3)._2 }
+
+    // parity split: every event type gets rows in BOTH halves, so the
+    // phase-2 trigger re-emits every group with merged counters
+    stage(full.filter($"event_id" % 2 === 0), "a.parquet")
+    runPhase()
+    val partial = lastPerType()
+    assert(partial.nonEmpty && partial != expected,
+      "half the stream unexpectedly already equals the full answer")
+
+    stage(full.filter($"event_id" % 2 === 1), "b.parquet")
+    runPhase()
+    val resumed = lastPerType()
+    assert(resumed == expected,
+      "post-restart topK diverged from batch — GroupState lost on resume")
+  }
 }
