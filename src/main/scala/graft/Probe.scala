@@ -419,6 +419,25 @@ object Probe {
       "SELECT count() AS c FROM nation SETTINGS max_threads = 8, max_memory_usage = 10000000000",
     "w13_set_stmt" ->
       "SET max_execution_time = 300",
+    // wave 40 (r15): saturation sweep — string builtins through the
+    // front door, GK quantiles, filtered sumMap, server identity fns,
+    // byteSize, sparkbar
+    "w40_string_builtins" ->
+      "SELECT soundex('ClickHouse') AS sx, ascii('A') AS a, repeat('ab', 3) AS r, initcap('hello world') AS ic, length(space(4)) AS sp",
+    "w40_quantile_gk" ->
+      "SELECT round(quantileGK(100, 0.5)(n_nationkey), 2) AS q, arrayStringConcat(arrayMap(x -> toString(round(x, 2)), quantilesGK(100, 0.25, 0.75)(n_nationkey)), '|') AS qs FROM nation",
+    "w40_summap_filtered" ->
+      "SELECT sumMapFiltered([1, 3])([n_nationkey % 4, 7], [1, 1]) AS sm FROM nation",
+    "w40_server_identity" ->
+      "SELECT displayName() AS dn, hostName() AS hn, currentDatabase() AS db",
+    "w40_byte_size" ->
+      "SELECT byteSize(toInt64(1)) AS b8, byteSize(toInt32(1)) AS b4, byteSize(toFloat64(1.0)) AS bf, byteSize('abc') AS bs, byteSize(toDate('2024-01-01')) AS bd",
+    "w40_sparkbar" ->
+      "SELECT sparkbar(8)(n_nationkey, toFloat64(n_regionkey + 1)) AS sb FROM nation",
+    "w40_round_legacy" ->
+      "SELECT roundToExp2(100) AS r2, roundDuration(95) AS rd, roundAge(35) AS ra, roundBankers(2.5) AS rb",
+    "w40_misc_math" ->
+      "SELECT gcd(12, 18) AS g, lcm(4, 6) AS l, max2(1, 2) AS m2, min2(1, 2) AS mn, isFinite(1.0) AS fin, cot(1.0) > 0 AS ct",
     "w13_base58_puny" ->
       "SELECT base58Decode(base58Encode('Hello World!')) AS rt, base58Encode('Hello World!') AS b58, punycodeEncode('München') AS pe, punycodeDecode('Mnchen-3ya') AS pd, idnaEncode('münchen.de') AS ie, idnaDecode('xn--mnchen-3ya.de') AS id",
     "w12_bytes_maps_dates" ->

@@ -1310,6 +1310,34 @@ object ChDialect {
       "bit_count(__a ^ __b)")
     macroFn("currentDatabase", Seq(), "'default'")
     macroFn("hostName", Seq(), "'localhost'")
+    // display_name defaults to the hostname when unset — single-JVM
+    // engine, same constant as hostName
+    macroFn("displayName", Seq(), "'localhost'")
+    // byteSize: CH's in-memory value size. Type-dispatched at analysis
+    // time — fixed-width scalars fold to their width, String is
+    // length + 9 (CH's size-prefix accounting); complex types refuse
+    // loudly instead of guessing CH's offsets+nulls layout.
+    reg("byteSize") { c =>
+      require(c.size == 1, "byteSize(x)")
+      val e = c.head
+      def w(n: Int): Expression = Literal(n.toLong)
+      e.dataType match {
+        case BooleanType | org.apache.spark.sql.types.ByteType => w(1)
+        case org.apache.spark.sql.types.ShortType => w(2)
+        case IntegerType | org.apache.spark.sql.types.FloatType => w(4)
+        case LongType | DoubleType => w(8)
+        case DateType => w(2) // CH Date = UInt16 days
+        case TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => w(8) // DateTime64
+        case d: DecimalType =>
+          w(if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16)
+        case StringType => Add(Cast(Length(e), LongType), Literal(9L))
+        case other => throw new IllegalArgumentException(
+          s"byteSize: unsupported type ${other.simpleString} — fixed-width " +
+            "scalars and String carry CH in-memory sizes; complex-type " +
+            "layouts (offsets + null maps) are engine-internal")
+      }
+    }
     macroFn("formatReadableDecimalSize", Seq("__b"),
       """CASE WHEN __b >= 1000000000 THEN concat(round(__b / 1000000000.0, 2), ' GB')
               WHEN __b >= 1000000 THEN concat(round(__b / 1000000.0, 2), ' MB')

@@ -2051,6 +2051,33 @@ class ChDialectSpec extends AnyFunSuite {
     assert(msg.contains("exactly one argument"), msg)
   }
 
+  test("wave 40: byteSize widths, displayName, GK quantiles, soundex routing") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT byteSize(toInt64(1)) AS b8, byteSize(toInt32(1)) AS b4,
+             byteSize(toInt16(1)) AS b2, byteSize(toFloat64(1.0)) AS bf,
+             byteSize('abc') AS bs, byteSize(toDate('2024-01-01')) AS bd,
+             byteSize(toDecimal64(1.5, 2)) AS bdec,
+             displayName() AS dn,
+             soundex('ClickHouse') AS sx,
+             round(toFloat64(quantileGK(100, 0.5)(n_nationkey)), 2) AS gk
+      FROM nation""").collect().head
+    assert(r.getLong(0) == 8 && r.getLong(1) == 4 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 8)
+    assert(r.getLong(4) == 3 + 9) // CH String size = length + 9
+    assert(r.getLong(5) == 2)    // CH Date = UInt16 days
+    assert(r.getLong(6) == 8)    // Decimal64
+    assert(r.getString(7) == "localhost")
+    assert(r.getString(8) == "C422")
+    assert(r.getDouble(9) == 12.0) // GK at accuracy 100 over 0..24 is exact
+    // complex types refuse loudly instead of guessing CH's layout
+    val e = intercept[Exception](
+      Graft.sql(spark, "SELECT byteSize([1, 2]) AS b").collect())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("byteSize"), msg)
+  }
+
   test("wave 38: LIMIT n OFFSET o BY equals the comma spelling") {
     Graft.init(spark, "/root/testdata/sf0.001")
     def rows(q: String) = Graft.sql(spark, q).collect()
