@@ -139,20 +139,22 @@ object Stress {
     report("dedup_cc_pick", mult, nPairs, tCc + tPick, exchanges(pick), nPick)
     pairs.unpersist(); cc.unpersist()
 
-    // ---- BM25 over the same corpus (r15 stage-sharing, same shape
-    // as the declared pipe_bm25: ONE exploded-corpus shuffle — tf
-    // persisted, dl/stats/df all derive from it)
-    val toks = synthDocs(spark, nDocs)
-      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
-    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.DISK_ONLY)
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      .persist(StorageLevel.DISK_ONLY)
-    val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    // ---- BM25 over the same corpus (r15, same shape as the declared
+    // pipe_bm25: ZERO corpus-wide exchanges — token_counts generator
+    // finishes tf within the row, broadcast terms semi-join shrinks
+    // the corpus immediately, dl is a map-side projection)
+    graft.functions.GraftFunctions.register(spark)
+    val bmDocs = synthDocs(spark, nDocs)
+    val tf = bmDocs.select($"doc_id",
+      expr("token_counts(split(text, ' '))"))
     val terms = Seq("scan", "merge", "hash").toDF("tok")
-    val dft = tf.join(broadcast(terms), "tok")
-      .groupBy($"tok").agg(count(lit(1)).as("df"))
-    val bm25 = tf.join(broadcast(terms), "tok")
+    val matchedBm = tf.join(broadcast(terms), "tok")
+      .persist(StorageLevel.DISK_ONLY)
+    val dl = bmDocs.select($"doc_id",
+      size(Text.tokens($"text")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dft = matchedBm.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val bm25 = matchedBm
       .join(dl, "doc_id")
       .join(broadcast(dft), "tok")
       .crossJoin(broadcast(stats))
@@ -165,7 +167,7 @@ object Stress {
       .orderBy($"sc".desc, $"doc_id").limit(10)
     val (top, tBm) = timed(bm25.collect())
     report("bm25", mult, nDocs * 11 / 10, tBm, exchanges(bm25), top.length)
-    tf.unpersist(); dl.unpersist(); docs.unpersist()
+    matchedBm.unpersist(); docs.unpersist()
 
     // ---- lang-ID (decomposed naive Bayes — the corpus joins the
     // profile table ONCE on tok; penalty constants broadcast)
@@ -173,10 +175,12 @@ object Stress {
       .withColumn("lang", expr(
         "elt(1 + CAST(pmod(hash(doc_id, 13), 4) AS INT), 'en','de','fr','zh')"))
     val D = "decimal(18,6)"
-    val ltoks = ldocs.select($"doc_id", $"lang",
-      explode(Text.tokens($"text")).as("tok"))
-    val dt = ltoks.groupBy($"doc_id", $"lang", $"tok")
-      .agg(count(lit(1)).as("tf")).persist(StorageLevel.DISK_ONLY)
+    // token_counts generator (r15): tf finished within the row — the
+    // exploded corpus never reaches an exchange (same shape as the
+    // declared pipe_lang_id)
+    val dt = ldocs.select($"doc_id", $"lang",
+      expr("token_counts(split(text, ' '))"))
+      .persist(StorageLevel.DISK_ONLY)
     val prof2 = dt.groupBy($"lang".as("plang"), $"tok").agg(sum($"tf").as("c"))
       .persist(StorageLevel.DISK_ONLY)
     val vocab2 = prof2.agg(countDistinct($"tok").as("v"))

@@ -94,6 +94,9 @@ object GraftFunctions {
       "shingle_rows", (children: Seq[Expression]) =>
         ShingleRows(children(0), children(1)), "built-in")
     fr.createOrReplaceTempFunction(
+      "token_counts", (children: Seq[Expression]) =>
+        TokenCounts(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
       "graft_gcd", (children: Seq[Expression]) =>
         Gcd(children(0), children(1)), "built-in")
     fr.createOrReplaceTempFunction(

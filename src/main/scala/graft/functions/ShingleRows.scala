@@ -45,3 +45,58 @@ case class ShingleRows(child: Expression, n: Expression)
       newChildren: IndexedSeq[Expression]): ShingleRows =
     copy(child = newChildren(0), n = newChildren(1))
 }
+
+/** Per-document term-frequency generator: `token_counts(tokens)` emits
+  * one (tok, tf) row per DISTINCT token of the array — the MAP-SIDE
+  * replacement for `explode + groupBy(doc, tok)`. The exploded corpus
+  * (the heaviest frame of the lang-id / BM25 pipelines) never reaches
+  * an exchange: term frequencies are finished within the row, so the
+  * first shuffle downstream operates on distinct-(doc, token) rows,
+  * one per token TYPE instead of one per token OCCURRENCE. O(tokens)
+  * per row via an insertion-ordered hash map (emission order =
+  * first occurrence — deterministic for a given array). Tokens are
+  * cloned out of the unsafe row buffer: GenerateExec streams lazily,
+  * and a view into a reused scan buffer would corrupt emitted rows.
+  */
+case class TokenCounts(child: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def elementSchema: StructType = new StructType()
+    .add("tok", StringType, nullable = false)
+    .add("tf", org.apache.spark.sql.types.LongType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) Iterator.empty
+    else {
+      val data = arr.asInstanceOf[ArrayData]
+      val n = data.numElements()
+      val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](
+        math.max(8, n * 2), 0.75f)
+      var i = 0
+      while (i < n) {
+        if (!data.isNullAt(i)) {
+          val t = data.getUTF8String(i)
+          val prev = m.get(t)
+          if (prev == null) m.put(t.clone(), 1L)
+          else m.put(t, prev + 1L)
+        }
+        i += 1
+      }
+      val it = m.entrySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val e = it.next()
+          new GenericInternalRow(Array[Any](e.getKey, e.getValue.longValue()))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TokenCounts =
+    copy(child = newChildren(0))
+}

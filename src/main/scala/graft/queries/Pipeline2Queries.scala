@@ -84,27 +84,26 @@ object Pipeline2Queries {
     // terms broadcast; everything else shuffles on doc_id/term.
     QDef("pipe_bm25", (s, dir) => {
       import s.implicits._
-      // r15 stage-sharing: ONE exploded-corpus shuffle total. tf is
-      // persisted and everything derives from it — dl = Σtf per doc
-      // (identical to counting raw tokens, without re-shuffling the
-      // exploded corpus a second time), stats from dl, df from the
-      // terms-matched slice of tf (a broadcast semi-join then a
-      // |terms|-key partial aggregate — map-side combine keeps common
-      // terms scale-safe; NOT a per-token window, whose partitions
-      // would be unbounded for a frequent term). Was 26 executed
-      // exchanges (the tf/dl/stats branches each re-ran the corpus
-      // scan); now the corpus is scanned and shuffled once.
-      val toks = Tables(s, dir, "documents")
-        .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
-      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+      // r15: ZERO corpus-wide exchanges. Term frequencies are finished
+      // WITHIN the row by the token_counts generator (no explode +
+      // groupBy shuffle), the broadcast terms semi-join shrinks the
+      // corpus to the matched slice immediately (persisted — tiny),
+      // and dl = size(tokens) is a map-side projection of the source
+      // scan. df is a |terms|-key partial aggregate of the matched
+      // slice. Only the matched slice and the docs-sized dl frame meet
+      // a join — AQE broadcasts the tiny side while it fits and falls
+      // back to a shuffled join gracefully when it doesn't.
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val tf = docs.select($"doc_id", expr("token_counts(split(text, ' '))"))
       val terms = Seq("scan", "merge", "hash").toDF("tok")
-      val dft = tf.join(broadcast(terms), "tok")
-        .groupBy($"tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(terms), "tok")
+      val matched = tf.join(broadcast(terms), "tok")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val dl = docs.select($"doc_id",
+        size(Text.tokens($"text")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+      val dft = matched.groupBy($"tok").agg(count(lit(1)).as("df"))
+      matched
         .join(dl, "doc_id")
         .join(broadcast(dft), "tok")
         .crossJoin(broadcast(stats))

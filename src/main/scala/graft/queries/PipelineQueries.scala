@@ -745,13 +745,16 @@ object PipelineQueries {
     // at any executor count. Output: confusion matrix.
     QDef("pipe_lang_id", (s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val D = "decimal(18,6)"
-      val toks = Tables(s, dir, "documents")
-        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
-      // Pre-aggregate per-doc token multiplicities: downstream joins
-      // touch one row per DISTINCT (doc, token), not per occurrence.
-      val docToks = toks.groupBy($"doc_id", $"lang", $"tok")
-        .agg(count(lit(1)).as("tf"))
+      // Per-doc token multiplicities finished WITHIN the row by the
+      // token_counts generator (r15) — the exploded corpus (one row
+      // per token OCCURRENCE, the pipeline's heaviest frame) never
+      // reaches an exchange; downstream operators see one row per
+      // DISTINCT (doc, token) straight off the scan.
+      val docToks = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("token_counts(split(text, ' '))"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // profiles, per-lang totals, vocabulary all DERIVE from prof
       // (vocab×|langs| rows) instead of re-scanning the corpus.
@@ -1153,12 +1156,17 @@ object PipelineQueries {
     // (the established FP-order-independence convention).
     QDef("pipe_unigram_logprob", (s, dir) => {
       import s.implicits._
-      val toks = Tables(s, dir, "documents")
-        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
-      val docToks = toks.groupBy($"doc_id", $"lang", $"tok")
-        .agg(count(lit(1)).as("tf"))
-      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
-      val tot = toks.agg(count(lit(1)).as("n"), countDistinct($"tok").as("v"))
+      graft.functions.GraftFunctions.register(s)
+      // token_counts generator (r15): tf finished within the row — the
+      // occurrence-level corpus never reaches an exchange; freq and
+      // the corpus totals derive from the persisted DISTINCT-(doc,tok)
+      // frame (freq = Σtf, n = Σtf, v = distinct tok — identical
+      // observables, one row per token TYPE instead of per occurrence)
+      val docToks = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", expr("token_counts(split(text, ' '))"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val freq = docToks.groupBy($"tok").agg(sum($"tf").as("c"))
+      val tot = docToks.agg(sum($"tf").as("n"), countDistinct($"tok").as("v"))
       val scored = docToks
         .join(freq, Seq("tok")) // every token has a freq (self-trained)
         .crossJoin(broadcast(tot))
