@@ -336,6 +336,56 @@ class StreamingSpec extends AnyFunSuite {
       "post-restart result diverged from batch — checkpoint state lost")
   }
 
+  test("checkpoint restart under the RocksDB state store (the at-scale backend)") {
+    // The default HDFS-backed store keeps every version of the state
+    // in executor memory — at 100-TB stream scale the RocksDB provider
+    // (disk-spilling, incremental-checkpointing) is the one that
+    // actually runs. Same stop/resume shape as the tests around this
+    // one, but with the provider swapped in for the query's lifetime:
+    // state written by RocksDB before the stop must come back from the
+    // RocksDB checkpoint after it.
+    import org.apache.spark.sql.functions._
+    val full = Tables(spark, "/root/testdata/sf0.001", "events")
+    val expected = canon(StreamDemo.dailyCounts(full))
+    val cutUs = full.selectExpr(
+      "CAST(percentile_approx(unix_micros(ts), 0.5, 10000) AS BIGINT) AS c")
+      .collect().head.getLong(0)
+
+    val dir = Files.createTempDirectory("graft_rocksdb_src").toString
+    val ckpt = Files.createTempDirectory("graft_rocksdb_ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_rocksdb_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runPhase(queryName: String): Unit = {
+        val q = StreamDemo.dailyCounts(StreamDemo.readEventStream(spark, dir))
+          .writeStream.format("memory").queryName(queryName)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      stage(full.filter(unix_micros(col("ts")) <= cutUs), "a.parquet")
+      runPhase("rocksdb_p1")
+      assert(canon(spark.table("rocksdb_p1")).nonEmpty)
+      stage(full.filter(unix_micros(col("ts")) > cutUs), "b.parquet")
+      runPhase("rocksdb_p2")
+      assert(canon(spark.table("rocksdb_p2")) == expected,
+        "RocksDB-backed state lost across the restart")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("checkpoint restart: CUSTOM GroupState (SpaceSaving topK) survives resume") {
     // The harder recovery case: not a built-in windowed agg but
     // mapGroupsWithState with a user-defined state type (the
