@@ -465,19 +465,33 @@ object Extras2Queries {
     // -State/-Merge combinator surface (uniqState → uniqMerge):
     // Spark's Datasketches HLL functions make the sketch a real
     // materializable column — partial sketches per (nation, segment),
-    // unioned per nation, estimated at the end. Rows-only gate entry
-    // (DuckDB can't reproduce the sketch bytes); the estimate-vs-exact
-    // tolerance is pinned in ApproxSpec.
+    // unioned per nation, estimated at the end. HASH-CHECKED since
+    // r15 via a tolerance OBSERVABLE: DuckDB can't reproduce the
+    // sketch bytes, but it can compute the exact distinct count and
+    // the constant TRUE — so the gate carries (exact, est within 5%)
+    // and goes red the moment the sketch estimate drifts past the
+    // tolerance ApproxSpec also pins.
     QDef("agg_uniq_state_merge", (s, dir) => {
       import s.implicits._
-      Tables(s, dir, "customer")
+      val est = Tables(s, dir, "customer")
         .groupBy($"c_nationkey", $"c_mktsegment")
         .agg(expr("hll_sketch_agg(c_custkey)").as("state"))
         .groupBy($"c_nationkey")
         .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(state)) AS BIGINT)")
           .as("uniq_est"))
+      val exact = Tables(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(countDistinct($"c_custkey").as("uniq_exact"))
+      est.join(exact, Seq("c_nationkey"))
+        .select($"c_nationkey", $"uniq_exact",
+          (abs($"uniq_est" - $"uniq_exact") <=
+            $"uniq_exact".cast("double") * 0.05).as("est_ok"))
         .orderBy($"c_nationkey")
-    }, None),
+    }, Some("""
+      SELECT c_nationkey,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS uniq_exact,
+             TRUE AS est_ok
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // uniqTheta surface: KMV theta sketches with SET OPERATIONS
     // (ops/Sketches + Aggregates.ThetaSketch — no sketch library,

@@ -134,12 +134,12 @@ class ApproxSpec extends AnyFunSuite {
   }
 
   test("negative: the 5% tolerance bites — a 10%-off estimate is rejected") {
-    // agg_uniq_state_merge is an allowlisted rows-only gate entry whose
-    // correctness rests on this spec's |est - exact| / exact < 0.05
-    // predicate. Prove the predicate discriminates against a real
-    // exact count (non-zero, non-degenerate): a 10% drift must fail
-    // it, and the genuine HLL++ estimate must sit strictly closer
-    // than that drift.
+    // The |est - exact| / exact < 0.05 predicate is the correctness
+    // contract for every uniq/HLL surface (and, since r15, the
+    // est_ok observable hash-checked in agg_uniq_state_merge's gate
+    // entry). Prove the predicate discriminates against a real exact
+    // count (non-zero, non-degenerate): a 10% drift must fail it, and
+    // the genuine HLL++ estimate must sit strictly closer.
     val li = Tables(spark, dir, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).as[Long].head().toDouble
     assert(exact > 100, s"degenerate fixture: $exact")

@@ -20,7 +20,8 @@ class GraftSqlSpec extends AnyFunSuite {
       "scalar_ch_hashes", // DuckDB has no SipHash; pinned by HashesSpec vectors
       "scalar_geo_encode", // DuckDB core has no geohash; pinned by GeoSpec
       // (pointInPolygon is hash-checked since r15 — scalar_geo_pip)
-      "agg_uniq_state_merge", // sketch bytes aren't reproducible; ApproxSpec tolerance
+      // agg_uniq_state_merge was hash-checked in r15 (tolerance
+      // observable: exact count + est-within-5% boolean)
       "pipe_ann_ivf" // k-means cells aren't reproducible in DuckDB; IvfSpec recall
     )
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
