@@ -352,6 +352,26 @@ object Stress {
     val (nLb, tLb) = timed(lb.count())
     report("limit_by_exec", mult, nEvents, tLb, exchanges(lb), nLb)
 
+    // ---- streaming: stateful SpaceSaving topK over a FILE-STREAM
+    // replay of the same events (r15) — scale evidence for the
+    // streaming path, not just batch: state is O(types × cap),
+    // independent of input length. maxFilesPerTrigger splits the
+    // replay into real micro-batches so per-batch state load/commit
+    // is exercised, not a single mega-batch. `out` = rows/sec.
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_stress_stream").toString
+    events.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(sdir)
+    val sschema = spark.read.parquet(sdir).schema
+    val sq = graft.streaming.StreamDemo.streamingTopK(
+        spark.readStream.schema(sschema)
+          .option("maxFilesPerTrigger", 8).parquet(sdir))
+      .toDF("event_type", "top")
+      .writeStream.format("noop").outputMode("update").start()
+    val (_, tStream) = timed { sq.processAllAvailable(); sq.stop() }
+    report("streaming_topk", mult, nEvents, tStream, 0,
+      (nEvents / math.max(tStream, 0.001)).toLong)
+
     events.unpersist()
     spark.stop()
   }
