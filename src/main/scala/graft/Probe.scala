@@ -436,6 +436,8 @@ object Probe {
       "SELECT sparkbar(8)(n_nationkey, toFloat64(n_regionkey + 1)) AS sb FROM nation",
     "w40_round_legacy" ->
       "SELECT roundToExp2(100) AS r2, roundDuration(95) AS rd, roundAge(35) AS ra, roundBankers(2.5) AS rb",
+    "w40_wkt_point" ->
+      "SELECT readWKTPoint('POINT (10.5 -3)').1 AS x, readWKTPoint('POINT (10.5 -3)').2 AS y",
     "w40_misc_math" ->
       "SELECT gcd(12, 18) AS g, lcm(4, 6) AS l, max2(1, 2) AS m2, min2(1, 2) AS mn, isFinite(1.0) AS fin, cot(1.0) > 0 AS ct",
     "w13_base58_puny" ->

@@ -5184,6 +5184,18 @@ object ChDialect {
             s"${fmtCoord(x)} ${fmtCoord(y)}"
           }.mkString(",") + ")"
         }.mkString(",") + ")")
+      // CH Point = Tuple(x, y); accessed via .1/.2 like any tuple
+      spark.udf.register(gd("readWKTPoint"), (s: String) => {
+        if (s == null) null
+        else {
+          val body = s.trim.stripPrefix("POINT").trim
+          require(body.startsWith("(") && body.endsWith(")"),
+            s"readWKTPoint: not a POINT wkt: $s")
+          val xy = body.substring(1, body.length - 1).trim.split("""\s+""")
+          require(xy.length == 2, s"readWKTPoint: bad point '$s'")
+          (xy(0).toDouble, xy(1).toDouble)
+        }
+      })
       spark.udf.register(gd("readWKTPolygon"), (s: String) => {
         if (s == null) null
         else {

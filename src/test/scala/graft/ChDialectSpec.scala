@@ -2069,6 +2069,10 @@ class ChDialectSpec extends AnyFunSuite {
     assert(r.getLong(6) == 8)    // Decimal64
     assert(r.getString(7) == "localhost")
     assert(r.getString(8) == "C422")
+    val pt = Graft.sql(spark,
+      "SELECT readWKTPoint('POINT (10.5 -3)').1 AS x, " +
+        "readWKTPoint('POINT (10.5 -3)').2 AS y").collect().head
+    assert(pt.getDouble(0) == 10.5 && pt.getDouble(1) == -3.0)
     assert(r.getDouble(9) == 12.0) // GK at accuracy 100 over 0..24 is exact
     // complex types refuse loudly instead of guessing CH's layout
     val e = intercept[Exception](
