@@ -1,7 +1,11 @@
 package graft
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TokenCounts}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** `token_counts` generator (r15): per-document term frequencies
@@ -42,6 +46,27 @@ class TokenCountsSpec extends AnyFunSuite {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
       .as[(Long, String, Long)].collect().toSet
     assert(viaGen == viaShuffle && viaGen.nonEmpty)
+  }
+
+  test("property: rows == reference multiset counts, first-occurrence order") {
+    // Direct expression eval (no Spark job) over 300 random arrays —
+    // small alphabet forces real collisions, arbitrary strings cover
+    // the general case, empty string is a legal token.
+    val tokGen = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "w1", "w2", ""),
+      1 -> Gen.alphaNumStr.map(_.take(8)))
+    val arrGen = Gen.listOf(tokGen)
+    val p = Prop.forAll(arrGen) { toks =>
+      val e = TokenCounts(Literal.create(toks.toArray, ArrayType(StringType)))
+      val got = e.eval(InternalRow.empty).iterator.toSeq
+        .map(r => (r.getUTF8String(0).toString, r.getLong(1)))
+      val ref = toks.zipWithIndex.groupBy(_._1).toSeq
+        .map { case (t, xs) => (t, xs.length.toLong, xs.map(_._2).min) }
+        .sortBy(_._3).map(t => (t._1, t._2))
+      got == ref
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, r.status.toString)
   }
 
   test("unsafe-buffer safety: generated tokens survive lazy streaming") {
