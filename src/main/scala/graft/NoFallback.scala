@@ -49,6 +49,16 @@ object NoFallback {
       msgs.lastOption.getOrElse("").linesIterator.take(1).mkString
     }
 
+    // A refusal probe may only fail with ITS pinned refusal message
+    // (Probe.refusalSignatures) — any other failure (e.g. a codegen
+    // compile error, the very thing this gate hunts) still counts.
+    def isPinnedRefusal(name: String, e: Throwable): Boolean =
+      Probe.refusalSignatures.get(name).exists { subs =>
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+        subs.forall(chain.contains)
+      }
+
     var bad = List.empty[String]
     var checked = 0
     Probe.queries.foreach { case (name, q) =>
@@ -56,7 +66,7 @@ object NoFallback {
         checked += 1
         try { Graft.sql(spark, q).collect(); () }
         catch {
-          case _: Throwable if Probe.expectedRefusals(name) => ()
+          case e: Throwable if isPinnedRefusal(name, e) => ()
           case e: Throwable =>
             if (only.nonEmpty) e.printStackTrace()
             bad ::= s"probe:$name :: ${e.getClass.getSimpleName}: ${short(e)}"

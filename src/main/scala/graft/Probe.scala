@@ -7,14 +7,27 @@ import org.apache.spark.sql.SparkSession
   * contract; run with `runMain graft.Probe <sfDir>`.
   */
 object Probe {
-  /** The 9 intentional loud-fail probes (texts pinned by RefusalSpec).
-    * Shared by ProbeBatterySpec and the NoFallback codegen sweep so the
-    * two gates can never disagree about what is allowed to fail.
+  /** The 9 intentional loud-fail probes → the message substrings that
+    * identify THAT refusal (the same texts RefusalSpec pins with the
+    * full guidance). Shared by ProbeBatterySpec, RefusalSpec and the
+    * NoFallback codegen sweep so the three gates can never disagree
+    * about what is allowed to fail — and so NoFallback accepts ONLY the
+    * pinned refusal, not any Throwable: a codegen-compile regression
+    * inside a refusal probe still fails the sweep, because its message
+    * won't carry the refusal signature.
     */
-  val expectedRefusals: Set[String] = Set(
-    "neighbor_fn", "from_final", "str_tests_unsupported",
-    "neighbor_running_unsupported", "w15_meta_hint", "running_diff_order",
-    "w17_url_loud", "w19_kostik_loud", "w21_deltasum_loud")
+  val refusalSignatures: Map[String, Seq[String]] = Map(
+    "neighbor_fn" -> Seq("runningDifference is block-order dependent"),
+    "from_final" -> Seq("FINAL needs engine key metadata"),
+    "str_tests_unsupported" -> Seq("surrogate_nothing"),
+    "neighbor_running_unsupported" -> Seq("runningAccumulate_nothing"),
+    "w15_meta_hint" -> Seq("FILTER_NOT_BOOLEAN"),
+    "running_diff_order" -> Seq("neighbor_nothing"),
+    "w17_url_loud" -> Seq("table function 'url' needs a remote source"),
+    "w19_kostik_loud" -> Seq("kostikConsistentHash (sumbur) is not implemented"),
+    "w21_deltasum_loud" -> Seq("deltaSum is aggregation-order dependent"))
+
+  val expectedRefusals: Set[String] = refusalSignatures.keySet
 
   val queries: Seq[(String, String)] = Seq(
     "tf_file" ->

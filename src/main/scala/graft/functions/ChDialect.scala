@@ -34,9 +34,14 @@ object ChDialect {
     * 256-entry access-order LRU — eviction is per-entry (never a
     * clear-all that could race a just-inserted hot entry), and entries
     * keyed by closed sessions or stale fingerprints age out of the LRU
-    * instead of accumulating. computeIfAbsent is atomic here:
-    * Collections.synchronizedMap overrides the default methods with
-    * synchronized variants.
+    * instead of accumulating. The build (a Spark collect of up to 100k
+    * rows) runs OUTSIDE the map's mutex — a slow collect must not block
+    * every other joinGet on every other table, and a re-entrant joinGet
+    * reached from inside the build (a view whose plan itself calls
+    * joinGet) must not deadlock or corrupt the LinkedHashMap. Two
+    * threads racing on the same cold key may both build; putIfAbsent
+    * keeps exactly one result (a rare duplicate collect is the accepted
+    * price — the alternative, holding the lock, serialized ALL tables).
     */
   private val joinGetCache: java.util.Map[
       (SparkSession, String, String, Int), (Literal, DataType, DataType)] =
@@ -66,7 +71,11 @@ object ChDialect {
     val valueCol = strLit(colE, "the value column")
     val df = spark.table(tbl)
     val fp = df.queryExecution.analyzed.semanticHash()
-    joinGetCache.computeIfAbsent((spark, tbl, valueCol, fp), { _ =>
+    val key = (spark, tbl, valueCol, fp)
+    val cached = joinGetCache.get(key) // synchronized, O(1)
+    if (cached != null) cached
+    else {
+      // Build OUTSIDE the lock (see cache scaladoc).
       joinGetBuilds.incrementAndGet()
       val keyCol = df.columns.headOption.getOrElse(
         throw new IllegalArgumentException(
@@ -83,9 +92,12 @@ object ChDialect {
           "join for lookups at that size")
       val keyT = df.schema(keyCol).dataType
       val valT = df.schema(valueCol).dataType
-      (Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
-        org.apache.spark.sql.types.MapType(keyT, valT)), keyT, valT)
-    })
+      val built =
+        (Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
+          org.apache.spark.sql.types.MapType(keyT, valT)), keyT, valT)
+      val raced = joinGetCache.putIfAbsent(key, built) // synchronized, O(1)
+      if (raced != null) raced else built
+    }
   }
 
   /** CH name → Spark builtin with identical argument semantics. */
@@ -1301,9 +1313,14 @@ object ChDialect {
                   slice(__a, 1, size(__a) - pmod(__n, size(__a)))) END""")
     // k > size would hit sequence(1, negative) = a DESCENDING sequence
     // in Spark — guard to the empty nested array instead ([] of the
-    // right array<array<T>> type via slice of a 1-element wrap)
+    // right array<array<T>> type via slice of a 1-element wrap).
+    // k <= 0 is a bad argument in CH (shingle length must be positive);
+    // refuse loudly rather than emitting size+1 empty shingles.
     macroFn("arrayShingles", Seq("__a", "__k"),
-      """CASE WHEN size(__a) < __k THEN slice(array(__a), 1, 0)
+      """CASE WHEN __k <= 0 THEN
+           raise_error(concat('arrayShingles: shingle length must be a ',
+                              'positive integer, got ', CAST(__k AS STRING)))
+         WHEN size(__a) < __k THEN slice(array(__a), 1, 0)
          ELSE transform(sequence(1, size(__a) - __k + 1),
                         i -> slice(__a, i, __k)) END""")
     macroFn("bitHammingDistance", Seq("__a", "__b"),
@@ -1331,7 +1348,9 @@ object ChDialect {
              org.apache.spark.sql.types.TimestampNTZType => w(8) // DateTime64
         case d: DecimalType =>
           w(if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16)
-        case StringType => Add(Cast(Length(e), LongType), Literal(9L))
+        // BYTE length (OctetLength), not character count — CH byteSize
+        // of a String is utf8-byte payload + 9 bytes of header.
+        case StringType => Add(Cast(OctetLength(e), LongType), Literal(9L))
         case other => throw new IllegalArgumentException(
           s"byteSize: unsupported type ${other.simpleString} — fixed-width " +
             "scalars and String carry CH in-memory sizes; complex-type " +

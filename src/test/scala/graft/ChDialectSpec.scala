@@ -2057,29 +2057,41 @@ class ChDialectSpec extends AnyFunSuite {
       SELECT byteSize(toInt64(1)) AS b8, byteSize(toInt32(1)) AS b4,
              byteSize(toInt16(1)) AS b2, byteSize(toFloat64(1.0)) AS bf,
              byteSize('abc') AS bs, byteSize(toDate('2024-01-01')) AS bd,
+             byteSize('ü') AS bu, byteSize('München') AS bmu,
              byteSize(toDecimal64(1.5, 2)) AS bdec,
              displayName() AS dn,
              soundex('ClickHouse') AS sx,
              round(toFloat64(quantileGK(100, 0.5)(n_nationkey)), 2) AS gk
       FROM nation""").collect().head
+    // (column indices below follow the SELECT order above)
     assert(r.getLong(0) == 8 && r.getLong(1) == 4 && r.getLong(2) == 2)
     assert(r.getLong(3) == 8)
-    assert(r.getLong(4) == 3 + 9) // CH String size = length + 9
+    assert(r.getLong(4) == 3 + 9) // CH String size = BYTE length + 9
     assert(r.getLong(5) == 2)    // CH Date = UInt16 days
-    assert(r.getLong(6) == 8)    // Decimal64
-    assert(r.getString(7) == "localhost")
-    assert(r.getString(8) == "C422")
+    assert(r.getLong(6) == 2 + 9) // 'ü' is 1 char but 2 utf8 BYTES
+    assert(r.getLong(7) == 8 + 9) // 'München' = 7 chars, 8 bytes
+    assert(r.getLong(8) == 8)    // Decimal64
+    assert(r.getString(9) == "localhost")
+    assert(r.getString(10) == "C422")
     val pt = Graft.sql(spark,
       "SELECT readWKTPoint('POINT (10.5 -3)').1 AS x, " +
         "readWKTPoint('POINT (10.5 -3)').2 AS y").collect().head
     assert(pt.getDouble(0) == 10.5 && pt.getDouble(1) == -3.0)
-    assert(r.getDouble(9) == 12.0) // GK at accuracy 100 over 0..24 is exact
+    assert(r.getDouble(11) == 12.0) // GK at accuracy 100 over 0..24 is exact
     // complex types refuse loudly instead of guessing CH's layout
     val e = intercept[Exception](
       Graft.sql(spark, "SELECT byteSize([1, 2]) AS b").collect())
     val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msg.contains("byteSize"), msg)
+    // arrayShingles refuses non-positive shingle lengths loudly (CH
+    // rejects them as bad arguments; emitting size+1 empty shingles
+    // would be a silent divergence)
+    val e2 = intercept[Exception](
+      Graft.sql(spark, "SELECT arrayShingles([1, 2, 3], 0) AS s").collect())
+    val msg2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg2.contains("positive"), msg2)
   }
 
   test("wave 38: LIMIT n OFFSET o BY equals the comma spelling") {

@@ -55,6 +55,19 @@ class RefusalSpec extends AnyFunSuite {
       "SELECT deltaSum(n_nationkey) AS ds FROM nation",
       Seq("deltaSum is aggregation-order dependent", "deltaSumTimestamp")))
 
+  test("NoFallback's refusal signatures are pinned subsets of the guidance") {
+    // NoFallback accepts a refusal-probe failure ONLY when the message
+    // chain carries Probe.refusalSignatures(name); each signature must
+    // be one of the substrings this spec pins, and the name sets must
+    // match exactly, or the two gates could disagree.
+    assert(Probe.refusalSignatures.keySet == cases.map(_._1).toSet)
+    Probe.refusalSignatures.foreach { case (name, sigs) =>
+      val pinned = cases.find(_._1 == name).get._3
+      sigs.foreach(s => assert(pinned.contains(s),
+        s"$name: NoFallback signature '$s' is not a pinned guidance substring"))
+    }
+  }
+
   test("all 9 intentional refusals fire with their pinned guidance text") {
     val bad = cases.flatMap { case (name, q, subs) =>
       refusal(q) match {
