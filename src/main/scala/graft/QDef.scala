@@ -12,7 +12,15 @@ import org.apache.spark.sql.types.DecimalType
 final case class QDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Oracle SQL computed at DUMP time instead of registry-build time —
+      * for the rare oracle whose literal constants are data-derived
+      * (e.g. pipe_ann_ivf inlines the cached k-means centroids). Takes
+      * precedence over [[oracle]] when it yields Some. Must be cheap
+      * and side-effect-free when its inputs are already cached, and
+      * return None rather than throw when they aren't computable.
+      */
+    dynOracle: Option[() => Option[String]] = None)
 
 /** Determinism helpers shared by declared queries and their oracles.
   *

@@ -26,7 +26,11 @@ object SparkEntry {
     registries.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * dynOracle entries (data-derived literal constants) are resolved
+    * here, at dump time, after the queries have run. */
   def oracleSql: Map[String, String] =
-    registries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+    registries.flatMap(q =>
+      q.dynOracle.flatMap(f => f()).orElse(q.oracle)
+        .map(o => q.name -> o.trim)).toMap
 }

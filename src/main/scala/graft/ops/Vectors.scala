@@ -77,19 +77,117 @@ object Vectors {
     (model.transform(feat).drop("__fv"), model.clusterCenters.map(_.toArray))
   }
 
-  private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int, Long), (DataFrame, Array[Array[Double]])]
+  private[graft] val ivfCache =
+    new LruCache[(String, String, Int, Long), (DataFrame, Array[Array[Double]])](
+      256, { case (df, _) => df.unpersist() })
+
+  /** Key of the most recent [[ivfIndexCached]] build/lookup — the
+    * pipe_ann_ivf dynOracle reads it at dump time to inline the SAME
+    * centroids the gate query just used (Verify runs every query
+    * before dumping oracle_sql.json).
+    */
+  @volatile private[graft] var lastIvfKey: Option[(String, String, Int, Long)] = None
 
   /** [[ivfIndex]] built once per (corpus key, column, k, seed) and
     * persisted — index BUILD is amortized across queries, exactly how
     * a production ANN index is used (queries never re-run k-means).
+    * Bounded: 256-entry LRU, unpersist-on-evict.
     */
   def ivfIndexCached(emb: DataFrame, key: String, vecCol: String, k: Int, seed: Long)
-      : (DataFrame, Array[Array[Double]]) =
-    ivfCache.getOrElseUpdate((key, vecCol, k, seed), {
+      : (DataFrame, Array[Array[Double]]) = {
+    val full = (key, vecCol, k, seed)
+    lastIvfKey = Some(full)
+    ivfCache.getOrBuild(full) {
       val (a, c) = ivfIndex(emb, vecCol, k, seed)
       (a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), c)
-    })
+    }
+  }
+
+  /** Nearest-centroid cell from LITERAL centroids — the hash-checkable
+    * assignment (round-16 verdict task 1b): squared-L2 argmin over the
+    * centroid matrix, the distance an ascending-index sequential fold
+    * so Spark's `aggregate` and DuckDB's `list_sum(list_transform(...))`
+    * produce bit-identical doubles; first-minimum tie-break on centroid
+    * index in both engines (array_position / list_position).
+    */
+  def ivfCellCol(vec: org.apache.spark.sql.Column, cents: Seq[Seq[Double]])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dim = cents.head.size
+    val c = typedLit(cents)
+    val dists = transform(c, ctr =>
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) => {
+        val diff = element_at(ctr, d) - element_at(vec, d).cast("double")
+        acc + diff * diff
+      }))
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** Double → DuckDB literal text that parses back to the EXACT same
+    * double: Java's shortest round-trip repr, forced into DuckDB's
+    * DOUBLE lexer class with an `e0` exponent (a plain decimal literal
+    * would lex as DECIMAL, whose conversion to double can be off by an
+    * ulp for long mantissas).
+    */
+  def duckDouble(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** DuckDB twin of [[ivfCellCol]] (emits `... AS cell` subexpressions
+    * over a `dists` list column computed from the literal matrix).
+    */
+  def ivfDistsDuckSql(vecCol: String, cents: Seq[Seq[Double]]): String = {
+    val dim = cents.head.size
+    val mat = cents.map(_.map(duckDouble).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""list_transform($mat::DOUBLE[][], ctr ->
+       |  list_sum(list_transform(range(1, ${dim + 1}), d ->
+       |    (ctr[d] - $vecCol[d]::DOUBLE) * (ctr[d] - $vecCol[d]::DOUBLE))))""".stripMargin
+  }
+
+  /** dynOracle for pipe_ann_ivf: DuckDB SQL with the cached centroids
+    * inlined as literals (the planes-as-literals pattern pipe_ann_lsh
+    * uses, with data-derived constants). Returns None when no centroids
+    * are available and none can be built (no active session) — the
+    * entry then degrades to the driver's rows-only check instead of
+    * failing the dump.
+    */
+  def ivfOracleSql(): Option[String] = {
+    val key = lastIvfKey.getOrElse(
+      (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        "embedding", 8, 42L))
+    val cents: Option[Seq[Seq[Double]]] =
+      ivfCache.get(key).map(_._2.toSeq.map(_.toSeq)).orElse {
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map { s =>
+            val emb = graft.Tables(s, key._1, "embeddings")
+            ivfIndexCached(emb, key._1, key._2, key._3, key._4)
+              ._2.toSeq.map(_.toSeq)
+          }
+      }
+    cents.map { cs =>
+      s"""
+      WITH a0 AS (
+        SELECT vec_id, embedding,
+               ${ivfDistsDuckSql("embedding", cs)} AS dists
+        FROM embeddings),
+      a AS (SELECT vec_id, embedding,
+                   CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS cell
+            FROM a0),
+      q AS (SELECT vec_id AS q_id, embedding AS qv, cell FROM a WHERE vec_id < 8),
+      cand AS (SELECT q.q_id, a.vec_id,
+                      list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]) AS sim
+               FROM q JOIN a USING (cell) WHERE a.vec_id <> q.q_id),
+      r AS (SELECT q_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM cand)
+      SELECT q_id, rank, vec_id, round(sim, 4) AS sim
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+    }
+  }
 
   /** DuckDB twin of [[bucketSparkSql]]. */
   def bucketDuckSql(vecCol: String, nPlanes: Int, dim: Int): String = {

@@ -658,10 +658,14 @@ object Extras2Queries {
       ORDER BY c_custkey""")),
 
     // geohashEncode (custom expression, functions/Geo.scala) over the
-    // same pseudo-coordinates. Rows-only gate entry — DuckDB core has
-    // no geohash; the algorithm is pinned by known-answer tests in
-    // GeoSpec. (pointInPolygon moved to its own HASH-CHECKED entry,
-    // scalar_geo_pip, in r15 — its ray-cast IS oracle-expressible.)
+    // same pseudo-coordinates. HASH-CHECKED since r16: the oracle is a
+    // faithful recursive-CTE transcription of the encode loop — 40
+    // alternating lon/lat interval halvings with the SAME double
+    // midpoint arithmetic ((lo+hi)/2 from ±180/±90 is always an exact
+    // dyadic double, and the filtered fixture coordinates are integral
+    // doubles, so every `>= mid` comparison is exact in both engines),
+    // emitting a base32 char every 5 bits. GeoSpec's known-answer tests
+    // still pin the algorithm against published geohashes.
     QDef("scalar_geo_encode", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -673,7 +677,42 @@ object Extras2Queries {
         .selectExpr("c_custkey",
           "geohash_encode(lon, lat, 8) AS gh")
         .orderBy($"c_custkey")
-    }, None),
+    }, Some("""
+      WITH RECURSIVE pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey % 1700) / 10.0 - 85.0 AS DOUBLE) AS lat,
+               CAST((c_custkey % 3500) / 10.0 - 175.0 AS DOUBLE) AS lon
+        FROM customer WHERE c_custkey % 10 = 0),
+      g AS (
+        SELECT c_custkey, lon, lat,
+               CAST(-180.0 AS DOUBLE) AS lon_lo, CAST(180.0 AS DOUBLE) AS lon_hi,
+               CAST(-90.0 AS DOUBLE) AS lat_lo, CAST(90.0 AS DOUBLE) AS lat_hi,
+               0 AS i, 0 AS bits, 0 AS ch, CAST('' AS VARCHAR) AS gh
+        FROM pts
+        UNION ALL
+        SELECT c_custkey, lon, lat,
+               CASE WHEN i % 2 = 0 AND lon >= (lon_lo + lon_hi) / 2
+                    THEN (lon_lo + lon_hi) / 2 ELSE lon_lo END,
+               CASE WHEN i % 2 = 0 AND lon < (lon_lo + lon_hi) / 2
+                    THEN (lon_lo + lon_hi) / 2 ELSE lon_hi END,
+               CASE WHEN i % 2 = 1 AND lat >= (lat_lo + lat_hi) / 2
+                    THEN (lat_lo + lat_hi) / 2 ELSE lat_lo END,
+               CASE WHEN i % 2 = 1 AND lat < (lat_lo + lat_hi) / 2
+                    THEN (lat_lo + lat_hi) / 2 ELSE lat_hi END,
+               i + 1,
+               CASE WHEN bits = 4 THEN 0 ELSE bits + 1 END,
+               CASE WHEN bits = 4 THEN 0 ELSE ch * 2 +
+                 (CASE WHEN (i % 2 = 0 AND lon >= (lon_lo + lon_hi) / 2)
+                         OR (i % 2 = 1 AND lat >= (lat_lo + lat_hi) / 2)
+                       THEN 1 ELSE 0 END) END,
+               CASE WHEN bits = 4 THEN gh ||
+                 substr('0123456789bcdefghjkmnpqrstuvwxyz', ch * 2 +
+                   (CASE WHEN (i % 2 = 0 AND lon >= (lon_lo + lon_hi) / 2)
+                           OR (i % 2 = 1 AND lat >= (lat_lo + lat_hi) / 2)
+                         THEN 1 ELSE 0 END) + 1, 1)
+                 ELSE gh END
+        FROM g WHERE i < 40)
+      SELECT c_custkey, gh FROM g WHERE i = 40 ORDER BY c_custkey""")),
 
     // pointInPolygon, HASH-CHECKED (r15, verdict task 7): the oracle is
     // a faithful SQL transcription of GeoMath.pointInPolygon's

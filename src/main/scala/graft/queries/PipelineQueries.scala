@@ -24,15 +24,17 @@ object PipelineQueries {
     * pipe_dedup_canonical): one md5 pass + one DISK_ONLY
     * materialization per (session, fixture dir) instead of three —
     * the hash-once/reuse shape of a real curation pipeline (precedent:
-    * Vectors.ivfIndexCached). Bounded by construction: one entry per
-    * (session, fixture dir), and the fixtures are a fixed small set.
+    * Vectors.ivfIndexCached). Bounded: 256-entry LRU with
+    * unpersist-on-evict (graft.ops.LruCache) — on a long-lived session
+    * over many directories the DISK_ONLY persists age out instead of
+    * accumulating.
     */
-  private val lshDocsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
-    org.apache.spark.sql.DataFrame]()
+  private[graft] val lshDocsCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
   private def lshDocs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    lshDocsCache.computeIfAbsent((s, dir), _ => {
+    lshDocsCache.getOrBuild((s, dir)) {
       import s.implicits._
       Tables(s, dir, "documents")
         .withColumn("toks", Text.tokens($"text"))
@@ -42,7 +44,7 @@ object PipelineQueries {
         .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
         .select($"doc_id", $"sh", $"sig")
         .persist(StorageLevel.DISK_ONLY)
-    })
+    }
 
   val textDefs: Seq[QDef] = Seq(
 
@@ -882,27 +884,43 @@ object PipelineQueries {
     // legitimate iterative job, and it's INDEX BUILD, not query — then
     // probes equi-join their own cell and scan ~1/k of the corpus.
     // Same bucket-join shuffle shape as pipe_ann_lsh with learned
-    // cells. Rows-only gate entry (k-means cells aren't reproducible
-    // in DuckDB); recall vs exact top-k is pinned in IvfSpec.
+    // cells. HASH-CHECKED since r16 (verdict task 1b): the learned
+    // centroids are inlined as LITERALS into both engines — cell
+    // assignment is a squared-L2 argmin recomputed identically from
+    // those literals (Vectors.ivfCellCol / ivfDistsDuckSql, sequential
+    // folds, first-min tie-break), and the probe top-k hash-checks like
+    // pipe_sim_topk. The oracle is a dynOracle: its SQL text embeds the
+    // centroids this run's k-means produced (Verify dumps oracle after
+    // running the queries). IvfSpec still pins recall of the real
+    // model.transform path against exact top-k.
     QDef("pipe_ann_ivf", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
       val emb = Tables(s, dir, "embeddings")
-      val (assigned, _) = Vectors.ivfIndexCached(emb, dir, "embedding", 8, seed = 42L)
+      val (assigned, cents) =
+        Vectors.ivfIndexCached(emb, dir, "embedding", 8, seed = 42L)
+      // Gate cells come from the centroid LITERALS, not model.transform
+      // — both engines must run the same arithmetic on the same
+      // constants for the hash to be meaningful (Spark ML's internal
+      // distance path uses a norm-shortcut expansion that can flip
+      // borderline assignments by an ulp).
+      val withCell = assigned.drop("cell")
+        .withColumn("cell",
+          Vectors.ivfCellCol($"embedding", cents.toSeq.map(_.toSeq)))
       // Constant probe set: a modulo filter (vec_id % N == 0) makes the
       // probe batch grow WITH the corpus — probe×cell work then scales
       // superlinearly at 100 TB. Queries are external at scale; a fixed
       // demo set keeps the broadcast O(1) like pipe_sim_topk.
-      val probes = assigned.filter($"vec_id" < 8)
+      val probes = withCell.filter($"vec_id" < 8)
         .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"cell")
       val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-      assigned.join(broadcast(probes), Seq("cell"))
+      withCell.join(broadcast(probes), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
         .withColumn("sim", expr("cosine_sim(embedding, q_vec)"))
         .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
         .select($"q_id", $"rn".as("rank"), $"vec_id", round($"sim", 4).as("sim"))
         .orderBy($"q_id", $"rank")
-    }, None),
+    }, None, dynOracle = Some(() => Vectors.ivfOracleSql())),
 
     // Multimodal columns: opaque binary payload + typed metadata
     // struct; "decode" is the documented deterministic stub (real

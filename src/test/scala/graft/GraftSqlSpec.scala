@@ -17,12 +17,12 @@ class GraftSqlSpec extends AnyFunSuite {
     // needs an explicit justification here (and a non-gate test pinning
     // its semantics elsewhere).
     val rowsOnly = Set(
-      "scalar_ch_hashes", // DuckDB has no SipHash; pinned by HashesSpec vectors
-      "scalar_geo_encode", // DuckDB core has no geohash; pinned by GeoSpec
-      // (pointInPolygon is hash-checked since r15 — scalar_geo_pip)
-      // agg_uniq_state_merge was hash-checked in r15 (tolerance
+      "scalar_ch_hashes" // DuckDB has no SipHash; pinned by HashesSpec vectors
+      // (pointInPolygon hash-checked since r15 — scalar_geo_pip;
+      // geohashEncode hash-checked since r16 — recursive-CTE oracle;
+      // pipe_ann_ivf hash-checked since r16 — centroids-as-literals;
+      // agg_uniq_state_merge hash-checked since r15 — tolerance
       // observable: exact count + est-within-5% boolean)
-      "pipe_ann_ivf" // k-means cells aren't reproducible in DuckDB; IvfSpec recall
     )
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     assert(qs.diff(os) == rowsOnly,
