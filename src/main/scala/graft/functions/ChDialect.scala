@@ -3207,10 +3207,13 @@ object ChDialect {
       "make_ym_interval(0, 3 * CAST(__n AS INT))")
     macroFn("toIntervalYear", Seq("__n"), "make_ym_interval(CAST(__n AS INT), 0)")
 
-    // cityHash64/farmHash64/metroHash64: md5-derived 60-bit stand-ins
-    // under the repo's cross-engine hash convention — deterministic and
-    // well-mixed for sharding/sampling keys, NOT bit-parity with CH
-    // (sipHash64/intHash64 above are the bit-parity pair)
+    // cityHash64/farmHash64/metroHash64/wyHash64: md5-derived 60-bit
+    // stand-ins under the repo's cross-engine hash convention — the
+    // 60-bit prefix of md5(salt || '\x01' || args...), '\x01'-joined —
+    // deterministic and well-mixed for sharding/sampling keys, NOT
+    // bit-parity with CH (sipHash64/intHash64 above are bit-parity).
+    // DOCUMENTED DIVERGENCE: SURVEY §8 known-divergences; construction
+    // pinned by known answers in ChCompatSpec.
     def md5Hash64(salt: String): Seq[Expression] => Expression = c => {
       val s = ConcatWs(Literal("") +: Literal(salt) +:
         c.map(Cast(_, StringType)))
@@ -4500,10 +4503,17 @@ object ChDialect {
     // farmFingerprint64 binds. Seed 0 everywhere, matching CH.
     // UInt64 results are returned as the same 64 BITS in Int64 (the
     // sipHash64 convention); murmurHash3_32 is a true UInt32 so it
-    // fits non-negative in Int64. cityHash64 is deliberately ABSENT:
-    // CH pins pre-1.1 CityHash whose short-input constants differ
-    // from every maintained implementation — a close-but-wrong hash
-    // would corrupt shard routing silently, a loud absence cannot.
+    // fits non-negative in Int64. cityHash64 has NO bit-parity
+    // implementation here: CH pins pre-1.1 CityHash whose short-input
+    // constants differ from every maintained implementation. It is
+    // registered anyway — as an md5-derived 60-bit STAND-IN (see the
+    // md5Hash64 block above), alongside farmHash64/metroHash64/
+    // wyHash64 — because in-graft sharding/sampling only needs a
+    // deterministic well-mixed key. This is a DOCUMENTED DIVERGENCE
+    // (SURVEY §8 known-divergences; values pinned NOT-CH-parity in
+    // ChCompatSpec): a CH user porting cityHash64-based shard routing
+    // must re-shard or switch to the bit-parity family
+    // (sipHash64/intHash64/murmur*/farmFingerprint64/xxHash32).
     // murmurHash2_32/64 are transcribed from the public MurmurHash2
     // reference (seed 0); their spec vectors pin STABILITY (the
     // algorithm is public but no independent JVM oracle exists here).

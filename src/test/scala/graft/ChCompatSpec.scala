@@ -584,11 +584,23 @@ class ChCompatSpec extends AnyFunSuite {
       divide(-1, 0) AS ninf, isNaN(divide(0, 0)) AS nan""").head
     assert(v.getDouble(0) == 3.5 && v.getDouble(1).isPosInfinity &&
       v.getDouble(2).isNegInfinity && v.getBoolean(3))
-    // md5-derived stand-ins: deterministic, spread, non-negative 60-bit
+    // cityHash64/farmHash64/metroHash64/wyHash64 are md5-derived 60-bit
+    // STAND-INS, intentionally NOT bit-parity with ClickHouse (CH pins
+    // pre-1.1 CityHash; SURVEY §8 known-divergences). These literals
+    // pin the stand-in construction — the 60-bit prefix of
+    // md5(salt || '\x01' || arg), '\x01'-joined like concat_ws — so it
+    // can never drift silently; and they are NOT the CH values: a user
+    // porting shard routing must re-shard or use the bit-parity family
+    // (sipHash64/murmur*/farmFingerprint64).
     val h = run("""SELECT cityHash64('abc') AS c1, cityHash64('abc') AS c2,
-      cityHash64('abd') AS c3, farmHash64('abc') AS f1""").head
-    assert(h.getLong(0) == h.getLong(1) && h.getLong(0) != h.getLong(2) &&
-      h.getLong(0) >= 0L && h.getLong(3) != h.getLong(0))
+      cityHash64('abd') AS c3, farmHash64('abc') AS f1,
+      metroHash64('abc') AS m1, wyHash64('abc') AS w1""").head
+    assert(h.getLong(0) == 939545622095971553L)   // md5("city\1abc")[0,15)
+    assert(h.getLong(1) == h.getLong(0))
+    assert(h.getLong(2) == 716224142348361982L)   // md5("city\1abd")[0,15)
+    assert(h.getLong(3) == 1032169877754842587L)  // md5("farm\1abc")[0,15)
+    assert(h.getLong(4) == 746441860032610152L)   // md5("metro\1abc")[0,15)
+    assert(h.getLong(5) == 253480069743263590L)   // md5("wy\1abc")[0,15)
   }
 
   test("wave-3 clauses: FETCH FIRST, COLLATE, LowCardinality, char") {
