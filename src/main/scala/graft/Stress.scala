@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Aggregates, Graphs, Joins, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -128,6 +129,40 @@ object Stress {
     report("lsh_pairs", mult, nDocs * 11 / 10, tHash + tPairs,
       exchanges(pairs), nPairs)
 
+    // production-hash twin (r16 verdict task 6): the EXACT same chain
+    // with Text.hashPairsFast (xxhash64) in place of the md5 family —
+    // same shingles, same band layout, same Jaccard-over-hashed-
+    // shingles confirmation — the same-day A/B that prices the
+    // md5-for-oracle-parity trade. The pair set out is hash-family
+    // independent (the planted twins dominate; 55-bit collisions are
+    // negligible at this scale).
+    val docsX = synthDocs(spark, nDocs)
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hp",
+        Text.hashPairsFast(array_distinct(Text.shingles($"toks", 3))))
+      .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
+      .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
+      .select($"doc_id", $"sh", $"sig")
+      .persist(StorageLevel.DISK_ONLY)
+    val (_, tHashX) = timed(docsX.count())
+    val bandsX = docsX.select($"doc_id",
+      explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+    val candX = bandsX.as("a").join(bandsX.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shsX = docsX.select($"doc_id", $"sh")
+    val pairsX = candX
+      .join(shsX.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shsX.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("jac", Text.jaccard($"sh_a", $"sh_b"))
+      .filter($"jac" >= 0.35)
+      .select($"doc_a", $"doc_b")
+    val (nPairsX, tPairsX) = timed(pairsX.count())
+    report("lsh_pairs_xx", mult, nDocs * 11 / 10, tHashX + tPairsX,
+      exchanges(pairsX), nPairsX)
+    docsX.unpersist()
+
     val cc = Graphs.connectedComponents(pairs, "doc_a", "doc_b")
       .persist(StorageLevel.DISK_ONLY)
     val (nCc, tCc) = timed(cc.select($"component").distinct().count())
@@ -170,57 +205,129 @@ object Stress {
     matchedBm.unpersist(); docs.unpersist()
 
     // ---- lang-ID (decomposed naive Bayes — the corpus joins the
-    // profile table ONCE on tok; penalty constants broadcast)
-    val ldocs = synthDocs(spark, nDocs)
-      .withColumn("lang", expr(
-        "elt(1 + CAST(pmod(hash(doc_id, 13), 4) AS INT), 'en','de','fr','zh')"))
-    val D = "decimal(18,6)"
-    // token_counts generator (r15): tf finished within the row — the
-    // exploded corpus never reaches an exchange (same shape as the
-    // declared pipe_lang_id)
-    val dt = ldocs.select($"doc_id", $"lang",
-      expr("token_counts(split(text, ' '))"))
-      .persist(StorageLevel.DISK_ONLY)
-    val prof2 = dt.groupBy($"lang".as("plang"), $"tok").agg(sum($"tf").as("c"))
-      .persist(StorageLevel.DISK_ONLY)
-    val vocab2 = prof2.agg(countDistinct($"tok").as("v"))
-    val consts2 = prof2.groupBy($"plang").agg(sum($"c").as("n_l"))
-      .crossJoin(broadcast(vocab2))
-      .select($"plang",
-        round(log(($"n_l" + $"v").cast("double")), 6).cast(D).as("logd"))
-    val cmapRow2 = consts2
-      .agg(map_from_entries(collect_list(struct($"plang", $"logd")))
-        .as("cmap"))
-    val matched2 = dt
-      .join(prof2.select($"plang", $"tok",
-        round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
-      .groupBy($"doc_id", $"lang", $"plang")
-      .agg(sum($"logc" * $"tf").as("msum"), sum($"tf").as("mtf"))
-    // r15 shape (same as the declared pipe_lang_id): per-doc matched
-    // evidence folds into a map, constants broadcast as ONE map row,
-    // winner = argmax inside one aggregate() — the docs×|langs| grid
-    // never materializes as rows and there is no window sort
-    val langId = matched2.groupBy($"doc_id", $"lang")
-      .agg(map_from_entries(collect_list(struct($"plang", $"msum")))
-        .as("mmap"),
-        max(when($"plang" === $"lang", $"mtf")).as("ntf"))
-      .crossJoin(broadcast(cmapRow2))
-      .withColumn("plang", expr("""
-        aggregate(
-          transform(map_keys(cmap),
-            k -> named_struct(
-                   's', CAST(coalesce(element_at(mmap, k), 0)
-                             - ntf * element_at(cmap, k) AS DECIMAL(38,6)),
-                   'p', k)),
-          CAST(NULL AS STRUCT<s: DECIMAL(38,6), p: STRING>),
-          (acc, e) -> CASE WHEN acc IS NULL OR e.s > acc.s
-                                OR (e.s = acc.s AND e.p < acc.p)
-                           THEN e ELSE acc END).p"""))
-      .groupBy($"lang", $"plang").agg(count(lit(1)).as("n"))
-    val (lrows, tL) = timed(langId.collect())
-    report("lang_id", mult, nDocs * 11 / 10, tL, exchanges(langId),
-      lrows.length)
-    dt.unpersist(); prof2.unpersist()
+    // profile table ONCE on tok; penalty constants broadcast).
+    // Parameterized over |langs| and the winner-pick shape so the
+    // r15 claim "the map+argmax win scales with |langs|" is a
+    // MEASUREMENT (r16 verdict task 5): lang_id = the declared
+    // pipe_lang_id shape at 4 langs; lang_id_100 = the same shape at
+    // a realistic 100 profiles; lang_id_100_win = the r14 shape
+    // (docs×|langs| score rows + per-doc window sort) at 100 profiles
+    // — the A/B that quantifies what the map+argmax rewrite buys as
+    // |langs| grows.
+    def langIdLeg(nLangs: Int, windowShape: Boolean): (Long, Double, Int) = {
+      val ldocs = synthDocs(spark, nDocs)
+        .withColumn("lang",
+          concat(lit("l"), pmod(hash($"doc_id", lit(13)), lit(nLangs))))
+      val D = "decimal(18,6)"
+      // token_counts generator (r15): tf finished within the row — the
+      // exploded corpus never reaches an exchange (same shape as the
+      // declared pipe_lang_id).
+      // |langs| > 4 runs with a ~2%-SHARED vocabulary (tokens salted by
+      // the doc's language): real language profiles are mostly disjoint
+      // token sets, so the evidence join fans out ~3×, not ×|langs| —
+      // the fully-shared 4-lang leg is the dense worst case, and at
+      // |langs|=100 that worst case is inherently O(docs×langs) rows
+      // (measured: it spills hundreds of GB at mult=100 — no tail shape
+      // fixes a dense profile join; sparsity is the real-world reason
+      // lang-ID scales).
+      val dtRaw = ldocs.select($"doc_id", $"lang",
+        expr("token_counts(split(text, ' '))"))
+      val dt = (if (nLangs <= 4) dtRaw
+        else dtRaw.withColumn("tok",
+          when(pmod(hash($"tok"), lit(50)) === 0, $"tok")
+            .otherwise(concat($"lang", lit("_"), $"tok"))))
+        .persist(StorageLevel.DISK_ONLY)
+      val prof2 = dt.groupBy($"lang".as("plang"), $"tok").agg(sum($"tf").as("c"))
+        .persist(StorageLevel.DISK_ONLY)
+      val vocab2 = prof2.agg(countDistinct($"tok").as("v"))
+      val consts2 = prof2.groupBy($"plang").agg(sum($"c").as("n_l"))
+        .crossJoin(broadcast(vocab2))
+        .select($"plang",
+          round(log(($"n_l" + $"v").cast("double")), 6).cast(D).as("logd"))
+      val matched2 = dt
+        .join(prof2.select($"plang", $"tok",
+          round(log($"c" + 1), 6).cast(D).as("logc")), Seq("tok"))
+        .groupBy($"doc_id", $"lang", $"plang")
+        .agg(sum($"logc" * $"tf").as("msum"), sum($"tf").as("mtf"))
+      val langId =
+        if (windowShape) {
+          // r14 shape: the docs×|langs| score grid MATERIALIZES as rows
+          // (one per doc per candidate lang with any matched evidence),
+          // then a per-doc window sort picks the winner — the shuffle
+          // and sort both scale with |langs|
+          val scored = matched2
+            .withColumn("ntf",
+              max(when($"plang" === $"lang", $"mtf"))
+                .over(Window.partitionBy($"doc_id")))
+            .join(broadcast(consts2), "plang")
+            .withColumn("s",
+              ($"msum" - coalesce($"ntf", lit(0)) * $"logd")
+                .cast("decimal(38,6)"))
+          scored
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"doc_id").orderBy($"s".desc, $"plang")))
+            .filter($"rn" === 1)
+            .groupBy($"lang", $"plang").agg(count(lit(1)).as("n"))
+        } else {
+          // r15 shape (same as the declared pipe_lang_id): per-doc
+          // matched evidence folds into a map, constants broadcast as
+          // ONE map row, winner = argmax inside one aggregate() — the
+          // docs×|langs| grid never materializes and there is no
+          // window sort
+          val cmapRow2 = consts2
+            .agg(map_from_entries(collect_list(struct($"plang", $"logd")))
+              .as("cmap"))
+          matched2.groupBy($"doc_id", $"lang")
+            .agg(map_from_entries(collect_list(struct($"plang", $"msum")))
+              .as("mmap"),
+              max(when($"plang" === $"lang", $"mtf")).as("ntf"))
+            .crossJoin(broadcast(cmapRow2))
+            .withColumn("plang", expr("""
+              aggregate(
+                transform(map_keys(cmap),
+                  k -> named_struct(
+                         's', CAST(coalesce(element_at(mmap, k), 0)
+                                   - ntf * element_at(cmap, k) AS DECIMAL(38,6)),
+                         'p', k)),
+                CAST(NULL AS STRUCT<s: DECIMAL(38,6), p: STRING>),
+                (acc, e) -> CASE WHEN acc IS NULL OR e.s > acc.s
+                                      OR (e.s = acc.s AND e.p < acc.p)
+                                 THEN e ELSE acc END).p"""))
+            .groupBy($"lang", $"plang").agg(count(lit(1)).as("n"))
+        }
+      val (lrows, tL) = timed(langId.collect())
+      val ex = exchanges(langId)
+      dt.unpersist(); prof2.unpersist()
+      (lrows.length.toLong, tL, ex)
+    }
+    val (l4, t4, e4) = langIdLeg(4, windowShape = false)
+    report("lang_id", mult, nDocs * 11 / 10, t4, e4, l4)
+    val (l100, t100, e100) = langIdLeg(100, windowShape = false)
+    report("lang_id_100", mult, nDocs * 11 / 10, t100, e100, l100)
+    val (l100w, t100w, e100w) = langIdLeg(100, windowShape = true)
+    report("lang_id_100_win", mult, nDocs * 11 / 10, t100w, e100w, l100w)
+
+    // ---- adversarial-chain connected components (r16 verdict task 4):
+    // `mult` disjoint PATH graphs of 10k nodes each — diameter 10⁴,
+    // the shape where min-label propagation degrades (one hop/round ⇒
+    // 10⁴ rounds) and star-contraction's O(log² n) pointer doubling is
+    // the upgrade. cc_chain_star must contract fully (out = mult
+    // components) in ~log₂(10⁴) ≈ 14 rounds at EVERY mult — flat
+    // rounds, linear time. cc_chain_prop20 is the degradation control:
+    // propagation at its default 20-round budget, out = distinct
+    // labels still standing (≫ mult shows WHY the star variant exists).
+    val chainLen = 10000L
+    val nChainNodes = chainLen * mult
+    val chainEdges = spark.range(nChainNodes)
+      .filter($"id" % chainLen =!= (chainLen - 1))
+      .select(($"id" + 1).as("a"), $"id".as("b"))
+    val ccStar = Graphs.connectedComponentsStar(chainEdges, "a", "b")
+    val (nStar, tStar) = timed(ccStar.select($"component").distinct().count())
+    report("cc_chain_star", mult, nChainNodes, tStar, exchanges(ccStar), nStar)
+    val ccProp = Graphs.connectedComponents(chainEdges, "a", "b", maxIter = 20)
+    val (nProp, tProp) = timed(ccProp.select($"component").distinct().count())
+    report("cc_chain_prop20", mult, nChainNodes, tProp, exchanges(ccProp),
+      nProp)
 
     // ---- events families
     val events = synthEvents(spark, nEvents, nUsers)
@@ -358,19 +465,34 @@ object Stress {
     // independent of input length. maxFilesPerTrigger splits the
     // replay into real micro-batches so per-batch state load/commit
     // is exercised, not a single mega-batch. `out` = rows/sec.
+    // r16 (verdict task 3): three rungs — the original 8-file
+    // micro-batches (continuity control), 64-file batches (the
+    // micro-batch-sizing A/B), and 64-file under the RocksDB provider
+    // (the at-scale state backend the recovery spec already covers).
     val sdir = java.nio.file.Files
       .createTempDirectory("graft_stress_stream").toString
     events.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .write.mode("overwrite").parquet(sdir)
     val sschema = spark.read.parquet(sdir).schema
-    val sq = graft.streaming.StreamDemo.streamingTopK(
-        spark.readStream.schema(sschema)
-          .option("maxFilesPerTrigger", 8).parquet(sdir))
-      .toDF("event_type", "top")
-      .writeStream.format("noop").outputMode("update").start()
-    val (_, tStream) = timed { sq.processAllAvailable(); sq.stop() }
-    report("streaming_topk", mult, nEvents, tStream, 0,
-      (nEvents / math.max(tStream, 0.001)).toLong)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    def streamLeg(family: String, filesPerTrigger: Int,
+        rocksDb: Boolean): Unit = {
+      if (rocksDb) spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sq = graft.streaming.StreamDemo.streamingTopK(
+            spark.readStream.schema(sschema)
+              .option("maxFilesPerTrigger", filesPerTrigger).parquet(sdir))
+          .toDF("event_type", "top")
+          .writeStream.format("noop").outputMode("update").start()
+        val (_, tStream) = timed { sq.processAllAvailable(); sq.stop() }
+        report(family, mult, nEvents, tStream, 0,
+          (nEvents / math.max(tStream, 0.001)).toLong)
+      } finally if (rocksDb) spark.conf.unset(provKey)
+    }
+    streamLeg("streaming_topk", 8, rocksDb = false)
+    streamLeg("streaming_topk_b64", 64, rocksDb = false)
+    streamLeg("streaming_topk_rocks", 64, rocksDb = true)
 
     events.unpersist()
     spark.stop()

@@ -74,6 +74,28 @@ object Text {
   /** MinHash signature straight from a shingle array. */
   def minhashSig(sh: Column, k: Int): Column = minhashSigFromPairs(hashPairs(sh), k)
 
+  /** PRODUCTION-HASH variant of [[hashPairs]] (round-16 verdict task
+    * 6): the same two-hash minhash scheme with xxhash64 — fully
+    * codegen'd and ~2–3× cheaper per byte than the md5 path, which is
+    * the deliberate price the default pays for cross-engine oracle
+    * parity. NOT oracle-checkable (DuckDB cannot reproduce Spark's
+    * xxhash64), so this feeds only non-oracle surfaces: the STRESS
+    * twin (`lsh_pairs_xx`, quantifying the trade next to `lsh_pairs`)
+    * and any production deployment that doesn't need DuckDB parity.
+    * pmod (not %) because xxhash64 is signed: the minhash estimator
+    * needs both hashes in [0, 2^55).
+    */
+  def hashPairsFast(sh: Column): Column =
+    transform(sh, x => struct(
+      pmod(xxhash64(x), lit(MinhashMod)).as("h1"),
+      pmod(xxhash64(x, lit(1)), lit(MinhashMod)).as("h2")))
+
+  /** [[minhashSig]] over the xxhash64 pairs — same estimator, same
+    * band-key layout downstream, different (non-oracle) hash family.
+    */
+  def minhashSigFast(sh: Column, k: Int): Column =
+    minhashSigFromPairs(hashPairsFast(sh), k)
+
   /** LSH band keys: signature split into `b` bands of `r` rows;
     * documents sharing any band key become candidates. Key strings are
     * "band:csvOfSigSlice" — grouping on them IS the LSH bucketing.

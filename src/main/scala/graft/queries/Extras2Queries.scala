@@ -174,6 +174,12 @@ object Extras2Queries {
     // DuckDB has no SipHash — so this is a rows-only declared entry;
     // the bit-level contract is pinned by the published SipHash-2-4
     // test vectors in HashesSpec.
+    // HASH-CHECKED since r16 (the LAST allowlist entry to fall): the
+    // oracle is SipHashSql.scalarChHashesOracle — zero-key SipHash-2-4
+    // and the fmix64 mixer transcribed onto DuckDB HUGEINT (mask-to-64
+    // wrapping, recursive-CTE message walk, 32-bit-split multiplies).
+    // HashesSpec still pins the Spark expressions to the published
+    // Aumasson–Bernstein vectors independently.
     QDef("scalar_ch_hashes", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
@@ -184,7 +190,7 @@ object Extras2Queries {
           "int_hash64(doc_id) AS ih",
           "pmod(sip_hash64(text), 64) AS shard")
         .orderBy($"doc_id")
-    }, None),
+    }, Some(SipHashSql.scalarChHashesOracle)),
 
     // Array predicates + regex extraction + ILIKE: has/hasAll/hasAny/
     // indexOf/countEqual (§2.8 array family) and extractAll/ilike

@@ -14,16 +14,14 @@ class GraftSqlSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     // Oracle-free entries get the driver's weaker rows-only check; each
-    // needs an explicit justification here (and a non-gate test pinning
-    // its semantics elsewhere).
-    val rowsOnly = Set(
-      "scalar_ch_hashes" // DuckDB has no SipHash; pinned by HashesSpec vectors
-      // (pointInPolygon hash-checked since r15 — scalar_geo_pip;
-      // geohashEncode hash-checked since r16 — recursive-CTE oracle;
-      // pipe_ann_ivf hash-checked since r16 — centroids-as-literals;
-      // agg_uniq_state_merge hash-checked since r15 — tolerance
-      // observable: exact count + est-within-5% boolean)
-    )
+    // would need an explicit justification here (and a non-gate test
+    // pinning its semantics elsewhere). EMPTY since r16: the last three
+    // holdouts all moved onto the hash gate — scalar_geo_encode
+    // (recursive-CTE geohash transcription), pipe_ann_ivf
+    // (centroids-as-literals dynOracle), and scalar_ch_hashes
+    // (SipHash-2-4 + fmix64 transcribed onto DuckDB HUGEINT,
+    // SipHashSql.scala).
+    val rowsOnly = Set.empty[String]
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     assert(qs.diff(os) == rowsOnly,
       s"unjustified oracle-free queries: ${qs.diff(os).diff(rowsOnly)}")

@@ -29,11 +29,16 @@ class GraphsSpec extends AnyFunSuite {
     Graphs.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def runStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("chain, clique, and singletons-by-edge") {
     // 1-2-3-4 chain, {10,11,12} triangle, isolated pair 20-21
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
       (10L, 12L), (21L, 20L))
     assert(run(edges) == unionFind(edges))
+    assert(runStar(edges) == unionFind(edges))
   }
 
   test("long chain needs multiple propagation rounds") {
@@ -41,16 +46,47 @@ class GraphsSpec extends AnyFunSuite {
     val got = run(edges)
     assert(got == unionFind(edges))
     assert(got.values.toSet == Set(1L))
+    assert(runStar(edges) == got)
   }
 
-  test("seeded random graphs match union-find") {
+  test("seeded random graphs match union-find (both algorithms)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
       val n = 40
       val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
-      assert(run(edges) == unionFind(edges))
+      val truth = unionFind(edges)
+      assert(run(edges) == truth)
+      assert(runStar(edges) == truth)
     }
+  }
+
+  test("adversarial chain: star-contraction converges where propagation's" +
+      " round budget can't") {
+    // path graph of diameter 800 — min-label propagation moves the
+    // label one hop per round, so maxIter=20 CANNOT converge it, while
+    // star-contraction needs O(log² n) rounds
+    val n = 800L
+    val edges = (1L until n).map(i => (i + 1, i))
+    val star = runStar(edges)
+    assert(star.size == n)
+    assert(star.values.toSet == Set(1L), "star must fully contract the chain")
+    // negative control: propagation at the default 20-round budget
+    // leaves far labels unpropagated (this is WHY the star variant
+    // exists — Graphs scaladoc / round-16 verdict task 4)
+    val prop = Graphs.connectedComponents(
+      edges.toDF("a", "b"), "a", "b", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop.values.toSet != Set(1L),
+      "propagation unexpectedly converged a diameter-800 path in 20 rounds")
+  }
+
+  test("star-contraction refuses loudly when maxIter is too small") {
+    val edges = (1L until 100L).map(i => (i + 1, i))
+    val e = intercept[IllegalArgumentException](
+      Graphs.connectedComponentsStar(edges.toDF("a", "b"), "a", "b",
+        maxIter = 1).collect())
+    assert(e.getMessage.contains("no fixpoint"))
   }
 
   test("maxIter bound still returns a label per node") {

@@ -46,6 +46,37 @@ class TextVectorSpec extends AnyFunSuite {
       f"minhash estimate $agree%.3f too far from true Jaccard $trueJ%.3f")
   }
 
+  test("xxhash64 production minhash keeps the estimator contract") {
+    // hashPairsFast/minhashSigFast (the non-oracle production-hash
+    // mode, r16 verdict task 6) must satisfy the SAME estimator
+    // property as the md5 family: agreement rate ≈ Jaccard, and both
+    // hashes land in [0, 2^55) (pmod, since xxhash64 is signed).
+    val a = (0 until 20).map(i => s"w$i")
+    val b = (10 until 30).map(i => s"w$i")
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(Text.minhashSigFast(col("a"), 128).as("sa"),
+        Text.minhashSigFast(col("b"), 128).as("sb"))
+    val agree = df
+      .select(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), m -> m))").as("agree"))
+      .as[Int].head() / 128.0
+    val trueJ = 10.0 / 30.0
+    assert(math.abs(agree - trueJ) < 0.12,
+      f"fast-minhash estimate $agree%.3f too far from true Jaccard $trueJ%.3f")
+    val range = Seq(Seq("alpha", "beta", "gamma")).toDF("t")
+      .select(Text.hashPairsFast(col("t")).as("hp"))
+      .select(expr(
+        s"""forall(hp, p -> p.h1 >= 0 AND p.h1 < ${Text.MinhashMod}
+                        AND p.h2 >= 0 AND p.h2 < ${Text.MinhashMod})""").as("ok"))
+      .as[Boolean].head()
+    assert(range, "fast hashes must be non-negative 55-bit values")
+    // and it is genuinely a DIFFERENT hash family than the md5 one
+    val md5Sig = Seq(a).toDF("t")
+      .select(Text.minhashSig(col("t"), 8).as("s")).as[Seq[Long]].head()
+    val xxSig = Seq(a).toDF("t")
+      .select(Text.minhashSigFast(col("t"), 8).as("s")).as[Seq[Long]].head()
+    assert(md5Sig != xxSig)
+  }
+
   test("jaccard on distinct arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Text.jaccard($"x", $"y").as("j"))
