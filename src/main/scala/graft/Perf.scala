@@ -96,7 +96,9 @@ object Perf {
     "sql_ch_w28_window", "sql_ch_w29_batch", "sql_ch_w29_approx_top",
     "sql_ch_w30_ml", "sql_ch_w31_batch", "agg_cat_iv",
     "agg_interval_union", "sql_ch_w33_batch", "sql_ch_joinget",
-    "pipe_ann_hamming", "pipe_domain_mixture", "pipe_intradoc_dedup")
+    "pipe_ann_hamming", "pipe_domain_mixture", "pipe_intradoc_dedup",
+    // round-16: star-contraction CC on the gate
+    "pipe_dedup_components_star")
 
   /** `runMain graft.Perf --time [sfDir [query...]]`: wall-time a
     * query's cost split into front-door build (rewrite + analysis)

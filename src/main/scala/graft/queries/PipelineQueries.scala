@@ -46,6 +46,77 @@ object PipelineQueries {
         .persist(StorageLevel.DISK_ONLY)
     }
 
+  /** Confirmed near-dup pairs (banded LSH candidates + exact-Jaccard
+    * filter) from the shared hashed-docs frame — the edge list the CC
+    * entries cluster. One definition so the propagation and
+    * star-contraction gate entries provably run the same graph.
+    */
+  private def lshPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = lshDocs(s, dir)
+    val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+    val shs = docs.select($"doc_id", $"sh")
+    bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
+      .select($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB oracle for the dedup-cluster entries: the full
+    * minhash→bands→jaccard→CC chain re-derived in SQL. Shared by the
+    * propagation AND star-contraction entries — connected components
+    * with min-id labels are algorithm-independent, so one oracle
+    * checks both implementations.
+    */
+  private val componentsOracle = """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      hp AS (
+        SELECT doc_id, list_transform(sh, x -> struct_pack(
+                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                       % 36028797018963968,
+                 h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
+                       % 36028797018963968)) AS hp
+        FROM d),
+      hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(hp, p -> p.h1)) AS sh,
+               list_transform(range(0, 16), s ->
+                 list_min(list_transform(hp, p -> (p.h1 + s * p.h2) % 36028797018963968))) AS sig
+        FROM hp),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(range(0, 8), i ->
+                 i || ':' || array_to_string(sig[i*2+1:i*2+2], ','))) AS bk
+        FROM hs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN hs x ON cand.doc_a = x.doc_id
+                  JOIN hs y ON cand.doc_b = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+              len(list_distinct(list_concat(x.sh, y.sh))) >= 0.35),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id, count(*) AS n_docs,
+             string_agg(id, ',' ORDER BY id) AS members
+      FROM comp GROUP BY cluster_id ORDER BY cluster_id"""
+
   val textDefs: Seq[QDef] = Seq(
 
     // Exact dedup (hash-groupBy): corpus-level duplicate accounting.
@@ -136,66 +207,32 @@ object PipelineQueries {
     // the same components with a recursive CTE.
     QDef("pipe_dedup_components", (s, dir) => {
       import s.implicits._
-      val docs = lshDocs(s, dir)
-      val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
-      val shs = docs.select($"doc_id", $"sh")
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
-        .select($"doc_a", $"doc_b")
-      Graphs.connectedComponents(pairs, "doc_a", "doc_b")
+      Graphs.connectedComponents(lshPairs(s, dir), "doc_a", "doc_b")
         .groupBy($"component".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",", transform(sort_array(collect_list($"id")),
             _.cast("string"))).as("members"))
         .orderBy($"cluster_id")
-    }, Some("""
-      WITH RECURSIVE d AS (
-        SELECT doc_id, list_distinct(list_transform(
-                 range(1, greatest(len(toks) - 1, 1)),
-                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-      hp AS (
-        SELECT doc_id, list_transform(sh, x -> struct_pack(
-                 h1 := CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
-                       % 36028797018963968,
-                 h2 := CAST('0x' || substring(md5(x), 16, 15) AS BIGINT)
-                       % 36028797018963968)) AS hp
-        FROM d),
-      hs AS (
-        SELECT doc_id,
-               list_distinct(list_transform(hp, p -> p.h1)) AS sh,
-               list_transform(range(0, 16), s ->
-                 list_min(list_transform(hp, p -> (p.h1 + s * p.h2) % 36028797018963968))) AS sig
-        FROM hp),
-      bands AS (
-        SELECT doc_id, unnest(list_transform(range(0, 8), i ->
-                 i || ':' || array_to_string(sig[i*2+1:i*2+2], ','))) AS bk
-        FROM hs),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT doc_a, doc_b
-        FROM cand JOIN hs x ON cand.doc_a = x.doc_id
-                  JOIN hs y ON cand.doc_b = y.doc_id
-        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
-              len(list_distinct(list_concat(x.sh, y.sh))) >= 0.35),
-      edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach(id, r) AS (
-        SELECT DISTINCT a, a FROM edges
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      SELECT cluster_id, count(*) AS n_docs,
-             string_agg(id, ',' ORDER BY id) AS members
-      FROM comp GROUP BY cluster_id ORDER BY cluster_id""")),
+    }, Some(componentsOracle)),
+
+    // The SAME dedup-cluster computation through the r16
+    // star-contraction algorithm (Graphs.connectedComponentsStar —
+    // large-star/small-star, O(log² n) rounds regardless of diameter,
+    // the upgrade for adversarial long-chain graphs; STRESS cc_chain
+    // rungs quantify it). Shares the edge list AND the oracle with
+    // pipe_dedup_components: min-id component labels are
+    // algorithm-independent, so the hash gate proves both
+    // implementations agree with DuckDB's recursive-CTE reachability —
+    // and therefore with each other — every round.
+    QDef("pipe_dedup_components_star", (s, dir) => {
+      import s.implicits._
+      Graphs.connectedComponentsStar(lshPairs(s, dir), "doc_a", "doc_b")
+        .groupBy($"component".as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",", transform(sort_array(collect_list($"id")),
+            _.cast("string"))).as("members"))
+        .orderBy($"cluster_id")
+    }, Some(componentsOracle)),
 
     // Canonical-document selection — the decision stage that makes
     // near-dup clustering actionable: per cluster keep the longest
@@ -207,19 +244,8 @@ object PipelineQueries {
     // per-cluster arg-max — all shuffle-on-key, no new scale hazards.
     QDef("pipe_dedup_canonical", (s, dir) => {
       import s.implicits._
-      val docs = lshDocs(s, dir)
-      val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
-      val shs = docs.select($"doc_id", $"sh")
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
-        .select($"doc_a", $"doc_b")
       val meta = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
-      Graphs.connectedComponents(pairs, "doc_a", "doc_b")
+      Graphs.connectedComponents(lshPairs(s, dir), "doc_a", "doc_b")
         .join(meta, $"id" === $"doc_id")
         .withColumn("score", $"n_chars" * lit(100000000L) - $"doc_id")
         .groupBy($"component".as("cluster_id"))
