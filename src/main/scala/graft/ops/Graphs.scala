@@ -104,14 +104,19 @@ object Graphs {
     * Both halves are a groupBy-min plus a self-join on the grouping
     * key (the join reuses the agg's hash partitioning — ~1 exchange
     * per half), and the edge count never grows above the symmetrized
-    * input. Terminates when the edge multiset reaches a fixpoint (a
-    * star forest), detected by a (count, hash-sum) signature — two
-    * scalars per round, never edges to the driver. O(log² n) rounds:
-    * a diameter-10⁴ path contracts in ~10 rounds where min-label
-    * propagation needs 10⁴ (STRESS `cc_chain` rung). Throws after
-    * `maxIter` instead of returning half-contracted labels — unlike
-    * propagation (whose partial labels are still per-node monotone
-    * improvements), a non-fixpoint star state has no usable meaning.
+    * input. Terminates when the edge set IS a star forest, which is
+    * directly recognizable without a confirm round: no node appears as
+    * both parent and child, and no child has two parents (then every
+    * star's parent is the minimum of its component, since edges stay
+    * bigger→smaller). One aggregation job per round — two scalars to
+    * the driver, never edges — and an input that is ALREADY a star
+    * forest (the common near-dup case: pairwise clusters) runs ZERO
+    * contraction rounds. O(log² n) rounds otherwise: a diameter-10⁴
+    * path contracts in ~10 rounds where min-label propagation needs
+    * 10⁴ (STRESS `cc_chain` rung). Throws after `maxIter` instead of
+    * returning half-contracted labels — unlike propagation (whose
+    * partial labels are still per-node monotone improvements), a
+    * non-fixpoint star state has no usable meaning.
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
                               dstCol: String, maxIter: Int = 50): DataFrame = {
@@ -138,14 +143,20 @@ object Graphs {
         .where($"u" =!= $"v")
         .distinct()
     }
-    // (count, 60-bit-hash sum) fixpoint signature — order-independent
-    // (sum in DECIMAL so no overflow) and engine-internal (convergence
-    // detection only, not an oracle surface)
-    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64($"u", $"v").cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO
-                     else r.getDecimal(1))
+    // Fixpoint test: the edge set is a star forest iff (a) no node is
+    // both a parent and a child and (b) no child has two parents. One
+    // aggregation job over a role-tagged union (also the action that
+    // materializes the just-persisted frame); empty edge sets are
+    // vacuously forests.
+    def isStarForest(e: DataFrame): Boolean = {
+      val roles = e.select($"u".as("n"), lit(1L).as("nc"), lit(0L).as("np"))
+        .union(e.select($"v".as("n"), lit(0L).as("nc"), lit(1L).as("np")))
+        .groupBy($"n").agg(sum($"nc").as("nc"), sum($"np").as("np"))
+      val r = roles.agg(
+        max(when($"nc" > 0 && $"np" > 0, 1L).otherwise(0L)).as("both"),
+        max($"nc").as("maxp")).head()
+      (r.isNullAt(0) || r.getLong(0) == 0L) &&
+        (r.isNullAt(1) || r.getLong(1) <= 1L)
     }
 
     var cur = edges
@@ -153,19 +164,16 @@ object Graphs {
         least(col(srcCol), col(dstCol)).as("v"))
       .where($"u" =!= $"v").distinct()
       .persist(StorageLevel.DISK_ONLY)
-    var sig = signature(cur)
+    var converged = isStarForest(cur)
     var round = 0
-    var converged = false
     while (!converged && round < maxIter) {
       val nextPlan = smallStar(largeStar(cur))
       // lineage cut, same rationale as the propagation loop
       val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(StorageLevel.DISK_ONLY)
-      val nextSig = signature(next)
+      converged = isStarForest(next)
       cur.unpersist()
       cur = next
-      converged = nextSig == sig
-      sig = nextSig
       round += 1
     }
     require(converged,
