@@ -126,5 +126,62 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "graft_quantile_exact", (children: Seq[Expression]) =>
         QuantileExact(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "geo_to_s2", (children: Seq[Expression]) =>
+        GeoToS2(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_to_geo", (children: Seq[Expression]) =>
+        S2ToGeo(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_level", (children: Seq[Expression]) =>
+        S2Level(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_parent", (children: Seq[Expression]) =>
+        S2Parent(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_get_neighbors", (children: Seq[Expression]) =>
+        S2GetNeighbors(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_cells_intersect", (children: Seq[Expression]) =>
+        S2CellsIntersect(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_cap_contains", (children: Seq[Expression]) =>
+        S2CapContains(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_rect_contains", (children: Seq[Expression]) =>
+        S2RectContains(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_face_ij", (children: Seq[Expression]) =>
+        S2FaceIJ(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_get_resolution", (children: Seq[Expression]) =>
+        H3GetResolution(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_get_base_cell", (children: Seq[Expression]) =>
+        H3GetBaseCell(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_is_valid", (children: Seq[Expression]) =>
+        H3IsValid(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_is_pentagon", (children: Seq[Expression]) =>
+        H3IsPentagon(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_is_res_class_iii", (children: Seq[Expression]) =>
+        H3IsResClassIII(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_to_parent", (children: Seq[Expression]) =>
+        H3ToParent(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_to_center_child", (children: Seq[Expression]) =>
+        H3ToCenterChild(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_to_children", (children: Seq[Expression]) =>
+        H3ToChildren(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_to_string", (children: Seq[Expression]) =>
+        H3ToString(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "string_to_h3", (children: Seq[Expression]) =>
+        StringToH3(children(0)), "built-in")
   }
 }
