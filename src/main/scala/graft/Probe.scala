@@ -1227,7 +1227,16 @@ object Probe {
     "w39_agg_suffix_stack" ->
       "SELECT sumIf(n_nationkey, n_regionkey = 0) AS si, countIf(n_regionkey = 1) AS ci, avgIf(toFloat64(n_nationkey), n_regionkey = 2) AS ai, groupArrayIf(n_name, n_regionkey = 3) AS gi FROM nation",
     "w39_any_respect" ->
-      "SELECT any(n_name) AS a, anyLast(n_name) AS al, anyHeavy(n_regionkey) AS ah FROM (SELECT * FROM nation ORDER BY n_nationkey)"
+      "SELECT any(n_name) AS a, anyLast(n_name) AS al, anyHeavy(n_regionkey) AS ah FROM (SELECT * FROM nation ORDER BY n_nationkey)",
+    // ---- wave 42 (r16: native s2 + h3 index algebra) ----
+    "w42_s2_encode" ->
+      "SELECT geoToS2(37.79506683, 55.71290588) AS s2, s2ToGeo(geoToS2(37.79506683, 55.71290588)).1 AS lon, s2ToGeo(geoToS2(37.79506683, 55.71290588)).2 AS lat",
+    "w42_s2_cells" ->
+      "SELECT s2CellsIntersect(geoToS2(10.0, 50.0), geoToS2(10.0, 50.0)) AS self, s2GetNeighbors(geoToS2(10.0, 50.0))[1] AS n1, s2CapContains(geoToS2(10.0, 50.0), 1.0, geoToS2(10.5, 50.2)) AS cap, s2RectContains(geoToS2(5.0, 45.0), geoToS2(15.0, 55.0), geoToS2(10.5, 50.2)) AS rect",
+    "w42_h3_fields" ->
+      "SELECT h3GetResolution(stringToH3('8928308280fffff')) AS res, h3GetBaseCell(stringToH3('8928308280fffff')) AS base, h3ToString(h3ToParent(stringToH3('8928308280fffff'), 8)) AS p8, h3IsValid(stringToH3('8928308280fffff')) AS ok",
+    "w42_h3_pentagon" ->
+      "SELECT h3IsPentagon(stringToH3('8009fffffffffff')) AS pent, h3IsResClassIII(stringToH3('8928308280fffff')) AS c3, h3ToString(h3ToCenterChild(stringToH3('8009fffffffffff'), 2)) AS cc, arraySum(arrayMap(x -> 1, h3ToChildren(stringToH3('8009fffffffffff'), 1))) AS n1"
   )
 
   def main(argv: Array[String]): Unit = {

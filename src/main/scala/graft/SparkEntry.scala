@@ -15,7 +15,7 @@ object SparkEntry {
       PipelineQueries.defs ++ FunnelQueries.defs ++ ExtrasQueries.defs ++
       Extras2Queries.defs ++ StatsQueries.defs ++ Stats2Queries.defs ++
       CompositeQueries.defs ++ TpchQueries.defs ++ ChSqlQueries.defs ++
-      Pipeline2Queries.defs ++ ClickBenchQueries.defs
+      Pipeline2Queries.defs ++ ClickBenchQueries.defs ++ S2Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

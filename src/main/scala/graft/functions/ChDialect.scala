@@ -3003,6 +3003,35 @@ object ChDialect {
       if (c.size > 2) c(2) else Literal(12)))
     reg("geohashDecode")(c => GeohashDecode(c.head))
     reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
+    // S2 cell family — native implementation (functions/S2.scala),
+    // pinned against the CH-documented vectors in S2Spec/ChCompatSpec
+    reg("geoToS2")(c => GeoToS2(Cast(c(0), DoubleType), Cast(c(1), DoubleType)))
+    reg("s2ToGeo")(c => S2ToGeo(Cast(c.head, LongType)))
+    reg("s2GetNeighbors")(c => S2GetNeighbors(Cast(c.head, LongType)))
+    reg("s2CellsIntersect")(c =>
+      S2CellsIntersect(Cast(c(0), LongType), Cast(c(1), LongType)))
+    reg("s2CapContains")(c => S2CapContains(Cast(c(0), LongType),
+      Cast(c(1), DoubleType), Cast(c(2), LongType)))
+    reg("s2RectContains")(c => S2RectContains(Cast(c(0), LongType),
+      Cast(c(1), LongType), Cast(c(2), LongType)))
+    // H3 index bit-algebra (functions/H3Bits.scala). geoToH3 is NOT
+    // registered: the icosahedral projection needs the 122-entry
+    // base-cell geometry tables (data, not algorithm) — a loud absence
+    // beats a wrong cell id; the algebra below covers rollup/blocking
+    // over h3 columns computed at ingest.
+    reg("h3GetResolution")(c => H3GetResolution(Cast(c.head, LongType)))
+    reg("h3GetBaseCell")(c => H3GetBaseCell(Cast(c.head, LongType)))
+    reg("h3IsValid")(c => H3IsValid(Cast(c.head, LongType)))
+    reg("h3IsPentagon")(c => H3IsPentagon(Cast(c.head, LongType)))
+    reg("h3IsResClassIII")(c => H3IsResClassIII(Cast(c.head, LongType)))
+    reg("h3ToParent")(c =>
+      H3ToParent(Cast(c(0), LongType), Cast(c(1), IntegerType)))
+    reg("h3ToCenterChild")(c =>
+      H3ToCenterChild(Cast(c(0), LongType), Cast(c(1), IntegerType)))
+    reg("h3ToChildren")(c =>
+      H3ToChildren(Cast(c(0), LongType), Cast(c(1), IntegerType)))
+    reg("h3ToString")(c => H3ToString(Cast(c.head, LongType)))
+    reg("stringToH3")(c => StringToH3(c.head))
     reg("cosineDistance")(c =>
       // accept whatever numeric array the user wrote (decimal/double
       // literals included) — the codegen expression wants array<float>

@@ -832,4 +832,34 @@ class ChCompatSpec extends AnyFunSuite {
     run(s"SET max_threads = $before")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
+
+  test("s2/h3 CH spellings: documented vectors through the front door") {
+    // geoToS2/s2ToGeo — the CH docs example values, verbatim spellings
+    val s2 = run("""
+      SELECT geoToS2(37.79506683, 55.71290588) AS id,
+             round(s2ToGeo(geoToS2(37.79506683, 55.71290588)).1, 8) AS lon,
+             round(s2ToGeo(geoToS2(37.79506683, 55.71290588)).2, 8) AS lat,
+             s2CellsIntersect(geoToS2(10.0, 50.0), geoToS2(10.0, 50.0)) AS self,
+             s2CapContains(geoToS2(10.0, 50.0), 1.0, geoToS2(10.5, 50.2)) AS cap,
+             s2RectContains(geoToS2(5.0, 45.0), geoToS2(15.0, 55.0),
+                            geoToS2(10.5, 50.2)) AS rect""").head
+    assert(s2.getLong(0) == 4704772434919038107L)
+    assert(s2.getDouble(1) == 37.79506681 && s2.getDouble(2) == 55.71290591)
+    assert(s2.getBoolean(3) && s2.getBoolean(4) && s2.getBoolean(5))
+    // h3 bit algebra — the published 8928308280fffff examples
+    val h3 = run("""
+      SELECT h3GetResolution(stringToH3('8928308280fffff')) AS res,
+             h3GetBaseCell(stringToH3('8928308280fffff')) AS base,
+             h3ToString(h3ToParent(stringToH3('8928308280fffff'), 8)) AS p8,
+             h3IsValid(stringToH3('8928308280fffff')) AS ok,
+             h3IsPentagon(stringToH3('8009fffffffffff')) AS pent,
+             h3IsResClassIII(stringToH3('8928308280fffff')) AS c3""").head
+    assert(h3.getInt(0) == 9 && h3.getInt(1) == 20)
+    assert(h3.getString(2) == "8828308281fffff")
+    assert(h3.getBoolean(3) && h3.getBoolean(4) && h3.getBoolean(5))
+    // geoToH3 is a LOUD absence (projection tables are data, not
+    // algorithm) — a wrong cell id would corrupt joins silently
+    val e = intercept[Exception](run("SELECT geoToH3(37.79, 55.71, 9) AS h"))
+    assert(Option(e.getMessage).getOrElse("").contains("geoToH3"))
+  }
 }
