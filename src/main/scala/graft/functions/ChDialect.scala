@@ -3014,6 +3014,14 @@ object ChDialect {
       Cast(c(1), DoubleType), Cast(c(2), LongType)))
     reg("s2RectContains")(c => S2RectContains(Cast(c(0), LongType),
       Cast(c(1), LongType), Cast(c(2), LongType)))
+    reg("s2RectAdd")(c => S2RectAdd(Cast(c(0), LongType),
+      Cast(c(1), LongType), Cast(c(2), LongType)))
+    reg("s2RectUnion")(c => S2RectUnion(Cast(c(0), LongType),
+      Cast(c(1), LongType), Cast(c(2), LongType), Cast(c(3), LongType)))
+    reg("s2RectIntersection")(c => S2RectIntersection(Cast(c(0), LongType),
+      Cast(c(1), LongType), Cast(c(2), LongType), Cast(c(3), LongType)))
+    reg("s2CapUnion")(c => S2CapUnion(Cast(c(0), LongType),
+      Cast(c(1), DoubleType), Cast(c(2), LongType), Cast(c(3), DoubleType)))
     // H3 index bit-algebra (functions/H3Bits.scala). geoToH3 is NOT
     // registered: the icosahedral projection needs the 122-entry
     // base-cell geometry tables (data, not algorithm) — a loud absence
@@ -3032,6 +3040,7 @@ object ChDialect {
       H3ToChildren(Cast(c(0), LongType), Cast(c(1), IntegerType)))
     reg("h3ToString")(c => H3ToString(Cast(c.head, LongType)))
     reg("stringToH3")(c => StringToH3(c.head))
+    reg("h3NumHexagons")(c => H3NumHexagons(Cast(c.head, IntegerType)))
     reg("cosineDistance")(c =>
       // accept whatever numeric array the user wrote (decimal/double
       // literals included) — the codegen expression wants array<float>

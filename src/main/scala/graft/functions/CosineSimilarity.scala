@@ -154,6 +154,22 @@ object GraftFunctions {
       "s2_face_ij", (children: Seq[Expression]) =>
         S2FaceIJ(children(0)), "built-in")
     fr.createOrReplaceTempFunction(
+      "s2_rect_add", (children: Seq[Expression]) =>
+        S2RectAdd(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_rect_union", (children: Seq[Expression]) =>
+        S2RectUnion(children(0), children(1), children(2), children(3)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_rect_intersection", (children: Seq[Expression]) =>
+        S2RectIntersection(children(0), children(1), children(2), children(3)),
+      "built-in")
+    fr.createOrReplaceTempFunction(
+      "s2_cap_union", (children: Seq[Expression]) =>
+        S2CapUnion(children(0), children(1), children(2), children(3)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_num_hexagons", (children: Seq[Expression]) =>
+        H3NumHexagons(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
       "h3_get_resolution", (children: Seq[Expression]) =>
         H3GetResolution(children(0)), "built-in")
     fr.createOrReplaceTempFunction(

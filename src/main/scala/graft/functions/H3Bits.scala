@@ -155,6 +155,18 @@ object H3Bits {
 
   def isResClassIII(h: Long): Boolean = resolution(h) % 2 == 1
 
+  /** Total cell count at a resolution: 2 + 120·7^res (the published
+    * closed form — 110 hexagons + 12 pentagons at res 0, ×7 per level
+    * with the 12 pentagons each losing one child).
+    */
+  def numCells(res: Int): Long = {
+    require(res >= 0 && res <= 15, s"h3_num_hexagons: resolution $res out of 0..15")
+    var p = 1L
+    var k = 0
+    while (k < res) { p *= 7; k += 1 }
+    2L + 120L * p
+  }
+
   def toHexString(h: Long): UTF8String =
     UTF8String.fromString(java.lang.Long.toHexString(h))
 
@@ -251,6 +263,20 @@ case class StringToH3(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.H3Bits.fromHexString($s);")
   override protected def withNewChildInternal(c: Expression): StringToH3 =
+    copy(child = c)
+}
+
+case class H3NumHexagons(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h3_num_hexagons"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("h3_num_hexagons expects an int resolution")
+  override def nullSafeEval(r: Any): Any = H3Bits.numCells(r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r =>
+      s"${ev.value} = graft.functions.H3Bits.numCells($r);")
+  override protected def withNewChildInternal(c: Expression): H3NumHexagons =
     copy(child = c)
 }
 

@@ -260,10 +260,146 @@ object S2Math {
     val (hiLon, hiLat) = s2ToGeo(hi)
     val (pLon, pLat) = s2ToGeo(point)
     val latOk = pLat >= loLat && pLat <= hiLat
-    val lonOk =
-      if (loLon <= hiLon) pLon >= loLon && pLon <= hiLon
-      else pLon >= loLon || pLon <= hiLon
-    latOk && lonOk
+    latOk && lngContains(loLon, hiLon, pLon)
+  }
+
+  // ---- S1Interval-style longitude arithmetic (degrees) -------------
+
+  private def lngContains(lo: Double, hi: Double, p: Double): Boolean =
+    if (lo <= hi) p >= lo && p <= hi else p >= lo || p <= hi
+
+  /** (b − a) mod 360 in [0, 360) — distance going "up" around the
+    * circle from a to b.
+    */
+  private def posDistance(a: Double, b: Double): Double = {
+    val d = (b - a) % 360.0
+    if (d < 0) d + 360.0 else d
+  }
+
+  private def lngLength(lo: Double, hi: Double): Double =
+    if (lo <= hi) hi - lo else (hi - lo) + 360.0
+
+  /** Smallest-extension point add (the S1Interval::AddPoint rule). */
+  private def lngAdd(lo: Double, hi: Double, p: Double): (Double, Double) =
+    if (lngContains(lo, hi, p)) (lo, hi)
+    else if (posDistance(p, lo) < posDistance(hi, p)) (p, hi)
+    else (lo, p)
+
+  /** Interval hull (the S1Interval::Union case analysis). None = the
+    * full circle.
+    */
+  private def lngUnion(lo1: Double, hi1: Double, lo2: Double, hi2: Double)
+      : Option[(Double, Double)] = {
+    val c1lo2 = lngContains(lo1, hi1, lo2)
+    val c1hi2 = lngContains(lo1, hi1, hi2)
+    if (c1lo2 && c1hi2) {
+      // either 1 contains 2, or together they cover the circle
+      if (lngLength(lo2, hi2) <= lngLength(lo1, hi1)) Some((lo1, hi1)) else None
+    } else if (c1lo2) Some((lo1, hi2))
+    else if (c1hi2) Some((lo2, hi1))
+    else if (lngContains(lo2, hi2, lo1)) Some((lo2, hi2)) // 2 contains 1
+    else if (posDistance(hi2, lo1) < posDistance(hi1, lo2)) Some((lo2, hi1))
+    else Some((lo1, hi2))
+  }
+
+  /** Interval intersection (the S1Interval::Intersection case
+    * analysis). None = empty.
+    */
+  private def lngIntersection(lo1: Double, hi1: Double, lo2: Double, hi2: Double)
+      : Option[(Double, Double)] = {
+    val c1lo2 = lngContains(lo1, hi1, lo2)
+    val c1hi2 = lngContains(lo1, hi1, hi2)
+    if (c1lo2 && c1hi2) {
+      if (lngLength(lo2, hi2) <= lngLength(lo1, hi1)) Some((lo2, hi2))
+      else Some((lo1, hi1))
+    } else if (c1lo2) Some((lo2, hi1))
+    else if (c1hi2) Some((lo1, hi2))
+    else if (lngContains(lo2, hi2, lo1)) Some((lo1, hi1))
+    else None
+  }
+
+  private def rectOf(lo: Long, hi: Long): (Double, Double, Double, Double) = {
+    val (loLon, loLat) = s2ToGeo(lo)
+    val (hiLon, hiLat) = s2ToGeo(hi)
+    (loLat, hiLat, loLon, hiLon)
+  }
+
+  private def rectIds(latLo: Double, latHi: Double, lngLo: Double, lngHi: Double)
+      : (Long, Long) =
+    (geoToS2(lngLo, latLo), geoToS2(lngHi, latHi))
+
+  /** Expand the rect (lo, hi corner cells) to include the point's
+    * center — ClickHouse `s2RectAdd`. Longitude grows toward the
+    * nearer edge (smallest-extension rule).
+    */
+  def rectAdd(lo: Long, hi: Long, point: Long): (Long, Long) = {
+    val (latLo, latHi, lngLo, lngHi) = rectOf(lo, hi)
+    val (pLon, pLat) = s2ToGeo(point)
+    val (nLo, nHi) = lngAdd(lngLo, lngHi, pLon)
+    rectIds(math.min(latLo, pLat), math.max(latHi, pLat), nLo, nHi)
+  }
+
+  /** Smallest rect containing both rects — `s2RectUnion`. A longitude
+    * hull covering the full circle collapses to [−180, 180].
+    */
+  def rectUnion(lo1: Long, hi1: Long, lo2: Long, hi2: Long): (Long, Long) = {
+    val (aLatLo, aLatHi, aLngLo, aLngHi) = rectOf(lo1, hi1)
+    val (bLatLo, bLatHi, bLngLo, bLngHi) = rectOf(lo2, hi2)
+    val (nLo, nHi) = lngUnion(aLngLo, aLngHi, bLngLo, bLngHi)
+      .getOrElse((-180.0, 180.0))
+    rectIds(math.min(aLatLo, bLatLo), math.max(aLatHi, bLatHi), nLo, nHi)
+  }
+
+  /** Rect intersection — `s2RectIntersection`; null when empty (this
+    * engine's explicit encoding of S2's empty rect).
+    */
+  def rectIntersection(lo1: Long, hi1: Long, lo2: Long, hi2: Long)
+      : Option[(Long, Long)] = {
+    val (aLatLo, aLatHi, aLngLo, aLngHi) = rectOf(lo1, hi1)
+    val (bLatLo, bLatHi, bLngLo, bLngHi) = rectOf(lo2, hi2)
+    val latLo = math.max(aLatLo, bLatLo)
+    val latHi = math.min(aLatHi, bLatHi)
+    if (latLo > latHi) None
+    else lngIntersection(aLngLo, aLngHi, bLngLo, bLngHi)
+      .map { case (nLo, nHi) => rectIds(latLo, latHi, nLo, nHi) }
+  }
+
+  private def angleBetween(a: (Double, Double, Double),
+      b: (Double, Double, Double)): Double = {
+    val cx = a._2 * b._3 - a._3 * b._2
+    val cy = a._3 * b._1 - a._1 * b._3
+    val cz = a._1 * b._2 - a._2 * b._1
+    math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz),
+      a._1 * b._1 + a._2 * b._2 + a._3 * b._3)
+  }
+
+  /** Smallest cap containing both caps — `s2CapUnion`. Returns
+    * (center cell id, radius degrees): one cap absorbing the other
+    * short-circuits; otherwise the center slides along the great
+    * circle (slerp) so both rims touch the new rim.
+    */
+  def capUnion(c1: Long, r1Deg: Double, c2: Long, r2Deg: Double): (Long, Double) = {
+    require(r1Deg >= 0 && r2Deg >= 0, "s2_cap_union: negative radius")
+    val r1 = math.toRadians(r1Deg)
+    val r2 = math.toRadians(r2Deg)
+    val a = centerXYZ(c1)
+    val b = centerXYZ(c2)
+    val d = angleBetween(a, b)
+    if (r1 >= d + r2) (c1, r1Deg)
+    else if (r2 >= d + r1) (c2, r2Deg)
+    else {
+      val r = (d + r1 + r2) / 2.0
+      val t = (r - r1) / d // d > 0: neither cap contains the other
+      val sd = math.sin(d)
+      val wa = math.sin((1.0 - t) * d) / sd
+      val wb = math.sin(t * d) / sd
+      val x = wa * a._1 + wb * b._1
+      val y = wa * a._2 + wb * b._2
+      val z = wa * a._3 + wb * b._3
+      val lat = math.atan2(z, math.sqrt(x * x + y * y))
+      val lon = math.atan2(y, x)
+      (geoToS2(math.toDegrees(lon), math.toDegrees(lat)), math.toDegrees(r))
+    }
   }
 }
 
@@ -451,4 +587,116 @@ object S2Expr {
     val shift = S2Math.MaxLevel - lvl
     new GenericInternalRow(Array[Any](f, i >> shift, j >> shift, lvl))
   }
+  def rectRow(lohi: (Long, Long)): InternalRow =
+    new GenericInternalRow(Array[Any](lohi._1, lohi._2))
+  def rectAddRow(lo: Long, hi: Long, p: Long): InternalRow =
+    rectRow(S2Math.rectAdd(lo, hi, p))
+  def rectUnionRow(lo1: Long, hi1: Long, lo2: Long, hi2: Long): InternalRow =
+    rectRow(S2Math.rectUnion(lo1, hi1, lo2, hi2))
+  /** null encodes the empty rect. */
+  def rectIntersectionRow(lo1: Long, hi1: Long, lo2: Long, hi2: Long): InternalRow =
+    S2Math.rectIntersection(lo1, hi1, lo2, hi2).map(rectRow).orNull
+  def capUnionRow(c1: Long, r1: Double, c2: Long, r2: Double): InternalRow = {
+    val (c, r) = S2Math.capUnion(c1, r1, c2, r2)
+    new GenericInternalRow(Array[Any](c, r))
+  }
+}
+
+private[functions] object S2Types {
+  val rectType: StructType = new StructType()
+    .add("lo", LongType, nullable = false)
+    .add("hi", LongType, nullable = false)
+  val capType: StructType = new StructType()
+    .add("center", LongType, nullable = false)
+    .add("radius", DoubleType, nullable = false)
+}
+
+/** `s2_rect_add(lo, hi, point)` → struct<lo, hi> (expanded rect). */
+case class S2RectAdd(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = S2Types.rectType
+  override def prettyName: String = "s2_rect_add"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "s2_rect_add expects (bigint lo, bigint hi, bigint point)")
+  override def nullSafeEval(lo: Any, hi: Any, p: Any): Any =
+    S2Expr.rectAddRow(lo.asInstanceOf[Long], hi.asInstanceOf[Long],
+      p.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lo, hi, p) =>
+      s"${ev.value} = graft.functions.S2Expr.rectAddRow($lo, $hi, $p);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): S2RectAdd =
+    copy(first = f, second = s, third = t)
+}
+
+import org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+
+/** `s2_rect_union(lo1, hi1, lo2, hi2)` → struct<lo, hi>. */
+case class S2RectUnion(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = S2Types.rectType
+  override def prettyName: String = "s2_rect_union"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "s2_rect_union expects four bigint cell ids")
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    S2Expr.rectUnionRow(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.S2Expr.rectUnionRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): S2RectUnion =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** `s2_rect_intersection(lo1, hi1, lo2, hi2)` → struct<lo, hi>, NULL
+  * when the rects don't intersect (the explicit empty-rect encoding).
+  */
+case class S2RectIntersection(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = S2Types.rectType
+  override def nullable: Boolean = true
+  override def prettyName: String = "s2_rect_intersection"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "s2_rect_intersection expects four bigint cell ids")
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    S2Expr.rectIntersectionRow(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"""${ev.value} = graft.functions.S2Expr.rectIntersectionRow($a, $b, $c, $d);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): S2RectIntersection =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** `s2_cap_union(c1, r1, c2, r2)` → struct<center bigint, radius
+  * double> — the smallest cap containing both.
+  */
+case class S2CapUnion(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = S2Types.capType
+  override def prettyName: String = "s2_cap_union"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == LongType && second.dataType == DoubleType &&
+      third.dataType == LongType && fourth.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "s2_cap_union expects (bigint, double, bigint, double)")
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    S2Expr.capUnionRow(a.asInstanceOf[Long], b.asInstanceOf[Double],
+      c.asInstanceOf[Long], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.S2Expr.capUnionRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): S2CapUnion =
+    copy(first = f, second = s, third = t, fourth = q)
 }

@@ -153,6 +153,78 @@ class S2Spec extends AnyFunSuite {
     assert(!S2Math.rectContains(wlo, whi, S2Math.geoToS2(0.0, 0.0)))
   }
 
+  test("rect algebra: add/union/intersection with antimeridian wrap") {
+    def rect(lo: (Double, Double), hi: (Double, Double)): (Long, Long) =
+      (S2Math.geoToS2(lo._1, lo._2), S2Math.geoToS2(hi._1, hi._2))
+    def geo(id: Long): (Double, Double) = S2Math.s2ToGeo(id)
+
+    // add: a contained point is a no-op; an outside point extends the
+    // nearer longitude edge and the latitude span
+    val (lo, hi) = rect((5.0, 45.0), (15.0, 55.0))
+    val same = S2Math.rectAdd(lo, hi, S2Math.geoToS2(10.0, 50.0))
+    assert(same._1 == lo && same._2 == hi)
+    val (alo, ahi) = S2Math.rectAdd(lo, hi, S2Math.geoToS2(20.0, 60.0))
+    assert(math.abs(geo(alo)._1 - 5.0) < 1e-5 && math.abs(geo(alo)._2 - 45.0) < 1e-5)
+    assert(math.abs(geo(ahi)._1 - 20.0) < 1e-5 && math.abs(geo(ahi)._2 - 60.0) < 1e-5)
+    // extension picks the NEARER way around: a point at lon 179
+    // extends hi (4° up), not lo (174° down)
+    val (_, ehi) = S2Math.rectAdd(lo, hi, S2Math.geoToS2(19.0, 50.0))
+    assert(math.abs(geo(ehi)._1 - 19.0) < 1e-5)
+
+    // union: contains both inputs; overlapping rects merge simply
+    val (blo, bhi) = rect((10.0, 50.0), (25.0, 60.0))
+    val (ulo, uhi) = S2Math.rectUnion(lo, hi, blo, bhi)
+    assert(math.abs(geo(ulo)._1 - 5.0) < 1e-5 && math.abs(geo(ulo)._2 - 45.0) < 1e-5)
+    assert(math.abs(geo(uhi)._1 - 25.0) < 1e-5 && math.abs(geo(uhi)._2 - 60.0) < 1e-5)
+    // wrap union: [170, -170] ∪ [-175, -160] = [170, -160]
+    val (wlo, whi) = rect((170.0, -10.0), (-170.0, 10.0))
+    val (clo, chi) = rect((-175.0, -5.0), (-160.0, 5.0))
+    val (wulo, wuhi) = S2Math.rectUnion(wlo, whi, clo, chi)
+    assert(math.abs(geo(wulo)._1 - 170.0) < 1e-5)
+    assert(math.abs(geo(wuhi)._1 - (-160.0)) < 1e-5)
+    // disjoint in longitude: hull takes the shorter gap
+    val (dlo, dhi) = rect((-20.0, 45.0), (-10.0, 55.0))
+    val (dulo, duhi) = S2Math.rectUnion(lo, hi, dlo, dhi)
+    assert(math.abs(geo(dulo)._1 - (-20.0)) < 1e-5 &&
+      math.abs(geo(duhi)._1 - 15.0) < 1e-5)
+
+    // intersection: overlap → the shared box; disjoint → None
+    val ix = S2Math.rectIntersection(lo, hi, blo, bhi)
+    assert(ix.isDefined)
+    val (ilo, ihi) = ix.get
+    assert(math.abs(geo(ilo)._1 - 10.0) < 1e-5 && math.abs(geo(ilo)._2 - 50.0) < 1e-5)
+    assert(math.abs(geo(ihi)._1 - 15.0) < 1e-5 && math.abs(geo(ihi)._2 - 55.0) < 1e-5)
+    assert(S2Math.rectIntersection(lo, hi, dlo, dhi).isEmpty) // lng-disjoint
+    val (plo, phi) = rect((5.0, -40.0), (15.0, -30.0))
+    assert(S2Math.rectIntersection(lo, hi, plo, phi).isEmpty) // lat-disjoint
+    // wrap intersection: [170, -170] ∩ [175, -175] = [175, -175]
+    val (qlo, qhi) = rect((175.0, -5.0), (-175.0, 5.0))
+    val wx = S2Math.rectIntersection(wlo, whi, qlo, qhi).get
+    assert(math.abs(geo(wx._1)._1 - 175.0) < 1e-5 &&
+      math.abs(geo(wx._2)._1 - (-175.0)) < 1e-5)
+  }
+
+  test("cap union: absorption, symmetry, both rims inside") {
+    val c1 = S2Math.geoToS2(10.0, 50.0)
+    val c2 = S2Math.geoToS2(20.0, 52.0)
+    // absorption: a huge cap swallows a small one
+    assert(S2Math.capUnion(c1, 60.0, c2, 1.0) == ((c1, 60.0)))
+    assert(S2Math.capUnion(c1, 1.0, c2, 60.0) == ((c2, 60.0)))
+    // general case: result contains both caps' centers AND farthest
+    // rim points (center distance + radius ≤ union radius, to fp slack)
+    val (uc, ur) = S2Math.capUnion(c1, 2.0, c2, 3.0)
+    assert(S2Math.capContains(uc, ur + 1e-9, c1))
+    assert(S2Math.capContains(uc, ur + 1e-9, c2))
+    // radius = (d + r1 + r2)/2 — check via the contains-both-rims bound:
+    // a cap smaller by 0.2° must NOT contain both rims' far points
+    val far1 = S2Math.geoToS2(10.0 - 2.1, 50.0) // ~beyond c1's rim, away from c2
+    assert(S2Math.capContains(uc, ur + 0.35, far1))
+    // symmetry of the slerp construction
+    val (uc2, ur2) = S2Math.capUnion(c2, 3.0, c1, 2.0)
+    assert(math.abs(ur - ur2) < 1e-9)
+    assert(S2Math.cellsIntersect(S2Math.parent(uc, 20), S2Math.parent(uc2, 20)))
+  }
+
   test("s2 expressions run through codegen end-to-end") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -172,5 +244,20 @@ class S2Spec extends AnyFunSuite {
     assert(S2Math.level(r._3) == 12 && S2Math.cellsIntersect(r._3, r._1))
     assert(math.abs(r._4 - 37.795067) < 1e-9)
     assert(r._5 && r._6 == 4 && r._7 == 2)
+
+    // rect/cap algebra through codegen, incl. the NULL empty rect
+    val alg = Seq(1).toDF("one")
+      .selectExpr(
+        "s2_rect_add(geo_to_s2(5.0D, 45.0D), geo_to_s2(15.0D, 55.0D), geo_to_s2(20.0D, 60.0D)).hi AS ahi",
+        "s2_rect_union(geo_to_s2(5.0D, 45.0D), geo_to_s2(15.0D, 55.0D), geo_to_s2(10.0D, 50.0D), geo_to_s2(25.0D, 60.0D)).lo AS ulo",
+        "s2_rect_intersection(geo_to_s2(5.0D, 45.0D), geo_to_s2(15.0D, 55.0D), geo_to_s2(30.0D, 50.0D), geo_to_s2(40.0D, 55.0D)) IS NULL AS empty",
+        "s2_cap_union(geo_to_s2(10.0D, 50.0D), 60.0D, geo_to_s2(20.0D, 52.0D), 1.0D).radius AS ur",
+        "h3_num_hexagons(0) AS n0",
+        "h3_num_hexagons(15) AS n15")
+      .as[(Long, Long, Boolean, Double, Long, Long)].head()
+    assert(math.abs(S2Math.s2ToGeo(alg._1)._1 - 20.0) < 1e-5)
+    assert(math.abs(S2Math.s2ToGeo(alg._2)._1 - 5.0) < 1e-5)
+    assert(alg._3 && alg._4 == 60.0)
+    assert(alg._5 == 122L && alg._6 == 569707381193162L)
   }
 }
