@@ -347,6 +347,31 @@ object Stress {
     report("asof", mult, nEvents, tAsof, exchanges(asof),
       asofRow.head.getLong(0))
 
+    // ---- s2 cell-blocked radius join (r16 native s2 index): n left
+    // × n right points spread over the whole sphere (incl. poles and
+    // the antimeridian, where degree-grid blocking breaks), 10 km
+    // radius at level 9. Cost shape: explode ×9 + ONE shuffle on the
+    // cell key + per-candidate haversine — never the n² cross join
+    // (at 100× that would be 2.5e13 pairs; the blocked join touches
+    // ~1e-6 of them).
+    val nPts = 50000L * mult
+    val ptsL = spark.range(nPts).select($"id".as("lid"),
+      (pmod(hash($"id", lit(1)), lit(170000)).cast("double") / 1000.0 - 85.0)
+        .as("lat1"),
+      (pmod(hash($"id", lit(2)), lit(360000)).cast("double") / 1000.0 - 180.0)
+        .as("lon1"))
+    val ptsR = spark.range(nPts).select(($"id" + nPts).as("rid"),
+      (pmod(hash($"id", lit(3)), lit(170000)).cast("double") / 1000.0 - 85.0)
+        .as("lat2"),
+      (pmod(hash($"id", lit(4)), lit(360000)).cast("double") / 1000.0 - 180.0)
+        .as("lon2"))
+    val s2join = Joins.s2RadiusJoin(ptsL, ptsR,
+        "lon1", "lat1", "lon2", "lat2", radiusMeters = 10000.0, level = 9)
+      .agg(count(lit(1)).as("n"))
+    val (s2Row, tS2) = timed(s2join.collect())
+    report("s2_radius_join", mult, nPts * 2, tS2, exchanges(s2join),
+      s2Row.head.getLong(0))
+
     // windowFunnel depth histogram (7-day window, 3 steps)
     val wf = udaf(new Aggregates.WindowFunnel(7L * 86400L * 1000000L, 3))
     val funnel = events

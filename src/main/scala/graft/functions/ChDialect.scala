@@ -3041,6 +3041,20 @@ object ChDialect {
     reg("h3ToString")(c => H3ToString(Cast(c.head, LongType)))
     reg("stringToH3")(c => StringToH3(c.head))
     reg("h3NumHexagons")(c => H3NumHexagons(Cast(c.head, IntegerType)))
+    // per-row simhash spellings (wave 43) — sipHash64-based stand-ins
+    // (hamming-locality preserved; NOT CityHash bit-parity, see the
+    // §8 divergence list; the oracle-checked near-dup path stays
+    // Text.simhash32Sql / pipe_simhash*)
+    reg("wordShingleSimHash")(c => SimHashText(c(0),
+      if (c.size > 1) Cast(c(1), IntegerType) else Literal(3), word = true))
+    reg("ngramSimHash")(c => SimHashText(c(0),
+      if (c.size > 1) Cast(c(1), IntegerType) else Literal(3), word = false))
+    // hasTokenOrNull: NULL (instead of hasToken's plain answer) when
+    // the needle is not a single well-formed token
+    macroFn("hasTokenOrNull", Seq("__h", "__t"),
+      """CASE WHEN __t RLIKE '^[A-Za-z0-9]+$'
+              THEN array_contains(split(__h, '[^A-Za-z0-9]+'), __t)
+              ELSE NULL END""")
     reg("cosineDistance")(c =>
       // accept whatever numeric array the user wrote (decimal/double
       // literals included) — the codegen expression wants array<float>

@@ -131,4 +131,63 @@ object Joins {
       .filter(col("__rn") === 1).drop("__rn")
     left.join(one, keys, joinType)
   }
+
+  /** S2 cell-blocked radius join: every (left, right) pair within
+    * `radiusMeters` great-circle distance, found WITHOUT a cross
+    * join. Candidate generation is an equi-join on level-`level` s2
+    * cell ids, with the left side exploded to its 3×3 cell
+    * neighborhood (edge neighbors of edge neighbors — that includes
+    * the corner cells, and works across cube-face seams and at the
+    * poles, which is exactly what s2 blocking buys over a lat/lon
+    * degree grid). The exact haversine filter runs on candidates only.
+    *
+    * LOSSLESS by the cell metric: two points closer than the level's
+    * minimum cell width can never be more than one cell apart, so the
+    * 3×3 block always contains the match. Guarded with a conservative
+    * min-width bound (0.84·2^-level rad — under s2's published
+    * quadratic-projection kMinWidth of 2√2/3·2^-level); S2Spec proves
+    * equality against a brute-force cross join on seam/pole clusters.
+    *
+    * Each surviving pair appears exactly once (the right side carries
+    * a single cell key), so no dedup shuffle is needed. At scale this
+    * is one explode (×9) + one shuffle on the cell key + a per-pair
+    * filter — the same shape as the LSH band join.
+    *
+    * Output: all left columns + all right columns + `meters` (rounded
+    * BIGINT). Column names must not clash (alias apart beforehand).
+    */
+  def s2RadiusJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lonL: String, latL: String,
+      lonR: String, latR: String,
+      radiusMeters: Double,
+      level: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    val minWidthM = 0.84 / (1L << level) * 6371000.0
+    require(radiusMeters > 0 && radiusMeters <= minWidthM,
+      f"s2RadiusJoin: radius ${radiusMeters}%.0f m exceeds the level-$level " +
+        f"min cell width bound ${minWidthM}%.0f m — 3×3 blocking could miss " +
+        "pairs; use a coarser level (min width halves per level)")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"s2RadiusJoin column clash on ${clash.mkString(", ")} — alias apart")
+    val lCell = left
+      .withColumn("__c0", expr(s"s2_parent(geo_to_s2($lonL, $latL), $level)"))
+      .withColumn("__cell", explode(expr(
+        """array_distinct(flatten(transform(
+             array_union(array(__c0), s2_get_neighbors(__c0)),
+             x -> array_union(array(x), s2_get_neighbors(x)))))""")))
+      .drop("__c0")
+    val rCell = right
+      .withColumn("__cell", expr(s"s2_parent(geo_to_s2($lonR, $latR), $level)"))
+    val dist = s"""CAST(round(2 * 6371000 * asin(sqrt(
+        pow(sin(radians($latR - $latL) / 2), 2) +
+        cos(radians($latL)) * cos(radians($latR)) *
+        pow(sin(radians($lonR - $lonL) / 2), 2))), 0) AS BIGINT)"""
+    lCell.join(rCell, "__cell")
+      .withColumn("meters", expr(dist))
+      .filter(col("meters") <= radiusMeters)
+      .drop("__cell")
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.functions.GraftFunctions
+import graft.ops.Joins
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -145,6 +146,48 @@ object S2Queries {
       FROM agg g JOIN a_ij x ON g.c_custkey = x.c_custkey
       ORDER BY g.c_custkey"""
     }),
+
+    // S2 cell-blocked radius join (ops/Joins.s2RadiusJoin): candidates
+    // via level-5 cell equi-join over the 3×3 neighborhood, exact
+    // haversine on candidates only. The ORACLE is the NAIVE quadratic
+    // join — the hash gate literally proves the blocking is lossless
+    // on the fixture (S2Spec proves it again on seam/pole clusters
+    // where a lat/lon degree grid would miss pairs).
+    QDef("join_geo_s2_block", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val cust = Tables(s, dir, "customer")
+        .filter($"c_custkey" % 10 === 0)
+        .selectExpr("c_custkey", "c_nationkey",
+          "CAST((c_custkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat1",
+          "CAST((c_custkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon1")
+      val supp = Tables(s, dir, "supplier")
+        .selectExpr("s_suppkey",
+          "CAST((s_suppkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat2",
+          "CAST((s_suppkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon2")
+      Joins.s2RadiusJoin(cust, supp, "lon1", "lat1", "lon2", "lat2",
+          radiusMeters = 100000.0, level = 5)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("pairs"), min($"meters").as("min_m"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey,
+                        CAST((c_custkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat1,
+                        CAST((c_custkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon1
+                 FROM customer WHERE c_custkey % 10 = 0),
+      s AS (SELECT s_suppkey,
+                   CAST((s_suppkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat2,
+                   CAST((s_suppkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon2
+            FROM supplier),
+      p AS (SELECT c_nationkey,
+                   CAST(round(2 * 6371000 * asin(sqrt(
+                     pow(sin(radians(lat2 - lat1) / 2), 2) +
+                     cos(radians(lat1)) * cos(radians(lat2)) *
+                     pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS BIGINT) AS meters
+            FROM c, s)
+      SELECT c_nationkey, count(*) AS pairs, min(meters) AS min_m
+      FROM p WHERE meters <= 100000 GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
 
     // H3 index algebra over constructed valid indexes: parent rollup,
     // field extraction, per-row validity (a corrupted digit goes

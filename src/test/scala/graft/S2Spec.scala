@@ -225,6 +225,51 @@ class S2Spec extends AnyFunSuite {
     assert(S2Math.cellsIntersect(S2Math.parent(uc, 20), S2Math.parent(uc2, 20)))
   }
 
+  test("s2RadiusJoin equals brute force — including seam and pole clusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // deterministic clusters where lat/lon-grid blocking breaks:
+    // the antimeridian belt (wrap pairs), both pole caps (longitude
+    // degenerates), a cube-face corner, plus a sparse mid-lat field
+    val pts: Seq[(Long, Double, Double)] = (0 until 300).map { k =>
+      val g = k % 5
+      val u = (k / 5).toDouble
+      val (lon, lat) = g match {
+        case 0 =>
+          val l = 179.3 + 0.023 * u
+          (if (l > 180) l - 360 else l, -1.0 + 0.037 * u)
+        case 1 => (-120.0 + 0.031 * u, 88.6 + 0.021 * u)
+        case 2 => (60.0 + 0.029 * u, -89.8 + 0.02 * u)
+        case 3 => (44.3 + 0.027 * u, 44.5 + 0.019 * u)
+        case _ => (10.0 + 0.5 * u, 50.0 + 0.013 * u)
+      }
+      (k.toLong, lon, lat)
+    }
+    val left = pts.toDF("lid", "lon1", "lat1")
+    val right = pts.map { case (id, lon, lat) => (id, lon, lat) }
+      .toDF("rid", "lon2", "lat2")
+    val blocked = graft.ops.Joins
+      .s2RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 30000.0, 7)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // no duplicate pairs (right side carries a single cell key)
+    assert(blocked.size == blocked.distinct.size)
+    val dist = """2 * 6371000 * asin(sqrt(
+        pow(sin(radians(lat2 - lat1) / 2), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) *
+        pow(sin(radians(lon2 - lon1) / 2), 2)))"""
+    val brute = left.crossJoin(right)
+      .filter(org.apache.spark.sql.functions.expr(s"round($dist, 0) <= 30000"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(brute.nonEmpty && brute.size > 300) // clusters really pair up
+    assert(blocked.toSet == brute.toSet,
+      s"blocked=${blocked.size} brute=${brute.size} " +
+        s"missing=${(brute.toSet -- blocked.toSet).take(5)}")
+    // the guard bites: a 100 km radius at level 9 must refuse loudly
+    val e = intercept[IllegalArgumentException](graft.ops.Joins
+      .s2RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100000.0, 9))
+    assert(e.getMessage.contains("coarser level"))
+  }
+
   test("s2 expressions run through codegen end-to-end") {
     val spark = TestSpark.spark
     import spark.implicits._
