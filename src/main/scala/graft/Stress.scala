@@ -348,20 +348,24 @@ object Stress {
       asofRow.head.getLong(0))
 
     // ---- s2 cell-blocked radius join (r16 native s2 index): n left
-    // × n right points spread over the whole sphere (incl. poles and
-    // the antimeridian, where degree-grid blocking breaks), 10 km
-    // radius at level 9. Cost shape: explode ×9 + ONE shuffle on the
+    // × n right points spread over the FULL sphere — lat spans
+    // [-90, 89.999] so the south pole itself and both polar caps are
+    // genuinely in the data (uniform-in-lat oversamples the poles,
+    // which is the adversarial regime for any lat/lon grid), plus the
+    // antimeridian. 10 km radius at level 9. Cost shape: explode ×13
+    // (3×3 block + 4 distance-2 cells, the orientation-safe corner
+    // construction — see Joins.s2RadiusJoin) + ONE shuffle on the
     // cell key + per-candidate haversine — never the n² cross join
     // (at 100× that would be 2.5e13 pairs; the blocked join touches
     // ~1e-6 of them).
     val nPts = 50000L * mult
     val ptsL = spark.range(nPts).select($"id".as("lid"),
-      (pmod(hash($"id", lit(1)), lit(170000)).cast("double") / 1000.0 - 85.0)
+      (pmod(hash($"id", lit(1)), lit(180000)).cast("double") / 1000.0 - 90.0)
         .as("lat1"),
       (pmod(hash($"id", lit(2)), lit(360000)).cast("double") / 1000.0 - 180.0)
         .as("lon1"))
     val ptsR = spark.range(nPts).select(($"id" + nPts).as("rid"),
-      (pmod(hash($"id", lit(3)), lit(170000)).cast("double") / 1000.0 - 85.0)
+      (pmod(hash($"id", lit(3)), lit(180000)).cast("double") / 1000.0 - 90.0)
         .as("lat2"),
       (pmod(hash($"id", lit(4)), lit(360000)).cast("double") / 1000.0 - 180.0)
         .as("lon2"))

@@ -244,6 +244,8 @@ object S2Math {
     */
   def capContains(center: Long, radiusDeg: Double, point: Long): Boolean = {
     require(radiusDeg >= 0, "s2_cap_contains: negative radius")
+    if (radiusDeg >= 180.0) return true // full sphere (chord is
+    // non-monotonic past 180°, so the comparison below would be wrong)
     val (cx, cy, cz) = centerXYZ(center)
     val (px, py, pz) = centerXYZ(point)
     val dx = cx - px; val dy = cy - py; val dz = cz - pz
@@ -389,17 +391,44 @@ object S2Math {
     else if (r2 >= d + r1) (c2, r2Deg)
     else {
       val r = (d + r1 + r2) / 2.0
-      val t = (r - r1) / d // d > 0: neither cap contains the other
       val sd = math.sin(d)
-      val wa = math.sin((1.0 - t) * d) / sd
-      val wb = math.sin(t * d) / sd
-      val x = wa * a._1 + wb * b._1
-      val y = wa * a._2 + wb * b._2
-      val z = wa * a._3 + wb * b._3
+      val (x, y, z) =
+        if (sd < 1e-9) {
+          // (near-)antipodal centers: the slerp weights cancel
+          // catastrophically (sin d ≈ ulp). ANY great circle through
+          // both centers works — rotate a toward a stable orthogonal
+          // direction by the angle r − r1.
+          val t = orthogonalTo(a)
+          val th = r - r1
+          val (ct, st) = (math.cos(th), math.sin(th))
+          (ct * a._1 + st * t._1, ct * a._2 + st * t._2, ct * a._3 + st * t._3)
+        } else {
+          val t = (r - r1) / d // d > 0: neither cap contains the other
+          val wa = math.sin((1.0 - t) * d) / sd
+          val wb = math.sin(t * d) / sd
+          (wa * a._1 + wb * b._1, wa * a._2 + wb * b._2, wa * a._3 + wb * b._3)
+        }
       val lat = math.atan2(z, math.sqrt(x * x + y * y))
       val lon = math.atan2(y, x)
-      (geoToS2(math.toDegrees(lon), math.toDegrees(lat)), math.toDegrees(r))
+      // radius ≥ 180° IS the full sphere — clamp like S2Cap::Full
+      (geoToS2(math.toDegrees(lon), math.toDegrees(lat)),
+        math.min(180.0, math.toDegrees(r)))
     }
+  }
+
+  /** A unit vector orthogonal to `a` (cross with the axis of the
+    * smallest |component| — never near-parallel).
+    */
+  private def orthogonalTo(a: (Double, Double, Double))
+      : (Double, Double, Double) = {
+    val (x, y, z) = a
+    val (cx, cy, cz) =
+      if (math.abs(x) <= math.abs(y) && math.abs(x) <= math.abs(z))
+        (0.0, -z, y) // a × (1,0,0) up to sign
+      else if (math.abs(y) <= math.abs(z)) (z, 0.0, -x)
+      else (-y, x, 0.0)
+    val n = math.sqrt(cx * cx + cy * cy + cz * cz)
+    (cx / n, cy / n, cz / n)
   }
 }
 

@@ -150,8 +150,13 @@ object Joins {
     *
     * Each surviving pair appears exactly once (the right side carries
     * a single cell key), so no dedup shuffle is needed. At scale this
-    * is one explode (×9) + one shuffle on the cell key + a per-pair
-    * filter — the same shape as the LSH band join.
+    * is one explode (×13: the 3×3 block PLUS the four distance-2
+    * edge cells — the neighbors-of-neighbors construction reaches
+    * corners through two edge hops, which stays correct across face
+    * seams where a direct "diagonal" pick would depend on the
+    * neighbor face's axis orientation; the 4 extra cells are the
+    * price of orientation-safe coverage) + one shuffle on the cell
+    * key + a per-pair filter — the same shape as the LSH band join.
     *
     * Output: all left columns + all right columns + `meters` (rounded
     * BIGINT). Column names must not clash (alias apart beforehand).
@@ -172,6 +177,11 @@ object Joins {
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty,
       s"s2RadiusJoin column clash on ${clash.mkString(", ")} — alias apart")
+    val reserved = (left.columns ++ right.columns).toSet
+      .intersect(Set("__cell", "__c0", "meters"))
+    require(reserved.isEmpty,
+      s"s2RadiusJoin: input already has ${reserved.mkString(", ")} — " +
+        "these names are produced by the join; rename them first")
     val lCell = left
       .withColumn("__c0", expr(s"s2_parent(geo_to_s2($lonL, $latL), $level)"))
       .withColumn("__cell", explode(expr(
@@ -181,13 +191,15 @@ object Joins {
       .drop("__c0")
     val rCell = right
       .withColumn("__cell", expr(s"s2_parent(geo_to_s2($lonR, $latR), $level)"))
-    val dist = s"""CAST(round(2 * 6371000 * asin(sqrt(
+    val dist = s"""2 * 6371000 * asin(sqrt(
         pow(sin(radians($latR - $latL) / 2), 2) +
         cos(radians($latL)) * cos(radians($latR)) *
-        pow(sin(radians($lonR - $lonL) / 2), 2))), 0) AS BIGINT)"""
+        pow(sin(radians($lonR - $lonL) / 2), 2)))"""
+    // filter on the UNROUNDED distance (a rounded filter would drop
+    // pairs inside a fractional radius); emit rounded integer meters
     lCell.join(rCell, "__cell")
-      .withColumn("meters", expr(dist))
-      .filter(col("meters") <= radiusMeters)
+      .filter(expr(s"$dist <= $radiusMeters"))
+      .withColumn("meters", expr(s"CAST(round($dist, 0) AS BIGINT)"))
       .drop("__cell")
   }
 }

@@ -180,13 +180,14 @@ object S2Queries {
                    CAST((s_suppkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon2
             FROM supplier),
       p AS (SELECT c_nationkey,
-                   CAST(round(2 * 6371000 * asin(sqrt(
+                   2 * 6371000 * asin(sqrt(
                      pow(sin(radians(lat2 - lat1) / 2), 2) +
                      cos(radians(lat1)) * cos(radians(lat2)) *
-                     pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS BIGINT) AS meters
+                     pow(sin(radians(lon2 - lon1) / 2), 2))) AS raw_m
             FROM c, s)
-      SELECT c_nationkey, count(*) AS pairs, min(meters) AS min_m
-      FROM p WHERE meters <= 100000 GROUP BY c_nationkey
+      SELECT c_nationkey, count(*) AS pairs,
+             min(CAST(round(raw_m, 0) AS BIGINT)) AS min_m
+      FROM p WHERE raw_m <= 100000.0 GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
 
     // H3 index algebra over constructed valid indexes: parent rollup,

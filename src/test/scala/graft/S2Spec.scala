@@ -223,6 +223,23 @@ class S2Spec extends AnyFunSuite {
     val (uc2, ur2) = S2Math.capUnion(c2, 3.0, c1, 2.0)
     assert(math.abs(ur - ur2) < 1e-9)
     assert(S2Math.cellsIntersect(S2Math.parent(uc, 20), S2Math.parent(uc2, 20)))
+    // ANTIPODAL centers: the naive slerp weights cancel (sin d ≈ ulp);
+    // the union must still contain both input caps
+    val ap1 = S2Math.geoToS2(10.0, 20.0)
+    val ap2 = S2Math.geoToS2(-170.0, -20.0)
+    val (ac, ar) = S2Math.capUnion(ap1, 10.0, ap2, 10.0)
+    assert(ar <= 180.0)
+    assert(S2Math.capContains(ac, ar + 1e-9, ap1), "antipodal union lost cap 1")
+    assert(S2Math.capContains(ac, ar + 1e-9, ap2), "antipodal union lost cap 2")
+    // radius ≥ 180° is the full sphere — contains everything, and a
+    // union that reaches it stays clamped
+    assert(S2Math.capContains(S2Math.geoToS2(0.0, 10.0), 200.0,
+      S2Math.geoToS2(179.99, -9.99)))
+    val (_, fr) = S2Math.capUnion(S2Math.geoToS2(0.0, 0.0), 170.0,
+      S2Math.geoToS2(30.0, 0.0), 170.0)
+    assert(fr == 180.0)
+    assert(S2Math.capContains(S2Math.geoToS2(0.0, 0.0), fr,
+      S2Math.geoToS2(-179.0, 5.0)))
   }
 
   test("s2RadiusJoin equals brute force — including seam and pole clusters") {
@@ -258,7 +275,7 @@ class S2Spec extends AnyFunSuite {
         cos(radians(lat1)) * cos(radians(lat2)) *
         pow(sin(radians(lon2 - lon1) / 2), 2)))"""
     val brute = left.crossJoin(right)
-      .filter(org.apache.spark.sql.functions.expr(s"round($dist, 0) <= 30000"))
+      .filter(org.apache.spark.sql.functions.expr(s"$dist <= 30000.0"))
       .select("lid", "rid").as[(Long, Long)].collect().toSeq
     assert(brute.nonEmpty && brute.size > 300) // clusters really pair up
     assert(blocked.toSet == brute.toSet,
@@ -268,6 +285,18 @@ class S2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](graft.ops.Joins
       .s2RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100000.0, 9))
     assert(e.getMessage.contains("coarser level"))
+    // reserved output names refuse instead of silently overwriting
+    val e2 = intercept[IllegalArgumentException](graft.ops.Joins.s2RadiusJoin(
+      left.withColumn("meters", left("lid")), right,
+      "lon1", "lat1", "lon2", "lat2", 30000.0, 7))
+    assert(e2.getMessage.contains("rename"))
+    // fractional radius: the filter runs on the UNROUNDED distance —
+    // radius 30000.4 must keep everything radius 30000.0 keeps (a
+    // rounded filter would compare 30001 <= 30000.4 and drop pairs)
+    val frac = graft.ops.Joins
+      .s2RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 30000.4, 7)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(blocked.toSet.subsetOf(frac))
   }
 
   test("s2 expressions run through codegen end-to-end") {
