@@ -50,22 +50,32 @@ object PipelineQueries {
     * filter) from the shared hashed-docs frame — the edge list the CC
     * entries cluster. One definition so the propagation and
     * star-contraction gate entries provably run the same graph.
+    * Cached DISK_ONLY like [[lshDocs]]: THREE entries
+    * (pipe_dedup_components / _star / _canonical) cluster this exact
+    * edge list, and the band self-join + Jaccard confirm is the
+    * expensive half of each — one materialization instead of three,
+    * aged out by the same unpersist-on-evict LRU.
     */
+  private[graft] val lshPairsCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
   private def lshPairs(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val docs = lshDocs(s, dir)
-    val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
-    val shs = docs.select($"doc_id", $"sh")
-    bands.as("a").join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
-      .select($"doc_a", $"doc_b")
-  }
+      : org.apache.spark.sql.DataFrame =
+    lshPairsCache.getOrBuild((s, dir)) {
+      import s.implicits._
+      val docs = lshDocs(s, dir)
+      val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+      val shs = docs.select($"doc_id", $"sh")
+      bands.as("a").join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
+        .select($"doc_a", $"doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
 
   /** DuckDB oracle for the dedup-cluster entries: the full
     * minhash→bands→jaccard→CC chain re-derived in SQL. Shared by the

@@ -49,6 +49,19 @@ class LruCacheSpec extends AnyFunSuite {
     Seq(1, 2, 3).foreach(k => cache.get(k).foreach(_.unpersist()))
   }
 
+  test("the three CC gate entries share ONE confirmed-pairs build") {
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val before = PipelineQueries.lshPairsCache.builds.get()
+    for (q <- Seq("pipe_dedup_components", "pipe_dedup_components_star",
+        "pipe_dedup_canonical")) {
+      SparkEntry.queries(q)(spark, dir).collect()
+    }
+    val built = PipelineQueries.lshPairsCache.builds.get() - before
+    assert(built <= 1, // 0 if another suite already warmed this dir
+      s"expected one shared pairs build for the CC family, saw $built")
+  }
+
   test("ivf dynOracle inlines centroids and round-trips doubles exactly") {
     import graft.ops.Vectors
     // duckDouble must parse back to the exact same double in DuckDB's
