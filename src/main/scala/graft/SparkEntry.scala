@@ -29,8 +29,37 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     * dynOracle entries (data-derived literal constants) are resolved
     * here, at dump time, after the queries have run. */
-  def oracleSql: Map[String, String] =
-    registries.flatMap(q =>
-      q.dynOracle.flatMap(f => f()).orElse(q.oracle)
-        .map(o => q.name -> o.trim)).toMap
+  def oracleSql: Map[String, String] = oracleSqlFor(None)
+
+  /** Like [[oracleSql]] but resolving ONLY the named entries — a
+    * dynOracle thunk for an unrelated query must not trigger work
+    * (e.g. an IVF index build) for a dataset the run never touched.
+    * A thunk that throws degrades ITS entry to oracle-free (the
+    * documented dynOracle contract) instead of zeroing the whole dump.
+    */
+  def oracleSqlFor(only: Option[Set[String]]): Map[String, String] =
+    registries
+      .filter(q => only.forall(_.contains(q.name)))
+      .flatMap { q =>
+        val dyn = q.dynOracle.flatMap { f =>
+          try f()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[oracle] dynOracle for ${q.name} failed, " +
+                  s"degrading to oracle-free: ${e.getMessage}")
+              None
+          }
+        }
+        dyn.orElse(q.oracle).map(o => q.name -> o.trim)
+      }.toMap
+
+  /** Names that DECLARE an oracle (static or dynamic) WITHOUT
+    * resolving any dynOracle thunk — for contract enumeration in
+    * specs (resolving would run data-dependent builds inside a
+    * unit test).
+    */
+  def oracleDeclaredNames: Set[String] =
+    registries.filter(q => q.oracle.isDefined || q.dynOracle.isDefined)
+      .map(_.name).toSet
 }

@@ -39,11 +39,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // In only-mode, dump only the requested oracles (a dynOracle for an
-    // unrelated query could otherwise trigger work for a dataset this
+    // In only-mode, RESOLVE only the requested oracles (filtering after
+    // SparkEntry.oracleSql would already have run every dynOracle thunk,
+    // triggering work — e.g. the IVF k-means build — for datasets this
     // run never touched).
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+    val json = SparkEntry
+      .oracleSqlFor(if (only.isEmpty) None else Some(only))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -43,22 +43,15 @@ object ChDialect {
     * keeps exactly one result (a rare duplicate collect is the accepted
     * price — the alternative, holding the lock, serialized ALL tables).
     */
-  private val joinGetCache: java.util.Map[
-      (SparkSession, String, String, Int), (Literal, DataType, DataType)] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[
-          (SparkSession, String, String, Int),
-          (Literal, DataType, DataType)](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String, String, Int),
-                                   (Literal, DataType, DataType)]): Boolean =
-          size() > 256
-      })
+  private val joinGetCache =
+    new graft.ops.LruCache[(SparkSession, String, String, Int),
+      (Literal, DataType, DataType)](256, _ => ())
 
   /** Observable build count, so a spec can assert the cache actually
     * prevents re-collects (not part of the public surface).
     */
-  private[graft] val joinGetBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def joinGetBuilds: java.util.concurrent.atomic.AtomicLong =
+    joinGetCache.builds
 
   private def joinGetMapLit(spark: SparkSession, tblE: Expression,
       colE: Expression): (Literal, DataType, DataType) = {
@@ -71,12 +64,11 @@ object ChDialect {
     val valueCol = strLit(colE, "the value column")
     val df = spark.table(tbl)
     val fp = df.queryExecution.analyzed.semanticHash()
-    val key = (spark, tbl, valueCol, fp)
-    val cached = joinGetCache.get(key) // synchronized, O(1)
-    if (cached != null) cached
-    else {
-      // Build OUTSIDE the lock (see cache scaladoc).
-      joinGetBuilds.incrementAndGet()
+    // LruCache builds OUTSIDE its mutex (a slow 100k-row collect must
+    // not block every other table's lookups; a re-entrant joinGet
+    // reached from inside the build must not deadlock) — the shared
+    // class is this method's old hand-rolled pattern, extracted.
+    joinGetCache.getOrBuild((spark, tbl, valueCol, fp)) {
       val keyCol = df.columns.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"joinGet: table '$tbl' has no columns"))
@@ -92,11 +84,8 @@ object ChDialect {
           "join for lookups at that size")
       val keyT = df.schema(keyCol).dataType
       val valT = df.schema(valueCol).dataType
-      val built =
-        (Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
-          org.apache.spark.sql.types.MapType(keyT, valT)), keyT, valT)
-      val raced = joinGetCache.putIfAbsent(key, built) // synchronized, O(1)
-      if (raced != null) raced else built
+      (Literal.create(rows.iterator.map(r => r.get(0) -> r.get(1)).toMap,
+        org.apache.spark.sql.types.MapType(keyT, valT)), keyT, valT)
     }
   }
 

@@ -162,17 +162,26 @@ object S2Math {
     (f, i, j)
   }
 
-  /** Center of the cell as (lon, lat) degrees — ClickHouse
-    * `s2ToGeo`'s tuple order.
+  /** Un-normalized direction of the cell center (center st of the
+    * level-`level(id)` cell containing the decoded leaf, through the
+    * quadratic UV and the face chart) — the one copy of the
+    * center math both geodetic views below share.
     */
-  def s2ToGeo(id: Long): (Double, Double) = {
+  private def centerRawXYZ(id: Long): (Double, Double, Double) = {
     val lvl = level(id)
     val (f, iLeaf, jLeaf) = toFaceIJ(id)
-    // center st of the level-lvl cell containing that leaf
     val sizeShift = MaxLevel - lvl
     val s = ((iLeaf >> sizeShift).toDouble + 0.5) / (1 << lvl).toDouble
     val t = ((jLeaf >> sizeShift).toDouble + 0.5) / (1 << lvl).toDouble
-    val (x, y, z) = faceUVtoXYZ(f, stToUV(s), stToUV(t))
+    faceUVtoXYZ(f, stToUV(s), stToUV(t))
+  }
+
+  /** Center of the cell as (lon, lat) degrees — ClickHouse
+    * `s2ToGeo`'s tuple order. (atan2 is scale-invariant, so the
+    * un-normalized direction is exact here.)
+    */
+  def s2ToGeo(id: Long): (Double, Double) = {
+    val (x, y, z) = centerRawXYZ(id)
     val lat = math.atan2(z, math.sqrt(x * x + y * y))
     val lon = math.atan2(y, x)
     (math.toDegrees(lon), math.toDegrees(lat))
@@ -180,12 +189,7 @@ object S2Math {
 
   /** Unit-sphere direction of the cell center. */
   def centerXYZ(id: Long): (Double, Double, Double) = {
-    val lvl = level(id)
-    val (f, iLeaf, jLeaf) = toFaceIJ(id)
-    val sizeShift = MaxLevel - lvl
-    val s = ((iLeaf >> sizeShift).toDouble + 0.5) / (1 << lvl).toDouble
-    val t = ((jLeaf >> sizeShift).toDouble + 0.5) / (1 << lvl).toDouble
-    val (x, y, z) = faceUVtoXYZ(f, stToUV(s), stToUV(t))
+    val (x, y, z) = centerRawXYZ(id)
     val n = math.sqrt(x * x + y * y + z * z)
     (x / n, y / n, z / n)
   }

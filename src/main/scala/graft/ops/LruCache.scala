@@ -21,11 +21,12 @@ package graft.ops
   *    after the map operation, off the mutex.
   */
 final class LruCache[K, V](cap: Int, onEvict: V => Unit) {
-  private val evicted = new java.util.concurrent.ConcurrentLinkedQueue[V]()
+  private val evicted = new java.util.concurrent.ConcurrentLinkedQueue[(K, V)]()
   private val m = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        if (size() > cap) { evicted.add(e.getValue); true } else false
+        if (size() > cap) { evicted.add((e.getKey, e.getValue)); true }
+        else false
     })
 
   /** Observable build count so specs can assert both caching (no
@@ -43,9 +44,19 @@ final class LruCache[K, V](cap: Int, onEvict: V => Unit) {
         val raced = m.putIfAbsent(k, b) // synchronized, O(1)
         if (raced != null) raced else b
       }
-    // run evict hooks off the mutex
+    // run evict hooks off the mutex — but NOT for a key that was
+    // re-inserted since eviction: the rebuilt value shares the evicted
+    // one's logical plan, and Spark's CacheManager keys cache entries
+    // by plan, so unpersisting the old frame would silently un-cache
+    // the new entry too (same hazard as the putIfAbsent race above;
+    // the containsKey check narrows the window to the instants between
+    // this poll and the hook — acceptable for caches of idempotent
+    // rebuildable frames)
     var e = evicted.poll()
-    while (e != null) { onEvict(e); e = evicted.poll() }
+    while (e != null) {
+      if (!m.containsKey(e._1)) onEvict(e._2)
+      e = evicted.poll()
+    }
     v
   }
 

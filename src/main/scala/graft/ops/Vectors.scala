@@ -161,10 +161,20 @@ object Vectors {
       ivfCache.get(key).map(_._2.toSeq.map(_.toSeq)).orElse {
         org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .map { s =>
-            val emb = graft.Tables(s, key._1, "embeddings")
-            ivfIndexCached(emb, key._1, key._2, key._3, key._4)
-              ._2.toSeq.map(_.toSeq)
+          .flatMap { s =>
+            // contract (QDef.dynOracle): return None rather than throw
+            // when the inputs aren't computable — a missing embeddings
+            // fixture must degrade THIS entry, not zero the whole dump
+            try Some(graft.Tables(s, key._1, "embeddings"))
+              .map(emb => ivfIndexCached(emb, key._1, key._2, key._3, key._4)
+                ._2.toSeq.map(_.toSeq))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[oracle] ivfOracleSql: no centroids for ${key._1}: " +
+                    e.getMessage)
+                None
+            }
           }
       }
     cents.map { cs =>

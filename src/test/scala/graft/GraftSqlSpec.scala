@@ -12,7 +12,10 @@ class GraftSqlSpec extends AnyFunSuite {
   test("driver contract: entry() returns rows and all queries have oracle names") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries.keySet
-    val os = SparkEntry.oracleSql.keySet
+    // keys-only accessor: enumerating the contract must not RESOLVE
+    // dynOracle thunks (that would run the IVF k-means build — over
+    // whatever SPARK_GRAFT_SF_DIR points at — inside a unit test)
+    val os = SparkEntry.oracleDeclaredNames
     // Oracle-free entries get the driver's weaker rows-only check; each
     // would need an explicit justification here (and a non-gate test
     // pinning its semantics elsewhere). EMPTY since r16: the last three
