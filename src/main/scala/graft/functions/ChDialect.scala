@@ -2988,8 +2988,9 @@ object ChDialect {
     reg("sipHash64")(c => SipHash64(c.head))
     reg("intHash64")(c => IntHash64(Cast(c.head, LongType)))
     reg("xxHash32")(c => XxHash32Ch(c.head))
-    reg("geohashEncode")(c => GeohashEncode(c(0), c(1),
-      if (c.size > 2) c(2) else Literal(12)))
+    reg("geohashEncode")(c => GeohashEncode(
+      Cast(c(0), DoubleType), Cast(c(1), DoubleType),
+      if (c.size > 2) Cast(c(2), IntegerType) else Literal(12)))
     reg("geohashDecode")(c => GeohashDecode(c.head))
     reg("pointInPolygon")(c => PointInPolygon(c(0), c(1), c(2)))
     // S2 cell family — native implementation (functions/S2.scala),
@@ -3044,6 +3045,54 @@ object ChDialect {
       """CASE WHEN __t RLIKE '^[A-Za-z0-9]+$'
               THEN array_contains(split(__h, '[^A-Za-z0-9]+'), __t)
               ELSE NULL END""")
+    // geohashesInBox: every precision-p geohash cell INTERSECTING the
+    // box, sorted (CH documents the order as unspecified). Covering
+    // semantics — geohashEncode(p) of ANY point inside the box is
+    // always a member, the property cell-join blocking relies on
+    // (exact CH behavior for boxes ending exactly on cell edges may
+    // include one fewer boundary cell). Pure grid arithmetic over the
+    // codegen'd builtins: lon cells are 2^ceil(5p/2), lat cells
+    // 2^floor(5p/2). Loud cap at 100k cells per row — a wider cover
+    // is a scale bug, not a query.
+    macroFn("geohashesInBox",
+      Seq("__lo1", "__la1", "__lo2", "__la2", "__p"),
+      """CASE
+           WHEN __lo1 > __lo2 OR __la1 > __la2 THEN array()
+           WHEN (LEAST(pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2) - 1,
+                   GREATEST(0.0, FLOOR((__lo2 + 180.0) /
+                     (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)))))
+                 - GREATEST(0.0, FLOOR((__lo1 + 180.0) /
+                     (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)))) + 1)
+                * (LEAST(pow(2.0, CAST(5 * __p AS INT) DIV 2) - 1,
+                   GREATEST(0.0, FLOOR((__la2 + 90.0) /
+                     (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)))))
+                 - GREATEST(0.0, FLOOR((__la1 + 90.0) /
+                     (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)))) + 1)
+                > 100000.0
+             THEN raise_error(concat('geohashesInBox: box covers more than ',
+                    '100000 precision-', CAST(__p AS STRING),
+                    ' cells - use a coarser precision'))
+           ELSE array_sort(array_distinct(flatten(transform(
+             sequence(
+               CAST(GREATEST(0.0, FLOOR((__lo1 + 180.0) /
+                 (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)))) AS BIGINT),
+               CAST(LEAST(pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2) - 1,
+                 GREATEST(0.0, FLOOR((__lo2 + 180.0) /
+                   (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2))))) AS BIGINT)),
+             i -> transform(
+               sequence(
+                 CAST(GREATEST(0.0, FLOOR((__la1 + 90.0) /
+                   (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)))) AS BIGINT),
+                 CAST(LEAST(pow(2.0, CAST(5 * __p AS INT) DIV 2) - 1,
+                   GREATEST(0.0, FLOOR((__la2 + 90.0) /
+                     (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2))))) AS BIGINT)),
+               j -> geohash_encode(
+                 (CAST(i AS DOUBLE) + 0.5) *
+                   (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)) - 180.0,
+                 (CAST(j AS DOUBLE) + 0.5) *
+                   (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)) - 90.0,
+                 CAST(__p AS INT)))))))
+         END""")
     reg("cosineDistance")(c =>
       // accept whatever numeric array the user wrote (decimal/double
       // literals included) — the codegen expression wants array<float>

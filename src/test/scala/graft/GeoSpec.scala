@@ -102,6 +102,38 @@ class GeoSpec extends AnyFunSuite {
     assert(pip(3.0, 0.5, c: _*)) // in the lower arm
   }
 
+  test("geohashesInBox: covering, sorted, bounded, loud cap") {
+    val spark = TestSpark.spark
+    Graft.init(spark, "/root/testdata/sf0.001")
+    def run1(q: String) = Graft.sql(spark, q).head()
+    // covering contract: the encode of ANY point in the box is a
+    // member of the cover (the blocking-key property)
+    val r = run1("""
+      SELECT geohashesInBox(24.48, 40.56, 24.785, 40.81, 4) AS cover,
+             geohashEncode(24.48, 40.56, 4) AS p1,
+             geohashEncode(24.785, 40.81, 4) AS p2,
+             geohashEncode(24.6, 40.7, 4) AS p3""")
+    val cover = r.getSeq[String](0)
+    assert(cover.nonEmpty && cover.distinct == cover)
+    assert(cover == cover.sorted)
+    assert(Seq(r.getString(1), r.getString(2), r.getString(3))
+      .forall(cover.contains), s"cover $cover misses a member point")
+    // cell-count arithmetic: precision 4 → lon step 360/2^10,
+    // lat step 180/2^10; this box spans 2 lon × 3 lat cells
+    assert(cover.size == 6, s"expected 6 cells, got ${cover.size}: $cover")
+    // inverted box → empty; degenerate point box → exactly its cell
+    val e = run1("""
+      SELECT geohashesInBox(1.0, 1.0, -1.0, -1.0, 5) AS inv,
+             geohashesInBox(24.6, 40.7, 24.6, 40.7, 6) AS pt,
+             geohashEncode(24.6, 40.7, 6) AS pc""")
+    assert(e.getSeq[String](0).isEmpty)
+    assert(e.getSeq[String](1) == Seq(e.getString(2)))
+    // the loud cap bites: the whole world at precision 8 is ~10^9 cells
+    val ex = intercept[Exception](run1(
+      "SELECT geohashesInBox(-180.0, -90.0, 180.0, 90.0, 8) AS boom"))
+    assert(ex.getMessage.contains("geohashesInBox"))
+  }
+
   test("geo expressions run through codegen end-to-end") {
     val spark = TestSpark.spark
     import spark.implicits._
