@@ -43,10 +43,23 @@ object Verify {
     // SparkEntry.oracleSql would already have run every dynOracle thunk,
     // triggering work — e.g. the IVF k-means build — for datasets this
     // run never touched).
-    val json = SparkEntry
+    val resolved = SparkEntry
       .oracleSqlFor(if (only.isEmpty) None else Some(only))
+    val json = resolved
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A DECLARED oracle that failed to resolve (a dynOracle thunk
+    // degraded) silently downgrades its entry to the driver's weaker
+    // rows-only check — with an EMPTY allowlist that must be LOUD. The
+    // dump above is still written first so the rest stays debuggable.
+    val missing = SparkEntry.oracleDeclaredNames
+      .filter(n => only.isEmpty || only(n))
+      .diff(resolved.keySet)
     spark.stop()
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"[verify] declared oracles failed to resolve: ${missing.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

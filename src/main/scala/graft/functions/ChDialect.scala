@@ -3052,37 +3052,49 @@ object ChDialect {
     // (exact CH behavior for boxes ending exactly on cell edges may
     // include one fewer boundary cell). Pure grid arithmetic over the
     // codegen'd builtins: lon cells are 2^ceil(5p/2), lat cells
-    // 2^floor(5p/2). Loud cap at 100k cells per row — a wider cover
-    // is a scale bug, not a query.
+    // 2^floor(5p/2), both index bounds clamped into range (a box
+    // fully outside ±180/±90 returns empty — never a descending
+    // sequence()). Loud cap at 100k cells per row — a wider cover
+    // is a scale bug, not a query. Macro-expansion caveat: each
+    // argument expression is spliced into several occurrences
+    // (codegen's subexpression elimination dedupes deterministic
+    // args; a NON-deterministic argument like rand() would be
+    // re-evaluated per occurrence — pass it through a column first).
     macroFn("geohashesInBox",
       Seq("__lo1", "__la1", "__lo2", "__la2", "__p"),
       """CASE
-           WHEN __lo1 > __lo2 OR __la1 > __la2 THEN array()
+           WHEN __lo1 > __lo2 OR __la1 > __la2
+             OR __lo1 > 180.0 OR __lo2 < -180.0
+             OR __la1 > 90.0 OR __la2 < -90.0 THEN array()
            WHEN (LEAST(pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2) - 1,
                    GREATEST(0.0, FLOOR((__lo2 + 180.0) /
                      (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)))))
-                 - GREATEST(0.0, FLOOR((__lo1 + 180.0) /
-                     (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)))) + 1)
+                 - LEAST(pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2) - 1,
+                   GREATEST(0.0, FLOOR((__lo1 + 180.0) /
+                     (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2))))) + 1)
                 * (LEAST(pow(2.0, CAST(5 * __p AS INT) DIV 2) - 1,
                    GREATEST(0.0, FLOOR((__la2 + 90.0) /
                      (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)))))
-                 - GREATEST(0.0, FLOOR((__la1 + 90.0) /
-                     (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)))) + 1)
+                 - LEAST(pow(2.0, CAST(5 * __p AS INT) DIV 2) - 1,
+                   GREATEST(0.0, FLOOR((__la1 + 90.0) /
+                     (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2))))) + 1)
                 > 100000.0
              THEN raise_error(concat('geohashesInBox: box covers more than ',
                     '100000 precision-', CAST(__p AS STRING),
                     ' cells - use a coarser precision'))
            ELSE array_sort(array_distinct(flatten(transform(
              sequence(
-               CAST(GREATEST(0.0, FLOOR((__lo1 + 180.0) /
-                 (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2)))) AS BIGINT),
+               CAST(LEAST(pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2) - 1,
+                 GREATEST(0.0, FLOOR((__lo1 + 180.0) /
+                   (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2))))) AS BIGINT),
                CAST(LEAST(pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2) - 1,
                  GREATEST(0.0, FLOOR((__lo2 + 180.0) /
                    (360.0 / pow(2.0, CAST((5 * __p + 1) AS INT) DIV 2))))) AS BIGINT)),
              i -> transform(
                sequence(
-                 CAST(GREATEST(0.0, FLOOR((__la1 + 90.0) /
-                   (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2)))) AS BIGINT),
+                 CAST(LEAST(pow(2.0, CAST(5 * __p AS INT) DIV 2) - 1,
+                   GREATEST(0.0, FLOOR((__la1 + 90.0) /
+                     (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2))))) AS BIGINT),
                  CAST(LEAST(pow(2.0, CAST(5 * __p AS INT) DIV 2) - 1,
                    GREATEST(0.0, FLOOR((__la2 + 90.0) /
                      (180.0 / pow(2.0, CAST(5 * __p AS INT) DIV 2))))) AS BIGINT)),

@@ -128,6 +128,18 @@ class GeoSpec extends AnyFunSuite {
              geohashEncode(24.6, 40.7, 6) AS pc""")
     assert(e.getSeq[String](0).isEmpty)
     assert(e.getSeq[String](1) == Seq(e.getString(2)))
+    // boxes fully outside the coordinate domain → empty, never a
+    // spurious boundary-cell cover (sequence() would run DESCENDING
+    // on unclamped indices); straddling boxes clamp to the domain
+    val d = run1("""
+      SELECT geohashesInBox(185.0, 50.0, 190.0, 55.0, 4) AS east,
+             geohashesInBox(-190.0, 50.0, -185.0, 55.0, 4) AS west,
+             geohashesInBox(20.0, 95.0, 25.0, 99.0, 4) AS north,
+             geohashesInBox(179.5, 50.0, 190.0, 50.2, 4) AS straddle,
+             geohashEncode(179.9, 50.1, 4) AS inpt""")
+    assert(d.getSeq[String](0).isEmpty && d.getSeq[String](1).isEmpty &&
+      d.getSeq[String](2).isEmpty)
+    assert(d.getSeq[String](3).contains(d.getString(4)))
     // the loud cap bites: the whole world at precision 8 is ~10^9 cells
     val ex = intercept[Exception](run1(
       "SELECT geohashesInBox(-180.0, -90.0, 180.0, 90.0, 8) AS boom"))

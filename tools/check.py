@@ -127,12 +127,20 @@ for name in sorted(oracle):
         n_pass += 1
         print(f"PASS {name} ({srows} rows)")
 
-# Rows-only queries (declared without an oracle): the driver records a
-# weaker check; locally we at least require non-empty, loadable output.
+# Rows-only queries (dumped without an oracle). The declared allowlist
+# is EMPTY since r16 — every gate entry is hash-checked — so ANY entry
+# landing here is a regression (e.g. a dynOracle thunk that failed and
+# degraded its entry): fail loudly instead of granting the weaker check.
+ALLOWED_ROWS_ONLY: set[str] = set()
 for name in sorted(os.listdir(OUT)):
     if name in oracle or not os.path.isdir(os.path.join(OUT, name)):
         continue
     if ONLY and name not in ONLY:
+        continue
+    if name not in ALLOWED_ROWS_ONLY:
+        n_fail += 1
+        fails.append((name, "entry has NO oracle SQL but the rows-only "
+                            "allowlist is empty — dynOracle degraded?"))
         continue
     try:
         n = con.execute(
