@@ -63,7 +63,23 @@ object Bench {
     // total appears at BOTH ends of the line: tooling that keeps only
     // the head or only the tail of a long line still sees it (r5
     // verdict had to reconstruct totals from truncated JSON tails).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":$total}"""
+    println(line)
+    // Persist the FULL line for round-over-round per-query comparison:
+    // the driver's BENCH_rN.json keeps only a 2000-char tail, so
+    // without this only the alphabetical tail of the query list has
+    // history and per-query noise claims stay hand-waved
+    // (tools/bench_band.py reads these). Best-effort: bench results
+    // must never depend on local filesystem writability.
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history"))
+      java.nio.file.Files.createDirectories(dir)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").format(java.time.LocalDateTime.now())
+      java.nio.file.Files.write(dir.resolve(s"bench_$stamp.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
     // A failing query must turn the WHOLE bench red: r11's init break
     // made 24 queries "run" in 0.02 s (analysis failure) and the rc=0

@@ -52,6 +52,30 @@ object Stress {
     base.union(dups)
   }
 
+  /** documents-shaped synth with DIRTY-WEB skew: ~30% of rows are
+    * byte-identical boilerplate (3 variants, ~10% each — think cookie
+    * banners / license pages), the rest the same near-collision-free
+    * word salad as [[synthDocs]]. The adversarial input for the
+    * hot-bucket rungs: all 16 minhashes of a boilerplate group are
+    * equal, so unguarded LSH banding puts the whole group in ONE
+    * bucket per band.
+    */
+  def synthSkewDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select($"id".as("doc_id"), expr(
+      """CASE WHEN pmod(id, 10) < 3 THEN
+           concat('variant ', CAST(pmod(id, 3) AS STRING),
+             ' terms and conditions apply all rights reserved this page',
+             ' is provided as is without warranty of any kind either',
+             ' expressed or implied including but not limited to the',
+             ' implied warranties of merchantability and fitness for a',
+             ' particular purpose see the license for more details')
+         ELSE array_join(transform(
+           sequence(1, 40 + CAST(pmod(hash(id, 7), 161) AS INT)),
+           i -> concat('w', CAST(pmod(hash(id, i, 3), 20000) AS STRING))),
+         ' ') END""").as("text"))
+  }
+
   /** events-shaped synth: n rows over `users` users, 2.5 s stride
     * from a fixed epoch, 5 event types, 2-decimal values.
     */
@@ -162,6 +186,80 @@ object Stress {
     report("lsh_pairs_xx", mult, nDocs * 11 / 10, tHashX + tPairsX,
       exchanges(pairsX), nPairsX)
     docsX.unpersist()
+
+    // ---- r17 adversarial skew rung (r16 verdict task 1): ~30% of the
+    // corpus is byte-identical boilerplate (3 variants ≈ 10% each —
+    // the one shape the benign-random ladder never exercised). The
+    // GUARDED production chain (exact-dedup first → band join over
+    // representatives, hot-bucket capped → near-dup GRAPH = rep pairs
+    // + linear star edges) must stay flat; the UNGUARDED pre-r17 chain
+    // is quadratic per boilerplate bucket (n²/2 comparisons in one
+    // task per variant×band) and is therefore only run at mult ≤ 10 —
+    // at 100× its candidate count alone is ~3·10¹⁰.
+    val skew = synthSkewDocs(spark, nDocs).persist(StorageLevel.DISK_ONLY)
+    val nSkew = skew.count()
+    locally {
+      val groups = skew
+        .select($"doc_id", md5($"text").as("__th"))
+        .withColumn("rep_id", min($"doc_id")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy($"__th")))
+        .select($"doc_id", $"rep_id")
+        .persist(StorageLevel.DISK_ONLY)
+      val repDocs = skew
+        .join(groups.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
+        .withColumn("toks", Text.tokens($"text"))
+        .withColumn("hp",
+          Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
+        .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
+        .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
+        .select($"doc_id", $"sh", $"sig")
+        .persist(StorageLevel.DISK_ONLY)
+      val bandsG = Text.guardBuckets(
+        repDocs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk")),
+        "bk", 10000)
+      val shsG = repDocs.select($"doc_id", $"sh")
+      val repPairs = bandsG.as("a").join(bandsG.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(shsG.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(shsG.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
+        .select($"doc_a", $"doc_b")
+      val star = groups.filter($"doc_id" =!= $"rep_id")
+        .select($"rep_id".as("doc_a"), $"doc_id".as("doc_b"))
+      val edges = repPairs.unionByName(star)
+      val (nEdges, tG) = timed(edges.count())
+      report("lsh_skew_guarded", mult, nSkew, tG,
+        exchanges(edges), nEdges)
+      groups.unpersist(); repDocs.unpersist()
+    }
+    if (mult <= 10) {
+      val docsU = skew
+        .withColumn("toks", Text.tokens($"text"))
+        .withColumn("hp",
+          Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
+        .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
+        .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
+        .select($"doc_id", $"sh", $"sig")
+        .persist(StorageLevel.DISK_ONLY)
+      val bandsU = docsU.select($"doc_id",
+        explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+      val shsU = docsU.select($"doc_id", $"sh")
+      val pairsU = bandsU.as("a").join(bandsU.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(shsU.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(shsU.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
+        .select($"doc_a", $"doc_b")
+      val (nPairsU, tU) = timed(pairsU.count())
+      report("lsh_skew_unguarded", mult, nSkew, tU,
+        exchanges(pairsU), nPairsU)
+      docsU.unpersist()
+    }
+    skew.unpersist()
 
     val cc = Graphs.connectedComponents(pairs, "doc_a", "doc_b")
       .persist(StorageLevel.DISK_ONLY)
@@ -519,7 +617,16 @@ object Stress {
           (nEvents / math.max(tStream, 0.001)).toLong)
       } finally if (rocksDb) spark.conf.unset(provKey)
     }
+    // r17 (verdict task 8): locate the micro-batch-size KNEE. The
+    // replay directory holds exactly 32 files (range → 32 partitions),
+    // so the trigger ladder is really a BATCH-COUNT ladder: 8 files =
+    // 4 micro-batches, 16 = 2, 64 = 1 (and a "256-file" rung would be
+    // IDENTICAL to 64 — the stretch task's literal spelling is vacuous
+    // here; the knee is what it was after). Fewer, larger batches pay
+    // less per-batch state load/commit; where the curve flattens is
+    // the documented optimum (STRESS.md).
     streamLeg("streaming_topk", 8, rocksDb = false)
+    streamLeg("streaming_topk_b16", 16, rocksDb = false)
     streamLeg("streaming_topk_b64", 64, rocksDb = false)
     streamLeg("streaming_topk_rocks", 64, rocksDb = true)
 

@@ -1252,9 +1252,14 @@ object ChDialect {
       require(c.size == 2, "splitByRegexp(pattern, s)")
       StringSplit(c(1), c(0), Literal(-1))
     })
-    // CH tokenizes on non-alphanumeric boundaries for hasToken
+    // CH tokenizes on non-alphanumeric ASCII boundaries for hasToken —
+    // non-ASCII bytes are TOKEN bytes, so 'naïve' is one token (the
+    // separator class is [\x00-\x2F\x3A-\x40\x5B-\x60\x7B-\x7F], i.e.
+    // ASCII minus [A-Za-z0-9]; a class like [^A-Za-z0-9] would wrongly
+    // split on every non-ASCII character)
     macroFn("hasToken", Seq("__h", "__t"),
-      "array_contains(split(__h, '[^A-Za-z0-9]+'), __t)")
+      """array_contains(
+           split(__h, '[\\x00-\\x2F\\x3A-\\x40\\x5B-\\x60\\x7B-\\x7F]+'), __t)""")
     macroFn("multiSearchAllPositions", Seq("__h", "__ns"),
       "transform(__ns, n -> instr(__h, n))")
     macroFn("timeDiff", Seq("__a", "__b"),
@@ -3012,11 +3017,23 @@ object ChDialect {
       Cast(c(1), LongType), Cast(c(2), LongType), Cast(c(3), LongType)))
     reg("s2CapUnion")(c => S2CapUnion(Cast(c(0), LongType),
       Cast(c(1), DoubleType), Cast(c(2), LongType), Cast(c(3), DoubleType)))
-    // H3 index bit-algebra (functions/H3Bits.scala). geoToH3 is NOT
-    // registered: the icosahedral projection needs the 122-entry
-    // base-cell geometry tables (data, not algorithm) — a loud absence
-    // beats a wrong cell id; the algebra below covers rollup/blocking
-    // over h3 columns computed at ingest.
+    // H3 index bit-algebra (functions/H3Bits.scala) + the r17 native
+    // geo↔cell projection (functions/H3Proj.scala — the published
+    // base-cell/face tables transcribed with init-time cross-checks,
+    // the face/ijk lookup DERIVED geometrically; H3ProjSpec pins the
+    // published vectors incl. CH's Moscow res-15 value bit-exact).
+    // CH argument order: geoToH3(lon, lat, res); h3ToGeo → (lon, lat).
+    reg("geoToH3")(c => GeoToH3(Cast(c(0), DoubleType),
+      Cast(c(1), DoubleType), Cast(c(2), IntegerType)))
+    reg("h3ToGeo")(c => H3ToGeo(Cast(c.head, LongType)))
+    reg("h3kRing")(c =>
+      H3KRing(Cast(c(0), LongType), Cast(c(1), IntegerType)))
+    reg("h3Distance")(c =>
+      H3GridDistance(Cast(c(0), LongType), Cast(c(1), LongType)))
+    reg("h3HexAreaM2")(c => H3HexAreaM2(Cast(c.head, IntegerType)))
+    reg("h3HexAreaKm2")(c => H3HexAreaKm2(Cast(c.head, IntegerType)))
+    reg("h3EdgeLengthM")(c => H3EdgeLengthM(Cast(c.head, IntegerType)))
+    reg("h3EdgeLengthKm")(c => H3EdgeLengthKm(Cast(c.head, IntegerType)))
     reg("h3GetResolution")(c => H3GetResolution(Cast(c.head, LongType)))
     reg("h3GetBaseCell")(c => H3GetBaseCell(Cast(c.head, LongType)))
     reg("h3IsValid")(c => H3IsValid(Cast(c.head, LongType)))
@@ -3040,10 +3057,15 @@ object ChDialect {
     reg("ngramSimHash")(c => SimHashText(c(0),
       if (c.size > 1) Cast(c(1), IntegerType) else Literal(3), word = false))
     // hasTokenOrNull: NULL (instead of hasToken's plain answer) when
-    // the needle is not a single well-formed token
+    // the needle is not a single well-formed token. A token may contain
+    // non-ASCII characters (CH separators are ASCII-only), so the
+    // needle check is "no ASCII separator bytes", not "[A-Za-z0-9]+"
     macroFn("hasTokenOrNull", Seq("__h", "__t"),
-      """CASE WHEN __t RLIKE '^[A-Za-z0-9]+$'
-              THEN array_contains(split(__h, '[^A-Za-z0-9]+'), __t)
+      """CASE WHEN __t RLIKE
+                '^[^\\x00-\\x2F\\x3A-\\x40\\x5B-\\x60\\x7B-\\x7F]+$'
+              THEN array_contains(
+                split(__h, '[\\x00-\\x2F\\x3A-\\x40\\x5B-\\x60\\x7B-\\x7F]+'),
+                __t)
               ELSE NULL END""")
     // geohashesInBox: every precision-p geohash cell INTERSECTING the
     // box, sorted (CH documents the order as unspecified). Covering
@@ -3063,6 +3085,9 @@ object ChDialect {
     macroFn("geohashesInBox",
       Seq("__lo1", "__la1", "__lo2", "__la2", "__p"),
       """CASE
+           WHEN __p < 1 OR __p > 12
+             THEN raise_error(concat('geohashesInBox: precision ',
+                    CAST(__p AS STRING), ' out of the geohash range 1..12'))
            WHEN __lo1 > __lo2 OR __la1 > __la2
              OR __lo1 > 180.0 OR __lo2 < -180.0
              OR __la1 > 90.0 OR __la2 < -90.0 THEN array()

@@ -199,5 +199,17 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "string_to_h3", (children: Seq[Expression]) =>
         StringToH3(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "geo_to_h3", (children: Seq[Expression]) =>
+        GeoToH3(children(0), children(1), children(2)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_to_geo", (children: Seq[Expression]) =>
+        H3ToGeo(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_k_ring", (children: Seq[Expression]) =>
+        H3KRing(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "h3_grid_distance", (children: Seq[Expression]) =>
+        H3GridDistance(children(0), children(1)), "built-in")
   }
 }

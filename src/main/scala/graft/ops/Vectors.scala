@@ -103,24 +103,56 @@ object Vectors {
     }
   }
 
-  /** Nearest-centroid cell from LITERAL centroids — the hash-checkable
-    * assignment (round-16 verdict task 1b): squared-L2 argmin over the
-    * centroid matrix, the distance an ascending-index sequential fold
-    * so Spark's `aggregate` and DuckDB's `list_sum(list_transform(...))`
-    * produce bit-identical doubles; first-minimum tie-break on centroid
-    * index in both engines (array_position / list_position).
+  /** Squared-L2 distances of `vec` to every literal centroid, as an
+    * array column — the shared kernel of [[ivfCellCol]] and
+    * [[ivfProbeCellsCol]]. Ascending-index sequential fold so Spark's
+    * `aggregate` and DuckDB's `list_sum(list_transform(...))` produce
+    * bit-identical doubles.
     */
-  def ivfCellCol(vec: org.apache.spark.sql.Column, cents: Seq[Seq[Double]])
+  private def ivfDistsCol(vec: org.apache.spark.sql.Column,
+                          cents: Seq[Seq[Double]])
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val dim = cents.head.size
     val c = typedLit(cents)
-    val dists = transform(c, ctr =>
+    transform(c, ctr =>
       aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) => {
         val diff = element_at(ctr, d) - element_at(vec, d).cast("double")
         acc + diff * diff
       }))
+  }
+
+  /** Nearest-centroid cell from LITERAL centroids — the hash-checkable
+    * assignment (round-16 verdict task 1b): squared-L2 argmin over the
+    * centroid matrix with a first-minimum tie-break on centroid index
+    * in both engines (array_position / list_position).
+    */
+  def ivfCellCol(vec: org.apache.spark.sql.Column, cents: Seq[Seq[Double]])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dists = ivfDistsCol(vec, cents)
     (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** The `nprobe` nearest cells of `vec` (r16 verdict task 6: the
+    * documented multi-probe recall knob, now oracle-checkable): sort
+    * the literal-centroid distances, map the nprobe smallest back to
+    * centroid indices. First-occurrence `array_position` resolves
+    * exact-tie distances to the SAME index on both engines (DuckDB
+    * `list_position` twin) — a tied pair then yields a duplicate,
+    * which `array_distinct`/`list_distinct` removes identically. The
+    * probe set stays CONSTANT-size (nprobe cells per fixed demo
+    * query), so the broadcast is O(1) in the corpus like single-probe.
+    */
+  def ivfProbeCellsCol(vec: org.apache.spark.sql.Column,
+                       cents: Seq[Seq[Double]], nprobe: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"ivfProbeCellsCol: nprobe $nprobe out of 1..${cents.size}")
+    val dists = ivfDistsCol(vec, cents)
+    array_distinct(transform(slice(array_sort(dists), 1, nprobe),
+      d => (array_position(dists, d) - 1).cast("long")))
   }
 
   /** Double → DuckDB literal text that parses back to the EXACT same
@@ -154,30 +186,11 @@ object Vectors {
     * failing the dump.
     */
   def ivfOracleSql(): Option[String] = {
-    val key = lastIvfKey.getOrElse(
-      (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
-        "embedding", 8, 42L))
-    val cents: Option[Seq[Seq[Double]]] =
-      ivfCache.get(key).map(_._2.toSeq.map(_.toSeq)).orElse {
-        org.apache.spark.sql.SparkSession.getActiveSession
-          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .flatMap { s =>
-            // contract (QDef.dynOracle): return None rather than throw
-            // when the inputs aren't computable — a missing embeddings
-            // fixture must degrade THIS entry, not zero the whole dump
-            try Some(graft.Tables(s, key._1, "embeddings"))
-              .map(emb => ivfIndexCached(emb, key._1, key._2, key._3, key._4)
-                ._2.toSeq.map(_.toSeq))
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                System.err.println(
-                  s"[oracle] ivfOracleSql: no centroids for ${key._1}: " +
-                    e.getMessage)
-                None
-            }
-          }
-      }
-    cents.map { cs =>
+    // centroid lookup shared with ivfOracleSqlMp — contract
+    // (QDef.dynOracle): None rather than throw when the inputs aren't
+    // computable; a missing embeddings fixture must degrade THIS
+    // entry, not zero the whole dump
+    cachedCentroids().map { cs =>
       s"""
       WITH a0 AS (
         SELECT vec_id, embedding,
@@ -198,6 +211,62 @@ object Vectors {
       FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
     }
   }
+
+  /** Shared centroid lookup for the ivf dynOracles: cached centroids
+    * for the most recent index key, else rebuild via an active session
+    * (None — degrading that entry only — when neither is possible).
+    */
+  private def cachedCentroids(): Option[Seq[Seq[Double]]] = {
+    val key = lastIvfKey.getOrElse(
+      (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        "embedding", 8, 42L))
+    ivfCache.get(key).map(_._2.toSeq.map(_.toSeq)).orElse {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .flatMap { s =>
+          try Some(graft.Tables(s, key._1, "embeddings"))
+            .map(emb => ivfIndexCached(emb, key._1, key._2, key._3, key._4)
+              ._2.toSeq.map(_.toSeq))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[oracle] ivf centroids unavailable for ${key._1}: " +
+                  e.getMessage)
+              None
+          }
+        }
+    }
+  }
+
+  /** dynOracle for pipe_ann_ivf_mp: the [[ivfOracleSql]] pattern with
+    * each probe searching its `nprobe` nearest cells (list_sort +
+    * list_position — the exact DuckDB twin of [[ivfProbeCellsCol]]).
+    */
+  def ivfOracleSqlMp(nprobe: Int): Option[String] =
+    cachedCentroids().map { cs =>
+      s"""
+      WITH a0 AS (
+        SELECT vec_id, embedding,
+               ${ivfDistsDuckSql("embedding", cs)} AS dists
+        FROM embeddings),
+      a AS (SELECT vec_id, embedding,
+                   CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS cell
+            FROM a0),
+      q AS (SELECT q_id, qv, unnest(pcells) AS cell FROM (
+              SELECT vec_id AS q_id, embedding AS qv,
+                     list_distinct(list_transform(list_sort(dists)[1:$nprobe],
+                       d -> CAST(list_position(dists, d) - 1 AS BIGINT))) AS pcells
+              FROM a0 WHERE vec_id < 8)),
+      cand AS (SELECT q.q_id, a.vec_id,
+                      list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]) AS sim
+               FROM q JOIN a USING (cell) WHERE a.vec_id <> q.q_id),
+      r AS (SELECT q_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM cand)
+      SELECT q_id, rank, vec_id, round(sim, 4) AS sim
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+    }
 
   /** DuckDB twin of [[bucketSparkSql]]. */
   def bucketDuckSql(vecCol: String, nPlanes: Int, dim: Int): String = {

@@ -19,14 +19,43 @@ import org.apache.spark.storage.StorageLevel
   */
 object PipelineQueries {
 
-  /** Hashed-docs frame (doc_id, sh, sig) shared by the three near-dup
-    * entries (pipe_minhash_lsh / pipe_dedup_components /
-    * pipe_dedup_canonical): one md5 pass + one DISK_ONLY
-    * materialization per (session, fixture dir) instead of three —
-    * the hash-once/reuse shape of a real curation pipeline (precedent:
-    * Vectors.ivfIndexCached). Bounded: 256-entry LRU with
-    * unpersist-on-evict (graft.ops.LruCache) — on a long-lived session
-    * over many directories the DISK_ONLY persists age out instead of
+  /** Per-bucket cap for the guarded band self-join (Text.guardBuckets).
+    * After exact-dedup composition a band bucket only grows past this
+    * through pathological near-identical (but not byte-identical)
+    * boilerplate — at 10k rows a single bucket is 5·10⁷ candidate
+    * pairs in ONE task, which is a refusal, not a query.
+    */
+  private[graft] val LshBucketCap = 10000
+
+  /** Exact-duplicate groups (doc_id, rep_id), rep = min doc_id per
+    * identical text — the r16-verdict "exact dedup FIRST" composition:
+    * every downstream LSH stage runs on representatives only, so a
+    * million identical boilerplate documents cost ONE row in the band
+    * join instead of a quadratic hot bucket. One shuffle (window-min
+    * over md5(text)); cached like the other family frames.
+    */
+  private[graft] val lshGroupsCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
+  private def lshGroups(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    lshGroupsCache.getOrBuild((s, dir)) {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", md5($"text").as("__th"))
+        .withColumn("rep_id",
+          min($"doc_id").over(Window.partitionBy($"__th")))
+        .select($"doc_id", $"rep_id")
+        .persist(StorageLevel.DISK_ONLY)
+    }
+
+  /** Hashed-docs frame (doc_id, sh, sig) — REPRESENTATIVES ONLY since
+    * r17 (doc_id ∈ rep ids of [[lshGroups]]): identical texts are
+    * shingled and min-hashed once. Shared by the whole near-dup family:
+    * one md5 pass + one DISK_ONLY materialization per (session,
+    * fixture dir). Bounded: 256-entry LRU with unpersist-on-evict
+    * (graft.ops.LruCache) — on a long-lived session over many fixture
+    * directories the DISK_ONLY persists age out instead of
     * accumulating.
     */
   private[graft] val lshDocsCache =
@@ -36,7 +65,9 @@ object PipelineQueries {
       : org.apache.spark.sql.DataFrame =
     lshDocsCache.getOrBuild((s, dir)) {
       import s.implicits._
-      Tables(s, dir, "documents")
+      val reps = lshGroups(s, dir)
+        .filter($"doc_id" === $"rep_id").select($"doc_id")
+      Tables(s, dir, "documents").join(reps, "doc_id")
         .withColumn("toks", Text.tokens($"text"))
         .withColumn("hp",
           Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
@@ -46,15 +77,16 @@ object PipelineQueries {
         .persist(StorageLevel.DISK_ONLY)
     }
 
-  /** Confirmed near-dup pairs (banded LSH candidates + exact-Jaccard
-    * filter) from the shared hashed-docs frame — the edge list the CC
-    * entries cluster. One definition so the propagation and
-    * star-contraction gate entries provably run the same graph.
-    * Cached DISK_ONLY like [[lshDocs]]: THREE entries
-    * (pipe_dedup_components / _star / _canonical) cluster this exact
-    * edge list, and the band self-join + Jaccard confirm is the
-    * expensive half of each — one materialization instead of three,
-    * aged out by the same unpersist-on-evict LRU.
+  /** Confirmed near-dup pairs BETWEEN REPRESENTATIVES (banded LSH
+    * candidates + exact-Jaccard filter, carrying `jac` so threshold
+    * consumers can refilter) — the edge list the CC entries cluster.
+    * The band self-join is hot-bucket GUARDED (Text.guardBuckets at
+    * [[LshBucketCap]]): with exact duplicates already collapsed by
+    * [[lshGroups]], a bucket that still exceeds the cap is a refusal.
+    * One definition so the propagation and star-contraction gate
+    * entries provably run the same graph. Cached DISK_ONLY like
+    * [[lshDocs]] — one band-join + Jaccard materialization for the
+    * whole family, aged out by the same unpersist-on-evict LRU.
     */
   private[graft] val lshPairsCache =
     new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
@@ -64,7 +96,9 @@ object PipelineQueries {
     lshPairsCache.getOrBuild((s, dir)) {
       import s.implicits._
       val docs = lshDocs(s, dir)
-      val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
+      val bands = Text.guardBuckets(
+        docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk")),
+        "bk", LshBucketCap)
       val shs = docs.select($"doc_id", $"sh")
       bands.as("a").join(bands.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -72,10 +106,33 @@ object PipelineQueries {
         .distinct()
         .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
         .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
-        .select($"doc_a", $"doc_b")
+        .withColumn("jac", Text.jaccard($"sh_a", $"sh_b"))
+        .filter($"jac" >= 0.35)
+        .select($"doc_a", $"doc_b", $"jac")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
+
+  /** Near-dup GRAPH edges for the CC entries: rep-level confirmed
+    * pairs + one star edge rep→member per exact-duplicate member.
+    * Connectivity is provably identical to the full quadratic pair
+    * graph — within an m-duplicate group every member reaches the
+    * representative in one hop (m−1 edges instead of m(m−1)/2), and a
+    * cross-group member pair exists in the quadratic graph iff the
+    * rep pair does (identical texts ⇒ identical shingle sets ⇒
+    * identical band keys and Jaccard). Groups whose shingle set is
+    * empty get NO star edges: their intra-group Jaccard is NULL (0/0)
+    * in both engines, so the unguarded graph never contained them.
+    */
+  private def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pairs = lshPairs(s, dir).select($"doc_a", $"doc_b")
+    val star = lshGroups(s, dir).filter($"doc_id" =!= $"rep_id")
+      .join(lshDocs(s, dir).select($"doc_id".as("rep_id"), $"sh"), "rep_id")
+      .filter(size($"sh") > 0)
+      .select($"rep_id".as("doc_a"), $"doc_id".as("doc_b"))
+    pairs.unionByName(star)
+  }
 
   /** DuckDB oracle for the dedup-cluster entries: the full
     * minhash→bands→jaccard→CC chain re-derived in SQL. Shared by the
@@ -149,27 +206,37 @@ object PipelineQueries {
     // LSH candidate set oracle-checkable.
     QDef("pipe_minhash_lsh", (s, dir) => {
       import s.implicits._
-      // One md5 per shingle, then everything downstream works on the
-      // mod-2^55 hashes: the exact-Jaccard step intersects long sets
-      // instead of shingle strings (same result — both engines see
-      // identical hashes — far less shuffle). lshDocs is the shared
-      // DISK_ONLY materialization (hash once for the whole near-dup
-      // family AND the three plan branches here: bands + both
-      // candidate-join sides). DISK_ONLY (not localCheckpoint) keeps
-      // lineage: on a real cluster a lost executor recomputes its
-      // partitions instead of killing the job.
-      val docs = lshDocs(s, dir)
-      val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val shs = docs.select($"doc_id", $"sh")
-      cand
-        .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .withColumn("jac", Text.jaccard($"sh_a", $"sh_b"))
-        .filter($"jac" >= 0.35)
+      // GUARDED production shape (r17): exact-dedup first (lshGroups),
+      // the band self-join + exact Jaccard over REPRESENTATIVES only
+      // (lshPairs, hot-bucket capped), then the rep-level pairs are
+      // expanded back to member pairs. The expansion is two equi-joins
+      // on rep_id — its output is quadratic in duplicate-group size
+      // ONLY because the pair list itself is (that's this query's
+      // contract; the scale path is the CC entries, which use linear
+      // star edges instead). Result is bit-identical to the unguarded
+      // chain the DuckDB oracle still runs: identical texts have
+      // identical shingle sets, so member pairs inherit the rep pair's
+      // band-candidacy and Jaccard, and intra-group pairs have
+      // Jaccard 1 (or NULL→dropped for empty shingle sets).
+      val groups = lshGroups(s, dir)
+      val cross = lshPairs(s, dir)
+        .join(groups.select($"rep_id".as("doc_a"), $"doc_id".as("ma")), "doc_a")
+        .join(groups.select($"rep_id".as("doc_b"), $"doc_id".as("mb")), "doc_b")
+        .select(least($"ma", $"mb").as("doc_a"),
+          greatest($"ma", $"mb").as("doc_b"), $"jac")
+      val members = Text.guardBuckets(
+        groups.join(lshDocs(s, dir).select($"doc_id".as("rep_id"), $"sh"),
+            "rep_id")
+          .withColumn("jrep", Text.jaccard($"sh", $"sh"))
+          .filter($"jrep" >= 0.35) // drops empty-shingle groups (NULL)
+          .select($"rep_id", $"doc_id", $"jrep"),
+        "rep_id", LshBucketCap)
+      val intra = members.as("x").join(members.as("y"),
+          col("x.rep_id") === col("y.rep_id") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.jrep").as("jac"))
+      cross.unionByName(intra)
         .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     }, Some("""
@@ -207,17 +274,20 @@ object PipelineQueries {
             len(list_distinct(list_concat(x.sh, y.sh))) >= 0.35
       ORDER BY doc_a, doc_b""")),
 
-    // Near-dup CLUSTERS: the LSH pair list (same pipeline as
-    // pipe_minhash_lsh) fed through distributed connected components
-    // (ops/Graphs min-label propagation) — the step that lets a
-    // curation job keep ONE representative per duplicate cluster
-    // instead of over-deleting along transitive chains a~b~c. Rounds
-    // scale with cluster diameter (tiny for near-dup graphs), each
-    // round is one equi-join shuffle; the DuckDB oracle re-derives
-    // the same components with a recursive CTE.
+    // Near-dup CLUSTERS: the guarded near-dup graph (lshEdges:
+    // rep-level LSH pairs + linear star edges for exact duplicates)
+    // fed through distributed connected components (ops/Graphs
+    // min-label propagation) — the step that lets a curation job keep
+    // ONE representative per duplicate cluster instead of
+    // over-deleting along transitive chains a~b~c. Rounds scale with
+    // cluster diameter (tiny for near-dup graphs), each round is one
+    // equi-join shuffle; the DuckDB oracle re-derives the same
+    // components from the UNGUARDED quadratic pair graph with a
+    // recursive CTE — the gate proves the two graphs connect
+    // identically.
     QDef("pipe_dedup_components", (s, dir) => {
       import s.implicits._
-      Graphs.connectedComponents(lshPairs(s, dir), "doc_a", "doc_b")
+      Graphs.connectedComponents(lshEdges(s, dir), "doc_a", "doc_b")
         .groupBy($"component".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",", transform(sort_array(collect_list($"id")),
@@ -236,7 +306,7 @@ object PipelineQueries {
     // and therefore with each other — every round.
     QDef("pipe_dedup_components_star", (s, dir) => {
       import s.implicits._
-      Graphs.connectedComponentsStar(lshPairs(s, dir), "doc_a", "doc_b")
+      Graphs.connectedComponentsStar(lshEdges(s, dir), "doc_a", "doc_b")
         .groupBy($"component".as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",", transform(sort_array(collect_list($"id")),
@@ -255,7 +325,7 @@ object PipelineQueries {
     QDef("pipe_dedup_canonical", (s, dir) => {
       import s.implicits._
       val meta = Tables(s, dir, "documents").select($"doc_id", $"n_chars")
-      Graphs.connectedComponents(lshPairs(s, dir), "doc_a", "doc_b")
+      Graphs.connectedComponents(lshEdges(s, dir), "doc_a", "doc_b")
         .join(meta, $"id" === $"doc_id")
         .withColumn("score", $"n_chars" * lit(100000000L) - $"doc_id")
         .groupBy($"component".as("cluster_id"))
@@ -318,13 +388,18 @@ object PipelineQueries {
       import s.implicits._
       // Blocking key = (lang, first two tokens, length bucket): tight
       // enough that block sizes stay O(1) as the corpus grows — the
-      // within-block pair count is what must not go quadratic.
-      val docs = Tables(s, dir, "documents")
-        .withColumn("toks", Text.tokens($"text"))
-        .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
-        .withColumn("blk", concat_ws("|", $"lang",
-          element_at($"toks", 1), element_at($"toks", 2), expr("size(toks) div 20")))
-        .select($"doc_id", $"blk", $"sh")
+      // within-block pair count is what must not go quadratic. Since
+      // r17 the self-join is hot-block GUARDED like the LSH band join:
+      // a boilerplate-heavy corpus degenerates this key the same way.
+      val docs = Text.guardBuckets(
+        Tables(s, dir, "documents")
+          .withColumn("toks", Text.tokens($"text"))
+          .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
+          .withColumn("blk", concat_ws("|", $"lang",
+            element_at($"toks", 1), element_at($"toks", 2),
+            expr("size(toks) div 20")))
+          .select($"doc_id", $"blk", $"sh"),
+        "blk", LshBucketCap)
         .persist(StorageLevel.DISK_ONLY)
       docs.as("a").join(docs.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
@@ -958,6 +1033,36 @@ object PipelineQueries {
         .orderBy($"q_id", $"rank")
     }, None, dynOracle = Some(() => Vectors.ivfOracleSql())),
 
+    // IVF MULTI-PROBE (r16 verdict task 6): the recall-vs-cost knob
+    // ops/Vectors documents, now oracle-checked instead of just
+    // described. Each demo probe searches its nprobe=2 nearest cells
+    // (centroid-distance sort over the SAME literal centroids as
+    // pipe_ann_ivf — one shared k-means build via ivfIndexCached),
+    // doubling candidates for strictly-no-worse top-3 recall (IvfSpec
+    // asserts the ≥ relation against single-probe). Plan shape is
+    // unchanged: constant-size probe broadcast (8 probes × 2 cells),
+    // corpus equi-join on cell, per-probe top-k window.
+    QDef("pipe_ann_ivf_mp", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      val (assigned, cents) =
+        Vectors.ivfIndexCached(emb, dir, "embedding", 8, seed = 42L)
+      val cs = cents.toSeq.map(_.toSeq)
+      val withCell = assigned.drop("cell")
+        .withColumn("cell", Vectors.ivfCellCol($"embedding", cs))
+      val probes = withCell.filter($"vec_id" < 8)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+          explode(Vectors.ivfProbeCellsCol($"embedding", cs, 2)).as("cell"))
+      val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+      withCell.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("sim", expr("cosine_sim(embedding, q_vec)"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"q_id", $"rn".as("rank"), $"vec_id", round($"sim", 4).as("sim"))
+        .orderBy($"q_id", $"rank")
+    }, None, dynOracle = Some(() => Vectors.ivfOracleSqlMp(2))),
+
     // Multimodal columns: opaque binary payload + typed metadata
     // struct; "decode" is the documented deterministic stub (real
     // decoders aren't in this container — the Spark-side schema,
@@ -1333,33 +1438,43 @@ object PipelineQueries {
   )
 
   // End-to-end curation pipeline (the north-star composition): score
-  // quality → find near-dup pairs (minhash LSH, same parameters as
+  // quality → find near-dup losers (minhash LSH, same parameters as
   // pipe_minhash_lsh at threshold 0.5) → drop each pair's higher
   // doc_id → report kept / dropped-as-dup / dropped-low-quality per
-  // language. Every stage is the bucketed/blocked form — the whole
-  // pipeline is shuffle-bounded at any corpus size.
+  // language. Since r17 this is the GUARDED production shape end to
+  // end (r16 verdict task 4): exact-dedup first, the hot-bucket-capped
+  // band join over representatives only (the shared lshPairs frame —
+  // zero extra band joins for this entry), then per-member loser
+  // algebra instead of pair expansion. A member d is a dup loser iff
+  // an earlier (smaller-id) near-dup of it exists:
+  //   intra — d is not its group's representative (rep = min id; the
+  //           pair (rep, d) has Jaccard 1 ≥ 0.5 whenever the group's
+  //           shingle set is nonempty — NULL 0/0 otherwise, dropped
+  //           exactly like the unguarded chain);
+  //   cross — some group adjacent at jac ≥ 0.5 has a member < d,
+  //           i.e. min(adjacent reps) < d (reps are group minima).
+  // Linear in members everywhere; the DuckDB oracle still runs the
+  // unguarded quadratic chain, so the gate proves the algebra.
   val curationDef: QDef = QDef("pipe_curation_e2e", (s, dir) => {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-      .withColumn("toks", Text.tokens($"text"))
-      .withColumn("q", size($"toks") * 2 + length($"text") % 7)
-      .withColumn("hp", Text.hashPairs(array_distinct(Text.shingles($"toks", 3))))
-      .withColumn("sh", array_distinct(transform($"hp", p => p.getField("h1"))))
-      .withColumn("sig", Text.minhashSigFromPairs($"hp", 16))
-      .select($"doc_id", $"lang", $"q", $"sh", $"sig")
-      .persist(StorageLevel.DISK_ONLY)
-    val bands = docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
-    val shs = docs.select($"doc_id", $"sh")
-    val losers = bands.as("a").join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.5)
-      .select($"doc_b".as("doc_id")).distinct()
-    docs.join(losers.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+    val docsQ = Tables(s, dir, "documents")
+      .withColumn("q", size(Text.tokens($"text")) * 2 + length($"text") % 7)
+      .select($"doc_id", $"lang", $"q")
+    val groups = lshGroups(s, dir)
+    val repSh = lshDocs(s, dir)
+      .select($"doc_id".as("rep_id"), (size($"sh") > 0).as("sh_ok"))
+    val p05 = lshPairs(s, dir).filter($"jac" >= 0.5)
+    val adjMin = p05.select($"doc_a".as("rep_id"), $"doc_b".as("nbr"))
+      .unionByName(p05.select($"doc_b".as("rep_id"), $"doc_a".as("nbr")))
+      .groupBy($"rep_id").agg(min($"nbr").as("min_adj"))
+    docsQ.join(groups, "doc_id")
+      .join(repSh, "rep_id")
+      .join(adjMin, Seq("rep_id"), "left")
+      .withColumn("is_dup",
+        ($"doc_id" =!= $"rep_id" && $"sh_ok") ||
+          coalesce($"min_adj" < $"doc_id", lit(false)))
       .withColumn("status",
-        when($"is_dup" === 1, "dup")
+        when($"is_dup", "dup")
           .when($"q" < 100, "low_quality")
           .otherwise("kept"))
       .groupBy($"lang")

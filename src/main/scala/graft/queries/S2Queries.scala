@@ -190,11 +190,79 @@ object S2Queries {
       FROM p WHERE raw_m <= 100000.0 GROUP BY c_nationkey
       ORDER BY c_nationkey""")),
 
+    // The SAME radius join through the r17 H3 blocking
+    // (Joins.h3RadiusJoin: res-1 hexagon cells from the native
+    // H3Proj projection, 1-ring explode — hexagonal tilings have no
+    // corner gap, so one ring is full coverage). Identical input,
+    // radius and aggregation as join_geo_s2_block, and the SAME naive
+    // quadratic oracle: the gate proves h3 blocking lossless AND, by
+    // transitivity, that the s2 and h3 paths agree pair-for-pair.
+    QDef("join_geo_h3_block", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val cust = Tables(s, dir, "customer")
+        .filter($"c_custkey" % 10 === 0)
+        .selectExpr("c_custkey", "c_nationkey",
+          "CAST((c_custkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat1",
+          "CAST((c_custkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon1")
+      val supp = Tables(s, dir, "supplier")
+        .selectExpr("s_suppkey",
+          "CAST((s_suppkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat2",
+          "CAST((s_suppkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon2")
+      Joins.h3RadiusJoin(cust, supp, "lon1", "lat1", "lon2", "lat2",
+          radiusMeters = 100000.0, res = 1)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("pairs"), min($"meters").as("min_m"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey,
+                        CAST((c_custkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat1,
+                        CAST((c_custkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon1
+                 FROM customer WHERE c_custkey % 10 = 0),
+      s AS (SELECT s_suppkey,
+                   CAST((s_suppkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat2,
+                   CAST((s_suppkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon2
+            FROM supplier),
+      p AS (SELECT c_nationkey,
+                   2 * 6371000 * asin(sqrt(
+                     pow(sin(radians(lat2 - lat1) / 2), 2) +
+                     cos(radians(lat1)) * cos(radians(lat2)) *
+                     pow(sin(radians(lon2 - lon1) / 2), 2))) AS raw_m
+            FROM c, s)
+      SELECT c_nationkey, count(*) AS pairs,
+             min(CAST(round(raw_m, 0) AS BIGINT)) AS min_m
+      FROM p WHERE raw_m <= 100000.0 GROUP BY c_nationkey
+      ORDER BY c_nationkey""")),
+
     // H3 index algebra over constructed valid indexes: parent rollup,
     // field extraction, per-row validity (a corrupted digit goes
     // invalid exactly when it lands in a USED slot), pentagon /
     // class-III flags, children fan-out (pentagon deleted-K count),
     // hex codec round-trip. Oracle = published-layout bit arithmetic.
+    // geoToH3 itself on the hash gate (r17): the DuckDB oracle
+    // re-derives every cell from scratch — face argmin + gnomonic
+    // hex2d + the published hex rounding + the aperture-7 digit loop
+    // as a recursive CTE + the base-cell/rotation lookups inlined as
+    // literals (H3Sql.scala; exactness argument in its header). Two
+    // resolutions cover both the class-II and class-III paths.
+    QDef("scalar_h3_geo", (s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables(s, dir, "customer").filter($"c_custkey" % 7 === 0)
+        .selectExpr("c_custkey",
+          "CAST((c_custkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat",
+          "CAST((c_custkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon")
+        .selectExpr("c_custkey",
+          "geo_to_h3(lon, lat, 7) AS h7",
+          "geo_to_h3(lon, lat, 4) AS h4")
+        .orderBy("c_custkey")
+    }, Some(H3Sql.geoToH3Sql(
+      """SELECT c_custkey,
+                CAST((c_custkey % 1700) / 10.0 - 84.95 AS DOUBLE) AS lat,
+                CAST((c_custkey % 3500) / 10.0 - 174.95 AS DOUBLE) AS lon
+         FROM customer WHERE c_custkey % 7 = 0""",
+      "c_custkey", Seq(7, 4)) + " ORDER BY c_custkey")),
+
     QDef("scalar_h3_bits", (s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)

@@ -857,9 +857,24 @@ class ChCompatSpec extends AnyFunSuite {
     assert(h3.getInt(0) == 9 && h3.getInt(1) == 20)
     assert(h3.getString(2) == "8828308281fffff")
     assert(h3.getBoolean(3) && h3.getBoolean(4) && h3.getBoolean(5))
-    // geoToH3 is a LOUD absence (projection tables are data, not
-    // algorithm) — a wrong cell id would corrupt joins silently
-    val e = intercept[Exception](run("SELECT geoToH3(37.79, 55.71, 9) AS h"))
-    assert(Option(e.getMessage).getOrElse("").contains("geoToH3"))
+    // geoToH3/h3ToGeo — native projection since r17 (H3Proj), pinned
+    // to the CH-documentation examples (CH order: lon, lat, res)
+    val g = run("""
+      SELECT geoToH3(37.79506683, 55.71290588, 15) AS h,
+             h3ToGeo(644325524701193974) AS geo,
+             h3kRing(stringToH3('8928308280fffff'), 1) AS ring,
+             h3Distance(stringToH3('8928308280fffff'),
+                        stringToH3('8928308280bffff')) AS dist,
+             h3HexAreaM2(13) AS area13,
+             h3EdgeLengthM(10) AS edge10""").head
+    assert(g.getLong(0) == 644325524701193974L)
+    val geo = g.getStruct(1)
+    assert(math.abs(geo.getDouble(0) - 37.79506616830252) < 1e-9) // lon first
+    assert(math.abs(geo.getDouble(1) - 55.71290243145668) < 1e-9)
+    assert(g.getSeq[Long](2).length == 7 &&
+      g.getSeq[Long](2).contains(0x8928308280fffffL))
+    assert(g.getLong(3) == 1L)
+    assert(g.getDouble(4) == 43.9) // CH docs: h3HexAreaM2(13) -> 43.9
+    assert(g.getDouble(5) == 65.90780749) // CH docs: h3EdgeLengthM(10)
   }
 }

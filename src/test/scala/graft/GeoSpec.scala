@@ -144,6 +144,14 @@ class GeoSpec extends AnyFunSuite {
     val ex = intercept[Exception](run1(
       "SELECT geohashesInBox(-180.0, -90.0, 180.0, 90.0, 8) AS boom"))
     assert(ex.getMessage.contains("geohashesInBox"))
+    // precision outside the geohash 1..12 domain refuses UP FRONT
+    // (instead of flowing a degenerate grid into pow/sequence)
+    for (p <- Seq(0, -1, 13)) {
+      val px = intercept[Exception](run1(
+        s"SELECT geohashesInBox(24.0, 40.0, 25.0, 41.0, $p) AS boom"))
+      assert(px.getMessage.contains("out of the geohash range"),
+        s"precision $p did not refuse: ${px.getMessage}")
+    }
   }
 
   test("geo expressions run through codegen end-to-end") {

@@ -1,0 +1,166 @@
+package graft
+
+import graft.functions.{H3Bits, H3Proj}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native H3 projection to the PUBLISHED vectors (the H3
+  * README res-5 example, the ClickHouse-docs Moscow res-15 value, the
+  * documented k-ring of 8928308280fffff) and proves the derived
+  * face/ijk tables by exhaustive round-trips over every cell at
+  * res 0–2 (every base cell, every rotation, every pentagon path)
+  * plus random deep-resolution points.
+  */
+class H3ProjSpec extends AnyFunSuite {
+
+  test("published geoToH3 vectors") {
+    // H3 library README: geoToH3(37.3615593, -122.0553238, 5)
+    assert(H3Proj.geoToH3(37.3615593, -122.0553238, 5) == 0x85283473fffffffL)
+    // ClickHouse docs (lon, lat order there): geoToH3(37.79506683,
+    // 55.71290588, 15) = 644325524701193974
+    assert(H3Proj.geoToH3(55.71290588, 37.79506683, 15) == 644325524701193974L)
+    // and its documented inverse, h3ToGeo -> (37.79506616.., 55.71290243..)
+    val (la, lo) = H3Proj.h3ToGeo(644325524701193974L)
+    assert(math.abs(la - 55.71290243145668) < 1e-9, s"lat $la")
+    assert(math.abs(lo - 37.79506616830252) < 1e-9, s"lng $lo")
+  }
+
+  test("documented k-ring of 8928308280fffff") {
+    val got = H3Proj.gridDisk(0x8928308280fffffL, 1).toSet
+    val want = Set(0x8928308280fffffL, 0x8928308280bffffL, 0x89283082807ffffL,
+      0x89283082877ffffL, 0x8928308283bffffL, 0x89283082873ffffL,
+      0x89283082803ffffL)
+    assert(got == want, s"got ${got.map(_.toHexString)}")
+  }
+
+  test("exhaustive round-trip: every cell at res 0, 1, 2") {
+    for (res <- 0 to 2) {
+      var n = 0
+      for (bc <- 0 until 122;
+           root = H3Bits.toCenterChild(
+             ((1L << 59) | (bc.toLong << 45)) | ((1L << (3 * 15)) - 1), 0);
+           cell <- H3Bits.toChildren(root, res)) {
+        val (la, lo) = H3Proj.h3ToGeo(cell)
+        val back = H3Proj.geoToH3(la, lo, res)
+        assert(back == cell,
+          s"res $res cell ${cell.toHexString} center ($la,$lo) " +
+            s"re-indexed to ${back.toHexString}")
+        n += 1
+      }
+      assert(n == H3Bits.numCells(res), s"res $res enumerated $n cells")
+    }
+  }
+
+  test("random deep-resolution round-trips + parent locality") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 300) {
+      val lat = rnd.nextDouble() * 170.0 - 85.0
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      for (res <- Seq(5, 9, 15)) {
+        val h = H3Proj.geoToH3(lat, lng, res)
+        assert(H3Bits.isValid(h), s"invalid index for ($lat,$lng) res $res")
+        val (cla, clo) = H3Proj.h3ToGeo(h)
+        assert(H3Proj.geoToH3(cla, clo, res) == h,
+          s"center round-trip failed at ($lat,$lng) res $res")
+      }
+      // hierarchy locality: the res-5 ancestor of the res-9 cell is the
+      // res-5 cell of the point or one of its immediate neighbors (H3
+      // parents are not perfectly nested; 1 ring bounds the drift)
+      val fine = H3Proj.geoToH3(lat, lng, 9)
+      val coarse = H3Proj.geoToH3(lat, lng, 5)
+      assert(H3Proj.gridDisk(coarse, 1).contains(H3Bits.toParent(fine, 5)),
+        s"parent drift beyond one ring at ($lat,$lng)")
+    }
+  }
+
+  test("k-ring sizes, symmetry, distances; pentagon disks") {
+    val h = H3Proj.geoToH3(48.85, 2.35, 7) // Paris, far from pentagons
+    for (k <- 1 to 3)
+      assert(H3Proj.gridDisk(h, k).length == 3 * k * k + 3 * k + 1)
+    for (n <- H3Proj.gridDisk(h, 1); if n != h) {
+      assert(H3Proj.gridDistance(h, n) == 1)
+      assert(H3Proj.gridDisk(n, 1).contains(h), "adjacency not symmetric")
+    }
+    for (n <- H3Proj.gridDisk(h, 3))
+      assert(H3Proj.gridDistance(h, n) <= 3)
+    // a pentagon has 5 neighbors, so its 1-disk is 6 cells not 7
+    val pent0 = ((1L << 59) | (4L << 45)) | ((1L << (3 * 15)) - 1) // base cell 4
+    assert(H3Bits.isPentagon(pent0))
+    val pent2 = H3Bits.toCenterChild(pent0, 2)
+    assert(H3Proj.gridDisk(pent2, 1).length == 6)
+    // and every reported neighbor is mutual
+    for (n <- H3Proj.gridDisk(pent2, 1); if n != pent2)
+      assert(H3Proj.gridDisk(n, 1).contains(pent2))
+  }
+
+  test("published metric tables (CH doc examples)") {
+    assert(H3Proj.hexAreaM2(13) == 43.9)
+    assert(H3Proj.edgeLengthM(10) == 65.90780749)
+    assert(H3Proj.hexAreaM2.length == 16 && H3Proj.edgeLengthM.length == 16)
+    // areas shrink ~7x per res, edges ~sqrt(7)x
+    for (r <- 0 until 15) {
+      val ar = H3Proj.hexAreaM2(r) / H3Proj.hexAreaM2(r + 1)
+      assert(ar > 6.0 && ar < 8.0, s"area ratio at $r: $ar")
+      val er = H3Proj.edgeLengthM(r) / H3Proj.edgeLengthM(r + 1)
+      assert(er > 2.4 && er < 2.9, s"edge ratio at $r: $er")
+    }
+  }
+
+  test("h3RadiusJoin equals brute force — pentagon and antimeridian clusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // clusters at the NASTY places: around EVERY pentagon (the
+    // angular deficit there squeezes distance-2 cells to ~0.15 avg
+    // edge lengths apart — exactly what the 2-ring explode exists
+    // for), across the antimeridian, and a mid-latitude control
+    val rnd = new scala.util.Random(77)
+    def cluster(lat0: Double, lon0: Double, n: Int, off: Int) =
+      (0 until n).map { i =>
+        val la = math.max(-89.9, math.min(89.9, lat0 + rnd.nextDouble() * 4 - 2))
+        var lo = lon0 + rnd.nextDouble() * 4 - 2
+        if (lo > 180) lo -= 360; if (lo < -180) lo += 360
+        (off + i.toLong, la, lo)
+      }
+    val pentagonPts = Seq(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+      .zipWithIndex.flatMap { case (bc, i) =>
+        val (pla, plo) =
+          H3Proj.h3ToGeo(((1L << 59) | (bc.toLong << 45)) | ((1L << 45) - 1))
+        cluster(pla, plo, 25, 1000 * i)
+      }
+    val pts = pentagonPts ++ cluster(0.0, 179.5, 40, 20000) ++
+      cluster(48.0, 2.0, 40, 21000)
+    val left = pts.toDF("lid", "lat1", "lon1")
+    val right = pts.map { case (id, la, lo) => (id + 100000, la, lo) }
+      .toDF("rid", "lat2", "lon2")
+    val blocked = graft.ops.Joins
+      .h3RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100000.0, 1)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .filter(org.apache.spark.sql.functions.expr(
+        """2 * 6371000 * asin(sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2) +
+             cos(radians(lat1)) * cos(radians(lat2)) *
+             pow(sin(radians(lon2 - lon1) / 2), 2))) <= 100000.0"""))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "degenerate test: no pairs in radius")
+    assert(blocked == brute,
+      s"blocked=${blocked.size} brute=${brute.size} " +
+        s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    // the guard bites: 300 km at res 1 (bound ~209 km) must refuse
+    val e = intercept[IllegalArgumentException](graft.ops.Joins
+      .h3RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 300000.0, 1))
+    assert(e.getMessage.contains("coarser resolution"))
+    val e2 = intercept[IllegalArgumentException](graft.ops.Joins
+      .h3RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100.0, 16))
+    assert(e2.getMessage.contains("out of the h3 range"))
+  }
+
+  test("domain guards refuse loudly") {
+    intercept[IllegalArgumentException](H3Proj.geoToH3(0.0, 0.0, 16))
+    intercept[IllegalArgumentException](H3Proj.geoToH3(91.0, 0.0, 9))
+    intercept[IllegalArgumentException](H3Proj.geoToH3(0.0, 181.0, 9))
+    intercept[IllegalArgumentException](
+      H3Proj.gridDisk(H3Proj.geoToH3(1.0, 2.0, 9), 33))
+    intercept[IllegalArgumentException](H3Proj.h3ToGeo(42L))
+  }
+}

@@ -41,12 +41,12 @@ class IvfSpec extends AnyFunSuite {
     info(f"IVF recall@3 = $recall%.2f (${ivf.size} candidates vs ${truth.size} truth)")
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
 
-    // negative: the 50% floor bites. pipe_ann_ivf is an allowlisted
-    // rows-only gate entry whose correctness rests on this recall
-    // assertion — prove the metric discriminates by scoring an
-    // adversarial "index" (the 3 FARTHEST vectors per query, i.e.
-    // what a degenerated cell assignment could return) well under
-    // the floor.
+    // negative: the 50% floor bites. (pipe_ann_ivf has been
+    // hash-checked since r16 via centroids-as-literals; this recall
+    // assertion remains the quality bar the hash can't express.)
+    // Prove the metric discriminates by scoring an adversarial
+    // "index" (the 3 FARTHEST vectors per query, i.e. what a
+    // degenerated cell assignment could return) well under the floor.
     val wWorst = Window.partitionBy($"qid").orderBy($"sim".asc, $"vec_id".asc)
     val worst = emb.join(broadcast(queries.select($"qid", $"qv")), $"vec_id" =!= $"qid")
       .withColumn("sim", expr("cosine_sim(embedding, qv)"))
@@ -57,5 +57,56 @@ class IvfSpec extends AnyFunSuite {
     assert(antiRecall < 0.5,
       f"the recall floor does not discriminate: $antiRecall%.2f")
     assigned.unpersist()
+  }
+
+  test("multi-probe (nprobe=2) recall@3 ≥ single-probe, per query") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables(spark, dir, "embeddings")
+    val (assigned, centers) =
+      Vectors.ivfIndexCached(emb, dir, "embedding", 8, seed = 42L)
+    val cs = centers.toSeq.map(_.toSeq)
+    val withCell = assigned.drop("cell")
+      .withColumn("cell", Vectors.ivfCellCol($"embedding", cs))
+    val queries = withCell.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        Vectors.ivfProbeCellsCol($"embedding", cs, 2).as("pcells"))
+
+    // probe-cells contract: nearest cell first, and it IS the
+    // assignment cell (ivfCellCol and pcells[0] must agree)
+    val cellCheck = queries
+      .withColumn("c0", element_at($"pcells", 1))
+      .withColumn("assign", Vectors.ivfCellCol($"qv", cs))
+      .filter($"c0" =!= $"assign").count()
+    assert(cellCheck == 0, "pcells[0] differs from the assignment cell")
+
+    val wTrue = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    val truth = emb
+      .join(broadcast(queries.select($"qid", $"qv")), $"vec_id" =!= $"qid")
+      .withColumn("sim", expr("cosine_sim(embedding, qv)"))
+      .withColumn("rn", row_number().over(wTrue)).filter($"rn" <= 3)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+
+    def ivfTop3(np: Int): Set[(Long, Long)] =
+      queries
+        .select($"qid", $"qv",
+          explode(slice($"pcells", 1, np)).as("cell"))
+        .join(withCell, Seq("cell")).filter($"vec_id" =!= $"qid")
+        .withColumn("sim", expr("cosine_sim(embedding, qv)"))
+        .withColumn("rn", row_number().over(wTrue)).filter($"rn" <= 3)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+
+    val single = ivfTop3(1)
+    val multi = ivfTop3(2)
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    info(f"recall@3: single-probe $rSingle%.2f, nprobe=2 $rMulti%.2f")
+    // superset candidates ⇒ recall can only improve
+    assert(rMulti >= rSingle,
+      f"multi-probe recall $rMulti%.2f fell below single-probe $rSingle%.2f")
+    // and per query, every single-probe true hit is retained
+    assert((single & truth).subsetOf(multi),
+      "multi-probe lost a true neighbor single-probe had found")
   }
 }

@@ -205,8 +205,11 @@ class S2Spec extends AnyFunSuite {
   }
 
   test("cap union: absorption, symmetry, both rims inside") {
+    // centers on ONE meridian so the far rim points are exactly
+    // collinear with the union center (a longitude offset would be
+    // shortened by cos(lat) and land INSIDE the rim)
     val c1 = S2Math.geoToS2(10.0, 50.0)
-    val c2 = S2Math.geoToS2(20.0, 52.0)
+    val c2 = S2Math.geoToS2(10.0, 58.0)
     // absorption: a huge cap swallows a small one
     assert(S2Math.capUnion(c1, 60.0, c2, 1.0) == ((c1, 60.0)))
     assert(S2Math.capUnion(c1, 1.0, c2, 60.0) == ((c2, 60.0)))
@@ -215,10 +218,19 @@ class S2Spec extends AnyFunSuite {
     val (uc, ur) = S2Math.capUnion(c1, 2.0, c2, 3.0)
     assert(S2Math.capContains(uc, ur + 1e-9, c1))
     assert(S2Math.capContains(uc, ur + 1e-9, c2))
-    // radius = (d + r1 + r2)/2 — check via the contains-both-rims bound:
-    // a cap smaller by 0.2° must NOT contain both rims' far points
-    val far1 = S2Math.geoToS2(10.0 - 2.1, 50.0) // ~beyond c1's rim, away from c2
-    assert(S2Math.capContains(uc, ur + 0.35, far1))
+    // radius = (d + r1 + r2)/2: d = 8° along the meridian, so ur = 6.5°
+    // and c1's far rim point (10, 48) sits EXACTLY on the union rim
+    assert(math.abs(ur - 6.5) < 1e-6, s"ur = $ur, expected 6.5")
+    val far1 = S2Math.geoToS2(10.0, 48.0) // c1's rim, away from c2
+    val far2 = S2Math.geoToS2(10.0, 61.0) // c2's rim, away from c1
+    assert(S2Math.capContains(uc, ur + 1e-6, far1))
+    assert(S2Math.capContains(uc, ur + 1e-6, far2))
+    // ...and the minimality side, asserted NEGATIVELY: a union radius
+    // regressed 0.2° too small loses both far rim points
+    assert(!S2Math.capContains(uc, ur - 0.2, far1),
+      "capUnion radius is not minimal: a 0.2°-smaller cap still holds far1")
+    assert(!S2Math.capContains(uc, ur - 0.2, far2),
+      "capUnion radius is not minimal: a 0.2°-smaller cap still holds far2")
     // symmetry of the slerp construction
     val (uc2, ur2) = S2Math.capUnion(c2, 3.0, c1, 2.0)
     assert(math.abs(ur - ur2) < 1e-9)
@@ -285,6 +297,14 @@ class S2Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](graft.ops.Joins
       .s2RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100000.0, 9))
     assert(e.getMessage.contains("coarser level"))
+    // out-of-domain levels refuse on the LEVEL, not via a misleading
+    // radius message (31..62) or a shift-wrap false pass (64)
+    for (lvl <- Seq(-1, 31, 64)) {
+      val el = intercept[IllegalArgumentException](graft.ops.Joins
+        .s2RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100.0, lvl))
+      assert(el.getMessage.contains("out of the s2 range"),
+        s"level $lvl: ${el.getMessage}")
+    }
     // reserved output names refuse instead of silently overwriting
     val e2 = intercept[IllegalArgumentException](graft.ops.Joins.s2RadiusJoin(
       left.withColumn("meters", left("lid")), right,

@@ -55,10 +55,18 @@ class SimHashTextSpec extends AnyFunSuite {
                 wordShingleSimHash('a b c d e', 3) AS w3e,
                 ngramSimHash('ClickHouse') AS n3,
                 hasTokenOrNull('Hello, world', 'world') AS t1,
-                hasTokenOrNull('Hello, world', 'wo rld') AS t2""").head()
+                hasTokenOrNull('Hello, world', 'wo rld') AS t2,
+                hasTokenOrNull('naïve test', 'naïve') AS t3,
+                hasToken('naïve, test', 'naïve') AS t4,
+                hasToken('Hello, world', 'naïve') AS t5""").head()
     assert(r.getLong(0) == r.getLong(1)) // default k = 3
     assert(r.getLong(2) != 0L)
     assert(r.getBoolean(3))
     assert(r.isNullAt(4)) // ill-formed needle -> NULL, not an error
+    // CH separators are ASCII-only: non-ASCII characters are TOKEN
+    // characters, so 'naïve' is one well-formed token (ADVICE r16)
+    assert(r.getBoolean(5), "hasTokenOrNull must accept a non-ASCII token")
+    assert(r.getBoolean(6))
+    assert(!r.getBoolean(7))
   }
 }

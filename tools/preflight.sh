@@ -32,4 +32,12 @@ fi
 echo "== preflight: tests =="
 sbt -batch test
 
+# Informational (never red): per-query bench deltas vs the rolling
+# median band, so round-over-round noise claims are mechanical —
+# OUT-OF-BAND lines here either have a code-change explanation or
+# they don't. Runs on the newest history entry (bench_history/ full
+# lines written by graft.Bench, else the driver's BENCH_rN tails).
+echo "== preflight: bench band (informational) =="
+python3 tools/bench_band.py || true
+
 echo "PREFLIGHT OK"
