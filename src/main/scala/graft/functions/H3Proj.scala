@@ -20,9 +20,11 @@ package graft.functions
   *
   * Everything else is DERIVED at init from those tables and the
   * projection math itself — in particular the 20×3×3×3 face/ijk →
-  * (base cell, ccw rotations) lookup is reconstructed geometrically
-  * (nearest-base-cell-center matching plus azimuth-difference rotation
-  * counts, with loud ambiguity margins), not transcribed. H3ProjSpec
+  * (base cell, ccw rotations) lookup is reconstructed, not
+  * transcribed: base cells by nearest-center matching (loud ambiguity
+  * margins), rotation counts by INVERTING the index math (solve for
+  * the unique rotation that reproduces each known index — see
+  * [[rotTable]]). H3ProjSpec
   * pins the published vectors (SF res 5/9, the CH-doc Moscow res-15
   * value, the documented k-ring of 8928308280fffff) and round-trips
   * every cell at res 0–2 plus random deep-res points.
@@ -876,10 +878,13 @@ object H3Proj {
     (math.toDegrees(la), math.toDegrees(lo))
   }
 
-  /** Neighboring cell in ijk direction `dir` (1..6); 0 when the move
-    * exits a pentagon's deleted subsequence (no cell there).
-    * Implemented with the projection machinery alone: step the unit
-    * vector in the (class-II substrate) grid, fold overage, re-index.
+  /** Neighboring cell in ijk direction `dir` (1..6), implemented with
+    * the projection machinery alone: step the unit vector in the
+    * (class-II substrate) grid, fold overage, re-index. NOTE: near
+    * pentagons a step can land on a DISTORTED phantom cell (the move
+    * into a deleted sector has no well-defined answer here) — this
+    * function always returns a real cell id, and callers must filter
+    * with the reciprocity check the way [[gridDisk]] does.
     */
   private[functions] def neighborCell(h: Long, dir: Int): Long = {
     val res = H3Bits.resolution(h)

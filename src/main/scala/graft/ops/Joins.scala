@@ -245,8 +245,8 @@ object Joins {
     val minWidthM = 0.5 * graft.functions.H3Proj.edgeLengthM(res)
     require(radiusMeters > 0 && radiusMeters <= minWidthM,
       f"h3RadiusJoin: radius ${radiusMeters}%.0f m exceeds the res-$res " +
-        f"min cell width bound ${minWidthM}%.0f m - 1-ring blocking could " +
-        "miss pairs; use a coarser resolution (width ~2.6x per res step)")
+        f"min cell width bound ${minWidthM}%.0f m - even 2-ring blocking " +
+        "could miss pairs; use a coarser resolution (width ~2.6x per res step)")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty,
       s"h3RadiusJoin column clash on ${clash.mkString(", ")} - alias apart")

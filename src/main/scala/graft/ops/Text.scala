@@ -123,12 +123,18 @@ object Text {
     */
   def guardBuckets(frame: DataFrame, keyCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"guardBuckets: cap $cap must be positive")
-    val counts = frame.groupBy(col(keyCol))
+    val counts = frame.groupBy(col(keyCol).as("__guard_k"))
       .agg(count(lit(1)).as("__bucket_n"))
-    frame.join(counts, Seq(keyCol))
+    // null-safe join: groupBy puts NULL keys in one group, and <=>
+    // matches it — a plain equi-join would silently DROP null-key
+    // rows (breaking the pass-through contract) and let an all-NULL
+    // degenerate key escape the cap entirely
+    frame.join(counts, col(keyCol) <=> col("__guard_k"))
+      .drop("__guard_k")
       .filter(when(col("__bucket_n") > cap,
         raise_error(concat(
-          lit("hot bucket: key '"), col(keyCol), lit("' holds "),
+          lit("hot bucket: key '"), coalesce(col(keyCol).cast("string"), lit("NULL")),
+          lit("' holds "),
           col("__bucket_n").cast("string"),
           lit(s" rows (cap $cap) — a self-join on it is quadratic; "),
           lit("collapse exact duplicates first (Text dedup-groups), "),
@@ -138,11 +144,14 @@ object Text {
   }
 
   /** Exact Jaccard similarity of two pre-distinct arrays. Two EMPTY
-    * sets give NULL (not 0/0): under ANSI mode (Spark 4 default) a
-    * bare division would throw DIVIDE_BY_ZERO the first time a corpus
-    * holds two sub-shingle-length documents, and NULL is what the
-    * DuckDB oracle computes for 0/0 — so `filter(jaccard ≥ t)` drops
-    * such pairs identically in both engines.
+    * sets give NULL (not 0/0). A bare division is wrong in BOTH modes:
+    * under ANSI (Spark 4 default) it throws DIVIDE_BY_ZERO the first
+    * time a corpus holds two sub-shingle-length documents (observed —
+    * Spark 4.1 raises for double division too), and with ANSI off it
+    * yields NaN, which Spark's NaN-is-largest comparison semantics
+    * would KEEP through `filter(jaccard ≥ t)` while the DuckDB oracle
+    * (NULL) drops the pair — a silent cross-engine divergence. NULL
+    * drops such pairs identically in both engines under both modes.
     */
   def jaccard(a: Column, b: Column): Column = {
     val u = size(array_union(a, b))

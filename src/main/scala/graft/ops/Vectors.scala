@@ -185,32 +185,7 @@ object Vectors {
     * entry then degrades to the driver's rows-only check instead of
     * failing the dump.
     */
-  def ivfOracleSql(): Option[String] = {
-    // centroid lookup shared with ivfOracleSqlMp — contract
-    // (QDef.dynOracle): None rather than throw when the inputs aren't
-    // computable; a missing embeddings fixture must degrade THIS
-    // entry, not zero the whole dump
-    cachedCentroids().map { cs =>
-      s"""
-      WITH a0 AS (
-        SELECT vec_id, embedding,
-               ${ivfDistsDuckSql("embedding", cs)} AS dists
-        FROM embeddings),
-      a AS (SELECT vec_id, embedding,
-                   CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS cell
-            FROM a0),
-      q AS (SELECT vec_id AS q_id, embedding AS qv, cell FROM a WHERE vec_id < 8),
-      cand AS (SELECT q.q_id, a.vec_id,
-                      list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]) AS sim
-               FROM q JOIN a USING (cell) WHERE a.vec_id <> q.q_id),
-      r AS (SELECT q_id, vec_id, sim,
-                   row_number() OVER (PARTITION BY q_id
-                                      ORDER BY sim DESC, vec_id) AS rank
-            FROM cand)
-      SELECT q_id, rank, vec_id, round(sim, 4) AS sim
-      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
-    }
-  }
+  def ivfOracleSql(): Option[String] = ivfOracleSqlMp(1)
 
   /** Shared centroid lookup for the ivf dynOracles: cached centroids
     * for the most recent index key, else rebuild via an active session

@@ -123,16 +123,26 @@ object PipelineQueries {
     * empty get NO star edges: their intra-group Jaccard is NULL (0/0)
     * in both engines, so the unguarded graph never contained them.
     */
+  private[graft] val lshEdgesCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
   private def lshEdges(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val pairs = lshPairs(s, dir).select($"doc_a", $"doc_b")
-    val star = lshGroups(s, dir).filter($"doc_id" =!= $"rep_id")
-      .join(lshDocs(s, dir).select($"doc_id".as("rep_id"), $"sh"), "rep_id")
-      .filter(size($"sh") > 0)
-      .select($"rep_id".as("doc_a"), $"doc_id".as("doc_b"))
-    pairs.unionByName(star)
-  }
+      : org.apache.spark.sql.DataFrame =
+    // persisted like the other family frames — connected components
+    // ITERATES over this frame (one reference per round), so an
+    // unpersisted union+join here re-executes every round (measured
+    // r17: the three CC entries 1.2–1.7 s → 2.9–4.5 s before this
+    // cache; back after)
+    lshEdgesCache.getOrBuild((s, dir)) {
+      import s.implicits._
+      val pairs = lshPairs(s, dir).select($"doc_a", $"doc_b")
+      val star = lshGroups(s, dir).filter($"doc_id" =!= $"rep_id")
+        .join(lshDocs(s, dir).select($"doc_id".as("rep_id"), $"sh"), "rep_id")
+        .filter(size($"sh") > 0)
+        .select($"rep_id".as("doc_a"), $"doc_id".as("doc_b"))
+      pairs.unionByName(star)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
 
   /** DuckDB oracle for the dedup-cluster entries: the full
     * minhash→bands→jaccard→CC chain re-derived in SQL. Shared by the
@@ -391,16 +401,18 @@ object PipelineQueries {
       // within-block pair count is what must not go quadratic. Since
       // r17 the self-join is hot-block GUARDED like the LSH band join:
       // a boilerplate-heavy corpus degenerates this key the same way.
-      val docs = Text.guardBuckets(
-        Tables(s, dir, "documents")
-          .withColumn("toks", Text.tokens($"text"))
-          .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
-          .withColumn("blk", concat_ws("|", $"lang",
-            element_at($"toks", 1), element_at($"toks", 2),
-            expr("size(toks) div 20")))
-          .select($"doc_id", $"blk", $"sh"),
-        "blk", LshBucketCap)
+      // Persist BEFORE the guard: guardBuckets reads its input on both
+      // the row side and the counts side, so guarding the raw
+      // tokenize subtree would shingle the corpus twice.
+      val keyed = Tables(s, dir, "documents")
+        .withColumn("toks", Text.tokens($"text"))
+        .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
+        .withColumn("blk", concat_ws("|", $"lang",
+          element_at($"toks", 1), element_at($"toks", 2),
+          expr("size(toks) div 20")))
+        .select($"doc_id", $"blk", $"sh")
         .persist(StorageLevel.DISK_ONLY)
+      val docs = Text.guardBuckets(keyed, "blk", LshBucketCap)
       docs.as("a").join(docs.as("b"),
           col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("jac", Text.jaccard(col("a.sh"), col("b.sh")))

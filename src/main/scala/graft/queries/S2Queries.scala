@@ -192,8 +192,9 @@ object S2Queries {
 
     // The SAME radius join through the r17 H3 blocking
     // (Joins.h3RadiusJoin: res-1 hexagon cells from the native
-    // H3Proj projection, 1-ring explode — hexagonal tilings have no
-    // corner gap, so one ring is full coverage). Identical input,
+    // H3Proj projection, 2-RING explode — one ring is NOT enough:
+    // pentagons squeeze distance-2 cells to ~0.15 average edge
+    // lengths apart, see the operator's scaladoc). Identical input,
     // radius and aggregation as join_geo_s2_block, and the SAME naive
     // quadratic oracle: the gate proves h3 blocking lossless AND, by
     // transitivity, that the s2 and h3 paths agree pair-for-pair.

@@ -150,6 +150,19 @@ class GuardedLshSpec extends AnyFunSuite {
     val through = Text.guardBuckets(frame, "bk", 9)
       .select($"id", $"bk").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(through == frame.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // NULL keys are a bucket too: they pass through (a plain equi-join
+    // would silently drop them) AND the cap applies to them
+    val withNulls = Seq((1L, Some("a")), (2L, None), (3L, None))
+      .toDF("id", "bk")
+    val np = Text.guardBuckets(withNulls, "bk", 2)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(np == Set(1L, 2L, 3L), s"null-key rows dropped: $np")
+    val nex = intercept[Exception] {
+      Text.guardBuckets(withNulls, "bk", 1).count()
+    }
+    val nmsg = Option(nex.getMessage).getOrElse("") +
+      Option(nex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(nmsg.contains("hot bucket") && nmsg.contains("NULL"), nmsg)
     // above the cap: the refusal names the bucket and its size —
     // this also proves the raise_error CASE survives optimization
     val ex = intercept[Exception] {

@@ -98,7 +98,18 @@ def main():
 
     hist = history_entries()
     if args.bench is not None:
-        cur, cur_sf = parse_line(open(args.bench).read())
+        # accept either a full bench line or a driver BENCH_rN tail file
+        try:
+            cur, cur_sf = parse_line(open(args.bench).read())
+        except (IndexError, ValueError):
+            try:
+                cur, cur_sf = parse_tail(json.load(open(args.bench)))
+            except Exception as e:
+                print(f"bench_band: cannot parse {args.bench}: {e}")
+                return 0
+        if not cur:
+            print(f"bench_band: no per-query data in {args.bench}")
+            return 0
         label = args.bench
     else:
         if not hist:
