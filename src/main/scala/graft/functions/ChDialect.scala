@@ -3026,6 +3026,7 @@ object ChDialect {
     reg("geoToH3")(c => GeoToH3(Cast(c(0), DoubleType),
       Cast(c(1), DoubleType), Cast(c(2), IntegerType)))
     reg("h3ToGeo")(c => H3ToGeo(Cast(c.head, LongType)))
+    reg("h3ToGeoBoundary")(c => H3ToGeoBoundary(Cast(c.head, LongType)))
     reg("h3kRing")(c =>
       H3KRing(Cast(c(0), LongType), Cast(c(1), IntegerType)))
     reg("h3Distance")(c =>

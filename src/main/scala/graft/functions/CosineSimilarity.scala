@@ -206,6 +206,9 @@ object GraftFunctions {
       "h3_to_geo", (children: Seq[Expression]) =>
         H3ToGeo(children(0)), "built-in")
     fr.createOrReplaceTempFunction(
+      "h3_to_geo_boundary", (children: Seq[Expression]) =>
+        H3ToGeoBoundary(children(0)), "built-in")
+    fr.createOrReplaceTempFunction(
       "h3_k_ring", (children: Seq[Expression]) =>
         H3KRing(children(0), children(1)), "built-in")
     fr.createOrReplaceTempFunction(

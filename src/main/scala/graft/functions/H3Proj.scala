@@ -364,23 +364,29 @@ object H3Proj {
     val x1 = snap(a1 + x2 / 2.0)
     val m1 = x1.toLong; val m2 = x2.toLong
     val r1 = x1 - m1; val r2 = x2 - m2
-    if (r1 < 0.5) {
-      if (r1 < 1.0 / 3.0) {
-        if (r2 < (1.0 + r1) / 2.0) { c(0) = m1; c(1) = m2 }
-        else { c(0) = m1; c(1) = m2 + 1 }
-      } else {
-        c(1) = if (r2 < (1.0 - r1)) m2 else m2 + 1
-        c(0) = if ((1.0 - r1) <= r2 && r2 < (2.0 * r1)) m1 + 1 else m1
-      }
-    } else {
-      if (r1 < 2.0 / 3.0) {
-        c(1) = if (r2 < (1.0 - r1)) m2 else m2 + 1
-        c(0) = if ((2.0 * r1 - 1.0) < r2 && r2 < (1.0 - r1)) m1 else m1 + 1
-      } else {
-        if (r2 < (r1 / 2.0 + 0.5)) { c(0) = m1 + 1; c(1) = m2 }
-        else { c(0) = m1 + 1; c(1) = m2 + 1 }
-      }
+    // Nearest of the four surrounding lattice centers in the sheared
+    // hex metric (a1 = x1 - x2/2, a2 = x2·sin60) — the hexagon
+    // containing the point BY DEFINITION (hex Voronoi = nearest
+    // center; a hand-transcribed case cascade used here previously
+    // misassigned ~17% of the fractional square — caught by the
+    // cellBoundary containment test, invisible to center round-trips
+    // because centers have r ≈ 0). First strict minimum in the fixed
+    // candidate order keeps ties deterministic and matches the DuckDB
+    // transcription operation-for-operation.
+    def d2(io: Long, jo: Long): Double = {
+      val w = r2 - jo
+      val a = (r1 - io) - w / 2.0
+      a * a + 0.75 * (w * w)
     }
+    val d00 = d2(0, 0); val d10 = d2(1, 0)
+    val d01 = d2(0, 1); val d11 = d2(1, 1)
+    val sel =
+      if (d00 <= d10 && d00 <= d01 && d00 <= d11) 0
+      else if (d10 <= d01 && d10 <= d11) 1
+      else if (d01 <= d11) 2
+      else 3
+    c(0) = m1 + (if (sel == 1 || sel == 3) 1 else 0)
+    c(1) = m2 + (if (sel == 2 || sel == 3) 1 else 0)
     // fold across the axes for negative x/y
     if (x < 0.0) {
       if (c(1) % 2 == 0) {
@@ -816,11 +822,11 @@ object H3Proj {
     val pentLeading4 =
       H3Bits.isPentagonBase(bc) && leadingNonZeroDigit(h) == 4
     var ov = adjustOverageClassII(face, c, adjRes, pentLeading4)
-    if (ov._1) {
+    if (ov._1 != 0) {
       face = ov._2
       if (H3Bits.isPentagonBase(bc)) {
         var again = adjustOverageClassII(face, c, adjRes, pentLeading4 = false)
-        while (again._1) {
+        while (again._1 != 0) {
           face = again._2
           again = adjustOverageClassII(face, c, adjRes, pentLeading4 = false)
         }
@@ -833,12 +839,19 @@ object H3Proj {
   }
 
   /** Published _adjustOverageClassII (non-substrate): returns
-    * (overaged?, new face) and mutates `c` in place.
+    * (overage code: 0 none / 1 face edge / 2 new face, new face) and
+    * mutates `c` in place. `substrate` scales the grid ×3 (the
+    * published cell-boundary vertex grid) and reports landing exactly
+    * ON a face edge as code 1.
     */
   private def adjustOverageClassII(face: Int, c: Array[Long], res: Int,
-                                   pentLeading4: Boolean): (Boolean, Int) = {
-    val maxDim = maxDimCII(res)
-    if (c(0) + c(1) + c(2) <= maxDim) return (false, face)
+                                   pentLeading4: Boolean,
+                                   substrate: Boolean = false): (Int, Int) = {
+    var maxDim = maxDimCII(res)
+    if (substrate) maxDim *= 3
+    val sum = c(0) + c(1) + c(2)
+    if (substrate && sum == maxDim) return (1, face)
+    if (sum <= maxDim) return (0, face)
     val quadrant =
       if (c(2) > 0) { if (c(1) > 0) 3 /* jk */ else 2 /* ki */ }
       else 1 /* ij */
@@ -851,10 +864,11 @@ object H3Proj {
     val (nf, ti, tj, tk, ccw) = faceNeighbors(face)(quadrant)
     var i = 0
     while (i < ccw) { rotate60ccw(c); i += 1 }
-    val scale = unitScaleCII(res)
+    var scale = unitScaleCII(res)
+    if (substrate) scale *= 3
     c(0) += ti * scale; c(1) += tj * scale; c(2) += tk * scale
     normalize(c)
-    (true, nf)
+    if (substrate && c(0) + c(1) + c(2) == maxDim) (1, nf) else (2, nf)
   }
 
   // ---------- public surface ----------
@@ -899,7 +913,7 @@ object H3Proj {
     normalize(c)
     var ov = adjustOverageClassII(face, c, adjRes, pentLeading4 = false)
     var guard = 0
-    while (ov._1 && guard < 4) {
+    while (ov._1 != 0 && guard < 4) {
       face = ov._2
       ov = adjustOverageClassII(face, c, adjRes, pentLeading4 = false)
       guard += 1
@@ -1007,6 +1021,164 @@ object H3Proj {
   def faceRows: Array[(Double, Double, Double)] =
     faceCenterGeo.zip(faceAxesAzCII).map { case ((la, lo), az) => (la, lo, az) }
 
+  // ---------- cell boundary (h3ToGeoBoundary) ----------
+
+  private def downAp3(c: Array[Long]): Unit = {
+    // i -> {2,0,1}, j -> {1,2,0}, k -> {0,1,2}
+    val i = c(0); val j = c(1); val k = c(2)
+    c(0) = 2 * i + j; c(1) = 2 * j + k; c(2) = i + 2 * k
+    normalize(c)
+  }
+
+  private def downAp3r(c: Array[Long]): Unit = {
+    // i -> {2,1,0}, j -> {0,2,1}, k -> {1,0,2}
+    val i = c(0); val j = c(1); val k = c(2)
+    c(0) = 2 * i + k; c(1) = i + 2 * j; c(2) = j + 2 * k
+    normalize(c)
+  }
+
+  /** Published substrate-grid vertex offsets of an origin-centered
+    * cell: class II uses the aperture-33r grid, class III 33r7r.
+    */
+  private val vertsCII: Array[Array[Long]] = Array(
+    Array(2, 1, 0), Array(1, 2, 0), Array(0, 2, 1),
+    Array(0, 1, 2), Array(1, 0, 2), Array(2, 0, 1))
+  private val vertsCIII: Array[Array[Long]] = Array(
+    Array(5, 4, 0), Array(1, 5, 0), Array(0, 5, 4),
+    Array(0, 1, 5), Array(4, 0, 5), Array(5, 0, 1))
+
+  /** adjacentFaceDir[f][nf] = quadrant (1 ij / 2 ki / 3 jk) through
+    * which `nf` neighbors `f`; -1 if not adjacent. Derived from
+    * [[faceNeighbors]].
+    */
+  private lazy val adjFaceDir: Array[Array[Int]] = {
+    val t = Array.fill(20, 20)(-1)
+    for (f <- 0 until 20; q <- 1 to 3) t(f)(faceNeighbors(f)(q)._1) = q
+    t
+  }
+
+  private def v2dIntersect(p0: (Double, Double), p1: (Double, Double),
+                           p2: (Double, Double), p3: (Double, Double))
+      : (Double, Double) = {
+    val s1 = (p1._1 - p0._1, p1._2 - p0._2)
+    val s2 = (p3._1 - p2._1, p3._2 - p2._2)
+    val t = (s2._1 * (p0._2 - p2._2) - s2._2 * (p0._1 - p2._1)) /
+      (-s2._1 * s1._2 + s1._1 * s2._2)
+    (p0._1 + t * s1._1, p0._2 + t * s1._2)
+  }
+
+  /** Boundary vertices of a cell, (latDeg, lngDeg), counterclockwise —
+    * the published cellToBoundary: vertex offsets in the ×3 substrate
+    * grid, per-vertex overage onto the owning face, and for CLASS III
+    * cells the extra edge-crossing "distortion" vertices where a cell
+    * edge crosses an icosahedron edge (class III grids are rotated
+    * ~19.1° off the face edges, so edges near a seam bend there).
+    * Hexagons yield 6–10 vertices, pentagons 5–10.
+    */
+  def cellBoundary(h: Long): Array[(Double, Double)] = {
+    require(H3Bits.isValid(h), s"h3_to_geo_boundary: invalid h3 index $h")
+    val res = H3Bits.resolution(h)
+    val pent = H3Bits.isPentagon(h)
+    val (face0, c0) = h3ToFaceIjk(h)
+    // center into the aperture-33r (class III: 33r7r) substrate grid
+    var adjRes = res
+    val center = c0.clone()
+    downAp3(center); downAp3r(center)
+    if (isClassIII(res)) { downAp7r(center); adjRes += 1 }
+    val verts = if (isClassIII(res)) vertsCIII else vertsCII
+    val nVerts = if (pent) 5 else 6
+    val fijkVerts = Array.tabulate(nVerts) { v =>
+      val vc = Array(center(0) + verts(v)(0), center(1) + verts(v)(1),
+        center(2) + verts(v)(2))
+      normalize(vc)
+      vc
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var lastFace = -1
+    var lastOverage = 0
+    var lastCoord: Array[Long] = null // pentagon path: prev ADJUSTED vertex
+    val maxDim = maxDimCII(adjRes).toDouble
+    val corner0 = (3.0 * maxDim, 0.0)
+    val corner1 = (-1.5 * maxDim, 3.0 * Sin60 * maxDim)
+    val corner2 = (-1.5 * maxDim, -3.0 * Sin60 * maxDim)
+    def edgePair(dir: Int): ((Double, Double), (Double, Double)) = dir match {
+      case 1 => (corner0, corner1) // ij
+      case 3 => (corner1, corner2) // jk
+      case _ => (corner2, corner0) // ki
+    }
+    for (vert <- 0 to nVerts) {
+      val v = vert % nVerts
+      val fc = fijkVerts(v).clone()
+      var face = face0
+      var overage = 0
+      if (pent) {
+        // pentagon vertices can overage more than once
+        var ovr = adjustOverageClassII(face, fc, adjRes,
+          pentLeading4 = false, substrate = true)
+        while (ovr._1 == 2) {
+          face = ovr._2
+          ovr = adjustOverageClassII(face, fc, adjRes,
+            pentLeading4 = false, substrate = true)
+        }
+        overage = ovr._1
+      } else {
+        val ovr = adjustOverageClassII(face, fc, adjRes,
+          pentLeading4 = false, substrate = true)
+        if (ovr._1 == 2) face = ovr._2
+        overage = ovr._1
+      }
+      if (isClassIII(res) && vert > 0) {
+        if (pent) {
+          // every class III pentagon edge crosses an icosa edge:
+          // project the CURRENT vertex back onto the previous vertex's
+          // face and intersect the edge with that face's edge
+          if (face != lastFace) {
+            val dirToLast = adjFaceDir(face)(lastFace)
+            if (dirToLast > 0) {
+              val (nf, ti, tj, tk, ccw) = faceNeighbors(face)(dirToLast)
+              val proj = fc.clone()
+              var i = 0
+              while (i < ccw) { rotate60ccw(proj); i += 1 }
+              val scale = unitScaleCII(adjRes) * 3
+              proj(0) += ti * scale; proj(1) += tj * scale; proj(2) += tk * scale
+              normalize(proj)
+              val orig2d0 = ijkToHex2d(lastCoord)
+              val orig2d1 = ijkToHex2d(proj)
+              val (e0, e1) = edgePair(adjFaceDir(nf)(face))
+              val inter = v2dIntersect(orig2d0, orig2d1, e0, e1)
+              val (ila, ilo) =
+                hex2dToGeo(nf, inter._1, inter._2, adjRes, substrate = true)
+              out += ((math.toDegrees(ila), math.toDegrees(ilo)))
+            }
+          }
+        } else if (face != lastFace && lastOverage != 1) {
+          // hexagon edge crossing: both endpoint coords live in the
+          // CENTER face grid; intersect with the center face's edge
+          val lastV = (v + nVerts - 1) % nVerts
+          val orig2d0 = ijkToHex2d(fijkVerts(lastV))
+          val orig2d1 = ijkToHex2d(fijkVerts(v))
+          val (e0, e1) = edgePair(adjFaceDir(face0)(face))
+          val inter = v2dIntersect(orig2d0, orig2d1, e0, e1)
+          val atVertex = (inter == orig2d0) || (inter == orig2d1)
+          if (!atVertex) {
+            val (ila, ilo) =
+              hex2dToGeo(face0, inter._1, inter._2, adjRes, substrate = true)
+            out += ((math.toDegrees(ila), math.toDegrees(ilo)))
+          }
+        }
+      }
+      if (vert < nVerts) {
+        val (x, y) = ijkToHex2d(fc)
+        val (la, lo) = hex2dToGeo(face, x, y, adjRes, substrate = true)
+        out += ((math.toDegrees(la), math.toDegrees(lo)))
+      }
+      lastFace = face
+      lastOverage = overage
+      lastCoord = fc
+    }
+    out.toArray
+  }
+
   /** Published average hex area (m²) by resolution (the v3/CH table). */
   val hexAreaM2: Array[Double] = Array(
     4.25055e12, 6.07221e11, 8.6745854035e10, 1.2392264862e10,
@@ -1043,6 +1215,12 @@ object H3ProjExpr {
 
   def kRing(h: Long, k: Int): ArrayData =
     ArrayData.toArrayData(H3Proj.gridDisk(h, k))
+
+  /** CH h3ToGeoBoundary returns [(lon, lat), ...]. */
+  def boundaryRows(h: Long): ArrayData =
+    ArrayData.toArrayData(H3Proj.cellBoundary(h).map { case (la, lo) =>
+      new GenericInternalRow(Array[Any](lo, la)): InternalRow
+    })
 
   def distance(a: Long, b: Long): Long = H3Proj.gridDistance(a, b).toLong
 
@@ -1181,5 +1359,24 @@ case class H3EdgeLengthKm(child: Expression) extends H3ResMetric {
   override protected def helper: String = "edgeLengthKm"
   override protected def evalMetric(res: Int): Double = H3ProjExpr.edgeLengthKm(res)
   override protected def withNewChildInternal(c: Expression): H3EdgeLengthKm =
+    copy(child = c)
+}
+
+/** `h3ToGeoBoundary(h)` → array of struct(lon, lat) (CH tuple order). */
+case class H3ToGeoBoundary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("lon", DoubleType, nullable = false)
+    .add("lat", DoubleType, nullable = false), containsNull = false)
+  override def prettyName: String = "h3_to_geo_boundary"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_to_geo_boundary expects a bigint h3 index")
+  override def nullSafeEval(h: Any): Any =
+    H3ProjExpr.boundaryRows(h.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.H3ProjExpr.boundaryRows($h);")
+  override protected def withNewChildInternal(c: Expression): H3ToGeoBoundary =
     copy(child = c)
 }

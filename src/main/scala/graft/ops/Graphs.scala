@@ -52,10 +52,18 @@ object Graphs {
     val spark = edges.sparkSession
     import spark.implicits._
     // Symmetrize once: propagation needs both directions of each edge.
-    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nb"))
+    // Symmetrize once, then CUT THE INPUT LINEAGE (same RDD re-root
+    // the per-round labels get): every round's plan references sym,
+    // and without the cut Catalyst re-analyzes the caller's FULL edge
+    // lineage each round even though execution reads the cache — with
+    // a deep input (r17's guarded near-dup chain) that driver-side
+    // re-planning dominated the iteration (measured: 7–10 s per CC
+    // call at sf0.1 vs ~2 s with a shallow input, identical data).
+    val sym0 = edges.select(col(srcCol).as("id"), col(dstCol).as("nb"))
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nb")))
       .distinct()
       .persist(StorageLevel.DISK_ONLY)
+    val sym = spark.createDataFrame(sym0.rdd, sym0.schema)
     // labels carries a third `chg` column (did THIS round lower the
     // label) so unpersist always targets the exact persisted frame
     var labels = sym.select($"id").distinct().withColumn("lbl", $"id")
@@ -86,7 +94,7 @@ object Graphs {
       converged = changed == 0L
       round += 1
     }
-    sym.unpersist()
+    sym0.unpersist()
     labels.select($"id", $"lbl".as("component"))
   }
 
@@ -159,11 +167,18 @@ object Graphs {
         (r.isNullAt(1) || r.getLong(1) <= 1L)
     }
 
-    var cur = edges
+    // Same input-lineage cut as [[connectedComponents]]: the rounds
+    // re-reference cur, and a deep caller lineage would be re-planned
+    // per round without the RDD re-root.
+    val cur0 = edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .where($"u" =!= $"v").distinct()
       .persist(StorageLevel.DISK_ONLY)
+    var cur = spark.createDataFrame(cur0.rdd, cur0.schema)
+    // cur is the re-rooted VIEW; unpersist must target the frame that
+    // actually holds the cache (cur0 on round 1, next thereafter)
+    var curPersisted = cur0
     var converged = isStarForest(cur)
     var round = 0
     while (!converged && round < maxIter) {
@@ -172,7 +187,8 @@ object Graphs {
       val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(StorageLevel.DISK_ONLY)
       converged = isStarForest(next)
-      cur.unpersist()
+      curPersisted.unpersist()
+      curPersisted = next
       cur = next
       round += 1
     }

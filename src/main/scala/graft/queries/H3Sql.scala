@@ -191,29 +191,29 @@ object H3Sql {
              CASE WHEN y < 0 THEN -pj ELSE pj END AS n0j,
              CAST(0 AS BIGINT) AS n0k
       FROM (
+        -- nearest of the four surrounding lattice centers in the
+        -- sheared hex metric, first strict minimum in fixed order —
+        -- operation-for-operation the H3Proj.hex2dToIjk argmin
         SELECT *,
-          CASE
-            WHEN r1 < 0.5 THEN
-              CASE WHEN r1 < 1.0/3.0 THEN m1
-                   ELSE CASE WHEN (1.0 - r1) <= r2 AND r2 < (2.0 * r1)
-                             THEN m1 + 1 ELSE m1 END END
-            ELSE
-              CASE WHEN r1 < 2.0/3.0 THEN
-                     CASE WHEN (2.0*r1 - 1.0) < r2 AND r2 < (1.0 - r1)
-                          THEN m1 ELSE m1 + 1 END
-                   ELSE m1 + 1 END
-          END AS pi,
-          CASE
-            WHEN r1 < 0.5 THEN
-              CASE WHEN r1 < 1.0/3.0 THEN
-                     CASE WHEN r2 < (1.0 + r1)/2.0 THEN m2 ELSE m2 + 1 END
-                   ELSE CASE WHEN r2 < (1.0 - r1) THEN m2 ELSE m2 + 1 END END
-            ELSE
-              CASE WHEN r1 < 2.0/3.0 THEN
-                     CASE WHEN r2 < (1.0 - r1) THEN m2 ELSE m2 + 1 END
-                   ELSE CASE WHEN r2 < (r1/2.0 + 0.5) THEN m2 ELSE m2 + 1 END END
-          END AS pj
+          m1 + CASE WHEN sel = 1 OR sel = 3 THEN 1 ELSE 0 END AS pi,
+          m2 + CASE WHEN sel = 2 OR sel = 3 THEN 1 ELSE 0 END AS pj
         FROM (
+          SELECT *,
+            CASE WHEN d00 <= d10 AND d00 <= d01 AND d00 <= d11 THEN 0
+                 WHEN d10 <= d01 AND d10 <= d11 THEN 1
+                 WHEN d01 <= d11 THEN 2
+                 ELSE 3 END AS sel
+          FROM (
+            SELECT *,
+              ((r1 - 0) - (r2 - 0)/2.0)*((r1 - 0) - (r2 - 0)/2.0)
+                + 0.75*((r2 - 0)*(r2 - 0)) AS d00,
+              ((r1 - 1) - (r2 - 0)/2.0)*((r1 - 1) - (r2 - 0)/2.0)
+                + 0.75*((r2 - 0)*(r2 - 0)) AS d10,
+              ((r1 - 0) - (r2 - 1)/2.0)*((r1 - 0) - (r2 - 1)/2.0)
+                + 0.75*((r2 - 1)*(r2 - 1)) AS d01,
+              ((r1 - 1) - (r2 - 1)/2.0)*((r1 - 1) - (r2 - 1)/2.0)
+                + 0.75*((r2 - 1)*(r2 - 1)) AS d11
+            FROM (
           SELECT *, x1 - m1 AS r1, x2 - m2 AS r2
           FROM (
             SELECT *, CAST(floor(x1) AS BIGINT) AS m1,
@@ -222,7 +222,7 @@ object H3Sql {
               SELECT *, ${snap("abs(x) + x2 / 2.0")} AS x1
               FROM (
                 SELECT *, ${snap("abs(y) / (sqrt(3.0) / 2.0)")} AS x2
-                FROM __xy) __a) __b) __c) __d) __e),
+                FROM __xy) __a) __b) __c) __d) __d2) __d3) __e),
     __loop AS (
       SELECT $key, res, face, res AS r, ni AS i, nj AS j, nk AS k,
              []::BIGINT[] AS digits

@@ -155,6 +155,71 @@ class H3ProjSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("out of the h3 range"))
   }
 
+  test("cellBoundary: counts, containment, shared edges, distortion") {
+    // documented H3 quickstart boundary vertex of 8928308280fffff
+    val b = H3Proj.cellBoundary(0x8928308280fffffL)
+    assert(b.length == 6, s"class II hexagon must have 6 verts, got ${b.length}")
+    assert(b.exists { case (la, lo) =>
+      math.abs(la - 37.775197782893386) < 1e-6 &&
+        math.abs(lo - (-122.41719971841658)) < 1e-6
+    }, s"documented vertex missing from ${b.mkString(", ")}")
+    // interior containment: points pulled 60% from center toward each
+    // vertex re-index to the SAME cell; points pushed 40% beyond flip
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 120) {
+      val lat = rnd.nextDouble() * 170 - 85
+      val lng = rnd.nextDouble() * 360 - 180
+      for (res <- Seq(4, 7)) { // class II and class III
+        val h = H3Proj.geoToH3(lat, lng, res)
+        val (cla, clo) = H3Proj.h3ToGeo(h)
+        val verts = H3Proj.cellBoundary(h)
+        assert(verts.length >= (if (H3Bits.isPentagon(h)) 5 else 6))
+        for ((vla, vlo) <- verts) {
+          val dlo = constrain(vlo - clo)
+          val ila = cla + 0.6 * (vla - cla)
+          val ilo = clo + 0.6 * dlo
+          assert(H3Proj.geoToH3(ila, constrain180(ilo), res) == h,
+            s"60% interior point left the cell at res $res ($lat,$lng)")
+          val ola = cla + 1.4 * (vla - cla)
+          val olo = clo + 1.4 * dlo
+          if (ola.abs < 89)
+            assert(H3Proj.geoToH3(ola, constrain180(olo), res) != h,
+              s"140% exterior point stayed in the cell at res $res")
+        }
+      }
+    }
+    // adjacent class II hexagons share exactly one edge = 2 vertices
+    val h = H3Proj.geoToH3(48.85, 2.35, 6)
+    val hv = H3Proj.cellBoundary(h).toSet
+    for (n <- H3Proj.gridDisk(h, 1); if n != h) {
+      val shared = H3Proj.cellBoundary(n).count { case (nla, nlo) =>
+        hv.exists { case (la, lo) =>
+          math.abs(la - nla) < 1e-9 && math.abs(lo - nlo) < 1e-9 }
+      }
+      assert(shared == 2, s"neighbor shares $shared verts, expected 2")
+    }
+    // a class III cell straddling a face seam grows distortion verts
+    val res3 = 3
+    val all = (0 until 122).flatMap { bc =>
+      val root = ((1L << 59) | (bc.toLong << 45)) | ((1L << 45) - 1)
+      H3Bits.toChildren(root, res3)
+    }
+    val counts = all.map(c => H3Proj.cellBoundary(c).length)
+    assert(counts.exists(_ > 6),
+      "no res-3 cell produced distortion vertices — seam handling inert")
+    assert(counts.forall(c => c >= 5 && c <= 10), s"vertex count out of range")
+    // class II pentagon: exactly 5; class III pentagon: 5 + distortions
+    val pent0 = ((1L << 59) | (4L << 45)) | ((1L << (3 * 15)) - 1)
+    assert(H3Proj.cellBoundary(H3Bits.toCenterChild(pent0, 2)).length == 5)
+    val p3 = H3Proj.cellBoundary(H3Bits.toCenterChild(pent0, 3)).length
+    assert(p3 == 10, s"class III pentagon boundary had $p3 verts, expected 10")
+  }
+
+  private def constrain(d: Double): Double =
+    if (d > 180) d - 360 else if (d < -180) d + 360 else d
+  private def constrain180(l: Double): Double =
+    if (l > 180) l - 360 else if (l < -180) l + 360 else l
+
   test("domain guards refuse loudly") {
     intercept[IllegalArgumentException](H3Proj.geoToH3(0.0, 0.0, 16))
     intercept[IllegalArgumentException](H3Proj.geoToH3(91.0, 0.0, 9))
