@@ -3027,6 +3027,7 @@ object ChDialect {
       Cast(c(1), DoubleType), Cast(c(2), IntegerType)))
     reg("h3ToGeo")(c => H3ToGeo(Cast(c.head, LongType)))
     reg("h3ToGeoBoundary")(c => H3ToGeoBoundary(Cast(c.head, LongType)))
+    reg("h3GetFaces")(c => H3GetFaces(Cast(c.head, LongType)))
     reg("h3kRing")(c =>
       H3KRing(Cast(c(0), LongType), Cast(c(1), IntegerType)))
     reg("h3Distance")(c =>

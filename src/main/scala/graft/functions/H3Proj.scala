@@ -1079,6 +1079,16 @@ object H3Proj {
     require(H3Bits.isValid(h), s"h3_to_geo_boundary: invalid h3 index $h")
     val res = H3Bits.resolution(h)
     val pent = H3Bits.isPentagon(h)
+    // Pentagon boundaries need the published pentagon-specific vertex
+    // handling, which this implementation could not reproduce from the
+    // published material with property-test confidence (two corners
+    // collapsed in validation — a wrong boundary is worse than no
+    // boundary). 12 cells per resolution, all mid-ocean; every other
+    // h3 operation (geoToH3/h3ToGeo/kRing/distance/radius join)
+    // handles pentagons fully.
+    require(!pent,
+      "h3_to_geo_boundary: pentagon cells are not supported (12 cells " +
+        "per resolution) — h3ToGeo/h3kRing cover pentagon geometry")
     val (face0, c0) = h3ToFaceIjk(h)
     // center into the aperture-33r (class III: 33r7r) substrate grid
     var adjRes = res
@@ -1179,6 +1189,45 @@ object H3Proj {
     out.toArray
   }
 
+  /** Icosahedron faces the cell intersects (published getIcosahedronFaces
+    * semantics): the center's face plus each substrate vertex's
+    * post-overage face — a vertex landing exactly ON a face edge
+    * (overage code 1) stays on the pre-overage face, matching the
+    * published behavior of counting the face the vertex math settles
+    * on. Sorted ascending.
+    */
+  def getFaces(h: Long): Array[Int] = {
+    require(H3Bits.isValid(h), s"h3_get_faces: invalid h3 index $h")
+    val res = H3Bits.resolution(h)
+    val pent = H3Bits.isPentagon(h)
+    require(!pent,
+      "h3_get_faces: pentagon cells are not supported (see " +
+        "h3_to_geo_boundary) — pentagons touch exactly 5 faces by definition")
+    val (face0, c0) = h3ToFaceIjk(h)
+    var adjRes = res
+    val center = c0.clone()
+    downAp3(center); downAp3r(center)
+    if (isClassIII(res)) { downAp7r(center); adjRes += 1 }
+    val verts = if (isClassIII(res)) vertsCIII else vertsCII
+    val nVerts = if (pent) 5 else 6
+    val faces = scala.collection.mutable.SortedSet[Int](face0)
+    for (v <- 0 until nVerts) {
+      val fc = Array(center(0) + verts(v)(0), center(1) + verts(v)(1),
+        center(2) + verts(v)(2))
+      normalize(fc)
+      var face = face0
+      var ovr = adjustOverageClassII(face, fc, adjRes,
+        pentLeading4 = false, substrate = true)
+      while (ovr._1 == 2) {
+        face = ovr._2
+        ovr = adjustOverageClassII(face, fc, adjRes,
+          pentLeading4 = false, substrate = true)
+      }
+      faces += face
+    }
+    faces.toArray
+  }
+
   /** Published average hex area (m²) by resolution (the v3/CH table). */
   val hexAreaM2: Array[Double] = Array(
     4.25055e12, 6.07221e11, 8.6745854035e10, 1.2392264862e10,
@@ -1215,6 +1264,8 @@ object H3ProjExpr {
 
   def kRing(h: Long, k: Int): ArrayData =
     ArrayData.toArrayData(H3Proj.gridDisk(h, k))
+
+  def faces(h: Long): ArrayData = ArrayData.toArrayData(H3Proj.getFaces(h))
 
   /** CH h3ToGeoBoundary returns [(lon, lat), ...]. */
   def boundaryRows(h: Long): ArrayData =
@@ -1378,5 +1429,21 @@ case class H3ToGeoBoundary(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, h =>
       s"${ev.value} = graft.functions.H3ProjExpr.boundaryRows($h);")
   override protected def withNewChildInternal(c: Expression): H3ToGeoBoundary =
+    copy(child = c)
+}
+
+/** `h3GetFaces(h)` → sorted array of icosahedron face ids. */
+case class H3GetFaces(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "h3_get_faces"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("h3_get_faces expects a bigint h3 index")
+  override def nullSafeEval(h: Any): Any =
+    H3ProjExpr.faces(h.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.H3ProjExpr.faces($h);")
+  override protected def withNewChildInternal(c: Expression): H3GetFaces =
     copy(child = c)
 }
