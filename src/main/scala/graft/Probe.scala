@@ -1244,7 +1244,7 @@ object Probe {
     "w43_simhash_tokens" ->
       "SELECT wordShingleSimHash('the quick brown fox jumps over the lazy dog') AS w, ngramSimHash('ClickHouse', 4) AS n, hasTokenOrNull('Hello, world', 'world') AS t, hasTokenOrNull('Hello, world', 'not a token') AS tn",
     "w42_h3_pentagon" ->
-      "SELECT h3IsPentagon(stringToH3('8009fffffffffff')) AS pent, h3IsResClassIII(stringToH3('8928308280fffff')) AS c3, h3ToString(h3ToCenterChild(stringToH3('8009fffffffffff'), 2)) AS cc, arraySum(arrayMap(x -> 1, h3ToChildren(stringToH3('8009fffffffffff'), 1))) AS n1"
+      "SELECT h3IsPentagon(stringToH3('8009fffffffffff')) AS pent, h3IsResClassIII(stringToH3('8928308280fffff')) AS c3, h3ToString(h3ToCenterChild(stringToH3('8009fffffffffff'), 2)) AS cc, arraySum(arrayMap(x -> 1, h3ToChildren(stringToH3('8009fffffffffff'), 1))) AS n1, size(h3ToGeoBoundary(stringToH3('8009fffffffffff'))) AS pb5, size(h3ToGeoBoundary(h3ToCenterChild(stringToH3('8009fffffffffff'), 1))) AS pb10, size(h3GetFaces(stringToH3('8009fffffffffff'))) AS pf5"
   )
 
   def main(argv: Array[String]): Unit = {

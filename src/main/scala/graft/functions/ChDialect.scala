@@ -3028,6 +3028,10 @@ object ChDialect {
     reg("h3ToGeo")(c => H3ToGeo(Cast(c.head, LongType)))
     reg("h3ToGeoBoundary")(c => H3ToGeoBoundary(Cast(c.head, LongType)))
     reg("h3GetFaces")(c => H3GetFaces(Cast(c.head, LongType)))
+    reg("h3Line")(c =>
+      H3Line(Cast(c(0), LongType), Cast(c(1), LongType)))
+    reg("h3CellAreaM2")(c => H3CellAreaM2(Cast(c.head, LongType)))
+    reg("h3CellAreaRads2")(c => H3CellAreaRads2(Cast(c.head, LongType)))
     reg("h3kRing")(c =>
       H3KRing(Cast(c(0), LongType), Cast(c(1), IntegerType)))
     reg("h3Distance")(c =>

@@ -1079,16 +1079,6 @@ object H3Proj {
     require(H3Bits.isValid(h), s"h3_to_geo_boundary: invalid h3 index $h")
     val res = H3Bits.resolution(h)
     val pent = H3Bits.isPentagon(h)
-    // Pentagon boundaries need the published pentagon-specific vertex
-    // handling, which this implementation could not reproduce from the
-    // published material with property-test confidence (two corners
-    // collapsed in validation — a wrong boundary is worse than no
-    // boundary). 12 cells per resolution, all mid-ocean; every other
-    // h3 operation (geoToH3/h3ToGeo/kRing/distance/radius join)
-    // handles pentagons fully.
-    require(!pent,
-      "h3_to_geo_boundary: pentagon cells are not supported (12 cells " +
-        "per resolution) — h3ToGeo/h3kRing cover pentagon geometry")
     val (face0, c0) = h3ToFaceIjk(h)
     // center into the aperture-33r (class III: 33r7r) substrate grid
     var adjRes = res
@@ -1130,6 +1120,13 @@ object H3Proj {
           ovr = adjustOverageClassII(face, fc, adjRes,
             pentLeading4 = false, substrate = true)
         }
+        // class II pentagon vertices sit exactly ON icosa edges: the
+        // overage routine can TRANSLATE onto a new face and then report
+        // edge-landing (code 1) — the coords are in ovr._2's frame, so
+        // the face must follow (when nothing moved, ovr._2 == face and
+        // this is a no-op). Missing this collapsed two corners of every
+        // class II pentagon — the r17 refusal's root cause.
+        face = ovr._2
         overage = ovr._1
       } else {
         val ovr = adjustOverageClassII(face, fc, adjRes,
@@ -1164,10 +1161,18 @@ object H3Proj {
         } else if (face != lastFace && lastOverage != 1) {
           // hexagon edge crossing: both endpoint coords live in the
           // CENTER face grid; intersect with the center face's edge
+          // toward the face the edge actually LEAVES through — the
+          // current face when the last vertex sat on the center face,
+          // otherwise the LAST face (an edge coming back home). Using
+          // the current face unconditionally picked adjFaceDir(center)
+          // (center) = -1 → always the KI edge → rogue far-away
+          // distortion vertices on ~20% of coarse class III cells
+          // (caught by the r18 sphere-closure area test).
           val lastV = (v + nVerts - 1) % nVerts
           val orig2d0 = ijkToHex2d(fijkVerts(lastV))
           val orig2d1 = ijkToHex2d(fijkVerts(v))
-          val (e0, e1) = edgePair(adjFaceDir(face0)(face))
+          val face2 = if (lastFace == face0) face else lastFace
+          val (e0, e1) = edgePair(adjFaceDir(face0)(face2))
           val inter = v2dIntersect(orig2d0, orig2d1, e0, e1)
           val atVertex = (inter == orig2d0) || (inter == orig2d1)
           if (!atVertex) {
@@ -1191,18 +1196,20 @@ object H3Proj {
 
   /** Icosahedron faces the cell intersects (published getIcosahedronFaces
     * semantics): the center's face plus each substrate vertex's
-    * post-overage face — a vertex landing exactly ON a face edge
-    * (overage code 1) stays on the pre-overage face, matching the
-    * published behavior of counting the face the vertex math settles
-    * on. Sorted ascending.
+    * post-overage face — the face the vertex math settles on, INCLUDING
+    * a translation that then lands exactly on the new face's edge
+    * (pentagon corners do this by construction). Sorted ascending;
+    * pentagons yield exactly 5 faces.
     */
   def getFaces(h: Long): Array[Int] = {
     require(H3Bits.isValid(h), s"h3_get_faces: invalid h3 index $h")
     val res = H3Bits.resolution(h)
     val pent = H3Bits.isPentagon(h)
-    require(!pent,
-      "h3_get_faces: pentagon cells are not supported (see " +
-        "h3_to_geo_boundary) — pentagons touch exactly 5 faces by definition")
+    // class II pentagon vertices all sit exactly ON icosa edges, where
+    // "which face" is ambiguous — the published algorithm recurses into
+    // the class III center child, which crosses the same 5 faces
+    if (pent && !isClassIII(res))
+      return getFaces(H3Bits.toCenterChild(h, res + 1))
     val (face0, c0) = h3ToFaceIjk(h)
     var adjRes = res
     val center = c0.clone()
@@ -1223,9 +1230,128 @@ object H3Proj {
         ovr = adjustOverageClassII(face, fc, adjRes,
           pentLeading4 = false, substrate = true)
       }
-      faces += face
+      // translate-then-edge-land (code 1 with a moved frame) must carry
+      // the face along — same root cause as the pentagon boundary fix;
+      // for a pre-translation edge landing ovr._2 == face (no-op)
+      faces += ovr._2
     }
     faces.toArray
+  }
+
+  /** Published mean Earth radius used by the h3 area/length functions. */
+  private val EarthRadiusM = 6371007.180918475
+
+  /** Exact cell area in steradians: spherical triangulation of
+    * [[cellBoundary]] around the cell center, each triangle by
+    * l'Huilier's theorem — the published cellAreaRads2 approach. Works
+    * for every cell including pentagons (r18: boundary closed).
+    */
+  def cellAreaRads2(h: Long): Double = {
+    val (claD, cloD) = h3ToGeo(h)
+    val c = (math.toRadians(claD), math.toRadians(cloD))
+    val vs = cellBoundary(h).map { case (la, lo) =>
+      (math.toRadians(la), math.toRadians(lo))
+    }
+    var area = 0.0
+    var i = 0
+    while (i < vs.length) {
+      area += sphereTriArea(vs(i), vs((i + 1) % vs.length), c)
+      i += 1
+    }
+    area
+  }
+
+  /** Exact cell area in m² (mean-Earth-radius sphere). */
+  def cellAreaM2(h: Long): Double =
+    cellAreaRads2(h) * EarthRadiusM * EarthRadiusM
+
+  /** Great-circle distance in radians (haversine). */
+  private def gcDistRads(a: (Double, Double), b: (Double, Double)): Double = {
+    val sinLat = math.sin((b._1 - a._1) / 2.0)
+    val sinLng = math.sin((b._2 - a._2) / 2.0)
+    val x = sinLat * sinLat +
+      math.cos(a._1) * math.cos(b._1) * sinLng * sinLng
+    2.0 * math.asin(math.sqrt(x))
+  }
+
+  /** Spherical triangle area (steradians) by l'Huilier's theorem. */
+  private def sphereTriArea(v1: (Double, Double), v2: (Double, Double),
+                            v3: (Double, Double)): Double = {
+    val a = gcDistRads(v1, v2)
+    val b = gcDistRads(v2, v3)
+    val c = gcDistRads(v3, v1)
+    val s = (a + b + c) / 2.0
+    val t = math.tan(s / 2.0) * math.tan((s - a) / 2.0) *
+      math.tan((s - b) / 2.0) * math.tan((s - c) / 2.0)
+    4.0 * math.atan(math.sqrt(math.max(0.0, t)))
+  }
+
+  /** Cells on a shortest grid path from `a` to `b` inclusive (h3Line
+    * semantics). Pairs whose centers fold onto the SAME icosa face
+    * follow the published local-IJK cube lerp exactly; cross-face
+    * pairs walk the BFS shortest path (deterministic: insertion-order
+    * frontier, directions 1..6) — the published line is itself
+    * unspecified there (h3lib refuses across pentagon distortion), and
+    * both paths satisfy the line contract: length = gridDistance + 1,
+    * consecutive cells adjacent, endpoints exact.
+    */
+  def gridPath(a: Long, b: Long): Array[Long] = {
+    val n = gridDistance(a, b) // validates indexes, equal res, ≤64 rings
+    if (n == 0) return Array(a)
+    val res = H3Bits.resolution(a)
+    val (fa, ca) = h3ToFaceIjk(a)
+    val (fb, cb) = h3ToFaceIjk(b)
+    if (fa == fb) {
+      // published cube-space lerp: ijk → cube, lerp, round, back
+      def toCube(c: Array[Long]): (Double, Double, Double) = {
+        val i = -(c(0) - c(2)).toDouble
+        val j = (c(1) - c(2)).toDouble
+        (i, j, -i - j)
+      }
+      val (ai, aj, ak) = toCube(ca)
+      val (bi, bj, bk) = toCube(cb)
+      Array.tabulate(n + 1) { d =>
+        val t = d.toDouble / n
+        val (ri, rj, rk) =
+          cubeRound(ai + (bi - ai) * t, aj + (bj - aj) * t, ak + (bk - ak) * t)
+        val ijk = Array(-ri, rj, 0L)
+        normalize(ijk)
+        faceIjkToH3(fa, ijk, res)
+      }
+    } else {
+      // BFS with parent tracking; gridDistance proved b reachable ≤64
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      val seen = scala.collection.mutable.HashSet[Long](a)
+      var frontier = List(a)
+      var found = false
+      while (!found && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ListBuffer[Long]()
+        for (cell <- frontier; d <- 1 to 6; if !found) {
+          val nb = neighborCell(cell, d)
+          if (nb != cell && !seen.contains(nb) && adjacent(cell, nb)) {
+            seen += nb
+            parent(nb) = cell
+            if (nb == b) found = true else next += nb
+          }
+        }
+        frontier = next.toList
+      }
+      var path = List(b)
+      while (path.head != a) path = parent(path.head) :: path
+      path.toArray
+    }
+  }
+
+  /** Published cube rounding: nearest integer cube coordinate. */
+  private def cubeRound(i: Double, j: Double, k: Double)
+      : (Long, Long, Long) = {
+    var ri = math.round(i); var rj = math.round(j); var rk = math.round(k)
+    val di = math.abs(ri - i); val dj = math.abs(rj - j)
+    val dk = math.abs(rk - k)
+    if (di > dj && di > dk) ri = -rj - rk
+    else if (dj > dk) rj = -ri - rk
+    else rk = -ri - rj
+    (ri, rj, rk)
   }
 
   /** Published average hex area (m²) by resolution (the v3/CH table). */
@@ -1284,6 +1410,11 @@ object H3ProjExpr {
   def edgeLengthM(res: Int): Double =
     H3Proj.edgeLengthM(resIdx(res, "h3EdgeLengthM"))
   def edgeLengthKm(res: Int): Double = edgeLengthM(res) / 1e3
+
+  def cellAreaM2(h: Long): Double = H3Proj.cellAreaM2(h)
+  def cellAreaRads2(h: Long): Double = H3Proj.cellAreaRads2(h)
+  def line(a: Long, b: Long): ArrayData =
+    ArrayData.toArrayData(H3Proj.gridPath(a, b))
 }
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -1429,6 +1560,59 @@ case class H3ToGeoBoundary(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, h =>
       s"${ev.value} = graft.functions.H3ProjExpr.boundaryRows($h);")
   override protected def withNewChildInternal(c: Expression): H3ToGeoBoundary =
+    copy(child = c)
+}
+
+/** `h3Line(a, b)` → array of bigint cells on a shortest grid path. */
+case class H3Line(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_line"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_line expects two bigint h3 indexes")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    H3ProjExpr.line(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.H3ProjExpr.line($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): H3Line = copy(left = l, right = r)
+}
+
+/** `h3CellAreaM2(h)` → exact spherical cell area in m². */
+case class H3CellAreaM2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "h3_cell_area_m2"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_cell_area_m2 expects a bigint h3 index")
+  override def nullSafeEval(h: Any): Any =
+    H3ProjExpr.cellAreaM2(h.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.H3ProjExpr.cellAreaM2($h);")
+  override protected def withNewChildInternal(c: Expression): H3CellAreaM2 =
+    copy(child = c)
+}
+
+/** `h3CellAreaRads2(h)` → exact spherical cell area in steradians. */
+case class H3CellAreaRads2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "h3_cell_area_rads2"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_cell_area_rads2 expects a bigint h3 index")
+  override def nullSafeEval(h: Any): Any =
+    H3ProjExpr.cellAreaRads2(h.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.H3ProjExpr.cellAreaRads2($h);")
+  override protected def withNewChildInternal(c: Expression): H3CellAreaRads2 =
     copy(child = c)
 }
 
