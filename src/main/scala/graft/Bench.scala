@@ -24,19 +24,25 @@ object Bench {
     // compilation that otherwise lands on the first timed run.
     Seq("q1_flagship", "agg_rollup", "window_rank")
       .filter(queries.contains).foreach(run)
-    // Best-of-2 per query: standard steady-state benchmarking — a
-    // single GC pause or host hiccup otherwise lands on one arbitrary
-    // query and distorts the total (observed ±15 s swings on a busy
-    // host). Codegen/data caches are warm either way; plans are
-    // rebuilt per run.
-    queries.keys.toSeq.sorted.map { name =>
-      def timed(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = run(name)
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (t1, ok1) = timed()
-      val (t2, ok2) = timed()
+    // Best-of-2 per query, taken across TWO FULL SWEEPS rather than
+    // back-to-back (r17 verdict "what's wrong" #2: the official number
+    // was hostage to run ordering under drifting host load). Same
+    // total executions as adjacent best-of-2, but a query's two
+    // samples are now minutes apart, so a sustained load spike lands
+    // on at most ONE of them — this IS the run-level min-of-2
+    // protocol, inside a single driver invocation. Codegen/data
+    // caches are warm either way; plans are rebuilt per run.
+    val names = queries.keys.toSeq.sorted
+    def sweep(): Map[String, (Double, Boolean)] = names.map { name =>
+      val t0 = System.nanoTime()
+      val ok = run(name)
+      name -> (((System.nanoTime() - t0) / 1e9, ok))
+    }.toMap
+    val s1 = sweep()
+    val s2 = sweep()
+    names.map { name =>
+      val (t1, ok1) = s1(name)
+      val (t2, ok2) = s2(name)
       (name, math.min(t1, t2), ok1 && ok2)
     }
   }
@@ -75,11 +81,14 @@ object Bench {
       val dir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history"))
       java.nio.file.Files.createDirectories(dir)
+      // nanoTime suffix: two runs in the same SECOND must not
+      // overwrite each other's history entry (r17 ADVICE)
       val stamp = java.time.format.DateTimeFormatter
-        .ofPattern("yyyyMMdd_HHmmss").format(java.time.LocalDateTime.now())
+        .ofPattern("yyyyMMdd_HHmmss").format(java.time.LocalDateTime.now()) +
+        "_" + java.lang.Long.toHexString(System.nanoTime())
       java.nio.file.Files.write(dir.resolve(s"bench_$stamp.json"),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     // A failing query must turn the WHOLE bench red: r11's init break
     // made 24 queries "run" in 0.02 s (analysis failure) and the rc=0

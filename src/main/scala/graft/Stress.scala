@@ -555,6 +555,38 @@ object Stress {
     val (r22, t22) = timed(cb22.collect())
     report("clickbench_q22", mult, nEvents, t22, exchanges(cb22), r22.length)
 
+    // r18 stretch (r17 verdict task 8): the neighbor-key CB shape
+    // (cb43_q35 class — ONE logical key spelled as four derived
+    // grouping columns; the planner must not grow exchanges for the
+    // arithmetic aliases) ...
+    val cb35 = cbHits.groupBy($"client_ip", ($"client_ip" - 1).as("c1"),
+        ($"client_ip" - 2).as("c2"), ($"client_ip" - 3).as("c3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"client_ip").limit(10)
+    val (r35, t35) = timed(cb35.collect())
+    report("clickbench_q35", mult, nEvents, t35, exchanges(cb35), r35.length)
+    // ... and the WINDOW-FUNCTION rung the family lacked: per-user
+    // ordered rank + lag + running sum — all three frames share ONE
+    // shuffle on the partition key (never a global unpartitioned
+    // window), then a grouped reduction. Exchange count must stay
+    // flat (partition-by shuffle + final agg) as events scale 100×.
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val winAgg = events
+      .withColumn("rn", row_number().over(uw))
+      .withColumn("prev_v", lag($"value", 1).over(uw))
+      .withColumn("run", sum($"value").over(
+        uw.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .filter($"rn" <= 5)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        avg($"value" - coalesce($"prev_v", lit(0.0))).as("d"),
+        max($"run").as("mr"))
+    val (rW, tW) = timed(winAgg.collect())
+    report("window_user_rank", mult, nEvents, tW, exchanges(winAgg),
+      rW.length)
+
     // r12 waves 27–30: the collected/moment-state stats family in ONE
     // grouped pass — rankCorr + intervalLengthSum collect O(group)
     // pairs (hot groups of nEvents/5), ANOVA and the association

@@ -644,6 +644,36 @@ object H3Proj {
       }
       bc += 1
     }
+    // Sliver closure (r17 ADVICE): a slot only res-3 centers seed can
+    // miss a face-equidistance sliver thinner than a res-3 cell. The
+    // rotation is a RIGID property of (face, base cell) — a base
+    // cell's patch on a face has one orientation — so first PROVE
+    // per-(face, bc) uniqueness over every seeded slot, then fill the
+    // unseeded slots of each seeded group. What remains unseeded after
+    // that must be exactly the three far-CORNER slots per face
+    // ((0,2,2)/(2,0,2)/(2,2,0) — the collar regions beyond an icosa
+    // vertex, where every point is strictly nearer one of the other
+    // four faces, so the forward path can never land there); anything
+    // else failing this require is a coverage gap caught AT INIT.
+    for (f <- 0 until 20) {
+      val byBc = scala.collection.mutable.HashMap[Int, Int]()
+      for (i <- 0 to 2; j <- 0 to 2; k <- 0 to 2; if rots(f)(i)(j)(k) >= 0) {
+        val bc = faceIjkBC(f)(i)(j)(k)
+        val prev = byBc.getOrElse(bc, -1)
+        require(prev == -1 || prev == rots(f)(i)(j)(k),
+          s"h3: rotation not rigid for base cell $bc on face $f")
+        byBc(bc) = rots(f)(i)(j)(k)
+      }
+      for (i <- 0 to 2; j <- 0 to 2; k <- 0 to 2; if rots(f)(i)(j)(k) < 0) {
+        byBc.get(faceIjkBC(f)(i)(j)(k)).foreach(rots(f)(i)(j)(k) = _)
+      }
+      val unreached = for {
+        i <- 0 to 2; j <- 0 to 2; k <- 0 to 2
+        if rots(f)(i)(j)(k) < 0
+      } yield (i, j, k)
+      require(unreached.toSet == Set((0, 2, 2), (2, 0, 2), (2, 2, 0)),
+        s"h3: face $f has non-corner unreached rotation slots: $unreached")
+    }
     rots
   }
 

@@ -242,11 +242,12 @@ object Joins {
     graft.functions.GraftFunctions.register(left.sparkSession)
     require(res >= 0 && res <= 15,
       s"h3RadiusJoin: resolution $res out of the h3 range 0..15")
-    val minWidthM = 0.5 * graft.functions.H3Proj.edgeLengthM(res)
-    require(radiusMeters > 0 && radiusMeters <= minWidthM,
-      f"h3RadiusJoin: radius ${radiusMeters}%.0f m exceeds the res-$res " +
-        f"min cell width bound ${minWidthM}%.0f m - even 2-ring blocking " +
-        "could miss pairs; use a coarser resolution (width ~2.6x per res step)")
+    val halfEdgeM = 0.5 * graft.functions.H3Proj.edgeLengthM(res)
+    require(radiusMeters > 0 && radiusMeters <= halfEdgeM,
+      f"h3RadiusJoin: radius ${radiusMeters}%.0f m exceeds half the " +
+        f"res-$res AVERAGE edge length (${halfEdgeM}%.0f m) - even 2-ring " +
+        "blocking could miss pairs; use a coarser resolution " +
+        "(edge length ~2.6x per res step)")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty,
       s"h3RadiusJoin column clash on ${clash.mkString(", ")} - alias apart")

@@ -143,6 +143,73 @@ object Text {
       .drop("__bucket_n")
   }
 
+  /** All intra-bucket id pairs (`a_id < b_id`) of `frame` keyed by
+    * `keyCol` — the self-join at the heart of every LSH/blocking
+    * near-dup stage, with an explicit hot-bucket POLICY (r17 verdict
+    * task 3, the salted escape hatch):
+    *
+    *  - `saltHotBuckets = 0` (default): buckets above `cap` REFUSE
+    *    loudly via [[guardBuckets]] — the production contract. After
+    *    exact-dedup composition a hot bucket means >cap near-identical
+    *    but not byte-identical variants of one document; stopping with
+    *    the bucket named is the right default.
+    *  - `saltHotBuckets = s > 0`: the user wants the answer anyway.
+    *    Buckets above `cap` are computed with their O(n²) pair work
+    *    spread over s(s+1)/2 tasks by TRIANGLE SALTING: each row gets
+    *    a deterministic salt g ∈ [0,s) and is replicated to the s
+    *    unordered salt-pair tasks containing g; a pair with salts
+    *    (gx, gy) materializes exactly once, in task {min,max} (rows
+    *    with EQUAL salts share s tasks, so the join keeps a pair only
+    *    in its own {gx,gy} task). Cold buckets never pay the
+    *    replication — they run the plain equi-self-join.
+    *
+    * The pair SET is identical under both policies whenever the
+    * refusal would not have fired, and salting never changes the
+    * output, only the distribution (GuardedLshSpec proves both equal
+    * the naive quadratic join on a planted hot corpus). The salt hash
+    * is xxhash64 — safe even for oracle-checked queries because it
+    * never reaches the output.
+    */
+  def selfJoinPairs(frame: DataFrame, keyCol: String, idCol: String,
+                    cap: Int, saltHotBuckets: Int = 0): DataFrame = {
+    require(saltHotBuckets >= 0 && saltHotBuckets <= 256,
+      s"selfJoinPairs: saltHotBuckets $saltHotBuckets out of 0..256")
+    // <=> throughout: NULL keys form a bucket like they do in
+    // guardBuckets — a plain === would silently drop their pairs
+    def pairsOf(f: DataFrame): DataFrame =
+      f.as("a").join(f.as("b"),
+          col(s"a.$keyCol") <=> col(s"b.$keyCol") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$keyCol").as(keyCol),
+          col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+    if (saltHotBuckets == 0)
+      return pairsOf(guardBuckets(frame, keyCol, cap))
+    val s = saltHotBuckets
+    val counts = frame.groupBy(col(keyCol).as("__sjk"))
+      .agg(count(lit(1)).as("__sjn"))
+    // <=> for the same NULL-key reason as guardBuckets
+    val tagged = frame.join(counts, col(keyCol) <=> col("__sjk"))
+      .drop("__sjk")
+    val cold = tagged.filter(col("__sjn") <= cap).drop("__sjn")
+    val hot = tagged.filter(col("__sjn") > cap).drop("__sjn")
+      .withColumn("__g", pmod(xxhash64(col(idCol)), lit(s)).cast("int"))
+    val repl = hot
+      .withColumn("__t", explode(sequence(lit(0), lit(s - 1))))
+      .withColumn("__ta", least(col("__g"), col("__t")))
+      .withColumn("__tb", greatest(col("__g"), col("__t")))
+    val hotPairs = repl.as("a").join(repl.as("b"),
+        col(s"a.$keyCol") <=> col(s"b.$keyCol") &&
+          col("a.__ta") === col("b.__ta") &&
+          col("a.__tb") === col("b.__tb") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          // keep the pair only in ITS OWN {gx, gy} task
+          least(col("a.__g"), col("b.__g")) === col("a.__ta") &&
+          greatest(col("a.__g"), col("b.__g")) === col("a.__tb"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+    pairsOf(cold).unionByName(hotPairs)
+  }
+
   /** Exact Jaccard similarity of two pre-distinct arrays. Two EMPTY
     * sets give NULL (not 0/0). A bare division is wrong in BOTH modes:
     * under ANSI (Spark 4 default) it throws DIVIDE_BY_ZERO the first

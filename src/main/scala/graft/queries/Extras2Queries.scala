@@ -440,8 +440,14 @@ object Extras2Queries {
     // transform relationally (replace), proving round-trip fidelity.
     QDef("udf_executable", (s, dir) => {
       import s.implicits._
+      // coalesce(4): one external process per partition — 4 is enough
+      // to demonstrate the operator (multi-process, partition-unit
+      // retry) while keeping the bench's most volatile entry from
+      // spawning 32 processes under load (r17 verdict task 7: the
+      // entry swung 0.09→1.41 s between same-day runs on spawn storms)
       val docs = Tables(s, dir, "documents")
         .filter($"doc_id" % 20 === 0).select($"doc_id", $"text")
+        .coalesce(4)
       External.pipeLines(docs, "\t", Seq("sed", "s/a/A/g"))
         .map { line =>
           val i = line.indexOf('\t')

@@ -96,13 +96,21 @@ object PipelineQueries {
     lshPairsCache.getOrBuild((s, dir)) {
       import s.implicits._
       val docs = lshDocs(s, dir)
-      val bands = Text.guardBuckets(
-        docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk")),
-        "bk", LshBucketCap)
+      val bands =
+        docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
       val shs = docs.select($"doc_id", $"sh")
-      bands.as("a").join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // hot-bucket POLICY (r17 verdict task 3): default 0 = the loud
+      // refusal contract (guardBuckets inside selfJoinPairs); a user
+      // who wants the answer anyway sets
+      // spark.graft.lsh.saltHotBuckets=s and the >cap buckets run
+      // triangle-salted across s(s+1)/2 tasks with an identical pair
+      // set (GuardedLshSpec proves both against the naive join).
+      // Read once per (session, fixture) — the frame is LRU-cached,
+      // so set the conf BEFORE the family's first query
+      val saltMode = s.conf.getOption("spark.graft.lsh.saltHotBuckets")
+        .map(_.toInt).getOrElse(0)
+      Text.selfJoinPairs(bands, "bk", "doc_id", LshBucketCap, saltMode)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
         .distinct()
         .join(shs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
         .join(shs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -110,6 +118,32 @@ object PipelineQueries {
         .filter($"jac" >= 0.35)
         .select($"doc_a", $"doc_b", $"jac")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
+  /** Duplicate-group members with their group's self-Jaccard
+    * (rep_id, doc_id, jrep), guarded at [[LshBucketCap]] — the
+    * expansion frame pipe_minhash_lsh self-joins for intra-group
+    * pairs. Cached DISK_ONLY like the other family frames (r17 ADVICE:
+    * guardBuckets evaluates its input on both the row side and the
+    * counts side, so an unpersisted subtree here was the exact
+    * double-computation the pipe_blocking comment warns about).
+    */
+  private[graft] val lshMembersCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
+  private def lshMembers(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    lshMembersCache.getOrBuild((s, dir)) {
+      import s.implicits._
+      Text.guardBuckets(
+        lshGroups(s, dir)
+          .join(lshDocs(s, dir).select($"doc_id".as("rep_id"), $"sh"),
+            "rep_id")
+          .withColumn("jrep", Text.jaccard($"sh", $"sh"))
+          .filter($"jrep" >= 0.35) // drops empty-shingle groups (NULL)
+          .select($"rep_id", $"doc_id", $"jrep"),
+        "rep_id", LshBucketCap)
+        .persist(StorageLevel.DISK_ONLY)
     }
 
   /** Near-dup GRAPH edges for the CC entries: rep-level confirmed
@@ -234,13 +268,7 @@ object PipelineQueries {
         .join(groups.select($"rep_id".as("doc_b"), $"doc_id".as("mb")), "doc_b")
         .select(least($"ma", $"mb").as("doc_a"),
           greatest($"ma", $"mb").as("doc_b"), $"jac")
-      val members = Text.guardBuckets(
-        groups.join(lshDocs(s, dir).select($"doc_id".as("rep_id"), $"sh"),
-            "rep_id")
-          .withColumn("jrep", Text.jaccard($"sh", $"sh"))
-          .filter($"jrep" >= 0.35) // drops empty-shingle groups (NULL)
-          .select($"rep_id", $"doc_id", $"jrep"),
-        "rep_id", LshBucketCap)
+      val members = lshMembers(s, dir)
       val intra = members.as("x").join(members.as("y"),
           col("x.rep_id") === col("y.rep_id") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -141,6 +141,76 @@ class GuardedLshSpec extends AnyFunSuite {
     assert(got == want, s"curation guarded=$got unguarded=$want")
   }
 
+  test("selfJoinPairs: salted hot buckets equal the naive quadratic join") {
+    val s = spark
+    import s.implicits._
+    // a NEAR-IDENTICAL (not byte-identical) family: exact dedup can't
+    // collapse it, so above the cap the default policy must refuse and
+    // the salted policy must complete with the identical pair set —
+    // the r17 verdict's "decided, not implicit" requirement
+    val rnd = new scala.util.Random(7)
+    val frame = (
+      (1L to 120L).map(i => (i, "hot")) ++ // one hot bucket, n=120 > cap
+      (1L to 30L).map(i => (1000L + i, s"cold${i % 7}")) ++ // cold buckets
+      Seq((2000L, null.asInstanceOf[String]), (2001L, null),
+        (2002L, null)) // a NULL-key bucket
+    ).toDF("doc_id", "bk")
+    def naive(f: org.apache.spark.sql.DataFrame) =
+      f.as("a").join(f.as("b"),
+          col("a.bk") <=> col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = naive(frame)
+    // hot 120C2 + cold (three 5-key groups of 10 + four 4-row keys of
+    // 6) + NULL 3C2 — spelled out: 7140 + (10*2 + 6*5) + 3
+    assert(want.size == 7140 + 50 + 3,
+      s"planted corpus wrong: ${want.size}")
+    // default policy: refusal names the hot bucket
+    val ex = intercept[Exception] {
+      Text.selfJoinPairs(frame, "bk", "doc_id", 50).count()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("hot bucket"), s"unexpected refusal: $msg")
+    // salted policy: identical pair set, for several salt counts
+    for (salts <- Seq(1, 3, 8)) {
+      val got = Text.selfJoinPairs(frame, "bk", "doc_id", 50, salts)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"salts=$salts: extra=${(got -- want).take(5)} " +
+          s"missing=${(want -- got).take(5)}")
+    }
+    // and with no hot bucket the two policies agree too
+    val cold = frame.filter($"bk" =!= "hot" || $"bk".isNull)
+    assert(Text.selfJoinPairs(cold, "bk", "doc_id", 50, 4)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == naive(cold))
+  }
+
+  test("pipe_minhash_lsh under spark.graft.lsh.saltHotBuckets stays identical") {
+    // the conf-gated escape hatch changes distribution, never output:
+    // run the family build on a FRESH fixture copy with salting on and
+    // compare to the unguarded reference chain
+    val s = spark
+    import s.implicits._
+    val want = unguardedPairs(0.35)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fresh dir so the LRU-cached family frames rebuild under the conf
+    val dir2 = java.nio.file.Files.createTempDirectory("guarded_salt").toString
+    Tables(s, dir, "documents").write.mode("overwrite")
+      .parquet(s"$dir2/documents.parquet")
+    s.conf.set("spark.graft.lsh.saltHotBuckets", "4")
+    try {
+      val got = SparkEntry.queries("pipe_minhash_lsh")(spark, dir2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"salted family != unguarded: extra=${(got -- want).take(5)} " +
+          s"missing=${(want -- got).take(5)}")
+    } finally s.conf.unset("spark.graft.lsh.saltHotBuckets")
+  }
+
   test("guardBuckets: transparent under the cap, loud refusal above it") {
     val s = spark
     import s.implicits._

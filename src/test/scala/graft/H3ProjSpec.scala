@@ -146,10 +146,30 @@ class H3ProjSpec extends AnyFunSuite {
     assert(blocked == brute,
       s"blocked=${blocked.size} brute=${brute.size} " +
         s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    // AT the boundary radius (exactly 0.5·avg edge length — the
+    // largest radius the guard admits) the join must STILL be
+    // lossless on the pentagon clusters: the r17 advice noted the
+    // safety argument there was asserted in prose, never executed
+    val boundR = 0.5 * H3Proj.edgeLengthM(1)
+    val blockedB = graft.ops.Joins
+      .h3RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", boundR, 1)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val bruteB = left.crossJoin(right)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"""2 * 6371000 * asin(sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2) +
+             cos(radians(lat1)) * cos(radians(lat2)) *
+             pow(sin(radians(lon2 - lon1) / 2), 2))) <= $boundR"""))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(bruteB.size > brute.size, "boundary radius should admit more pairs")
+    assert(blockedB == bruteB,
+      s"AT-BOUND blocked=${blockedB.size} brute=${bruteB.size} " +
+        s"missing=${(bruteB -- blockedB).take(5)}")
     // the guard bites: 300 km at res 1 (bound ~209 km) must refuse
     val e = intercept[IllegalArgumentException](graft.ops.Joins
       .h3RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 300000.0, 1))
     assert(e.getMessage.contains("coarser resolution"))
+    assert(e.getMessage.contains("AVERAGE edge length"))
     val e2 = intercept[IllegalArgumentException](graft.ops.Joins
       .h3RadiusJoin(left, right, "lon1", "lat1", "lon2", "lat2", 100.0, 16))
     assert(e2.getMessage.contains("out of the h3 range"))
@@ -371,6 +391,52 @@ class H3ProjSpec extends AnyFunSuite {
       if (f.length > 1) multi += 1
     }
     assert(multi > 0, "no res-1 cell touched multiple faces")
+  }
+
+  test("rotation lookup covers face-equidistance slivers (r17 ADVICE)") {
+    // the rotTable group-fill must leave no reachable slot at -1:
+    // walk every pair of adjacent faces' equidistance great circle
+    // (where the nearest-face argmin flips) with offsets down to
+    // 1e-9 rad and index at several resolutions — a sliver gap would
+    // throw "unreached rotation slot" here
+    val centers = H3Proj.faceRows.map { case (la, lo, _) =>
+      val cl = math.cos(la)
+      Array(cl * math.cos(lo), cl * math.sin(lo), math.sin(la))
+    }
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v(0) * v(0) + v(1) * v(1) + v(2) * v(2))
+      Array(v(0) / n, v(1) / n, v(2) / n)
+    }
+    def cross(a: Array[Double], b: Array[Double]) = Array(
+      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2),
+      a(0) * b(1) - a(1) * b(0))
+    var probes = 0
+    for (f1 <- 0 until 20; f2 <- (f1 + 1) until 20) {
+      val c1 = centers(f1); val c2 = centers(f2)
+      val dot = c1(0) * c2(0) + c1(1) * c2(1) + c1(2) * c2(2)
+      if (dot > 0.4) { // adjacent faces (centers ~63.4° apart)
+        val u = norm(Array(c1(0) + c2(0), c1(1) + c2(1), c1(2) + c2(2)))
+        val v = norm(cross(c1, c2))
+        for (i <- -30 to 30; eps <- Seq(-1e-5, -1e-9, 0.0, 1e-9, 1e-5)) {
+          val th = i * 0.02
+          val base = Array(
+            math.cos(th) * u(0) + math.sin(th) * v(0),
+            math.cos(th) * u(1) + math.sin(th) * v(1),
+            math.cos(th) * u(2) + math.sin(th) * v(2))
+          // pull toward c1 by eps radians (0 = exactly equidistant)
+          val p = norm(Array(base(0) + eps * c1(0), base(1) + eps * c1(1),
+            base(2) + eps * c1(2)))
+          val lat = math.toDegrees(math.asin(math.max(-1, math.min(1, p(2)))))
+          val lng = math.toDegrees(math.atan2(p(1), p(0)))
+          for (res <- Seq(0, 3, 8, 15)) {
+            val h = H3Proj.geoToH3(lat, lng, res) // must not throw
+            assert(H3Bits.isValid(h))
+            probes += 1
+          }
+        }
+      }
+    }
+    assert(probes > 30000, s"sliver hunt ran only $probes probes")
   }
 
   test("domain guards refuse loudly") {
