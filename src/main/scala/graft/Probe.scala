@@ -1239,6 +1239,22 @@ object Probe {
       "SELECT s2RectAdd(geoToS2(5.0, 45.0), geoToS2(15.0, 55.0), geoToS2(20.0, 60.0)).2 AS ahi, s2RectUnion(geoToS2(5.0, 45.0), geoToS2(15.0, 55.0), geoToS2(10.0, 50.0), geoToS2(25.0, 60.0)).1 AS ulo, s2RectIntersection(geoToS2(5.0, 45.0), geoToS2(15.0, 55.0), geoToS2(30.0, 50.0), geoToS2(40.0, 55.0)) IS NULL AS e, s2CapUnion(geoToS2(10.0, 50.0), 1.0, geoToS2(20.0, 52.0), 2.0).2 AS ur, h3NumHexagons(2) AS n2",
     "w44_h3_geo" ->
       "SELECT geoToH3(37.79506683, 55.71290588, 15) AS h15, h3ToGeo(644325524701193974).1 AS lon, h3ToGeo(644325524701193974).2 AS lat, size(h3kRing(stringToH3('8928308280fffff'), 1)) AS ring7, h3Distance(stringToH3('8928308280fffff'), stringToH3('8928308280bffff')) AS d1, h3HexAreaM2(13) AS a13, h3HexAreaKm2(13) AS ak13, h3EdgeLengthM(10) AS e10, h3EdgeLengthKm(10) AS ek10, size(h3ToGeoBoundary(stringToH3('8928308280fffff'))) AS nb6, round(h3ToGeoBoundary(stringToH3('8928308280fffff'))[1].2, 4) AS bv_lat, size(h3GetFaces(stringToH3('8928308280fffff'))) AS nf, size(h3Line(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))) AS ln2, round(h3CellAreaM2(stringToH3('8928308280fffff')) / 1e4, 0) AS ca_ha, round(h3CellAreaRads2(stringToH3('8928308280fffff')) * 1e15, 0) AS ca_sr",
+    "w44_h3_edges" ->
+      """SELECT size(h3HexRing(stringToH3('8928308280fffff'), 2)) AS ring12,
+        |h3IndexesAreNeighbors(stringToH3('8928308280fffff'), stringToH3('8928308280bffff')) AS nbr,
+        |round(h3PointDistM(0.0, 0.0, 0.0, 1.0), 0) AS deg_m,
+        |round(h3PointDistKm(55.0, 37.0, 55.0, 38.0), 1) AS msk_km,
+        |round(h3PointDistRads(0.0, 0.0, 0.0, 90.0), 6) AS quarter,
+        |round(h3EdgeAngle(0), 4) AS ea0,
+        |size(h3GetRes0Indexes()) AS n122,
+        |size(h3GetPentagonIndexes(7)) AS n12,
+        |h3UnidirectionalEdgeIsValid(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))) AS ev,
+        |getH3IndexesFromUnidirectionalEdge(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))).origin = stringToH3('8928308280fffff') AS eo,
+        |size(getH3UnidirectionalEdgesFromHexagon(stringToH3('8928308280fffff'))) AS ne6,
+        |size(getH3UnidirectionalEdgeBoundary(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff')))) AS nb2,
+        |round(h3ExactEdgeLengthM(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))), 0) AS eel,
+        |round(h3ExactEdgeLengthKm(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))) * 1000 - h3ExactEdgeLengthM(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))), 6) AS eel_consistent,
+        |round(h3ExactEdgeLengthRads(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))) * 6371007.180918475 - h3ExactEdgeLengthM(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))), 6) AS eel_rads_consistent""".stripMargin.replace("\n", " "),
     "w43_geohashes_in_box" ->
       "SELECT geohashesInBox(24.48, 40.56, 24.785, 40.81, 4) AS cover, geohashesInBox(1.0, 1.0, -1.0, -1.0, 5) AS inverted",
     "w43_simhash_tokens" ->

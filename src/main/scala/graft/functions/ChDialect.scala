@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 /** ClickHouse-spelled SQL function names, so a ClickHouse user's query
   * text runs unchanged through `Graft.sql` (registered by
@@ -3032,6 +3032,42 @@ object ChDialect {
       H3Line(Cast(c(0), LongType), Cast(c(1), LongType)))
     reg("h3CellAreaM2")(c => H3CellAreaM2(Cast(c.head, LongType)))
     reg("h3CellAreaRads2")(c => H3CellAreaRads2(Cast(c.head, LongType)))
+    reg("h3HexRing")(c =>
+      H3HexRing(Cast(c(0), LongType), Cast(c(1), IntegerType)))
+    reg("h3IndexesAreNeighbors")(c =>
+      H3IndexesAreNeighbors(Cast(c(0), LongType), Cast(c(1), LongType)))
+    reg("h3PointDistM")(c => H3PointDist(Cast(c(0), DoubleType),
+      Cast(c(1), DoubleType), Cast(c(2), DoubleType), Cast(c(3), DoubleType),
+      "M"))
+    reg("h3PointDistKm")(c => H3PointDist(Cast(c(0), DoubleType),
+      Cast(c(1), DoubleType), Cast(c(2), DoubleType), Cast(c(3), DoubleType),
+      "Km"))
+    reg("h3PointDistRads")(c => H3PointDist(Cast(c(0), DoubleType),
+      Cast(c(1), DoubleType), Cast(c(2), DoubleType), Cast(c(3), DoubleType),
+      "Rads"))
+    reg("h3EdgeAngle")(c => H3EdgeAngle(Cast(c.head, IntegerType)))
+    // the 122 res-0 roots are a CONSTANT — a foldable literal beats a
+    // leaf expression (stays inside codegen, constant-folds for free)
+    reg("h3GetRes0Indexes")(_ => Literal.create(H3Proj.res0Indexes,
+      ArrayType(LongType, containsNull = false)))
+    reg("h3GetPentagonIndexes")(c =>
+      H3GetPentagonIndexes(Cast(c.head, IntegerType)))
+    reg("h3GetUnidirectionalEdge")(c =>
+      H3GetUnidirectionalEdge(Cast(c(0), LongType), Cast(c(1), LongType)))
+    reg("h3UnidirectionalEdgeIsValid")(c =>
+      H3UnidirectionalEdgeIsValid(Cast(c.head, LongType)))
+    reg("getH3IndexesFromUnidirectionalEdge")(c =>
+      H3IndexesFromEdge(Cast(c.head, LongType)))
+    reg("getH3UnidirectionalEdgesFromHexagon")(c =>
+      H3EdgesFromCell(Cast(c.head, LongType)))
+    reg("getH3UnidirectionalEdgeBoundary")(c =>
+      H3EdgeBoundary(Cast(c.head, LongType)))
+    reg("h3ExactEdgeLengthM")(c =>
+      H3ExactEdgeLength(Cast(c.head, LongType), "M"))
+    reg("h3ExactEdgeLengthKm")(c =>
+      H3ExactEdgeLength(Cast(c.head, LongType), "Km"))
+    reg("h3ExactEdgeLengthRads")(c =>
+      H3ExactEdgeLength(Cast(c.head, LongType), "Rads"))
     reg("h3kRing")(c =>
       H3KRing(Cast(c(0), LongType), Cast(c(1), IntegerType)))
     reg("h3Distance")(c =>

@@ -1384,6 +1384,166 @@ object H3Proj {
     (ri, rj, rk)
   }
 
+  /** Ring k only (the published hexRing semantics): [[gridDisk]] is
+    * BFS insertion-ordered by ring, so ring k is the disk minus the
+    * (k−1)-disk prefix. Unlike the published fast path this never
+    * fails near pentagons — the BFS handles them like gridDisk does.
+    */
+  def hexRing(h: Long, k: Int): Array[Long] = {
+    val disk = gridDisk(h, k) // validates h and caps k
+    if (k == 0) disk
+    else disk.drop(gridDisk(h, k - 1).length)
+  }
+
+  /** True iff the two same-resolution cells share an edge. */
+  def areNeighbors(a: Long, b: Long): Boolean = {
+    require(H3Bits.isValid(a) && H3Bits.isValid(b),
+      "h3_indexes_are_neighbors: invalid h3 index")
+    H3Bits.resolution(a) == H3Bits.resolution(b) && a != b &&
+      adjacent(a, b)
+  }
+
+  /** Great-circle distance between two (degree) points in radians —
+    * the h3PointDist* family (CH argument order lat1, lon1, lat2,
+    * lon2).
+    */
+  def pointDistRads(lat1: Double, lon1: Double,
+                    lat2: Double, lon2: Double): Double =
+    gcDistRads((math.toRadians(lat1), math.toRadians(lon1)),
+      (math.toRadians(lat2), math.toRadians(lon2)))
+
+  def pointDistM(lat1: Double, lon1: Double,
+                 lat2: Double, lon2: Double): Double =
+    pointDistRads(lat1, lon1, lat2, lon2) * EarthRadiusM
+
+  /** Average hexagon edge length at `res` as the angle it subtends at
+    * the Earth's center, in degrees — edge length over the sphere
+    * radius, converted (the CH h3EdgeAngle contract).
+    */
+  def edgeAngleDeg(res: Int): Double =
+    math.toDegrees(edgeLengthM(res) / EarthRadiusM)
+
+  /** The 122 res-0 cells, ascending by base cell. */
+  def res0Indexes: Array[Long] =
+    Array.tabulate(122) { bc =>
+      (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+    }
+
+  /** The 12 pentagons at `res` (center-child chains of the pentagon
+    * base cells), ascending.
+    */
+  def pentagonIndexes(res: Int): Array[Long] = {
+    require(res >= 0 && res <= 15,
+      s"h3_get_pentagon_indexes: resolution $res out of 0..15")
+    (0 until 122).filter(H3Bits.isPentagonBase).toArray.map { bc =>
+      val root = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+      if (res == 0) root else H3Bits.toCenterChild(root, res)
+    }
+  }
+
+  // ---------- unidirectional (directed) edge indexes: published
+  // mode-2 layout — the cell index with mode 2 and the step direction
+  // (1..6) in the three reserved bits at 56-58 ----------
+
+  private val ModeMask = 0xFL << 59
+  private val EdgeDirMask = 7L << 56
+
+  /** Directed edge origin→destination; the cells must share an edge. */
+  def cellsToEdge(origin: Long, dest: Long): Long = {
+    require(areNeighbors(origin, dest),
+      "h3_get_unidirectional_edge: cells are not neighbors")
+    // canonical direction = FIRST step direction reaching `dest`
+    // (around a pentagon two directions can reach the same neighbor —
+    // the deleted-axis collision; edgesFromCell dedupes the same way)
+    var d = 1
+    while (d <= 6) {
+      if (neighborCell(origin, d) == dest && neighborCell(origin, d) != origin)
+        return (origin & ~ModeMask & ~EdgeDirMask) | (2L << 59) | (d.toLong << 56)
+      d += 1
+    }
+    throw new IllegalArgumentException(
+      "h3_get_unidirectional_edge: no step direction reaches the " +
+        "destination (distorted pentagon move)")
+  }
+
+  def edgeIsValid(e: Long): Boolean = {
+    val mode = (e >>> 59) & 0xF
+    val d = ((e >>> 56) & 7).toInt
+    if (mode != 2 || d < 1 || d > 6) return false
+    val origin = edgeOrigin(e)
+    if (!H3Bits.isValid(origin)) return false
+    val dst = neighborCell(origin, d)
+    if (dst == origin || !adjacent(origin, dst)) return false
+    // canonicality: around a pentagon two directions can reach the
+    // same neighbor — only the first-direction encoding is THE edge
+    // (the one cellsToEdge and edgesFromCell mint)
+    cellsToEdge(origin, dst) == e
+  }
+
+  /** Origin cell of a directed edge (mode flipped back to 1). */
+  def edgeOrigin(e: Long): Long =
+    (e & ~ModeMask & ~EdgeDirMask) | (1L << 59)
+
+  /** Destination cell of a directed edge. */
+  def edgeDestination(e: Long): Long = {
+    require(edgeIsValid(e), s"h3: invalid unidirectional edge $e")
+    neighborCell(edgeOrigin(e), ((e >>> 56) & 7).toInt)
+  }
+
+  /** All directed edges FROM a cell (6, or 5 for pentagons). */
+  def edgesFromCell(h: Long): Array[Long] = {
+    require(H3Bits.isValid(h), s"h3: invalid h3 index $h")
+    val seen = scala.collection.mutable.HashSet[Long]()
+    (1 to 6).flatMap { d =>
+      val n = neighborCell(h, d)
+      if (n != h && adjacent(h, n) && seen.add(n))
+        Some((h & ~ModeMask & ~EdgeDirMask) | (2L << 59) | (d.toLong << 56))
+      else None
+    }.toArray
+  }
+
+  /** The geodesic boundary of a directed edge: the maximal cyclic run
+    * of the ORIGIN's boundary vertices shared with the destination's
+    * boundary (2 corners, plus any class III distortion vertices
+    * between them), in the origin's winding order.
+    */
+  def edgeBoundary(e: Long): Array[(Double, Double)] = {
+    require(edgeIsValid(e), s"h3: invalid unidirectional edge $e")
+    val bo = cellBoundary(edgeOrigin(e))
+    val bd = cellBoundary(edgeDestination(e))
+    def near(a: (Double, Double), b: (Double, Double)): Boolean =
+      math.abs(a._1 - b._1) < 1e-7 && math.abs(a._2 - b._2) < 1e-7
+    val shared = bo.map(v => bd.exists(near(v, _)))
+    val n = bo.length
+    // rotate so the run of shared vertices is contiguous (it is a
+    // single run: two convex cells share one edge)
+    var start = 0
+    while (start < n && !(shared(start) && !shared((start + n - 1) % n)))
+      start += 1
+    require(start < n, "h3: edge shares no boundary run (tolerance)")
+    val run = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var i = start
+    while (shared(i % n) && run.length < n) {
+      run += bo(i % n); i += 1
+    }
+    require(run.length >= 2,
+      s"h3: edge boundary run has ${run.length} vertices")
+    run.toArray
+  }
+
+  /** Exact spherical length of a directed edge in radians: haversine
+    * sum over the edge-boundary polyline.
+    */
+  def exactEdgeLengthRads(e: Long): Double = {
+    val b = edgeBoundary(e).map { case (la, lo) =>
+      (math.toRadians(la), math.toRadians(lo))
+    }
+    (1 until b.length).map(i => gcDistRads(b(i - 1), b(i))).sum
+  }
+
+  def exactEdgeLengthM(e: Long): Double =
+    exactEdgeLengthRads(e) * EarthRadiusM
+
   /** Published average hex area (m²) by resolution (the v3/CH table). */
   val hexAreaM2: Array[Double] = Array(
     4.25055e12, 6.07221e11, 8.6745854035e10, 1.2392264862e10,
@@ -1445,6 +1605,37 @@ object H3ProjExpr {
   def cellAreaRads2(h: Long): Double = H3Proj.cellAreaRads2(h)
   def line(a: Long, b: Long): ArrayData =
     ArrayData.toArrayData(H3Proj.gridPath(a, b))
+
+  def hexRing(h: Long, k: Int): ArrayData =
+    ArrayData.toArrayData(H3Proj.hexRing(h, k))
+  def areNeighbors(a: Long, b: Long): Boolean = H3Proj.areNeighbors(a, b)
+  def pointDistM(a: Double, b: Double, c: Double, d: Double): Double =
+    H3Proj.pointDistM(a, b, c, d)
+  def pointDistKm(a: Double, b: Double, c: Double, d: Double): Double =
+    H3Proj.pointDistM(a, b, c, d) / 1e3
+  def pointDistRads(a: Double, b: Double, c: Double, d: Double): Double =
+    H3Proj.pointDistRads(a, b, c, d)
+  def edgeAngle(res: Int): Double =
+    H3Proj.edgeAngleDeg(resIdx(res, "h3EdgeAngle"))
+  def res0Indexes(): ArrayData = ArrayData.toArrayData(H3Proj.res0Indexes)
+  def pentagonIndexes(res: Int): ArrayData =
+    ArrayData.toArrayData(H3Proj.pentagonIndexes(res))
+  def cellsToEdge(o: Long, d: Long): Long = H3Proj.cellsToEdge(o, d)
+  def edgeIsValid(e: Long): Boolean = H3Proj.edgeIsValid(e)
+  def edgeCells(e: Long): InternalRow = {
+    require(H3Proj.edgeIsValid(e), s"h3: invalid unidirectional edge $e")
+    new GenericInternalRow(Array[Any](H3Proj.edgeOrigin(e),
+      H3Proj.edgeDestination(e)))
+  }
+  def edgesFromCell(h: Long): ArrayData =
+    ArrayData.toArrayData(H3Proj.edgesFromCell(h))
+  def edgeBoundary(e: Long): ArrayData =
+    ArrayData.toArrayData(H3Proj.edgeBoundary(e).map { case (la, lo) =>
+      new GenericInternalRow(Array[Any](lo, la)): InternalRow
+    })
+  def exactEdgeLengthM(e: Long): Double = H3Proj.exactEdgeLengthM(e)
+  def exactEdgeLengthKm(e: Long): Double = H3Proj.exactEdgeLengthM(e) / 1e3
+  def exactEdgeLengthRads(e: Long): Double = H3Proj.exactEdgeLengthRads(e)
 }
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -1644,6 +1835,202 @@ case class H3CellAreaRads2(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.H3ProjExpr.cellAreaRads2($h);")
   override protected def withNewChildInternal(c: Expression): H3CellAreaRads2 =
     copy(child = c)
+}
+
+/** Unary bigint-index h3 expressions share this eval/codegen shape. */
+private[functions] abstract class H3UnaryIdx extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint h3 index")
+  protected def helper: String
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.H3ProjExpr.$helper($h);")
+}
+
+/** `h3HexRing(h, k)` → array of the cells at grid distance exactly k. */
+case class H3HexRing(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_hex_ring"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_hex_ring expects (bigint h3 index, int k)")
+  override def nullSafeEval(h: Any, k: Any): Any =
+    H3ProjExpr.hexRing(h.asInstanceOf[Long], k.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, k) =>
+      s"${ev.value} = graft.functions.H3ProjExpr.hexRing($h, $k);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): H3HexRing = copy(left = l, right = r)
+}
+
+/** `h3IndexesAreNeighbors(a, b)` → boolean shared-edge test. */
+case class H3IndexesAreNeighbors(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "h3_indexes_are_neighbors"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_indexes_are_neighbors expects two bigint h3 indexes")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    H3ProjExpr.areNeighbors(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.H3ProjExpr.areNeighbors($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): H3IndexesAreNeighbors =
+    copy(left = l, right = r)
+}
+
+/** `h3PointDist{M,Km,Rads}(lat1, lon1, lat2, lon2)` great-circle
+  * distance (CH argument order).
+  */
+case class H3PointDist(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression, unit: String)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"h3_point_dist_${unit.toLowerCase}"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects four double coordinates")
+  private def helper: String = unit match {
+    case "M" => "pointDistM"
+    case "Km" => "pointDistKm"
+    case _ => "pointDistRads"
+  }
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = unit match {
+    case "M" => H3ProjExpr.pointDistM(a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+    case "Km" => H3ProjExpr.pointDistKm(a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+    case _ => H3ProjExpr.pointDistRads(a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.H3ProjExpr.$helper($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): H3PointDist =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+case class H3EdgeAngle(child: Expression) extends H3ResMetric {
+  override def prettyName: String = "h3_edge_angle"
+  override protected def helper: String = "edgeAngle"
+  override protected def evalMetric(res: Int): Double = H3ProjExpr.edgeAngle(res)
+  override protected def withNewChildInternal(c: Expression): H3EdgeAngle =
+    copy(child = c)
+}
+
+/** `h3GetPentagonIndexes(res)` → the 12 pentagons at `res`. */
+case class H3GetPentagonIndexes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_get_pentagon_indexes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_get_pentagon_indexes expects an int resolution")
+  override def nullSafeEval(r: Any): Any =
+    H3ProjExpr.pentagonIndexes(r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r =>
+      s"${ev.value} = graft.functions.H3ProjExpr.pentagonIndexes($r);")
+  override protected def withNewChildInternal(
+      c: Expression): H3GetPentagonIndexes = copy(child = c)
+}
+
+/** `h3GetUnidirectionalEdge(origin, dest)` → mode-2 edge index. */
+case class H3GetUnidirectionalEdge(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h3_get_unidirectional_edge"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "h3_get_unidirectional_edge expects two bigint h3 indexes")
+  override def nullSafeEval(o: Any, d: Any): Any =
+    H3ProjExpr.cellsToEdge(o.asInstanceOf[Long], d.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, d) =>
+      s"${ev.value} = graft.functions.H3ProjExpr.cellsToEdge($o, $d);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): H3GetUnidirectionalEdge =
+    copy(left = l, right = r)
+}
+
+case class H3UnidirectionalEdgeIsValid(child: Expression) extends H3UnaryIdx {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "h3_unidirectional_edge_is_valid"
+  override protected def helper: String = "edgeIsValid"
+  override def nullSafeEval(e: Any): Any =
+    H3ProjExpr.edgeIsValid(e.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: Expression): H3UnidirectionalEdgeIsValid = copy(child = c)
+}
+
+/** `getH3IndexesFromUnidirectionalEdge(e)` → struct(origin, destination). */
+case class H3IndexesFromEdge(child: Expression) extends H3UnaryIdx {
+  override def dataType: DataType = new StructType()
+    .add("origin", LongType, nullable = false)
+    .add("destination", LongType, nullable = false)
+  override def prettyName: String = "get_h3_indexes_from_unidirectional_edge"
+  override protected def helper: String = "edgeCells"
+  override def nullSafeEval(e: Any): Any =
+    H3ProjExpr.edgeCells(e.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: Expression): H3IndexesFromEdge = copy(child = c)
+}
+
+/** `getH3UnidirectionalEdgesFromHexagon(h)` → the 5-6 directed edges. */
+case class H3EdgesFromCell(child: Expression) extends H3UnaryIdx {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "get_h3_unidirectional_edges_from_hexagon"
+  override protected def helper: String = "edgesFromCell"
+  override def nullSafeEval(h: Any): Any =
+    H3ProjExpr.edgesFromCell(h.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: Expression): H3EdgesFromCell = copy(child = c)
+}
+
+/** `getH3UnidirectionalEdgeBoundary(e)` → array of struct(lon, lat). */
+case class H3EdgeBoundary(child: Expression) extends H3UnaryIdx {
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("lon", DoubleType, nullable = false)
+    .add("lat", DoubleType, nullable = false), containsNull = false)
+  override def prettyName: String = "get_h3_unidirectional_edge_boundary"
+  override protected def helper: String = "edgeBoundary"
+  override def nullSafeEval(e: Any): Any =
+    H3ProjExpr.edgeBoundary(e.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: Expression): H3EdgeBoundary = copy(child = c)
+}
+
+/** `h3ExactEdgeLength{M,Km,Rads}(e)` → exact spherical edge length. */
+case class H3ExactEdgeLength(child: Expression, unit: String)
+    extends H3UnaryIdx {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"h3_exact_edge_length_${unit.toLowerCase}"
+  override protected def helper: String = unit match {
+    case "M" => "exactEdgeLengthM"
+    case "Km" => "exactEdgeLengthKm"
+    case _ => "exactEdgeLengthRads"
+  }
+  override def nullSafeEval(e: Any): Any = unit match {
+    case "M" => H3ProjExpr.exactEdgeLengthM(e.asInstanceOf[Long])
+    case "Km" => H3ProjExpr.exactEdgeLengthKm(e.asInstanceOf[Long])
+    case _ => H3ProjExpr.exactEdgeLengthRads(e.asInstanceOf[Long])
+  }
+  override protected def withNewChildInternal(
+      c: Expression): H3ExactEdgeLength = copy(child = c)
 }
 
 /** `h3GetFaces(h)` → sorted array of icosahedron face ids. */

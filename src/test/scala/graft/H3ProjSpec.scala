@@ -393,6 +393,91 @@ class H3ProjSpec extends AnyFunSuite {
     assert(multi > 0, "no res-1 cell touched multiple faces")
   }
 
+  test("directed edges: round-trip, boundary runs, exact lengths") {
+    val cells = Seq(
+      H3Proj.geoToH3(48.85, 2.35, 6),   // class II interior
+      H3Proj.geoToH3(37.77, -122.42, 9), // class III
+      H3Proj.geoToH3(0.1, 179.9, 3),    // antimeridian, coarse
+      H3Bits.toCenterChild(((1L << 59) | (4L << 45)) | ((1L << 45) - 1), 2),
+      H3Bits.toCenterChild(((1L << 59) | (97L << 45)) | ((1L << 45) - 1), 3))
+    for (h <- cells) {
+      val pent = H3Bits.isPentagon(h)
+      val edges = H3Proj.edgesFromCell(h)
+      assert(edges.length == (if (pent) 5 else 6),
+        s"${h.toHexString}: ${edges.length} edges")
+      val res = H3Bits.resolution(h)
+      var perim = 0.0
+      for (e <- edges) {
+        assert(H3Proj.edgeIsValid(e))
+        assert(!H3Bits.isValid(e), "edge must not validate as a cell")
+        assert(H3Proj.edgeOrigin(e) == h)
+        val dst = H3Proj.edgeDestination(e)
+        assert(H3Proj.areNeighbors(h, dst))
+        assert(H3Proj.cellsToEdge(h, dst) == e, "cellsToEdge round-trip")
+        val b = H3Proj.edgeBoundary(e)
+        assert(b.length >= 2 && b.length <= 5)
+        val len = H3Proj.exactEdgeLengthM(e)
+        // each exact edge within 0.25×–4× of the published average
+        assert(len > 0.25 * H3Proj.edgeLengthM(res) &&
+          len < 4.0 * H3Proj.edgeLengthM(res),
+          s"edge length $len vs avg ${H3Proj.edgeLengthM(res)}")
+        perim += len
+      }
+      // the 5/6 edge boundaries tile the cell boundary: total length
+      // matches the closed-polyline perimeter of cellBoundary
+      val verts = H3Proj.cellBoundary(h)
+      val ring = verts :+ verts.head
+      val vperim = (1 until ring.length).map { i =>
+        H3Proj.pointDistM(ring(i - 1)._1, ring(i - 1)._2,
+          ring(i)._1, ring(i)._2)
+      }.sum
+      assert(math.abs(perim / vperim - 1.0) < 1e-6,
+        s"edge perimeter $perim vs boundary perimeter $vperim")
+    }
+    // invalids refuse/return false
+    assert(!H3Proj.edgeIsValid(42L))
+    assert(!H3Proj.edgeIsValid(cells.head)) // a cell is not an edge
+    val far = H3Proj.geoToH3(-33.9, 151.2, 6)
+    intercept[IllegalArgumentException](H3Proj.cellsToEdge(cells.head, far))
+  }
+
+  test("hexRing, pointDist, edgeAngle, res0/pentagon lists") {
+    val h = H3Proj.geoToH3(48.85, 2.35, 7)
+    for (k <- 0 to 3) {
+      val ring = H3Proj.hexRing(h, k)
+      assert(ring.length == (if (k == 0) 1 else 6 * k))
+      assert(ring.forall(c => H3Proj.gridDistance(h, c) == k))
+    }
+    // pentagon rings are smaller (5k) and must still partition the disk
+    val pent = H3Bits.toCenterChild(
+      ((1L << 59) | (14L << 45)) | ((1L << 45) - 1), 2)
+    val disk2 = H3Proj.gridDisk(pent, 2).toSet
+    val rings = (0 to 2).map(H3Proj.hexRing(pent, _).toSet)
+    assert(rings.map(_.size).sum == disk2.size)
+    assert(rings.reduce(_ ++ _) == disk2)
+    assert(rings(1).size == 5)
+    // one degree of longitude at the equator ≈ 2πR/360
+    val oneDeg = H3Proj.pointDistM(0.0, 0.0, 0.0, 1.0)
+    assert(math.abs(oneDeg - 111195.08) < 1.0, s"1° = $oneDeg m")
+    assert(H3Proj.pointDistRads(10.0, 20.0, 10.0, 20.0) == 0.0)
+    assert(math.abs(H3Proj.pointDistM(1, 2, 3, 4) -
+      H3Proj.pointDistM(3, 4, 1, 2)) < 1e-9)
+    // edge angle: the res-0 average edge subtends ~10° at the center
+    val a0 = H3Proj.edgeAngleDeg(0)
+    assert(math.abs(a0 - math.toDegrees(
+      H3Proj.edgeLengthM(0) / 6371007.180918475)) < 1e-12)
+    assert(a0 > 9.0 && a0 < 11.0, s"res-0 edge angle $a0")
+    // res-0 and pentagon listings
+    val r0 = H3Proj.res0Indexes
+    assert(r0.length == 122 && r0.forall(H3Bits.isValid) &&
+      r0.map(H3Bits.baseCell).sameElements(0 until 122))
+    for (res <- Seq(0, 5, 15)) {
+      val ps = H3Proj.pentagonIndexes(res)
+      assert(ps.length == 12 && ps.forall(H3Bits.isPentagon) &&
+        ps.forall(p => H3Bits.resolution(p) == res))
+    }
+  }
+
   test("rotation lookup covers face-equidistance slivers (r17 ADVICE)") {
     // the rotTable group-fill must leave no reachable slot at -1:
     // walk every pair of adjacent faces' equidistance great circle
@@ -437,6 +522,37 @@ class H3ProjSpec extends AnyFunSuite {
       }
     }
     assert(probes > 30000, s"sliver hunt ran only $probes probes")
+  }
+
+  test("CH SQL spellings of the r18 surface pin to the Scala API") {
+    // the probe battery only proves these RUN; this pins VALUES so a
+    // registration argument-order slip (lat/lon swapped, origin/dest
+    // reversed) cannot land silently
+    val spark = TestSpark.spark
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val h = H3Proj.geoToH3(48.85, 2.35, 7)
+    val n = H3Proj.gridDisk(h, 1)(1)
+    val e = H3Proj.cellsToEdge(h, n)
+    val row = Graft.sql(spark,
+      s"""SELECT h3Line($h, $n) AS ln,
+              h3CellAreaM2($h) AS ca,
+              h3HexRing($h, 2) AS ring,
+              h3IndexesAreNeighbors($h, $n) AS nbr,
+              h3PointDistM(10.0, 20.0, -30.0, 40.0) AS pd,
+              h3GetUnidirectionalEdge($h, $n) AS edge,
+              getH3IndexesFromUnidirectionalEdge($e).destination AS dst,
+              h3ExactEdgeLengthM($e) AS eel,
+              h3ToGeoBoundary(h3GetPentagonIndexes(2)[1]) AS pb""").head
+    assert(row.getSeq[Long](0) == H3Proj.gridPath(h, n).toSeq)
+    assert(math.abs(row.getDouble(1) - H3Proj.cellAreaM2(h)) < 1e-6)
+    assert(row.getSeq[Long](2).toSet == H3Proj.hexRing(h, 2).toSet)
+    assert(row.getBoolean(3))
+    assert(math.abs(row.getDouble(4) -
+      H3Proj.pointDistM(10.0, 20.0, -30.0, 40.0)) < 1e-9)
+    assert(row.getLong(5) == e)
+    assert(row.getLong(6) == n)
+    assert(math.abs(row.getDouble(7) - H3Proj.exactEdgeLengthM(e)) < 1e-9)
+    assert(row.getSeq[org.apache.spark.sql.Row](8).length == 5)
   }
 
   test("domain guards refuse loudly") {
