@@ -178,6 +178,79 @@ object PipelineQueries {
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
 
+  /** Feature-hash "embedding" frame for the semantic-dedup entry
+    * (doc_id, v float[64], dots double[64]): signed md5 feature hash
+    * of the document's DISTINCT 3-shingles, plus the 64 hyperplane
+    * dot products ([[graft.ops.Vectors.planeMatrix]] ±1 planes).
+    * Components are small INTEGERS, so dots/norms are exact in both
+    * engines. Cached DISK_ONLY like the other family frames.
+    */
+  private[graft] val semVecsCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
+  private def semVecs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    semVecsCache.getOrBuild((s, dir)) {
+      import s.implicits._
+      val planes = Vectors.planesSparkSql(64, 64)
+      Tables(s, dir, "documents")
+        .withColumn("sh",
+          array_distinct(Text.shingles(Text.tokens($"text"), 3)))
+        // per-shingle (idx, sign) once, then a 64-slot fold — the md5s
+        // are NOT re-evaluated per dimension
+        .withColumn("fh", expr(
+          """transform(sh, s -> struct(
+            |  CAST(conv(substring(md5(concat('fh|', s)), 1, 15), 16, 10) AS BIGINT) % 64 AS idx,
+            |  CASE WHEN CAST(conv(substring(md5(concat('fs|', s)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+            |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn))""".stripMargin))
+        .withColumn("v", expr(
+          """aggregate(fh, array_repeat(CAST(0.0 AS DOUBLE), 64),
+            |  (acc, e) -> transform(acc, (x, i) ->
+            |     CASE WHEN e.idx = i THEN x + e.sgn ELSE x END))""".stripMargin))
+        .withColumn("dots", expr(
+          s"""transform(sequence(0, 63), p ->
+             |  aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+             |    (a, d) -> a + element_at(element_at($planes, p + 1), d)
+             |                  * element_at(v, d)))""".stripMargin))
+        .select($"doc_id", $"v".cast("array<float>").as("v"), $"dots")
+        .persist(StorageLevel.DISK_ONLY)
+    }
+
+  /** Confirmed semantic near-dup pairs (doc_a, doc_b, sim): banded
+    * hyperplane-LSH candidates (4 bands × 16 bits over [[semVecs]]'
+    * plane dots, [[graft.ops.Text.selfJoinPairs]] under the family
+    * cap) confirmed at rounded cosine ≥ 0.6 — near-dups measure ~0.98,
+    * unrelated ~0. Persisted: the CC stage iterates over this frame.
+    */
+  private[graft] val semPairsCache =
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](256, _.unpersist())
+  private def semPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    semPairsCache.getOrBuild((s, dir)) {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val vecs = semVecs(s, dir)
+      val bands = vecs.select($"doc_id", explode(expr(
+        """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
+          |  CAST(aggregate(sequence(0, 15), 0L, (acc, q) ->
+          |    acc + CASE WHEN element_at(dots, b * 16 + q + 1) > 0
+          |               THEN shiftleft(1L, q) ELSE 0L END) AS STRING)))"""
+          .stripMargin)).as("bk"))
+      Text.selfJoinPairs(bands, "bk", "doc_id", LshBucketCap)
+        .select($"a_id".as("doc_a"), $"b_id".as("doc_b")).distinct()
+        .join(vecs.select($"doc_id".as("doc_a"), $"v".as("va")), "doc_a")
+        .join(vecs.select($"doc_id".as("doc_b"), $"v".as("vb")), "doc_b")
+        .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
+        // EXPLICIT NaN drop: a zero vector (empty-shingle doc) gives
+        // 0/0 = NaN here while DuckDB's list_cosine_similarity returns
+        // -1.0 — both sides must drop such pairs by CONSTRUCTION, not
+        // by comparison-semantics accident
+        .filter($"sim" >= 0.6 && !isnan($"sim"))
+        .select($"doc_a", $"doc_b", $"sim")
+        .persist(StorageLevel.DISK_ONLY)
+    }
+
   /** DuckDB oracle for the dedup-cluster entries: the full
     * minhash→bands→jaccard→CC chain re-derived in SQL. Shared by the
     * propagation AND star-contraction entries — connected components
@@ -242,6 +315,95 @@ object PipelineQueries {
              count(DISTINCT md5(text)) AS u_text,
              count(DISTINCT md5(lower(text))) AS u_norm
       FROM documents""")),
+
+    // Semantic dedup (SemDeDup shape, r18): embed → bucket → cluster →
+    // keep one per cluster. The "embedding" is a 64-dim signed
+    // feature-hash of the document's DISTINCT 3-shingles (md5 idx +
+    // md5 sign — integer-valued components, so every dot product and
+    // norm² is EXACT in both engines and only the final cosine
+    // division/sqrt needs the round-to-6 guard). Candidates come from
+    // banded hyperplane LSH (64 md5-seeded ±1 planes = 4 bands × 16
+    // bits — 2^16 buckets per band keeps unrelated collisions ~n²/65k
+    // while a cos≈0.98 near-dup pair agrees on a 16-bit band with
+    // p≈0.87^16·4-band recall; banding is the recall knob, same as the
+    // minhash family). Confirmed pairs (cos ≥ 0.6 — near-dups sit at
+    // ~0.98, unrelated at ~0, both measured) cluster via connected
+    // components, and each cluster keeps its MEDOID: the member with
+    // the largest DECIMAL-exact sum of incident confirmed cosines
+    // (ties → smallest id). Every stage is md5-deterministic, so the
+    // DuckDB oracle re-derives the whole chain from scratch.
+    QDef("pipe_semdedup", (s, dir) => {
+      import s.implicits._
+      val pairs = semPairs(s, dir)
+      val cc = Graphs.connectedComponents(
+        pairs.select($"doc_a", $"doc_b"), "doc_a", "doc_b")
+      val wts = pairs.select($"doc_a".as("id"), $"sim")
+        .unionByName(pairs.select($"doc_b".as("id"), $"sim"))
+        .groupBy($"id").agg(Det.dsum($"sim").as("w"))
+      val win = Window.partitionBy($"component")
+        .orderBy($"w".desc, $"id".asc)
+      cc.join(wts, "id")
+        .withColumn("rk", row_number().over(win))
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          max(when($"rk" === 1, $"id")).as("keep_id"),
+          max(when($"rk" === 1, $"w")).as("keep_w"))
+        .orderBy($"component")
+    }, Some(s"""
+      WITH RECURSIVE d0 AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      shx AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
+        FROM d0),
+      feat AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5('fh|' || s), 1, 15) AS BIGINT) % 64 AS idx,
+               CAST(sum(CASE WHEN CAST('0x' || substring(md5('fs|' || s), 1, 15) AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS val
+        FROM shx GROUP BY doc_id, idx),
+      vec AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> coalesce(map_extract(m, i)[1], 0.0)) AS v
+        FROM (SELECT doc_id, map(list(idx ORDER BY idx), list(val ORDER BY idx)) AS m
+              FROM feat GROUP BY doc_id)),
+      pl AS (SELECT p, (${Vectors.planesDuckSql(64, 64)})[p + 1] AS pvec
+             FROM range(0, 64) t(p)),
+      dots AS (
+        SELECT doc_id, p, list_inner_product(pvec, v) AS dot
+        FROM vec CROSS JOIN pl),
+      bands AS (
+        SELECT doc_id, (p // 16) || ':' ||
+               CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (p % 16)) ELSE 0 END) AS BIGINT) AS bk
+        FROM dots GROUP BY doc_id, p // 16),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b, round(list_cosine_similarity(x.v, y.v), 6) AS sim
+        FROM cand JOIN vec x ON cand.doc_a = x.doc_id
+                  JOIN vec y ON cand.doc_b = y.doc_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.6),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      wts AS (SELECT id, ${Det.sqlSum("sim")} AS w
+              FROM (SELECT doc_a AS id, sim FROM pairs
+                    UNION ALL SELECT doc_b, sim FROM pairs) GROUP BY id),
+      ranked AS (
+        SELECT comp.component, comp.id, wts.w,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY wts.w DESC, comp.id) AS rk
+        FROM comp JOIN wts ON comp.id = wts.id)
+      SELECT component, count(*) AS n_members,
+             CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS keep_id,
+             max(CASE WHEN rk = 1 THEN w END) AS keep_w
+      FROM ranked GROUP BY component ORDER BY component""")),
 
     // MinHash + LSH near-duplicate pairs — THE bucketed near-dup
     // pipeline: 3-word shingles → 16 min-hashes → 8 bands × 2 →

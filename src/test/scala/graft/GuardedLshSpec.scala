@@ -211,6 +211,35 @@ class GuardedLshSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.lsh.saltHotBuckets")
   }
 
+  test("pipe_semdedup: planted duplicate structure clusters, medoid kept") {
+    // the DuckDB gate proves engine agreement; this proves the SEMANTIC
+    // contract on a corpus with known structure: byte-identical copies
+    // have cosine 1 and ALWAYS share every band, so the exact-dup
+    // groups A (cos 1 to each other) and their near-dup bridge to B
+    // (cos ≈ 0.89) merge into one 7-member cluster with the medoid
+    // rule picking the smallest id of the LARGER identical group. The
+    // cos-0.875 twin pair (5, 6) is NOT asserted: a single 16-bit band
+    // catches such a pair with p ≈ 0.84^16 ≈ 6% (×4 bands ≈ 22%) —
+    // banded hyperplane LSH's designed recall, the knob the entry's
+    // comment documents, not a defect. The empty-shingle dup group
+    // (300/301, zero vectors) must be absent — Spark's cosine gives
+    // 0/0 = NaN (dropped EXPLICITLY by the !isnan guard) while
+    // DuckDB's list_cosine_similarity returns -1.0 (below threshold).
+    val got = SparkEntry.queries("pipe_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val byComp = got.map(r => r._1 -> r).toMap
+    val ab = byComp.get(100L)
+    assert(ab.exists(_._2 == 7L),
+      s"groups A+B should merge into one 7-member cluster: $got")
+    assert(ab.exists(_._3 == 100L), s"A∪B medoid should be 100: $ab")
+    assert(!got.exists(r => r._1 >= 300L && r._1 <= 301L),
+      s"empty-shingle zero-vector docs must not cluster: $got")
+    for ((comp, n, keep) <- got) {
+      assert(n >= 2, s"singleton component $comp reported")
+      assert(keep >= comp, "keep id must be a member (component = min id)")
+    }
+  }
+
   test("guardBuckets: transparent under the cap, loud refusal above it") {
     val s = spark
     import s.implicits._
