@@ -270,6 +270,57 @@ object Stress {
       .agg(max(struct($"n_toks", -$"id")).as("m"))
     val (nPick, tPick) = timed(pick.count())
     report("dedup_cc_pick", mult, nPairs, tCc + tPick, exchanges(pick), nPick)
+
+    // ---- semantic dedup (r18, pipe_semdedup's chain): feature-hash
+    // embeddings → banded hyperplane LSH → cosine-confirmed pairs →
+    // CC clusters. The heavy stage is the 64-plane dot fold (4096
+    // multiply-adds/doc — map-side, linear in docs); candidates stay
+    // a guarded band equi-join. `out` = clusters found; the planted
+    // twins sit at cos ≈ 0.98, where the 4×16-bit banding's recall is
+    // ~0.7 — `out` tracking ~0.7·planted at every rung IS the
+    // documented recall knob holding across scale.
+    graft.functions.GraftFunctions.register(spark)
+    val planesS = graft.ops.Vectors.planesSparkSql(64, 64)
+    val semv = synthDocs(spark, nDocs)
+      .withColumn("sh", array_distinct(Text.shingles(Text.tokens($"text"), 3)))
+      .withColumn("fh", expr(
+        """transform(sh, s -> struct(
+          |  CAST(conv(substring(md5(concat('fh|', s)), 1, 15), 16, 10) AS BIGINT) % 64 AS idx,
+          |  CASE WHEN CAST(conv(substring(md5(concat('fs|', s)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+          |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn))""".stripMargin))
+      .withColumn("v", expr(
+        """aggregate(fh, array_repeat(CAST(0.0 AS DOUBLE), 64),
+          |  (acc, e) -> transform(acc, (x, i) ->
+          |     CASE WHEN e.idx = i THEN x + e.sgn ELSE x END))""".stripMargin))
+      .withColumn("dots", expr(
+        s"""transform(sequence(0, 63), p ->
+           |  aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+           |    (a, d) -> a + element_at(element_at($planesS, p + 1), d)
+           |                  * element_at(v, d)))""".stripMargin))
+      .select($"doc_id", $"v".cast("array<float>").as("v"), $"dots")
+      .persist(StorageLevel.DISK_ONLY)
+    val (_, tVec) = timed(semv.count())
+    val semBands = semv.select($"doc_id", explode(expr(
+      """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
+        |  CAST(aggregate(sequence(0, 15), 0L, (acc, q) ->
+        |    acc + CASE WHEN element_at(dots, b * 16 + q + 1) > 0
+        |               THEN shiftleft(1L, q) ELSE 0L END) AS STRING)))"""
+        .stripMargin)).as("bk"))
+    val semPairs = Text.selfJoinPairs(semBands, "bk", "doc_id", 10000)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")).distinct()
+      .join(semv.select($"doc_id".as("doc_a"), $"v".as("va")), "doc_a")
+      .join(semv.select($"doc_id".as("doc_b"), $"v".as("vb")), "doc_b")
+      .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
+      .filter($"sim" >= 0.6 && !isnan($"sim"))
+      .select($"doc_a", $"doc_b")
+      .persist(StorageLevel.DISK_ONLY)
+    val (_, tSem) = timed(semPairs.count())
+    val semCc = Graphs.connectedComponents(semPairs, "doc_a", "doc_b")
+      .select($"component").distinct()
+    val (nClust, tSemCc) = timed(semCc.count())
+    report("semdedup", mult, nDocs * 11 / 10, tVec + tSem + tSemCc,
+      exchanges(semCc), nClust)
+    semv.unpersist(); semPairs.unpersist()
     pairs.unpersist(); cc.unpersist()
 
     // ---- BM25 over the same corpus (r15, same shape as the declared

@@ -22,7 +22,7 @@ if [[ "${1:-}" == "--sf01" ]]; then
       pipe_dedup_components pipe_dedup_components_star
       pipe_dedup_canonical pipe_ngram_jaccard pipe_curation_e2e
       pipe_ann_ivf pipe_ann_ivf_mp pipe_ann_lsh pipe_sim_topk
-      pipe_decontaminate pipe_simhash udf_executable cb43_q32
+      pipe_decontaminate pipe_simhash pipe_semdedup udf_executable cb43_q32
       cb43_q33 cb43_q34 tpch_q2_mincost tpch_q17_small_qty
       funnel_window funnel_topk rel_limit_by window_rank)
   fi
