@@ -1255,6 +1255,8 @@ object Probe {
         |round(h3ExactEdgeLengthM(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))), 0) AS eel,
         |round(h3ExactEdgeLengthKm(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))) * 1000 - h3ExactEdgeLengthM(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))), 6) AS eel_consistent,
         |round(h3ExactEdgeLengthRads(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))) * 6371007.180918475 - h3ExactEdgeLengthM(h3GetUnidirectionalEdge(stringToH3('8928308280fffff'), stringToH3('8928308280bffff'))), 6) AS eel_rads_consistent""".stripMargin.replace("\n", " "),
+    "w45_ulid" ->
+      "SELECT length(generateULID()) AS l26, ULIDStringToDateTime('01ARZ3NDEKTSV4RRFFQ69G5FAV') AS t0, ULIDStringToDateTime(generateULID()) AS tnow",
     "w43_geohashes_in_box" ->
       "SELECT geohashesInBox(24.48, 40.56, 24.785, 40.81, 4) AS cover, geohashesInBox(1.0, 1.0, -1.0, -1.0, 5) AS inverted",
     "w43_simhash_tokens" ->

@@ -5102,6 +5102,22 @@ object ChDialect {
         math.exp(m + math.sqrt(v) * rng().nextGaussian())).asNondeterministic())
       spark.udf.register(gd("randExponential"), udf((l: Double) =>
         -math.log(1.0 - rng().nextDouble()) / l).asNondeterministic())
+      // ULID generator (r18): random by nature like the rest of this
+      // block — 10 Crockford chars of unix-ms + 16 random chars (the
+      // published ULID layout); the deterministic decoder
+      // ULIDStringToDateTime (ulidMillis above) round-trips it
+      spark.udf.register(gd("generateULID"), udf(() => {
+        val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+        val sb = new java.lang.StringBuilder(26)
+        val ms = System.currentTimeMillis()
+        var i = 9
+        while (i >= 0) {
+          sb.append(alphabet.charAt(((ms >>> (5 * i)) & 31).toInt)); i -= 1
+        }
+        var j = 0
+        while (j < 16) { sb.append(alphabet.charAt(rng().nextInt(32))); j += 1 }
+        sb.toString
+      }).asNondeterministic())
       spark.udf.register(gd("randBernoulli"), udf((p: Double) =>
         if (rng().nextDouble() < p) 1L else 0L).asNondeterministic())
       spark.udf.register(gd("randBinomial"), udf((n: Long, p: Double) => {

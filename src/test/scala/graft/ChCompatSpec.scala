@@ -877,4 +877,30 @@ class ChCompatSpec extends AnyFunSuite {
     assert(g.getDouble(4) == 43.9) // CH docs: h3HexAreaM2(13) -> 43.9
     assert(g.getDouble(5) == 65.90780749) // CH docs: h3EdgeLengthM(10)
   }
+
+  test("generateULID / ULIDStringToDateTime (r18)") {
+    // decode is deterministic: the well-known spec example's 10-char
+    // time prefix is Crockford 1469922850259 ms (re-derived
+    // independently: Σ digit·32^k over the published alphabet)
+    val d = run("""
+      SELECT ULIDStringToDateTime('01ARZ3NDEKTSV4RRFFQ69G5FAV') AS t,
+             ULIDStringToDateTime('01arz3ndektsv4rrffq69g5fav') AS tl,
+             ULIDStringToDateTime('0000000001AAAAAAAAAAAAAAAA') AS one""").head
+    assert(d.getTimestamp(0).getTime == 1469922850259L, d.getTimestamp(0))
+    assert(d.getTimestamp(1).getTime == 1469922850259L, "case-insensitive")
+    assert(d.getTimestamp(2).getTime == 1L)
+    // generator: 26 Crockford chars, distinct across calls, and its
+    // own decode lands within minutes of now
+    val g = run("""
+      SELECT generateULID() AS a, generateULID() AS b,
+             ULIDStringToDateTime(generateULID()) AS t""").head
+    val ulid = g.getString(0)
+    assert(ulid.length == 26 &&
+      ulid.forall("0123456789ABCDEFGHJKMNPQRSTVWXYZ".contains(_)), ulid)
+    assert(g.getString(1) != ulid, "two ULIDs in one row collided")
+    val skewMs = math.abs(g.getTimestamp(2).getTime - System.currentTimeMillis())
+    assert(skewMs < 600000L, s"ULID time prefix off by $skewMs ms")
+    // malformed input yields NULL (the decoder's documented contract)
+    assert(run("SELECT ULIDStringToDateTime('not-a-ulid') AS x").head.isNullAt(0))
+  }
 }
