@@ -1262,7 +1262,11 @@ object Probe {
     "w43_simhash_tokens" ->
       "SELECT wordShingleSimHash('the quick brown fox jumps over the lazy dog') AS w, ngramSimHash('ClickHouse', 4) AS n, hasTokenOrNull('Hello, world', 'world') AS t, hasTokenOrNull('Hello, world', 'not a token') AS tn",
     "w42_h3_pentagon" ->
-      "SELECT h3IsPentagon(stringToH3('8009fffffffffff')) AS pent, h3IsResClassIII(stringToH3('8928308280fffff')) AS c3, h3ToString(h3ToCenterChild(stringToH3('8009fffffffffff'), 2)) AS cc, arraySum(arrayMap(x -> 1, h3ToChildren(stringToH3('8009fffffffffff'), 1))) AS n1, size(h3ToGeoBoundary(stringToH3('8009fffffffffff'))) AS pb5, size(h3ToGeoBoundary(h3ToCenterChild(stringToH3('8009fffffffffff'), 1))) AS pb10, size(h3GetFaces(stringToH3('8009fffffffffff'))) AS pf5"
+      "SELECT h3IsPentagon(stringToH3('8009fffffffffff')) AS pent, h3IsResClassIII(stringToH3('8928308280fffff')) AS c3, h3ToString(h3ToCenterChild(stringToH3('8009fffffffffff'), 2)) AS cc, arraySum(arrayMap(x -> 1, h3ToChildren(stringToH3('8009fffffffffff'), 1))) AS n1, size(h3ToGeoBoundary(stringToH3('8009fffffffffff'))) AS pb5, size(h3ToGeoBoundary(h3ToCenterChild(stringToH3('8009fffffffffff'), 1))) AS pb10, size(h3GetFaces(stringToH3('8009fffffffffff'))) AS pf5",
+    // ---- wave 46 (round 19): sqids codec (spec vectors; empty
+    // default blocklist is the documented divergence — SqidsSpec)
+    "w46_sqids" ->
+      "SELECT sqid(1, 2, 3) AS s3, sqidEncode(4572721) AS se, sqidDecode('86Rf07') AS d3, sqid(9) AS s1"
   )
 
   def main(argv: Array[String]): Unit = {

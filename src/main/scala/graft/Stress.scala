@@ -257,6 +257,31 @@ object Stress {
       val (nPairsU, tU) = timed(pairsU.count())
       report("lsh_skew_unguarded", mult, nSkew, tU,
         exchanges(pairsU), nPairsU)
+
+      // ---- r19 salted-hatch pricing (r18 verdict task 7): the SAME
+      // corpus, still WITHOUT exact-dedup-first, but with the escape
+      // hatch on — cap 1000 forces the boilerplate band buckets hot
+      // (each holds ~10% of the corpus), and saltHotBuckets=s spreads
+      // each bucket's O(n²) pair work over s(s+1)/2 tasks. The pair
+      // SET equals the unguarded rung's (GuardedLshSpec); what salting
+      // buys is straggler removal, NOT asymptotics — the pair volume
+      // is the same quadratic term, so exact-dedup-first composition
+      // (lsh_skew_guarded, ~linear) remains the production answer for
+      // byte-identical storms. The hatch's real use case is
+      // near-identical VARIANT storms, where representatives don't
+      // collapse and the quadratic work is genuinely irreducible.
+      for (s <- Seq(8, 16)) {
+        val pairsS = Text.selfJoinPairs(bandsU, "bk", "doc_id", 1000, s)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+          .distinct()
+          .join(shsU.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+          .join(shsU.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+          .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.35)
+          .select($"doc_a", $"doc_b")
+        val (nPairsS, tS) = timed(pairsS.count())
+        report(s"lsh_skew_salted_s$s", mult, nSkew, tS,
+          exchanges(pairsS), nPairsS)
+      }
       docsU.unpersist()
     }
     skew.unpersist()
@@ -280,47 +305,37 @@ object Stress {
     // ~0.7 — `out` tracking ~0.7·planted at every rung IS the
     // documented recall knob holding across scale.
     graft.functions.GraftFunctions.register(spark)
-    val planesS = graft.ops.Vectors.planesSparkSql(64, 64)
-    val semv = synthDocs(spark, nDocs)
-      .withColumn("sh", array_distinct(Text.shingles(Text.tokens($"text"), 3)))
-      .withColumn("fh", expr(
-        """transform(sh, s -> struct(
-          |  CAST(conv(substring(md5(concat('fh|', s)), 1, 15), 16, 10) AS BIGINT) % 64 AS idx,
-          |  CASE WHEN CAST(conv(substring(md5(concat('fs|', s)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
-          |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn))""".stripMargin))
-      .withColumn("v", expr(
-        """aggregate(fh, array_repeat(CAST(0.0 AS DOUBLE), 64),
-          |  (acc, e) -> transform(acc, (x, i) ->
-          |     CASE WHEN e.idx = i THEN x + e.sgn ELSE x END))""".stripMargin))
-      .withColumn("dots", expr(
-        s"""transform(sequence(0, 63), p ->
-           |  aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
-           |    (a, d) -> a + element_at(element_at($planesS, p + 1), d)
-           |                  * element_at(v, d)))""".stripMargin))
-      .select($"doc_id", $"v".cast("array<float>").as("v"), $"dots")
-      .persist(StorageLevel.DISK_ONLY)
-    val (_, tVec) = timed(semv.count())
-    val semBands = semv.select($"doc_id", explode(expr(
-      """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
-        |  CAST(aggregate(sequence(0, 15), 0L, (acc, q) ->
-        |    acc + CASE WHEN element_at(dots, b * 16 + q + 1) > 0
-        |               THEN shiftleft(1L, q) ELSE 0L END) AS STRING)))"""
-        .stripMargin)).as("bk"))
-    val semPairs = Text.selfJoinPairs(semBands, "bk", "doc_id", 10000)
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")).distinct()
-      .join(semv.select($"doc_id".as("doc_a"), $"v".as("va")), "doc_a")
-      .join(semv.select($"doc_id".as("doc_b"), $"v".as("vb")), "doc_b")
-      .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
-      .filter($"sim" >= 0.6 && !isnan($"sim"))
-      .select($"doc_a", $"doc_b")
-      .persist(StorageLevel.DISK_ONLY)
-    val (_, tSem) = timed(semPairs.count())
-    val semCc = Graphs.connectedComponents(semPairs, "doc_a", "doc_b")
-      .select($"component").distinct()
-    val (nClust, tSemCc) = timed(semCc.count())
-    report("semdedup", mult, nDocs * 11 / 10, tVec + tSem + tSemCc,
-      exchanges(semCc), nClust)
-    semv.unpersist(); semPairs.unpersist()
+    // r19: the rung now runs through the parameterized library
+    // operator (ops/SemDedup) — the same code path as pipe_semdedup —
+    // at BOTH band geometries: 4×16-bit (the gate default; spurious
+    // candidates ~ 4·n²/2¹⁶) and 4×24-bit (the documented 100-TB
+    // setting; the same term cut 256× per band). `cand` = the raw
+    // banded candidate-pair count BEFORE cosine confirmation — the
+    // spurious term itself, reported as a separate rung so its scale
+    // curve is measured, not inferred from wall time.
+    for ((bits, tag) <- Seq(16 -> "semdedup", 24 -> "semdedup24")) {
+      val p = graft.ops.SemDedupParams(bands = 4, bitsPerBand = bits)
+      val semv = graft.ops.SemDedup
+        .featureVecs(synthDocs(spark, nDocs), "doc_id", "text", p)
+        .persist(StorageLevel.DISK_ONLY)
+      val (_, tVec) = timed(semv.count())
+      val semCand = graft.ops.Text.selfJoinPairs(
+          graft.ops.SemDedup.bandKeys(semv, "doc_id", p), "bk", "doc_id", p.cap)
+        .select($"a_id", $"b_id").distinct()
+      val (nCand, tCand) = timed(semCand.count())
+      report(s"${tag}_cand", mult, nDocs * 11 / 10, tVec + tCand,
+        exchanges(semCand), nCand)
+      val semPairs = graft.ops.SemDedup.pairsFromVecs(semv, "doc_id", p)
+        .select($"a_id".as("doc_a"), $"b_id".as("doc_b"))
+        .persist(StorageLevel.DISK_ONLY)
+      val (_, tSem) = timed(semPairs.count())
+      val semCc = Graphs.connectedComponents(semPairs, "doc_a", "doc_b")
+        .select($"component").distinct()
+      val (nClust, tSemCc) = timed(semCc.count())
+      report(tag, mult, nDocs * 11 / 10, tVec + tSem + tSemCc,
+        exchanges(semCc), nClust)
+      semv.unpersist(); semPairs.unpersist()
+    }
     pairs.unpersist(); cc.unpersist()
 
     // ---- BM25 over the same corpus (r15, same shape as the declared

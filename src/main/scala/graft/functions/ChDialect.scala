@@ -3028,6 +3028,14 @@ object ChDialect {
     reg("h3ToGeo")(c => H3ToGeo(Cast(c.head, LongType)))
     reg("h3ToGeoBoundary")(c => H3ToGeoBoundary(Cast(c.head, LongType)))
     reg("h3GetFaces")(c => H3GetFaces(Cast(c.head, LongType)))
+    // USER-FACING h3Line divergences (r18 ADVICE — surfaced here, not
+    // just in gridPath's scaladoc): (1) pairs farther than 64 grid
+    // rings apart REFUSE (the gridDistance BFS cap — CH's h3Line has
+    // no cap; a longer per-row line is a scale bug here, same contract
+    // as h3_k_ring's k ≤ 32); (2) cross-face pairs return a BFS
+    // shortest path, not the published same-face cube lerp (h3lib
+    // itself refuses across pentagon distortion there). Also noted in
+    // SURVEY §8's divergence list.
     reg("h3Line")(c =>
       H3Line(Cast(c(0), LongType), Cast(c(1), LongType)))
     reg("h3CellAreaM2")(c => H3CellAreaM2(Cast(c.head, LongType)))
@@ -4602,6 +4610,13 @@ object ChDialect {
           "jumpConsistentHash(x, n) provides the same O(1) " +
           "consistent-bucket contract")
     }
+    // Sqids codec (r19): spec transcription with published-vector pins
+    // (SqidsSpec). The variadic CH spelling packs into one array arg;
+    // empty blocklist by default — the documented divergence vs CH's
+    // bundled profanity data file (Sqids.scala scaladoc, SURVEY §8).
+    reg("sqid")(c => SqidEncode(CreateArray(c.map(Cast(_, LongType)))))
+    reg("sqidEncode")(c => SqidEncode(CreateArray(c.map(Cast(_, LongType)))))
+    reg("sqidDecode")(c => SqidDecode(c.head))
     // the session is UTC-pinned (Graft.init), so the zone metadata
     // functions are plan-time constants
     macroFn("timeZone", Seq(), "'UTC'")

@@ -214,5 +214,11 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction(
       "h3_grid_distance", (children: Seq[Expression]) =>
         H3GridDistance(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "signed_feature_fold", (children: Seq[Expression]) =>
+        SignedFeatureFold(children(0), children(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "hyperplane_dots", (children: Seq[Expression]) =>
+        HyperplaneDots(children(0), children(1)), "built-in")
   }
 }

@@ -169,6 +169,13 @@ object Text {
     * the naive quadratic join on a planted hot corpus). The salt hash
     * is xxhash64 — safe even for oracle-checked queries because it
     * never reaches the output.
+    *
+    * EVALUATION contract (r18 ADVICE): the salted branch references
+    * `frame` three times (one counts aggregation + the two sides of
+    * the self-join; cold and hot rows share ONE join, so there is no
+    * per-branch re-evaluation) — pass a PERSISTED frame when
+    * `saltHotBuckets > 0`, or the upstream derivation runs 3×. The
+    * default branch has the same 3-reference shape via guardBuckets.
     */
   def selfJoinPairs(frame: DataFrame, keyCol: String, idCol: String,
                     cap: Int, saltHotBuckets: Int = 0): DataFrame = {
@@ -187,27 +194,30 @@ object Text {
     val s = saltHotBuckets
     val counts = frame.groupBy(col(keyCol).as("__sjk"))
       .agg(count(lit(1)).as("__sjn"))
-    // <=> for the same NULL-key reason as guardBuckets
-    val tagged = frame.join(counts, col(keyCol) <=> col("__sjk"))
+    // <=> for the same NULL-key reason as guardBuckets. Cold rows ride
+    // the SAME replicated self-join as hot ones with a sentinel salt
+    // (-1) and a single task (-1, -1) — one join covers both, instead
+    // of separate cold/hot branches each re-evaluating the input.
+    val hot = col("__sjn") > cap
+    val repl = frame.join(counts, col(keyCol) <=> col("__sjk"))
       .drop("__sjk")
-    val cold = tagged.filter(col("__sjn") <= cap).drop("__sjn")
-    val hot = tagged.filter(col("__sjn") > cap).drop("__sjn")
-      .withColumn("__g", pmod(xxhash64(col(idCol)), lit(s)).cast("int"))
-    val repl = hot
-      .withColumn("__t", explode(sequence(lit(0), lit(s - 1))))
+      .withColumn("__g", when(hot,
+        pmod(xxhash64(col(idCol)), lit(s)).cast("int")).otherwise(lit(-1)))
+      .withColumn("__t", explode(when(hot,
+        sequence(lit(0), lit(s - 1))).otherwise(array(lit(-1)))))
       .withColumn("__ta", least(col("__g"), col("__t")))
       .withColumn("__tb", greatest(col("__g"), col("__t")))
-    val hotPairs = repl.as("a").join(repl.as("b"),
+    repl.as("a").join(repl.as("b"),
         col(s"a.$keyCol") <=> col(s"b.$keyCol") &&
           col("a.__ta") === col("b.__ta") &&
           col("a.__tb") === col("b.__tb") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
-          // keep the pair only in ITS OWN {gx, gy} task
+          // keep the pair only in ITS OWN {gx, gy} task (equal-salt
+          // pairs co-occur in s tasks; cold pairs only in (-1, -1))
           least(col("a.__g"), col("b.__g")) === col("a.__ta") &&
           greatest(col("a.__g"), col("b.__g")) === col("a.__tb"))
       .select(col(s"a.$keyCol").as(keyCol),
         col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
-    pairsOf(cold).unionByName(hotPairs)
   }
 
   /** Exact Jaccard similarity of two pre-distinct arrays. Two EMPTY

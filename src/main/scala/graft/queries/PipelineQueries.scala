@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, QDef, Tables}
 import graft.functions.GraftFunctions
-import graft.ops.{Graphs, Multimodal, Text, Vectors}
+import graft.ops.{Graphs, Multimodal, SemDedupParams, Text, Vectors}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -89,26 +89,29 @@ object PipelineQueries {
     * whole family, aged out by the same unpersist-on-evict LRU.
     */
   private[graft] val lshPairsCache =
-    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String, Int),
       org.apache.spark.sql.DataFrame](256, _.unpersist())
   private def lshPairs(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    lshPairsCache.getOrBuild((s, dir)) {
+      : org.apache.spark.sql.DataFrame = {
+    // hot-bucket POLICY (r17 verdict task 3): default 0 = the loud
+    // refusal contract (guardBuckets inside selfJoinPairs); a user
+    // who wants the answer anyway sets
+    // spark.graft.lsh.saltHotBuckets=s and the >cap buckets run
+    // triangle-salted across s(s+1)/2 tasks with an identical pair
+    // set (GuardedLshSpec proves both against the naive join).
+    // The salt mode is PART OF THE CACHE KEY (r18 ADVICE): changing
+    // the conf mid-session takes effect on the next call instead of
+    // silently serving a frame built under the old policy. The pair
+    // SET is policy-independent, so a stale entry was never a wrong
+    // answer — only a wrong execution shape.
+    val saltMode = s.conf.getOption("spark.graft.lsh.saltHotBuckets")
+      .map(_.toInt).getOrElse(0)
+    lshPairsCache.getOrBuild((s, dir, saltMode)) {
       import s.implicits._
       val docs = lshDocs(s, dir)
       val bands =
         docs.select($"doc_id", explode(Text.bandKeys($"sig", 8, 2)).as("bk"))
       val shs = docs.select($"doc_id", $"sh")
-      // hot-bucket POLICY (r17 verdict task 3): default 0 = the loud
-      // refusal contract (guardBuckets inside selfJoinPairs); a user
-      // who wants the answer anyway sets
-      // spark.graft.lsh.saltHotBuckets=s and the >cap buckets run
-      // triangle-salted across s(s+1)/2 tasks with an identical pair
-      // set (GuardedLshSpec proves both against the naive join).
-      // Read once per (session, fixture) — the frame is LRU-cached,
-      // so set the conf BEFORE the family's first query
-      val saltMode = s.conf.getOption("spark.graft.lsh.saltHotBuckets")
-        .map(_.toInt).getOrElse(0)
       Text.selfJoinPairs(bands, "bk", "doc_id", LshBucketCap, saltMode)
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
         .distinct()
@@ -119,6 +122,7 @@ object PipelineQueries {
         .select($"doc_a", $"doc_b", $"jac")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
+  }
 
   /** Duplicate-group members with their group's self-Jaccard
     * (rep_id, doc_id, jrep), guarded at [[LshBucketCap]] — the
@@ -186,33 +190,18 @@ object PipelineQueries {
     * engines. Cached DISK_ONLY like the other family frames.
     */
   private[graft] val semVecsCache =
-    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+    new graft.ops.LruCache[
+      (org.apache.spark.sql.SparkSession, String, Int, Int, Int),
       org.apache.spark.sql.DataFrame](256, _.unpersist())
-  private def semVecs(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def semVecs(s: org.apache.spark.sql.SparkSession, dir: String,
+                      p: SemDedupParams = SemDedupParams())
       : org.apache.spark.sql.DataFrame =
-    semVecsCache.getOrBuild((s, dir)) {
-      import s.implicits._
-      val planes = Vectors.planesSparkSql(64, 64)
-      Tables(s, dir, "documents")
-        .withColumn("sh",
-          array_distinct(Text.shingles(Text.tokens($"text"), 3)))
-        // per-shingle (idx, sign) once, then a 64-slot fold — the md5s
-        // are NOT re-evaluated per dimension
-        .withColumn("fh", expr(
-          """transform(sh, s -> struct(
-            |  CAST(conv(substring(md5(concat('fh|', s)), 1, 15), 16, 10) AS BIGINT) % 64 AS idx,
-            |  CASE WHEN CAST(conv(substring(md5(concat('fs|', s)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
-            |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn))""".stripMargin))
-        .withColumn("v", expr(
-          """aggregate(fh, array_repeat(CAST(0.0 AS DOUBLE), 64),
-            |  (acc, e) -> transform(acc, (x, i) ->
-            |     CASE WHEN e.idx = i THEN x + e.sgn ELSE x END))""".stripMargin))
-        .withColumn("dots", expr(
-          s"""transform(sequence(0, 63), p ->
-             |  aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
-             |    (a, d) -> a + element_at(element_at($planes, p + 1), d)
-             |                  * element_at(v, d)))""".stripMargin))
-        .select($"doc_id", $"v".cast("array<float>").as("v"), $"dots")
+    // keyed by the embed-stage parameters only (band grouping happens
+    // downstream): two band geometries over the same (dims, planes)
+    // share one persisted embedding frame
+    semVecsCache.getOrBuild((s, dir, p.shingleN, p.dims, p.nPlanes)) {
+      graft.ops.SemDedup
+        .featureVecs(Tables(s, dir, "documents"), "doc_id", "text", p)
         .persist(StorageLevel.DISK_ONLY)
     }
 
@@ -223,31 +212,16 @@ object PipelineQueries {
     * unrelated ~0. Persisted: the CC stage iterates over this frame.
     */
   private[graft] val semPairsCache =
-    new graft.ops.LruCache[(org.apache.spark.sql.SparkSession, String),
+    new graft.ops.LruCache[
+      (org.apache.spark.sql.SparkSession, String, SemDedupParams),
       org.apache.spark.sql.DataFrame](256, _.unpersist())
-  private def semPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def semPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                       p: SemDedupParams = SemDedupParams())
       : org.apache.spark.sql.DataFrame =
-    semPairsCache.getOrBuild((s, dir)) {
+    semPairsCache.getOrBuild((s, dir, p)) {
       import s.implicits._
-      GraftFunctions.register(s)
-      val vecs = semVecs(s, dir)
-      val bands = vecs.select($"doc_id", explode(expr(
-        """transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',
-          |  CAST(aggregate(sequence(0, 15), 0L, (acc, q) ->
-          |    acc + CASE WHEN element_at(dots, b * 16 + q + 1) > 0
-          |               THEN shiftleft(1L, q) ELSE 0L END) AS STRING)))"""
-          .stripMargin)).as("bk"))
-      Text.selfJoinPairs(bands, "bk", "doc_id", LshBucketCap)
-        .select($"a_id".as("doc_a"), $"b_id".as("doc_b")).distinct()
-        .join(vecs.select($"doc_id".as("doc_a"), $"v".as("va")), "doc_a")
-        .join(vecs.select($"doc_id".as("doc_b"), $"v".as("vb")), "doc_b")
-        .withColumn("sim", round(expr("cosine_sim(va, vb)"), 6))
-        // EXPLICIT NaN drop: a zero vector (empty-shingle doc) gives
-        // 0/0 = NaN here while DuckDB's list_cosine_similarity returns
-        // -1.0 — both sides must drop such pairs by CONSTRUCTION, not
-        // by comparison-semantics accident
-        .filter($"sim" >= 0.6 && !isnan($"sim"))
-        .select($"doc_a", $"doc_b", $"sim")
+      graft.ops.SemDedup.pairsFromVecs(semVecs(s, dir, p), "doc_id", p)
+        .select($"a_id".as("doc_a"), $"b_id".as("doc_b"), $"sim")
         .persist(StorageLevel.DISK_ONLY)
     }
 
@@ -334,76 +308,25 @@ object PipelineQueries {
     // DuckDB oracle re-derives the whole chain from scratch.
     QDef("pipe_semdedup", (s, dir) => {
       import s.implicits._
-      val pairs = semPairs(s, dir)
-      val cc = Graphs.connectedComponents(
-        pairs.select($"doc_a", $"doc_b"), "doc_a", "doc_b")
-      val wts = pairs.select($"doc_a".as("id"), $"sim")
-        .unionByName(pairs.select($"doc_b".as("id"), $"sim"))
-        .groupBy($"id").agg(Det.dsum($"sim").as("w"))
-      val win = Window.partitionBy($"component")
-        .orderBy($"w".desc, $"id".asc)
-      cc.join(wts, "id")
-        .withColumn("rk", row_number().over(win))
-        .groupBy($"component")
-        .agg(count(lit(1)).as("n_members"),
-          max(when($"rk" === 1, $"id")).as("keep_id"),
-          max(when($"rk" === 1, $"w")).as("keep_w"))
-        .orderBy($"component")
-    }, Some(s"""
-      WITH RECURSIVE d0 AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      shx AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(toks) - 1, 1)),
-                 i -> array_to_string(toks[i:i+2], ' ')))) AS s
-        FROM d0),
-      feat AS (
-        SELECT doc_id,
-               CAST('0x' || substring(md5('fh|' || s), 1, 15) AS BIGINT) % 64 AS idx,
-               CAST(sum(CASE WHEN CAST('0x' || substring(md5('fs|' || s), 1, 15) AS BIGINT) % 2 = 0
-                        THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS val
-        FROM shx GROUP BY doc_id, idx),
-      vec AS (
-        SELECT doc_id,
-               list_transform(range(0, 64), i -> coalesce(map_extract(m, i)[1], 0.0)) AS v
-        FROM (SELECT doc_id, map(list(idx ORDER BY idx), list(val ORDER BY idx)) AS m
-              FROM feat GROUP BY doc_id)),
-      pl AS (SELECT p, (${Vectors.planesDuckSql(64, 64)})[p + 1] AS pvec
-             FROM range(0, 64) t(p)),
-      dots AS (
-        SELECT doc_id, p, list_inner_product(pvec, v) AS dot
-        FROM vec CROSS JOIN pl),
-      bands AS (
-        SELECT doc_id, (p // 16) || ':' ||
-               CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (p % 16)) ELSE 0 END) AS BIGINT) AS bk
-        FROM dots GROUP BY doc_id, p // 16),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT doc_a, doc_b, round(list_cosine_similarity(x.v, y.v), 6) AS sim
-        FROM cand JOIN vec x ON cand.doc_a = x.doc_id
-                  JOIN vec y ON cand.doc_b = y.doc_id
-        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.6),
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION SELECT doc_b, doc_a FROM pairs),
-      reach(id, r) AS (
-        SELECT DISTINCT a, a FROM edges
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-      wts AS (SELECT id, ${Det.sqlSum("sim")} AS w
-              FROM (SELECT doc_a AS id, sim FROM pairs
-                    UNION ALL SELECT doc_b, sim FROM pairs) GROUP BY id),
-      ranked AS (
-        SELECT comp.component, comp.id, wts.w,
-               row_number() OVER (PARTITION BY comp.component
-                                  ORDER BY wts.w DESC, comp.id) AS rk
-        FROM comp JOIN wts ON comp.id = wts.id)
-      SELECT component, count(*) AS n_members,
-             CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS keep_id,
-             max(CASE WHEN rk = 1 THEN w END) AS keep_w
-      FROM ranked GROUP BY component ORDER BY component""")),
+      graft.ops.SemDedup.clusters(semPairs(s, dir)
+        .select($"doc_a".as("a_id"), $"doc_b".as("b_id"), $"sim"))
+    }, Some(graft.ops.SemDedup.oracleSql("documents", "doc_id", "text"))),
+
+    // The same operator at a DIFFERENT band geometry (2 × 24-bit bands,
+    // 48 planes) — the r19 parameterization proof: `bitsPerBand` is THE
+    // 100-TB scale knob (spurious band collisions ~ n²/2^bits,
+    // STRESS.md), and this entry walks the whole parameterized chain —
+    // Spark operator AND generated DuckDB oracle — through the gate at
+    // non-default parameters. Fewer/wider bands trade recall (2 bands
+    // at ~0.987²⁴ per-band agreement for a cos≈0.98 twin) for a 256×
+    // smaller collision term, the documented production trade.
+    QDef("pipe_semdedup_b24", (s, dir) => {
+      import s.implicits._
+      val p = SemDedupParams(bands = 2, bitsPerBand = 24)
+      graft.ops.SemDedup.clusters(semPairs(s, dir, p)
+        .select($"doc_a".as("a_id"), $"doc_b".as("b_id"), $"sim"))
+    }, Some(graft.ops.SemDedup.oracleSql("documents", "doc_id", "text",
+      SemDedupParams(bands = 2, bitsPerBand = 24)))),
 
     // MinHash + LSH near-duplicate pairs — THE bucketed near-dup
     // pipeline: 3-word shingles → 16 min-hashes → 8 bands × 2 →

@@ -161,8 +161,9 @@ class GuardedLshSpec extends AnyFunSuite {
         .select(col("a.doc_id"), col("b.doc_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = naive(frame)
-    // hot 120C2 + cold (three 5-key groups of 10 + four 4-row keys of
-    // 6) + NULL 3C2 — spelled out: 7140 + (10*2 + 6*5) + 3
+    // hot 120C2 + cold (i%7 over 1..30: two 5-row keys of 10 pairs +
+    // five 4-row keys of 6) + NULL 3C2 — spelled out: 7140 +
+    // (2*10 + 5*6) + 3
     assert(want.size == 7140 + 50 + 3,
       s"planted corpus wrong: ${want.size}")
     // default policy: refusal names the hot bucket
