@@ -1443,7 +1443,20 @@ object H3Proj {
 
   // ---------- unidirectional (directed) edge indexes: published
   // mode-2 layout — the cell index with mode 2 and the step direction
-  // (1..6) in the three reserved bits at 56-58 ----------
+  // (1..6) in the three reserved bits at 56-58.
+  //
+  // Direction-numbering parity with h3lib (r19 census, H3ProjSpec):
+  // HEXAGON origins are bit-parity — every hexagon's six forward
+  // steps reach six distinct reciprocal neighbors at res 0-2 (zero
+  // ambiguity), and the CH-doc example value (1248204388774707199,
+  // direction 1) matches bit-exact. PENTAGON origins are the one
+  // documented representational divergence: the geometric d4/d5 steps
+  // collide across the deleted K sector, so pentagon edges mint
+  // direction set {1,2,3,4,6} where h3lib numbers the same five
+  // (origin, destination) pairs {2,3,4,5,6}. Set semantics (origins,
+  // destinations, boundaries, lengths) are identical; re-numbering
+  // without a published pentagon edge vector to transcribe against
+  // would be an unverifiable guess, so the loud divergence stays. ----
 
   private val ModeMask = 0xFL << 59
   private val EdgeDirMask = 7L << 56

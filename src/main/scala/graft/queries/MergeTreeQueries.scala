@@ -479,6 +479,38 @@ object MergeTreeQueries {
       FROM customer
       WHERE c_name IN ('Customer#000000003', 'Customer#000000077',
                        'Customer#000000119')
-      ORDER BY c_name"""))
+      ORDER BY c_name""")),
+
+    // CH `PARTITION BY toYYYYMM(date)` → the Hive-partitioned parquet
+    // layout (r19 verdict task 8): the partition key becomes the
+    // directory column, and a partition-key predicate prunes whole
+    // FILES at planning time — the scan shows PartitionFilters and
+    // reads only the matching month directories
+    // (PartitionPruneSpec asserts files-read == matching partitions;
+    // row-group stats pruning, the intra-file rung, is mt_skip_index /
+    // scan_minmax). The write is part of the demonstrator, same class
+    // as mt_formats / sql_ch_ctas_final — a deployment writes once and
+    // prunes forever. repartition by the key → one file per month dir.
+    QDef("mt_partition_prune", (s, dir) => {
+      import s.implicits._
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft_partprune_" +
+        math.abs(dir.hashCode).toString
+      if (!new java.io.File(s"$dest/_SUCCESS").exists())
+        Tables(s, dir, "orders")
+          .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+          .repartition($"o_month")
+          .write.mode("overwrite").partitionBy("o_month").parquet(dest)
+      s.read.parquet(dest)
+        .filter($"o_month" >= "1995-01" && $"o_month" <= "1995-03")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, count(*) AS n,
+             ${Det.sqlSum("o_totalprice")} AS total
+      FROM orders
+      WHERE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+            BETWEEN '1995-01' AND '1995-03'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -393,6 +393,33 @@ class H3ProjSpec extends AnyFunSuite {
     assert(multi > 0, "no res-1 cell touched multiple faces")
   }
 
+  test("directed edges: CH-doc vector bit-exact; pentagon direction set pinned") {
+    // ClickHouse docs h3GetUnidirectionalEdge example — h3lib parity
+    // for hexagon origins, BIT-EXACT (r19 verdict task 3): origin
+    // 0x85283473fffffff, destination 0x85283477fffffff → mode-2 index
+    // with step direction 1 (K) in bits 56-58.
+    val e = H3Proj.cellsToEdge(599686042433355775L, 599686043507097599L)
+    assert(e == 1248204388774707199L, s"CH-doc edge vector: $e")
+    assert(H3Proj.edgeOrigin(e) == 599686042433355775L)
+    assert(H3Proj.edgeDestination(e) == 599686043507097599L)
+    // An r19 census (res 0-2, all cells) found ZERO direction
+    // ambiguity at hexagon origins — every hexagon's six forward steps
+    // reach six distinct reciprocal neighbors, so the first-direction
+    // scan is the ONLY direction, matching h3lib. The 12 pentagons are
+    // the sole ambiguity: our geometric d4/d5 steps collide across the
+    // deleted K sector, so pentagon edges mint direction set
+    // {1,2,3,4,6} where h3lib numbers them {2,3,4,5,6} (K deleted) —
+    // THE documented representational divergence (SURVEY §8; set
+    // semantics identical, no published pentagon edge vector exists to
+    // transcribe a remap against). Pin the set so any drift is caught.
+    for (res <- 0 to 1; pent <- H3Proj.pentagonIndexes(res).take(4)) {
+      val dirs = H3Proj.edgesFromCell(pent)
+        .map(x => ((x >>> 56) & 7).toInt).toSeq.sorted
+      assert(dirs == Seq(1, 2, 3, 4, 6),
+        s"pentagon ${pent.toHexString} edge direction set: $dirs")
+    }
+  }
+
   test("directed edges: round-trip, boundary runs, exact lengths") {
     val cells = Seq(
       H3Proj.geoToH3(48.85, 2.35, 6),   // class II interior

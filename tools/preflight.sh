@@ -16,15 +16,19 @@ if [[ "${1:-}" == "--sf01" ]]; then
   shift
   QUERIES=("$@")
   if [[ ${#QUERIES[@]} -eq 0 ]]; then
-    QUERIES=(scalar_h3_geo join_geo_h3_block join_geo_s2_block
-      scalar_geo_s2 scalar_geo_s2_neighbors scalar_h3_bits
-      scalar_geo_encode scalar_ch_hashes pipe_minhash_lsh
-      pipe_dedup_components pipe_dedup_components_star
-      pipe_dedup_canonical pipe_ngram_jaccard pipe_curation_e2e
-      pipe_ann_ivf pipe_ann_ivf_mp pipe_ann_lsh pipe_sim_topk
-      pipe_decontaminate pipe_simhash pipe_semdedup udf_executable cb43_q32
-      cb43_q33 cb43_q34 tpch_q2_mincost tpch_q17_small_qty
-      funnel_window funnel_topk rel_limit_by window_rank)
+    # r19 rotation — DISJOINT from the r18 slice (which covered the
+    # geo/LSH/CC/ANN families); this round: the text-pipeline tail,
+    # aggregate/window/funnel families, joins, TPC-H heavies and the
+    # new parameterized semdedup geometry. Rotate again next round.
+    QUERIES=(pipe_semdedup_b24 pipe_bm25 pipe_unigram_logprob
+      pipe_lang_id pipe_gopher_rules pipe_quality_classifier
+      pipe_embed_neardup pipe_ann_hamming pipe_intradoc_dedup
+      pipe_stratified_sample agg_quantiles agg_topk_exact
+      agg_retention agg_histogram agg_corr_matrix funnel_sequence_timed
+      funnel_next_node window_frames window_moving window_nn_derivative
+      join_asof join_star_revenue join_skew_salted mt_projection
+      rel_sample_hash setop_intersect_all scalar_vector_dist
+      tpch_q9_profit tpch_q21_waiting cb43_q13)
   fi
   echo "== preflight --sf01: verify ${#QUERIES[@]} queries at sf0.1 =="
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 target/sf01_out ${QUERIES[*]}"
