@@ -969,7 +969,7 @@ object Probe {
     "w23_uuid7_ulid" ->
       "SELECT UUIDv7ToDateTime('01890a5d-ac96-774b-b9aa-111111111111') AS u7, ULIDStringToDateTime('01ARZ3NDEKTSV4RRFFQ69G5FAV') AS ul",
     "w23_snowflake_id" ->
-      "SELECT snowflakeIDToDateTime(dateTime64ToSnowflakeID(toDateTime('2024-03-05 12:00:00'))) AS rt, snowflakeIDToDateTime(dateTime64ToSnowflakeID(toDateTime('2024-03-05 12:00:00'), 0), 0) AS rt0",
+      "SELECT snowflakeIDToDateTime(dateTime64ToSnowflakeID(toDateTime('2024-03-05 12:00:00'))) AS rt, snowflakeIDToDateTime(dateTime64ToSnowflakeID(toDateTime('2024-03-05 12:00:00'), 0), 0) AS rt0, snowflakeIDToDateTime(dateTimeToSnowflakeID(toDateTime('2024-03-05 12:00:00'))) AS rts",
     "w23_bool_maps" ->
       "SELECT toBool('true') AS b1, toBool(0) AS b0, mapContainsKeyLike(map('abc', 1, 'xyz', 2), 'a%') AS mc, mapKeys(mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%')) AS mk",
     "w23_dot_quote_count" ->
@@ -1266,7 +1266,14 @@ object Probe {
     // ---- wave 46 (round 19): sqids codec (spec vectors; empty
     // default blocklist is the documented divergence — SqidsSpec)
     "w46_sqids" ->
-      "SELECT sqid(1, 2, 3) AS s3, sqidEncode(4572721) AS se, sqidDecode('86Rf07') AS d3, sqid(9) AS s1"
+      "SELECT sqid(1, 2, 3) AS s3, sqidEncode(4572721) AS se, sqidDecode('86Rf07') AS d3, sqid(9) AS s1",
+    // 24.x residue closed r19: overlay family (byte-indexed plain /
+    // char-indexed UTF8), toUnixTimestamp64Second, UUIDToNum,
+    // camelCase rank aliases
+    "w46_overlay_ts" ->
+      "SELECT overlay('Spark SQL', 'CORE', 7) AS o3, overlay('Spark SQL', 'ANSI ', 7, 0) AS o4, overlayUTF8('Spark SQL', 'DBMS', 7, 3) AS ou, toUnixTimestamp64Second(toDateTime('2009-02-13 23:31:30')) AS ts, UUIDNumToString(UUIDToNum(toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))) AS u",
+    "w46_rank_aliases" ->
+      "SELECT n_nationkey, denseRank() OVER (ORDER BY n_regionkey) AS dr, round(percentRank() OVER (ORDER BY n_regionkey), 3) AS pr FROM nation ORDER BY n_nationkey LIMIT 3"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -102,6 +102,9 @@ object ChDialect {
     "intDiv" -> "div",
     "ifNull" -> "ifnull",
     "nullIf" -> "nullif",
+    // 24.7 camelCase window-function aliases
+    "percentRank" -> "percent_rank",
+    "denseRank" -> "dense_rank",
     "arrayReverse" -> "reverse",
     // (arrayShuffle is NOT Spark's RNG `shuffle`: the deterministic
     // md5-order macroFnN below is the real registration — identical
@@ -1532,6 +1535,12 @@ object ChDialect {
       case _ => e
     }
     reg("toUnixTimestamp")(c => Cast(UnixTimestamp(unwrapTz(c.head), Literal("yyyy-MM-dd HH:mm:ss")), LongType))
+    // 24.10 spelling: whole seconds of the 64-bit timestamp (floor
+    // division like CH's DateTime64 → seconds read; floor, not
+    // truncate, so pre-1970 instants round the same way as CH)
+    reg("toUnixTimestamp64Second")(c => Cast(Floor(Divide(
+      Cast(UnixMillis(Cast(unwrapTz(c.head), TimestampType)), DoubleType),
+      Literal(1000.0d))), LongType))
     reg("toUnixTimestamp64Milli")(c => UnixMillis(Cast(unwrapTz(c.head), TimestampType)))
     reg("toUnixTimestamp64Micro")(c => UnixMicros(Cast(unwrapTz(c.head), TimestampType)))
     // µs is the engine's native precision (Spark TIMESTAMP): the nano
@@ -1939,10 +1948,42 @@ object ChDialect {
     macroFn("toUUID", Seq("__s"), "lower(__s)")
     macroFn("UUIDStringToNum", Seq("__s"),
       "unhex(replace(lower(__s), '-', ''))")
+    // 24.1 spelling over a UUID VALUE (strings here — same bytes);
+    // the big-endian default variant only, like UUIDStringToNum
+    macroFn("UUIDToNum", Seq("__u"),
+      "unhex(replace(lower(__u), '-', ''))")
+    // lower(): CH prints UUIDs canonical-lowercase; Spark hex() is
+    // uppercase (caught by the r19 UUIDToNum round-trip pin)
     macroFn("UUIDNumToString", Seq("__b"),
-      """concat(substring(hex(__b), 1, 8), '-', substring(hex(__b), 9, 4),
+      """lower(concat(substring(hex(__b), 1, 8), '-', substring(hex(__b), 9, 4),
                 '-', substring(hex(__b), 13, 4), '-',
-                substring(hex(__b), 17, 4), '-', substring(hex(__b), 21, 12))""")
+                substring(hex(__b), 17, 4), '-', substring(hex(__b), 21, 12)))""")
+    // 24.8 overlay family (r19). CH's plain overlay is BYTE-indexed
+    // (same policy as `length`): splice through BINARY so multibyte
+    // strings behave like CH; overlayUTF8 is character-indexed.
+    // Positive 1-based offsets (the documented main form); composed
+    // from substring/concat — calling the builtin `overlay` by name
+    // here would recurse into this macro.
+    macroFnN("overlay",
+      Seq("__s", "__r", "__o") ->
+        """decode(concat(
+             substring(CAST(__s AS BINARY), 1, CAST(__o AS INT) - 1),
+             CAST(__r AS BINARY),
+             substring(CAST(__s AS BINARY),
+                       CAST(__o AS INT) + octet_length(__r))), 'UTF-8')""",
+      Seq("__s", "__r", "__o", "__l") ->
+        """decode(concat(
+             substring(CAST(__s AS BINARY), 1, CAST(__o AS INT) - 1),
+             CAST(__r AS BINARY),
+             substring(CAST(__s AS BINARY),
+                       CAST(__o AS INT) + CAST(__l AS INT))), 'UTF-8')""")
+    macroFnN("overlayUTF8",
+      Seq("__s", "__r", "__o") ->
+        """concat(substring(__s, 1, CAST(__o AS INT) - 1), __r,
+                  substring(__s, CAST(__o AS INT) + char_length(__r)))""",
+      Seq("__s", "__r", "__o", "__l") ->
+        """concat(substring(__s, 1, CAST(__o AS INT) - 1), __r,
+                  substring(__s, CAST(__o AS INT) + CAST(__l AS INT)))""")
     // vector math over arrays: zip_with + aggregate stay codegen'd.
     // dotProduct also accepts CH's TUPLE vectors — two literal tuples
     // splice into a flat sum-of-products at resolution time.
@@ -4872,6 +4913,14 @@ object ChDialect {
       Seq("__i", "__e") ->
         "timestamp_millis(shiftright(CAST(__i AS BIGINT), 22) + CAST(__e AS BIGINT))")
     macroFnN("dateTime64ToSnowflakeID",
+      Seq("__t") ->
+        "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - 1288834974657, 22)",
+      Seq("__t", "__e") ->
+        "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - CAST(__e AS BIGINT), 22)")
+    // the DateTime (second-precision) 24.6 spelling — second-resolution
+    // input, same bit layout (r19; the deprecated dateTimeToSnowflake
+    // above is the pre-24.6 name)
+    macroFnN("dateTimeToSnowflakeID",
       Seq("__t") ->
         "shiftleft(unix_millis(CAST(__t AS TIMESTAMP)) - 1288834974657, 22)",
       Seq("__t", "__e") ->

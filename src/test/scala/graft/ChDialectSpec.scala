@@ -2104,4 +2104,42 @@ class ChDialectSpec extends AnyFunSuite {
       ORDER BY n_regionkey, n_nationkey LIMIT 1, 2 BY n_regionkey""")
     assert(offsetForm.nonEmpty && offsetForm == commaForm)
   }
+
+  test("wave 46 (r19): overlay byte/char split, toUnixTimestamp64Second, UUIDToNum, rank aliases") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val r = Graft.sql(spark, """
+      SELECT overlay('Spark SQL', 'ANSI ', 7, 0) AS o_insert,
+             overlay('Spark SQL', 'CORE', 7) AS o_repl,
+             overlay('héllo', 'XY', 2) AS o_bytes,
+             overlayUTF8('héllo', 'X', 2) AS o_chars,
+             toUnixTimestamp64Second(toDateTime('2009-02-13 23:31:30')) AS ts,
+             toUnixTimestamp64Second(toDateTime64('2009-02-13 23:31:30.750', 3)) AS tsf,
+             UUIDNumToString(UUIDToNum(toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0'))) AS u
+      """).collect().head
+    assert(r.getString(0) == "Spark ANSI SQL") // the CH-doc example
+    assert(r.getString(1) == "Spark CORE")
+    // plain overlay is BYTE-indexed (the session `length` policy):
+    // 'é' is 2 utf8 bytes, so 'XY' at byte 2 replaces exactly them
+    assert(r.getString(2) == "hXYllo")
+    // overlayUTF8 is CHARACTER-indexed: 'X' replaces the 1-char 'é'
+    assert(r.getString(3) == "hXllo")
+    assert(r.getLong(4) == 1234567890L)
+    assert(r.getLong(5) == 1234567890L) // fraction floors away
+    assert(r.getString(6) == "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    // camelCase window aliases (24.7) — values vs the snake builtins
+    val w = Graft.sql(spark, """
+      SELECT denseRank() OVER (ORDER BY n_regionkey) AS dr,
+             dense_rank() OVER (ORDER BY n_regionkey) AS dr0,
+             percentRank() OVER (ORDER BY n_regionkey) AS pr,
+             percent_rank() OVER (ORDER BY n_regionkey) AS pr0
+      FROM nation ORDER BY n_nationkey""").collect()
+    assert(w.nonEmpty && w.forall(x =>
+      x.getInt(0) == x.getInt(1) && x.getDouble(2) == x.getDouble(3)))
+    // snowflakeID second-precision spelling round-trips
+    val s = Graft.sql(spark,
+      """SELECT snowflakeIDToDateTime(dateTimeToSnowflakeID(
+        |  toDateTime('2024-03-05 12:00:00'))) AS rt""".stripMargin)
+      .collect().head
+    assert(s.getTimestamp(0).toString.startsWith("2024-03-05 12:00:00"))
+  }
 }
