@@ -1273,7 +1273,9 @@ object Probe {
     "w46_overlay_ts" ->
       "SELECT overlay('Spark SQL', 'CORE', 7) AS o3, overlay('Spark SQL', 'ANSI ', 7, 0) AS o4, overlayUTF8('Spark SQL', 'DBMS', 7, 3) AS ou, toUnixTimestamp64Second(toDateTime('2009-02-13 23:31:30')) AS ts, UUIDNumToString(UUIDToNum(toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))) AS u",
     "w46_rank_aliases" ->
-      "SELECT n_nationkey, denseRank() OVER (ORDER BY n_regionkey) AS dr, round(percentRank() OVER (ORDER BY n_regionkey), 3) AS pr FROM nation ORDER BY n_nationkey LIMIT 3"
+      "SELECT n_nationkey, denseRank() OVER (ORDER BY n_regionkey) AS dr, round(percentRank() OVER (ORDER BY n_regionkey), 3) AS pr FROM nation ORDER BY n_nationkey LIMIT 3",
+    "w46_ripemd160" ->
+      "SELECT hex(ripeMD160('The quick brown fox jumps over the lazy dog')) AS h"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -1940,6 +1940,10 @@ object ChDialect {
     // sha1, so the body must go through the distinct `sha` alias or
     // resolution recurses to max-iterations
     macroFn("SHA1", Seq("__s"), "unhex(sha(__s))")
+    // RIPEMD-160 (r19): the JDK ships no provider — native codegen
+    // expression transcribed from the published spec, official-vector
+    // pinned (RipeMD160Spec). 20 binary bytes like the SHA family.
+    reg("ripeMD160")(c => RipeMD160(c.head))
     macroFn("SHA224", Seq("__s"), "unhex(sha2(__s, 224))")
     macroFn("SHA256", Seq("__s"), "unhex(sha2(__s, 256))")
     macroFn("SHA384", Seq("__s"), "unhex(sha2(__s, 384))")
