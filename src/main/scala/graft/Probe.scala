@@ -1275,7 +1275,9 @@ object Probe {
     "w46_rank_aliases" ->
       "SELECT n_nationkey, denseRank() OVER (ORDER BY n_regionkey) AS dr, round(percentRank() OVER (ORDER BY n_regionkey), 3) AS pr FROM nation ORDER BY n_nationkey LIMIT 3",
     "w46_ripemd160" ->
-      "SELECT hex(ripeMD160('The quick brown fox jumps over the lazy dog')) AS h"
+      "SELECT hex(ripeMD160('The quick brown fox jumps over the lazy dog')) AS h",
+    "w46_hash_family" ->
+      "SELECT xxHash64('abc') AS x64, hex(MD4('abc')) AS m4, sipHash64Keyed((0, 0), 'abc') = sipHash64('abc') AS keyed0, gccMurmurHash('ClickHouse') AS g, kafkaMurmurHash('ClickHouse') AS k, javaHash('test') AS jh"
   )
 
   def main(argv: Array[String]): Unit = {

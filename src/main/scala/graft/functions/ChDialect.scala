@@ -4746,41 +4746,11 @@ object ChDialect {
     // murmurHash2_32/64 are transcribed from the public MurmurHash2
     // reference (seed 0); their spec vectors pin STABILITY (the
     // algorithm is public but no independent JVM oracle exists here).
-    def mm2_64(data: Array[Byte]): Long = {
-      val m = 0xc6a4a7935bd1e995L; val r = 47
-      var h = 0L ^ (data.length * m)
-      var i = 0
-      while (i + 8 <= data.length) {
-        var k = 0L
-        var j = 7
-        while (j >= 0) { k = (k << 8) | (data(i + j) & 0xffL); j -= 1 }
-        k *= m; k ^= k >>> r; k *= m
-        h ^= k; h *= m
-        i += 8
-      }
-      var j = data.length - 1
-      while (j >= i) { h ^= (data(j) & 0xffL) << (8 * (j - i)); j -= 1 }
-      if (data.length % 8 != 0) h *= m
-      h ^= h >>> r; h *= m; h ^= h >>> r
-      h
-    }
-    def mm2_32(data: Array[Byte]): Int = {
-      val m = 0x5bd1e995; val r = 24
-      var h = 0 ^ data.length
-      var i = 0
-      while (i + 4 <= data.length) {
-        var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
-          ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
-        k *= m; k ^= k >>> r; k *= m
-        h *= m; h ^= k
-        i += 4
-      }
-      var j = data.length - 1
-      while (j >= i) { h ^= (data(j) & 0xff) << (8 * (j - i)); j -= 1 }
-      if (data.length % 4 != 0) h *= m
-      h ^= h >>> 13; h *= m; h ^= h >>> 15
-      h
-    }
+    // one shared seeded core (CHash.murmur2_64/_32 since r19 — the
+    // gcc/kafka seeded spellings reuse it; the seed-0 values here are
+    // protected by the existing stability pins)
+    def mm2_64(data: Array[Byte]): Long = CHash.murmur2_64(data, 0L)
+    def mm2_32(data: Array[Byte]): Int = CHash.murmur2_32(data, 0)
     spark.udf.register(gd("murmurHash3_32"), (s: String) =>
       if (s == null) null
       else java.lang.Long.valueOf(java.lang.Integer.toUnsignedLong(
@@ -4811,6 +4781,35 @@ object ChDialect {
       if (s == null) null
       else java.lang.Long.valueOf(
         java.lang.Integer.toUnsignedLong(mm2_32(s.getBytes("UTF-8")))))
+    // r19 hash-family closures (all bit-parity-by-construction):
+    // gccMurmurHash = libstdc++ _Hash_bytes = seeded MurmurHash2-64A
+    // (seed 0xc70f6907); kafkaMurmurHash = Kafka DefaultPartitioner's
+    // murmur2 (seed 0x9747b28c) with the partitioner's toPositive
+    // mask — the function exists so kafkaMurmurHash(key) % n IS the
+    // Kafka partition; javaHashUTF16LE = String.hashCode over the
+    // UTF-16LE code units (even byte count required, like CH).
+    spark.udf.register(gd("gccMurmurHash"), (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(
+        CHash.murmur2_64(s.getBytes("UTF-8"), 0xc70f6907L)))
+    spark.udf.register(gd("kafkaMurmurHash"), (s: String) =>
+      if (s == null) null
+      else java.lang.Integer.valueOf(
+        CHash.murmur2_32(s.getBytes("UTF-8"), 0x9747b28c) & 0x7fffffff))
+    spark.udf.register(gd("javaHashUTF16LE"), (s: String) =>
+      if (s == null) null
+      else java.lang.Integer.valueOf(
+        CHash.javaHashUTF16LE(s.getBytes("UTF-8"))))
+    // xxHash64 (XXH64 seed 0 on raw bytes — NOT Spark's typed-layout
+    // xxhash64), MD4 (RFC 1320), keyed SipHash — codegen expressions
+    reg("xxHash64")(c => XxHash64Ch(c.head))
+    reg("MD4")(c => Md4Hash(c.head))
+    reg("sipHash64Keyed")(c => {
+      require(c.size == 2,
+        "sipHash64Keyed((k0, k1), data) — a 2-tuple key and the value")
+      SipHash64Keyed(Cast(GetStructField(c(0), 0), LongType),
+        Cast(GetStructField(c(0), 1), LongType), c(1))
+    })
 
     // ---- wave 23 (probe-driven, r12) ----
     // space-filling curves (CH morton-/hilbert-encoding function

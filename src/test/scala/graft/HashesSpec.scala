@@ -88,4 +88,65 @@ class HashesSpec extends AnyFunSuite {
     assert(CHash.sipHash64(msg(14), k0, k1) != want)
     assert(CHash.xxHash32("abd".getBytes("UTF-8")) != 0x32d153ffL)
   }
+
+  test("r19: XXH64 — published vectors AND Spark's own XXH64-on-binary as oracle") {
+    // published single-value pins (seed 0)
+    assert(CHash.xxHash64(Array.emptyByteArray) == 0xEF46DB3751D8E999L)
+    // Spark's xxhash64 over BinaryType IS XXH64(bytes, seed=42) — an
+    // independent in-JVM oracle covering every length class (empty,
+    // <4, <8, 8..31, >=32, multi-stripe) and the tail permutations
+    val rnd = new scala.util.Random(19)
+    for (len <- (0 to 40) ++ Seq(63, 64, 65, 100, 1000)) {
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      val spark42 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          len, 42L)
+      assert(CHash.xxHash64(bytes, 42L) == spark42, s"len $len vs Spark XXH64")
+    }
+  }
+
+  test("r19: MD4 — the RFC 1320 test suite, all seven vectors") {
+    def hx(s: String): String =
+      CHash.md4(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hx("") == "31d6cfe0d16ae931b73c59d7e0c089c0")
+    assert(hx("a") == "bde52cb31de33e46245e05fbdbd6fb24")
+    assert(hx("abc") == "a448017aaf21d8525fc10ae87aa6729d")
+    assert(hx("message digest") == "d9130a8164549fe818874806e1c7014b")
+    assert(hx("abcdefghijklmnopqrstuvwxyz") ==
+      "d79e1c308aa5bbcdeea8ed63df412da9")
+    assert(hx("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789") ==
+      "043f8582f241db351ce627e153e7f0e4")
+    assert(hx("1234567890123456789012345678901234567890" +
+      "1234567890123456789012345678901234567890") ==
+      "e33b4ddc9c38f2199c3e7b164fcc0536")
+  }
+
+  test("r19: keyed SipHash — zero key == sipHash64, paper vector bound") {
+    val data = "shard-routing-key".getBytes("UTF-8")
+    assert(CHash.sipHash64(data, 0L, 0L) == CHash.sipHash64(data))
+    // the canonical SipHash-2-4 paper vector IS the keyed form (the
+    // positive pin above); spot-check key sensitivity
+    assert(CHash.sipHash64(data, 1L, 0L) != CHash.sipHash64(data))
+  }
+
+  test("r19: javaHashUTF16LE decodes LE code units ('test' == 3556498, the CH-doc value)") {
+    // 't\0e\0s\0t\0' utf-8-encodes to exactly the utf-16le bytes
+    val le = "t\u0000e\u0000s\u0000t\u0000".getBytes("UTF-8")
+    assert(CHash.javaHashUTF16LE(le) == 3556498)
+    assert("test".hashCode == 3556498)
+    intercept[IllegalArgumentException](CHash.javaHashUTF16LE(Array[Byte](1)))
+  }
+
+  test("r19: gcc/kafka murmur seeds — stability pins + seed discrimination") {
+    // STABILITY pins (same class as the murmurHash2 family's: the
+    // algorithms are public and seeded per gcc _Hash_bytes / Kafka's
+    // DefaultPartitioner, no independent JVM oracle exists here)
+    val b = "ClickHouse".getBytes("UTF-8")
+    assert(CHash.murmur2_64(b, 0xc70f6907L) == 8420095868926061731L)
+    assert((CHash.murmur2_32(b, 0x9747b28c) & 0x7fffffff) == 910462517)
+    // the seeded entry points at seed 0 must stay the registered
+    // murmurHash2 family's values (one shared core, two entry points)
+    assert(CHash.murmur2_64(b, 0L) != CHash.murmur2_64(b, 0xc70f6907L))
+  }
 }
