@@ -2598,6 +2598,28 @@ object ChSql {
           s"$call FILTER (WHERE $cond)"
         }
         s"array(${calls.mkString(", ")})"
+      // quantileDD/quantilesDD (CH 23.x DDSketch): the FIRST parameter
+      // is the relative accuracy, the rest are levels — a real sketch
+      // (ops/Aggregates.DDSketchQuantiles), not the exact-percentile
+      // substitution, because DDSketch is deterministic enough to
+      // hash-check (agg_quantile_dd re-derives it in DuckDB)
+      case "quantiledd" | "quantilesdd" =>
+        nArgs(1)
+        val plural = name == "quantilesdd"
+        require(params.size >= (if (plural) 2 else 1),
+          s"$name0(relative_accuracy${if (plural) ", level…" else "[, level]"})(x)")
+        params.foreach(p => require(
+          p.trim.matches("""[-+]?\d+(\.\d+)?([eE][-+]?\d+)?"""),
+          s"$name0: numeric literal parameters only, got '$p'"))
+        val ra = params.head.trim.toDouble
+        val lvls =
+          if (params.size == 1) Seq(0.5) else params.tail.map(_.trim.toDouble)
+        val fn = ("__ch_qdd_" + ra + "_" + lvls.mkString("_"))
+          .replace('.', 'p').replace('-', 'm')
+        registerOnce(spark, fn)(
+          udaf(new Aggregates.DDSketchQuantiles(ra, lvls)))
+        if (plural) s"$fn(CAST(${args.head} AS DOUBLE))$filt"
+        else s"element_at($fn(CAST(${args.head} AS DOUBLE))$filt, 1)"
       // generic fallback for the long tail of quantile spellings
       // (quantileTimingWeighted, quantilesTDigest, quantileExactArray
       // variants…): every CH quantile maps to the exact interpolated

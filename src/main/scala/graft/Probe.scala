@@ -1277,7 +1277,11 @@ object Probe {
     "w46_ripemd160" ->
       "SELECT hex(ripeMD160('The quick brown fox jumps over the lazy dog')) AS h",
     "w46_hash_family" ->
-      "SELECT xxHash64('abc') AS x64, hex(MD4('abc')) AS m4, sipHash64Keyed((0, 0), 'abc') = sipHash64('abc') AS keyed0, gccMurmurHash('ClickHouse') AS g, kafkaMurmurHash('ClickHouse') AS k, javaHash('test') AS jh"
+      "SELECT xxHash64('abc') AS x64, hex(MD4('abc')) AS m4, sipHash64Keyed((0, 0), 'abc') = sipHash64('abc') AS keyed0, gccMurmurHash('ClickHouse') AS g, kafkaMurmurHash('ClickHouse') AS k, javaHash('test') AS jh",
+    "w46_ttest_one_sample" ->
+      "SELECT round(tupleElement(studentTTestOneSample(l_quantity, 25.0), 1), 3) AS t, tupleElement(studentTTestOneSample(l_quantity, 25.0), 2) BETWEEN 0 AND 1 AS p_ok FROM lineitem",
+    "w46_quantile_dd" ->
+      "SELECT round(quantileDD(0.01, 0.5)(toFloat64(l_extendedprice)), 2) AS p50, round(arrayElement(quantilesDD(0.02, 0.25, 0.75)(toFloat64(l_quantity)), 2), 2) AS p75 FROM lineitem"
   )
 
   def main(argv: Array[String]): Unit = {

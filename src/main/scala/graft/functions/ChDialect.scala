@@ -5042,6 +5042,22 @@ object ChDialect {
         s"named_struct('t_statistic', $sT, " +
           s"'p_value', studentTPValue($sT, $n0 + $n1 - 2))")
     }
+    locally {
+      // one-sample Student t (CH 24.12 studentTTestOneSample(x, μ)):
+      // t = (x̄ − μ)/(s/√n), df = n−1; same DECIMAL-lattice sums and
+      // the shared studentTPValue final. μ is CH-contract a constant —
+      // max() makes it aggregate-position-safe.
+      val n = "CAST(count(CASE WHEN __x IS NOT NULL THEN 1 END) AS DOUBLE)"
+      val sx = "CAST(sum(CAST(__x AS DECIMAL(22,6))) AS DOUBLE)"
+      val sxx = "CAST(sum(CAST(CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE) AS DECIMAL(22,6))) AS DOUBLE)"
+      val mu = "max(CAST(__mu AS DOUBLE))"
+      val m = s"($sx / $n)"
+      val v = s"(($sxx - $sx * $sx / $n) / ($n - 1))"
+      val t = s"(($m - $mu) / sqrt($v / $n))"
+      macroFn("studentTTestOneSample", Seq("__x", "__mu"),
+        s"named_struct('t_statistic', $t, " +
+          s"'p_value', studentTPValue($t, $n - 1))")
+    }
 
     // IPv6 text↔binary inverse pair + CIDR algebra (CH ip-address
     // functions; NumToString's RFC 5952 output re-parses to the same

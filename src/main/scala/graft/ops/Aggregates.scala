@@ -791,6 +791,75 @@ object Aggregates {
     def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
   }
 
+  /** DDSketch state: log-bucket counts for positive and (mirrored)
+    * negative values plus an exact zero count.
+    */
+  case class DDState(pos: Map[Int, Long], neg: Map[Int, Long], zero: Long)
+
+  /** ClickHouse `quantileDD(relative_accuracy[, level…])` — the
+    * DDSketch quantile (Masson, Rim & Lee, "DDSketch: a fast and
+    * fully-mergeable quantile sketch with relative-error guarantees",
+    * VLDB 2019). Bucket ⌈ln|x| / ln γ⌉ with γ = (1+α)/(1−α), mirrored
+    * store for negatives, exact zero count; the level-q answer is the
+    * first bucket in ascending VALUE order whose cumulative count
+    * exceeds q·(n−1), estimated as ±2γ^i/(γ+1) (relative error ≤ α by
+    * construction — spec-proven in ApproxSpec). Unlike t-digest the
+    * state is a pure function of the value MULTISET (deterministic,
+    * order- and partitioning-independent), so the agg_quantile_dd
+    * gate entry hash-checks a full DuckDB re-derivation of the sketch.
+    * State is O(log(max/min)/log γ) buckets regardless of row count —
+    * partial aggregation ships tiny maps at any scale.
+    */
+  class DDSketchQuantiles(relAcc: Double, qs: Seq[Double])
+      extends Aggregator[Double, DDState, Seq[Double]] with Serializable {
+    require(relAcc > 0.0 && relAcc < 1.0,
+      s"quantileDD: relative accuracy $relAcc out of (0, 1)")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantileDD: levels $qs out of [0, 1]")
+    private val gamma = (1.0 + relAcc) / (1.0 - relAcc)
+    private val lnG = math.log(gamma)
+    private def bump(m: Map[Int, Long], i: Int): Map[Int, Long] =
+      m.updated(i, m.getOrElse(i, 0L) + 1L)
+    def zero: DDState = DDState(Map.empty, Map.empty, 0L)
+    def reduce(b: DDState, x: Double): DDState =
+      if (x > 0.0) b.copy(pos = bump(b.pos, math.ceil(math.log(x) / lnG).toInt))
+      else if (x < 0.0) b.copy(neg = bump(b.neg, math.ceil(math.log(-x) / lnG).toInt))
+      else if (x == 0.0) b.copy(zero = b.zero + 1L)
+      else b // NaN carries no rank information
+    def merge(a: DDState, b: DDState): DDState = DDState(
+      b.pos.foldLeft(a.pos) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c) },
+      b.neg.foldLeft(a.neg) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c) },
+      a.zero + b.zero)
+    private def value(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1.0)
+    def finish(b: DDState): Seq[Double] = {
+      val n = b.pos.valuesIterator.sum + b.neg.valuesIterator.sum + b.zero
+      if (n == 0L) return qs.map(_ => Double.NaN)
+      // ascending value order: negatives by DESCENDING index (larger
+      // magnitude = smaller value), the zero bucket, positives ascending
+      val entries: IndexedSeq[(Double, Long)] =
+        (b.neg.toIndexedSeq.sortBy(-_._1).map { case (i, c) => (-value(i), c) } ++
+          (if (b.zero > 0L) IndexedSeq((0.0, b.zero)) else IndexedSeq.empty) ++
+          b.pos.toIndexedSeq.sortBy(_._1).map { case (i, c) => (value(i), c) })
+      qs.map { q =>
+        val rank = q * (n - 1).toDouble
+        var cum = 0L
+        var k = 0
+        var ans = entries.last._1
+        var done = false
+        while (k < entries.length && !done) {
+          cum += entries(k)._2
+          if (cum > rank) { ans = entries(k)._1; done = true }
+          k += 1
+        }
+        ans
+      }
+    }
+    def bufferEncoder: Encoder[DDState] = enc[DDState]
+    def outputEncoder: Encoder[Seq[Double]] = enc[Seq[Double]]
+  }
+
   /** CH sumMap/minMap/maxMap [public docs: sql-reference/
     * aggregate-functions/reference/summap]: per-key aggregation of
     * parallel key/value arrays across rows; the result is the

@@ -94,6 +94,51 @@ object AggQueries {
                x -> CAST(round(x, 4) AS VARCHAR)), ',') AS price_quartiles
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // quantileDD / quantilesDD (r19 — CH's DDSketch quantile): unlike
+    // t-digest, the DDSketch state is a pure function of the value
+    // multiset (log-bucket counts, γ = (1+α)/(1−α)), so the WHOLE
+    // sketch is re-derived from scratch in DuckDB and hash-checked —
+    // bucket ⌈ln|x|/ln γ⌉ (mirrored for negatives, exact zero bucket),
+    // cumulative walk in ascending value order, first bucket whose
+    // running count exceeds q·(n−1), estimate ±2γ^i/(γ+1). ln γ and γ
+    // are injected as IDENTICAL double literals on both sides; the
+    // shifted column exercises the negative + zero paths. Runs through
+    // Graft.sql so the gate covers the parametric-rewrite path too.
+    QDef("agg_quantile_dd", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT round(quantileDD(0.01, 0.5)(toFloat64(l_quantity)), 6) AS dd_p50,
+               round(quantileDD(0.01, 0.9)(toFloat64(l_quantity)), 6) AS dd_p90,
+               round(arrayElement(quantilesDD(0.01, 0.5, 0.9)(toFloat64(l_quantity) - 25.0), 1), 6) AS dd_mix_p50,
+               round(arrayElement(quantilesDD(0.01, 0.5, 0.9)(toFloat64(l_quantity) - 25.0), 2), 6) AS dd_mix_p90
+        FROM lineitem""")
+    }, Some {
+      val gamma = (1.0 + 0.01) / (1.0 - 0.01)
+      val g = graft.ops.Vectors.duckDouble(gamma)
+      val ln = graft.ops.Vectors.duckDouble(math.log(gamma))
+      def sketch(tag: String, xExpr: String) = s"""
+        v$tag AS (SELECT CAST($xExpr AS DOUBLE) AS x FROM lineitem),
+        g$tag AS (SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn,
+                        CASE WHEN x > 0 THEN CAST(ceil(ln(x) / $ln) AS INT)
+                             WHEN x < 0 THEN CAST(ceil(ln(-x) / $ln) AS INT)
+                             ELSE 0 END AS i
+                 FROM v$tag WHERE NOT isnan(x)),
+        b$tag AS (SELECT sgn, i, CAST(count(*) AS BIGINT) AS c,
+                        CASE WHEN sgn = 0 THEN 0.0
+                             ELSE sgn * 2 * pow($g, i) / ($g + 1) END AS v
+                 FROM g$tag GROUP BY sgn, i),
+        o$tag AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                        (SELECT CAST(sum(c) AS BIGINT) FROM b$tag) AS n
+                 FROM b$tag)"""
+      s"""
+      WITH ${sketch("q", "l_quantity")},
+      ${sketch("s", "l_quantity - 25.0").replaceFirst("^\\s+", " ")}
+      SELECT (SELECT round(min(v) FILTER (WHERE cum > 0.5 * (n - 1)), 6) FROM oq) AS dd_p50,
+             (SELECT round(min(v) FILTER (WHERE cum > 0.9 * (n - 1)), 6) FROM oq) AS dd_p90,
+             (SELECT round(min(v) FILTER (WHERE cum > 0.5 * (n - 1)), 6) FROM os) AS dd_mix_p50,
+             (SELECT round(min(v) FILTER (WHERE cum > 0.9 * (n - 1)), 6) FROM os) AS dd_mix_p90"""
+    }),
+
     // argMin/argMax → min_by/max_by. Balances have 2dp resolution, so
     // bal*1e7 + custkey is a collision-free numeric tie-break (exactly
     // representable in a double up to custkey ~1e5) that both engines

@@ -522,6 +522,35 @@ object StatsQueries {
              n1 + n2 - 2 AS df
       FROM j""")),
 
+    // studentTTestOneSample (CH 24.12): t of the A-flag quantities
+    // against a hypothesized mean of 25, df = n−1 — the same
+    // DECIMAL-exact sum lattice as the two-sample entry; the p-value
+    // tail is the shared studentTPValue final the hash-checked
+    // sql_ch_w25_ttests entry already proves.
+    QDef("agg_student_ttest_1s", (s, dir) => {
+      import s.implicits._
+      val D = "decimal(22,6)"
+      Tables(s, dir, "lineitem")
+        .filter($"l_returnflag" === "A")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity".cast(D)).cast("double").as("sx"),
+          sum(($"l_quantity" * $"l_quantity").cast(D)).cast("double").as("sxx"))
+        .select(
+          round(($"sx" / $"n" - lit(25.0)) /
+            sqrt((($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)) / $"n"), 4)
+            .as("t_stat"),
+          ($"n" - 1).cast("long").as("df"))
+    }, Some("""
+      WITH st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sxx
+        FROM lineitem WHERE l_returnflag = 'A')
+      SELECT round((sx / n - 25.0) /
+                   sqrt(((sxx - sx * sx / n) / (n - 1)) / n), 4) AS t_stat,
+             CAST(n - 1 AS BIGINT) AS df
+      FROM st""")),
+
     // LIMIT n WITH TIES: top-10 retail prices INCLUDING every row tied
     // with the 10th. No global window over raw rows — the threshold is
     // a TakeOrderedAndProject (orderBy.limit) folded to one broadcast

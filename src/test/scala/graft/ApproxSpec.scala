@@ -149,4 +149,41 @@ class ApproxSpec extends AnyFunSuite {
     val est = li.select(approx_count_distinct($"l_partkey")).as[Long].head().toDouble
     assert(math.abs(est - exact) / exact < math.abs(drifted - exact) / exact)
   }
+
+  test("quantileDD (r19): the DDSketch relative-error contract holds") {
+    // The paper's guarantee: the estimate is within α (relative) of
+    // the TRUE element at the selected rank — for any distribution,
+    // including negatives and zeros (the mirrored/zero paths).
+    val alpha = 0.01
+    val rnd = new scala.util.Random(7)
+    val values = Array.tabulate(5000) { i =>
+      if (i % 97 == 0) 0.0
+      else if (i % 3 == 0) -math.exp(rnd.nextDouble() * 8) // negatives
+      else math.exp(rnd.nextDouble() * 10)
+    }
+    val agg = new graft.ops.Aggregates.DDSketchQuantiles(
+      alpha, Seq(0.1, 0.5, 0.9, 0.99))
+    var st = agg.zero
+    values.foreach(v => st = agg.reduce(st, v))
+    // merge associativity: split into 7 chunks, reduce separately
+    val merged = values.grouped(717).map { chunk =>
+      var s = agg.zero; chunk.foreach(v => s = agg.reduce(s, v)); s
+    }.reduce(agg.merge)
+    assert(agg.finish(st) == agg.finish(merged),
+      "sketch must be partitioning-independent")
+    val sorted = values.sorted
+    agg.finish(st).zip(Seq(0.1, 0.5, 0.9, 0.99)).foreach { case (est, q) =>
+      val rank = q * (values.length - 1)
+      // the walk stops at the first cumulative > rank — the true item
+      // at that position is sorted(ceil(rank)) at most one off; check
+      // against the closest of the two neighbors
+      val lo = sorted(math.floor(rank).toInt)
+      val hi = sorted(math.ceil(rank).toInt)
+      val ok = Seq(lo, hi).exists(x =>
+        math.abs(est - x) <= alpha * math.abs(x) + 1e-12)
+      assert(ok, s"q=$q est=$est true range [$lo, $hi]")
+    }
+    // empty input → NaN per level, like CH's nan
+    assert(agg.finish(agg.zero).forall(_.isNaN))
+  }
 }
