@@ -1281,7 +1281,9 @@ object Probe {
     "w46_ttest_one_sample" ->
       "SELECT round(tupleElement(studentTTestOneSample(l_quantity, 25.0), 1), 3) AS t, tupleElement(studentTTestOneSample(l_quantity, 25.0), 2) BETWEEN 0 AND 1 AS p_ok FROM lineitem",
     "w46_quantile_dd" ->
-      "SELECT round(quantileDD(0.01, 0.5)(toFloat64(l_extendedprice)), 2) AS p50, round(arrayElement(quantilesDD(0.02, 0.25, 0.75)(toFloat64(l_quantity)), 2), 2) AS p75 FROM lineitem"
+      "SELECT round(quantileDD(0.01, 0.5)(toFloat64(l_extendedprice)), 2) AS p50, round(arrayElement(quantilesDD(0.02, 0.25, 0.75)(toFloat64(l_quantity)), 2), 2) AS p75 FROM lineitem",
+    "w46_json_introspection" ->
+      "SELECT arrayStringConcat(distinctJSONPaths(props), ',') AS paths, arrayStringConcat(distinctDynamicTypes(parse_json(props)), ',') AS types FROM events"
   )
 
   def main(argv: Array[String]): Unit = {

@@ -4332,6 +4332,16 @@ object ChDialect {
     // these read back the runtime type the same way CH's do)
     macroFn("dynamicType", Seq("__v"), "schema_of_variant(__v)")
     macroFn("variantType", Seq("__v"), "schema_of_variant(__v)")
+    // r19 Variant/JSON introspection AGGREGATES (CH 24.8):
+    // distinctJSONPaths = sorted distinct leaf paths across the group
+    // (per-row json_paths generator — map-side, no explode), and
+    // distinctDynamicTypes = sorted distinct Variant type names
+    // (schema_of_variant per row). Both one-pass collect_list/set.
+    reg("json_paths")(c => JsonPaths(c.head))
+    macroFn("distinctJSONPaths", Seq("__j"),
+      "array_sort(array_distinct(flatten(collect_list(json_paths(__j)))))")
+    macroFn("distinctDynamicTypes", Seq("__v"),
+      "array_sort(collect_set(schema_of_variant(__v)))")
 
     // ---- wave 19 (probe-driven, r9) ----
     // string-distance long tail (jaroWinklerSimilarity predates this)

@@ -139,6 +139,50 @@ object AggQueries {
              (SELECT round(min(v) FILTER (WHERE cum > 0.9 * (n - 1)), 6) FROM os) AS dd_mix_p90"""
     }),
 
+    // distinctJSONPaths (r19 — CH 24.8's JSON-type introspection
+    // aggregate): sorted distinct LEAF paths across the group. Both
+    // engines build the SAME varying-shape JSON text from orders
+    // columns (pure string concat — conditional nested key, optional
+    // array leaf), then Spark walks it with the map-side json_paths
+    // generator (flatten(collect_list(...)), no per-path explode)
+    // while DuckDB re-derives every path with a recursive-CTE walk
+    // over json_keys/json_extract — a from-scratch oracle.
+    QDef("agg_distinct_json_paths", (s, dir) => {
+      Graft.init(s, dir)
+      Graft.sql(s, """
+        SELECT o_orderpriority,
+               arrayStringConcat(distinctJSONPaths(concat(
+                 '{"k":', toString(modulo(o_orderkey, 100)),
+                 ',"meta":{"p":"', o_orderpriority, '"',
+                 if(modulo(o_orderkey, 3) = 0, ',"x":1', ''),
+                 '}',
+                 if(modulo(o_orderkey, 5) = 0, ',"extra":[1,2]', ''),
+                 '}')), ',') AS paths
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }, Some("""
+      WITH RECURSIVE j AS (
+        SELECT o_orderpriority,
+               '{"k":' || CAST(o_orderkey % 100 AS VARCHAR) ||
+               ',"meta":{"p":"' || o_orderpriority || '"' ||
+               CASE WHEN o_orderkey % 3 = 0 THEN ',"x":1' ELSE '' END ||
+               '}' ||
+               CASE WHEN o_orderkey % 5 = 0 THEN ',"extra":[1,2]' ELSE '' END ||
+               '}' AS js
+        FROM orders),
+      walk(grp, prefix, node) AS (
+        SELECT o_orderpriority, '', js::JSON FROM j
+        UNION ALL
+        SELECT grp,
+               CASE WHEN prefix = '' THEN k ELSE prefix || '.' || k END,
+               json_extract(node, '$."' || k || '"')
+        FROM walk, unnest(json_keys(node)) AS t(k)
+        WHERE json_type(node) = 'OBJECT')
+      SELECT grp AS o_orderpriority,
+             array_to_string(list_sort(list_distinct(list(prefix))), ',') AS paths
+      FROM walk
+      WHERE prefix <> '' AND json_type(node) <> 'OBJECT'
+      GROUP BY grp ORDER BY grp""")),
+
     // argMin/argMax → min_by/max_by. Balances have 2dp resolution, so
     // bal*1e7 + custkey is a collision-free numeric tie-break (exactly
     // representable in a double up to custkey ~1e5) that both engines

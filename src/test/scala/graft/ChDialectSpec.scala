@@ -2142,4 +2142,33 @@ class ChDialectSpec extends AnyFunSuite {
       .collect().head
     assert(s.getTimestamp(0).toString.startsWith("2024-03-05 12:00:00"))
   }
+
+  test("wave 46 (r19): distinctJSONPaths / distinctDynamicTypes / json_paths") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Graft.sql(spark, """
+        SELECT distinctJSONPaths(js) AS paths,
+               distinctDynamicTypes(parse_json(dv)) AS types
+        FROM (
+          SELECT '{"k":1,"meta":{"p":"u","x":[1]}}' AS js, '1' AS dv
+          UNION ALL SELECT '{"k":"s","extra":{"deep":{"d":true}}}', '"s"'
+          UNION ALL SELECT 'not json', '[1,2]')""").collect().head
+      // leaf paths: objects recursed, arrays/scalars are leaves,
+      // invalid JSON contributes nothing; sorted distinct
+      assert(r.getSeq[String](0) ==
+        Seq("extra.deep.d", "k", "meta.p", "meta.x"))
+      assert(r.getSeq[String](1) == Seq("ARRAY<BIGINT>", "BIGINT", "STRING"))
+      val n = Graft.sql(spark,
+        "SELECT json_paths(CAST(NULL AS STRING)) AS p, json_paths('3') AS s")
+        .collect().head
+      assert(n.isNullAt(0))            // NULL in → NULL out
+      assert(n.getSeq[String](1).isEmpty) // scalar root → no paths
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.codegen.fallback", v)
+      case None => conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
