@@ -119,6 +119,8 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // Text.hashPairsFast resolves graft's xx_hash64 by name
+    graft.functions.GraftFunctions.register(spark)
 
     val nDocs = 5000L * mult
     val nEvents = 100000L * mult

@@ -215,6 +215,9 @@ object GraftFunctions {
       "h3_grid_distance", (children: Seq[Expression]) =>
         H3GridDistance(children(0), children(1)), "built-in")
     fr.createOrReplaceTempFunction(
+      "xx_hash64", (children: Seq[Expression]) =>
+        XxHash64Ch.build(children), "built-in")
+    fr.createOrReplaceTempFunction(
       "signed_feature_fold", (children: Seq[Expression]) =>
         SignedFeatureFold(children(0), children(1)), "built-in")
     fr.createOrReplaceTempFunction(

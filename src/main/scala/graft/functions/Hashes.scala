@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** ClickHouse bit-parity hash functions (SURVEY §2.8 hash family):
@@ -320,10 +320,17 @@ case class XxHash32Ch(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `xx_hash64(string|binary) -> bigint` — XXH64 seed 0 over raw bytes
-  * (two's-complement view of CH's UInt64, like sip_hash64).
+/** `xx_hash64(string|binary[, seed]) -> bigint` — XXH64 over raw bytes
+  * (two's-complement view of CH's UInt64, like sip_hash64). The CH
+  * spelling `xxHash64(s)` is the seed-0 form; the optional seed serves
+  * graft-internal derived hash families (Text.hashPairsFast). NOTE:
+  * after Graft.init the name `xxhash64` resolves HERE (Spark's
+  * function API is name-resolved and case-insensitive), shadowing
+  * Spark's typed-layout builtin — internal operators therefore call
+  * this expression explicitly, never the builtin by name.
   */
-case class XxHash64Ch(child: Expression) extends UnaryExpression {
+case class XxHash64Ch(child: Expression, seed: Long = 0L)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "xx_hash64"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -332,18 +339,30 @@ case class XxHash64Ch(child: Expression) extends UnaryExpression {
       s"xx_hash64 expects string or binary, got ${t.simpleString}")
   }
   override def nullSafeEval(v: Any): Any = v match {
-    case s: UTF8String => CHash.xxHash64(s.getBytes)
-    case b: Array[Byte] => CHash.xxHash64(b)
+    case s: UTF8String => CHash.xxHash64(s.getBytes, seed)
+    case b: Array[Byte] => CHash.xxHash64(b, seed)
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => child.dataType match {
       case StringType =>
-        s"${ev.value} = graft.functions.CHash.xxHash64($c.getBytes(), 0L);"
+        s"${ev.value} = graft.functions.CHash.xxHash64($c.getBytes(), ${seed}L);"
       case _ =>
-        s"${ev.value} = graft.functions.CHash.xxHash64($c, 0L);"
+        s"${ev.value} = graft.functions.CHash.xxHash64($c, ${seed}L);"
     })
   override protected def withNewChildInternal(newChild: Expression): XxHash64Ch =
     copy(child = newChild)
+}
+
+object XxHash64Ch {
+  /** Registry builder: 1-arg (seed 0) or a literal integer seed. */
+  def build(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => XxHash64Ch(c)
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(s, t))
+        if t == LongType || t == IntegerType =>
+      XxHash64Ch(c, s.toString.toLong)
+    case _ => throw new IllegalArgumentException(
+      "xx_hash64(value[, literal integer seed])")
+  }
 }
 
 /** `md4_hash(string|binary) -> binary(16)` — RFC 1320. */

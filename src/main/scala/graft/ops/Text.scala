@@ -75,20 +75,25 @@ object Text {
   def minhashSig(sh: Column, k: Int): Column = minhashSigFromPairs(hashPairs(sh), k)
 
   /** PRODUCTION-HASH variant of [[hashPairs]] (round-16 verdict task
-    * 6): the same two-hash minhash scheme with xxhash64 — fully
-    * codegen'd and ~2–3× cheaper per byte than the md5 path, which is
-    * the deliberate price the default pays for cross-engine oracle
-    * parity. NOT oracle-checkable (DuckDB cannot reproduce Spark's
-    * xxhash64), so this feeds only non-oracle surfaces: the STRESS
-    * twin (`lsh_pairs_xx`, quantifying the trade next to `lsh_pairs`)
-    * and any production deployment that doesn't need DuckDB parity.
-    * pmod (not %) because xxhash64 is signed: the minhash estimator
-    * needs both hashes in [0, 2^55).
+    * 6): the same two-hash minhash scheme with XXH64 — fully codegen'd
+    * and ~2–3× cheaper per byte than the md5 path, which is the
+    * deliberate price the default pays for cross-engine oracle parity.
+    * NOT oracle-checkable (DuckDB has no XXH64), so this feeds only
+    * non-oracle surfaces: the STRESS twin (`lsh_pairs_xx`) and any
+    * production deployment that doesn't need DuckDB parity. Since r19
+    * the hash is graft's OWN `xx_hash64` (raw-bytes XXH64, seed 0/1 —
+    * h1 is bit-parity with CH's `xxHash64`), called by expression
+    * rather than the builtin's name: after Graft.init the session name
+    * `xxhash64` resolves to the CH raw-bytes semantics (string-only),
+    * and a name-resolved builtin here broke in exactly that session
+    * (caught by GuardedLshSpec in the shared-suite JVM). CALLERS must
+    * run GraftFunctions.register(session) first. pmod (not %) because
+    * the hash is signed: the estimator needs both hashes in [0, 2^55).
     */
   def hashPairsFast(sh: Column): Column =
     transform(sh, x => struct(
-      pmod(xxhash64(x), lit(MinhashMod)).as("h1"),
-      pmod(xxhash64(x, lit(1)), lit(MinhashMod)).as("h2")))
+      pmod(call_function("xx_hash64", x), lit(MinhashMod)).as("h1"),
+      pmod(call_function("xx_hash64", x, lit(1L)), lit(MinhashMod)).as("h2")))
 
   /** [[minhashSig]] over the xxhash64 pairs — same estimator, same
     * band-key layout downstream, different (non-oracle) hash family.
@@ -167,8 +172,8 @@ object Text {
     * refusal would not have fired, and salting never changes the
     * output, only the distribution (GuardedLshSpec proves both equal
     * the naive quadratic join on a planted hot corpus). The salt hash
-    * is xxhash64 — safe even for oracle-checked queries because it
-    * never reaches the output.
+    * is graft's xx_hash64 — safe even for oracle-checked queries
+    * because it never reaches the output.
     *
     * EVALUATION contract (r18 ADVICE): the salted branch references
     * `frame` three times (one counts aggregation + the two sides of
@@ -181,6 +186,10 @@ object Text {
                     cap: Int, saltHotBuckets: Int = 0): DataFrame = {
     require(saltHotBuckets >= 0 && saltHotBuckets <= 256,
       s"selfJoinPairs: saltHotBuckets $saltHotBuckets out of 0..256")
+    // the salt hash is graft's own xx_hash64 — self-register so the
+    // salted path resolves in any session (and is immune to the
+    // post-Graft.init shadowing of the builtin's name)
+    graft.functions.GraftFunctions.register(frame.sparkSession)
     // <=> throughout: NULL keys form a bucket like they do in
     // guardBuckets — a plain === would silently drop their pairs
     def pairsOf(f: DataFrame): DataFrame =
@@ -202,7 +211,8 @@ object Text {
     val repl = frame.join(counts, col(keyCol) <=> col("__sjk"))
       .drop("__sjk")
       .withColumn("__g", when(hot,
-        pmod(xxhash64(col(idCol)), lit(s)).cast("int")).otherwise(lit(-1)))
+        pmod(call_function("xx_hash64", col(idCol).cast("string")),
+          lit(s)).cast("int")).otherwise(lit(-1)))
       .withColumn("__t", explode(when(hot,
         sequence(lit(0), lit(s - 1))).otherwise(array(lit(-1)))))
       .withColumn("__ta", least(col("__g"), col("__t")))

@@ -51,6 +51,7 @@ class TextVectorSpec extends AnyFunSuite {
     // mode, r16 verdict task 6) must satisfy the SAME estimator
     // property as the md5 family: agreement rate ≈ Jaccard, and both
     // hashes land in [0, 2^55) (pmod, since xxhash64 is signed).
+    graft.functions.GraftFunctions.register(spark)
     val a = (0 until 20).map(i => s"w$i")
     val b = (10 until 30).map(i => s"w$i")
     val df = Seq((a, b)).toDF("a", "b")
