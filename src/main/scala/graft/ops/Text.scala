@@ -246,6 +246,60 @@ object Text {
       when(u > 0, u).cast("double")
   }
 
+  /** Exact substring-level dedup — the ExactSubstr shape of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): every MAXIMAL token span of length ≥ k whose k-token
+    * seeds each occur ≥ `minOcc` times corpus-wide (intra-doc repeats
+    * count, as in the paper). The paper's suffix-array pass is
+    * re-expressed shuffle-first: one row per (document, span) with
+    * 0-based token offsets, inclusive `span_end`, spans per document
+    * non-overlapping and ≥ k tokens; two duplicated regions that touch
+    * end-to-end merge (a span is a maximal contiguous COVERED region).
+    *
+    * Mechanics: each token position emits its k-gram seed hash (one
+    * md5 per position — the minhash chain's linear map-side cost
+    * class); ONE groupBy counts global seed occurrences; positions
+    * whose seed reaches `minOcc` join back on the hash (AQE broadcasts
+    * the duplicated-hash set when it is small, the common case) and
+    * interval-merge under a window PARTITIONED BY document — bounded
+    * by document length, never global. A seed at pos covers tokens
+    * [pos, pos+k-1]; a new span starts when pos exceeds the running
+    * covered end + 1. Seed equality is md5-60-bit ([[mh60]], seed
+    * "xspan") — collisions ~2⁻⁶⁰ and bit-identical in the DuckDB
+    * oracle, which re-derives this whole chain.
+    *
+    * 100-TB posture: linear emit, one count shuffle, one equi-join on
+    * the same key, per-document windows — no quadratic term anywhere.
+    * At real corpus lengths use the paper's k=50 instead of the
+    * fixture-scaled default.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minOcc: Int = 2): DataFrame = {
+    require(k >= 2, s"duplicateSpans: k $k must be >= 2")
+    require(minOcc >= 2, s"duplicateSpans: minOcc $minOcc must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val seeds = docs
+      .select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        mh60(lit("xspan"), col("sh")).as("h"))
+    val dupH = seeds.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select("h")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    seeds.join(dupH, "h")
+      .withColumn("prev_end", max(col("pos") + lit(k - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("prev_end").isNull
+        || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_toks"))
+  }
+
   /** SQL text computing a 32-bit SimHash over the distinct-token array
     * column named `tokset`: bit b is the majority vote of bit b across
     * token hashes. Built as SQL because shiftleft/shiftright need a

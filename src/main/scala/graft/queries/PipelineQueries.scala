@@ -648,6 +648,73 @@ object PipelineQueries {
              CAST(sum(new_chars) AS BIGINT) AS new_chars
       FROM rebuilt GROUP BY source ORDER BY source""")),
 
+    // Exact substring-level dedup (Lee et al. 2021 ExactSubstr,
+    // re-expressed shuffle-first in Text.duplicateSpans): maximal
+    // ≥15-token spans whose seeds repeat corpus-wide, summarized per
+    // source. The oracle re-derives the ENTIRE chain — positional
+    // seed emit, global occurrence filter, per-doc interval merge —
+    // so the span boundaries themselves are hash-checked, not just
+    // counts of them.
+    QDef("pipe_substring_dedup", (s, dir) => {
+      import s.implicits._
+      val spans = Text.duplicateSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 15)
+      val perDoc = spans.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum($"span_toks").as("dup_toks"),
+          max($"span_toks").as("max_span"))
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"source",
+        size(Text.tokens($"text")).cast("long").as("toks"))
+      perDoc.join(docs, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("dup_docs"),
+          sum($"n_spans").as("n_spans"),
+          sum($"dup_toks").as("dup_toks"),
+          max($"max_span").as("max_span"),
+          round(sum($"dup_toks").cast("double") / sum($"toks"), 4)
+            .as("dup_frac"))
+        .orderBy($"source")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+      se AS (SELECT doc_id,
+                    unnest(range(0, greatest(len(toks) - 14, 0))) AS pos,
+                    toks
+             FROM t),
+      h AS (SELECT doc_id, pos,
+                   CAST('0x' || substring(md5('xspan' || '|' ||
+                        array_to_string(toks[pos + 1 : pos + 15], ' ')),
+                        1, 15) AS BIGINT) AS h
+            FROM se),
+      dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+      d AS (SELECT doc_id, pos FROM h JOIN dup USING (h)),
+      m AS (SELECT doc_id, pos,
+                   max(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM d),
+      g AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_id
+            FROM m),
+      sp AS (SELECT doc_id, span_id, min(pos) AS s0, max(pos) + 14 AS e0
+             FROM g GROUP BY 1, 2),
+      pd AS (SELECT doc_id, count(*) AS n_spans,
+                    sum(e0 - s0 + 1) AS dup_toks,
+                    max(e0 - s0 + 1) AS max_span
+             FROM sp GROUP BY doc_id),
+      dl AS (SELECT doc_id, source, len(toks) AS toks FROM t)
+      SELECT source, count(*) AS dup_docs,
+             CAST(sum(n_spans) AS BIGINT) AS n_spans,
+             CAST(sum(dup_toks) AS BIGINT) AS dup_toks,
+             CAST(max(max_span) AS BIGINT) AS max_span,
+             round(CAST(sum(dup_toks) AS DOUBLE) /
+                   CAST(sum(toks) AS DOUBLE), 4) AS dup_frac
+      FROM pd JOIN dl USING (doc_id)
+      GROUP BY source ORDER BY source""")),
+
     QDef("pipe_stratified_sample", (s, dir) => {
       import s.implicits._
       val M = 36028797018963968L // 2^55: below it mh60 is uniform
