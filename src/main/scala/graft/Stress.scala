@@ -340,6 +340,22 @@ object Stress {
     }
     pairs.unpersist(); cc.unpersist()
 
+    // ---- exact substring-level dedup (r19, pipe_substring_dedup's
+    // operator): positional 25-gram seed emit (linear in corpus
+    // tokens) → ONE global occurrence count → per-doc interval merge
+    // under a doc-partitioned window. The planted twins (10% of base
+    // docs duplicated verbatim + " extra") each contribute one
+    // full-width duplicated span on BOTH sides, so `out` tracks
+    // 2·(n/10) span rows at every rung; random 25-grams in this
+    // vocabulary never collide. The claim: linear wall time, flat
+    // exchange count — the paper's suffix-array pass re-expressed as
+    // two shuffles.
+    val spanDocs = synthDocs(spark, nDocs)
+    val spans = Text.duplicateSpans(spanDocs, "doc_id", "text", k = 25)
+    val (nSpans, tSpans) = timed(spans.count())
+    report("substring_dedup", mult, nDocs * 11 / 10, tSpans,
+      exchanges(spans), nSpans)
+
     // ---- BM25 over the same corpus (r15, same shape as the declared
     // pipe_bm25: ZERO corpus-wide exchanges — token_counts generator
     // finishes tf within the row, broadcast terms semi-join shrinks

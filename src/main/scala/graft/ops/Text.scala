@@ -300,6 +300,36 @@ object Text {
         (col("span_end") - col("span_start") + 1L).as("span_toks"))
   }
 
+  /** Apply substring-level dedup: rebuild each document's text with
+    * the given token spans removed. `spans` is [[duplicateSpans]]
+    * output (or any (idCol, span_start, span_end) frame) — every
+    * listed span is cut from its document; pass the spans frame
+    * pre-filtered to choose a policy (cut-all as produced, or
+    * keep-first by exempting one occurrence per duplicate cluster).
+    * Documents with no spans pass through unchanged. Returns the
+    * input columns plus `<textCol>_dedup`.
+    *
+    * Mechanics: spans collapse to one per-doc array (bounded by
+    * doc length / k), broadcast-friendly left join back onto the
+    * documents, and the rebuild is a per-row codegen'd
+    * filter-by-position over the token array — linear, map-side, no
+    * extra shuffle beyond the one span aggregation.
+    */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = tokens(col(textCol))
+    docs.join(sp, Seq(idCol), "left")
+      .withColumn(s"${textCol}_dedup", array_join(
+        filter(toks, (t, i) => coalesce(!exists(col("__spans"),
+          s => i.cast("long") >= s.getField("span_start")
+            && i.cast("long") <= s.getField("span_end")), lit(true))),
+        " "))
+      .drop("__spans")
+  }
+
   /** SQL text computing a 32-bit SimHash over the distinct-token array
     * column named `tokset`: bit b is the majority vote of bit b across
     * token hashes. Built as SQL because shiftleft/shiftright need a

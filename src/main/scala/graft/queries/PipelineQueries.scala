@@ -715,6 +715,82 @@ object PipelineQueries {
       FROM pd JOIN dl USING (doc_id)
       GROUP BY source ORDER BY source""")),
 
+    // The APPLY side of substring dedup: Text.cutSpans rebuilds each
+    // document with its duplicated spans removed (cut-all policy —
+    // keep-first is the caller filtering the spans frame). The
+    // bit_xor(mh60) checksum over the REBUILT text makes the oracle
+    // sensitive to every byte of every rebuilt document, not just
+    // counts; `txt = ''` guards the 1-token artifact of splitting an
+    // empty string in both engines.
+    QDef("pipe_substring_cut", (s, dir) => {
+      import s.implicits._
+      val docs0 = Tables(s, dir, "documents")
+      val spans = Text.duplicateSpans(docs0, "doc_id", "text", k = 15)
+      val cut = Text.cutSpans(docs0, spans, "doc_id", "text")
+      cut.select($"source",
+          size(Text.tokens($"text")).cast("long").as("old"),
+          when($"text_dedup" === "", 0L)
+            .otherwise(size(Text.tokens($"text_dedup")).cast("long")).as("nw"),
+          Text.mh60(lit("cut"), $"text_dedup").as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs"),
+          sum(when($"nw" < $"old", 1L).otherwise(0L)).as("cut_docs"),
+          sum($"old").as("old_toks"),
+          sum($"nw").as("new_toks"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy($"source")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+      se AS (SELECT doc_id,
+                    unnest(range(0, greatest(len(toks) - 14, 0))) AS pos,
+                    toks
+             FROM t),
+      h AS (SELECT doc_id, pos,
+                   CAST('0x' || substring(md5('xspan' || '|' ||
+                        array_to_string(toks[pos + 1 : pos + 15], ' ')),
+                        1, 15) AS BIGINT) AS h
+            FROM se),
+      dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+      d AS (SELECT doc_id, pos FROM h JOIN dup USING (h)),
+      m AS (SELECT doc_id, pos,
+                   max(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM d),
+      g AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_id
+            FROM m),
+      sp AS (SELECT doc_id, span_id, min(pos) AS s0, max(pos) + 14 AS e0
+             FROM g GROUP BY 1, 2),
+      cs AS (SELECT doc_id, flatten(list(range(s0, e0 + 1))) AS cov
+             FROM sp GROUP BY doc_id),
+      -- coalesce: DuckDB array_to_string([]) is NULL where Spark's
+      -- array_join([]) is '' — a fully-covered doc must rebuild to ''
+      reb AS (SELECT t.doc_id, t.source, len(t.toks) AS old,
+                     coalesce(array_to_string(list_transform(
+                       list_filter(range(0, len(t.toks)),
+                         p -> cs.cov IS NULL OR NOT list_contains(cs.cov, p)),
+                       p -> t.toks[p + 1]), ' '), '') AS txt
+              FROM t LEFT JOIN cs USING (doc_id)),
+      n AS (SELECT source, old,
+                   CASE WHEN txt = '' THEN 0
+                        ELSE len(string_split(txt, ' ')) END AS nw,
+                   CAST('0x' || substring(md5('cut' || '|' || txt), 1, 15)
+                        AS BIGINT) AS h
+            FROM reb)
+      SELECT source, count(*) AS docs,
+             CAST(sum(CASE WHEN nw < old THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut_docs,
+             CAST(sum(old) AS BIGINT) AS old_toks,
+             CAST(sum(nw) AS BIGINT) AS new_toks,
+             bit_xor(h) AS checksum
+      FROM n GROUP BY source ORDER BY source""")),
+
     QDef("pipe_stratified_sample", (s, dir) => {
       import s.implicits._
       val M = 36028797018963968L // 2^55: below it mh60 is uniform

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.Text
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Text.duplicateSpans (exact substring-level dedup, the ExactSubstr
@@ -75,6 +76,41 @@ class SpanDedupSpec extends AnyFunSuite {
       "doc_id", "text", 3, minOcc = 3).count()
     assert(m3 === 0L) // only 2 occurrences
     assert(m3full === 3L) // third doc pushes the seed to 3
+  }
+
+  test("cutSpans: exact rebuilt text, untouched docs pass through, full cover empties") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "x y c d e f g z1 z2 z3",
+      3L -> "q1 q2 q3 q4", // no spans
+      8L -> "w1 w2 w3",
+      9L -> "w1 w2 w3") // fully covered dup pair
+      .toDF("doc_id", "text")
+    val spans = Text.duplicateSpans(docs, "doc_id", "text", 3)
+    val out = Text.cutSpans(docs, spans, "doc_id", "text")
+      .select("doc_id", "text_dedup").collect()
+      .map { case Row(id: Long, t: String) => id -> t }.toMap
+    assert(out(1L) === "a b h i j")
+    assert(out(2L) === "x y z1 z2 z3")
+    assert(out(3L) === "q1 q2 q3 q4")
+    assert(out(8L) === "" && out(9L) === "")
+  }
+
+  test("cutSpans keep-first policy: caller filters the spans frame") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "x y c d e f g z1 z2 z3").toDF("doc_id", "text")
+    val spans = Text.duplicateSpans(docs, "doc_id", "text", 3)
+      .filter(col("doc_id") =!= 1L) // exempt the first occurrence
+    val out = Text.cutSpans(docs, spans, "doc_id", "text")
+      .select("doc_id", "text_dedup").collect()
+      .map { case Row(id: Long, t: String) => id -> t }.toMap
+    assert(out(1L) === "a b c d e f g h i j") // kept verbatim
+    assert(out(2L) === "x y z1 z2 z3")
   }
 
   test("fixture invariants at k=15: spans sorted, non-overlapping, >= k tokens") {
