@@ -355,6 +355,14 @@ object Stress {
     val (nSpans, tSpans) = timed(spans.count())
     report("substring_dedup", mult, nDocs * 11 / 10, tSpans,
       exchanges(spans), nSpans)
+    // production-hash twin (the hashPairsFast trade, measured here
+    // too): XXH64 seeds instead of md5 — identical span set, the
+    // per-position hash is the dominant cost at every rung
+    val spansX = Text.duplicateSpans(spanDocs, "doc_id", "text",
+      k = 25, fastHash = true)
+    val (nSpansX, tSpansX) = timed(spansX.count())
+    report("substring_dedup_xx", mult, nDocs * 11 / 10, tSpansX,
+      exchanges(spansX), nSpansX)
 
     // ---- BM25 over the same corpus (r15, same shape as the declared
     // pipe_bm25: ZERO corpus-wide exchanges — token_counts generator

@@ -272,17 +272,29 @@ object Text {
     * the same key, per-document windows — no quadratic term anywhere.
     * At real corpus lengths use the paper's k=50 instead of the
     * fixture-scaled default.
+    *
+    * `fastHash = true` is the production-hash mode (the
+    * [[hashPairsFast]] trade): graft's raw-bytes XXH64 expression in
+    * place of md5 — the span SET is hash-family independent (seeds
+    * match on identical k-grams; only the ~2⁻⁶⁰-class collision term
+    * differs), but DuckDB cannot reproduce XXH64, so fast mode feeds
+    * only non-oracle surfaces (the STRESS twin, production deploys).
+    * Callers must run GraftFunctions.register(session) first.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int, minOcc: Int = 2): DataFrame = {
+                     k: Int, minOcc: Int = 2,
+                     fastHash: Boolean = false): DataFrame = {
     require(k >= 2, s"duplicateSpans: k $k must be >= 2")
     require(minOcc >= 2, s"duplicateSpans: minOcc $minOcc must be >= 2")
     import org.apache.spark.sql.expressions.Window
+    val seedHash: Column => Column =
+      if (fastHash) sh => call_function("xx_hash64", concat(lit("xspan|"), sh))
+      else sh => mh60(lit("xspan"), sh)
     val seeds = docs
       .select(col(idCol),
         posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "sh")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        mh60(lit("xspan"), col("sh")).as("h"))
+        seedHash(col("sh")).as("h"))
     val dupH = seeds.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc).select("h")
     val w = Window.partitionBy(idCol).orderBy("pos")
@@ -312,8 +324,14 @@ object Text {
     * Mechanics: spans collapse to one per-doc array (bounded by
     * doc length / k), broadcast-friendly left join back onto the
     * documents, and the rebuild is a per-row codegen'd
-    * filter-by-position over the token array — linear, map-side, no
-    * extra shuffle beyond the one span aggregation.
+    * filter-by-position over the token array — map-side, no extra
+    * shuffle beyond the one span aggregation. Per-token cost is
+    * O(spans-in-doc) (the exists scan), i.e. O(len²/k) only for a
+    * pathological maximally-fragmented document — at the paper's
+    * k=50 that is ≤ len/50 span probes per token; if a corpus ever
+    * makes that bite, the sorted non-overlapping span array admits a
+    * single-cursor aggregate fold (spans advance at most once per
+    * token), trading this function's readability for O(len).
     */
   def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
                textCol: String): DataFrame = {

@@ -113,6 +113,17 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(2L) === "x y z1 z2 z3")
   }
 
+  test("fastHash mode: identical span set to the md5 family (hash-family independence)") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val md5Spans = Text.duplicateSpans(docs, "doc_id", "text", 15)
+      .collect().map(_.toSeq).toSet
+    val xxSpans = Text.duplicateSpans(docs, "doc_id", "text", 15, fastHash = true)
+      .collect().map(_.toSeq).toSet
+    assert(md5Spans.nonEmpty && md5Spans === xxSpans)
+  }
+
   test("fixture invariants at k=15: spans sorted, non-overlapping, >= k tokens") {
     val df = Text.duplicateSpans(
       Tables(spark, "/root/testdata/sf0.001", "documents"),
