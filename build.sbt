@@ -27,5 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dspark.sql.legacy.parquet.nanosAsLong=true",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 16g default (was 8g): local[32] runs 32 concurrent tasks in ONE
+  // JVM — at 8g that is 250 MB of heap per running task, and the r19
+  // STRESS ladder measured both an OOM (lsh_skew_salted_s16 at 10×)
+  // and multi-second full-GC pauses (pipe_substring_* exec variance
+  // 0.8 → 18 s) at the old default. The box has 128 GiB; 16g keeps
+  // headroom for the DuckDB oracle and sbt itself.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

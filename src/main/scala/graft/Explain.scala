@@ -8,8 +8,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // --out <dir> <suffix>: ALSO write each query's formatted plan to
+    // <dir>/<query><suffix>.txt — the optimization rounds' before/after
+    // plan evidence (plans/r19/).
+    val (outDir, suffix, rest) = args.headOption match {
+      case Some("--out") =>
+        (Some(args(1)), args(2), args.drop(3))
+      case _ => (None, "", args)
+    }
+    val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.001"
+    val names = if (rest.length > 1) rest.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -21,7 +29,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"==== $n ====")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan)
+      val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      println(qe.executedPlan)
+      outDir.foreach { d =>
+        val dir = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"$n$suffix.txt"),
+          qe.explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")).getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

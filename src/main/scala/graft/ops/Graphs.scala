@@ -49,6 +49,27 @@ object Graphs {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // Long-keyed fast path (every repo caller: doc ids): the same
+    // min-label propagation as the generic loop below, but as a raw
+    // pair-RDD iteration with ONE HashPartitioner shared by the edge
+    // frame, the label frame and every round's reduceByKey — so the
+    // two per-round joins are narrow (zero shuffle) and each round is
+    // exactly ONE job with one shuffle (the neighbor-message
+    // reduceByKey). The DataFrame loop pays Catalyst analysis + AQE
+    // stage scheduling + a fresh 2-exchange plan per round (measured
+    // r19: 0.4–0.6 s/round at sf0.1 vs ~0.1 s here); partitioner
+    // reuse is the GraphX-style contract that also holds at 100 TB —
+    // the static symmetrized edge RDD is shuffled ONCE for the whole
+    // iteration, not once per round. Semantics are identical
+    // (GraphsSpec runs both paths: one hop per round, maxIter bound,
+    // partial labels on a too-small budget); null ids never reach
+    // this operator (edges come from inner joins on non-null keys)
+    // and are dropped rather than propagated as SQL-null curiosities.
+    if (edges.schema(srcCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.schema(dstCol).dataType ==
+          org.apache.spark.sql.types.LongType)
+      return ccLongPath(edges, srcCol, dstCol, maxIter)
     val spark = edges.sparkSession
     import spark.implicits._
     // Symmetrize once: propagation needs both directions of each edge.
@@ -69,9 +90,11 @@ object Graphs {
     var labels = sym.select($"id").distinct().withColumn("lbl", $"id")
       .withColumn("chg", lit(false))
       .persist(StorageLevel.DISK_ONLY)
+    val dbg = sys.props.contains("graft.cc.log")
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
+      val rt0 = if (dbg) System.nanoTime() else 0L
       // min label over the closed neighborhood: self ∪ neighbors.
       val nbMin = sym
         .join(labels.select($"id".as("nb"), $"lbl".as("nb_lbl")), "nb")
@@ -93,9 +116,84 @@ object Graphs {
       labels = next
       converged = changed == 0L
       round += 1
+      if (dbg) println(f"CCDBG prop round=$round changed=$changed " +
+        f"sec=${(System.nanoTime() - rt0) / 1e9}%.3f")
     }
     sym0.unpersist()
     labels.select($"id", $"lbl".as("component"))
+  }
+
+  /** [[connectedComponents]]'s Long-keyed pair-RDD fast path — see
+    * the dispatch comment there. One co-partitioned shuffle per
+    * round; labels/edges persist MEMORY_AND_DISK (spill-safe at any
+    * scale, no forced disk round-trip at fixture scale).
+    */
+  private def ccLongPath(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val dbg = sys.props.contains("graft.cc.log")
+    val part = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    // Symmetrize + dedup once, hash-partitioned by node id for the
+    // whole iteration. Dedup is LOCAL after partitionBy: duplicates of
+    // (a, b) all land in a's partition. Per-node degree is bounded
+    // upstream (hot-bucket caps), so keying by node cannot skew a
+    // partition beyond what the per-round message shuffle would pay
+    // anyway.
+    val sym = edges.select(col(srcCol), col(dstCol)).rdd
+      .flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val a = r.getLong(0); val b = r.getLong(1)
+          if (a == b) Iterator((a, a)) else Iterator((a, b), (b, a))
+        }
+      }
+      .partitionBy(part)
+      .mapPartitions({ it =>
+        val seen = new java.util.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels start as id -> id; co-partitioned, so distinct node ids
+    // are a LOCAL pass over sym's partitions.
+    var labels = sym.mapPartitions({ it =>
+      val seen = new java.util.HashSet[Long]()
+      it.collect { case (id, _) if seen.add(id) => (id, id) }
+    }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize sym+labels once, outside the loop
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val rt0 = if (dbg) System.nanoTime() else 0L
+      val changed = sc.longAccumulator
+      // u sends lbl(u) to every neighbor — the round's ONE shuffle;
+      // both joins reuse `part` and are narrow. Every node receives a
+      // message (sym is symmetric and keeps self-loops), so the inner
+      // join covers every label key.
+      val nbMin = sym.join(labels, part)
+        .map { case (_, (nb, lbl)) => (nb, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val next = labels.join(nbMin, part).mapValues { case (l, m) =>
+        if (m < l) { changed.add(1L); m } else l
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // one job per round; also drives the accumulator
+      labels.unpersist()
+      labels = next
+      // retries can only OVER-count `changed` (an extra round, never a
+      // wrong early exit): zero adds means zero however often tasks run
+      converged = changed.value == 0L
+      round += 1
+      if (dbg) println(f"CCDBG prop-rdd round=$round changed=${changed.value} " +
+        f"sec=${(System.nanoTime() - rt0) / 1e9}%.3f")
+    }
+    sym.unpersist()
+    spark.createDataFrame(
+      labels.map { case (id, l) => Row(id, l) },
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
   }
 
   /** Connected components by alternating large-star/small-star
@@ -128,6 +226,14 @@ object Graphs {
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
                               dstCol: String, maxIter: Int = 50): DataFrame = {
+    // Long-keyed fast path, same rationale as [[connectedComponents]]'s
+    // (one shared HashPartitioner, ~2 shuffles and ONE job per
+    // contraction round instead of a fresh multi-stage AQE plan).
+    if (edges.schema(srcCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.schema(dstCol).dataType ==
+          org.apache.spark.sql.types.LongType)
+      return starLongPath(edges, srcCol, dstCol, maxIter)
     val spark = edges.sparkSession
     import spark.implicits._
     val nodes = edges.select(col(srcCol).as("id"))
@@ -179,9 +285,11 @@ object Graphs {
     // cur is the re-rooted VIEW; unpersist must target the frame that
     // actually holds the cache (cur0 on round 1, next thereafter)
     var curPersisted = cur0
+    val dbg = sys.props.contains("graft.cc.log")
     var converged = isStarForest(cur)
     var round = 0
     while (!converged && round < maxIter) {
+      val rt0 = if (dbg) System.nanoTime() else 0L
       val nextPlan = smallStar(largeStar(cur))
       // lineage cut, same rationale as the propagation loop
       val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
@@ -191,6 +299,8 @@ object Graphs {
       curPersisted = next
       cur = next
       round += 1
+      if (dbg) println(f"CCDBG star round=$round " +
+        f"sec=${(System.nanoTime() - rt0) / 1e9}%.3f")
     }
     require(converged,
       s"connectedComponentsStar: no fixpoint after $maxIter rounds " +
@@ -202,5 +312,105 @@ object Graphs {
     nodes.join(cur.select($"u".as("id"), $"v".as("component")),
         Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
+  }
+
+  /** [[connectedComponentsStar]]'s Long-keyed pair-RDD fast path —
+    * the identical large-star/small-star algebra (edges oriented
+    * bigger→smaller, m = min(u, N(u)) on the large half, min of the
+    * small-neighbor list on the small half, the same star-forest
+    * fixpoint test) over a single shared HashPartitioner: reduceByKey
+    * and join reuse the partitioning, so a round pays ~2 shuffles
+    * (the re-key after each half's emit) and exactly one action.
+    */
+  private def starLongPath(edges: DataFrame, srcCol: String,
+                           dstCol: String, maxIter: Int): DataFrame = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val dbg = sys.props.contains("graft.cc.log")
+    val part = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    val minL = (a: Long, b: Long) => math.min(a, b)
+
+    def localDistinct(e: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      e.partitionBy(part).mapPartitions({ it =>
+        val seen = new java.util.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+
+    val raw = edges.select(col(srcCol), col(dstCol)).rdd.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+      else {
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (a == b) Iterator.empty
+        else Iterator((math.max(a, b), math.min(a, b)))
+      }
+    }
+    val nodes = edges.select(col(srcCol), col(dstCol)).rdd.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+      else Iterator((r.getLong(0), ()), (r.getLong(1), ()))
+    }.partitionBy(part).mapPartitions({ it =>
+      val seen = new java.util.HashSet[Long]()
+      it.collect { case (id, _) if seen.add(id) => (id, ()) }
+    }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .partitionBy(part)
+      val mins = sym.reduceByKey(part, minL)
+      localDistinct(sym.join(mins, part).flatMap { case (u, (v, mn)) =>
+        if (v > u) Iterator((v, math.min(u, mn))) else Iterator.empty
+      })
+    }
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      // e arrives bigger→smaller and partitioned by u, so reduceByKey
+      // and the join are narrow; min(N(u) ∪ {u}) = min(N(u))
+      val mins = e.reduceByKey(part, minL)
+      localDistinct(
+        (e.join(mins, part).map { case (_, (v, mn)) => (v, mn) } ++ mins)
+          .filter { case (a, b) => a != b })
+    }
+    // Star-forest fixpoint test, one aggregate action (also the round's
+    // materializing action): (a) no node both parent and child, (b) no
+    // child has two parents — same algebra as the DataFrame path.
+    def isStarForest(e: RDD[(Long, Long)]): Boolean = {
+      val roles = e.flatMap { case (u, v) =>
+        Iterator((u, (1L, 0L)), (v, (0L, 1L)))
+      }.reduceByKey(part, (a, b) => (a._1 + b._1, a._2 + b._2))
+      val (both, maxChild) = roles.map { case (_, (nc, np)) =>
+        (if (nc > 0 && np > 0) 1L else 0L, nc)
+      }.fold((0L, 0L)) { (a, b) =>
+        (math.max(a._1, b._1), math.max(a._2, b._2))
+      }
+      both == 0L && maxChild <= 1L
+    }
+
+    var cur = localDistinct(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = isStarForest(cur)
+    var round = 0
+    while (!converged && round < maxIter) {
+      val rt0 = if (dbg) System.nanoTime() else 0L
+      val next = smallStar(largeStar(cur))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = isStarForest(next)
+      cur.unpersist()
+      cur = next
+      round += 1
+      if (dbg) println(f"CCDBG star-rdd round=$round " +
+        f"sec=${(System.nanoTime() - rt0) / 1e9}%.3f")
+    }
+    require(converged,
+      s"connectedComponentsStar: no fixpoint after $maxIter rounds " +
+        "(expected O(log² n)) — raise maxIter or check the edge relation")
+    // nodes and the star edges stay persisted: the result is lazy and
+    // consumed (possibly several times) by the caller.
+    val labels = nodes.leftOuterJoin(cur, part).map {
+      case (id, (_, comp)) => Row(id, comp.getOrElse(id))
+    }
+    spark.createDataFrame(labels,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
   }
 }

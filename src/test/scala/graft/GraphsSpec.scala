@@ -89,6 +89,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no fixpoint"))
   }
 
+  test("generic DataFrame path (non-Long ids) matches the Long fast path") {
+    // r19: Long-typed edges dispatch to the pair-RDD fast path; INT
+    // ids keep the generic Catalyst loop alive and pin that both
+    // paths compute the same labels on the same graphs.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val truth = unionFind(edges)
+    val intDf = edges.toDF("a", "b")
+      .selectExpr("CAST(a AS INT) AS a", "CAST(b AS INT) AS b")
+    val gotProp = Graphs.connectedComponents(intDf, "a", "b")
+      .collect().map(r => r.getInt(0).toLong -> r.getInt(1).toLong).toMap
+    val gotStar = Graphs.connectedComponentsStar(intDf, "a", "b")
+      .collect().map(r => r.getInt(0).toLong -> r.getInt(1).toLong).toMap
+    assert(gotProp == truth)
+    assert(gotStar == truth)
+    assert(run(edges) == truth)     // Long fast path, propagation
+    assert(runStar(edges) == truth) // Long fast path, star
+  }
+
+  test("fast path handles self-loops and null edges") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 3L))
+    assert(run(edges) == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val withNull = spark.sql(
+      "SELECT * FROM VALUES (1L, 2L), (CAST(NULL AS BIGINT), 9L), (2L, 3L) t(a, b)")
+    val got = Graphs.connectedComponents(withNull, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("maxIter bound still returns a label per node") {
     val edges = (1L until 10L).map(i => (i + 1, i))
     val out = Graphs.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 2)
