@@ -15,15 +15,25 @@ object Lab {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val rounds = args(1).toInt
-    val names = args.drop(2).toSeq
+    // "ALL" sweeps every declared query once — full-floor attribution
+    val names =
+      if (args.drop(2).toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = Tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // conf A/B hook: SPARK_GRAFT_LAB_CONF="k=v;k=v" layered on top
+    sys.env.get("SPARK_GRAFT_LAB_CONF").foreach {
+      _.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -33,6 +43,7 @@ object Lab {
     // warmup
     SparkEntry.queries("q1_flagship")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    var buildTot = 0.0; var execTot = 0.0; var jobsTot = 0L
     for (n <- names; i <- 1 to rounds) {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
@@ -41,9 +52,13 @@ object Lab {
       df.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
       Thread.sleep(50) // let async listener events drain
-      println(f"LAB $n round $i build=${(t1 - t0) / 1e9}%.3f s " +
-        f"exec=${(t2 - t1) / 1e9}%.3f s jobs=${jobs.get() - j0}")
+      val b = (t1 - t0) / 1e9; val e = (t2 - t1) / 1e9
+      buildTot += b; execTot += e; jobsTot += jobs.get() - j0
+      println(f"LAB $n round $i build=$b%.3f s " +
+        f"exec=$e%.3f s jobs=${jobs.get() - j0}")
     }
+    println(f"LABTOTAL n=${names.size * rounds} build=$buildTot%.2f s " +
+      f"exec=$execTot%.2f s jobs=$jobsTot")
     spark.stop()
   }
 }

@@ -22,7 +22,7 @@ object NoFallback {
     val sfDir = argv.headOption.getOrElse("/root/testdata/sf0.001")
     val only: Set[String] = argv.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = Tuned(SparkSession.builder())
       .appName("graft-nofallback").master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

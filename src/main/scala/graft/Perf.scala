@@ -112,7 +112,7 @@ object Perf {
                  else Seq("sql_ch_parametric")
     val names = names0.filter(SparkEntry.queries.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -195,7 +195,7 @@ object Perf {
     // a red-flag plan can no longer hide in an unaudited entry.
     val names = (standing ++ args.drop(1) ++ SparkEntry.queries.keys.toSeq.sorted)
       .distinct.filter(SparkEntry.queries.contains)
-    val spark = SparkSession.builder()
+    val spark = Tuned(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

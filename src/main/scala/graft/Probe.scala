@@ -1288,7 +1288,7 @@ object Probe {
 
   def main(argv: Array[String]): Unit = {
     val sfDir = argv.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val spark = Tuned(SparkSession.builder())
       .appName("graft-probe").master(s"local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false)

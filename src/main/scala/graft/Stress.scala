@@ -110,7 +110,7 @@ object Stress {
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder()
+    val spark = Tuned(SparkSession.builder())
       .appName(s"graft-stress-${mult}x").master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")

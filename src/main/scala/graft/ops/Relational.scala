@@ -79,7 +79,17 @@ object Relational {
     */
   def versionedCollapse(df: DataFrame, keys: Seq[String],
       versionCol: String, signCol: String): DataFrame =
-    distinctOn(versionedCollapseFinal(df, keys, versionCol, signCol),
+    // Hash-partition by the collapse keys ONCE up front: the (keys,
+    // version) net aggregation and the latest-version window both
+    // accept HashPartitioning(keys) (its expressions are a subset of
+    // either clustering), so the whole collapse runs on ONE exchange
+    // instead of two back-to-back ones (agg on keys+version, then
+    // window on keys) — r20, guide §2.4 "two operations keyed the
+    // same way can share one exchange". Row-identical: repartition
+    // only moves rows.
+    distinctOn(
+      versionedCollapseFinal(df.repartition(keys.map(col): _*),
+        keys, versionCol, signCol),
       keys, Seq(col(versionCol).desc))
 
   /** MergeTree `TTL expr` at query time: row TTL drops rows whose

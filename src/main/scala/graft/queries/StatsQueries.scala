@@ -121,9 +121,15 @@ object StatsQueries {
       val ord = Tables(s, dir, "orders")
       val cells = ord.groupBy($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("nij"))
-      val rows = ord.groupBy($"o_orderstatus").agg(count(lit(1)).as("ni"))
-      val cols = ord.groupBy($"o_orderpriority").agg(count(lit(1)).as("nj"))
-      val tot = ord.agg(count(lit(1)).as("n"),
+      // ONE fact pass (r20): the marginals and totals are exact sums
+      // over the tiny contingency table — ni(s) = Σ_p nij, n = Σ nij,
+      // r/c = distinct keys of cells — so the three extra full-table
+      // aggregations collapse into O(r·c)-row re-aggregations of
+      // `cells` (whose identical exchange subtrees ReuseExchange
+      // dedups into one shuffle).
+      val rows = cells.groupBy($"o_orderstatus").agg(sum($"nij").as("ni"))
+      val cols = cells.groupBy($"o_orderpriority").agg(sum($"nij").as("nj"))
+      val tot = cells.agg(sum($"nij").as("n"),
         countDistinct($"o_orderstatus").as("r"),
         countDistinct($"o_orderpriority").as("c"))
       cells.join(broadcast(rows), "o_orderstatus")
@@ -160,9 +166,11 @@ object StatsQueries {
       val ord = Tables(s, dir, "orders")
       val cells = ord.groupBy($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("nij"))
-      val rws = ord.groupBy($"o_orderstatus").agg(count(lit(1)).as("ni"))
-      val cls = ord.groupBy($"o_orderpriority").agg(count(lit(1)).as("nj"))
-      val tot = ord.agg(count(lit(1)).as("n"))
+      // ONE fact pass (r20, same derivation as agg_cramers_v): the
+      // marginals/total are exact sums over the contingency cells.
+      val rws = cells.groupBy($"o_orderstatus").agg(sum($"nij").as("ni"))
+      val cls = cells.groupBy($"o_orderpriority").agg(sum($"nij").as("nj"))
+      val tot = cells.agg(sum($"nij").as("n"))
       val a = cells.join(broadcast(rws), "o_orderstatus")
         .join(broadcast(cls), "o_orderpriority")
         .crossJoin(broadcast(tot))
@@ -291,8 +299,16 @@ object StatsQueries {
       import s.implicits._
       val li = Tables(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_quantity".as("x"), $"l_discount".as("y"))
+      val D0 = "decimal(38,0)"
+      val joint = li.groupBy($"g", $"x", $"y").agg(count(lit(1)).as("n"))
+      // ONE full-table aggregation pass (r20): the per-value marginal
+      // counts the rank tables need are exact sums over the tiny joint
+      // table — cnt(g,x) = Σ_y n(g,x,y) — so both rank branches
+      // re-aggregate `joint` (O(distinct x · distinct y) rows) instead
+      // of re-scanning lineitem; the three identical big exchanges
+      // collapse to one (ReuseExchange) + two O(distinct)-row ones.
       def ranks(c: String, out: String) = {
-        val cnt = li.groupBy($"g", col(c)).agg(count(lit(1)).as("cnt"))
+        val cnt = joint.groupBy($"g", col(c)).agg(sum($"n").as("cnt"))
         // bounded window: one row per distinct value per group (≤ 50)
         val w = Window.partitionBy($"g").orderBy(col(c))
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -300,8 +316,6 @@ object StatsQueries {
           lit(2) * coalesce(sum($"cnt").over(w), lit(0L)) + $"cnt" + 1)
           .select($"g", col(c), col(out))
       }
-      val D0 = "decimal(38,0)"
-      val joint = li.groupBy($"g", $"x", $"y").agg(count(lit(1)).as("n"))
       joint
         .join(broadcast(ranks("x", "r2x")), Seq("g", "x"))
         .join(broadcast(ranks("y", "r2y")), Seq("g", "y"))
