@@ -3360,6 +3360,18 @@ object ChSql {
     var df = run(spark, select)
     orderKeys.foreach(k => require(df.columns.contains(k),
       s"ORDER BY key '$k' is not a column of the SELECT"))
+    // r20, guide §6 output sizing: REBALANCE before the snapshot write
+    // so AQE sizes the output files from the DATA (advisory target)
+    // instead of inheriting the source's task count — a fixture-scale
+    // CTAS wrote 32 near-empty part files that every later statement
+    // on the table re-listed and re-opened; at real scale the same
+    // hint is the Iceberg `write.distribution-mode=hash` shape (one
+    // shuffle buys right-sized files, skewed partition values are
+    // split by AQE's rebalance skew handling). Row set unchanged.
+    df = partCol match {
+      case Some(p) => df.hint("rebalance", col(p))
+      case None => df.hint("rebalance")
+    }
     if (orderKeys.nonEmpty)
       df = df.sortWithinPartitions(orderKeys.map(col): _*)
 

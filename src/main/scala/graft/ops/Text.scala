@@ -295,10 +295,22 @@ object Text {
         posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "sh")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         seedHash(col("sh")).as("h"))
-    val dupH = seeds.groupBy("h").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOcc).select("h")
+    // Global seed-occurrence filter as ONE window count over h (r20):
+    // the r19 shape (groupBy(h).count → join back on h) referenced
+    // `seeds` twice, so the whole tokenize+shingle+md5 emit — the
+    // chain's dominant map cost — ran TWICE per call (both subtrees
+    // visible in plans/r19/pipe_substring_dedup_before.txt). The
+    // count-over-partition window reads the emit once for the same
+    // one-shuffle-by-h cost class; WindowExec buffers spill, so a hot
+    // seed still cannot pin memory (same degrade path as the old
+    // aggregate). Row set after the filter is identical: occ(h) is
+    // the same corpus-wide count either way.
+    val wh = Window.partitionBy("h") // unordered → whole-partition frame
     val w = Window.partitionBy(idCol).orderBy("pos")
-    seeds.join(dupH, "h")
+    seeds
+      .withColumn("occ", count(lit(1)).over(wh))
+      .filter(col("occ") >= minOcc)
+      .drop("occ")
       .withColumn("prev_end", max(col("pos") + lit(k - 1))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ns", when(col("prev_end").isNull

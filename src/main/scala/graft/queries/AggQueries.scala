@@ -629,15 +629,25 @@ object AggQueries {
       import s.implicits._
       val ord = Tables(s, dir, "orders")
       val starts = ord.select($"o_orderpriority", $"o_orderdate".as("t"),
-        lit(1).as("d"), $"o_orderkey")
+        lit(1L).as("d"))
       val ends = ord.select($"o_orderpriority",
         ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("t"),
-        lit(-1).as("d"), $"o_orderkey")
+        lit(-1L).as("d"))
+      // r20: net the ±1 deltas per (priority, instant) BEFORE the
+      // running-sum window, so the window runs over O(distinct dates)
+      // rows instead of 2·|orders| (guide §2.3 aggregate-before-
+      // shuffle; the partial agg collapses the emit map-side). Exact:
+      // in the event-level order (t asc, d asc) all −1s of an instant
+      // precede its +1s, so within one instant the running sum dips
+      // then rises — its maximum over the whole sequence is always
+      // attained at an instant BOUNDARY, which is precisely the
+      // per-instant-netted prefix sum this computes.
       val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"t", $"d", $"o_orderkey")
+        .orderBy($"t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       starts.unionByName(ends)
-        .withColumn("open", sum($"d").over(w))
+        .groupBy($"o_orderpriority", $"t").agg(sum($"d").as("net"))
+        .withColumn("open", sum($"net").over(w))
         .groupBy($"o_orderpriority")
         .agg(max($"open").as("max_concurrent"))
         .orderBy($"o_orderpriority")

@@ -517,9 +517,19 @@ object PipelineQueries {
       // Persist BEFORE the guard: guardBuckets reads its input on both
       // the row side and the counts side, so guarding the raw
       // tokenize subtree would shingle the corpus twice.
+      // r20: compare 55-bit shingle HASHES (Text.hash55, the family's
+      // cross-engine md5 convention — pipe_minhash_lsh's jaccard
+      // already runs over h1 hashes) instead of raw 2-gram strings:
+      // the persisted frame and the block-join shuffle carry 8-byte
+      // longs per shingle instead of ~15-byte strings, and the
+      // candidate Jaccard intersects long arrays (guide §2.3 "narrower
+      // types"). The pair set and every jaccard value are unchanged
+      // (identical shingles ⇒ identical hashes; distinct 60-bit-class
+      // collisions ~2⁻⁶⁰ — the same term every minhash entry carries),
+      // and the DuckDB oracle applies the identical md5 hash.
       val keyed = Tables(s, dir, "documents")
         .withColumn("toks", Text.tokens($"text"))
-        .withColumn("sh", array_distinct(Text.shingles($"toks", 2)))
+        .withColumn("sh", Text.hash55(array_distinct(Text.shingles($"toks", 2))))
         .withColumn("blk", concat_ws("|", $"lang",
           element_at($"toks", 1), element_at($"toks", 2),
           expr("size(toks) div 20")))
@@ -538,9 +548,12 @@ object PipelineQueries {
         SELECT doc_id,
                lang || '|' || toks[1] || '|' || toks[2] || '|'
                     || CAST(len(toks) // 20 AS BIGINT) AS blk,
-               list_distinct(list_transform(
-                 range(1, greatest(len(toks), 1)),
-                 i -> array_to_string(toks[i:i+1], ' '))) AS sh
+               list_transform(
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks), 1)),
+                   i -> array_to_string(toks[i:i+1], ' '))),
+                 x -> CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                      % 36028797018963968) AS sh
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -612,6 +625,11 @@ object PipelineQueries {
           """transform(sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1),
                i -> array_join(slice(words, i * 10 + 1, 10), ' '))"""))
         .select($"doc_id", $"source", posexplode($"ch").as(Seq("pos", "chunk")))
+        // ONE exchange (r20): hash-partition the exploded chunks by
+        // doc_id once; HashPartitioning(doc_id) satisfies both the
+        // (doc, source, chunk) dedup agg and the (doc, source) rebuild
+        // agg (guide §2.4 — same-keyed operations share one exchange).
+        .repartition($"doc_id")
       val kept = chunks.groupBy($"doc_id", $"source", $"chunk")
         .agg(min($"pos").as("first_pos"), count(lit(1)).as("occ"))
       val rebuilt = kept.groupBy($"doc_id", $"source")
