@@ -32,7 +32,14 @@ object Tuned {
   val defaults: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
-    "spark.sql.codegen.cache.maxEntries" -> "100000")
+    "spark.sql.codegen.cache.maxEntries" -> "100000",
+    // guide §3.1/§9: let the planner pick shuffled-hash over
+    // sort-merge when a build side fits; the AQE threshold bounds the
+    // per-partition build map (no unbounded hash build at any scale).
+    // A/B on the join-heavy bench subset: neutral-to-better
+    // everywhere, ~2× on tpch_q17/q20 (sort of both big sides gone).
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m")
 
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     defaults.foreach { case (k, v) =>
